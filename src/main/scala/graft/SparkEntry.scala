@@ -1,13 +1,417 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.{Cond, UExpr}
+import graft.functions.GraftFunctions._
+import graft.query.Agg
+import graft.write.Writes
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` on the same parquet
+ * tables. Every query output carries a TOTAL ORDER (explicit sort with a
+ * unique tie-break) and money/quantity sums go through DECIMAL(18,2) so the
+ * Spark and DuckDB results are bit-identical, not merely close.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def eng(s: SparkSession, dir: String): Graft = Graft(s, dir)
+  /** exact-arithmetic cast for FP-sensitive sums (oracle parity) */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q13_join_multi3")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.3 filters / predicates ------------------------------------
+    "q01_filter_range" -> ((s, dir) => {
+      // loose typing: string literal "45" coerced to DOUBLE (SURVEY §1.2)
+      eng(s, dir).query("lineitem")
+        .where("l_quantity", ">", "45")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderByAsc("l_orderkey", "l_linenumber")
+        .noDefaultLimit.toDF
+    }),
+    "q02_filter_in_like" -> ((s, dir) => {
+      eng(s, dir).query("part")
+        .whereIn("p_size", Seq(1, 5, 9))
+        .whereContains("p_name", "bolt")
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+        .orderByAsc("p_partkey")
+        .noDefaultLimit.toDF
+    }),
+    "q03_filter_andor" -> ((s, dir) => {
+      eng(s, dir).query("orders")
+        .condition(
+          (Cond.Leaf("o_orderstatus", "=", "F") && Cond.Leaf("o_totalprice", ">", 150000)) ||
+          (Cond.Leaf("o_orderstatus", "=", "O") && Cond.Leaf("o_totalprice", "<", 30000)))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderByAsc("o_orderkey")
+        .noDefaultLimit.toDF
+    }),
+    "q04_filter_between_notin" -> ((s, dir) => {
+      eng(s, dir).query("lineitem")
+        .whereBetween("l_shipdate", "1995-01-01", "1995-03-31")
+        .whereNotIn("l_returnflag", Seq("A"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag")
+        .orderByAsc("l_orderkey", "l_linenumber")
+        .noDefaultLimit.toDF
+    }),
+    "q05_select_alias" -> ((s, dir) => {
+      eng(s, dir).query("customer")
+        .whereEqual("c_mktsegment", "BUILDING")
+        .whereNotNull("c_name")
+        .select("c_custkey", "c_name as name", "c_acctbal as balance")
+        .orderByAsc("c_custkey")
+        .noDefaultLimit.toDF
+    }),
+
+    // ---- §2.5 aggregations ---------------------------------------------
+    "q06_agg_global" -> ((s, dir) => {
+      eng(s, dir).query("lineitem")
+        .agg(
+          Agg.count(alias = "cnt"),
+          Agg.sumCol(dec(col("l_quantity")), "sum_qty"),
+          Agg.sumCol(dec(col("l_extendedprice")), "sum_price"),
+          Agg.min("l_quantity", "min_qty"),
+          Agg.max("l_quantity", "max_qty"))
+        .toDF
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("cnt"))
+    }),
+    "q07_agg_groupby" -> ((s, dir) => {
+      eng(s, dir).query("lineitem")
+        .where("l_shipdate", "<=", "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Agg.count(alias = "cnt"),
+          Agg.sumCol(dec(col("l_quantity")), "sum_qty"),
+          Agg.sumCol(dec(col("l_extendedprice")), "sum_price"))
+        .orderByAsc("l_returnflag", "l_linestatus")
+        .toDF
+    }),
+    "q08_having" -> ((s, dir) => {
+      eng(s, dir).query("orders")
+        .groupBy("o_orderpriority")
+        .agg(Agg.count(alias = "cnt"), Agg.sumCol(dec(col("o_totalprice")), "sum_total"))
+        .having(Cond.Leaf("cnt", ">", 100))
+        .orderByAsc("o_orderpriority")
+        .toDF
+    }),
+
+    // ---- §2.4 joins ------------------------------------------------------
+    "q09_join_inner" -> ((s, dir) => {
+      eng(s, dir).query("orders")
+        .join("customer", "orders.o_custkey", "=", "customer.c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(Agg.count(alias = "cnt"), Agg.sumCol(dec(col("o_totalprice")), "sum_total"))
+        .orderByAsc("c_mktsegment")
+        .toDF
+    }),
+    "q10_join_left_null" -> ((s, dir) => {
+      eng(s, dir).query("customer")
+        .leftJoin("orders", "customer.c_custkey", "=", "orders.o_custkey")
+        .whereNull("o_orderkey")
+        .select("c_custkey", "c_name")
+        .orderByAsc("c_custkey")
+        .noDefaultLimit.toDF
+    }),
+    "q11_join_right" -> ((s, dir) => {
+      eng(s, dir).query("orders")
+        .rightJoin("customer", "orders.o_custkey", "=", "customer.c_custkey")
+        .groupBy("c_nationkey")
+        .agg(Agg.count(alias = "n_rows"))
+        .orderByAsc("c_nationkey")
+        .toDF
+    }),
+    "q12_join_theta" -> ((s, dir) => {
+      eng(s, dir).query("nation")
+        .join("region", "nation.n_regionkey", "<", "region.r_regionkey")
+        .select("n_name", "r_name")
+        .orderByAsc("n_name", "r_name")
+        .noDefaultLimit.toDF
+    }),
+    "q13_join_multi3" -> ((s, dir) => {
+      eng(s, dir).query("lineitem")
+        .join("orders", "lineitem.l_orderkey", "=", "orders.o_orderkey")
+        .join("customer", "orders.o_custkey", "=", "customer.c_custkey")
+        .whereEqual("c_mktsegment", "AUTOMOBILE")
+        .where("l_shipdate", ">", "1996-01-01")
+        .groupBy("o_orderpriority")
+        .agg(Agg.count(alias = "cnt"), Agg.sumCol(dec(col("l_extendedprice")), "sum_price"))
+        .orderByAsc("o_orderpriority")
+        .toDF
+    }),
+
+    // ---- §2.6 distinct / §2.7 sort-limit-offset -------------------------
+    "q14_distinct" -> ((s, dir) => {
+      eng(s, dir).query("orders")
+        .distinct("o_orderstatus", "o_orderpriority")
+        .orderByAsc("o_orderstatus", "o_orderpriority")
+        .noDefaultLimit.toDF
+    }),
+    "q15_topk" -> ((s, dir) => {
+      eng(s, dir).query("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderByDesc("l_extendedprice")
+        .orderByAsc("l_orderkey", "l_linenumber")
+        .limit(10).toDF
+    }),
+    "q16_offset" -> ((s, dir) => {
+      eng(s, dir).query("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderByDesc("l_extendedprice")
+        .orderByAsc("l_orderkey", "l_linenumber")
+        .offset(20).limit(10).toDF
+    }),
+    "q17_pk_numeric_string" -> ((s, dir) => {
+      // numeric-string PK order: '2' < '10' via (length, value) sort key
+      val pk = eng(s, dir).table("orders")
+        .select(col("o_orderkey").cast("string").as("pk"), col("o_totalprice"))
+      pk.orderBy(numericStringOrder(col("pk")).map(_.asc): _*).limit(50)
+    }),
+    "q18_cursor_page2" -> ((s, dir) => {
+      // keyset pagination: page 1 run() → nextCursor → page 2
+      val qb = eng(s, dir).query("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderByDesc("l_extendedprice")
+        .orderByAsc("l_orderkey", "l_linenumber")
+        .limit(10)
+      val page2 = qb.run().next()
+      s.createDataFrame(
+        s.sparkContext.parallelize(page2.data, 1), qb.toDF.schema)
+    }),
+    "q19_count" -> ((s, dir) => {
+      eng(s, dir).query("lineitem")
+        .where("l_discount", ">=", 0.05)
+        .agg(Agg.count(alias = "cnt")).toDF
+    }),
+
+    // ---- §2.9 update Expr AST / §2.1 upsert ------------------------------
+    "q20_update_expr" -> ((s, dir) => {
+      import UExpr._
+      val li = eng(s, dir).table("lineitem")
+      Writes.updatePreview(li,
+        Seq(
+          "l_quantity" -> clamp(field("l_quantity") * value(2), value(0), value(75)),
+          "l_discount" -> min(field("l_discount") + value(0.01), value(0.1))),
+        Cond.Leaf("l_returnflag", "=", "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q21_upsert" -> ((s, dir) => {
+      val e = eng(s, dir)
+      val target = e.table("customer")
+      val updates = target.where(col("c_custkey") <= 5)
+        .select(col("c_custkey"), concat(col("c_name"), lit("_u")).as("c_name"),
+          col("c_nationkey"), (col("c_acctbal") + 1000).as("c_acctbal"), col("c_mktsegment"))
+      val inserts = target.where(col("c_custkey") <= 3)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"), lit("NONE").as("c_mktsegment"))
+      Writes.upsertMerge(target, updates.union(inserts), Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- window / event-time extensions (Spark superset) ----------------
+    "q22_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eng(s, dir).table("events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    }),
+    "q23_events_tumbling" -> ((s, dir) => {
+      eng(s, dir).table("events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    // ---- pipeline extras: text / dedup / vector --------------------------
+    "q24_text_stats" -> ((s, dir) => {
+      val d = eng(s, dir).table("documents")
+      d.select(col("doc_id"), length(col("text")).as("len"),
+          tokenCount(col("text")).as("tok_cnt"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "q25_dedup_exact" -> ((s, dir) => {
+      val d = eng(s, dir).table("documents")
+      d.groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
+        .orderBy("fp")
+    }),
+    "q26_vector_knn" -> ((s, dir) => {
+      val e = eng(s, dir)
+      val emb = e.table("embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      val qCol = array(q.map(v => lit(v.toDouble)): _*)
+      emb.select(col("vec_id"),
+          round(cosineSimilarity(col("embedding"), qCol), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q02_filter_in_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+         WHERE p_size IN (1,5,9) AND p_name LIKE '%bolt%'
+         ORDER BY p_partkey""",
+    "q03_filter_andor" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE (o_orderstatus = 'F' AND o_totalprice > 150000)
+            OR (o_orderstatus = 'O' AND o_totalprice < 30000)
+         ORDER BY o_orderkey""",
+    "q04_filter_between_notin" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag FROM lineitem
+         WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31'
+           AND (l_returnflag IS NULL OR l_returnflag NOT IN ('A'))
+         ORDER BY l_orderkey, l_linenumber""",
+    "q05_select_alias" ->
+      """SELECT c_custkey, c_name AS name, c_acctbal AS balance FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_name IS NOT NULL
+         ORDER BY c_custkey""",
+    "q06_agg_global" ->
+      """SELECT count(*) AS cnt,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+                min(l_quantity) AS min_qty,
+                max(l_quantity) AS max_qty,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+         FROM lineitem""",
+    "q07_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q08_having" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+         FROM orders
+         GROUP BY o_orderpriority
+         HAVING count(*) > 100
+         ORDER BY o_orderpriority""",
+    "q09_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+    "q10_join_left_null" ->
+      """SELECT c_custkey, c_name FROM customer
+         LEFT JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey IS NULL
+         ORDER BY c_custkey""",
+    "q11_join_right" ->
+      """SELECT c_nationkey, count(*) AS n_rows
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey
+         ORDER BY c_nationkey""",
+    "q12_join_theta" ->
+      """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey < r_regionkey
+         ORDER BY n_name, r_name""",
+    "q13_join_multi3" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'AUTOMOBILE' AND l_shipdate > TIMESTAMP '1996-01-01'
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q14_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q15_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 10""",
+    "q16_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 10 OFFSET 20""",
+    "q17_pk_numeric_string" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS pk, o_totalprice FROM orders
+         ORDER BY length(CAST(o_orderkey AS VARCHAR)), CAST(o_orderkey AS VARCHAR)
+         LIMIT 50""",
+    "q18_cursor_page2" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 10 OFFSET 10""",
+    "q19_count" ->
+      """SELECT count(*) AS cnt FROM lineitem WHERE l_discount >= 0.05""",
+    "q20_update_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_returnflag = 'R'
+                     THEN least(greatest(l_quantity * 2, 0), 75)
+                     ELSE l_quantity END AS l_quantity,
+                CASE WHEN l_returnflag = 'R'
+                     THEN least(l_discount + 0.01, 0.1)
+                     ELSE l_discount END AS l_discount
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+    "q21_upsert" ->
+      """WITH staged AS (
+           SELECT c_custkey, c_name || '_u' AS c_name, c_nationkey,
+                  c_acctbal + 1000 AS c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey <= 5
+           UNION ALL
+           SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR),
+                  c_nationkey, 0.0, 'NONE'
+           FROM customer WHERE c_custkey <= 3)
+         SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+                COALESCE(s.c_name, t.c_name) AS c_name,
+                COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+                COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+                COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+         FROM customer t FULL OUTER JOIN staged s ON t.c_custkey = s.c_custkey
+         ORDER BY c_custkey""",
+    "q22_window_topn" ->
+      """SELECT user_id, event_id, rn FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) t
+         WHERE rn <= 3
+         ORDER BY user_id, rn""",
+    "q23_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
+                sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY bucket, event_type""",
+    "q24_text_stats" ->
+      """SELECT doc_id, length(text) AS len,
+                length(regexp_split_to_array(trim(text), '\s+')) AS tok_cnt,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents
+         ORDER BY doc_id""",
+    "q25_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS keeper, count(*) AS dupes
+         FROM documents
+         GROUP BY 1
+         ORDER BY fp""",
+    "q26_vector_knn" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id,
+                round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.qv AS DOUBLE[])), 6) AS sim
+         FROM embeddings e, q
+         ORDER BY sim DESC, e.vec_id
+         LIMIT 10"""
+  )
 }

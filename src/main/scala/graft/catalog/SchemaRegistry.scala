@@ -1,0 +1,64 @@
+package graft.catalog
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.schema._
+
+/**
+ * In-memory catalog of declared table schemas + spaces — the semantic role
+ * of the reference's schema manager (/root/reference/lib/src/model/table_schema.dart:12-57,
+ * spaces: lib/tostore.dart:529-532, isGlobal: table_schema.dart:37).
+ *
+ * Physical indexes disappear in Spark (parquet min/max + dictionary +
+ * bloom stats take their place); the registry keeps their SEMANTIC role:
+ * unique key sets drive upsert matching, foreign keys drive auto-joins,
+ * PK strategy drives the numeric-string sort shim.
+ */
+final class SchemaRegistry {
+  private var schemas = Map.empty[(String, String), TableSchema] // (space, table)
+
+  def register(space: String, schema: TableSchema): Unit = synchronized {
+    val key = if (schema.isGlobal) ("global", schema.name) else (space, schema.name)
+    schemas += key -> schema
+  }
+
+  def get(space: String, table: String): Option[TableSchema] =
+    schemas.get((space, table)).orElse(schemas.get(("global", table)))
+
+  def drop(space: String, table: String): Unit = synchronized {
+    schemas -= ((space, table))
+  }
+
+  def tables(space: String): Seq[String] =
+    schemas.keys.collect { case (s, t) if s == space || s == "global" => t }.toSeq
+
+  /** Resolve the FK join keys between `from` and `to`, forward (from
+    * references to) or reverse (to references from) — reference
+    * query_builder.dart:851-951. Returns (fromField, toField) of the first
+    * FK pair; composite FKs use the first pair as ON, the rest belong in
+    * WHERE (reference quirk, query_builder.dart:210-253). */
+  def resolveFkJoin(from: String, to: String, space: String = "default"): Option[(String, String)] = {
+    def firstPair(s: TableSchema, target: String): Option[(String, String)] =
+      s.foreignKeys.find(fk => fk.enabled && fk.referencedTable == target)
+        .map(fk => (fk.fields.head, fk.referencedFields.head))
+    get(space, from).flatMap(firstPair(_, to))
+      .orElse(get(space, to).flatMap(firstPair(_, from).map(_.swap)))
+  }
+
+  /** Numeric-string PK sort shim: sequential / timestampBased /
+    * datePrefixed PKs sort length-first then lexicographic so '2' < '10'
+    * (value_matcher.dart:121-148; golden: ['1','2','3','10','20'],
+    * database_tester.dart:1587-1603). Expressed as the two-column sort key
+    * (length(pk), pk) — pure Catalyst, no comparator UDF. */
+  def numericStringSortCols(table: String, field: String, c: Column,
+      space: String = "default"): Seq[Column] =
+    get(space, table) match {
+      case Some(s) if s.primaryKey.name == field &&
+          (s.primaryKey.strategy == PkStrategy.Sequential ||
+           s.primaryKey.strategy == PkStrategy.TimestampBased ||
+           s.primaryKey.strategy == PkStrategy.DatePrefixed) =>
+        Seq(length(c), c)
+      case _ => Seq(c)
+    }
+}

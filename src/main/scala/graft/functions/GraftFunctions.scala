@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Column-level function library of the engine. Everything here is built
+ * from `org.apache.spark.sql.functions._` (codegen'd by Catalyst) — no
+ * Scala UDFs in the hot path.
+ */
+object GraftFunctions {
+
+  /** Numeric-string order key: length-first then lexicographic, so
+    * '2' < '10' (reference MatcherType.pkNumericString,
+    * /root/reference/lib/src/handler/value_matcher.dart:121-148). */
+  def numericStringOrder(c: Column): Seq[Column] = Seq(length(c), c)
+
+  // ---------- vector math (SURVEY.md §2.10) ----------
+  // Implemented with higher-order functions over ARRAY<FLOAT>/<DOUBLE>
+  // columns: zip_with + aggregate stay inside Catalyst and need no
+  // serialization boundary, unlike Scala UDFs. Accumulation is
+  // left-to-right in DOUBLE for deterministic, oracle-matching results.
+
+  /** dot(a, b) */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ||a||₂ */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  /** Euclidean distance */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType)
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** cosine similarity ∈ [-1, 1] */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** cosine distance = 1 - similarity (reference default metric,
+    * table_schema.dart:2511-2531) */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** inner-product distance (larger dot = closer → negated) */
+  def innerProductDistance(a: Column, b: Column): Column =
+    -dotProduct(a, b)
+
+  /** Normalized score ∈ [0,1] per metric, as the reference returns
+    * alongside distance (query_result.dart:207-228). */
+  def vectorScore(metric: String, distance: Column): Column = metric match {
+    case "cosine"       => lit(1.0) - distance / lit(2.0) // dist ∈ [0,2] → [0,1]
+    case "l2"           => lit(1.0) / (lit(1.0) + distance)
+    case "innerProduct" => lit(1.0) / (lit(1.0) + exp(distance)) // sigmoid(-d) = sigmoid(dot)
+    case m              => throw new IllegalArgumentException(s"unknown metric $m")
+  }
+
+  // ---------- text analysis (pipeline extras) ----------
+
+  /** Whitespace tokens. `split` on \s+ after trim; empty text yields a
+    * single empty token in both Spark and DuckDB (parity-checked). */
+  def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(whitespaceTokens(text))
+
+  /** Normalize for fingerprinting: lowercase + collapse whitespace. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Deterministic document fingerprint: md5 of the normalized text.
+    * (md5 matches DuckDB's md5() for oracle parity; a rolling/polynomial
+    * hash variant lives in pipeline.TextPipeline.) */
+  def fingerprint(text: Column): Column =
+    md5(normalizeText(text).cast("binary"))
+
+  /** Word-level shingles (n-grams of whitespace tokens) for MinHash. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = whitespaceTokens(normalizeText(text))
+    // sliding windows via transform over indices 0..len-n
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.query
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.expr.Cond
+
+/**
+ * Query result with pagination metadata — mirrors the reference's
+ * `QueryResult{data, nextCursor/prevCursor, hasMore/hasPrev,
+ * tableTotalCount, executionTimeMs}` (/root/reference/lib/src/model/query_result.dart:1-200,
+ * query_builder.dart:443-470).
+ *
+ * hasMore is computed with the reference's limit+1 probe
+ * (query_executor.dart:352-397): one extra row is fetched and dropped.
+ *
+ * Cursors are keyset tokens: base64 of `v1|table|sig|dir|k1\u0000v1...`
+ * carrying the sort-key pivot of the page edge. `next()` re-runs the query
+ * with a lexicographic keyset predicate `(k1,k2,..) > (p1,p2,..)` — plain
+ * Column expressions, no OFFSET scan (query_executor.dart:2866-3000, 3570).
+ * Cursor queries require the sort keys + a unique tie-break to be total,
+ * as the reference does by appending the PK (query_executor.dart:1063-1074).
+ */
+final class QueryResult(
+    val data: Seq[Row],
+    val hasMore: Boolean,
+    val hasPrev: Boolean,
+    val nextCursor: Option[String],
+    val prevCursor: Option[String],
+    val executionTimeMs: Long,
+    builder: QueryBuilder) {
+
+  def size: Int = data.size
+  def next(): QueryResult = nextCursor match {
+    case Some(tok) => QueryResult.executeCursor(builder, tok)
+    case None      => throw new IllegalStateException("no next page")
+  }
+  def prev(): QueryResult = prevCursor match {
+    case Some(tok) => QueryResult.executeCursor(builder, tok)
+    case None      => throw new IllegalStateException("no previous page")
+  }
+}
+
+object QueryResult {
+
+  private def signature(b: QueryBuilder): String =
+    (b.table, b.cond, b.selects, b.joins, b.orders).hashCode.toHexString
+
+  private[query] def encodeCursor(
+      b: QueryBuilder, dir: String, pivot: Seq[(String, String)]): String = {
+    val body = s"v1|${b.table}|${signature(b)}|$dir|" +
+      pivot.map { case (k, v) => s"$k\u0000$v" }.mkString("\u0001")
+    Base64.getUrlEncoder.encodeToString(body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private[query] def decodeCursor(b: QueryBuilder, tok: String): (String, Seq[(String, String)]) = {
+    val body = new String(Base64.getUrlDecoder.decode(tok), StandardCharsets.UTF_8)
+    val parts = body.split("\\|", 5)
+    require(parts.length == 5 && parts(0) == "v1", "malformed cursor")
+    require(parts(1) == b.table && parts(2) == signature(b),
+      "cursor does not belong to this query") // token validation, query_executor.dart:416-450
+    val pivot = parts(4).split('\u0001').toSeq.filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split('\u0000').padTo(2, "")
+      (k, v)
+    }
+    (parts(3), pivot)
+  }
+
+  /** Lexicographic keyset predicate over the sort keys:
+    * (k1 > p1) OR (k1 = p1 AND k2 > p2) OR ... with direction per key. */
+  private def keysetCond(orders: Seq[(String, Boolean)], pivot: Seq[(String, String)],
+      forward: Boolean): Cond = {
+    val ks = orders.zip(pivot)
+    val clauses = ks.indices.map { i =>
+      val eqs: Seq[Cond] = ks.take(i).map { case ((f, _), (_, v)) => Cond.Leaf(f, "=", v) }
+      val ((f, asc), (_, v)) = ks(i)
+      val strict = if (asc == forward) ">" else "<"
+      Cond.and(eqs :+ Cond.Leaf(f, strict, v): _*)
+    }
+    Cond.or(clauses: _*)
+  }
+
+  private[graft] def execute(b: QueryBuilder): QueryResult = {
+    val t0 = System.nanoTime()
+    val n = b.limitOpt.getOrElse(b.engine.defaultQueryLimit)
+    val probe = b.copy(limitOpt = Some(n + 1)).compile(applyLimit = true).collect()
+    val hasMore = probe.length > n
+    val rows = probe.take(n).toSeq
+    val next =
+      if (hasMore && b.orders.nonEmpty)
+        Some(encodeCursor(b, "next", b.orders.map { case (f, _) =>
+          f -> Option(rows.last.getAs[Any](outName(b, f))).map(_.toString).orNull }))
+      else None
+    val prev =
+      if (b.orders.nonEmpty && rows.nonEmpty && b.offsetOpt.exists(_ > 0))
+        Some(encodeCursor(b, "prev", b.orders.map { case (f, _) =>
+          f -> Option(rows.head.getAs[Any](outName(b, f))).map(_.toString).orNull }))
+      else None
+    new QueryResult(rows, hasMore, b.offsetOpt.exists(_ > 0), next, prev,
+      (System.nanoTime() - t0) / 1000000, b)
+  }
+
+  private def outName(b: QueryBuilder, f: String): String =
+    b.selects.find(_.field == f).map(_.outputName).getOrElse(
+      if (f.contains('.')) f.split('.').last else f)
+
+  private[query] def executeCursor(b: QueryBuilder, tok: String): QueryResult = {
+    val (dir, pivot) = decodeCursor(b, tok)
+    val forward = dir == "next"
+    val ks = keysetCond(b.orders, pivot, forward)
+    execute(b.copy(cond = b.cond && ks, offsetOpt = None))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.write
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.expr.{Cond, UExpr}
+
+/** Per-row outcome of a batch write (reference DbResult successKeys /
+  * failedKeys, /root/reference/lib/src/model/db_result.dart). */
+final case class WriteReport(successCount: Long, failedCount: Long, failed: DataFrame)
+
+/**
+ * Write operations re-expressed as deterministic read→transform→overwrite
+ * DataFrame jobs (SURVEY.md §2.1). The reference's WAL/write-buffer
+ * machinery (data_store_impl.dart:2342, 3107) collapses into atomic
+ * parquet overwrites: each `apply*` writes a staging directory and swaps it
+ * in, so readers never observe a partial write.
+ *
+ * Every operation has a pure `preview`/`merge` form returning the
+ * post-write DataFrame without touching storage — that form is what the
+ * correctness gate exercises (side-effect-free, DuckDB-expressible).
+ */
+object Writes {
+
+  /** update(table, exprs).where(cond):
+    * col := when(pred, expr).otherwise(old) — fully codegen'd
+    * (reference updateInternal, data_store_impl.dart:2342; Expr AST
+    * lib/src/model/expr.dart:29-342). */
+  def updatePreview(
+      df: DataFrame,
+      sets: Seq[(String, UExpr)],
+      cond: Cond,
+      allowUpdateAll: Boolean = false): DataFrame = {
+    if (cond == Cond.True && !allowUpdateAll)
+      throw new IllegalArgumentException(
+        "condition-less update requires allowUpdateAll (update_builder.dart:215-219)")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pred = cond.toColumn(col, types.get)
+    sets.foldLeft(df) { case (acc, (f, e)) =>
+      val newVal = e.toColumn(col, lit(true)).cast(types(f))
+      acc.withColumn(f, when(pred, newVal).otherwise(col(f)))
+    }
+  }
+
+  /** delete(table).where(cond) → anti-filter. */
+  def deletePreview(df: DataFrame, cond: Cond, allowDeleteAll: Boolean = false): DataFrame = {
+    if (cond == Cond.True && !allowDeleteAll)
+      throw new IllegalArgumentException(
+        "condition-less delete requires allowDeleteAll (delete_builder.dart:4-39)")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pred = cond.toColumn(col, types.get)
+    df.where(!coalesce(pred, lit(false)))
+  }
+
+  /**
+   * Upsert merge: update-if-exists (matched by the key columns — PK or a
+   * unique index, reference data_store_impl.dart:2229) else insert.
+   *
+   * Plan shape: full outer join target⟗staged on keys, then per-column
+   * `coalesce(staged, target)`. `UExpr` sets may branch on isUpdate()/
+   * isInsert() (expr.dart:121-158). The staged side is typically small →
+   * Spark broadcasts it; at 100 TB the join shuffles on the key, which is
+   * the minimal possible data movement for a merge.
+   */
+  def upsertMerge(
+      target: DataFrame,
+      staged: DataFrame,
+      keys: Seq[String],
+      sets: Seq[(String, UExpr)] = Nil): DataFrame = {
+    val t = target.as("t")
+    val s = staged.as("s")
+    val on = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, on, "full_outer")
+    val isUpdate = keys.map(k => col(s"t.$k").isNotNull).reduce(_ && _) &&
+      keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+    val matchedOrNew = keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _)
+
+    val setMap = sets.toMap
+    val outCols = target.schema.fieldNames.toSeq.map { f =>
+      val base =
+        if (staged.schema.fieldNames.contains(f))
+          coalesce(col(s"s.$f"), col(s"t.$f"))
+        else col(s"t.$f")
+      setMap.get(f) match {
+        case Some(e) =>
+          val resolve: String => Column = n =>
+            if (staged.schema.fieldNames.contains(n))
+              coalesce(col(s"t.$n"), col(s"s.$n")) // current value; staged for inserts
+            else col(s"t.$n")
+          val v = e.toColumn(resolve, isUpdate)
+            .cast(target.schema(f).dataType)
+          when(matchedOrNew, v).otherwise(col(s"t.$f"))
+        case None => base
+      }
+    }
+    joined.select(outCols.zip(target.schema.fieldNames).map { case (c, n) => c.as(n) }: _*)
+  }
+
+  /** batchInsert validation pass: split rows into good/bad instead of
+    * failing the job (reference allowPartialErrors,
+    * lib/tostore.dart:586-597). A row is bad if a non-nullable column is
+    * null or a declared range/length constraint fails. */
+  def validateRows(
+      staged: DataFrame,
+      notNull: Seq[String],
+      checks: Seq[Column] = Nil): (DataFrame, DataFrame) = {
+    val okCond = (notNull.map(col(_).isNotNull) ++ checks)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    (staged.where(okCond), staged.where(!coalesce(okCond, lit(false))))
+  }
+
+  /** Atomic overwrite of a managed table: write staging dir, swap. */
+  def overwrite(engine: Graft, table: String, data: DataFrame): Unit = {
+    val path = engine.managedPath(table)
+    val tmp = path + ".staging"
+    data.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
+
+  def append(engine: Graft, table: String, data: DataFrame): Unit =
+    data.write.mode(SaveMode.Append).parquet(engine.managedPath(table))
+}
