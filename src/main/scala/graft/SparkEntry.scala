@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.{Cond, UExpr}
 import graft.functions.GraftFunctions._
+import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
 import graft.query.Agg
+import graft.vector.VectorSearch
 import graft.write.Writes
 
 /**
@@ -246,6 +248,103 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
         .orderBy("fp")
     }),
+    "q27_text_quality" -> ((s, dir) => {
+      val d = eng(s, dir).table("documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCountBpe(col("text")).as("bpe_cnt"),
+          TextAnalysis.tokenEstimate(col("text")).as("tok_est"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+    "q28_minhash_sig" -> ((s, dir) => {
+      val d = eng(s, dir).table("documents")
+      d.select(col("doc_id"),
+          concat_ws(",", Dedup.minhashSignature(col("text"), 3, 8)).as("sig"))
+        .orderBy("doc_id")
+    }),
+    "q29_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(eng(s, dir).table("documents"), "doc_id", "text",
+          shingleN = 3, k = 12, bands = 4, threshold = 0.3)
+        .orderBy("a", "b")
+    }),
+    "q30_simhash" -> ((s, dir) => {
+      val d = eng(s, dir).table("documents")
+      d.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
+        .orderBy("doc_id")
+    }),
+    "q31_neardup_cosine" -> ((s, dir) => {
+      Dedup.cosinePairsExact(eng(s, dir).table("embeddings")
+          .where(col("vec_id") < 2000), "vec_id", "embedding", 0.4)
+        .orderBy("a", "b")
+    }),
+    "q32_vector_search" -> ((s, dir) => {
+      val e = eng(s, dir)
+      val q = e.table("embeddings").where(col("vec_id") === 7)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      VectorSearch.exact(e.table("embeddings"), "vec_id", "embedding", q,
+        topK = 10, metric = "l2")
+    }),
+    "q33_ann_ivf" -> ((s, dir) => {
+      // approximate path: seeded k-means cells + nprobe pruning. No SQL
+      // oracle (approximate by design) → driver rows-only check.
+      val e = eng(s, dir)
+      val embs = e.table("embeddings")
+      val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+      val indexed = VectorSearch.ivfIndex(embs, model, "embedding")
+      val q = embs.where(col("vec_id") === 7)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      VectorSearch.ivfSearch(indexed, model, "vec_id", "embedding", q,
+        topK = 10, nprobe = 3)
+    }),
+    "q34_kv_roundtrip" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_kv").toString
+      val e = Graft.withWarehouse(s, dir, wh)
+      val kv = new graft.kv.KvStore(e)
+      val seed = e.table("customer").where(col("c_custkey") <= 10)
+        .select(col("c_custkey").cast("string"), col("c_name"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+      kv.setMany(seed)
+      kv.set("ephemeral", "gone", ttlMs = Some(1L)) // lazily expired on read
+      Thread.sleep(5)
+      kv.df.select(col("key"), col("value"))
+        .orderBy(col("key").cast("long"))
+    }),
+    "q35_multimodal" -> ((s, dir) => {
+      // text bytes stand in for media payloads: the binary-column plumbing
+      // (schema, stats, mapPartitions decode) is real; the codec is the
+      // documented deterministic stub.
+      val media = eng(s, dir).table("documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      val stats = Multimodal.contentStats(media)
+        .select(col("media_id"), col("content_len"),
+          sha2(col("content"), 256).as("digest"))
+      val dims = Multimodal.decodeImages(media).select("media_id", "width", "height")
+      stats.join(dims, "media_id").orderBy("media_id")
+    }),
+    "q36_events_session" -> ((s, dir) => {
+      eng(s, dir).table("events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("cnt"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+    "q37_watch" -> ((s, dir) => {
+      // reactive watch: subscribe (initial emission) → publish an event on
+      // the watched table → coalesced re-run; final emission is returned.
+      val hub = new graft.streaming.WatchHub
+      val qb = eng(s, dir).query("orders")
+        .whereEqual("o_orderstatus", "O")
+        .groupBy("o_orderpriority")
+        .agg(Agg.count(alias = "cnt"))
+        .orderByAsc("o_orderpriority")
+      @volatile var last: Seq[org.apache.spark.sql.Row] = Nil
+      val sub = hub.watch(qb)(rows => last = rows)
+      hub.publish(graft.streaming.ChangeEvent("insert", "orders", None, None,
+        new java.sql.Timestamp(0L)))
+      sub.close()
+      s.createDataFrame(s.sparkContext.parallelize(last, 1), qb.toDF.schema)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -259,7 +358,134 @@ object SparkEntry {
     })
   )
 
+  /** Shared DuckDB CTE: normalized tokens + 3-gram shingles of documents
+    * (must mirror GraftFunctions.shingles exactly). */
+  private val duckShingles =
+    """WITH t AS (
+         SELECT doc_id, text,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+         FROM documents
+       ), s AS (
+         SELECT doc_id, text, toks,
+           CASE WHEN len(toks) >= 3 THEN
+             list_distinct([array_to_string(toks[i+1:i+3], ' ') for i in range(0, len(toks)-2)])
+           ELSE [array_to_string(toks, ' ')] END AS sh
+         FROM t
+       )"""
+
+  /** DuckDB 64-bit simhash over distinct tokens, generated per-bit to
+    * mirror Dedup.simhash64 (hex digit decode via strpos alphabet). */
+  private def duckSimhashExpr: String = {
+    val bits = (0 until 64).map { b =>
+      val digit = s"substr(md5(u), ${1 + b / 4}, 1)"
+      val v = s"(strpos('0123456789abcdef', $digit) - 1)"
+      s"(CASE WHEN list_sum([(($v // ${1 << (b % 4)}) % 2) * 2 - 1 for u in dtoks]) >= 0 THEN '1' ELSE '0' END)"
+    }
+    bits.mkString("concat(", ", ", ")")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q27_text_quality" -> {
+      val sw = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
+      val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        s"len([x for x in ltoks if list_contains(${ms.map(m => s"'$m'").mkString("[", ",", "]")}, x)]) AS s_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val mx = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
+      val pick = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ")
+      s"""WITH b AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS wtoks,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+            FROM documents
+          ), sc AS (
+            SELECT doc_id, text, wtoks, ltoks, $scores FROM b
+          )
+          SELECT doc_id,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_cnt,
+            CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok_est,
+            round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 + CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END
+                 + least((CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE CAST(len([x for x in ltoks if list_contains($sw, x)]) AS DOUBLE) / len(ltoks) END) * 4.0, 1.0)
+                 + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0)))
+                 / 4.0, 6) AS quality,
+            CASE WHEN $mx = 0 THEN 'und' $pick END AS lang_guess
+          FROM sc ORDER BY doc_id"""
+    },
+    "q28_minhash_sig" ->
+      s"""$duckShingles
+          SELECT doc_id,
+            array_to_string([list_min([md5(concat(CAST(i AS VARCHAR), ':', x)) for x in sh]) for i in range(0, 8)], ',') AS sig
+          FROM s ORDER BY doc_id""",
+    "q29_dedup_minhash" ->
+      s"""$duckShingles, sig AS (
+            SELECT doc_id, sh,
+              [list_min([md5(concat(CAST(i AS VARCHAR), ':', x)) for x in sh]) for i in range(0, 12)] AS sg
+            FROM s
+          ), bands AS (
+            SELECT doc_id, j.j AS band, md5(array_to_string(sg[j.j*3+1:j.j*3+3], '|')) AS bh
+            FROM sig, (SELECT unnest(range(4)) AS j) j
+          ), cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+          ), scored AS (
+            SELECT c.a, c.b,
+              round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+            FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b
+          )
+          SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a, b""",
+    "q30_simhash" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS dtoks
+            FROM documents
+          )
+          SELECT doc_id, $duckSimhashExpr AS sim FROM t ORDER BY doc_id""",
+    "q31_neardup_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 2000 AND b.vec_id < 2000
+           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+         ORDER BY a, b""",
+    "q32_vector_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+         SELECT e.vec_id AS pk,
+                round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance,
+                round(1.0 / (1.0 + round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6)), 6) AS score
+         FROM embeddings e, q
+         ORDER BY distance, pk LIMIT 10""",
+    "q34_kv_roundtrip" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS key, c_name AS value
+         FROM customer WHERE c_custkey <= 10
+         ORDER BY CAST(key AS BIGINT)""",
+    "q35_multimodal" ->
+      """SELECT doc_id AS media_id,
+                CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_len,
+                sha256(text) AS digest,
+                CASE WHEN length(text) = 0 THEN 0 ELSE (ascii(substr(text, 1, 1)) % 64) + 1 END AS width,
+                CASE WHEN length(text) = 0 THEN 0 ELSE (ascii(substr(text, length(text), 1)) % 64) + 1 END AS height
+         FROM documents ORDER BY media_id""",
+    "q36_events_session" ->
+      """WITH e AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), g AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+           FROM e
+         )
+         SELECT user_id, min(ts) AS session_start, count(*) AS cnt,
+                sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+         FROM g GROUP BY user_id, grp
+         ORDER BY user_id, session_start""",
+    "q37_watch" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+         WHERE o_orderstatus = 'O'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q01_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
          WHERE l_quantity > 45

@@ -1,0 +1,112 @@
+package graft.kv
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Graft
+
+/**
+ * KV namespace — the reference's `db.kv` surface
+ * (/root/reference/lib/src/Interface/kv_store.dart:9-44): point set/get/
+ * remove/setMany with TTL (`ttl` and `expiresAt` mutually exclusive,
+ * kv_store.dart:34-120) and a global flag, backed by a hidden system table
+ * (SystemTable.getKeyValueName, kv_store.dart:16).
+ *
+ * Spark shape (SURVEY.md §1.1): a 3-column DataFrame
+ * `(key STRING, value STRING, expires_at TIMESTAMP)` per space (+ one
+ * global), stored as parquet in the warehouse. Point ops are key-filters;
+ * expired entries are invisible at read time (lazy expiry, matching
+ * tostore.dart:726-736) and physically dropped by `compact()` (the
+ * reference's background sweeper, ttl_cleanup_manager.dart:40-60).
+ *
+ * This is an analytics engine: KV writes are micro-batch overwrites, not
+ * OLTP point writes — `setMany` is the intended grain.
+ */
+final class KvStore(engine: Graft, global: Boolean = false) {
+
+  private def spark: SparkSession = engine.spark
+  private val tableName = "_kv_store"
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = true),
+    StructField("expires_at", TimestampType, nullable = true)))
+
+  private def path: String = {
+    val w = engine.warehouse.getOrElse(
+      throw new IllegalStateException("KV store requires a warehouse directory"))
+    val sp = if (global) "global" else engine.space
+    s"$w/$sp/$tableName"
+  }
+
+  private def exists: Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path))
+
+  /** Live view: expired entries filtered out (lazy expiry). */
+  def df: DataFrame = {
+    val raw =
+      if (exists) spark.read.schema(schema).parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    raw.where(col("expires_at").isNull || col("expires_at") > current_timestamp())
+  }
+
+  // ---------- writes ----------
+
+  /** setMany: merge rows by key (last write wins). `ttlMs` XOR `expiresAt`
+    * (kv_store.dart guards the same way). */
+  def setMany(
+      kvs: Seq[(String, String)],
+      ttlMs: Option[Long] = None,
+      expiresAt: Option[Timestamp] = None): Unit = {
+    require(ttlMs.isEmpty || expiresAt.isEmpty, "ttl and expiresAt are mutually exclusive")
+    val exp: Timestamp = expiresAt.orElse(
+      ttlMs.map(ms => new Timestamp(System.currentTimeMillis() + ms))).orNull
+    val staged = spark.createDataFrame(
+      spark.sparkContext.parallelize(kvs.map { case (k, v) => Row(k, v, exp) }, 1), schema)
+    val merged = df.as("t").join(staged.as("s"), col("t.key") === col("s.key"), "left_anti")
+      .union(staged)
+    writeAtomic(merged)
+  }
+
+  def set(key: String, value: String, ttlMs: Option[Long] = None,
+      expiresAt: Option[Timestamp] = None): Unit =
+    setMany(Seq(key -> value), ttlMs, expiresAt)
+
+  def remove(key: String): Unit = removeMany(Seq(key))
+
+  def removeMany(keys: Seq[String]): Unit =
+    writeAtomic(df.where(!col("key").isin(keys: _*)))
+
+  /** Drop expired rows physically (the background sweeper's job). */
+  def compact(): Unit = writeAtomic(df)
+
+  private def writeAtomic(data: DataFrame): Unit = {
+    val tmp = path + ".staging"
+    data.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  // ---------- reads ----------
+
+  /** get: expired → None (lazy expiry, tostore.dart:726-736). */
+  def get(key: String): Option[String] =
+    df.where(col("key") === key).select("value").collect().headOption.map(_.getString(0))
+
+  def getMany(keys: Seq[String]): Map[String, String] =
+    df.where(col("key").isin(keys: _*)).select("key", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  // typed getters (kv_store.dart typed surface)
+  def getInt(key: String): Option[Long] = get(key).flatMap(v => scala.util.Try(v.toLong).toOption)
+  def getDouble(key: String): Option[Double] = get(key).flatMap(v => scala.util.Try(v.toDouble).toOption)
+  def getBool(key: String): Option[Boolean] = get(key).flatMap(v => scala.util.Try(v.toBoolean).toOption)
+
+  def keys(): Seq[String] = df.select("key").collect().map(_.getString(0)).toSeq
+}

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines.
+ * All pure `Column` expressions (codegen'd, no UDFs) so they run inside
+ * whole-stage codegen and scale linearly with input partitions — no
+ * shuffle, no driver materialization.
+ *
+ * The reference has no text functions beyond LIKE
+ * (/root/reference/lib/src/query/query_condition.dart — SURVEY.md §2.9);
+ * these are the engine's pipeline extensions.
+ */
+object TextAnalysis {
+
+  // ---------- token counting ----------
+
+  /** Whitespace token count (see GraftFunctions.tokenCount). */
+  def tokenCountWs(text: Column): Column = tokenCount(text)
+
+  /** BPE-ish subword token count: words + digits + punctuation runs,
+    * approximating a byte-pair tokenizer's segmentation. Counts matches of
+    * the segment regex instead of materializing the array. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Rough LLM token estimate: ceil(chars/4) — the common heuristic for
+    * budget planning; cheap enough to run over 100 TB. */
+  def tokenEstimate(text: Column): Column = ceil(length(text) / lit(4.0)).cast("long")
+
+  // ---------- quality scoring ----------
+
+  /** Ratio of alphabetic chars to all chars (0 for empty). */
+  def alphaRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / total)
+  }
+
+  /** Ratio of punctuation chars to all chars. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / total)
+  }
+
+  /** Mean whitespace-token length. */
+  def meanWordLen(text: Column): Column = {
+    val toks = whitespaceTokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** English stopword ratio among whitespace tokens — the classic
+    * Gopher/C4-style quality signal. */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "was", "for", "on", "are", "as", "with", "at", "be", "this", "have",
+    "from", "by", "not", "but", "they", "you", "his", "her", "we")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val toks = whitespaceTokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(array_intersect_count(toks, sw)).cast("double") / size(toks))
+  }
+
+  /** Tokens that are stopwords, duplicates preserved (array_intersect
+    * dedups, which would undercount — filter keeps multiplicity). */
+  private def array_intersect_count(toks: Column, sw: Column): Column =
+    filter(toks, t => array_contains(sw, t))
+
+  /**
+   * Composite quality score ∈ [0,1]: mean of clamped component signals —
+   * (a) length in a healthy band, (b) alpha ratio, (c) stopword presence,
+   * (d) not punctuation-soup. Deterministic, SQL-expressible (oracle-able).
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punct = lit(1.0) - least(punctRatio(text) * lit(5.0), lit(1.0))
+    round((lenScore + alpha + stop + punct) / lit(4.0), 6)
+  }
+
+  // ---------- language identification ----------
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "was", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "con", "por", "para"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "per", "con", "sono", "della"))
+
+  /** Per-language marker-hit count over whitespace tokens. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = LangMarkers.toMap.apply(lang)
+    val toks = whitespaceTokens(lower(text))
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+  }
+
+  /** Argmax language among LangMarkers; ties broken by declaration order;
+    * "und" (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (l, _) => (l, langScore(text, l)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 === 0, "und").otherwise(best._1)
+  }
+
+  // ---------- fingerprinting ----------
+
+  /** Polynomial rolling hash of the normalized text (base 31, mod 2^61-1),
+    * computed with a higher-order aggregate over characters — a true
+    * rolling fingerprint (vs md5 in GraftFunctions.fingerprint), still
+    * deterministic and SQL-expressible. Runs on the ASCII byte values. */
+  def rollingFingerprint(text: Column): Column = {
+    val Mod = 2305843009213693951L // 2^61-1
+    val chars = split(normalizeText(text), "")
+    aggregate(chars, lit(7L),
+      (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(Mod)))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.vector
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/**
+ * Vector similarity search — the engine's answer to the reference's
+ * `vectorSearch(table, {fieldName, queryVector, topK, distanceThreshold})`
+ * (/root/reference/lib/tostore.dart:493-511) and its NGH/Vamana ANN index
+ * (/root/reference/lib/src/core/ngh_graph_engine.dart:14-23).
+ *
+ * A graph index is a pointer-chasing structure — the wrong shape for a
+ * shared-nothing engine. The Spark-native design:
+ *   - exact: scan + codegen'd distance expression + TakeOrderedAndProject
+ *     (O(N·d) per query but embarrassingly parallel; the correctness
+ *     oracle);
+ *   - IVF: k-means centroids (tiny model on the driver), assignment column
+ *     written once; a query prunes to nprobe nearest partitions — the
+ *     100 TB path, same recall/latency knobs as FAISS-IVF;
+ *   - LSH: spark.ml BucketedRandomProjectionLSH for join-style ANN.
+ *
+ * Result schema matches the reference: (pk, distance, score∈[0,1])
+ * (query_result.dart:207-228).
+ */
+object VectorSearch {
+
+  /** distance Column for a metric (l2 | cosine | innerProduct —
+    * table_schema.dart:2511-2531; cosine is the reference default). */
+  def distCol(metric: String, v: Column, q: Column): Column = metric match {
+    case "l2"           => l2Distance(v, q)
+    case "cosine"       => cosineDistance(v, q)
+    case "innerProduct" => innerProductDistance(v, q)
+    case m              => throw new IllegalArgumentException(s"unknown metric $m")
+  }
+
+  private def qArray(queryVector: Seq[Double]): Column =
+    array(queryVector.map(lit): _*)
+
+  /** Exact top-K: full scan, distance in whole-stage codegen, global
+    * TakeOrderedAndProject (per-partition heap + driver merge — no full
+    * sort, no shuffle of the data). */
+  def exact(
+      table: DataFrame,
+      pkCol: String,
+      vecCol: String,
+      queryVector: Seq[Double],
+      topK: Int = 10,
+      metric: String = "cosine",
+      distanceThreshold: Option[Double] = None): DataFrame = {
+    val d = distCol(metric, col(vecCol), qArray(queryVector))
+    val out = table
+      .select(col(pkCol).as("pk"), round(d, 6).as("distance"))
+      .withColumn("score", round(vectorScore(metric, col("distance")), 6))
+    val thresholded = distanceThreshold.fold(out)(t => out.where(col("distance") <= t))
+    thresholded.orderBy(col("distance").asc, col("pk").asc).limit(topK)
+  }
+
+  // ---------- IVF (inverted-file) index ----------
+
+  /** IVF model: centroids live on the driver (nlist × dim doubles — tiny);
+    * the indexed table gains a `__ivf_cell` column and should be written
+    * back partitioned/clustered by it so a probe prunes file groups. */
+  final case class IvfModel(centroids: Array[Array[Double]], metric: String) {
+    def nearestCells(q: Seq[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val d = math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+  }
+
+  /** Train IVF centroids with spark.ml KMeans (seeded, deterministic). */
+  def ivfTrain(table: DataFrame, vecCol: String, nlist: Int = 16,
+      metric: String = "cosine", seed: Long = 42L): IvfModel = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = table.select(toVec(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feats)
+    IvfModel(km.clusterCenters.map(_.toArray), metric)
+  }
+
+  /** Assignment column: argmin over centroid distances — pure codegen
+    * expression chain (no UDF in the scan path). */
+  def ivfCell(model: IvfModel, vecCol: Column): Column = {
+    val ds = model.centroids.zipWithIndex.map { case (c, i) =>
+      val cc = array(c.map(lit): _*)
+      struct(l2Distance(vecCol, cc).as("d"), lit(i).as("i"))
+    }
+    array_min(array(ds: _*)).getField("i")
+  }
+
+  /** ANN probe: prune to nprobe cells, exact re-rank inside them. On a
+    * table written `partitionBy(__ivf_cell)` the IN-filter becomes
+    * partition pruning — only nprobe/nlist of the data is read. */
+  def ivfSearch(
+      indexed: DataFrame, // must carry __ivf_cell
+      model: IvfModel,
+      pkCol: String,
+      vecCol: String,
+      queryVector: Seq[Double],
+      topK: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val cells = model.nearestCells(queryVector, nprobe)
+    exact(indexed.where(col("__ivf_cell").isin(cells: _*)),
+      pkCol, vecCol, queryVector, topK, model.metric)
+  }
+
+  /** Add the cell column (call once, then write clustered by it). */
+  def ivfIndex(table: DataFrame, model: IvfModel, vecCol: String): DataFrame =
+    table.withColumn("__ivf_cell", ivfCell(model, col(vecCol)))
+
+  // ---------- LSH (spark.ml) ----------
+
+  /** Approximate similarity JOIN for all-pairs workloads, via
+    * BucketedRandomProjectionLSH (Euclidean). Returns (a, b, l2dist). */
+  def lshSimilarityJoin(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxL2: Double,
+      bucketLength: Double = 2.0,
+      numTables: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = embs.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxL2, "l2dist")
+      .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"), col("l2dist"))
+      .where(col("a") < col("b"))
+  }
+}
