@@ -117,12 +117,13 @@ object TextAnalysis {
 
   // ---------- fingerprinting ----------
 
-  /** Polynomial rolling hash of the normalized text (base 31, mod 2^61-1),
+  /** Polynomial rolling hash of the normalized text (base 31, mod 1e9+7),
     * computed with a higher-order aggregate over characters — a true
     * rolling fingerprint (vs md5 in GraftFunctions.fingerprint), still
-    * deterministic and SQL-expressible. Runs on the ASCII byte values. */
+    * deterministic and SQL-expressible. The modulus keeps acc*31+255
+    * comfortably inside a long under ANSI overflow checking. */
   def rollingFingerprint(text: Column): Column = {
-    val Mod = 2305843009213693951L // 2^61-1
+    val Mod = 1000000007L
     val chars = split(normalizeText(text), "")
     aggregate(chars, lit(7L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(Mod)))

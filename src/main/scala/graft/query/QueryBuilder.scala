@@ -185,8 +185,17 @@ final case class QueryBuilder(
     }
   }
 
+  /** Resolve a user-facing field reference against the post-flatten frame:
+    * single-table queries resolve `table.field` as a qualified ref (the
+    * base carries `.as(table)`); join queries map it through the flatten
+    * rule (un-conflicted → bare name, conflicted → literal "t.f" column). */
   private def bt(name: String): Column =
-    if (name.contains('.')) col(s"`$name`") else col(name)
+    if (!name.contains('.')) col(name)
+    else if (joins.isEmpty) col(name) // qualified against the aliased base
+    else flattenNames.toMap.get(name) match {
+      case Some(out) => if (out.contains('.')) col(s"`$out`") else col(out)
+      case None      => col(s"`$name`")
+    }
 
   /** Compile the chain to a DataFrame (rows only, no pagination metadata). */
   def toDF: DataFrame = compile(applyLimit = true)

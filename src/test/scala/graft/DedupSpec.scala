@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.Dedup
+
+/** Near-dup detection: LSH candidates must contain every high-similarity
+  * pair (recall against brute force), and verification must be exact. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val rows = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1
+      (3L, base.replace("quick", "slow")), // near-dup of 1
+      (4L, "completely different text about spark engines and shuffles here"),
+      (5L, base), // exact dup of 1
+      (6L, "another unrelated document mentioning parquet row groups only"))
+    spark.createDataFrame(rows).toDF("id", "text")
+  }
+
+  test("exactGroups collapses exact duplicates only") {
+    val g = Dedup.exactGroups(docs, "id", "text")
+    assert(g.count() == 5) // 6 docs, one exact pair
+    assert(g.where(col("dupes") === 2).count() == 1)
+  }
+
+  test("minhash LSH pairs ⊇ all pairs with jaccard ≥ 0.5 (brute-force recall)") {
+    val l = docs.toDF("a", "ta")
+    val r = docs.toDF("b", "tb")
+    val brute = l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Dedup.ngramJaccard(col("ta"), col("tb"), 3), 6).as("j"))
+      .where(col("j") >= 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val lsh = Dedup.minhashPairs(docs, "id", "text", shingleN = 3, k = 12,
+      bands = 12, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // verification is exact → lsh ⊆ brute; 12 bands of 1 row at j≥0.5 miss
+    // a candidate with prob (1-j)^12 ≤ 2.4e-4 — and md5 is fixed, so the
+    // outcome is deterministic either way
+    assert(lsh == brute)
+  }
+
+  test("fast (xxhash64) minhash finds the exact duplicate deterministically") {
+    val pairs = Dedup.minhashPairs(docs, "id", "text", shingleN = 3, k = 12,
+      bands = 4, threshold = 0.99, oracleHash = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("simhash: identical text → identical signature; hamming symmetric bound") {
+    val sigs = docs.select(col("id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(5L))
+    assert(sigs.values.forall(_.length == 64))
+    val pairs = Dedup.simhashPairs(docs, "id", "text", bands = 8, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
+  }
+
+  test("hammingDistance counts differing bits") {
+    val df = spark.createDataFrame(Seq(("1100", "1010"))).toDF("a", "b")
+    assert(df.select(Dedup.hammingDistance(col("a"), col("b"))).collect()(0).getInt(0) == 2)
+  }
+
+  test("embedding near-dup: LSH bucket pairs ⊆ exact pairs; finds the planted dup") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextFloat())
+    val v0 = vec()
+    val near = v0.updated(0, v0.head + 0.01f)
+    val rows = (Seq(v0, near) ++ Seq.fill(30)(vec())).zipWithIndex
+      .map { case (v, i) => Row(i.toLong, v) }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val embs = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val exact = Dedup.cosinePairsExact(embs, "id", "v", 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)))
+    val lsh = Dedup.cosinePairsLsh(embs, "id", "v", dim, threshold = 0.995,
+      planes = 12, bandsCount = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 1L))) // ~identical vectors share every sign bit
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.kv.KvStore
+
+/** KV namespace semantics (kv_store.dart:9-44, tostore.dart:706-803). */
+class KvStoreSpec extends SparkSpec {
+
+  private def freshKv(): KvStore = {
+    val wh = Files.createTempDirectory("graft_kv_spec").toString
+    new KvStore(Graft.withWarehouse(spark, sfDir, wh))
+  }
+
+  test("set/get/getMany/keys roundtrip; last write wins") {
+    val kv = freshKv()
+    kv.setMany(Seq("a" -> "1", "b" -> "2"))
+    assert(kv.get("a").contains("1"))
+    kv.set("a", "updated")
+    assert(kv.get("a").contains("updated"))
+    assert(kv.getMany(Seq("a", "b", "zz")) == Map("a" -> "updated", "b" -> "2"))
+    assert(kv.keys().toSet == Set("a", "b"))
+    assert(kv.get("missing").isEmpty)
+  }
+
+  test("TTL: expired values read as absent (lazy expiry, tostore.dart:726-736)") {
+    val kv = freshKv()
+    kv.set("gone", "x", ttlMs = Some(1L))
+    kv.set("stays", "y", ttlMs = Some(3600000L))
+    Thread.sleep(10)
+    assert(kv.get("gone").isEmpty)
+    assert(kv.get("stays").contains("y"))
+    kv.compact() // physical sweep drops the expired row
+    assert(kv.keys().toSet == Set("stays"))
+  }
+
+  test("ttl XOR expiresAt guard (kv_store.dart:34-120)") {
+    val kv = freshKv()
+    intercept[IllegalArgumentException] {
+      kv.set("k", "v", ttlMs = Some(5L), expiresAt = Some(new Timestamp(0L)))
+    }
+  }
+
+  test("remove/removeMany") {
+    val kv = freshKv()
+    kv.setMany(Seq("a" -> "1", "b" -> "2", "c" -> "3"))
+    kv.remove("a")
+    kv.removeMany(Seq("b", "nope"))
+    assert(kv.keys() == Seq("c"))
+  }
+
+  test("typed getters parse or None (kv_store.dart typed surface)") {
+    val kv = freshKv()
+    kv.setMany(Seq("i" -> "42", "d" -> "3.5", "b" -> "true", "s" -> "hello"))
+    assert(kv.getInt("i").contains(42L))
+    assert(kv.getDouble("d").contains(3.5))
+    assert(kv.getBool("b").contains(true))
+    assert(kv.getInt("s").isEmpty)
+  }
+
+  test("global KV is shared across spaces (isGlobal flag)") {
+    val wh = Files.createTempDirectory("graft_kv_g").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    val g1 = new KvStore(e, global = true)
+    g1.set("shared", "v")
+    val g2 = new KvStore(e.switchSpace("other"), global = true)
+    assert(g2.get("shared").contains("v"))
+    val local = new KvStore(e.switchSpace("other"))
+    assert(local.get("shared").isEmpty)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Multimodal, TextAnalysis}
+
+/** Text analysis + multimodal plumbing specs. */
+class PipelineSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Row =
+    spark.createDataFrame(Seq(Tuple1(text))).toDF("t").select(c).collect()(0)
+
+  test("token counts: whitespace vs BPE-ish vs estimate") {
+    assert(one(TextAnalysis.tokenCountWs(col("t")), "hello world  foo").getInt(0) == 3)
+    // "don't stop" → [don]['][t][stop] = 4 BPE-ish segments
+    assert(one(TextAnalysis.tokenCountBpe(col("t")), "don't stop").getInt(0) == 4)
+    assert(one(TextAnalysis.tokenEstimate(col("t")), "abcdefgh").getLong(0) == 2L)
+  }
+
+  test("quality score ∈ [0,1]; clean prose beats punctuation soup") {
+    val clean = one(TextAnalysis.qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog and it was a good day for running in the sun with friends")
+      .getDouble(0)
+    val soup = one(TextAnalysis.qualityScore(col("t")), "!!!???;;;:::,,,...###").getDouble(0)
+    assert(clean > soup)
+    assert(clean <= 1.0 && soup >= 0.0)
+  }
+
+  test("langId picks marker language; und when no markers") {
+    assert(one(TextAnalysis.langId(col("t")), "the cat and the dog of the house").getString(0) == "en")
+    assert(one(TextAnalysis.langId(col("t")), "der hund und die katze ist nicht da").getString(0) == "de")
+    assert(one(TextAnalysis.langId(col("t")), "xyzzy plugh qwerty").getString(0) == "und")
+  }
+
+  test("rollingFingerprint: deterministic, whitespace-insensitive, content-sensitive") {
+    val a = one(TextAnalysis.rollingFingerprint(col("t")), "Hello   World").getLong(0)
+    val b = one(TextAnalysis.rollingFingerprint(col("t")), "hello world").getLong(0)
+    val c = one(TextAnalysis.rollingFingerprint(col("t")), "hello worlD x").getLong(0)
+    assert(a == b) // normalization collapses case+whitespace
+    assert(a != c)
+  }
+
+  private lazy val media = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "hello world".getBytes), Row(2L, Array[Byte]()), Row(3L, null)), 2), schema)
+  }
+
+  test("contentStats: byte length + sha1, null-safe") {
+    val rows = Multimodal.contentStats(media).orderBy("media_id").collect()
+    assert(rows(0).getAs[Long]("content_len") == 11L)
+    assert(rows(1).getAs[Long]("content_len") == 0L)
+    assert(rows(2).getAs[Long]("content_len") == 0L)
+    assert(rows(0).getAs[String]("content_sha1").length == 40)
+  }
+
+  test("decodeImages: mapPartitions plumbing yields dims + feature vector") {
+    val rows = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    assert(rows.length == 3)
+    val r1 = rows(0)
+    assert(r1.getInt(1) == ("h".head.toInt % 64) + 1)
+    assert(r1.getSeq[Float](3).length == 8)
+    assert(math.abs(r1.getSeq[Float](3).sum - 1.0f) < 1e-5) // histogram normalized
+    assert(rows(2).getInt(1) == 0) // null content → 0×0
+  }
+
+  test("resize + frame sampling shapes") {
+    val resized = Multimodal.resizeImages(media, 2, 3).orderBy("media_id").collect()
+    assert(resized(0).getAs[Array[Byte]](1).length == 6) // min(len, w*h)
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    assert(frames.count(_.getLong(0) == 1L) == 3) // 11 bytes / 4 → 3 frames
+    assert(frames.forall(_.getInt(1) >= 0))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.query.Agg
+import graft.streaming._
+
+/** Reactive watch + change feed (SURVEY.md §2.11, §3.3). */
+class StreamingSpec extends SparkSpec {
+
+  test("watch emits initial result on subscribe (query_builder.dart:480-543)") {
+    val hub = new WatchHub
+    val emissions = new AtomicInteger(0)
+    @volatile var last: Seq[org.apache.spark.sql.Row] = Nil
+    val sub = hub.watch(engine.query("region").orderByAsc("r_regionkey")) { rows =>
+      emissions.incrementAndGet(); last = rows
+    }
+    assert(emissions.get() == 1)
+    assert(last.size == 5)
+    sub.close()
+  }
+
+  test("watch re-runs on matching table event only; closed watch is silent") {
+    val hub = new WatchHub
+    val emissions = new AtomicInteger(0)
+    val sub = hub.watch(engine.query("nation").limit(3)) { _ => emissions.incrementAndGet() }
+    assert(emissions.get() == 1)
+    hub.publish(ChangeEvent("insert", "nation", None, None, new Timestamp(0)))
+    assert(emissions.get() == 2)
+    hub.publish(ChangeEvent("insert", "orders", None, None, new Timestamp(0)))
+    assert(emissions.get() == 2) // other table: no re-run
+    sub.close()
+    hub.publish(ChangeEvent("delete", "nation", None, None, new Timestamp(0)))
+    assert(emissions.get() == 2)
+    assert(hub.activeCount == 0)
+  }
+
+  test("change feed: append/batch roundtrip with CDC schema (change_event.dart:2-27)") {
+    val dir = Files.createTempDirectory("graft_feed").toString + "/feed"
+    val feed = new ChangeFeed(spark, dir)
+    feed.append(Seq(
+      ChangeEvent("insert", "t1", None, Some("""{"id":1}"""), new Timestamp(1000)),
+      ChangeEvent("update", "t1", Some("""{"id":1}"""), Some("""{"id":2}"""), new Timestamp(2000)),
+      ChangeEvent("delete", "t2", Some("""{"id":9}"""), None, new Timestamp(3000))))
+    val rows = feed.batch.orderBy("ts").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSeq == Seq("insert", "update", "delete"))
+    assert(feed.batch.schema.fieldNames.toSeq ==
+      Seq("op", "table", "before", "after", "ts"))
+  }
+
+  test("watchStream: foreachBatch recomputation over the feed (Structured Streaming)") {
+    val dir = Files.createTempDirectory("graft_feed2").toString + "/feed"
+    val feed = new ChangeFeed(spark, dir)
+    feed.append(Seq(ChangeEvent("insert", "region", None, None, new Timestamp(1000))))
+    @volatile var captured: Seq[org.apache.spark.sql.Row] = Nil
+    val q = feed.watchStream(
+      engine.query("region").groupBy("r_regionkey").agg(Agg.count(alias = "cnt"))) {
+      rows => captured = rows
+    }
+    q.awaitTermination(60000)
+    assert(captured.size == 5)
+  }
+
+  test("event-time windows: tumbling batch counts match manual bucketing") {
+    val events = engine.table("events").limit(500).cache()
+    val windowed = EventTime.tumbling(events, "ts", "1 hour", "0 seconds",
+      Seq("event_type"), Seq(count(lit(1)).as("cnt")))
+    val total = windowed.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == events.count())
+    val manual = events.groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
+    assert(windowed.count() == manual)
+    events.unpersist()
+  }
+
+  test("session windows merge events within gap") {
+    val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
+      Seq("user_id"), Seq(count(lit(1)).as("cnt")))
+    val sessions = s.count()
+    val users = engine.table("events").select("user_id").distinct().count()
+    assert(sessions >= users)
+    assert(s.agg(sum("cnt")).collect()(0).getLong(0) == engine.table("events").count())
+  }
+}

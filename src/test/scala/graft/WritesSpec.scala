@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.expr.{Cond, UExpr}
+import graft.write.Writes
+
+/** Write-path semantics (SURVEY.md §2.1, §2.9). */
+class WritesSpec extends SparkSpec {
+
+  test("updatePreview: Expr AST applies only to matching rows (expr.dart:29-342)") {
+    import UExpr._
+    val out = Writes.updatePreview(engine.table("lineitem"),
+      Seq("l_quantity" -> clamp(field("l_quantity") * value(2), value(0), value(75))),
+      Cond.Leaf("l_returnflag", "=", "R"))
+    val changed = out.where(col("l_returnflag") === "R")
+      .agg(org.apache.spark.sql.functions.max("l_quantity")).collect()(0).getDouble(0)
+    assert(changed <= 75.0)
+    val untouchedIn = engine.table("lineitem").where(col("l_returnflag") =!= "R")
+      .agg(sum("l_quantity")).collect()(0).getDouble(0)
+    val untouchedOut = out.where(col("l_returnflag") =!= "R")
+      .agg(sum("l_quantity")).collect()(0).getDouble(0)
+    assert(math.abs(untouchedIn - untouchedOut) < 1e-6)
+  }
+
+  test("deletePreview removes only matching rows; guards condition-less") {
+    val before = engine.table("orders").count()
+    val matching = engine.table("orders").where(col("o_orderstatus") === "F").count()
+    val out = Writes.deletePreview(engine.table("orders"), Cond.Leaf("o_orderstatus", "=", "F"))
+    assert(out.count() == before - matching)
+    intercept[IllegalArgumentException] { Writes.deletePreview(engine.table("orders"), Cond.True) }
+  }
+
+  test("upsertMerge: updates matched, inserts new, untouched rows intact (data_store_impl.dart:2229)") {
+    val target = engine.table("customer")
+    val n = target.count()
+    val staged = target.where(col("c_custkey") <= 3)
+      .select(col("c_custkey"), lit("UPDATED").as("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .union(target.limit(2).select(col("c_custkey") + 900000, lit("NEW"),
+        col("c_nationkey"), lit(0.0), lit("SEG")))
+    val out = Writes.upsertMerge(target, staged, Seq("c_custkey"))
+    assert(out.count() == n + 2)
+    assert(out.where(col("c_name") === "UPDATED").count() ==
+      target.where(col("c_custkey") <= 3).count())
+    assert(out.where(col("c_name") === "NEW").count() == 2)
+  }
+
+  test("upsertMerge with isUpdate/isInsert branch (expr.dart:121-158)") {
+    import UExpr._
+    val target = engine.table("customer")
+    val staged = target.where(col("c_custkey") <= 2)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val out = Writes.upsertMerge(target, staged, Seq("c_custkey"),
+      sets = Seq("c_acctbal" -> IfElse(IsUpdate, field("c_acctbal") + value(1000), value(0))))
+    val bumped = out.as("o").join(target.as("t"), col("o.c_custkey") === col("t.c_custkey"))
+      .where(col("t.c_custkey") <= 2)
+      .select(col("o.c_acctbal") - col("t.c_acctbal")).collect()
+    assert(bumped.forall(_.getDouble(0) == 1000.0))
+  }
+
+  test("validateRows splits good/bad (allowPartialErrors, tostore.dart:586-597)") {
+    val staged = engine.table("customer")
+      .withColumn("c_name", when(col("c_custkey") % 10 === 0, lit(null)).otherwise(col("c_name")))
+    val (good, bad) = Writes.validateRows(staged, notNull = Seq("c_name"),
+      checks = Seq(col("c_acctbal") >= -1000))
+    assert(good.count() + bad.count() == staged.count())
+    assert(bad.where(col("c_name").isNull).count() == bad.count() ||
+      bad.where(col("c_acctbal") < -1000).count() > 0)
+  }
+
+  test("overwrite is atomic swap; table() resolves managed over dataDir") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    import graft.schema._
+    e.createTable(TableSchema("scratch", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GInteger))))
+    Writes.overwrite(e, "scratch",
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a", 1L), org.apache.spark.sql.Row("b", 2L)), 1),
+        e.registry.get("default", "scratch").get.sparkSchema))
+    assert(e.table("scratch").count() == 2)
+    Writes.overwrite(e, "scratch", e.table("scratch").where(col("id") === "a"))
+    assert(e.table("scratch").count() == 1)
+  }
+}
