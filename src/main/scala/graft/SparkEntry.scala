@@ -259,8 +259,9 @@ object SparkEntry {
     }),
     "q28_minhash_sig" -> ((s, dir) => {
       val d = eng(s, dir).table("documents")
-      d.select(col("doc_id"),
-          concat_ws(",", Dedup.minhashSignature(col("text"), 3, 8)).as("sig"))
+      d.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"),
+          concat_ws(",", Dedup.minhashFromShingles(col("sh"), 8)).as("sig"))
         .orderBy("doc_id")
     }),
     "q29_dedup_minhash" -> ((s, dir) => {
@@ -270,7 +271,8 @@ object SparkEntry {
     }),
     "q30_simhash" -> ((s, dir) => {
       val d = eng(s, dir).table("documents")
-      d.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
+      d.select(col("doc_id"), Dedup.simhashTokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.simhashFromTokens(col("toks")).as("sim"))
         .orderBy("doc_id")
     }),
     "q31_neardup_cosine" -> ((s, dir) => {

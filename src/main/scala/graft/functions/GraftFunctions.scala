@@ -11,35 +11,47 @@ import org.apache.spark.sql.types.DoubleType
  */
 object GraftFunctions {
 
+  /**
+   * `let`-binding for Column expressions: evaluate `value` ONCE and bind it
+   * as a lambda variable inside `body`. Emulated with a single-element
+   * `transform`: `transform(array(v), x -> body(x))[1]`.
+   *
+   * Why it exists: Catalyst's CollapseProject decides inlining by LEXICAL
+   * reference count, but a lambda body referencing an expression computes
+   * it per element — `transform(seq(0,k), i -> f(expensive))` evaluates
+   * `expensive` k times. Binding it to a lambda variable makes every use a
+   * cheap variable read (measured 70 s → 3 s on the sf0.1 minhash bench).
+   */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
   /** Numeric-string order key: length-first then lexicographic, so
     * '2' < '10' (reference MatcherType.pkNumericString,
     * /root/reference/lib/src/handler/value_matcher.dart:121-148). */
   def numericStringOrder(c: Column): Seq[Column] = Seq(length(c), c)
 
   // ---------- vector math (SURVEY.md §2.10) ----------
-  // Implemented with higher-order functions over ARRAY<FLOAT>/<DOUBLE>
-  // columns: zip_with + aggregate stay inside Catalyst and need no
-  // serialization boundary, unlike Scala UDFs. Accumulation is
-  // left-to-right in DOUBLE for deterministic, oracle-matching results.
+  // Native codegen Expressions (graft.expr.VecDot/VecNormSq/VecDistSq):
+  // the HOF formulation (aggregate ∘ zip_with) is CodegenFallback and
+  // dominates O(N²) similarity joins; the kernels emit a primitive loop in
+  // whole-stage codegen with the SAME left-to-right double accumulation
+  // (oracle-parity preserved, verified by q26/q31/q32 hash-match).
+
+  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
   /** dot(a, b) */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    kcol(graft.expr.VecDot(kexp(a), kexp(b)))
 
   /** ||a||₂ */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+  def l2Norm(a: Column): Column = sqrt(kcol(graft.expr.VecNormSq(kexp(a))))
 
   /** Euclidean distance */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast(DoubleType) - y.cast(DoubleType)
-        d * d
-      }),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(kcol(graft.expr.VecDistSq(kexp(a), kexp(b))))
 
   /** cosine similarity ∈ [-1, 1] */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -81,14 +93,16 @@ object GraftFunctions {
   def fingerprint(text: Column): Column =
     md5(normalizeText(text).cast("binary"))
 
-  /** Word-level shingles (n-grams of whitespace tokens) for MinHash. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = whitespaceTokens(normalizeText(text))
-    // sliding windows via transform over indices 0..len-n
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(
-      when(size(toks) >= n,
-        transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array(concat_ws(" ", toks))))
-  }
+  /** Word-level shingles (n-grams of whitespace tokens) for MinHash.
+    * The token array is `bind`-bound: tokenization (trim+regex split)
+    * runs once per row, not once per shingle position. */
+  def shingles(text: Column, n: Int): Column =
+    bind(whitespaceTokens(normalizeText(text))) { toks =>
+      // sliding windows via transform over indices 0..len-n
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      array_distinct(
+        when(size(toks) >= n,
+          transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+    }
 }

@@ -49,11 +49,11 @@ object TextAnalysis {
   }
 
   /** Mean whitespace-token length. */
-  def meanWordLen(text: Column): Column = {
-    val toks = whitespaceTokens(text)
-    when(size(toks) === 0, 0.0)
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+  def meanWordLen(text: Column): Column =
+    bind(whitespaceTokens(text)) { toks =>
+      when(size(toks) === 0, 0.0)
+        .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+    }
 
   /** English stopword ratio among whitespace tokens — the classic
     * Gopher/C4-style quality signal. */
@@ -62,12 +62,12 @@ object TextAnalysis {
     "was", "for", "on", "are", "as", "with", "at", "be", "this", "have",
     "from", "by", "not", "but", "they", "you", "his", "her", "we")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
-    val toks = whitespaceTokens(lower(text))
-    val sw = array(stopwords.map(lit): _*)
-    when(size(toks) === 0, 0.0)
-      .otherwise(size(array_intersect_count(toks, sw)).cast("double") / size(toks))
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
+    bind(whitespaceTokens(lower(text))) { toks =>
+      val sw = array(stopwords.map(lit): _*)
+      when(size(toks) === 0, 0.0)
+        .otherwise(size(array_intersect_count(toks, sw)).cast("double") / size(toks))
+    }
 
   /** Tokens that are stopwords, duplicates preserved (array_intersect
     * dedups, which would undercount — filter keeps multiplicity). */
@@ -98,22 +98,29 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "con", "por", "para"),
     "it" -> Seq("il", "la", "di", "che", "e", "un", "per", "con", "sono", "della"))
 
-  /** Per-language marker-hit count over whitespace tokens. */
-  def langScore(text: Column, lang: String): Column = {
-    val markers = LangMarkers.toMap.apply(lang)
-    val toks = whitespaceTokens(lower(text))
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
-  }
+
+  /** Per-language marker-hit count over whitespace tokens. */
+  def langScore(text: Column, lang: String): Column =
+    markerHits(whitespaceTokens(lower(text)), LangMarkers.toMap.apply(lang))
 
   /** Argmax language among LangMarkers; ties broken by declaration order;
-    * "und" (undetermined) when no marker hits at all. */
-  def langId(text: Column): Column = {
-    val scored = LangMarkers.map { case (l, _) => (l, langScore(text, l)) }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    * "und" (undetermined) when no marker hits at all. Tokenizes once and
+    * binds the score VECTOR, so the argmax fold reads array slots instead
+    * of re-running the marker filters. */
+  def langId(text: Column): Column =
+    bind(bind(whitespaceTokens(lower(text))) { toks =>
+      array(LangMarkers.map { case (_, ms) => markerHits(toks, ms) }: _*)
+    }) { scores =>
+      val scored = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+        (l, element_at(scores, i + 1))
+      }
+      val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+        case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+      }
+      when(best._2 === 0, "und").otherwise(best._1)
     }
-    when(best._2 === 0, "und").otherwise(best._1)
-  }
 
   // ---------- fingerprinting ----------
 
