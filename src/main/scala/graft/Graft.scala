@@ -79,6 +79,148 @@ final class Graft(
   }
 
   def query(name: String): QueryBuilder = QueryBuilder(this, name)
+
+  // ---------- write surface (lib/tostore.dart:332-686) ----------
+
+  /** update(table).set(...).where(...) — fluent chain; `.preview` or
+    * `.apply()` (atomic overwrite). */
+  def update(name: String): graft.write.UpdateBuilder =
+    graft.write.UpdateBuilder(this, name)
+
+  /** delete(table).where(...) — anti-filter chain. */
+  def delete(name: String): graft.write.DeleteBuilder =
+    graft.write.DeleteBuilder(this, name)
+
+  /** Single-row insert (schema-validated append). */
+  def insert(name: String, row: Map[String, Any]): Unit = batchInsert(name, Seq(row))
+
+  /** Bulk insert. With `allowPartialErrors` invalid rows are skipped and
+    * reported instead of failing the batch (tostore.dart:586-597). */
+  def batchInsert(name: String, rows: Seq[Map[String, Any]],
+      allowPartialErrors: Boolean = false): graft.write.WriteReport = {
+    val schema = registry.get(space, name).map(_.sparkSchema)
+      .getOrElse(table(name).schema)
+    // loose typing (FieldSchema.convertValue, table_schema.dart:1356-1446):
+    // values are coerced to the declared column type before encoding
+    import org.apache.spark.sql.types._
+    def jvm(v: Any, t: DataType): Any = (v, t) match {
+      case (null, _)                   => null
+      case (x, StringType)             => x.toString
+      case (n: Number, LongType)       => n.longValue()
+      case (s: String, LongType)       => s.trim.toLong
+      case (n: Number, IntegerType)    => n.intValue()
+      case (s: String, IntegerType)    => s.trim.toInt
+      case (n: Number, DoubleType)     => n.doubleValue()
+      case (s: String, DoubleType)     => s.trim.toDouble
+      case (b: Boolean, BooleanType)   => b
+      case (s: String, BooleanType)    => s.trim.toBoolean
+      case (ts: java.sql.Timestamp, TimestampType) => ts
+      case (s: String, TimestampType)  => java.sql.Timestamp.valueOf(s)
+      case (x, _)                      => x
+    }
+    val data = rows.map { m =>
+      org.apache.spark.sql.Row(schema.fields.map(f =>
+        jvm(m.get(f.name).orNull, f.dataType)): _*)
+    }
+    // stage all-nullable so invalid rows survive encoding long enough to be
+    // split out by the validation pass (instead of crashing the encoder)
+    val stagingSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    val staged = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, rows.size / 10000)), stagingSchema)
+    val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val (good, bad) = graft.write.Writes.validateRows(staged, notNull)
+    if (!allowPartialErrors && !bad.isEmpty)
+      throw new IllegalArgumentException(
+        s"batchInsert: ${bad.count()} invalid row(s); pass allowPartialErrors to skip them")
+    graft.write.Writes.append(this, name, good)
+    graft.write.WriteReport(good.count(), bad.count(), bad)
+  }
+
+  /** Upsert staged rows by PK / unique key (data_store_impl.dart:2229). */
+  def upsert(name: String, staged: DataFrame, keys: Seq[String] = Nil): Unit = {
+    val ks =
+      if (keys.nonEmpty) keys
+      else registry.get(space, name).map(_.uniqueKeySets.head).getOrElse(
+        throw new IllegalArgumentException(
+          s"upsert needs key columns or a registered schema with a unique key (tostore.dart:605)"))
+    graft.write.Writes.overwrite(this, name,
+      graft.write.Writes.upsertMerge(table(name), staged, ks))
+  }
+
+  /** Truncate (keep schema) — tostore.dart:332-358. */
+  def clear(name: String): Unit =
+    graft.write.Writes.overwrite(this, name, table(name).limit(0))
+
+  /** Drop table + schema. */
+  def dropTable(name: String): Unit = {
+    registry.drop(space, name)
+    warehouse.foreach { w =>
+      val p = new org.apache.hadoop.fs.Path(s"$w/$space/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  // ---------- KV / vector / streaming surface ----------
+
+  /** KV namespace of the current space (db.kv — kv_store.dart:9-44). */
+  def kv: graft.kv.KvStore = new graft.kv.KvStore(this)
+  /** Global KV namespace shared across spaces. */
+  def kvGlobal: graft.kv.KvStore = new graft.kv.KvStore(this, global = true)
+
+  /** vectorSearch(table, field, queryVector, topK, metric,
+    * distanceThreshold) → (pk, distance, score) — tostore.dart:493-511. */
+  def vectorSearch(
+      name: String,
+      fieldName: String,
+      queryVector: Seq[Double],
+      topK: Int = 10,
+      metric: String = "cosine",
+      distanceThreshold: Option[Double] = None,
+      pkField: String = "id"): DataFrame =
+    graft.vector.VectorSearch.exact(
+      table(name), pkField, fieldName, queryVector, topK, metric, distanceThreshold)
+
+  /** One-shot record stream of a query (streamQuery,
+    * stream_query_builder.dart:26-140): server-side cursors via
+    * toLocalIterator — partitions stream to the driver one at a time. */
+  def streamQuery(qb: QueryBuilder): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    qb.toDF.toLocalIterator().asScala
+  }
+
+  /** Server-side batch callback (queryEachBatch,
+    * query_executor.dart:3393) — runs on executors, nothing collects. */
+  def queryEachBatch(qb: QueryBuilder)(f: Iterator[org.apache.spark.sql.Row] => Unit): Unit =
+    qb.toDF.foreachPartition(f)
+
+  // ---------- backup / restore (tostore.dart:817-839) ----------
+
+  /** Snapshot the current space (+ global) of the warehouse to `dest`. */
+  def backup(dest: String): Unit = warehouse.foreach { w =>
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(conf)
+    Seq(space, "global").foreach { sp =>
+      val src = new org.apache.hadoop.fs.Path(s"$w/$sp")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(s"$dest/$sp"), false, conf)
+    }
+  }
+
+  /** Restore a backup into the warehouse (overwrites the space dirs). */
+  def restore(src: String): Unit = warehouse.foreach { w =>
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(conf)
+    Seq(space, "global").foreach { sp =>
+      val s = new org.apache.hadoop.fs.Path(s"$src/$sp")
+      val d = new org.apache.hadoop.fs.Path(s"$w/$sp")
+      if (fs.exists(s)) {
+        if (fs.exists(d)) fs.delete(d, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d, false, conf)
+      }
+    }
+  }
 }
 
 object Graft {

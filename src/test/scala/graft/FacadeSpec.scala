@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.schema._
+
+/** Engine facade surface: CRUD chains, KV wiring, vectorSearch entry,
+  * streamQuery, spaces, backup/restore (lib/tostore.dart surface). */
+class FacadeSpec extends SparkSpec {
+
+  private def freshEngine(): Graft = {
+    val wh = Files.createTempDirectory("graft_facade").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("items", PrimaryKeyConfig("id", PkStrategy.Sequential),
+      Seq(
+        FieldSchema("name", GType.GText, nullable = false),
+        FieldSchema("qty", GType.GInteger),
+        FieldSchema("price", GType.GDouble))))
+    e
+  }
+
+  test("insert/batchInsert with loose typing + partial errors (tostore.dart:586-597)") {
+    val e = freshEngine()
+    e.insert("items", Map("id" -> "1", "name" -> "bolt", "qty" -> 5, "price" -> 0.25))
+    // loose typing: qty as string, id as int → coerced to declared types
+    e.insert("items", Map("id" -> 2, "name" -> "nut", "qty" -> "7", "price" -> "0.10"))
+    assert(e.table("items").count() == 2)
+    intercept[IllegalArgumentException] {
+      e.batchInsert("items", Seq(Map("id" -> "3", "name" -> null)))
+    }
+    val rep = e.batchInsert("items",
+      Seq(Map("id" -> "3", "name" -> null), Map("id" -> "4", "name" -> "washer")),
+      allowPartialErrors = true)
+    assert(rep.successCount == 1 && rep.failedCount == 1)
+    assert(e.table("items").count() == 3)
+  }
+
+  test("update chain sugar + apply; delete chain (update_builder.dart:32-209)") {
+    val e = freshEngine()
+    e.batchInsert("items", Seq(
+      Map("id" -> "1", "name" -> "a", "qty" -> 10, "price" -> 1.0),
+      Map("id" -> "2", "name" -> "b", "qty" -> 20, "price" -> 2.0)))
+    e.update("items").increment("qty", 5).multiply("price", 2)
+      .where("id", "=", "1").apply()
+    val r = e.table("items").where(col("id") === "1").collect()(0)
+    assert(r.getAs[Long]("qty") == 15L && r.getAs[Double]("price") == 2.0)
+    intercept[IllegalArgumentException] { e.update("items").increment("qty").preview }
+    e.delete("items").where("id", "=", "2").apply()
+    assert(e.table("items").count() == 1)
+    e.clear("items")
+    assert(e.table("items").count() == 0)
+  }
+
+  test("upsert uses registered unique key; errors without one (tostore.dart:605)") {
+    val e = freshEngine()
+    e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "a", "qty" -> 1, "price" -> 1.0)))
+    val staged = spark.createDataFrame(Seq(("1", "a2", 9L, 9.0), ("5", "new", 5L, 5.0)))
+      .toDF("id", "name", "qty", "price")
+    e.upsert("items", staged) // key from schema PK
+    assert(e.table("items").count() == 2)
+    assert(e.table("items").where(col("id") === "1").collect()(0).getString(1) == "a2")
+    val e2 = Graft.withWarehouse(spark, sfDir,
+      Files.createTempDirectory("graft_nokey").toString)
+    intercept[IllegalArgumentException] { e2.upsert("unregistered", staged) }
+  }
+
+  test("spaces isolate managed tables; global KV crosses (tostore.dart:529-532)") {
+    val e = freshEngine()
+    e.kv.set("k", "space-default")
+    e.kvGlobal.set("g", "everywhere")
+    val other = e.switchSpace("tenant2")
+    assert(other.kv.get("k").isEmpty)
+    assert(other.kvGlobal.get("g").contains("everywhere"))
+  }
+
+  test("vectorSearch facade returns (pk, distance, score) (tostore.dart:493-511)") {
+    val q = engine.table("embeddings").where(col("vec_id") === 1)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+    val out = engine.vectorSearch("embeddings", "embedding", q, topK = 3, pkField = "vec_id")
+    assert(out.columns.toSeq == Seq("pk", "distance", "score"))
+    assert(out.collect().head.getLong(0) == 1L)
+  }
+
+  test("streamQuery iterates without full collect; queryEachBatch runs per partition") {
+    val it = engine.streamQuery(engine.query("nation").orderByAsc("n_nationkey"))
+    assert(it.take(3).size == 3)
+    val acc = spark.sparkContext.longAccumulator("rows")
+    engine.queryEachBatch(engine.query("region").noDefaultLimit)(
+      rows => rows.foreach(_ => acc.add(1)))
+    assert(acc.value == 5L)
+  }
+
+  test("backup/restore roundtrip (tostore.dart:817-839)") {
+    val e = freshEngine()
+    e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "x", "qty" -> 1, "price" -> 1.0)))
+    val dest = Files.createTempDirectory("graft_bak").toString
+    e.backup(dest)
+    e.delete("items").allowDeleteAll.apply()
+    assert(e.table("items").count() == 0)
+    e.restore(dest)
+    assert(e.table("items").count() == 1)
+  }
+
+  test("dropTable removes data + schema") {
+    val e = freshEngine()
+    e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "x", "qty" -> 1, "price" -> 1.0)))
+    e.dropTable("items")
+    assert(e.registry.get("default", "items").isEmpty)
+    // falls back to dataDir resolution → items.parquet does not exist there
+    intercept[Exception] { e.table("items").count() }
+  }
+}
