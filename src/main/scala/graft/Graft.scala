@@ -136,6 +136,17 @@ final class Graft(
     graft.write.WriteReport(good.count(), bad.count(), bad)
   }
 
+  /** batchUpdate: partial per-field update of rows located by PK
+    * (tostore.dart:675-686); unknown PKs are ignored (no insert). */
+  def batchUpdate(name: String, staged: DataFrame, keys: Seq[String] = Nil): Unit = {
+    val ks =
+      if (keys.nonEmpty) keys
+      else registry.get(space, name).map(s => Seq(s.primaryKey.name)).getOrElse(
+        throw new IllegalArgumentException("batchUpdate needs key columns or a registered schema"))
+    graft.write.Writes.overwrite(this, name,
+      graft.write.Writes.batchUpdateMerge(table(name), staged, ks))
+  }
+
   /** Upsert staged rows by PK / unique key (data_store_impl.dart:2229). */
   def upsert(name: String, staged: DataFrame, keys: Seq[String] = Nil): Unit = {
     val ks =
@@ -167,6 +178,15 @@ final class Graft(
   def kv: graft.kv.KvStore = new graft.kv.KvStore(this)
   /** Global KV namespace shared across spaces. */
   def kvGlobal: graft.kv.KvStore = new graft.kv.KvStore(this, global = true)
+  /** KV with reactive watchValue support (watch events flow through hub). */
+  def kvWatched(hub: graft.streaming.WatchHub): graft.kv.KvStore =
+    new graft.kv.KvStore(this, global = false, hub = Some(hub))
+
+  /** Physically drop TTL-expired rows (the reference's background sweeper,
+    * ttl_cleanup_manager.dart:40-60 — here an explicit compaction job;
+    * `table()` already applies the expiry filter at scan time). */
+  def compactTtl(name: String): Unit =
+    graft.write.Writes.overwrite(this, name, table(name))
 
   /** vectorSearch(table, field, queryVector, topK, metric,
     * distanceThreshold) → (pk, distance, score) — tostore.dart:493-511. */

@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for representative queries — the
+  * plan-shape feedback loop (pushdown, broadcast, codegen spans). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark: SparkSession = Graft.localSession("plan-audit")
+    val show = Seq("q01_filter_range", "q07_agg_groupby", "q09_join_inner",
+      "q13_join_multi3", "q15_topk", "q16_offset", "q25_dedup_exact")
+    show.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

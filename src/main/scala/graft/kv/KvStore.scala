@@ -25,10 +25,31 @@ import graft.Graft
  * This is an analytics engine: KV writes are micro-batch overwrites, not
  * OLTP point writes — `setMany` is the intended grain.
  */
-final class KvStore(engine: Graft, global: Boolean = false) {
+final class KvStore(
+    engine: Graft,
+    global: Boolean = false,
+    hub: Option[graft.streaming.WatchHub] = None) {
 
   private def spark: SparkSession = engine.spark
   private val tableName = "_kv_store"
+
+  private def notifyChange(op: String): Unit = hub.foreach(_.publish(
+    graft.streaming.ChangeEvent(op, tableName, None, None,
+      new Timestamp(System.currentTimeMillis()))))
+
+  /** watchValue(key): initial emission + re-read on every KV write through
+    * this store, consecutive duplicates suppressed (`distinct` dedup —
+    * lib/tostore.dart:758-791). Requires a hub-attached store. */
+  def watchValue(key: String)(onValue: Option[String] => Unit)
+      : graft.streaming.WatchSubscription = {
+    val h = hub.getOrElse(throw new IllegalStateException(
+      "watchValue requires a KvStore constructed with a WatchHub"))
+    @volatile var last: Option[Option[String]] = None
+    h.watchCompute(tableName, () => Seq.empty) { _ =>
+      val v = get(key)
+      if (!last.contains(v)) { last = Some(v); onValue(v) }
+    }
+  }
 
   val schema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
@@ -69,6 +90,7 @@ final class KvStore(engine: Graft, global: Boolean = false) {
     val merged = df.as("t").join(staged.as("s"), col("t.key") === col("s.key"), "left_anti")
       .union(staged)
     writeAtomic(merged)
+    notifyChange("update")
   }
 
   def set(key: String, value: String, ttlMs: Option[Long] = None,
@@ -77,8 +99,10 @@ final class KvStore(engine: Graft, global: Boolean = false) {
 
   def remove(key: String): Unit = removeMany(Seq(key))
 
-  def removeMany(keys: Seq[String]): Unit =
+  def removeMany(keys: Seq[String]): Unit = {
     writeAtomic(df.where(!col("key").isin(keys: _*)))
+    notifyChange("delete")
+  }
 
   /** Drop expired rows physically (the background sweeper's job). */
   def compact(): Unit = writeAtomic(df)

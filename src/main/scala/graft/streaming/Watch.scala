@@ -49,18 +49,17 @@ final case class ChangeEvent(
     after: Option[String],
     ts: java.sql.Timestamp)
 
-/** One active watch: re-runs `query` on matching events, pushes the full
+/** One active watch: re-runs `compute` on matching events, pushes the full
   * result list to `onData`. */
 final class WatchSubscription(
-    query: QueryBuilder,
+    private[streaming] val table: String,
+    compute: () => Seq[Row],
     onData: Seq[Row] => Unit,
     hub: WatchHub) {
 
   private val running = new AtomicBoolean(false)
   private val dirty = new AtomicBoolean(false)
   @volatile private var closed = false
-
-  private[streaming] def table: String = query.table
 
   private[streaming] def fire(): Unit = {
     if (closed) return
@@ -71,7 +70,7 @@ final class WatchSubscription(
       var again = true
       while (again && !closed) {
         dirty.set(false)
-        onData(query.toDF.collect().toSeq)
+        onData(compute())
         again = dirty.get()
       }
     } finally running.set(false)
@@ -87,8 +86,14 @@ final class WatchHub {
 
   /** Subscribe; emits the initial full result synchronously
     * (watch() initial emission, query_builder.dart:480-543). */
-  def watch(query: QueryBuilder)(onData: Seq[Row] => Unit): WatchSubscription = {
-    val sub = new WatchSubscription(query, onData, this)
+  def watch(query: QueryBuilder)(onData: Seq[Row] => Unit): WatchSubscription =
+    watchCompute(query.table, () => query.toDF.collect().toSeq)(onData)
+
+  /** Generic watch over any recomputable result keyed to a table name
+    * (used by KV watchValue and custom sources). */
+  def watchCompute(table: String, compute: () => Seq[Row])
+      (onData: Seq[Row] => Unit): WatchSubscription = {
+    val sub = new WatchSubscription(table, compute, onData, this)
     subs.add(sub)
     sub.fire()
     sub

@@ -112,6 +112,26 @@ object VectorSearch {
   def ivfIndex(table: DataFrame, model: IvfModel, vecCol: String): DataFrame =
     table.withColumn("__ivf_cell", ivfCell(model, col(vecCol)))
 
+  // ---------- int8 quantization (reference vector_quantizer.dart) ----------
+
+  /** Symmetric int8 quantization: q = round(x · 127/amax) clamped to
+    * [-127,127], plus the per-vector scale needed to dequantize — the
+    * reference's int8 storage precision (table_schema.dart:2481-2498).
+    * 4× smaller scan footprint for ANN pre-filtering; re-rank on the
+    * full-precision column. */
+  def quantizeInt8(v: Column): Column =
+    graft.functions.GraftFunctions.bind(
+      aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))) { amax =>
+      struct(
+        transform(v, x => least(greatest(
+          round(x.cast("double") * lit(127.0) / amax), lit(-127)), lit(127)).cast("byte")).as("q"),
+        (amax / lit(127.0)).cast("float").as("scale"))
+    }
+
+  /** Dequantize an int8-quantized struct back to float. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("q"), x => (x.cast("float") * q.getField("scale")).cast("float"))
+
   // ---------- LSH (spark.ml) ----------
 
   /** Approximate similarity JOIN for all-pairs workloads, via

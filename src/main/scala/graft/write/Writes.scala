@@ -97,6 +97,23 @@ object Writes {
     joined.select(outCols.zip(target.schema.fieldNames).map { case (c, n) => c.as(n) }: _*)
   }
 
+  /** batchUpdate: partial per-field update of rows located by PK
+    * (lib/tostore.dart:675-686) — LEFT join target→staged + per-column
+    * coalesce; unknown PKs in `staged` are ignored (no insert, unlike
+    * upsert). One shuffle on the key; staged is typically small → Spark
+    * broadcasts it. */
+  def batchUpdateMerge(target: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.as("t")
+    val s = staged.as("s")
+    val on = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val outCols = target.schema.fieldNames.toSeq.map { f =>
+      if (staged.schema.fieldNames.contains(f) && !keys.contains(f))
+        coalesce(col(s"s.$f"), col(s"t.$f")).as(f)
+      else col(s"t.$f").as(f)
+    }
+    t.join(s, on, "left").select(outCols: _*)
+  }
+
   /** batchInsert validation pass: split rows into good/bad instead of
     * failing the job (reference allowPartialErrors,
     * lib/tostore.dart:586-597). A row is bad if a non-nullable column is

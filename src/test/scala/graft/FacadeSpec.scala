@@ -103,6 +103,67 @@ class FacadeSpec extends SparkSpec {
     assert(e.table("items").count() == 1)
   }
 
+  test("batchUpdate patches by PK, ignores unknown keys, keeps other fields") {
+    val e = freshEngine()
+    e.batchInsert("items", Seq(
+      Map("id" -> "1", "name" -> "a", "qty" -> 10, "price" -> 1.0),
+      Map("id" -> "2", "name" -> "b", "qty" -> 20, "price" -> 2.0)))
+    val patch = spark.createDataFrame(Seq(("1", 99L), ("777", 5L))).toDF("id", "qty")
+    e.batchUpdate("items", patch)
+    val rows = e.table("items").orderBy(col("id")).collect()
+    assert(rows.length == 2) // unknown PK 777 NOT inserted
+    assert(rows(0).getAs[Long]("qty") == 99L && rows(0).getAs[String]("name") == "a")
+    assert(rows(1).getAs[Long]("qty") == 20L)
+  }
+
+  test("kv watchValue: initial emission + change notifications, deduped (tostore.dart:758-791)") {
+    val wh = Files.createTempDirectory("graft_kvw").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    val hub = new graft.streaming.WatchHub
+    val kv = e.kvWatched(hub)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    kv.set("k", "v1")
+    val sub = kv.watchValue("k")(v => seen += v)
+    assert(seen.toSeq == Seq(Some("v1"))) // initial emission
+    kv.set("k", "v2")
+    kv.set("other", "x") // same kv table → refire, but value unchanged → deduped
+    assert(seen.toSeq == Seq(Some("v1"), Some("v2")))
+    kv.remove("k")
+    assert(seen.last.isEmpty)
+    sub.close()
+  }
+
+  test("compactTtl physically drops expired rows (ttl_cleanup_manager.dart:40-60)") {
+    val wh = Files.createTempDirectory("graft_ttl").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("ev", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("seen_at", GType.GDateTime, nullable = false)),
+      ttl = Some(TtlConfig(3600000L, Some("seen_at")))))
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val old = new java.sql.Timestamp(System.currentTimeMillis() - 7200000L)
+    e.batchInsert("ev", Seq(Map("id" -> "live", "seen_at" -> now),
+      Map("id" -> "stale", "seen_at" -> old)))
+    assert(e.table("ev").count() == 1) // scan-time expiry filter
+    e.compactTtl("ev")
+    val raw = spark.read.parquet(s"$wh/default/ev")
+    assert(raw.count() == 1 && raw.collect()(0).getString(0) == "live")
+  }
+
+  test("int8 quantization roundtrip keeps cosine ranking (table_schema.dart:2481-2498)") {
+    import graft.vector.VectorSearch._
+    val embs = engine.table("embeddings").limit(50)
+      .select(col("vec_id"), col("embedding"), quantizeInt8(col("embedding")).as("q8"))
+    val rows = embs.select(col("vec_id"), col("embedding"),
+      dequantizeInt8(col("q8")).as("deq")).collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1)
+      val deq = r.getSeq[Float](2)
+      assert(orig.length == deq.length)
+      val halfStep = orig.map(x => math.abs(x.toDouble)).max / 254.0 + 1e-6
+      orig.zip(deq).foreach { case (a, b) => assert(math.abs(a - b) <= halfStep) }
+    }
+  }
+
   test("dropTable removes data + schema") {
     val e = freshEngine()
     e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "x", "qty" -> 1, "price" -> 1.0)))
