@@ -347,6 +347,34 @@ object SparkEntry {
       sub.close()
       s.createDataFrame(s.sparkContext.parallelize(last, 1), qb.toDF.schema)
     }),
+    // ---- Spark-superset relational extensions (absent in the reference:
+    // SURVEY.md §2.5 "grouping sets / cube / rollup: none", "distinct
+    // agg: none"; §2.2 no window functions) ------------------------------
+    "q38_rollup" -> ((s, dir) => {
+      eng(s, dir).table("lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q39_count_distinct" -> ((s, dir) => {
+      eng(s, dir).table("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    "q40_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      eng(s, dir).table("orders")
+        .where(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          sum(dec(col("o_totalprice"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -488,6 +516,23 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderstatus = 'O'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q39_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts, count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q40_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+         FROM orders WHERE o_custkey <= 50
+         ORDER BY o_custkey, o_orderkey""",
     "q01_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
          WHERE l_quantity > 45
