@@ -375,6 +375,18 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q41_asof_join" -> ((s, dir) => {
+      // clicks enriched with the user's latest preceding purchase
+      val ev = eng(s, dir).table("events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asof(clicks, purchases,
+          keyCols = Seq("user_id"), leftTs = "ts", rightTs = "ts")
+        .orderBy("user_id", "event_id")
+    }),
+
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -516,6 +528,13 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderstatus = 'O'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q41_asof_join" ->
+      """SELECT l.user_id, l.event_id, l.ts, r.ts AS ts_right, r.value
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.user_id, l.event_id""",
     "q38_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale patterns for the 100 TB deployment — the shuffle-shaping utilities
+ * a 1000-executor job needs. Nothing here exists in the reference (it is
+ * single-node, SURVEY.md §3: "no cross-node execution exists in the query
+ * path"); these are the engine's distributed-execution toolkit.
+ */
+object Scale {
+
+  /**
+   * Salted equi-join for skewed keys. A handful of hot keys (power-law
+   * user_ids, null-ish defaults) put one shuffle partition orders of
+   * magnitude above the rest; AQE's skew split helps reads but not the
+   * hash-table build. Salting: replicate the BUILD side `salt` ways,
+   * scatter the PROBE side with a random-ish salt derived from a stable
+   * hash of its row key, join on (key, salt).
+   *
+   * Use when one side is modest (dimension-ish) and the other is huge and
+   * skewed; for broadcast-able dims prefer `broadcast()` outright.
+   */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      salt: Int = 8,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // probe rows get a deterministic pseudo-random salt (stable runs);
+    // xxhash64 over the whole row avoids needing a unique id column
+    val probeSalted = probe.withColumn("__salt",
+      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(salt)).cast("int"))
+    val buildSalted = build.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    probeSalted.join(buildSalted,
+        probeSalted("__salt") === buildSalted("__salt") &&
+          probe(probeKey) === build(buildKey), joinType)
+      .drop("__salt")
+  }
+
+  /** Top skewed keys of a column with their share — the diagnostic to run
+    * BEFORE deciding on salting/broadcast (one pass, partial-agg). */
+  def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .withColumn("share", round(col("cnt") / total, 6))
+      .orderBy(col("cnt").desc)
+      .limit(topN)
+  }
+
+  /**
+   * Write clustered for co-located reads: directory-partitioned on a
+   * low-cardinality key (partition pruning at scan) and optionally
+   * repartitioned so each directory holds few large files instead of
+   * `shuffle.partitions` shards. The layout an IVF index or a per-tenant
+   * table wants.
+   */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      partitionCol: String,
+      filesPerPartition: Int = 1): Unit =
+    df.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol)
+      .mode("overwrite").parquet(path)
+
+  /** Compact small files: coalesce to ~`targetBytes` outputs based on the
+    * current size — the maintenance job every long-lived table needs. */
+  def compactFiles(df: DataFrame, path: String, targetFileBytes: Long = 256L << 20): Unit = {
+    val sizeEstimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1, (sizeEstimate / BigInt(targetFileBytes)).toInt)
+    df.coalesce(n).write.mode("overwrite").parquet(path)
+  }
+
+  /** Range-partition + sort-within for ordered scans (parquet min/max on
+    * the sort key then prune range predicates file-level). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      partitions: Int = 32): Unit =
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+}

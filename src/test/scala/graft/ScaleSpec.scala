@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+
+/** Scale-pattern utilities: salted join correctness, skew diagnostic,
+  * clustered/sorted writes with partition pruning. */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin == plain join result (inner + left), salt columns dropped") {
+    val orders = engine.table("orders").limit(2000).cache()
+    val customer = engine.table("customer")
+    val plain = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey")).count()
+    val salted = Scale.saltedJoin(orders, customer, "o_custkey", "c_custkey", salt = 4)
+    assert(salted.count() == plain)
+    assert(!salted.columns.contains("__salt"))
+    val plainLeft = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"), "left").count()
+    val saltedLeft = Scale.saltedJoin(orders, customer, "o_custkey", "c_custkey",
+      salt = 4, joinType = "left").count()
+    assert(saltedLeft == plainLeft)
+    orders.unpersist()
+  }
+
+  test("keySkew surfaces the heavy keys with shares summing ≤ 1") {
+    val skew = Scale.keySkew(engine.table("lineitem"), "l_returnflag", topN = 5).collect()
+    assert(skew.nonEmpty && skew.length <= 5)
+    assert(skew.map(_.getAs[Double]("share")).sum <= 1.000001)
+    // ordered desc
+    assert(skew.map(_.getAs[Long]("cnt")).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("writeClustered: partition pruning on the cluster key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clustered").toString + "/t"
+    Scale.writeClustered(engine.table("orders"), dir, "o_orderstatus")
+    val back = spark.read.parquet(dir).where(col("o_orderstatus") === "F")
+    val scan = back.queryExecution.executedPlan.toString()
+    assert(back.count() == engine.table("orders").where(col("o_orderstatus") === "F").count())
+    // the directory layout exposes the partition filter to the scan
+    assert(scan.contains("PartitionFilters") || scan.contains("o_orderstatus"))
+  }
+
+  test("writeSorted: range-partitioned files carry min/max for pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/t"
+    Scale.writeSorted(engine.table("lineitem"), dir, Seq("l_orderkey"), partitions = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == engine.table("lineitem").count())
+    val filtered = back.where(col("l_orderkey") === 1L)
+    assert(filtered.count() ==
+      engine.table("lineitem").where(col("l_orderkey") === 1L).count())
+  }
+}
