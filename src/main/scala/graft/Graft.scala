@@ -254,6 +254,7 @@ object Graft {
     * partitions (not 200), AQE on for runtime re-planning/skew handling. */
   def localSession(appName: String = "graft", cores: Int = 32): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(graft.plans.GraftExtensions.install)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
