@@ -33,7 +33,17 @@ final class Graft(
   def switchSpace(name: String): Graft =
     new Graft(spark, dataDir, warehouse, name, registry, defaultQueryLimit, maxQueryOffset)
 
-  def createTable(schema: TableSchema): Unit = {
+  def createTable(schema0: TableSchema): Unit = {
+    // TTL without an explicit sourceField falls back to the engine-managed
+    // ingest timestamp (reference: hidden _system_ingest_ts_ms column,
+    // table_schema.dart:18-19) — add it to the schema; batchInsert fills it
+    val schema =
+      if (schema0.ttl.exists(_.sourceField.isEmpty) &&
+          !schema0.fields.exists(_.name == Graft.IngestTsCol))
+        schema0.copy(fields = schema0.fields :+
+          graft.schema.FieldSchema(Graft.IngestTsCol, graft.schema.GType.GDateTime,
+            nullable = false, defaultCurrentTimestamp = true))
+      else schema0
     registry.register(space, schema)
     warehouse.foreach { w =>
       val p = managedPath(schema.name, schema.isGlobal)
@@ -71,9 +81,11 @@ final class Graft(
       } else graft.sources.ParquetNanos.read(spark, s"$dataDir/$name.parquet")
     registry.get(space, name).flatMap(_.ttl) match {
       case Some(ttl) =>
-        val src = ttl.sourceField.getOrElse("_system_ingest_ts_ms")
+        val src = ttl.sourceField.getOrElse(Graft.IngestTsCol)
         import org.apache.spark.sql.functions._
-        df.where(col(src) >= (current_timestamp() - expr(s"INTERVAL ${ttl.ttlMs / 1000} SECOND")))
+        // millisecond interval: integer-second truncation would zero out
+        // sub-second TTLs
+        df.where(col(src) >= (current_timestamp() - expr(s"INTERVAL ${ttl.ttlMs} MILLISECOND")))
       case None => df
     }
   }
@@ -118,22 +130,37 @@ final class Graft(
       case (s: String, TimestampType)  => java.sql.Timestamp.valueOf(s)
       case (x, _)                      => x
     }
+    val defaultNow = registry.get(space, name).map(_.fields).getOrElse(Nil)
+      .filter(_.defaultCurrentTimestamp).map(_.name).toSet
+    // coercion failures don't throw: the row is flagged and lands in the
+    // failed split (the allowPartialErrors contract covers bad values, not
+    // just nulls)
     val data = rows.map { m =>
-      org.apache.spark.sql.Row(schema.fields.map(f =>
-        jvm(m.get(f.name).orNull, f.dataType)): _*)
+      var ok = true
+      val vs = schema.fields.map { f =>
+        val raw =
+          if (defaultNow.contains(f.name) && !m.contains(f.name))
+            new java.sql.Timestamp(System.currentTimeMillis())
+          else m.get(f.name).orNull
+        try jvm(raw, f.dataType)
+        catch { case _: RuntimeException => ok = false; null }
+      }
+      org.apache.spark.sql.Row(vs :+ ok: _*)
     }
     // stage all-nullable so invalid rows survive encoding long enough to be
     // split out by the validation pass (instead of crashing the encoder)
-    val stagingSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    val stagingSchema = StructType(schema.fields.map(_.copy(nullable = true)) :+
+      StructField("__parse_ok", BooleanType, nullable = false))
     val staged = spark.createDataFrame(
       spark.sparkContext.parallelize(data, math.max(1, rows.size / 10000)), stagingSchema)
     val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
-    val (good, bad) = graft.write.Writes.validateRows(staged, notNull)
+    val (good, bad) = graft.write.Writes.validateRows(staged, notNull,
+      checks = Seq(org.apache.spark.sql.functions.col("__parse_ok")))
     if (!allowPartialErrors && !bad.isEmpty)
       throw new IllegalArgumentException(
         s"batchInsert: ${bad.count()} invalid row(s); pass allowPartialErrors to skip them")
-    graft.write.Writes.append(this, name, good)
-    graft.write.WriteReport(good.count(), bad.count(), bad)
+    graft.write.Writes.append(this, name, good.drop("__parse_ok"))
+    graft.write.WriteReport(good.count(), bad.count(), bad.drop("__parse_ok"))
   }
 
   /** batchUpdate: partial per-field update of rows located by PK
@@ -162,13 +189,19 @@ final class Graft(
   def clear(name: String): Unit =
     graft.write.Writes.overwrite(this, name, table(name).limit(0))
 
-  /** Drop table + schema. */
+  /** Drop table + schema (global tables live under the "global" space and
+    * registry key — both locations are cleared). */
   def dropTable(name: String): Unit = {
+    val wasGlobal = registry.get(space, name).exists(_.isGlobal)
     registry.drop(space, name)
+    if (wasGlobal) registry.drop("global", name)
     warehouse.foreach { w =>
-      val p = new org.apache.hadoop.fs.Path(s"$w/$space/$name")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      val fs = new org.apache.hadoop.fs.Path(w)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"$w/$space/$name", s"$w/global/$name").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if ((wasGlobal || !p.contains("/global/")) && fs.exists(hp)) fs.delete(hp, true)
+      }
     }
   }
 
@@ -244,6 +277,8 @@ final class Graft(
 }
 
 object Graft {
+  /** Engine-managed ingest timestamp column backing default TTLs. */
+  val IngestTsCol = "_system_ingest_ts_ms"
   /** Engine over the driver TESTDATA layout: `$sfDir/<table>.parquet`. */
   def apply(spark: SparkSession, sfDir: String): Graft = new Graft(spark, sfDir)
 

@@ -21,9 +21,10 @@ trait VecKernel { self: Expression =>
   override def dataType: DataType = DoubleType
 
   protected def elemGet(e: Expression, arr: String, i: String): String =
+    // null elements read as 0 — matches the interpreted path exactly
     e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType  => s"(double) $arr.getFloat($i)"
-      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType  => s"($arr.isNullAt($i) ? 0.0d : (double) $arr.getFloat($i))"
+      case DoubleType => s"($arr.isNullAt($i) ? 0.0d : $arr.getDouble($i))"
       case t => throw new IllegalArgumentException(s"vector kernel needs ARRAY<FLOAT|DOUBLE>, got $t")
     }
 

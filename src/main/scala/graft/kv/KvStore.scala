@@ -108,13 +108,18 @@ final class KvStore(
   def compact(): Unit = writeAtomic(df)
 
   private def writeAtomic(data: DataFrame): Unit = {
+    // stage → swap with .old backup (same pattern as Writes.overwrite):
+    // a crash between operations never leaves the store missing
     val tmp = path + ".staging"
     data.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    if (fs.exists(p)) fs.delete(p, true)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(p)) fs.rename(p, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.delete(bak, true)
   }
 
   // ---------- reads ----------

@@ -30,6 +30,9 @@ object Scale {
       salt: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    require(joinType == "inner" || joinType == "left",
+      "saltedJoin supports inner/left only: the build side is replicated, so " +
+        "right/full would emit unmatched build rows once per salt")
     // probe rows get a deterministic pseudo-random salt (stable runs);
     // xxhash64 over the whole row avoids needing a unique id column
     val probeSalted = probe.withColumn("__salt",
@@ -59,28 +62,49 @@ object Scale {
    * `shuffle.partitions` shards. The layout an IVF index or a per-tenant
    * table wants.
    */
+  /** Staging-dir + atomic swap so the target can be the same path the
+    * input DataFrame reads from (compaction's normal case): Spark refuses
+    * a direct overwrite-while-reading, and partial failures must never
+    * destroy the existing table. */
+  private def atomicSwap(path: String, write: String => Unit,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val tmp = path + ".staging"
+    write(tmp)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
+
   def writeClustered(
       df: DataFrame,
       path: String,
       partitionCol: String,
       filesPerPartition: Int = 1): Unit =
-    df.repartition(col(partitionCol))
-      .write.partitionBy(partitionCol)
-      .mode("overwrite").parquet(path)
+    atomicSwap(path, tmp =>
+      df.repartition(col(partitionCol))
+        .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp),
+      df.sparkSession.sparkContext.hadoopConfiguration)
 
   /** Compact small files: coalesce to ~`targetBytes` outputs based on the
     * current size — the maintenance job every long-lived table needs. */
   def compactFiles(df: DataFrame, path: String, targetFileBytes: Long = 256L << 20): Unit = {
     val sizeEstimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = math.max(1, (sizeEstimate / BigInt(targetFileBytes)).toInt)
-    df.coalesce(n).write.mode("overwrite").parquet(path)
+    atomicSwap(path, tmp => df.coalesce(n).write.mode("overwrite").parquet(tmp),
+      df.sparkSession.sparkContext.hadoopConfiguration)
   }
 
   /** Range-partition + sort-within for ordered scans (parquet min/max on
     * the sort key then prune range predicates file-level). */
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
       partitions: Int = 32): Unit =
-    df.repartitionByRange(partitions, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+    atomicSwap(path, tmp =>
+      df.repartitionByRange(partitions, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp),
+      df.sparkSession.sparkContext.hadoopConfiguration)
 }

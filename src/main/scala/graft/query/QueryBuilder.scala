@@ -64,11 +64,14 @@ final case class QueryBuilder(
 
   def where(field: String, op: String, value: Any): QueryBuilder =
     copy(cond = cond && Cond.Leaf(field, op, value))
-  /** OR the leaf onto the accumulated condition (reference orWhere). */
+  /** OR the leaf onto the accumulated condition (reference orWhere). As the
+    * FIRST predicate it acts like where — `True || leaf` would otherwise
+    * silently match every row. */
   def orWhere(field: String, op: String, value: Any): QueryBuilder =
-    copy(cond = cond || Cond.Leaf(field, op, value))
+    orCondition(Cond.Leaf(field, op, value))
   def condition(c: Cond): QueryBuilder = copy(cond = cond && c)
-  def orCondition(c: Cond): QueryBuilder = copy(cond = cond || c)
+  def orCondition(c: Cond): QueryBuilder =
+    copy(cond = if (cond == Cond.True) c else cond || c)
 
   // sugar (chain_builder.dart:83-288, query_condition.dart:544-678)
   def whereEqual(f: String, v: Any): QueryBuilder = where(f, "=", v)
@@ -175,8 +178,10 @@ final case class QueryBuilder(
 
   /** Output column names after joins: un-conflicted fields flatten to the
     * bare name; conflicted keep the `table.field` prefix
-    * (reference query_builder.dart:705-823). */
-  private def flattenNames: Seq[(String, String)] = { // (qualifiedRef, outputName)
+    * (reference query_builder.dart:705-823). Lazy: `bt` consults this per
+    * column reference, and each evaluation would otherwise re-read every
+    * table's parquet footer. */
+  private lazy val flattenNames: Seq[(String, String)] = { // (qualifiedRef, outputName)
     val perTable: Seq[(String, Seq[String])] =
       (table +: joins.map(_.table)).distinct.map(t => t -> engine.table(t).schema.fieldNames.toSeq)
     val counts = perTable.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
@@ -184,6 +189,7 @@ final case class QueryBuilder(
       fs.map(f => (s"$t.$f", if (counts(f) > 1) s"$t.$f" else f))
     }
   }
+  private lazy val flattenMap: Map[String, String] = flattenNames.toMap
 
   /** Resolve a user-facing field reference against the post-flatten frame:
     * single-table queries resolve `table.field` as a qualified ref (the
@@ -192,7 +198,7 @@ final case class QueryBuilder(
   private def bt(name: String): Column =
     if (!name.contains('.')) col(name)
     else if (joins.isEmpty) col(name) // qualified against the aliased base
-    else flattenNames.toMap.get(name) match {
+    else flattenMap.get(name) match {
       case Some(out) => if (out.contains('.')) col(s"`$out`") else col(out)
       case None      => col(s"`$name`")
     }

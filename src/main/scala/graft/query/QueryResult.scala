@@ -83,23 +83,77 @@ object QueryResult {
     Cond.or(clauses: _*)
   }
 
-  private[graft] def execute(b: QueryBuilder): QueryResult = {
+  private[graft] def execute(b: QueryBuilder): QueryResult =
+    executeImpl(b, b, fromCursor = None)
+
+  /** @param bOrig  the user's builder — cursors are encoded/validated
+    *               against it so every page's tokens stay exchangeable
+    * @param bExec  bOrig + keyset predicate (for cursor-driven pages)
+    * @param fromCursor Some("next"|"prev") when this page was reached via
+    *               a cursor; "prev" executes with FLIPPED sort order +
+    *               limit, then reverses, so it returns the page
+    *               immediately before the pivot (not the head of the
+    *               prefix). */
+  private def executeImpl(
+      b: QueryBuilder, bExec: QueryBuilder, fromCursor: Option[String]): QueryResult = {
     val t0 = System.nanoTime()
     val n = b.limitOpt.getOrElse(b.engine.defaultQueryLimit)
-    val probe = b.copy(limitOpt = Some(n + 1)).compile(applyLimit = true).collect()
-    val hasMore = probe.length > n
-    val rows = probe.take(n).toSeq
+    val reversed = fromCursor.contains("prev")
+    val bDir =
+      if (reversed) bExec.copy(orders = bExec.orders.map { case (f, asc) => (f, !asc) })
+      else bExec
+
+    // sort-key values must ride along even when not projected (the builder
+    // supports ordering by non-selected fields): append them as __sk columns
+    // and strip them from the returned rows
+    val plainSelect = bDir.aggs.isEmpty && bDir.groups.isEmpty &&
+      bDir.distinctOn.isEmpty && bDir.selects.nonEmpty
+    val missing = b.orders.map(_._1).distinct
+      .filterNot(f => bDir.selects.exists(_.field == f))
+    val extras = if (plainSelect) missing.zipWithIndex.map { case (f, i) =>
+      SelectItem(f, Some(s"__sk$i")) } else Nil
+    val skName: Map[String, String] =
+      (if (plainSelect) missing.zipWithIndex.map { case (f, i) => f -> s"__sk$i" }.toMap
+       else Map.empty)
+
+    val probeDf = bDir.copy(
+      selects = bDir.selects ++ extras,
+      limitOpt = Some(n + 1)).compile(applyLimit = true)
+    val probe = probeDf.collect()
+    val hasMoreProbe = probe.length > n
+    val pageRaw = probe.take(n).toSeq
+    val page = if (reversed) pageRaw.reverse else pageRaw
+
+    // strip the __sk carrier columns (schema-preserving rows)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      probeDf.schema.fields.filterNot(f => f.name.startsWith("__sk")))
+    def strip(r: Row): Row =
+      if (extras.isEmpty) r
+      else new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        r.toSeq.take(outSchema.length).toArray, outSchema)
+    val rows = page.map(strip)
+
+    val (hasMore, hasPrev) = fromCursor match {
+      case None         => (hasMoreProbe, b.offsetOpt.exists(_ > 0))
+      case Some("next") => (hasMoreProbe, rows.nonEmpty)
+      case _            => (rows.nonEmpty, hasMoreProbe) // "prev"
+    }
+
+    def pivotOf(r: Row): Option[Seq[(String, String)]] =
+      scala.util.Try(b.orders.map { case (f, _) =>
+        f -> Option(r.getAs[Any](skName.getOrElse(f, outName(b, f))))
+          .map(_.toString).orNull
+      }).toOption
     val next =
-      if (hasMore && b.orders.nonEmpty)
-        Some(encodeCursor(b, "next", b.orders.map { case (f, _) =>
-          f -> Option(rows.last.getAs[Any](outName(b, f))).map(_.toString).orNull }))
+      if (hasMore && b.orders.nonEmpty && page.nonEmpty)
+        pivotOf(page.last).map(encodeCursor(b, "next", _))
       else None
     val prev =
-      if (b.orders.nonEmpty && rows.nonEmpty && b.offsetOpt.exists(_ > 0))
-        Some(encodeCursor(b, "prev", b.orders.map { case (f, _) =>
-          f -> Option(rows.head.getAs[Any](outName(b, f))).map(_.toString).orNull }))
+      if (hasPrev && b.orders.nonEmpty && page.nonEmpty &&
+          (fromCursor.isDefined || b.offsetOpt.exists(_ > 0)))
+        pivotOf(page.head).map(encodeCursor(b, "prev", _))
       else None
-    new QueryResult(rows, hasMore, b.offsetOpt.exists(_ > 0), next, prev,
+    new QueryResult(rows, hasMore, hasPrev, next, prev,
       (System.nanoTime() - t0) / 1000000, b)
   }
 
@@ -111,6 +165,7 @@ object QueryResult {
     val (dir, pivot) = decodeCursor(b, tok)
     val forward = dir == "next"
     val ks = keysetCond(b.orders, pivot, forward)
-    execute(b.copy(cond = b.cond && ks, offsetOpt = None))
+    executeImpl(b.copy(offsetOpt = None),
+      b.copy(cond = b.cond && ks, offsetOpt = None), Some(dir))
   }
 }

@@ -74,6 +74,10 @@ final class WatchSubscription(
         again = dirty.get()
       }
     } finally running.set(false)
+    // lost-wakeup guard: an event published between the loop's final
+    // dirty check and running.set(false) set dirty but could not enter —
+    // re-fire so the last write is never silently dropped
+    if (dirty.get() && !closed) fire()
   }
 
   def close(): Unit = { closed = true; hub.unsubscribe(this) }

@@ -54,6 +54,7 @@ object VectorSearch {
       distanceThreshold: Option[Double] = None): DataFrame = {
     val d = distCol(metric, col(vecCol), qArray(queryVector))
     val out = table
+      .where(col(vecCol).isNotNull) // null vectors would sort (nulls-first) into the top-K
       .select(col(pkCol).as("pk"), round(d, 6).as("distance"))
       .withColumn("score", round(vectorScore(metric, col("distance")), 6))
     val thresholded = distanceThreshold.fold(out)(t => out.where(col("distance") <= t))

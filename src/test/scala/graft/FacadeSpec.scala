@@ -35,6 +35,12 @@ class FacadeSpec extends SparkSpec {
       allowPartialErrors = true)
     assert(rep.successCount == 1 && rep.failedCount == 1)
     assert(e.table("items").count() == 3)
+    // unparseable value → failed split, not a driver exception
+    val rep2 = e.batchInsert("items",
+      Seq(Map("id" -> "5", "name" -> "ok", "qty" -> "not-a-number"),
+        Map("id" -> "6", "name" -> "fine", "qty" -> 1)),
+      allowPartialErrors = true)
+    assert(rep2.successCount == 1 && rep2.failedCount == 1)
   }
 
   test("update chain sugar + apply; delete chain (update_builder.dart:32-209)") {

@@ -88,6 +88,45 @@ class QueryBuilderSpec extends SparkSpec {
     assert(p2.data.map(_.toSeq) == offset.data.map(_.toSeq))
   }
 
+  test("orWhere as first predicate filters (does not OR onto True)") {
+    val n = engine.query("orders").orWhere("o_orderstatus", "=", "F").count()
+    assert(n == engine.table("orders").where(col("o_orderstatus") === "F").count())
+    // still ORs once a predicate exists
+    val both = engine.query("orders")
+      .whereEqual("o_orderstatus", "F").orWhere("o_orderstatus", "=", "O").count()
+    assert(both > n)
+  }
+
+  test("cursor works when sort field is not selected (sort-by-nonselected support)") {
+    val qb = engine.query("lineitem")
+      .select("l_orderkey", "l_linenumber")
+      .orderByDesc("l_extendedprice")
+      .orderByAsc("l_orderkey", "l_linenumber")
+      .limit(15)
+    val p1 = qb.run()
+    assert(p1.size == 15 && p1.hasMore)
+    assert(p1.data.head.schema.fieldNames.toSeq == Seq("l_orderkey", "l_linenumber"))
+    val p2 = p1.next()
+    val viaOffset = qb.offset(15).run()
+    assert(p2.data.map(_.toSeq) == viaOffset.data.map(_.toSeq))
+  }
+
+  test("prev() returns the immediately preceding page (not the prefix head)") {
+    val qb = engine.query("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderByDesc("l_extendedprice")
+      .orderByAsc("l_orderkey", "l_linenumber")
+      .limit(10)
+    val p1 = qb.run()
+    val p2 = p1.next()
+    val p3 = p2.next()
+    assert(p2.hasPrev && p3.hasPrev)
+    val back = p3.prev()
+    assert(back.data.map(_.toSeq) == p2.data.map(_.toSeq))
+    // and back again from the recovered page
+    assert(back.prev().data.map(_.toSeq) == p1.data.map(_.toSeq))
+  }
+
   test("cursor rejects foreign queries (query_executor.dart:416-450)") {
     val qb1 = engine.query("lineitem").orderByAsc("l_orderkey").limit(5)
     val tok = qb1.run().nextCursor.get
