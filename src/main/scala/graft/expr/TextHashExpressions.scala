@@ -1,0 +1,138 @@
+package graft.expr
+
+import org.apache.commons.codec.digest.DigestUtils
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Codegen kernels for the text-dedup hash pipeline. The HOF formulations
+ * (64 `aggregate` tallies for simhash, k×|shingles| `transform` md5 calls
+ * for minhash) are CodegenFallback — every token crosses the interpreted
+ * boundary 64×/k×. These kernels run the whole loop in one JVM static
+ * call, producing BYTE-IDENTICAL output to the Column versions (and
+ * therefore to the DuckDB oracles): same md5 hex strings, same hex-digit
+ * bit decode, same '0'/'1' bit-string / hex-string-min results.
+ * DedupSpec asserts kernel == HOF on real data.
+ */
+object TextHashKernel {
+
+  /** 64-bit simhash over distinct tokens → 64-char '0'/'1' string.
+    * Bit b of token t = (hexdigit(md5hex(t), b/4) >> (b%4)) & 1;
+    * per-bit majority over tokens (ties → '1'). */
+  def simhash64(toks: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val tallies = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val hex = DigestUtils.md5Hex(toks.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          val v = Character.digit(hex.charAt(b / 4), 16)
+          tallies(b) += (((v >> (b % 4)) & 1) * 2) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var b = 0
+    while (b < 64) { out(b) = if (tallies(b) >= 0) '1' else '0'; b += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  /** MinHash signature: element i = MIN over shingles s of
+    * md5hex(i + ":" + s) compared as strings (oracle family). */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[UTF8String](k)
+    var i = 0
+    while (i < k) {
+      val prefix = i.toString + ":"
+      var best: String = null
+      var j = 0
+      while (j < n) {
+        if (!shingles.isNullAt(j)) {
+          val h = DigestUtils.md5Hex((prefix + shingles.getUTF8String(j).toString)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (best == null || h.compareTo(best) < 0) best = h
+        }
+        j += 1
+      }
+      mins(i) = if (best == null) null else UTF8String.fromString(best)
+      i += 1
+    }
+    new GenericArrayData(mins.asInstanceOf[Array[Any]])
+  }
+}
+
+object ShingleKernel {
+  /** Word n-gram shingles of normalized text — byte-identical to the
+    * Column chain `array_distinct(transform(...))` over
+    * `split(trim(regexp_replace(lower(trim(text)), "\s+", " ")), "\s+")`:
+    * lowercase, collapse whitespace, n-gram join with ' ', distinct with
+    * first-occurrence order; < n tokens → one shingle of the whole text. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val norm = text.toString.trim.toLowerCase.replaceAll("\\s+", " ").trim
+    val toks = java.util.regex.Pattern.compile("\\s+").split(norm, -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length >= n) {
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    } else out.add(String.join(" ", toks: _*))
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** shingles(text, n) → ARRAY<STRING>, codegen'd. */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleKernel.shingles(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.ShingleKernel.shingles($a, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash64(tokens ARRAY<STRING>) → CHAR(64) bit-string, codegen'd. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernel.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.TextHashKernel.simhash64($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash(shingles ARRAY<STRING>, k) → ARRAY<STRING> of k hex mins. */
+case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernel.minhash(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.TextHashKernel.minhash($a, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -93,10 +93,13 @@ object GraftFunctions {
   def fingerprint(text: Column): Column =
     md5(normalizeText(text).cast("binary"))
 
-  /** Word-level shingles (n-grams of whitespace tokens) for MinHash.
-    * The token array is `bind`-bound: tokenization (trim+regex split)
-    * runs once per row, not once per shingle position. */
+  /** Word-level shingles (n-grams of whitespace tokens) for MinHash —
+    * codegen kernel (graft.expr.ShinglesExpr); `shinglesHof` is the
+    * byte-identical Column formulation kept as its spec cross-check. */
   def shingles(text: Column, n: Int): Column =
+    kcol(graft.expr.ShinglesExpr(kexp(text), n))
+
+  private[graft] def shinglesHof(text: Column, n: Int): Column =
     bind(whitespaceTokens(normalizeText(text))) { toks =>
       // sliding windows via transform over indices 0..len-n
       val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))

@@ -63,6 +63,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
   }
 
+  test("codegen hash kernels == HOF formulations byte-for-byte (oracle family)") {
+    import graft.functions.GraftFunctions.shingles
+    val docs500 = engine.table("documents").limit(200)
+    // shingle kernel == HOF chain (ordering + dedup + short-text fallback)
+    Seq(1, 2, 3, 5).foreach { n =>
+      val cmp = docs500.select(
+        shingles(col("text"), n).as("kern"),
+        graft.functions.GraftFunctions.shinglesHof(col("text"), n).as("hof"))
+      assert(cmp.where(col("kern") =!= col("hof")).count() == 0, s"n=$n")
+    }
+    val mh = docs500.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        Dedup.minhashFromShingles(col("sh"), 8).as("kern"),
+        Dedup.minhashFromShinglesHof(col("sh"), 8).as("hof"))
+    assert(mh.where(col("kern") =!= col("hof")).count() == 0)
+    val sh = docs500.select(Dedup.simhashTokens(col("text")).as("toks"))
+      .select(Dedup.simhashFromTokens(col("toks")).as("kern"),
+        Dedup.simhashFromTokensHof(col("toks")).as("hof"))
+    assert(sh.where(col("kern") =!= col("hof")).count() == 0)
+  }
+
   test("hammingDistance counts differing bits") {
     val df = spark.createDataFrame(Seq(("1100", "1010"))).toDF("a", "b")
     assert(df.select(Dedup.hammingDistance(col("a"), col("b"))).collect()(0).getInt(0) == 2)
