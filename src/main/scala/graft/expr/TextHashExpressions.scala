@@ -98,6 +98,56 @@ object ShingleKernel {
   }
 }
 
+object MarkerKernel {
+  /** Count hits of each marker set over a token array (multiplicity
+    * preserved — matches `filter(toks, array_contains(set, t))`).
+    * One pass over tokens for ALL sets. */
+  def counts(toks: ArrayData, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val out = new Array[Int](sets.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i).toString
+        var s = 0
+        while (s < sets.length) {
+          if (sets(s).contains(t)) out(s) += 1
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.map(Integer.valueOf).asInstanceOf[Array[Any]])
+  }
+
+  def build(sets: Seq[Seq[String]]): Array[java.util.HashSet[String]] =
+    sets.map { ms =>
+      val h = new java.util.HashSet[String]()
+      ms.foreach(h.add)
+      h
+    }.toArray
+}
+
+/** markerCounts(tokens, sets) → ARRAY<INT> of per-set hit counts —
+  * the language-ID / stopword scoring loop in one codegen pass. */
+case class MarkerCountsExpr(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType)
+
+  @transient private lazy val sets = MarkerKernel.build(markerSets)
+
+  override def nullSafeEval(a: Any): Any =
+    MarkerKernel.counts(a.asInstanceOf[ArrayData], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("markerSets", sets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, a => s"graft.expr.MarkerKernel.counts($a, $setsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** shingles(text, n) → ARRAY<STRING>, codegen'd. */
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType)

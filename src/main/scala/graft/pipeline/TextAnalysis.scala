@@ -62,11 +62,21 @@ object TextAnalysis {
     "was", "for", "on", "are", "as", "with", "at", "be", "this", "have",
     "from", "by", "not", "but", "they", "you", "his", "her", "we")
 
+  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
+  private def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftbridge.Bridge.expression(c)
+
+  /** Marker-hit counts per set in ONE codegen pass over the tokens
+    * (HOF `filter` is CodegenFallback — interpreted per token per set). */
+  private def markerCounts(toks: Column, sets: Seq[Seq[String]]): Column =
+    kcol(graft.expr.MarkerCountsExpr(kexp(toks), sets))
+
   def stopwordRatio(text: Column, stopwords: Seq[String] = StopwordsEn): Column =
     bind(whitespaceTokens(lower(text))) { toks =>
-      val sw = array(stopwords.map(lit): _*)
+      val hits = element_at(markerCounts(toks, Seq(stopwords)), 1)
       when(size(toks) === 0, 0.0)
-        .otherwise(size(array_intersect_count(toks, sw)).cast("double") / size(toks))
+        .otherwise(hits.cast("double") / size(toks))
     }
 
   /** Tokens that are stopwords, duplicates preserved (array_intersect
@@ -106,13 +116,11 @@ object TextAnalysis {
     markerHits(whitespaceTokens(lower(text)), LangMarkers.toMap.apply(lang))
 
   /** Argmax language among LangMarkers; ties broken by declaration order;
-    * "und" (undetermined) when no marker hits at all. Tokenizes once and
-    * binds the score VECTOR, so the argmax fold reads array slots instead
-    * of re-running the marker filters. */
+    * "und" (undetermined) when no marker hits at all. One tokenize + one
+    * kernel pass produces every language's score; the argmax fold reads
+    * array slots. */
   def langId(text: Column): Column =
-    bind(bind(whitespaceTokens(lower(text))) { toks =>
-      array(LangMarkers.map { case (_, ms) => markerHits(toks, ms) }: _*)
-    }) { scores =>
+    bind(markerCounts(whitespaceTokens(lower(text)), LangMarkers.map(_._2))) { scores =>
       val scored = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
         (l, element_at(scores, i + 1))
       }
