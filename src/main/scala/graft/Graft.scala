@@ -185,6 +185,96 @@ final class Graft(
       graft.write.Writes.upsertMerge(table(name), staged, ks))
   }
 
+  /**
+   * Schema auto-migration (reference "Instance Schema Auto Upgrade" —
+   * schemas are declared in code; on upgrade the engine reconciles
+   * storage): added fields materialize with their default (or null),
+   * removed fields are dropped, type changes are cast. The rewrite is an
+   * atomic overwrite; at scale prefer running it as a one-off job per
+   * table.
+   */
+  def migrateTable(newSchema: TableSchema): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, current_timestamp}
+    val name = newSchema.name
+    val current = table(name)
+    val have = current.schema.fieldNames.toSet
+    val target = newSchema.sparkSchema
+    val cols = target.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else {
+        val fieldDef = newSchema.fields.find(_.name == f.name)
+        val default = fieldDef.flatMap(_.defaultValue).map(lit)
+          .orElse(fieldDef.filter(_.defaultCurrentTimestamp).map(_ => current_timestamp()))
+          .getOrElse(lit(null))
+        default.cast(f.dataType).as(f.name)
+      }
+    }
+    graft.write.Writes.overwrite(this, name, current.select(cols: _*))
+    registry.register(space, newSchema)
+  }
+
+  /**
+   * Delete with foreign-key enforcement (reference
+   * foreign_key_manager.dart; actions table_schema.dart:2756-2786): for
+   * every registered table with an enabled FK referencing `name`,
+   * onDelete ∈ restrict (refuse when referencing rows exist) | cascade
+   * (delete them, recursively) | setNull (null the FK fields) | setDefault
+   * | noAction. Runs as a sequence of read→overwrite jobs.
+   */
+  def deleteEnforced(name: String, cond: graft.expr.Cond): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when => sqlWhen}
+    val victims = table(name).where(
+      cond.toColumn(col, table(name).schema.fields.map(f => f.name -> f.dataType).toMap.get))
+    val referencing = registry.tables(space).flatMap { t =>
+      registry.get(space, t).toSeq.flatMap(s =>
+        s.foreignKeys.filter(fk => fk.enabled && fk.referencedTable == name)
+          .map(fk => (s, fk)))
+    }
+    referencing.foreach { case (childSchema, fk) =>
+      val child = table(childSchema.name)
+      // referenced-key values renamed __ref_* so a same-named FK column on
+      // the child side cannot collide in the join
+      val keys = victims.select(fk.referencedFields.map(col): _*).distinct()
+        .toDF(fk.referencedFields.map("__ref_" + _): _*)
+      val joinCond = fk.fields.zip(fk.referencedFields)
+        .map { case (cf, rf) => child(cf) === keys("__ref_" + rf) }.reduce(_ && _)
+      val hit = child.join(keys, joinCond, "left_semi")
+      import graft.schema.FkAction
+      fk.onDelete match {
+        case FkAction.Restrict =>
+          val n = hit.count()
+          if (n > 0) throw new IllegalStateException(
+            s"delete restricted: $n row(s) in ${childSchema.name} reference $name " +
+              s"(onDelete=restrict, table_schema.dart:2756-2786)")
+        case FkAction.Cascade =>
+          // recurse so grandchildren honor THEIR actions before the child
+          // rows disappear
+          val childPks = hit.select(col(childSchema.primaryKey.name)).collect()
+            .map(_.get(0)).toSeq
+          if (childPks.nonEmpty)
+            deleteEnforced(childSchema.name,
+              graft.expr.Cond.Leaf(childSchema.primaryKey.name, "IN", childPks))
+        case FkAction.SetNull | FkAction.SetDefault =>
+          val marked = child.join(keys, joinCond, "left").withColumn("__hit",
+            keys.columns.map(keys(_)).map(_.isNotNull).reduce(_ && _))
+          val defaults = childSchema.fields.map(f => f.name -> f.defaultValue).toMap
+          val out = childSchema.fieldNames.map { f =>
+            if (fk.fields.contains(f)) {
+              val repl =
+                if (fk.onDelete == FkAction.SetDefault)
+                  defaults.getOrElse(f, None).map(lit).getOrElse(lit(null))
+                else lit(null)
+              sqlWhen(col("__hit"), repl).otherwise(col(f)).as(f)
+            } else col(f)
+          }
+          graft.write.Writes.overwrite(this, childSchema.name, marked.select(out: _*))
+        case FkAction.NoAction => ()
+      }
+    }
+    graft.write.Writes.overwrite(this, name,
+      graft.write.Writes.deletePreview(table(name), cond, allowDeleteAll = true))
+  }
+
   /** Truncate (keep schema) — tostore.dart:332-358. */
   def clear(name: String): Unit =
     graft.write.Writes.overwrite(this, name, table(name).limit(0))

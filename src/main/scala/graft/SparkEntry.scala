@@ -375,6 +375,15 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q42_json_extract" -> ((s, dir) => {
+      // json column access (reference DataType.json stored as free-form
+      // text, SURVEY §1.2 — queried via get_json_object/from_json)
+      eng(s, dir).table("events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k") > 90)
+        .orderBy("event_id")
+    }),
     "q41_asof_join" -> ((s, dir) => {
       // clicks enriched with the user's latest preceding purchase
       val ev = eng(s, dir).table("events")
@@ -528,6 +537,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderstatus = 'O'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q42_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         FROM events
+         WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
+         ORDER BY event_id""",
     "q41_asof_join" ->
       """SELECT l.user_id, l.event_id, l.ts, r.ts AS ts_right, r.value
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') l
