@@ -33,17 +33,21 @@ final class Graft(
   def switchSpace(name: String): Graft =
     new Graft(spark, dataDir, warehouse, name, registry, defaultQueryLimit, maxQueryOffset)
 
+  /** TTL without an explicit sourceField falls back to the engine-managed
+    * ingest timestamp (reference: hidden _system_ingest_ts_ms column,
+    * table_schema.dart:18-19) — added to the declared schema; batchInsert
+    * fills it. Applied by BOTH createTable and migrateTable so a migration
+    * never drops the column a TTL filter depends on. */
+  private def withSystemColumns(schema0: TableSchema): TableSchema =
+    if (schema0.ttl.exists(_.sourceField.isEmpty) &&
+        !schema0.fields.exists(_.name == Graft.IngestTsCol))
+      schema0.copy(fields = schema0.fields :+
+        graft.schema.FieldSchema(Graft.IngestTsCol, graft.schema.GType.GDateTime,
+          nullable = false, defaultCurrentTimestamp = true))
+    else schema0
+
   def createTable(schema0: TableSchema): Unit = {
-    // TTL without an explicit sourceField falls back to the engine-managed
-    // ingest timestamp (reference: hidden _system_ingest_ts_ms column,
-    // table_schema.dart:18-19) — add it to the schema; batchInsert fills it
-    val schema =
-      if (schema0.ttl.exists(_.sourceField.isEmpty) &&
-          !schema0.fields.exists(_.name == Graft.IngestTsCol))
-        schema0.copy(fields = schema0.fields :+
-          graft.schema.FieldSchema(Graft.IngestTsCol, graft.schema.GType.GDateTime,
-            nullable = false, defaultCurrentTimestamp = true))
-      else schema0
+    val schema = withSystemColumns(schema0)
     registry.register(space, schema)
     warehouse.foreach { w =>
       val p = managedPath(schema.name, schema.isGlobal)
@@ -193,8 +197,9 @@ final class Graft(
    * atomic overwrite; at scale prefer running it as a one-off job per
    * table.
    */
-  def migrateTable(newSchema: TableSchema): Unit = {
+  def migrateTable(newSchema0: TableSchema): Unit = {
     import org.apache.spark.sql.functions.{col, lit, current_timestamp}
+    val newSchema = withSystemColumns(newSchema0) // keep TTL ingest column alive
     val name = newSchema.name
     val current = table(name)
     val have = current.schema.fieldNames.toSet
@@ -220,59 +225,103 @@ final class Graft(
    * onDelete ∈ restrict (refuse when referencing rows exist) | cascade
    * (delete them, recursively) | setNull (null the FK fields) | setDefault
    * | noAction. Runs as a sequence of read→overwrite jobs.
+   *
+   * Ordering guarantee: EVERY Restrict constraint (transitively, through
+   * cascades) is checked BEFORE any destructive action runs — a late
+   * restrict never aborts a half-applied delete. Cascade cycles are cut at
+   * the first repeated table. Victim keys flow as DataFrames end-to-end
+   * (no driver collect, no literal IN lists).
    */
-  def deleteEnforced(name: String, cond: graft.expr.Cond): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, when => sqlWhen}
+  def deleteEnforced(name: String, cond: graft.expr.Cond,
+      allowDeleteAll: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    if (cond == graft.expr.Cond.True && !allowDeleteAll)
+      throw new IllegalArgumentException(
+        "condition-less delete requires allowDeleteAll (delete_builder.dart:4-39)")
     val victims = table(name).where(
       cond.toColumn(col, table(name).schema.fields.map(f => f.name -> f.dataType).toMap.get))
-    val referencing = registry.tables(space).flatMap { t =>
+    // phase 1: walk the FK graph checking every Restrict before touching data
+    checkRestrict(name, victims, Set(name))
+    // phase 2: apply cascades / set-actions, then delete the root victims
+    applyFkActions(name, victims, Set(name))
+    graft.write.Writes.overwrite(this, name,
+      graft.write.Writes.deletePreview(table(name), cond, allowDeleteAll = true))
+  }
+
+  private def referencingFks(name: String): Seq[(TableSchema, graft.schema.ForeignKeySchema)] =
+    registry.tables(space).flatMap { t =>
       registry.get(space, t).toSeq.flatMap(s =>
         s.foreignKeys.filter(fk => fk.enabled && fk.referencedTable == name)
           .map(fk => (s, fk)))
     }
-    referencing.foreach { case (childSchema, fk) =>
-      val child = table(childSchema.name)
-      // referenced-key values renamed __ref_* so a same-named FK column on
-      // the child side cannot collide in the join
-      val keys = victims.select(fk.referencedFields.map(col): _*).distinct()
-        .toDF(fk.referencedFields.map("__ref_" + _): _*)
-      val joinCond = fk.fields.zip(fk.referencedFields)
-        .map { case (cf, rf) => child(cf) === keys("__ref_" + rf) }.reduce(_ && _)
-      val hit = child.join(keys, joinCond, "left_semi")
-      import graft.schema.FkAction
+
+  /** Rows of `child` referencing any victim key (collision-safe join). */
+  private def fkHits(child: DataFrame, victims: DataFrame,
+      fk: graft.schema.ForeignKeySchema): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keys = victims.select(fk.referencedFields.map(col): _*).distinct()
+      .toDF(fk.referencedFields.map("__ref_" + _): _*)
+    val joinCond = fk.fields.zip(fk.referencedFields)
+      .map { case (cf, rf) => child(cf) === keys("__ref_" + rf) }.reduce(_ && _)
+    child.join(keys, joinCond, "left_semi")
+  }
+
+  private def checkRestrict(name: String, victims: DataFrame, visited: Set[String]): Unit = {
+    import graft.schema.FkAction
+    referencingFks(name).foreach { case (childSchema, fk) =>
+      lazy val hit = fkHits(table(childSchema.name), victims, fk)
       fk.onDelete match {
         case FkAction.Restrict =>
           val n = hit.count()
           if (n > 0) throw new IllegalStateException(
             s"delete restricted: $n row(s) in ${childSchema.name} reference $name " +
               s"(onDelete=restrict, table_schema.dart:2756-2786)")
+        case FkAction.Cascade if !visited.contains(childSchema.name) =>
+          checkRestrict(childSchema.name, hit, visited + childSchema.name)
+        case _ => ()
+      }
+    }
+  }
+
+  private def applyFkActions(name: String, victims: DataFrame, visited: Set[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when => sqlWhen}
+    import graft.schema.FkAction
+    referencingFks(name).foreach { case (childSchema, fk) =>
+      val child = table(childSchema.name)
+      val hit = fkHits(child, victims, fk)
+      fk.onDelete match {
+        case FkAction.Restrict => () // verified empty in phase 1
         case FkAction.Cascade =>
-          // recurse so grandchildren honor THEIR actions before the child
-          // rows disappear
-          val childPks = hit.select(col(childSchema.primaryKey.name)).collect()
-            .map(_.get(0)).toSeq
-          if (childPks.nonEmpty)
-            deleteEnforced(childSchema.name,
-              graft.expr.Cond.Leaf(childSchema.primaryKey.name, "IN", childPks))
-        case FkAction.SetNull | FkAction.SetDefault =>
-          val marked = child.join(keys, joinCond, "left").withColumn("__hit",
-            keys.columns.map(keys(_)).map(_.isNotNull).reduce(_ && _))
-          val defaults = childSchema.fields.map(f => f.name -> f.defaultValue).toMap
-          val out = childSchema.fieldNames.map { f =>
-            if (fk.fields.contains(f)) {
-              val repl =
-                if (fk.onDelete == FkAction.SetDefault)
-                  defaults.getOrElse(f, None).map(lit).getOrElse(lit(null))
-                else lit(null)
-              sqlWhen(col("__hit"), repl).otherwise(col(f)).as(f)
-            } else col(f)
+          if (!hit.isEmpty) {
+            // recurse first (cycle-cut at repeated tables) so grandchildren
+            // honor THEIR actions before the child rows disappear
+            if (!visited.contains(childSchema.name))
+              applyFkActions(childSchema.name, hit, visited + childSchema.name)
+            val pk = childSchema.primaryKey.name
+            val keep = child.join(hit.select(col(pk).as("__del_pk")),
+              child(pk) === col("__del_pk"), "left_anti")
+            graft.write.Writes.overwrite(this, childSchema.name, keep)
           }
-          graft.write.Writes.overwrite(this, childSchema.name, marked.select(out: _*))
+        case FkAction.SetNull | FkAction.SetDefault =>
+          if (!hit.isEmpty) {
+            val pk = childSchema.primaryKey.name
+            val marked = child.join(hit.select(col(pk).as("__hit_pk")),
+              child(pk) === col("__hit_pk"), "left")
+            val defaults = childSchema.fields.map(f => f.name -> f.defaultValue).toMap
+            val out = childSchema.fieldNames.map { f =>
+              if (fk.fields.contains(f)) {
+                val repl =
+                  if (fk.onDelete == FkAction.SetDefault)
+                    defaults.getOrElse(f, None).map(lit).getOrElse(lit(null))
+                  else lit(null)
+                sqlWhen(col("__hit_pk").isNotNull, repl).otherwise(col(f)).as(f)
+              } else col(f)
+            }
+            graft.write.Writes.overwrite(this, childSchema.name, marked.select(out: _*))
+          }
         case FkAction.NoAction => ()
       }
     }
-    graft.write.Writes.overwrite(this, name,
-      graft.write.Writes.deletePreview(table(name), cond, allowDeleteAll = true))
   }
 
   /** Truncate (keep schema) — tostore.dart:332-358. */

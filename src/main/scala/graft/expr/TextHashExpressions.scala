@@ -1,8 +1,6 @@
 package graft.expr
 
-import org.apache.commons.codec.digest.DigestUtils
-
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -20,22 +18,50 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object TextHashKernel {
 
+  // per-thread digest: DigestUtils allocates a MessageDigest per call,
+  // which dominates small-token hashing in the hot loop
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** 64-bit simhash over distinct tokens → 64-char '0'/'1' string.
     * Bit b of token t = (hexdigit(md5hex(t), b/4) >> (b%4)) & 1;
-    * per-bit majority over tokens (ties → '1'). */
+    * per-bit majority over tokens (ties → '1').
+    * A null token element poisons the result to all-zeros — byte-identical
+    * to the HOF formulation, where md5(null)=null nulls every tally and
+    * `when(null >= 0,...)` emits '0' per bit. */
   def simhash64(toks: ArrayData): UTF8String = {
     val n = toks.numElements()
     val tallies = new Array[Int](64)
     var i = 0
     while (i < n) {
-      if (!toks.isNullAt(i)) {
-        val hex = DigestUtils.md5Hex(toks.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 64) {
-          val v = Character.digit(hex.charAt(b / 4), 16)
-          tallies(b) += (((v >> (b % 4)) & 1) * 2) - 1
-          b += 1
-        }
+      if (toks.isNullAt(i)) {
+        val zeros = new Array[Byte](64)
+        java.util.Arrays.fill(zeros, '0'.toByte)
+        return UTF8String.fromBytes(zeros)
+      }
+      val hex = md5Hex(toks.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        val v = Character.digit(hex.charAt(b / 4), 16)
+        tallies(b) += (((v >> (b % 4)) & 1) * 2) - 1
+        b += 1
       }
       i += 1
     }
@@ -46,7 +72,9 @@ object TextHashKernel {
   }
 
   /** MinHash signature: element i = MIN over shingles s of
-    * md5hex(i + ":" + s) compared as strings (oracle family). */
+    * md5hex(i + ":" + s) compared as strings (oracle family). Null shingle
+    * elements are skipped (concat(i,':',null)=null → md5 null → ignored by
+    * array_min in the HOF form). */
   def minhash(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
     val mins = new Array[UTF8String](k)
@@ -57,7 +85,7 @@ object TextHashKernel {
       var j = 0
       while (j < n) {
         if (!shingles.isNullAt(j)) {
-          val h = DigestUtils.md5Hex((prefix + shingles.getUTF8String(j).toString)
+          val h = md5Hex((prefix + shingles.getUTF8String(j).toString)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           if (best == null || h.compareTo(best) < 0) best = h
         }
@@ -71,14 +99,16 @@ object TextHashKernel {
 }
 
 object ShingleKernel {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Word n-gram shingles of normalized text — byte-identical to the
     * Column chain `array_distinct(transform(...))` over
     * `split(trim(regexp_replace(lower(trim(text)), "\s+", " ")), "\s+")`:
     * lowercase, collapse whitespace, n-gram join with ' ', distinct with
     * first-occurrence order; < n tokens → one shingle of the whole text. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val norm = text.toString.trim.toLowerCase.replaceAll("\\s+", " ").trim
-    val toks = java.util.regex.Pattern.compile("\\s+").split(norm, -1)
+    val norm = WS.matcher(text.toString.trim.toLowerCase).replaceAll(" ").trim
+    val toks = WS.split(norm, -1)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
       var i = 0

@@ -37,9 +37,11 @@ object GraftFunctions {
   // whole-stage codegen with the SAME left-to-right double accumulation
   // (oracle-parity preserved, verified by q26/q31/q32 hash-match).
 
-  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+  /** Column ⇄ Expression shorthands for kernel call sites (shared by the
+    * pipeline packages — one idiom everywhere). */
+  private[graft] def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(e)
-  private def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+  private[graft] def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
   /** dot(a, b) */

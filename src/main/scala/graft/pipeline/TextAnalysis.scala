@@ -62,11 +62,6 @@ object TextAnalysis {
     "was", "for", "on", "are", "as", "with", "at", "be", "this", "have",
     "from", "by", "not", "but", "they", "you", "his", "her", "we")
 
-  private def kcol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
-    org.apache.spark.sql.graftbridge.Bridge.column(e)
-  private def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
-    org.apache.spark.sql.graftbridge.Bridge.expression(c)
-
   /** Marker-hit counts per set in ONE codegen pass over the tokens
     * (HOF `filter` is CodegenFallback — interpreted per token per set). */
   private def markerCounts(toks: Column, sets: Seq[Seq[String]]): Column =
@@ -78,11 +73,6 @@ object TextAnalysis {
       when(size(toks) === 0, 0.0)
         .otherwise(hits.cast("double") / size(toks))
     }
-
-  /** Tokens that are stopwords, duplicates preserved (array_intersect
-    * dedups, which would undercount — filter keeps multiplicity). */
-  private def array_intersect_count(toks: Column, sw: Column): Column =
-    filter(toks, t => array_contains(sw, t))
 
   /**
    * Composite quality score ∈ [0,1]: mean of clamped component signals —
