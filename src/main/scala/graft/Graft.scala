@@ -242,8 +242,11 @@ final class Graft(
       cond.toColumn(col, table(name).schema.fields.map(f => f.name -> f.dataType).toMap.get))
     // phase 1: walk the FK graph checking every Restrict before touching data
     checkRestrict(name, victims, Set(name))
-    // phase 2: apply cascades / set-actions, then delete the root victims
-    applyFkActions(name, victims, Set(name))
+    // phase 2: apply cascades / set-actions, then delete the root victims.
+    // victim sets are MATERIALIZED (localCheckpoint severs file lineage):
+    // a lazy plan captured before an overwrite would re-scan swapped-out
+    // files mid-cascade
+    applyFkActions(name, victims.localCheckpoint(true), Set(name))
     graft.write.Writes.overwrite(this, name,
       graft.write.Writes.deletePreview(table(name), cond, allowDeleteAll = true))
   }
@@ -288,7 +291,7 @@ final class Graft(
     import graft.schema.FkAction
     referencingFks(name).foreach { case (childSchema, fk) =>
       val child = table(childSchema.name)
-      val hit = fkHits(child, victims, fk)
+      val hit = fkHits(child, victims, fk).localCheckpoint(true)
       fk.onDelete match {
         case FkAction.Restrict => () // verified empty in phase 1
         case FkAction.Cascade =>

@@ -65,6 +65,56 @@ class FkMigrationSpec extends SparkSpec {
     assert(afterD(0).getAs[String]("dept_id") == "d0")
   }
 
+  test("restrict anywhere in the cascade graph aborts BEFORE any destructive action") {
+    val wh = Files.createTempDirectory("graft_fk2").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("p", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GText))))
+    e.createTable(TableSchema("child_cascade", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("p_id", GType.GText)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("p_id"), "p", Seq("id"),
+        onDelete = FkAction.Cascade))))
+    e.createTable(TableSchema("grandchild_restrict", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("c_id", GType.GText)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("c_id"), "child_cascade", Seq("id"),
+        onDelete = FkAction.Restrict))))
+    e.batchInsert("p", Seq(Map("id" -> "p1", "v" -> "x")))
+    e.batchInsert("child_cascade", Seq(Map("id" -> "c1", "p_id" -> "p1")))
+    e.batchInsert("grandchild_restrict", Seq(Map("id" -> "g1", "c_id" -> "c1")))
+    intercept[IllegalStateException] {
+      e.deleteEnforced("p", Cond.Leaf("id", "=", "p1"))
+    }
+    // nothing was destroyed: the transitive restrict fired in phase 1
+    assert(e.table("p").count() == 1)
+    assert(e.table("child_cascade").count() == 1)
+    assert(e.table("grandchild_restrict").count() == 1)
+  }
+
+  test("cascade cycles terminate (mutually-referencing FKs)") {
+    val wh = Files.createTempDirectory("graft_fk3").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("a", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("b_id", GType.GText)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("b_id"), "b", Seq("id"),
+        onDelete = FkAction.Cascade))))
+    e.createTable(TableSchema("b", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("a_id", GType.GText)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("a_id"), "a", Seq("id"),
+        onDelete = FkAction.Cascade))))
+    e.batchInsert("a", Seq(Map("id" -> "a1", "b_id" -> "b1")))
+    e.batchInsert("b", Seq(Map("id" -> "b1", "a_id" -> "a1")))
+    e.deleteEnforced("a", Cond.Leaf("id", "=", "a1")) // must not stack-overflow
+    assert(e.table("a").count() == 0)
+    assert(e.table("b").count() == 0)
+  }
+
+  test("deleteEnforced honors the condition-less guard") {
+    val e = engineWith(FkAction.NoAction)
+    intercept[IllegalArgumentException] { e.deleteEnforced("emp", Cond.True) }
+    e.deleteEnforced("emp", Cond.True, allowDeleteAll = true)
+    assert(e.table("emp").count() == 0)
+  }
+
   test("migrateTable: added field gets default, removed field dropped, type cast applied") {
     val wh = Files.createTempDirectory("graft_mig").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)
