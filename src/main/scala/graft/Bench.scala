@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warm-up so the alphabetically-first query doesn't absorb
+    // one-time JIT + classloading cost (~5 s) into its measurement
+    spark.range(100000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    try SparkEntry.queries("q19_count")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (count() would
