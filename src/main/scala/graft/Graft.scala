@@ -96,6 +96,25 @@ final class Graft(
 
   def query(name: String): QueryBuilder = QueryBuilder(this, name)
 
+  /** ANSI SQL over the engine's tables (Spark superset — the reference has
+    * NO SQL parser, SURVEY.md §intro; the chain API is its only language).
+    * Referenced table names are resolved through `table()` (managed space
+    * → global → dataDir) and registered as temp views on demand. */
+  def sql(query: String): DataFrame = {
+    // register every known table name that appears in the query text
+    val known = (registry.tables(space) ++ dataDirTables).distinct
+    known.filter(t => query.toLowerCase.matches(s"(?s).*\\b${t.toLowerCase}\\b.*"))
+      .foreach(t => table(t).createOrReplaceTempView(t))
+    spark.sql(query)
+  }
+
+  private def dataDirTables: Seq[String] = {
+    val d = new java.io.File(dataDir)
+    if (!d.isDirectory) Nil
+    else d.listFiles().toSeq.map(_.getName)
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+  }
+
   // ---------- write surface (lib/tostore.dart:332-686) ----------
 
   /** update(table).set(...).where(...) — fluent chain; `.preview` or

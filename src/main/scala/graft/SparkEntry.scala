@@ -375,6 +375,18 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q43_sql" -> ((s, dir) => {
+      // full ANSI SQL surface (engine superset; oracle = the same text)
+      eng(s, dir).sql(
+        """SELECT n_name, count(*) AS cnt,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE o_orderstatus = 'O'
+           GROUP BY n_name
+           ORDER BY n_name""")
+    }),
     "q42_json_extract" -> ((s, dir) => {
       // json column access (reference DataType.json stored as free-form
       // text, SURVEY §1.2 — queried via get_json_object/from_json)
@@ -537,6 +549,15 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt FROM orders
          WHERE o_orderstatus = 'O'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q43_sql" ->
+      """SELECT n_name, count(*) AS cnt,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY n_name
+         ORDER BY n_name""",
     "q42_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
          FROM events

@@ -170,6 +170,16 @@ class FacadeSpec extends SparkSpec {
     }
   }
 
+  test("sql() passthrough resolves engine tables (managed over dataDir)") {
+    val direct = engine.sql("SELECT count(*) AS c FROM lineitem WHERE l_quantity > 45")
+      .collect()(0).getLong(0)
+    assert(direct == engine.table("lineitem").where(col("l_quantity") > 45).count())
+    // managed tables resolve too
+    val e = freshEngine()
+    e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "a", "qty" -> 2, "price" -> 1.5)))
+    assert(e.sql("SELECT sum(qty) FROM items").collect()(0).getLong(0) == 2L)
+  }
+
   test("dropTable removes data + schema") {
     val e = freshEngine()
     e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "x", "qty" -> 1, "price" -> 1.0)))
