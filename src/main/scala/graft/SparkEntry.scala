@@ -23,6 +23,12 @@ object SparkEntry {
   private def eng(s: SparkSession, dir: String): Graft = Graft(s, dir)
   /** exact-arithmetic cast for FP-sensitive sums (oracle parity) */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Final-output cast: DECIMAL renders with trailing zeros ("460.50") while
+    * the driver's oracle renders the same value as a float ("460.5"), which
+    * breaks the text-hash gate. Accumulate exactly in DECIMAL, then cast the
+    * *result* to DOUBLE on BOTH the Spark and oracle sides. */
+  private def outDouble(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -83,6 +89,7 @@ object SparkEntry {
           Agg.max("l_quantity", "max_qty"))
         .toDF
         .withColumn("avg_qty", col("sum_qty").cast("double") / col("cnt"))
+        .transform(outDouble(_, "sum_qty", "sum_price"))
     }),
     "q07_agg_groupby" -> ((s, dir) => {
       eng(s, dir).query("lineitem")
@@ -94,6 +101,7 @@ object SparkEntry {
           Agg.sumCol(dec(col("l_extendedprice")), "sum_price"))
         .orderByAsc("l_returnflag", "l_linestatus")
         .toDF
+        .transform(outDouble(_, "sum_qty", "sum_price"))
     }),
     "q08_having" -> ((s, dir) => {
       eng(s, dir).query("orders")
@@ -102,6 +110,7 @@ object SparkEntry {
         .having(Cond.Leaf("cnt", ">", 100))
         .orderByAsc("o_orderpriority")
         .toDF
+        .transform(outDouble(_, "sum_total"))
     }),
 
     // ---- §2.4 joins ------------------------------------------------------
@@ -112,6 +121,7 @@ object SparkEntry {
         .agg(Agg.count(alias = "cnt"), Agg.sumCol(dec(col("o_totalprice")), "sum_total"))
         .orderByAsc("c_mktsegment")
         .toDF
+        .transform(outDouble(_, "sum_total"))
     }),
     "q10_join_left_null" -> ((s, dir) => {
       eng(s, dir).query("customer")
@@ -146,6 +156,7 @@ object SparkEntry {
         .agg(Agg.count(alias = "cnt"), Agg.sumCol(dec(col("l_extendedprice")), "sum_price"))
         .orderByAsc("o_orderpriority")
         .toDF
+        .transform(outDouble(_, "sum_price"))
     }),
 
     // ---- §2.6 distinct / §2.7 sort-limit-offset -------------------------
@@ -230,7 +241,7 @@ object SparkEntry {
     "q23_events_tumbling" -> ((s, dir) => {
       eng(s, dir).table("events")
         .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value"))
         .orderBy("bucket", "event_type")
     }),
 
@@ -327,7 +338,7 @@ object SparkEntry {
     "q36_events_session" -> ((s, dir) => {
       eng(s, dir).table("events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value"))
         .select(col("user_id"), col("w.start").as("session_start"), col("cnt"), col("sum_value"))
         .orderBy("user_id", "session_start")
     }),
@@ -353,7 +364,7 @@ object SparkEntry {
     "q38_rollup" -> ((s, dir) => {
       eng(s, dir).table("lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "q39_count_distinct" -> ((s, dir) => {
@@ -369,9 +380,10 @@ object SparkEntry {
       eng(s, dir).table("orders")
         .where(col("o_custkey") <= 50)
         .select(col("o_custkey"), col("o_orderkey"),
-          rank().over(w).as("rnk"),
+          rank().over(w).cast("long").as("rnk"),
           sum(dec(col("o_totalprice"))).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_total"))
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -379,7 +391,7 @@ object SparkEntry {
       // full ANSI SQL surface (engine superset; oracle = the same text)
       eng(s, dir).sql(
         """SELECT n_name, count(*) AS cnt,
-                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            FROM orders
            JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
@@ -542,7 +554,7 @@ object SparkEntry {
            FROM e
          )
          SELECT user_id, min(ts) AS session_start, count(*) AS cnt,
-                sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM g GROUP BY user_id, grp
          ORDER BY user_id, session_start""",
     "q37_watch" ->
@@ -551,7 +563,7 @@ object SparkEntry {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q43_sql" ->
       """SELECT n_name, count(*) AS cnt,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -572,7 +584,7 @@ object SparkEntry {
          ORDER BY l.user_id, l.event_id""",
     "q38_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -582,9 +594,9 @@ object SparkEntry {
     "q40_window_running" ->
       """SELECT o_custkey, o_orderkey,
                 rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
          FROM orders WHERE o_custkey <= 50
          ORDER BY o_custkey, o_orderkey""",
     "q01_filter_range" ->
@@ -611,30 +623,30 @@ object SparkEntry {
          ORDER BY c_custkey""",
     "q06_agg_global" ->
       """SELECT count(*) AS cnt,
-                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                 min(l_quantity) AS min_qty,
                 max(l_quantity) AS max_qty,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
          FROM lineitem""",
     "q07_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q08_having" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders
          GROUP BY o_orderpriority
          HAVING count(*) > 100
          ORDER BY o_orderpriority""",
     "q09_join_inner" ->
       """SELECT c_mktsegment, count(*) AS cnt,
-                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
@@ -653,7 +665,7 @@ object SparkEntry {
          ORDER BY n_name, r_name""",
     "q13_join_multi3" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -716,7 +728,7 @@ object SparkEntry {
          ORDER BY user_id, rn""",
     "q23_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS cnt,
-                sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events
          GROUP BY 1, 2
          ORDER BY bucket, event_type""",
