@@ -101,9 +101,17 @@ final class Graft(
     * Referenced table names are resolved through `table()` (managed space
     * → global → dataDir) and registered as temp views on demand. */
   def sql(query: String): DataFrame = {
-    // register every known table name that appears in the query text
+    // resolve referenced relations through the real SQL parser (a regex
+    // over query text misses quoted identifiers and false-positives on
+    // names inside string literals): collect UnresolvedRelation across the
+    // plan INCLUDING expression subqueries, then register the known ones
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    val referenced = plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last.toLowerCase
+    }.toSet
     val known = (registry.tables(space) ++ dataDirTables).distinct
-    known.filter(t => query.toLowerCase.matches(s"(?s).*\\b${t.toLowerCase}\\b.*"))
+    known.filter(t => referenced.contains(t.toLowerCase))
       .foreach(t => table(t).createOrReplaceTempView(t))
     spark.sql(query)
   }
@@ -158,7 +166,7 @@ final class Graft(
     // coercion failures don't throw: the row is flagged and lands in the
     // failed split (the allowPartialErrors contract covers bad values, not
     // just nulls)
-    val data = rows.map { m =>
+    val data = rows.zipWithIndex.map { case (m, idx) =>
       var ok = true
       val vs = schema.fields.map { f =>
         val raw =
@@ -168,22 +176,50 @@ final class Graft(
         try jvm(raw, f.dataType)
         catch { case _: RuntimeException => ok = false; null }
       }
-      org.apache.spark.sql.Row(vs :+ ok: _*)
+      org.apache.spark.sql.Row(vs ++ Seq(ok, idx.toLong): _*)
     }
     // stage all-nullable so invalid rows survive encoding long enough to be
     // split out by the validation pass (instead of crashing the encoder)
-    val stagingSchema = StructType(schema.fields.map(_.copy(nullable = true)) :+
-      StructField("__parse_ok", BooleanType, nullable = false))
+    val stagingSchema = StructType(schema.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField("__parse_ok", BooleanType, nullable = false),
+      StructField("__row_idx", LongType, nullable = false)))
     val staged = spark.createDataFrame(
       spark.sparkContext.parallelize(data, math.max(1, rows.size / 10000)), stagingSchema)
     val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
-    val (good, bad) = graft.write.Writes.validateRows(staged, notNull,
-      checks = Seq(org.apache.spark.sql.functions.col("__parse_ok")))
+    // declared constraints (maxLength/minLength/minValue/maxValue) join the
+    // parse check — the reference enforces them at insert time
+    // (table_schema.dart:1177-1216)
+    val regSchema = registry.get(space, name)
+    val checks = org.apache.spark.sql.functions.col("__parse_ok") +:
+      regSchema.map(s => graft.write.Writes.constraintChecks(s.fields)).getOrElse(Nil)
+    val (good0, bad0) = graft.write.Writes.validateRows(staged, notNull, checks)
+    // uniqueness (PK + unique indexes/fields, data_store_impl.dart:1527→2229):
+    // within-batch first occurrence wins; rows colliding with the existing
+    // table are rejected via anti-join (no driver-side key lists)
+    import org.apache.spark.sql.functions.{col => c, row_number}
+    var good = good0
+    var bads = List(bad0)
+    regSchema.toSeq.flatMap(_.uniqueKeySets.distinct).foreach { ks =>
+      if (ks.forall(staged.columns.contains)) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(ks.map(c): _*).orderBy(c("__row_idx"))
+        val marked = good.withColumn("__rn", row_number().over(w))
+        bads ::= marked.where(c("__rn") > 1).drop("__rn")
+        good = marked.where(c("__rn") === 1).drop("__rn")
+        if (managedExists(name)) {
+          val existing = table(name).select(ks.map(c): _*)
+          bads ::= good.join(existing, ks, "left_semi")
+          good = good.join(existing, ks, "left_anti")
+        }
+      }
+    }
+    val bad = bads.reduce(_ unionByName _)
     if (!allowPartialErrors && !bad.isEmpty)
       throw new IllegalArgumentException(
         s"batchInsert: ${bad.count()} invalid row(s); pass allowPartialErrors to skip them")
-    graft.write.Writes.append(this, name, good.drop("__parse_ok"))
-    graft.write.WriteReport(good.count(), bad.count(), bad.drop("__parse_ok"))
+    val carriers = Seq("__parse_ok", "__row_idx")
+    graft.write.Writes.append(this, name, good.drop(carriers: _*))
+    graft.write.WriteReport(good.count(), bad.count(), bad.drop(carriers: _*))
   }
 
   /** batchUpdate: partial per-field update of rows located by PK
@@ -268,6 +304,117 @@ final class Graft(
     applyFkActions(name, victims.localCheckpoint(true), Set(name))
     graft.write.Writes.overwrite(this, name,
       graft.write.Writes.deletePreview(table(name), cond, allowDeleteAll = true))
+  }
+
+  /**
+   * Update with foreign-key enforcement — the onUpdate mirror of
+   * `deleteEnforced` (reference enforces BOTH onDelete and onUpdate,
+   * table_schema.dart:2814-2886, foreign_key_manager.dart). Applies when
+   * the update rewrites a referenced key field: for every enabled FK whose
+   * referencedFields intersect the SET list, onUpdate ∈ restrict (refuse
+   * while referencing rows exist) | cascade (rewrite the child FK columns
+   * to the new key values) | setNull | setDefault | noAction.
+   *
+   * Child FK columns are data, not keys-of-keys — a cascaded key rewrite
+   * does not change the child's own PK, so one level of enforcement
+   * suffices (no recursion, unlike delete cascades). Restrict checks all
+   * run BEFORE any mutation.
+   */
+  def updateEnforced(name: String, sets: Seq[(String, graft.expr.UExpr)],
+      cond: graft.expr.Cond, allowUpdateAll: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when => sqlWhen}
+    import graft.schema.FkAction
+    if (cond == graft.expr.Cond.True && !allowUpdateAll)
+      throw new IllegalArgumentException(
+        "condition-less update requires allowUpdateAll (update_builder.dart:215-219)")
+    val parent = table(name)
+    val types = parent.schema.fields.map(f => f.name -> f.dataType).toMap
+    val pred = cond.toColumn(col, types.get)
+    val setMap = sets.toMap
+    val changed = setMap.keySet
+    val affected = referencingFks(name)
+      .filter { case (_, fk) => fk.referencedFields.exists(changed) }
+
+    /** (old key cols as __old_*, new key cols as __new_*) of rows whose
+      * referenced key value actually changes under the SET list. */
+    def keyMapping(fk: graft.schema.ForeignKeySchema) = {
+      val olds = fk.referencedFields.map(f => col(f).as(s"__old_$f"))
+      val news = fk.referencedFields.map { f =>
+        setMap.get(f)
+          .map(e => e.toColumn(col, lit(true)).cast(types(f)))
+          .getOrElse(col(f)).as(s"__new_$f")
+      }
+      parent.where(pred).select(olds ++ news: _*)
+        .where(fk.referencedFields
+          .map(f => !(col(s"__old_$f") <=> col(s"__new_$f"))).reduce(_ || _))
+        // one mapping row per old key — a duplicate would multiply child
+        // rows through the rewrite join
+        .dropDuplicates(fk.referencedFields.map(f => s"__old_$f"))
+    }
+    def hits(child: DataFrame, fk: graft.schema.ForeignKeySchema, mapping: DataFrame) = {
+      val on = fk.fields.zip(fk.referencedFields)
+        .map { case (cf, rf) => child(cf) === mapping(s"__old_$rf") }.reduce(_ && _)
+      (on, child.join(mapping, on, "left_semi"))
+    }
+
+    // phase 1: every Restrict verified before anything is rewritten
+    affected.foreach { case (childSchema, fk) =>
+      if (fk.onUpdate == FkAction.Restrict) {
+        val (_, hit) = hits(table(childSchema.name), fk, keyMapping(fk))
+        val nHits = hit.count()
+        if (nHits > 0) throw new IllegalStateException(
+          s"update restricted: $nHits row(s) in ${childSchema.name} reference $name " +
+            s"(onUpdate=restrict, table_schema.dart:2814-2886)")
+      }
+    }
+    // phase 2: child rewrites (materialized mappings — the parent overwrite
+    // below swaps the files a lazy plan would re-scan)
+    affected.foreach { case (childSchema, fk) =>
+      val child = table(childSchema.name)
+      val mapping = keyMapping(fk).localCheckpoint(true)
+      fk.onUpdate match {
+        case FkAction.Cascade =>
+          if (!mapping.isEmpty) {
+            val on = fk.fields.zip(fk.referencedFields)
+              .map { case (cf, rf) => child(cf) === mapping(s"__old_$rf") }.reduce(_ && _)
+            val joined = child.join(mapping, on, "left")
+            val matched = fk.referencedFields
+              .map(rf => mapping(s"__old_$rf").isNotNull).reduce(_ && _)
+            val out = childSchema.fieldNames.map { f =>
+              fk.fields.indexOf(f) match {
+                case -1 => child(f).as(f)
+                case i  =>
+                  val rf = fk.referencedFields(i)
+                  sqlWhen(matched, mapping(s"__new_$rf")).otherwise(child(f)).as(f)
+              }
+            }
+            graft.write.Writes.overwrite(this, childSchema.name, joined.select(out: _*))
+          }
+        case FkAction.SetNull | FkAction.SetDefault =>
+          if (!mapping.isEmpty) {
+            val on = fk.fields.zip(fk.referencedFields)
+              .map { case (cf, rf) => child(cf) === mapping(s"__old_$rf") }.reduce(_ && _)
+            val marked = child.join(mapping, on, "left")
+            val defaults = childSchema.fields.map(f => f.name -> f.defaultValue).toMap
+            val matched = fk.referencedFields
+              .map(rf => mapping(s"__old_$rf").isNotNull).reduce(_ && _)
+            val out = childSchema.fieldNames.map { f =>
+              if (fk.fields.contains(f)) {
+                val repl =
+                  if (fk.onUpdate == FkAction.SetDefault)
+                    defaults.getOrElse(f, None).map(lit).getOrElse(lit(null))
+                  else lit(null)
+                sqlWhen(matched, repl).otherwise(child(f)).as(f)
+              } else child(f).as(f)
+            }
+            graft.write.Writes.overwrite(this, childSchema.name, marked.select(out: _*))
+          }
+        case _ => () // Restrict verified in phase 1; NoAction
+      }
+    }
+    // finally the parent update itself
+    graft.write.Writes.overwrite(this, name,
+      graft.write.Writes.updatePreview(parent, sets, cond, allowUpdateAll = true))
   }
 
   private def referencingFks(name: String): Seq[(TableSchema, graft.schema.ForeignKeySchema)] =

@@ -248,9 +248,11 @@ object SparkEntry {
     // ---- pipeline extras: text / dedup / vector --------------------------
     "q24_text_stats" -> ((s, dir) => {
       val d = eng(s, dir).table("documents")
-      d.select(col("doc_id"), length(col("text")).as("len"),
-          tokenCount(col("text")).as("tok_cnt"),
-          fingerprint(col("text")).as("fp"))
+      // fused kernel: one pass computes len+tok_cnt+fp (struct projected
+      // behind a boundary so it evaluates once, not per output column)
+      d.select(col("doc_id"), textStats(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts.len").as("len"),
+          col("ts.tok_cnt").as("tok_cnt"), col("ts.fp").as("fp"))
         .orderBy("doc_id")
     }),
     "q25_dedup_exact" -> ((s, dir) => {

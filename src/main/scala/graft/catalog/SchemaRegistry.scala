@@ -35,15 +35,17 @@ final class SchemaRegistry {
 
   /** Resolve the FK join keys between `from` and `to`, forward (from
     * references to) or reverse (to references from) — reference
-    * query_builder.dart:851-951. Returns (fromField, toField) of the first
-    * FK pair; composite FKs use the first pair as ON, the rest belong in
-    * WHERE (reference quirk, query_builder.dart:210-253). */
-  def resolveFkJoin(from: String, to: String, space: String = "default"): Option[(String, String)] = {
-    def firstPair(s: TableSchema, target: String): Option[(String, String)] =
+    * query_builder.dart:851-951. Returns ALL (fromField, toField) pairs of
+    * the FK; composite FKs use the first pair as ON and the residual pairs
+    * as WHERE equality filters (reference quirk,
+    * query_builder.dart:210-253) — the caller applies that split. */
+  def resolveFkJoin(from: String, to: String,
+      space: String = "default"): Option[Seq[(String, String)]] = {
+    def pairs(s: TableSchema, target: String): Option[Seq[(String, String)]] =
       s.foreignKeys.find(fk => fk.enabled && fk.referencedTable == target)
-        .map(fk => (fk.fields.head, fk.referencedFields.head))
-    get(space, from).flatMap(firstPair(_, to))
-      .orElse(get(space, to).flatMap(firstPair(_, from).map(_.swap)))
+        .map(fk => fk.fields.zip(fk.referencedFields))
+    get(space, from).flatMap(pairs(_, to))
+      .orElse(get(space, to).flatMap(pairs(_, from).map(_.map(_.swap))))
   }
 
   /** Numeric-string PK sort shim: sequential / timestampBased /

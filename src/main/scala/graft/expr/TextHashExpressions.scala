@@ -40,6 +40,8 @@ object TextHashKernel {
     new String(out)
   }
 
+  private[expr] def md5HexPublic(bytes: Array[Byte]): String = md5Hex(bytes)
+
   /** 64-bit simhash over distinct tokens → 64-char '0'/'1' string.
     * Bit b of token t = (hexdigit(md5hex(t), b/4) >> (b%4)) & 1;
     * per-bit majority over tokens (ties → '1').
@@ -95,6 +97,43 @@ object TextHashKernel {
       i += 1
     }
     new GenericArrayData(mins.asInstanceOf[Array[Any]])
+  }
+}
+
+object TextStatsKernel {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** One pass over the document: (char length, whitespace-token count,
+    * md5 fingerprint of the normalized text). Byte-identical to the Column
+    * formulation `length(text)` / `size(split(trim(text), "\s+"))` /
+    * `md5(regexp_replace(lower(trim(text)), "\s+", " ").cast("binary"))` —
+    * which re-runs the trim/lower/regex chain once PER OUTPUT COLUMN.
+    * Spark `trim` strips 0x20 only (UTF8String.trim), not Java's <=0x20. */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = text.numChars()
+    val trimmed = text.trim().toString
+    val tokCnt = WS.split(trimmed, -1).length
+    val norm = WS.matcher(trimmed.toLowerCase).replaceAll(" ")
+    val fp = TextHashKernel.md5HexPublic(
+      norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](len, tokCnt, UTF8String.fromString(fp)))
+  }
+
+  /** Distinct normalized whitespace tokens, first-occurrence order —
+    * byte-identical to `array_distinct(split(trim(regexp_replace(
+    * lower(trim(text)), "\s+", " ")), "\s+"))` in one pass. */
+  def distinctTokens(text: UTF8String): ArrayData = {
+    val norm = WS.matcher(text.trim().toString.toLowerCase).replaceAll(" ").trim
+    val toks = WS.split(norm, -1)
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < toks.length) { out.add(toks(i)); i += 1 }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
   }
 }
 
@@ -174,6 +213,37 @@ case class MarkerCountsExpr(child: Expression, markerSets: Seq[Seq[String]])
       "java.util.HashSet[]")
     defineCodeGen(ctx, ev, a => s"graft.expr.MarkerKernel.counts($a, $setsRef)")
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** textStats(text) → STRUCT<len INT, tok_cnt INT, fp STRING> in one
+  * kernel pass (the q24 path: three regex chains fused into one). */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("tok_cnt", IntegerType, nullable = false),
+    StructField("fp", StringType, nullable = false)))
+
+  override def nullSafeEval(a: Any): Any =
+    TextStatsKernel.stats(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.TextStatsKernel.stats($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** distinctTokens(text) → ARRAY<STRING>: normalized whitespace tokens,
+  * deduped first-occurrence — the simhash tokenization in one pass. */
+case class DistinctTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(a: Any): Any =
+    TextStatsKernel.distinctTokens(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.TextStatsKernel.distinctTokens($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -95,6 +95,14 @@ object GraftFunctions {
   def fingerprint(text: Column): Column =
     md5(normalizeText(text).cast("binary"))
 
+  /** Fused text stats in ONE kernel pass per row:
+    * STRUCT<len, tok_cnt, fp> — byte-identical to `length(text)` /
+    * `tokenCount(text)` / `fingerprint(text)`, which are three separate
+    * regex chains per output column. Project the struct once, then read
+    * fields (CollapseProject won't inline a non-cheap multi-use alias). */
+  def textStats(text: Column): Column =
+    kcol(graft.expr.TextStatsExpr(kexp(text)))
+
   /** Word-level shingles (n-grams of whitespace tokens) for MinHash —
     * codegen kernel (graft.expr.ShinglesExpr); `shinglesHof` is the
     * byte-identical Column formulation kept as its spec cross-check. */

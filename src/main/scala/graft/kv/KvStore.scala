@@ -51,6 +51,20 @@ final class KvStore(
     }
   }
 
+  /** watchValues(keys): plural form (lib/tostore.dart:758-791) — one
+    * emission carries the current value of every watched key; initial
+    * emission + re-read per KV write, duplicate maps suppressed. */
+  def watchValues(keys: Seq[String])(onValues: Map[String, String] => Unit)
+      : graft.streaming.WatchSubscription = {
+    val h = hub.getOrElse(throw new IllegalStateException(
+      "watchValues requires a KvStore constructed with a WatchHub"))
+    @volatile var last: Option[Map[String, String]] = None
+    h.watchCompute(tableName, () => Seq.empty) { _ =>
+      val vs = getMany(keys)
+      if (!last.contains(vs)) { last = Some(vs); onValues(vs) }
+    }
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = true),

@@ -17,7 +17,11 @@ final case class JoinSpec(
     leftKey: String,
     op: String,
     rightKey: String,
-    joinType: String)
+    joinType: String,
+    alias: Option[String] = None) {
+  /** Name this occurrence is known by in qualified refs and output naming. */
+  def name: String = alias.getOrElse(table)
+}
 
 /** Select list item: "field", "field as alias" (AS case-insensitive,
   * alias validated [A-Za-z0-9_]+), "table.field"
@@ -122,22 +126,43 @@ final case class QueryBuilder(
 
   // ---------- joins (SURVEY.md §2.4) ----------
 
+  /** Join target syntax: "table" or "table as alias" — the alias names the
+    * occurrence in qualified refs and output columns, which makes
+    * SELF-JOINS unambiguous (`join("events as e2", "events.user_id", "=",
+    * "e2.user_id")`). A repeated bare target is auto-aliased `t_2, t_3, …`
+    * (the reference permits repeated chain targets,
+    * query_executor.dart:585-601). */
+  private def mkJoin(t: String, lk: String, op: String, rk: String, jt: String): JoinSpec = {
+    val item = SelectItem.parse(t)
+    val base = item.alias.map(a => JoinSpec(item.field, lk, op, rk, jt, Some(a)))
+      .getOrElse(JoinSpec(t.trim, lk, op, rk, jt))
+    if (base.alias.isEmpty && (table +: joins.map(_.name)).contains(base.name))
+      base.copy(alias = Some(s"${base.table}_${joins.count(_.table == base.table) + 2}"))
+    else base
+  }
   def join(t: String, leftKey: String, op: String, rightKey: String): QueryBuilder =
-    copy(joins = joins :+ JoinSpec(t, leftKey, op, rightKey, "inner"))
+    copy(joins = joins :+ mkJoin(t, leftKey, op, rightKey, "inner"))
   def leftJoin(t: String, leftKey: String, op: String, rightKey: String): QueryBuilder =
-    copy(joins = joins :+ JoinSpec(t, leftKey, op, rightKey, "left"))
+    copy(joins = joins :+ mkJoin(t, leftKey, op, rightKey, "left"))
   def rightJoin(t: String, leftKey: String, op: String, rightKey: String): QueryBuilder =
-    copy(joins = joins :+ JoinSpec(t, leftKey, op, rightKey, "right"))
+    copy(joins = joins :+ mkJoin(t, leftKey, op, rightKey, "right"))
 
   /** FK-based auto-join: the ON clause is resolved from declared foreign
     * keys in the schema registry, forward (this table references `t`) or
     * reverse (`t` references this table) — reference
-    * query_builder.dart:210-253, 851-951. */
+    * query_builder.dart:210-253, 851-951. Composite FKs: first key pair →
+    * ON, residual pairs → WHERE equality filters (the reference's split,
+    * query_builder.dart:210-253). */
   def joinWithForeignKey(t: String, joinType: String = "inner"): QueryBuilder = {
-    val spec = engine.registry.resolveFkJoin(lastTable, t).getOrElse(
+    val pairs = engine.registry.resolveFkJoin(lastTable, t, engine.space).getOrElse(
       throw new IllegalArgumentException(s"no foreign key between $lastTable and $t"))
-    val (lk, rk) = spec
-    copy(joins = joins :+ JoinSpec(t, s"$lastTable.$lk", "=", s"$t.$rk", joinType))
+    val (lk, rk) = pairs.head
+    val residualCond = pairs.tail.foldLeft(cond) { case (c, (lf, rf)) =>
+      c && Cond.Leaf(s"$lastTable.$lf", "=", col(s"$t.$rf"))
+    }
+    copy(
+      joins = joins :+ JoinSpec(t, s"$lastTable.$lk", "=", s"$t.$rk", joinType),
+      cond = residualCond)
   }
   def joinReferencedTable(t: String): QueryBuilder = joinWithForeignKey(t)
   def joinReferencingTable(t: String): QueryBuilder = joinWithForeignKey(t)
@@ -167,8 +192,8 @@ final case class QueryBuilder(
     }
     addTypes(table, base)
     val joined = joins.foldLeft(base) { (acc, j) =>
-      val right = engine.table(j.table).as(j.table)
-      addTypes(j.table, right)
+      val right = engine.table(j.table).as(j.name)
+      addTypes(j.name, right)
       val on = Cond.Leaf(j.leftKey, j.op, col(j.rightKey))
         .toColumn(col, f => None) // join keys compared natively; Catalyst inserts casts
       acc.join(right, on, j.joinType)
@@ -183,7 +208,8 @@ final case class QueryBuilder(
     * table's parquet footer. */
   private lazy val flattenNames: Seq[(String, String)] = { // (qualifiedRef, outputName)
     val perTable: Seq[(String, Seq[String])] =
-      (table +: joins.map(_.table)).distinct.map(t => t -> engine.table(t).schema.fieldNames.toSeq)
+      ((table, table) +: joins.map(j => (j.name, j.table))).distinct
+        .map { case (n, t) => n -> engine.table(t).schema.fieldNames.toSeq }
     val counts = perTable.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
     perTable.flatMap { case (t, fs) =>
       fs.map(f => (s"$t.$f", if (counts(f) > 1) s"$t.$f" else f))
@@ -251,7 +277,7 @@ final case class QueryBuilder(
     // both are Spark defaults). Numeric-string PKs sort (length, value)
     // — value_matcher.dart:121-148.
     val sortCols: Seq[Column] = orders.flatMap { case (f, asc) =>
-      val cs = engine.registry.numericStringSortCols(table, f, bt(f))
+      val cs = engine.registry.numericStringSortCols(table, f, bt(f), engine.space)
       cs.map(c => if (asc) c.asc else c.desc)
     }
     val sorted = if (sortCols.nonEmpty) deduped.orderBy(sortCols: _*) else deduped

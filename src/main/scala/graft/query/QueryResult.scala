@@ -83,6 +83,23 @@ object QueryResult {
     Cond.or(clauses: _*)
   }
 
+  /** Effective cursor sort keys: the user's orderBy + the PK appended as an
+    * automatic tie-break (ascending in scan direction) when the table has a
+    * registered schema and the PK isn't already a sort key — the
+    * reference's sortKey cursor mode always carries `orderBy + primary key`
+    * (query_executor.dart:2948-2993, 3012-3018), so pages stay stable over
+    * non-unique sort columns without a caller-supplied total order. */
+  private def effectiveOrders(b: QueryBuilder): Seq[(String, Boolean)] = {
+    val plain = b.aggs.isEmpty && b.groups.isEmpty && b.distinctOn.isEmpty
+    val pk = b.engine.registry.get(b.engine.space, b.table).map(_.primaryKey.name)
+    pk match {
+      case Some(p) if plain && b.orders.nonEmpty &&
+          !b.orders.exists { case (f, _) => f == p || f.endsWith(s".$p") } =>
+        b.orders :+ (p -> true)
+      case _ => b.orders
+    }
+  }
+
   private[graft] def execute(b: QueryBuilder): QueryResult =
     executeImpl(b, b, fromCursor = None)
 
@@ -99,16 +116,18 @@ object QueryResult {
     val t0 = System.nanoTime()
     val n = b.limitOpt.getOrElse(b.engine.defaultQueryLimit)
     val reversed = fromCursor.contains("prev")
+    val ords = effectiveOrders(b) // user's orderBy + automatic PK tie-break
+    val bEff = bExec.copy(orders = ords)
     val bDir =
-      if (reversed) bExec.copy(orders = bExec.orders.map { case (f, asc) => (f, !asc) })
-      else bExec
+      if (reversed) bEff.copy(orders = bEff.orders.map { case (f, asc) => (f, !asc) })
+      else bEff
 
     // sort-key values must ride along even when not projected (the builder
     // supports ordering by non-selected fields): append them as __sk columns
     // and strip them from the returned rows
     val plainSelect = bDir.aggs.isEmpty && bDir.groups.isEmpty &&
       bDir.distinctOn.isEmpty && bDir.selects.nonEmpty
-    val missing = b.orders.map(_._1).distinct
+    val missing = ords.map(_._1).distinct
       .filterNot(f => bDir.selects.exists(_.field == f))
     val extras = if (plainSelect) missing.zipWithIndex.map { case (f, i) =>
       SelectItem(f, Some(s"__sk$i")) } else Nil
@@ -140,7 +159,7 @@ object QueryResult {
     }
 
     def pivotOf(r: Row): Option[Seq[(String, String)]] =
-      scala.util.Try(b.orders.map { case (f, _) =>
+      scala.util.Try(ords.map { case (f, _) =>
         f -> Option(r.getAs[Any](skName.getOrElse(f, outName(b, f))))
           .map(_.toString).orNull
       }).toOption
@@ -164,7 +183,7 @@ object QueryResult {
   private[query] def executeCursor(b: QueryBuilder, tok: String): QueryResult = {
     val (dir, pivot) = decodeCursor(b, tok)
     val forward = dir == "next"
-    val ks = keysetCond(b.orders, pivot, forward)
+    val ks = keysetCond(effectiveOrders(b), pivot, forward)
     executeImpl(b.copy(offsetOpt = None),
       b.copy(cond = b.cond && ks, offsetOpt = None), Some(dir))
   }

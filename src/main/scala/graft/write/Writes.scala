@@ -127,6 +127,22 @@ object Writes {
     (staged.where(okCond), staged.where(!coalesce(okCond, lit(false))))
   }
 
+  /** Per-row checks from the declared field constraints — the reference
+    * validates maxLength/minLength/minValue/maxValue at insert/upsert time
+    * (table_schema.dart:1177-1216; "Non-Nullable Constraint" suite,
+    * example/lib/testing/database_tester.dart:117-148). NULL passes a
+    * range/length check (nullability is enforced separately). */
+  def constraintChecks(fields: Seq[graft.schema.FieldSchema]): Seq[Column] =
+    fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        f.maxLength.map(n => c.isNull || length(c) <= n),
+        f.minLength.map(n => c.isNull || length(c) >= n),
+        f.minValue.map(v => c.isNull || c >= v),
+        f.maxValue.map(v => c.isNull || c <= v)
+      ).flatten
+    }
+
   /** Atomic overwrite of a managed table: write staging dir, swap. */
   def overwrite(engine: Graft, table: String, data: DataFrame): Unit = {
     val path = engine.managedPath(table)

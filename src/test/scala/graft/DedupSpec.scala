@@ -84,6 +84,24 @@ class DedupSpec extends SparkSpec {
     assert(sh.where(col("kern") =!= col("hof")).count() == 0)
   }
 
+  test("fused text kernels == Column formulations (incl. edge strings)") {
+    import graft.functions.GraftFunctions.{fingerprint, textStats, tokenCount}
+    val edge = spark.createDataFrame(Seq(
+      Tuple1("plain text here"), Tuple1(""), Tuple1("   "), Tuple1("\tTabbed\nlines \r\n mix  "),
+      Tuple1("UPPER lower MiXeD"), Tuple1("a"), Tuple1(" leading and trailing "))).toDF("text")
+    val real = engine.table("documents").select("text").limit(200)
+    Seq(edge, real).foreach { d =>
+      val cmp = d.select(textStats(col("text")).as("ts"),
+          length(col("text")).as("len"), tokenCount(col("text")).as("tc"),
+          fingerprint(col("text")).as("fp"))
+      assert(cmp.where(col("ts.len") =!= col("len") ||
+        col("ts.tok_cnt") =!= col("tc") || col("ts.fp") =!= col("fp")).count() == 0)
+      val toks = d.select(Dedup.simhashTokens(col("text")).as("kern"),
+        Dedup.simhashTokensHof(col("text")).as("hof"))
+      assert(toks.where(col("kern") =!= col("hof")).count() == 0)
+    }
+  }
+
   test("hammingDistance counts differing bits") {
     val df = spark.createDataFrame(Seq(("1100", "1010"))).toDF("a", "b")
     assert(df.select(Dedup.hammingDistance(col("a"), col("b"))).collect()(0).getInt(0) == 2)

@@ -43,6 +43,55 @@ class FacadeSpec extends SparkSpec {
     assert(rep2.successCount == 1 && rep2.failedCount == 1)
   }
 
+  test("declared constraints enforced on insert: length/range/unique (table_schema.dart:1177-1216)") {
+    val wh = Files.createTempDirectory("graft_cons").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("cx", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(
+        FieldSchema("name", GType.GText, nullable = false, maxLength = Some(5), minLength = Some(2)),
+        FieldSchema("qty", GType.GInteger, minValue = Some(0), maxValue = Some(100)),
+        FieldSchema("code", GType.GText, unique = true))))
+    val rep = e.batchInsert("cx", Seq(
+      Map("id" -> "1", "name" -> "ok", "qty" -> 5, "code" -> "a"),       // good
+      Map("id" -> "2", "name" -> "toolongname", "qty" -> 5, "code" -> "b"), // maxLength
+      Map("id" -> "3", "name" -> "x", "qty" -> 5, "code" -> "c"),        // minLength
+      Map("id" -> "4", "name" -> "neg", "qty" -> -1, "code" -> "d"),     // minValue
+      Map("id" -> "5", "name" -> "big", "qty" -> 200, "code" -> "e"),    // maxValue
+      Map("id" -> "6", "name" -> "nulls", "qty" -> null, "code" -> "f"), // null passes range checks
+      Map("id" -> "7", "name" -> "dupe", "qty" -> 1, "code" -> "a"),     // within-batch unique: first wins
+      Map("id" -> "1", "name" -> "dupk", "qty" -> 1, "code" -> "g")),    // within-batch PK dupe
+      allowPartialErrors = true)
+    assert(rep.successCount == 2 && rep.failedCount == 6) // ids 1 and 6 survive
+    assert(e.table("cx").count() == 2)
+    // collision with EXISTING rows (anti-join path, data_store_impl.dart:1527→2229)
+    val rep2 = e.batchInsert("cx", Seq(
+      Map("id" -> "9", "name" -> "newc", "qty" -> 1, "code" -> "a"), // existing code
+      Map("id" -> "1", "name" -> "newk", "qty" -> 1, "code" -> "z"), // existing PK
+      Map("id" -> "10", "name" -> "good", "qty" -> 1, "code" -> "h")),
+      allowPartialErrors = true)
+    assert(rep2.successCount == 1 && rep2.failedCount == 2)
+    // strict mode refuses the whole batch on any constraint violation
+    intercept[IllegalArgumentException] {
+      e.batchInsert("cx", Seq(Map("id" -> "11", "name" -> "toolongname", "qty" -> 1)))
+    }
+  }
+
+  test("kv watchValues (plural): one emission carries every watched key (tostore.dart:758-791)") {
+    val wh = Files.createTempDirectory("graft_kvwv").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    val hub = new graft.streaming.WatchHub
+    val kv = e.kvWatched(hub)
+    kv.setMany(Seq("a" -> "1", "b" -> "2"))
+    var emissions = Vector.empty[Map[String, String]]
+    val sub = kv.watchValues(Seq("a", "b"))(m => emissions :+= m)
+    assert(emissions.lastOption.contains(Map("a" -> "1", "b" -> "2"))) // initial emission
+    kv.set("a", "9")
+    assert(emissions.lastOption.contains(Map("a" -> "9", "b" -> "2")))
+    kv.set("unrelated", "x") // watched values unchanged → deduped
+    assert(emissions.count(_ == Map("a" -> "9", "b" -> "2")) == 1)
+    sub.close()
+  }
+
   test("update chain sugar + apply; delete chain (update_builder.dart:32-209)") {
     val e = freshEngine()
     e.batchInsert("items", Seq(

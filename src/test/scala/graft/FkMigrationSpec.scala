@@ -31,6 +31,55 @@ class FkMigrationSpec extends SparkSpec {
     e
   }
 
+  private def engineWithUpd(onUpdate: FkAction): Graft = {
+    val wh = Files.createTempDirectory("graft_fku").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("dept", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("dname", GType.GText, nullable = false))))
+    e.createTable(TableSchema("emp", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(
+        FieldSchema("ename", GType.GText, nullable = false),
+        FieldSchema("dept_id", GType.GText, defaultValue = Some("d0"))),
+      foreignKeys = Seq(ForeignKeySchema(Seq("dept_id"), "dept", Seq("id"),
+        onUpdate = onUpdate))))
+    e.batchInsert("dept", Seq(
+      Map("id" -> "d1", "dname" -> "eng"), Map("id" -> "d2", "dname" -> "ops")))
+    e.batchInsert("emp", Seq(
+      Map("id" -> "e1", "ename" -> "ada", "dept_id" -> "d1"),
+      Map("id" -> "e2", "ename" -> "bob", "dept_id" -> "d1"),
+      Map("id" -> "e3", "ename" -> "cyd", "dept_id" -> "d2")))
+    e
+  }
+
+  test("onUpdate=cascade rewrites child FK values to the new key (table_schema.dart:2814-2886)") {
+    import graft.expr.UExpr
+    val e = engineWithUpd(FkAction.Cascade)
+    e.updateEnforced("dept", Seq("id" -> UExpr.value("d9")), Cond.Leaf("id", "=", "d1"))
+    assert(e.table("dept").where(col("id") === "d9").count() == 1)
+    assert(e.table("dept").where(col("id") === "d1").count() == 0)
+    val byEmp = e.table("emp").orderBy("id").collect().map(_.getAs[String]("dept_id")).toSeq
+    assert(byEmp == Seq("d9", "d9", "d2"))
+  }
+
+  test("onUpdate=restrict refuses while references exist; setNull nulls them") {
+    import graft.expr.UExpr
+    val e = engineWithUpd(FkAction.Restrict)
+    intercept[IllegalStateException] {
+      e.updateEnforced("dept", Seq("id" -> UExpr.value("d9")), Cond.Leaf("id", "=", "d1"))
+    }
+    assert(e.table("dept").where(col("id") === "d1").count() == 1) // nothing mutated
+    // updating a NON-key field under restrict is fine (key unchanged)
+    e.updateEnforced("dept", Seq("dname" -> UExpr.value("eng2")), Cond.Leaf("id", "=", "d1"))
+    assert(e.table("dept").where(col("dname") === "eng2").count() == 1)
+
+    val e2 = engineWithUpd(FkAction.SetNull)
+    e2.updateEnforced("dept", Seq("id" -> UExpr.value("d9")), Cond.Leaf("id", "=", "d1"))
+    val after = e2.table("emp").orderBy("id").collect()
+    assert(after(0).isNullAt(after(0).fieldIndex("dept_id")))
+    assert(after(1).isNullAt(after(1).fieldIndex("dept_id")))
+    assert(after(2).getAs[String]("dept_id") == "d2")
+  }
+
   test("onDelete=restrict refuses while references exist (table_schema.dart:2756-2786)") {
     val e = engineWith(FkAction.Restrict)
     intercept[IllegalStateException] {

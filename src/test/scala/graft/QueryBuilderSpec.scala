@@ -168,4 +168,90 @@ class QueryBuilderSpec extends SparkSpec {
     // unknown FK → clean error
     intercept[IllegalArgumentException] { eng2.query("orders").joinWithForeignKey("region") }
   }
+
+  test("composite-FK auto-join: first pair ON, residual pairs WHERE (query_builder.dart:210-253)") {
+    import graft.schema._
+    val wh = java.nio.file.Files.createTempDirectory("graft_cfk").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("pt", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("k1", GType.GText), FieldSchema("k2", GType.GText))))
+    e.createTable(TableSchema("ct", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("a1", GType.GText), FieldSchema("a2", GType.GText)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("a1", "a2"), "pt", Seq("k1", "k2")))))
+    e.batchInsert("pt", Seq(
+      Map("id" -> "p1", "k1" -> "x", "k2" -> "1"),
+      Map("id" -> "p2", "k1" -> "x", "k2" -> "2")))
+    e.batchInsert("ct", Seq(
+      Map("id" -> "c1", "a1" -> "x", "a2" -> "1"),
+      Map("id" -> "c2", "a1" -> "x", "a2" -> "2"),
+      Map("id" -> "c3", "a1" -> "x", "a2" -> "9")))
+    // ON a1=k1 alone over-matches (every ct row × both pt rows = 6);
+    // the residual a2=k2 filter narrows to the 2 exact matches
+    val rows = e.query("ct").joinWithForeignKey("pt")
+      .select("ct.id as cid", "pt.id as pid").noDefaultLimit.toDF.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("c1", "p1"), ("c2", "p2")))
+  }
+
+  test("self-join via 'table as alias' target; conflicted names keep prefixes") {
+    val qb = engine.query("nation")
+      .join("nation as n2", "nation.n_regionkey", "=", "n2.n_regionkey")
+      .noDefaultLimit
+    val df = qb.toDF
+    // every nation pairs with each nation of its region (including itself)
+    val expected = {
+      val n = engine.table("nation")
+      n.groupBy("n_regionkey").count().agg(sum(col("count") * col("count"))).head.getLong(0)
+    }
+    assert(df.count() == expected)
+    assert(df.columns.contains("nation.n_name") && df.columns.contains("n2.n_name"))
+    // repeated bare target auto-aliases as table_2
+    val auto = engine.query("nation")
+      .join("nation", "nation.n_regionkey", "=", "nation_2.n_regionkey")
+      .noDefaultLimit.toDF
+    assert(auto.count() == expected)
+  }
+
+  test("numeric-string PK ordering survives non-default spaces") {
+    import graft.schema._
+    val wh = java.nio.file.Files.createTempDirectory("graft_sp").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh).switchSpace("s2")
+    e.createTable(TableSchema("nsp", PrimaryKeyConfig("id", PkStrategy.Sequential),
+      Seq(FieldSchema("v", GType.GInteger))))
+    e.batchInsert("nsp", Seq("1", "2", "3", "10", "20").zipWithIndex.map {
+      case (id, i) => Map[String, Any]("id" -> id, "v" -> i)
+    })
+    val ids = e.query("nsp").orderByAsc("id").toDF.collect().map(_.getString(0)).toSeq
+    // golden: ['1','2','3','10','20'] (database_tester.dart:1587-1603)
+    assert(ids == Seq("1", "2", "3", "10", "20"))
+  }
+
+  test("sql() resolves quoted identifiers and subquery relations (parser-based)") {
+    val n = engine.sql("SELECT count(*) AS c FROM `nation`").head.getLong(0)
+    assert(n == 25)
+    val sub = engine.sql(
+      """SELECT n_name FROM nation
+         WHERE n_regionkey IN (SELECT r_regionkey FROM `region` WHERE r_name = 'ASIA')
+         ORDER BY n_name""").collect()
+    assert(sub.length == 5)
+  }
+
+  test("cursor pages stay stable over a NON-UNIQUE sort key (automatic PK tie-break, query_executor.dart:1063-1074)") {
+    import graft.schema._
+    val wh = java.nio.file.Files.createTempDirectory("graft_tb").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("pg", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("grp", GType.GText))))
+    // every row shares the same sort-key value → without a tie-break the
+    // page boundaries would be arbitrary
+    e.batchInsert("pg", (1 to 10).map(i => Map[String, Any]("id" -> f"r$i%02d", "grp" -> "same")))
+    var page = e.query("pg").orderByAsc("grp").limit(3).run()
+    var seen = page.data.map(_.getAs[String]("id")).toVector
+    while (page.hasMore) {
+      page = page.next()
+      seen = seen ++ page.data.map(_.getAs[String]("id"))
+    }
+    assert(seen.size == 10 && seen.distinct.size == 10) // no dupes, no loss
+    assert(seen == seen.sorted) // PK tie-break gives a deterministic total order
+  }
 }
