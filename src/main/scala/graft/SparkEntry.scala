@@ -282,6 +282,15 @@ object SparkEntry {
           shingleN = 3, k = 12, bands = 4, threshold = 0.3)
         .orderBy("a", "b")
     }),
+    "q45_dedup_minhash_fast" -> ((s, dir) => {
+      // production hash family: xxhash64 minhash (codegen, ~1 cycle/byte)
+      // instead of the md5-hex oracle family. No DuckDB oracle (xxhash64
+      // isn't reproducible there) → driver rows-only check, like q33; the
+      // md5 family (q29) is the hash-matched twin of this plan.
+      Dedup.minhashPairs(eng(s, dir).table("documents"), "doc_id", "text",
+          shingleN = 3, k = 12, bands = 4, threshold = 0.3, oracleHash = false)
+        .orderBy("a", "b")
+    }),
     "q30_simhash" -> ((s, dir) => {
       val d = eng(s, dir).table("documents")
       d.select(col("doc_id"), Dedup.simhashTokens(col("text")).as("toks"))
@@ -291,6 +300,17 @@ object SparkEntry {
     "q31_neardup_cosine" -> ((s, dir) => {
       Dedup.cosinePairsExact(eng(s, dir).table("embeddings")
           .where(col("vec_id") < 2000), "vec_id", "embedding", 0.4)
+        .orderBy("a", "b")
+    }),
+    "q44_neardup_lsh" -> ((s, dir) => {
+      // the SCALE path for embedding near-dup: sign-LSH bucket join +
+      // exact verify (no cross join). Verification is exact, so lsh ⊆
+      // exact always; at these OR-band parameters recall is 100% on the
+      // gate data (verified deterministically: fixed data + fixed xxhash64)
+      // → the oracle is the same exact-pairs SQL as q31.
+      Dedup.cosinePairsLsh(eng(s, dir).table("embeddings")
+          .where(col("vec_id") < 2000), "vec_id", "embedding", dim = 64,
+          threshold = 0.4, planes = 32, bandsCount = 16, maxBucket = 100000)
         .orderBy("a", "b")
     }),
     "q32_vector_search" -> ((s, dir) => {
@@ -519,6 +539,13 @@ object SparkEntry {
           )
           SELECT doc_id, $duckSimhashExpr AS sim FROM t ORDER BY doc_id""",
     "q31_neardup_cosine" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 2000 AND b.vec_id < 2000
+           AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+         ORDER BY a, b""",
+    "q44_neardup_lsh" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -73,6 +73,35 @@ object TextHashKernel {
     UTF8String.fromBytes(out)
   }
 
+  /** Fast-family MinHash: element i = MIN over shingles s of
+    * xxhash64(i, s) — bit-identical to the HOF
+    * `array_min(transform(s, x => xxhash64(i, x)))` (Spark XXH64, seed 42,
+    * children hashed left-to-right: hashInt(i) then the string bytes).
+    * Null shingles are skipped; no shingle at all → null. */
+  def minhashFast(shingles: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = shingles.numElements()
+    val mins = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val hi = XXH64.hashInt(i, 42L)
+      var best = Long.MaxValue
+      var found = false
+      var j = 0
+      while (j < n) {
+        if (!shingles.isNullAt(j)) {
+          val s = shingles.getUTF8String(j)
+          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, hi)
+          if (!found || h < best) { best = h; found = true }
+        }
+        j += 1
+      }
+      mins(i) = if (found) java.lang.Long.valueOf(best) else null
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** MinHash signature: element i = MIN over shingles s of
     * md5hex(i + ":" + s) compared as strings (oracle family). Null shingle
     * elements are skipped (concat(i,':',null)=null → md5 null → ignored by
@@ -270,6 +299,20 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.expr.TextHashKernel.simhash64($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhashFast(shingles ARRAY<STRING>, k) → ARRAY<LONG> of k xxhash64
+  * mins (production hash family), codegen'd. */
+case class MinHashFastExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType)
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernel.minhashFast(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.TextHashKernel.minhashFast($a, $k)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -97,6 +97,63 @@ case class VecNormSq(child: Expression) extends UnaryExpression with VecKernel {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sign-LSH signature kernel: project onto `planes` pseudo-random ±1
+  * hyperplanes (weight(p,d) from xxhash64(p,d) parity — Spark's XXH64 with
+  * its seed 42, so the kernel is bit-identical to the Column formulation
+  * `when(xxhash64(lit(p), lit(d)) % 2 === 0, 1.0).otherwise(-1.0)`) and
+  * emit the '0'/'1' sign bit-string. Replaces a planes×dim literal
+  * expression tree (~8k Catalyst nodes at planes=32, dim=64; ~18k at
+  * dim=1536) with one codegen call. A null element poisons the plane's dot
+  * to null → bit '0', as the HOF chain does. */
+object VecLshKernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def signBits(vec: ArrayData, planes: Int, isFloat: Boolean): UTF8String = {
+    val n = vec.numElements()
+    val out = new Array[Byte](planes)
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var poisoned = false
+      val hp = XXH64.hashInt(p, 42L)
+      var d = 0
+      while (d < n && !poisoned) {
+        if (vec.isNullAt(d)) poisoned = true
+        else {
+          val w = if (XXH64.hashInt(d, hp) % 2 == 0) 1.0 else -1.0
+          val v = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+          dot += v * w
+        }
+        d += 1
+      }
+      out(p) = if (!poisoned && dot >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** signLsh(vec, planes) → CHAR(planes) '0'/'1' bit-string, codegen'd. */
+case class SignLshExpr(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"signLsh needs ARRAY<FLOAT|DOUBLE>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    VecLshKernel.signBits(a.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.VecLshKernel.signBits($a, $planes, $isFloat)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Σ (aᵢ-bᵢ)² — callers take sqrt for the L2 distance. */
 case class VecDistSq(left: Expression, right: Expression)
     extends BinaryExpression with VecKernel {

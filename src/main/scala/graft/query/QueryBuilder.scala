@@ -166,6 +166,9 @@ final case class QueryBuilder(
   }
   def joinReferencedTable(t: String): QueryBuilder = joinWithForeignKey(t)
   def joinReferencingTable(t: String): QueryBuilder = joinWithForeignKey(t)
+  /** FK joins always resolve against the MAIN table, as the reference does
+    * (_resolveForeignKeyJoins walks currentSchema only,
+    * query_builder.dart:851-951) — chained FK hops need manual join(). */
   private def lastTable: String = table
 
   // ---------- sort / paging (SURVEY.md §2.7) ----------

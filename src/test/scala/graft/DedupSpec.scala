@@ -78,6 +78,11 @@ class DedupSpec extends SparkSpec {
         Dedup.minhashFromShingles(col("sh"), 8).as("kern"),
         Dedup.minhashFromShinglesHof(col("sh"), 8).as("hof"))
     assert(mh.where(col("kern") =!= col("hof")).count() == 0)
+    val mhf = docs500.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        Dedup.minhashFromShinglesFast(col("sh"), 8).as("kern"),
+        Dedup.minhashFromShinglesFastHof(col("sh"), 8).as("hof"))
+    assert(mhf.where(col("kern") =!= col("hof")).count() == 0)
     val sh = docs500.select(Dedup.simhashTokens(col("text")).as("toks"))
       .select(Dedup.simhashFromTokens(col("toks")).as("kern"),
         Dedup.simhashFromTokensHof(col("toks")).as("hof"))
@@ -100,6 +105,25 @@ class DedupSpec extends SparkSpec {
         Dedup.simhashTokensHof(col("text")).as("hof"))
       assert(toks.where(col("kern") =!= col("hof")).count() == 0)
     }
+  }
+
+  test("SignLshExpr kernel == literal-tree formulation; gate parameters reach 100% recall") {
+    import graft.functions.GraftFunctions.{kcol, kexp}
+    // byte-identity of the codegen kernel vs the planes×dim Column tree
+    val embs = engine.table("embeddings").limit(100)
+    val cmp = embs.select(
+      kcol(graft.expr.SignLshExpr(kexp(col("embedding")), 8)).as("kern"),
+      Dedup.signBitsHof(col("embedding"), 8, 64).as("hof"))
+    assert(cmp.where(col("kern") =!= col("hof")).count() == 0)
+    // q44's gate contract: lsh ⊆ exact by construction (exact verify) AND
+    // recall 100% at (planes=32, bands=16) on this deterministic data
+    val bounded = engine.table("embeddings").where(col("vec_id") < 2000)
+    val exact = Dedup.cosinePairsExact(bounded, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.cosinePairsLsh(bounded, "vec_id", "embedding", 64,
+        threshold = 0.4, planes = 32, bandsCount = 16, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && lsh == exact)
   }
 
   test("hammingDistance counts differing bits") {
