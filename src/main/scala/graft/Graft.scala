@@ -106,10 +106,16 @@ final class Graft(
     // names inside string literals): collect UnresolvedRelation across the
     // plan INCLUDING expression subqueries, then register the known ones
     val plan = spark.sessionState.sqlParser.parsePlan(query)
-    val referenced = plan.collectWithSubqueries {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last.toLowerCase
-    }.toSet
+    // CTE definitions are NOT plan children at parse time
+    // (UnresolvedWith.cteRelations) — recurse into them explicitly
+    def rels(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] =
+      p.collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          Seq(r.multipartIdentifier.last.toLowerCase)
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.cteRelations.flatMap { case (_, rel, _) => rels(rel) }
+      }.flatten
+    val referenced = rels(plan).toSet
     val known = (registry.tables(space) ++ dataDirTables).distinct
     known.filter(t => referenced.contains(t.toLowerCase))
       .foreach(t => table(t).createOrReplaceTempView(t))
@@ -163,10 +169,35 @@ final class Graft(
     }
     val defaultNow = registry.get(space, name).map(_.fields).getOrElse(Nil)
       .filter(_.defaultCurrentTimestamp).map(_.name).toSet
+    // PK generation for rows that don't carry one (reference: generator
+    // strategies sequential/timestampBased/datePrefixed/shortCode,
+    // id_generator.dart; wired at insert, data_store_impl.dart:1527)
+    val rowsWithPk: Seq[Map[String, Any]] = registry.get(space, name) match {
+      case Some(s) if s.primaryKey.strategy != graft.schema.PkStrategy.None =>
+        val pk = s.primaryKey.name
+        val missing = rows.zipWithIndex.collect {
+          case (m, i) if m.get(pk).forall(_ == null) => i
+        }
+        if (missing.isEmpty) rows
+        else {
+          val existingMax =
+            if (s.primaryKey.strategy == graft.schema.PkStrategy.Sequential && managedExists(name)) {
+              import org.apache.spark.sql.functions.{col => c, max => smax}
+              Option(table(name).agg(smax(c(pk).cast("long"))).head.get(0))
+                .map(_.asInstanceOf[Long]).getOrElse(0L)
+            } else 0L
+          val ids = graft.schema.IdGen.generate(s.primaryKey.strategy, missing.size, existingMax)
+          val patch = missing.zip(ids).toMap
+          rows.zipWithIndex.map { case (m, i) =>
+            patch.get(i).fold(m)(id => m + (pk -> id))
+          }
+        }
+      case _ => rows
+    }
     // coercion failures don't throw: the row is flagged and lands in the
     // failed split (the allowPartialErrors contract covers bad values, not
     // just nulls)
-    val data = rows.zipWithIndex.map { case (m, idx) =>
+    val data = rowsWithPk.zipWithIndex.map { case (m, idx) =>
       var ok = true
       val vs = schema.fields.map { f =>
         val raw =

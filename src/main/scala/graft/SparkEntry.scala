@@ -442,6 +442,53 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    "q46_delete_preview" -> ((s, dir) => {
+      // delete-by-condition as the pure anti-filter preview
+      // (delete_builder.dart:4-39): rows surviving the delete
+      Writes.deletePreview(eng(s, dir).table("orders"),
+          Cond.Leaf("o_orderstatus", "=", "O") && Cond.Leaf("o_totalprice", "<", 100000))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    "q47_batch_update" -> ((s, dir) => {
+      // batchUpdate merge preview (tostore.dart:675-686): staged rows patch
+      // by PK, unknown PKs ignored, unmentioned columns kept
+      val t = eng(s, dir).table("customer")
+      val staged = t.where(col("c_custkey") <= 10)
+        .select(col("c_custkey"), (col("c_acctbal") + 500).as("c_acctbal"))
+      Writes.batchUpdateMerge(t, staged, Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+    "q48_sql_cte" -> ((s, dir) => {
+      // ANSI CTE + window through the engine's SQL surface
+      eng(s, dir).sql(
+        """WITH r AS (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+           SELECT o_custkey, o_orderkey, o_totalprice
+           FROM r WHERE rn = 1 AND o_custkey <= 100
+           ORDER BY o_custkey""")
+    }),
+    "q49_filter_sugar" -> ((s, dir) => {
+      // sugar surface: ContainsAny (OR of LIKEs) + NotEmpty + orWhere
+      eng(s, dir).query("part")
+        .whereContainsAny("p_name", Seq("blue", "hot"))
+        .whereNotEmpty("p_brand")
+        .orWhere("p_retailprice", ">", 998.5)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderByAsc("p_partkey")
+        .noDefaultLimit.toDF
+    }),
+    "q50_rolling_fp" -> ((s, dir) => {
+      // polynomial rolling-hash fingerprint (base 31 mod 1e9+7) — the
+      // non-cryptographic twin of q24's md5 fp
+      eng(s, dir).table("documents")
+        .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy("doc_id")
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -773,6 +820,39 @@ object SparkEntry {
          FROM documents
          GROUP BY 1
          ORDER BY fp""",
+    "q46_delete_preview" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)
+         ORDER BY o_orderkey""",
+    "q47_batch_update" ->
+      """SELECT t.c_custkey, t.c_name,
+                CASE WHEN t.c_custkey <= 10 THEN t.c_acctbal + 500 ELSE t.c_acctbal END AS c_acctbal
+         FROM customer t
+         ORDER BY t.c_custkey""",
+    "q48_sql_cte" ->
+      """WITH r AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         SELECT o_custkey, o_orderkey, o_totalprice
+         FROM r WHERE rn = 1 AND o_custkey <= 100
+         ORDER BY o_custkey""",
+    "q49_filter_sugar" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+         WHERE ((p_name LIKE '%blue%' OR p_name LIKE '%hot%')
+                AND p_brand IS NOT NULL AND p_brand <> '')
+            OR p_retailprice > 998.5
+         ORDER BY p_partkey""",
+    "q50_rolling_fp" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(7::BIGINT,
+                    [coalesce(ascii(c), 0)::BIGINT for c in
+                     string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '')]),
+                  (acc, x) -> (acc*31 + x) % 1000000007) AS rfp
+         FROM documents
+         ORDER BY doc_id""",
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

@@ -1,0 +1,81 @@
+package graft.schema
+
+/**
+ * Primary-key generator strategies (reference:
+ * /root/reference/lib/src/model/id_generator.dart — SequentialIdGenerator
+ * :31, TimeBasedIdGenerator :255-313 with Base62Encoder :255-310;
+ * strategies declared at table_schema.dart:1917-1932). PKs are always TEXT
+ * (table_schema.dart:2032-2036) and numeric-string generated forms sort
+ * length-first (value_matcher.dart:121-148).
+ *
+ * The reference wraps these in ID pools + isolate batch generation — pure
+ * throughput machinery for an embedded OLTP store. Here generation happens
+ * per insert batch: ids are a deterministic function of (base, batch row
+ * index), so a 10M-row batch can also assign them executor-side from a
+ * partition offset without coordination.
+ *
+ * Value shapes (non-distributed node, id_generator.dart:1260-1295):
+ *   timestampBased = (seconds since 1984-01-01 UTC) * 10^5 + seq
+ *   datePrefixed   = yyyyMMdd * 10^5 + seq
+ *   shortCode      = Base62(timestampBased value)
+ *   sequential     = max(existing numeric pk) + 1 + seq
+ * Sequence overflow past 99999 rolls arithmetically into the next
+ * second/day — same carry the reference's maxSequence reset produces.
+ */
+object IdGen {
+
+  /** Seconds since the reference's logical epoch (1984-01-01T00:00:00Z,
+    * id_generator.dart:332). */
+  val EpochStartSeconds = 441763200L
+
+  object Base62 {
+    private val Charset =
+      "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+    def encode(value0: BigInt): String = {
+      require(value0 >= 0, "Base62 encoding does not support negative numbers")
+      if (value0 == 0) "0"
+      else {
+        var value = value0
+        val sb = new StringBuilder
+        while (value > 0) {
+          sb.insert(0, Charset((value % 62).toInt))
+          value /= 62
+        }
+        sb.toString
+      }
+    }
+
+    def decode(s: String): BigInt =
+      s.foldLeft(BigInt(0)) { (acc, ch) =>
+        val d = Charset.indexOf(ch)
+        require(d >= 0, s"Illegal Base62 character: $ch")
+        acc * 62 + d
+      }
+  }
+
+  /** Generate `count` ids for a batch starting at deterministic base state.
+    * @param existingMax current max numeric pk (sequential only)
+    * @param nowMs       wall clock for time-based strategies */
+  def generate(strategy: PkStrategy, count: Int,
+      existingMax: Long = 0L, nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    strategy match {
+      case PkStrategy.None =>
+        throw new IllegalArgumentException(
+          "PkStrategy.None does not generate ids — the caller must supply them")
+      case PkStrategy.Sequential =>
+        (1 to count).map(i => (existingMax + i).toString)
+      case PkStrategy.TimestampBased =>
+        val base = BigInt(nowMs / 1000 - EpochStartSeconds) * 100000
+        (0 until count).map(i => (base + i).toString)
+      case PkStrategy.DatePrefixed =>
+        val day = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+          .format(java.time.Instant.ofEpochMilli(nowMs)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+        val base = BigInt(day) * 100000
+        (0 until count).map(i => (base + i).toString)
+      case PkStrategy.ShortCode =>
+        val base = BigInt(nowMs / 1000 - EpochStartSeconds) * 100000
+        (0 until count).map(i => Base62.encode(base + i))
+    }
+}

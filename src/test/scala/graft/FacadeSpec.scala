@@ -43,6 +43,29 @@ class FacadeSpec extends SparkSpec {
     assert(rep2.successCount == 1 && rep2.failedCount == 1)
   }
 
+  test("PK generation: sequential continues from max; time-based shapes (id_generator.dart)") {
+    import graft.schema.{IdGen, PkStrategy}
+    val e = freshEngine() // "items" uses PkStrategy.Sequential
+    e.batchInsert("items", Seq(
+      Map("id" -> "1", "name" -> "a"), Map("id" -> "2", "name" -> "b")))
+    e.batchInsert("items", Seq(Map("name" -> "genA"), Map("name" -> "genB"))) // no ids
+    val ids = e.table("items").orderBy(length(col("id")), col("id"))
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(ids == Seq("1", "2", "3", "4")) // continues from existing max
+    // value shapes
+    val ts = IdGen.generate(PkStrategy.TimestampBased, 2, nowMs = 1755000000000L)
+    assert(ts == Seq("131323680000000", "131323680000001")) // (secs-epoch1984)*1e5+seq
+    val dp = IdGen.generate(PkStrategy.DatePrefixed, 1, nowMs = 1755000000000L)
+    assert(dp.head == "2025081200000") // yyyyMMdd * 1e5 + seq (UTC)
+    val sc = IdGen.generate(PkStrategy.ShortCode, 1, nowMs = 1755000000000L)
+    assert(IdGen.Base62.decode(sc.head) == BigInt("131323680000000"))
+    // Base62 golden + roundtrip (id_generator.dart:255-310)
+    assert(IdGen.Base62.encode(0) == "0" && IdGen.Base62.encode(61) == "z"
+      && IdGen.Base62.encode(62) == "10")
+    Seq(BigInt(1), BigInt(123456789), BigInt("99999999999999999")).foreach(v =>
+      assert(IdGen.Base62.decode(IdGen.Base62.encode(v)) == v))
+  }
+
   test("declared constraints enforced on insert: length/range/unique (table_schema.dart:1177-1216)") {
     val wh = Files.createTempDirectory("graft_cons").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)

@@ -234,6 +234,12 @@ class QueryBuilderSpec extends SparkSpec {
          WHERE n_regionkey IN (SELECT r_regionkey FROM `region` WHERE r_name = 'ASIA')
          ORDER BY n_name""").collect()
     assert(sub.length == 5)
+    // tables referenced ONLY inside a CTE definition resolve too
+    // (UnresolvedWith.cteRelations are not plan children at parse time)
+    val cte = engine.sql(
+      """WITH x AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1)
+         SELECT count(*) FROM x""").head.getLong(0)
+    assert(cte == 5)
   }
 
   test("cursor pages stay stable over a NON-UNIQUE sort key (automatic PK tie-break, query_executor.dart:1063-1074)") {
