@@ -149,6 +149,24 @@ object TextStatsKernel {
       Array[Any](len, tokCnt, UTF8String.fromString(fp)))
   }
 
+  /** Polynomial rolling hash (base 31, mod 1e9+7, acc₀=7) over the CODE
+    * POINTS of the normalized text — byte-identical to the Column chain
+    * `aggregate(split(normalizeText(text), ""), 7L,
+    * (acc, ch) -> pmod(acc*31 + ascii(ch), 1e9+7))`: Spark's split("")
+    * yields code points (UTF8String chars) and split of "" yields [""]
+    * whose ascii is 0. */
+  def rollingFp(text: UTF8String): Long = {
+    val Mod = 1000000007L
+    val norm = WS.matcher(text.trim().toString.toLowerCase).replaceAll(" ")
+    if (norm.isEmpty) (7L * 31) % Mod
+    else {
+      var acc = 7L
+      val it = norm.codePoints().iterator()
+      while (it.hasNext) acc = java.lang.Math.floorMod(acc * 31 + it.next(), Mod)
+      acc
+    }
+  }
+
   /** Distinct normalized whitespace tokens, first-occurrence order —
     * byte-identical to `array_distinct(split(trim(regexp_replace(
     * lower(trim(text)), "\s+", " ")), "\s+"))` in one pass. */
@@ -259,6 +277,19 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.expr.TextStatsKernel.stats($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rollingFp(text) → BIGINT polynomial rolling hash, codegen'd. */
+case class RollingFpExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    TextStatsKernel.rollingFp(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.TextStatsKernel.rollingFp($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

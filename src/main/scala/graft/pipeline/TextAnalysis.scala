@@ -127,7 +127,12 @@ object TextAnalysis {
     * rolling fingerprint (vs md5 in GraftFunctions.fingerprint), still
     * deterministic and SQL-expressible. The modulus keeps acc*31+255
     * comfortably inside a long under ANSI overflow checking. */
-  def rollingFingerprint(text: Column): Column = {
+  def rollingFingerprint(text: Column): Column =
+    kcol(graft.expr.RollingFpExpr(kexp(text)))
+
+  /** HOF twin of rollingFingerprint — byte-identical, interpreted; kept as
+    * the kernel's spec cross-check. */
+  private[graft] def rollingFingerprintHof(text: Column): Column = {
     val Mod = 1000000007L
     val chars = split(normalizeText(text), "")
     aggregate(chars, lit(7L),

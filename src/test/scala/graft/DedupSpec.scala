@@ -104,6 +104,10 @@ class DedupSpec extends SparkSpec {
       val toks = d.select(Dedup.simhashTokens(col("text")).as("kern"),
         Dedup.simhashTokensHof(col("text")).as("hof"))
       assert(toks.where(col("kern") =!= col("hof")).count() == 0)
+      val rfp = d.select(
+        graft.pipeline.TextAnalysis.rollingFingerprint(col("text")).as("kern"),
+        graft.pipeline.TextAnalysis.rollingFingerprintHof(col("text")).as("hof"))
+      assert(rfp.where(col("kern") =!= col("hof")).count() == 0)
     }
   }
 
