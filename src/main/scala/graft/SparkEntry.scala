@@ -442,6 +442,42 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    "q51_events_sliding" -> ((s, dir) => {
+      // sliding event-time windows (1h width, 30m slide) — each event lands
+      // in width/slide = 2 windows; Spark superset (reference has no
+      // event-time semantics, SURVEY §2.11)
+      eng(s, dir).table("events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    }),
+    "q52_selectagg_mixed" -> ((s, dir) => {
+      // selectAgg: plain fields + Agg objects in ONE projection list —
+      // fields act as grouping keys (query_builder.dart:111-126)
+      eng(s, dir).query("orders")
+        .selectAgg("o_orderstatus", "o_orderpriority",
+          Agg.count(alias = "cnt"), Agg.max("o_totalprice", "max_total"))
+        .orderByAsc("o_orderstatus", "o_orderpriority")
+        .toDF
+    }),
+    "q53_upsert_branch" -> ((s, dir) => {
+      // upsert Expr branches: isUpdate()/isInsert() + ifElse
+      // (expr.dart:121-158) — matched rows get +1000, inserts get 0
+      import UExpr._
+      val e = eng(s, dir)
+      val target = e.table("customer")
+      val staged = target.where(col("c_custkey") <= 5)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .union(target.where(col("c_custkey") <= 3)
+          .select((col("c_custkey") + 2000000).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      Writes.upsertMerge(target, staged, Seq("c_custkey"),
+          sets = Seq("c_acctbal" -> IfElse(IsUpdate, field("c_acctbal") + value(1000), value(0.0))))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -820,6 +856,34 @@ object SparkEntry {
          FROM documents
          GROUP BY 1
          ORDER BY fp""",
+    "q51_events_sliding" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30*j) AS ws,
+                event_type, count(*) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events, (SELECT unnest([0, 1]) AS j) jj
+         GROUP BY 1, 2
+         ORDER BY ws, event_type""",
+    "q52_selectagg_mixed" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                max(o_totalprice) AS max_total
+         FROM orders
+         GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
+    "q53_upsert_branch" ->
+      """WITH staged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey <= 5
+           UNION ALL
+           SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey <= 3)
+         SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+                COALESCE(s.c_name, t.c_name) AS c_name,
+                CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL
+                       THEN t.c_acctbal + 1000
+                     WHEN s.c_custkey IS NOT NULL THEN 0.0
+                     ELSE t.c_acctbal END AS c_acctbal
+         FROM customer t FULL OUTER JOIN staged s ON t.c_custkey = s.c_custkey
+         ORDER BY c_custkey""",
     "q46_delete_preview" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)
