@@ -478,6 +478,33 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     }),
+    "q54_spaces" -> ((s, dir) => {
+      // space isolation + global-table visibility (tostore.dart:529-532):
+      // the same table name holds different rows per space; a global table
+      // created in one space is readable from another
+      import graft.schema._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q54").toString
+      val e1 = Graft.withWarehouse(s, dir, wh)
+      val e2 = e1.switchSpace("alt")
+      val seg = TableSchema("seg", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("name", GType.GText)))
+      e1.createTable(seg); e2.createTable(seg)
+      e1.createTable(TableSchema("gl", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("name", GType.GText)), isGlobal = true))
+      def rowsOf(lo: Int, hi: Int) = e1.table("customer")
+        .where(col("c_custkey").between(lo, hi))
+        .select(col("c_custkey").cast("string"), col("c_name")).collect()
+        .map(r => Map[String, Any]("id" -> r.getString(0), "name" -> r.getString(1))).toSeq
+      e1.batchInsert("seg", rowsOf(1, 5))
+      e2.batchInsert("seg", rowsOf(6, 10))
+      e1.batchInsert("gl", rowsOf(1, 1))
+      val tag = (e: Graft, t: String, sp: String) =>
+        e.table(t).select(lit(sp).as("space"), col("id"), col("name"))
+      tag(e1, "seg", "default")
+        .union(tag(e2, "seg", "alt"))
+        .union(tag(e2, "gl", "global-via-alt")) // global table crosses spaces
+        .orderBy(col("space"), length(col("id")), col("id"))
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -884,6 +911,17 @@ object SparkEntry {
                      ELSE t.c_acctbal END AS c_acctbal
          FROM customer t FULL OUTER JOIN staged s ON t.c_custkey = s.c_custkey
          ORDER BY c_custkey""",
+    "q54_spaces" ->
+      """SELECT space, id, name FROM (
+           SELECT 'default' AS space, CAST(c_custkey AS VARCHAR) AS id, c_name AS name
+           FROM customer WHERE c_custkey BETWEEN 1 AND 5
+           UNION ALL
+           SELECT 'alt', CAST(c_custkey AS VARCHAR), c_name
+           FROM customer WHERE c_custkey BETWEEN 6 AND 10
+           UNION ALL
+           SELECT 'global-via-alt', CAST(c_custkey AS VARCHAR), c_name
+           FROM customer WHERE c_custkey = 1)
+         ORDER BY space, length(id), id""",
     "q46_delete_preview" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)

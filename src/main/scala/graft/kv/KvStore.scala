@@ -121,11 +121,17 @@ final class KvStore(
   /** Drop expired rows physically (the background sweeper's job). */
   def compact(): Unit = writeAtomic(df)
 
+  /** Parquet files per KV rewrite. 1 is right for config/metadata-grain
+    * namespaces (point reads stay one-footer cheap); raise for a huge KV
+    * namespace so the rewrite parallelizes — the swap stays atomic either
+    * way. */
+  var targetFiles: Int = 1
+
   private def writeAtomic(data: DataFrame): Unit = {
     // stage → swap with .old backup (same pattern as Writes.overwrite):
     // a crash between operations never leaves the store missing
     val tmp = path + ".staging"
-    data.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    data.coalesce(math.max(1, targetFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)

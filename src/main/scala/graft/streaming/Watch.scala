@@ -89,7 +89,14 @@ final class WatchHub {
   private val subs = ConcurrentHashMap.newKeySet[WatchSubscription]()
 
   /** Subscribe; emits the initial full result synchronously
-    * (watch() initial emission, query_builder.dart:480-543). */
+    * (watch() initial emission, query_builder.dart:480-543).
+    *
+    * Result-size bound: each emission COLLECTS the full result to the
+    * subscriber (reference semantics — watch delivers complete lists).
+    * Watched queries inherit the builder's default 1000-row limit unless
+    * `noDefaultLimit` is set; keep watched results bounded (aggregates or
+    * limited queries) — an unbounded watch over a fact table would collect
+    * it per change event. */
   def watch(query: QueryBuilder)(onData: Seq[Row] => Unit): WatchSubscription =
     watchCompute(query.table, () => query.toDF.collect().toSeq)(onData)
 

@@ -77,6 +77,33 @@ class StreamingSpec extends SparkSpec {
     events.unpersist()
   }
 
+  test("streaming watermark drops late data past the threshold (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = EventTime.tumbling(mem.toDF.toDF("ts", "k"), "ts",
+      "10 minutes", "10 minutes", Seq("k"), Seq(count(lit(1)).as("cnt")))
+    val q = agg.writeStream.format("memory").queryName("wmtest")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      mem.addData((ts(5), "a"), (ts(7), "a")) // window [0,10)
+      q.processAllAvailable()
+      mem.addData((ts(35), "a")) // watermark → 25: [0,10) closes, emits cnt=2
+      q.processAllAvailable()
+      mem.addData((ts(6), "a")) // LATE (6 < watermark 25) → dropped
+      mem.addData((ts(65), "a")) // watermark → 55: [30,40) closes
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("wmtest")
+        .select(col("window.start").cast("long").as("ws"), col("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(0L) == 2L) // late event did NOT resurrect the closed window
+      assert(rows(1800L) == 1L) // [30,40)
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap") {
     val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
       Seq("user_id"), Seq(count(lit(1)).as("cnt")))
