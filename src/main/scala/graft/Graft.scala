@@ -186,7 +186,8 @@ final class Graft(
               Option(table(name).agg(smax(c(pk).cast("long"))).head.get(0))
                 .map(_.asInstanceOf[Long]).getOrElse(0L)
             } else 0L
-          val ids = graft.schema.IdGen.generate(s.primaryKey.strategy, missing.size, existingMax)
+          val ids = graft.schema.IdGen.generateFor(name, s.primaryKey.strategy,
+            missing.size, existingMax)
           val patch = missing.zip(ids).toMap
           rows.zipWithIndex.map { case (m, i) =>
             patch.get(i).fold(m)(id => m + (pk -> id))
@@ -232,11 +233,14 @@ final class Graft(
     var bads = List(bad0)
     regSchema.toSeq.flatMap(_.uniqueKeySets.distinct).foreach { ks =>
       if (ks.forall(staged.columns.contains)) {
+        // NULL keys never collide (SQL-standard unique): rows with any null
+        // key column bypass both the within-batch and existing-table checks
+        val keyNotNull = ks.map(c(_).isNotNull).reduce(_ && _)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(ks.map(c): _*).orderBy(c("__row_idx"))
         val marked = good.withColumn("__rn", row_number().over(w))
-        bads ::= marked.where(c("__rn") > 1).drop("__rn")
-        good = marked.where(c("__rn") === 1).drop("__rn")
+        bads ::= marked.where(keyNotNull && c("__rn") > 1).drop("__rn")
+        good = marked.where(!keyNotNull || c("__rn") === 1).drop("__rn")
         if (managedExists(name)) {
           val existing = table(name).select(ks.map(c): _*)
           bads ::= good.join(existing, ks, "left_semi")
@@ -443,9 +447,12 @@ final class Graft(
         case _ => () // Restrict verified in phase 1; NoAction
       }
     }
-    // finally the parent update itself
+    // finally the parent update itself — re-read the table rather than
+    // reusing the `parent` plan: a self-referential FK's child rewrite
+    // above swapped this table's files, and the old plan's file listing
+    // would point at deleted parts
     graft.write.Writes.overwrite(this, name,
-      graft.write.Writes.updatePreview(parent, sets, cond, allowUpdateAll = true))
+      graft.write.Writes.updatePreview(table(name), sets, cond, allowUpdateAll = true))
   }
 
   private def referencingFks(name: String): Seq[(TableSchema, graft.schema.ForeignKeySchema)] =

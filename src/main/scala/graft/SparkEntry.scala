@@ -309,7 +309,7 @@ object SparkEntry {
       // gate data (verified deterministically: fixed data + fixed xxhash64)
       // → the oracle is the same exact-pairs SQL as q31.
       Dedup.cosinePairsLsh(eng(s, dir).table("embeddings")
-          .where(col("vec_id") < 2000), "vec_id", "embedding", dim = 64,
+          .where(col("vec_id") < 2000), "vec_id", "embedding",
           threshold = 0.4, planes = 32, bandsCount = 16, maxBucket = 100000)
         .orderBy("a", "b")
     }),

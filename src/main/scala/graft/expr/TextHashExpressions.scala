@@ -77,7 +77,9 @@ object TextHashKernel {
     * xxhash64(i, s) — bit-identical to the HOF
     * `array_min(transform(s, x => xxhash64(i, x)))` (Spark XXH64, seed 42,
     * children hashed left-to-right: hashInt(i) then the string bytes).
-    * Null shingles are skipped; no shingle at all → null. */
+    * A null shingle contributes the running seed hashInt(i) — exactly what
+    * Spark's xxhash64 returns when a child is null (null children are
+    * skipped, not nulled); empty array → null (array_min of empty). */
   def minhashFast(shingles: ArrayData, k: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val n = shingles.numElements()
@@ -89,11 +91,13 @@ object TextHashKernel {
       var found = false
       var j = 0
       while (j < n) {
-        if (!shingles.isNullAt(j)) {
-          val s = shingles.getUTF8String(j)
-          val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, hi)
-          if (!found || h < best) { best = h; found = true }
-        }
+        val h =
+          if (shingles.isNullAt(j)) hi
+          else {
+            val s = shingles.getUTF8String(j)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, hi)
+          }
+        if (!found || h < best) { best = h; found = true }
         j += 1
       }
       mins(i) = if (found) java.lang.Long.valueOf(best) else null
@@ -142,7 +146,7 @@ object TextStatsKernel {
     val len = text.numChars()
     val trimmed = text.trim().toString
     val tokCnt = WS.split(trimmed, -1).length
-    val norm = WS.matcher(trimmed.toLowerCase).replaceAll(" ")
+    val norm = WS.matcher(trimmed.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ")
     val fp = TextHashKernel.md5HexPublic(
       norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -157,7 +161,7 @@ object TextStatsKernel {
     * whose ascii is 0. */
   def rollingFp(text: UTF8String): Long = {
     val Mod = 1000000007L
-    val norm = WS.matcher(text.trim().toString.toLowerCase).replaceAll(" ")
+    val norm = WS.matcher(text.trim().toString.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ")
     if (norm.isEmpty) (7L * 31) % Mod
     else {
       var acc = 7L
@@ -171,7 +175,7 @@ object TextStatsKernel {
     * byte-identical to `array_distinct(split(trim(regexp_replace(
     * lower(trim(text)), "\s+", " ")), "\s+"))` in one pass. */
   def distinctTokens(text: UTF8String): ArrayData = {
-    val norm = WS.matcher(text.trim().toString.toLowerCase).replaceAll(" ").trim
+    val norm = WS.matcher(text.trim().toString.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
     val toks = WS.split(norm, -1)
     val out = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -193,7 +197,7 @@ object ShingleKernel {
     * lowercase, collapse whitespace, n-gram join with ' ', distinct with
     * first-occurrence order; < n tokens → one shingle of the whole text. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val norm = WS.matcher(text.toString.trim.toLowerCase).replaceAll(" ").trim
+    val norm = WS.matcher(text.toString.trim.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
     val toks = WS.split(norm, -1)
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {

@@ -136,9 +136,15 @@ final case class QueryBuilder(
     val item = SelectItem.parse(t)
     val base = item.alias.map(a => JoinSpec(item.field, lk, op, rk, jt, Some(a)))
       .getOrElse(JoinSpec(t.trim, lk, op, rk, jt))
-    if (base.alias.isEmpty && (table +: joins.map(_.name)).contains(base.name))
-      base.copy(alias = Some(s"${base.table}_${joins.count(_.table == base.table) + 2}"))
-    else base
+    val used = (table +: joins.map(_.name)).toSet
+    base.alias.foreach(a => require(!used(a),
+      s"duplicate join alias '$a' — each occurrence needs a distinct name"))
+    if (base.alias.isEmpty && used(base.name)) {
+      // first free numbered alias: t_2, t_3, … regardless of whether the
+      // colliding occurrence is the base table or an earlier join
+      val k = Iterator.from(2).find(k => !used(s"${base.table}_$k")).get
+      base.copy(alias = Some(s"${base.table}_$k"))
+    } else base
   }
   def join(t: String, leftKey: String, op: String, rightKey: String): QueryBuilder =
     copy(joins = joins :+ mkJoin(t, leftKey, op, rightKey, "inner"))

@@ -90,7 +90,10 @@ object QueryResult {
     * (query_executor.dart:2948-2993, 3012-3018), so pages stay stable over
     * non-unique sort columns without a caller-supplied total order. */
   private def effectiveOrders(b: QueryBuilder): Seq[(String, Boolean)] = {
-    val plain = b.aggs.isEmpty && b.groups.isEmpty && b.distinctOn.isEmpty
+    // single-table only: the reference does not support cursors across JOIN
+    // row multiplication (SURVEY §2.7), and a joined frame may qualify the
+    // PK name away (both sides named "id" → only "t.id"/"u.id" exist)
+    val plain = b.joins.isEmpty && b.aggs.isEmpty && b.groups.isEmpty && b.distinctOn.isEmpty
     val pk = b.engine.registry.get(b.engine.space, b.table).map(_.primaryKey.name)
     pk match {
       case Some(p) if plain && b.orders.nonEmpty &&

@@ -54,7 +54,42 @@ object IdGen {
       }
   }
 
-  /** Generate `count` ids for a batch starting at deterministic base state.
+  // Per-table sequence state for the time-based strategies — the reference
+  // keeps an in-process sequence map so batches landing in the same
+  // second/day don't restart at 0 and collide (id_generator.dart:318-321).
+  // Key: (strategy, table); value: (base, nextSeq).
+  private val seqState =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (BigInt, Long)]()
+
+  /** Generate `count` ids for `table`, continuing the in-process sequence
+    * when consecutive batches share the same time base. */
+  def generateFor(table: String, strategy: PkStrategy, count: Int,
+      existingMax: Long = 0L, nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    strategy match {
+      case PkStrategy.Sequential | PkStrategy.None =>
+        generate(strategy, count, existingMax, nowMs)
+      case _ =>
+        val key = (strategy.toString, table)
+        val base = strategy match {
+          case PkStrategy.DatePrefixed =>
+            BigInt(java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+              .format(java.time.Instant.ofEpochMilli(nowMs)
+                .atZone(java.time.ZoneOffset.UTC).toLocalDate)) * 100000
+          case _ => BigInt(nowMs / 1000 - EpochStartSeconds) * 100000
+        }
+        var start = 0L
+        seqState.compute(key, (_, prev) => prev match {
+          case (b, next) if b == base => start = next; (b, next + count)
+          case _                      => start = 0L; (base, count.toLong)
+        })
+        val enc: BigInt => String =
+          if (strategy == PkStrategy.ShortCode) Base62.encode else _.toString
+        (0 until count).map(i => enc(base + start + i))
+    }
+
+  /** Generate `count` ids for a batch starting at deterministic base state
+    * (stateless form — same-base batches restart at seq 0; prefer
+    * `generateFor` for insert paths).
     * @param existingMax current max numeric pk (sequential only)
     * @param nowMs       wall clock for time-based strategies */
   def generate(strategy: PkStrategy, count: Int,

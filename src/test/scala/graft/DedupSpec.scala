@@ -124,7 +124,7 @@ class DedupSpec extends SparkSpec {
     val bounded = engine.table("embeddings").where(col("vec_id") < 2000)
     val exact = Dedup.cosinePairsExact(bounded, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.cosinePairsLsh(bounded, "vec_id", "embedding", 64,
+    val lsh = Dedup.cosinePairsLsh(bounded, "vec_id", "embedding",
         threshold = 0.4, planes = 32, bandsCount = 16, maxBucket = 100000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty && lsh == exact)
@@ -149,7 +149,7 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.cosinePairsExact(embs, "id", "v", 0.995)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.contains((0L, 1L)))
-    val lsh = Dedup.cosinePairsLsh(embs, "id", "v", dim, threshold = 0.995,
+    val lsh = Dedup.cosinePairsLsh(embs, "id", "v", threshold = 0.995,
       planes = 12, bandsCount = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))

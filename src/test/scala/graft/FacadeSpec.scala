@@ -64,6 +64,25 @@ class FacadeSpec extends SparkSpec {
       && IdGen.Base62.encode(62) == "10")
     Seq(BigInt(1), BigInt(123456789), BigInt("99999999999999999")).foreach(v =>
       assert(IdGen.Base62.decode(IdGen.Base62.encode(v)) == v))
+    // cross-batch continuity: two batches in the same second/day must not
+    // restart the sequence (reference keeps per-table sequence state)
+    val b1 = IdGen.generateFor("xbt", PkStrategy.DatePrefixed, 2, nowMs = 1755000000000L)
+    val b2 = IdGen.generateFor("xbt", PkStrategy.DatePrefixed, 2, nowMs = 1755000000000L)
+    assert((b1 ++ b2).distinct.size == 4 && b2.head == "2025081200002")
+  }
+
+  test("unique constraint: NULL keys never collide (SQL-standard)") {
+    val wh = Files.createTempDirectory("graft_un").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("un", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("code", GType.GText, unique = true))))
+    val rep = e.batchInsert("un", Seq(
+      Map("id" -> "1", "code" -> null), Map("id" -> "2", "code" -> null)),
+      allowPartialErrors = true)
+    assert(rep.successCount == 2 && rep.failedCount == 0) // same batch
+    val rep2 = e.batchInsert("un", Seq(Map("id" -> "3", "code" -> null)),
+      allowPartialErrors = true)
+    assert(rep2.successCount == 1) // vs existing rows
   }
 
   test("declared constraints enforced on insert: length/range/unique (table_schema.dart:1177-1216)") {

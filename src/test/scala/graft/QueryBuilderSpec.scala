@@ -210,6 +210,18 @@ class QueryBuilderSpec extends SparkSpec {
       .join("nation", "nation.n_regionkey", "=", "nation_2.n_regionkey")
       .noDefaultLimit.toDF
     assert(auto.count() == expected)
+    // when the FIRST occurrence is itself a join, the second still gets _2
+    val viaJoins = engine.query("region")
+      .join("nation", "region.r_regionkey", "=", "nation.n_regionkey")
+      .join("nation", "region.r_regionkey", "=", "nation_2.n_regionkey")
+      .noDefaultLimit.toDF
+    assert(viaJoins.columns.contains("nation_2.n_name"))
+    // explicit duplicate aliases are rejected up front
+    intercept[IllegalArgumentException] {
+      engine.query("region")
+        .join("nation as n", "region.r_regionkey", "=", "n.n_regionkey")
+        .join("nation as n", "region.r_regionkey", "=", "n.n_regionkey")
+    }
   }
 
   test("numeric-string PK ordering survives non-default spaces") {

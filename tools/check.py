@@ -71,7 +71,7 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
                 print(f"FAIL {name}: no spark output"); n_fail += 1; continue
             got_cols = [d[0] for d in con.sql(
