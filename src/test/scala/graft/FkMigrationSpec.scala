@@ -80,6 +80,31 @@ class FkMigrationSpec extends SparkSpec {
     assert(after(2).getAs[String]("dept_id") == "d2")
   }
 
+  test("onUpdate=cascade on a SELF-referential FK (manager_id -> own PK)") {
+    import graft.expr.UExpr
+    val wh = Files.createTempDirectory("graft_selffk").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("emp2", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(
+        FieldSchema("ename", GType.GText, nullable = false),
+        FieldSchema("manager_id", GType.GText)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("manager_id"), "emp2", Seq("id"),
+        onUpdate = FkAction.Cascade))))
+    e.batchInsert("emp2", Seq(
+      Map("id" -> "e1", "ename" -> "boss", "manager_id" -> null),
+      Map("id" -> "e2", "ename" -> "ada", "manager_id" -> "e1"),
+      Map("id" -> "e3", "ename" -> "bob", "manager_id" -> "e1"),
+      Map("id" -> "e4", "ename" -> "cyd", "manager_id" -> "e2")))
+    e.updateEnforced("emp2", Seq("id" -> UExpr.value("e9")), Cond.Leaf("id", "=", "e1"))
+    val after = e.table("emp2").orderBy("ename").collect()
+      .map(r => r.getAs[String]("ename") -> (r.getAs[String]("id"), r.getAs[String]("manager_id")))
+      .toMap
+    assert(after("boss") == (("e9", null))) // PK rewritten
+    assert(after("ada")._2 == "e9" && after("bob")._2 == "e9") // cascaded refs
+    assert(after("cyd")._2 == "e2") // unrelated ref untouched
+    assert(e.table("emp2").count() == 4) // no rows lost through the double overwrite
+  }
+
   test("onDelete=restrict refuses while references exist (table_schema.dart:2756-2786)") {
     val e = engineWith(FkAction.Restrict)
     intercept[IllegalStateException] {
