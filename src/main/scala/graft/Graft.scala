@@ -248,7 +248,9 @@ final class Graft(
         }
       }
     }
-    val bad = bads.reduce(_ unionByName _)
+    // a row can trip several checks (e.g. two unique key sets, or parse +
+    // collision) — dedupe by ordinal so failedCount counts ROWS, not reasons
+    val bad = bads.reduce(_ unionByName _).dropDuplicates("__row_idx")
     if (!allowPartialErrors && !bad.isEmpty)
       throw new IllegalArgumentException(
         s"batchInsert: ${bad.count()} invalid row(s); pass allowPartialErrors to skip them")

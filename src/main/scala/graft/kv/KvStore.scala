@@ -144,13 +144,17 @@ final class KvStore(
 
   // ---------- reads ----------
 
-  /** get: expired → None (lazy expiry, tostore.dart:726-736). */
+  /** get: expired → None (lazy expiry, tostore.dart:726-736). A stored
+    * NULL value also reads as None — consistent with getMany. */
   def get(key: String): Option[String] =
-    df.where(col("key") === key).select("value").collect().headOption.map(_.getString(0))
+    df.where(col("key") === key).select("value").collect().headOption
+      .flatMap(r => Option(r.getString(0)))
 
+  /** getMany: keys with NULL values are omitted (a Map[String,String] must
+    * not carry nulls; mirrors get's None). */
   def getMany(keys: Seq[String]): Map[String, String] =
     df.where(col("key").isin(keys: _*)).select("key", "value").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .flatMap(r => Option(r.getString(1)).map(v => r.getString(0) -> v)).toMap
 
   // typed getters (kv_store.dart typed surface)
   def getInt(key: String): Option[Long] = get(key).flatMap(v => scala.util.Try(v.toLong).toOption)

@@ -89,6 +89,16 @@ object QueryResult {
     * reference's sortKey cursor mode always carries `orderBy + primary key`
     * (query_executor.dart:2948-2993, 3012-3018), so pages stay stable over
     * non-unique sort columns without a caller-supplied total order. */
+  /** The reference restricts cursor pagination over JOINs: ordering by a
+    * joined table's field makes keyset semantics ambiguous under row
+    * multiplication, so a cursor-driven page throws and a first page simply
+    * doesn't emit cursors (query_executor.dart:291-336). */
+  private def cursorUnsupportedReason(b: QueryBuilder): Option[String] =
+    if (b.joins.nonEmpty && b.orders.exists { case (f, _) =>
+        f.contains('.') && !f.startsWith(s"${b.table}.") })
+      Some("Cursor pagination with JOIN only supports ordering by main table fields.")
+    else None
+
   private def effectiveOrders(b: QueryBuilder): Seq[(String, Boolean)] = {
     // single-table only: the reference does not support cursors across JOIN
     // row multiplication (SURVEY §2.7), and a joined frame may qualify the
@@ -166,12 +176,15 @@ object QueryResult {
         f -> Option(r.getAs[Any](skName.getOrElse(f, outName(b, f))))
           .map(_.toString).orNull
       }).toOption
+    // unsupported cursor shape on a first page → no tokens (reference falls
+    // back to non-cursor mode rather than failing the query)
+    val cursorable = cursorUnsupportedReason(b).isEmpty
     val next =
-      if (hasMore && b.orders.nonEmpty && page.nonEmpty)
+      if (cursorable && hasMore && b.orders.nonEmpty && page.nonEmpty)
         pivotOf(page.last).map(encodeCursor(b, "next", _))
       else None
     val prev =
-      if (hasPrev && b.orders.nonEmpty && page.nonEmpty &&
+      if (cursorable && hasPrev && b.orders.nonEmpty && page.nonEmpty &&
           (fromCursor.isDefined || b.offsetOpt.exists(_ > 0)))
         pivotOf(page.head).map(encodeCursor(b, "prev", _))
       else None
@@ -184,6 +197,7 @@ object QueryResult {
       if (f.contains('.')) f.split('.').last else f)
 
   private[query] def executeCursor(b: QueryBuilder, tok: String): QueryResult = {
+    cursorUnsupportedReason(b).foreach(r => throw new IllegalArgumentException(r))
     val (dir, pivot) = decodeCursor(b, tok)
     val forward = dir == "next"
     val ks = keysetCond(effectiveOrders(b), pivot, forward)

@@ -118,6 +118,23 @@ class FacadeSpec extends SparkSpec {
     }
   }
 
+  test("failedCount counts rows once even when a row trips several checks") {
+    val wh = Files.createTempDirectory("graft_multi").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("mx", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(
+        FieldSchema("code", GType.GText, unique = true),
+        FieldSchema("tag", GType.GText, unique = true))))
+    e.batchInsert("mx", Seq(Map("id" -> "1", "code" -> "a", "tag" -> "x")))
+    // collides on PK + BOTH unique keys → one failed row, not three
+    val rep = e.batchInsert("mx", Seq(
+      Map("id" -> "1", "code" -> "a", "tag" -> "x"),
+      Map("id" -> "2", "code" -> "b", "tag" -> "y")),
+      allowPartialErrors = true)
+    assert(rep.successCount == 1 && rep.failedCount == 1)
+    assert(rep.failed.count() == 1)
+  }
+
   test("kv watchValues (plural): one emission carries every watched key (tostore.dart:758-791)") {
     val wh = Files.createTempDirectory("graft_kvwv").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)

@@ -24,6 +24,14 @@ class KvStoreSpec extends SparkSpec {
     assert(kv.get("missing").isEmpty)
   }
 
+  test("NULL values: get → None, getMany omits the key (no nulls in the map)") {
+    val kv = freshKv()
+    kv.setMany(Seq("present" -> "v", "nullish" -> null))
+    assert(kv.get("nullish").isEmpty)
+    assert(kv.getMany(Seq("present", "nullish")) == Map("present" -> "v"))
+    assert(kv.keys().toSet == Set("present", "nullish")) // the key itself exists
+  }
+
   test("TTL: expired values read as absent (lazy expiry, tostore.dart:726-736)") {
     val kv = freshKv()
     kv.set("gone", "x", ttlMs = Some(1L))

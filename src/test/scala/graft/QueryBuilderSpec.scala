@@ -141,6 +141,26 @@ class QueryBuilderSpec extends SparkSpec {
     }
   }
 
+  test("cursor over JOIN: joined-field ordering gets no tokens; token use errors (query_executor.dart:291-336)") {
+    val joined = engine.query("orders")
+      .join("customer", "orders.o_custkey", "=", "customer.c_custkey")
+      .select("o_orderkey", "c_name")
+      .limit(5)
+    // ordering by a JOINED table's field → first page silently non-cursor
+    val p1 = joined.orderByAsc("customer.c_name").run()
+    assert(p1.size == 5 && p1.nextCursor.isEmpty && p1.prevCursor.isEmpty)
+    // ordering by MAIN-table fields across the same join still cursors
+    val pMain = joined.orderByAsc("orders.o_orderkey").run()
+    assert(pMain.nextCursor.isDefined)
+    // handing a token into the unsupported shape is an explicit error
+    val tok = pMain.nextCursor.get
+    val err = intercept[IllegalArgumentException] {
+      new graft.query.QueryResult(Nil, true, false, Some(tok), None, 0,
+        joined.orderByAsc("customer.c_name")).next()
+    }
+    assert(err.getMessage.contains("only supports ordering by main table fields"))
+  }
+
   test("offset beyond maxQueryOffset rejected (data_store_config.dart:209)") {
     intercept[IllegalArgumentException] {
       engine.query("lineitem").orderByAsc("l_orderkey").offset(10001).limit(1).toDF.count()
