@@ -11,7 +11,8 @@ object PlanAudit {
     val show = Seq("q01_filter_range", "q07_agg_groupby", "q09_join_inner",
       "q13_join_multi3", "q15_topk", "q16_offset", "q25_dedup_exact",
       "q44_neardup_lsh", "q46_delete_preview", "q47_batch_update",
-      "q48_sql_cte", "q49_filter_sugar", "q50_rolling_fp")
+      "q48_sql_cte", "q49_filter_sugar", "q50_rolling_fp",
+      "q33_ann_ivf") // IVF probe over the clustered layout: shows PartitionFilters
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

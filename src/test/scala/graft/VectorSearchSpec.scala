@@ -50,6 +50,37 @@ class VectorSearchSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("IVF clustered layout: probe prunes partitions PHYSICALLY; recall@10 ≥ 0.9 at nprobe=4") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+    VectorSearch.ivfWriteClustered(embs, "embedding", model, s"$base/emb")
+    val clustered = spark.read.parquet(s"$base/emb")
+    val ann = VectorSearch.ivfSearch(clustered, model, "vec_id", "embedding", query,
+      topK = 10, nprobe = 3)
+    // the __ivf_cell IN-filter must land in PartitionFilters (file pruning),
+    // not a post-scan Filter: assert on the scan node itself
+    val scans = ann.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in IVF probe plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "__ivf_cell")),
+      s"__ivf_cell not in partitionFilters: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount <= 3,
+      s"probe read ${scan.selectedPartitions.partitionCount} partitions, expected ≤ nprobe=3")
+    // published recall (SURVEY §7.3): ≥0.9 at nprobe=4, 1.0 at full probe,
+    // monotone in nprobe, scanned fraction strictly < 1 while probing < nlist
+    val report = VectorSearch.ivfRecallReport(embs, "vec_id", "embedding",
+      s"$base/emb_rec", queryIds = 0L until 8L, nprobes = Seq(1, 2, 4, 8), nlist = 8)
+      .orderBy("nprobe").collect()
+    val byNp = report.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byNp(4)._1 >= 0.9, s"recall@10 at nprobe=4 = ${byNp(4)._1}")
+    assert(byNp(8)._1 == 1.0, "full probe must equal exact")
+    assert(report.map(_.getDouble(1)).sliding(2).forall(p => p(0) <= p(1)),
+      "recall must be monotone in nprobe")
+    assert(byNp(1)._2 < 1.0 && byNp(4)._2 < 1.0, "probe must scan a strict subset")
+  }
+
   test("ivfCell assigns every row to a valid cell") {
     val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 4)
     val cells = VectorSearch.ivfIndex(embs, model, "embedding")
