@@ -217,6 +217,17 @@ final class Graft(
       StructField("__row_idx", LongType, nullable = false)))
     val staged = spark.createDataFrame(
       spark.sparkContext.parallelize(data, math.max(1, rows.size / 10000)), stagingSchema)
+    ingestStaged(name, staged, allowPartialErrors)
+  }
+
+  /** Shared tail of the two ingest paths (`batchInsert`, `insertFrom`):
+    * `staged` carries the all-nullable target columns plus `__parse_ok`
+    * and `__row_idx`. Splits on nullability + declared constraints +
+    * uniqueness, appends the good rows, reports the bad ones. */
+  private def ingestStaged(name: String, staged: DataFrame,
+      allowPartialErrors: Boolean): graft.write.WriteReport = {
+    val schema = registry.get(space, name).map(_.sparkSchema)
+      .getOrElse(table(name).schema)
     val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
     // declared constraints (maxLength/minLength/minValue/maxValue) join the
     // parse check — the reference enforces them at insert time
@@ -257,6 +268,81 @@ final class Graft(
     val carriers = Seq("__parse_ok", "__row_idx")
     graft.write.Writes.append(this, name, good.drop(carriers: _*))
     graft.write.WriteReport(good.count(), bad.count(), bad.drop(carriers: _*))
+  }
+
+  /**
+   * Bulk ingest from a DataFrame — the scale path `batchInsert` is not:
+   * rows never materialize on the driver. Loose-typing coercion happens as
+   * `try_cast` columns (a failed parse lands the row in the failed split,
+   * same contract as batchInsert), defaults fill, and missing primary keys
+   * are assigned EXECUTOR-SIDE: one driver-side block reservation
+   * (IdGen.reserveFor — the reference's ID-pool role, id_generator.dart:
+   * 313-321), then id = encode(base + __row_idx) as a pure Column over the
+   * partition-offset row index (zipWithIndex: one count job, no collect).
+   * A 10M-row frame therefore costs two passes and zero driver memory.
+   *
+   * Note: the full id block (one per input row) is reserved even when some
+   * rows already carry a PK — reserved-but-unused ids are gaps, exactly
+   * like the reference's discarded pool ids.
+   */
+  def insertFrom(name: String, src: DataFrame,
+      allowPartialErrors: Boolean = false): graft.write.WriteReport = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = registry.get(space, name).map(_.sparkSchema)
+      .getOrElse(table(name).schema)
+    val reg = registry.get(space, name)
+    val defaultNow = reg.map(_.fields).getOrElse(Nil)
+      .filter(_.defaultCurrentTimestamp).map(_.name).toSet
+    // executor-side global row index (partition offsets; Spark runs one
+    // lightweight count job to compute them)
+    val idxed = {
+      val rdd = src.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+      spark.createDataFrame(rdd, StructType(src.schema.fields.map(_.copy(nullable = true)) :+
+        StructField("__row_idx", LongType, nullable = false)))
+    }
+    // PK assignment (sequential | timestampBased | datePrefixed | shortCode)
+    val withPk = reg match {
+      case Some(s) if s.primaryKey.strategy != graft.schema.PkStrategy.None =>
+        import graft.schema.PkStrategy
+        val pk = s.primaryKey.name
+        val hasCol = idxed.columns.contains(pk)
+        val existingMax =
+          if (s.primaryKey.strategy == PkStrategy.Sequential && managedExists(name))
+            Option(table(name).agg(max(col(pk).cast("long"))).head.get(0))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+          else 0L
+        val n = idxed.count() // reserves the id block; also caches nothing
+        val start = graft.schema.IdGen.reserveFor(name, s.primaryKey.strategy, n, existingMax)
+        val gen: org.apache.spark.sql.Column = s.primaryKey.strategy match {
+          case PkStrategy.ShortCode =>
+            // Base62 needs a scalar fn; everything else stays codegen
+            val b62 = udf((i: Long) => graft.schema.IdGen.Base62.encode(BigInt(i)))
+            b62(lit(start.toLong) + col("__row_idx"))
+          case _ => (lit(start.toLong) + col("__row_idx")).cast("string")
+        }
+        if (hasCol) idxed.withColumn(pk, coalesce(col(pk).cast("string"), gen))
+        else idxed.withColumn(pk, gen)
+      case _ => idxed
+    }
+    // coercion to the declared schema: try_cast per column (parse failures
+    // flag the row instead of failing the job — ANSI-safe), defaults fill
+    val casted = schema.fields.toSeq.map { f =>
+      if (withPk.columns.contains(f.name))
+        expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").as(f.name)
+      else if (defaultNow.contains(f.name)) current_timestamp().as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val parseOk = schema.fields.toSeq.flatMap { f =>
+      if (withPk.columns.contains(f.name))
+        Some(col(f.name).isNull || expr(s"try_cast(`${f.name}` AS ${f.dataType.sql})").isNotNull)
+      else None
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val staged = withPk.select(casted ++ Seq(
+      parseOk.as("__parse_ok"), col("__row_idx")): _*)
+    ingestStaged(name, staged, allowPartialErrors)
   }
 
   /** batchUpdate: partial per-field update of rows located by PK

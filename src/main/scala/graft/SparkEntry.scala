@@ -257,9 +257,7 @@ object SparkEntry {
     }),
     "q25_dedup_exact" -> ((s, dir) => {
       val d = eng(s, dir).table("documents")
-      d.groupBy(fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dupes"))
-        .orderBy("fp")
+      Dedup.exactGroups(d, "doc_id", "text").orderBy("fp")
     }),
     "q27_text_quality" -> ((s, dir) => {
       val d = eng(s, dir).table("documents")

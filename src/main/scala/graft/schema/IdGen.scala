@@ -61,13 +61,20 @@ object IdGen {
   private val seqState =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (BigInt, Long)]()
 
-  /** Generate `count` ids for `table`, continuing the in-process sequence
-    * when consecutive batches share the same time base. */
-  def generateFor(table: String, strategy: PkStrategy, count: Int,
-      existingMax: Long = 0L, nowMs: Long = System.currentTimeMillis()): Seq[String] =
+  /** Reserve a contiguous id block for `table` and return its first value:
+    * id(i) = encode(start + i) for i in [0, count). The executor-side bulk
+    * path (`Graft.insertFrom`) turns this into a pure Column expression
+    * over the partition-offset row index — ids are a deterministic function
+    * of (reserved base, row index), so no coordination beyond this one
+    * driver-side reservation (the reference's isolate ID pools,
+    * id_generator.dart:313-321, serve the same purpose). */
+  def reserveFor(table: String, strategy: PkStrategy, count: Long,
+      existingMax: Long = 0L, nowMs: Long = System.currentTimeMillis()): BigInt =
     strategy match {
-      case PkStrategy.Sequential | PkStrategy.None =>
-        generate(strategy, count, existingMax, nowMs)
+      case PkStrategy.None =>
+        throw new IllegalArgumentException(
+          "PkStrategy.None does not generate ids — the caller must supply them")
+      case PkStrategy.Sequential => BigInt(existingMax + 1)
       case _ =>
         val key = (strategy.toString, table)
         val base = strategy match {
@@ -80,11 +87,26 @@ object IdGen {
         var start = 0L
         seqState.compute(key, (_, prev) => prev match {
           case (b, next) if b == base => start = next; (b, next + count)
-          case _                      => start = 0L; (base, count.toLong)
+          case _                      => start = 0L; (base, count)
         })
-        val enc: BigInt => String =
-          if (strategy == PkStrategy.ShortCode) Base62.encode else _.toString
-        (0 until count).map(i => enc(base + start + i))
+        base + start
+    }
+
+  /** The value→string encoding of a strategy (ShortCode is Base62). */
+  def encoderFor(strategy: PkStrategy): BigInt => String =
+    if (strategy == PkStrategy.ShortCode) Base62.encode else _.toString
+
+  /** Generate `count` ids for `table`, continuing the in-process sequence
+    * when consecutive batches share the same time base. */
+  def generateFor(table: String, strategy: PkStrategy, count: Int,
+      existingMax: Long = 0L, nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    strategy match {
+      case PkStrategy.Sequential | PkStrategy.None =>
+        generate(strategy, count, existingMax, nowMs)
+      case _ =>
+        val start = reserveFor(table, strategy, count.toLong, existingMax, nowMs)
+        val enc = encoderFor(strategy)
+        (0 until count).map(i => enc(start + i))
     }
 
   /** Generate `count` ids for a batch starting at deterministic base state

@@ -118,6 +118,47 @@ class FacadeSpec extends SparkSpec {
     }
   }
 
+  test("insertFrom: 1M-row DataFrame ingest with executor-side PK assignment (no driver rows)") {
+    val wh = Files.createTempDirectory("graft_bulk").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("bulk", PrimaryKeyConfig("id", PkStrategy.Sequential),
+      Seq(FieldSchema("v", GType.GInteger, nullable = false))))
+    val rep = e.insertFrom("bulk",
+      spark.range(1000000).select(col("id").cast("int").as("v")))
+    assert(rep.successCount == 1000000L && rep.failedCount == 0L)
+    val t = e.table("bulk")
+    assert(t.select(countDistinct(col("id"))).head.getLong(0) == 1000000L)
+    assert(t.agg(min(col("id").cast("long")), max(col("id").cast("long")))
+      .head.toSeq == Seq(1L, 1000000L)) // sequential block: max+1 .. max+N
+    // next batch continues from the stored max
+    assert(e.insertFrom("bulk",
+      spark.range(10).select(col("id").cast("int").as("v"))).successCount == 10L)
+    assert(e.table("bulk").agg(max(col("id").cast("long"))).head.getLong(0) == 1000010L)
+    // unique-collision split: explicit ids overlapping existing rows fail
+    val dup = spark.range(5)
+      .select((col("id") + 1).cast("string").as("id"), col("id").cast("int").as("v"))
+    val rep3 = e.insertFrom("bulk", dup, allowPartialErrors = true)
+    assert(rep3.successCount == 0L && rep3.failedCount == 5L)
+    // parse failure + nullability land in the failed split, not an exception
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val mixed = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("notanum"), Row("7"), Row(null))),
+      StructType(Seq(StructField("v", StringType))))
+    val rep4 = e.insertFrom("bulk", mixed, allowPartialErrors = true)
+    assert(rep4.successCount == 1L && rep4.failedCount == 2L)
+  }
+
+  test("insertFrom: timestampBased PKs are distinct across executors and batches") {
+    val wh = Files.createTempDirectory("graft_bulkt").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("bulkt", PrimaryKeyConfig("id", PkStrategy.TimestampBased),
+      Seq(FieldSchema("v", GType.GInteger))))
+    e.insertFrom("bulkt", spark.range(5000).select(col("id").cast("int").as("v")))
+    e.insertFrom("bulkt", spark.range(5000).select(col("id").cast("int").as("v")))
+    assert(e.table("bulkt").select(countDistinct(col("id"))).head.getLong(0) == 10000L)
+  }
+
   test("failedCount counts rows once even when a row trips several checks") {
     val wh = Files.createTempDirectory("graft_multi").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)
