@@ -524,6 +524,25 @@ object SparkEntry {
         .union(tag(e2, "gl", "global-via-alt")) // global table crosses spaces
         .orderBy(col("space"), length(col("id")), col("id"))
     }),
+    "q56_join_loose" -> ((s, dir) => {
+      // loose-typed join keys: TEXT ids joined against BIGINT o_custkey —
+      // string-canonical equality (query_executor.dart:1526-1533): "3" ↔ 3
+      // matches, the "3.0" decoy row must NOT (native numeric coercion
+      // would match it — the divergence this gate pins down)
+      import graft.schema._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q56").toString
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("cust_str", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("cname", GType.GText))))
+      e.insertFrom("cust_str", e.table("customer").where(col("c_custkey") <= 20)
+        .select(col("c_custkey").cast("string").as("id"), col("c_name").as("cname")))
+      e.insert("cust_str", Map("id" -> "3.0", "cname" -> "decoy"))
+      e.query("orders").join("cust_str", "orders.o_custkey", "=", "cust_str.id")
+        .groupBy("id")
+        .agg(Agg.count(alias = "cnt"))
+        .orderByAsc("id")
+        .toDF
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -941,6 +960,14 @@ object SparkEntry {
            SELECT 'global-via-alt', CAST(c_custkey AS VARCHAR), c_name
            FROM customer WHERE c_custkey = 1)
          ORDER BY space, length(id), id""",
+    "q56_join_loose" ->
+      """SELECT s.id AS id, count(*) AS cnt
+         FROM orders o JOIN (
+           SELECT CAST(c_custkey AS VARCHAR) AS id FROM customer WHERE c_custkey <= 20
+           UNION ALL SELECT '3.0'
+         ) s ON CAST(o.o_custkey AS VARCHAR) = s.id
+         GROUP BY 1
+         ORDER BY 1""",
     "q46_delete_preview" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)

@@ -203,8 +203,28 @@ final case class QueryBuilder(
     val joined = joins.foldLeft(base) { (acc, j) =>
       val right = engine.table(j.table).as(j.name)
       addTypes(j.name, right)
-      val on = Cond.Leaf(j.leftKey, j.op, col(j.rightKey))
-        .toColumn(col, f => None) // join keys compared natively; Catalyst inserts casts
+      // loose-typed equality keys: the reference canonicalizes primitive
+      // join keys to STRINGS before hashing (query_executor.dart:1526-1533),
+      // so 1 matches "1" but "1.0" does NOT match 1. Spark's native
+      // coercion would cast the string side numerically ("1.0" == 1 →
+      // true) — divergent. When the two key types differ and both are
+      // primitive, compare their string forms instead. Same-typed keys
+      // (the overwhelmingly common case) keep the native comparison and
+      // its pushdown/shuffle characteristics.
+      def primitive(d: DataType): Boolean = d match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }
+      val lt = types.get(j.leftKey)
+      val rt = types.get(j.rightKey)
+      val on =
+        if (j.op == "=" && lt.isDefined && rt.isDefined && lt != rt &&
+            primitive(lt.get) && primitive(rt.get))
+          col(j.leftKey).cast("string") === col(j.rightKey).cast("string")
+        else Cond.Leaf(j.leftKey, j.op, col(j.rightKey))
+          .toColumn(col, f => None) // same-typed keys compared natively
       acc.join(right, on, j.joinType)
     }
     (joined, types)

@@ -161,6 +161,32 @@ class QueryBuilderSpec extends SparkSpec {
     assert(err.getMessage.contains("only supports ordering by main table fields"))
   }
 
+  test("loose-typed join keys: string-canonical compare (1 matches '1', '1.0' does not — query_executor.dart:1526-1533)") {
+    import java.nio.file.Files
+    import graft.schema._
+    val wh = Files.createTempDirectory("graft_loose").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("lt_a", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("tag", GType.GText))))
+    e.createTable(TableSchema("lt_b", PrimaryKeyConfig("pk", PkStrategy.None),
+      Seq(FieldSchema("k", GType.GInteger))))
+    e.batchInsert("lt_a", Seq(
+      Map("id" -> "1", "tag" -> "one"),
+      Map("id" -> "2", "tag" -> "two"),
+      Map("id" -> "1.0", "tag" -> "onepointoh")))
+    e.batchInsert("lt_b", Seq(
+      Map("pk" -> "x", "k" -> 1), Map("pk" -> "y", "k" -> 2), Map("pk" -> "z", "k" -> 9)))
+    val rows = e.query("lt_a").join("lt_b", "lt_a.id", "=", "lt_b.k")
+      .select("id", "tag", "k").orderByAsc("id").toDF.collect()
+    // string-canonical: "1"<->1 and "2"<->2 match; "1.0" vs 1 must NOT
+    // (Spark's native numeric coercion would match it)
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq == Seq(("1", 1L), ("2", 2L)))
+    // same-typed keys stay native (sanity: the main-path join is unchanged)
+    val n = engine.query("orders")
+      .join("customer", "orders.o_custkey", "=", "customer.c_custkey").count()
+    assert(n > 0)
+  }
+
   test("offset beyond maxQueryOffset rejected (data_store_config.dart:209)") {
     intercept[IllegalArgumentException] {
       engine.query("lineitem").orderByAsc("l_orderkey").offset(10001).limit(1).toDF.count()
