@@ -11,13 +11,68 @@ import org.apache.spark.sql.types._
  * exists) amortizes per-partition init — the Spark-native shape for
  * non-columnar payloads.
  *
- * The container has no image/audio codecs, so the decode kernels are
- * STUBBED with a clearly-marked deterministic fake (`FakeCodec`): the
- * Spark-side plumbing — schema, partitioning, batch iteration, output
- * shape — is real and tested; swap `FakeCodec` for a JNI/opencv binding in
- * production.
+ * Image decode/resize is REAL for PNG/JPEG (and any other format the JDK's
+ * `javax.imageio` registry carries — public JDK surface, headless-safe).
+ * Payloads ImageIO cannot read (audio, video, the gate's text-bytes
+ * stand-ins) fall back to the clearly-marked deterministic stub
+ * (`FakeCodec`) so the pipeline shape stays total and testable; video
+ * frame extraction remains fully stubbed (no container demuxer in the
+ * JDK). The call sites (mapPartitions batch loop) never change — swap the
+ * codec object for a JNI/opencv binding to widen format coverage.
  */
 object Multimodal {
+
+  /** Real image codec over `javax.imageio` (PNG/JPEG/BMP/GIF in any stock
+    * JDK). All methods return None when no registered reader understands
+    * the bytes — callers fall back to `FakeCodec`. */
+  object ImageIoCodec {
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+
+    def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+      decode(bytes).map(i => (i.getWidth, i.getHeight))
+
+    /** Decode → scale to (w, h) → re-encode PNG. */
+    def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decode(bytes).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+
+    /** 8-bin luminance histogram over decoded pixels, row-count normalized
+      * — a real (if trivial) visual feature standing where an embedding
+      * model's forward pass would run. */
+    def features(bytes: Array[Byte]): Option[Array[Float]] =
+      decode(bytes).map { img =>
+        val h = new Array[Float](8)
+        val (w, ht) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            h(lum / 32) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1f, (w * ht).toFloat)
+        h.map(_ / n)
+      }
+  }
 
   /** Standard multimodal record schema: content + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -84,8 +139,11 @@ object Multimodal {
       // UDF's batch-level model load)
       it.map { r =>
         val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
-        val (w, h) = FakeCodec.imageDims(bytes)
-        org.apache.spark.sql.Row(r.getLong(idIdx), w, h, FakeCodec.features(bytes).toSeq)
+        // real decode first (PNG/JPEG/...); non-image payloads fall back to
+        // the deterministic stub so the pass stays total
+        val (w, h) = ImageIoCodec.imageDims(bytes).getOrElse(FakeCodec.imageDims(bytes))
+        val feat = ImageIoCodec.features(bytes).getOrElse(FakeCodec.features(bytes))
+        org.apache.spark.sql.Row(r.getLong(idIdx), w, h, feat.toSeq)
       }
     }(enc)
   }
@@ -102,7 +160,9 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
-        org.apache.spark.sql.Row(r.getLong(idIdx), FakeCodec.resize(bytes, w, h))
+        val resized = ImageIoCodec.resizePng(bytes, w, h)
+          .getOrElse(FakeCodec.resize(bytes, w, h))
+        org.apache.spark.sql.Row(r.getLong(idIdx), resized)
       }
     }(enc)
   }

@@ -67,6 +67,31 @@ class PipelineSpec extends SparkSpec {
     assert(rows(2).getInt(1) == 0) // null content → 0×0
   }
 
+  test("real PNG decode via javax.imageio: true dims, resize round-trips, fallback intact") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 37 + y * 101) & 0xFFFFFF)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, png(17, 9)), Row(2L, "not an image".getBytes))), schema)
+    val decoded = Multimodal.decodeImages(df).orderBy("media_id").collect()
+    assert(decoded(0).getInt(1) == 17 && decoded(0).getInt(2) == 9) // real dims
+    assert(math.abs(decoded(0).getSeq[Float](3).sum - 1.0f) < 1e-4) // real histogram
+    // non-image bytes keep the deterministic stub path
+    assert(decoded(1).getInt(1) == ("n".head.toInt % 64) + 1)
+    // resize: output is a REAL 8x6 PNG (decode it back to prove it)
+    val resized = Multimodal.resizeImages(df, 8, 6).orderBy("media_id").collect()
+    val back = Multimodal.ImageIoCodec.decode(resized(0).getAs[Array[Byte]](1))
+    assert(back.exists(i => i.getWidth == 8 && i.getHeight == 6))
+  }
+
   test("resize + frame sampling shapes") {
     val resized = Multimodal.resizeImages(media, 2, 3).orderBy("media_id").collect()
     assert(resized(0).getAs[Array[Byte]](1).length == 6) // min(len, w*h)
