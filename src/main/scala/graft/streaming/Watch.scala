@@ -153,6 +153,43 @@ final class ChangeFeed(spark: SparkSession, dir: String) {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
+
+  /**
+   * Incremental aggregate watch — the bounded-state alternative to
+   * `watchStream`'s full-query recompute: a windowed per-key aggregate
+   * over the feed runs in UPDATE output mode, so each micro-batch emits
+   * only the (window, key) rows that changed, and the watermark evicts
+   * finalized windows from the state store. This is the watch shape that
+   * survives 100 TB: state is O(active windows × keys), emissions are
+   * O(changed keys), and nothing recomputes the base query.
+   *
+   * `keyExpr` extracts the grouping key from the event (typically
+   * `get_json_object(col("after"), "$.field")`); `aggs` aggregate over the
+   * events themselves. State lives in `checkpoint` — reuse the same
+   * directory across (AvailableNow) runs to keep accumulating.
+   */
+  def watchAggregate(
+      tableName: String,
+      keyExpr: org.apache.spark.sql.Column,
+      aggs: Seq[org.apache.spark.sql.Column],
+      checkpoint: String,
+      windowWidth: String = "1 hour",
+      watermark: String = "10 minutes")(onUpdate: Seq[Row] => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.where(col("table") === tableName)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowWidth).as("w"), keyExpr.as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .writeStream
+      .outputMode("update") // changed (window, key) rows only — no full recompute
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().toSeq
+        if (rows.nonEmpty) onUpdate(rows)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }
 
 /** Event-time windowed aggregation helpers over any (ts, ...) stream —

@@ -66,6 +66,33 @@ class StreamingSpec extends SparkSpec {
     assert(captured.size == 5)
   }
 
+  test("watchAggregate: update-mode emits only changed keys, no full recompute") {
+    val base = Files.createTempDirectory("graft_feed3").toString
+    val feed = new ChangeFeed(spark, base + "/feed")
+    val ckpt = base + "/ckpt"
+    def ev(user: String, ts: Long) = ChangeEvent("insert", "events",
+      None, Some(s"""{"user":"$user"}"""), new Timestamp(ts))
+    feed.append(Seq(ev("alice", 1000), ev("alice", 2000), ev("bob", 3000)))
+    @volatile var updates: Seq[Seq[org.apache.spark.sql.Row]] = Nil
+    def run(): Unit = {
+      val q = feed.watchAggregate("events",
+        get_json_object(col("after"), "$.user"),
+        Seq(count(lit(1)).as("cnt")), ckpt) { rows => updates = updates :+ rows }
+      q.awaitTermination(60000)
+    }
+    run()
+    val first = updates.flatten.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(first == Map("alice" -> 2L, "bob" -> 1L))
+    // second batch touches ONLY alice → the update-mode emission carries
+    // alice's new running count and nothing for bob (incremental, state
+    // carried in the checkpoint — not a recompute of the base query)
+    updates = Nil
+    feed.append(Seq(ev("alice", 4000)))
+    run()
+    val second = updates.flatten.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(second == Map("alice" -> 3L))
+  }
+
   test("event-time windows: tumbling batch counts match manual bucketing") {
     val events = engine.table("events").limit(500).cache()
     val windowed = EventTime.tumbling(events, "ts", "1 hour", "0 seconds",
