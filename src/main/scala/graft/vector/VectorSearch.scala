@@ -61,6 +61,34 @@ object VectorSearch {
     thresholded.orderBy(col("distance").asc, col("pk").asc).limit(topK)
   }
 
+  /** Multi-query exact top-K in ONE job: the query set (tiny: ids ×
+    * dim doubles) broadcasts against the table, distances evaluate in
+    * whole-stage codegen, and a per-query window keeps K rows. The batch
+    * shape a 100 TB ANN serving job wants — one scan amortizes across the
+    * whole query set instead of one scan per query. Output: (qid, pk,
+    * distance, score, rank). */
+  def exactBatch(
+      table: DataFrame,
+      pkCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      topK: Int = 10,
+      metric: String = "cosine"): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(queries.toDF("qid", "qv"))
+    val d = distCol(metric, col(vecCol), col("qv"))
+    val scored = table.where(col(vecCol).isNotNull)
+      .join(qdf) // cartesian with a broadcast-tiny side: one pass over the table
+      .select(col("qid"), col(pkCol).as("pk"), round(d, 6).as("distance"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("distance").asc, col("pk").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .withColumn("score", round(vectorScore(metric, col("distance")), 6))
+      .select("qid", "pk", "distance", "score", "rank")
+  }
+
   // ---------- IVF (inverted-file) index ----------
 
   /** IVF model: centroids live on the driver (nlist × dim doubles — tiny);
@@ -142,6 +170,42 @@ object VectorSearch {
   def ivfIndex(table: DataFrame, model: IvfModel, vecCol: String): DataFrame =
     table.withColumn("__ivf_cell", ivfCell(model, col(vecCol)))
 
+  /** Multi-query IVF probe in ONE job: the probed-cell union becomes a
+    * STATIC partition filter (files outside every query's cells are never
+    * read), a broadcast (qid, cell) map restricts each query to its own
+    * nprobe cells, and a per-query window ranks the exact re-rank. Same
+    * output shape as `exactBatch`. */
+  def ivfSearchBatch(
+      indexed: DataFrame, // cell-partitioned layout (ivfWriteClustered)
+      model: IvfModel,
+      pkCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      topK: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, q) =>
+      model.nearestCells(q, nprobe).map(c => qid -> c)
+    }
+    val allCells = probes.map(_._2).distinct
+    val probeDf = broadcast(probes.toDF("qid", "__probe_cell"))
+    val qdf = broadcast(queries.toDF("qid", "qv"))
+    val d = distCol(model.metric, col(vecCol), col("qv"))
+    val scored = indexed
+      .where(col("__ivf_cell").isin(allCells: _*)) // static partition pruning
+      .join(probeDf, col("__ivf_cell") === col("__probe_cell")) // per-query cells
+      .join(qdf, "qid")
+      .where(col(vecCol).isNotNull)
+      .select(col("qid"), col(pkCol).as("pk"), round(d, 6).as("distance"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("distance").asc, col("pk").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .withColumn("score", round(vectorScore(model.metric, col("distance")), 6))
+      .select("qid", "pk", "distance", "score", "rank")
+  }
+
   /** Materialize the index the way a 100 TB deployment must: directory-
     * partitioned by `__ivf_cell`, so `ivfSearch`'s IN-filter becomes a
     * PHYSICAL partition filter — only nprobe/nlist of the files are listed
@@ -185,19 +249,20 @@ object VectorSearch {
     val total = math.max(1L, cellSizes.values.sum).toDouble
     val queries = embs.where(col(pkCol).isin(queryIds: _*))
       .select(col(pkCol), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-    // exact top-K once per query (nprobe-independent oracle)
-    val exactTop: Map[Long, Set[Long]] = queries.map { case (id, q) =>
-      id -> exact(embs, pkCol, vecCol, q, topK, metric)
-        .collect().map(_.getLong(0)).toSet
-    }.toMap
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // one job for ALL exact oracles, one job per nprobe for ALL probes —
+    // the batched operators keep the report O(nprobes) jobs, not
+    // O(queries × nprobes)
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "pk").collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exactTop = topSets(exactBatch(embs, pkCol, vecCol, queries, topK, metric))
     val rows = nprobes.map { np =>
+      val annTop = topSets(ivfSearchBatch(clustered, model, pkCol, vecCol, queries, topK, np))
       var hits = 0; var denom = 0; var scanned = 0.0
       queries.foreach { case (id, q) =>
-        val ann = ivfSearch(clustered, model, pkCol, vecCol, q, topK, np)
-          .collect().map(_.getLong(0)).toSet
-        hits += (exactTop(id) & ann).size
-        denom += exactTop(id).size
+        hits += (exactTop.getOrElse(id, Set.empty) & annTop.getOrElse(id, Set.empty)).size
+        denom += exactTop.getOrElse(id, Set.empty).size
         scanned += model.nearestCells(q, np).map(c => cellSizes.getOrElse(c, 0L)).sum / total
       }
       (np, math.round(hits.toDouble / math.max(1, denom) * 10000) / 10000.0,

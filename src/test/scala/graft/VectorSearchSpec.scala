@@ -81,6 +81,34 @@ class VectorSearchSpec extends SparkSpec {
     assert(byNp(1)._2 < 1.0 && byNp(4)._2 < 1.0, "probe must scan a strict subset")
   }
 
+  test("batched multi-query search matches the per-query operators") {
+    def qv(id: Long): Seq[Double] =
+      embs.where(col("vec_id") === id).select("embedding").head
+        .getSeq[Float](0).map(_.toDouble).toSeq
+    val queries = Seq(3L, 7L, 11L).map(id => id -> qv(id))
+    val batch = VectorSearch.exactBatch(embs, "vec_id", "embedding", queries, topK = 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(4)).map(_.getLong(1)).toSeq).toMap
+    queries.foreach { case (qid, v) =>
+      val single = VectorSearch.exact(embs, "vec_id", "embedding", v, topK = 5,
+        metric = "cosine").collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == single, s"exactBatch diverges for qid=$qid")
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+    VectorSearch.ivfWriteClustered(embs, "embedding", model, s"$base/emb")
+    val clustered = spark.read.parquet(s"$base/emb")
+    val annBatch = VectorSearch.ivfSearchBatch(clustered, model, "vec_id", "embedding",
+      queries, topK = 5, nprobe = 3)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(4)).map(_.getLong(1)).toSeq).toMap
+    queries.foreach { case (qid, v) =>
+      val single = VectorSearch.ivfSearch(clustered, model, "vec_id", "embedding", v,
+        topK = 5, nprobe = 3).collect().map(_.getLong(0)).toSeq
+      assert(annBatch(qid) == single, s"ivfSearchBatch diverges for qid=$qid")
+    }
+  }
+
   test("ivfCell assigns every row to a valid cell") {
     val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 4)
     val cells = VectorSearch.ivfIndex(embs, model, "embedding")
