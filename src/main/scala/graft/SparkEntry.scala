@@ -543,6 +543,96 @@ object SparkEntry {
         .orderByAsc("id")
         .toDF
     }),
+    "q57_bulk_ingest" -> ((s, dir) => {
+      // scale ingest path end-to-end: lineitem (≈600k rows at sf0.1) flows
+      // through insertFrom — executor-side sequential PK assignment via
+      // zipWithIndex partition offsets, try_cast coercion, unique split —
+      // then aggregates read back from the managed table. The oracle
+      // computes the same aggregate straight from lineitem (generated ids
+      // are excluded from the output, so the gate hash-checks).
+      import graft.schema._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q57").toString
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("li_bulk", PrimaryKeyConfig("id", PkStrategy.Sequential),
+        Seq(FieldSchema("flag", GType.GText), FieldSchema("qty", GType.GDouble))))
+      e.insertFrom("li_bulk", e.table("lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_quantity").cast("double").as("qty")))
+      // distinct_ids == cnt iff every generated PK is unique — the oracle
+      // predicts cnt for both, so an id collision flips the hash gate red
+      e.table("li_bulk").groupBy("flag")
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("qty"))).cast("double").as("sum_qty"),
+          countDistinct(col("id")).as("distinct_ids"))
+        .orderBy("flag")
+    }),
+    "q58_watch_incremental" -> ((s, dir) => {
+      // incremental streaming watch: the events table becomes a CDC feed
+      // (op/table/before/after/ts), watchAggregate runs a windowed per-key
+      // count in UPDATE output mode over it, and the emitted (window, key)
+      // rows — only what changed — are the result. Oracle: the same
+      // hour-window counts straight off events.
+      val base = java.nio.file.Files.createTempDirectory("graft_q58").toString
+      val evs = eng(s, dir).table("events").where(col("event_id") <= 2000)
+      evs.select(lit("insert").as("op"), lit("events").as("table"),
+          lit(null).cast("string").as("before"),
+          to_json(struct(col("user_id"))).as("after"), col("ts"))
+        .write.mode("overwrite").parquet(base + "/feed")
+      val feed = new graft.streaming.ChangeFeed(s, base + "/feed")
+      @volatile var captured: Seq[org.apache.spark.sql.Row] = Nil
+      val q = feed.watchAggregate("events",
+        get_json_object(col("after"), "$.user_id"),
+        Seq(count(lit(1)).as("cnt")), base + "/ckpt",
+        windowWidth = "1 hour", watermark = "0 seconds") { rows => captured = captured ++ rows }
+      q.awaitTermination(120000)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w_start",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType)))
+      val out = captured.map(r => org.apache.spark.sql.Row(
+        r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy(col("w_start"), col("key").cast("long"))
+    }),
+    "q59_backup_restore" -> ((s, dir) => {
+      // backup → clear → restore roundtrip (tostore.dart:817-839): the
+      // restored table must carry exactly the pre-backup rows
+      import graft.schema._
+      val base = java.nio.file.Files.createTempDirectory("graft_q59").toString
+      val e = Graft.withWarehouse(s, dir, base + "/wh")
+      e.createTable(TableSchema("cust_bak", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("cname", GType.GText))))
+      e.insertFrom("cust_bak", e.table("customer").where(col("c_custkey") <= 100)
+        .select(col("c_custkey").cast("string").as("id"), col("c_name").as("cname")))
+      e.backup(base + "/bak")
+      e.clear("cust_bak")
+      assert(e.table("cust_bak").isEmpty) // cleared before restore
+      e.restore(base + "/bak")
+      e.table("cust_bak").orderBy(col("id").cast("long"))
+    }),
+    "q60_fk_cascade" -> ((s, dir) => {
+      // FK onDelete=cascade end-to-end on warehouse tables seeded from
+      // TESTDATA: deleting customers 1..5 cascades their orders away. The
+      // oracle derives the surviving child rows from orders directly.
+      import graft.schema._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q60").toString
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("cust_c", PrimaryKeyConfig("c_id", PkStrategy.None),
+        Seq(FieldSchema("cname", GType.GText))))
+      e.createTable(TableSchema("ord_c", PrimaryKeyConfig("o_id", PkStrategy.None),
+        Seq(FieldSchema("cust", GType.GText)),
+        foreignKeys = Seq(ForeignKeySchema(Seq("cust"), "cust_c", Seq("c_id"),
+          onDelete = FkAction.Cascade))))
+      e.insertFrom("cust_c", e.table("customer").where(col("c_custkey") <= 50)
+        .select(col("c_custkey").cast("string").as("c_id"), col("c_name").as("cname")))
+      e.insertFrom("ord_c", e.table("orders").where(col("o_custkey") <= 50)
+        .select(col("o_orderkey").cast("string").as("o_id"),
+          col("o_custkey").cast("string").as("cust")))
+      e.deleteEnforced("cust_c",
+        graft.expr.Cond.Leaf("c_id", "IN", Seq("1", "2", "3", "4", "5")))
+      e.table("ord_c").orderBy(col("o_id").cast("long"))
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -960,6 +1050,27 @@ object SparkEntry {
            SELECT 'global-via-alt', CAST(c_custkey AS VARCHAR), c_name
            FROM customer WHERE c_custkey = 1)
          ORDER BY space, length(id), id""",
+    "q57_bulk_ingest" ->
+      """SELECT l_returnflag AS flag, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS distinct_ids
+         FROM lineitem
+         GROUP BY 1
+         ORDER BY 1""",
+    "q58_watch_incremental" ->
+      """SELECT date_trunc('hour', ts) AS w_start, CAST(user_id AS VARCHAR) AS key,
+                count(*) AS cnt
+         FROM events WHERE event_id <= 2000
+         GROUP BY 1, 2
+         ORDER BY w_start, CAST(key AS BIGINT)""",
+    "q59_backup_restore" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS cname
+         FROM customer WHERE c_custkey <= 100
+         ORDER BY c_custkey""",
+    "q60_fk_cascade" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_id, CAST(o_custkey AS VARCHAR) AS cust
+         FROM orders WHERE o_custkey <= 50 AND o_custkey NOT IN (1, 2, 3, 4, 5)
+         ORDER BY o_orderkey""",
     "q56_join_loose" ->
       """SELECT s.id AS id, count(*) AS cnt
          FROM orders o JOIN (
