@@ -224,8 +224,15 @@ final class Graft(
     * `staged` carries the all-nullable target columns plus `__parse_ok`
     * and `__row_idx`. Splits on nullability + declared constraints +
     * uniqueness, appends the good rows, reports the bad ones. */
+  /** @param provablyUnique key sets whose within-batch uniqueness is
+    *        guaranteed by construction (e.g. a PK generated for EVERY row
+    *        from a reserved id block + distinct row indexes) — the
+    *        within-batch window check is skipped for them (a 10M-row
+    *        ingest must not shuffle on a key that cannot collide); the
+    *        existing-table anti-join still runs. */
   private def ingestStaged(name: String, staged: DataFrame,
-      allowPartialErrors: Boolean): graft.write.WriteReport = {
+      allowPartialErrors: Boolean,
+      provablyUnique: Set[Seq[String]] = Set.empty): graft.write.WriteReport = {
     val schema = registry.get(space, name).map(_.sparkSchema)
       .getOrElse(table(name).schema)
     val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
@@ -247,11 +254,13 @@ final class Graft(
         // NULL keys never collide (SQL-standard unique): rows with any null
         // key column bypass both the within-batch and existing-table checks
         val keyNotNull = ks.map(c(_).isNotNull).reduce(_ && _)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(ks.map(c): _*).orderBy(c("__row_idx"))
-        val marked = good.withColumn("__rn", row_number().over(w))
-        bads ::= marked.where(keyNotNull && c("__rn") > 1).drop("__rn")
-        good = marked.where(!keyNotNull || c("__rn") === 1).drop("__rn")
+        if (!provablyUnique.contains(ks)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(ks.map(c): _*).orderBy(c("__row_idx"))
+          val marked = good.withColumn("__rn", row_number().over(w))
+          bads ::= marked.where(keyNotNull && c("__rn") > 1).drop("__rn")
+          good = marked.where(!keyNotNull || c("__rn") === 1).drop("__rn")
+        }
         if (managedExists(name)) {
           val existing = table(name).select(ks.map(c): _*)
           bads ::= good.join(existing, ks, "left_semi")
@@ -304,6 +313,7 @@ final class Graft(
         StructField("__row_idx", LongType, nullable = false)))
     }
     // PK assignment (sequential | timestampBased | datePrefixed | shortCode)
+    var pkProvablyUnique = Set.empty[Seq[String]]
     val withPk = reg match {
       case Some(s) if s.primaryKey.strategy != graft.schema.PkStrategy.None =>
         import graft.schema.PkStrategy
@@ -324,7 +334,12 @@ final class Graft(
           case _ => (lit(start.toLong) + col("__row_idx")).cast("string")
         }
         if (hasCol) idxed.withColumn(pk, coalesce(col(pk).cast("string"), gen))
-        else idxed.withColumn(pk, gen)
+        else {
+          // every PK generated from (reserved block + distinct row index):
+          // within-batch uniqueness holds by construction, skip its shuffle
+          pkProvablyUnique = Set(Seq(pk))
+          idxed.withColumn(pk, gen)
+        }
       case _ => idxed
     }
     // coercion to the declared schema: try_cast per column (parse failures
@@ -342,7 +357,7 @@ final class Graft(
     }.reduceOption(_ && _).getOrElse(lit(true))
     val staged = withPk.select(casted ++ Seq(
       parseOk.as("__parse_ok"), col("__row_idx")): _*)
-    ingestStaged(name, staged, allowPartialErrors)
+    ingestStaged(name, staged, allowPartialErrors, pkProvablyUnique)
   }
 
   /** batchUpdate: partial per-field update of rows located by PK
