@@ -83,11 +83,22 @@ object Scale {
       df: DataFrame,
       path: String,
       partitionCol: String,
-      filesPerPartition: Int = 1): Unit =
+      filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    // filesPerPartition == 1: co-locate each key (one file per directory
+    // when AQE coalesces, few otherwise). > 1: exactly that many writer
+    // tasks, hash-scattered rows — every directory fans out to at most
+    // filesPerPartition files (explicit numPartitions so AQE cannot
+    // coalesce the fan-out away).
+    val repartitioned =
+      if (filesPerPartition == 1) df.repartition(col(partitionCol))
+      else df.repartition(filesPerPartition,
+        xxhash64(struct(df.columns.map(col): _*)))
     atomicSwap(path, tmp =>
-      df.repartition(col(partitionCol))
+      repartitioned
         .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp),
       df.sparkSession.sparkContext.hadoopConfiguration)
+  }
 
   /** Compact small files: coalesce to ~`targetBytes` outputs based on the
     * current size — the maintenance job every long-lived table needs. */

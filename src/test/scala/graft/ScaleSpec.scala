@@ -42,6 +42,21 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") || scan.contains("o_orderstatus"))
   }
 
+  test("writeClustered: filesPerPartition fans each directory out") {
+    val base = java.nio.file.Files.createTempDirectory("graft_fanout").toString
+    Scale.writeClustered(engine.table("orders"), s"$base/t", "o_orderstatus",
+      filesPerPartition = 3)
+    val dirs = new java.io.File(s"$base/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("o_orderstatus="))
+    assert(dirs.nonEmpty)
+    val counts = dirs.map(d => d.getName ->
+      d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    // big directories fan out to ~filesPerPartition files; tiny ones (the
+    // handful of 'P' rows at this SF) may collapse under AQE coalescing
+    assert(counts.values.max >= 2 && counts.values.max <= 3, counts.toString)
+    assert(spark.read.parquet(s"$base/t").count() == engine.table("orders").count())
+  }
+
   test("writeSorted: range-partitioned files carry min/max for pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/t"
     Scale.writeSorted(engine.table("lineitem"), dir, Seq("l_orderkey"), partitions = 4)
