@@ -288,7 +288,9 @@ final class Graft(
    * (IdGen.reserveFor — the reference's ID-pool role, id_generator.dart:
    * 313-321), then id = encode(base + __row_idx) as a pure Column over the
    * partition-offset row index (zipWithIndex: one count job, no collect).
-   * A 10M-row frame therefore costs two passes and zero driver memory.
+   * A 10M-row frame costs one source pass (indexed + materialized on the
+   * executors via localCheckpoint), the validation/unique passes over that
+   * checkpoint, and zero driver memory.
    *
    * Note: the full id block (one per input row) is reserved even when some
    * rows already carry a PK — reserved-but-unused ids are gaps, exactly
@@ -304,13 +306,20 @@ final class Graft(
     val defaultNow = reg.map(_.fields).getOrElse(Nil)
       .filter(_.defaultCurrentTimestamp).map(_.name).toSet
     // executor-side global row index (partition offsets; Spark runs one
-    // lightweight count job to compute them)
+    // lightweight count job to compute them). MATERIALIZED via
+    // localCheckpoint: the validation splits, unique anti-joins, append and
+    // report counts all act on this frame, and (a) recomputing the source
+    // lineage per action would multiply the ingest cost, (b) a
+    // nondeterministic source (round-robin repartition, unstable ordering)
+    // could re-index differently between the rows validated and the rows
+    // appended — the checkpoint pins one assignment.
     val idxed = {
       val rdd = src.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }
       spark.createDataFrame(rdd, StructType(src.schema.fields.map(_.copy(nullable = true)) :+
         StructField("__row_idx", LongType, nullable = false)))
+        .localCheckpoint(true)
     }
     // PK assignment (sequential | timestampBased | datePrefixed | shortCode)
     var pkProvablyUnique = Set.empty[Seq[String]]
@@ -324,7 +333,11 @@ final class Graft(
             Option(table(name).agg(max(col(pk).cast("long"))).head.get(0))
               .map(_.asInstanceOf[Long]).getOrElse(0L)
           else 0L
-        val n = idxed.count() // reserves the id block; also caches nothing
+        // block size only matters to the time-based reservations (sequential
+        // continues from the stored max) — skip the count job otherwise;
+        // counting the checkpointed frame is cheap either way
+        val n =
+          if (s.primaryKey.strategy == PkStrategy.Sequential) 0L else idxed.count()
         val start = graft.schema.IdGen.reserveFor(name, s.primaryKey.strategy, n, existingMax)
         val gen: org.apache.spark.sql.Column = s.primaryKey.strategy match {
           case PkStrategy.ShortCode =>

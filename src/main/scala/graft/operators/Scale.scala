@@ -85,15 +85,17 @@ object Scale {
       partitionCol: String,
       filesPerPartition: Int = 1): Unit = {
     require(filesPerPartition > 0, "filesPerPartition must be positive")
-    // filesPerPartition == 1: co-locate each key (one file per directory
-    // when AQE coalesces, few otherwise). > 1: exactly that many writer
-    // tasks, hash-scattered rows — every directory fans out to at most
-    // filesPerPartition files (explicit numPartitions so AQE cannot
-    // coalesce the fan-out away).
+    // filesPerPartition == 1: co-locate each key → one file per directory.
+    // > 1: repartition on (key, salt) — cluster-wide parallelism stays at
+    // shuffle.partitions (the key remains in the hash, so a huge table
+    // still fans across every executor) while each directory receives at
+    // most filesPerPartition files. AQE may coalesce the fan-out on
+    // near-empty inputs; at scale the salt splits hot directories as
+    // intended.
     val repartitioned =
       if (filesPerPartition == 1) df.repartition(col(partitionCol))
-      else df.repartition(filesPerPartition,
-        xxhash64(struct(df.columns.map(col): _*)))
+      else df.repartition(col(partitionCol),
+        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerPartition)))
     atomicSwap(path, tmp =>
       repartitioned
         .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp),

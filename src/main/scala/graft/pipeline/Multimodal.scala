@@ -26,11 +26,19 @@ object Multimodal {
     * JDK). All methods return None when no registered reader understands
     * the bytes — callers fall back to `FakeCodec`. */
   object ImageIoCodec {
+    // in-memory streams only: the default disk-backed ImageInputStream
+    // cache adds a temp file per decode on the bulk path
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** NonFatal, not just IOException: imageio readers throw unchecked
+      * exceptions (AIOOBE, CMMException, …) on truncated/crafted payloads
+      * whose headers parse but bodies are corrupt — one such blob must not
+      * kill a 10M-image job; it falls back like any undecodable payload. */
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null || bytes.isEmpty) None
       else
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
 
     def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
       decode(bytes).map(i => (i.getWidth, i.getHeight))
@@ -54,24 +62,28 @@ object Multimodal {
       * — a real (if trivial) visual feature standing where an embedding
       * model's forward pass would run. */
     def features(bytes: Array[Byte]): Option[Array[Float]] =
-      decode(bytes).map { img =>
-        val h = new Array[Float](8)
-        val (w, ht) = (img.getWidth, img.getHeight)
-        var y = 0
-        while (y < ht) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            h(lum / 32) += 1f
-            x += 1
-          }
-          y += 1
+      decode(bytes).map(featuresOf)
+
+    /** Histogram from an already-decoded image (the bulk path decodes ONCE
+      * per row and derives dims + features from the same BufferedImage). */
+    def featuresOf(img: java.awt.image.BufferedImage): Array[Float] = {
+      val h = new Array[Float](8)
+      val (w, ht) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < ht) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          h(lum / 32) += 1f
+          x += 1
         }
-        val n = math.max(1f, (w * ht).toFloat)
-        h.map(_ / n)
+        y += 1
       }
+      val n = math.max(1f, (w * ht).toFloat)
+      h.map(_ / n)
+    }
   }
 
   /** Standard multimodal record schema: content + typed metadata. */
@@ -139,10 +151,16 @@ object Multimodal {
       // UDF's batch-level model load)
       it.map { r =>
         val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
-        // real decode first (PNG/JPEG/...); non-image payloads fall back to
-        // the deterministic stub so the pass stays total
-        val (w, h) = ImageIoCodec.imageDims(bytes).getOrElse(FakeCodec.imageDims(bytes))
-        val feat = ImageIoCodec.features(bytes).getOrElse(FakeCodec.features(bytes))
+        // real decode first (PNG/JPEG/...) — ONCE per row, dims + features
+        // from the same BufferedImage; non-image payloads fall back to the
+        // deterministic stub so the pass stays total
+        val (w, h, feat) = ImageIoCodec.decode(bytes) match {
+          case Some(img) =>
+            (img.getWidth, img.getHeight, ImageIoCodec.featuresOf(img))
+          case None =>
+            val (fw, fh) = FakeCodec.imageDims(bytes)
+            (fw, fh, FakeCodec.features(bytes))
+        }
         org.apache.spark.sql.Row(r.getLong(idIdx), w, h, feat.toSeq)
       }
     }(enc)

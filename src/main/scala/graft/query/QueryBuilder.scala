@@ -207,10 +207,14 @@ final case class QueryBuilder(
       // join keys to STRINGS before hashing (query_executor.dart:1526-1533),
       // so 1 matches "1" but "1.0" does NOT match 1. Spark's native
       // coercion would cast the string side numerically ("1.0" == 1 →
-      // true) — divergent. When the two key types differ and both are
-      // primitive, compare their string forms instead. Same-typed keys
-      // (the overwhelmingly common case) keep the native comparison and
-      // its pushdown/shuffle characteristics.
+      // true) — divergent. When exactly one side is a STRING and the other
+      // a primitive, compare string forms instead. Numeric-vs-numeric
+      // mismatches (long↔double↔decimal) deliberately KEEP native numeric
+      // coercion: Spark's decimal scale ("100.00") and double E-notation
+      // ("1.0E7") renderings make string compare drop numerically equal
+      // keys, and the reference's int-vs-double string mismatch is a quirk
+      // no schema relies on. Same-typed keys (the overwhelmingly common
+      // case) always compare natively, keeping pushdown/shuffle shape.
       def primitive(d: DataType): Boolean = d match {
         case org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.BooleanType => true
@@ -219,12 +223,14 @@ final case class QueryBuilder(
       }
       val lt = types.get(j.leftKey)
       val rt = types.get(j.rightKey)
+      val oneSideString = Seq(lt, rt).flatten
+        .count(_ == org.apache.spark.sql.types.StringType) == 1
       val on =
         if (j.op == "=" && lt.isDefined && rt.isDefined && lt != rt &&
-            primitive(lt.get) && primitive(rt.get))
+            oneSideString && primitive(lt.get) && primitive(rt.get))
           col(j.leftKey).cast("string") === col(j.rightKey).cast("string")
         else Cond.Leaf(j.leftKey, j.op, col(j.rightKey))
-          .toColumn(col, f => None) // same-typed keys compared natively
+          .toColumn(col, f => None) // same-typed / numeric pairs compared natively
       acc.join(right, on, j.joinType)
     }
     (joined, types)

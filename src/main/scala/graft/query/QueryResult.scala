@@ -92,12 +92,22 @@ object QueryResult {
   /** The reference restricts cursor pagination over JOINs: ordering by a
     * joined table's field makes keyset semantics ambiguous under row
     * multiplication, so a cursor-driven page throws and a first page simply
-    * doesn't emit cursors (query_executor.dart:291-336). */
+    * doesn't emit cursors (query_executor.dart:291-336). The reference only
+    * validates the QUALIFIED spelling ("customer.c_name"); we also catch
+    * the bare spelling of a field that doesn't belong to the main table —
+    * the ambiguity is identical however the caller spells it. */
   private def cursorUnsupportedReason(b: QueryBuilder): Option[String] =
-    if (b.joins.nonEmpty && b.orders.exists { case (f, _) =>
-        f.contains('.') && !f.startsWith(s"${b.table}.") })
-      Some("Cursor pagination with JOIN only supports ordering by main table fields.")
-    else None
+    if (b.joins.isEmpty) None
+    else {
+      lazy val mainCols = b.engine.table(b.table).schema.fieldNames.toSet
+      val joinedFieldOrder = b.orders.exists { case (f, _) =>
+        if (f.contains('.')) !f.startsWith(s"${b.table}.")
+        else !mainCols.contains(f)
+      }
+      if (joinedFieldOrder)
+        Some("Cursor pagination with JOIN only supports ordering by main table fields.")
+      else None
+    }
 
   private def effectiveOrders(b: QueryBuilder): Seq[(String, Boolean)] = {
     // single-table only: the reference does not support cursors across JOIN

@@ -57,9 +57,13 @@ object IdGen {
   // Per-table sequence state for the time-based strategies — the reference
   // keeps an in-process sequence map so batches landing in the same
   // second/day don't restart at 0 and collide (id_generator.dart:318-321).
-  // Key: (strategy, table); value: (base, nextSeq).
+  // Key: (strategy, table); value: the absolute NEXT FREE id value. Storing
+  // the absolute bound (not (base, seq)) makes large reservations safe: a
+  // 10M-row block spans ~100 seconds of timestampBased id space, and a
+  // later batch whose fresh time base falls INSIDE a prior block must
+  // continue from the block end, not restart at seq 0.
   private val seqState =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (BigInt, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), BigInt]()
 
   /** Reserve a contiguous id block for `table` and return its first value:
     * id(i) = encode(start + i) for i in [0, count). The executor-side bulk
@@ -84,12 +88,12 @@ object IdGen {
                 .atZone(java.time.ZoneOffset.UTC).toLocalDate)) * 100000
           case _ => BigInt(nowMs / 1000 - EpochStartSeconds) * 100000
         }
-        var start = 0L
-        seqState.compute(key, (_, prev) => prev match {
-          case (b, next) if b == base => start = next; (b, next + count)
-          case _                      => start = 0L; (base, count)
+        var start: BigInt = base
+        seqState.compute(key, (_, prev) => {
+          start = if (prev == null) base else base.max(prev)
+          start + count
         })
-        base + start
+        start
     }
 
   /** The value→string encoding of a strategy (ShortCode is Base62). */

@@ -149,6 +149,19 @@ class FacadeSpec extends SparkSpec {
     assert(rep4.successCount == 1L && rep4.failedCount == 2L)
   }
 
+  test("reserveFor: a later time base inside a prior large block continues past it") {
+    import graft.schema.{IdGen, PkStrategy}
+    val t0 = 1755000000000L
+    val s1 = IdGen.reserveFor("ovl_t", PkStrategy.TimestampBased, 10000000L, nowMs = t0)
+    // 30 s later the fresh base is s1 + 3e6 — INSIDE the reserved block
+    // (1e5 ids/second × 30); the reservation must jump past the block end
+    val s2 = IdGen.reserveFor("ovl_t", PkStrategy.TimestampBased, 10L, nowMs = t0 + 30000L)
+    assert(s2 >= s1 + 10000000L, s"block overlap: $s2 inside [$s1, ${s1 + 10000000L})")
+    // and a base AFTER the block end wins over the stored bound
+    val s3 = IdGen.reserveFor("ovl_t", PkStrategy.TimestampBased, 10L, nowMs = t0 + 7200000L)
+    assert(s3 == s1 + BigInt(7200L * 100000L))
+  }
+
   test("insertFrom: timestampBased PKs are distinct across executors and batches") {
     val wh = Files.createTempDirectory("graft_bulkt").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)

@@ -149,6 +149,9 @@ class QueryBuilderSpec extends SparkSpec {
     // ordering by a JOINED table's field → first page silently non-cursor
     val p1 = joined.orderByAsc("customer.c_name").run()
     assert(p1.size == 5 && p1.nextCursor.isEmpty && p1.prevCursor.isEmpty)
+    // the BARE spelling of a joined-table field is the same ambiguity
+    val p1b = joined.orderByAsc("c_name").run()
+    assert(p1b.nextCursor.isEmpty && p1b.prevCursor.isEmpty)
     // ordering by MAIN-table fields across the same join still cursors
     val pMain = joined.orderByAsc("orders.o_orderkey").run()
     assert(pMain.nextCursor.isDefined)
@@ -185,6 +188,14 @@ class QueryBuilderSpec extends SparkSpec {
     val n = engine.query("orders")
       .join("customer", "orders.o_custkey", "=", "customer.c_custkey").count()
     assert(n > 0)
+    // numeric-vs-numeric mismatches (long vs double) keep NATIVE numeric
+    // coercion — string compare would drop "100" vs "100.0"-style matches
+    val loose = engine.query("orders")
+      .join("lineitem", "orders.o_orderkey", "=", "lineitem.l_quantity")
+      .noDefaultLimit.count()
+    val native = engine.table("orders").join(engine.table("lineitem"),
+      col("o_orderkey") === col("l_quantity")).count()
+    assert(loose == native && native > 0)
   }
 
   test("offset beyond maxQueryOffset rejected (data_store_config.dart:209)") {
