@@ -276,7 +276,8 @@ final class Graft(
         s"batchInsert: ${bad.count()} invalid row(s); pass allowPartialErrors to skip them")
     val carriers = Seq("__parse_ok", "__row_idx")
     graft.write.Writes.append(this, name, good.drop(carriers: _*))
-    graft.write.WriteReport(good.count(), bad.count(), bad.drop(carriers: _*))
+    graft.write.WriteReport(good.count(), bad.count(), bad.drop(carriers: _*),
+      Some(good.drop(carriers: _*)))
   }
 
   /**

@@ -633,6 +633,14 @@ object SparkEntry {
         graft.expr.Cond.Leaf("c_id", "IN", Seq("1", "2", "3", "4", "5")))
       e.table("ord_c").orderBy(col("o_id").cast("long"))
     }),
+    "q61_sessionize" -> ((s, dir) => {
+      // custom-state sessionization (Stateful.sessionsBatch — the offline
+      // twin of the flatMapGroupsWithState streaming operator): split each
+      // user's event stream on >30 min inactivity gaps
+      graft.streaming.Stateful.sessionsBatch(
+          eng(s, dir).table("events"), "user_id", "ts", gapMs = 30 * 60000L)
+        .orderBy("key", "session_start")
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -1050,6 +1058,24 @@ object SparkEntry {
            SELECT 'global-via-alt', CAST(c_custkey AS VARCHAR), c_name
            FROM customer WHERE c_custkey = 1)
          ORDER BY space, length(id), id""",
+    "q61_sessionize" ->
+      """WITH m AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                       THEN 1 ELSE 0 END AS ns
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ), s AS (
+           SELECT user_id, ts,
+                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m
+         )
+         SELECT user_id AS key, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS events
+         FROM s
+         GROUP BY user_id, sid
+         ORDER BY key, session_start""",
     "q57_bulk_ingest" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -131,6 +131,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Stateful.sessions: custom flatMapGroupsWithState state closes on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = Stateful.sessions(mem.toDS(), gapMs = 10 * 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sesstest").outputMode("append").start()
+    try {
+      // key a: events at 1,6 (one session); key b: event at 2. (Times sit
+      // strictly above the initial watermark 0 — an event AT the watermark
+      // is dropped by the pre-stateful late filter.)
+      mem.addData(("a", ts(1)), ("a", ts(6)), ("b", ts(2)))
+      q.processAllAvailable()
+      // watermark jumps past a's last+gap (6+10=16) and b's (2+10=12):
+      // both sessions time out and emit
+      mem.addData(("c", ts(40)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("sesstest")
+        .select("key", "session_start", "session_end", "events").collect()
+        .map(r => r.getString(0) -> ((r.getTimestamp(1).getTime / 60000L,
+          r.getTimestamp(2).getTime / 60000L, r.getLong(3)))).toMap
+      assert(rows("a") == ((1L, 6L, 2L)), s"a: ${rows.get("a")}")
+      assert(rows("b") == ((2L, 2L, 1L)))
+      assert(!rows.contains("c")) // still open (no watermark past 50)
+      // in-batch gap split: two sessions for one key in a single batch
+      mem.addData(("d", ts(100)), ("d", ts(120)))
+      mem.addData(("e", ts(200))) // push watermark way past d's sessions
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val d = spark.table("sesstest").where(col("key") === "d")
+        .select("session_start", "events").collect()
+        .map(r => r.getTimestamp(0).getTime / 60000L -> r.getLong(1)).toMap
+      assert(d == Map(100L -> 1L, 120L -> 1L))
+    } finally q.stop()
+    // batch twin agrees on the closed sessions
+    val batch = Seq(("a", ts(1)), ("a", ts(6)), ("b", ts(2)), ("d", ts(100)), ("d", ts(120)))
+      .toDF("k", "t")
+    val off = Stateful.sessionsBatch(batch, "k", "t", gapMs = 10 * 60000L)
+      .select(col("key"), col("session_start"), col("events")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000L) -> r.getLong(2)).toMap
+    assert(off == Map(("a", 1L) -> 2L, ("b", 2L) -> 1L, ("d", 100L) -> 1L, ("d", 120L) -> 1L))
+  }
+
   test("session windows merge events within gap") {
     val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
       Seq("user_id"), Seq(count(lit(1)).as("cnt")))
