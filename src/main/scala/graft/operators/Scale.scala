@@ -111,6 +111,23 @@ object Scale {
       df.sparkSession.sparkContext.hadoopConfiguration)
   }
 
+  /**
+   * Bucketed catalog table for CO-LOCATED joins: two tables bucketed on
+   * their join key with the same bucket count join with NO exchange on
+   * either side (SortMergeJoin reads bucket i against bucket i). This is
+   * the layout that turns the daily fact⋈dim join from a 100 TB shuffle
+   * into a local merge — the biggest single shuffle eliminator Spark
+   * offers. Buckets are also sorted so the merge needs no per-task sort.
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int): Unit = {
+    require(bucketCols.nonEmpty && buckets > 0, "need bucket columns and a positive count")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Range-partition + sort-within for ordered scans (parquet min/max on
     * the sort key then prune range predicates file-level). */
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],

@@ -63,6 +63,29 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/t").count() == engine.table("orders").count())
   }
 
+  test("writeBucketed: co-bucketed join runs with NO shuffle exchange") {
+    Scale.writeBucketed(engine.table("orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "b_orders", Seq("o_custkey"), 4)
+    Scale.writeBucketed(engine.table("customer")
+      .select("c_custkey", "c_name"), "b_customer", Seq("c_custkey"), 4)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val n = joined.count()
+      assert(n == engine.table("orders").join(engine.table("customer"),
+        col("o_custkey") === col("c_custkey")).count() && n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("writeSorted: range-partitioned files carry min/max for pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/t"
     Scale.writeSorted(engine.table("lineitem"), dir, Seq("l_orderkey"), partitions = 4)
