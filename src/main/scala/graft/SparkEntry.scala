@@ -641,6 +641,50 @@ object SparkEntry {
           eng(s, dir).table("events"), "user_id", "ts", gapMs = 30 * 60000L)
         .orderBy("key", "session_start")
     }),
+    "q62_migration" -> ((s, dir) => {
+      // schema auto-migration end-to-end (table_schema "Instance Schema
+      // Auto Upgrade"): add a defaulted column, cast a column's type, drop
+      // a column — the rewritten table must match the declared v2 schema
+      import graft.schema._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q62").toString
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("mig", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("name", GType.GText), FieldSchema("dropme", GType.GText),
+          FieldSchema("qty", GType.GInteger))))
+      e.insertFrom("mig", e.table("customer").where(col("c_custkey") <= 30)
+        .select(col("c_custkey").cast("string").as("id"), col("c_name").as("name"),
+          lit("x").as("dropme"), col("c_nationkey").as("qty")))
+      e.migrateTable(TableSchema("mig", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("name", GType.GText),
+          FieldSchema("qty", GType.GDouble), // cast int → double
+          FieldSchema("status", GType.GText, defaultValue = Some("active"))))) // added
+      e.table("mig").orderBy(col("id").cast("long"))
+    }),
+    "q63_fk_onupdate" -> ((s, dir) => {
+      // FK onUpdate=cascade end-to-end: rewriting parent keys rewrites the
+      // child FK columns through the mapping join (two-phase, restrict
+      // checked first). Keys 1 and 2 move to 9001/9002; children follow.
+      import graft.schema._
+      import graft.expr.UExpr.value
+      val wh = java.nio.file.Files.createTempDirectory("graft_q63").toString
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("cust_u", PrimaryKeyConfig("c_id", PkStrategy.None),
+        Seq(FieldSchema("cname", GType.GText))))
+      e.createTable(TableSchema("ord_u", PrimaryKeyConfig("o_id", PkStrategy.None),
+        Seq(FieldSchema("cust", GType.GText)),
+        foreignKeys = Seq(ForeignKeySchema(Seq("cust"), "cust_u", Seq("c_id"),
+          onUpdate = FkAction.Cascade))))
+      e.insertFrom("cust_u", e.table("customer").where(col("c_custkey") <= 30)
+        .select(col("c_custkey").cast("string").as("c_id"), col("c_name").as("cname")))
+      e.insertFrom("ord_u", e.table("orders").where(col("o_custkey") <= 30)
+        .select(col("o_orderkey").cast("string").as("o_id"),
+          col("o_custkey").cast("string").as("cust")))
+      e.updateEnforced("cust_u", Seq("c_id" -> value("9001")),
+        Cond.Leaf("c_id", "=", "1"))
+      e.updateEnforced("cust_u", Seq("c_id" -> value("9002")),
+        Cond.Leaf("c_id", "=", "2"))
+      e.table("ord_u").orderBy(col("o_id").cast("long"))
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -1076,6 +1120,18 @@ object SparkEntry {
          FROM s
          GROUP BY user_id, sid
          ORDER BY key, session_start""",
+    "q62_migration" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name,
+                CAST(c_nationkey AS DOUBLE) AS qty, 'active' AS status
+         FROM customer WHERE c_custkey <= 30
+         ORDER BY c_custkey""",
+    "q63_fk_onupdate" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_id,
+                CASE WHEN o_custkey = 1 THEN '9001'
+                     WHEN o_custkey = 2 THEN '9002'
+                     ELSE CAST(o_custkey AS VARCHAR) END AS cust
+         FROM orders WHERE o_custkey <= 30
+         ORDER BY o_orderkey""",
     "q57_bulk_ingest" ->
       """SELECT l_returnflag AS flag, count(*) AS cnt,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
