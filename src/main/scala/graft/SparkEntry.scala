@@ -685,6 +685,27 @@ object SparkEntry {
         Cond.Leaf("c_id", "=", "2"))
       e.table("ord_u").orderBy(col("o_id").cast("long"))
     }),
+    "q64_fk_autojoin" -> ((s, dir) => {
+      // FK auto-join: the ON clause comes from the DECLARED foreign key
+      // (query_builder.dart:851-951) — no keys at the call site
+      import graft.schema._
+      val wh = java.nio.file.Files.createTempDirectory("graft_q64").toString
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("cust_f", PrimaryKeyConfig("c_id", PkStrategy.None),
+        Seq(FieldSchema("cname", GType.GText))))
+      e.createTable(TableSchema("ord_f", PrimaryKeyConfig("o_id", PkStrategy.None),
+        Seq(FieldSchema("cust", GType.GText)),
+        foreignKeys = Seq(ForeignKeySchema(Seq("cust"), "cust_f", Seq("c_id")))))
+      e.insertFrom("cust_f", e.table("customer").where(col("c_custkey") <= 30)
+        .select(col("c_custkey").cast("string").as("c_id"), col("c_name").as("cname")))
+      e.insertFrom("ord_f", e.table("orders").where(col("o_custkey") <= 30)
+        .select(col("o_orderkey").cast("string").as("o_id"),
+          col("o_custkey").cast("string").as("cust")))
+      e.query("ord_f").joinWithForeignKey("cust_f")
+        .select("o_id", "cust", "cname")
+        .noDefaultLimit.toDF
+        .orderBy(col("o_id").cast("long"))
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -1120,6 +1141,12 @@ object SparkEntry {
          FROM s
          GROUP BY user_id, sid
          ORDER BY key, session_start""",
+    "q64_fk_autojoin" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_id,
+                CAST(o_custkey AS VARCHAR) AS cust, c_name AS cname
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_custkey <= 30
+         ORDER BY o_orderkey""",
     "q62_migration" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id, c_name AS name,
                 CAST(c_nationkey AS DOUBLE) AS qty, 'active' AS status
