@@ -668,6 +668,99 @@ final class Graft(
     }
   }
 
+  // ---------- instance / space diagnostics (lib/tostore.dart:905-1160) ----------
+
+  /** Whether a table is resolvable: registered schema, managed data, or a
+    * dataDir parquet (tostore.dart:944). */
+  def tableExists(name: String): Boolean =
+    registry.get(space, name).isDefined || managedExists(name) ||
+      Files.exists(Paths.get(s"$dataDir/$name.parquet"))
+
+  /** Declared schema of a table, if registered (tostore.dart:956). */
+  def getTableSchema(name: String): Option[TableSchema] = registry.get(space, name)
+
+  /** Row count + storage bytes + declared schema (reference TableInfo,
+    * lib/src/model/table_info.dart). Counting is a Spark job — at scale
+    * call sparingly or on pruned tables. */
+  def getTableInfo(name: String): Graft.TableInfo = {
+    val bytes = warehouse.map(_ => managedPath(name)).filter(p => Files.exists(Paths.get(p)))
+      .orElse(Some(s"$dataDir/$name.parquet").filter(p => Files.exists(Paths.get(p))))
+      .map(dirSize).getOrElse(0L)
+    Graft.TableInfo(name, table(name).count(), bytes, registry.get(space, name))
+  }
+
+  /** Current space summary (reference SpaceInfo,
+    * lib/src/model/space_info.dart): managed tables + record/byte totals. */
+  def getSpaceInfo: Graft.SpaceInfo = {
+    val tables = registry.tables(space)
+    val infos = tables.map(getTableInfo)
+    Graft.SpaceInfo(space, tables.size, infos.map(_.totalRecords).sum,
+      infos.map(_.fileSizeInBytes).sum, tables)
+  }
+
+  /** All space names present in the warehouse, 'default' always included,
+    * 'global' excluded (it is a visibility scope, not a space —
+    * tostore.dart:1158). */
+  def listSpaces: Seq[String] = {
+    val found = warehouse.toSeq.flatMap { w =>
+      val d = new java.io.File(w)
+      if (!d.isDirectory) Nil
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    }.filterNot(_ == "global")
+    ("default" +: found).distinct.sorted
+  }
+
+  /** Delete a space's data + registered schemas. Refuses the default and
+    * the currently active space (tostore.dart:1138-1146). */
+  def deleteSpace(name: String): Boolean = {
+    if (name == "default" || name == space) false
+    else {
+      registry.tables(name).foreach(t => registry.drop(name, t))
+      warehouse.foreach { w =>
+        val p = new org.apache.hadoop.fs.Path(s"$w/$name")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      true
+    }
+  }
+
+  /** User-maintained version number, persisted in the space's KV namespace
+    * (tostore.dart:1005-1027: "not involved in any database internal
+    * logic"). */
+  def getVersion: Long = kv.getInt(Graft.VersionKey).getOrElse(0L)
+  def setVersion(v: Long): Unit = kv.set(Graft.VersionKey, v.toString)
+
+  /** Flush pending writes (tostore.dart:1029-1037). Every write here is an
+    * atomic staging-dir swap that completes before returning — there is no
+    * write buffer to drain, so this is a documented no-op kept for API
+    * compatibility. */
+  def flush(): Unit = ()
+
+  /** Release the engine (tostore.dart close()). The SparkSession is shared
+    * ownership — stop it only when this engine owns the process. */
+  def close(stopSpark: Boolean = false): Unit = if (stopSpark) spark.stop()
+
+  /** Drop the ENTIRE warehouse (every space incl. global) + all registered
+    * schemas — the reference's deleteDatabase. dataDir (read-only TESTDATA)
+    * is never touched. */
+  def deleteDatabase(): Unit = {
+    (registry.tables(space) ++ registry.tables("global")).distinct
+      .foreach(dropTable)
+    warehouse.foreach { w =>
+      val p = new org.apache.hadoop.fs.Path(w)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  private def dirSize(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
+
   // ---------- KV / vector / streaming surface ----------
 
   /** KV namespace of the current space (db.kv — kv_store.dart:9-44). */
@@ -742,6 +835,24 @@ final class Graft(
 object Graft {
   /** Engine-managed ingest timestamp column backing default TTLs. */
   val IngestTsCol = "_system_ingest_ts_ms"
+  /** KV key backing the user-maintained version number. */
+  val VersionKey = "_db_version"
+
+  /** Reference TableInfo (lib/src/model/table_info.dart): count + bytes +
+    * declared schema. Index/lastModified fields have no Spark analog. */
+  final case class TableInfo(
+      tableName: String,
+      totalRecords: Long,
+      fileSizeInBytes: Long,
+      schema: Option[TableSchema])
+
+  /** Reference SpaceInfo (lib/src/model/space_info.dart). */
+  final case class SpaceInfo(
+      spaceName: String,
+      tableCount: Int,
+      recordCount: Long,
+      dataSizeBytes: Long,
+      tables: Seq[String])
   /** Engine over the driver TESTDATA layout: `$sfDir/<table>.parquet`. */
   def apply(spark: SparkSession, sfDir: String): Graft = new Graft(spark, sfDir)
 

@@ -193,6 +193,36 @@ class FacadeSpec extends SparkSpec {
     assert(rep.failed.count() == 1)
   }
 
+  test("instance/space diagnostics + lifecycle (tostore.dart:905-1160)") {
+    val e = freshEngine()
+    assert(e.tableExists("items") && e.tableExists("customer") && !e.tableExists("nope"))
+    assert(e.getTableSchema("items").exists(_.primaryKey.name == "id"))
+    e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "a")))
+    val ti = e.getTableInfo("items")
+    assert(ti.totalRecords == 1 && ti.fileSizeInBytes > 0 && ti.schema.isDefined)
+    val si = e.getSpaceInfo
+    assert(si.spaceName == "default" && si.tableCount == 1 &&
+      si.recordCount == 1 && si.tables == Seq("items"))
+    // spaces lifecycle: list includes created spaces; default/active refuse deletion
+    val alt = e.switchSpace("alt")
+    alt.createTable(TableSchema("t2", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("x", GType.GText))))
+    alt.batchInsert("t2", Seq(Map("id" -> "9", "x" -> "v")))
+    assert(e.listSpaces.contains("alt") && e.listSpaces.contains("default"))
+    assert(!e.deleteSpace("default") && !alt.deleteSpace("alt"))
+    assert(e.deleteSpace("alt") && !e.listSpaces.contains("alt"))
+    // user-maintained version (KV-backed, no engine semantics)
+    assert(e.getVersion == 0L)
+    e.setVersion(7)
+    assert(e.getVersion == 7L)
+    e.flush() // documented no-op: writes are atomic swaps, nothing buffers
+    e.close() // shared session stays up
+    assert(!spark.sparkContext.isStopped)
+    e.deleteDatabase()
+    assert(!e.tableExists("items")) // schema + warehouse gone; dataDir untouched
+    assert(e.tableExists("customer"))
+  }
+
   test("kv watchValues (plural): one emission carries every watched key (tostore.dart:758-791)") {
     val wh = Files.createTempDirectory("graft_kvwv").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)
