@@ -275,9 +275,19 @@ final class Graft(
       throw new IllegalArgumentException(
         s"batchInsert: ${bad.count()} invalid row(s); pass allowPartialErrors to skip them")
     val carriers = Seq("__parse_ok", "__row_idx")
+    // snapshot the report BEFORE anything else can overwrite this table:
+    // the failed frame materializes (localCheckpoint severs the file-listing
+    // lineage a later atomic swap would invalidate) and the key lists are
+    // bounded eager collects
+    val failedSnap = bad.drop(carriers: _*).localCheckpoint(true)
+    val pkOpt = regSchema.map(_.primaryKey.name).filter(staged.columns.contains)
+    def keysOf(df: DataFrame): Seq[String] = pkOpt.map(pk =>
+      df.select(c(pk).cast("string")).limit(graft.write.WriteReport.KeyListCap)
+        .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+    val goodKeys = keysOf(good)
     graft.write.Writes.append(this, name, good.drop(carriers: _*))
-    graft.write.WriteReport(good.count(), bad.count(), bad.drop(carriers: _*),
-      Some(good.drop(carriers: _*)))
+    graft.write.WriteReport(good.count(), failedSnap.count(), failedSnap,
+      goodKeys, keysOf(failedSnap))
   }
 
   /**
@@ -690,9 +700,11 @@ final class Graft(
   }
 
   /** Current space summary (reference SpaceInfo,
-    * lib/src/model/space_info.dart): managed tables + record/byte totals. */
+    * lib/src/model/space_info.dart): the space's OWN tables (global tables
+    * are a visibility scope, not space contents — counting them here would
+    * double-book their rows into every space). */
   def getSpaceInfo: Graft.SpaceInfo = {
-    val tables = registry.tables(space)
+    val tables = registry.ownTables(space)
     val infos = tables.map(getTableInfo)
     Graft.SpaceInfo(space, tables.size, infos.map(_.totalRecords).sum,
       infos.map(_.fileSizeInBytes).sum, tables)
@@ -700,12 +712,13 @@ final class Graft(
 
   /** All space names present in the warehouse, 'default' always included,
     * 'global' excluded (it is a visibility scope, not a space —
-    * tostore.dart:1158). */
+    * tostore.dart:1158). Hadoop FS so non-local warehouses list too. */
   def listSpaces: Seq[String] = {
     val found = warehouse.toSeq.flatMap { w =>
-      val d = new java.io.File(w)
-      if (!d.isDirectory) Nil
-      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      val p = new org.apache.hadoop.fs.Path(w)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
     }.filterNot(_ == "global")
     ("default" +: found).distinct.sorted
   }
@@ -715,7 +728,7 @@ final class Graft(
   def deleteSpace(name: String): Boolean = {
     if (name == "default" || name == space) false
     else {
-      registry.tables(name).foreach(t => registry.drop(name, t))
+      registry.ownTables(name).foreach(t => registry.drop(name, t))
       warehouse.foreach { w =>
         val p = new org.apache.hadoop.fs.Path(s"$w/$name")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -741,12 +754,11 @@ final class Graft(
     * ownership — stop it only when this engine owns the process. */
   def close(stopSpark: Boolean = false): Unit = if (stopSpark) spark.stop()
 
-  /** Drop the ENTIRE warehouse (every space incl. global) + all registered
-    * schemas — the reference's deleteDatabase. dataDir (read-only TESTDATA)
-    * is never touched. */
+  /** Drop the ENTIRE warehouse (every space incl. global) + ALL registered
+    * schemas in every space — the reference's deleteDatabase. dataDir
+    * (read-only TESTDATA) is never touched. */
   def deleteDatabase(): Unit = {
-    (registry.tables(space) ++ registry.tables("global")).distinct
-      .foreach(dropTable)
+    registry.clearAll()
     warehouse.foreach { w =>
       val p = new org.apache.hadoop.fs.Path(w)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -755,10 +767,10 @@ final class Graft(
   }
 
   private def dirSize(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.getContentSummary(p).getLength
   }
 
   // ---------- KV / vector / streaming surface ----------

@@ -21,6 +21,22 @@ import graft.write.Writes
 object SparkEntry {
 
   private def eng(s: SparkSession, dir: String): Graft = Graft(s, dir)
+
+  /** One per-process temp root for every gate's scratch warehouse/feed,
+    * deleted on JVM exit — repeated Verify/Bench runs must not accumulate
+    * populated copies of the test tables in /tmp. */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_gates")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p
+  }
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(tmpRoot, prefix).toString
   /** exact-arithmetic cast for FP-sensitive sums (oracle parity) */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   /** Final-output cast: DECIMAL renders with trailing zeros ("460.50") while
@@ -327,7 +343,7 @@ object SparkEntry {
       val e = eng(s, dir)
       val embs = e.table("embeddings")
       val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/emb"
+      val tmp = tmpDir("ivf") + "/emb"
       VectorSearch.ivfWriteClustered(embs, "embedding", model, tmp)
       val clustered = s.read.parquet(tmp)
       val q = embs.where(col("vec_id") === 7)
@@ -347,12 +363,12 @@ object SparkEntry {
       // partition scheme degenerates to recall ≈ fraction scanned; this
       // report makes that visible per-run instead of hiding it.
       val e = eng(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_rec").toString + "/emb"
+      val tmp = tmpDir("ivf_rec") + "/emb"
       VectorSearch.ivfRecallReport(e.table("embeddings"), "vec_id", "embedding",
         tmp, queryIds = 0L until 8L, nprobes = Seq(1, 2, 4, 8), topK = 10, nlist = 8)
     }),
     "q34_kv_roundtrip" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_kv").toString
+      val wh = tmpDir("kv")
       val e = Graft.withWarehouse(s, dir, wh)
       val kv = new graft.kv.KvStore(e)
       val seed = e.table("customer").where(col("c_custkey") <= 10)
@@ -502,7 +518,7 @@ object SparkEntry {
       // the same table name holds different rows per space; a global table
       // created in one space is readable from another
       import graft.schema._
-      val wh = java.nio.file.Files.createTempDirectory("graft_q54").toString
+      val wh = tmpDir("q54")
       val e1 = Graft.withWarehouse(s, dir, wh)
       val e2 = e1.switchSpace("alt")
       val seg = TableSchema("seg", PrimaryKeyConfig("id", PkStrategy.None),
@@ -530,7 +546,7 @@ object SparkEntry {
       // matches, the "3.0" decoy row must NOT (native numeric coercion
       // would match it — the divergence this gate pins down)
       import graft.schema._
-      val wh = java.nio.file.Files.createTempDirectory("graft_q56").toString
+      val wh = tmpDir("q56")
       val e = Graft.withWarehouse(s, dir, wh)
       e.createTable(TableSchema("cust_str", PrimaryKeyConfig("id", PkStrategy.None),
         Seq(FieldSchema("cname", GType.GText))))
@@ -551,7 +567,7 @@ object SparkEntry {
       // computes the same aggregate straight from lineitem (generated ids
       // are excluded from the output, so the gate hash-checks).
       import graft.schema._
-      val wh = java.nio.file.Files.createTempDirectory("graft_q57").toString
+      val wh = tmpDir("q57")
       val e = Graft.withWarehouse(s, dir, wh)
       e.createTable(TableSchema("li_bulk", PrimaryKeyConfig("id", PkStrategy.Sequential),
         Seq(FieldSchema("flag", GType.GText), FieldSchema("qty", GType.GDouble))))
@@ -570,7 +586,7 @@ object SparkEntry {
       // count in UPDATE output mode over it, and the emitted (window, key)
       // rows — only what changed — are the result. Oracle: the same
       // hour-window counts straight off events.
-      val base = java.nio.file.Files.createTempDirectory("graft_q58").toString
+      val base = tmpDir("q58")
       val evs = eng(s, dir).table("events").where(col("event_id") <= 2000)
       evs.select(lit("insert").as("op"), lit("events").as("table"),
           lit(null).cast("string").as("before"),
@@ -599,7 +615,7 @@ object SparkEntry {
       // backup → clear → restore roundtrip (tostore.dart:817-839): the
       // restored table must carry exactly the pre-backup rows
       import graft.schema._
-      val base = java.nio.file.Files.createTempDirectory("graft_q59").toString
+      val base = tmpDir("q59")
       val e = Graft.withWarehouse(s, dir, base + "/wh")
       e.createTable(TableSchema("cust_bak", PrimaryKeyConfig("id", PkStrategy.None),
         Seq(FieldSchema("cname", GType.GText))))
@@ -616,7 +632,7 @@ object SparkEntry {
       // TESTDATA: deleting customers 1..5 cascades their orders away. The
       // oracle derives the surviving child rows from orders directly.
       import graft.schema._
-      val wh = java.nio.file.Files.createTempDirectory("graft_q60").toString
+      val wh = tmpDir("q60")
       val e = Graft.withWarehouse(s, dir, wh)
       e.createTable(TableSchema("cust_c", PrimaryKeyConfig("c_id", PkStrategy.None),
         Seq(FieldSchema("cname", GType.GText))))
@@ -646,7 +662,7 @@ object SparkEntry {
       // Auto Upgrade"): add a defaulted column, cast a column's type, drop
       // a column — the rewritten table must match the declared v2 schema
       import graft.schema._
-      val wh = java.nio.file.Files.createTempDirectory("graft_q62").toString
+      val wh = tmpDir("q62")
       val e = Graft.withWarehouse(s, dir, wh)
       e.createTable(TableSchema("mig", PrimaryKeyConfig("id", PkStrategy.None),
         Seq(FieldSchema("name", GType.GText), FieldSchema("dropme", GType.GText),
@@ -666,7 +682,7 @@ object SparkEntry {
       // checked first). Keys 1 and 2 move to 9001/9002; children follow.
       import graft.schema._
       import graft.expr.UExpr.value
-      val wh = java.nio.file.Files.createTempDirectory("graft_q63").toString
+      val wh = tmpDir("q63")
       val e = Graft.withWarehouse(s, dir, wh)
       e.createTable(TableSchema("cust_u", PrimaryKeyConfig("c_id", PkStrategy.None),
         Seq(FieldSchema("cname", GType.GText))))
@@ -689,7 +705,7 @@ object SparkEntry {
       // FK auto-join: the ON clause comes from the DECLARED foreign key
       // (query_builder.dart:851-951) — no keys at the call site
       import graft.schema._
-      val wh = java.nio.file.Files.createTempDirectory("graft_q64").toString
+      val wh = tmpDir("q64")
       val e = Graft.withWarehouse(s, dir, wh)
       e.createTable(TableSchema("cust_f", PrimaryKeyConfig("c_id", PkStrategy.None),
         Seq(FieldSchema("cname", GType.GText))))

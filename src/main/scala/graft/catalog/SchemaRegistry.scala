@@ -30,8 +30,20 @@ final class SchemaRegistry {
     schemas -= ((space, table))
   }
 
+  /** Tables VISIBLE FROM a space: its own registrations + global ones. */
   def tables(space: String): Seq[String] =
     schemas.keys.collect { case (s, t) if s == space || s == "global" => t }.toSeq
+
+  /** Tables registered UNDER a space only (no global bleed-through) —
+    * the set space-scoped accounting (SpaceInfo) must use. */
+  def ownTables(space: String): Seq[String] =
+    schemas.keys.collect { case (s, t) if s == space => t }.toSeq
+
+  /** Every space that has at least one registration. */
+  def allSpaces: Seq[String] = schemas.keys.map(_._1).toSeq.distinct
+
+  /** Drop every registration (deleteDatabase). */
+  def clearAll(): Unit = synchronized { schemas = Map.empty }
 
   /** Resolve the FK join keys between `from` and `to`, forward (from
     * references to) or reverse (to references from) — reference

@@ -119,13 +119,17 @@ object Scale {
    * into a local merge — the biggest single shuffle eliminator Spark
    * offers. Buckets are also sorted so the merge needs no per-task sort.
    */
+  /** @param location explicit data directory for the table; omit it and
+    *        the files land in the session catalog's warehouse (which is
+    *        process-cwd-relative in a default local session — pass a path
+    *        under the engine warehouse for a stable layout). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      buckets: Int): Unit = {
+      buckets: Int, location: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty && buckets > 0, "need bucket columns and a positive count")
-    df.write.mode("overwrite").format("parquet")
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
+    location.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
   /** Range-partition + sort-within for ordered scans (parquet min/max on

@@ -66,11 +66,19 @@ object Stateful {
             var cur = state.getOption
             ts.foreach { t =>
               cur = cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  Some(SessionState(s.start, math.max(s.last, t), s.count + 1))
-                case Some(s) => // in-batch gap: close the old session
+                case Some(s) if t > s.last + gapMs => // forward gap: close
                   closed += Session(key, new Timestamp(s.start), new Timestamp(s.last), s.count)
                   Some(SessionState(t, t, 1))
+                case Some(s) if t < s.start - gapMs =>
+                  // watermark-admitted straggler older than the open session
+                  // by more than the gap: its own (already-complete) session
+                  // — the sorted batch twin would isolate it the same way
+                  closed += Session(key, new Timestamp(t), new Timestamp(t), 1)
+                  Some(s)
+                case Some(s) => // within gap of the open session, either side:
+                  // out-of-order arrivals EXTEND the window both directions
+                  // (start = min, not the first-seen start — batch parity)
+                  Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.count + 1))
                 case None => Some(SessionState(t, t, 1))
               }
             }

@@ -8,34 +8,27 @@ import graft.expr.{Cond, UExpr}
 
 /** Per-row outcome of a batch write (reference DbResult,
   * /root/reference/lib/src/model/db_result.dart): status predicates plus
-  * the success/failed splits. The reference returns key LISTS; at engine
-  * scale those live as DataFrames, with bounded `successKeys`/`failedKeys`
-  * collectors for the reference-shaped list surface. */
+  * SNAPSHOTTED success/failed key lists (bounded to `KeyListCap` — the
+  * reference returns full lists, an engine must not collect 10M keys) and
+  * the failed rows as a MATERIALIZED DataFrame. Everything here is safe to
+  * read after later writes to the same table — nothing lazily references
+  * files a subsequent atomic swap deletes. */
 final case class WriteReport(
     successCount: Long,
     failedCount: Long,
     failed: DataFrame,
-    succeeded: Option[DataFrame] = None) {
+    successKeys: Seq[String] = Nil,
+    failedKeys: Seq[String] = Nil) {
 
   def isSuccess: Boolean = failedCount == 0
   def isPartialSuccess: Boolean = successCount > 0 && failedCount > 0
   def isFailed: Boolean = successCount == 0 && failedCount > 0
+}
 
-  /** Primary-key values of the failed rows (DbResult.failedKeys) —
-    * driver-bounded: at most `max` keys collect. */
-  def failedKeys(pkCol: String, max: Int = 10000): Seq[String] = {
-    import org.apache.spark.sql.functions.col
-    failed.select(col(pkCol).cast("string")).limit(max)
-      .collect().map(_.getString(0)).toSeq
-  }
-
-  /** Primary-key values of the successful rows (DbResult.successKeys) —
-    * driver-bounded like `failedKeys`. */
-  def successKeys(pkCol: String, max: Int = 10000): Seq[String] = {
-    import org.apache.spark.sql.functions.col
-    succeeded.map(_.select(col(pkCol).cast("string")).limit(max)
-      .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
-  }
+object WriteReport {
+  /** Keys reported per split — counts are always exact; the key LISTS are
+    * a driver-side convenience bounded at this cap. */
+  val KeyListCap = 10000
 }
 
 /**

@@ -36,8 +36,8 @@ class FacadeSpec extends SparkSpec {
     assert(rep.successCount == 1 && rep.failedCount == 1)
     // DbResult surface (db_result.dart): predicates + bounded key lists
     assert(rep.isPartialSuccess && !rep.isSuccess && !rep.isFailed)
-    assert(rep.failedKeys("id") == Seq("3"))
-    assert(rep.successKeys("id") == Seq("4"))
+    assert(rep.failedKeys == Seq("3"))
+    assert(rep.successKeys == Seq("4"))
     assert(e.table("items").count() == 3)
     // unparseable value → failed split, not a driver exception
     val rep2 = e.batchInsert("items",

@@ -176,6 +176,30 @@ class StreamingSpec extends SparkSpec {
     assert(off == Map(("a", 1L) -> 2L, ("b", 2L) -> 1L, ("d", 100L) -> 1L, ("d", 120L) -> 1L))
   }
 
+  test("Stateful.sessions: watermark-admitted out-of-order events keep batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = Stateful.sessions(mem.toDS(), gapMs = 10 * 60000L, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessoo").outputMode("append").start()
+    try {
+      mem.addData(("f", ts(300))); q.processAllAvailable()
+      // out-of-order but within gap: extends the session START backward
+      mem.addData(("f", ts(295))); q.processAllAvailable()
+      // admitted straggler older than start-gap: its own singleton session
+      mem.addData(("f", ts(250))); q.processAllAvailable()
+      // push watermark past last+gap: the open session times out
+      mem.addData(("g", ts(600))); q.processAllAvailable(); q.processAllAvailable()
+      val f = spark.table("sessoo").where(col("key") === "f")
+        .select("session_start", "session_end", "events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L,
+          r.getTimestamp(1).getTime / 60000L, r.getLong(2))).toSet
+      assert(f == Set((250L, 250L, 1L), (295L, 300L, 2L)), f.toString)
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap") {
     val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
       Seq("user_id"), Seq(count(lit(1)).as("cnt")))
