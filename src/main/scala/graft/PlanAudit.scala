@@ -12,7 +12,10 @@ object PlanAudit {
       "q13_join_multi3", "q15_topk", "q16_offset", "q25_dedup_exact",
       "q44_neardup_lsh", "q46_delete_preview", "q47_batch_update",
       "q48_sql_cte", "q49_filter_sugar", "q50_rolling_fp",
-      "q33_ann_ivf") // IVF probe over the clustered layout: shows PartitionFilters
+      "q33_ann_ivf", // IVF probe over the clustered layout: PartitionFilters
+      "q57_bulk_ingest", // post-ingest aggregate over the managed table
+      "q61_sessionize", // lag + cumulative-sum session ids (window chain)
+      "q64_fk_autojoin") // declared-FK join (broadcast expected)
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -528,11 +528,10 @@ object SparkEntry {
         Seq(FieldSchema("name", GType.GText)), isGlobal = true))
       def rowsOf(lo: Int, hi: Int) = e1.table("customer")
         .where(col("c_custkey").between(lo, hi))
-        .select(col("c_custkey").cast("string"), col("c_name")).collect()
-        .map(r => Map[String, Any]("id" -> r.getString(0), "name" -> r.getString(1))).toSeq
-      e1.batchInsert("seg", rowsOf(1, 5))
-      e2.batchInsert("seg", rowsOf(6, 10))
-      e1.batchInsert("gl", rowsOf(1, 1))
+        .select(col("c_custkey").cast("string").as("id"), col("c_name").as("name"))
+      e1.insertFrom("seg", rowsOf(1, 5))
+      e2.insertFrom("seg", rowsOf(6, 10))
+      e1.insertFrom("gl", rowsOf(1, 1))
       val tag = (e: Graft, t: String, sp: String) =>
         e.table(t).select(lit(sp).as("space"), col("id"), col("name"))
       tag(e1, "seg", "default")
