@@ -292,6 +292,44 @@ object VectorSearch {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("q"), x => (x.cast("float") * q.getField("scale")).cast("float"))
 
+  /**
+   * Two-stage search over int8 storage — the engine's analog of the
+   * reference's PQ ADC pre-filter + full-vector re-rank
+   * (vector_index_manager.dart:475-515): stage 1 scans ONLY the 4×-smaller
+   * quantized column and keeps `topK × rerankFactor` candidates
+   * (TakeOrderedAndProject — per-partition heaps); stage 2 re-ranks just
+   * those candidates on the full-precision column via a semi-join. At
+   * 100 TB the scan reads a quarter of the vector bytes; the re-rank
+   * touches O(topK × rerank) rows.
+   *
+   * @param quantCol column holding `quantizeInt8(vec)` structs
+   * @param vecCol   full-precision column (re-rank)
+   */
+  def searchQuantized(
+      table: DataFrame,
+      pkCol: String,
+      quantCol: String,
+      vecCol: String,
+      queryVector: Seq[Double],
+      topK: Int = 10,
+      metric: String = "cosine",
+      rerankFactor: Int = 4): DataFrame = {
+    val q = qArray(queryVector)
+    val approxD = distCol(metric, dequantizeInt8(col(quantCol)), q)
+    val candidates = table
+      .where(col(quantCol).isNotNull)
+      .select(col(pkCol).as("pk"), approxD.as("__approx"))
+      .orderBy(col("__approx").asc, col("pk").asc)
+      .limit(math.max(topK * rerankFactor, topK))
+    val rerank = table.select(col(pkCol).as("pk"), col(vecCol).as("__v"))
+      .join(broadcast(candidates.select("pk")), "pk")
+    val d = distCol(metric, col("__v"), q)
+    rerank.select(col("pk"), round(d, 6).as("distance"))
+      .withColumn("score", round(vectorScore(metric, col("distance")), 6))
+      .orderBy(col("distance").asc, col("pk").asc)
+      .limit(topK)
+  }
+
   // ---------- LSH (spark.ml) ----------
 
   /** Approximate similarity JOIN for all-pairs workloads, via

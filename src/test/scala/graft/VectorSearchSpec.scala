@@ -109,6 +109,23 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("searchQuantized: int8 pre-filter + exact re-rank ≈ exact (reference PQ ADC shape)") {
+    val quantized = embs.select(col("vec_id"), col("embedding"),
+      VectorSearch.quantizeInt8(col("embedding")).as("q8"))
+    val approx = VectorSearch.searchQuantized(quantized, "vec_id", "q8", "embedding",
+      query, topK = 10, rerankFactor = 4).collect()
+    val exact = VectorSearch.exact(embs, "vec_id", "embedding", query, topK = 10,
+      metric = "cosine").collect()
+    // distances come from the FULL-precision re-rank → exact values for
+    // every candidate the int8 stage kept; top-1 is always self
+    assert(approx.head.getLong(0) == 3L && approx.head.getDouble(1) == 0.0)
+    val overlap = (approx.map(_.getLong(0)).toSet & exact.map(_.getLong(0)).toSet).size
+    assert(overlap >= 9, s"int8 pre-filter recall too low: $overlap/10")
+    val exactD = exact.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach(r => exactD.get(r.getLong(0)).foreach(d =>
+      assert(r.getDouble(1) == d, s"re-rank distance must be exact for ${r.getLong(0)}")))
+  }
+
   test("ivfCell assigns every row to a valid cell") {
     val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 4)
     val cells = VectorSearch.ivfIndex(embs, model, "embedding")
