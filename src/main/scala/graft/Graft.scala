@@ -384,6 +384,25 @@ final class Graft(
     ingestStaged(name, staged, allowPartialErrors, pkProvablyUnique)
   }
 
+  /**
+   * Import a file-based dataset into a managed table — a Spark-native
+   * superset (the reference has NO import surface, SURVEY §2.1 "File
+   * formats: none"): any `spark.read` format (csv/json/parquet/orc/...)
+   * flows through `insertFrom`, so declared-schema coercion (try_cast),
+   * constraint/unique splits and executor-side PK assignment all apply.
+   * CSV defaults to header=true; pass reader options for the rest.
+   */
+  def importFrom(name: String, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      allowPartialErrors: Boolean = false): graft.write.WriteReport = {
+    val base = spark.read.options(options)
+    val reader = format match {
+      case "csv" if !options.contains("header") => base.option("header", "true")
+      case _ => base
+    }
+    insertFrom(name, reader.format(format).load(path), allowPartialErrors)
+  }
+
   /** batchUpdate: partial per-field update of rows located by PK
     * (tostore.dart:675-686); unknown PKs are ignored (no insert). */
   def batchUpdate(name: String, staged: DataFrame, keys: Seq[String] = Nil): Unit = {

@@ -193,6 +193,31 @@ class FacadeSpec extends SparkSpec {
     assert(rep.failed.count() == 1)
   }
 
+  test("importFrom: CSV and JSON land through declared-schema coercion") {
+    val wh = Files.createTempDirectory("graft_import").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("imp", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("name", GType.GText, nullable = false),
+        FieldSchema("qty", GType.GInteger))))
+    val dir = Files.createTempDirectory("graft_files").toString
+    // CSV: everything arrives as strings → try_cast coerces to declared types
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "id,name,qty\n1,bolt,5\n2,nut,notanum\n3,washer,7\n".getBytes)
+    val rep = e.importFrom("imp", s"$dir/rows.csv", "csv", allowPartialErrors = true)
+    assert(rep.successCount == 2 && rep.failedCount == 1) // bad qty parse
+    assert(rep.failedKeys == Seq("2"))
+    // JSON with an extra field (ignored) and a missing nullable field
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/rows.json"),
+      """{"id":"4","name":"rivet","qty":9,"junk":true}
+        |{"id":"5","name":"pin"}
+        |""".stripMargin.getBytes)
+    val rep2 = e.importFrom("imp", s"$dir/rows.json", "json")
+    assert(rep2.successCount == 2 && rep2.isSuccess)
+    val rows = e.table("imp").orderBy(col("id").cast("long")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1", "3", "4", "5"))
+    assert(rows.map(r => Option(r.get(2))).toSeq == Seq(Some(5L), Some(7L), Some(9L), None))
+  }
+
   test("instance/space diagnostics + lifecycle (tostore.dart:905-1160)") {
     val e = freshEngine()
     assert(e.tableExists("items") && e.tableExists("customer") && !e.tableExists("nope"))
