@@ -403,6 +403,18 @@ final class Graft(
     insertFrom(name, reader.format(format).load(path), allowPartialErrors)
   }
 
+  /** Export a table (TTL-filtered view, i.e. what queries see) to any
+    * `spark.write` format — the symmetric superset of `importFrom`. */
+  def exportTo(name: String, path: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit = {
+    val base = table(name).write.options(options).mode("overwrite")
+    val writer = format match {
+      case "csv" if !options.contains("header") => base.option("header", "true")
+      case _ => base
+    }
+    writer.format(format).save(path)
+  }
+
   /** batchUpdate: partial per-field update of rows located by PK
     * (tostore.dart:675-686); unknown PKs are ignored (no insert). */
   def batchUpdate(name: String, staged: DataFrame, keys: Seq[String] = Nil): Unit = {

@@ -216,6 +216,13 @@ class FacadeSpec extends SparkSpec {
     val rows = e.table("imp").orderBy(col("id").cast("long")).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("1", "3", "4", "5"))
     assert(rows.map(r => Option(r.get(2))).toSeq == Seq(Some(5L), Some(7L), Some(9L), None))
+    // export roundtrip: csv out, re-import into a fresh table
+    e.exportTo("imp", s"$dir/out_csv", "csv")
+    e.createTable(TableSchema("imp2", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("name", GType.GText, nullable = false),
+        FieldSchema("qty", GType.GInteger))))
+    assert(e.importFrom("imp2", s"$dir/out_csv", "csv").successCount == 4)
+    assert(e.table("imp2").count() == 4)
   }
 
   test("instance/space diagnostics + lifecycle (tostore.dart:905-1160)") {
