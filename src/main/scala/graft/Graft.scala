@@ -396,10 +396,9 @@ final class Graft(
       options: Map[String, String] = Map.empty,
       allowPartialErrors: Boolean = false): graft.write.WriteReport = {
     val base = spark.read.options(options)
-    val reader = format match {
-      case "csv" if !options.contains("header") => base.option("header", "true")
-      case _ => base
-    }
+    val reader =
+      if (Graft.csvNeedsHeaderDefault(format, options)) base.option("header", "true")
+      else base
     insertFrom(name, reader.format(format).load(path), allowPartialErrors)
   }
 
@@ -408,10 +407,9 @@ final class Graft(
   def exportTo(name: String, path: String, format: String = "parquet",
       options: Map[String, String] = Map.empty): Unit = {
     val base = table(name).write.options(options).mode("overwrite")
-    val writer = format match {
-      case "csv" if !options.contains("header") => base.option("header", "true")
-      case _ => base
-    }
+    val writer =
+      if (Graft.csvNeedsHeaderDefault(format, options)) base.option("header", "true")
+      else base
     writer.format(format).save(path)
   }
 
@@ -880,6 +878,13 @@ object Graft {
   val IngestTsCol = "_system_ingest_ts_ms"
   /** KV key backing the user-maintained version number. */
   val VersionKey = "_db_version"
+
+  /** header=true default applies to csv unless the caller set it — both
+    * checks case-insensitive, matching Spark's own format/option lookup
+    * (format="CSV" or options("Header") must not sneak past). */
+  private[graft] def csvNeedsHeaderDefault(format: String,
+      options: Map[String, String]): Boolean =
+    format.equalsIgnoreCase("csv") && !options.keys.exists(_.equalsIgnoreCase("header"))
 
   /** Reference TableInfo (lib/src/model/table_info.dart): count + bytes +
     * declared schema. Index/lastModified fields have no Spark analog. */

@@ -296,11 +296,11 @@ object VectorSearch {
    * Two-stage search over int8 storage — the engine's analog of the
    * reference's PQ ADC pre-filter + full-vector re-rank
    * (vector_index_manager.dart:475-515): stage 1 scans ONLY the 4×-smaller
-   * quantized column and keeps `topK × rerankFactor` candidates
-   * (TakeOrderedAndProject — per-partition heaps); stage 2 re-ranks just
-   * those candidates on the full-precision column via a semi-join. At
-   * 100 TB the scan reads a quarter of the vector bytes; the re-rank
-   * touches O(topK × rerank) rows.
+   * quantized column (ReadSchema excludes the full vectors) and keeps
+   * `topK × rerankFactor` candidate KEYS (TakeOrderedAndProject heaps →
+   * one driver-tiny collect); stage 2 is `exact` over the candidate-key
+   * IN-filter, which pushes to the parquet scan so the full-precision
+   * column is read for O(topK × rerank) rows, not the table.
    *
    * @param quantCol column holding `quantizeInt8(vec)` structs
    * @param vecCol   full-precision column (re-rank)
@@ -315,19 +315,21 @@ object VectorSearch {
       metric: String = "cosine",
       rerankFactor: Int = 4): DataFrame = {
     val q = qArray(queryVector)
-    val approxD = distCol(metric, dequantizeInt8(col(quantCol)), q)
-    val candidates = table
+    // bind() the dequantize: cosine references its argument twice
+    // (dot + norm), and an unbound lambda HOF evaluates interpreted,
+    // once per reference per row (see GraftFunctions.bind)
+    val approxD = graft.functions.GraftFunctions.bind(
+      dequantizeInt8(col(quantCol)))(v => distCol(metric, v, q))
+    val candidatePks = table
       .where(col(quantCol).isNotNull)
       .select(col(pkCol).as("pk"), approxD.as("__approx"))
       .orderBy(col("__approx").asc, col("pk").asc)
       .limit(math.max(topK * rerankFactor, topK))
-    val rerank = table.select(col(pkCol).as("pk"), col(vecCol).as("__v"))
-      .join(broadcast(candidates.select("pk")), "pk")
-    val d = distCol(metric, col("__v"), q)
-    rerank.select(col("pk"), round(d, 6).as("distance"))
-      .withColumn("score", round(vectorScore(metric, col("distance")), 6))
-      .orderBy(col("distance").asc, col("pk").asc)
-      .limit(topK)
+      .collect().map(_.get(0))
+    // exact() carries the result contract (null guard, rounding, score,
+    // tie-break) — the IN-filter lands in PushedFilters for the re-read
+    exact(table.where(col(pkCol).isin(candidatePks: _*)), pkCol, vecCol,
+      queryVector, topK, metric)
   }
 
   // ---------- LSH (spark.ml) ----------
