@@ -19,6 +19,20 @@ object Bench {
     try SparkEntry.queries("q19_count")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Structured Streaming machinery warm-up (state store provider, commit
+    // log, micro-batch planner classloading — otherwise the first streaming
+    // gate absorbs several seconds of one-time cost)
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[Int]
+      ms.addData(1, 2, 3)
+      val q = ms.toDS().groupBy($"value").count()
+        .writeStream.format("memory").queryName("__bench_warm")
+        .outputMode("complete").start()
+      q.processAllAvailable(); q.stop()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (count() would
