@@ -223,8 +223,9 @@ final class Graft(
   /** Shared tail of the two ingest paths (`batchInsert`, `insertFrom`):
     * `staged` carries the all-nullable target columns plus `__parse_ok`
     * and `__row_idx`. Splits on nullability + declared constraints +
-    * uniqueness, appends the good rows, reports the bad ones. */
-  /** @param provablyUnique key sets whose within-batch uniqueness is
+    * uniqueness, appends the good rows, reports the bad ones.
+    *
+    * @param provablyUnique key sets whose within-batch uniqueness is
     *        guaranteed by construction (e.g. a PK generated for EVERY row
     *        from a reserved id block + distinct row indexes) — the
     *        within-batch window check is skipped for them (a 10M-row
@@ -311,9 +312,8 @@ final class Graft(
       allowPartialErrors: Boolean = false): graft.write.WriteReport = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val schema = registry.get(space, name).map(_.sparkSchema)
-      .getOrElse(table(name).schema)
     val reg = registry.get(space, name)
+    val schema = reg.map(_.sparkSchema).getOrElse(table(name).schema)
     val defaultNow = reg.map(_.fields).getOrElse(Nil)
       .filter(_.defaultCurrentTimestamp).map(_.name).toSet
     // executor-side global row index (partition offsets; Spark runs one

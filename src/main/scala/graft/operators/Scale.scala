@@ -118,11 +118,11 @@ object Scale {
    * the layout that turns the daily fact⋈dim join from a 100 TB shuffle
    * into a local merge — the biggest single shuffle eliminator Spark
    * offers. Buckets are also sorted so the merge needs no per-task sort.
-   */
-  /** @param location explicit data directory for the table; omit it and
-    *        the files land in the session catalog's warehouse (which is
-    *        process-cwd-relative in a default local session — pass a path
-    *        under the engine warehouse for a stable layout). */
+   *
+   * @param location explicit data directory for the table; omit it and
+   *        the files land in the session catalog's warehouse (which is
+   *        process-cwd-relative in a default local session — pass a path
+   *        under the engine warehouse for a stable layout). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       buckets: Int, location: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty && buckets > 0, "need bucket columns and a positive count")

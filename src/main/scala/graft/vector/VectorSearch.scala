@@ -81,6 +81,12 @@ object VectorSearch {
     val scored = table.where(col(vecCol).isNotNull)
       .join(qdf) // cartesian with a broadcast-tiny side: one pass over the table
       .select(col("qid"), col(pkCol).as("pk"), round(d, 6).as("distance"))
+    rankPerQuery(scored, metric, topK)
+  }
+
+  /** Shared tail of the batch searches: per-query window top-K + score.
+    * Input must carry (qid, pk, distance). */
+  private def rankPerQuery(scored: DataFrame, metric: String, topK: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("distance").asc, col("pk").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -198,12 +204,7 @@ object VectorSearch {
       .join(qdf, "qid")
       .where(col(vecCol).isNotNull)
       .select(col("qid"), col(pkCol).as("pk"), round(d, 6).as("distance"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("distance").asc, col("pk").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .withColumn("score", round(vectorScore(model.metric, col("distance")), 6))
-      .select("qid", "pk", "distance", "score", "rank")
+    rankPerQuery(scored, model.metric, topK)
   }
 
   /** Materialize the index the way a 100 TB deployment must: directory-
