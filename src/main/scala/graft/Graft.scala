@@ -28,10 +28,25 @@ final class Graft(
     val space: String = "default",
     val registry: SchemaRegistry = new SchemaRegistry,
     val defaultQueryLimit: Int = 1000, // data_store_config.dart:208
-    val maxQueryOffset: Int = 10000) { // data_store_config.dart:209
+    val maxQueryOffset: Int = 10000, // data_store_config.dart:209
+    val hub: Option[graft.streaming.WatchHub] = None) {
 
   def switchSpace(name: String): Graft =
-    new Graft(spark, dataDir, warehouse, name, registry, defaultQueryLimit, maxQueryOffset)
+    new Graft(spark, dataDir, warehouse, name, registry, defaultQueryLimit,
+      maxQueryOffset, hub)
+
+  /** Engine copy whose WRITES notify `h`: every append/overwrite (insert,
+    * update, delete, upsert, clear, migration, FK action) publishes a
+    * ChangeEvent, so `h.watch(query)` re-runs on engine writes — the
+    * reference's automatic watch notification (notification_manager.dart:9;
+    * writes publish, watches on the table re-execute). */
+  def watched(h: graft.streaming.WatchHub): Graft =
+    new Graft(spark, dataDir, warehouse, space, registry, defaultQueryLimit,
+      maxQueryOffset, Some(h))
+
+  private[graft] def notifyWrite(op: String, table: String): Unit =
+    hub.foreach(_.publish(graft.streaming.ChangeEvent(op, table, None, None,
+      new java.sql.Timestamp(System.currentTimeMillis()))))
 
   /** TTL without an explicit sourceField falls back to the engine-managed
     * ingest timestamp (reference: hidden _system_ingest_ts_ms column,

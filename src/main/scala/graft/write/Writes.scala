@@ -164,7 +164,10 @@ object Writes {
       ).flatten
     }
 
-  /** Atomic overwrite of a managed table: write staging dir, swap. */
+  /** Atomic overwrite of a managed table: write staging dir, swap. Hub-
+    * attached engines notify watchers after the swap (the single funnel
+    * every mutating path — update/delete/upsert/clear/migrate/FK actions —
+    * flows through). */
   def overwrite(engine: Graft, table: String, data: DataFrame): Unit = {
     val path = engine.managedPath(table)
     val tmp = path + ".staging"
@@ -177,8 +180,11 @@ object Writes {
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
     fs.delete(bak, true)
+    engine.notifyWrite("update", table)
   }
 
-  def append(engine: Graft, table: String, data: DataFrame): Unit =
+  def append(engine: Graft, table: String, data: DataFrame): Unit = {
     data.write.mode(SaveMode.Append).parquet(engine.managedPath(table))
+    engine.notifyWrite("insert", table)
+  }
 }

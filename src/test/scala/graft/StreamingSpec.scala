@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpec {
     assert(hub.activeCount == 0)
   }
 
+  test("watched engine: writes notify watchers automatically (notification_manager.dart:9)") {
+    val wh = Files.createTempDirectory("graft_watched").toString
+    val hub = new WatchHub
+    val e = Graft.withWarehouse(spark, sfDir, wh).watched(hub)
+    import graft.schema._
+    e.createTable(TableSchema("wt", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GInteger))))
+    val counts = new AtomicInteger(0)
+    @volatile var last = -1L
+    val sub = hub.watch(e.query("wt")) { rows => counts.incrementAndGet(); last = rows.size }
+    assert(counts.get() == 1 && last == 0) // initial emission, empty table
+    e.batchInsert("wt", Seq(Map("id" -> "1", "v" -> 5))) // append → notify
+    assert(counts.get() >= 2 && last == 1)
+    e.update("wt").set("v", 9).where("id", "=", "1").apply() // overwrite → notify
+    assert(last == 1 && counts.get() >= 3)
+    e.delete("wt").where("id", "=", "1").apply()
+    assert(last == 0)
+    sub.close()
+    // an un-hubbed engine copy stays silent (no hub, no notifications)
+    val silent = counts.get()
+    Graft.withWarehouse(spark, sfDir, wh).batchInsert("wt",
+      Seq(Map("id" -> "2", "v" -> 1)))
+    assert(counts.get() == silent)
+  }
+
   test("change feed: append/batch roundtrip with CDC schema (change_event.dart:2-27)") {
     val dir = Files.createTempDirectory("graft_feed").toString + "/feed"
     val feed = new ChangeFeed(spark, dir)
