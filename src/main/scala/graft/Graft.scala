@@ -82,6 +82,13 @@ final class Graft(
     s"$w/$sp/$name"
   }
 
+  /** Key for IdGen's in-process sequence state: scoped by physical location
+    * so same-named tables in different warehouses/spaces (independent id
+    * spaces) never share a sequence, while concurrent batches on ONE table
+    * always do. */
+  private def idScope(name: String): String =
+    s"${warehouse.getOrElse(dataDir)}/$space/$name"
+
   private def managedExists(name: String): Boolean =
     warehouse.exists { w =>
       Files.exists(Paths.get(s"$w/$space/$name")) ||
@@ -201,7 +208,7 @@ final class Graft(
               Option(table(name).agg(smax(c(pk).cast("long"))).head.get(0))
                 .map(_.asInstanceOf[Long]).getOrElse(0L)
             } else 0L
-          val ids = graft.schema.IdGen.generateFor(name, s.primaryKey.strategy,
+          val ids = graft.schema.IdGen.generateFor(idScope(name), s.primaryKey.strategy,
             missing.size, existingMax)
           val patch = missing.zip(ids).toMap
           rows.zipWithIndex.map { case (m, i) =>
@@ -296,14 +303,31 @@ final class Graft(
     // lineage a later atomic swap would invalidate) and the key lists are
     // bounded eager collects
     val failedSnap = bad.drop(carriers: _*).localCheckpoint(true)
+    // materialize the good split once too: keysOf, the append, and the
+    // report count would otherwise each re-run the whole validation
+    // pipeline (window dedup + anti-joins) — and the post-append count
+    // would only be correct because spark.read pinned the file listing
+    val goodSnap = good.localCheckpoint(true)
     val pkOpt = regSchema.map(_.primaryKey.name).filter(staged.columns.contains)
     def keysOf(df: DataFrame): Seq[String] = pkOpt.map(pk =>
       df.select(c(pk).cast("string")).limit(graft.write.WriteReport.KeyListCap)
         .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
-    val goodKeys = keysOf(good)
-    graft.write.Writes.append(this, name, good.drop(carriers: _*))
-    graft.write.WriteReport(good.count(), failedSnap.count(), failedSnap,
-      goodKeys, keysOf(failedSnap))
+    val goodKeys = keysOf(goodSnap)
+    // when the bounded key collect came back under its cap it IS the exact
+    // row count — skip the separate count job (these report counts run on
+    // every insert; at gate grain the job overhead dominates the data)
+    def countVia(keys: Seq[String], df: DataFrame): Long =
+      if (pkOpt.isDefined && keys.size < graft.write.WriteReport.KeyListCap)
+        keys.size.toLong
+      else df.count()
+    val successCount = countVia(goodKeys, goodSnap)
+    // an all-rejected batch appends nothing — and must not publish a
+    // phantom "insert" ChangeEvent to watchers
+    if (successCount > 0)
+      graft.write.Writes.append(this, name, goodSnap.drop(carriers: _*))
+    val failedKeys = keysOf(failedSnap)
+    graft.write.WriteReport(successCount, countVia(failedKeys, failedSnap), failedSnap,
+      goodKeys, failedKeys)
   }
 
   /**
@@ -314,7 +338,8 @@ final class Graft(
    * are assigned EXECUTOR-SIDE: one driver-side block reservation
    * (IdGen.reserveFor — the reference's ID-pool role, id_generator.dart:
    * 313-321), then id = encode(base + __row_idx) as a pure Column over the
-   * partition-offset row index (zipWithIndex: one count job, no collect).
+   * partition-offset row index (one tiny per-partition count job; the
+   * index itself is codegen — no RDD round-trip, no collect).
    * A 10M-row frame costs one source pass (indexed + materialized on the
    * executors via localCheckpoint), the validation/unique passes over that
    * checkpoint, and zero driver memory.
@@ -339,13 +364,28 @@ final class Graft(
     // nondeterministic source (round-robin repartition, unstable ordering)
     // could re-index differently between the rows validated and the rows
     // appended — the checkpoint pins one assignment.
-    val idxed = {
-      val rdd = src.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }
-      spark.createDataFrame(rdd, StructType(src.schema.fields.map(_.copy(nullable = true)) :+
-        StructField("__row_idx", LongType, nullable = false)))
+    val (idxed, totalRows) = {
+      // partition-offset row index WITHOUT an RDD round-trip (zipWithIndex
+      // would deserialize every row to a Row object and back, breaking
+      // codegen and double-serializing a 10M-row ingest): pos-in-partition
+      // is monotonically_increasing_id's low 33 bits, partition offsets
+      // come from the same tiny per-partition count job zipWithIndex runs
+      val withMid = src.withColumn("__pid", spark_partition_id())
+        .withColumn("__mid", monotonically_increasing_id())
+      val counts = withMid.groupBy("__pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val offs = counts.map { case (pid, cnt) => val o = acc; acc += cnt; pid -> o }
+      val offCol =
+        if (offs.isEmpty) lit(0L)
+        else element_at(
+          map(offs.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
+      val pos = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+      val df = withMid
+        .withColumn("__row_idx", (offCol + pos).cast(LongType))
+        .drop("__pid", "__mid")
         .localCheckpoint(true)
+      (df, acc)
     }
     // PK assignment (sequential | timestampBased | datePrefixed | shortCode)
     var pkProvablyUnique = Set.empty[Seq[String]]
@@ -359,12 +399,11 @@ final class Graft(
             Option(table(name).agg(max(col(pk).cast("long"))).head.get(0))
               .map(_.asInstanceOf[Long]).getOrElse(0L)
           else 0L
-        // block size only matters to the time-based reservations (sequential
-        // continues from the stored max) — skip the count job otherwise;
-        // counting the checkpointed frame is cheap either way
-        val n =
-          if (s.primaryKey.strategy == PkStrategy.Sequential) 0L else idxed.count()
-        val start = graft.schema.IdGen.reserveFor(name, s.primaryKey.strategy, n, existingMax)
+        // every strategy (including Sequential, which advances seqState so
+        // concurrent reservations never overlap) needs the block size —
+        // already known from the partition-count job, no extra action
+        val start = graft.schema.IdGen.reserveFor(idScope(name), s.primaryKey.strategy,
+          totalRows, existingMax)
         val gen: org.apache.spark.sql.Column = s.primaryKey.strategy match {
           case PkStrategy.ShortCode =>
             // Base62 needs a scalar fn; everything else stays codegen
@@ -447,7 +486,7 @@ final class Graft(
         throw new IllegalArgumentException(
           s"upsert needs key columns or a registered schema with a unique key (tostore.dart:605)"))
     graft.write.Writes.overwrite(this, name,
-      graft.write.Writes.upsertMerge(table(name), staged, ks))
+      graft.write.Writes.upsertMerge(table(name), staged, ks), op = "upsert")
   }
 
   /**
@@ -475,7 +514,7 @@ final class Graft(
         default.cast(f.dataType).as(f.name)
       }
     }
-    graft.write.Writes.overwrite(this, name, current.select(cols: _*))
+    graft.write.Writes.overwrite(this, name, current.select(cols: _*), op = "migrate")
     registry.register(space, newSchema)
   }
 
@@ -509,7 +548,8 @@ final class Graft(
     // files mid-cascade
     applyFkActions(name, victims.localCheckpoint(true), Set(name))
     graft.write.Writes.overwrite(this, name,
-      graft.write.Writes.deletePreview(table(name), cond, allowDeleteAll = true))
+      graft.write.Writes.deletePreview(table(name), cond, allowDeleteAll = true),
+      op = "delete")
   }
 
   /**
@@ -678,7 +718,7 @@ final class Graft(
             val pk = childSchema.primaryKey.name
             val keep = child.join(hit.select(col(pk).as("__del_pk")),
               child(pk) === col("__del_pk"), "left_anti")
-            graft.write.Writes.overwrite(this, childSchema.name, keep)
+            graft.write.Writes.overwrite(this, childSchema.name, keep, op = "delete")
           }
         case FkAction.SetNull | FkAction.SetDefault =>
           if (!hit.isEmpty) {
@@ -704,7 +744,7 @@ final class Graft(
 
   /** Truncate (keep schema) — tostore.dart:332-358. */
   def clear(name: String): Unit =
-    graft.write.Writes.overwrite(this, name, table(name).limit(0))
+    graft.write.Writes.overwrite(this, name, table(name).limit(0), op = "clear")
 
   /** Drop table + schema (global tables live under the "global" space and
     * registry key — both locations are cleared). */
@@ -831,7 +871,7 @@ final class Graft(
     * ttl_cleanup_manager.dart:40-60 — here an explicit compaction job;
     * `table()` already applies the expiry filter at scan time). */
   def compactTtl(name: String): Unit =
-    graft.write.Writes.overwrite(this, name, table(name))
+    graft.write.Writes.overwrite(this, name, table(name), op = "compact")
 
   /** vectorSearch(table, field, queryVector, topK, metric,
     * distanceThreshold) → (pk, distance, score) — tostore.dart:493-511. */

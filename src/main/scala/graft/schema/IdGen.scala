@@ -78,10 +78,14 @@ object IdGen {
       case PkStrategy.None =>
         throw new IllegalArgumentException(
           "PkStrategy.None does not generate ids — the caller must supply them")
-      case PkStrategy.Sequential => BigInt(existingMax + 1)
       case _ =>
         val key = (strategy.toString, table)
+        // Sequential reserves through seqState like the time-based
+        // strategies: the stored-max re-read cannot see a sibling batch's
+        // uncommitted rows, so two concurrent reservations off the same
+        // existingMax would hand out identical blocks without it
         val base = strategy match {
+          case PkStrategy.Sequential => BigInt(existingMax + 1)
           case PkStrategy.DatePrefixed =>
             BigInt(java.time.format.DateTimeFormatter.BASIC_ISO_DATE
               .format(java.time.Instant.ofEpochMilli(nowMs)
@@ -105,8 +109,8 @@ object IdGen {
   def generateFor(table: String, strategy: PkStrategy, count: Int,
       existingMax: Long = 0L, nowMs: Long = System.currentTimeMillis()): Seq[String] =
     strategy match {
-      case PkStrategy.Sequential | PkStrategy.None =>
-        generate(strategy, count, existingMax, nowMs)
+      case PkStrategy.None =>
+        generate(strategy, count, existingMax, nowMs) // throws: caller must supply
       case _ =>
         val start = reserveFor(table, strategy, count.toLong, existingMax, nowMs)
         val enc = encoderFor(strategy)

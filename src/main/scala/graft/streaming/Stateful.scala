@@ -24,6 +24,13 @@ object Stateful {
   /** Open session accumulator for one key. */
   final case class SessionState(start: Long, last: Long, count: Long)
 
+  /** Per-key state: the current open session plus at most one OLDER open
+    * session fed by watermark-admitted stragglers. Two slots give exact
+    * batch parity for the common late-data shape (a burst of stragglers
+    * that form one earlier session); a third concurrent straggler session
+    * overflows to an eager singleton emission (documented in `sessions`). */
+  final case class KeyState(older: Option[SessionState], open: SessionState)
+
   /** A closed session: [session_start, session_end] with its event count. */
   final case class Session(
       key: String,
@@ -37,6 +44,14 @@ object Stateful {
    * event arrives more than `gapMs` past the previous one in the same
    * micro-batch. Emits closed sessions only (append mode downstream).
    *
+   * Stragglers (watermark-admitted events older than the open session by
+   * more than the gap) accumulate in a second OLDER session slot, so a
+   * burst of late events that belong together closes as ONE merged session
+   * — the same answer `sessionsBatch` gives. Only a THIRD concurrent
+   * straggler session (two distinct older-than-older gaps open at once)
+   * overflows to an eager singleton emission; bounded state requires some
+   * cap, and two slots is the exact-parity sweet spot for real late data.
+   *
    * @param events    streaming Dataset of (key, event time)
    * @param gapMs     inactivity gap that closes a session
    * @param watermark event-time watermark (bounds state + lateness)
@@ -47,44 +62,79 @@ object Stateful {
       watermark: String): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    def toSession(key: String, s: SessionState): Session =
+      Session(key, new Timestamp(s.start), new Timestamp(s.last), s.count)
     events.toDF("key", "ts")
       .withWatermark("ts", watermark)
       .as[(String, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[KeyState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: String, rows: Iterator[(String, Timestamp)],
-         state: GroupState[SessionState]) =>
+         state: GroupState[KeyState]) =>
           if (state.hasTimedOut) {
-            // watermark passed last+gap with no new events: close + evict
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(key, new Timestamp(s.start), new Timestamp(s.last), s.count))
+            // watermark passed the earliest open session's last+gap: close
+            // every expired session, keep the rest with a fresh timeout
+            val st = state.get
+            val wm = state.getCurrentWatermarkMs()
+            val all = st.older.toList :+ st.open
+            val (dead, live) = all.partition(s => s.last + gapMs <= wm)
+            live match {
+              case Nil => state.remove()
+              case one :: Nil =>
+                state.update(KeyState(None, one))
+                state.setTimeoutTimestamp(one.last + gapMs)
+              case two =>
+                state.update(KeyState(Some(two.head), two.last))
+                state.setTimeoutTimestamp(two.head.last + gapMs)
+            }
+            dead.iterator.map(toSession(key, _))
           } else {
             val ts = rows.map(_._2.getTime).toArray.sorted
             val closed = List.newBuilder[Session]
-            var cur = state.getOption
+            var older: Option[SessionState] = state.getOption.flatMap(_.older)
+            var open: Option[SessionState] = state.getOption.map(_.open)
+            def within(s: SessionState, t: Long): Boolean =
+              t >= s.start - gapMs && t <= s.last + gapMs
             ts.foreach { t =>
-              cur = cur match {
-                case Some(s) if t > s.last + gapMs => // forward gap: close
-                  closed += Session(key, new Timestamp(s.start), new Timestamp(s.last), s.count)
-                  Some(SessionState(t, t, 1))
-                case Some(s) if t < s.start - gapMs =>
-                  // watermark-admitted straggler older than the open session
-                  // by more than the gap: its own (already-complete) session
-                  // — the sorted batch twin would isolate it the same way
-                  closed += Session(key, new Timestamp(t), new Timestamp(t), 1)
-                  Some(s)
-                case Some(s) => // within gap of the open session, either side:
+              open match {
+                case None => open = Some(SessionState(t, t, 1))
+                case Some(o) if within(o, t) =>
                   // out-of-order arrivals EXTEND the window both directions
                   // (start = min, not the first-seen start — batch parity)
-                  Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.count + 1))
-                case None => Some(SessionState(t, t, 1))
+                  open = Some(SessionState(math.min(o.start, t), math.max(o.last, t), o.count + 1))
+                case Some(o) if t > o.last + gapMs => // forward gap: close open
+                  closed += toSession(key, o)
+                  open = Some(SessionState(t, t, 1))
+                case Some(_) => // straggler: route into the older slot
+                  older match {
+                    case None => older = Some(SessionState(t, t, 1))
+                    case Some(d) if within(d, t) =>
+                      older = Some(SessionState(math.min(d.start, t), math.max(d.last, t), d.count + 1))
+                    case Some(d) if t > d.last + gapMs =>
+                      // a session strictly between older and open: the older
+                      // one can no longer grow from sorted-later input this
+                      // batch and is nearest the watermark — close it
+                      closed += toSession(key, d)
+                      older = Some(SessionState(t, t, 1))
+                    case Some(_) =>
+                      // third concurrent session (older than `older` by a
+                      // gap): slot overflow — eager singleton (documented)
+                      closed += Session(key, new Timestamp(t), new Timestamp(t), 1)
+                  }
+              }
+              // an extension may have pulled older and open within one gap
+              // of each other — they are one session now
+              (older, open) match {
+                case (Some(d), Some(o)) if o.start - d.last <= gapMs =>
+                  open = Some(SessionState(d.start, o.last, d.count + o.count))
+                  older = None
+                case _ => ()
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+            open.foreach { o =>
+              state.update(KeyState(older, o))
+              state.setTimeoutTimestamp(older.map(_.last).getOrElse(o.last).min(o.last) + gapMs)
             }
             closed.result().iterator
           }

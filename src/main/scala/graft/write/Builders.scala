@@ -69,5 +69,5 @@ final case class DeleteBuilder(
   def allowDeleteAll: DeleteBuilder = copy(allowAll = true)
 
   def preview: DataFrame = Writes.deletePreview(engine.table(table), cond, allowAll)
-  def apply(): Unit = Writes.overwrite(engine, table, preview)
+  def apply(): Unit = Writes.overwrite(engine, table, preview, op = "delete")
 }

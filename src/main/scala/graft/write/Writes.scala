@@ -167,8 +167,11 @@ object Writes {
   /** Atomic overwrite of a managed table: write staging dir, swap. Hub-
     * attached engines notify watchers after the swap (the single funnel
     * every mutating path — update/delete/upsert/clear/migrate/FK actions —
-    * flows through). */
-  def overwrite(engine: Graft, table: String, data: DataFrame): Unit = {
+    * flows through). `op` is the REAL mutation name as the caller knows it
+    * (the reference's notification carries the operation, so consumers may
+    * filter by it — a delete must not masquerade as an update). */
+  def overwrite(engine: Graft, table: String, data: DataFrame,
+      op: String = "update"): Unit = {
     val path = engine.managedPath(table)
     val tmp = path + ".staging"
     data.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -180,7 +183,7 @@ object Writes {
     if (fs.exists(dst)) fs.rename(dst, bak)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
     fs.delete(bak, true)
-    engine.notifyWrite("update", table)
+    engine.notifyWrite(op, table)
   }
 
   def append(engine: Graft, table: String, data: DataFrame): Unit = {

@@ -225,6 +225,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Stateful.sessions: stragglers within gap of EACH OTHER merge (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = Stateful.sessions(mem.toDS(), gapMs = 10 * 60000L, watermark = "2 hours")
+      .writeStream.format("memory").queryName("sessmerge").outputMode("append").start()
+    try {
+      mem.addData(("h", ts(300))); q.processAllAvailable()
+      // two stragglers in DIFFERENT micro-batches, within one gap of each
+      // other: they must close as ONE 2-event session, not two singletons
+      mem.addData(("h", ts(250))); q.processAllAvailable()
+      mem.addData(("h", ts(255))); q.processAllAvailable()
+      mem.addData(("i", ts(600))); q.processAllAvailable(); q.processAllAvailable()
+      val h = spark.table("sessmerge").where(col("key") === "h")
+        .select("session_start", "session_end", "events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L,
+          r.getTimestamp(1).getTime / 60000L, r.getLong(2))).toSet
+      assert(h == Set((250L, 255L, 2L), (300L, 300L, 1L)), h.toString)
+      // and the batch twin gives the identical split
+      val batch = Seq(("h", ts(300)), ("h", ts(250)), ("h", ts(255))).toDF("k", "t")
+      val off = Stateful.sessionsBatch(batch, "k", "t", gapMs = 10 * 60000L)
+        .select(col("session_start"), col("session_end"), col("events")).collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L,
+          r.getTimestamp(1).getTime / 60000L, r.getLong(2))).toSet
+      assert(off == h, s"batch twin diverged: $off vs $h")
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap") {
     val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
       Seq("user_id"), Seq(count(lit(1)).as("cnt")))
