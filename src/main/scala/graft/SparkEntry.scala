@@ -276,12 +276,15 @@ object SparkEntry {
       Dedup.exactGroups(d, "doc_id", "text").orderBy("fp")
     }),
     "q27_text_quality" -> ((s, dir) => {
+      // one TextProfileExpr kernel pass per document; the four outputs are
+      // slot reads + the original arithmetic (byte-identical, spec-pinned)
       val d = eng(s, dir).table("documents")
-      d.select(col("doc_id"),
-          TextAnalysis.tokenCountBpe(col("text")).as("bpe_cnt"),
-          TextAnalysis.tokenEstimate(col("text")).as("tok_est"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.langId(col("text")).as("lang_guess"))
+      d.select(col("doc_id"), TextAnalysis.textProfile(col("text")).as("p"))
+        .select(col("doc_id"),
+          TextAnalysis.bpeFromProfile(col("p")).as("bpe_cnt"),
+          TextAnalysis.tokenEstimateFromProfile(col("p")).as("tok_est"),
+          TextAnalysis.qualityFromProfile(col("p")).as("quality"),
+          TextAnalysis.langFromProfile(col("p")).as("lang_guess"))
         .orderBy("doc_id")
     }),
     "q28_minhash_sig" -> ((s, dir) => {

@@ -218,6 +218,64 @@ object ShingleKernel {
   }
 }
 
+object TextProfileKernel {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  // java regex \s — ASCII only, deliberately NOT Character.isWhitespace
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+  private def isAlpha(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+  private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'
+  private def isPunct(cp: Int): Boolean = cp match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' | '[' | ']' | '-' => true
+    case _ => false
+  }
+
+  /** One pass over the document: every q27-class signal at once.
+    * Byte-identical to the Column formulations it fuses —
+    *   len       = `length(text)` (code points)
+    *   bpe_cnt   = `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))`
+    *               (alpha runs + digit chars + other non-ws chars: the
+    *               alternation is anchored per position, so a greedy
+    *               alpha run, then single-char branches)
+    *   alpha_cnt = `length(regexp_replace(text, "[^A-Za-z]", ""))`
+    *   punct_cnt = `length(regexp_replace(text, "[^.,;:!?'\"()\[\]-]", ""))`
+    *   tok_cnt   = `size(split(trim(lower(text)), "\s+"))` (Spark trim
+    *               strips 0x20 only; split keeps boundary empties)
+    *   marker_hits[k] = hits of marker set k over those tokens
+    *               (= `MarkerCountsExpr` over `whitespaceTokens(lower(text))`) */
+  def profile(text: UTF8String,
+      sets: Array[java.util.HashSet[String]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var bpe = 0; var alpha = 0; var punct = 0; var len = 0
+    var prevAlpha = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      len += 1
+      if (isAlpha(cp)) { if (!prevAlpha) bpe += 1; alpha += 1; prevAlpha = true }
+      else {
+        prevAlpha = false
+        if (isDigit(cp) || !isWs(cp)) bpe += 1
+        if (isPunct(cp)) punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    val toks = WS.split(text.toLowerCase.trim().toString, -1)
+    val hits = new Array[Int](sets.length)
+    var t = 0
+    while (t < toks.length) {
+      var k = 0
+      while (k < sets.length) { if (sets(k).contains(toks(t))) hits(k) += 1; k += 1 }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      len, bpe, alpha, punct, toks.length,
+      new GenericArrayData(hits.map(Integer.valueOf).asInstanceOf[Array[Any]])))
+  }
+}
+
 object MarkerKernel {
   /** Count hits of each marker set over a token array (multiplicity
     * preserved — matches `filter(toks, array_contains(set, t))`).
@@ -263,6 +321,34 @@ case class MarkerCountsExpr(child: Expression, markerSets: Seq[Seq[String]])
     val setsRef = ctx.addReferenceObj("markerSets", sets,
       "java.util.HashSet[]")
     defineCodeGen(ctx, ev, a => s"graft.expr.MarkerKernel.counts($a, $setsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** textProfile(text) → STRUCT<len, bpe_cnt, alpha_cnt, punct_cnt,
+  * tok_cnt, marker_hits ARRAY<INT>> in ONE kernel pass — the q27 path:
+  * six regex/tokenize chains (BPE count, alpha ratio, punct ratio,
+  * tokenize×2, marker scoring) fused. */
+case class TextProfileExpr(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("bpe_cnt", IntegerType, nullable = false),
+    StructField("alpha_cnt", IntegerType, nullable = false),
+    StructField("punct_cnt", IntegerType, nullable = false),
+    StructField("tok_cnt", IntegerType, nullable = false),
+    StructField("marker_hits", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+
+  @transient private lazy val sets = MarkerKernel.build(markerSets)
+
+  override def nullSafeEval(a: Any): Any =
+    TextProfileKernel.profile(a.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("markerSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, a => s"graft.expr.TextProfileKernel.profile($a, $setsRef)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -120,6 +120,54 @@ object TextAnalysis {
       when(best._2 === 0, "und").otherwise(best._1)
     }
 
+  // ---------- fused document profile ----------
+
+  /** Every q27-class signal in ONE kernel pass per document:
+    * STRUCT<len, bpe_cnt, alpha_cnt, punct_cnt, tok_cnt, marker_hits>
+    * where marker_hits[1] is the stopword hit count and slots 2..n are the
+    * `LangMarkers` languages in declaration order. Byte-identical to the
+    * individual Column formulations (PipelineSpec cross-checks); the
+    * separate functions each re-run a regex or tokenize chain per column.
+    * Project the struct once, then derive with the `*FromProfile` helpers
+    * (CollapseProject won't inline a non-cheap multi-use alias). */
+  def textProfile(text: Column): Column =
+    kcol(graft.expr.TextProfileExpr(kexp(text), StopwordsEn +: LangMarkers.map(_._2)))
+
+  /** `tokenCountBpe` from a profile struct. */
+  def bpeFromProfile(p: Column): Column = p.getField("bpe_cnt")
+
+  /** `tokenEstimate` from a profile struct (identical arithmetic). */
+  def tokenEstimateFromProfile(p: Column): Column =
+    ceil(p.getField("len") / lit(4.0)).cast("long")
+
+  /** `qualityScore` from a profile struct — the same expression tree shape
+    * (casts, guards, rounding) over kernel-computed counts. */
+  def qualityFromProfile(p: Column): Column = {
+    val len = p.getField("len")
+    val lenScore = least(len.cast("double") / lit(200.0), lit(1.0))
+    val alpha = when(len === 0, 0.0).otherwise(p.getField("alpha_cnt").cast("double") / len)
+    val stopRatio = when(p.getField("tok_cnt") === 0, 0.0)
+      .otherwise(element_at(p.getField("marker_hits"), 1).cast("double") / p.getField("tok_cnt"))
+    val stop = least(stopRatio * lit(4.0), lit(1.0))
+    val punctRatio = when(len === 0, 0.0)
+      .otherwise(p.getField("punct_cnt").cast("double") / len)
+    val punct = lit(1.0) - least(punctRatio * lit(5.0), lit(1.0))
+    round((lenScore + alpha + stop + punct) / lit(4.0), 6)
+  }
+
+  /** `langId` from a profile struct — identical argmax fold over the
+    * language slots (marker_hits[2..]). */
+  def langFromProfile(p: Column): Column = {
+    val scores = p.getField("marker_hits")
+    val scored = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+      (l, element_at(scores, i + 2))
+    }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 === 0, "und").otherwise(best._1)
+  }
+
   // ---------- fingerprinting ----------
 
   /** Polynomial rolling hash of the normalized text (base 31, mod 1e9+7),

@@ -34,6 +34,25 @@ class PipelineSpec extends SparkSpec {
     assert(one(TextAnalysis.langId(col("t")), "xyzzy plugh qwerty").getString(0) == "und")
   }
 
+  test("textProfile kernel == individual Column formulations (byte-identical)") {
+    // real documents + adversarial edges: empty, whitespace-only, tabs
+    // (Spark trim strips 0x20 only), unicode, digits/punct runs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("text")).limit(200).collect().map(_.getString(0)).toSeq ++ Seq(
+      "", "   ", "\t\tder hund\t", "don't stop!!! 123 foo-bar",
+      "das über café 北京 42", "a  b c", "the the THE tHe")
+    val df = spark.createDataFrame(docs.map(Tuple1(_))).toDF("t")
+    val p = df.select(col("t"), TextAnalysis.textProfile(col("t")).as("p"))
+    val mism = p.select(
+        (TextAnalysis.bpeFromProfile(col("p")) === TextAnalysis.tokenCountBpe(col("t"))).as("a"),
+        (TextAnalysis.tokenEstimateFromProfile(col("p")) === TextAnalysis.tokenEstimate(col("t"))).as("b"),
+        (TextAnalysis.qualityFromProfile(col("p")) === TextAnalysis.qualityScore(col("t"))).as("c"),
+        (TextAnalysis.langFromProfile(col("p")) === TextAnalysis.langId(col("t"))).as("d"),
+        (col("p.len") === length(col("t"))).as("e"))
+      .where(!col("a") || !col("b") || !col("c") || !col("d") || !col("e"))
+    assert(mism.isEmpty, mism.collect().mkString("; "))
+  }
+
   test("rollingFingerprint: deterministic, whitespace-insensitive, content-sensitive") {
     val a = one(TextAnalysis.rollingFingerprint(col("t")), "Hello   World").getLong(0)
     val b = one(TextAnalysis.rollingFingerprint(col("t")), "hello world").getLong(0)
