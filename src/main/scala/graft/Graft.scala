@@ -272,6 +272,10 @@ final class Graft(
     import org.apache.spark.sql.functions.{col => c, row_number}
     var good = good0
     var bads = List(bad0)
+    // one limit-1 probe decides whether the per-keyset existing-table
+    // anti/semi joins run at all — a bulk load into a fresh table must not
+    // shuffle the whole batch against an empty scan per unique key set
+    lazy val existingNonEmpty = managedExists(name) && !table(name).isEmpty
     regSchema.toSeq.flatMap(_.uniqueKeySets.distinct).foreach { ks =>
       if (ks.forall(staged.columns.contains)) {
         // NULL keys never collide (SQL-standard unique): rows with any null
@@ -284,7 +288,7 @@ final class Graft(
           bads ::= marked.where(keyNotNull && c("__rn") > 1).drop("__rn")
           good = marked.where(!keyNotNull || c("__rn") === 1).drop("__rn")
         }
-        if (managedExists(name)) {
+        if (existingNonEmpty) {
           val existing = table(name).select(ks.map(c): _*)
           bads ::= good.join(existing, ks, "left_semi")
           good = good.join(existing, ks, "left_anti")

@@ -724,6 +724,14 @@ object SparkEntry {
         .noDefaultLimit.toDF
         .orderBy(col("o_id").cast("long"))
     }),
+    "q65_jaccard_pairs" -> ((s, dir) => {
+      // EXACT n-gram Jaccard dedup (prefix-filtered posting join — no
+      // hashing, 100% recall). Oracle is the brute-force all-pairs scan,
+      // so a prefix filter that loses a single pair goes red.
+      Dedup.jaccardPairs(eng(s, dir).table("documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.3)
+        .orderBy("a", "b")
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -1206,6 +1214,13 @@ object SparkEntry {
          ) s ON CAST(o.o_custkey AS VARCHAR) = s.id
          GROUP BY 1
          ORDER BY 1""",
+    "q65_jaccard_pairs" ->
+      s"""$duckShingles, scored AS (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+          )
+          SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a, b""",
     "q46_delete_preview" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)

@@ -46,6 +46,32 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("jaccardPairs (prefix-filtered exact) == brute force at several thresholds") {
+    val l = docs.toDF("a", "ta")
+    val r = docs.toDF("b", "tb")
+    Seq(0.2, 0.5, 0.9).foreach { t =>
+      val brute = l.join(r, col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(Dedup.ngramJaccard(col("ta"), col("tb"), 3), 6).as("j"))
+        .where(col("j") >= t)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      val exact = Dedup.jaccardPairs(docs, "id", "text", shingleN = 3, threshold = t)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      assert(exact == brute, s"threshold $t: $exact vs brute $brute")
+    }
+    // real corpus: prefix filter loses nothing vs brute force at 0.3
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+    val dl = d.select(col("doc_id").as("a"), col("text").as("ta"))
+    val dr = d.select(col("doc_id").as("b"), col("text").as("tb"))
+    val bruteReal = dl.join(dr, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Dedup.ngramJaccard(col("ta"), col("tb"), 3), 6).as("j"))
+      .where(col("j") >= 0.3).count()
+    val exactReal = Dedup.jaccardPairs(d, "doc_id", "text",
+      shingleN = 3, threshold = 0.3).count()
+    assert(exactReal == bruteReal, s"real-corpus recall: $exactReal vs $bruteReal")
+  }
+
   test("fast (xxhash64) minhash finds the exact duplicate deterministically") {
     val pairs = Dedup.minhashPairs(docs, "id", "text", shingleN = 3, k = 12,
       bands = 4, threshold = 0.99, oracleHash = false)
