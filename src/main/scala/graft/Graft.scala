@@ -61,17 +61,13 @@ final class Graft(
           nullable = false, defaultCurrentTimestamp = true))
     else schema0
 
-  def createTable(schema0: TableSchema): Unit = {
-    val schema = withSystemColumns(schema0)
-    registry.register(space, schema)
-    warehouse.foreach { w =>
-      val p = managedPath(schema.name, schema.isGlobal)
-      if (!Files.exists(Paths.get(p)))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.sparkSchema)
-          .write.mode("overwrite").parquet(p)
-    }
-  }
+  /** Registers the schema; the physical directory materializes on first
+    * write (a registered-but-never-written table reads as empty straight
+    * from the declared schema — `table()` — so creating N tables costs
+    * zero Spark jobs and zero files, exactly like the reference's lazy
+    * file creation, data_store_impl.dart table init). */
+  def createTable(schema0: TableSchema): Unit =
+    registry.register(space, withSystemColumns(schema0))
 
   def createTables(schemas: TableSchema*): Unit = schemas.foreach(createTable)
 
@@ -104,7 +100,16 @@ final class Graft(
         val local = s"$w/$space/$name"
         val p = if (Files.exists(Paths.get(local))) local else s"$w/global/$name"
         graft.sources.ParquetNanos.read(spark, p)
-      } else graft.sources.ParquetNanos.read(spark, s"$dataDir/$name.parquet")
+      } else registry.get(space, name) match {
+        // registered but never written: empty frame straight from the
+        // declared schema (createTable defers the physical directory to
+        // the first write — and a registered table must SHADOW a
+        // same-named dataDir parquet, as the managed read above does)
+        case Some(s) if warehouse.isDefined =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.sparkSchema)
+        case _ => graft.sources.ParquetNanos.read(spark, s"$dataDir/$name.parquet")
+      }
     registry.get(space, name).flatMap(_.ttl) match {
       case Some(ttl) =>
         val src = ttl.sourceField.getOrElse(Graft.IngestTsCol)
