@@ -207,6 +207,27 @@ object VectorSearch {
     rankPerQuery(scored, model.metric, topK)
   }
 
+  /** Persist trained centroids (nlist × dim doubles + metric — driver-
+    * tiny): a serving job `ivfLoad`s the model instead of retraining, the
+    * missing piece between "train once" and "probe forever" (the
+    * reference persists its ANN graph the same way,
+    * vector_index_manager.dart index files). */
+  def ivfSave(model: IvfModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    model.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, model.metric) }
+      .toDF("cell", "centroid", "metric")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF model (exact centroid doubles round-trip). */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfModel = {
+    val rows = spark.read.parquet(path).select("cell", "centroid", "metric").collect()
+    require(rows.nonEmpty, s"no IVF model at $path")
+    IvfModel(rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray), rows.head.getString(2))
+  }
+
   /** Materialize the index the way a 100 TB deployment must: directory-
     * partitioned by `__ivf_cell`, so `ivfSearch`'s IN-filter becomes a
     * PHYSICAL partition filter — only nprobe/nlist of the files are listed

@@ -255,6 +255,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Dedup.dedupStream: firehose dedup drops repeats within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = graft.pipeline.Dedup.dedupStream(
+        mem.toDS().toDF("text", "ts"), "text", "ts", watermark = "1 hour")
+      .writeStream.format("memory").queryName("ddstream").outputMode("append").start()
+    try {
+      // in-batch duplicate + cross-batch duplicate inside the horizon;
+      // whitespace/case variants share a normalized fingerprint
+      mem.addData(("hello world", ts(1)), ("hello   WORLD", ts(2)), ("other doc", ts(3)))
+      q.processAllAvailable()
+      mem.addData(("hello world", ts(4)), ("third text", ts(5)))
+      q.processAllAvailable()
+      val texts = spark.table("ddstream").select("text").collect().map(_.getString(0)).toSeq
+      assert(texts.length == 3, texts.mkString("|"))
+      assert(texts.contains("hello world") && texts.contains("other doc")
+        && texts.contains("third text"))
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap") {
     val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
       Seq("user_id"), Seq(count(lit(1)).as("cnt")))

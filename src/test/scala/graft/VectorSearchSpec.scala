@@ -81,6 +81,24 @@ class VectorSearchSpec extends SparkSpec {
     assert(byNp(1)._2 < 1.0 && byNp(4)._2 < 1.0, "probe must scan a strict subset")
   }
 
+  test("ivfSave/ivfLoad: persisted model probes identically (no retrain)") {
+    val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_model").toString + "/m"
+    VectorSearch.ivfSave(model, spark, path)
+    val loaded = VectorSearch.ivfLoad(spark, path)
+    assert(loaded.metric == model.metric)
+    assert(loaded.centroids.length == model.centroids.length)
+    // exact double round-trip → identical cell assignment and probe order
+    assert(loaded.centroids.zip(model.centroids).forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.nearestCells(query, 4) == model.nearestCells(query, 4))
+    val indexed = VectorSearch.ivfIndex(embs, model, "embedding")
+    val a = VectorSearch.ivfSearch(indexed, model, "vec_id", "embedding", query, 10, 3)
+      .collect().map(_.getLong(0)).toSeq
+    val b = VectorSearch.ivfSearch(indexed, loaded, "vec_id", "embedding", query, 10, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
   test("batched multi-query search matches the per-query operators") {
     def qv(id: Long): Seq[Double] =
       embs.where(col("vec_id") === id).select("embedding").head
