@@ -78,12 +78,15 @@ final class Graft(
     s"$w/$sp/$name"
   }
 
-  /** Key for IdGen's in-process sequence state: scoped by physical location
-    * so same-named tables in different warehouses/spaces (independent id
-    * spaces) never share a sequence, while concurrent batches on ONE table
-    * always do. */
-  private def idScope(name: String): String =
-    s"${warehouse.getOrElse(dataDir)}/$space/$name"
+  /** Key for IdGen's in-process sequence state: scoped by PHYSICAL
+    * location (same resolution as `managedPath` — global tables live under
+    * `global/` and must share one sequence across every space that writes
+    * them) so same-named tables in different warehouses/spaces never share
+    * a sequence, while concurrent batches on ONE physical table always do. */
+  private def idScope(name: String): String = {
+    val sp = if (registry.get(space, name).exists(_.isGlobal)) "global" else space
+    s"${warehouse.getOrElse(dataDir)}/$sp/$name"
+  }
 
   private def managedExists(name: String): Boolean =
     warehouse.exists { w =>
@@ -383,12 +386,18 @@ final class Graft(
         .withColumn("__mid", monotonically_increasing_id())
       val counts = withMid.groupBy("__pid").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // O(1) per-row lookup: a dense pid-indexed offset ARRAY (element_at
+      // over a literal MAP is a linear key scan per row — 2B comparisons
+      // on a 10M-row × 200-partition ingest). Gaps (empty partitions)
+      // never look up, any fill value works.
+      val countByPid = counts.toMap
       var acc = 0L
-      val offs = counts.map { case (pid, cnt) => val o = acc; acc += cnt; pid -> o }
+      val offByPid = (0 to counts.lastOption.map(_._1).getOrElse(-1)).map { pid =>
+        val o = acc; acc += countByPid.getOrElse(pid, 0L); o
+      }
       val offCol =
-        if (offs.isEmpty) lit(0L)
-        else element_at(
-          map(offs.toSeq.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
+        if (offByPid.isEmpty) lit(0L)
+        else element_at(array(offByPid.map(lit): _*), col("__pid") + 1)
       val pos = col("__mid").bitwiseAND(lit((1L << 33) - 1))
       val df = withMid
         .withColumn("__row_idx", (offCol + pos).cast(LongType))
@@ -752,13 +761,16 @@ final class Graft(
   }
 
   /** Truncate (keep schema) — tostore.dart:332-358. */
-  def clear(name: String): Unit =
+  def clear(name: String): Unit = {
     graft.write.Writes.overwrite(this, name, table(name).limit(0), op = "clear")
+    graft.schema.IdGen.reset(idScope(name)) // truncate restarts the sequence
+  }
 
   /** Drop table + schema (global tables live under the "global" space and
     * registry key — both locations are cleared). */
   def dropTable(name: String): Unit = {
     val wasGlobal = registry.get(space, name).exists(_.isGlobal)
+    graft.schema.IdGen.reset(idScope(name)) // before the registration goes
     registry.drop(space, name)
     if (wasGlobal) registry.drop("global", name)
     warehouse.foreach { w =>

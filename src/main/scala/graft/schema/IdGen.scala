@@ -65,6 +65,15 @@ object IdGen {
   private val seqState =
     new java.util.concurrent.ConcurrentHashMap[(String, String), BigInt]()
 
+  /** Forget the in-process sequence state for a table (every strategy).
+    * Called on truncate/drop: like SQL TRUNCATE restarting an identity
+    * column, a cleared table's sequence starts over from the (now-empty)
+    * stored max instead of continuing past the pre-truncation bound. */
+  def reset(table: String): Unit = {
+    val it = seqState.keySet().iterator()
+    while (it.hasNext) if (it.next()._2 == table) it.remove()
+  }
+
   /** Reserve a contiguous id block for `table` and return its first value:
     * id(i) = encode(start + i) for i in [0, count). The executor-side bulk
     * path (`Graft.insertFrom`) turns this into a pure Column expression

@@ -132,9 +132,25 @@ object Stateful {
                 case _ => ()
               }
             }
-            open.foreach { o =>
-              state.update(KeyState(older, o))
-              state.setTimeoutTimestamp(older.map(_.last).getOrElse(o.last).min(o.last) + gapMs)
+            // evict sessions the watermark has ALREADY passed before
+            // persisting: a key that keeps receiving data never enters the
+            // hasTimedOut branch, so a stale older session would (a) never
+            // close and (b) poison setTimeoutTimestamp with a timestamp
+            // below the watermark — which throws and kills the query.
+            // Admitted events satisfy t >= watermark, so the new open
+            // session always survives this partition.
+            val wm = state.getCurrentWatermarkMs()
+            val (dead, live) = (older.toList ++ open.toList)
+              .partition(s => s.last + gapMs <= wm)
+            dead.foreach(s => closed += toSession(key, s))
+            live match {
+              case Nil => state.remove()
+              case one :: Nil =>
+                state.update(KeyState(None, one))
+                state.setTimeoutTimestamp(one.last + gapMs)
+              case two =>
+                state.update(KeyState(Some(two.head), two.last))
+                state.setTimeoutTimestamp(two.head.last + gapMs)
             }
             closed.result().iterator
           }

@@ -75,6 +75,16 @@ class FacadeSpec extends SparkSpec {
     assert((b1 ++ b2).distinct.size == 4 && b2.head == "2025081200002")
   }
 
+  test("clear() restarts a sequential PK sequence (TRUNCATE identity semantics)") {
+    val e = freshEngine() // "items" uses PkStrategy.Sequential
+    e.batchInsert("items", Seq(Map("name" -> "a"), Map("name" -> "b"))) // ids 1,2
+    assert(e.table("items").select("id").collect().map(_.getString(0)).toSet == Set("1", "2"))
+    e.clear("items")
+    e.batchInsert("items", Seq(Map("name" -> "c")))
+    // without the seqState reset the id would continue at 3
+    assert(e.table("items").select("id").collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+
   test("unique constraint: NULL keys never collide (SQL-standard)") {
     val wh = Files.createTempDirectory("graft_un").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)

@@ -255,6 +255,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Stateful.sessions: stale older session under a jumped watermark closes cleanly") {
+    // regression: a key receiving fresh data never enters hasTimedOut, so
+    // an expired older-slot session must be evicted in the DATA branch —
+    // and setTimeoutTimestamp must never be fed a sub-watermark timestamp
+    // (that throws and kills the query)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = Stateful.sessions(mem.toDS(), gapMs = 10 * 60000L, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessstale").outputMode("append").start()
+    try {
+      mem.addData(("j", ts(960))); q.processAllAvailable()
+      mem.addData(("j", ts(945))); q.processAllAvailable() // older slot
+      mem.addData(("k", ts(2000))); q.processAllAvailable() // wm → 1940, j untouched
+      mem.addData(("j", ts(1950))); q.processAllAvailable() // data branch w/ stale state
+      mem.addData(("k", ts(4000))); q.processAllAvailable(); q.processAllAvailable()
+      val j = spark.table("sessstale").where(col("key") === "j")
+        .select("session_start", "session_end", "events").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000L,
+          r.getTimestamp(1).getTime / 60000L, r.getLong(2))).toSet
+      assert(j == Set((945L, 945L, 1L), (960L, 960L, 1L), (1950L, 1950L, 1L)), j.toString)
+    } finally q.stop()
+  }
+
   test("Dedup.dedupStream: firehose dedup drops repeats within the watermark horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
