@@ -732,6 +732,28 @@ object SparkEntry {
           shingleN = 3, threshold = 0.3)
         .orderBy("a", "b")
     }),
+    "q66_dedup_stream" -> ((s, dir) => {
+      // streaming firehose dedup end-to-end: the corpus plays TWICE
+      // through a parquet feed (second copy 1000 s later, inside the
+      // watermark horizon); dropDuplicatesWithinWatermark keeps one
+      // arrival per fingerprint. Output is the surviving fingerprint SET
+      // (which copy survives is partition-order nondeterministic, so ids
+      // stay out of the result); oracle = distinct md5 fingerprints.
+      val base = tmpDir("q66")
+      val docs = eng(s, dir).table("documents").select(col("doc_id"), col("text"))
+      def at(off: org.apache.spark.sql.Column) =
+        timestamp_seconds(lit(1767225600L) + off)
+      val feed = docs.select(col("text"), at(col("doc_id")).as("ts"))
+        .unionByName(docs.select(col("text"), at(col("doc_id") + 1000).as("ts")))
+      feed.write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(feed.schema).parquet(base + "/feed")
+      val q = Dedup.dedupStream(stream, "text", "ts", watermark = "6 hours")
+        .select(graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"))
+        .writeStream.format("memory").queryName("q66_dedup_mem")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+      s.table("q66_dedup_mem").orderBy("fp")
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -1221,6 +1243,10 @@ object SparkEntry {
             FROM s a JOIN s b ON a.doc_id < b.doc_id
           )
           SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a, b""",
+    "q66_dedup_stream" ->
+      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents
+         ORDER BY fp""",
     "q46_delete_preview" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)
