@@ -176,7 +176,46 @@ final class Graft(
   /** Bulk insert. With `allowPartialErrors` invalid rows are skipped and
     * reported instead of failing the batch (tostore.dart:586-597). */
   def batchInsert(name: String, rows: Seq[Map[String, Any]],
-      allowPartialErrors: Boolean = false): graft.write.WriteReport = {
+      allowPartialErrors: Boolean = false): graft.write.WriteReport =
+    ingestStaged(name, stageRows(name, rows), allowPartialErrors)
+
+  /** Batch upsert of loosely-typed rows (reference batchUpsert,
+    * tostore.dart:637-648): coercion/constraint failures split into the
+    * report (`allowPartialErrors` defaults TRUE, as the reference); valid
+    * rows merge update-or-insert by the registered unique key. Duplicate
+    * keys within the batch: the LAST occurrence wins (write order). */
+  def batchUpsert(name: String, rows: Seq[Map[String, Any]],
+      allowPartialErrors: Boolean = true): graft.write.WriteReport = {
+    import org.apache.spark.sql.functions.{col => c, row_number}
+    val staged = stageRows(name, rows)
+    val regSchema = registry.get(space, name)
+    val ks = regSchema.map(_.uniqueKeySets.head).getOrElse(
+      throw new IllegalArgumentException(
+        "batchUpsert needs a registered schema with a unique key (tostore.dart:637)"))
+    val schema = regSchema.map(_.sparkSchema).getOrElse(table(name).schema)
+    val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val checks = c("__parse_ok") +:
+      regSchema.map(s => graft.write.Writes.constraintChecks(s.fields)).getOrElse(Nil)
+    val (good, bad) = graft.write.Writes.validateRows(staged, notNull, checks)
+    val carriers = Seq("__parse_ok", "__row_idx")
+    val failedSnap = bad.drop(carriers: _*).localCheckpoint(true)
+    val failedCount = failedSnap.count()
+    if (!allowPartialErrors && failedCount > 0)
+      throw new IllegalArgumentException(
+        s"batchUpsert: $failedCount invalid row(s); pass allowPartialErrors to skip them")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(ks.map(c): _*).orderBy(c("__row_idx").desc)
+    val deduped = good.withColumn("__rn", row_number().over(w))
+      .where(c("__rn") === 1).drop("__rn").drop(carriers: _*)
+    graft.write.Writes.overwrite(this, name,
+      graft.write.Writes.upsertMerge(table(name), deduped, ks), op = "upsert")
+    graft.write.WriteReport(rows.size.toLong - failedCount, failedCount, failedSnap)
+  }
+
+  /** Shared staging of loosely-typed map rows: PK generation + per-value
+    * coercion to the declared schema, flagged (never thrown) failures,
+    * batch row ordinal. Output carries `__parse_ok` + `__row_idx`. */
+  private def stageRows(name: String, rows: Seq[Map[String, Any]]): DataFrame = {
     val schema = registry.get(space, name).map(_.sparkSchema)
       .getOrElse(table(name).schema)
     // loose typing (FieldSchema.convertValue, table_schema.dart:1356-1446):
@@ -245,9 +284,8 @@ final class Graft(
     val stagingSchema = StructType(schema.fields.map(_.copy(nullable = true)) ++ Seq(
       StructField("__parse_ok", BooleanType, nullable = false),
       StructField("__row_idx", LongType, nullable = false)))
-    val staged = spark.createDataFrame(
+    spark.createDataFrame(
       spark.sparkContext.parallelize(data, math.max(1, rows.size / 10000)), stagingSchema)
-    ingestStaged(name, staged, allowPartialErrors)
   }
 
   /** Shared tail of the two ingest paths (`batchInsert`, `insertFrom`):
@@ -516,24 +554,62 @@ final class Graft(
    * table.
    */
   def migrateTable(newSchema0: TableSchema): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, current_timestamp}
     val newSchema = withSystemColumns(newSchema0) // keep TTL ingest column alive
-    val name = newSchema.name
-    val current = table(name)
+    graft.write.Writes.overwrite(this, newSchema.name,
+      migrateSelect(table(newSchema.name), newSchema), op = "migrate")
+    registry.register(space, newSchema)
+  }
+
+  /** Reconcile a frame to a declared schema: matching columns cast, added
+    * columns fill their default (or current_timestamp, or null), absent
+    * declared-order columns drop. Shared by `migrateTable` and
+    * `updateSchema`. */
+  private def migrateSelect(current: DataFrame, target: TableSchema): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, current_timestamp}
     val have = current.schema.fieldNames.toSet
-    val target = newSchema.sparkSchema
-    val cols = target.fields.toSeq.map { f =>
+    val cols = target.sparkSchema.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else {
-        val fieldDef = newSchema.fields.find(_.name == f.name)
+        val fieldDef = target.fields.find(_.name == f.name)
         val default = fieldDef.flatMap(_.defaultValue).map(lit)
           .orElse(fieldDef.filter(_.defaultCurrentTimestamp).map(_ => current_timestamp()))
           .getOrElse(lit(null))
         default.cast(f.dataType).as(f.name)
       }
     }
-    graft.write.Writes.overwrite(this, name, current.select(cols: _*), op = "migrate")
-    registry.register(space, newSchema)
+    current.select(cols: _*)
+  }
+
+  /** updateSchema(table) chain (tostore.dart:1083-1102) — entry point. */
+  def updateSchema(name: String): graft.schema.SchemaUpdateBuilder =
+    graft.schema.SchemaUpdateBuilder(this, name)
+
+  private[graft] def applySchemaUpdate(b: graft.schema.SchemaUpdateBuilder): Unit = {
+    val cur = registry.get(space, b.table).getOrElse(
+      throw new IllegalArgumentException(
+        s"updateSchema: no registered schema for '${b.table}'"))
+    val renameMap = b.renames.toMap
+    def rn(n: String) = renameMap.getOrElse(n, n)
+    var fields = cur.fields
+      .filterNot(f => b.removes.contains(f.name))
+      .map(f => f.copy(name = rn(f.name)))
+    b.mods.foreach { case (n, f) =>
+      require(fields.exists(_.name == n), s"updateSchema: no field '$n' to modify")
+      fields = fields.map(fs => if (fs.name == n) f(fs) else fs)
+    }
+    fields = fields ++ b.adds
+    val target = withSystemColumns(cur.copy(
+      fields = fields,
+      primaryKey = cur.primaryKey.copy(name = rn(cur.primaryKey.name)),
+      indexes = cur.indexes.map(ix => ix.copy(fields = ix.fields.map(rn))),
+      foreignKeys = cur.foreignKeys.map(fk => fk.copy(fields = fk.fields.map(rn)))))
+    // physical: rename first so the by-name reconcile keeps the data
+    val renamed = b.renames.foldLeft(table(b.table)) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    }
+    graft.write.Writes.overwrite(this, b.table, migrateSelect(renamed, target),
+      op = "migrate")
+    registry.register(space, target)
   }
 
   /**
@@ -879,6 +955,17 @@ final class Graft(
   }
 
   // ---------- KV / vector / streaming surface ----------
+
+  /** db-level KV sugar (reference setValue/getValue/removeValue,
+    * tostore.dart:706-803): the current space's namespace, or the global
+    * one with `isGlobal` — identical to going through `kv`/`kvGlobal`. */
+  def setValue(key: String, value: Any, ttlMs: Option[Long] = None,
+      isGlobal: Boolean = false): Unit =
+    (if (isGlobal) kvGlobal else kv).set(key, String.valueOf(value), ttlMs)
+  def getValue(key: String, isGlobal: Boolean = false): Option[String] =
+    (if (isGlobal) kvGlobal else kv).get(key)
+  def removeValue(key: String, isGlobal: Boolean = false): Unit =
+    (if (isGlobal) kvGlobal else kv).remove(key)
 
   /** KV namespace of the current space (db.kv — kv_store.dart:9-44). */
   def kv: graft.kv.KvStore = new graft.kv.KvStore(this)

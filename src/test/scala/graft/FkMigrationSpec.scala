@@ -206,4 +206,71 @@ class FkMigrationSpec extends SparkSpec {
     assert(r.getAs[String]("b") == "d")
     assert(r.isNullAt(r.fieldIndex("c")))
   }
+
+  test("updateSchema chain: add/remove/RENAME(data preserved)/modify (tostore.dart:1083)") {
+    val wh = Files.createTempDirectory("graft_us").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("u", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("nickname", GType.GText), FieldSchema("old", GType.GText),
+        FieldSchema("qty", GType.GInteger)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("nickname"), "other", Seq("id")))))
+    e.batchInsert("u", Seq(
+      Map("id" -> "1", "nickname" -> "ada", "old" -> "x", "qty" -> 7),
+      Map("id" -> "2", "nickname" -> "bob", "old" -> "y", "qty" -> 9)))
+    e.updateSchema("u")
+      .renameField("nickname", "display_name") // data must survive
+      .removeField("old")
+      .addField("age", GType.GInteger)
+      .addField("status", GType.GText, defaultValue = Some("active"))
+      .modifyField("qty")(_.copy(dtype = GType.GDouble, unique = true))
+      .apply()
+    val rows = e.table("u").orderBy("id").collect()
+    assert(rows(0).schema.fieldNames.toSeq ==
+      Seq("id", "display_name", "qty", "age", "status"))
+    assert(rows.map(_.getAs[String]("display_name")).toSeq == Seq("ada", "bob"))
+    assert(rows(0).getAs[Double]("qty") == 7.0) // modify cast
+    assert(rows(0).getAs[String]("status") == "active")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("age")))
+    val s = e.getTableSchema("u").get
+    assert(s.foreignKeys.head.fields == Seq("display_name")) // FK follows rename
+    assert(s.uniqueKeySets.contains(Seq("qty"))) // modify applied semantically
+    // the unique constraint from modifyField now guards future writes
+    val rep = e.batchInsert("u",
+      Seq(Map("id" -> "3", "display_name" -> "cyd", "qty" -> 7)),
+      allowPartialErrors = true)
+    assert(rep.successCount == 0 && rep.failedCount == 1)
+  }
+
+  test("batchUpsert: update-or-insert by PK, invalid rows split, last duplicate wins") {
+    val wh = Files.createTempDirectory("graft_bu").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("bu", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GInteger, nullable = false))))
+    e.batchInsert("bu", Seq(Map("id" -> "1", "v" -> 10), Map("id" -> "2", "v" -> 20)))
+    val rep = e.batchUpsert("bu", Seq(
+      Map("id" -> "2", "v" -> 21),            // update
+      Map("id" -> "3", "v" -> 30),            // insert
+      Map("id" -> "3", "v" -> 31),            // within-batch dup: LAST wins
+      Map("id" -> "4", "v" -> "not-a-number") // invalid → failed split
+    ))
+    assert(rep.successCount == 3 && rep.failedCount == 1)
+    val vals = e.table("bu").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap
+    assert(vals == Map("1" -> 10L, "2" -> 21L, "3" -> 31L))
+  }
+
+  test("setValue/getValue/removeValue facade (space + global namespaces)") {
+    val wh = Files.createTempDirectory("graft_kvf").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.setValue("k1", 42)
+    assert(e.getValue("k1").contains("42"))
+    e.setValue("k1", "updated")
+    assert(e.getValue("k1").contains("updated"))
+    e.setValue("g1", "global", isGlobal = true)
+    assert(e.getValue("g1").isEmpty) // space namespace does not see it
+    assert(e.getValue("g1", isGlobal = true).contains("global"))
+    assert(e.switchSpace("alt").getValue("g1", isGlobal = true).contains("global"))
+    e.removeValue("k1")
+    assert(e.getValue("k1").isEmpty)
+  }
 }
