@@ -588,7 +588,11 @@ final class Graft(
     val cur = registry.get(space, b.table).getOrElse(
       throw new IllegalArgumentException(
         s"updateSchema: no registered schema for '${b.table}'"))
-    val renameMap = b.renames.toMap
+    // a PK-config name change is a column rename (data preserved)
+    val pkRename = b.pkConfig.map(_.name).filter(_ != cur.primaryKey.name)
+      .map(cur.primaryKey.name -> _).toSeq
+    val allRenames = b.renames ++ pkRename
+    val renameMap = allRenames.toMap
     def rn(n: String) = renameMap.getOrElse(n, n)
     var fields = cur.fields
       .filterNot(f => b.removes.contains(f.name))
@@ -598,17 +602,43 @@ final class Graft(
       fields = fields.map(fs => if (fs.name == n) f(fs) else fs)
     }
     fields = fields ++ b.adds
+    var indexes = cur.indexes.map(ix => ix.copy(fields = ix.fields.map(rn)))
+      .filterNot(ix => b.indexRemoves.contains(ix.fields)) ++ b.indexAdds
+    var fks = cur.foreignKeys.map(fk => fk.copy(fields = fk.fields.map(rn)))
+      .filterNot(fk => b.fkRemoves.contains(fk.fields))
+    b.fkMods.foreach { case (fs, f) =>
+      fks = fks.map(fk => if (fk.fields == fs) f(fk) else fk)
+    }
+    fks = fks ++ b.fkAdds
+    val finalName = b.newName.getOrElse(b.table)
     val target = withSystemColumns(cur.copy(
+      name = finalName,
       fields = fields,
-      primaryKey = cur.primaryKey.copy(name = rn(cur.primaryKey.name)),
-      indexes = cur.indexes.map(ix => ix.copy(fields = ix.fields.map(rn))),
-      foreignKeys = cur.foreignKeys.map(fk => fk.copy(fields = fk.fields.map(rn)))))
-    // physical: rename first so the by-name reconcile keeps the data
-    val renamed = b.renames.foldLeft(table(b.table)) { case (df, (from, to)) =>
+      primaryKey = b.pkConfig.getOrElse(cur.primaryKey.copy(name = rn(cur.primaryKey.name))),
+      indexes = indexes,
+      foreignKeys = fks,
+      ttl = b.ttlSet.fold(cur.ttl)(identity)))
+    // physical: rename columns first so the by-name reconcile keeps the
+    // data, write to the CURRENT path, then move the directory on a table
+    // rename
+    val renamed = allRenames.foldLeft(table(b.table)) { case (df, (from, to)) =>
       if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
     }
     graft.write.Writes.overwrite(this, b.table, migrateSelect(renamed, target),
       op = "migrate")
+    if (finalName != b.table) {
+      warehouse.foreach { w =>
+        val sp = if (target.isGlobal) "global" else space
+        val fs = new org.apache.hadoop.fs.Path(w)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val from = new org.apache.hadoop.fs.Path(s"$w/$sp/${b.table}")
+        val to = new org.apache.hadoop.fs.Path(s"$w/$sp/$finalName")
+        if (fs.exists(to)) fs.delete(to, true)
+        if (fs.exists(from)) fs.rename(from, to)
+      }
+      registry.drop(space, b.table)
+      if (cur.isGlobal) registry.drop("global", b.table)
+    }
     registry.register(space, target)
   }
 

@@ -368,4 +368,26 @@ final case class QueryBuilder(
   /** Execute with pagination metadata (limit+1 probe → hasMore, cursors —
     * reference query_executor.dart:352-397, 637-686). */
   def run(): QueryResult = QueryResult.execute(this)
+
+  // ---------- reference-name sugar (query_builder.dart) ----------
+
+  /** `execute` — the reference's terminal name for `run()`. */
+  def execute(): QueryResult = run()
+  /** `or(condition)` — the reference's condition-group disjunction. */
+  def or(c: Cond): QueryBuilder = orCondition(c)
+  /** Bare-aggregate scalar names as the reference spells them. */
+  def min(f: String): Option[Any] = minOf(f)
+  def max(f: String): Option[Any] = maxOf(f)
+  def sum(f: String): Option[Any] = sumOf(f)
+  def avg(f: String): Option[Any] = avgOf(f)
+  /** `asStream` — server-side-cursor record stream
+    * (stream_query_builder.dart:26-140): partitions stream to the caller
+    * one at a time, nothing materializes driver-side. */
+  def asStream: Iterator[Row] = engine.streamQuery(this)
+  /** Reference cache toggles (tree_cache query-result cache): this engine
+    * has NO query-result cache BY DESIGN (SURVEY §4.1 — parquet page
+    * cache + Spark plan reuse replace it). Accepted for chain-source
+    * compatibility; deliberate no-ops. */
+  def useQueryCache(ttlMs: Option[Long] = None): QueryBuilder = this
+  def noQueryCache: QueryBuilder = this
 }

@@ -23,7 +23,15 @@ final case class SchemaUpdateBuilder(
     adds: Seq[FieldSchema] = Nil,
     removes: Seq[String] = Nil,
     renames: Seq[(String, String)] = Nil,
-    mods: Seq[(String, FieldSchema => FieldSchema)] = Nil) {
+    mods: Seq[(String, FieldSchema => FieldSchema)] = Nil,
+    indexAdds: Seq[IndexSchema] = Nil,
+    indexRemoves: Seq[Seq[String]] = Nil,
+    fkAdds: Seq[ForeignKeySchema] = Nil,
+    fkRemoves: Seq[Seq[String]] = Nil,
+    fkMods: Seq[(Seq[String], ForeignKeySchema => ForeignKeySchema)] = Nil,
+    pkConfig: Option[PrimaryKeyConfig] = None,
+    ttlSet: Option[Option[TtlConfig]] = None, // Some(None) = disableTtl
+    newName: Option[String] = None) {
 
   def addField(f: FieldSchema): SchemaUpdateBuilder = copy(adds = adds :+ f)
   def addField(name: String, dtype: GType, nullable: Boolean = true,
@@ -34,6 +42,35 @@ final case class SchemaUpdateBuilder(
     copy(renames = renames :+ (from -> to))
   def modifyField(name: String)(f: FieldSchema => FieldSchema): SchemaUpdateBuilder =
     copy(mods = mods :+ (name -> f))
+
+  /** Indexes are SEMANTIC here (uniqueness drives upsert matching;
+    * physical indexing is parquet stats — SURVEY §4). Addressed by their
+    * field list, post-rename names. */
+  def addIndex(ix: IndexSchema): SchemaUpdateBuilder = copy(indexAdds = indexAdds :+ ix)
+  def addIndex(fields: Seq[String], unique: Boolean): SchemaUpdateBuilder =
+    addIndex(IndexSchema(fields, unique))
+  def removeIndex(fields: Seq[String]): SchemaUpdateBuilder =
+    copy(indexRemoves = indexRemoves :+ fields)
+
+  /** FK changes take effect for FUTURE enforced writes. Addressed by the
+    * FK's field list (post-rename names). */
+  def addForeignKey(fk: ForeignKeySchema): SchemaUpdateBuilder = copy(fkAdds = fkAdds :+ fk)
+  def removeForeignKey(fields: Seq[String]): SchemaUpdateBuilder =
+    copy(fkRemoves = fkRemoves :+ fields)
+  def modifyForeignKey(fields: Seq[String])(
+      f: ForeignKeySchema => ForeignKeySchema): SchemaUpdateBuilder =
+    copy(fkMods = fkMods :+ (fields -> f))
+
+  /** Change the PK config. A different `name` renames the PK COLUMN
+    * (data preserved, like renameField). */
+  def setPrimaryKeyConfig(pk: PrimaryKeyConfig): SchemaUpdateBuilder =
+    copy(pkConfig = Some(pk))
+
+  def setTtlConfig(ttl: TtlConfig): SchemaUpdateBuilder = copy(ttlSet = Some(Some(ttl)))
+  def disableTtl: SchemaUpdateBuilder = copy(ttlSet = Some(None))
+
+  /** Rename the table itself: physical directory move + registry re-key. */
+  def renameTable(to: String): SchemaUpdateBuilder = copy(newName = Some(to))
 
   /** One atomic rewrite + registry update. */
   def apply(): Unit = engine.applySchemaUpdate(this)

@@ -241,6 +241,35 @@ class FkMigrationSpec extends SparkSpec {
     assert(rep.successCount == 0 && rep.failedCount == 1)
   }
 
+  test("updateSchema chain: indexes/FKs/PK rename/TTL/renameTable") {
+    val wh = Files.createTempDirectory("graft_us2").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("v1", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("email", GType.GText), FieldSchema("ref", GType.GText)),
+      indexes = Seq(IndexSchema(Seq("email"), unique = true)),
+      foreignKeys = Seq(ForeignKeySchema(Seq("ref"), "parent", Seq("id")))))
+    e.batchInsert("v1", Seq(Map("id" -> "1", "email" -> "a@x", "ref" -> "p1")))
+    e.updateSchema("v1")
+      .removeIndex(Seq("email"))
+      .addIndex(Seq("ref"), unique = false)
+      .removeForeignKey(Seq("ref"))
+      .addForeignKey(ForeignKeySchema(Seq("email"), "accounts", Seq("mail"),
+        onDelete = FkAction.SetNull))
+      .setPrimaryKeyConfig(PrimaryKeyConfig("uid", PkStrategy.None)) // PK column rename
+      .setTtlConfig(TtlConfig(86400000L)) // engine-managed ingest-ts column
+      .renameTable("v2")
+      .apply()
+    assert(e.getTableSchema("v1").isEmpty)
+    val s = e.getTableSchema("v2").get
+    assert(s.primaryKey.name == "uid")
+    assert(s.indexes.map(_.fields) == Seq(Seq("ref")))
+    assert(s.foreignKeys.map(_.fields) == Seq(Seq("email")))
+    assert(s.ttl.exists(_.ttlMs == 86400000L))
+    val r = e.table("v2").collect()(0)
+    assert(r.getAs[String]("uid") == "1") // PK data survived the rename
+    assert(r.getAs[String]("email") == "a@x")
+  }
+
   test("batchUpsert: update-or-insert by PK, invalid rows split, last duplicate wins") {
     val wh = Files.createTempDirectory("graft_bu").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)
