@@ -390,4 +390,13 @@ final case class QueryBuilder(
     * compatibility; deliberate no-ops. */
   def useQueryCache(ttlMs: Option[Long] = None): QueryBuilder = this
   def noQueryCache: QueryBuilder = this
+
+  /** Chain-level watch (query_builder.dart:480): initial emission + re-run
+    * on every write to this query's tables, coalescing debounce. Requires
+    * a hub-attached engine (`Graft.watched(hub)`). */
+  def watch(onData: Seq[Row] => Unit): graft.streaming.WatchSubscription = {
+    val h = engine.hub.getOrElse(throw new IllegalStateException(
+      "watch requires a hub-attached engine — use Graft.watched(hub)"))
+    h.watch(this)(onData)
+  }
 }

@@ -48,7 +48,8 @@ class StreamingSpec extends SparkSpec {
       Seq(FieldSchema("v", GType.GInteger))))
     val counts = new AtomicInteger(0)
     @volatile var last = -1L
-    val sub = hub.watch(e.query("wt")) { rows => counts.incrementAndGet(); last = rows.size }
+    // chain-level spelling (query_builder.dart:480) — same machinery
+    val sub = e.query("wt").watch { rows => counts.incrementAndGet(); last = rows.size }
     assert(counts.get() == 1 && last == 0) // initial emission, empty table
     e.batchInsert("wt", Seq(Map("id" -> "1", "v" -> 5))) // append → notify
     assert(counts.get() >= 2 && last == 1)
