@@ -187,6 +187,7 @@ final class Graft(
   def batchUpsert(name: String, rows: Seq[Map[String, Any]],
       allowPartialErrors: Boolean = true): graft.write.WriteReport = {
     import org.apache.spark.sql.functions.{col => c, row_number}
+    import org.apache.spark.sql.expressions.Window
     val staged = stageRows(name, rows)
     val regSchema = registry.get(space, name)
     val ks = regSchema.map(_.uniqueKeySets.head).getOrElse(
@@ -194,18 +195,54 @@ final class Graft(
         "batchUpsert needs a registered schema with a unique key (tostore.dart:637)"))
     val schema = regSchema.map(_.sparkSchema).getOrElse(table(name).schema)
     val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val carriers = Seq("__parse_ok", "__row_idx")
+    // parse/constraint checks apply to every row; NULLABILITY applies to
+    // INSERT rows only — a partial update row stages its absent fields as
+    // null and upsertMerge coalesces them to the existing values
     val checks = c("__parse_ok") +:
       regSchema.map(s => graft.write.Writes.constraintChecks(s.fields)).getOrElse(Nil)
-    val (good, bad) = graft.write.Writes.validateRows(staged, notNull, checks)
-    val carriers = Seq("__parse_ok", "__row_idx")
-    val failedSnap = bad.drop(carriers: _*).localCheckpoint(true)
+    val (parseGood, parseBad) = graft.write.Writes.validateRows(staged, Nil, checks)
+    lazy val existingNonEmpty = managedExists(name) && !table(name).isEmpty
+    val (updates, inserts) =
+      if (existingNonEmpty) {
+        val existKeys = table(name).select(ks.map(c): _*)
+        (parseGood.join(existKeys, ks, "left_semi"),
+          parseGood.join(existKeys, ks, "left_anti"))
+      } else (parseGood.limit(0), parseGood)
+    val (insGood, insBad) = graft.write.Writes.validateRows(inserts, notNull)
+    var good = updates.unionByName(insGood)
+    var bads = List(parseBad, insBad)
+    // SECONDARY unique key sets (beyond the merge key) stay enforced:
+    // within-batch first occurrence wins; a collision with an EXISTING row
+    // under a DIFFERENT merge key is rejected (same merge key IS the row
+    // being updated — not a collision)
+    regSchema.toSeq.flatMap(_.uniqueKeySets.distinct).filterNot(_ == ks).foreach { uks =>
+      if (uks.forall(staged.columns.contains)) {
+        val keyNotNull = uks.map(c(_).isNotNull).reduce(_ && _)
+        val w = Window.partitionBy(uks.map(c): _*).orderBy(c("__row_idx"))
+        val marked = good.withColumn("__rn", row_number().over(w))
+        bads ::= marked.where(keyNotNull && c("__rn") > 1).drop("__rn")
+        good = marked.where(!keyNotNull || c("__rn") === 1).drop("__rn")
+        if (existingNonEmpty) {
+          val exCols = (uks ++ ks).distinct
+          val existing = table(name).select(exCols.map(c): _*)
+            .toDF(exCols.map("__ex_" + _): _*)
+          val on = uks.map(k => c(k) <=> c("__ex_" + k)).reduce(_ && _) &&
+            keyNotNull && ks.map(k => !(c(k) <=> c("__ex_" + k))).reduce(_ || _)
+          bads ::= good.join(existing, on, "left_semi")
+          good = good.join(existing, on, "left_anti")
+        }
+      }
+    }
+    val failedSnap = bads.reduce(_ unionByName _).dropDuplicates("__row_idx")
+      .drop(carriers: _*).localCheckpoint(true)
     val failedCount = failedSnap.count()
     if (!allowPartialErrors && failedCount > 0)
       throw new IllegalArgumentException(
         s"batchUpsert: $failedCount invalid row(s); pass allowPartialErrors to skip them")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(ks.map(c): _*).orderBy(c("__row_idx").desc)
-    val deduped = good.withColumn("__rn", row_number().over(w))
+    // within-batch duplicate MERGE keys: the last occurrence wins
+    val w2 = Window.partitionBy(ks.map(c): _*).orderBy(c("__row_idx").desc)
+    val deduped = good.withColumn("__rn", row_number().over(w2))
       .where(c("__rn") === 1).drop("__rn").drop(carriers: _*)
     graft.write.Writes.overwrite(this, name,
       graft.write.Writes.upsertMerge(table(name), deduped, ks), op = "upsert")
@@ -602,6 +639,13 @@ final class Graft(
       fields = fields.map(fs => if (fs.name == n) f(fs) else fs)
     }
     fields = fields ++ b.adds
+    // collision validation here beats a downstream "duplicate column"
+    // analysis error: renames and adds must land on free names
+    val finalPkName = b.pkConfig.map(_.name).getOrElse(rn(cur.primaryKey.name))
+    val allNames = finalPkName +: fields.map(_.name)
+    require(allNames.distinct.size == allNames.size,
+      s"updateSchema: duplicate column name(s) after add/rename: " +
+        allNames.diff(allNames.distinct).distinct.mkString(", "))
     var indexes = cur.indexes.map(ix => ix.copy(fields = ix.fields.map(rn)))
       .filterNot(ix => b.indexRemoves.contains(ix.fields)) ++ b.indexAdds
     var fks = cur.foreignKeys.map(fk => fk.copy(fields = fk.fields.map(rn)))
@@ -627,15 +671,26 @@ final class Graft(
     graft.write.Writes.overwrite(this, b.table, migrateSelect(renamed, target),
       op = "migrate")
     if (finalName != b.table) {
+      // refuse a collision instead of silently destroying the target —
+      // renameTable is a move, not an overwrite
+      require(registry.get(space, finalName).isEmpty,
+        s"updateSchema: cannot rename '${b.table}' to '$finalName' — a table with that name is registered")
       warehouse.foreach { w =>
         val sp = if (target.isGlobal) "global" else space
         val fs = new org.apache.hadoop.fs.Path(w)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val from = new org.apache.hadoop.fs.Path(s"$w/$sp/${b.table}")
         val to = new org.apache.hadoop.fs.Path(s"$w/$sp/$finalName")
-        if (fs.exists(to)) fs.delete(to, true)
+        require(!fs.exists(to),
+          s"updateSchema: cannot rename '${b.table}' to '$finalName' — destination data exists")
         if (fs.exists(from)) fs.rename(from, to)
       }
+      // the sequence moves with the data: a same-second insert after the
+      // rename must not reserve an already-used id block
+      graft.schema.IdGen.renameScope(idScope(b.table), {
+        val sp = if (target.isGlobal) "global" else space
+        s"${warehouse.getOrElse(dataDir)}/$sp/$finalName"
+      })
       registry.drop(space, b.table)
       if (cur.isGlobal) registry.drop("global", b.table)
     }
@@ -940,6 +995,7 @@ final class Graft(
     if (name == "default" || name == space) false
     else {
       registry.ownTables(name).foreach(t => registry.drop(name, t))
+      graft.schema.IdGen.resetPrefix(s"${warehouse.getOrElse(dataDir)}/$name/")
       warehouse.foreach { w =>
         val p = new org.apache.hadoop.fs.Path(s"$w/$name")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -970,6 +1026,7 @@ final class Graft(
     * (read-only TESTDATA) is never touched. */
   def deleteDatabase(): Unit = {
     registry.clearAll()
+    graft.schema.IdGen.resetPrefix(s"${warehouse.getOrElse(dataDir)}/")
     warehouse.foreach { w =>
       val p = new org.apache.hadoop.fs.Path(w)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -991,7 +1048,8 @@ final class Graft(
     * one with `isGlobal` — identical to going through `kv`/`kvGlobal`. */
   def setValue(key: String, value: Any, ttlMs: Option[Long] = None,
       isGlobal: Boolean = false): Unit =
-    (if (isGlobal) kvGlobal else kv).set(key, String.valueOf(value), ttlMs)
+    (if (isGlobal) kvGlobal else kv).set(key,
+      if (value == null) null else value.toString, ttlMs) // null stays null, not "null"
   def getValue(key: String, isGlobal: Boolean = false): Option[String] =
     (if (isGlobal) kvGlobal else kv).get(key)
   def removeValue(key: String, isGlobal: Boolean = false): Unit =

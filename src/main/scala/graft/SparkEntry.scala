@@ -734,17 +734,20 @@ object SparkEntry {
     }),
     "q66_dedup_stream" -> ((s, dir) => {
       // streaming firehose dedup end-to-end: the corpus plays TWICE
-      // through a parquet feed (second copy 1000 s later, inside the
-      // watermark horizon); dropDuplicatesWithinWatermark keeps one
-      // arrival per fingerprint. Output is the surviving fingerprint SET
-      // (which copy survives is partition-order nondeterministic, so ids
-      // stay out of the result); oracle = distinct md5 fingerprints.
+      // through a parquet feed (second copy 2000 s later), and the feed's
+      // TOTAL timestamp spread is bounded to 3000 s — far inside the 6 h
+      // horizon AT ANY SCALE FACTOR and under any micro-batch split, so
+      // every duplicate is watermark-admitted and the surviving
+      // fingerprint SET equals the distinct-md5 oracle deterministically
+      // (which copy survives is arrival-order nondeterministic, so ids
+      // stay out of the result).
       val base = tmpDir("q66")
       val docs = eng(s, dir).table("documents").select(col("doc_id"), col("text"))
       def at(off: org.apache.spark.sql.Column) =
-        timestamp_seconds(lit(1767225600L) + off)
+        timestamp_seconds(lit(1767225600L) + (off % 1000))
       val feed = docs.select(col("text"), at(col("doc_id")).as("ts"))
-        .unionByName(docs.select(col("text"), at(col("doc_id") + 1000).as("ts")))
+        .unionByName(docs.select(col("text"),
+          (at(col("doc_id")) + expr("INTERVAL 2000 SECONDS")).as("ts")))
       feed.write.mode("overwrite").parquet(base + "/feed")
       val stream = s.readStream.schema(feed.schema).parquet(base + "/feed")
       val q = Dedup.dedupStream(stream, "text", "ts", watermark = "6 hours")

@@ -74,6 +74,28 @@ object IdGen {
     while (it.hasNext) if (it.next()._2 == table) it.remove()
   }
 
+  /** Forget every table scope under a path prefix — deleteSpace /
+    * deleteDatabase must not leave stale sequences for recreated tables. */
+  def resetPrefix(prefix: String): Unit = {
+    val it = seqState.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(prefix)) it.remove()
+  }
+
+  /** Move a table's sequence state to a new scope — renameTable keeps the
+    * sequence (the data moved with it), otherwise a same-second insert
+    * after the rename could reserve an already-used id block. */
+  def renameScope(from: String, to: String): Unit = {
+    val it = seqState.entrySet().iterator()
+    var moves = List.empty[((String, String), BigInt)]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2 == from) { moves ::= ((e.getKey._1, to), e.getValue); it.remove() }
+    }
+    moves.foreach { case (k, v) =>
+      seqState.merge(k, v, (a, b) => a.max(b))
+    }
+  }
+
   /** Reserve a contiguous id block for `table` and return its first value:
     * id(i) = encode(start + i) for i in [0, count). The executor-side bulk
     * path (`Graft.insertFrom`) turns this into a pure Column expression

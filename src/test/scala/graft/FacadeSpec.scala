@@ -83,6 +83,12 @@ class FacadeSpec extends SparkSpec {
     e.batchInsert("items", Seq(Map("name" -> "c")))
     // without the seqState reset the id would continue at 3
     assert(e.table("items").select("id").collect().map(_.getString(0)).toSeq == Seq("1"))
+    // deleteDatabase + recreate restarts too (resetPrefix over the warehouse)
+    e.deleteDatabase()
+    e.createTable(TableSchema("items", PrimaryKeyConfig("id", PkStrategy.Sequential),
+      Seq(FieldSchema("name", GType.GText, nullable = false))))
+    e.batchInsert("items", Seq(Map("name" -> "z")))
+    assert(e.table("items").select("id").collect().map(_.getString(0)).toSeq == Seq("1"))
   }
 
   test("unique constraint: NULL keys never collide (SQL-standard)") {

@@ -224,6 +224,16 @@ class FkMigrationSpec extends SparkSpec {
       .addField("status", GType.GText, defaultValue = Some("active"))
       .modifyField("qty")(_.copy(dtype = GType.GDouble, unique = true))
       .apply()
+    // renameTable refuses to clobber an existing registration
+    e.createTable(TableSchema("occupied", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("x", GType.GText))))
+    intercept[IllegalArgumentException] {
+      e.updateSchema("u").renameTable("occupied").apply()
+    }
+    // duplicate-name add is refused up front, not as a write-time error
+    intercept[IllegalArgumentException] {
+      e.updateSchema("u").addField("qty", GType.GInteger).apply()
+    }
     val rows = e.table("u").orderBy("id").collect()
     assert(rows(0).schema.fieldNames.toSeq ==
       Seq("id", "display_name", "qty", "age", "status"))
@@ -286,6 +296,30 @@ class FkMigrationSpec extends SparkSpec {
     val vals = e.table("bu").collect()
       .map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap
     assert(vals == Map("1" -> 10L, "2" -> 21L, "3" -> 31L))
+  }
+
+  test("batchUpsert: secondary unique enforced; partial update rows pass nullability") {
+    val wh = Files.createTempDirectory("graft_bu2").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("bu2", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("email", GType.GText, unique = true),
+        FieldSchema("v", GType.GInteger, nullable = false))))
+    e.batchInsert("bu2", Seq(Map("id" -> "1", "email" -> "a@x", "v" -> 1),
+      Map("id" -> "2", "email" -> "b@x", "v" -> 2)))
+    val rep = e.batchUpsert("bu2", Seq(
+      Map("id" -> "3", "email" -> "a@x", "v" -> 3), // collides with id=1's unique email
+      Map("id" -> "2", "v" -> 22),                  // partial update: absent email coalesces
+      Map("id" -> "4", "v" -> 4)))                  // insert, null email (unique skips nulls)
+    assert(rep.failedCount == 1 && rep.successCount == 2, rep.toString)
+    val m = e.table("bu2").collect()
+      .map(r => r.getAs[String]("id") -> ((r.getAs[String]("email"), r.getAs[Long]("v")))).toMap
+    assert(!m.contains("3")) // unique collision rejected
+    assert(m("2") == (("b@x", 22L))) // updated v, email preserved by coalesce
+    assert(m("1") == (("a@x", 1L)))
+    assert(m("4")._2 == 4L)
+    // a NEW row missing a non-nullable field still fails (insert-side check)
+    val rep2 = e.batchUpsert("bu2", Seq(Map("id" -> "5")))
+    assert(rep2.failedCount == 1 && !e.table("bu2").collect().map(_.getString(0)).contains("5"))
   }
 
   test("setValue/getValue/removeValue facade (space + global namespaces)") {
