@@ -212,17 +212,28 @@ final class Graft(
     val (insGood, insBad) = graft.write.Writes.validateRows(inserts, notNull)
     var good = updates.unionByName(insGood)
     var bads = List(parseBad, insBad)
-    // SECONDARY unique key sets (beyond the merge key) stay enforced:
-    // within-batch first occurrence wins; a collision with an EXISTING row
-    // under a DIFFERENT merge key is rejected (same merge key IS the row
-    // being updated — not a collision)
+    // SECONDARY unique key sets (beyond the merge key) stay enforced, with
+    // the reference's sequential-apply semantics: within a batch the FIRST
+    // occurrence claims the secondary key, and a later row is a collision
+    // only when its MERGE key differs (a row re-updating the same record
+    // with the same email is a supersede, not a violation — it stays in
+    // the batch and the last-wins merge dedup below picks it). A collision
+    // with an EXISTING row under a DIFFERENT merge key is rejected (same
+    // merge key IS the row being updated — not a collision).
     regSchema.toSeq.flatMap(_.uniqueKeySets.distinct).filterNot(_ == ks).foreach { uks =>
       if (uks.forall(staged.columns.contains)) {
+        import org.apache.spark.sql.functions.first
         val keyNotNull = uks.map(c(_).isNotNull).reduce(_ && _)
         val w = Window.partitionBy(uks.map(c): _*).orderBy(c("__row_idx"))
-        val marked = good.withColumn("__rn", row_number().over(w))
-        bads ::= marked.where(keyNotNull && c("__rn") > 1).drop("__rn")
-        good = marked.where(!keyNotNull || c("__rn") === 1).drop("__rn")
+        val marked = ks.foldLeft(good.withColumn("__rn", row_number().over(w))) {
+          (df, k) => df.withColumn("__fk_" + k, first(c(k)).over(w))
+        }
+        val sameMergeAsFirst = ks.map(k => c(k) <=> c("__fk_" + k)).reduce(_ && _)
+        val helpers = "__rn" +: ks.map("__fk_" + _)
+        bads ::= marked.where(keyNotNull && c("__rn") > 1 && !sameMergeAsFirst)
+          .drop(helpers: _*)
+        good = marked.where(!keyNotNull || c("__rn") === 1 || sameMergeAsFirst)
+          .drop(helpers: _*)
         if (existingNonEmpty) {
           val exCols = (uks ++ ks).distinct
           val existing = table(name).select(exCols.map(c): _*)
@@ -240,13 +251,18 @@ final class Graft(
     if (!allowPartialErrors && failedCount > 0)
       throw new IllegalArgumentException(
         s"batchUpsert: $failedCount invalid row(s); pass allowPartialErrors to skip them")
-    // within-batch duplicate MERGE keys: the last occurrence wins
-    val w2 = Window.partitionBy(ks.map(c): _*).orderBy(c("__row_idx").desc)
-    val deduped = good.withColumn("__rn", row_number().over(w2))
-      .where(c("__rn") === 1).drop("__rn").drop(carriers: _*)
-    graft.write.Writes.overwrite(this, name,
-      graft.write.Writes.upsertMerge(table(name), deduped, ks), op = "upsert")
-    graft.write.WriteReport(rows.size.toLong - failedCount, failedCount, failedSnap)
+    val successCount = rows.size.toLong - failedCount
+    // an all-rejected batch must not rewrite the table or publish a phantom
+    // upsert ChangeEvent (mirrors the ingestStaged successCount guard)
+    if (successCount > 0) {
+      // within-batch duplicate MERGE keys: the last occurrence wins
+      val w2 = Window.partitionBy(ks.map(c): _*).orderBy(c("__row_idx").desc)
+      val deduped = good.withColumn("__rn", row_number().over(w2))
+        .where(c("__rn") === 1).drop("__rn").drop(carriers: _*)
+      graft.write.Writes.overwrite(this, name,
+        graft.write.Writes.upsertMerge(table(name), deduped, ks), op = "upsert")
+    }
+    graft.write.WriteReport(successCount, failedCount, failedSnap)
   }
 
   /** Shared staging of loosely-typed map rows: PK generation + per-value
@@ -457,8 +473,15 @@ final class Graft(
       // codegen and double-serializing a 10M-row ingest): pos-in-partition
       // is monotonically_increasing_id's low 33 bits, partition offsets
       // come from the same tiny per-partition count job zipWithIndex runs
+      // checkpoint BEFORE the partition-count probe: with a nondeterministic
+      // source (round-robin repartition, unstable ordering) a probe job and
+      // a later materialization job could see different row-to-partition
+      // distributions — offsets computed from one, ids assigned from the
+      // other (colliding / gapped __row_idx, under-sized reserveFor block).
+      // Pinning (__pid, __mid) first makes both passes observe one layout.
       val withMid = src.withColumn("__pid", spark_partition_id())
         .withColumn("__mid", monotonically_increasing_id())
+        .localCheckpoint(true)
       val counts = withMid.groupBy("__pid").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       // O(1) per-row lookup: a dense pid-indexed offset ARRAY (element_at
@@ -474,10 +497,11 @@ final class Graft(
         if (offByPid.isEmpty) lit(0L)
         else element_at(array(offByPid.map(lit): _*), col("__pid") + 1)
       val pos = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+      // no second checkpoint needed: the index projection over the pinned
+      // (__pid, __mid) columns is deterministic
       val df = withMid
         .withColumn("__row_idx", (offCol + pos).cast(LongType))
         .drop("__pid", "__mid")
-        .localCheckpoint(true)
       (df, acc)
     }
     // PK assignment (sequential | timestampBased | datePrefixed | shortCode)
@@ -662,14 +686,10 @@ final class Graft(
       indexes = indexes,
       foreignKeys = fks,
       ttl = b.ttlSet.fold(cur.ttl)(identity)))
-    // physical: rename columns first so the by-name reconcile keeps the
-    // data, write to the CURRENT path, then move the directory on a table
-    // rename
-    val renamed = allRenames.foldLeft(table(b.table)) { case (df, (from, to)) =>
-      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
-    }
-    graft.write.Writes.overwrite(this, b.table, migrateSelect(renamed, target),
-      op = "migrate")
+    // ALL table-rename validation runs BEFORE the physical rewrite: if a
+    // require threw after Writes.overwrite, the data would already reflect
+    // the target schema while the registry still held the old one —
+    // breaking subsequent reads and the promised one-atomic-rewrite
     if (finalName != b.table) {
       // refuse a collision instead of silently destroying the target —
       // renameTable is a move, not an overwrite
@@ -679,10 +699,26 @@ final class Graft(
         val sp = if (target.isGlobal) "global" else space
         val fs = new org.apache.hadoop.fs.Path(w)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val from = new org.apache.hadoop.fs.Path(s"$w/$sp/${b.table}")
         val to = new org.apache.hadoop.fs.Path(s"$w/$sp/$finalName")
         require(!fs.exists(to),
           s"updateSchema: cannot rename '${b.table}' to '$finalName' — destination data exists")
+      }
+    }
+    // physical: rename columns first so the by-name reconcile keeps the
+    // data, write to the CURRENT path, then move the directory on a table
+    // rename
+    val renamed = allRenames.foldLeft(table(b.table)) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    }
+    graft.write.Writes.overwrite(this, b.table, migrateSelect(renamed, target),
+      op = "migrate")
+    if (finalName != b.table) {
+      warehouse.foreach { w =>
+        val sp = if (target.isGlobal) "global" else space
+        val fs = new org.apache.hadoop.fs.Path(w)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val from = new org.apache.hadoop.fs.Path(s"$w/$sp/${b.table}")
+        val to = new org.apache.hadoop.fs.Path(s"$w/$sp/$finalName")
         if (fs.exists(from)) fs.rename(from, to)
       }
       // the sequence moves with the data: a same-second insert after the

@@ -600,7 +600,8 @@ object SparkEntry {
         get_json_object(col("after"), "$.user_id"),
         Seq(count(lit(1)).as("cnt")), base + "/ckpt",
         windowWidth = "1 hour", watermark = "0 seconds") { rows => captured = captured ++ rows }
-      q.awaitTermination(120000)
+      require(q.awaitTermination(120000),
+        "q58_watch_incremental: streaming query did not finish within 120 s")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("w_start",
           org.apache.spark.sql.types.TimestampType),
@@ -754,7 +755,10 @@ object SparkEntry {
         .select(graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"))
         .writeStream.format("memory").queryName("q66_dedup_mem")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000); q.stop()
+      // a timed-out AvailableNow query would silently compare a PARTIAL
+      // memory sink against the oracle — fail loud instead of flaky-red
+      val finished = q.awaitTermination(120000); q.stop()
+      require(finished, "q66_dedup_stream: streaming query did not finish within 120 s")
       s.table("q66_dedup_mem").orderBy("fp")
     }),
     "q46_delete_preview" -> ((s, dir) => {

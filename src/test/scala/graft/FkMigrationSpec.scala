@@ -322,6 +322,68 @@ class FkMigrationSpec extends SparkSpec {
     assert(rep2.failedCount == 1 && !e.table("bu2").collect().map(_.getString(0)).contains("5"))
   }
 
+  test("batchUpsert: re-updating the same record twice with the same secondary key is a supersede, not a collision") {
+    val wh = Files.createTempDirectory("graft_bu3").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("bu3", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("email", GType.GText, unique = true),
+        FieldSchema("v", GType.GInteger, nullable = false))))
+    e.batchInsert("bu3", Seq(Map("id" -> "1", "email" -> "a@x", "v" -> 1)))
+    // both rows carry the same merge key AND the same unique email: the
+    // LAST must win (documented last-wins), not land in the failure report
+    val rep = e.batchUpsert("bu3", Seq(
+      Map("id" -> "1", "email" -> "a@x", "v" -> 10),
+      Map("id" -> "1", "email" -> "a@x", "v" -> 11)))
+    assert(rep.failedCount == 0 && rep.successCount == 2, rep.toString)
+    assert(e.table("bu3").collect().map(_.getAs[Long]("v")).toSeq == Seq(11L))
+    // sequential-apply fidelity: first occurrence claims the email, a later
+    // row under a DIFFERENT merge key is the one rejected
+    val rep2 = e.batchUpsert("bu3", Seq(
+      Map("id" -> "2", "email" -> "b@x", "v" -> 20),
+      Map("id" -> "3", "email" -> "b@x", "v" -> 30), // different key, same email → collision
+      Map("id" -> "2", "email" -> "b@x", "v" -> 21))) // same key as first → supersede
+    assert(rep2.failedCount == 1 && rep2.successCount == 2, rep2.toString)
+    val m2 = e.table("bu3").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("v")).toMap
+    assert(m2("2") == 21L && !m2.contains("3"))
+  }
+
+  test("batchUpsert: an all-rejected batch does not rewrite the table or notify") {
+    val wh = Files.createTempDirectory("graft_bu4").toString
+    val hub = new graft.streaming.WatchHub
+    val e = Graft.withWarehouse(spark, sfDir, wh).watched(hub)
+    e.createTable(TableSchema("bu4", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GInteger, nullable = false))))
+    e.batchInsert("bu4", Seq(Map("id" -> "1", "v" -> 1)))
+    @volatile var fires = 0
+    val sub = hub.watchCompute("bu4", () => Nil)(_ => fires += 1)
+    val before = fires // initial emission
+    val rep = e.batchUpsert("bu4", Seq(Map("id" -> "2", "v" -> "junk")))
+    assert(rep.successCount == 0 && rep.failedCount == 1)
+    assert(fires == before, "phantom upsert ChangeEvent published for an all-rejected batch")
+    assert(e.table("bu4").count() == 1)
+    sub.close()
+  }
+
+  test("updateSchema: rename-collision validation precedes the physical rewrite") {
+    val wh = Files.createTempDirectory("graft_mig_atomic").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTables(
+      TableSchema("src_t", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("v", GType.GInteger))),
+      TableSchema("dst_t", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("w", GType.GInteger))))
+    e.batchInsert("src_t", Seq(Map("id" -> "1", "v" -> 7)))
+    // rename collides with a registered table AND carries a column rename:
+    // the require must fire BEFORE any rewrite, leaving src_t readable
+    // under its registered schema
+    intercept[IllegalArgumentException] {
+      e.updateSchema("src_t").renameField("v", "v2").renameTable("dst_t").apply()
+    }
+    val r = e.table("src_t").collect()(0)
+    assert(r.getAs[Long]("v") == 7L, "rewrite ran before rename validation")
+  }
+
   test("setValue/getValue/removeValue facade (space + global namespaces)") {
     val wh = Files.createTempDirectory("graft_kvf").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)
