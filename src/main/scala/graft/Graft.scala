@@ -397,25 +397,23 @@ final class Graft(
     // a row can trip several checks (e.g. two unique key sets, or parse +
     // collision) — dedupe by ordinal so failedCount counts ROWS, not reasons
     val bad = bads.reduce(_ unionByName _).dropDuplicates("__row_idx")
-    if (!allowPartialErrors && !bad.isEmpty)
-      throw new IllegalArgumentException(
-        s"batchInsert: ${bad.count()} invalid row(s); pass allowPartialErrors to skip them")
     val carriers = Seq("__parse_ok", "__row_idx")
-    // snapshot the report BEFORE anything else can overwrite this table:
-    // the failed frame materializes (localCheckpoint severs the file-listing
-    // lineage a later atomic swap would invalidate) and the key lists are
-    // bounded eager collects
-    val failedSnap = bad.drop(carriers: _*).localCheckpoint(true)
-    // materialize the good split once too: keysOf, the append, and the
-    // report count would otherwise each re-run the whole validation
-    // pipeline (window dedup + anti-joins) — and the post-append count
-    // would only be correct because spark.read pinned the file listing
-    val goodSnap = good.localCheckpoint(true)
+    // ONE materialization job snapshots BOTH splits (each insert pays fixed
+    // per-action overhead, and this path runs per batch): flag, union,
+    // localCheckpoint — severing the file-listing lineage a later atomic
+    // swap would invalidate — then the report frames, the invalid-rows
+    // check, the key collects and the append all read the pinned result
+    // instead of re-running the validation pipeline (window dedup +
+    // anti-joins) once per action
+    val flagged = good.withColumn("__ok", org.apache.spark.sql.functions.lit(true))
+      .unionByName(bad.withColumn("__ok", org.apache.spark.sql.functions.lit(false)))
+      .localCheckpoint(true)
+    val goodSnap = flagged.where(c("__ok")).drop("__ok")
+    val failedSnap = flagged.where(!c("__ok")).drop("__ok").drop(carriers: _*)
     val pkOpt = regSchema.map(_.primaryKey.name).filter(staged.columns.contains)
     def keysOf(df: DataFrame): Seq[String] = pkOpt.map(pk =>
       df.select(c(pk).cast("string")).limit(graft.write.WriteReport.KeyListCap)
         .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
-    val goodKeys = keysOf(goodSnap)
     // when the bounded key collect came back under its cap it IS the exact
     // row count — skip the separate count job (these report counts run on
     // every insert; at gate grain the job overhead dominates the data)
@@ -423,13 +421,18 @@ final class Graft(
       if (pkOpt.isDefined && keys.size < graft.write.WriteReport.KeyListCap)
         keys.size.toLong
       else df.count()
+    val failedKeys = keysOf(failedSnap)
+    val failedCount = countVia(failedKeys, failedSnap)
+    if (!allowPartialErrors && failedCount > 0)
+      throw new IllegalArgumentException(
+        s"batchInsert: $failedCount invalid row(s); pass allowPartialErrors to skip them")
+    val goodKeys = keysOf(goodSnap)
     val successCount = countVia(goodKeys, goodSnap)
     // an all-rejected batch appends nothing — and must not publish a
     // phantom "insert" ChangeEvent to watchers
     if (successCount > 0)
       graft.write.Writes.append(this, name, goodSnap.drop(carriers: _*))
-    val failedKeys = keysOf(failedSnap)
-    graft.write.WriteReport(successCount, countVia(failedKeys, failedSnap), failedSnap,
+    graft.write.WriteReport(successCount, failedCount, failedSnap,
       goodKeys, failedKeys)
   }
 
@@ -482,8 +485,16 @@ final class Graft(
       val withMid = src.withColumn("__pid", spark_partition_id())
         .withColumn("__mid", monotonically_increasing_id())
         .localCheckpoint(true)
-      val counts = withMid.groupBy("__pid").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // per-partition counts straight off the pinned RDD: one shuffle-free
+      // runJob over InternalRow iterators (reads only the __pid int) — the
+      // groupBy(__pid).count() alternative costs a shuffle plus AQE stage
+      // jobs, pure overhead at per-batch grain
+      val pidIdx = withMid.schema.fieldIndex("__pid")
+      val counts = withMid.queryExecution.toRdd.mapPartitions { it =>
+        var pid = -1; var n = 0L
+        it.foreach { r => if (pid < 0) pid = r.getInt(pidIdx); n += 1 }
+        if (n == 0) Iterator.empty else Iterator(pid -> n)
+      }.collect().sortBy(_._1)
       // O(1) per-row lookup: a dense pid-indexed offset ARRAY (element_at
       // over a literal MAP is a linear key scan per row — 2B comparisons
       // on a 10M-row × 200-partition ingest). Gaps (empty partitions)
