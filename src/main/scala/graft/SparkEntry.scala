@@ -733,6 +733,26 @@ object SparkEntry {
           shingleN = 3, threshold = 0.3)
         .orderBy("a", "b")
     }),
+    "q67_cluster_dedup" -> ((s, dir) => {
+      // cluster-level dedup end-to-end: exact n-gram Jaccard pairs →
+      // connected components (distributed hash-min + pointer jumping, no
+      // driver union-find) → keeper = longest member (ties min id). The
+      // oracle recomputes the SAME pairs and walks them with a recursive
+      // min-label CTE, so a wrong component or keeper goes red — including
+      // transitive chains the pair list never states directly.
+      val docs = eng(s, dir).table("documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      val comp = Dedup.connectedComponents(pairs, "a", "b")
+        .withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy(col("component"))
+        .orderBy(length(col("text")).desc, col("doc_id"))
+      docs.join(comp, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("component"), col("doc_id"),
+          (col("rn") === 1).cast("int").as("is_keeper"))
+        .orderBy("component", "doc_id")
+    }),
     "q66_dedup_stream" -> ((s, dir) => {
       // streaming firehose dedup end-to-end: the corpus plays TWICE
       // through a parquet feed (second copy 2000 s later), and the feed's
@@ -1250,6 +1270,30 @@ object SparkEntry {
             FROM s a JOIN s b ON a.doc_id < b.doc_id
           )
           SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a, b""",
+    "q67_cluster_dedup" ->
+      s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh)), 6) >= 0.4
+          ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b AS src, a AS dst FROM pairs
+          ), verts AS (SELECT DISTINCT src AS id FROM edges),
+          cc(id, comp) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id
+            WHERE c.comp < e.dst
+          ), fin AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+          ranked AS (
+            SELECT f.comp AS component, f.id AS doc_id,
+                   row_number() OVER (PARTITION BY f.comp
+                                      ORDER BY length(d.text) DESC, f.id) AS rn
+            FROM fin f JOIN documents d ON d.doc_id = f.id
+          )
+          SELECT component, doc_id, CAST(rn = 1 AS INT) AS is_keeper
+          FROM ranked ORDER BY component, doc_id""",
     "q66_dedup_stream" ->
       """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents

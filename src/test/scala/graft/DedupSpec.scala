@@ -181,4 +181,40 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.contains((0L, 1L))) // ~identical vectors share every sign bit
   }
+
+  test("connectedComponents: transitive chains, stars, high-id bridges, convergence") {
+    // components: chain 1-2-3-4 (transitive closure without direct edges),
+    // star 10-{11,12,13}, bridge where the MIN id enters last (20-21, 21-5
+    // reversed order), isolated pair (30,31)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (21L, 20L), (21L, 5L), // min id 5 arrives via a non-adjacent hop
+      (30L, 31L))
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+    val cc = Dedup.connectedComponents(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), cc.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
+    assert(Seq(5L, 20L, 21L).forall(cc(_) == 5L))
+    assert(Seq(30L, 31L).forall(cc(_) == 30L))
+    assert(cc.size == 13) // only vertices that appear in pairs
+  }
+
+  test("dedupClusters: keeper by quality order, singletons pass through") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "short"), (2L, "the longest text of the cluster"), (3L, "medium len"),
+      (7L, "unpaired standalone document"))).toDF("id", "text")
+    val pairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L))).toDF("a", "b")
+    val out = Dedup.dedupClusters(corpus, "id", pairs, "a", "b",
+      keeperOrder = Seq(length(col("text")).desc))
+    val rows = out.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("component"), r.getAs[Int]("is_keeper"))).toSet
+    // 1,2,3 cluster under min id 1; keeper is id 2 (longest text)
+    assert(rows == Set((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 0), (7L, 7L, 1)))
+    // default order (no quality column): min id keeps
+    val dflt = Dedup.dedupClusters(corpus, "id", pairs, "a", "b")
+      .where(col("is_keeper") === 1).collect().map(_.getAs[Long]("id")).toSet
+    assert(dflt == Set(1L, 7L))
+  }
 }
