@@ -192,13 +192,18 @@ class DedupSpec extends SparkSpec {
       (21L, 20L), (21L, 5L), // min id 5 arrives via a non-adjacent hop
       (30L, 31L))
     val df = spark.createDataFrame(pairs).toDF("a", "b")
-    val cc = Dedup.connectedComponents(df, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), cc.toString)
-    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
-    assert(Seq(5L, 20L, 21L).forall(cc(_) == 5L))
-    assert(Seq(30L, 31L).forall(cc(_) == 30L))
-    assert(cc.size == 13) // only vertices that appear in pairs
+    // both execution paths must agree: the driver union-find fast path
+    // (default cutover) and the distributed hash-min loop (forced by
+    // localSolveEdges = 0)
+    for (cutover <- Seq(4_000_000L, 0L)) {
+      val cc = Dedup.connectedComponents(df, "a", "b", localSolveEdges = cutover)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), s"cutover=$cutover: $cc")
+      assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
+      assert(Seq(5L, 20L, 21L).forall(cc(_) == 5L))
+      assert(Seq(30L, 31L).forall(cc(_) == 30L))
+      assert(cc.size == 13) // only vertices that appear in pairs
+    }
   }
 
   test("dedupClusters: keeper by quality order, singletons pass through") {
