@@ -753,6 +753,121 @@ object SparkEntry {
           (col("rn") === 1).cast("int").as("is_keeper"))
         .orderBy("component", "doc_id")
     }),
+    "q68_stream_iter" -> ((s, dir) => {
+      // streamRecords/asStream iterator path end-to-end: rows arrive via
+      // toLocalIterator (server-side cursor shape), get re-assembled here,
+      // and must equal the set-based oracle — a dropped/duplicated batch
+      // or a broken iterator projection goes red
+      val it = eng(s, dir).query("orders")
+        .where("o_totalprice", ">", 480000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderByAsc("o_orderkey")
+        .asStream
+      val rows = it.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    }),
+    "q69_insert_split" -> ((s, dir) => {
+      // batch-insert validation split end-to-end (allowPartialErrors):
+      // every 7th row stages an unparseable integer; the surviving table
+      // must be exactly the parseable subset
+      import graft.schema._
+      val wh = tmpDir("q69")
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("ins", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("sz", GType.GInteger))))
+      val src = eng(s, dir).table("part").select(
+        col("p_partkey").cast("string").as("id"),
+        when(col("p_partkey") % 7 === 0, lit("not-a-number"))
+          .otherwise(col("p_size").cast("string")).as("sz"))
+      val rep = e.insertFrom("ins", src, allowPartialErrors = true)
+      require(rep.failedCount > 0, "q69 expects a non-empty failed split")
+      e.table("ins").orderBy(col("id").cast("long"))
+    }),
+    "q70_self_join" -> ((s, dir) => {
+      // self-join through the 'table as alias' target (reference repeated-
+      // target aliasing): nations paired with same-region nations
+      eng(s, dir).query("nation")
+        .join("nation as n2", "nation.n_regionkey", "=", "n2.n_regionkey")
+        .select("nation.n_name as left_name", "n2.n_name as right_name")
+        .noDefaultLimit
+        .toDF
+        .orderBy("left_name", "right_name")
+    }),
+    "q71_default_limit" -> ((s, dir) => {
+      // default-limit 1000 + hasMore limit+1 probe, gated: the page rows
+      // AND the probe's verdict both ride in the output (has_more = 1 must
+      // agree with the oracle's total > 1000)
+      val res = eng(s, dir).query("orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderByAsc("o_orderkey")
+        .run()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("has_more",
+          org.apache.spark.sql.types.IntegerType)))
+      val rows = res.data.map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+        r.getAs[Double]("o_totalprice"), if (res.hasMore) 1 else 0))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+    }),
+    "q72_update_sugar" -> ((s, dir) => {
+      // UpdateBuilder chain sugar desugars to the Expr AST write path:
+      // increment + clampTo + maxWith applied to a warehouse copy
+      import graft.schema._
+      val wh = tmpDir("q72")
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("acct", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("bal", GType.GDouble), FieldSchema("tier", GType.GInteger))))
+      e.insertFrom("acct", eng(s, dir).table("customer").where(col("c_custkey") <= 50)
+        .select(col("c_custkey").cast("string").as("id"),
+          col("c_acctbal").as("bal"), (col("c_custkey") % 5).as("tier")))
+      e.update("acct")
+        .increment("bal", 100)
+        .clampTo("bal", 0, 5000)
+        .maxWith("tier", 2)
+        .where("id", "!=", "1")
+        .apply()
+      e.table("acct").orderBy(col("id").cast("long"))
+    }),
+    "q73_int8_rerank" -> ((s, dir) => {
+      // two-stage int8-quantized search: stage 1 ranks on the 4×-smaller
+      // quantized column, stage 2 re-ranks candidates at full precision —
+      // with a 20× re-rank window the result must EQUAL the exact oracle
+      // (q32's shape), so quantization error surviving re-rank goes red
+      val e = eng(s, dir)
+      val q = e.table("embeddings").where(col("vec_id") === 7)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      val quant = e.table("embeddings")
+        .withColumn("q8", VectorSearch.quantizeInt8(col("embedding")))
+      VectorSearch.searchQuantized(quant, "vec_id", "q8", "embedding", q,
+        topK = 10, metric = "l2", rerankFactor = 20)
+    }),
+    "q74_each_batch" -> ((s, dir) => {
+      // queryEachBatch: the executor-side batch callback must see every
+      // partition exactly once — a LongAccumulator tallies rows across
+      // batches and the total is hash-checked against the oracle count
+      val acc = s.sparkContext.longAccumulator("q74_rows")
+      eng(s, dir).queryEachBatch(
+        eng(s, dir).query("lineitem").where("l_quantity", ">", 45)
+          .noDefaultLimit) { batch => acc.add(batch.size) }
+      s.createDataFrame(
+        s.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(acc.value.longValue)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    }),
     "q66_dedup_stream" -> ((s, dir) => {
       // streaming firehose dedup end-to-end: the corpus plays TWICE
       // through a parquet feed (second copy 2000 s later), and the feed's
@@ -1270,6 +1385,36 @@ object SparkEntry {
             FROM s a JOIN s b ON a.doc_id < b.doc_id
           )
           SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.3 ORDER BY a, b""",
+    "q68_stream_iter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice > 480000 ORDER BY o_orderkey""",
+    "q69_insert_split" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS id, CAST(p_size AS BIGINT) AS sz
+         FROM part WHERE p_partkey % 7 <> 0 ORDER BY p_partkey""",
+    "q70_self_join" ->
+      """SELECT a.n_name AS left_name, b.n_name AS right_name
+         FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+         ORDER BY left_name, right_name""",
+    "q71_default_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(1 AS INT) AS has_more
+         FROM orders ORDER BY o_orderkey LIMIT 1000""",
+    "q72_update_sugar" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+                CASE WHEN c_custkey = 1 THEN c_acctbal
+                     ELSE least(greatest(c_acctbal + 100, 0), 5000) END AS bal,
+                CASE WHEN c_custkey = 1 THEN c_custkey % 5
+                     ELSE greatest(c_custkey % 5, 2) END AS tier
+         FROM customer WHERE c_custkey <= 50
+         ORDER BY c_custkey""",
+    "q73_int8_rerank" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+         SELECT e.vec_id AS pk,
+                round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance,
+                round(1.0 / (1.0 + round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6)), 6) AS score
+         FROM embeddings e, q
+         ORDER BY distance, pk LIMIT 10""",
+    "q74_each_batch" ->
+      """SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 45""",
     "q67_cluster_dedup" ->
       s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
             SELECT a.doc_id AS a, b.doc_id AS b
