@@ -854,6 +854,19 @@ object SparkEntry {
       VectorSearch.searchQuantized(quant, "vec_id", "q8", "embedding", q,
         topK = 10, metric = "l2", rerankFactor = 20)
     }),
+    "q75_hash_split" -> ((s, dir) => {
+      // deterministic md5-bucket split + sample: the engine and the oracle
+      // derive the SAME assignment from the id alone (no RNG, partition-
+      // invariant) — train/val/test are disjoint+exhaustive, the sampled
+      // flag is an independent 20% draw under a different salt
+      val docs = eng(s, dir).table("documents")
+      graft.pipeline.Sampling.assignSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"),
+          graft.pipeline.Sampling.sampledFlag(col("doc_id"), 0.2).cast("int")
+            .as("sampled"))
+        .orderBy("doc_id")
+    }),
     "q74_each_batch" -> ((s, dir) => {
       // queryEachBatch: the executor-side batch callback must see every
       // partition exactly once — a LongAccumulator tallies rows across
@@ -1415,6 +1428,15 @@ object SparkEntry {
          ORDER BY distance, pk LIMIT 10""",
     "q74_each_batch" ->
       """SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 45""",
+    "q75_hash_split" -> {
+      import graft.pipeline.Sampling.cutHex
+      s"""SELECT doc_id,
+                 CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' THEN 'train'
+                      WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.9)}' THEN 'val'
+                      ELSE 'test' END AS split,
+                 CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
+          FROM documents ORDER BY doc_id"""
+    },
     "q67_cluster_dedup" ->
       s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
             SELECT a.doc_id AS a, b.doc_id AS b

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic hash-bucketed sampling and dataset splitting for training
+ * pipelines.
+ *
+ * Why not `df.sample` / `randomSplit`: both draw from per-partition RNG
+ * streams, so the selected rows change with partitioning, task retries and
+ * cluster size — a training/eval split made that way is not reproducible,
+ * and a row can silently move from train to test between runs. Hash
+ * bucketing keys the decision on the ROW ID alone: `md5(salt ':' id)` is
+ * stable across engines, partitionings, retries and scale factors, can be
+ * re-derived years later, and changing the salt draws an independent
+ * sample. This is the standard technique for leakage-safe train/val/test
+ * assignment at corpus scale.
+ *
+ * Mechanics: the first 8 hex chars of the md5 are compared lexicographically
+ * against a cutoff — for fixed-width lowercase hex that equals comparing
+ * the 32-bit value, so a fraction f keeps ~f of ids with no hex→int
+ * conversion (portable to any SQL engine with md5/substr, which is what the
+ * DuckDB correctness oracle does). Everything is a codegen'd Column
+ * predicate on a scan: no shuffle, no RNG state, fully pushdown-friendly.
+ */
+object Sampling {
+
+  /** 8-hex-char bucket key for a row id under `salt`. */
+  def bucketKey(id: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), id.cast("string"))), 1, 8)
+
+  /** Lexicographic hex cutoff covering `fraction` of the 32-bit space.
+    * Exposed so oracles can embed the identical constant. */
+  def cutHex(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of [0,1]: $fraction")
+    val v = math.round(fraction * 4294967296.0).min(4294967295L).max(0L)
+    f"$v%08x"
+  }
+
+  /** Keep a deterministic ~`fraction` of rows, keyed on `idCol` + `salt`.
+    * Same id + salt → same verdict on every run, engine and partitioning. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "sample"): DataFrame =
+    if (fraction >= 1.0) df
+    else df.where(bucketKey(col(idCol), salt) < lit(cutHex(fraction)))
+
+  /** Boolean form of `hashSample`'s predicate (for flags/projections). */
+  def sampledFlag(id: Column, fraction: Double, salt: String = "sample"): Column =
+    if (fraction >= 1.0) lit(true) else bucketKey(id, salt) < lit(cutHex(fraction))
+
+  /**
+   * Disjoint, exhaustive split assignment — e.g.
+   * `assignSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))`
+   * adds a `split` column. Weights must sum to ~1; the LAST split absorbs
+   * the rounding remainder. A row's assignment never changes unless the
+   * salt does — adding data later cannot shuffle existing rows between
+   * splits (the leakage-safety property `randomSplit` lacks).
+   */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "assignSplit needs at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-6,
+      s"split weights must sum to 1 (got ${weights.map(_._2).sum})")
+    val key = bucketKey(col(idCol), salt)
+    val cuts = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val branches = weights.init.map(_._1).zip(cuts)
+    val expr0 = branches.foldRight(lit(weights.last._1): Column) {
+      case ((name, cut), rest) => when(key < lit(cutHex(cut)), name).otherwise(rest)
+    }
+    df.withColumn("split", expr0)
+  }
+
+  /**
+   * Per-stratum sampling rates — e.g. keep 100% of rare high-quality docs
+   * but 5% of boilerplate: `fractions` maps stratum value → fraction;
+   * strata absent from the map keep `defaultFraction`. One codegen'd CASE
+   * predicate, no shuffle, no per-stratum pass (the `sampleBy` alternative
+   * builds the same predicate from RNG, losing reproducibility).
+   */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = "strata"): DataFrame = {
+    val key = bucketKey(col(idCol), salt)
+    val pred = fractions.toSeq.sortBy(_._1).foldRight(
+      if (defaultFraction >= 1.0) lit(true)
+      else key < lit(cutHex(defaultFraction))) {
+      case ((stratum, f), rest) =>
+        when(col(strataCol) === lit(stratum),
+          if (f >= 1.0) lit(true) else key < lit(cutHex(f))).otherwise(rest)
+    }
+    df.where(pred)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Sampling
+
+/** Deterministic hash sampling: reproducibility under repartitioning is
+  * the whole point — pin it, plus rate accuracy and split disjointness. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val ids = spark.range(0, 20000).toDF("id")
+
+  test("hashSample: deterministic, partition-invariant, ~fraction rate") {
+    val a = Sampling.hashSample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids.repartition(17), "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // df.sample would fail this
+    assert(math.abs(a.size / 20000.0 - 0.1) < 0.01, s"rate ${a.size / 20000.0}")
+    // different salt → independent draw (not identical, similar size)
+    val c = Sampling.hashSample(ids, "id", 0.1, salt = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+    // fraction is monotone: the 10% sample is inside the 20% sample
+    val wide = Sampling.hashSample(ids, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wide))
+  }
+
+  test("assignSplit: disjoint, exhaustive, stable when data grows") {
+    val out = Sampling.assignSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size == 20000) // every row assigned exactly once
+    val rates = byId.values.groupBy(identity).view.mapValues(_.size / 20000.0).toMap
+    assert(math.abs(rates("train") - 0.8) < 0.02, rates.toString)
+    assert(math.abs(rates("val") - 0.1) < 0.01)
+    assert(math.abs(rates("test") - 0.1) < 0.01)
+    // leakage safety: assignments computed over a SUBSET agree with the
+    // full run — growing the corpus never moves an existing row
+    val subset = Sampling.assignSplit(ids.where(col("id") < 5000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (k, v) => byId(k) == v })
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("sampleStratified: per-stratum rates, full-keep and zero-default") {
+    val df = ids.withColumn("q", when(col("id") % 10 === 0, "high").otherwise("low"))
+    val kept = Sampling.sampleStratified(df, "id", "q",
+      Map("high" -> 1.0, "low" -> 0.05))
+    val byStratum = kept.groupBy("q").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("high") == 2000) // 100% of high
+    assert(math.abs(byStratum("low") / 18000.0 - 0.05) < 0.01)
+    // stratum not in the map + defaultFraction 0 → dropped entirely
+    val dropped = Sampling.sampleStratified(df, "id", "q", Map("high" -> 1.0))
+    assert(dropped.groupBy("q").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("high" -> 2000L))
+  }
+}
