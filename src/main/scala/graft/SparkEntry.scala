@@ -867,6 +867,15 @@ object SparkEntry {
             .as("sampled"))
         .orderBy("doc_id")
     }),
+    "q76_chunking" -> ((s, dir) => {
+      // context-window chunking: 64-token windows, 16-token overlap — the
+      // oracle re-derives every window boundary with DuckDB list slicing,
+      // so an off-by-one in starts, lengths or the short final chunk goes
+      // red. Pure narrow ops (no shuffle; see TextAnalysis.chunkByTokens).
+      TextAnalysis.chunkByTokens(eng(s, dir).table("documents"),
+          "doc_id", "text", tokensPerChunk = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q74_each_batch" -> ((s, dir) => {
       // queryEachBatch: the executor-side batch callback must see every
       // partition exactly once — a LongAccumulator tallies rows across
@@ -1428,6 +1437,27 @@ object SparkEntry {
          ORDER BY distance, pk LIMIT 10""",
     "q74_each_batch" ->
       """SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 45""",
+    "q76_chunking" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents
+         ), c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  CASE WHEN len(toks) <= 64 THEN 1
+                       ELSE CAST(ceil(CAST(len(toks) - 64 AS DOUBLE) / 48) AS INT) + 1
+                  END AS nchunks
+           FROM t
+         ), u AS (
+           SELECT doc_id,
+                  unnest([{'chunk_idx': CAST(i AS BIGINT),
+                           'chunk_text': array_to_string(toks[i*48+1 : i*48+64], ' '),
+                           'chunk_tokens': least(CAST(64 AS BIGINT), n - i*48)}
+                          for i in range(0, nchunks)], recursive := true)
+           FROM c
+         )
+         SELECT doc_id, chunk_idx, chunk_text, chunk_tokens
+         FROM u ORDER BY doc_id, chunk_idx""",
     "q75_hash_split" -> {
       import graft.pipeline.Sampling.cutHex
       s"""SELECT doc_id,

@@ -186,4 +186,47 @@ object TextAnalysis {
     aggregate(chars, lit(7L),
       (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(Mod)))
   }
+
+  // ---------- context-window chunking ----------
+
+  /**
+   * Split documents into fixed-size token windows with overlap — the
+   * context-window chunking step of an LLM training/RAG pipeline. A doc of
+   * `n` whitespace tokens becomes `1 + ceil((n - tokensPerChunk) / step)`
+   * chunks of up to `tokensPerChunk` tokens, each starting `step =
+   * tokensPerChunk - overlap` after the last; the final chunk may be
+   * short. A doc at most one window wide stays whole.
+   *
+   * Output: (`idCol`, `chunk_idx`, `chunk_text`, `chunk_tokens`).
+   *
+   * Shape at scale: pure narrow ops — tokenize, build the window starts
+   * with `sequence`, slice per window, `posexplode` — all inside
+   * whole-stage codegen on the scan, no shuffle, output partitioning
+   * inherits the input's. The token array is `bind`-projected once per
+   * row (k window slices would otherwise re-tokenize k times —
+   * CollapseProject inlines by lexical count, see GraftFunctions.bind).
+   */
+  def chunkByTokens(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, tokensPerChunk: Int, overlap: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    require(tokensPerChunk > 0, "tokensPerChunk must be positive")
+    require(overlap >= 0 && overlap < tokensPerChunk,
+      s"overlap must be in [0, tokensPerChunk): $overlap")
+    val step = tokensPerChunk - overlap
+    val base = docs
+      .select(col(idCol), whitespaceTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
+    val nChunks = when(col("__n") <= tokensPerChunk, lit(1))
+      .otherwise(ceil((col("__n") - lit(tokensPerChunk)).cast("double") / lit(step))
+        .cast("int") + 1)
+    base
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("__toks"), i * step + 1, lit(tokensPerChunk)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"),
+        least(lit(tokensPerChunk.toLong),
+          col("__n") - col("chunk_idx") * step).as("chunk_tokens"))
+  }
 }

@@ -118,4 +118,30 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count(_.getLong(0) == 1L) == 3) // 11 bytes / 4 → 3 frames
     assert(frames.forall(_.getInt(1) >= 0))
   }
+
+  test("chunkByTokens: window boundaries, overlap, short-doc passthrough") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
+      (2L, "a b c"),                              // fits one window
+      (3L, (1 to 9).map("w" + _).mkString(" "))   // exact multiple: 9 = 4+... check
+    )).toDF("id", "text")
+    val out = TextAnalysis.chunkByTokens(docs, "id", "text",
+      tokensPerChunk = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: starts 0,3,6,9 → nchunks = ceil((10-4)/3)+1 = 3 → starts 0,3,6
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    // doc 2: one short chunk, untouched
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    // doc 3: 9 tokens → ceil((9-4)/3)+1 = 3 chunks; last is short (tokens 7-9)
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.length == 3 && d3.last._3 == "w7 w8 w9" && d3.last._4 == 3L)
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(d1(0)._3.split(" ").last == d1(1)._3.split(" ").head)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(docs, "id", "text", 4, overlap = 4)
+    }
+  }
 }
