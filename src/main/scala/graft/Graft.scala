@@ -220,6 +220,13 @@ final class Graft(
     // the batch and the last-wins merge dedup below picks it). A collision
     // with an EXISTING row under a DIFFERENT merge key is rejected (same
     // merge key IS the row being updated — not a collision).
+    //
+    // KNOWN DIVERGENCE (set-based vs truly sequential): a secondary key
+    // FREED mid-batch (its owner re-keyed by an earlier row) is not
+    // reclaimable by a later row in the SAME batch — the window sees the
+    // original owner and rejects the claim the reference would accept.
+    // Split such flows into two batches. (Same family as the loose-join
+    // divergence documented in COVERAGE.md.)
     regSchema.toSeq.flatMap(_.uniqueKeySets.distinct).filterNot(_ == ks).foreach { uks =>
       if (uks.forall(staged.columns.contains)) {
         import org.apache.spark.sql.functions.first

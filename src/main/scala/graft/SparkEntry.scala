@@ -600,7 +600,10 @@ object SparkEntry {
         get_json_object(col("after"), "$.user_id"),
         Seq(count(lit(1)).as("cnt")), base + "/ckpt",
         windowWidth = "1 hour", watermark = "0 seconds") { rows => captured = captured ++ rows }
-      require(q.awaitTermination(120000),
+      // stop BEFORE the loud-timeout throw — a leaked running query would
+      // hold the checkpoint dir and skew every later gate in this JVM
+      val finished58 = q.awaitTermination(120000); q.stop()
+      require(finished58,
         "q58_watch_incremental: streaming query did not finish within 120 s")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("w_start",
@@ -741,16 +744,17 @@ object SparkEntry {
       // min-label CTE, so a wrong component or keeper goes red — including
       // transitive chains the pair list never states directly.
       val docs = eng(s, dir).table("documents")
+      // pin the pair list: dedupClusters AND the paired-docs restriction
+      // below both consume it — without the checkpoint the exact-Jaccard
+      // join would run twice
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        shingleN = 3, threshold = 0.4)
-      val comp = Dedup.connectedComponents(pairs, "a", "b")
-        .withColumnRenamed("id", "doc_id")
-      val w = Window.partitionBy(col("component"))
-        .orderBy(length(col("text")).desc, col("doc_id"))
-      docs.join(comp, "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .select(col("component"), col("doc_id"),
-          (col("rn") === 1).cast("int").as("is_keeper"))
+        shingleN = 3, threshold = 0.4).localCheckpoint(true)
+      val verts = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b").as("doc_id"))).distinct()
+      Dedup.dedupClusters(docs, "doc_id", pairs, "a", "b",
+          keeperOrder = Seq(length(col("text")).desc))
+        .join(verts, Seq("doc_id"), "left_semi") // bounded: paired docs only
+        .select(col("component"), col("doc_id"), col("is_keeper"))
         .orderBy("component", "doc_id")
     }),
     "q68_stream_iter" -> ((s, dir) => {

@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** 8-hex-char bucket key for a row id under `salt`. */
+  /** 8-hex-char bucket key for a row id under `salt`. NULL ids stay NULL
+    * (concat, not concat_ws — a null id must not collapse to the constant
+    * md5(salt) bucket): a null key fails every `<` cutoff, so null-id rows
+    * drop out of samples and fall to the LAST split branch — exactly what
+    * the portable SQL form `md5(salt || ':' || id)` does. */
   def bucketKey(id: Column, salt: String): Column =
-    substring(md5(concat_ws(":", lit(salt), id.cast("string"))), 1, 8)
+    substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8)
 
   /** Lexicographic hex cutoff covering `fraction` of the 32-bit space.
     * Exposed so oracles can embed the identical constant. */

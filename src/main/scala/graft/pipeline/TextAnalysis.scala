@@ -213,7 +213,10 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < tokensPerChunk,
       s"overlap must be in [0, tokensPerChunk): $overlap")
     val step = tokensPerChunk - overlap
+    // NULL text produces no chunks (SQL unnest-over-NULL semantics) — and
+    // keeps size(null) = -1 out of the window arithmetic
     val base = docs
+      .where(col(textCol).isNotNull)
       .select(col(idCol), whitespaceTokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), size(col("__toks")).as("__n"))
     val nChunks = when(col("__n") <= tokensPerChunk, lit(1))

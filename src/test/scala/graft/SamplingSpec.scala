@@ -45,6 +45,18 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("null ids: dropped from samples, last split branch (SQL-oracle parity)") {
+    val withNull = spark.createDataFrame(
+      Seq(Tuple1(Option(1L)), Tuple1(Option(2L)), Tuple1(Option.empty[Long])))
+      .toDF("id")
+    assert(Sampling.hashSample(withNull, "id", 0.999999)
+      .collect().forall(!_.isNullAt(0))) // null never sampled
+    val splits = Sampling.assignSplit(withNull, "id",
+      Seq("train" -> 0.9, "test" -> 0.1)).collect()
+      .map(r => Option(r.get(0)) -> r.getString(1)).toMap
+    assert(splits(None) == "test") // null falls through every cutoff
+  }
+
   test("sampleStratified: per-stratum rates, full-keep and zero-default") {
     val df = ids.withColumn("q", when(col("id") % 10 === 0, "high").otherwise("low"))
     val kept = Sampling.sampleStratified(df, "id", "q",
