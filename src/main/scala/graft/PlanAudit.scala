@@ -15,7 +15,9 @@ object PlanAudit {
       "q33_ann_ivf", // IVF probe over the clustered layout: PartitionFilters
       "q57_bulk_ingest", // post-ingest aggregate over the managed table
       "q61_sessionize", // lag + cumulative-sum session ids (window chain)
-      "q64_fk_autojoin") // declared-FK join (broadcast expected)
+      "q64_fk_autojoin", // declared-FK join (broadcast expected)
+      "q75_hash_split", // sampling = pure scan predicate (no shuffle)
+      "q76_chunking") // chunking = narrow generate chain (no shuffle)
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -206,6 +206,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: distributed loop == union-find on a random graph") {
+    // 400 random edges over 300 vertices (seeded) — multi-hop chains,
+    // cycles, isolated pairs; both execution paths must produce identical
+    // labelings, and the distributed loop must CONVERGE (the require
+    // throws otherwise)
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(400)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val df = spark.createDataFrame(edges).toDF("a", "b").repartition(7)
+    val local = Dedup.connectedComponents(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(df, "a", "b", localSolveEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    // sanity: labels are canonical minima (every component id labels itself)
+    assert(local.values.toSet.forall(c => local(c) == c))
+  }
+
   test("dedupClusters: keeper by quality order, singletons pass through") {
     val corpus = spark.createDataFrame(Seq(
       (1L, "short"), (2L, "the longest text of the cluster"), (3L, "medium len"),
