@@ -880,6 +880,16 @@ object SparkEntry {
           "doc_id", "text", tokensPerChunk = 64, overlap = 16)
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q77_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: duplicate-word fraction +
+      // top-bigram share. The oracle recomputes the bigram mode with an
+      // explode→count→argmax plan; the engine computes it per row as the
+      // longest equal-run of the sorted bigram array (shuffle-free) — any
+      // disagreement between the two formulations goes red.
+      TextAnalysis.repetitionSignals(eng(s, dir).table("documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q74_each_batch" -> ((s, dir) => {
       // queryEachBatch: the executor-side batch callback must see every
       // partition exactly once — a LongAccumulator tallies rows across
@@ -1471,6 +1481,31 @@ object SparkEntry {
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
     },
+    "q77_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents
+         ), b AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+               THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+               ELSE [] END AS bgs
+           FROM t
+         ), e AS (
+           SELECT doc_id, unnest(bgs) AS bg FROM b
+         ), c AS (
+           SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2
+         ), m AS (
+           SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY 1
+         )
+         SELECT b.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6)
+           END AS dup_word_frac,
+           coalesce(round(CAST(m.mx AS DOUBLE)/m.tot, 6), 0.0) AS top_bigram_frac
+         FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
     "q67_cluster_dedup" ->
       s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
             SELECT a.doc_id AS a, b.doc_id AS b

@@ -232,4 +232,71 @@ object TextAnalysis {
         least(lit(tokensPerChunk.toLong),
           col("__n") - col("chunk_idx") * step).as("chunk_tokens"))
   }
+
+  // ---------- repetition signals (Gopher-style quality filters) ----------
+
+  /** Fraction of whitespace tokens that are repeats of an earlier token:
+    * `1 - distinct/total` (0 for a single-token doc). Per-row narrow op —
+    * no shuffle, scales linearly with the scan. */
+  def dupWordFrac(text: Column): Column =
+    bind(whitespaceTokens(text)) { toks =>
+      when(size(toks) === 0, 0.0).otherwise(
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6))
+    }
+
+  /** Word bigrams ("tok[i] tok[i+1]") of the whitespace tokenization; empty
+    * array below two tokens. */
+  private def wordBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Share of the most frequent element in `arr` (0 for empty). Computed
+    * per row as the longest equal-run of the SORTED array — one
+    * `array_sort` + one linear `aggregate` pass, instead of the
+    * explode → count → argmax plan that would shuffle twice on (row, elem).
+    * At 100 TB the shuffle-free formulation is the scale path: the mode of
+    * a bounded-size per-document array never needs to leave its partition. */
+  def topRunFrac(arr: Column): Column =
+    bind(array_sort(arr)) { sorted =>
+      when(size(sorted) === 0, 0.0).otherwise(
+        round(
+          aggregate(sorted,
+            struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+            (st, x) => bind(when(x === st.getField("prev"), st.getField("run") + 1L)
+                .otherwise(lit(1L))) { run =>
+              struct(x.as("prev"), run.as("run"),
+                greatest(st.getField("best"), run).as("best"))
+            },
+            st => st.getField("best")).cast("double") / size(sorted), 6))
+    }
+
+  /** Share of the most frequent word bigram among all bigrams (0 below two
+    * tokens) — the Gopher "top-2-gram fraction" repetition filter. */
+  def topBigramFrac(text: Column): Column =
+    bind(whitespaceTokens(text))(toks => topRunFrac(wordBigrams(toks)))
+
+  /**
+   * Per-document repetition profile: (`idCol`, n_tokens, dup_word_frac,
+   * top_bigram_frac). One projection over the scan — tokenization is
+   * `bind`-projected once per row and every signal is a narrow op, so the
+   * whole operator is shuffle-free and partition-parallel (the 100 TB
+   * shape: no explode, no groupBy, no join).
+   */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      bind(whitespaceTokens(col(textCol))) { toks =>
+        struct(
+          size(toks).cast("long").as("n_tokens"),
+          when(size(toks) === 0, 0.0)
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(toks)).cast("double") / size(toks), 6))
+            .as("dup_word_frac"),
+          topRunFrac(wordBigrams(toks)).as("top_bigram_frac"))
+      }.as("__r"))
+      .select(col(idCol), col("__r.n_tokens").as("n_tokens"),
+        col("__r.dup_word_frac").as("dup_word_frac"),
+        col("__r.top_bigram_frac").as("top_bigram_frac"))
 }

@@ -144,4 +144,24 @@ class PipelineSpec extends SparkSpec {
       TextAnalysis.chunkByTokens(docs, "id", "text", 4, overlap = 4)
     }
   }
+
+  test("repetitionSignals: dup-word + top-bigram fractions, hand-checked") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a b a"),       // toks 5, distinct 2; bigrams: ab ba ab ba → top 2/4
+      (2L, "x y z"),           // no repeats; bigrams xy yz → top 1/2
+      (3L, "w"),               // single token: no bigrams
+      (4L, "go go go go")      // worst case: dup 3/4, bigram "go go" 3/3
+    )).toDF("id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((5L, 0.6, 0.5)))
+    assert(out(2L) == ((3L, 0.0, 0.5)))
+    assert(out(3L) == ((1L, 0.0, 0.0)))
+    assert(out(4L) == ((4L, 0.75, 1.0)))
+    // topRunFrac ties: sorted runs pick the max regardless of which value
+    val tie = spark.createDataFrame(Seq(Tuple1(Seq("b", "a", "b", "a"))))
+      .toDF("arr").select(TextAnalysis.topRunFrac(col("arr"))).collect()(0).getDouble(0)
+    assert(tie == 0.5)
+  }
 }
