@@ -890,6 +890,27 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q78_pii_redact" -> ((s, dir) => {
+      // PII scrub: the corpus carries no PII, so engine AND oracle inject
+      // the same deterministic email/phone/IP triple (derived from doc_id) into
+      // every third doc, then the operator under test must count and
+      // redact them identically — regex dialect drift (RE2 vs java.util
+      // .regex) or a missed occurrence goes red on the full text hash.
+      val d = eng(s, dir).table("documents")
+      val injected = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@mail.example or call 555-123-4567 from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"), TextAnalysis.piiCounts(col("t")).as("c"),
+          TextAnalysis.redactPii(col("t")).as("redacted"))
+        .select(col("doc_id"), col("c.email_cnt").as("email_cnt"),
+          col("c.phone_cnt").as("phone_cnt"), col("c.ip_cnt").as("ip_cnt"),
+          col("redacted"))
+        .orderBy("doc_id")
+    }),
     "q74_each_batch" -> ((s, dir) => {
       // queryEachBatch: the executor-side batch callback must see every
       // partition exactly once — a LongAccumulator tallies rows across
@@ -1481,6 +1502,25 @@ object SparkEntry {
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
     },
+    "q78_pii_redact" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example or call 555-123-4567 from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.7'
+             ELSE text END AS t
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_cnt,
+           CAST(len(regexp_extract_all(t, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS phone_cnt,
+           CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS ip_cnt,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+         FROM inj ORDER BY doc_id""",
     "q77_repetition" ->
       """WITH t AS (
            SELECT doc_id,

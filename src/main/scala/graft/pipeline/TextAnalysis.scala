@@ -299,4 +299,31 @@ object TextAnalysis {
       .select(col(idCol), col("__r.n_tokens").as("n_tokens"),
         col("__r.dup_word_frac").as("dup_word_frac"),
         col("__r.top_bigram_frac").as("top_bigram_frac"))
+
+  // ---------- PII detection + redaction ----------
+
+  /** PII patterns, kept inside the RE2 ∩ java.util.regex common subset so
+    * the DuckDB oracle runs the byte-identical pattern. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Re  = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Per-document PII hit counts, computed on the raw text BEFORE
+    * redaction (a redacted email must still count). Pure codegen regex
+    * ops — shuffle-free, scan-parallel. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("email_cnt"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("phone_cnt"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("ip_cnt"))
+
+  /** Redact emails → `<EMAIL>`, phones → `<PHONE>`, IPv4s → `<IP>`, in
+    * that fixed order (emails first so their dotted domains can't be
+    * half-eaten by the IP pass). Spark `regexp_replace` replaces every
+    * occurrence — the oracle needs the explicit 'g' flag. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
 }

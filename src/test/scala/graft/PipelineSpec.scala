@@ -164,4 +164,21 @@ class PipelineSpec extends SparkSpec {
       .toDF("arr").select(TextAnalysis.topRunFrac(col("arr"))).collect()(0).getDouble(0)
     assert(tie == 0.5)
   }
+
+  test("piiCounts + redactPii: emails, phones, IPv4s; counts precede redaction") {
+    val r = one(struct(TextAnalysis.piiCounts(col("t")).as("c"),
+        TextAnalysis.redactPii(col("t")).as("red")),
+      "mail a.b-c@x.co and d@e.org, call 555-123-4567 or 800.555.1234, host 192.168.0.1 done")
+      .getStruct(0)
+    assert(r.getStruct(0).getLong(0) == 2L) // emails
+    assert(r.getStruct(0).getLong(1) == 2L) // phones (both - and . separators)
+    assert(r.getStruct(0).getLong(2) == 1L) // ips
+    assert(r.getString(1) ==
+      "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>, host <IP> done")
+    // email's dotted domain is consumed by the email pass, not the IP pass;
+    // a dotted quad glued to a word stays (no \b match inside tokens)
+    val clean = one(TextAnalysis.redactPii(col("t")), "no pii here 1.2 x9 v1.2.3")
+      .getString(0)
+    assert(clean == "no pii here 1.2 x9 v1.2.3")
+  }
 }
