@@ -911,6 +911,16 @@ object SparkEntry {
           col("redacted"))
         .orderBy("doc_id")
     }),
+    "q79_contamination" -> ((s, dir) => {
+      // eval-leakage check: md5-split the corpus (same assignment as q75),
+      // then for each test doc count its distinct trigrams that appear in
+      // ANY train doc. One shuffle keyed on the shingle — no doc×doc join;
+      // the oracle rebuilds the identical split + trigram sets in DuckDB.
+      graft.pipeline.Sampling.contamination(
+          eng(s, dir).table("documents"), "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), shingleN = 3)
+        .orderBy("doc_id")
+    }),
     "q74_each_batch" -> ((s, dir) => {
       // queryEachBatch: the executor-side batch callback must see every
       // partition exactly once — a LongAccumulator tallies rows across
@@ -1501,6 +1511,23 @@ object SparkEntry {
                       ELSE 'test' END AS split,
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
+    },
+    "q79_contamination" -> {
+      import graft.pipeline.Sampling.cutHex
+      s"""$duckShingles, sp AS (
+            SELECT doc_id, sh,
+              CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' THEN 'train'
+                   WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.9)}' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM s
+          ), tr AS (SELECT DISTINCT unnest(sh) AS g FROM sp WHERE split = 'train'),
+          te AS (SELECT doc_id, unnest(sh) AS g FROM sp WHERE split = 'test'),
+          hits AS (SELECT te.doc_id, count(*) AS hits FROM te JOIN tr USING (g) GROUP BY 1),
+          tot AS (SELECT doc_id, len(sh) AS n_shingles FROM sp WHERE split = 'test')
+          SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                 CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                 round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+          FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id"""
     },
     "q78_pii_redact" ->
       """WITH inj AS (

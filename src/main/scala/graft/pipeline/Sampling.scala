@@ -95,4 +95,41 @@ object Sampling {
     }
     df.where(pred)
   }
+
+  /**
+   * Train/test contamination report: for every doc in `testSplit`, how many
+   * of its distinct word `shingleN`-grams also occur anywhere in
+   * `trainSplit` — the standard eval-leakage check run before training.
+   * Output: (`idCol`, n_shingles, hits, contamination ∈ [0,1]).
+   *
+   * Shape at scale: both sides explode to (shingle, doc) and meet in ONE
+   * shuffle keyed on the shingle — no doc×doc pair join ever forms, so the
+   * cost is linear in total shingle volume, not quadratic in corpus size.
+   * The train side collapses to its distinct shingle set (map-side partial
+   * aggregation) before the join; the per-doc totals reuse the already-
+   * computed shingle arrays. For a 100 TB corpus, pre-hash `g` with
+   * xxhash64 to shuffle 8-byte keys instead of strings (kept exact here:
+   * the correctness oracle counts string-identical n-grams).
+   */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], shingleN: Int = 3,
+      trainSplit: String = "train", testSplit: String = "test",
+      salt: String = "split"): DataFrame = {
+    import graft.functions.GraftFunctions.shingles
+    val withSplit = assignSplit(docs, idCol, splits, salt)
+      .select(col(idCol), col("split"),
+        shingles(col(textCol), shingleN).as("__sh"))
+    val trainSet = withSplit.where(col("split") === trainSplit)
+      .select(explode(col("__sh")).as("g")).distinct()
+    val test = withSplit.where(col("split") === testSplit)
+    val hits = test.select(col(idCol), explode(col("__sh")).as("g"))
+      .join(trainSet, "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+    test.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+  }
 }

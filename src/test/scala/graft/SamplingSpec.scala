@@ -70,4 +70,30 @@ class SamplingSpec extends SparkSpec {
     assert(dropped.groupBy("q").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("high" -> 2000L))
   }
+
+  test("contamination: hand-built corpus, full / partial / zero overlap") {
+    // force the split with a two-way 0/1 weighting trick: instead, build
+    // docs whose md5 assignment is known — easier to just probe the real
+    // assignment and pick ids landing in train/test
+    val probe = Sampling.assignSplit(
+      spark.range(0, 200).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = probe.collectFirst { case (i, "train") => i }.get
+    val testIds = probe.collect { case (i, "test") => i }.take(3).toSeq
+    val docs = spark.createDataFrame(Seq(
+      trainId    -> "alpha beta gamma delta epsilon", // train corpus
+      testIds(0) -> "alpha beta gamma delta epsilon", // identical → 1.0
+      testIds(1) -> "alpha beta gamma zeta eta theta", // shares 1 trigram of 4
+      testIds(2) -> "iota kappa lambda mu"             // disjoint → 0.0
+    )).toDF("id", "text")
+    val out = Sampling.contamination(docs, "id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(testIds(0)) == ((3L, 3L, 1.0)))
+    assert(out(testIds(1)) == ((4L, 1L, 0.25)))
+    assert(out(testIds(2)) == ((2L, 0L, 0.0)))
+    assert(!out.contains(trainId)) // report covers the test split only
+  }
 }
