@@ -141,4 +141,58 @@ object Scale {
         .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("overwrite").parquet(tmp),
       df.sparkSession.sparkContext.hadoopConfiguration)
+
+  /**
+   * Z-order (Morton) key over numeric columns: each value is min-max
+   * scaled to a `bits`-wide integer and the bits of all columns are
+   * interleaved, so rows close in EVERY dimension get close keys. Sorting
+   * by the key gives each parquet file a tight min/max envelope in every
+   * z-column at once — row-group pruning then works for filters on ANY of
+   * them, where a single-column sort only prunes its leading column.
+   * `bounds` are (min, max) per column, usually from one metadata-sized
+   * agg job. Pure bit arithmetic (shiftright/&/shiftleft) — codegen'd,
+   * no UDF. NULLs scale to slot 0 (they cluster together at the low end).
+   */
+  def zOrderKey(cols: Seq[Column], bounds: Seq[(Double, Double)],
+      bits: Int = 12): Column = {
+    require(cols.nonEmpty && cols.size == bounds.size,
+      "one (min,max) bound per z-column")
+    val k = cols.size
+    require(bits * k <= 62, s"bits*cols must fit a long: $bits*$k")
+    val slots = (1L << bits) - 1
+    val scaled = cols.zip(bounds).map { case (c, (lo, hi)) =>
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(
+          round((c.cast("double") - lit(lo)) / lit(span) * slots, 0).cast("long"),
+          lit(0L)), lit(slots))
+    }
+    // interleave: output bit (b*k + i) takes bit b of column (k-1-i)
+    val pieces = for {
+      b <- 0 until bits; i <- 0 until k
+    } yield shiftleft(shiftright(scaled(k - 1 - i), b).bitwiseAND(1L), b * k + i)
+    coalesce(pieces.reduce(_ + _), lit(0L))
+  }
+
+  /** Z-order-clustered parquet layout: one bounds agg, range-partition by
+    * the interleaved key, sort within partitions, atomic swap — the
+    * multi-dimensional counterpart of `writeSorted` for the "filter on
+    * either dimension" access pattern (time AND key, x AND y). */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 12, partitions: Int = 32): Unit = {
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    val head = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = zCols.indices.map { i =>
+      (Option(head.get(2 * i)).fold(0.0)(_.asInstanceOf[Double]),
+       Option(head.get(2 * i + 1)).fold(0.0)(_.asInstanceOf[Double]))
+    }
+    val z = zOrderKey(zCols.map(col), bounds, bits).as("__z")
+    atomicSwap(path, tmp =>
+      df.withColumn("__z", z)
+        .repartitionByRange(partitions, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(tmp),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+  }
 }
