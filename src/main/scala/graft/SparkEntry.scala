@@ -921,6 +921,22 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), shingleN = 3)
         .orderBy("doc_id")
     }),
+    "q80_packing" -> ((s, dir) => {
+      // sequence packing into 512-token bins, parallel per source group;
+      // the oracle reruns the identical window arithmetic, so any drift
+      // in ordering, cumulation or bin assignment goes red
+      TextAnalysis.packBudget(eng(s, dir).table("documents"),
+          "doc_id", "source",
+          TextAnalysis.tokenCountWs(col("text")), budget = 512)
+        .orderBy("source", "doc_id")
+    }),
+    "q81_length_profile" -> ((s, dir) => {
+      // per-source length distribution with EXACT interpolated percentiles
+      // (Spark `percentile` vs DuckDB `quantile_cont` must agree to 1e-6)
+      TextAnalysis.lengthProfile(eng(s, dir).table("documents"),
+          "source", "n_chars")
+        .orderBy("source")
+    }),
     "q74_each_batch" -> ((s, dir) => {
       // queryEachBatch: the executor-side batch callback must see every
       // partition exactly once — a LongAccumulator tallies rows across
@@ -1512,6 +1528,29 @@ object SparkEntry {
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
     },
+    "q80_packing" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, source, tokens,
+                  coalesce(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM t
+         )
+         SELECT doc_id, source, tokens,
+                CAST(floor(cum / 512.0) AS BIGINT) AS bin,
+                CAST(row_number() OVER (PARTITION BY source, floor(cum / 512.0)
+                  ORDER BY doc_id) AS BIGINT) AS pos
+         FROM c ORDER BY source, doc_id""",
+    "q81_length_profile" ->
+      """SELECT source, count(*) AS cnt,
+                round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                round(quantile_cont(n_chars, 0.99), 6) AS p99,
+                round(avg(n_chars), 6) AS mean_len
+         FROM documents GROUP BY source ORDER BY source""",
     "q79_contamination" -> {
       import graft.pipeline.Sampling.cutHex
       s"""$duckShingles, sp AS (

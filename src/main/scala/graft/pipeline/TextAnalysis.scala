@@ -326,4 +326,59 @@ object TextAnalysis {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  // ---------- sequence packing ----------
+
+  /**
+   * Pack documents into fixed token budgets — the batch-construction step
+   * before training. Deterministic "fill then overflow" strategy: within
+   * each `groupCol` partition, docs are taken in `idCol` order and a doc
+   * opens bin `floor(tokens_before_it / budget)`; a bin may overflow by at
+   * most one doc (true reset-greedy packing is inherently sequential
+   * state — this variant is order-deterministic, windowed-SQL-expressible
+   * on any engine, and therefore oracle-checkable).
+   *
+   * Output: (`idCol`, `groupCol`, tokens, bin, pos).
+   *
+   * Shape at scale: ONE window partitioned by `groupCol` — packing
+   * parallelizes across groups (source, shard, language...) and never
+   * forms a global sort. Don't call it with a constant group at 100 TB;
+   * pack per shard.
+   */
+  def packBudget(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      groupCol: String, tokens: Column, budget: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBin = docs
+      .select(col(idCol), col(groupCol), tokens.cast("long").as("tokens"))
+      .withColumn("__cum", coalesce(sum(col("tokens")).over(before), lit(0L)))
+      .withColumn("bin", floor(col("__cum") / lit(budget.toDouble)))
+    withBin
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col(groupCol), col("bin")).orderBy(col(idCol)))
+        .cast("long"))
+      .drop("__cum")
+  }
+
+  // ---------- corpus profiling ----------
+
+  /** Per-group length distribution: count, EXACT interpolated p50/p90/p99
+    * and mean of `lenCol` — the data-profiling summary a pipeline prints
+    * before filtering decisions. Exact `percentile` (not approx) so the
+    * result is engine-independent; it aggregates a per-group sorted sketch
+    * in one shuffle. For interactive 100 TB profiling swap in
+    * `percentile_approx`, which is merge-combinable with bounded memory —
+    * kept exact here because the gate hash-compares against the oracle's
+    * `quantile_cont`. */
+  def lengthProfile(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      lenCol: String): org.apache.spark.sql.DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("cnt"),
+      round(expr(s"percentile($lenCol, 0.5D)"), 6).as("p50"),
+      round(expr(s"percentile($lenCol, 0.9D)"), 6).as("p90"),
+      round(expr(s"percentile($lenCol, 0.99D)"), 6).as("p99"),
+      round(avg(col(lenCol)), 6).as("mean_len"))
 }

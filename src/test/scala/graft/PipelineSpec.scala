@@ -181,4 +181,35 @@ class PipelineSpec extends SparkSpec {
       .getString(0)
     assert(clean == "no pii here 1.2 x9 v1.2.3")
   }
+
+  test("packBudget: fill-then-overflow bins per group, hand-checked") {
+    // group g: tokens 3,3,3 with budget 5 → cum_before 0,3,6 → bins 0,0,1
+    val docs = spark.createDataFrame(Seq(
+      (1L, "g", "a b c"), (2L, "g", "d e f"), (3L, "g", "g h i"),
+      (4L, "h", "x y z w v u t s")  // 8 tokens alone: overflows its bin 0
+    )).toDF("id", "grp", "text")
+    val out = TextAnalysis.packBudget(docs, "id", "grp",
+        TextAnalysis.tokenCountWs(col("text")), budget = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("g", 3L, 0L, 1L)))
+    assert(out(2L) == (("g", 3L, 0L, 2L))) // 3+3=6 > 5: overflow stays in bin 0
+    assert(out(3L) == (("g", 3L, 1L, 1L))) // next doc opens bin 1
+    assert(out(4L) == (("h", 8L, 0L, 1L))) // oversize doc: alone in its bin
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packBudget(docs, "id", "grp", lit(1), budget = 0)
+    }
+  }
+
+  test("lengthProfile: exact interpolated percentiles, hand-checked") {
+    // lens 10,20,30,40: p50 = 25 (interpolated), p90 = 37, mean = 25
+    val docs = spark.createDataFrame(Seq(
+      ("s", 10), ("s", 20), ("s", 30), ("s", 40)
+    )).toDF("src", "len")
+    val r = TextAnalysis.lengthProfile(docs, "src", "len").collect()(0)
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 25.0)
+    assert(r.getDouble(3) == 37.0)
+    assert(r.getDouble(5) == 25.0)
+  }
 }
