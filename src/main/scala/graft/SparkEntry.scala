@@ -937,6 +937,23 @@ object SparkEntry {
           "source", "n_chars")
         .orderBy("source")
     }),
+    "q82_unigram_lm" -> ((s, dir) => {
+      // corpus-trained unigram LM quality score (CCNet-style): vocab
+      // counts shuffle on the token, the corpus total broadcasts as a
+      // 1-row scalar, per-doc mean log-prob rounds to 6dp so partial-sum
+      // order can't leak into the hash
+      graft.pipeline.CorpusStats.unigramLogProb(
+          eng(s, dir).table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "q83_tfidf" -> ((s, dir) => {
+      // TF-IDF top-3 terms per doc; ranking on the ROUNDED score (term
+      // tiebreak) so ln() last-ulp differences can't flip ranks between
+      // engines
+      graft.pipeline.CorpusStats.tfidfTopTerms(
+          eng(s, dir).table("documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
     "q74_each_batch" -> ((s, dir) => {
       // queryEachBatch: the executor-side batch callback must see every
       // partition exactly once — a LongAccumulator tallies rows across
@@ -1528,6 +1545,33 @@ object SparkEntry {
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
     },
+    "q82_unigram_lm" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), v AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+         n AS (SELECT sum(cnt) AS n FROM v)
+         SELECT t.doc_id, count(*) AS n_tokens,
+                round(avg(ln(CAST(v.cnt AS DOUBLE) / n.n)), 6) AS avg_logprob
+         FROM t JOIN v USING (w), n
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
+    "q83_tfidf" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), tf AS (SELECT doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (
+           SELECT tf.doc_id, tf.w, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+           FROM tf JOIN df USING (w), n
+         ), r AS (
+           SELECT doc_id, w AS term, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS BIGINT) AS rank
+           FROM s
+         )
+         SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
     "q80_packing" ->
       """WITH t AS (
            SELECT doc_id, source,

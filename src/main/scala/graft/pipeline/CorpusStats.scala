@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/**
+ * Corpus-level statistics operators: quality signals that need a pass over
+ * the WHOLE corpus first (vocabulary counts, document frequencies) and a
+ * per-document scoring pass second. Unlike the per-row signals in
+ * [[TextAnalysis]], these are join-shaped: token tables meet corpus tables
+ * in shuffles keyed on the token — linear in token volume, never quadratic
+ * in documents.
+ *
+ * The reference has no corpus statistics (SURVEY.md §2.9 — LIKE is its
+ * only text operator); these are the engine's pipeline extensions.
+ */
+object CorpusStats {
+
+  /** (id, w) token table: lowercased whitespace tokens, one row per
+    * occurrence. The downstream shuffles key on `w` — Zipfian skew on stop
+    * words is real but bounded (AQE splits oversized partitions; counts
+    * partially aggregate map-side before the shuffle). */
+  private def tokenTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(whitespaceTokens(lower(col(textCol)))).as("w"))
+
+  /**
+   * CCNet-style unigram language-model quality score: train unigram
+   * probabilities on the corpus itself, then score each document by the
+   * mean log-probability of its tokens. Repetitive, in-distribution text
+   * scores high; rare-token soup scores low. Two shuffles total (vocab
+   * count, per-doc mean) + one token↔vocab join keyed on the token; the
+   * corpus total rides along as a broadcast scalar, never a driver value.
+   *
+   * Output: (`idCol`, n_tokens, avg_logprob) — avg_logprob rounded to 6dp
+   * so the float-sum ordering across partitions can't leak into results.
+   */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenTable(docs, idCol, textCol)
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n"))
+    toks.join(vocab, "w")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("n"))), 6).as("avg_logprob"))
+  }
+
+  /**
+   * TF-IDF top-`k` terms per document — the classic keyword-extraction /
+   * topic-fingerprint step. `tf` = occurrences in the doc, `idf` =
+   * ln(N/df) with `df` = documents containing the term; ranking uses the
+   * 6dp-ROUNDED score (ties broken by term) so engines whose `ln` differs
+   * in the last ulp still rank identically.
+   *
+   * Output: (`idCol`, term, score, rank), rank 1..k per doc.
+   *
+   * Shape at scale: tf is one (id, w) aggregation, df reuses tf's output
+   * (one more shuffle on w), the corpus size joins as a broadcast scalar,
+   * and the per-doc top-k is a bounded window — no step holds more than a
+   * partition in memory.
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = tokenTable(docs, idCol, textCol)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("w"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("w").as("term"), col("score"), col("rank"))
+  }
+}

@@ -201,6 +201,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb: corpus-trained LM score, hand-checked") {
+    // vocab: a:2 b:2 c:1, total 5 → doc1 = ln(0.4); doc2 = (ln .4 + ln .2)/2
+    val docs = spark.createDataFrame(Seq((1L, "a a b"), (2L, "b c")))
+      .toDF("id", "text")
+    val out = graft.pipeline.CorpusStats.unigramLogProb(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, -0.916291)))
+    assert(out(2L) == ((2L, -1.262864)))
+  }
+
+  test("tfidfTopTerms: tf*ln(N/df), rounded-score ranking, term tiebreak") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x x y"), (2L, "y z"), (3L, "z z z"))).toDF("id", "text")
+    val out = graft.pipeline.CorpusStats.tfidfTopTerms(docs, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) ->
+        ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out((1L, 1L)) == (("x", 2.197225))) // 2·ln3
+    assert(out((1L, 2L)) == (("y", 0.405465))) // 1·ln1.5
+    assert(out((2L, 1L)) == (("y", 0.405465))) // tie with z → term asc
+    assert(out((2L, 2L)) == (("z", 0.405465)))
+    assert(out((3L, 1L)) == (("z", 1.216395))) // 3·ln1.5
+  }
+
   test("lengthProfile: exact interpolated percentiles, hand-checked") {
     // lens 10,20,30,40: p50 = 25 (interpolated), p90 = 37, mean = 25
     val docs = spark.createDataFrame(Seq(
