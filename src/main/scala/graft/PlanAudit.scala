@@ -17,7 +17,13 @@ object PlanAudit {
       "q61_sessionize", // lag + cumulative-sum session ids (window chain)
       "q64_fk_autojoin", // declared-FK join (broadcast expected)
       "q75_hash_split", // sampling = pure scan predicate (no shuffle)
-      "q76_chunking") // chunking = narrow generate chain (no shuffle)
+      "q76_chunking", // chunking = narrow generate chain (no shuffle)
+      "q77_repetition", // per-row sorted-run mode: projection only, no shuffle
+      "q78_pii_redact", // regex counts + redaction: projection only, no shuffle
+      "q79_contamination", // ONE shuffle keyed on the shingle, no doc-pair join
+      "q80_packing", // window partitioned by source (parallel, no global sort)
+      "q82_unigram_lm", // token-keyed joins + BroadcastNestedLoop on the 1-row scalar
+      "q83_tfidf") // tf/df aggs + broadcast N + bounded top-k window
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
