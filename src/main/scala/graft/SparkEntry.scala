@@ -968,6 +968,25 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("cnt",
             org.apache.spark.sql.types.LongType))))
     }),
+    "q84_stream_quality" -> ((s, dir) => {
+      // streaming quality filter: the corpus plays through a parquet feed
+      // and the repetition signals run INSIDE the stream as a stateless
+      // projection (no watermark, no state store) — surviving doc set is
+      // fully deterministic, so ids stay in the result and the oracle is
+      // the batch q77 SQL with the same thresholds
+      val base = tmpDir("q84")
+      val docs = eng(s, dir).table("documents").select(col("doc_id"), col("text"))
+      docs.write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(docs.schema).parquet(base + "/feed")
+      val filtered = TextAnalysis.repetitionSignals(stream, "doc_id", "text")
+        .where(col("dup_word_frac") <= 0.5 && col("top_bigram_frac") <= 0.04)
+        .select(col("doc_id"), col("n_tokens"))
+      val q = filtered.writeStream.format("memory").queryName("q84_quality_mem")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(120000); q.stop()
+      require(finished, "q84_stream_quality: streaming query did not finish within 120 s")
+      s.table("q84_quality_mem").orderBy("doc_id")
+    }),
     "q66_dedup_stream" -> ((s, dir) => {
       // streaming firehose dedup end-to-end: the corpus plays TWICE
       // through a parquet feed (second copy 2000 s later), and the feed's
@@ -1545,6 +1564,35 @@ object SparkEntry {
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
     },
+    "q84_stream_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents
+         ), b AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+               THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+               ELSE [] END AS bgs
+           FROM t
+         ), e AS (
+           SELECT doc_id, unnest(bgs) AS bg FROM b
+         ), c AS (
+           SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2
+         ), m AS (
+           SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY 1
+         ), sig AS (
+           SELECT b.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6)
+             END AS dup_word_frac,
+             coalesce(round(CAST(m.mx AS DOUBLE)/m.tot, 6), 0.0) AS top_bigram_frac
+           FROM b LEFT JOIN m USING (doc_id)
+         )
+         SELECT doc_id, n_tokens FROM sig
+         WHERE dup_word_frac <= 0.5 AND top_bigram_frac <= 0.04
+         ORDER BY doc_id""",
     "q82_unigram_lm" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
