@@ -968,6 +968,17 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("cnt",
             org.apache.spark.sql.types.LongType))))
     }),
+    "q85_length_trim" -> ((s, dir) => {
+      // per-source length-outlier trim: [p5, p95] band per source,
+      // percentile table broadcast onto the scan; join column first in
+      // the output (Spark's USING-style join puts it there)
+      TextAnalysis.trimOutliers(
+          eng(s, dir).table("documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "q84_stream_quality" -> ((s, dir) => {
       // streaming quality filter: the corpus plays through a parquet feed
       // and the repetition signals run INSIDE the stream as a stateless
@@ -1564,6 +1575,17 @@ object SparkEntry {
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
     },
+    "q85_length_trim" ->
+      """WITH b AS (
+           SELECT source,
+                  round(quantile_cont(n_chars, 0.05), 6) AS lo,
+                  round(quantile_cont(n_chars, 0.95), 6) AS hi
+           FROM documents GROUP BY source
+         )
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN b USING (source)
+         WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+         ORDER BY d.doc_id""",
     "q84_stream_quality" ->
       """WITH t AS (
            SELECT doc_id,

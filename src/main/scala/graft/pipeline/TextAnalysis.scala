@@ -381,4 +381,23 @@ object TextAnalysis {
       round(expr(s"percentile($lenCol, 0.9D)"), 6).as("p90"),
       round(expr(s"percentile($lenCol, 0.99D)"), 6).as("p99"),
       round(avg(col(lenCol)), 6).as("mean_len"))
+
+  /** Drop per-group length outliers: keep rows whose `lenCol` lies inside
+    * the group's [`lo`, `hi`] percentile band — the standard pre-training
+    * length cut, computed per source so a long-form source isn't judged by
+    * a short-form source's distribution. The percentile table is
+    * group-cardinality-sized and BROADCAST back onto the scan (no shuffle
+    * of the data side); cutoffs round to 6dp on both engine and oracle so
+    * interpolation float dust can't flip a boundary row. */
+  def trimOutliers(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      lenCol: String, lo: Double = 0.05, hi: Double = 0.95)
+      : org.apache.spark.sql.DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo, $hi")
+    val bands = docs.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($lenCol, ${lo}D)"), 6).as("__lo"),
+      round(expr(s"percentile($lenCol, ${hi}D)"), 6).as("__hi"))
+    docs.join(broadcast(bands), groupCol)
+      .where(col(lenCol) >= col("__lo") && col(lenCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
 }

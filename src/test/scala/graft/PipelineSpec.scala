@@ -224,6 +224,20 @@ class PipelineSpec extends SparkSpec {
     assert(out((3L, 1L)) == (("z", 1.216395))) // 3·ln1.5
   }
 
+  test("trimOutliers: per-group percentile band, groups judged separately") {
+    // group a: 1..10 → p5=1.45, p95=9.55 → keeps 2..9; group b is all 100s
+    val docs = spark.createDataFrame(
+      ((1 to 10).map(i => ("a", i)) ++ Seq(("b", 100), ("b", 100), ("b", 100))))
+      .toDF("g", "len")
+    val kept = TextAnalysis.trimOutliers(docs, "g", "len")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(kept.filter(_._1 == "a").map(_._2).sorted.toSeq == (2 to 9))
+    assert(kept.count(_._1 == "b") == 3) // degenerate distribution keeps all
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trimOutliers(docs, "g", "len", lo = 0.9, hi = 0.1)
+    }
+  }
+
   test("lengthProfile: exact interpolated percentiles, hand-checked") {
     // lens 10,20,30,40: p50 = 25 (interpolated), p90 = 37, mean = 25
     val docs = spark.createDataFrame(Seq(
