@@ -968,6 +968,16 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("cnt",
             org.apache.spark.sql.types.LongType))))
     }),
+    "q86_embed_centroids" -> ((s, dir) => {
+      // per-group embedding centroids (mean pooling): gate compares the
+      // dimension count + norm/sum summaries (array columns canonize
+      // differently across the two fetch paths; the centroid itself is
+      // spec-pinned in PipelineSpec)
+      graft.pipeline.CorpusStats.embeddingCentroids(
+          eng(s, dir).table("embeddings"), pmod(col("vec_id"), lit(4)), "embedding")
+        .select(col("grp"), col("dim"), col("centroid_norm"), col("centroid_sum"))
+        .orderBy("grp")
+    }),
     "q85_length_trim" -> ((s, dir) => {
       // per-source length-outlier trim: [p5, p95] band per source,
       // percentile table broadcast onto the scan; join column first in
@@ -1575,6 +1585,17 @@ object SparkEntry {
                  CAST(substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.2)}' AS INT) AS sampled
           FROM documents ORDER BY doc_id"""
     },
+    "q86_embed_centroids" ->
+      """WITH e AS (
+           SELECT vec_id % 4 AS grp, CAST(embedding[i] AS DOUBLE) AS val, i AS pos
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+         ), m AS (
+           SELECT grp, pos, round(avg(val), 6) AS m FROM e GROUP BY 1, 2
+         )
+         SELECT grp, CAST(count(*) AS BIGINT) AS dim,
+                round(sqrt(sum(m*m)), 6) AS centroid_norm,
+                round(sum(m), 6) AS centroid_sum
+         FROM m GROUP BY grp ORDER BY grp""",
     "q85_length_trim" ->
       """WITH b AS (
            SELECT source,

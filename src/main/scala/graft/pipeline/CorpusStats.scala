@@ -81,4 +81,30 @@ object CorpusStats {
       .where(col("rank") <= k)
       .select(col(idCol), col("w").as("term"), col("score"), col("rank"))
   }
+
+  /**
+   * Per-group embedding centroids (element-wise mean pooling) — the
+   * corpus-fingerprint op behind drift detection, source comparison and
+   * IVF seeding. Returns (`grp`, dim, centroid, centroid_norm,
+   * centroid_sum); per-dimension means round to 6dp BEFORE the norm/sum
+   * fold so float partial-sum order can't reach the result.
+   *
+   * Shape at scale: `posexplode` fans each vector into (group, pos, val)
+   * rows and ONE aggregation keyed on (group, pos) reduces them —
+   * map-side partial means, then a group-sized second pass. Nothing is
+   * ever collected; a 1B-vector corpus shuffles only (groups × dim)
+   * partial aggregates.
+   */
+  def embeddingCentroids(df: DataFrame, group: Column, vecCol: String): DataFrame = {
+    val perDim = df.select(group.as("grp"),
+        posexplode(col(vecCol)).as(Seq("pos", "val")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(round(avg(col("val").cast("double")), 6).as("m"))
+    perDim.groupBy(col("grp")).agg(
+      count(lit(1)).as("dim"),
+      transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("centroid"),
+      round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+      round(sum(col("m")), 6).as("centroid_sum"))
+  }
 }

@@ -238,6 +238,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("embeddingCentroids: element-wise mean pooling, ordered dims") {
+    val df = spark.createDataFrame(Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)),
+      ("a", Seq(3.0f, 4.0f, 5.0f)),
+      ("b", Seq(10.0f, 0.0f, 0.0f)))).toDF("g", "v")
+    val out = graft.pipeline.CorpusStats.embeddingCentroids(df, col("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Double](2).toSeq, r.getDouble(4)))).toMap
+    assert(out("a") == ((3L, Seq(2.0, 3.0, 4.0), 9.0)))
+    assert(out("b") == ((3L, Seq(10.0, 0.0, 0.0), 10.0)))
+  }
+
   test("lengthProfile: exact interpolated percentiles, hand-checked") {
     // lens 10,20,30,40: p50 = 25 (interpolated), p90 = 37, mean = 25
     val docs = spark.createDataFrame(Seq(
