@@ -33,11 +33,7 @@ object Bench {
         .outputMode("complete").start()
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
-    // SPARK_GRAFT_ONLY=q62,q65 → bench only matching prefixes (iteration aid)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val selected = only.fold(SparkEntry.queries.toSeq)(ps =>
-      SparkEntry.queries.toSeq.filter { case (n, _) => ps.exists(n.startsWith) })
-    val results = selected.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.selectedQueries().sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (count() would
       // let Catalyst prune map-side work and under-measure)

@@ -50,6 +50,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q13_join_multi3")(spark, "/root/testdata/sf0.001")
 
+  /** `SPARK_GRAFT_ONLY=q62,q65` → restrict to matching name prefixes —
+    * the ONE definition of the iteration contract shared by Bench and
+    * Verify (the driver never sets the variable). */
+  def selectedQueries(): Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    only.fold(queries.toSeq)(ps =>
+      queries.toSeq.filter { case (n, _) => ps.exists(n.startsWith) })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 filters / predicates ------------------------------------
     "q01_filter_range" -> ((s, dir) => {
@@ -1111,6 +1120,36 @@ object SparkEntry {
          FROM t
        )"""
 
+  /** Shared repetition-signal CTE chain (q77 + q84's filter use ONE
+    * definition — a tokenization tweak can't silently fork the gates).
+    * Ends in `sig(doc_id, n_tokens, dup_word_frac, top_bigram_frac)`. */
+  private val duckRepetition =
+    """WITH t AS (
+         SELECT doc_id,
+                string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+         FROM documents
+       ), b AS (
+         SELECT doc_id, toks,
+           CASE WHEN len(toks) >= 2
+             THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             ELSE [] END AS bgs
+         FROM t
+       ), e AS (
+         SELECT doc_id, unnest(bgs) AS bg FROM b
+       ), c AS (
+         SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2
+       ), m AS (
+         SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY 1
+       ), sig AS (
+         SELECT b.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6)
+           END AS dup_word_frac,
+           coalesce(round(CAST(m.mx AS DOUBLE)/m.tot, 6), 0.0) AS top_bigram_frac
+         FROM b LEFT JOIN m USING (doc_id)
+       )"""
+
   /** DuckDB 64-bit simhash over distinct tokens, generated per-bit to
     * mirror Dedup.simhash64 (hex digit decode via strpos alphabet). */
   private def duckSimhashExpr: String = {
@@ -1608,31 +1647,7 @@ object SparkEntry {
          WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
          ORDER BY d.doc_id""",
     "q84_stream_quality" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
-           FROM documents
-         ), b AS (
-           SELECT doc_id, toks,
-             CASE WHEN len(toks) >= 2
-               THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
-               ELSE [] END AS bgs
-           FROM t
-         ), e AS (
-           SELECT doc_id, unnest(bgs) AS bg FROM b
-         ), c AS (
-           SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2
-         ), m AS (
-           SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY 1
-         ), sig AS (
-           SELECT b.doc_id,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6)
-             END AS dup_word_frac,
-             coalesce(round(CAST(m.mx AS DOUBLE)/m.tot, 6), 0.0) AS top_bigram_frac
-           FROM b LEFT JOIN m USING (doc_id)
-         )
+      s"""$duckRepetition
          SELECT doc_id, n_tokens FROM sig
          WHERE dup_word_frac <= 0.5 AND top_bigram_frac <= 0.04
          ORDER BY doc_id""",
@@ -1723,30 +1738,9 @@ object SparkEntry {
              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
          FROM inj ORDER BY doc_id""",
     "q77_repetition" ->
-      """WITH t AS (
-           SELECT doc_id,
-                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
-           FROM documents
-         ), b AS (
-           SELECT doc_id, toks,
-             CASE WHEN len(toks) >= 2
-               THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
-               ELSE [] END AS bgs
-           FROM t
-         ), e AS (
-           SELECT doc_id, unnest(bgs) AS bg FROM b
-         ), c AS (
-           SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2
-         ), m AS (
-           SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot FROM c GROUP BY 1
-         )
-         SELECT b.doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CASE WHEN len(toks) = 0 THEN 0.0
-                ELSE round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks), 6)
-           END AS dup_word_frac,
-           coalesce(round(CAST(m.mx AS DOUBLE)/m.tot, 6), 0.0) AS top_bigram_frac
-         FROM b LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
+      s"""$duckRepetition
+         SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac
+         FROM sig ORDER BY doc_id""",
     "q67_cluster_dedup" ->
       s"""${duckShingles.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
             SELECT a.doc_id AS a, b.doc_id AS b

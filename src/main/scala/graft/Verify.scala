@@ -18,12 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY=q77 → dump only matching prefixes (iteration aid,
-    // same contract as Bench); the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val selected = only.fold(SparkEntry.queries)(ps =>
-      SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) })
-    selected.foreach { case (name, fn) =>
+    SparkEntry.selectedQueries().foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -81,6 +81,12 @@ object GraftFunctions {
 
   /** Whitespace tokens. `split` on \s+ after trim; empty text yields a
     * single empty token in both Spark and DuckDB (parity-checked). */
+  /** Whitespace tokenization shared by every text gate. Parity caveat:
+    * Java's `\s` additionally matches vertical tab (U+000B), which
+    * RE2/DuckDB's `\s` does not — tokenization (and every downstream
+    * hash gate) diverges on text containing U+000B. TESTDATA cannot emit
+    * it; pin the class to `[ \t\n\f\r]` on BOTH engines if a real corpus
+    * can. */
   def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(whitespaceTokens(text))

@@ -166,11 +166,13 @@ object Scale {
           round((c.cast("double") - lit(lo)) / lit(span) * slots, 0).cast("long"),
           lit(0L)), lit(slots))
     }
-    // interleave: output bit (b*k + i) takes bit b of column (k-1-i)
+    // interleave: output bit (b*k + i) takes bit b of column (k-1-i).
+    // (NULL inputs were already absorbed above: `greatest(..., lit(0L))`
+    // skips nulls, so every scaled slot — and hence the sum — is non-null.)
     val pieces = for {
       b <- 0 until bits; i <- 0 until k
     } yield shiftleft(shiftright(scaled(k - 1 - i), b).bitwiseAND(1L), b * k + i)
-    coalesce(pieces.reduce(_ + _), lit(0L))
+    pieces.reduce(_ + _)
   }
 
   /** Z-order-clustered parquet layout: one bounds agg, range-partition by

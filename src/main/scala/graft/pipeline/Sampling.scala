@@ -106,10 +106,12 @@ object Sampling {
    * shuffle keyed on the shingle — no doc×doc pair join ever forms, so the
    * cost is linear in total shingle volume, not quadratic in corpus size.
    * The train side collapses to its distinct shingle set (map-side partial
-   * aggregation) before the join; the per-doc totals reuse the already-
-   * computed shingle arrays. For a 100 TB corpus, pre-hash `g` with
-   * xxhash64 to shuffle 8-byte keys instead of strings (kept exact here:
-   * the correctness oracle counts string-identical n-grams).
+   * aggregation); the test side is exploded ONCE and left-joined against
+   * it, so one groupBy yields totals and hits together (a second scan of
+   * the corpus for totals would double the shingling cost at the design
+   * point). For a 100 TB corpus, pre-hash `g` with xxhash64 to shuffle
+   * 8-byte keys instead of strings (kept exact here: the correctness
+   * oracle counts string-identical n-grams).
    */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Double)], shingleN: Int = 3,
@@ -121,15 +123,14 @@ object Sampling {
         shingles(col(textCol), shingleN).as("__sh"))
     val trainSet = withSplit.where(col("split") === trainSplit)
       .select(explode(col("__sh")).as("g")).distinct()
-    val test = withSplit.where(col("split") === testSplit)
-    val hits = test.select(col(idCol), explode(col("__sh")).as("g"))
-      .join(trainSet, "g")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
-    test.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_shingles"), 6)
+      .withColumn("__hit", lit(1L))
+    withSplit.where(col("split") === testSplit)
+      .select(col(idCol), explode(col("__sh")).as("g"))
+      .join(trainSet, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("hits"))
+      .select(col(idCol), col("n_shingles"), col("hits"),
+        round(col("hits").cast("double") / col("n_shingles"), 6)
           .as("contamination"))
   }
 }

@@ -235,14 +235,17 @@ object TextAnalysis {
 
   // ---------- repetition signals (Gopher-style quality filters) ----------
 
+  /** Token-level dup-word fraction — the single formulation shared by
+    * `dupWordFrac` and `repetitionSignals` (one copy, no drift). */
+  private def dupFracOfToks(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6))
+
   /** Fraction of whitespace tokens that are repeats of an earlier token:
     * `1 - distinct/total` (0 for a single-token doc). Per-row narrow op —
     * no shuffle, scales linearly with the scan. */
   def dupWordFrac(text: Column): Column =
-    bind(whitespaceTokens(text)) { toks =>
-      when(size(toks) === 0, 0.0).otherwise(
-        round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6))
-    }
+    bind(whitespaceTokens(text))(dupFracOfToks)
 
   /** Word bigrams ("tok[i] tok[i+1]") of the whitespace tokenization; empty
     * array below two tokens. */
@@ -290,10 +293,7 @@ object TextAnalysis {
       bind(whitespaceTokens(col(textCol))) { toks =>
         struct(
           size(toks).cast("long").as("n_tokens"),
-          when(size(toks) === 0, 0.0)
-            .otherwise(round(lit(1.0) -
-              size(array_distinct(toks)).cast("double") / size(toks), 6))
-            .as("dup_word_frac"),
+          dupFracOfToks(toks).as("dup_word_frac"),
           topRunFrac(wordBigrams(toks)).as("top_bigram_frac"))
       }.as("__r"))
       .select(col(idCol), col("__r.n_tokens").as("n_tokens"),
