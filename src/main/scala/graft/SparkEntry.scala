@@ -854,6 +854,21 @@ object SparkEntry {
         .apply()
       e.table("acct").orderBy(col("id").cast("long"))
     }),
+    "q87_pq_adc" -> ((s, dir) => {
+      // true product quantization: 8 subspaces × 16 centroids (32× smaller
+      // codes), ADC lookup-table candidate scan, full-precision re-rank —
+      // with a 20× re-rank window the result must EQUAL the exact oracle
+      // (same contract as q73); codebook k-means is seed-deterministic
+      val e = eng(s, dir)
+      val q = e.table("embeddings").where(col("vec_id") === 7)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      val model = VectorSearch.pqTrain(e.table("embeddings"), "embedding",
+        m = 8, k = 16)
+      val coded = e.table("embeddings")
+        .withColumn("pq", VectorSearch.pqEncode(model, col("embedding")))
+      VectorSearch.pqSearch(coded, "vec_id", "pq", "embedding", model, q,
+        topK = 10, metric = "l2", rerankFactor = 20)
+    }),
     "q73_int8_rerank" -> ((s, dir) => {
       // two-stage int8-quantized search: stage 1 ranks on the 4×-smaller
       // quantized column, stage 2 re-ranks candidates at full precision —
@@ -1585,6 +1600,13 @@ object SparkEntry {
                      ELSE greatest(c_custkey % 5, 2) END AS tier
          FROM customer WHERE c_custkey <= 50
          ORDER BY c_custkey""",
+    "q87_pq_adc" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+         SELECT e.vec_id AS pk,
+                round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance,
+                round(1.0 / (1.0 + round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6)), 6) AS score
+         FROM embeddings e, q
+         ORDER BY distance, pk LIMIT 10""",
     "q73_int8_rerank" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
          SELECT e.vec_id AS pk,

@@ -151,6 +151,34 @@ class VectorSearchSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 4))
   }
 
+  test("PQ: codes valid, ADC beats random ranking, re-rank recovers exact top-10") {
+    val model = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+    assert(model.m == 8 && model.k == 16 && model.dsub == 8)
+    val coded = embs.select(col("vec_id"), col("embedding"),
+      VectorSearch.pqEncode(model, col("embedding")).as("pq"))
+    // every code is a valid centroid index in every subspace
+    val bad = coded.where(exists(col("pq"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+    // ADC approximation orders the true self-match first (its codes hit
+    // the query's own nearest centroids → LUT sum is the minimal one)
+    val adc = coded.select(col("vec_id"),
+        VectorSearch.pqAdcDist(model, query, col("pq")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(40)
+      .collect().map(_.getLong(0)).toSet
+    assert(adc.contains(3L), "ADC candidate set must contain the true match")
+    // full pipeline: two-stage PQ search == exact search at rerankFactor 8
+    val approx = VectorSearch.pqSearch(coded, "vec_id", "pq", "embedding",
+      model, query, topK = 10, metric = "l2", rerankFactor = 8).collect()
+    val exact = VectorSearch.exact(embs, "vec_id", "embedding", query,
+      topK = 10, metric = "l2").collect()
+    val overlap = (approx.map(_.getLong(0)).toSet & exact.map(_.getLong(0)).toSet).size
+    assert(overlap >= 9, s"PQ recall too low: $overlap/10")
+    assert(approx.head.getLong(0) == 3L && approx.head.getDouble(1) == 0.0)
+    // determinism: retraining with the same seed yields identical codebooks
+    val model2 = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+    assert(model.codebooks.flatten.flatten.toSeq == model2.codebooks.flatten.flatten.toSeq)
+  }
+
   test("LSH similarity join returns only pairs within maxL2, a<b") {
     val out = VectorSearch.lshSimilarityJoin(embs.limit(200), "vec_id", "embedding",
       maxL2 = 1.2).collect()
