@@ -176,6 +176,32 @@ object VectorSearch {
   def ivfIndex(table: DataFrame, model: IvfModel, vecCol: String): DataFrame =
     table.withColumn("__ivf_cell", ivfCell(model, col(vecCol)))
 
+  /**
+   * IVF-PQ (the FAISS-standard pairing): probe `nprobe` cells (partition
+   * pruning on a clustered layout — only nprobe/nlist of the data is
+   * READ), rank the probed rows by ADC lookup on the byte codes (no
+   * vector math in the scan), then re-rank `topK × rerankFactor`
+   * candidates at full precision. The three independently-tested stages
+   * composed: cell pruning bounds IO, PQ bounds the scan's CPU and the
+   * candidate collect, `exact` carries the result contract.
+   */
+  def ivfPqSearch(
+      indexed: DataFrame, // must carry __ivf_cell + PQ codes column
+      ivf: IvfModel,
+      pq: PqModel,
+      pkCol: String,
+      codesCol: String,
+      vecCol: String,
+      queryVector: Seq[Double],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      metric: String = "l2",
+      rerankFactor: Int = 8): DataFrame = {
+    val cells = ivf.nearestCells(queryVector, nprobe)
+    pqSearch(indexed.where(col("__ivf_cell").isin(cells: _*)),
+      pkCol, codesCol, vecCol, pq, queryVector, topK, metric, rerankFactor)
+  }
+
   /** Multi-query IVF probe in ONE job: the probed-cell union becomes a
     * STATIC partition filter (files outside every query's cells are never
     * read), a broadcast (qid, cell) map restricts each query to its own

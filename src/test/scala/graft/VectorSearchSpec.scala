@@ -179,6 +179,28 @@ class VectorSearchSpec extends SparkSpec {
     assert(model.codebooks.flatten.flatten.toSeq == model2.codebooks.flatten.flatten.toSeq)
   }
 
+  test("IVF-PQ composition: cell pruning + ADC + re-rank, distances stay exact") {
+    val ivf = VectorSearch.ivfTrain(embs, "embedding", nlist = 4, metric = "l2")
+    val pq = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+    val indexed = VectorSearch.ivfIndex(embs, ivf, "embedding")
+      .withColumn("pq", VectorSearch.pqEncode(pq, col("embedding")))
+    // all cells probed → identical to plain pqSearch
+    val all = VectorSearch.ivfPqSearch(indexed, ivf, pq, "vec_id", "pq",
+      "embedding", query, topK = 10, nprobe = 4, rerankFactor = 8).collect()
+    val plain = VectorSearch.pqSearch(indexed, "vec_id", "pq", "embedding",
+      pq, query, topK = 10, metric = "l2", rerankFactor = 8).collect()
+    assert(all.map(_.getLong(0)).toSeq == plain.map(_.getLong(0)).toSeq)
+    // narrow probe: the query's own cell is probed first → self always found,
+    // and every returned distance is the full-precision exact value
+    val narrow = VectorSearch.ivfPqSearch(indexed, ivf, pq, "vec_id", "pq",
+      "embedding", query, topK = 10, nprobe = 1, rerankFactor = 8).collect()
+    assert(narrow.head.getLong(0) == 3L && narrow.head.getDouble(1) == 0.0)
+    val exactD = VectorSearch.exact(embs, "vec_id", "embedding", query,
+      topK = 2000, metric = "l2").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    narrow.foreach(r => assert(r.getDouble(1) == exactD(r.getLong(0))))
+  }
+
   test("LSH similarity join returns only pairs within maxL2, a<b") {
     val out = VectorSearch.lshSimilarityJoin(embs.limit(200), "vec_id", "embedding",
       maxL2 = 1.2).collect()
