@@ -392,24 +392,88 @@ object VectorSearch {
   }
 
   /**
-   * Train PQ codebooks: k-means per subspace over the vector slices —
-   * `m` small spark.ml fits (each a distributed job; at 100 TB train on a
-   * `Sampling.hashSample` of the corpus, the codebooks converge on a few
-   * hundred thousand vectors). Deterministic under `seed`.
+   * Train PQ codebooks: seeded k-means++ and Lloyd's per subspace, run
+   * LOCALLY over one bounded collect of the training vectors. A codebook
+   * is m·k·dsub parameters — statistically saturated by a bounded sample,
+   * so at 100 TB pass a `Sampling.hashSample` of the corpus (the
+   * `maxTrainRows` guard refuses an unsampled giant input rather than
+   * OOM-ing the driver). One job instead of m spark.ml fits: the fit
+   * overhead dominated the data cost by 10× at codebook sizes.
+   * Deterministic under `seed` (seeded init, fixed iteration order).
    */
   def pqTrain(table: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
-      seed: Long = 42L): PqModel = {
-    val dim = table.select(size(col(vecCol))).first().getInt(0)
+      seed: Long = 42L, iters: Int = 10, maxTrainRows: Int = 262144): PqModel = {
+    val rows = table.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(maxTrainRows + 1).collect()
+    require(rows.length <= maxTrainRows,
+      s"pqTrain input exceeds $maxTrainRows rows — pass a hashSample at scale")
+    require(rows.nonEmpty, "pqTrain needs at least one vector")
+    val data = rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = data.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val books = (0 until m).map { s =>
-      val feats = table.select(
-        toVec(slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(k).setSeed(seed + s).setMaxIter(10).fit(feats)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+    val books = Array.tabulate(m) { s =>
+      val subs = data.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(subs, k, iters, new scala.util.Random(seed + s))
+    }
     PqModel(books, dim)
+  }
+
+  /** Seeded k-means++ init + Lloyd's iterations (local, deterministic). */
+  private def lloyd(xs: Array[Array[Double]], k: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = xs.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = xs(rnd.nextInt(xs.length)).clone()
+    val minD = xs.map(dist2(_, centers(0)))
+    for (c <- 1 until k) {
+      val total = minD.sum
+      val pick =
+        if (total <= 0) xs(rnd.nextInt(xs.length)) // fewer distinct points than k
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < xs.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+          xs(i)
+        }
+      centers(c) = pick.clone()
+      var i = 0
+      while (i < xs.length) {
+        val dd = dist2(xs(i), centers(c)); if (dd < minD(i)) minD(i) = dd; i += 1
+      }
+    }
+    // Lloyd's: assign to nearest (lowest index wins ties), recompute means
+    val assign = new Array[Int](xs.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < xs.length) {
+        var best = 0; var bd = dist2(xs(i), centers(0)); var c = 1
+        while (c < k) {
+          val dd = dist2(xs(i), centers(c))
+          if (dd < bd) { bd = dd; best = c }
+          c += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Int](k)
+      i = 0
+      while (i < xs.length) {
+        val c = assign(i); cnts(c) += 1
+        var j = 0; while (j < d) { sums(c)(j) += xs(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until k if cnts(c) > 0) {
+        var j = 0; while (j < d) { centers(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+      }
+      // empty cluster: leave its center in place (deterministic)
+    }
+    centers
   }
 
   /** Encode a vector into `m` byte codes — per subspace, argmin over the
