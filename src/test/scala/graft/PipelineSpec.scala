@@ -165,6 +165,65 @@ class PipelineSpec extends SparkSpec {
     assert(tie == 0.5)
   }
 
+  test("repetitionSignals == independent Scala model on 300 random docs") {
+    // seeded random corpus over a tiny vocab (forces heavy collisions) +
+    // adversarial edges; the in-test model recomputes the signals the
+    // explode/count way, so the sorted-run formulation must agree with a
+    // second, independent implementation — beyond the hand-picked cases
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Vector("a", "b", "c", "ab", "xyz")
+    val texts = Seq("", " ", "solo") ++ (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // Spark's Round goes through BigDecimal.valueOf (canonical string
+    // repr), not the exact binary expansion — match it or rare values
+    // round differently at the 6th digit
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def model(text: String): (Long, Double, Double) = {
+      val toks = text.trim.split("\\s+").toSeq
+      val dup = if (toks.isEmpty) 0.0
+        else r6(1.0 - toks.distinct.size.toDouble / toks.size)
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val top = if (bgs.isEmpty) 0.0
+        else r6(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+      (toks.size.toLong, dup, top)
+    }
+    val docs = spark.createDataFrame(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t)
+    }).toDF("id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (n, dup, top) = model(t)
+      assert(got(i.toLong) == ((n, dup, top)), s"doc $i ${t.take(40)}")
+    }
+  }
+
+  test("packBudget == independent Scala model on random groups") {
+    val rnd = new scala.util.Random(87L)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"g${rnd.nextInt(5)}", Seq.fill(rnd.nextInt(20) + 1)("t").mkString(" "))
+    }
+    val docs = spark.createDataFrame(rows).toDF("id", "grp", "text")
+    val got = TextAnalysis.packBudget(docs, "id", "grp",
+        TextAnalysis.tokenCountWs(col("text")), budget = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      var cum = 0L
+      val binsSeen = scala.collection.mutable.Map.empty[Long, Long]
+      grp.sortBy(_._1).foreach { case (id, _, text) =>
+        val tok = text.trim.split("\\s+").length.toLong
+        val bin = cum / 16
+        val pos = binsSeen.getOrElse(bin, 0L) + 1
+        binsSeen(bin) = pos
+        assert(got(id) == ((tok, bin, pos)), s"id $id")
+        cum += tok
+      }
+    }
+  }
+
   test("piiCounts + redactPii: emails, phones, IPv4s; counts precede redaction") {
     val r = one(struct(TextAnalysis.piiCounts(col("t")).as("c"),
         TextAnalysis.redactPii(col("t")).as("red")),
