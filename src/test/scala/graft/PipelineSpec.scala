@@ -201,6 +201,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokens == independent Scala model on random docs and window shapes") {
+    val rnd = new scala.util.Random(76L)
+    val shapes = Seq((4, 1), (4, 0), (7, 3), (16, 15))
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(50))("w" + rnd.nextInt(9)).mkString(" "))
+    }
+    val df = spark.createDataFrame(docs).toDF("id", "text")
+    shapes.foreach { case (w, o) =>
+      val step = w - o
+      val got = TextAnalysis.chunkByTokens(df, "id", "text", w, o)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3)))).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.trim.split("\\s+").toSeq
+        val n = toks.size
+        val nchunks = if (n <= w) 1 else math.ceil((n - w).toDouble / step).toInt + 1
+        (0 until nchunks).foreach { c =>
+          val chunk = toks.slice(c * step, c * step + w)
+          assert(got((id, c.toLong)) == ((chunk.mkString(" "), chunk.size.toLong)),
+            s"doc $id window ($w,$o) chunk $c")
+        }
+        assert(!got.contains((id, nchunks.toLong)), s"doc $id extra chunk at ($w,$o)")
+      }
+    }
+  }
+
   test("packBudget == independent Scala model on random groups") {
     val rnd = new scala.util.Random(87L)
     val rows = (0 until 200).map { i =>
