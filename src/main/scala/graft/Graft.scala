@@ -29,11 +29,15 @@ final class Graft(
     val registry: SchemaRegistry = new SchemaRegistry,
     val defaultQueryLimit: Int = 1000, // data_store_config.dart:208
     val maxQueryOffset: Int = 10000, // data_store_config.dart:209
-    val hub: Option[graft.streaming.WatchHub] = None) {
+    val hub: Option[graft.streaming.WatchHub] = None,
+    /** Opt-in query-RESULT cache (reference TreeCache, 50 MB budget —
+      * query_executor.dart:42-49); shared across `switchSpace`/`watched`
+      * copies like the registry, keys carry the space. */
+    val queryCache: graft.query.QueryCache = new graft.query.QueryCache()) {
 
   def switchSpace(name: String): Graft =
     new Graft(spark, dataDir, warehouse, name, registry, defaultQueryLimit,
-      maxQueryOffset, hub)
+      maxQueryOffset, hub, queryCache)
 
   /** Engine copy whose WRITES notify `h`: every append/overwrite (insert,
     * update, delete, upsert, clear, migration, FK action) publishes a
@@ -42,11 +46,13 @@ final class Graft(
     * writes publish, watches on the table re-execute). */
   def watched(h: graft.streaming.WatchHub): Graft =
     new Graft(spark, dataDir, warehouse, space, registry, defaultQueryLimit,
-      maxQueryOffset, Some(h))
+      maxQueryOffset, Some(h), queryCache)
 
-  private[graft] def notifyWrite(op: String, table: String): Unit =
+  private[graft] def notifyWrite(op: String, table: String): Unit = {
+    queryCache.invalidate(table) // BEFORE watchers re-read
     hub.foreach(_.publish(graft.streaming.ChangeEvent(op, table, None, None,
       new java.sql.Timestamp(System.currentTimeMillis()))))
+  }
 
   /** TTL without an explicit sourceField falls back to the engine-managed
     * ingest timestamp (reference: hidden _system_ingest_ts_ms column,

@@ -62,7 +62,9 @@ final case class QueryBuilder(
     limitOpt: Option[Int] = None,
     offsetOpt: Option[Int] = None,
     distinctOn: Option[Seq[String]] = None,
-    useDefaultLimit: Boolean = true) {
+    useDefaultLimit: Boolean = true,
+    cacheEnabled: Boolean = false,
+    cacheTtlMs: Option[Long] = None) {
 
   // ---------- condition chain (SURVEY.md §2.3) ----------
 
@@ -367,7 +369,18 @@ final case class QueryBuilder(
 
   /** Execute with pagination metadata (limit+1 probe → hasMore, cursors —
     * reference query_executor.dart:352-397, 637-686). */
-  def run(): QueryResult = QueryResult.execute(this)
+  def run(): QueryResult =
+    if (!cacheEnabled) QueryResult.execute(this)
+    else {
+      // cache key: space + FULL builder state (case-class toString covers
+      // cond/selects/joins/orders/limits; cache flags don't change the
+      // result, so strip them from the key) — engine identity is constant
+      // within one cache instance
+      val keyB = copy(cacheEnabled = false, cacheTtlMs = None)
+      val key = engine.space + "|" + keyB.toString
+      val tables = (table +: joins.map(_.table)).toSet
+      engine.queryCache.getOrRun(key, tables, cacheTtlMs)(QueryResult.execute(this))
+    }
 
   // ---------- reference-name sugar (query_builder.dart) ----------
 
@@ -384,12 +397,16 @@ final case class QueryBuilder(
     * (stream_query_builder.dart:26-140): partitions stream to the caller
     * one at a time, nothing materializes driver-side. */
   def asStream: Iterator[Row] = engine.streamQuery(this)
-  /** Reference cache toggles (tree_cache query-result cache): this engine
-    * has NO query-result cache BY DESIGN (SURVEY §4.1 — parquet page
-    * cache + Spark plan reuse replace it). Accepted for chain-source
-    * compatibility; deliberate no-ops. */
-  def useQueryCache(ttlMs: Option[Long] = None): QueryBuilder = this
-  def noQueryCache: QueryBuilder = this
+  /** Reference cache toggles (tree_cache query-result cache,
+    * query_executor.dart:42-49): OPT-IN result caching on the engine's
+    * budgeted LRU ([[QueryCache]]) — results invalidate on every write
+    * through this engine and may carry a TTL. Off by default: Spark's
+    * parquet page cache + plan reuse already cover the re-scan cost, the
+    * result cache only pays off for repeated EXACT queries (dashboards,
+    * watch re-emissions). */
+  def useQueryCache(ttlMs: Option[Long] = None): QueryBuilder =
+    copy(cacheEnabled = true, cacheTtlMs = ttlMs)
+  def noQueryCache: QueryBuilder = copy(cacheEnabled = false)
 
   /** Chain-level watch (query_builder.dart:480): initial emission + re-run
     * on every write to this query's tables, coalescing debounce. Requires
