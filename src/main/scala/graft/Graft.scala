@@ -991,6 +991,7 @@ final class Graft(
     * registry key — both locations are cleared). */
   def dropTable(name: String): Unit = {
     val wasGlobal = registry.get(space, name).exists(_.isGlobal)
+    queryCache.invalidate(name) // file delete bypasses notifyWrite
     graft.schema.IdGen.reset(idScope(name)) // before the registration goes
     registry.drop(space, name)
     if (wasGlobal) registry.drop("global", name)
@@ -1054,6 +1055,7 @@ final class Graft(
   def deleteSpace(name: String): Boolean = {
     if (name == "default" || name == space) false
     else {
+      queryCache.clear() // space-wide file delete bypasses notifyWrite
       registry.ownTables(name).foreach(t => registry.drop(name, t))
       graft.schema.IdGen.resetPrefix(s"${warehouse.getOrElse(dataDir)}/$name/")
       warehouse.foreach { w =>
@@ -1085,6 +1087,7 @@ final class Graft(
     * schemas in every space — the reference's deleteDatabase. dataDir
     * (read-only TESTDATA) is never touched. */
   def deleteDatabase(): Unit = {
+    queryCache.clear()
     registry.clearAll()
     graft.schema.IdGen.resetPrefix(s"${warehouse.getOrElse(dataDir)}/")
     warehouse.foreach { w =>
@@ -1171,6 +1174,7 @@ final class Graft(
 
   /** Restore a backup into the warehouse (overwrites the space dirs). */
   def restore(src: String): Unit = warehouse.foreach { w =>
+    queryCache.clear() // whole-warehouse replacement: every entry is stale
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(w).getFileSystem(conf)
     Seq(space, "global").foreach { sp =>

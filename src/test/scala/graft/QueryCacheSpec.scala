@@ -90,4 +90,13 @@ class QueryCacheSpec extends SparkSpec {
     ew.update("items").set("qty", 1).where("id", "=", 1).apply()
     assert(e.queryCache.stats._1 == 0)
   }
+
+  test("lifecycle paths that bypass notifyWrite still invalidate: dropTable") {
+    val e = freshEngine()
+    e.query("items").useQueryCache().run()
+    assert(e.queryCache.stats._1 == 1)
+    e.dropTable("items")
+    assert(e.queryCache.stats._1 == 0,
+      "dropTable deletes files directly — the cache must not serve the ghost")
+  }
 }
