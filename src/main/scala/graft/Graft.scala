@@ -1222,6 +1222,21 @@ object Graft {
   def withWarehouse(spark: SparkSession, sfDir: String, warehouseDir: String): Graft =
     new Graft(spark, sfDir, Some(warehouseDir))
 
+  /** Ephemeral engine — the reference's `ToStore.memory()`
+    * (tostore.dart:191-197: no recovery, no persistence, for tests and
+    * session stores). The JVM has no tmpfs guarantee, so the honest Spark
+    * equivalent is a throwaway temp warehouse deleted on JVM exit and by
+    * `deleteDatabase`; durability is explicitly NOT promised. Schemas can
+    * be pre-created like the reference's `schemas:` parameter. */
+  def memory(spark: SparkSession,
+      schemas: Seq[graft.schema.TableSchema] = Nil): Graft = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mem")
+    dir.toFile.deleteOnExit()
+    val e = new Graft(spark, dir.toString, Some(dir.toString))
+    schemas.foreach(e.createTable)
+    e
+  }
+
   /** Local session tuned per the build notes: 32 threads, 32 shuffle
     * partitions (not 200), AQE on for runtime re-planning/skew handling. */
   def localSession(appName: String = "graft", cores: Int = 32): SparkSession = {

@@ -91,6 +91,16 @@ class QueryCacheSpec extends SparkSpec {
     assert(e.queryCache.stats._1 == 0)
   }
 
+  test("Graft.memory: ephemeral engine with pre-created schemas (ToStore.memory)") {
+    val e = Graft.memory(spark, Seq(
+      TableSchema("tmp", PrimaryKeyConfig("id", PkStrategy.Sequential),
+        Seq(FieldSchema("v", GType.GText, nullable = false)))))
+    e.insert("tmp", Map("id" -> 1, "v" -> "x"))
+    assert(e.query("tmp").count() == 1L)
+    e.deleteDatabase() // ephemeral contract: one call wipes everything
+    assert(!new java.io.File(e.warehouse.get).exists())
+  }
+
   test("lifecycle paths that bypass notifyWrite still invalidate: dropTable") {
     val e = freshEngine()
     e.query("items").useQueryCache().run()
