@@ -170,24 +170,48 @@ object Writes {
     * flows through). `op` is the REAL mutation name as the caller knows it
     * (the reference's notification carries the operation, so consumers may
     * filter by it — a delete must not masquerade as an update). */
-  def overwrite(engine: Graft, table: String, data: DataFrame,
+  /** Per-table-path write locks: the reference serializes all writes to a
+    * table through its write queue (its concurrency claim rests on it);
+    * here every managed write is a read-modify-write over the table
+    * snapshot plus an atomic directory swap, so two unsynchronized writers
+    * would lose one writer's rows AND collide on the staging path. The
+    * lock scopes the JVM (one driver = one engine process; cross-process
+    * coordination is a catalog/lock-service concern, out of scope exactly
+    * as it is for the reference's in-process queue). The lazy `data` plan
+    * EXECUTES inside the lock, so its snapshot read is serialized too. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    pathLocks.computeIfAbsent(path, _ => new Object)
+
+  /** `data` is BY-NAME on purpose: a DataFrame built outside the lock has
+    * already LISTED the table's files — a concurrent swap deletes them
+    * under the plan (FAILED_READ_FILE) or, worse, the stale snapshot wins
+    * the swap and silently reverts the other writer. Deferring evaluation
+    * puts the snapshot read inside the critical section. */
+  def overwrite(engine: Graft, table: String, data: => DataFrame,
       op: String = "update"): Unit = {
     val path = engine.managedPath(table)
-    val tmp = path + ".staging"
-    data.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = engine.spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    fs.delete(bak, true)
+    lockFor(path).synchronized {
+      val tmp = path + ".staging"
+      data.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val conf = engine.spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val bak = new org.apache.hadoop.fs.Path(path + ".old")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(dst)) fs.rename(dst, bak)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      fs.delete(bak, true)
+    }
     engine.notifyWrite(op, table)
   }
 
   def append(engine: Graft, table: String, data: DataFrame): Unit = {
-    data.write.mode(SaveMode.Append).parquet(engine.managedPath(table))
+    val path = engine.managedPath(table)
+    lockFor(path).synchronized {
+      data.write.mode(SaveMode.Append).parquet(path)
+    }
     engine.notifyWrite("insert", table)
   }
 }

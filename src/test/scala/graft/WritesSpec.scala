@@ -86,4 +86,31 @@ class WritesSpec extends SparkSpec {
     Writes.overwrite(e, "scratch", e.table("scratch").where(col("id") === "a"))
     assert(e.table("scratch").count() == 1)
   }
+
+  test("concurrent writers on one table serialize: no lost updates, no staging collisions") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.schema._
+    val wh = Files.createTempDirectory("graft_cc_writes").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("cc", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("qty", GType.GInteger))))
+    e.batchInsert("cc", (1 to 8).map(i => Map("id" -> i, "qty" -> 0)))
+    // 8 concurrent read-modify-write updates on DISTINCT rows: without the
+    // per-path lock each writer snapshots the pre-state and the last swap
+    // wins, silently reverting the others (plus .staging collisions)
+    Await.result(Future.sequence((1 to 8).map(i => Future {
+      e.update("cc").set("qty", i * 10).where("id", "=", i).apply()
+    })), 120.seconds)
+    val got = e.query("cc").noDefaultLimit.toDF.collect()
+      .map(r => r.getString(0).toInt -> r.getLong(1)).toMap
+    assert((1 to 8).forall(i => got(i) == i * 10L),
+      s"lost concurrent updates: $got")
+    // concurrent appends through the insert path
+    Await.result(Future.sequence((0 until 4).map(t => Future {
+      e.batchInsert("cc", (1 to 10).map(j => Map("id" -> (100 + t * 10 + j), "qty" -> 1)))
+    })), 120.seconds)
+    assert(e.table("cc").count() == 48)
+  }
 }
