@@ -101,9 +101,11 @@ final class KvStore(
       ttlMs.map(ms => new Timestamp(System.currentTimeMillis() + ms))).orNull
     val staged = spark.createDataFrame(
       spark.sparkContext.parallelize(kvs.map { case (k, v) => Row(k, v, exp) }, 1), schema)
-    val merged = df.as("t").join(staged.as("s"), col("t.key") === col("s.key"), "left_anti")
-      .union(staged)
-    writeAtomic(merged)
+    // the merge reads the live store (`df`) — built inside writeAtomic's
+    // by-name argument so the snapshot is taken under the lock
+    writeAtomic(df.as("t")
+      .join(staged.as("s"), col("t.key") === col("s.key"), "left_anti")
+      .union(staged))
     notifyChange("update")
   }
 
@@ -127,20 +129,24 @@ final class KvStore(
     * way. */
   var targetFiles: Int = 1
 
-  private def writeAtomic(data: DataFrame): Unit = {
+  private def writeAtomic(data: => DataFrame): Unit =
     // stage → swap with .old backup (same pattern as Writes.overwrite):
-    // a crash between operations never leaves the store missing
-    val tmp = path + ".staging"
-    data.coalesce(math.max(1, targetFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(p)) fs.rename(p, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-    fs.delete(bak, true)
-  }
+    // a crash between operations never leaves the store missing.
+    // BY-NAME + the shared per-path lock (Writes.lockFor): the merge plan
+    // reads the current store, so it must list files INSIDE the critical
+    // section or a concurrent swap loses one writer's keys
+    graft.write.Writes.lockFor(path).synchronized {
+      val tmp = path + ".staging"
+      data.coalesce(math.max(1, targetFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val bak = new org.apache.hadoop.fs.Path(path + ".old")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(p)) fs.rename(p, bak)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+      fs.delete(bak, true)
+    }
 
   // ---------- reads ----------
 

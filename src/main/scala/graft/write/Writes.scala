@@ -181,7 +181,7 @@ object Writes {
     * EXECUTES inside the lock, so its snapshot read is serialized too. */
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(path: String): Object =
+  private[graft] def lockFor(path: String): Object =
     pathLocks.computeIfAbsent(path, _ => new Object)
 
   /** `data` is BY-NAME on purpose: a DataFrame built outside the lock has

@@ -77,4 +77,19 @@ class KvStoreSpec extends SparkSpec {
     val local = new KvStore(e.switchSpace("other"))
     assert(local.get("shared").isEmpty)
   }
+
+  test("concurrent KV writers: every key survives (merge under the path lock)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wh = Files.createTempDirectory("graft_kv_cc").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    val kv = new KvStore(e)
+    // 8 threads × distinct keys: an unserialized merge would snapshot the
+    // pre-state and the last swap would silently drop the other writers
+    Await.result(Future.sequence((1 to 8).map(i => Future {
+      kv.set(s"k$i", s"v$i")
+    })), 120.seconds)
+    (1 to 8).foreach(i => assert(kv.get(s"k$i").contains(s"v$i"), s"lost k$i"))
+  }
 }
