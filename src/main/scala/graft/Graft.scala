@@ -191,7 +191,16 @@ final class Graft(
     * rows merge update-or-insert by the registered unique key. Duplicate
     * keys within the batch: the LAST occurrence wins (write order). */
   def batchUpsert(name: String, rows: Seq[Map[String, Any]],
-      allowPartialErrors: Boolean = true): graft.write.WriteReport = {
+      allowPartialErrors: Boolean = true): graft.write.WriteReport =
+    // whole flow under the table's write stripe (reentrant with the inner
+    // overwrite): the update/insert split and the secondary-unique probe
+    // READ the table — concurrent upserts must see each other's writes
+    graft.write.Writes.lockFor(managedPath(name)).synchronized {
+      batchUpsertLocked(name, rows, allowPartialErrors)
+    }
+
+  private def batchUpsertLocked(name: String, rows: Seq[Map[String, Any]],
+      allowPartialErrors: Boolean): graft.write.WriteReport = {
     import org.apache.spark.sql.functions.{col => c, row_number}
     import org.apache.spark.sql.expressions.Window
     val staged = stageRows(name, rows)
@@ -367,7 +376,18 @@ final class Graft(
     *        existing-table anti-join still runs. */
   private def ingestStaged(name: String, staged: DataFrame,
       allowPartialErrors: Boolean,
-      provablyUnique: Set[Seq[String]] = Set.empty): graft.write.WriteReport = {
+      provablyUnique: Set[Seq[String]] = Set.empty): graft.write.WriteReport =
+    // whole flow under the table's write stripe (reentrant with the inner
+    // append/overwrite): the unique-constraint probe READS the table, so
+    // two concurrent batches carrying the same key would otherwise both
+    // pass the check and both land
+    graft.write.Writes.lockFor(managedPath(name)).synchronized {
+      ingestStagedLocked(name, staged, allowPartialErrors, provablyUnique)
+    }
+
+  private def ingestStagedLocked(name: String, staged: DataFrame,
+      allowPartialErrors: Boolean,
+      provablyUnique: Set[Seq[String]]): graft.write.WriteReport = {
     val schema = registry.get(space, name).map(_.sparkSchema)
       .getOrElse(table(name).schema)
     val notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq
