@@ -113,4 +113,23 @@ class WritesSpec extends SparkSpec {
     })), 120.seconds)
     assert(e.table("cc").count() == 48)
   }
+
+  test("concurrent upserts of ONE key collapse to one row (flow-level lock)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.schema._
+    val wh = Files.createTempDirectory("graft_cc_upsert").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    e.createTable(TableSchema("u", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GInteger))))
+    // 6 racing upserts of the same key: without serializing the WHOLE
+    // flow, several see "not present" simultaneously and all insert
+    Await.result(Future.sequence((1 to 6).map(i => Future {
+      e.batchUpsert("u", Seq(Map("id" -> 7, "v" -> i)))
+    })), 120.seconds)
+    val rows = e.table("u").collect()
+    assert(rows.length == 1, s"duplicate upserts landed: ${rows.mkString(",")}")
+    assert((1 to 6).map(_.toLong).contains(rows(0).getLong(1)))
+  }
 }
