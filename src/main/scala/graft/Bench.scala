@@ -37,15 +37,21 @@ object Bench {
     // the driver runs reps=1; min filters this host's co-tenant noise)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
     val results = SparkEntry.selectedQueries().sortBy(_._1).map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
+      // (elapsed, succeeded) per rep: min over SUCCESSFUL reps only — a
+      // fast failure must not masquerade as a speedup in the record
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: full evaluation of every output column (count() would
         // let Catalyst prune map-side work and under-measure)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      System.err.println(f"[bench] $name $dt%.2f s")
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = runs.filter(_._2).map(_._1)
+      val dt = if (good.nonEmpty) good.min else runs.map(_._1).max
+      System.err.println(f"[bench] $name $dt%.2f s" +
+        (if (good.isEmpty) " (ALL REPS FAILED)" else ""))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -195,7 +195,7 @@ final class Graft(
     // whole flow under the table's write stripe (reentrant with the inner
     // overwrite): the update/insert split and the secondary-unique probe
     // READ the table — concurrent upserts must see each other's writes
-    graft.write.Writes.lockFor(managedPath(name)).synchronized {
+    graft.write.Writes.singleTableFlow(managedPath(name)) {
       batchUpsertLocked(name, rows, allowPartialErrors)
     }
 
@@ -381,7 +381,7 @@ final class Graft(
     // append/overwrite): the unique-constraint probe READS the table, so
     // two concurrent batches carrying the same key would otherwise both
     // pass the check and both land
-    graft.write.Writes.lockFor(managedPath(name)).synchronized {
+    graft.write.Writes.singleTableFlow(managedPath(name)) {
       ingestStagedLocked(name, staged, allowPartialErrors, provablyUnique)
     }
 
@@ -689,7 +689,8 @@ final class Graft(
   def updateSchema(name: String): graft.schema.SchemaUpdateBuilder =
     graft.schema.SchemaUpdateBuilder(this, name)
 
-  private[graft] def applySchemaUpdate(b: graft.schema.SchemaUpdateBuilder): Unit = {
+  private[graft] def applySchemaUpdate(b: graft.schema.SchemaUpdateBuilder): Unit =
+      graft.write.Writes.exclusiveFlow {
     val cur = registry.get(space, b.table).getOrElse(
       throw new IllegalArgumentException(
         s"updateSchema: no registered schema for '${b.table}'"))
@@ -792,7 +793,7 @@ final class Graft(
    * (no driver collect, no literal IN lists).
    */
   def deleteEnforced(name: String, cond: graft.expr.Cond,
-      allowDeleteAll: Boolean = false): Unit = {
+      allowDeleteAll: Boolean = false): Unit = graft.write.Writes.exclusiveFlow {
     import org.apache.spark.sql.functions.col
     if (cond == graft.expr.Cond.True && !allowDeleteAll)
       throw new IllegalArgumentException(
@@ -826,7 +827,8 @@ final class Graft(
    * run BEFORE any mutation.
    */
   def updateEnforced(name: String, sets: Seq[(String, graft.expr.UExpr)],
-      cond: graft.expr.Cond, allowUpdateAll: Boolean = false): Unit = {
+      cond: graft.expr.Cond, allowUpdateAll: Boolean = false): Unit =
+      graft.write.Writes.exclusiveFlow {
     import org.apache.spark.sql.functions.{col, lit, when => sqlWhen}
     import graft.schema.FkAction
     if (cond == graft.expr.Cond.True && !allowUpdateAll)
@@ -1251,7 +1253,14 @@ object Graft {
   def memory(spark: SparkSession,
       schemas: Seq[graft.schema.TableSchema] = Nil): Graft = {
     val dir = java.nio.file.Files.createTempDirectory("graft_mem")
-    dir.toFile.deleteOnExit()
+    // deleteOnExit would silently no-op on a non-empty directory — a
+    // shutdown hook deleting the TREE is the real ephemeral contract
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
     val e = new Graft(spark, dir.toString, Some(dir.toString))
     schemas.foreach(e.createTable)
     e

@@ -132,10 +132,11 @@ final class KvStore(
   private def writeAtomic(data: => DataFrame): Unit =
     // stage → swap with .old backup (same pattern as Writes.overwrite):
     // a crash between operations never leaves the store missing.
-    // BY-NAME + the shared per-path lock (Writes.lockFor): the merge plan
-    // reads the current store, so it must list files INSIDE the critical
-    // section or a concurrent swap loses one writer's keys
-    graft.write.Writes.lockFor(path).synchronized {
+    // BY-NAME + the shared single-table flow lock (canonical order:
+    // flowLock.read then the path stripe): the merge plan reads the
+    // current store, so it must list files INSIDE the critical section
+    // or a concurrent swap loses one writer's keys
+    graft.write.Writes.singleTableFlow(path) {
       val tmp = path + ".staging"
       data.coalesce(math.max(1, targetFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration

@@ -369,17 +369,35 @@ final case class QueryBuilder(
 
   /** Execute with pagination metadata (limit+1 probe → hasMore, cursors —
     * reference query_executor.dart:352-397, 637-686). */
+  /** Cache key: space + full builder state, WITHOUT the engine reference
+    * (switchSpace/watched copies share the cache and must hit each
+    * other's entries) and with TYPE-TAGGED condition values — `=  5` and
+    * `= "5"` have different semantics on an untyped field but identical
+    * toString forms, so the raw case-class rendering is not injective. */
+  private def cacheKey: String = {
+    def tag(v: Any): String = v match {
+      case null => "null"
+      case s: Seq[_] => s.map(tag).mkString("[", ",", "]")
+      case a: Array[_] => a.map(tag).mkString("[", ",", "]")
+      case x => x.getClass.getName + ":" + x
+    }
+    def ck(c: Cond): String = c match {
+      case Cond.True => "T"
+      case Cond.And(cs) => cs.map(ck).mkString("A(", ",", ")")
+      case Cond.Or(cs) => cs.map(ck).mkString("O(", ",", ")")
+      case Cond.Leaf(f, op, v) => s"L($f,$op,${tag(v)})"
+      case other => other.toString
+    }
+    Seq(engine.space, table, ck(cond), selects, aggs, groups,
+      havingCond.map(ck), joins, orders, limitOpt, offsetOpt, distinctOn,
+      useDefaultLimit).mkString("|")
+  }
+
   def run(): QueryResult =
     if (!cacheEnabled) QueryResult.execute(this)
     else {
-      // cache key: space + FULL builder state (case-class toString covers
-      // cond/selects/joins/orders/limits; cache flags don't change the
-      // result, so strip them from the key) — engine identity is constant
-      // within one cache instance
-      val keyB = copy(cacheEnabled = false, cacheTtlMs = None)
-      val key = engine.space + "|" + keyB.toString
       val tables = (table +: joins.map(_.table)).toSet
-      engine.queryCache.getOrRun(key, tables, cacheTtlMs)(QueryResult.execute(this))
+      engine.queryCache.getOrRun(cacheKey, tables, cacheTtlMs)(QueryResult.execute(this))
     }
 
   // ---------- reference-name sugar (query_builder.dart) ----------

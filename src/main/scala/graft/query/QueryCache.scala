@@ -29,6 +29,10 @@ final class QueryCache(@volatile private var maxBytes: Long = 50L << 20) {
   private var usedBytes = 0L
   private var hitCount = 0L
   private var missCount = 0L
+  // bumped by every invalidate/clear: a result computed from a snapshot
+  // taken BEFORE a write must never be inserted AFTER the write's
+  // invalidation ran (the insert would be permanently stale)
+  private var epoch = 0L
 
   /** Reference `maxCacheSize`-style knob (TreeCache thresholds). */
   def setBudget(bytes: Long): Unit = synchronized {
@@ -41,12 +45,14 @@ final class QueryCache(@volatile private var maxBytes: Long = 50L << 20) {
   def getOrRun(key: String, tables: Set[String], ttlMs: Option[Long])
       (exec: => QueryResult): QueryResult = {
     val now = System.currentTimeMillis()
-    val cached = synchronized {
+    val (cached, epochBefore) = synchronized {
       val e = entries.get(key)
-      if (e == null) None
-      else if (e.expiresAt.exists(_ <= now)) {
-        usedBytes -= e.bytes; entries.remove(key); None
-      } else Some(e.result)
+      val c =
+        if (e == null) None
+        else if (e.expiresAt.exists(_ <= now)) {
+          usedBytes -= e.bytes; entries.remove(key); None
+        } else Some(e.result)
+      (c, epoch)
     }
     cached match {
       case Some(r) => synchronized { hitCount += 1 }; r
@@ -55,7 +61,9 @@ final class QueryCache(@volatile private var maxBytes: Long = 50L << 20) {
         val bytes = estimateBytes(r)
         synchronized {
           missCount += 1
-          if (bytes <= maxBytes && !entries.containsKey(key)) {
+          // epoch check: if ANY invalidation ran while exec was reading,
+          // this result may predate the write — don't cache it
+          if (epoch == epochBefore && bytes <= maxBytes && !entries.containsKey(key)) {
             entries.put(key,
               Entry(r, bytes, tables, ttlMs.map(now + _)))
             usedBytes += bytes
@@ -69,6 +77,7 @@ final class QueryCache(@volatile private var maxBytes: Long = 50L << 20) {
   /** Drop every entry whose query touches `table` (called by the engine
     * on each write, BEFORE readers can observe the new data). */
   def invalidate(table: String): Unit = synchronized {
+    epoch += 1
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -80,6 +89,7 @@ final class QueryCache(@volatile private var maxBytes: Long = 50L << 20) {
   }
 
   def clear(): Unit = synchronized {
+    epoch += 1
     entries.clear(); usedBytes = 0L
   }
 
@@ -97,23 +107,24 @@ final class QueryCache(@volatile private var maxBytes: Long = 50L << 20) {
     }
   }
 
-  /** Conservative per-row estimate: object headers + per-field cost
-    * (strings by length; everything else flat) — same spirit as the
-    * reference's size accounting, cheap and monotone with reality. */
+  /** Conservative per-row estimate: object headers + RECURSIVE per-value
+    * cost (strings by length, collections and nested rows by element) —
+    * same spirit as the reference's size accounting. Recursion matters:
+    * a flat 16 B for an array<string> chunk column would let gigabytes
+    * "fit" a 50 MB budget. */
+  private def valueBytes(v: Any): Long = v match {
+    case null => 8L
+    case s: String => 48L + 2L * s.length
+    case a: Array[_] => 48L + a.iterator.map(valueBytes).sum
+    case s: Seq[_] => 48L + s.iterator.map(valueBytes).sum
+    case m: scala.collection.Map[_, _] =>
+      48L + m.iterator.map { case (k, x) => valueBytes(k) + valueBytes(x) }.sum
+    case r: org.apache.spark.sql.Row =>
+      48L + (0 until r.length).iterator.map(i => valueBytes(r.get(i))).sum
+    case _ => 16L
+  }
+
   private def estimateBytes(r: QueryResult): Long =
-    r.data.iterator.map { row =>
-      var b = 48L
-      var i = 0
-      while (i < row.length) {
-        b += (row.get(i) match {
-          case null => 8L
-          case s: String => 48L + 2L * s.length
-          case a: Array[_] => 48L + 16L * a.length
-          case s: Seq[_] => 48L + 16L * s.length
-          case _ => 16L
-        })
-        i += 1
-      }
-      b
-    }.sum
+    r.data.iterator.map(row => 48L +
+      (0 until row.length).iterator.map(i => valueBytes(row.get(i))).sum).sum
 }

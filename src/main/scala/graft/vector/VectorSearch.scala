@@ -491,7 +491,10 @@ object VectorSearch {
         array_min(array(ds: _*)).getField("i")
       }
     }
-    array(codes: _*)
+    // NULL vectors must encode to NULL, not garbage: argmin over all-null
+    // distances picks an arbitrary index that would pass isNotNull
+    // filters downstream and crowd real candidates out of the ADC scan
+    when(vecCol0.isNull, lit(null)).otherwise(array(codes: _*))
   }
 
   /** ADC (asymmetric distance) approximation: the query's per-subspace
@@ -532,6 +535,13 @@ object VectorSearch {
       topK: Int = 10,
       metric: String = "l2",
       rerankFactor: Int = 8): DataFrame = {
+    // ADC tables are squared-L2 by construction — candidate selection
+    // under any other metric would silently drop true neighbors the
+    // re-rank can never recover. For cosine, UNIT-NORMALIZE vectors
+    // before pqTrain/pqEncode and query with a unit vector: l2 order on
+    // the unit sphere IS cosine order.
+    require(metric == "l2",
+      s"pqSearch candidates rank by L2 ADC; got metric '$metric' — normalize vectors and use l2 for cosine semantics")
     val candidatePks = table
       .where(col(codesCol).isNotNull)
       .select(col(pkCol).as("pk"),

@@ -184,6 +184,33 @@ object Writes {
   private[graft] def lockFor(path: String): Object =
     pathLocks.computeIfAbsent(path, _ => new Object)
 
+  /** Flow-level read-write lock layered over the per-path stripes:
+    * single-table writes take the READ side (they conflict only on their
+    * own stripe), MULTI-table flows (FK cascades/onUpdate rewrites,
+    * schema renames) take the WRITE side and exclude every concurrent
+    * writer at once — those flows build child-table plans incrementally
+    * across several tables, so stripes alone can't protect them without
+    * deadlock-prone multi-lock ordering. Both sides are reentrant, and a
+    * write-holder may re-enter the read side (the flow's inner
+    * overwrite/append calls). */
+  private[graft] val flowLock =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private[graft] def exclusiveFlow[A](body: => A): A = {
+    flowLock.writeLock().lock()
+    try body finally flowLock.writeLock().unlock()
+  }
+
+  /** Canonical lock order for single-table flows: flowLock.read FIRST,
+    * then the path stripe. Every flow that wraps reads+writes of one
+    * table (ingest validation, upsert split, KV merge) MUST use this —
+    * taking the stripe before the read lock deadlocks against an
+    * exclusiveFlow holder waiting on the stripe. */
+  private[graft] def singleTableFlow[A](path: String)(body: => A): A = {
+    flowLock.readLock().lock()
+    try lockFor(path).synchronized(body)
+    finally flowLock.readLock().unlock()
+  }
+
   /** `data` is BY-NAME on purpose: a DataFrame built outside the lock has
     * already LISTED the table's files — a concurrent swap deletes them
     * under the plan (FAILED_READ_FILE) or, worse, the stale snapshot wins
@@ -192,7 +219,8 @@ object Writes {
   def overwrite(engine: Graft, table: String, data: => DataFrame,
       op: String = "update"): Unit = {
     val path = engine.managedPath(table)
-    lockFor(path).synchronized {
+    flowLock.readLock().lock()
+    try lockFor(path).synchronized {
       val tmp = path + ".staging"
       data.write.mode(SaveMode.Overwrite).parquet(tmp)
       val conf = engine.spark.sparkContext.hadoopConfiguration
@@ -203,15 +231,16 @@ object Writes {
       if (fs.exists(dst)) fs.rename(dst, bak)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
       fs.delete(bak, true)
-    }
+    } finally flowLock.readLock().unlock()
     engine.notifyWrite(op, table)
   }
 
   def append(engine: Graft, table: String, data: DataFrame): Unit = {
     val path = engine.managedPath(table)
-    lockFor(path).synchronized {
+    flowLock.readLock().lock()
+    try lockFor(path).synchronized {
       data.write.mode(SaveMode.Append).parquet(path)
-    }
+    } finally flowLock.readLock().unlock()
     engine.notifyWrite("insert", table)
   }
 }
