@@ -57,7 +57,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-recording: the driver captures stdout from a log tail that has
+    // truncated three consecutive per-query records, so ALSO persist the
+    // exact same line to target/bench.json (overridable for tests).
+    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(recordPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] record written to $recordPath")
+    } catch { case e: Throwable => System.err.println(s"[bench] record write failed: $e") }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -130,6 +130,29 @@ object TextHashKernel {
       i += 1
     }
     new GenericArrayData(mins.asInstanceOf[Array[Any]])
+  }
+
+  /** Byte-wise hamming distance over the first min(len) positions of two
+    * ASCII bit-strings ('0'/'1'). Byte-identical to the HOF
+    * `aggregate(zip_with(split(a,""), split(b,""), ...))` form on ASCII
+    * input: zip_with null-pads the longer side's tail and the
+    * `when(x =!= y, 1)` null-compare contributes 0 there, so extra
+    * positions never count. One tight JVM loop instead of two array
+    * splits + a lambda per position. Empty-string quirk preserved:
+    * Spark's split("", "") is [""] — ONE empty element — so "" vs a
+    * non-empty string differs at exactly one position. */
+  def hamming(a: UTF8String, b: UTF8String): Int = {
+    val na = a.numBytes
+    val nb = b.numBytes
+    if (na == 0 || nb == 0) return if (na == nb) 0 else 1
+    val n = if (na < nb) na else nb
+    var d = 0
+    var i = 0
+    while (i < n) {
+      if (a.getByte(i) != b.getByte(i)) d += 1
+      i += 1
+    }
+    d
   }
 }
 
@@ -449,4 +472,19 @@ case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.expr.TextHashKernel.minhash($a, $k)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hamming(a, b) over ASCII bit-strings → INT, codegen'd. The interpreted
+  * HOF twin (`Dedup.hammingDistanceHof`) is the spec cross-check. */
+case class HammingExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernel.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TextHashKernel.hamming($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

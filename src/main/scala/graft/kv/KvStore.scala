@@ -168,5 +168,33 @@ final class KvStore(
   def getDouble(key: String): Option[Double] = get(key).flatMap(v => scala.util.Try(v.toDouble).toOption)
   def getBool(key: String): Option[Boolean] = get(key).flatMap(v => scala.util.Try(v.toBoolean).toOption)
 
-  def keys(): Seq[String] = df.select("key").collect().map(_.getString(0)).toSeq
+  /** getKeys(prefix) parity (Interface/kv_store.dart:179-191) with a
+    * BOUNDED driver materialization: at most `cap` keys are collected
+    * (limit cap+1 bounds the fetch itself); a store larger than the cap
+    * throws loudly instead of silently truncating or OOMing the driver —
+    * use `keysIterator` to traverse an unbounded store. */
+  def keys(prefix: Option[String] = None, cap: Int = KvStore.KeyListCap): Seq[String] = {
+    val base = prefix.fold(df)(p => df.where(col("key").startsWith(p)))
+    val got = base.select("key").limit(cap + 1).collect().map(_.getString(0)).toSeq
+    if (got.size > cap) throw new IllegalStateException(
+      s"KvStore.keys(): more than $cap keys in the store; raise `cap` or use keysIterator()")
+    got
+  }
+
+  /** Unbounded key traversal WITHOUT driver materialization: streams one
+    * partition at a time (`toLocalIterator`) — driver memory is O(one
+    * partition), not O(store). */
+  def keysIterator(prefix: Option[String] = None): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = prefix.fold(df)(p => df.where(col("key").startsWith(p)))
+    base.select("key").toLocalIterator().asScala.map(_.getString(0))
+  }
+}
+
+object KvStore {
+  /** Default driver-side bound for `keys()` — the KV namespace is a
+    * config/metadata surface (reference grain), not a data table; 100k
+    * keys × ~100 B is a few MB of driver heap, far under any realistic
+    * micro-batch KV use. */
+  val KeyListCap: Int = 100000
 }

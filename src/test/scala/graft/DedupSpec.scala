@@ -161,6 +161,26 @@ class DedupSpec extends SparkSpec {
     assert(df.select(Dedup.hammingDistance(col("a"), col("b"))).collect()(0).getInt(0) == 2)
   }
 
+  test("HammingExpr kernel == HOF formulation on real simhash signatures") {
+    // byte-identity of the codegen kernel vs the interpreted zip_with/
+    // aggregate twin, over all within-bucket signature pairs of real docs
+    val sigs = engine.table("documents").limit(200)
+      .select(Dedup.simhashTokens(col("text")).as("toks"))
+      .select(Dedup.simhashFromTokens(col("toks")).as("sig"))
+    val pairs = sigs.select(col("sig").as("a"))
+      .crossJoin(sigs.limit(20).select(col("sig").as("b")))
+    val cmp = pairs.select(
+      Dedup.hammingDistance(col("a"), col("b")).as("kern"),
+      Dedup.hammingDistanceHof(col("a"), col("b")).as("hof"))
+    assert(cmp.where(col("kern") =!= col("hof")).count() == 0)
+    // HOF edge semantics preserved: unequal lengths — tail ignored
+    val uneq = spark.createDataFrame(Seq(("1100", "10"), ("", "111"))).toDF("a", "b")
+    val both = uneq.select(
+      Dedup.hammingDistance(col("a"), col("b")).as("kern"),
+      Dedup.hammingDistanceHof(col("a"), col("b")).as("hof")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("embedding near-dup: LSH bucket pairs ⊆ exact pairs; finds the planted dup") {
     val dim = 16
     val rnd = new scala.util.Random(7)

@@ -43,6 +43,19 @@ class KvStoreSpec extends SparkSpec {
     assert(kv.keys().toSet == Set("stays"))
   }
 
+  test("keys() is bounded: over-cap throws loudly; prefix filters; iterator streams all") {
+    val kv = freshKv()
+    kv.setMany((1 to 20).map(i => f"k$i%02d" -> i.toString) :+ ("other" -> "x"))
+    // prefix parity with the reference's getKeys(prefix:)
+    assert(kv.keys(prefix = Some("k")).size == 20)
+    // cap is a loud refusal, not a silent truncation
+    val e = intercept[IllegalStateException] { kv.keys(cap = 5) }
+    assert(e.getMessage.contains("keysIterator"))
+    // unbounded traversal path materializes nothing on the driver at once
+    assert(kv.keysIterator().size == 21)
+    assert(kv.keysIterator(prefix = Some("other")).toSeq == Seq("other"))
+  }
+
   test("ttl XOR expiresAt guard (kv_store.dart:34-120)") {
     val kv = freshKv()
     intercept[IllegalArgumentException] {
