@@ -869,6 +869,28 @@ object SparkEntry {
       VectorSearch.pqSearch(coded, "vec_id", "pq", "embedding", model, q,
         topK = 10, metric = "l2", rerankFactor = 20)
     }),
+    "q90_pq_batch" -> ((s, dir) => {
+      // the PQ SERVING shape end-to-end: train once, PERSIST the
+      // codebooks (pqSave → pqLoad — the loaded model serves, no
+      // re-train per process), then ONE batched job for the whole query
+      // set (broadcast per-query ADC LUTs, per-query window, one bounded
+      // exact re-rank). With a 20× re-rank window every query's rows must
+      // EQUAL the exact per-query oracle (q87's contract, ×3 queries).
+      val e = eng(s, dir)
+      val embs = e.table("embeddings")
+      val trained = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+      val mpath = tmpDir("pq_model") + "/m"
+      VectorSearch.pqSave(trained, s, mpath)
+      val model = VectorSearch.pqLoad(s, mpath)
+      val qs = embs.where(col("vec_id").isin(3L, 7L, 11L))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq.sortBy(_._1)
+      val coded = embs.withColumn("pq", VectorSearch.pqEncode(model, col("embedding")))
+      VectorSearch.pqSearchBatch(coded, "vec_id", "pq", "embedding", model, qs,
+          topK = 10, metric = "l2", rerankFactor = 20)
+        .orderBy("qid", "rank")
+    }),
     "q73_int8_rerank" -> ((s, dir) => {
       // two-stage int8-quantized search: stage 1 ranks on the 4×-smaller
       // quantized column, stage 2 re-ranks candidates at full precision —
@@ -1607,6 +1629,18 @@ object SparkEntry {
                 round(1.0 / (1.0 + round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6)), 6) AS score
          FROM embeddings e, q
          ORDER BY distance, pk LIMIT 10""",
+    "q90_pq_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id IN (3, 7, 11)),
+         scored AS (SELECT q.qid, e.vec_id AS pk,
+                           round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance
+                    FROM embeddings e, q),
+         ranked AS (SELECT qid, pk, distance,
+                           round(1.0 / (1.0 + distance), 6) AS score,
+                           CAST(row_number() OVER (PARTITION BY qid ORDER BY distance, pk) AS INT) AS rank
+                    FROM scored)
+         SELECT qid, pk, distance, score, rank FROM ranked
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "q73_int8_rerank" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
          SELECT e.vec_id AS pk,

@@ -497,23 +497,32 @@ object VectorSearch {
     when(vecCol0.isNull, lit(null)).otherwise(array(codes: _*))
   }
 
+  /** Per-query ADC lookup table, computed on the driver: entry (s, j) =
+    * ‖q_s − codebook_s[j]‖² — m×k doubles per query, broadcast-tiny. */
+  private def adcLutLocal(model: PqModel, queryVector: Seq[Double]): Seq[Seq[Double]] = {
+    val dsub = model.dsub
+    model.codebooks.zipWithIndex.map { case (book, s) =>
+      val qs = queryVector.slice(s * dsub, (s + 1) * dsub)
+      book.map(c => qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).toSeq
+    }.toSeq
+  }
+
+  /** Sum of the m code lookups against a LUT column (array<array<double>>). */
+  private def adcDistFromLut(lut: Column, codesCol: Column, m: Int): Column =
+    bind(lut) { t =>
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc +
+          element_at(element_at(t, s + 1), element_at(codesCol, s + 1) + 1))
+    }
+
   /** ADC (asymmetric distance) approximation: the query's per-subspace
     * distances to every centroid form an m×k lookup table of LITERALS;
     * a row's approximate distance² is the sum of its m code lookups —
     * no vector math per row at all, just m array reads. */
   def pqAdcDist(model: PqModel, queryVector: Seq[Double], codesCol: Column): Column = {
-    val dsub = model.dsub
-    val lut = array(model.codebooks.zipWithIndex.map { case (book, s) =>
-      val qs = queryVector.slice(s * dsub, (s + 1) * dsub)
-      array(book.map { c =>
-        lit(qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }: _*)
-    }: _*)
-    bind(lut) { t =>
-      aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0),
-        (acc, s) => acc +
-          element_at(element_at(t, s + 1), element_at(codesCol, s + 1) + 1))
-    }
+    val lut = array(adcLutLocal(model, queryVector).map(row =>
+      array(row.map(lit): _*)): _*)
+    adcDistFromLut(lut, codesCol, model.m)
   }
 
   /**
@@ -551,6 +560,151 @@ object VectorSearch {
       .collect().map(_.get(0))
     exact(table.where(col(pkCol).isin(candidatePks: _*)), pkCol, vecCol,
       queryVector, topK, metric)
+  }
+
+  /** Persist trained PQ codebooks (m·k·dsub doubles — driver-tiny, the
+    * same contract as `ivfSave`): a serving job `pqLoad`s the model
+    * instead of paying a re-train per process. Doubles round-trip exactly
+    * through parquet, so a loaded model encodes and ranks bit-identically
+    * (vector_index_manager.dart persists its PQ tables the same way). */
+  def pqSave(model: PqModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- model.codebooks.indices
+      j <- model.codebooks(s).indices
+    } yield (s, j, model.codebooks(s)(j).toSeq, model.dim)
+    rows.toDF("subspace", "centroid", "values", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted PQ model (exact codebook doubles round-trip). */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .select("subspace", "centroid", "values", "dim").collect()
+    require(rows.nonEmpty, s"no PQ model at $path")
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+    }.toArray
+    PqModel(books, rows.head.getInt(3))
+  }
+
+  /** Multi-query PQ search in ONE stage-1 job (`exactBatch`'s shape for
+    * the ADC scan): every query's m×k ADC LUT broadcasts against the
+    * byte-code column, a per-query window heap-keeps `topK × rerank`
+    * candidates, ONE bounded collect of (qid, pk) keys, then one exact
+    * re-rank job over the candidate IN-filter (full vectors read for
+    * O(queries × topK × rerank) rows, not per query). A PQ serving job
+    * runs 2 jobs for the whole query set instead of 2 per query. */
+  def pqSearchBatch(
+      table: DataFrame,
+      pkCol: String,
+      codesCol: String,
+      vecCol: String,
+      model: PqModel,
+      queries: Seq[(Long, Seq[Double])],
+      topK: Int = 10,
+      metric: String = "l2",
+      rerankFactor: Int = 8): DataFrame = {
+    require(metric == "l2",
+      s"pqSearchBatch candidates rank by L2 ADC; got metric '$metric' — normalize vectors and use l2 for cosine semantics")
+    val scored = withQueryLuts(table.where(col(codesCol).isNotNull), pkCol,
+      codesCol, model, queries)
+    rerankCandidates(table, pkCol, vecCol, scored, queries, topK, metric, rerankFactor)
+  }
+
+  /** Multi-query IVF-PQ in ONE stage-1 job: the probed-cell union is a
+    * STATIC partition filter (only the union's files are read), a
+    * broadcast (qid, cell) map restricts each query to its own nprobe
+    * cells, ADC ranks inside them, and the shared bounded re-rank
+    * finishes at full precision. `ivfSearchBatch` × `pqSearchBatch`
+    * composed — the 100 TB serving shape: IO bounded by cells, CPU
+    * bounded by byte codes, accuracy restored on candidates only. */
+  def ivfPqSearchBatch(
+      indexed: DataFrame, // cell-partitioned layout carrying PQ codes
+      ivf: IvfModel,
+      pq: PqModel,
+      pkCol: String,
+      codesCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      topK: Int = 10,
+      nprobe: Int = 4,
+      metric: String = "l2",
+      rerankFactor: Int = 8): DataFrame = {
+    require(metric == "l2",
+      s"ivfPqSearchBatch candidates rank by L2 ADC; got metric '$metric'")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val probes = queries.flatMap { case (qid, q) =>
+      ivf.nearestCells(q, nprobe).map(c => qid -> c)
+    }
+    val allCells = probes.map(_._2).distinct
+    val probeDf = broadcast(probes.toDF("qid", "__probe_cell"))
+    val pruned = indexed
+      .where(col("__ivf_cell").isin(allCells: _*)) // static partition pruning
+      .where(col(codesCol).isNotNull)
+      .join(probeDf, col("__ivf_cell") === col("__probe_cell")) // per-query cells
+    val scored = withQueryLuts(pruned, pkCol, codesCol, pq, queries,
+      joinOnQid = true)
+    // re-rank reads stay inside the probed-cell union too: the candidate
+    // IN-filter composes with the static partition filter
+    rerankCandidates(indexed.where(col("__ivf_cell").isin(allCells: _*)),
+      pkCol, vecCol, scored, queries, topK, metric, rerankFactor)
+  }
+
+  /** Stage 1 of the batch PQ searches: broadcast-join the per-query ADC
+    * LUTs (cartesian when `joinOnQid` is false — every query sees every
+    * row; equi-join on qid when the input already carries a per-query
+    * restriction) and score codes against them → (qid, pk, __adc). */
+  private def withQueryLuts(rows: DataFrame, pkCol: String, codesCol: String,
+      model: PqModel, queries: Seq[(Long, Seq[Double])],
+      joinOnQid: Boolean = false): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val lutDf = broadcast(queries
+      .map { case (qid, q) => (qid, adcLutLocal(model, q)) }
+      .toDF("qid", "__lut"))
+    val joined =
+      if (joinOnQid) rows.join(lutDf, "qid")
+      else rows.join(lutDf) // cartesian with a broadcast-tiny side
+    joined.select(col("qid"), col(pkCol).as("pk"),
+      adcDistFromLut(col("__lut"), col(codesCol), model.m).as("__adc"))
+  }
+
+  /** Stage 2 of the batch PQ searches: per-query window keeps the ADC
+    * top `topK × rerank`, ONE driver-tiny collect of (qid, pk), then the
+    * exact re-rank reads full vectors behind a pushed candidate
+    * IN-filter. Output: (qid, pk, distance, score, rank) — `exactBatch`'s
+    * contract. */
+  private def rerankCandidates(table: DataFrame, pkCol: String, vecCol: String,
+      scored: DataFrame, queries: Seq[(Long, Seq[Double])], topK: Int,
+      metric: String, rerankFactor: Int): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("__adc").asc, col("pk").asc)
+    val candRows = scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= math.max(topK * rerankFactor, topK))
+      .select("qid", "pk").collect()
+    val pkType = table.schema(pkCol).dataType
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pk", pkType)))
+    val candDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), candSchema))
+    val allPks = candRows.map(_.get(1)).distinct
+    val qdf = broadcast(queries.toDF("qid", "qv"))
+    val d = distCol(metric, col(vecCol), col("qv"))
+    val rescored = table
+      .where(col(pkCol).isin(allPks: _*)) // pushed to the parquet scan
+      .where(col(vecCol).isNotNull)
+      .select(col(pkCol).as("pk"), col(vecCol))
+      .join(candDf, "pk") // candidate → its own queries only
+      .join(qdf, "qid")
+      .select(col("qid"), col("pk"), round(d, 6).as("distance"))
+    rankPerQuery(rescored, metric, topK)
   }
 
   // ---------- LSH (spark.ml) ----------

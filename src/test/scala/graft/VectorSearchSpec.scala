@@ -201,6 +201,58 @@ class VectorSearchSpec extends SparkSpec {
     narrow.foreach(r => assert(r.getDouble(1) == exactD(r.getLong(0))))
   }
 
+  test("pqSave/pqLoad: persisted codebooks encode and rank identically (no retrain)") {
+    val model = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_model").toString + "/m"
+    VectorSearch.pqSave(model, spark, path)
+    val loaded = VectorSearch.pqLoad(spark, path)
+    assert(loaded.m == model.m && loaded.k == model.k && loaded.dim == model.dim)
+    // exact double round-trip → bit-identical codebooks
+    assert(loaded.codebooks.flatten.flatten.toSeq == model.codebooks.flatten.flatten.toSeq)
+    val coded = embs.select(col("vec_id"), col("embedding"),
+      VectorSearch.pqEncode(model, col("embedding")).as("pq"))
+    val a = VectorSearch.pqSearch(coded, "vec_id", "pq", "embedding",
+      model, query, topK = 10, metric = "l2").collect().map(_.getLong(0)).toSeq
+    val b = VectorSearch.pqSearch(coded, "vec_id", "pq", "embedding",
+      loaded, query, topK = 10, metric = "l2").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("pqSearchBatch / ivfPqSearchBatch match the per-query operators") {
+    def qv(id: Long): Seq[Double] =
+      embs.where(col("vec_id") === id).select("embedding").head
+        .getSeq[Float](0).map(_.toDouble).toSeq
+    val queries = Seq(3L, 7L, 11L).map(id => id -> qv(id))
+    val pq = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+    val coded = embs.select(col("vec_id"), col("embedding"),
+      VectorSearch.pqEncode(pq, col("embedding")).as("pq"))
+    def byQid(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(4)).map(_.getLong(1)).toSeq).toMap
+    val batch = byQid(VectorSearch.pqSearchBatch(coded, "vec_id", "pq", "embedding",
+      pq, queries, topK = 5, rerankFactor = 8))
+    queries.foreach { case (qid, v) =>
+      val single = VectorSearch.pqSearch(coded, "vec_id", "pq", "embedding",
+        pq, v, topK = 5, metric = "l2", rerankFactor = 8)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == single, s"pqSearchBatch diverges for qid=$qid")
+    }
+    // IVF-PQ batch over a physically clustered layout
+    val ivf = VectorSearch.ivfTrain(embs, "embedding", nlist = 4, metric = "l2")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_batch").toString
+    graft.operators.Scale.writeClustered(
+      VectorSearch.ivfIndex(coded, ivf, "embedding"), s"$base/emb", "__ivf_cell")
+    val clustered = spark.read.parquet(s"$base/emb")
+    val annBatch = byQid(VectorSearch.ivfPqSearchBatch(clustered, ivf, pq,
+      "vec_id", "pq", "embedding", queries, topK = 5, nprobe = 2, rerankFactor = 8))
+    queries.foreach { case (qid, v) =>
+      val single = VectorSearch.ivfPqSearch(clustered, ivf, pq, "vec_id", "pq",
+        "embedding", v, topK = 5, nprobe = 2, rerankFactor = 8)
+        .collect().map(_.getLong(0)).toSeq
+      assert(annBatch(qid) == single, s"ivfPqSearchBatch diverges for qid=$qid")
+    }
+  }
+
   test("LSH similarity join returns only pairs within maxL2, a<b") {
     val out = VectorSearch.lshSimilarityJoin(embs.limit(200), "vec_id", "embedding",
       maxL2 = 1.2).collect()
