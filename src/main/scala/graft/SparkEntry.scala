@@ -1082,6 +1082,52 @@ object SparkEntry {
       require(finished, "q66_dedup_stream: streaming query did not finish within 120 s")
       s.table("q66_dedup_mem").orderBy("fp")
     }),
+    "q88_dedup_stream_near" -> ((s, dir) => {
+      // streaming NEAR-dup end-to-end: the corpus replays twice through a
+      // parquet feed — phase 1 is the batch KEEPER set (min-id per
+      // band-collision component), phase 2 the FULL corpus 2000 s later —
+      // and the stream's surviving set must equal the batch keeper set.
+      // Keeper-first is what makes the survivor IDENTITY deterministic:
+      // keepers are pairwise collision-free by construction (two colliding
+      // keepers would share a component), so phase 1 all survives in any
+      // order; in phase 2 every keeper re-arrival collides with its own
+      // phase-1 bands and every non-keeper collides with its component's
+      // keeper (measured on TESTDATA at these parameters: every collision
+      // component is a CLIQUE at both sf0.01 and sf0.1, so min-id keeper
+      // is adjacent to all members). Feed spread (3000 s) sits far inside
+      // the 6 h horizon → no state eviction can race the replay.
+      // maxFilesPerTrigger=1 + explicit mtimes pin phase order.
+      val base = tmpDir("q88")
+      val docs = eng(s, dir).table("documents").select(col("doc_id"), col("text"))
+      val nonKeepers = Dedup.bandCollisionPairs(docs, "doc_id", "text",
+          shingleN = 3, k = 12, bands = 4, oracleHash = true)
+        .select(col("b").as("doc_id")).distinct()
+      val keepers = docs.join(nonKeepers, Seq("doc_id"), "left_anti")
+      def at(off: org.apache.spark.sql.Column) =
+        timestamp_seconds(lit(1767225600L) + (off % 1000))
+      val p1 = keepers.select(col("doc_id"), col("text"), at(col("doc_id")).as("ts"))
+      p1.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
+      val feedDir = new java.io.File(base + "/feed")
+      def parts = feedDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val phase1Names = parts.map(_.getName).toSet
+      val t0 = 1700000000000L
+      parts.foreach(f => { f.setLastModified(t0): Unit })
+      docs.select(col("doc_id"), col("text"),
+          (at(col("doc_id")) + expr("INTERVAL 2000 SECONDS")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(base + "/feed")
+      parts.filterNot(f => phase1Names.contains(f.getName))
+        .foreach(f => { f.setLastModified(t0 + 600000L): Unit })
+      val stream = s.readStream.schema(p1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(base + "/feed")
+      val q = Dedup.dedupStreamNear(stream, "text", "ts", watermark = "6 hours",
+          shingleN = 3, k = 12, bands = 4, oracleHash = true)
+        .select("doc_id")
+        .writeStream.format("memory").queryName("q88_neardup_mem")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(120000); q.stop()
+      require(finished, "q88_dedup_stream_near: streaming query did not finish within 120 s")
+      s.table("q88_neardup_mem").orderBy("doc_id")
+    }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
       // (delete_builder.dart:4-39): rows surviving the delete
@@ -1825,6 +1871,21 @@ object SparkEntry {
       """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents
          ORDER BY fp""",
+    "q88_dedup_stream_near" ->
+      s"""$duckShingles, sig AS (
+            SELECT doc_id,
+              [list_min([md5(concat(CAST(i AS VARCHAR), ':', x)) for x in sh]) for i in range(0, 12)] AS sg
+            FROM s
+          ), bands AS (
+            SELECT doc_id, j.j AS band, md5(array_to_string(sg[j.j*3+1:j.j*3+3], '|')) AS bh
+            FROM sig, (SELECT unnest(range(4)) AS j) j
+          ), nk AS (
+            SELECT DISTINCT y.doc_id AS doc_id
+            FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+          )
+          SELECT d.doc_id FROM documents d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM nk)
+          ORDER BY d.doc_id""",
     "q46_delete_preview" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)

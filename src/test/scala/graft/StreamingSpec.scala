@@ -305,6 +305,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Dedup.dedupStreamNear: near-dup dropped in horizon; expired state re-admits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val aNear = a + " indeed" // distinct text, most shingles shared
+    val b = "completely different content about database engines and shuffle partitioning"
+    val c = "yet another unrelated document mentioning vectors and embeddings at scale"
+    // precondition (deterministic — fixed hashes): (a, aNear) band-collide
+    // at the spec parameters, nothing else does
+    val pre = graft.pipeline.Dedup.bandCollisionPairs(
+      Seq((1L, a), (2L, aNear), (3L, b), (4L, c)).toDF("id", "text"),
+      "id", "text", shingleN = 3, k = 12, bands = 4, oracleHash = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pre == Set((1L, 2L)), s"precondition: $pre")
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = graft.pipeline.Dedup.dedupStreamNear(
+        mem.toDS().toDF("text", "ts"), "text", "ts", watermark = "10 minutes",
+        shingleN = 3, k = 12, bands = 4)
+      .select("text", "ts")
+      .writeStream.format("memory").queryName("neardupstream")
+      .outputMode("append").start()
+    try {
+      mem.addData((a, ts(1)), (b, ts(2)))
+      q.processAllAvailable()
+      // near-dup of a, inside the horizon → dropped; unrelated c survives
+      mem.addData((aNear, ts(5)), (c, ts(6)))
+      q.processAllAvailable()
+      // advance the watermark past a's state (6 > 1 + 10-min delay ⇒
+      // watermark 30 evicts every band entry of a)
+      mem.addData((b + " v2", ts(40)))
+      q.processAllAvailable(); q.processAllAvailable()
+      // LATENESS contract: a duplicate arriving beyond the horizon is
+      // re-admitted — bounded state trades horizon for memory, exactly
+      // like dedupStream's exact-fp variant
+      mem.addData((a, ts(41)))
+      q.processAllAvailable()
+      val out = spark.table("neardupstream").select("text").collect()
+        .map(_.getString(0)).toSeq
+      assert(out.count(_ == a) == 2, s"expired dup must re-emit: $out")
+      assert(!out.contains(aNear), s"near-dup inside horizon must drop: $out")
+      assert(out.contains(b) && out.contains(c))
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap") {
     val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
       Seq("user_id"), Seq(count(lit(1)).as("cnt")))
