@@ -508,6 +508,38 @@ object SparkEntry {
         .orderByAsc("o_orderstatus", "o_orderpriority")
         .toDF
     }),
+    "q89_cache_epoch" -> ((s, dir) => {
+      // the query cache's correctness surface (TreeCache semantics,
+      // query_executor.dart:42-49): a cached chain result must never
+      // survive a write — every write path invalidates, and the epoch
+      // check refuses to insert a result computed from a pre-write
+      // snapshot. Flow: cached run (miss) → identical run (HIT) → update
+      // through the engine (invalidate) → re-run MUST recompute. The
+      // hit/miss counters ride along as constant columns so the gate pins
+      // the flow (1 hit, 2 misses), not just the final values.
+      import graft.schema._
+      val wh = tmpDir("q89")
+      val e = Graft.withWarehouse(s, dir, wh)
+      e.createTable(TableSchema("acct", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("bal", GType.GDouble), FieldSchema("seg", GType.GText))))
+      e.insertFrom("acct", e.table("customer").where(col("c_custkey") <= 40)
+        .select(col("c_custkey").cast("string").as("id"),
+          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg")))
+      def chain = e.query("acct")
+        .where("bal", ">", 0)
+        .selectAgg("seg", Agg.count(alias = "cnt"), Agg.max("bal", "max_bal"))
+        .orderByAsc("seg")
+      chain.useQueryCache().run() // miss → cached
+      chain.useQueryCache().run() // hit: same key, no write in between
+      // write through the engine: BUILDING rows zero out → leave bal > 0
+      e.update("acct").set("bal", 0.0).where("seg", "=", "BUILDING").apply()
+      val post = chain.useQueryCache().run() // invalidated → recompute
+      val (_, _, hits, misses) = e.queryCache.stats
+      s.createDataFrame(java.util.Arrays.asList(post.data: _*), post.data.head.schema)
+        .withColumn("cache_hits", lit(hits))
+        .withColumn("cache_misses", lit(misses))
+        .orderBy("seg")
+    }),
     "q53_upsert_branch" -> ((s, dir) => {
       // upsert Expr branches: isUpdate()/isInsert() + ifElse
       // (expr.dart:121-158) — matched rows get +1000, inserts get 0
@@ -1549,6 +1581,17 @@ object SparkEntry {
          FROM orders
          GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
+    "q89_cache_epoch" ->
+      """WITH acct AS (
+           SELECT CAST(c_custkey AS VARCHAR) AS id,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0
+                       ELSE CAST(c_acctbal AS DOUBLE) END AS bal,
+                  c_mktsegment AS seg
+           FROM customer WHERE c_custkey <= 40)
+         SELECT seg, count(*) AS cnt, max(bal) AS max_bal,
+                1 AS cache_hits, 2 AS cache_misses
+         FROM acct WHERE bal > 0
+         GROUP BY seg ORDER BY seg""",
     "q53_upsert_branch" ->
       """WITH staged AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

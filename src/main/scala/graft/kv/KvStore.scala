@@ -138,10 +138,11 @@ final class KvStore(
     // or a concurrent swap loses one writer's keys
     graft.write.Writes.singleTableFlow(path) {
       val tmp = path + ".staging"
-      data.coalesce(math.max(1, targetFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
+      graft.write.Writes.probeStaging(fs, tmp) // cross-process collision → loud
+      data.coalesce(math.max(1, targetFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
       val bak = new org.apache.hadoop.fs.Path(path + ".old")
       if (fs.exists(bak)) fs.delete(bak, true)
       if (fs.exists(p)) fs.rename(p, bak)

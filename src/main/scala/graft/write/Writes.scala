@@ -216,15 +216,35 @@ object Writes {
     * under the plan (FAILED_READ_FILE) or, worse, the stale snapshot wins
     * the swap and silently reverts the other writer. Deferring evaluation
     * puts the snapshot read inside the critical section. */
+  /** Loud cross-process collision detector: the staging dir is created
+    * and consumed entirely inside one JVM-locked critical section, so on
+    * entry it must NOT exist. If it does, another PROCESS is mid-write on
+    * the same warehouse — the documented scope violation (these locks
+    * serialize one JVM; cross-process coordination is a lock-service
+    * concern, as it is for the reference's in-process write queue) — or a
+    * crashed writer left debris. Either way a silent
+    * `mode(Overwrite)` of the staging dir could end in one writer's swap
+    * being LOST; failing fast with the remediation beats losing a write. */
+  private[graft] def probeStaging(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: String): Unit =
+    if (fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+      throw new IllegalStateException(
+        s"staging collision: $tmp already exists. Another process may be " +
+        "writing this table (graft write locks scope ONE JVM — route all " +
+        "writers of a warehouse through one engine process), or a crashed " +
+        "writer left debris; verify no other writer is live, then delete " +
+        "the staging directory to recover")
+
   def overwrite(engine: Graft, table: String, data: => DataFrame,
       op: String = "update"): Unit = {
     val path = engine.managedPath(table)
     flowLock.readLock().lock()
     try lockFor(path).synchronized {
       val tmp = path + ".staging"
-      data.write.mode(SaveMode.Overwrite).parquet(tmp)
       val conf = engine.spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      probeStaging(fs, tmp)
+      data.write.mode(SaveMode.Overwrite).parquet(tmp)
       val dst = new org.apache.hadoop.fs.Path(path)
       val bak = new org.apache.hadoop.fs.Path(path + ".old")
       if (fs.exists(bak)) fs.delete(bak, true)

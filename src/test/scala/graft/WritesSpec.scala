@@ -87,6 +87,39 @@ class WritesSpec extends SparkSpec {
     assert(e.table("scratch").count() == 1)
   }
 
+  test("stale staging dir fails LOUD (cross-process scope violation detector)") {
+    val wh = Files.createTempDirectory("graft_stale_staging").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    import graft.schema._
+    e.createTable(TableSchema("scratch", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GInteger))))
+    def two = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row("a", 1L), org.apache.spark.sql.Row("b", 2L)), 1),
+      e.registry.get("default", "scratch").get.sparkSchema)
+    Writes.overwrite(e, "scratch", two)
+    // simulate another PROCESS mid-write (or crash debris): a staging dir
+    // the in-JVM locks cannot know about
+    val staging = java.nio.file.Paths.get(e.managedPath("scratch") + ".staging")
+    Files.createDirectories(staging)
+    val ex = intercept[IllegalStateException] { Writes.overwrite(e, "scratch", two) }
+    assert(ex.getMessage.contains("staging collision"))
+    assert(e.table("scratch").count() == 2, "the detected write must not destroy the table")
+    // remediation path: delete the debris, writes proceed
+    Files.delete(staging)
+    Writes.overwrite(e, "scratch", two.where(col("id") === "a"))
+    assert(e.table("scratch").count() == 1)
+    // KV writes share the probe
+    val kv = new graft.kv.KvStore(e)
+    kv.set("k", "v")
+    val kvStaging = new java.io.File(wh + "/default/_kv_store.staging")
+    assert(kvStaging.mkdirs())
+    val kex = intercept[IllegalStateException] { kv.set("k2", "v2") }
+    assert(kex.getMessage.contains("staging collision"))
+    assert(kvStaging.delete())
+    kv.set("k2", "v2")
+    assert(kv.keys().toSet == Set("k", "k2"))
+  }
+
   test("concurrent writers on one table serialize: no lost updates, no staging collisions") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
