@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
  *
  * Image decode/resize is REAL for PNG/JPEG (and any other format the JDK's
  * `javax.imageio` registry carries — public JDK surface, headless-safe).
- * Payloads ImageIO cannot read (audio, video, the gate's text-bytes
- * stand-ins) fall back to the clearly-marked deterministic stub
- * (`FakeCodec`) so the pipeline shape stays total and testable; video
- * frame extraction remains fully stubbed (no container demuxer in the
- * JDK). The call sites (mapPartitions batch loop) never change — swap the
- * codec object for a JNI/opencv binding to widen format coverage.
+ * Payloads ImageIO cannot read (audio, the gate's text-bytes stand-ins)
+ * fall back to the clearly-marked deterministic stub (`FakeCodec`) so the
+ * pipeline shape stays total and testable. Frame sampling is REAL for
+ * animated GIF (`GifCodec`: multi-frame ImageIO read + delta-frame
+ * compositing — the one motion format a stock JDK can demux); other video
+ * containers (mp4/webm) still fall back to the stub, as the JDK ships no
+ * demuxer for them. The call sites (mapPartitions batch loop) never
+ * change — swap the codec object for a JNI/ffmpeg binding to widen
+ * format coverage.
  */
 object Multimodal {
 
@@ -84,6 +87,98 @@ object Multimodal {
       val n = math.max(1f, (w * ht).toFloat)
       h.map(_ / n)
     }
+  }
+
+  /** Real animated-GIF frame extraction — pure JVM (`javax.imageio`'s GIF
+    * reader demuxes the only motion format the stock JDK understands).
+    * GIF frames may be DELTAS (a sub-rectangle at an offset over the
+    * previous canvas), so each stored frame is composited onto a
+    * logical-screen canvas at its ImageDescriptor offset and snapshotted;
+    * restore-to-background/previous disposal is approximated by
+    * draw-over (the common case for screen-capture/meme GIFs; a frame
+    * SAMPLER tolerates the rare artifact). */
+  object GifCodec {
+    /** GIF87a/89a magic. */
+    def isGif(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 6 &&
+        bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+
+    /** All frames as fully-composed RGB snapshots, or None when the
+      * payload isn't a decodable GIF. */
+    def frames(bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] = {
+      if (!isGif(bytes)) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); return None }
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          var canvas: java.awt.image.BufferedImage = null
+          val out = Vector.newBuilder[java.awt.image.BufferedImage]
+          var i = 0
+          while (i < n) {
+            val frame = reader.read(i)
+            val (x, y) = frameOffset(reader, i)
+            if (canvas == null) {
+              val (cw, ch) = logicalScreen(reader)
+                .getOrElse((x + frame.getWidth, y + frame.getHeight))
+              canvas = new java.awt.image.BufferedImage(
+                math.max(cw, x + frame.getWidth), math.max(ch, y + frame.getHeight),
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+            }
+            val g = canvas.createGraphics()
+            g.drawImage(frame, x, y, null); g.dispose()
+            val snap = new java.awt.image.BufferedImage(
+              canvas.getWidth, canvas.getHeight,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = snap.createGraphics()
+            g2.drawImage(canvas, 0, 0, null); g2.dispose()
+            out += snap
+            i += 1
+          }
+          Some(out.result())
+        } finally { reader.dispose(); iis.close() }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Sampled frames re-encoded as PNG, keyed by SOURCE frame index. */
+    def sampleFramesPng(bytes: Array[Byte], everyN: Int): Option[Seq[(Int, Array[Byte])]] =
+      frames(bytes).map(_.zipWithIndex.collect {
+        case (f, i) if i % math.max(1, everyN) == 0 =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(f, "png", bos)
+          i -> bos.toByteArray
+      })
+
+    private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
+      try {
+        val tree = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0").asInstanceOf[org.w3c.dom.Element]
+        val ds = tree.getElementsByTagName("ImageDescriptor")
+        if (ds.getLength == 0) (0, 0)
+        else {
+          val e = ds.item(0).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("imageLeftPosition").toInt,
+            e.getAttribute("imageTopPosition").toInt)
+        }
+      } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+
+    private def logicalScreen(reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+      try {
+        val tree = reader.getStreamMetadata
+          .getAsTree("javax_imageio_gif_stream_1.0").asInstanceOf[org.w3c.dom.Element]
+        val ds = tree.getElementsByTagName("LogicalScreenDescriptor")
+        if (ds.getLength == 0) None
+        else {
+          val e = ds.item(0).asInstanceOf[org.w3c.dom.Element]
+          Some((e.getAttribute("logicalScreenWidth").toInt,
+            e.getAttribute("logicalScreenHeight").toInt))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Standard multimodal record schema: content + typed metadata. */
@@ -186,7 +281,11 @@ object Multimodal {
   }
 
   /** Frame sampling for video: one row per sampled frame (flatMap shape —
-    * the row-multiplying pattern a frame extractor needs). */
+    * the row-multiplying pattern a frame extractor needs). Animated GIF
+    * payloads decode for REAL (`GifCodec`: every `everyN`-th composed
+    * frame, re-encoded PNG, `frame_idx` = SOURCE frame index); payloads
+    * no JDK demuxer understands fall back to the deterministic stub
+    * (chunking, `frame_idx` = chunk ordinal) so the pass stays total. */
   def sampleFrames(df: DataFrame, everyN: Int,
       idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
     val outSchema = StructType(Seq(
@@ -199,7 +298,9 @@ object Multimodal {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
-        FakeCodec.frameSample(bytes, everyN).zipWithIndex.map { case (f, i) =>
+        val sampled = GifCodec.sampleFramesPng(bytes, everyN).getOrElse(
+          FakeCodec.frameSample(bytes, everyN).zipWithIndex.map(_.swap))
+        sampled.map { case (i, f) =>
           org.apache.spark.sql.Row(r.getLong(idIdx), i, f)
         }
       }

@@ -119,6 +119,49 @@ class PipelineSpec extends SparkSpec {
     assert(frames.forall(_.getInt(1) >= 0))
   }
 
+  test("real animated-GIF frame sampling: composed frames, source indices, PNG output") {
+    // build a 6-frame animated GIF in memory (each frame a solid color)
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0x00FFFF, 0xFF00FF)
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(20, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 20, 10); g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach(c => writer.writeToSequence(
+      new javax.imageio.IIOImage(solid(c), null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+    assert(Multimodal.GifCodec.isGif(gif))
+    // direct codec: all 6 frames decode at logical-screen size
+    val all = Multimodal.GifCodec.frames(gif).get
+    assert(all.size == 6 && all.forall(f => f.getWidth == 20 && f.getHeight == 10))
+    // Spark pass: every 2nd frame, frame_idx = SOURCE index, payload = PNG
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(9L, gif), Row(2L, "not a video".getBytes))), schema)
+    val frames = Multimodal.sampleFrames(df, everyN = 2)
+      .where(col("media_id") === 9L).orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    frames.zip(Seq(0, 2, 4)).foreach { case (r, src) =>
+      val img = Multimodal.ImageIoCodec.decode(r.getAs[Array[Byte]](2)).get
+      assert(img.getWidth == 20 && img.getHeight == 10)
+      // GIF palettizes: solid primaries round-trip exactly
+      assert((img.getRGB(5, 5) & 0xFFFFFF) == colors(src), s"frame $src color")
+    }
+    // non-GIF payloads keep the deterministic stub (shape contract intact)
+    val stub = Multimodal.sampleFrames(df, everyN = 4)
+      .where(col("media_id") === 2L).collect()
+    assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
+  }
+
   test("chunkByTokens: window boundaries, overlap, short-doc passthrough") {
     val docs = spark.createDataFrame(Seq(
       (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
