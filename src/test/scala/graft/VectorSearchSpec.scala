@@ -251,6 +251,22 @@ class VectorSearchSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
       assert(annBatch(qid) == single, s"ivfPqSearchBatch diverges for qid=$qid")
     }
+    // plan shape: the batch probe's scans stay inside the probed-cell
+    // UNION — __ivf_cell lands in partitionFilters (file pruning), and
+    // with nlist=4 / nprobe=2 / 3 queries the union must stay < nlist
+    // unless the queries genuinely cover all cells
+    val batchDf = VectorSearch.ivfPqSearchBatch(clustered, ivf, pq,
+      "vec_id", "pq", "embedding", queries, topK = 5, nprobe = 1, rerankFactor = 8)
+    val scans = batchDf.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.references.exists(_.name == "__ivf_cell")),
+        s"__ivf_cell not in partitionFilters: ${sc.partitionFilters}")
+      assert(sc.selectedPartitions.partitionCount <= 3,
+        s"nprobe=1 × 3 queries must touch ≤ 3 cells, saw ${sc.selectedPartitions.partitionCount}")
+    }
   }
 
   test("LSH similarity join returns only pairs within maxL2, a<b") {
