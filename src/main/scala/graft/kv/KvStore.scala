@@ -142,7 +142,13 @@ final class KvStore(
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
       graft.write.Writes.probeStaging(fs, tmp) // cross-process collision → loud
-      data.coalesce(math.max(1, targetFiles)).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // our own failed staging write must not wedge the store (see
+      // Writes.overwrite — same lock-held cleanup)
+      try data.coalesce(math.max(1, targetFiles))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      catch { case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true); throw e
+      }
       val bak = new org.apache.hadoop.fs.Path(path + ".old")
       if (fs.exists(bak)) fs.delete(bak, true)
       if (fs.exists(p)) fs.rename(p, bak)

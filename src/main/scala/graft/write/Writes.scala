@@ -244,7 +244,13 @@ object Writes {
       val conf = engine.spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
       probeStaging(fs, tmp)
-      data.write.mode(SaveMode.Overwrite).parquet(tmp)
+      // a FAILED staging write (plan error, bad cast) must not leave
+      // debris that wedges the table behind the probe — we hold the lock,
+      // so deleting our own partial staging here is always safe
+      try data.write.mode(SaveMode.Overwrite).parquet(tmp)
+      catch { case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true); throw e
+      }
       val dst = new org.apache.hadoop.fs.Path(path)
       val bak = new org.apache.hadoop.fs.Path(path + ".old")
       if (fs.exists(bak)) fs.delete(bak, true)

@@ -108,6 +108,16 @@ class WritesSpec extends SparkSpec {
     Files.delete(staging)
     Writes.overwrite(e, "scratch", two.where(col("id") === "a"))
     assert(e.table("scratch").count() == 1)
+    // an in-JVM FAILED staging write cleans up after itself — the next
+    // write must NOT hit the probe (only cross-process debris should)
+    val boomUdf = org.apache.spark.sql.functions.udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("boom"); x
+    })
+    val bad = two.withColumn("v", boomUdf(col("v"))) // fails mid-staging-write
+    intercept[Exception] { Writes.overwrite(e, "scratch", bad) }
+    assert(!Files.exists(staging), "failed staging write must clean its debris")
+    Writes.overwrite(e, "scratch", two)
+    assert(e.table("scratch").count() == 2)
     // KV writes share the probe
     val kv = new graft.kv.KvStore(e)
     kv.set("k", "v")
