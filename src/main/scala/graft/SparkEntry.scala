@@ -379,6 +379,17 @@ object SparkEntry {
       VectorSearch.ivfRecallReport(e.table("embeddings"), "vec_id", "embedding",
         tmp, queryIds = 0L until 8L, nprobes = Seq(1, 2, 4, 8), topK = 10, nlist = 8)
     }),
+    "q91_pq_recall" -> ((s, dir) => {
+      // published recall for the PQ serving path (SURVEY §7.3), the PQ
+      // counterpart of q55: one row per rerankFactor with mean recall@10
+      // vs the exact batch oracle, the full-precision candidate fraction,
+      // and the code-column compression. Approximate by design → driver
+      // rows-only check; VectorSearchSpec pins monotone recall and exact
+      // recovery at the q90 gate's rerankFactor.
+      val e = eng(s, dir)
+      VectorSearch.pqRecallReport(e.table("embeddings"), "vec_id", "embedding",
+        queryIds = 0L until 8L, rerankFactors = Seq(1, 2, 8, 20), topK = 10)
+    }),
     "q34_kv_roundtrip" -> ((s, dir) => {
       val wh = tmpDir("kv")
       val e = Graft.withWarehouse(s, dir, wh)

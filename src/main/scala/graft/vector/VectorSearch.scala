@@ -653,6 +653,57 @@ object VectorSearch {
       pkCol, vecCol, scored, queries, topK, metric, rerankFactor)
   }
 
+  /**
+   * Recall report for the PQ serving path — SURVEY §7.3's "the
+   * approximate path must publish recall alongside latency", the PQ
+   * counterpart of `ivfRecallReport`. Trains a seeded codebook, encodes
+   * once, and for each rerankFactor measures mean recall@topK of
+   * `pqSearchBatch` against `exactBatch` on the same queries, plus the
+   * candidate fraction the re-rank actually touched at full precision
+   * and the storage compression of the code column. One batch job per
+   * rerankFactor — O(factors) jobs, not O(queries × factors).
+   *
+   * Output: (rerank_factor, recall_at_k, candidate_frac, compression_x).
+   */
+  def pqRecallReport(
+      embs: DataFrame,
+      pkCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      rerankFactors: Seq[Int],
+      topK: Int = 10,
+      m: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val spark = embs.sparkSession
+    val model = pqTrain(embs, vecCol, m, k, seed)
+    val coded = embs.select(col(pkCol), col(vecCol),
+      pqEncode(model, col(vecCol)).as("__pq"))
+    val total = math.max(1L, coded.where(col("__pq").isNotNull).count())
+    val queries = embs.where(col(pkCol).isin(queryIds: _*))
+      .select(col(pkCol), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "pk").collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exactTop = topSets(exactBatch(embs, pkCol, vecCol, queries, topK, "l2"))
+    val compression = model.dim * 4.0 / model.m // float32 dims vs 1-byte codes
+    val rows = rerankFactors.map { rf =>
+      val annTop = topSets(pqSearchBatch(coded, pkCol, "__pq", vecCol, model,
+        queries, topK, "l2", rf))
+      var hits = 0; var denom = 0
+      queries.foreach { case (id, _) =>
+        hits += (exactTop.getOrElse(id, Set.empty) & annTop.getOrElse(id, Set.empty)).size
+        denom += exactTop.getOrElse(id, Set.empty).size
+      }
+      (rf, math.round(hits.toDouble / math.max(1, denom) * 10000) / 10000.0,
+        math.round(math.min(1.0, topK.toLong * rf / total.toDouble) * 10000) / 10000.0,
+        math.round(compression * 100) / 100.0)
+    }
+    import spark.implicits._
+    rows.toDF("rerank_factor", "recall_at_k", "candidate_frac", "compression_x")
+  }
+
   /** Stage 1 of the batch PQ searches: broadcast-join the per-query ADC
     * LUTs (cartesian when `joinOnQid` is false — every query sees every
     * row; equi-join on qid when the input already carries a per-query

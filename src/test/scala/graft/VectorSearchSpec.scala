@@ -269,6 +269,23 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("pqRecallReport: monotone recall in rerankFactor, ≥0.9 at 20, true compression") {
+    val report = VectorSearch.pqRecallReport(embs, "vec_id", "embedding",
+      queryIds = 0L until 8L, rerankFactors = Seq(1, 2, 8, 20), topK = 10)
+      .orderBy("rerank_factor").collect()
+    val recalls = report.map(_.getDouble(1)).toSeq
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)), s"recall not monotone: $recalls")
+    // near-isotropic TESTDATA embeddings (q55's documented regime): the
+    // report EXPOSES the tradeoff; the q90 gate separately pins exact
+    // recovery for its query set at rf=20
+    assert(recalls.last >= 0.9, s"rerankFactor 20 recall floor: $recalls")
+    // candidate_frac grows with the window and stays a strict subset
+    val fracs = report.map(_.getDouble(2)).toSeq
+    assert(fracs.sliding(2).forall(p => p(0) <= p(1)) && fracs.forall(_ < 1.0))
+    // dim=64 float32 vectors vs m=8 byte codes → 32× smaller
+    assert(report.forall(_.getDouble(3) == 32.0))
+  }
+
   test("LSH similarity join returns only pairs within maxL2, a<b") {
     val out = VectorSearch.lshSimilarityJoin(embs.limit(200), "vec_id", "embedding",
       maxL2 = 1.2).collect()
