@@ -1010,6 +1010,16 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), shingleN = 3)
         .orderBy("doc_id")
     }),
+    "q92_contamination_bloom" -> ((s, dir) => {
+      // the 100 TB decontamination shape: broadcast Bloom over the eval
+      // split's shingles pre-filters the TRAIN side before its distinct
+      // shuffle; exact join eliminates Bloom false positives, so the
+      // result hash-matches q79's exact-path oracle IDENTICALLY
+      graft.pipeline.Sampling.contaminationBloom(
+          eng(s, dir).table("documents"), "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), shingleN = 3)
+        .orderBy("doc_id")
+    }),
     "q80_packing" -> ((s, dir) => {
       // sequence packing into 512-token bins, parallel per source group;
       // the oracle reruns the identical window arithmetic, so any drift
@@ -1858,6 +1868,23 @@ object SparkEntry {
                 round(avg(n_chars), 6) AS mean_len
          FROM documents GROUP BY source ORDER BY source""",
     "q79_contamination" -> {
+      import graft.pipeline.Sampling.cutHex
+      s"""$duckShingles, sp AS (
+            SELECT doc_id, sh,
+              CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' THEN 'train'
+                   WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.9)}' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM s
+          ), tr AS (SELECT DISTINCT unnest(sh) AS g FROM sp WHERE split = 'train'),
+          te AS (SELECT doc_id, unnest(sh) AS g FROM sp WHERE split = 'test'),
+          hits AS (SELECT te.doc_id, count(*) AS hits FROM te JOIN tr USING (g) GROUP BY 1),
+          tot AS (SELECT doc_id, len(sh) AS n_shingles FROM sp WHERE split = 'test')
+          SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                 CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                 round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination
+          FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id"""
+    },
+        "q92_contamination_bloom" -> {
       import graft.pipeline.Sampling.cutHex
       s"""$duckShingles, sp AS (
             SELECT doc_id, sh,

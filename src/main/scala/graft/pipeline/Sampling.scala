@@ -117,13 +117,61 @@ object Sampling {
       splits: Seq[(String, Double)], shingleN: Int = 3,
       trainSplit: String = "train", testSplit: String = "test",
       salt: String = "split"): DataFrame = {
+    val withSplit = splitShingles(docs, idCol, textCol, splits, shingleN, salt)
+    val trainG = withSplit.where(col("split") === trainSplit)
+      .select(explode(col("__sh")).as("g"))
+    contaminationTail(withSplit, idCol, testSplit, trainG)
+  }
+
+  /**
+   * Bloom-prefiltered decontamination — the 100 TB shape of
+   * `contamination`, SAME exact result. The eval split's distinct
+   * shingle set is tiny next to the training corpus, so a broadcast
+   * Bloom filter built over it pre-filters the TRAIN side's exploded
+   * shingles BEFORE the big distinct shuffle: only true matches and the
+   * `fpp` sliver of false positives shuffle at all, instead of every
+   * distinct training n-gram. Exactness is preserved by construction —
+   * Bloom has NO false negatives (every truly-shared shingle passes) and
+   * its false positives are eliminated by the exact equi-join that
+   * follows; the gate hash-matches this plan against q79's oracle.
+   *
+   * The membership test is a (broadcast-value) UDF: Spark's bloom
+   * expressions are internal to its runtime-filter rule, with no public
+   * Column form — one boolean UDF per TRAIN shingle buys removing the
+   * corpus-scale shuffle, the right trade at the design point.
+   */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], shingleN: Int = 3,
+      trainSplit: String = "train", testSplit: String = "test",
+      salt: String = "split", fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val withSplit = splitShingles(docs, idCol, textCol, splits, shingleN, salt)
+    val testG = withSplit.where(col("split") === testSplit)
+      .select(explode(col("__sh")).as("g")).distinct()
+    val expected = math.max(1000L, testG.count())
+    val bloom = testG.stat.bloomFilter("g", expected, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    val trainG = withSplit.where(col("split") === trainSplit)
+      .select(explode(col("__sh")).as("g"))
+      .where(mightContain(col("g"))) // broadcast-bloom prefilter: candidates only
+    contaminationTail(withSplit, idCol, testSplit, trainG)
+  }
+
+  /** Shared split+shingle projection (each stage a projection boundary). */
+  private def splitShingles(docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], shingleN: Int, salt: String): DataFrame = {
     import graft.functions.GraftFunctions.shingles
-    val withSplit = assignSplit(docs, idCol, splits, salt)
+    assignSplit(docs, idCol, splits, salt)
       .select(col(idCol), col("split"),
         shingles(col(textCol), shingleN).as("__sh"))
-    val trainSet = withSplit.where(col("split") === trainSplit)
-      .select(explode(col("__sh")).as("g")).distinct()
-      .withColumn("__hit", lit(1L))
+  }
+
+  /** Shared tail: distinct the train-side shingles, left-join the test
+    * side once, one groupBy yields totals and hits together. */
+  private def contaminationTail(withSplit: DataFrame, idCol: String,
+      testSplit: String, trainG: DataFrame): DataFrame = {
+    val trainSet = trainG.distinct().withColumn("__hit", lit(1L))
     withSplit.where(col("split") === testSplit)
       .select(col(idCol), explode(col("__sh")).as("g"))
       .join(trainSet, Seq("g"), "left")

@@ -96,4 +96,20 @@ class SamplingSpec extends SparkSpec {
     assert(out(testIds(2)) == ((2L, 0L, 0.0)))
     assert(!out.contains(trainId)) // report covers the test split only
   }
+
+  test("contaminationBloom == contamination exactly (no false negatives by construction)") {
+    val docs = engine.table("documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val exact = keyed(Sampling.contamination(docs, "doc_id", "text", splits))
+    // even at an aggressive fpp the exact join scrubs every Bloom false
+    // positive — results must be IDENTICAL, not merely close
+    for (fpp <- Seq(0.01, 0.3)) {
+      val bloomed = keyed(Sampling.contaminationBloom(docs, "doc_id", "text",
+        splits, fpp = fpp))
+      assert(bloomed == exact, s"bloom path diverged at fpp=$fpp")
+    }
+  }
 }
