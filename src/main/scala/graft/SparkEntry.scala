@@ -1000,6 +1000,39 @@ object SparkEntry {
           col("redacted"))
         .orderBy("doc_id")
     }),
+    "q93_strip_markup" -> ((s, dir) => {
+      // web-corpus markup strip: the corpus carries no HTML, so engine AND
+      // oracle wrap the same deterministic markup (script/style blocks,
+      // comments, attributes, entities) around doc_id-selected docs; the
+      // operator must strip and entity-decode to an identical full-text
+      // hash — a regex-dialect drift or ordering change goes red
+      val d = eng(s, dir).table("documents")
+      val injected = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("<html><head><style>body{color:red}</style>" +
+              "<script type=\"text/javascript\">var x = 1 < 2;</script>" +
+              "</head><body><!-- c --><h1 id=\"t\">T"),
+            col("doc_id").cast("string"),
+            lit("</h1><p>"), col("text"),
+            lit(" &amp;lt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("<div class='a' data-x=\"1\">"), col("text"), lit("</div><br/>")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), TextAnalysis.stripMarkup(injected).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+    "q94_mix_sources" -> ((s, dir) => {
+      // deterministic source-weighted corpus mixing (the C4-style data
+      // recipe): per-source keep rates compiled to ONE codegen CASE over
+      // the same md5 bucket key as q75 — assignment is a pure function of
+      // (id, salt), reproducible across runs, engines and partitionings,
+      // and adding data later never flips existing verdicts
+      graft.pipeline.Sampling.sampleStratified(
+          eng(s, dir).table("documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0),
+          defaultFraction = 0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -1867,6 +1900,43 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.99), 6) AS p99,
                 round(avg(n_chars), 6) AS mean_len
          FROM documents GROUP BY source ORDER BY source""",
+    "q93_strip_markup" ->
+      """WITH inj AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN
+                    '<html><head><style>body{color:red}</style>' ||
+                    '<script type="text/javascript">var x = 1 < 2;</script>' ||
+                    '</head><body><!-- c --><h1 id="t">T' || CAST(doc_id AS VARCHAR) ||
+                    '</h1><p>' || text ||
+                    ' &amp;lt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>'
+                  WHEN doc_id % 4 = 1 THEN
+                    '<div class=''a'' data-x="1">' || text || '</div><br/>'
+                  ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS cleaned
+         FROM inj ORDER BY doc_id""",
+    "q94_mix_sources" -> {
+      import graft.pipeline.Sampling.cutHex
+      s"""SELECT doc_id, source FROM documents
+          WHERE CASE
+            WHEN source = 'src0' THEN TRUE
+            WHEN source = 'src1' THEN substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.5)}'
+            WHEN source = 'src2' THEN substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.25)}'
+            WHEN source = 'src3' THEN FALSE
+            ELSE substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.1)}'
+          END
+          ORDER BY doc_id"""
+    },
     "q79_contamination" -> {
       import graft.pipeline.Sampling.cutHex
       s"""$duckShingles, sp AS (

@@ -327,6 +327,36 @@ object TextAnalysis {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  // ---------- markup stripping ----------
+
+  /** Markup-strip patterns, RE2 ∩ java.util.regex subset (inline (?is)
+    * flags instead of engine-specific options, so the DuckDB oracle runs
+    * byte-identical patterns with only its 'g' flag added). */
+  val ScriptStyleRe = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+  val CommentRe     = "(?s)<!--.*?-->"
+  val TagRe         = "<[^>]+>"
+
+  /**
+   * Strip HTML/XML markup down to text — the first pass every web-corpus
+   * pipeline runs before any quality/dedup stage. Order matters and is
+   * fixed: script/style blocks (content AND tags die together), comments,
+   * then remaining tags → spaces, then one non-recursive entity-decode
+   * pass (named five + `&amp;` LAST, so `&amp;lt;` decodes to the literal
+   * `&lt;` exactly like a real one-pass decoder), then whitespace
+   * collapse + trim. Pure codegen `regexp_replace`/`replace` chain —
+   * shuffle-free, scan-parallel, no UDF.
+   */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, ScriptStyleRe, " "), CommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---------- sequence packing ----------
 
   /**

@@ -162,6 +162,22 @@ class PipelineSpec extends SparkSpec {
     assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
   }
 
+  test("stripMarkup: blocks die whole, tags -> spaces, one-pass entity decode") {
+    def strip(s: String): String =
+      spark.createDataFrame(Seq(Tuple1(s))).toDF("t")
+        .select(TextAnalysis.stripMarkup(col("t"))).collect()(0).getString(0)
+    // script/style content dies WITH the tags, case-insensitively, across lines
+    assert(strip("a<SCRIPT>\nvar x = 1 < 2;\n</script>b") == "a b")
+    assert(strip("x<style media=\"all\">p { a: 1 }</STYLE>y") == "x y")
+    // comments (multi-line), attribute-laden tags, self-closing tags
+    assert(strip("a<!-- c\nd -->b<div class='q' data-x=\"1\">c</div><br/>d") == "a b c d")
+    // one-pass entity decode: &amp;lt; becomes the LITERAL &lt; (no recursion)
+    assert(strip("1 &lt; 2 &amp;&amp; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;")
+      == "1 < 2 && \"q\" 's' end &lt;")
+    // plain prose passes through modulo whitespace collapse
+    assert(strip("  plain   text \n unchanged ") == "plain text unchanged")
+  }
+
   test("chunkByTokens: window boundaries, overlap, short-doc passthrough") {
     val docs = spark.createDataFrame(Seq(
       (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
