@@ -227,6 +227,49 @@ object Multimodal {
       .withColumn("content_sha1", sha1(coalesce(col(contentCol), lit(Array.emptyByteArray))))
 
   /**
+   * Ingest a directory/glob of raw media files into the standard media
+   * schema via Spark's `binaryFile` source — the missing first step of
+   * the media pipeline (crawl dir → DataFrame). Distributed file reads
+   * (each executor reads its own split of files), no driver
+   * materialization; `media_id` = xxhash64(path) so re-ingesting is
+   * idempotent and ids are stable across runs and partitionings. The
+   * modality/mime guess comes from the extension (a content-sniffing
+   * decode pass — `decodeImages` — refines it later); `path` rides along
+   * for lineage. `pathGlobFilter` pushes the extension filter into file
+   * LISTING, not a post-scan filter.
+   */
+  def readMedia(spark: org.apache.spark.sql.SparkSession, path: String,
+      globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val df = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).load(path)
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val mime = when(ext.isin("png"), "image/png")
+      .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+      .when(ext.isin("gif"), "image/gif")
+      .when(ext.isin("bmp"), "image/bmp")
+      .when(ext.isin("wav"), "audio/wav")
+      .when(ext.isin("mp3"), "audio/mpeg")
+      .when(ext.isin("flac"), "audio/flac")
+      .when(ext.isin("mp4"), "video/mp4")
+      .when(ext.isin("webm"), "video/webm")
+      .otherwise("application/octet-stream")
+    val modality = when(mime.startsWith("image/"),
+        when(ext === "gif", "video").otherwise("image")) // animated GIF = frames
+      .when(mime.startsWith("audio/"), "audio")
+      .when(mime.startsWith("video/"), "video")
+      .otherwise("binary")
+    df.select(
+      xxhash64(col("path")).as("media_id"),
+      modality.as("modality"),
+      col("content"),
+      struct(mime.as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")).as("meta"),
+      col("path"))
+  }
+
+  /**
    * Decode pass via mapPartitions: per-partition "codec init" happens once,
    * rows stream through in a batch loop. Output adds (width, height,
    * feature ARRAY<FLOAT>). Row-encoder based to stay schema-dynamic.

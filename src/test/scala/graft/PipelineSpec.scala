@@ -162,6 +162,31 @@ class PipelineSpec extends SparkSpec {
     assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
   }
 
+  test("readMedia: binaryFile ingest to media schema, stable ids, decode composes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_in")
+    // one real PNG + one opaque payload
+    val img = new java.awt.image.BufferedImage(13, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("a.png").toFile)
+    java.nio.file.Files.write(dir.resolve("b.bin"), "opaque-bytes".getBytes)
+    val media = Multimodal.readMedia(spark, dir.toString)
+    val rows = media.orderBy("path").collect()
+    assert(rows.length == 2)
+    val byExt = rows.map(r => r.getAs[String]("path").split('.').last -> r).toMap
+    assert(byExt("png").getAs[String]("modality") == "image")
+    assert(byExt("png").getAs[org.apache.spark.sql.Row]("meta").getAs[String]("mime") == "image/png")
+    assert(byExt("bin").getAs[String]("modality") == "binary")
+    // ids are a pure function of the path → stable across re-ingest
+    val again = Multimodal.readMedia(spark, dir.toString).orderBy("path").collect()
+    assert(rows.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // glob filter pushes into LISTING: only the png is read at all
+    assert(Multimodal.readMedia(spark, dir.toString, Some("*.png")).count() == 1)
+    // composes with the real decode pass
+    val dims = Multimodal.decodeImages(media.where(col("modality") === "image"))
+      .select("width", "height").collect()(0)
+    assert(dims.getInt(0) == 13 && dims.getInt(1) == 7)
+  }
+
   test("stripMarkup: blocks die whole, tags -> spaces, one-pass entity decode") {
     def strip(s: String): String =
       spark.createDataFrame(Seq(Tuple1(s))).toDF("t")
