@@ -191,3 +191,57 @@ case class VecDistSq(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** ADC (asymmetric distance) kernel: Σ_s lut[s][codes[s]] — the PQ scan's
+  * hot loop. The HOF formulation (`aggregate(sequence, ...,
+  * element_at(element_at(lut,...)))`) is CodegenFallback: every code
+  * crosses the interpreted boundary with boxing, per row, on the one
+  * column a 100 TB PQ serving scan actually reads. One static call with a
+  * tight primitive loop instead. A null/short code array, a null LUT row,
+  * or an out-of-range code yields null (the HOF's non-ANSI behavior;
+  * encode never produces any of these). */
+object PqAdcKernel {
+  def adc(lut: ArrayData, codes: ArrayData, wide: Boolean): java.lang.Double = {
+    val m = lut.numElements()
+    if (codes.numElements() < m) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (lut.isNullAt(s) || codes.isNullAt(s)) return null
+      val row = lut.getArray(s)
+      val c = if (wide) codes.getLong(s).toInt else codes.getInt(s)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      acc += row.getDouble(c)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** pqAdc(lut ARRAY<ARRAY<DOUBLE>>, codes ARRAY<INT|LONG>) → DOUBLE. */
+case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def wide: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType                            => true
+      case IntegerType | ShortType | ByteType  => false
+      case t => throw new IllegalArgumentException(s"pqAdc needs integral codes, got $t")
+    }
+
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    PqAdcKernel.adc(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], wide)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      s"""
+      java.lang.Double ${ev.value}_r = graft.expr.PqAdcKernel.adc($lut, $codes, $wide);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

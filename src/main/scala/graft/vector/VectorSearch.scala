@@ -507,8 +507,13 @@ object VectorSearch {
     }.toSeq
   }
 
-  /** Sum of the m code lookups against a LUT column (array<array<double>>). */
+  /** Sum of the m code lookups against a LUT column (array<array<double>>)
+    * — `PqAdcExpr` codegen kernel (the PQ scan's hot loop); the HOF twin
+    * below stays as its byte-identity spec cross-check. */
   private def adcDistFromLut(lut: Column, codesCol: Column, m: Int): Column =
+    kcol(graft.expr.PqAdcExpr(kexp(lut), kexp(codesCol)))
+
+  private[graft] def adcDistFromLutHof(lut: Column, codesCol: Column, m: Int): Column =
     bind(lut) { t =>
       aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
         (acc, s) => acc +

@@ -269,6 +269,31 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("PqAdcExpr kernel == HOF formulation (byte-identity incl. null codes)") {
+    val model = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+    // null vectors encode to null codes — the kernel must null-propagate
+    // exactly like the HOF chain
+    val coded = embs.select(col("vec_id"),
+        when(col("vec_id") % 97 === 0, lit(null)).otherwise(col("embedding")).as("v"))
+      .select(col("vec_id"), VectorSearch.pqEncode(model, col("v")).as("pq"))
+    val cmp = coded.select(col("vec_id"),
+      VectorSearch.pqAdcDist(model, query, col("pq")).as("kern"))
+    // rebuild the HOF form against the same literal LUT via the public twin
+    val lutCol = {
+      val dsub = model.dsub
+      array(model.codebooks.zipWithIndex.map { case (book, s) =>
+        val qs = query.slice(s * dsub, (s + 1) * dsub)
+        array(book.map(c => lit(qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)): _*)
+      }: _*)
+    }
+    val hof = coded.select(col("vec_id"),
+      VectorSearch.adcDistFromLutHof(lutCol, col("pq"), model.m).as("hof"))
+    val joined = cmp.join(hof, "vec_id")
+    assert(joined.where(col("kern").isNull =!= col("hof").isNull).count() == 0)
+    assert(joined.where(col("kern") =!= col("hof")).count() == 0)
+    assert(joined.where(col("kern").isNull).count() > 0, "null-code rows must exist")
+  }
+
   test("pqRecallReport: monotone recall in rerankFactor, ≥0.9 at 20, true compression") {
     val report = VectorSearch.pqRecallReport(embs, "vec_id", "embedding",
       queryIds = 0L until 8L, rerankFactors = Seq(1, 2, 8, 20), topK = 10)
