@@ -245,3 +245,51 @@ case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** int8 dequantize kernel: code.toFloat * scale per element, one static
+  * call instead of an interpreted `transform` lambda per row — the only
+  * non-codegen step left in the two-stage int8 scan. Null elements
+  * propagate; float arithmetic matches the Column form (FLOAT × FLOAT
+  * in Spark evaluates as a java float multiply). */
+object Int8Kernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def dequantize(quant: InternalRow): ArrayData = {
+    if (quant.isNullAt(0)) return null // transform(null, ...) → null array
+    val q = quant.getArray(0)
+    val n = q.numElements()
+    val out = new Array[Any](n)
+    // scale null (unreachable from quantizeInt8, defensive): the HOF
+    // multiplies every element by null → array of null elements
+    val scaleNull = quant.isNullAt(1)
+    val scale = if (scaleNull) 0f else quant.getFloat(1)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (scaleNull || q.isNullAt(i)) null
+        else java.lang.Float.valueOf(q.getByte(i).toFloat * scale)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** dequantizeInt8(STRUCT<q ARRAY<BYTE>, scale FLOAT>) → ARRAY<FLOAT>. */
+case class DequantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Kernel.dequantize(a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+      ${ev.value} = graft.expr.Int8Kernel.dequantize($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -336,8 +336,14 @@ object VectorSearch {
         (amax / lit(127.0)).cast("float").as("scale"))
     }
 
-  /** Dequantize an int8-quantized struct back to float. */
+  /** Dequantize an int8-quantized struct back to float — codegen kernel
+    * (`DequantizeInt8Expr`), one static call per row instead of an
+    * interpreted per-element lambda; HOF twin below is the byte-identity
+    * spec cross-check. */
   def dequantizeInt8(q: Column): Column =
+    kcol(graft.expr.DequantizeInt8Expr(kexp(q)))
+
+  private[graft] def dequantizeInt8Hof(q: Column): Column =
     transform(q.getField("q"), x => (x.cast("float") * q.getField("scale")).cast("float"))
 
   /**

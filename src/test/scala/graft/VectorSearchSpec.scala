@@ -294,6 +294,17 @@ class VectorSearchSpec extends SparkSpec {
     assert(joined.where(col("kern").isNull).count() > 0, "null-code rows must exist")
   }
 
+  test("DequantizeInt8Expr kernel == HOF formulation (byte-identity incl. null vectors)") {
+    val quant = embs.select(col("vec_id"),
+        when(col("vec_id") % 97 === 0, lit(null)).otherwise(col("embedding")).as("v"))
+      .select(col("vec_id"), VectorSearch.quantizeInt8(col("v")).as("q8"))
+    val cmp = quant.select(col("vec_id"),
+      VectorSearch.dequantizeInt8(col("q8")).as("kern"),
+      VectorSearch.dequantizeInt8Hof(col("q8")).as("hof"))
+    assert(cmp.where(col("kern").isNull =!= col("hof").isNull).count() == 0)
+    assert(cmp.where(col("kern") =!= col("hof")).count() == 0)
+  }
+
   test("pqRecallReport: monotone recall in rerankFactor, ≥0.9 at 20, true compression") {
     val report = VectorSearch.pqRecallReport(embs, "vec_id", "embedding",
       queryIds = 0L until 8L, rerankFactors = Seq(1, 2, 8, 20), topK = 10)
