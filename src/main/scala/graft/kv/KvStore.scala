@@ -182,7 +182,8 @@ final class KvStore(
     * use `keysIterator` to traverse an unbounded store. */
   def keys(prefix: Option[String] = None, cap: Int = KvStore.KeyListCap): Seq[String] = {
     val base = prefix.fold(df)(p => df.where(col("key").startsWith(p)))
-    val got = base.select("key").limit(cap + 1).collect().map(_.getString(0)).toSeq
+    val probe = if (cap == Int.MaxValue) cap else cap + 1 // avoid overflow
+    val got = base.select("key").limit(probe).collect().map(_.getString(0)).toSeq
     if (got.size > cap) throw new IllegalStateException(
       s"KvStore.keys(): more than $cap keys in the store; raise `cap` or use keysIterator()")
     got
