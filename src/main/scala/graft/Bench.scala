@@ -54,14 +54,22 @@ object Bench {
         (if (good.isEmpty) " (ALL REPS FAILED)" else ""))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds (1 ms grain): the full-precision line ran ~3.5 KB
+    // and the driver's capture window clipped it mid-line four rounds
+    // running (BENCH_r05–r08 "parsed": null); rounding keeps it ~2 KB
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+    // FIRST post-run stdout line, flushed immediately — nothing (record
+    // IO, spark.stop) may run before it: the driver's tail has clipped a
+    // late-emitted record four consecutive rounds
     println(line)
-    // Self-recording: the driver captures stdout from a log tail that has
-    // truncated three consecutive per-query records, so ALSO persist the
-    // exact same line to target/bench.json (overridable for tests).
+    System.out.flush()
+    // Self-recording: ALSO persist the exact same line to
+    // target/bench.json (overridable for tests) in case stdout is lost.
     val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(recordPath)
@@ -69,6 +77,11 @@ object Bench {
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] record written to $recordPath")
     } catch { case e: Throwable => System.err.println(s"[bench] record write failed: $e") }
+    // identical line again as the LAST stdout line: a tail-biased capture
+    // window sees a complete record too (duplicates are safe — first- and
+    // last-match parsers read the same bytes)
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

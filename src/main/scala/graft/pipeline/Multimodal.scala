@@ -110,8 +110,12 @@ object Multimodal {
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
+        // iis closes on EVERY exit — including a throw from reader
+        // acquisition — or a long-running executor leaks one stream
+        // per malformed payload
+        try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); return None }
+        if (!readers.hasNext) return None
         val reader = readers.next()
         try {
           reader.setInput(iis, false)
@@ -141,7 +145,8 @@ object Multimodal {
             i += 1
           }
           Some(out.result())
-        } finally { reader.dispose(); iis.close() }
+        } finally reader.dispose()
+        } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 

@@ -241,10 +241,32 @@ object VectorSearch {
   def ivfSave(model: IvfModel, spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import spark.implicits._
-    model.centroids.toSeq.zipWithIndex
+    stagedModelWrite(model.centroids.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq, model.metric) }
-      .toDF("cell", "centroid", "metric")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .toDF("cell", "centroid", "metric"), path)
+  }
+
+  /** Staged write + swap for persisted model artifacts — the Writes
+    * discipline, not a bare overwrite: Spark's `mode(Overwrite)` deletes
+    * the old directory BEFORE the new one is durable, so a crashed save
+    * would destroy the previously-serving model and a concurrent load
+    * could observe a partial directory. Here the old model stays intact
+    * until the staged copy is complete, then one rename swaps it in. */
+  private def stagedModelWrite(df: DataFrame, path: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".staging")
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // crashed-save debris
+    try df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) { if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"model swap: cannot move $dst aside") }
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"model swap: cannot publish $tmp")
+    fs.delete(bak, true): Unit
   }
 
   /** Load a persisted IVF model (exact centroid doubles round-trip). */
@@ -566,6 +588,9 @@ object VectorSearch {
       .where(col(codesCol).isNotNull)
       .select(col(pkCol).as("pk"),
         pqAdcDist(model, queryVector, col(codesCol)).as("__adc"))
+      // malformed code arrays ADC-score to null; Spark sorts nulls FIRST
+      // on asc, so they must be dropped or they crowd out real candidates
+      .where(col("__adc").isNotNull)
       .orderBy(col("__adc").asc, col("pk").asc)
       .limit(math.max(topK * rerankFactor, topK))
       .collect().map(_.get(0))
@@ -585,8 +610,7 @@ object VectorSearch {
       s <- model.codebooks.indices
       j <- model.codebooks(s).indices
     } yield (s, j, model.codebooks(s)(j).toSeq, model.dim)
-    rows.toDF("subspace", "centroid", "values", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    stagedModelWrite(rows.toDF("subspace", "centroid", "values", "dim"), path)
   }
 
   /** Load a persisted PQ model (exact codebook doubles round-trip). */
@@ -617,11 +641,24 @@ object VectorSearch {
       topK: Int = 10,
       metric: String = "l2",
       rerankFactor: Int = 8): DataFrame = {
+    pqSearchBatchCounted(table, pkCol, codesCol, vecCol, model, queries,
+      topK, metric, rerankFactor)._1
+  }
+
+  /** `pqSearchBatch` plus the MEASURED count of distinct full-precision
+    * rows the re-rank actually read (the candidate keys are already
+    * driver-materialized, so the count is free) — `pqRecallReport`
+    * publishes it as candidate_frac instead of the topK×rf upper bound. */
+  private[graft] def pqSearchBatchCounted(
+      table: DataFrame, pkCol: String, codesCol: String, vecCol: String,
+      model: PqModel, queries: Seq[(Long, Seq[Double])], topK: Int,
+      metric: String, rerankFactor: Int): (DataFrame, Long) = {
     require(metric == "l2",
       s"pqSearchBatch candidates rank by L2 ADC; got metric '$metric' — normalize vectors and use l2 for cosine semantics")
     val scored = withQueryLuts(table.where(col(codesCol).isNotNull), pkCol,
       codesCol, model, queries)
-    rerankCandidates(table, pkCol, vecCol, scored, queries, topK, metric, rerankFactor)
+    rerankCandidates(table, pkCol, vecCol, scored, queries, topK, metric,
+      rerankFactor)
   }
 
   /** Multi-query IVF-PQ in ONE stage-1 job: the probed-cell union is a
@@ -661,7 +698,7 @@ object VectorSearch {
     // re-rank reads stay inside the probed-cell union too: the candidate
     // IN-filter composes with the static partition filter
     rerankCandidates(indexed.where(col("__ivf_cell").isin(allCells: _*)),
-      pkCol, vecCol, scored, queries, topK, metric, rerankFactor)
+      pkCol, vecCol, scored, queries, topK, metric, rerankFactor)._1
   }
 
   /**
@@ -700,15 +737,19 @@ object VectorSearch {
     val exactTop = topSets(exactBatch(embs, pkCol, vecCol, queries, topK, "l2"))
     val compression = model.dim * 4.0 / model.m // float32 dims vs 1-byte codes
     val rows = rerankFactors.map { rf =>
-      val annTop = topSets(pqSearchBatch(coded, pkCol, "__pq", vecCol, model,
-        queries, topK, "l2", rf))
+      val (annDf, candDistinct) = pqSearchBatchCounted(coded, pkCol, "__pq",
+        vecCol, model, queries, topK, "l2", rf)
+      val annTop = topSets(annDf)
       var hits = 0; var denom = 0
       queries.foreach { case (id, _) =>
         hits += (exactTop.getOrElse(id, Set.empty) & annTop.getOrElse(id, Set.empty)).size
         denom += exactTop.getOrElse(id, Set.empty).size
       }
+      // candidate_frac is MEASURED: distinct candidate pks the re-rank
+      // actually read at full precision / corpus size (not the topK×rf
+      // window-size upper bound — overlapping or short windows differ)
       (rf, math.round(hits.toDouble / math.max(1, denom) * 10000) / 10000.0,
-        math.round(math.min(1.0, topK.toLong * rf / total.toDouble) * 10000) / 10000.0,
+        math.round(math.min(1.0, candDistinct / total.toDouble) * 10000) / 10000.0,
         math.round(compression * 100) / 100.0)
     }
     import spark.implicits._
@@ -732,6 +773,9 @@ object VectorSearch {
       else rows.join(lutDf) // cartesian with a broadcast-tiny side
     joined.select(col("qid"), col(pkCol).as("pk"),
       adcDistFromLut(col("__lut"), col(codesCol), model.m).as("__adc"))
+      // short/out-of-range code arrays score null; exclude them here so
+      // the downstream asc candidate window never ranks nulls first
+      .where(col("__adc").isNotNull)
   }
 
   /** Stage 2 of the batch PQ searches: per-query window keeps the ADC
@@ -741,7 +785,7 @@ object VectorSearch {
     * contract. */
   private def rerankCandidates(table: DataFrame, pkCol: String, vecCol: String,
       scored: DataFrame, queries: Seq[(Long, Seq[Double])], topK: Int,
-      metric: String, rerankFactor: Int): DataFrame = {
+      metric: String, rerankFactor: Int): (DataFrame, Long) = {
     val spark = table.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -766,7 +810,7 @@ object VectorSearch {
       .join(candDf, "pk") // candidate → its own queries only
       .join(qdf, "qid")
       .select(col("qid"), col("pk"), round(d, 6).as("distance"))
-    rankPerQuery(rescored, metric, topK)
+    (rankPerQuery(rescored, metric, topK), allPks.length.toLong)
   }
 
   // ---------- LSH (spark.ml) ----------
