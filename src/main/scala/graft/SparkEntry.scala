@@ -1033,6 +1033,24 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    "q95_audio_wav" -> ((s, dir) => {
+      // REAL WAV decode gate: deterministic square-wave PCM16 WAVs
+      // synthesized per doc_id (every stat is a closed form of the id),
+      // then decoded back through the full RIFF chunk walk — the oracle
+      // recomputes the stats arithmetically, so a header-offset,
+      // byte-order or normalization bug in WavCodec cannot hash-match.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.WavCodec.synthesizeSquare(id))))
+        .toDF("media_id", "content")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("duration_ms"),
+          round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"),
+          col("zero_crossings"))
+        .orderBy("media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -1937,6 +1955,16 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    "q95_audio_wav" ->
+      """SELECT doc_id AS media_id,
+                CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS sample_rate,
+                CAST(1 AS INTEGER) AS channels,
+                CAST(200 + doc_id % 300 AS BIGINT) AS n_samples,
+                ((200 + doc_id % 300) * 1000) // (8000 + (doc_id % 5) * 2000) AS duration_ms,
+                round((1000 + (doc_id % 20) * 500) / 32768.0, 6) AS rms,
+                round((1000 + (doc_id % 20) * 500) / 32768.0, 6) AS peak,
+                (200 + doc_id % 300 - 1) // (2 + doc_id % 10) AS zero_crossings
+         FROM documents ORDER BY media_id""",
     "q79_contamination" -> {
       import graft.pipeline.Sampling.cutHex
       s"""$duckShingles, sp AS (

@@ -13,15 +13,16 @@ import org.apache.spark.sql.types._
  *
  * Image decode/resize is REAL for PNG/JPEG (and any other format the JDK's
  * `javax.imageio` registry carries — public JDK surface, headless-safe).
- * Payloads ImageIO cannot read (audio, the gate's text-bytes stand-ins)
- * fall back to the clearly-marked deterministic stub (`FakeCodec`) so the
- * pipeline shape stays total and testable. Frame sampling is REAL for
- * animated GIF (`GifCodec`: multi-frame ImageIO read + delta-frame
- * compositing — the one motion format a stock JDK can demux); other video
- * containers (mp4/webm) still fall back to the stub, as the JDK ships no
- * demuxer for them. The call sites (mapPartitions batch loop) never
- * change — swap the codec object for a JNI/ffmpeg binding to widen
- * format coverage.
+ * Audio decode is REAL for WAV PCM (`WavCodec`: pure-JVM RIFF parse, 8/16
+ * bit, any channel count). Frame sampling is REAL for animated GIF
+ * (`GifCodec`: multi-frame ImageIO read + delta-frame compositing) and for
+ * MJPEG-in-AVI (`AviMjpegCodec`: RIFF chunk walk + per-frame JPEG decode)
+ * — the two motion containers a stock JDK can demux. Payloads outside
+ * those (mp3/flac/mp4/webm, the gate's text-bytes stand-ins) fall back to
+ * the clearly-marked deterministic stub (`FakeCodec`) for images/frames
+ * and to NULL stats for audio, so the pipeline shape stays total and
+ * testable. The call sites (mapPartitions batch loop) never change — swap
+ * the codec object for a JNI/ffmpeg binding to widen format coverage.
  */
 object Multimodal {
 
@@ -186,6 +187,239 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Real WAV (RIFF/WAVE) PCM decode — pure JVM, no codec library: a RIFF
+    * chunk walk (word-aligned, order-independent) to `fmt ` + `data`, then
+    * PCM samples normalized to [-1, 1) (16-bit signed LE / 2^15, 8-bit
+    * unsigned offset-128 / 2^7). Closes the one modality `readMedia`
+    * ingests but nothing decoded; compressed audio (mp3/flac) still has no
+    * stock-JVM decoder and falls through to None. */
+  object WavCodec {
+    /** RIFF....WAVE magic. */
+    def isWav(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+    /** Decoded PCM: `samples(channel)(frame)`, normalized to [-1, 1). */
+    final case class Pcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        samples: Array[Array[Double]]) {
+      def frames: Int = if (samples.isEmpty) 0 else samples(0).length
+    }
+
+    /** Per-file audio stats — the cheap "forward pass" of an audio crawl:
+      * duration from the header, RMS/peak over all channels, zero
+      * crossings (strict sign flips) on channel 0. */
+    final case class Stats(sampleRate: Int, channels: Int, frames: Long,
+        durationMs: Long, rms: Double, peak: Double, zeroCrossings: Long)
+
+    private def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+        ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+    private def le16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+
+    /** PCM frames, or None for non-WAV / non-PCM / malformed payloads (a
+      * bad blob must not kill a crawl — same contract as ImageIoCodec). */
+    def decode(bytes: Array[Byte]): Option[Pcm] = {
+      if (!isWav(bytes)) return None
+      try {
+        var pos = 12
+        var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+        var data: Option[(Int, Int)] = None          // offset, len
+        val end = math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt
+        while (pos + 8 <= end && (fmt.isEmpty || data.isEmpty)) {
+          val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = le32(bytes, pos + 4)
+          if (size < 0) return None
+          val body = pos + 8
+          id match {
+            case "fmt " if size >= 16 && body + 16 <= end =>
+              fmt = Some((le16(bytes, body), le16(bytes, body + 2),
+                le32(bytes, body + 4), le16(bytes, body + 14)))
+            case "data" =>
+              data = Some((body, math.min(size.toLong, (end - body).toLong).toInt))
+            case _ => ()
+          }
+          pos = body + size + (size & 1) // RIFF chunks are word-aligned
+        }
+        for {
+          (format, ch, rate, bits) <- fmt
+          (off, len) <- data
+          if format == 1 && ch >= 1 && rate > 0 && (bits == 8 || bits == 16)
+        } yield {
+          val bytesPerSample = bits / 8
+          val blockAlign = ch * bytesPerSample
+          val frames = len / blockAlign
+          val out = Array.ofDim[Double](ch, frames)
+          var f = 0
+          while (f < frames) {
+            var c = 0
+            while (c < ch) {
+              val p = off + f * blockAlign + c * bytesPerSample
+              out(c)(f) =
+                if (bits == 16) le16(bytes, p).toShort / 32768.0
+                else ((bytes(p) & 0xFF) - 128) / 128.0
+              c += 1
+            }
+            f += 1
+          }
+          Pcm(rate, ch, bits, out)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Stats from decoded PCM. RMS/peak span ALL channels (interleaved
+      * energy); zero crossings count strict sign flips (product < 0) on
+      * channel 0 — zeros neither cross nor reset. */
+    def stats(pcm: Pcm): Stats = {
+      var sumSq = 0.0; var peak = 0.0; var n = 0L
+      var c = 0
+      while (c < pcm.channels) {
+        val s = pcm.samples(c)
+        var i = 0
+        while (i < s.length) {
+          val v = s(i)
+          sumSq += v * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          n += 1; i += 1
+        }
+        c += 1
+      }
+      var zc = 0L
+      if (pcm.channels > 0) {
+        val s0 = pcm.samples(0)
+        var i = 1
+        while (i < s0.length) {
+          if (s0(i - 1) * s0(i) < 0) zc += 1
+          i += 1
+        }
+      }
+      Stats(pcm.sampleRate, pcm.channels, pcm.frames.toLong,
+        if (pcm.sampleRate > 0) pcm.frames.toLong * 1000L / pcm.sampleRate else 0L,
+        if (n > 0) math.sqrt(sumSq / n) else 0.0, peak, zc)
+    }
+
+    /** Canonical 44-byte-header PCM16 WAV from interleaved-by-channel
+      * samples — the fixture encoder (spec golden bytes pin the decoder
+      * against it, so an encode/decode byte-order bug cannot cancel out). */
+    def encodePcm16(sampleRate: Int, samples: Array[Array[Short]]): Array[Byte] = {
+      val ch = samples.length
+      require(ch >= 1, "encodePcm16: at least one channel")
+      val frames = samples(0).length
+      val dataLen = frames * ch * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(sampleRate)
+        .putInt(sampleRate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < ch) { bb.putShort(samples(c)(f)); c += 1 }
+        f += 1
+      }
+      bb.array()
+    }
+
+    /** Deterministic mono square-wave fixture keyed by id — every stat is
+      * a CLOSED FORM of id (rate, frames, amplitude, half-period below),
+      * so a SQL oracle can verify the decode without parsing bytes:
+      * rms = peak = amp/2^15 exactly (every sample is ±amp; the mean of n
+      * equal squares is exact in IEEE double), zero_crossings =
+      * (frames-1) // halfPeriod (signs flip exactly at multiples of it). */
+    def synthesizeSquare(id: Long): Array[Byte] = {
+      val rate = 8000 + (id % 5).toInt * 2000
+      val frames = 200 + (id % 300).toInt
+      val amp = (1000 + (id % 20).toInt * 500).toShort
+      val half = 2 + (id % 10).toInt
+      val s = new Array[Short](frames)
+      var i = 0
+      while (i < frames) {
+        s(i) = if ((i / half) % 2 == 0) amp else (-amp).toShort
+        i += 1
+      }
+      encodePcm16(rate, Array(s))
+    }
+  }
+
+  /** Real MJPEG-in-AVI frame extraction — the GifCodec pattern on the
+    * second container a stock JVM can handle: AVI is RIFF (same chunk walk
+    * as WavCodec, plus LIST recursion), and MJPEG frames are plain JPEGs
+    * in `##dc`/`##db` chunks that `javax.imageio` decodes individually.
+    * Frames are independent (no delta compositing), so SAMPLING decodes
+    * only every Nth frame — the chunk walk itself never inflates pixels.
+    * mp4/webm still fall through to the labeled stub (no stock demuxer). */
+  object AviMjpegCodec {
+    /** RIFF....AVI  magic. */
+    def isAvi(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+    private def le32(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+        ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+
+    /** (offset, size) of every JPEG video chunk (SOI-checked `##dc`/`##db`,
+      * `LIST rec ` groups included), in stream order; None when the
+      * payload isn't an AVI or carries no JPEG frames (DIB/other codecs). */
+    private def frameChunks(bytes: Array[Byte]): Option[Vector[(Int, Int)]] = {
+      if (!isAvi(bytes)) return None
+      try {
+        val out = Vector.newBuilder[(Int, Int)]
+        var found = 0
+        def walk(start: Int, limit: Int): Unit = {
+          var pos = start
+          while (pos + 8 <= limit) {
+            val size = le32(bytes, pos + 4)
+            val body = pos + 8
+            if (size < 0 || body + size > limit) return // truncated: stop
+            if (bytes(pos) == 'L' && bytes(pos + 1) == 'I' &&
+                bytes(pos + 2) == 'S' && bytes(pos + 3) == 'T') {
+              if (size >= 4) walk(body + 4, body + size) // skip list type
+            } else if (bytes(pos + 2) == 'd' &&
+                (bytes(pos + 3) == 'c' || bytes(pos + 3) == 'b') &&
+                size > 3 && (bytes(body) & 0xFF) == 0xFF &&
+                (bytes(body + 1) & 0xFF) == 0xD8) { // JPEG SOI
+              out += ((body, size)); found += 1
+            }
+            pos = body + size + (size & 1) // word-aligned
+          }
+        }
+        walk(12, math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt)
+        if (found > 0) Some(out.result()) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** All frames decoded (spec/diagnostic surface; samplers should use
+      * `sampleFramesPng`, which skips non-sampled JPEG decodes). */
+    def frames(bytes: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+      frameChunks(bytes).map(_.flatMap { case (off, len) =>
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
+
+    /** Every `everyN`-th frame re-encoded PNG, keyed by SOURCE frame index
+      * — `GifCodec.sampleFramesPng`'s contract; only sampled chunks pay a
+      * JPEG decode. */
+    def sampleFramesPng(bytes: Array[Byte], everyN: Int): Option[Seq[(Int, Array[Byte])]] =
+      frameChunks(bytes).map(_.zipWithIndex.collect {
+        case ((off, len), i) if i % math.max(1, everyN) == 0 => (off, len, i)
+      }.flatMap { case (off, len, i) =>
+        (try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len)))
+        catch { case scala.util.control.NonFatal(_) => None }).map { img =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          i -> bos.toByteArray
+        }
+      })
+  }
+
   /** Standard multimodal record schema: content + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -309,6 +543,42 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * Audio decode pass — same mapPartitions batch shape as `decodeImages`.
+   * WAV PCM payloads decode for REAL (`WavCodec`) into header facts
+   * (sample_rate, channels, n_samples = frames, duration_ms) plus signal
+   * features (rms, peak over all channels; zero_crossings on channel 0).
+   * Payloads no stock JVM can decode (mp3/flac/garbage) yield NULL stats
+   * — a crawl reports them undecoded rather than faking numbers.
+   */
+  def decodeAudio(df: DataFrame,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("peak", DoubleType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        WavCodec.decode(bytes).map(WavCodec.stats) match {
+          case Some(st) => org.apache.spark.sql.Row(r.getLong(idIdx),
+            st.sampleRate, st.channels, st.frames, st.durationMs,
+            st.rms, st.peak, st.zeroCrossings)
+          case None => org.apache.spark.sql.Row(
+            r.getLong(idIdx), null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Resize pass — binary in, binary out, same mapPartitions shape. */
   def resizeImages(df: DataFrame, w: Int, h: Int,
       idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
@@ -346,8 +616,9 @@ object Multimodal {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
-        val sampled = GifCodec.sampleFramesPng(bytes, everyN).getOrElse(
-          FakeCodec.frameSample(bytes, everyN).zipWithIndex.map(_.swap))
+        val sampled = GifCodec.sampleFramesPng(bytes, everyN)
+          .orElse(AviMjpegCodec.sampleFramesPng(bytes, everyN))
+          .getOrElse(FakeCodec.frameSample(bytes, everyN).zipWithIndex.map(_.swap))
         sampled.map { case (i, f) =>
           org.apache.spark.sql.Row(r.getLong(idIdx), i, f)
         }

@@ -162,6 +162,138 @@ class PipelineSpec extends SparkSpec {
     assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
   }
 
+  test("WavCodec: golden-byte canonical WAV decodes to exact samples") {
+    // hand-written bytes, NOT encodePcm16 output — pins the decoder so an
+    // encode/decode byte-order bug cannot cancel out
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val golden: Array[Byte] =
+      "RIFF".getBytes ++ le32(44) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(8) ++
+        le16(1000) ++ le16(-1000 & 0xFFFF) ++ le16(32767) ++ le16(-32768 & 0xFFFF)
+    assert(Multimodal.WavCodec.isWav(golden))
+    val pcm = Multimodal.WavCodec.decode(golden).get
+    assert(pcm.sampleRate == 8000 && pcm.channels == 1 && pcm.bitsPerSample == 16)
+    assert(pcm.samples(0).toSeq ==
+      Seq(1000 / 32768.0, -1000 / 32768.0, 32767 / 32768.0, -1.0))
+    // stats: rms = sqrt(mean(v^2)), peak = 1.0, crossings at 3 sign flips
+    val st = Multimodal.WavCodec.stats(pcm)
+    assert(st.frames == 4 && st.durationMs == 0 && st.zeroCrossings == 3)
+    assert(st.peak == 1.0)
+    val expectRms = math.sqrt(pcm.samples(0).map(v => v * v).sum / 4)
+    assert(math.abs(st.rms - expectRms) < 1e-12)
+  }
+
+  test("WavCodec: chunk walk skips unknown chunks, stereo + 8-bit decode, truncation safe") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // odd-size unknown chunk BEFORE fmt: the walk must skip it with pad
+    val junk = "junk".getBytes ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val fmt8 = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(4000) ++
+      le32(4000) ++ le16(1) ++ le16(8)
+    val data8 = "data".getBytes ++ le32(4) ++ Array[Byte](128.toByte, 0, 255.toByte, 128.toByte)
+    val body = "WAVE".getBytes ++ junk ++ fmt8 ++ data8
+    val wav8 = "RIFF".getBytes ++ le32(body.length) ++ body ++
+      Array.fill[Byte](20)(0) // trailing garbage past RIFF size: ignored
+    val pcm8 = Multimodal.WavCodec.decode(wav8).get
+    assert(pcm8.bitsPerSample == 8 && pcm8.sampleRate == 4000)
+    assert(pcm8.samples(0).toSeq == Seq(0.0, -1.0, 127 / 128.0, 0.0))
+    // stereo PCM16 round-trip through the fixture encoder
+    val left = Array[Short](100, -100, 100, -100)
+    val right = Array[Short](2000, 2000, -2000, -2000)
+    val stereo = Multimodal.WavCodec.encodePcm16(44100, Array(left, right))
+    val pcm2 = Multimodal.WavCodec.decode(stereo).get
+    assert(pcm2.channels == 2 && pcm2.frames == 4 && pcm2.sampleRate == 44100)
+    assert(pcm2.samples(0).toSeq == left.toSeq.map(_ / 32768.0))
+    assert(pcm2.samples(1).toSeq == right.toSeq.map(_ / 32768.0))
+    val st2 = Multimodal.WavCodec.stats(pcm2)
+    assert(st2.zeroCrossings == 3) // channel 0 alternates every sample
+    val expectRms = math.sqrt((4 * math.pow(100 / 32768.0, 2) +
+      4 * math.pow(2000 / 32768.0, 2)) / 8)
+    assert(math.abs(st2.rms - expectRms) < 1e-12)
+    // truncated data chunk: frames clamp to available bytes, no throw
+    val cut = stereo.take(stereo.length - 6)
+    assert(Multimodal.WavCodec.decode(cut).get.frames == 2)
+    // non-PCM format code (3 = IEEE float) refuses rather than mis-decodes
+    val f3 = stereo.clone(); f3(20) = 3
+    assert(Multimodal.WavCodec.decode(f3).isEmpty)
+    assert(Multimodal.WavCodec.decode("not audio at all - pad to length ok?".getBytes ++ new Array[Byte](20)).isEmpty)
+  }
+
+  test("WavCodec.synthesizeSquare: decoded stats equal the closed forms the oracle uses") {
+    for (id <- Seq(0L, 1L, 7L, 123L, 4999L)) {
+      val st = Multimodal.WavCodec.stats(
+        Multimodal.WavCodec.decode(Multimodal.WavCodec.synthesizeSquare(id)).get)
+      val rate = 8000 + (id % 5) * 2000
+      val n = 200 + (id % 300)
+      val amp = 1000 + (id % 20) * 500
+      val half = 2 + (id % 10)
+      assert(st.sampleRate == rate && st.channels == 1 && st.frames == n)
+      assert(st.durationMs == n * 1000 / rate)
+      assert(st.rms == amp / 32768.0, s"id=$id rms") // exact: all |s|=amp
+      assert(st.peak == amp / 32768.0)
+      assert(st.zeroCrossings == (n - 1) / half, s"id=$id zc")
+    }
+  }
+
+  test("decodeAudio: WAV rows decode real stats; undecodable audio reports NULL") {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Multimodal.WavCodec.synthesizeSquare(1L)),
+      Row(2L, "mp3-ish garbage payload".getBytes),
+      Row(3L, null))), schema)
+    val rows = Multimodal.decodeAudio(df).orderBy("media_id").collect()
+    assert(rows(0).getInt(1) == 10000 && rows(0).getLong(3) == 201)
+    assert(rows(0).getDouble(5) == 1500 / 32768.0)
+    assert((1 to 7).forall(rows(1).isNullAt) && (1 to 7).forall(rows(2).isNullAt))
+  }
+
+  test("real MJPEG-in-AVI frame sampling: JPEG chunks decode, source indices, stub fallback") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, b: Array[Byte]): Array[Byte] =
+      id.getBytes ++ le32(b.length) ++ b ++
+        (if ((b.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes ++ parts.flatten)
+    val grays = Seq(16, 64, 112, 160, 208, 240)
+    def jpegSolid(g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(20, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gg = img.createGraphics()
+      gg.setColor(new java.awt.Color(g, g, g)); gg.fillRect(0, 0, 20, 10); gg.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = chunk("RIFF", "AVI ".getBytes ++
+      list("hdrl", chunk("avih", new Array[Byte](56))) ++
+      list("movi", grays.map(g => chunk("00dc", jpegSolid(g))): _*))
+    assert(Multimodal.AviMjpegCodec.isAvi(avi))
+    val all = Multimodal.AviMjpegCodec.frames(avi).get
+    assert(all.size == 6 && all.forall(f => f.getWidth == 20 && f.getHeight == 10))
+    // Spark pass: every 3rd frame, frame_idx = SOURCE index, payload = PNG
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(5L, avi), Row(6L, "not a video".getBytes))), schema)
+    val frames = Multimodal.sampleFrames(df, everyN = 3)
+      .where(col("media_id") === 5L).orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 3))
+    frames.zip(Seq(0, 3)).foreach { case (r, src) =>
+      val img = Multimodal.ImageIoCodec.decode(r.getAs[Array[Byte]](2)).get
+      assert(img.getWidth == 20 && img.getHeight == 10)
+      val lum = img.getRGB(10, 5) & 0xFF
+      assert(math.abs(lum - grays(src)) < 16, s"frame $src gray $lum vs ${grays(src)}")
+    }
+    // non-AVI payloads keep the deterministic stub (shape contract intact)
+    val stub = Multimodal.sampleFrames(df, everyN = 4)
+      .where(col("media_id") === 6L).collect()
+    assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
+  }
+
   test("readMedia: binaryFile ingest to media schema, stable ids, decode composes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_in")
     // one real PNG + one opaque payload
