@@ -137,23 +137,14 @@ final class KvStore(
     // current store, so it must list files INSIDE the critical section
     // or a concurrent swap loses one writer's keys
     graft.write.Writes.singleTableFlow(path) {
-      val tmp = path + ".staging"
       val conf = spark.sparkContext.hadoopConfiguration
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      graft.write.Writes.probeStaging(fs, tmp) // cross-process collision → loud
-      // our own failed staging write must not wedge the store (see
-      // Writes.overwrite — same lock-held cleanup)
-      try data.coalesce(math.max(1, targetFiles))
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      catch { case e: Throwable =>
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true); throw e
-      }
-      val bak = new org.apache.hadoop.fs.Path(path + ".old")
-      if (fs.exists(bak)) fs.delete(bak, true)
-      if (fs.exists(p)) fs.rename(p, bak)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-      fs.delete(bak, true)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      // lease-guarded swap shared with Writes.overwrite: cross-process
+      // writers cooperate (wait or fail predictably), crashed-writer
+      // staging debris self-heals under the held lease
+      graft.write.Writes.stagedSwap(fs, path)(tmp =>
+        data.coalesce(math.max(1, targetFiles))
+          .write.mode(SaveMode.Overwrite).parquet(tmp))
     }
 
   // ---------- reads ----------

@@ -216,47 +216,58 @@ object Writes {
     * under the plan (FAILED_READ_FILE) or, worse, the stale snapshot wins
     * the swap and silently reverts the other writer. Deferring evaluation
     * puts the snapshot read inside the critical section. */
-  /** Loud cross-process collision detector: the staging dir is created
-    * and consumed entirely inside one JVM-locked critical section, so on
-    * entry it must NOT exist. If it does, another PROCESS is mid-write on
-    * the same warehouse — the documented scope violation (these locks
-    * serialize one JVM; cross-process coordination is a lock-service
-    * concern, as it is for the reference's in-process write queue) — or a
-    * crashed writer left debris. Either way a silent
-    * `mode(Overwrite)` of the staging dir could end in one writer's swap
-    * being LOST; failing fast with the remediation beats losing a write. */
-  private[graft] def probeStaging(fs: org.apache.hadoop.fs.FileSystem,
-      tmp: String): Unit =
-    if (fs.exists(new org.apache.hadoop.fs.Path(tmp)))
-      throw new IllegalStateException(
-        s"staging collision: $tmp already exists. Another process may be " +
-        "writing this table (graft write locks scope ONE JVM — route all " +
-        "writers of a warehouse through one engine process), or a crashed " +
-        "writer left debris; verify no other writer is live, then delete " +
-        "the staging directory to recover")
+  /** Lease timings for the cross-process swap guard (see [[WriteLease]]),
+    * read per-call so tests and operators tune them without restarts. */
+  private def leaseTimings: (Long, Long, Long) = (
+    sys.props.get("graft.write.lease.staleMs").map(_.toLong).getOrElse(60000L),
+    sys.props.get("graft.write.lease.waitMs").map(_.toLong).getOrElse(30000L),
+    sys.props.get("graft.write.lease.pollMs").map(_.toLong).getOrElse(100L))
+
+  /** The ONE stage→swap primitive, now lease-guarded: acquires the
+    * cross-process [[WriteLease]] for `path` (second PROCESS waits up to
+    * waitMs, then fails predictably — never a corrupt swap; see the
+    * lease's consistency contract), self-heals crashed-writer staging
+    * debris (safe: no live lease-respecting writer can exist under our
+    * lease — this replaces the old fail-loud probe, whose manual
+    * remediation the lease makes unnecessary), runs `writeStaging` into
+    * the staging dir, and swaps with a `.old` backup so a crash between
+    * renames never leaves the table missing. JVM-internal serialization
+    * (flow lock + path stripe) is the CALLER's job — the lease alone
+    * would let two threads of one process interleave list-then-swap. */
+  private[graft] def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String)(writeStaging: String => Unit): Unit = {
+    val (staleMs, waitMs, pollMs) = leaseTimings
+    val lease = WriteLease.acquire(fs, path, staleMs, waitMs, pollMs)
+    try {
+      val tmp = path + ".staging"
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      if (fs.exists(tmpPath)) {
+        System.err.println(s"[graft] deleting crashed-writer staging debris $tmp " +
+          "(safe under the held write lease)")
+        fs.delete(tmpPath, true)
+      }
+      // a FAILED staging write (plan error, bad cast) must not leave
+      // debris either — we hold the lease, so deleting it is always safe
+      try writeStaging(tmp)
+      catch { case e: Throwable => fs.delete(tmpPath, true); throw e }
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val bak = new org.apache.hadoop.fs.Path(path + ".old")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (fs.exists(dst)) fs.rename(dst, bak)
+      fs.rename(tmpPath, dst)
+      fs.delete(bak, true): Unit
+    } finally lease.close()
+  }
 
   def overwrite(engine: Graft, table: String, data: => DataFrame,
       op: String = "update"): Unit = {
     val path = engine.managedPath(table)
     flowLock.readLock().lock()
     try lockFor(path).synchronized {
-      val tmp = path + ".staging"
       val conf = engine.spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      probeStaging(fs, tmp)
-      // a FAILED staging write (plan error, bad cast) must not leave
-      // debris that wedges the table behind the probe — we hold the lock,
-      // so deleting our own partial staging here is always safe
-      try data.write.mode(SaveMode.Overwrite).parquet(tmp)
-      catch { case e: Throwable =>
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true); throw e
-      }
-      val dst = new org.apache.hadoop.fs.Path(path)
-      val bak = new org.apache.hadoop.fs.Path(path + ".old")
-      if (fs.exists(bak)) fs.delete(bak, true)
-      if (fs.exists(dst)) fs.rename(dst, bak)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-      fs.delete(bak, true)
+      stagedSwap(fs, path)(tmp =>
+        data.write.mode(SaveMode.Overwrite).parquet(tmp))
     } finally flowLock.readLock().unlock()
     engine.notifyWrite(op, table)
   }

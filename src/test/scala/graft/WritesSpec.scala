@@ -87,7 +87,7 @@ class WritesSpec extends SparkSpec {
     assert(e.table("scratch").count() == 1)
   }
 
-  test("stale staging dir fails LOUD (cross-process scope violation detector)") {
+  test("crashed-writer staging debris self-heals under the write lease") {
     val wh = Files.createTempDirectory("graft_stale_staging").toString
     val e = Graft.withWarehouse(spark, sfDir, wh)
     import graft.schema._
@@ -97,37 +97,83 @@ class WritesSpec extends SparkSpec {
       org.apache.spark.sql.Row("a", 1L), org.apache.spark.sql.Row("b", 2L)), 1),
       e.registry.get("default", "scratch").get.sparkSchema)
     Writes.overwrite(e, "scratch", two)
-    // simulate another PROCESS mid-write (or crash debris): a staging dir
-    // the in-JVM locks cannot know about
+    // crash debris: a staging dir with NO live lease holder. The lease
+    // proves no cooperating writer is mid-flight, so the write heals it
+    // and proceeds (the pre-lease probe required manual deletion here)
     val staging = java.nio.file.Paths.get(e.managedPath("scratch") + ".staging")
     Files.createDirectories(staging)
-    val ex = intercept[IllegalStateException] { Writes.overwrite(e, "scratch", two) }
-    assert(ex.getMessage.contains("staging collision"))
-    assert(e.table("scratch").count() == 2, "the detected write must not destroy the table")
-    // remediation path: delete the debris, writes proceed
-    Files.delete(staging)
     Writes.overwrite(e, "scratch", two.where(col("id") === "a"))
     assert(e.table("scratch").count() == 1)
-    // an in-JVM FAILED staging write cleans up after itself — the next
-    // write must NOT hit the probe (only cross-process debris should)
+    assert(!Files.exists(staging), "debris healed, then consumed by the swap")
+    // an in-JVM FAILED staging write cleans up after itself too
     val boomUdf = org.apache.spark.sql.functions.udf((x: Long) => {
       if (x >= 0) throw new RuntimeException("boom"); x
     })
     val bad = two.withColumn("v", boomUdf(col("v"))) // fails mid-staging-write
     intercept[Exception] { Writes.overwrite(e, "scratch", bad) }
     assert(!Files.exists(staging), "failed staging write must clean its debris")
+    assert(!Files.exists(java.nio.file.Paths.get(e.managedPath("scratch") + ".lock")),
+      "lease released after a failed write")
     Writes.overwrite(e, "scratch", two)
     assert(e.table("scratch").count() == 2)
-    // KV writes share the probe
+    // KV writes share the lease-guarded swap
     val kv = new graft.kv.KvStore(e)
     kv.set("k", "v")
     val kvStaging = new java.io.File(wh + "/default/_kv_store.staging")
     assert(kvStaging.mkdirs())
-    val kex = intercept[IllegalStateException] { kv.set("k2", "v2") }
-    assert(kex.getMessage.contains("staging collision"))
-    assert(kvStaging.delete())
     kv.set("k2", "v2")
+    assert(!kvStaging.exists(), "KV debris healed under the lease")
     assert(kv.keys().toSet == Set("k", "k2"))
+  }
+
+  test("write lease: second process waits for release or fails predictably; stale lease taken over") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import graft.write.WriteLease
+    val wh = Files.createTempDirectory("graft_lease").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    import graft.schema._
+    e.createTable(TableSchema("scratch", PrimaryKeyConfig("id", PkStrategy.None),
+      Seq(FieldSchema("v", GType.GInteger))))
+    def row(id: String) = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(id, 1L)), 1),
+      e.registry.get("default", "scratch").get.sparkSchema)
+    Writes.overwrite(e, "scratch", row("a"))
+    val path = e.managedPath("scratch")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "process B" holds the lease directly (bypasses this JVM's stripes —
+    // exactly what a second engine process looks like on disk)
+    val b = WriteLease.acquire(fs, path, staleMs = 60000, waitMs = 1000)
+    // A with a short wait FAILS PREDICTABLY — and the table is untouched
+    System.setProperty("graft.write.lease.waitMs", "400")
+    System.setProperty("graft.write.lease.pollMs", "50")
+    try {
+      val ex = intercept[IllegalStateException] { Writes.overwrite(e, "scratch", row("b")) }
+      assert(ex.getMessage.contains("write lease"))
+      assert(e.table("scratch").collect().map(_.getString(0)).toSeq == Seq("a"))
+      // A with a longer wait SUCCEEDS once B releases mid-wait
+      System.setProperty("graft.write.lease.waitMs", "10000")
+      val releaser = new Thread(() => { Thread.sleep(300); b.close() })
+      releaser.start()
+      Writes.overwrite(e, "scratch", row("b"))
+      releaser.join()
+      assert(e.table("scratch").collect().map(_.getString(0)).toSeq == Seq("b"))
+    } finally {
+      System.clearProperty("graft.write.lease.waitMs")
+      System.clearProperty("graft.write.lease.pollMs")
+    }
+    // STALE lease (dead holder: no heartbeat): acquire takes over...
+    val lockFile = new java.io.File(path + ".lock")
+    java.nio.file.Files.write(lockFile.toPath, "dead-owner pid=0 ts=0\n".getBytes)
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 120000))
+    val c = WriteLease.acquire(fs, path, staleMs = 60000, waitMs = 1000)
+    c.close()
+    // ...and a holder whose lease WAS taken over finds out at release
+    val d = WriteLease.acquire(fs, path, staleMs = 500, waitMs = 1000, pollMs = 50)
+    // simulate heartbeat stall + takeover: replace the lock body under d
+    java.nio.file.Files.write(lockFile.toPath, "usurper pid=0 ts=0\n".getBytes)
+    val tex = intercept[IllegalStateException] { d.close() }
+    assert(tex.getMessage.contains("taken over"))
+    assert(lockFile.delete(), "usurper's lock stays (d must not delete it)")
   }
 
   test("concurrent writers on one table serialize: no lost updates, no staging collisions") {
