@@ -39,6 +39,45 @@ class StreamingSpec extends SparkSpec {
     assert(hub.activeCount == 0)
   }
 
+  test("watch coalescing: a 50-write burst during one in-flight compute collapses to ≤2 more emissions, last one complete") {
+    val hub = new WatchHub
+    val gate = new java.util.concurrent.Semaphore(1)
+    val computes = new AtomicInteger(0)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var state = 0L
+    val sub = hub.watchCompute("t", () => {
+      computes.incrementAndGet()
+      gate.acquire(); gate.release() // blocks while the test holds the permit
+      Seq(org.apache.spark.sql.Row(state))
+    })(rows => { emitted.add(rows.head.getLong(0)); () })
+    assert(computes.get() == 1 && emitted.size == 1) // initial emission
+    def ev = ChangeEvent("insert", "t", None, None, new Timestamp(0))
+    // hold the gate, start one publish on another thread → compute #2 is
+    // IN FLIGHT and blocked
+    gate.acquire()
+    val inflight = new Thread(() => hub.publish(ev))
+    inflight.start()
+    val deadline = System.currentTimeMillis() + 10000
+    while (computes.get() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(5)
+    assert(computes.get() == 2, "in-flight compute started")
+    // burst: 50 rapid writes while the compute is in flight — every one
+    // returns immediately (publish is non-blocking under coalescing) and
+    // they all collapse into ONE dirty flag
+    (1 to 50).foreach { i => state = i; hub.publish(ev) }
+    gate.release()
+    inflight.join(10000)
+    // quiesce: the loop drains dirty with ONE more compute (plus at most
+    // one lost-wakeup re-fire)
+    while (computes.get() < 3 && System.currentTimeMillis() < deadline) Thread.sleep(5)
+    Thread.sleep(150) // nothing further may arrive after the drain
+    val total = emitted.size
+    assert(total <= 4, s"51 publishes must coalesce, saw $total emissions")
+    assert(computes.get() == total, "every compute emits exactly once")
+    assert(emitted.toArray.last == 50L,
+      "the LAST emission must reflect the final write (never dropped)")
+    sub.close()
+  }
+
   test("watched engine: writes notify watchers automatically (notification_manager.dart:9)") {
     val wh = Files.createTempDirectory("graft_watched").toString
     val hub = new WatchHub
