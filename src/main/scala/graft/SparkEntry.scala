@@ -8,7 +8,7 @@ import graft.expr.{Cond, UExpr}
 import graft.functions.GraftFunctions._
 import graft.pipeline.{Dedup, Multimodal, TextAnalysis}
 import graft.query.Agg
-import graft.vector.VectorSearch
+import graft.vector.{GraphAnn, VectorSearch}
 import graft.write.Writes
 
 /**
@@ -1051,6 +1051,35 @@ object SparkEntry {
           col("zero_crossings"))
         .orderBy("media_id")
     }),
+    "q96_graph_ann" -> ((s, dir) => {
+      // the reference's ACTUAL index family (Vamana-style NGH graph,
+      // ngh_graph_engine.dart:14-23) as shard-local graphs + beam search.
+      // This gate pins the EXACT-degeneration regime: ring connectivity +
+      // efSearch ≥ shard size make beam search provably equal the scan,
+      // so build, serving and the merge window HASH-MATCH the brute-force
+      // oracle; q97 publishes recall for the approximate regime.
+      val e = eng(s, dir)
+      val embs = e.table("embeddings")
+      val graph = GraphAnn.graphBuild(embs, "vec_id", "embedding",
+        shards = 4, maxDegree = 8, efConstruction = 24)
+      val qs = embs.where(col("vec_id").isin(3L, 7L, 11L))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq.sortBy(_._1)
+      GraphAnn.graphSearchBatch(graph, qs, topK = 10, efSearch = 1000000,
+        assumeColocated = true).orderBy("qid", "rank")
+    }),
+    "q97_graph_recall" -> ((s, dir) => {
+      // approximate regime of q96's graph: recall@10 vs the exact scan
+      // per efSearch, with the MEASURED fraction of nodes visited (the
+      // graph path's cost). No SQL oracle (approximate by design; q96 is
+      // the hash-matched exact twin) → driver rows-only check.
+      GraphAnn.graphRecallReport(eng(s, dir).table("embeddings"),
+        "vec_id", "embedding", queryIds = Seq(3L, 7L, 11L),
+        efs = Seq(8, 32, 128), topK = 10,
+        shards = 4, maxDegree = 8, efConstruction = 24)
+        .orderBy("ef_search")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -1955,6 +1984,18 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    "q96_graph_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id IN (3, 7, 11)),
+         scored AS (SELECT q.qid, e.vec_id AS pk,
+                           round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance
+                    FROM embeddings e, q),
+         ranked AS (SELECT qid, pk, distance,
+                           round(1.0 / (1.0 + distance), 6) AS score,
+                           CAST(row_number() OVER (PARTITION BY qid ORDER BY distance, pk) AS INT) AS rank
+                    FROM scored)
+         SELECT qid, pk, distance, score, rank FROM ranked
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "q95_audio_wav" ->
       """SELECT doc_id AS media_id,
                 CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS sample_rate,

@@ -86,7 +86,7 @@ object VectorSearch {
 
   /** Shared tail of the batch searches: per-query window top-K + score.
     * Input must carry (qid, pk, distance). */
-  private def rankPerQuery(scored: DataFrame, metric: String, topK: Int): DataFrame = {
+  private[vector] def rankPerQuery(scored: DataFrame, metric: String, topK: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("distance").asc, col("pk").asc)
     scored.withColumn("rank", row_number().over(w))

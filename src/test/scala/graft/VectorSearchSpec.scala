@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.vector.VectorSearch
+import graft.vector.{GraphAnn, VectorSearch}
 
 /** ANN paths vs the exact oracle on TESTDATA embeddings (SURVEY.md §2.10). */
 class VectorSearchSpec extends SparkSpec {
@@ -327,5 +327,68 @@ class VectorSearchSpec extends SparkSpec {
       maxL2 = 1.2).collect()
     assert(out.forall(_.getDouble(2) <= 1.2))
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  private def graphQueries(ids: Seq[Long]): Seq[(Long, Seq[Double])] = ids.map { id =>
+    id -> embs.where(col("vec_id") === id).select("embedding").head
+      .getSeq[Float](0).map(_.toDouble).toSeq
+  }
+
+  test("GraphAnn: efSearch ≥ shard size degenerates to EXACT (ring connectivity), deterministic build") {
+    val graph = GraphAnn.graphBuild(embs, "vec_id", "embedding",
+      shards = 4, maxDegree = 8, efConstruction = 24)
+    // bounded degree (maxDegree + re-armed ring edge), every pk present once
+    val rows = graph.collect()
+    assert(rows.length == embs.count())
+    assert(rows.forall(_.getSeq[Long](3).size <= 9))
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    // one entry point per shard
+    val entries = rows.filter(_.getBoolean(4)).groupBy(_.getInt(0))
+    assert(entries.values.forall(_.length == 1) && entries.size == 4)
+    // exact degeneration: generous beam == exactBatch, row for row
+    val queries = graphQueries(Seq(3L, 7L, 11L))
+    val ann = GraphAnn.graphSearchBatch(graph, queries, topK = 10,
+        efSearch = 100000, assumeColocated = true)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(1), r.getDouble(2)))
+    val exact = VectorSearch.exactBatch(embs, "vec_id", "embedding", queries,
+        topK = 10, metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(1), r.getDouble(2)))
+    assert(ann.sorted.toSeq == exact.sorted.toSeq,
+      "generous-beam graph search must equal the exact scan")
+    // deterministic: same seed → identical adjacency
+    val again = GraphAnn.graphBuild(embs, "vec_id", "embedding",
+      shards = 4, maxDegree = 8, efConstruction = 24)
+      .collect().map(r => r.getLong(1) -> r.getSeq[Long](3)).toMap
+    assert(rows.forall(r => again(r.getLong(1)) == r.getSeq[Long](3)))
+  }
+
+  test("GraphAnn: save/load round-trip serves identically; staged artifacts clean") {
+    val graph = GraphAnn.graphBuild(embs, "vec_id", "embedding",
+      shards = 4, maxDegree = 8, efConstruction = 24)
+    val base = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    GraphAnn.graphSave(graph, s"$base/g")
+    assert(!new java.io.File(s"$base/g.staging").exists())
+    assert(!new java.io.File(s"$base/g.lock").exists())
+    val loaded = GraphAnn.graphLoad(spark, s"$base/g")
+    val queries = graphQueries(Seq(3L, 11L))
+    def res(g: org.apache.spark.sql.DataFrame, colocated: Boolean) =
+      GraphAnn.graphSearchBatch(g, queries, topK = 5, efSearch = 32,
+        assumeColocated = colocated)
+        .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(1))).sorted.toSeq
+    assert(res(loaded, colocated = false) == res(graph, colocated = true),
+      "persisted graph must serve the same results (incl. re-co-location)")
+  }
+
+  test("graphRecallReport: exact at generous ef, visited_frac measured < 1 at tight ef") {
+    val report = GraphAnn.graphRecallReport(embs, "vec_id", "embedding",
+      queryIds = Seq(3L, 7L, 11L), efs = Seq(4, 32, 100000), topK = 10,
+      shards = 4, maxDegree = 8, efConstruction = 24).collect()
+    val recalls = report.map(_.getDouble(1)).toSeq
+    assert(recalls.last == 1.0, s"generous beam must be exact: $recalls")
+    assert(recalls.head <= recalls.last)
+    val fracs = report.map(_.getDouble(2)).toSeq
+    // tight beam touches a strict subset; generous beam touches all nodes
+    assert(fracs.head < 1.0, s"ef=4 must prune: $fracs")
+    assert(fracs.last == 1.0, s"ef=∞ visits everything (connected): $fracs")
   }
 }
