@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-rehearsal data generator: deterministically up-scales a TESTDATA
+ * sf directory by `copies`× so the heavy operator family can be MEASURED
+ * past the driver's largest sf instead of scale-argued (BASELINE.md
+ * "Round-9 sf1 rehearsal"). Never touches /root/testdata — output goes to
+ * a scratch dir.
+ *
+ * Scaling must preserve the WORKLOAD SHAPE, not just the row count:
+ *  - documents: copy k>0 SUFFIXES every token with a copy marker, a
+ *    bijection on the token vocabulary: each copy's shingle/df structure
+ *    is exactly ISOMORPHIC to the original corpus (same bucket sizes,
+ *    same pair mass, ×copies total) with zero cross-copy overlap — the
+ *    honest linear-scaling regime. Naive text copies would grow
+ *    candidate mass quadratically in `copies`, and inserting tokens
+ *    BETWEEN originals would collapse shingles onto bigram statistics
+ *    (denser buckets than the real corpus); both poison the exponent.
+ *  - embeddings: copy k>0 gets FRESH hash-random vectors (xxhash64 of
+ *    (id, dim index, copy) → uniform in [-1, 1]); random 64-dim vectors
+ *    are near-orthogonal, so no spurious cross-copy near neighbors while
+ *    the original sf's neighbor structure rides along unchanged.
+ *  - all other tables copy through unchanged (the rehearsal family is
+ *    dedup/ANN-centric; relational scaling is Catalyst's well-measured
+ *    territory).
+ */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val idStep = 10000000L
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until copies).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * idStep)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1ck$k").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(docs.columns.map(col): _*)
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = embs.select(size(col("embedding"))).head.getInt(0)
+    (0 until copies).map { k =>
+      if (k == 0) embs
+      else embs.select(
+        (col("vec_id") + lit(k * idStep)).as("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}),
+                 i -> cast(cast(pmod(xxhash64(vec_id, i, $k), 2001) - 1000 as double)
+                      / 1000.0 as float))""").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"""{"scaled":"$out","copies":$copies,"documents":${
+      spark.read.parquet(s"$out/documents.parquet").count()},"embeddings":${
+      spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
+    spark.stop()
+  }
+}
