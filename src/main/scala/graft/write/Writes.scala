@@ -276,7 +276,17 @@ object Writes {
     val path = engine.managedPath(table)
     flowLock.readLock().lock()
     try lockFor(path).synchronized {
-      data.write.mode(SaveMode.Append).parquet(path)
+      // append also takes the cross-process lease: an append racing
+      // another PROCESS's staging swap would write its part files into a
+      // directory mid-rename (files land in the .old snapshot and die
+      // with it). Appends from two processes alone would be name-safe,
+      // but the swap race loses data — one lease covers both.
+      val conf = engine.spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val (staleMs, waitMs, pollMs) = leaseTimings
+      val lease = WriteLease.acquire(fs, path, staleMs, waitMs, pollMs)
+      try data.write.mode(SaveMode.Append).parquet(path)
+      finally lease.close()
     } finally flowLock.readLock().unlock()
     engine.notifyWrite("insert", table)
   }
