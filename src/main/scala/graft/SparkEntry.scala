@@ -1080,6 +1080,20 @@ object SparkEntry {
         shards = 4, maxDegree = 8, efConstruction = 24)
         .orderBy("ef_search")
     }),
+    "q98_mp4_probe" -> ((s, dir) => {
+      // REAL ISO-BMFF metadata gate (q95's contract for the mp4
+      // container): deterministic ftyp+moov/mvhd boxes synthesized per
+      // doc_id (odd ids exercise the 64-bit mvhd v1 layout), probed back
+      // through the full box walk — the oracle recomputes duration and
+      // track count arithmetically, so a big-endian or box-offset bug in
+      // Mp4Probe cannot hash-match.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.Mp4Probe.synthesize(id))))
+        .toDF("media_id", "content")
+      Multimodal.probeMedia(media).orderBy("media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -1984,6 +1998,12 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    "q98_mp4_probe" ->
+      """SELECT doc_id AS media_id,
+                'mp4' AS container,
+                ((1200 + doc_id % 4800) * 1000) // (600 + doc_id % 400) AS duration_ms,
+                CAST(1 + doc_id % 3 AS INTEGER) AS tracks
+         FROM documents ORDER BY media_id""",
     "q96_graph_ann" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id IN (3, 7, 11)),

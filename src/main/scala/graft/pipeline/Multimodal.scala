@@ -420,6 +420,156 @@ object Multimodal {
       })
   }
 
+  /** Real ISO-BMFF (mp4/mov/m4a) METADATA probe — the stock JVM ships no
+    * H.264/AAC decoder, so frames stay out of reach, but the container's
+    * box tree is a pure-JVM parse: a crawl gets real duration/track
+    * stats for mp4 payloads instead of stub numbers. Big-endian sizes,
+    * 64-bit `largesize` (size==1) and to-end-of-file (size==0) boxes,
+    * mvhd versions 0 (32-bit) and 1 (64-bit) all handled. */
+  object Mp4Probe {
+    /** mp4 family magic: box 1 is `ftyp`. */
+    def isMp4(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 16 &&
+        bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
+
+    final case class Meta(majorBrand: String, timescale: Long,
+        duration: Long, tracks: Int) {
+      def durationMs: Long = if (timescale > 0) duration * 1000L / timescale else 0L
+    }
+
+    private def be32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    private def be64(b: Array[Byte], p: Int): Long =
+      (be32(b, p) << 32) | be32(b, p + 4)
+
+    /** Container metadata, or None for non-mp4 / malformed payloads. */
+    def probe(bytes: Array[Byte]): Option[Meta] = {
+      if (!isMp4(bytes)) return None
+      try {
+        var brand = ""
+        var timescale = 0L
+        var duration = 0L
+        var tracks = 0
+        var sawMvhd = false
+        // (start, limit) box-walk with explicit work list: moov children
+        // are pushed as a nested range — no recursion depth concerns
+        var ranges = List((0L, bytes.length.toLong))
+        while (ranges.nonEmpty) {
+          val (start, limit) = ranges.head
+          ranges = ranges.tail
+          var pos = start
+          while (pos + 8 <= limit) {
+            val size0 = be32(bytes, pos.toInt)
+            val typ = new String(bytes, pos.toInt + 4, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val (size, hdr) =
+              if (size0 == 1 && pos + 16 <= limit) (be64(bytes, pos.toInt + 8), 16L)
+              else if (size0 == 0) (limit - pos, 8L)
+              else (size0, 8L)
+            if (size < hdr || pos + size > limit) { pos = limit } // truncated: stop
+            else {
+              val body = pos + hdr
+              typ match {
+                case "ftyp" if size >= hdr + 4 =>
+                  brand = new String(bytes, body.toInt, 4,
+                    java.nio.charset.StandardCharsets.US_ASCII).trim
+                case "moov" => ranges = (body, pos + size) :: ranges
+                case "mvhd" if size >= hdr + 4 =>
+                  sawMvhd = true
+                  val v = bytes(body.toInt) & 0xFF
+                  if (v == 1 && size >= hdr + 28 + 4) {
+                    timescale = be32(bytes, body.toInt + 20)
+                    duration = be64(bytes, body.toInt + 24)
+                  } else if (v == 0 && size >= hdr + 20) {
+                    timescale = be32(bytes, body.toInt + 12)
+                    duration = be32(bytes, body.toInt + 16)
+                  }
+                case "trak" => tracks += 1
+                case _ => ()
+              }
+              pos += size
+            }
+          }
+        }
+        if (sawMvhd) Some(Meta(brand, timescale, duration, tracks)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic fixture mp4 keyed by id (q98's contract): minimal
+      * ftyp + moov(mvhd + empty traks) whose metadata is a CLOSED FORM of
+      * the id — odd ids use mvhd VERSION 1 (64-bit fields), so the gate
+      * exercises both header layouts. */
+    def synthesize(id: Long): Array[Byte] = {
+      val timescale = 600 + (id % 400)
+      val duration = 1200 + (id % 4800)
+      val tracks = (1 + id % 3).toInt
+      val v1 = id % 2 == 1
+      def box(typ: String, body: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+        bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+        bb.array()
+      }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 2, 0) ++ "isomiso2".getBytes("US-ASCII"))
+      val mvhdBody =
+        if (v1) {
+          val bb = java.nio.ByteBuffer.allocate(4 + 16 + 4 + 8)
+          bb.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+            .putLong(0L).putLong(0L)                 // creation/modification
+            .putInt(timescale.toInt).putLong(duration)
+          bb.array()
+        } else {
+          val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4 + 4)
+          bb.put(0.toByte).put(Array[Byte](0, 0, 0))
+            .putInt(0).putInt(0)
+            .putInt(timescale.toInt).putInt(duration.toInt)
+          bb.array()
+        }
+      val moov = box("moov", box("mvhd", mvhdBody) ++
+        (0 until tracks).flatMap(_ => box("trak", Array.emptyByteArray)).toArray)
+      ftyp ++ moov
+    }
+  }
+
+  /**
+   * Container-metadata probe pass — the cheap pre-decode stats a media
+   * crawl runs on EVERY payload before deciding what to decode: container
+   * sniffed from magic bytes (not the path extension), duration from the
+   * real header parse where a pure-JVM one exists (WAV PCM, mp4 mvhd),
+   * NULL where it doesn't — honest, like `decodeAudio`. Output:
+   * (media_id, container, duration_ms, tracks).
+   */
+  def probeMedia(df: DataFrame,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("tracks", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        val id = r.getLong(idIdx)
+        if (Mp4Probe.isMp4(bytes)) Mp4Probe.probe(bytes) match {
+          case Some(m) => org.apache.spark.sql.Row(id, "mp4", m.durationMs, m.tracks)
+          case None => org.apache.spark.sql.Row(id, "mp4", null, null)
+        } else if (WavCodec.isWav(bytes)) WavCodec.decode(bytes).map(WavCodec.stats) match {
+          case Some(st) =>
+            org.apache.spark.sql.Row(id, "wav", st.durationMs, st.channels)
+          case None => org.apache.spark.sql.Row(id, "wav", null, null)
+        } else if (GifCodec.isGif(bytes))
+          org.apache.spark.sql.Row(id, "gif", null, null)
+        else if (AviMjpegCodec.isAvi(bytes))
+          org.apache.spark.sql.Row(id, "avi", null, null)
+        else org.apache.spark.sql.Row(id, "unknown", null, null)
+      }
+    }(enc)
+  }
+
   /** Standard multimodal record schema: content + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -102,11 +102,10 @@ object GraphAnn {
       .map(c => (l2sq(vecs(c), vecs(u)), c)).sortBy(identity)
     val out = mutable.ArrayBuffer.empty[Int]
     while (cands.nonEmpty && out.size < maxDegree) {
-      val (dc, c) = cands.head
+      val c = cands.head._2
       out += c
+      // keep only candidates NOT dominated by c
       cands = cands.tail.filter { case (dx, x) => l2sq(vecs(c), vecs(x)) * a2 > dx }
-      // keep only candidates NOT dominated by c; dc unused beyond ordering
-      val _ = dc
     }
     out.toArray
   }

@@ -294,6 +294,45 @@ class PipelineSpec extends SparkSpec {
     assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
   }
 
+  test("Mp4Probe: box walk (v0 + v1 mvhd, largesize, truncation); probeMedia classifies by magic") {
+    // v0 (even id) and v1/64-bit (odd id) layouts both round-trip to the
+    // closed forms the q98 oracle recomputes
+    for (id <- Seq(0L, 1L, 7L, 4242L)) {
+      val m = Multimodal.Mp4Probe.probe(Multimodal.Mp4Probe.synthesize(id)).get
+      assert(m.majorBrand == "isom")
+      assert(m.timescale == 600 + id % 400 && m.duration == 1200 + id % 4800)
+      assert(m.durationMs == (1200 + id % 4800) * 1000 / (600 + id % 400))
+      assert(m.tracks == 1 + id % 3, s"id=$id")
+    }
+    // 64-bit largesize box header (size==1 + 8-byte size) parses
+    val base = Multimodal.Mp4Probe.synthesize(2L)
+    val ftypLen = java.nio.ByteBuffer.wrap(base, 0, 4).getInt
+    val moov = base.drop(ftypLen)
+    val big = java.nio.ByteBuffer.allocate(16 + moov.length - 8)
+    big.putInt(1).put("moov".getBytes).putLong(16L + moov.length - 8)
+      .put(moov.drop(8))
+    val withLarge = base.take(ftypLen) ++ big.array()
+    assert(Multimodal.Mp4Probe.probe(withLarge).get.timescale == 602)
+    // truncation mid-box: no throw, returns what was parsed before the cut
+    assert(Multimodal.Mp4Probe.probe(base.take(ftypLen + 9)).isEmpty)
+    assert(Multimodal.Mp4Probe.probe("RIFFxxxxWAVE not mp4 at all padpad".getBytes).isEmpty)
+    // probeMedia: container from MAGIC (not extension), honest NULLs
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Multimodal.Mp4Probe.synthesize(9L)),
+      Row(2L, Multimodal.WavCodec.synthesizeSquare(9L)),
+      Row(3L, "GIF89a-ish but really text".getBytes),
+      Row(4L, "plain text".getBytes))), schema)
+    val rows = Multimodal.probeMedia(df).orderBy("media_id").collect()
+    assert(rows(0).getString(1) == "mp4" &&
+      rows(0).getLong(2) == (1200 + 9 % 4800) * 1000 / (600 + 9 % 400) &&
+      rows(0).getInt(3) == 1)
+    assert(rows(1).getString(1) == "wav" && rows(1).getLong(2) == 209L * 1000 / 16000)
+    assert(rows(2).getString(1) == "gif" && rows(2).isNullAt(2)) // GIF magic, no duration probe
+    assert(rows(3).getString(1) == "unknown" && rows(3).isNullAt(2) && rows(3).isNullAt(3))
+  }
+
   test("readMedia: binaryFile ingest to media schema, stable ids, decode composes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_in")
     // one real PNG + one opaque payload
