@@ -171,13 +171,23 @@ object GraphAnn {
    */
   def graphBuild(embs: DataFrame, pkCol: String, vecCol: String,
       shards: Int = 8, maxDegree: Int = 16, efConstruction: Int = 64,
-      alpha: Double = 1.2, seed: Long = 42L, passes: Int = 2): DataFrame = {
+      alpha: Double = 1.2, seed: Long = 42L, passes: Int = 2,
+      shardCol: Option[String] = None): DataFrame = {
     require(shards >= 1 && maxDegree >= 2 && efConstruction >= maxDegree,
       s"graphBuild: need shards>=1, maxDegree>=2, efConstruction>=maxDegree")
+    // shardCol: CLUSTER-sharded graphs instead of hash shards — pass an
+    // IVF cell assignment (`VectorSearch.ivfCell`) and each cell gets its
+    // own graph; `graphSearchBatch(probeShards = ivf.nearestCells(q))`
+    // then reads only the probed cells' graphs — the DiskANN×IVF hybrid
+    // layout where query cost is nprobe cells, not the whole corpus.
+    // `shards` stays the partition count (a partition may host several
+    // small cells; a cell never splits).
+    val shardExpr = shardCol.fold(
+      pmod(xxhash64(col(pkCol)), lit(shards)).cast("int"))(c => col(c).cast("int"))
     val enc = org.apache.spark.sql.Encoders.row(graphSchema)
     embs
       .where(col(vecCol).isNotNull)
-      .select(pmod(xxhash64(col(pkCol)), lit(shards)).cast("int").as("__shard"),
+      .select(shardExpr.as("__shard"),
         col(pkCol).cast("long").as("pk"), col(vecCol).as("vec"))
       .repartition(shards, col("__shard"))
       .mapPartitions { it =>
@@ -272,8 +282,14 @@ object GraphAnn {
    */
   def graphSearchBatch(graph: DataFrame, queries: Seq[(Long, Seq[Double])],
       topK: Int = 10, efSearch: Int = 64,
-      assumeColocated: Boolean = false): DataFrame = {
-    val cands = searchCandidates(graph, queries, perShardK = topK,
+      assumeColocated: Boolean = false,
+      probeShards: Option[Seq[Int]] = None): DataFrame = {
+    // probeShards: with a cluster-sharded build (graphBuild(shardCol)),
+    // restrict the search to the probed cells' graphs — a STATIC filter
+    // on the shard column, so only those files are read
+    val probed = probeShards.fold(graph)(ss =>
+      graph.where(col("__shard").isin(ss.map(Integer.valueOf): _*)))
+    val cands = searchCandidates(probed, queries, perShardK = topK,
       efSearch = efSearch, assumeColocated = assumeColocated)
       .select(col("qid"), col("pk"), round(col("distance"), 6).as("distance"))
     VectorSearch.rankPerQuery(cands, "l2", topK)

@@ -379,6 +379,43 @@ class VectorSearchSpec extends SparkSpec {
       "persisted graph must serve the same results (incl. re-co-location)")
   }
 
+  test("GraphAnn × IVF: cluster-sharded graphs, probed-cell search reads only probed graphs") {
+    val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+    val celled = embs.withColumn("__cell",
+      VectorSearch.ivfCell(model, col("embedding")))
+    val graph = GraphAnn.graphBuild(celled, "vec_id", "embedding",
+      shards = 8, maxDegree = 8, efConstruction = 24, shardCol = Some("__cell"))
+    // shard ids ARE the ivf cells
+    val cells = graph.select("__shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf((0 until 8).toSet) && cells.size > 1)
+    val queries = graphQueries(Seq(3L, 11L))
+    // full probe + generous beam == exact (sharding never affects the merge)
+    val full = GraphAnn.graphSearchBatch(graph, queries, topK = 10,
+        efSearch = 100000, assumeColocated = true)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(1))).sorted.toSeq
+    val exact = VectorSearch.exactBatch(embs, "vec_id", "embedding", queries,
+        topK = 10, metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(1))).sorted.toSeq
+    assert(full == exact)
+    // probed search: results come ONLY from the probed cells' vectors,
+    // and probing each query's nearest cells keeps high recall
+    val probe = queries.flatMap { case (_, qv) => model.nearestCells(qv, 3) }.distinct
+    val pkCell = celled.select(col("vec_id"), col("__cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probedRes = GraphAnn.graphSearchBatch(graph, queries, topK = 10,
+      efSearch = 100000, assumeColocated = true, probeShards = Some(probe))
+      .collect()
+    assert(probedRes.forall(r => probe.contains(pkCell(r.getLong(1)))),
+      "probed search must not touch unprobed cells")
+    val probedTop = probedRes.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exactTop = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = queries.map { case (qid, _) =>
+      (probedTop.getOrElse(qid, Set.empty) & exactTop(qid)).size.toDouble / 10
+    }.sum / queries.size
+    assert(recall >= 0.8, s"nprobe=3/nlist=8 recall too low: $recall")
+  }
+
   test("graphRecallReport: exact at generous ef, visited_frac measured < 1 at tight ef") {
     val report = GraphAnn.graphRecallReport(embs, "vec_id", "embedding",
       queryIds = Seq(3L, 7L, 11L), efs = Seq(4, 32, 100000), topK = 10,
