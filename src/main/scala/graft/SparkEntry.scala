@@ -1094,6 +1094,19 @@ object SparkEntry {
         .toDF("media_id", "content")
       Multimodal.probeMedia(media).orderBy("media_id")
     }),
+    "q99_webm_probe" -> ((s, dir) => {
+      // REAL EBML/Matroska metadata gate (q98's contract for webm):
+      // deterministic EBML trees per doc_id — odd ids use a 0.5 ms
+      // TimecodeScale (doubled ticks, same ms), ids ≡ 0 (mod 3) write
+      // float32 durations — probed back through the full varint walk;
+      // the oracle recomputes duration/tracks arithmetically.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.EbmlProbe.synthesize(id))))
+        .toDF("media_id", "content")
+      Multimodal.probeMedia(media).orderBy("media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -1998,6 +2011,12 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    "q99_webm_probe" ->
+      """SELECT doc_id AS media_id,
+                'webm' AS container,
+                CAST(5000 + doc_id % 10000 AS BIGINT) AS duration_ms,
+                CAST(1 + doc_id % 3 AS INTEGER) AS tracks
+         FROM documents ORDER BY media_id""",
     "q98_mp4_probe" ->
       """SELECT doc_id AS media_id,
                 'mp4' AS container,

@@ -532,6 +532,125 @@ object Multimodal {
     }
   }
 
+  /** Real EBML/Matroska (webm/mkv) METADATA probe — same contract as
+    * `Mp4Probe`: no stock-JVM VP8/VP9/Opus decoder exists, but the EBML
+    * element tree is a pure-JVM parse (varint IDs/sizes, unknown-size
+    * segments, float durations in TimecodeScale units), so webm payloads
+    * yield real duration/track stats in a crawl. */
+  object EbmlProbe {
+    /** EBML header magic 0x1A45DFA3. */
+    def isEbml(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 8 &&
+        (bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45 &&
+        (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3
+
+    final case class Meta(timecodeScaleNs: Long, durationTicks: Double,
+        tracks: Int) {
+      def durationMs: Long =
+        math.round(durationTicks * timecodeScaleNs / 1e6)
+    }
+
+    /** (value, byteLen); EBML varint — leading-zero count of the first
+      * byte gives the length, `strip` drops the marker bit (sizes) or
+      * keeps it (element IDs are conventionally marker-inclusive). */
+    private def varint(b: Array[Byte], p: Int, strip: Boolean): (Long, Int) = {
+      val first = b(p) & 0xFF
+      require(first != 0, "EBML varint with >8-byte length")
+      val len = Integer.numberOfLeadingZeros(first) - 23
+      var v = (if (strip) first & (0xFF >>> len) else first).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(p + i) & 0xFF); i += 1 }
+      (v, len)
+    }
+
+    private val UnknownSizeMarkers: Set[Long] =
+      (1 to 8).map(l => (1L << (7 * l)) - 1).toSet
+
+    /** Container metadata, or None for non-EBML / malformed / no-Info
+      * payloads. */
+    def probe(bytes: Array[Byte]): Option[Meta] = {
+      if (!isEbml(bytes)) return None
+      try {
+        var scale = 1000000L // Matroska default: 1 ms per tick
+        var duration = -1.0
+        var tracks = 0
+        def walk(start: Int, limit: Int, depth: Int): Unit = {
+          var pos = start
+          while (pos + 2 <= limit) {
+            val (id, idLen) = varint(bytes, pos, strip = false)
+            val (sz0, szLen) = varint(bytes, pos + idLen, strip = true)
+            val body = pos + idLen + szLen
+            val size =
+              if (UnknownSizeMarkers.contains(sz0)) (limit - body).toLong
+              else sz0
+            if (size < 0 || body + size > limit) return // truncated: stop
+            id match {
+              case 0x18538067L | 0x1549A966L | 0x1654AE6BL => // Segment|Info|Tracks
+                if (depth < 8) walk(body, (body + size).toInt, depth + 1)
+              case 0x2AD7B1L if size >= 1 && size <= 8 => // TimecodeScale uint
+                var v = 0L
+                var i = 0
+                while (i < size) { v = (v << 8) | (bytes(body + i) & 0xFF); i += 1 }
+                scale = v
+              case 0x4489L if size == 4 || size == 8 => // Duration float
+                duration =
+                  if (size == 4) java.lang.Float.intBitsToFloat(
+                    java.nio.ByteBuffer.wrap(bytes, body, 4).getInt).toDouble
+                  else java.nio.ByteBuffer.wrap(bytes, body, 8).getDouble
+              case 0xAEL => tracks += 1 // TrackEntry
+              case _ => ()
+            }
+            pos = (body + size).toInt
+          }
+        }
+        walk(0, bytes.length, 0)
+        if (duration >= 0) Some(Meta(scale, duration, tracks)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic fixture webm keyed by id (q99's contract): EBML
+      * header + Segment(Info(TimecodeScale, Duration) + Tracks) whose
+      * duration_ms is a CLOSED FORM of the id — odd ids use a 0.5 ms
+      * TimecodeScale with doubled tick counts (same ms), so the gate
+      * exercises the scale arithmetic, and ids ≡ 0 (mod 3) write the
+      * Duration as float32 instead of float64. */
+    def synthesize(id: Long): Array[Byte] = {
+      val ms = 5000 + id % 10000
+      val (scaleNs, ticks) =
+        if (id % 2 == 1) (500000L, (2 * ms).toDouble) else (1000000L, ms.toDouble)
+      val tracks = (1 + id % 3).toInt
+      def elem(idBytes: Array[Int], body: Array[Byte]): Array[Byte] = {
+        // 8-byte size form (0x01 + 56-bit BE) keeps encoding simple/valid
+        val bb = java.nio.ByteBuffer.allocate(idBytes.length + 8 + body.length)
+        idBytes.foreach(b => bb.put(b.toByte))
+        bb.put(0x01.toByte)
+        var i = 48
+        // Long shift — Int shift amounts are mod 32 on the JVM, which
+        // would fold >>48 into >>16 and corrupt the size bytes
+        while (i >= 0) { bb.put(((body.length.toLong >> i) & 0xFF).toByte); i -= 8 }
+        bb.put(body)
+        bb.array()
+      }
+      val scaleBody = {
+        val bb = java.nio.ByteBuffer.allocate(8); bb.putLong(scaleNs); bb.array()
+      }
+      val durBody =
+        if (id % 3 == 0) {
+          val bb = java.nio.ByteBuffer.allocate(4)
+          bb.putFloat(ticks.toFloat); bb.array()
+        } else {
+          val bb = java.nio.ByteBuffer.allocate(8); bb.putDouble(ticks); bb.array()
+        }
+      val info = elem(Array(0x15, 0x49, 0xA9, 0x66),
+        elem(Array(0x2A, 0xD7, 0xB1), scaleBody) ++
+          elem(Array(0x44, 0x89), durBody))
+      val trks = elem(Array(0x16, 0x54, 0xAE, 0x6B),
+        (0 until tracks).flatMap(_ => elem(Array(0xAE), Array.emptyByteArray)).toArray)
+      val ebmlHeader = elem(Array(0x1A, 0x45, 0xDF, 0xA3), Array.emptyByteArray)
+      ebmlHeader ++ elem(Array(0x18, 0x53, 0x80, 0x67), info ++ trks)
+    }
+  }
+
   /**
    * Container-metadata probe pass — the cheap pre-decode stats a media
    * crawl runs on EVERY payload before deciding what to decode: container
@@ -561,6 +680,9 @@ object Multimodal {
           case Some(st) =>
             org.apache.spark.sql.Row(id, "wav", st.durationMs, st.channels)
           case None => org.apache.spark.sql.Row(id, "wav", null, null)
+        } else if (EbmlProbe.isEbml(bytes)) EbmlProbe.probe(bytes) match {
+          case Some(m) => org.apache.spark.sql.Row(id, "webm", m.durationMs, m.tracks)
+          case None => org.apache.spark.sql.Row(id, "webm", null, null)
         } else if (GifCodec.isGif(bytes))
           org.apache.spark.sql.Row(id, "gif", null, null)
         else if (AviMjpegCodec.isAvi(bytes))

@@ -333,6 +333,33 @@ class PipelineSpec extends SparkSpec {
     assert(rows(3).getString(1) == "unknown" && rows(3).isNullAt(2) && rows(3).isNullAt(3))
   }
 
+  test("EbmlProbe: varint walk, scale/float variants, unknown-size segment, truncation") {
+    // closed forms across the scale (odd) and float32 (mod 3) variants
+    for (id <- Seq(0L, 1L, 3L, 8L, 4242L)) {
+      val m = Multimodal.EbmlProbe.probe(Multimodal.EbmlProbe.synthesize(id)).get
+      assert(m.durationMs == 5000 + id % 10000, s"id=$id")
+      assert(m.tracks == 1 + id % 3, s"id=$id")
+      assert(m.timecodeScaleNs == (if (id % 2 == 1) 500000L else 1000000L))
+    }
+    // unknown-size Segment (all size bits set): walk runs to end-of-buffer
+    val known = Multimodal.EbmlProbe.synthesize(8L)
+    val headerLen = 4 + 8 // EBML id + 8-byte size form, empty body
+    val unknown = known.clone()
+    for (i <- 0 until 8) unknown(headerLen + 4 + i) = 0xFF.toByte
+    unknown(headerLen + 4) = 0x01.toByte // 0x01FF..FF = 8-byte unknown marker
+    assert(Multimodal.EbmlProbe.probe(unknown).get.durationMs == 5008)
+    // truncation mid-element: no throw; Duration unreached → None
+    assert(Multimodal.EbmlProbe.probe(known.take(headerLen + 20)).isEmpty)
+    assert(Multimodal.EbmlProbe.probe("not ebml content at all".getBytes).isEmpty)
+    // probeMedia classifies by magic
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Multimodal.EbmlProbe.synthesize(42L)))), schema)
+    val r = Multimodal.probeMedia(df).collect()(0)
+    assert(r.getString(1) == "webm" && r.getLong(2) == 5042 && r.getInt(3) == 1)
+  }
+
   test("readMedia: binaryFile ingest to media schema, stable ids, decode composes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_in")
     // one real PNG + one opaque payload
