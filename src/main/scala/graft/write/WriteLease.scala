@@ -87,7 +87,8 @@ object WriteLease {
         return new WriteLease(fs, lock, token, math.max(1L, staleMs / 3))
       val mtime =
         try Some(fs.getFileStatus(lock).getModificationTime)
-        catch { case _: java.io.FileNotFoundException => None } // freed: retry now
+        catch { case _: java.io.FileNotFoundException => None } // freed: retry create
+      if (mtime.isEmpty) Thread.sleep(1) // yield briefly; next loop re-creates
       mtime.foreach { m =>
         if (System.currentTimeMillis() - m > staleMs) {
           // presumed-dead holder: take over. Racing takeovers both delete
