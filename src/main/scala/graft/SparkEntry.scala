@@ -1107,6 +1107,23 @@ object SparkEntry {
         .toDF("media_id", "content")
       Multimodal.probeMedia(media).orderBy("media_id")
     }),
+    "q100_audio_spectrum" -> ((s, dir) => {
+      // REAL frequency-domain gate: sine fixtures with EXACTLY k periods
+      // per analysis window put all DFT energy in bin k (quantization
+      // noise ~1e-11 relative — far under the 2-decimal rounding), so
+      // dominant bin and spectral centroid have closed forms the oracle
+      // recomputes; a DFT indexing or windowing bug cannot hash-match.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.WavCodec.synthesizeSine(id))))
+        .toDF("media_id", "content")
+      Multimodal.audioSpectrum(media)
+        .select(col("media_id"), col("dominant_bin"),
+          round(col("dominant_hz"), 2).as("dominant_hz"),
+          round(col("centroid_hz"), 2).as("centroid_hz"))
+        .orderBy("media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2011,6 +2028,12 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    "q100_audio_spectrum" ->
+      """SELECT doc_id AS media_id,
+                CAST(3 + doc_id % 60 AS INTEGER) AS dominant_bin,
+                round((3 + doc_id % 60) * 8000.0 / 256, 2) AS dominant_hz,
+                round((3 + doc_id % 60) * 8000.0 / 256, 2) AS centroid_hz
+         FROM documents ORDER BY media_id""",
     "q99_webm_probe" ->
       """SELECT doc_id AS media_id,
                 'webm' AS container,

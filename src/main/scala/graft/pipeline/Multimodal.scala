@@ -324,6 +324,72 @@ object Multimodal {
       bb.array()
     }
 
+    /** DFT spectrum of the first `n` samples (zero-padded) of channel 0:
+      * (dominantBin, dominantHz, centroidHz, bandFractions). Naive
+      * O(n²/2) real DFT — n is a small analysis window (default 256), so
+      * per-row cost is bounded regardless of file length; the classic
+      * audio "forward pass" features (dominant pitch, spectral centroid,
+      * octave-ish band energy fractions) without any codec library.
+      * Deterministic: ties on bin energy break toward the LOWER bin. */
+    def spectrum(pcm: Pcm, n: Int = 256, bands: Int = 8):
+        (Int, Double, Double, Array[Double]) = {
+      require(n >= 2 && bands >= 1 && n % (2 * bands) == 0,
+        s"spectrum: need n >= 2 and bands dividing n/2; got n=$n bands=$bands")
+      val s = new Array[Double](n)
+      val src = if (pcm.channels > 0) pcm.samples(0) else Array.empty[Double]
+      var i = 0
+      while (i < n && i < src.length) { s(i) = src(i); i += 1 }
+      val half = n / 2
+      val energy = new Array[Double](half)
+      var k = 0
+      while (k < half) {
+        var re = 0.0; var im = 0.0
+        var t = 0
+        while (t < n) {
+          val ang = 2.0 * math.Pi * k * t / n
+          re += s(t) * math.cos(ang)
+          im -= s(t) * math.sin(ang)
+          t += 1
+        }
+        energy(k) = re * re + im * im
+        k += 1
+      }
+      var dom = 0
+      var total = 0.0
+      var weighted = 0.0
+      val binHz = pcm.sampleRate.toDouble / n
+      k = 0
+      while (k < half) {
+        if (energy(k) > energy(dom)) dom = k
+        total += energy(k)
+        weighted += k * binHz * energy(k)
+        k += 1
+      }
+      val fractions = new Array[Double](bands)
+      val perBand = half / bands
+      k = 0
+      while (k < half) { fractions(k / perBand) += energy(k); k += 1 }
+      if (total > 0) { var b = 0; while (b < bands) { fractions(b) /= total; b += 1 } }
+      (dom, dom * binHz, if (total > 0) weighted / total else 0.0, fractions)
+    }
+
+    /** Deterministic mono sine fixture: EXACTLY `cycles` periods inside a
+      * `windowN`-sample analysis window (frequency = cycles·rate/windowN),
+      * so the DFT concentrates all signal energy in bin `cycles` — int16
+      * quantization adds only ~1e-11 relative noise, far below a 2-decimal
+      * rounding of the centroid. The q100 oracle's closed form. */
+    def synthesizeSine(id: Long, rate: Int = 8000, windowN: Int = 256,
+        amp: Int = 8000): Array[Byte] = {
+      val cycles = (3 + id % 60).toInt
+      val s = new Array[Short](windowN)
+      var i = 0
+      while (i < windowN) {
+        s(i) = math.round(amp * math.sin(2.0 * math.Pi * cycles * i / windowN)).toShort
+        i += 1
+      }
+      encodePcm16(rate, Array(s))
+    }
+
     /** Deterministic mono square-wave fixture keyed by id — every stat is
       * a CLOSED FORM of id (rate, frames, amplitude, half-period below),
       * so a SQL oracle can verify the decode without parsing bytes:
@@ -846,6 +912,40 @@ object Multimodal {
             st.rms, st.peak, st.zeroCrossings)
           case None => org.apache.spark.sql.Row(
             r.getLong(idIdx), null, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /**
+   * Spectral-feature pass — `decodeAudio`'s sibling for frequency-domain
+   * signals: DFT over a bounded analysis window of channel 0 →
+   * (dominant_bin, dominant_hz, centroid_hz, band_fractions). WAV-decoded
+   * payloads get real spectra; everything else NULLs (same honesty
+   * contract). Window cost is O(n²/2) per row with n fixed (default 256),
+   * so the pass scales linearly in rows regardless of audio length.
+   */
+  def audioSpectrum(df: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content", n: Int = 256, bands: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dominant_bin", IntegerType, nullable = true),
+      StructField("dominant_hz", DoubleType, nullable = true),
+      StructField("centroid_hz", DoubleType, nullable = true),
+      StructField("band_fractions", ArrayType(DoubleType), nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        WavCodec.decode(bytes) match {
+          case Some(pcm) =>
+            val (dom, domHz, centroid, fracs) = WavCodec.spectrum(pcm, n, bands)
+            org.apache.spark.sql.Row(r.getLong(idIdx), dom, domHz, centroid,
+              fracs.toSeq)
+          case None => org.apache.spark.sql.Row(
+            r.getLong(idIdx), null, null, null, null)
         }
       }
     }(enc)

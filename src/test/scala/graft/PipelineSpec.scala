@@ -360,6 +360,38 @@ class PipelineSpec extends SparkSpec {
     assert(r.getString(1) == "webm" && r.getLong(2) == 5042 && r.getInt(3) == 1)
   }
 
+  test("WavCodec.spectrum: pure tones land in their bin; two-tone centroid sits between; bands sum to 1") {
+    // single tone: k periods per window → all energy in bin k
+    for (id <- Seq(0L, 17L, 59L)) {
+      val k = (3 + id % 60).toInt
+      val pcm = Multimodal.WavCodec.decode(Multimodal.WavCodec.synthesizeSine(id)).get
+      val (dom, domHz, centroid, fracs) = Multimodal.WavCodec.spectrum(pcm)
+      assert(dom == k, s"id=$id")
+      assert(math.abs(domHz - k * 8000.0 / 256) < 1e-9)
+      assert(math.abs(centroid - k * 8000.0 / 256) < 1e-4, s"centroid leak id=$id")
+      assert(math.abs(fracs.sum - 1.0) < 1e-9)
+      assert(fracs(k / 16) > 0.999, "band holding the tone carries ~all energy")
+    }
+    // two equal tones at bins 10 and 30 → centroid at bin 20's frequency
+    val n = 256
+    val two = new Array[Short](n)
+    for (i <- 0 until n) two(i) = math.round(
+      6000 * math.sin(2 * math.Pi * 10 * i / n) +
+      6000 * math.sin(2 * math.Pi * 30 * i / n)).toShort
+    val pcm2 = Multimodal.WavCodec.decode(
+      Multimodal.WavCodec.encodePcm16(8000, Array(two))).get
+    val (_, _, c2, _) = Multimodal.WavCodec.spectrum(pcm2)
+    assert(math.abs(c2 - 20 * 8000.0 / 256) < 0.5, s"two-tone centroid $c2")
+    // undecodable audio → NULL spectra in the Spark pass
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Multimodal.WavCodec.synthesizeSine(5L)),
+      Row(2L, "not audio".getBytes))), schema)
+    val rows = Multimodal.audioSpectrum(df).orderBy("media_id").collect()
+    assert(rows(0).getInt(1) == 8 && rows(1).isNullAt(1) && rows(1).isNullAt(4))
+  }
+
   test("readMedia: binaryFile ingest to media schema, stable ids, decode composes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_in")
     // one real PNG + one opaque payload
