@@ -300,6 +300,48 @@ object TextAnalysis {
         col("__r.dup_word_frac").as("dup_word_frac"),
         col("__r.top_bigram_frac").as("top_bigram_frac"))
 
+  // ---------- compression-ratio quality signal ----------
+
+  /** Deflate-compressed size of UTF-8 text — the classic corpus quality
+    * signal (C4/Gopher-family filters drop documents whose compression
+    * ratio marks them as boilerplate/repetition at one extreme or
+    * high-entropy garbage at the other). DETERMINISTIC: a fixed Deflater
+    * level with the default strategy produces identical bytes on every
+    * JVM (zlib's algorithm is fully specified by its parameters), so the
+    * signal is reproducible across runs and partitionings — but no SQL
+    * engine exposes deflate, so this ships spec-covered rather than
+    * DuckDB-gated. Implemented as a Scala UDF by necessity (no built-in
+    * Column covers deflate); the per-row cost is the codec itself, which
+    * dominates any expression-eval overhead.
+    */
+  def deflateLen(text: Column, level: Int = 6): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        val d = new java.util.zip.Deflater(level)
+        try {
+          d.setInput(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          total
+        } finally d.end()
+      }
+    }
+    f(text)
+  }
+
+  /** compressed/raw byte ratio, rounded: low = repetitive boilerplate,
+    * ~1+ = high-entropy noise; natural prose sits in between (the filter
+    * band is corpus-tuned). 0 for empty/null text. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    bind(when(text.isNull, 0L).otherwise(
+      length(to_binary(text, lit("utf-8"))).cast("long"))) { raw =>
+      when(raw === 0L, 0.0)
+        .otherwise(round(deflateLen(text, level).cast("double") / raw, 6))
+    }
+
   // ---------- PII detection + redaction ----------
 
   /** PII patterns, kept inside the RE2 ∩ java.util.regex common subset so

@@ -564,6 +564,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("compressionRatio: boilerplate < prose < noise; deterministic; matches a local Deflater") {
+    val boiler = "spam spam spam spam " * 50
+    val prose = "the quiet river carried last autumn's leaves past the old mill, " +
+      "where a miller once weighed grain for villages that no longer exist"
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(400)(rnd.nextPrintableChar()).mkString
+    def ratio(s: String): Double =
+      one(TextAnalysis.compressionRatio(col("t")), s).getDouble(0)
+    val (rb, rp, rn) = (ratio(boiler), ratio(prose), ratio(noise))
+    assert(rb < rp && rp < rn, s"ordering: $rb $rp $rn")
+    assert(rb < 0.1, s"50x-repeated boilerplate must crush: $rb")
+    // determinism + exact agreement with a directly-driven Deflater
+    assert(ratio(prose) == rp)
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    val raw = prose.getBytes("UTF-8").length
+    assert(rp == math.round(n.toDouble / raw * 1e6) / 1e6)
+    assert(ratio("") == 0.0)
+  }
+
   test("piiCounts + redactPii: emails, phones, IPv4s; counts precede redaction") {
     val r = one(struct(TextAnalysis.piiCounts(col("t")).as("c"),
         TextAnalysis.redactPii(col("t")).as("red")),
