@@ -1124,6 +1124,16 @@ object SparkEntry {
           round(col("centroid_hz"), 2).as("centroid_hz"))
         .orderBy("media_id")
     }),
+    "q101_shared_spans" -> ((s, dir) => {
+      // exact shared-substring dedup (Lee et al. substring-dedup family):
+      // 50-char sliding spans, one bucket shuffle, no doc×doc join. Gate
+      // mode buckets on the span STRING so DuckDB reproduces it
+      // byte-exactly; `hashed = true` is the narrow-shuffle scale twin
+      // (spec-pinned equal on this data).
+      Dedup.sharedSpanPairs(eng(s, dir).table("documents"), "doc_id", "text",
+          spanLen = 50, maxBucket = 100000)
+        .orderBy("a", "b")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2028,6 +2038,16 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    "q101_shared_spans" ->
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(range(1, greatest(1, length(text) - 48))) AS i
+           FROM documents
+         ), spans AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 50) AS s FROM pos
+         )
+         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM spans a JOIN spans b ON a.s = b.s AND a.doc_id < b.doc_id
+         ORDER BY a, b""",
     "q100_audio_spectrum" ->
       """SELECT doc_id AS media_id,
                 CAST(3 + doc_id % 60 AS INTEGER) AS dominant_bin,

@@ -260,4 +260,26 @@ class DedupSpec extends SparkSpec {
       .where(col("is_keeper") === 1).collect().map(_.getAs[Long]("id")).toSet
     assert(dflt == Set(1L, 7L))
   }
+
+  test("sharedSpanPairs: exact span overlap only; hashed twin identical; within-doc repeats add nothing") {
+    import spark.implicits._
+    val common = "x" * 20 + "the exact fifty character span shared by two docs!" // 50 shared chars inside
+    val docs = Seq(
+      (1L, s"prefix one $common suffix one"),
+      (2L, s"a different beginning $common and a different end"),
+      (3L, "completely unrelated text that is certainly long enough to have spans but shares none of them"),
+      (4L, "short"), // below spanLen: no spans, no pairs
+      (5L, ("repeat me " * 20) + common) // within-doc repeated spans + the shared one
+    ).toDF("id", "text")
+    val exact = Dedup.sharedSpanPairs(docs, "id", "text", spanLen = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L), (1L, 5L), (2L, 5L)), s"got $exact")
+    val hashed = Dedup.sharedSpanPairs(docs, "id", "text",
+      spanLen = 50, hashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hashed == exact, "xxhash64 bucket twin must agree on real data")
+    // skew guard: maxBucket 1 drops every bucket (all have >= 2 ids)
+    assert(Dedup.sharedSpanPairs(docs, "id", "text",
+      spanLen = 50, maxBucket = 1).count() == 0)
+  }
 }
