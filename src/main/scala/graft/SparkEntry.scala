@@ -1134,6 +1134,19 @@ object SparkEntry {
           spanLen = 50, maxBucket = 100000)
         .orderBy("a", "b")
     }),
+    "q102_flac_probe" -> ((s, dir) => {
+      // REAL FLAC STREAMINFO gate (q98's contract for flac): sample rate,
+      // channels and total samples sit at fixed bit offsets in the
+      // mandatory first metadata block, so duration is EXACT without
+      // decoding a single frame; the oracle recomputes the closed forms —
+      // a bit-offset bug in the 20/3/36-bit slicing cannot hash-match.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.FlacProbe.synthesize(id))))
+        .toDF("media_id", "content")
+      Multimodal.probeMedia(media).orderBy("media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2038,6 +2051,12 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    "q102_flac_probe" ->
+      """SELECT doc_id AS media_id,
+                'flac' AS container,
+                ((100000 + doc_id % 50000) * 1000) // (32000 + (doc_id % 4) * 4000) AS duration_ms,
+                CAST(1 + doc_id % 2 AS INTEGER) AS tracks
+         FROM documents ORDER BY media_id""",
     "q101_shared_spans" ->
       """WITH pos AS (
            SELECT doc_id, text, unnest(range(1, greatest(1, length(text) - 48))) AS i

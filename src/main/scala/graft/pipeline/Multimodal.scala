@@ -731,6 +731,107 @@ object Multimodal {
     }
   }
 
+  /** Real FLAC STREAMINFO probe — the mandatory first metadata block
+    * after the `fLaC` magic carries sample rate (20 bits), channels and
+    * TOTAL SAMPLES (36 bits) at fixed bit offsets, so duration is EXACT
+    * without any frame decode; pure-JVM bit slicing, ~30 lines. */
+  object FlacProbe {
+    def isFlac(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 8 &&
+        bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'
+
+    final case class Meta(sampleRate: Int, channels: Int, totalSamples: Long) {
+      def durationMs: Long =
+        if (sampleRate > 0) totalSamples * 1000L / sampleRate else 0L
+    }
+
+    /** STREAMINFO fields, or None for non-FLAC / malformed payloads. The
+      * walk skips leading metadata blocks until type 0 (spec requires
+      * STREAMINFO first; tolerating reordered blocks costs nothing). */
+    def probe(bytes: Array[Byte]): Option[Meta] = {
+      if (!isFlac(bytes)) return None
+      try {
+        var pos = 4
+        var last = false
+        while (!last && pos + 4 <= bytes.length) {
+          val hdr = bytes(pos) & 0xFF
+          last = (hdr & 0x80) != 0
+          val typ = hdr & 0x7F
+          val len = ((bytes(pos + 1) & 0xFF) << 16) |
+            ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+          val body = pos + 4
+          if (typ == 0 && len >= 18 && body + 18 <= bytes.length) {
+            def b(i: Int) = bytes(body + i) & 0xFF
+            val sr = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+            val ch = ((b(12) >> 1) & 0x07) + 1
+            val total = ((b(13) & 0x0FL) << 32) | (b(14).toLong << 24) |
+              (b(15).toLong << 16) | (b(16).toLong << 8) | b(17).toLong
+            return if (sr > 0) Some(Meta(sr, ch, total)) else None
+          }
+          pos = body + len
+        }
+        None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Deterministic fixture FLAC keyed by id (q102's contract): magic +
+      * one STREAMINFO block whose rate/samples/channels are closed forms
+      * of the id. No audio frames — the probe never reads past the block,
+      * exactly like a real crawl's header-only stat pass. */
+    def synthesize(id: Long): Array[Byte] = {
+      val sr = 32000 + (id % 4).toInt * 4000
+      val total = 100000L + id % 50000
+      val ch = 1 + (id % 2).toInt
+      val body = new Array[Byte](34)
+      body(10) = (sr >> 12).toByte
+      body(11) = ((sr >> 4) & 0xFF).toByte
+      body(12) = (((sr & 0x0F) << 4) | ((ch - 1) << 1) | ((16 - 1) >> 4)).toByte
+      body(13) = ((((16 - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)).toByte
+      body(14) = ((total >> 24) & 0xFF).toByte
+      body(15) = ((total >> 16) & 0xFF).toByte
+      body(16) = ((total >> 8) & 0xFF).toByte
+      body(17) = (total & 0xFF).toByte
+      "fLaC".getBytes("US-ASCII") ++
+        Array[Byte](0x80.toByte, 0, 0, 34) ++ body // last-block flag, type 0
+    }
+  }
+
+  /** MP3 (MPEG-1 Layer III) frame-header sniff: sync word + the public
+    * bitrate/sample-rate index tables give a CBR duration ESTIMATE
+    * (payload_bytes × 8 / bitrate) — labeled an estimate, since VBR needs
+    * a full frame walk; container detection itself is exact. */
+  object Mp3Probe {
+    private val bitrates =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val rates = Array(44100, 48000, 32000)
+
+    /** Find the sync at offset 0 (or after an ID3v2 tag). */
+    private def syncAt(bytes: Array[Byte]): Int = {
+      if (bytes == null || bytes.length < 4) return -1
+      var p = 0
+      if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3' && bytes.length > 10)
+        p = 10 + (((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+          ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F))
+      if (p + 4 <= bytes.length && (bytes(p) & 0xFF) == 0xFF &&
+        (bytes(p + 1) & 0xFE) == 0xFA) p // MPEG-1 Layer III, sync 0xFFFA/0xFFFB
+      else -1
+    }
+
+    def isMp3(bytes: Array[Byte]): Boolean = syncAt(bytes) >= 0
+
+    /** (bitrateKbps, sampleRate, estimatedDurationMs) or None. */
+    def probe(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      val p = syncAt(bytes)
+      if (p < 0) return None
+      val bIdx = (bytes(p + 2) & 0xFF) >> 4
+      val rIdx = ((bytes(p + 2) & 0xFF) >> 2) & 3
+      if (bIdx == 0 || bIdx >= 15 || rIdx >= 3) return None
+      val kbps = bitrates(bIdx)
+      Some((kbps, rates(rIdx),
+        (bytes.length - p).toLong * 8L / kbps)) // bytes×8 / (kbps×1000) × 1000ms
+    }
+  }
+
   /**
    * Container-metadata probe pass — the cheap pre-decode stats a media
    * crawl runs on EVERY payload before deciding what to decode: container
@@ -760,6 +861,15 @@ object Multimodal {
           case Some(st) =>
             org.apache.spark.sql.Row(id, "wav", st.durationMs, st.channels)
           case None => org.apache.spark.sql.Row(id, "wav", null, null)
+        } else if (FlacProbe.isFlac(bytes)) FlacProbe.probe(bytes) match {
+          case Some(m) =>
+            org.apache.spark.sql.Row(id, "flac", m.durationMs, m.channels)
+          case None => org.apache.spark.sql.Row(id, "flac", null, null)
+        } else if (Mp3Probe.isMp3(bytes)) Mp3Probe.probe(bytes) match {
+          // duration is the documented CBR ESTIMATE; tracks unknown → NULL
+          case Some((_, _, estMs)) =>
+            org.apache.spark.sql.Row(id, "mp3", estMs, null)
+          case None => org.apache.spark.sql.Row(id, "mp3", null, null)
         } else if (EbmlProbe.isEbml(bytes)) EbmlProbe.probe(bytes) match {
           case Some(m) => org.apache.spark.sql.Row(id, "webm", m.durationMs, m.tracks)
           case None => org.apache.spark.sql.Row(id, "webm", null, null)

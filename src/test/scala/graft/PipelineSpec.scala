@@ -392,6 +392,40 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0).getInt(1) == 8 && rows(1).isNullAt(1) && rows(1).isNullAt(4))
   }
 
+  test("FlacProbe + Mp3Probe: exact STREAMINFO duration; mp3 CBR estimate; probeMedia routing") {
+    for (id <- Seq(0L, 1L, 3L, 777L)) {
+      val m = Multimodal.FlacProbe.probe(Multimodal.FlacProbe.synthesize(id)).get
+      assert(m.sampleRate == 32000 + (id % 4) * 4000, s"id=$id")
+      assert(m.totalSamples == 100000 + id % 50000)
+      assert(m.channels == 1 + id % 2)
+      assert(m.durationMs == (100000 + id % 50000) * 1000 / (32000 + (id % 4) * 4000))
+    }
+    // a non-first STREAMINFO (after a padding block) is still found
+    val base = Multimodal.FlacProbe.synthesize(5L)
+    val padded = "fLaC".getBytes ++ Array[Byte](0x01, 0, 0, 4, 9, 9, 9, 9) ++
+      base.drop(4)
+    assert(Multimodal.FlacProbe.probe(padded).get.sampleRate == 36000)
+    assert(Multimodal.FlacProbe.probe(base.take(20)).isEmpty) // truncated
+    // mp3: MPEG-1 L3 header, 128 kbps @ 44100, 4000 payload bytes → 250 ms
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
+      new Array[Byte](4000 - 4)
+    assert(Multimodal.Mp3Probe.probe(mp3).contains((128, 44100, 250L)))
+    // ID3v2-prefixed sync still found (syncsafe size 0 → tag is 10 bytes)
+    val tagged = "ID3".getBytes ++ new Array[Byte](7) ++ mp3
+    assert(Multimodal.Mp3Probe.isMp3(tagged))
+    assert(!Multimodal.Mp3Probe.isMp3("no sync here at all".getBytes))
+    // probeMedia routes flac exactly, mp3 as estimate with NULL tracks
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Multimodal.FlacProbe.synthesize(2L)), Row(2L, mp3))), schema)
+    val rows = Multimodal.probeMedia(df).orderBy("media_id").collect()
+    assert(rows(0).getString(1) == "flac" &&
+      rows(0).getLong(2) == 100002L * 1000 / 40000 && rows(0).getInt(3) == 1)
+    assert(rows(1).getString(1) == "mp3" && rows(1).getLong(2) == 250L &&
+      rows(1).isNullAt(3))
+  }
+
   test("readMedia: binaryFile ingest to media schema, stable ids, decode composes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media_in")
     // one real PNG + one opaque payload
