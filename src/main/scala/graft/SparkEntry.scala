@@ -1147,6 +1147,58 @@ object SparkEntry {
         .toDF("media_id", "content")
       Multimodal.probeMedia(media).orderBy("media_id")
     }),
+    "q103_image_phash" -> ((s, dir) => {
+      // REAL perceptual-hash gate (q95's contract for images):
+      // deterministic BMPs whose 9×8 brightness grid realizes a
+      // closed-form dHash per doc_id, pushed through the full
+      // javax.imageio decode → box-downsample → difference-hash chain —
+      // the oracle recomputes every bit arithmetically, so a row-order,
+      // luma or box-boundary bug in PHash cannot hash-match.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.BmpCodec.synthesize(id))))
+        .toDF("media_id", "content")
+      Multimodal.imagePHash(media).orderBy("media_id")
+    }),
+    "q104_image_neardup" -> ((s, dir) => {
+      // image near-dup at corpus scale: dHash → 4×16-bit band bucket
+      // join → exact hamming verify. Banding is EXACT for hamming ≤ 3
+      // (pigeonhole), so the oracle is the brute-force pair set — ids
+      // equal mod 256 differ only at their two flip bits (hamming 2) by
+      // the synthesizer's construction.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.BmpCodec.synthesize(id))))
+        .toDF("media_id", "content")
+      val hashes = Multimodal.imagePHash(media).where(col("ph_hi").isNotNull)
+      Dedup.hammingPairs64(hashes, "media_id", "ph_hi", "ph_lo", maxHamming = 2)
+        .orderBy("a", "b")
+    }),
+    "q105_image_cluster" -> ((s, dir) => {
+      // image-dedup capstone: decode → dHash → banded hamming pairs →
+      // connected components → keeper = min id per cluster. The oracle
+      // re-walks the closed-form pair set with a recursive min-label CTE
+      // (the q67 discipline), so a wrong component, a lost transitive
+      // chain, or a mis-ranked keeper goes red end-to-end.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.BmpCodec.synthesize(id))))
+        .toDF("media_id", "content")
+      val hashes = Multimodal.imagePHash(media).where(col("ph_hi").isNotNull)
+      // pin the pair list: components AND the paired-media restriction
+      // both consume it
+      val pairs = Dedup.hammingPairs64(hashes, "media_id", "ph_hi", "ph_lo",
+        maxHamming = 2).localCheckpoint(true)
+      val verts = pairs.select(col("a").as("media_id"))
+        .union(pairs.select(col("b").as("media_id"))).distinct()
+      Dedup.dedupClusters(media.select("media_id"), "media_id", pairs, "a", "b")
+        .join(verts, Seq("media_id"), "left_semi") // bounded: paired media only
+        .select(col("component"), col("media_id"), col("is_keeper"))
+        .orderBy("component", "media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -1387,6 +1439,20 @@ object SparkEntry {
         .limit(10)
     })
   )
+
+  /** Shared DuckDB CTE: the closed-form dHash bit per (doc_id, k) that
+    * `Multimodal.BmpCodec.bitOf` realizes in pixels — q103 packs it into
+    * hash halves + hex, q104 brute-forces the near-dup pair set from it.
+    * Ends in `bits(doc_id, k, bit)`. */
+  private val duckPhashBits =
+    """WITH bits AS (
+         SELECT d.doc_id, k.range AS k,
+           (CASE WHEN ((((((d.doc_id % 256) + 1) * (k.range + 3)) % 61 < 30)
+                        != ((((d.doc_id % 256) + 7) * (k.range + 11)) % 53 < 26))
+                      != (k.range = (d.doc_id // 256) % 64))
+                 THEN 1 ELSE 0 END) AS bit
+         FROM documents d, range(64) k
+       )"""
 
   /** Shared DuckDB CTE: normalized tokens + 3-gram shingles of documents
     * (must mirror GraftFunctions.shingles exactly). */
@@ -2051,6 +2117,65 @@ object SparkEntry {
           END
           ORDER BY doc_id"""
     },
+    // q103/q104 share the closed-form dHash bit: base pattern from two
+    // coprime-modulus congruences of (doc_id%256), one bit flipped at
+    // (doc_id/256)%64 — Multimodal.BmpCodec.bitOf verbatim.
+    "q103_image_phash" ->
+      s"""$duckPhashBits, rws AS (
+           SELECT doc_id, k // 8 AS r, sum(bit * (1 << (k % 8))) AS rb
+           FROM bits GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id,
+             sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS ph_hi,
+             sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS ph_lo
+           FROM bits GROUP BY doc_id
+         ), hx AS (
+           SELECT doc_id, string_agg(lpad(lower(to_hex(rb)), 2, '0'), '' ORDER BY r) AS phash
+           FROM rws GROUP BY doc_id
+         )
+         SELECT a.doc_id AS media_id, CAST(a.ph_hi AS BIGINT) AS ph_hi,
+                CAST(a.ph_lo AS BIGINT) AS ph_lo, h.phash
+         FROM agg a JOIN hx h USING (doc_id) ORDER BY media_id""",
+    "q104_image_neardup" ->
+      s"""$duckPhashBits, agg AS (
+           SELECT doc_id,
+             sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS ph_hi,
+             sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS ph_lo
+           FROM bits GROUP BY doc_id
+         )
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) AS INTEGER) AS hamming
+         FROM agg a JOIN agg b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 2
+         ORDER BY a, b""",
+    // q105 re-walks q104's pair set with the q67 recursive min-label CTE
+    "q105_image_cluster" ->
+      s"""${duckPhashBits.replaceFirst("WITH ", "WITH RECURSIVE ")}, agg AS (
+           SELECT doc_id,
+             sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS ph_hi,
+             sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS ph_lo
+           FROM bits GROUP BY doc_id
+         ), pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM agg a JOIN agg b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 2
+         ), edges AS (
+           SELECT a AS src, b AS dst FROM pairs
+           UNION SELECT b AS src, a AS dst FROM pairs
+         ), verts AS (SELECT DISTINCT src AS id FROM edges),
+         cc(id, comp) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.dst, c.comp FROM cc c JOIN edges e ON e.src = c.id
+           WHERE c.comp < e.dst
+         ), fin AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         ranked AS (
+           SELECT comp AS component, id AS media_id,
+                  row_number() OVER (PARTITION BY comp ORDER BY id) AS rn
+           FROM fin
+         )
+         SELECT component, media_id, CAST(rn = 1 AS INT) AS is_keeper
+         FROM ranked ORDER BY component, media_id""",
     "q102_flac_probe" ->
       """SELECT doc_id AS media_id,
                 'flac' AS container,

@@ -90,6 +90,126 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 24-bit BMP synthesizer for the perceptual-hash gate:
+    * a 36×32 canvas of 9×8 gray cells (4×4 px each) whose brightness
+    * walks ±1 from 128 along each row, so the image's dHash bit
+    * (r, c) = [cell(r, c+1) brighter than cell(r, c)] equals the closed
+    * form `bitOf(id, r*8+c)` — the oracle recomputes `bitOf` in SQL, so
+    * a header-offset, bottom-up-row or box-average bug in the decode →
+    * downsample → compare chain cannot hash-match. BMP because it is
+    * byte-trivial to EMIT by hand (no compression) yet decodes through
+    * the very same `ImageIoCodec`/`javax.imageio` path a crawl uses. */
+  object BmpCodec {
+    val GridW = 9 // dHash compares 9 columns → 8 bits per row
+    val GridH = 8
+    /** Cell edge in pixels — parameterized so specs can verify dHash
+      * scale-invariance with a pixel-doubled twin of the same id. */
+    def width(cell: Int): Int = GridW * cell
+    def height(cell: Int): Int = GridH * cell
+
+    /** Closed-form dHash bit k of id. Base pattern: two congruences with
+      * coprime moduli XORed (61·53 > 256 keeps all 256 id%256 patterns
+      * distinct); one bit flipped at (id/256)%64 gives every id a
+      * hamming-2 family — ids equal mod 256 are near-dups, everything
+      * else sits ~32 bits away. */
+    def bitOf(id: Long, k: Int): Boolean = {
+      val g = (id % 256).toInt
+      val base = (((g + 1) * (k + 3)) % 61 < 30) ^ (((g + 7) * (k + 11)) % 53 < 26)
+      base ^ (k == ((id / 256) % 64).toInt)
+    }
+
+    /** Brightness of grid cell (r, c), c ∈ [0, 9): ±1 walk from 128 along
+      * the row (stays in [120, 136] — far from clipping). */
+    def cellValue(id: Long, r: Int, c: Int): Int = {
+      var v = 128; var i = 0
+      while (i < c) { v += (if (bitOf(id, r * 8 + i)) 1 else -1); i += 1 }
+      v
+    }
+
+    /** The BMP bytes: BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up
+      * BGR rows. At cell=4 a row is 36·3 = 108 bytes — already 4-byte
+      * aligned; other cell sizes pad explicitly per the format. */
+    def synthesize(id: Long, cell: Int = 4): Array[Byte] = {
+      val w = width(cell); val h = height(cell)
+      val rowBytes = (w * 3 + 3) & ~3
+      val dataSize = rowBytes * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var y = h - 1 // bottom-up storage; decoded row y = logical row y
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = cellValue(id, y / cell, x / cell).toByte
+          b.put(v).put(v).put(v)
+          x += 1
+        }
+        var p = w * 3
+        while (p < rowBytes) { b.put(0: Byte); p += 1 }
+        y -= 1
+      }
+      b.array()
+    }
+  }
+
+  /** Perceptual difference-hash (dHash): box-average the decoded image to
+    * a 9×8 gray grid, set bit r*8+c iff cell (r, c+1) is strictly
+    * brighter than (r, c). 64 bits packed row-major LSB-first into two
+    * unsigned 32-bit halves (lo = rows 0–3) so engines without unsigned
+    * 64-bit math can still XOR/popcount them, plus the row-major hex
+    * string for human-readable clustering keys. */
+  object PHash {
+    def dHash(img: java.awt.image.BufferedImage): (Long, Long, String) = {
+      val w = img.getWidth; val h = img.getHeight
+      val avg = Array.ofDim[Double](BmpCodec.GridH, BmpCodec.GridW)
+      var r = 0
+      while (r < BmpCodec.GridH) {
+        var c = 0
+        while (c < BmpCodec.GridW) {
+          // floor-boundary boxes tile the image exactly; integer luma
+          // sum (299/587/114 per mille — same weights as featuresOf)
+          // divided once keeps equal-channel grays EXACT (sum = n·v·1000)
+          val x0 = c * w / BmpCodec.GridW; val x1 = (c + 1) * w / BmpCodec.GridW
+          val y0 = r * h / BmpCodec.GridH; val y1 = (r + 1) * h / BmpCodec.GridH
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+                (rgb & 0xFF) * 114L
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          avg(r)(c) = if (n == 0) 0.0 else sum.toDouble / (n * 1000.0)
+          c += 1
+        }
+        r += 1
+      }
+      var lo = 0L; var hi = 0L
+      val hex = new java.lang.StringBuilder(16)
+      r = 0
+      while (r < BmpCodec.GridH) {
+        var byte = 0
+        var c = 0
+        while (c < 8) {
+          if (avg(r)(c + 1) > avg(r)(c)) byte |= 1 << c
+          c += 1
+        }
+        if (r < 4) lo |= byte.toLong << (8 * r) else hi |= byte.toLong << (8 * (r - 4))
+        hex.append(f"$byte%02x")
+        r += 1
+      }
+      (hi, lo, hex.toString)
+    }
+  }
+
   /** Real animated-GIF frame extraction — pure JVM (`javax.imageio`'s GIF
     * reader demuxes the only motion format the stock JDK understands).
     * GIF frames may be DELTAS (a sub-rectangle at an offset over the
@@ -1001,6 +1121,39 @@ object Multimodal {
             (fw, fh, FakeCodec.features(bytes))
         }
         org.apache.spark.sql.Row(r.getLong(idIdx), w, h, feat.toSeq)
+      }
+    }(enc)
+  }
+
+  /**
+   * Perceptual-hash pass — `decodeImages`' sibling for near-dup keys:
+   * decode ONCE per row, dHash the pixels (`PHash`), emit the 64-bit hash
+   * as unsigned 32-bit halves (ph_hi/ph_lo) + the row-major hex string.
+   * Payloads no registered reader decodes yield NULLs (same honesty
+   * contract as `decodeAudio`) — a crawl reports them unhashed rather
+   * than clustering garbage. Feed the output to `Dedup.hammingPairs64`
+   * for banded near-dup pairing at corpus scale.
+   */
+  def imagePHash(df: DataFrame,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ph_hi", LongType, nullable = true),
+      StructField("ph_lo", LongType, nullable = true),
+      StructField("phash", StringType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        ImageIoCodec.decode(bytes) match {
+          case Some(img) =>
+            val (hi, lo, hex) = PHash.dHash(img)
+            org.apache.spark.sql.Row(r.getLong(idIdx), hi, lo, hex)
+          case None =>
+            org.apache.spark.sql.Row(r.getLong(idIdx), null, null, null)
+        }
       }
     }(enc)
   }

@@ -282,4 +282,35 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.sharedSpanPairs(docs, "id", "text",
       spanLen = 50, maxBucket = 1).count() == 0)
   }
+
+  test("hammingPairs64: banded pairs == brute force for hamming ≤ 3; bound enforced") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal.BmpCodec
+    // deterministic hash corpus with planted near-dup families (ids equal
+    // mod 256 sit at hamming 2) + pseudo-random distant hashes
+    val rows = (0L until 600L).map { id =>
+      val lo = (0 until 32).map(k => if (BmpCodec.bitOf(id, k)) 1L << k else 0L).sum
+      val hi = (32 until 64).map(k => if (BmpCodec.bitOf(id, k)) 1L << (k - 32) else 0L).sum
+      (id, hi, lo)
+    }
+    val df = rows.toDF("id", "hi", "lo")
+    def brute(maxH: Int) = (for {
+      (a, ha, la) <- rows; (b, hb, lb) <- rows if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h <= maxH
+    } yield (a, b, h)).toSet
+    for (maxH <- Seq(0, 2, 3)) {
+      val got = Dedup.hammingPairs64(df, "id", "hi", "lo", maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(maxH), s"maxHamming=$maxH")
+    }
+    assert(brute(2).nonEmpty) // the families actually collide
+    // 4×16-bit banding cannot guarantee recall past hamming 3
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs64(df, "id", "hi", "lo", maxHamming = 4)
+    }
+    // skew guard drops oversized buckets
+    assert(Dedup.hammingPairs64(df, "id", "hi", "lo", maxHamming = 2,
+      maxBucket = 1).count() == 0)
+  }
 }

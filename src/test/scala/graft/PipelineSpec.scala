@@ -294,6 +294,48 @@ class PipelineSpec extends SparkSpec {
     assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
   }
 
+  test("BmpCodec + PHash: dHash recovers the closed-form bits; pixel-doubling invariant") {
+    import graft.pipeline.Multimodal.{BmpCodec, ImageIoCodec, PHash}
+    for (id <- Seq(0L, 1L, 255L, 256L, 257L, 4242L)) {
+      val img = ImageIoCodec.decode(BmpCodec.synthesize(id)).get
+      assert(img.getWidth == 36 && img.getHeight == 32)
+      // decoded pixel == synthesized cell value (bottom-up rows handled)
+      assert((img.getRGB(0, 0) & 0xFF) == BmpCodec.cellValue(id, 0, 0))
+      assert((img.getRGB(35, 31) & 0xFF) == BmpCodec.cellValue(id, 7, 8))
+      val (hi, lo, hex) = PHash.dHash(img)
+      val wantLo = (0 until 32).map(k => if (BmpCodec.bitOf(id, k)) 1L << k else 0L).sum
+      val wantHi = (32 until 64).map(k => if (BmpCodec.bitOf(id, k)) 1L << (k - 32) else 0L).sum
+      assert(hi == wantHi && lo == wantLo, s"id=$id")
+      assert(hex.length == 16 && hex == (0 until 8).map { r =>
+        f"${(0 until 8).map(c => if (BmpCodec.bitOf(id, r * 8 + c)) 1 << c else 0).sum}%02x"
+      }.mkString)
+      // a perceptual hash must survive lossless rescale: the cell=8 twin
+      // (72×64, same logical image) hashes identically
+      val doubled = ImageIoCodec.decode(BmpCodec.synthesize(id, cell = 8)).get
+      assert(PHash.dHash(doubled) == ((hi, lo, hex)), s"id=$id doubled")
+    }
+    // cell=3 width 27 → row stride 81 pads to 84: the padding path decodes too
+    val padded = ImageIoCodec.decode(BmpCodec.synthesize(7L, cell = 3)).get
+    assert(padded.getWidth == 27 && PHash.dHash(padded)._3 == PHash.dHash(
+      ImageIoCodec.decode(BmpCodec.synthesize(7L)).get)._3)
+  }
+
+  test("imagePHash: real hash for decodable payloads, NULLs for the rest") {
+    import graft.pipeline.Multimodal.{BmpCodec, PHash, ImageIoCodec}
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, BmpCodec.synthesize(1L)),
+      Row(2L, "not an image".getBytes),
+      Row(3L, null))), schema)
+    val rows = Multimodal.imagePHash(df).orderBy("media_id").collect()
+    val (hi, lo, hex) = PHash.dHash(ImageIoCodec.decode(BmpCodec.synthesize(1L)).get)
+    assert(rows(0).getLong(1) == hi && rows(0).getLong(2) == lo &&
+      rows(0).getString(3) == hex)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+  }
+
   test("Mp4Probe: box walk (v0 + v1 mvhd, largesize, truncation); probeMedia classifies by magic") {
     // v0 (even id) and v1/64-bit (odd id) layouts both round-trip to the
     // closed forms the q98 oracle recomputes
