@@ -1199,6 +1199,26 @@ object SparkEntry {
         .select(col("component"), col("media_id"), col("is_keeper"))
         .orderBy("component", "media_id")
     }),
+    "q106_image_probe" -> ((s, dir) => {
+      // header-sniff dimension probe across all four still formats: each
+      // doc_id gets a REAL payload (hand-built BMP or stock-ImageIO
+      // png/jpeg/gif) with closed-form dims, and ImageProbe must read
+      // format/width/height back from the header bytes alone — a
+      // wrong-endian, wrong-offset or SOF-walk bug cannot hash-match.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val w = 16 + (id % 17).toInt; val h = 16 + ((id / 17) % 13).toInt
+        val bytes = (id % 4) match {
+          case 0 => Multimodal.BmpCodec.synthesize(id, cell = 1 + (id % 3).toInt)
+          case 1 => Multimodal.ImageIoCodec.encodeSolid("png", w, h, id)
+          case 2 => Multimodal.ImageIoCodec.encodeSolid("jpeg", w, h, id)
+          case _ => Multimodal.ImageIoCodec.encodeSolid("gif", w, h, id)
+        }
+        (id, bytes)
+      }).toDF("media_id", "content")
+      Multimodal.probeImages(media).orderBy("media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2176,6 +2196,17 @@ object SparkEntry {
          )
          SELECT component, media_id, CAST(rn = 1 AS INT) AS is_keeper
          FROM ranked ORDER BY component, media_id""",
+    // q106: closed-form dims per (doc_id%4) format — BmpCodec cell grid
+    // for bmp, the solid-image synthesizer's w/h formula for the rest
+    "q106_image_probe" ->
+      """SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                WHEN 2 THEN 'jpeg' ELSE 'gif' END AS format,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 9 * (1 + doc_id % 3)
+                     ELSE 16 + doc_id % 17 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 8 * (1 + doc_id % 3)
+                     ELSE 16 + (doc_id // 17) % 13 END AS INTEGER) AS height
+         FROM documents ORDER BY media_id""",
     "q102_flac_probe" ->
       """SELECT doc_id AS media_id,
                 'flac' AS container,

@@ -47,6 +47,22 @@ object Multimodal {
     def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
       decode(bytes).map(i => (i.getWidth, i.getHeight))
 
+    /** Deterministic test-image encoder (probe/decode gates): a solid-color
+      * w×h image through the stock ImageIO writer for `fmt` — only the
+      * header facts (format, dims) are contract, so encoder byte drift
+      * across JDKs cannot break an oracle built on the closed-form dims. */
+    def encodeSolid(fmt: String, w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(((seed * 2654435761L) & 0xFFFFFF).toInt))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+
     /** Decode → scale to (w, h) → re-encode PNG. */
     def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       decode(bytes).map { img =>
@@ -952,6 +968,71 @@ object Multimodal {
     }
   }
 
+  /** Image-dimension HEADER sniff — format + width/height read straight
+    * from the container bytes, never a pixel decode: at crawl scale the
+    * size filter runs on every payload, and `ImageIO.read` would cost a
+    * full decompress per image just to learn its dims. PNG reads the
+    * fixed-offset IHDR, GIF the logical-screen descriptor, BMP the
+    * BITMAPINFOHEADER (top-down negative heights normalized), JPEG walks
+    * the marker chain to the first SOF. Truncated/foreign payloads →
+    * None, the honesty contract of every probe here. */
+  object ImageProbe {
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    /** (format, width, height) or None. */
+    def probe(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b == null || b.length < 10) return None
+      // PNG: 8-byte signature, IHDR is REQUIRED first chunk → w/h at 16/20
+      if (b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && u8(b, 4) == 0x0D && u8(b, 5) == 0x0A &&
+        u8(b, 6) == 0x1A && u8(b, 7) == 0x0A) {
+        val w = be32(b, 16); val h = be32(b, 20)
+        return if (w > 0 && h > 0) Some(("png", w, h)) else None
+      }
+      // GIF87a/89a: logical screen descriptor right after the signature
+      if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        val w = le16(b, 6); val h = le16(b, 8)
+        return if (w > 0 && h > 0) Some(("gif", w, h)) else None
+      }
+      // BMP: BITMAPINFOHEADER at 14 (negative height = top-down rows)
+      if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+        val w = le32(b, 18); val h = math.abs(le32(b, 22))
+        return if (w > 0 && h > 0) Some(("bmp", w, h)) else None
+      }
+      // JPEG: walk FF-marker segments to the first frame header (SOF0–15,
+      // minus the non-frame C4/C8/CC); dims sit at +5 (h) / +7 (w)
+      if (u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
+        var p = 2
+        while (p + 3 < b.length) {
+          if (u8(b, p) != 0xFF) return None // marker misalignment: corrupt
+          val m = u8(b, p + 1)
+          if (m == 0xFF) { p += 1 } // fill bytes before a marker are legal
+          else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) { p += 2 } // bare
+          else {
+            val len = be16(b, p + 2)
+            if (len < 2 || p + 2 + len > b.length) return None
+            if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              if (len < 7) return None
+              val h = be16(b, p + 5); val w = be16(b, p + 7)
+              return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+            }
+            if (m == 0xDA) return None // entropy data begins; no SOF seen
+            p += 2 + len
+          }
+        }
+        return None
+      }
+      None
+    }
+  }
+
   /**
    * Container-metadata probe pass — the cheap pre-decode stats a media
    * crawl runs on EVERY payload before deciding what to decode: container
@@ -1121,6 +1202,36 @@ object Multimodal {
             (fw, fh, FakeCodec.features(bytes))
         }
         org.apache.spark.sql.Row(r.getLong(idIdx), w, h, feat.toSeq)
+      }
+    }(enc)
+  }
+
+  /**
+   * Image-dimension probe pass — `probeMedia`'s sibling for still images:
+   * format + width/height from the HEADER BYTES alone (`ImageProbe`), no
+   * pixel decode anywhere in the plan. This is the size/aspect filter a
+   * crawl runs on every payload before spending a decode; at 100 TB the
+   * difference is reading ~30 bytes vs decompressing every image.
+   * Undecodable/foreign payloads → NULLs.
+   */
+  def probeImages(df: DataFrame,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        ImageProbe.probe(bytes) match {
+          case Some((fmt, w, h)) =>
+            org.apache.spark.sql.Row(r.getLong(idIdx), fmt, w, h)
+          case None => org.apache.spark.sql.Row(r.getLong(idIdx), null, null, null)
+        }
       }
     }(enc)
   }

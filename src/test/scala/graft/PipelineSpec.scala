@@ -320,6 +320,33 @@ class PipelineSpec extends SparkSpec {
       ImageIoCodec.decode(BmpCodec.synthesize(7L)).get)._3)
   }
 
+  test("ImageProbe: header dims == ImageIO decode dims across formats; malformed → None") {
+    import graft.pipeline.Multimodal.{BmpCodec, ImageIoCodec, ImageProbe}
+    for (seed <- Seq(0L, 7L, 123L); (fmt, w, h) <- Seq(
+        ("png", 17, 29), ("jpeg", 40, 23), ("gif", 31, 19))) {
+      val bytes = ImageIoCodec.encodeSolid(fmt, w, h, seed)
+      assert(ImageProbe.probe(bytes) == Some((fmt, w, h)), s"$fmt seed=$seed")
+      // the header sniff must agree with the full decode
+      assert(ImageIoCodec.imageDims(bytes) == Some((w, h)), s"$fmt decode")
+    }
+    val bmp = BmpCodec.synthesize(9L, cell = 5)
+    assert(ImageProbe.probe(bmp) == Some(("bmp", 45, 40)))
+    // top-down BMP stores a NEGATIVE height; the probe normalizes it
+    val topDown = bmp.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-40).array()
+    System.arraycopy(negH, 0, topDown, 22, 4)
+    assert(ImageProbe.probe(topDown) == Some(("bmp", 45, 40)))
+    // malformed: garbage, empty, truncated-before-SOF jpeg, truncated png
+    assert(ImageProbe.probe("not an image".getBytes) == None)
+    assert(ImageProbe.probe(Array.empty[Byte]) == None)
+    assert(ImageProbe.probe(null) == None)
+    val jpeg = ImageIoCodec.encodeSolid("jpeg", 40, 23, 1L)
+    assert(ImageProbe.probe(jpeg.take(12)) == None) // APP0 runs past the end
+    val png = ImageIoCodec.encodeSolid("png", 17, 29, 1L)
+    assert(ImageProbe.probe(png.take(20)) == None) // IHDR truncated
+  }
+
   test("imagePHash: real hash for decodable payloads, NULLs for the rest") {
     import graft.pipeline.Multimodal.{BmpCodec, PHash, ImageIoCodec}
     val schema = StructType(Seq(
