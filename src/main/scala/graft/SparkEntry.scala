@@ -1219,6 +1219,21 @@ object SparkEntry {
       }).toDF("media_id", "content")
       Multimodal.probeImages(media).orderBy("media_id")
     }),
+    "q107_image_neardup_blocked" -> ((s, dir) => {
+      // the corpus-scale twin of q104: Manku-style C(6,3)-table block
+      // keys (~32-bit) instead of 16-bit bands — same exact-recall
+      // contract at hamming ≤ 3 (pigeonhole over blocks), measured to
+      // stay out of the banding birthday regime past n~10⁵ (BASELINE.md
+      // phash rehearsal). Oracle = brute-force pair set at ≤ 3.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.BmpCodec.synthesize(id))))
+        .toDF("media_id", "content")
+      val hashes = Multimodal.imagePHash(media).where(col("ph_hi").isNotNull)
+      Dedup.hammingPairsBlocked(hashes, "media_id", "ph_hi", "ph_lo",
+        maxHamming = 3).orderBy("a", "b")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2207,6 +2222,18 @@ object SparkEntry {
            CAST(CASE WHEN doc_id % 4 = 0 THEN 8 * (1 + doc_id % 3)
                      ELSE 16 + (doc_id // 17) % 13 END AS INTEGER) AS height
          FROM documents ORDER BY media_id""",
+    "q107_image_neardup_blocked" ->
+      s"""$duckPhashBits, agg AS (
+           SELECT doc_id,
+             sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS ph_hi,
+             sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS ph_lo
+           FROM bits GROUP BY doc_id
+         )
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) AS INTEGER) AS hamming
+         FROM agg a JOIN agg b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
+         ORDER BY a, b""",
     "q102_flac_probe" ->
       """SELECT doc_id AS media_id,
                 'flac' AS container,

@@ -313,4 +313,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hammingPairs64(df, "id", "hi", "lo", maxHamming = 2,
       maxBucket = 1).count() == 0)
   }
+
+  test("hammingPairsBlocked: multi-table block keys == brute force; recall exact up to h") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal.BmpCodec
+    val rows = (0L until 600L).map { id =>
+      val lo = (0 until 32).map(k => if (BmpCodec.bitOf(id, k)) 1L << k else 0L).sum
+      val hi = (32 until 64).map(k => if (BmpCodec.bitOf(id, k)) 1L << (k - 32) else 0L).sum
+      (id, hi, lo)
+    }
+    val df = rows.toDF("id", "hi", "lo")
+    def brute(maxH: Int) = (for {
+      (a, ha, la) <- rows; (b, hb, lb) <- rows if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h <= maxH
+    } yield (a, b, h)).toSet
+    for (maxH <- Seq(1, 2, 3); b <- Seq(5, 6)) {
+      val got = Dedup.hammingPairsBlocked(df, "id", "hi", "lo",
+        maxHamming = maxH, blocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(maxH), s"maxHamming=$maxH blocks=$b")
+    }
+    assert(brute(2).nonEmpty)
+    // need h < blocks for a clean block to exist
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairsBlocked(df, "id", "hi", "lo", maxHamming = 6, blocks = 6)
+    }
+    assert(Dedup.hammingPairsBlocked(df, "id", "hi", "lo", maxHamming = 2,
+      maxBucket = 1).count() == 0)
+  }
 }
