@@ -1234,6 +1234,15 @@ object SparkEntry {
       Dedup.hammingPairsBlocked(hashes, "media_id", "ph_hi", "ph_lo",
         maxHamming = 3).orderBy("a", "b")
     }),
+    "q108_simhash_neardup" -> ((s, dir) => {
+      // SimHash near-dup PAIRS at the corpus-scale default (h=3, C(6,3)
+      // tables): until now only the signatures were gated (q30) — this
+      // gates the pairing end-to-end against a brute-force BIT-xor
+      // oracle over the same signatures. Real near-dup families in
+      // TESTDATA land 1026 pairs at sf0.01, so recall loss goes red.
+      Dedup.simhashPairsBlocked(eng(s, dir).table("documents"),
+        "doc_id", "text", maxHamming = 3).orderBy("a", "b")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2234,6 +2243,20 @@ object SparkEntry {
          FROM agg a JOIN agg b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.ph_hi, b.ph_hi)) + bit_count(xor(a.ph_lo, b.ph_lo)) <= 3
          ORDER BY a, b""",
+    // q108: q30's signature CTE + a brute-force BIT-xor pair join
+    "q108_simhash_neardup" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS dtoks
+            FROM documents
+          ), sims AS (
+            SELECT doc_id, $duckSimhashExpr AS sim FROM t
+          )
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            CAST(bit_count(xor(CAST(a.sim AS BIT), CAST(b.sim AS BIT))) AS INTEGER) AS hamming
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(CAST(a.sim AS BIT), CAST(b.sim AS BIT))) <= 3
+          ORDER BY a, b""",
     "q102_flac_probe" ->
       """SELECT doc_id AS media_id,
                 'flac' AS container,

@@ -89,6 +89,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
   }
 
+  test("simhashPairsBlocked == banded simhashPairs on a real corpus slice") {
+    val corpus = engine.table("documents").limit(300)
+      .select(col("doc_id"), col("text"))
+    for (h <- Seq(0, 3)) {
+      val banded = Dedup.simhashPairs(corpus, "doc_id", "text",
+        bands = 8, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val blocked = Dedup.simhashPairsBlocked(corpus, "doc_id", "text",
+        maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(blocked == banded, s"h=$h")
+      assert(banded.nonEmpty) // TESTDATA has exact-dup families → h=0 hits
+    }
+  }
+
   test("codegen hash kernels == HOF formulations byte-for-byte (oracle family)") {
     import graft.functions.GraftFunctions.shingles
     val docs500 = engine.table("documents").limit(200)
