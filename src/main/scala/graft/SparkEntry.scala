@@ -1243,6 +1243,25 @@ object SparkEntry {
       Dedup.simhashPairsBlocked(eng(s, dir).table("documents"),
         "doc_id", "text", maxHamming = 3).orderBy("a", "b")
     }),
+    "q109_image_search" -> ((s, dir) => {
+      // query-by-image: rank the corpus by hamming distance to doc 7's
+      // dHash through the REAL decode chain; a straight XOR+popcount
+      // scan into TakeOrderedAndProject — at 10⁹ rows still the plan of
+      // choice. Oracle recomputes every hash arithmetically and
+      // brute-ranks with the same id tie-break.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.BmpCodec.synthesize(id))))
+        .toDF("media_id", "content")
+      val hashes = Multimodal.imagePHash(media).where(col("ph_hi").isNotNull)
+      val q = hashes.where(col("media_id") === 7L)
+        .select("ph_hi", "ph_lo").head
+      Dedup.hammingTopK(hashes, "media_id", "ph_hi", "ph_lo",
+          q.getLong(0), q.getLong(1), topK = 10)
+        .withColumnRenamed("id", "media_id")
+        .orderBy("hamming", "media_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2257,6 +2276,18 @@ object SparkEntry {
           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(CAST(a.sim AS BIT), CAST(b.sim AS BIT))) <= 3
           ORDER BY a, b""",
+    // q109: brute top-10 by hamming to doc 7's closed-form hash, id ties
+    "q109_image_search" ->
+      s"""$duckPhashBits, agg AS (
+           SELECT doc_id,
+             sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS ph_hi,
+             sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS ph_lo
+           FROM bits GROUP BY doc_id
+         ), q AS (SELECT ph_hi, ph_lo FROM agg WHERE doc_id = 7)
+         SELECT a.doc_id AS media_id,
+           CAST(bit_count(xor(a.ph_hi, q.ph_hi)) + bit_count(xor(a.ph_lo, q.ph_lo)) AS INTEGER) AS hamming
+         FROM agg a, q
+         ORDER BY hamming, media_id LIMIT 10""",
     "q102_flac_probe" ->
       """SELECT doc_id AS media_id,
                 'flac' AS container,

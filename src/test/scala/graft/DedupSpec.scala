@@ -357,4 +357,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.hammingPairsBlocked(df, "id", "hi", "lo", maxHamming = 2,
       maxBucket = 1).count() == 0)
   }
+
+  test("hammingTopK: brute-force agreement, id tie-break, TakeOrdered plan") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal.BmpCodec
+    val rows = (0L until 600L).map { id =>
+      val lo = (0 until 32).map(k => if (BmpCodec.bitOf(id, k)) 1L << k else 0L).sum
+      val hi = (32 until 64).map(k => if (BmpCodec.bitOf(id, k)) 1L << (k - 32) else 0L).sum
+      (id, hi, lo)
+    }
+    val df = rows.toDF("id", "hi", "lo")
+    val (qHi, qLo) = (rows(7)._2, rows(7)._3)
+    val got = Dedup.hammingTopK(df, "id", "hi", "lo", qHi, qLo, topK = 15)
+    val brute = rows.map { case (id, hi, lo) =>
+      (id, java.lang.Long.bitCount(hi ^ qHi) + java.lang.Long.bitCount(lo ^ qLo))
+    }.sortBy(p => (p._2, p._1)).take(15)
+    assert(got.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == brute)
+    assert(brute.head == ((7L, 0))) // self-match first
+    // bounded top-K must compile to TakeOrderedAndProject, not a full sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }
