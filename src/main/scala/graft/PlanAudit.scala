@@ -26,7 +26,10 @@ object PlanAudit {
       "q83_tfidf", // tf/df aggs + broadcast N + bounded top-k window
       "q95_audio_wav", // codec mapPartitions: narrow, no shuffle before sort
       "q96_graph_ann", // shard-local beam: one window merge, graph never shuffles
-      "q98_mp4_probe") // container probe: narrow projection pass
+      "q98_mp4_probe", // container probe: narrow projection pass
+      "q106_image_probe", // header sniff: narrow projection, no decode, no shuffle
+      "q107_image_neardup_blocked", // block-key buckets: shuffle keyed on 32-bit combos
+      "q109_image_search") // hamming top-k: XOR+popcount scan → TakeOrderedAndProject
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
