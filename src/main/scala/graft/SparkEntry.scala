@@ -1262,6 +1262,19 @@ object SparkEntry {
         .withColumnRenamed("id", "media_id")
         .orderBy("hamming", "media_id")
     }),
+    "q110_curate_e2e" -> ((s, dir) => {
+      // the composed curation flagship: quality (q27 semantics) + exact
+      // dedup keepers (q25) + leakage-safe split (q75) + source mix
+      // (q94's recipe) in ONE plan, every verdict column exposed. The
+      // oracle recomputes all four stages and the final conjunction —
+      // a drift in ANY stage or in the composition goes red.
+      graft.pipeline.Curate.curate(eng(s, dir).table("documents"),
+          minQuality = 0.5,
+          mixFractions = Map("src0" -> 1.0, "src1" -> 0.5,
+            "src2" -> 0.25, "src3" -> 0.0),
+          mixDefault = 0.1)
+        .orderBy("doc_id")
+    }),
     "q79_contamination" -> ((s, dir) => {
       // eval-leakage check: md5-split the corpus (same assignment as q75),
       // then for each test doc count its distinct trigrams that appear in
@@ -2288,6 +2301,44 @@ object SparkEntry {
            CAST(bit_count(xor(a.ph_hi, q.ph_hi)) + bit_count(xor(a.ph_lo, q.ph_lo)) AS INTEGER) AS hamming
          FROM agg a, q
          ORDER BY hamming, media_id LIMIT 10""",
+    // q110: q27 quality + q25 fp/keeper + q75 split + q94 mix, composed
+    "q110_curate_e2e" -> {
+      import graft.pipeline.Sampling.cutHex
+      val sw = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
+      val mix = s"""CASE
+            WHEN source = 'src0' THEN TRUE
+            WHEN source = 'src1' THEN substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.5)}'
+            WHEN source = 'src2' THEN substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.25)}'
+            WHEN source = 'src3' THEN FALSE
+            ELSE substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.1)}'
+          END"""
+      s"""WITH b AS (
+            SELECT doc_id, source, text,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+            FROM documents
+          ), q AS (
+            SELECT doc_id, source,
+              round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                   + CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END
+                   + least((CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE CAST(len([x for x in ltoks if list_contains($sw, x)]) AS DOUBLE) / len(ltoks) END) * 4.0, 1.0)
+                   + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0)))
+                   / 4.0, 6) AS quality,
+              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+              $mix AS mix_b
+            FROM b
+          ), k AS (SELECT fp, min(doc_id) AS keeper FROM q GROUP BY fp)
+          SELECT q.doc_id, q.source,
+            CASE WHEN substring(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' THEN 'train'
+                 WHEN substring(md5('split:' || CAST(q.doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.9)}' THEN 'val'
+                 ELSE 'test' END AS split,
+            q.quality,
+            CAST(q.quality >= 0.5 AS INT) AS quality_ok,
+            CAST(q.doc_id = k.keeper AS INT) AS is_keeper,
+            CAST(q.mix_b AS INT) AS mix_keep,
+            CAST(q.quality >= 0.5 AND q.doc_id = k.keeper AND q.mix_b AS INT) AS final_keep
+          FROM q JOIN k USING (fp)
+          ORDER BY doc_id"""
+    },
     "q102_flac_probe" ->
       """SELECT doc_id AS media_id,
                 'flac' AS container,

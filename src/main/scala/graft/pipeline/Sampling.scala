@@ -84,16 +84,23 @@ object Sampling {
    */
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
       fractions: Map[String, Double], defaultFraction: Double = 0.0,
-      salt: String = "strata"): DataFrame = {
-    val key = bucketKey(col(idCol), salt)
-    val pred = fractions.toSeq.sortBy(_._1).foldRight(
+      salt: String = "strata"): DataFrame =
+    df.where(stratifiedFlag(col(idCol), col(strataCol), fractions,
+      defaultFraction, salt))
+
+  /** Boolean form of `sampleStratified`'s predicate (for flags/projections
+    * — e.g. `Curate` keeps the verdict as a column instead of filtering). */
+  def stratifiedFlag(id: Column, strata: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = "strata"): Column = {
+    val key = bucketKey(id, salt)
+    fractions.toSeq.sortBy(_._1).foldRight(
       if (defaultFraction >= 1.0) lit(true)
       else key < lit(cutHex(defaultFraction))) {
       case ((stratum, f), rest) =>
-        when(col(strataCol) === lit(stratum),
+        when(strata === lit(stratum),
           if (f >= 1.0) lit(true) else key < lit(cutHex(f))).otherwise(rest)
     }
-    df.where(pred)
   }
 
   /**

@@ -347,6 +347,36 @@ class PipelineSpec extends SparkSpec {
     assert(ImageProbe.probe(png.take(20)) == None) // IHDR truncated
   }
 
+  test("Curate: stage flags compose (dup keeper, quality gate, mix drop, conjunction)") {
+    import spark.implicits._
+    import graft.pipeline.{Curate, Sampling}
+    val clean = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, clean, "src0"),
+      (5L, clean, "src0"),        // exact dup of 1 → keeper is min id 1
+      (2L, "!!!???!!!", "src0"),  // all punctuation → quality ≈ 0
+      (3L, clean + " again and again with more of the common words", "srcX"))
+      .toDF("doc_id", "text", "source")
+    val out = Curate.curate(docs, minQuality = 0.3,
+        mixFractions = Map("srcX" -> 0.0), mixDefault = 1.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("is_keeper") == 1)
+    assert(out(5L).getAs[Int]("is_keeper") == 0) // dup loses to min id
+    assert(out(5L).getAs[Double]("quality") == out(1L).getAs[Double]("quality"))
+    assert(out(2L).getAs[Int]("quality_ok") == 0)
+    assert(out(3L).getAs[Int]("mix_keep") == 0)  // srcX rate pinned to 0
+    // final verdict is exactly the conjunction of the exposed flags
+    out.values.foreach { r =>
+      assert(r.getAs[Int]("final_keep") ==
+        r.getAs[Int]("quality_ok") * r.getAs[Int]("is_keeper") * r.getAs[Int]("mix_keep"))
+    }
+    // split matches the leakage-safe assignment of the same ids
+    val splits = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    out.foreach { case (id, r) => assert(r.getAs[String]("split") == splits(id)) }
+  }
+
   test("imagePHash: real hash for decodable payloads, NULLs for the rest") {
     import graft.pipeline.Multimodal.{BmpCodec, PHash, ImageIoCodec}
     val schema = StructType(Seq(
