@@ -1078,7 +1078,12 @@ object Multimodal {
           org.apache.spark.sql.Row(id, "gif", null, null)
         else if (AviMjpegCodec.isAvi(bytes))
           org.apache.spark.sql.Row(id, "avi", null, null)
-        else org.apache.spark.sql.Row(id, "unknown", null, null)
+        else ImageProbe.probe(bytes) match {
+          // stills: container identified from the same header sniff the
+          // dimension probe uses; duration/tracks meaningless → NULL
+          case Some((fmt, _, _)) => org.apache.spark.sql.Row(id, fmt, null, null)
+          case None => org.apache.spark.sql.Row(id, "unknown", null, null)
+        }
       }
     }(enc)
   }

@@ -422,7 +422,9 @@ class PipelineSpec extends SparkSpec {
       Row(1L, Multimodal.Mp4Probe.synthesize(9L)),
       Row(2L, Multimodal.WavCodec.synthesizeSquare(9L)),
       Row(3L, "GIF89a-ish but really text".getBytes),
-      Row(4L, "plain text".getBytes))), schema)
+      Row(4L, "plain text".getBytes),
+      Row(5L, Multimodal.ImageIoCodec.encodeSolid("png", 17, 29, 5L)),
+      Row(6L, Multimodal.BmpCodec.synthesize(6L)))), schema)
     val rows = Multimodal.probeMedia(df).orderBy("media_id").collect()
     assert(rows(0).getString(1) == "mp4" &&
       rows(0).getLong(2) == (1200 + 9 % 4800) * 1000 / (600 + 9 % 400) &&
@@ -430,6 +432,9 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1).getString(1) == "wav" && rows(1).getLong(2) == 209L * 1000 / 16000)
     assert(rows(2).getString(1) == "gif" && rows(2).isNullAt(2)) // GIF magic, no duration probe
     assert(rows(3).getString(1) == "unknown" && rows(3).isNullAt(2) && rows(3).isNullAt(3))
+    // stills classify through the ImageProbe header sniff, NULL duration
+    assert(rows(4).getString(1) == "png" && rows(4).isNullAt(2))
+    assert(rows(5).getString(1) == "bmp" && rows(5).isNullAt(2))
   }
 
   test("EbmlProbe: varint walk, scale/float variants, unknown-size segment, truncation") {
