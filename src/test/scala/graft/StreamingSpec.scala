@@ -390,6 +390,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Dedup.dedupStreamHashes: hash near-dup dropped in horizon; expired state re-admits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // planted 64-bit hashes: y = x with one bit flipped in band 0 and one
+    // in band 1 (hamming 2 → bands 2,3 still collide); z is far away
+    val (xHi, xLo) = (0x0123456789L, 0x00FEDCBA98L)
+    val yLo = xLo ^ (1L << 3) ^ (1L << 20)
+    val (zHi, zLo) = (0x7070707070L, 0x0505050505L)
+    val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)]
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val q = graft.pipeline.Dedup.dedupStreamHashes(
+        mem.toDS().toDF("id", "hi", "lo", "ts"), "hi", "lo", "ts",
+        watermark = "10 minutes")
+      .select("id", "ts")
+      .writeStream.format("memory").queryName("hashdedupstream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, xHi, xLo, ts(1)))
+      q.processAllAvailable()
+      // hamming-2 twin inside the horizon → dropped; distant z survives
+      mem.addData((2L, xHi, yLo, ts(5)), (3L, zHi, zLo, ts(6)))
+      q.processAllAvailable()
+      // advance watermark past x's band state, then replay x exactly
+      mem.addData((4L, 0x1111111111L, 0x2222222222L, ts(40)))
+      q.processAllAvailable(); q.processAllAvailable()
+      mem.addData((5L, xHi, xLo, ts(41)))
+      q.processAllAvailable()
+      val out = spark.table("hashdedupstream").select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(out.contains(1L) && out.contains(3L) && out.contains(4L))
+      assert(!out.contains(2L), s"hamming-2 twin inside horizon must drop: $out")
+      assert(out.contains(5L), s"expired twin must re-emit: $out")
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap") {
     val s = EventTime.session(engine.table("events"), "ts", "30 minutes", "0 seconds",
       Seq("user_id"), Seq(count(lit(1)).as("cnt")))
