@@ -1262,6 +1262,59 @@ object SparkEntry {
         .withColumnRenamed("id", "media_id")
         .orderBy("hamming", "media_id")
     }),
+    "q111_image_stream_dedup" -> ((s, dir) => {
+      // streaming image near-dup end-to-end — q88's two-phase replay for
+      // the hash firehose: phase 1 feeds the batch KEEPER set (min-id per
+      // block-key collision pair), phase 2 the full corpus 2000 s later;
+      // the stream's survivors must equal the keepers. Gate parameters
+      // h=2/b=4 (6 chained stages, 16-bit-aligned blocks the oracle
+      // recomputes with shifts); production default stays h=3/b=6.
+      // Keeper-first determinism needs collision components to be
+      // CLIQUES — here the planted families are disjoint hamming-2 twin
+      // pairs (max degree 1), and the gate REQUIREs that loudly rather
+      // than assuming it.
+      import s.implicits._
+      val base = tmpDir("q111")
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.BmpCodec.synthesize(id))))
+        .toDF("media_id", "content")
+      val hashes = Multimodal.imagePHash(media).where(col("ph_hi").isNotNull)
+        .select("media_id", "ph_hi", "ph_lo").localCheckpoint(true)
+      val pairs = Dedup.hashBlockCollisionPairs(hashes, "media_id",
+        "ph_hi", "ph_lo", maxHamming = 2, blocks = 4).localCheckpoint(true)
+      val maxDeg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").count().agg(max("count")).head.getLong(0)
+      require(maxDeg <= 1, s"q111 precondition broke: collision graph has " +
+        s"degree $maxDeg — keeper-first survivor identity needs disjoint pairs")
+      val nonKeepers = pairs.select(col("b").as("media_id")).distinct()
+      val keepers = hashes.join(nonKeepers, Seq("media_id"), "left_anti")
+      def at(off: org.apache.spark.sql.Column) =
+        timestamp_seconds(lit(1767225600L) + (off % 1000))
+      val p1 = keepers.select(col("media_id"), col("ph_hi"), col("ph_lo"),
+        at(col("media_id")).as("ts"))
+      p1.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
+      val feedDir = new java.io.File(base + "/feed")
+      def parts = feedDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val phase1Names = parts.map(_.getName).toSet
+      val t0 = 1700000000000L
+      parts.foreach(f => { f.setLastModified(t0): Unit })
+      hashes.select(col("media_id"), col("ph_hi"), col("ph_lo"),
+          (at(col("media_id")) + expr("INTERVAL 2000 SECONDS")).as("ts"))
+        .coalesce(1).write.mode("append").parquet(base + "/feed")
+      parts.filterNot(f => phase1Names.contains(f.getName))
+        .foreach(f => { f.setLastModified(t0 + 600000L): Unit })
+      val stream = s.readStream.schema(p1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(base + "/feed")
+      val q = Dedup.dedupStreamHashes(stream, "ph_hi", "ph_lo", "ts",
+          watermark = "6 hours", maxHamming = 2, blocks = 4)
+        .select("media_id")
+        .writeStream.format("memory").queryName("q111_hashdedup_mem")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(120000); q.stop()
+      require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
+      s.table("q111_hashdedup_mem").orderBy("media_id")
+    }),
     "q110_curate_e2e" -> ((s, dir) => {
       // the composed curation flagship: quality (q27 semantics) + exact
       // dedup keepers (q25) + leakage-safe split (q75) + source mix
@@ -2301,6 +2354,30 @@ object SparkEntry {
            CAST(bit_count(xor(a.ph_hi, q.ph_hi)) + bit_count(xor(a.ph_lo, q.ph_lo)) AS INTEGER) AS hamming
          FROM agg a, q
          ORDER BY hamming, media_id LIMIT 10""",
+    // q111: keeper set under block-key collision (≥2 of 4 16-bit blocks
+    // equal ⟺ some C(4,2) table key matches) from the closed-form hashes
+    "q111_image_stream_dedup" ->
+      s"""$duckPhashBits, agg AS (
+           SELECT doc_id,
+             sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS ph_hi,
+             sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS ph_lo
+           FROM bits GROUP BY doc_id
+         ), segs AS (
+           SELECT doc_id,
+             ph_lo & 65535 AS s0, (ph_lo >> 16) & 65535 AS s1,
+             ph_hi & 65535 AS s2, (ph_hi >> 16) & 65535 AS s3
+           FROM agg
+         ), nonk AS (
+           SELECT DISTINCT b.doc_id AS doc_id
+           FROM segs a JOIN segs b ON a.doc_id < b.doc_id
+           WHERE (CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END +
+                  CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END +
+                  CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END +
+                  CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END) >= 2
+         )
+         SELECT doc_id AS media_id FROM agg
+         WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
+         ORDER BY media_id""",
     // q110: q27 quality + q25 fp/keeper + q75 split + q94 mix, composed
     "q110_curate_e2e" -> {
       import graft.pipeline.Sampling.cutHex

@@ -394,11 +394,12 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // planted 64-bit hashes: y = x with one bit flipped in band 0 and one
-    // in band 1 (hamming 2 → bands 2,3 still collide); z is far away
-    val (xHi, xLo) = (0x0123456789L, 0x00FEDCBA98L)
-    val yLo = xLo ^ (1L << 3) ^ (1L << 20)
-    val (zHi, zLo) = (0x7070707070L, 0x0505050505L)
+    // planted 64-bit hashes: y = x with bits flipped in blocks 0 and 2 of
+    // the 6-block layout (hamming 2 ≤ h=3 → some clean 3-block combo
+    // still collides); z differs from x in every block
+    val (xHi, xLo) = (0x01234567L, 0xFEDCBA98L)
+    val yLo = xLo ^ (1L << 3) ^ (1L << 25)
+    val (zHi, zLo) = (xHi ^ 0xFFFFFFFFL, xLo ^ 0xFFFFFFFFL)
     val mem = MemoryStream[(Long, Long, Long, java.sql.Timestamp)]
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
     val q = graft.pipeline.Dedup.dedupStreamHashes(
@@ -414,7 +415,7 @@ class StreamingSpec extends SparkSpec {
       mem.addData((2L, xHi, yLo, ts(5)), (3L, zHi, zLo, ts(6)))
       q.processAllAvailable()
       // advance watermark past x's band state, then replay x exactly
-      mem.addData((4L, 0x1111111111L, 0x2222222222L, ts(40)))
+      mem.addData((4L, 0x11111111L, 0x22222222L, ts(40)))
       q.processAllAvailable(); q.processAllAvailable()
       mem.addData((5L, xHi, xLo, ts(41)))
       q.processAllAvailable()
