@@ -1315,6 +1315,20 @@ object SparkEntry {
       require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
       s.table("q111_hashdedup_mem").orderBy("media_id")
     }),
+    "q112_dedup_incremental" -> ((s, dir) => {
+      // incremental-ingest dedup: docs with doc_id%5==0 play the daily
+      // increment, the rest the warehouse history; survivors must be
+      // exactly the increment docs with no exact-fp match AND no minhash
+      // band collision against history (md5 oracle family). The oracle
+      // recomputes both filters from the corpus.
+      val docs = eng(s, dir).table("documents").select(col("doc_id"), col("text"))
+      val history = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val incr = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.dedupAgainstHistory(history, incr, "doc_id", "text",
+          shingleN = 3, k = 12, bands = 4, oracleHash = true)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     "q110_curate_e2e" -> ((s, dir) => {
       // the composed curation flagship: quality (q27 semantics) + exact
       // dedup keepers (q25) + leakage-safe split (q75) + source mix
@@ -2378,6 +2392,28 @@ object SparkEntry {
          SELECT doc_id AS media_id FROM agg
          WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
          ORDER BY media_id""",
+    // q112: increment survivors = no exact fp in history AND no band key
+    // in history (q88's signature/band formulation, md5 family)
+    "q112_dedup_incremental" ->
+      s"""$duckShingles, sig AS (
+            SELECT doc_id,
+              [list_min([md5(concat(CAST(i AS VARCHAR), ':', x)) for x in sh]) for i in range(0, 12)] AS sg
+            FROM s
+          ), bands AS (
+            SELECT doc_id, j.j AS band, md5(array_to_string(sg[j.j*3+1:j.j*3+3], '|')) AS bh
+            FROM sig, (SELECT unnest(range(4)) AS j) j
+          ), fps AS (
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+          )
+          SELECT f.doc_id FROM fps f
+          WHERE f.doc_id % 5 = 0
+            AND f.fp NOT IN (SELECT fp FROM fps WHERE doc_id % 5 != 0)
+            AND NOT EXISTS (
+              SELECT 1 FROM bands n JOIN bands h
+              ON n.band = h.band AND n.bh = h.bh AND h.doc_id % 5 != 0
+              WHERE n.doc_id = f.doc_id)
+          ORDER BY f.doc_id""",
     // q110: q27 quality + q25 fp/keeper + q75 split + q94 mix, composed
     "q110_curate_e2e" -> {
       import graft.pipeline.Sampling.cutHex

@@ -358,6 +358,29 @@ class DedupSpec extends SparkSpec {
       maxBucket = 1).count() == 0)
   }
 
+  test("dedupAgainstHistory: exact + near drops vs history; new x new never pairs") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val b = "completely different content about database engines and shuffle partitioning"
+    val c = "yet another unrelated document mentioning vectors and embeddings at scale"
+    val history = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val incr = Seq(
+      (10L, a),            // exact dup of history → dropped by fp
+      (11L, a + " indeed"), // near-dup of history (band collision) → dropped
+      (12L, c),            // fresh → survives
+      (13L, c)             // internal dup of 12 — new×new never pairs → survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstHistory(history, incr, "doc_id", "text",
+        shingleN = 3, k = 12, bands = 4, oracleHash = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L, 13L), s"got $out")
+    // empty increment and empty history both behave
+    assert(Dedup.dedupAgainstHistory(history, incr.limit(0), "doc_id", "text")
+      .count() == 0)
+    assert(Dedup.dedupAgainstHistory(history.limit(0), incr, "doc_id", "text")
+      .count() == 4)
+  }
+
   test("hammingTopK: brute-force agreement, id tie-break, TakeOrdered plan") {
     import spark.implicits._
     import graft.pipeline.Multimodal.BmpCodec
