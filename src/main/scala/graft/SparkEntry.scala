@@ -1270,12 +1270,20 @@ object SparkEntry {
       // h=2/b=4 (6 chained stages, 16-bit-aligned blocks the oracle
       // recomputes with shifts); production default stays h=3/b=6.
       // Keeper-first determinism needs collision components to be
-      // CLIQUES — here the planted families are disjoint hamming-2 twin
-      // pairs (max degree 1), and the gate REQUIREs that loudly rather
-      // than assuming it.
+      // CLIQUES (then phase-1 keepers are pairwise collision-free and
+      // every phase-2 arrival hits a direct edge into state, so the
+      // survivor set is order-independent). The planted families ARE
+      // cliques at every sf — pairs at sf0.01, ~20-member families at
+      // sf0.1 — and the gate REQUIREs it loudly rather than assuming it.
       import s.implicits._
       val base = tmpDir("q111")
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      // bounded slice (the q44 discipline): past ~3.9k docs the fixture's
+      // fixed pattern space produces a cross-family bridge (ids
+      // 3992↔4249 at sf0.1) that breaks cliqueness; the slice keeps the
+      // gate deterministic at every sf while the require below stays the
+      // loud guard
+      val ids = eng(s, dir).table("documents")
+        .where(col("doc_id") < 3000).select(col("doc_id")).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.BmpCodec.synthesize(id))))
         .toDF("media_id", "content")
@@ -1283,10 +1291,16 @@ object SparkEntry {
         .select("media_id", "ph_hi", "ph_lo").localCheckpoint(true)
       val pairs = Dedup.hashBlockCollisionPairs(hashes, "media_id",
         "ph_hi", "ph_lo", maxHamming = 2, blocks = 4).localCheckpoint(true)
-      val maxDeg = pairs.select(explode(array(col("a"), col("b"))).as("id"))
-        .groupBy("id").count().agg(max("count")).head.getLong(0)
-      require(maxDeg <= 1, s"q111 precondition broke: collision graph has " +
-        s"degree $maxDeg — keeper-first survivor identity needs disjoint pairs")
+      val comp = Dedup.connectedComponents(pairs, "a", "b")
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("m"))
+      val edgeCnt = pairs
+        .join(comp.withColumnRenamed("id", "a"), "a")
+        .groupBy("component").agg(count(lit(1)).as("e"))
+      val nonClique = sizes.join(edgeCnt, "component")
+        .where(col("e") =!= col("m") * (col("m") - 1) / 2).count()
+      require(nonClique == 0, s"q111 precondition broke: $nonClique collision " +
+        "components are not cliques — keeper-first survivor identity is " +
+        "order-dependent there")
       val nonKeepers = pairs.select(col("b").as("media_id")).distinct()
       val keepers = hashes.join(nonKeepers, Seq("media_id"), "left_anti")
       def at(off: org.apache.spark.sql.Column) =
@@ -2380,7 +2394,7 @@ object SparkEntry {
            SELECT doc_id,
              ph_lo & 65535 AS s0, (ph_lo >> 16) & 65535 AS s1,
              ph_hi & 65535 AS s2, (ph_hi >> 16) & 65535 AS s3
-           FROM agg
+           FROM agg WHERE doc_id < 3000
          ), nonk AS (
            SELECT DISTINCT b.doc_id AS doc_id
            FROM segs a JOIN segs b ON a.doc_id < b.doc_id
@@ -2389,7 +2403,7 @@ object SparkEntry {
                   CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END +
                   CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END) >= 2
          )
-         SELECT doc_id AS media_id FROM agg
+         SELECT doc_id AS media_id FROM segs
          WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
          ORDER BY media_id""",
     // q112: increment survivors = no exact fp in history AND no band key
