@@ -1329,6 +1329,21 @@ object SparkEntry {
       require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
       s.table("q111_hashdedup_mem").orderBy("media_id")
     }),
+    "q113_unicode_norm" -> ((s, dir) => {
+      // Unicode canonicalization gate: every doc gets a decomposed tail
+      // (combining acute/diaeresis/ring), NFC must recompose it so the
+      // md5 of the normalized text equals DuckDB's nfc_normalize twin —
+      // and the length delta proves the kernel actually rewrote rows
+      // rather than passing them through.
+      val d = eng(s, dir).table("documents")
+      val decorated = concat(col("text"),
+        lit(" café naïve Ångström"))
+      d.select(col("doc_id"),
+          md5(TextAnalysis.normalizeUnicode(decorated)).as("nfc_md5"),
+          length(TextAnalysis.normalizeUnicode(decorated)).as("nfc_len"),
+          length(decorated).as("raw_len"))
+        .orderBy("doc_id")
+    }),
     "q112_dedup_incremental" -> ((s, dir) => {
       // incremental-ingest dedup: docs with doc_id%5==0 play the daily
       // increment, the rest the warehouse history; survivors must be
@@ -2406,6 +2421,13 @@ object SparkEntry {
          SELECT doc_id AS media_id FROM segs
          WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
          ORDER BY media_id""",
+    // q113: same decomposed tail, DuckDB nfc_normalize as the UAX #15 twin
+    "q113_unicode_norm" ->
+      """SELECT doc_id,
+           md5(nfc_normalize(text || ' café naïve Ångström')) AS nfc_md5,
+           length(nfc_normalize(text || ' café naïve Ångström')) AS nfc_len,
+           length(text || ' café naïve Ångström') AS raw_len
+         FROM documents ORDER BY doc_id""",
     // q112: increment survivors = no exact fp in history AND no band key
     // in history (q88's signature/band formulation, md5 family)
     "q112_dedup_incremental" ->

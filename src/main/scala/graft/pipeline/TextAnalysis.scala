@@ -130,6 +130,14 @@ object TextAnalysis {
     * separate functions each re-run a regex or tokenize chain per column.
     * Project the struct once, then derive with the `*FromProfile` helpers
     * (CollapseProject won't inline a non-cheap multi-use alias). */
+  /** Unicode normalization (NFC by default) — codegen kernel
+    * (`NormalizeExpr`); Spark ships no normalization built-in, yet
+    * canonicalization is load-bearing before any fingerprint/shingle/
+    * simhash pass: precomposed and combining-mark spellings are
+    * byte-different and would never dedup together. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    kcol(graft.expr.NormalizeExpr(kexp(text), form))
+
   def textProfile(text: Column): Column =
     kcol(graft.expr.TextProfileExpr(kexp(text), StopwordsEn +: LangMarkers.map(_._2)))
 

@@ -347,6 +347,34 @@ class PipelineSpec extends SparkSpec {
     assert(ImageProbe.probe(png.take(20)) == None) // IHDR truncated
   }
 
+  test("normalizeUnicode: NFC recomposes combining marks; forms round-trip; idempotent") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis.normalizeUnicode
+    val dec = "cafe\u0301 nai\u0308ve A\u030Angstro\u0308m plain ascii"
+    val pre = java.text.Normalizer.normalize(dec, java.text.Normalizer.Form.NFC)
+    assert(dec != pre && dec.length == pre.length + 4)
+    val df = Seq((1L, dec), (2L, pre), (3L, "just ascii"), (4L, null))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+        normalizeUnicode(col("t")).as("nfc"),
+        normalizeUnicode(col("t"), "NFD").as("nfd"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == pre)          // decomposed → composed
+    assert(out(2L).getString(1) == pre)          // already-NFC unchanged
+    assert(out(1L).getString(2) == out(2L).getString(2)) // NFD agrees both ways
+    assert(out(3L).getString(1) == "just ascii") // ASCII fast path
+    assert(out(4L).isNullAt(1))                  // null-safe
+    // canonicalization makes byte-different spellings dedup together
+    val fps = df.where(col("t").isNotNull)
+      .select(graft.functions.GraftFunctions.fingerprint(
+        normalizeUnicode(col("t"))).as("fp"))
+      .distinct().count()
+    assert(fps == 2) // dec and pre collapse; ascii stays apart
+    intercept[IllegalArgumentException] {
+      graft.expr.NormalizeExpr(null, "NFX")
+    }
+  }
+
   test("Curate: stage flags compose (dup keeper, quality gate, mix drop, conjunction)") {
     import spark.implicits._
     import graft.pipeline.{Curate, Sampling}
