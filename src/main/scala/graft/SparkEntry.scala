@@ -1329,6 +1329,19 @@ object SparkEntry {
       require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
       s.table("q111_hashdedup_mem").orderBy("media_id")
     }),
+    "q114_binary_search" -> ((s, dir) => {
+      // binary sign-bit search in the q96 exact-degeneration regime:
+      // rerankFactor·topK = 2000 ≥ N at the gate sf, so the hamming
+      // prefilter window is the whole corpus and the result must EQUAL
+      // the exact scan bit-for-bit (signature packing, prefilter
+      // threading and re-rank all hash-checked); production-factor
+      // recall is published by the spec.
+      val e = eng(s, dir)
+      val q = e.table("embeddings").where(col("vec_id") === 7)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      VectorSearch.binarySearch(e.table("embeddings"), "vec_id", "embedding",
+        q, topK = 10, metric = "l2", rerankFactor = 200)
+    }),
     "q113_unicode_norm" -> ((s, dir) => {
       // Unicode canonicalization gate: every doc gets a decomposed tail
       // (combining acute/diaeresis/ring), NFC must recompose it so the
@@ -2421,6 +2434,14 @@ object SparkEntry {
          SELECT doc_id AS media_id FROM segs
          WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
          ORDER BY media_id""",
+    // q114: degeneration regime ⇒ identical to the exact-scan oracle (q32)
+    "q114_binary_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+         SELECT e.vec_id AS pk,
+                round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance,
+                round(1.0 / (1.0 + round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6)), 6) AS score
+         FROM embeddings e, q
+         ORDER BY distance, pk LIMIT 10""",
     // q113: same decomposed tail, DuckDB nfc_normalize as the UAX #15 twin
     "q113_unicode_norm" ->
       """SELECT doc_id,

