@@ -1362,7 +1362,8 @@ object SparkEntry {
       // increment, the rest the warehouse history; survivors must be
       // exactly the increment docs with no exact-fp match AND no minhash
       // band collision against history (md5 oracle family). The oracle
-      // recomputes both filters from the corpus.
+      // recomputes both filters from the corpus. (q110 composes the same
+      // band-collision notion corpus-internally.)
       val docs = eng(s, dir).table("documents").select(col("doc_id"), col("text"))
       val history = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
       val incr = docs.where(pmod(col("doc_id"), lit(5)) === 0)
@@ -1373,15 +1374,18 @@ object SparkEntry {
     }),
     "q110_curate_e2e" -> ((s, dir) => {
       // the composed curation flagship: quality (q27 semantics) + exact
-      // dedup keepers (q25) + leakage-safe split (q75) + source mix
-      // (q94's recipe) in ONE plan, every verdict column exposed. The
-      // oracle recomputes all four stages and the final conjunction —
-      // a drift in ANY stage or in the composition goes red.
+      // dedup keepers (q25) + minhash-band NEAR dedup under the
+      // no-smaller-collider policy (q88/q112's notion, md5 family) +
+      // leakage-safe split (q75) + source mix (q94's recipe) in ONE
+      // plan, every verdict column exposed. The oracle recomputes all
+      // five stages and the final conjunction — a drift in ANY stage or
+      // in the composition goes red.
       graft.pipeline.Curate.curate(eng(s, dir).table("documents"),
           minQuality = 0.5,
           mixFractions = Map("src0" -> 1.0, "src1" -> 0.5,
             "src2" -> 0.25, "src3" -> 0.0),
-          mixDefault = 0.1)
+          mixDefault = 0.1,
+          nearDedup = true, minhashOracleFamily = true)
         .orderBy("doc_id")
     }),
     "q79_contamination" -> ((s, dir) => {
@@ -2471,7 +2475,8 @@ object SparkEntry {
               ON n.band = h.band AND n.bh = h.bh AND h.doc_id % 5 != 0
               WHERE n.doc_id = f.doc_id)
           ORDER BY f.doc_id""",
-    // q110: q27 quality + q25 fp/keeper + q75 split + q94 mix, composed
+    // q110: q27 quality + q25 fp/keeper + q88-style near-dup losers +
+    // q75 split + q94 mix, composed
     "q110_curate_e2e" -> {
       import graft.pipeline.Sampling.cutHex
       val sw = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
@@ -2482,7 +2487,17 @@ object SparkEntry {
             WHEN source = 'src3' THEN FALSE
             ELSE substring(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.1)}'
           END"""
-      s"""WITH b AS (
+      s"""$duckShingles, sig AS (
+            SELECT doc_id,
+              [list_min([md5(concat(CAST(i AS VARCHAR), ':', x)) for x in sh]) for i in range(0, 12)] AS sg
+            FROM s
+          ), bands AS (
+            SELECT doc_id, j.j AS band, md5(array_to_string(sg[j.j*3+1:j.j*3+3], '|')) AS bh
+            FROM sig, (SELECT unnest(range(4)) AS j) j
+          ), nk AS (
+            SELECT DISTINCT y.doc_id AS doc_id
+            FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+          ), b AS (
             SELECT doc_id, source, text,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
             FROM documents
@@ -2504,8 +2519,11 @@ object SparkEntry {
             q.quality,
             CAST(q.quality >= 0.5 AS INT) AS quality_ok,
             CAST(q.doc_id = k.keeper AS INT) AS is_keeper,
+            CAST(q.doc_id NOT IN (SELECT doc_id FROM nk) AS INT) AS is_near_keeper,
             CAST(q.mix_b AS INT) AS mix_keep,
-            CAST(q.quality >= 0.5 AND q.doc_id = k.keeper AND q.mix_b AS INT) AS final_keep
+            CAST(q.quality >= 0.5 AND q.doc_id = k.keeper
+                 AND q.doc_id NOT IN (SELECT doc_id FROM nk)
+                 AND q.mix_b AS INT) AS final_keep
           FROM q JOIN k USING (fp)
           ORDER BY doc_id"""
     },

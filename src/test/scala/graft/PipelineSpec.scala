@@ -393,10 +393,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L).getAs[Double]("quality") == out(1L).getAs[Double]("quality"))
     assert(out(2L).getAs[Int]("quality_ok") == 0)
     assert(out(3L).getAs[Int]("mix_keep") == 0)  // srcX rate pinned to 0
+    assert(out.values.forall(_.getAs[Int]("is_near_keeper") == 1)) // off by default
     // final verdict is exactly the conjunction of the exposed flags
     out.values.foreach { r =>
       assert(r.getAs[Int]("final_keep") ==
-        r.getAs[Int]("quality_ok") * r.getAs[Int]("is_keeper") * r.getAs[Int]("mix_keep"))
+        r.getAs[Int]("quality_ok") * r.getAs[Int]("is_keeper") *
+          r.getAs[Int]("is_near_keeper") * r.getAs[Int]("mix_keep"))
+    }
+    // near-dedup on: the exact dup (and any band collider) loses to min id
+    val near = Curate.curate(docs, minQuality = 0.3, nearDedup = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(near(1L).getAs[Int]("is_near_keeper") == 1)
+    assert(near(5L).getAs[Int]("is_near_keeper") == 0)
+    near.values.foreach { r =>
+      assert(r.getAs[Int]("final_keep") ==
+        r.getAs[Int]("quality_ok") * r.getAs[Int]("is_keeper") *
+          r.getAs[Int]("is_near_keeper") * r.getAs[Int]("mix_keep"))
     }
     // split matches the leakage-safe assignment of the same ids
     val splits = Sampling.assignSplit(docs, "doc_id",
