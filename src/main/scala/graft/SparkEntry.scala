@@ -1329,6 +1329,18 @@ object SparkEntry {
       require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
       s.table("q111_hashdedup_mem").orderBy("media_id")
     }),
+    "q115_edit_neardup" -> ((s, dir) => {
+      // short-string fuzzy dedup (titles/names/URLs class): a 12-char
+      // text prefix + an id-derived tail char plants Levenshtein-1
+      // families; the SymSpell deletion-neighborhood buckets must
+      // reproduce the brute-force pair set (recall 1 by construction,
+      // verified against DuckDB's levenshtein).
+      val d = eng(s, dir).table("documents")
+      val short = d.select(col("doc_id"),
+        concat(substring(col("text"), 1, 12),
+          expr("char(97 + doc_id % 3)")).as("s"))
+      Dedup.editPairs(short, "doc_id", "s", maxDist = 1).orderBy("a", "b")
+    }),
     "q114_binary_search" -> ((s, dir) => {
       // binary sign-bit search in the q96 exact-degeneration regime:
       // rerankFactor·topK = 2000 ≥ N at the gate sf, so the hamming
@@ -2438,6 +2450,17 @@ object SparkEntry {
          SELECT doc_id AS media_id FROM segs
          WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
          ORDER BY media_id""",
+    // q115: brute-force Levenshtein pair set on the same constructed strings
+    "q115_edit_neardup" ->
+      """WITH st AS (
+           SELECT doc_id, substr(text, 1, 12) || chr(CAST(97 + doc_id % 3 AS INTEGER)) AS s
+           FROM documents
+         )
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+         FROM st a JOIN st b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY a, b""",
     // q114: degeneration regime ⇒ identical to the exact-scan oracle (q32)
     "q114_binary_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)

@@ -381,6 +381,37 @@ class DedupSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("editPairs: deletion neighborhoods == brute-force levenshtein for d in {1,2}") {
+    import spark.implicits._
+    val strs = Seq(
+      1L -> "shimmer", 2L -> "shimmer",  // dist 0
+      3L -> "shimmar",                   // substitution: 1 from shimmer
+      4L -> "shimmers",                  // insertion: 1 from shimmer
+      5L -> "shimmar5",                  // 1 from shimmar? no: sub+insert = 2
+      6L -> "glint", 7L -> "glints",     // unrelated family
+      8L -> "entirely different")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val df = strs.toDF("id", "s")
+    for (maxD <- Seq(1, 2)) {
+      val got = Dedup.editPairs(df, "id", "s", maxDist = maxD)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = (for {
+        (a, sa) <- strs; (b, sb) <- strs if a < b
+        d = lev(sa, sb) if d <= maxD
+      } yield (a, b, d)).toSet
+      assert(got == brute, s"maxDist=$maxD: got $got expected $brute")
+      assert(brute.nonEmpty)
+    }
+    // skew guard drops oversized buckets
+    assert(Dedup.editPairs(df, "id", "s", maxDist = 1, maxBucket = 1).count() == 0)
+  }
+
   test("hammingTopK: brute-force agreement, id tie-break, TakeOrdered plan") {
     import spark.implicits._
     import graft.pipeline.Multimodal.BmpCodec
