@@ -1329,6 +1329,17 @@ object SparkEntry {
       require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
       s.table("q111_hashdedup_mem").orderBy("media_id")
     }),
+    "q116_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: cluster-bounded embedding near-dup — nearest-centroid
+      // assignment (codegen argmin chain), cosine verify only WITHIN a
+      // cluster. Gate centroids are min-id-per-label medoids (no
+      // averaging → the oracle reproduces every assignment from parquet
+      // bytes); production trains k-means via VectorSearch.ivfTrain.
+      val e = eng(s, dir).table("embeddings")
+      val model = Dedup.medoidCentroids(e, "vec_id", "embedding", "label")
+      Dedup.semanticPairs(e, "vec_id", "embedding", model, threshold = 0.4)
+        .orderBy("cluster", "a", "b")
+    }),
     "q115_edit_neardup" -> ((s, dir) => {
       // short-string fuzzy dedup (titles/names/URLs class): a 12-char
       // text prefix + an id-derived tail char plants Levenshtein-1
@@ -2450,6 +2461,33 @@ object SparkEntry {
          SELECT doc_id AS media_id FROM segs
          WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
          ORDER BY media_id""",
+    // q116: medoid assignment (min-id row per label, clusters ordered by
+    // label) reproduced in SQL, then within-cluster cosine pairs — a pair
+    // escaping its cluster or a flipped argmin breaks the hash
+    "q116_semantic_dedup" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL
+         ), m AS (
+           SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS INTEGER) AS cluster, v AS cv
+           FROM (
+             SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+                    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+             FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+           ) WHERE rn = 1
+         ), asn AS (
+           SELECT vec_id, v, cluster FROM (
+             SELECT e.vec_id, e.v, m.cluster,
+                    row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY list_distance(e.v, m.cv), m.cluster) AS rn
+             FROM e, m
+           ) WHERE rn = 1
+         )
+         SELECT a.cluster, a.vec_id AS a, b.vec_id AS b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         FROM asn a JOIN asn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+         ORDER BY a.cluster, a, b""",
     // q115: brute-force Levenshtein pair set on the same constructed strings
     "q115_edit_neardup" ->
       """WITH st AS (

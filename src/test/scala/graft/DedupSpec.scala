@@ -412,6 +412,42 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editPairs(df, "id", "s", maxDist = 1, maxBucket = 1).count() == 0)
   }
 
+  test("semanticPairs: ⊆ exact pairs, within-cluster recall 1, deterministic medoids") {
+    import spark.implicits._
+    // 3 well-separated directions; members of a family are tiny rotations
+    // of the base → near-dups live inside one cluster by construction
+    def vec(base: Int, jitter: Int): Array[Float] = {
+      val v = Array.fill(8)(0.05f * jitter)
+      v(base) = 1.0f
+      v((base + 4) % 8) = 0.1f * jitter
+      v
+    }
+    val rows = for {
+      base <- Seq(0, 1, 2); j <- 0 until 5
+    } yield (base * 10L + j, vec(base, j), base)
+    val df = rows.toDF("vec_id", "embedding", "label")
+
+    val model = Dedup.medoidCentroids(df, "vec_id", "embedding", "label")
+    assert(model.centroids.length == 3)
+    // medoid = the min-id row of each label, in label order
+    assert(model.centroids(1).take(2).toSeq == Seq(0.0, 1.0))
+
+    val sem = Dedup.semanticPairs(df, "vec_id", "embedding", model, 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = Dedup.cosinePairsExact(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // precision: every semantic pair is a true pair with the same cosine
+    assert(sem.subsetOf(exact), s"sem=$sem exact=$exact")
+    assert(sem.nonEmpty)
+    // the cluster-bounded contract: pairs WITHIN a family are all found
+    // (same decade = same label = same cluster)
+    val within = exact.filter { case (a, b, _) => a / 10 == b / 10 }
+    assert(within.subsetOf(sem))
+    // skew valve: clusters above maxCluster pair nothing
+    assert(Dedup.semanticPairs(df, "vec_id", "embedding", model, 0.9,
+      maxCluster = 4).count() == 0)
+  }
+
   test("hammingTopK: brute-force agreement, id tie-break, TakeOrdered plan") {
     import spark.implicits._
     import graft.pipeline.Multimodal.BmpCodec
