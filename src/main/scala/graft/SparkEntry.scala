@@ -1329,6 +1329,14 @@ object SparkEntry {
       require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
       s.table("q111_hashdedup_mem").orderBy("media_id")
     }),
+    "q117_bm25_search" -> ((s, dir) => {
+      // lexical retrieval: Okapi BM25 (Lucene idf variant) over the
+      // shared whitespace tokenizer; filtered-explode tf, broadcast df
+      // and corpus scalars, TakeOrdered top-K
+      graft.pipeline.CorpusStats.bm25Search(eng(s, dir).table("documents"),
+        "doc_id", "text", terms = Seq("spark", "vector", "stream"),
+        topK = 10)
+    }),
     "q116_semantic_dedup" -> ((s, dir) => {
       // SemDeDup: cluster-bounded embedding near-dup — nearest-centroid
       // assignment (codegen argmin chain), cosine verify only WITHIN a
@@ -2461,6 +2469,32 @@ object SparkEntry {
          SELECT doc_id AS media_id FROM segs
          WHERE doc_id NOT IN (SELECT doc_id FROM nonk)
          ORDER BY media_id""",
+    // q117: BM25 with every float constant forced to DOUBLE (e-notation —
+    // DuckDB would otherwise run the formula in DECIMAL) and the exact
+    // operation order of the Spark column expression
+    "q117_bm25_search" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, w, count(*) AS tf FROM t
+           WHERE w IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+         ), df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         c AS (
+           SELECT tf.doc_id,
+                  round(ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+                        * (tf.tf * (1.2e0 + 1.0e0))
+                        / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / st.avgdl)), 6) AS c
+           FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st
+         ), s AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS matched, round(sum(c), 6) AS score
+           FROM c GROUP BY doc_id
+         )
+         SELECT doc_id, matched, score,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         FROM s ORDER BY score DESC, doc_id LIMIT 10""",
     // q116: medoid assignment (min-id row per label, clusters ordered by
     // label) reproduced in SQL, then within-cluster cosine pairs — a pair
     // escaping its cluster or a flipped argmin breaks the hash

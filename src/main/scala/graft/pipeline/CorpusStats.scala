@@ -83,6 +83,57 @@ object CorpusStats {
   }
 
   /**
+   * Okapi BM25 top-`topK` retrieval for a bag-of-words query — the
+   * standard lexical ranking (Robertson & Zaragoza 2009), Lucene's
+   * non-negative idf variant: idf = ln((N − df + 0.5)/(df + 0.5) + 1),
+   * score = Σ_terms idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+   *
+   * Shape at scale: the token explode is filtered to the query's term
+   * set BEFORE the tf shuffle (an `isin` over a handful of literals —
+   * only matching occurrences move), df is a |terms|-row broadcast, the
+   * corpus scalars (N, avgdl) ride as one broadcast row, and doc length
+   * joins hash-keyed on the id for matching docs only. The final top-K
+   * is orderBy+limit → TakeOrderedAndProject, never a full sort. The
+   * one corpus-wide pass is the dl aggregation — BM25's length norm
+   * needs every doc's length once; persist `dl` per corpus snapshot to
+   * amortize it across queries.
+   *
+   * Per-term contributions round to 6dp before the sum (and the sum
+   * again) so last-ulp `ln` differences between engines can't reach the
+   * ranking — same convention as `tfidfTopTerms`.
+   *
+   * Output: (`idCol`, matched, score, rank), rank 1..topK.
+   */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    val toks = tokenTable(docs, idCol, textCol)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.where(col("w").isin(terms: _*))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "w")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched"), round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+  }
+
+  /**
    * Per-group embedding centroids (element-wise mean pooling) — the
    * corpus-fingerprint op behind drift detection, source comparison and
    * IVF seeding. Returns (`grp`, dim, centroid, centroid_norm,

@@ -825,6 +825,33 @@ class PipelineSpec extends SparkSpec {
     assert(out((3L, 1L)) == (("z", 1.216395))) // 3·ln1.5
   }
 
+  test("bm25Search: hand-checked Okapi scores, dl norm, TakeOrdered plan") {
+    // corpus: N=3, dl = (4, 2, 3), avgdl = 3; query = {x}
+    // df(x)=2 → idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x x y y"), (2L, "x z"), (3L, "z z z"))).toDF("id", "text")
+    val out = graft.pipeline.CorpusStats.bm25Search(docs, "id", "text",
+      terms = Seq("x"), topK = 10)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def bm25(tf: Double, dl: Double): Double = {
+      val idf = math.log(1.6)
+      val v = idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 3.0))
+      math.rint(v * 1e6) / 1e6
+    }
+    // doc1: tf=2, dl=4 beats doc2: tf=1, dl=2; doc3 never matches
+    assert(rows.toSeq == Seq(
+      (1L, 1L, bm25(2, 4), 1L),
+      (2L, 1L, bm25(1, 2), 2L)))
+    assert(rows.head._3 > rows(1)._3)
+    // bounded top-K must compile to TakeOrderedAndProject, not a full sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusStats.bm25Search(docs, "id", "text", Seq.empty)
+    }
+  }
+
   test("trimOutliers: per-group percentile band, groups judged separately") {
     // group a: 1..10 → p5=1.45, p95=9.55 → keeps 2..9; group b is all 100s
     val docs = spark.createDataFrame(
