@@ -1337,6 +1337,25 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q118_line_dedup" -> ((s, dir) => {
+      // CCNet-style line-level dedup: the corpus text is single-line, so
+      // the gate deterministically re-lines each doc (3-word lines — a
+      // construction DuckDB reproduces with list slicing) and keeps only
+      // the globally-FIRST instance of every line, reassembling docs.
+      // Keeper derivation is a skew-immune partial agg; survivors join
+      // back on the line key.
+      val d = eng(s, dir).table("documents")
+      val ws = split(trim(col("text")), " ")
+      val relined = d.select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), (ceil(size(ws) / 3.0)).cast("int") - 1),
+            i => array_join(slice(ws, i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+      Dedup.dedupLines(relined, "doc_id", "text")
+        .withColumn("text_kept", md5(col("text_kept")))
+        .orderBy("doc_id")
+    }),
     "q116_semantic_dedup" -> ((s, dir) => {
       // SemDeDup: cluster-bounded embedding near-dup — nearest-centroid
       // assignment (codegen argmin chain), cosine verify only WITHIN a
@@ -2495,6 +2514,31 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q118: the same 3-word re-lining via list slicing, keep-first via
+    // row_number over (line → doc_id, pos) — a flipped keeper order or a
+    // reassembly off-by-one breaks the md5
+    "q118_line_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+         ), l AS (
+           SELECT doc_id,
+                  [array_to_string(ws[i*3+1:i*3+3], ' ')
+                   for i in range(0, CAST(ceil(len(ws)/3.0e0) AS BIGINT))] AS lines
+           FROM d
+         ), e AS (
+           SELECT doc_id, unnest(lines) AS line,
+                  unnest(range(0, len(lines))) AS pos
+           FROM l
+         ), r AS (
+           SELECT doc_id, pos, line,
+                  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+           FROM e
+         )
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '')) AS text_kept
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     // q116: medoid assignment (min-id row per label, clusters ordered by
     // label) reproduced in SQL, then within-cluster cosine pairs — a pair
     // escaping its cluster or a flipped argmin breaks the hash

@@ -852,6 +852,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
+    // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a\nb\na"), (2L, "b\nc"), (3L, "c\nd\nd"), (4L, "a\nb")))
+      .toDF("id", "text")
+    val out = graft.pipeline.Dedup.dedupLines(docs, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "a\nb"),
+      (2L, 2L, 1L, "c"),
+      (3L, 3L, 1L, "d"),
+      (4L, 2L, 0L, "")))
+    // custom separator: same semantics on "||"-joined lines
+    val docs2 = spark.createDataFrame(Seq((1L, "x||y"), (2L, "y||z")))
+      .toDF("id", "text")
+    val out2 = graft.pipeline.Dedup.dedupLines(docs2, "id", "text", sep = "||")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out2.toSeq == Seq((1L, "x||y"), (2L, "z")))
+  }
+
   test("trimOutliers: per-group percentile band, groups judged separately") {
     // group a: 1..10 → p5=1.45, p95=9.55 → keeps 2..9; group b is all 100s
     val docs = spark.createDataFrame(
