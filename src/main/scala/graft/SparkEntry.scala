@@ -1337,6 +1337,26 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q119_video_frames" -> ((s, dir) => {
+      // REAL video frame sampling gate (closes the "video is the stub"
+      // gap for a container a stock JVM can demux): MJPEG-in-AVI
+      // fixtures with closed-form frame count/dims/gray, pushed through
+      // the full RIFF chunk walk → every-2nd-frame JPEG decode → PNG
+      // re-encode → decoded-stats chain. A chunk-walk, sampling-stride
+      // or decode bug cannot hash-match the arithmetic oracle.
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.AviMjpegCodec.synthesize(id))))
+        .toDF("media_id", "content")
+      Multimodal.frameStats(Multimodal.sampleFrames(media, everyN = 2))
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_w").cast("long").as("frame_w"),
+          col("frame_h").cast("long").as("frame_h"),
+          floor(col("mean_luma") / 32).cast("long").as("gray_bucket"))
+        .orderBy("media_id", "frame_idx")
+    }),
     "q118_line_dedup" -> ((s, dir) => {
       // CCNet-style line-level dedup: the corpus text is single-line, so
       // the gate deterministically re-lines each doc (3-word lines — a
@@ -2514,6 +2534,21 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q119: every fact the frame chain emits is a closed form of
+    // (doc_id, frame_idx) — sampled indices are the stride-2 range under
+    // the per-id frame count, dims and gray bucket pure arithmetic
+    "q119_video_frames" ->
+      """WITH f AS (
+           SELECT doc_id AS media_id,
+                  unnest(range(0, 2 + CAST(doc_id % 5 AS BIGINT), 2)) AS frame_idx
+           FROM documents
+         )
+         SELECT media_id,
+                CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(16 + 8 * (media_id % 3) AS BIGINT) AS frame_w,
+                CAST(8 + 8 * (media_id % 2) AS BIGINT) AS frame_h,
+                CAST((media_id + frame_idx) % 7 AS BIGINT) AS gray_bucket
+         FROM f ORDER BY media_id, frame_idx""",
     // q118: the same 3-word re-lining via list slicing, keep-first via
     // row_number over (line → doc_id, pos) — a flipped keeper order or a
     // reassembly off-by-one breaks the md5

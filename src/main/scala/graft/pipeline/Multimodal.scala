@@ -634,6 +634,42 @@ object Multimodal {
           i -> bos.toByteArray
         }
       })
+
+    /** Deterministic MJPEG-AVI synthesizer (gate fixture, see BmpCodec for
+      * the pattern): `2 + id%5` solid-gray JPEG frames, frame k's gray
+      * level `32·((id+k)%7) + 16`, dims `(16+8·(id%3)) × (8+8·(id%2))`.
+      * Frame count, dims and the gray BUCKET `(id+k)%7` all have closed
+      * forms an oracle recomputes arithmetically: a solid frame is a
+      * DC-only JPEG, so decode error (±2 of the encoded gray) is far
+      * inside the 32-wide bucket centered 16 off each boundary. */
+    def synthesize(id: Long): Array[Byte] = {
+      val n = 2 + (id % 5).toInt
+      val w = 16 + 8 * (id % 3).toInt
+      val h = 8 + 8 * (id % 2).toInt
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      def chunk(cid: String, b: Array[Byte]): Array[Byte] =
+        cid.getBytes("US-ASCII") ++ le32(b.length) ++ b ++
+          (if ((b.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+      def jpegSolid(gray: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(gray, gray, gray))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val movi = "movi".getBytes("US-ASCII") ++
+        (0 until n).flatMap(k => chunk("00dc",
+          jpegSolid(32 * ((id + k) % 7).toInt + 16))).toArray
+      val hdrl = "hdrl".getBytes("US-ASCII") ++ chunk("avih", new Array[Byte](56))
+      val body = "AVI ".getBytes("US-ASCII") ++
+        chunk("LIST", hdrl) ++ chunk("LIST", movi)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
   }
 
   /** Real ISO-BMFF (mp4/mov/m4a) METADATA probe — the stock JVM ships no
@@ -1386,6 +1422,47 @@ object Multimodal {
           .getOrElse(FakeCodec.frameSample(bytes, everyN).zipWithIndex.map(_.swap))
         sampled.map { case (i, f) =>
           org.apache.spark.sql.Row(r.getLong(idIdx), i, f)
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded per-frame stats over a `sampleFrames`-shaped DF: dims and
+    * mean luma (green channel over every pixel — equals the gray level on
+    * grayscale frames). Undecodable frames keep their row with null
+    * stats, so a lossy decode can't silently shrink the frame set.
+    * mapPartitions (not a UDF) for the same reason as the codecs: one
+    * BufferedImage loop per partition, no per-row closure alloc. */
+  def frameStats(df: DataFrame, idCol: String = "media_id",
+      idxCol: String = "frame_idx", frameCol: String = "frame"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_w", IntegerType, nullable = true),
+      StructField("frame_h", IntegerType, nullable = true),
+      StructField("mean_luma", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val ixIdx = df.schema.fieldIndex(idxCol)
+    val fIdx = df.schema.fieldIndex(frameCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(fIdx)) null else r.getAs[Array[Byte]](fIdx)
+        ImageIoCodec.decode(bytes) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += (img.getRGB(x, y) >> 8) & 0xFF; x += 1 }
+              y += 1
+            }
+            org.apache.spark.sql.Row(r.getLong(idIdx), r.getInt(ixIdx),
+              w, h, sum.toDouble / (w.toLong * h))
+          case None =>
+            org.apache.spark.sql.Row(r.getLong(idIdx), r.getInt(ixIdx),
+              null, null, null)
         }
       }
     }(enc)

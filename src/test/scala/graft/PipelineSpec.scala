@@ -294,6 +294,34 @@ class PipelineSpec extends SparkSpec {
     assert(stub.length == 3) // 11 bytes / 4 → 3 chunks
   }
 
+  test("AviMjpegCodec.synthesize + frameStats: closed-form count/dims/gray survive the chain") {
+    import graft.pipeline.Multimodal
+    for (id <- Seq(0L, 1L, 4L, 6L, 257L)) {
+      val avi = Multimodal.AviMjpegCodec.synthesize(id)
+      assert(Multimodal.AviMjpegCodec.isAvi(avi))
+      val frames = Multimodal.AviMjpegCodec.frames(avi).get
+      assert(frames.size == 2 + (id % 5).toInt)
+      assert(frames.forall(f => f.getWidth == 16 + 8 * (id % 3).toInt &&
+        f.getHeight == 8 + 8 * (id % 2).toInt))
+    }
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(3L, 9L).map(id => Row(id, Multimodal.AviMjpegCodec.synthesize(id)))), schema)
+    val out = Multimodal.frameStats(Multimodal.sampleFrames(df, everyN = 2))
+      .orderBy("media_id", "frame_idx").collect()
+    // id=3: 5 frames → sampled 0,2,4; id=9: 6 frames → sampled 0,2,4
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((3L, 0), (3L, 2), (3L, 4), (9L, 0), (9L, 2), (9L, 4)))
+    out.foreach { r =>
+      val (id, k) = (r.getLong(0), r.getInt(1))
+      assert(r.getInt(2) == 16 + 8 * (id % 3).toInt)
+      assert(r.getInt(3) == 8 + 8 * (id % 2).toInt)
+      val g = 32 * ((id + k) % 7) + 16
+      assert(math.abs(r.getDouble(4) - g) < 16, s"id=$id k=$k luma=${r.getDouble(4)} vs $g")
+    }
+  }
+
   test("BmpCodec + PHash: dHash recovers the closed-form bits; pixel-doubling invariant") {
     import graft.pipeline.Multimodal.{BmpCodec, ImageIoCodec, PHash}
     for (id <- Seq(0L, 1L, 255L, 256L, 257L, 4242L)) {
