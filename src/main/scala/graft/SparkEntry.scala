@@ -1337,6 +1337,13 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q120_vocab_topk" -> ((s, dir) => {
+      // tokenizer-build pass 1: frequency-ranked vocab + cumulative
+      // coverage; one map-combined token shuffle, TakeOrdered top-K,
+      // running sum only over the K retained rows
+      graft.pipeline.CorpusStats.vocabTopK(eng(s, dir).table("documents"),
+        "doc_id", "text", topK = 30).orderBy("rank")
+    }),
     "q119_video_frames" -> ((s, dir) => {
       // REAL video frame sampling gate (closes the "video is the stub"
       // gap for a container a stock JVM can demux): MJPEG-in-AVI
@@ -2534,6 +2541,19 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q120: same tokenizer as q117, rank/coverage over the top-30 cut —
+    // a tiebreak or cumulative-window divergence breaks the hash
+    "q120_vocab_topk" ->
+      """WITH t AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), v AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS n_total FROM v),
+         k AS (SELECT w, cnt FROM v ORDER BY cnt DESC, w LIMIT 30)
+         SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank,
+                w AS token, cnt,
+                round(sum(cnt) OVER (ORDER BY cnt DESC, w) / (SELECT n_total FROM tot), 6) AS cum_frac
+         FROM k ORDER BY rank""",
     // q119: every fact the frame chain emits is a closed form of
     // (doc_id, frame_idx) — sampled indices are the stride-2 range under
     // the per-id frame count, dims and gray bucket pure arithmetic

@@ -134,6 +134,36 @@ object CorpusStats {
   }
 
   /**
+   * Frequency-ranked vocabulary with cumulative corpus coverage — the
+   * first pass of any tokenizer build (BPE/WordPiece seed vocab, OOV-rate
+   * planning): rank tokens by count desc (token asc tiebreak) and report
+   * each rank's cumulative fraction of all token occurrences.
+   *
+   * Shape at scale: ONE corpus-wide shuffle (token count, map-side
+   * combined); the top-K cut is orderBy+limit → TakeOrderedAndProject
+   * over the vocab (vocab ≪ corpus), never a full sort of the corpus;
+   * the running sum then windows over only the K retained rows with the
+   * corpus total as a broadcast scalar. K is bounded (a vocab), so the
+   * single-partition window over K rows is by construction small.
+   *
+   * Output: (rank, token, cnt, cum_frac), rank 1..topK, cum_frac 6dp.
+   */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val vocab = tokenTable(docs, idCol, textCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    vocab.orderBy(col("cnt").desc, col("w").asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)).cast("long"))
+      .withColumn("cum_frac", round(
+        sum(col("cnt")).over(Window.orderBy(col("cnt").desc, col("w").asc))
+          / col("n_total"), 6))
+      .select(col("rank"), col("w").as("token"), col("cnt"), col("cum_frac"))
+  }
+
+  /**
    * Per-group embedding centroids (element-wise mean pooling) — the
    * corpus-fingerprint op behind drift detection, source comparison and
    * IVF seeding. Returns (`grp`, dim, centroid, centroid_norm,

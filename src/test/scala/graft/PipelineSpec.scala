@@ -880,6 +880,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("vocabTopK: rank/tiebreak/coverage hand-checked; top-K cut is TakeOrdered") {
+    // counts: a=3 b=2 c=1, total 6 → cum 0.5, 0.833333
+    val docs = spark.createDataFrame(Seq((1L, "a b a"), (2L, "b a c")))
+      .toDF("id", "text")
+    val out = graft.pipeline.CorpusStats.vocabTopK(docs, "id", "text", topK = 2)
+    val rows = out.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, "a", 3L, 0.5), (2L, "b", 2L, 0.833333)))
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
