@@ -1337,6 +1337,18 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q121_hash_embed" -> ((s, dir) => {
+      // feature-hashing embedding, md5 oracle family at dim 16; the
+      // gate serializes each component as round(x·1e6) integers so
+      // engine float-formatting can't reach the hash. Production runs
+      // dim 64 xxhash64 on the identical plan (spec-pinned).
+      TextAnalysis.hashEmbed(eng(s, dir).table("documents"),
+          "doc_id", "text", dim = 16, oracleHash = true)
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(transform(col("embedding"),
+            x => round(x * 1e6, 0).cast("long").cast("string")), ",").as("emb"))
+        .orderBy("doc_id")
+    }),
     "q120_vocab_topk" -> ((s, dir) => {
       // tokenizer-build pass 1: frequency-ranked vocab + cumulative
       // coverage; one map-combined token shuffle, TakeOrdered top-K,
@@ -2541,6 +2553,33 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q121: md5-arithmetic bucket/sign reproduced digit-by-digit (bucket
+    // = 8 hex digits mod 16 ≡ the 32nd digit; sign = parity of digit 1),
+    // bucket spine → ordered list → l2 normalize → integer-µ encoding
+    "q121_hash_embed" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), b AS (
+           SELECT doc_id,
+                  CAST(strpos('0123456789abcdef', substr(md5(w), 32, 1)) - 1 AS BIGINT) AS bucket,
+                  CASE WHEN (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) % 2 = 0
+                       THEN 1.0e0 ELSE -1.0e0 END AS s
+           FROM t
+         ), g AS (SELECT doc_id, bucket, sum(s) AS v FROM b GROUP BY 1, 2),
+         sp AS (
+           SELECT doc_id, unnest(range(0, 16)) AS bucket
+           FROM (SELECT DISTINCT doc_id FROM b)
+         ), j AS (
+           SELECT sp.doc_id, sp.bucket, coalesce(g.v, 0.0e0) AS v
+           FROM sp LEFT JOIN g ON sp.doc_id = g.doc_id AND sp.bucket = g.bucket
+         ), vec AS (SELECT doc_id, list(v ORDER BY bucket) AS vec FROM j GROUP BY 1),
+         n AS (SELECT doc_id, vec, sqrt(list_sum([x*x for x in vec])) AS nrm FROM vec),
+         tok AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM t GROUP BY 1)
+         SELECT n.doc_id, tok.n_tokens,
+                array_to_string([CAST(CASE WHEN nrm > 0 THEN round(x / nrm * 1.0e6, 0) ELSE 0.0e0 END AS BIGINT)
+                                 for x in vec], ',') AS emb
+         FROM n JOIN tok USING (doc_id) ORDER BY doc_id""",
     // q120: same tokenizer as q117, rank/coverage over the top-30 cut —
     // a tiebreak or cumulative-window divergence breaks the hash
     "q120_vocab_topk" ->

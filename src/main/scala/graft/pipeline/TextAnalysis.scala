@@ -17,6 +17,60 @@ import graft.functions.GraftFunctions._
  */
 object TextAnalysis {
 
+  /**
+   * Hashing-trick text embedding (feature hashing, Weinberger et al.
+   * 2009): each token lands in `pmod(hash(w), dim)` with a ±1 sign from
+   * an independent hash bit; bucket sums are l2-normalized. Turns raw
+   * text into a fixed-dim vector with NO trained model — the bridge from
+   * the text operators to the vector-search family (cosine near-dup,
+   * IVF/PQ ANN) when no embedding column exists. tf-weighted by
+   * construction: a token's occurrences accumulate.
+   *
+   * Shape at scale: explode → (id, bucket) partial-agg shuffle →
+   * per-doc assemble; both aggs map-side combine, the vector materializes
+   * as codegen HOFs (`transform`/`aggregate`), never a UDF.
+   *
+   * Hash families (the Dedup convention): production = `xxhash64`;
+   * `oracleHash = true` = md5-hex arithmetic, reproducible in any engine
+   * with md5 (bucket from 8 hex digits, sign from the first digit's
+   * parity).
+   *
+   * Output: (`idCol`, n_tokens, embedding array[double]); an all-zero
+   * accumulation (possible under sign cancellation) yields the zero
+   * vector rather than a divide-by-zero.
+   */
+  def hashEmbed(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, dim: Int = 64,
+      oracleHash: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(dim > 0 && dim <= 4096, s"dim must be in (0, 4096], got $dim")
+    val toks = docs.select(col(idCol),
+      explode(whitespaceTokens(lower(col(textCol)))).as("w"))
+    val (bucket, parity) =
+      if (oracleHash)
+        (pmod(conv(substring(md5(col("w")), 25, 8), 16, 10).cast("long"), lit(dim.toLong)),
+         pmod(conv(substring(md5(col("w")), 1, 1), 16, 10).cast("long"), lit(2L)))
+      else
+        (pmod(xxhash64(col("w")), lit(dim.toLong)),
+         pmod(xxhash64(lit("sign"), col("w")), lit(2L)))
+    val sign = when(parity === 0L, lit(1.0)).otherwise(lit(-1.0))
+    val g = toks
+      .select(col(idCol), bucket.as("b"), sign.as("s"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("s")).as("v"), count(lit(1)).as("c"))
+    g.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        map_from_arrays(collect_list(col("b")), collect_list(col("v"))).as("m"))
+      .withColumn("__vec", transform(
+        sequence(lit(0L), lit(dim - 1L)),
+        i => coalesce(element_at(col("m"), i), lit(0.0))))
+      .withColumn("__nrm", sqrt(aggregate(col("__vec"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col(idCol), col("n_tokens"),
+        transform(col("__vec"),
+          x => when(col("__nrm") > 0, x / col("__nrm")).otherwise(lit(0.0)))
+          .as("embedding"))
+  }
+
   // ---------- token counting ----------
 
   /** Whitespace token count (see GraftFunctions.tokenCount). */

@@ -880,6 +880,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hashEmbed: md5 bucket/sign hand-checked, unit norm, tf direction invariance") {
+    import graft.pipeline.TextAnalysis
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x"), (2L, "x x"), (3L, "x y z w q"))).toDF("id", "text")
+    val out = TextAnalysis.hashEmbed(docs, "id", "text", dim = 16, oracleHash = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(out.map(o => (o._1, o._2)).toSeq == Seq((1L, 1L), (2L, 2L), (3L, 5L)))
+    // hand-derived bucket/sign for "x" from its md5 hex
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("x".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bucket = (java.lang.Long.parseLong(hex.substring(24, 32), 16) % 16).toInt
+    val sign = if (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    assert(out(0)._3(bucket) == sign)
+    assert(out(0)._3.count(_ != 0.0) == 1)
+    // tf scaling never changes the direction: "x" and "x x" embed identically
+    assert(out(0)._3 == out(1)._3)
+    // multi-token doc: unit l2 norm
+    assert(math.abs(out(2)._3.map(x => x * x).sum - 1.0) < 1e-9)
+    // production family: same shape/counts on the identical plan
+    val fast = TextAnalysis.hashEmbed(docs, "id", "text", dim = 64)
+      .orderBy("id").collect()
+    assert(fast.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 5L)))
+    assert(fast.forall(_.getSeq[Double](2).size == 64))
+  }
+
   test("vocabTopK: rank/tiebreak/coverage hand-checked; top-K cut is TakeOrdered") {
     // counts: a=3 b=2 c=1, total 6 → cum 0.5, 0.833333
     val docs = spark.createDataFrame(Seq((1L, "a b a"), (2L, "b a c")))
