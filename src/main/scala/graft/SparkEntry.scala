@@ -1337,6 +1337,16 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q122_temperature_mix" -> ((s, dir) => {
+      // mT5-style language α-sampling: the rarest lang keeps all docs,
+      // every other lang keeps (cnt_min/cnt)^(1-α) — rates derived from
+      // the corpus (bounded collect: one row per lang), verdicts the
+      // same pure-(id,salt) hash predicate as q75/q94
+      graft.pipeline.Sampling.temperatureMix(
+          eng(s, dir).table("documents"), "doc_id", "lang", alpha = 0.3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q121_hash_embed" -> ((s, dir) => {
       // feature-hashing embedding, md5 oracle family at dim 16; the
       // gate serializes each component as round(x·1e6) integers so
@@ -2553,6 +2563,24 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q122: the oracle re-derives every rate from counts — power, 6dp
+    // quantization, the 32-bit hex cut (printf %08x of round(rate·2^32)
+    // capped), and the rate≥1 TRUE branch all mirror the Scala driver
+    "q122_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+         r AS (
+           SELECT lang,
+                  round(power(CAST((SELECT min(cnt) FROM c) AS DOUBLE) / cnt, 0.7e0), 6) AS rate
+           FROM c
+         ), cut AS (
+           SELECT lang, rate,
+                  printf('%08x', CAST(least(round(rate * 4294967296.0e0), 4294967295.0e0) AS BIGINT)) AS cut
+           FROM r
+         )
+         SELECT d.doc_id, d.lang FROM documents d JOIN cut USING (lang)
+         WHERE rate >= 1.0e0
+            OR substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8) < cut
+         ORDER BY doc_id""",
     // q121: md5-arithmetic bucket/sign reproduced digit-by-digit (bucket
     // = 8 hex digits mod 16 ≡ the 32nd digit; sign = parity of digit 1),
     // bucket spine → ordered list → l2 normalize → integer-µ encoding

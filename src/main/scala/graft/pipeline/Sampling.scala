@@ -104,6 +104,43 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled stratum rates (mT5/XLM-R α-sampling): the kept
+   * corpus follows q(s) ∝ p(s)^α, realized by downsampling only — the
+   * rarest stratum keeps everything (rate 1), every other stratum keeps
+   * `(cnt_min / cnt_s)^(1-α)`. α=1 is a no-op (natural mix), α=0 targets
+   * the uniform mix, α∈(0,1) interpolates. Rates quantize to 6dp so an
+   * engine's last-ulp `pow` can't move a hash-bucket cut.
+   */
+  def temperatureRates(counts: Seq[(String, Long)],
+      alpha: Double): Seq[(String, Double)] = {
+    require(counts.nonEmpty, "temperatureRates needs at least one stratum")
+    require(alpha >= 0 && alpha <= 1, s"alpha out of [0,1]: $alpha")
+    val cmin = counts.map(_._2).min
+    counts.map { case (s, c) =>
+      val r = math.pow(cmin.toDouble / c, 1 - alpha)
+      // half-up (matches SQL round half-away-from-zero on positives)
+      s -> math.round(r * 1e6).toDouble / 1e6
+    }
+  }
+
+  /**
+   * Deterministic temperature mixing over a stratum column: derive the
+   * per-stratum rates from the corpus itself (ONE map-combined count agg;
+   * the collect is bounded by the number of strata — languages/sources,
+   * an enumerable set), then apply the same hash predicate as
+   * `sampleStratified` — one codegen CASE, verdicts a pure function of
+   * (id, salt), stable under re-runs and data growth.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      alpha: Double, salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val rates = temperatureRates(counts, alpha).toMap
+    df.where(stratifiedFlag(col(idCol), col(strataCol), rates,
+      defaultFraction = 0.0, salt))
+  }
+
+  /**
    * Train/test contamination report: for every doc in `testSplit`, how many
    * of its distinct word `shingleN`-grams also occur anywhere in
    * `trainSplit` — the standard eval-leakage check run before training.

@@ -880,6 +880,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix: α-rates hand-checked; kept set matches the stratified predicate") {
+    import graft.pipeline.Sampling
+    val counts = Seq("big" -> 100L, "small" -> 25L, "tiny" -> 25L)
+    assert(Sampling.temperatureRates(counts, alpha = 0.5).toMap ==
+      Map("big" -> 0.5, "small" -> 1.0, "tiny" -> 1.0)) // (25/100)^0.5
+    assert(Sampling.temperatureRates(counts, alpha = 1.0).forall(_._2 == 1.0))
+    assert(Sampling.temperatureRates(counts, alpha = 0.0).toMap ==
+      Map("big" -> 0.25, "small" -> 1.0, "tiny" -> 1.0)) // natural shares
+    intercept[IllegalArgumentException] { Sampling.temperatureRates(counts, 1.5) }
+    // end-to-end: derived rates drive the same predicate as sampleStratified
+    val docs = spark.createDataFrame(
+      (0L until 90L).map(i => (i, if (i < 60) "big" else "small")))
+      .toDF("id", "st")
+    val kept = Sampling.temperatureMix(docs, "id", "st", alpha = 0.0, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    val expected = Sampling.sampleStratified(docs, "id", "st",
+        Map("big" -> 0.5, "small" -> 1.0), salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == expected)
+    assert((60L until 90L).forall(kept.contains)) // rarest stratum keeps all
+  }
+
   test("hashEmbed: md5 bucket/sign hand-checked, unit norm, tf direction invariance") {
     import graft.pipeline.TextAnalysis
     val docs = spark.createDataFrame(Seq(
