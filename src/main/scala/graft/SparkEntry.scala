@@ -1337,6 +1337,26 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q123_text_knn" -> ((s, dir) => {
+      // end-to-end text→vector→search composition: hashEmbed (md5
+      // oracle family, dim 16) feeds exact cosine top-3 for a 5-doc
+      // query set — queries broadcast, corpus side stays distributed,
+      // per-query window bounded by the candidate count
+      val emb = TextAnalysis.hashEmbed(eng(s, dir).table("documents"),
+          "doc_id", "text", dim = 16, oracleHash = true)
+        .select(col("doc_id"), col("embedding"))
+      val q = emb.where(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("doc_id").asc)
+      emb.join(broadcast(q), col("doc_id") =!= col("qid"))
+        .withColumn("cosine",
+          round(cosineSimilarity(col("embedding"), col("qv")), 6))
+        .withColumn("nn_rank", row_number().over(w).cast("long"))
+        .where(col("nn_rank") <= 3)
+        .select(col("qid"), col("nn_rank"), col("doc_id").as("nn_id"), col("cosine"))
+        .orderBy("qid", "nn_rank")
+    }),
     "q122_temperature_mix" -> ((s, dir) => {
       // mT5-style language α-sampling: the rarest lang keeps all docs,
       // every other lang keeps (cnt_min/cnt)^(1-α) — rates derived from
@@ -2563,6 +2583,38 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q123: q121's embedding CTE (unnormalized — cosine is scale-free)
+    // into an exact top-3 neighbor join; round-then-rank on both sides
+    "q123_text_knn" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), b AS (
+           SELECT doc_id,
+                  CAST(strpos('0123456789abcdef', substr(md5(w), 32, 1)) - 1 AS BIGINT) AS bucket,
+                  CASE WHEN (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) % 2 = 0
+                       THEN 1.0e0 ELSE -1.0e0 END AS s
+           FROM t
+         ), g AS (SELECT doc_id, bucket, sum(s) AS v FROM b GROUP BY 1, 2),
+         sp AS (
+           SELECT doc_id, unnest(range(0, 16)) AS bucket
+           FROM (SELECT DISTINCT doc_id FROM b)
+         ), j AS (
+           SELECT sp.doc_id, sp.bucket, coalesce(g.v, 0.0e0) AS v
+           FROM sp LEFT JOIN g ON sp.doc_id = g.doc_id AND sp.bucket = g.bucket
+         ), vec AS (SELECT doc_id, list(v ORDER BY bucket) AS vec FROM j GROUP BY 1),
+         p AS (
+           SELECT q.doc_id AS qid, e.doc_id AS nn_id,
+                  round(list_cosine_similarity(q.vec, e.vec), 6) AS cosine
+           FROM vec q JOIN vec e ON e.doc_id <> q.doc_id
+           WHERE q.doc_id < 5
+         ), r AS (
+           SELECT qid, nn_id, cosine,
+                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nn_id) AS nn_rank
+           FROM p
+         )
+         SELECT qid, CAST(nn_rank AS BIGINT) AS nn_rank, nn_id, cosine FROM r
+         WHERE nn_rank <= 3 ORDER BY qid, nn_rank""",
     // q122: the oracle re-derives every rate from counts — power, 6dp
     // quantization, the 32-bit hex cut (printf %08x of round(rate·2^32)
     // capped), and the rate≥1 TRUE branch all mirror the Scala driver
