@@ -1337,6 +1337,15 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q124_score_bins" -> ((s, dir) => {
+      // curriculum bucketing gate: rank-based deciles over (n_chars,
+      // doc_id) — the oracle path; `scoreBins` (approx cutpoints, no
+      // global sort) is the scale route, spec-pinned equal at relErr 0
+      TextAnalysis.scoreBinsExact(
+          eng(s, dir).table("documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", nBins = 10)
+        .orderBy("doc_id")
+    }),
     "q123_text_knn" -> ((s, dir) => {
       // end-to-end text→vector→search composition: hashEmbed (md5
       // oracle family, dim 16) feeds exact cosine top-3 for a 5-doc
@@ -2583,6 +2592,12 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q124: ntile is SQL-standard (remainder to the first buckets) —
+    // the (score, id) tiebreak makes the assignment engine-independent
+    "q124_score_bins" ->
+      """SELECT doc_id, n_chars,
+                CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+         FROM documents ORDER BY doc_id""",
     // q123: q121's embedding CTE (unnormalized — cosine is scale-free)
     // into an exact top-3 neighbor join; round-then-rank on both sides
     "q123_text_knn" ->

@@ -534,4 +534,38 @@ object TextAnalysis {
       .where(col(lenCol) >= col("__lo") && col(lenCol) <= col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Rank-based curriculum bins (the ORACLE path): `ntile(nBins)` over
+    * (score, id) — equal-population buckets with ties split
+    * deterministically by id. A corpus-wide single-partition sort window:
+    * exact and engine-reproducible, labeled oracle-only — `scoreBins` is
+    * the scale route. */
+  def scoreBinsExact(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      scoreCol: String, nBins: Int): org.apache.spark.sql.DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    docs.withColumn("bin", ntile(nBins).over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).asc, col(idCol).asc)).cast("long"))
+  }
+
+  /** Value-based curriculum bins (the SCALE path): one `approxQuantile`
+    * pass derives nBins−1 cutpoints (driver-bounded: nBins values), the
+    * assignment is a broadcast codegen CASE — no corpus-wide sort, no
+    * shuffle of the data side. With `relErr = 0` and distinct scores this
+    * equals `scoreBinsExact` (spec-pinned); under heavy score ties the
+    * value-based bins are uneven where rank-based bins split ties — the
+    * documented trade for one-pass scalability. Null scores fall in no
+    * bin (bin = null). */
+  def scoreBins(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      scoreCol: String, nBins: Int,
+      relErr: Double = 0.001): org.apache.spark.sql.DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val cuts = docs.stat.approxQuantile(scoreCol, probs, relErr)
+    val bin = cuts.zipWithIndex.foldRight(
+      when(col(scoreCol).isNotNull, lit(nBins.toLong)): Column) {
+      case ((cut, i), rest) => when(col(scoreCol) <= cut, lit(i + 1L)).otherwise(rest)
+    }
+    docs.withColumn("bin", bin)
+  }
 }

@@ -880,6 +880,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("scoreBins: exact ntile semantics; approx path at relErr 0 agrees on distinct scores") {
+    import graft.pipeline.TextAnalysis
+    // 10 docs, distinct scores 1..10, 2 bins → 1-5 bin1, 6-10 bin2
+    val docs = spark.createDataFrame((1L to 10L).map(i => (i, i * 10.0)))
+      .toDF("id", "score")
+    val exact = TextAnalysis.scoreBinsExact(docs, "id", "score", nBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert((1L to 5L).forall(exact(_) == 1L) && (6L to 10L).forall(exact(_) == 2L))
+    // remainder to the FIRST buckets: 10 docs / 3 bins → sizes 4,3,3
+    val sizes = TextAnalysis.scoreBinsExact(docs, "id", "score", nBins = 3)
+      .groupBy("bin").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sizes == Map(1L -> 4L, 2L -> 3L, 3L -> 3L))
+    val approx = TextAnalysis.scoreBins(docs, "id", "score", nBins = 2, relErr = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(approx == exact)
+    // null score → null bin in the scale path
+    val withNull = spark.createDataFrame(Seq((1L, Some(1.0)), (2L, None: Option[Double])))
+      .toDF("id", "score")
+    val nb = TextAnalysis.scoreBins(withNull, "id", "score", nBins = 2, relErr = 0.0)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(nb(2L) == -1L)
+  }
+
   test("temperatureMix: α-rates hand-checked; kept set matches the stratified predicate") {
     import graft.pipeline.Sampling
     val counts = Seq("big" -> 100L, "small" -> 25L, "tiny" -> 25L)
