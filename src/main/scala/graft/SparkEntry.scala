@@ -1337,6 +1337,17 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q125_winnow" -> ((s, dir) => {
+      // MOSS winnowing gate: per-doc fingerprint count + digest of the
+      // sorted fingerprint set — a window-min off-by-one, a gram
+      // boundary slip or a lost/duplicated fingerprint breaks the hash
+      Dedup.winnowFingerprints(eng(s, dir).table("documents"),
+          "doc_id", "text", k = 8, w = 4, oracleHash = true)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("digest"))
+        .orderBy("doc_id")
+    }),
     "q124_score_bins" -> ((s, dir) => {
       // curriculum bucketing gate: rank-based deciles over (n_chars,
       // doc_id) — the oracle path; `scoreBins` (approx cutpoints, no
@@ -2592,6 +2603,23 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q125: gram md5s + window string-min + distinct reproduced with
+    // list comprehensions; docs under k+w-1 chars absent on both sides
+    "q125_winnow" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         h AS (
+           SELECT doc_id,
+                  [md5(substr(t, i, 8)) for i in range(1, greatest(len(t) - 6, 1))] AS hs,
+                  len(t) AS n
+           FROM d
+         ), f AS (
+           SELECT doc_id,
+                  list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs) - 2)]) AS fps
+           FROM h WHERE n >= 11
+         )
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+                md5(array_to_string(list_sort(fps), ',')) AS digest
+         FROM f ORDER BY doc_id""",
     // q124: ntile is SQL-standard (remainder to the first buckets) —
     // the (score, id) tiebreak makes the assignment engine-independent
     "q124_score_bins" ->

@@ -880,6 +880,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("winnowFingerprints: matches an independent reimplementation; MOSS share guarantee; short docs silent") {
+    import graft.pipeline.Dedup
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def winnowRef(text: String, k: Int, w: Int): Set[String] = {
+      val t = text.toLowerCase
+      if (t.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to t.length - k).map(i => md5hex(t.substring(i, i + k)))
+        (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+      }
+    }
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "short"), // < k+w-1 chars → nothing
+      (4L, "the quick brown fox leaps over the lazy dog"))
+    val docs = spark.createDataFrame(texts).toDF("id", "text")
+    val out = Dedup.winnowFingerprints(docs, "id", "text", k = 8, w = 4,
+        oracleHash = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, fs) => id -> fs.map(_._2).toSet }
+    for ((id, t) <- texts if t.length >= 11)
+      assert(out(id) == winnowRef(t, 8, 4), s"doc $id")
+    assert(!out.contains(3L))
+    // guarantee: docs 1 and 4 share "over the lazy dog" (17 ≥ w+k-1=11)
+    assert((out(1L) & out(4L)).nonEmpty)
+    // density: winnowing keeps far fewer than all gram hashes
+    val grams1 = texts.head._2.length - 7
+    assert(out(1L).size < grams1)
+    // production family: same row shape, same short-doc silence
+    val fast = Dedup.winnowFingerprints(docs, "id", "text", k = 8, w = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(fast == Set(1L, 2L, 4L))
+  }
+
+  test("sharedSpanPairs: a doc shorter than spanLen emits no span keys") {
+    import graft.pipeline.Dedup
+    // both docs share their ENTIRE 10-char text, but neither contains a
+    // 50-char span — the pair must NOT form
+    val docs = spark.createDataFrame(Seq(
+      (1L, "same short"), (2L, "same short"))).toDF("id", "text")
+    assert(Dedup.sharedSpanPairs(docs, "id", "text", spanLen = 50).count() == 0)
+    // sanity: at spanLen 10 the pair DOES form
+    assert(Dedup.sharedSpanPairs(docs, "id", "text", spanLen = 10).count() == 1)
+  }
+
   test("scoreBins: exact ntile semantics; approx path at relErr 0 agrees on distinct scores") {
     import graft.pipeline.TextAnalysis
     // 10 docs, distinct scores 1..10, 2 bins → 1-5 bin1, 6-10 bin2
