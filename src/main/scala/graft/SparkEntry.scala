@@ -1337,6 +1337,22 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q126_epoch_shuffle" -> ((s, dir) => {
+      // deterministic multi-epoch ordering: per-epoch md5 sort key, two
+      // epochs' top-10 heads — each epoch a different but reproducible
+      // permutation; the per-epoch cut is TakeOrdered, never a full sort
+      val d = eng(s, dir).table("documents")
+      Seq(0, 1).map { ep =>
+        d.select(lit(ep.toLong).as("epoch"), col("doc_id"),
+            graft.pipeline.Sampling.epochKey(col("doc_id"), ep,
+              oracleHash = true).as("ekey"))
+          .orderBy("ekey").limit(10)
+      }.reduce(_ unionByName _)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("epoch")).orderBy(col("ekey"))).cast("long"))
+        .select(col("epoch"), col("rank"), col("doc_id"), col("ekey"))
+        .orderBy("epoch", "rank")
+    }),
     "q125_winnow" -> ((s, dir) => {
       // MOSS winnowing gate: per-doc fingerprint count + digest of the
       // sorted fingerprint set — a window-min off-by-one, a gram
@@ -2603,6 +2619,22 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q126: the oracle regenerates both epochs' md5 keys and heads —
+    // a salt/epoch concat drift or an unstable cut breaks the hash
+    "q126_epoch_shuffle" ->
+      """WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+         k AS (
+           SELECT e.epoch, d.doc_id,
+                  md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS ekey
+           FROM documents d, e
+         ), r AS (
+           SELECT epoch, doc_id, ekey,
+                  row_number() OVER (PARTITION BY epoch ORDER BY ekey) AS rank
+           FROM k
+         )
+         SELECT CAST(epoch AS BIGINT) AS epoch, CAST(rank AS BIGINT) AS rank,
+                doc_id, ekey
+         FROM r WHERE rank <= 10 ORDER BY epoch, rank""",
     // q125: gram md5s + window string-min + distinct reproduced with
     // list comprehensions; docs under k+w-1 chars absent on both sides
     "q125_winnow" ->

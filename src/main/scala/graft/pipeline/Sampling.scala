@@ -104,6 +104,22 @@ object Sampling {
   }
 
   /**
+   * Deterministic per-epoch shuffle key — multi-epoch training wants a
+   * DIFFERENT order each epoch but the SAME order on every re-run/retry
+   * of that epoch (resumable jobs, reproducible curricula). A pure
+   * function of (id, epoch, salt): sort or range-partition by it when
+   * writing an epoch's shards — no shuffled copies ever materialize, and
+   * a retry of shard 17 of epoch 3 regenerates byte-identical order.
+   *
+   * Hash families (the Dedup convention): production `xxhash64`
+   * (8-byte sort key); `oracleHash = true` md5-hex, engine-reproducible.
+   */
+  def epochKey(id: Column, epoch: Int, salt: String = "epoch",
+      oracleHash: Boolean = false): Column =
+    if (oracleHash) md5(concat(lit(s"$salt:$epoch:"), id.cast("string")))
+    else xxhash64(lit(salt), lit(epoch), id)
+
+  /**
    * Temperature-scaled stratum rates (mT5/XLM-R α-sampling): the kept
    * corpus follows q(s) ∝ p(s)^α, realized by downsampling only — the
    * rarest stratum keeps everything (rate 1), every other stratum keeps

@@ -880,6 +880,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("epochKey: distinct reproducible permutations per epoch, both hash families") {
+    import graft.pipeline.Sampling
+    val docs = spark.createDataFrame((1L to 50L).map(Tuple1(_))).toDF("id")
+    def order(ep: Int, oracle: Boolean): Seq[Long] = docs
+      .orderBy(Sampling.epochKey(col("id"), ep, oracleHash = oracle))
+      .collect().map(_.getLong(0)).toSeq
+    for (oracle <- Seq(true, false)) {
+      val e0a = order(0, oracle)
+      assert(e0a == order(0, oracle))          // re-run reproducible
+      assert(e0a != order(1, oracle))          // epochs differ
+      assert(e0a.sorted == (1L to 50L))        // a permutation, not a filter
+      assert(e0a != (1L to 50L))               // actually shuffled
+    }
+    // md5 key matches the hand formula
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("epoch:3:7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(docs.where(col("id") === 7)
+      .select(Sampling.epochKey(col("id"), 3, oracleHash = true))
+      .head.getString(0) == expect)
+  }
+
   test("winnowFingerprints: matches an independent reimplementation; MOSS share guarantee; short docs silent") {
     import graft.pipeline.Dedup
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
