@@ -1337,6 +1337,22 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q127_token_budget" -> ((s, dir) => {
+      // budgeted corpus assembly: ≤3000 chars per source, hash-ordered
+      // prefix (reproducible uniform pick), one window per stratum
+      graft.pipeline.Sampling.takeTokenBudget(
+          eng(s, dir).table("documents"), "doc_id", "n_chars", "source",
+          budget = 3000)
+        .select("doc_id", "source", "n_chars", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+    "q128_winnow_pairs" -> ((s, dir) => {
+      // winnow-index candidate pairs: k=20/w=8 → any shared ≥27-char
+      // substring pairs up; ids-only fp buckets, no doc×doc join
+      Dedup.winnowPairs(eng(s, dir).table("documents"), "doc_id", "text",
+          k = 20, w = 8, oracleHash = true)
+        .orderBy("a", "b")
+    }),
     "q126_epoch_shuffle" -> ((s, dir) => {
       // deterministic multi-epoch ordering: per-epoch md5 sort key, two
       // epochs' top-10 heads — each epoch a different but reproducible
@@ -2619,6 +2635,36 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q127: the oracle rebuilds the same md5-prefix order (8-hex key +
+    // doc_id tiebreak) and the running total — a frame or order drift
+    // moves a boundary row and breaks the hash
+    "q127_token_budget" ->
+      """WITH c AS (
+           SELECT doc_id, source, n_chars,
+                  sum(n_chars) OVER (PARTITION BY source
+                    ORDER BY substring(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS cum
+           FROM documents
+         )
+         SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum_tokens
+         FROM c WHERE cum <= 3000 ORDER BY doc_id""",
+    // q128: q125's fingerprint pipeline at k=20/w=8, bucket self-join
+    // with the cap, distinct ordered pairs
+    "q128_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         h AS (
+           SELECT doc_id,
+                  [md5(substr(t, i, 20)) for i in range(1, greatest(len(t) - 18, 1))] AS hs,
+                  len(t) AS n
+           FROM d
+         ), f AS (
+           SELECT doc_id,
+                  unnest(list_distinct([list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)])) AS fp
+           FROM h WHERE n >= 27
+         ), g AS (SELECT fp, count(*) AS c FROM f GROUP BY fp)
+         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM f a JOIN f b USING (fp) JOIN g USING (fp)
+         WHERE a.doc_id < b.doc_id AND g.c BETWEEN 2 AND 1000
+         ORDER BY a, b""",
     // q126: the oracle regenerates both epochs' md5 keys and heads —
     // a salt/epoch concat drift or an unstable cut breaks the hash
     "q126_epoch_shuffle" ->

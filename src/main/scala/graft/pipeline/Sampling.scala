@@ -104,6 +104,32 @@ object Sampling {
   }
 
   /**
+   * Deterministic token-budget corpus assembly: keep a hash-ordered
+   * (uniformly random but reproducible) prefix of each stratum until its
+   * cumulative token budget is exhausted — "at most N tokens per source,
+   * the same pick on every run". One window per stratum (the
+   * `packBudget` discipline: parallel across strata, sort within a
+   * stratum). Unlike `hashSample`, membership is RANK-relative: new data
+   * hashing into the prefix displaces boundary rows, because a budget
+   * constrains the TOTAL, not per-row verdicts — freeze the corpus
+   * snapshot before cutting budgets.
+   *
+   * Output: every input column + `cum_tokens` (running total in hash
+   * order, ≤ `budget`).
+   */
+  def takeTokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+      strataCol: String, budget: Long, salt: String = "budget"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(bucketKey(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w).cast("long"))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  /**
    * Deterministic per-epoch shuffle key — multi-epoch training wants a
    * DIFFERENT order each epoch but the SAME order on every re-run/retry
    * of that epoch (resumable jobs, reproducible curricula). A pure

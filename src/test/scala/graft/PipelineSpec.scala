@@ -880,6 +880,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("takeTokenBudget: hash-order prefix per stratum vs an independent reimplementation") {
+    import graft.pipeline.Sampling
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", 10L * (i % 4 + 1)))
+    val docs = spark.createDataFrame(rows).toDF("id", "st", "tok")
+    val out = Sampling.takeTokenBudget(docs, "id", "tok", "st", budget = 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // independent reimplementation: md5-prefix order, running sum, cut
+    val expect = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy { case (id, _, _) => (md5hex(s"budget:$id").substring(0, 8), id) }
+        .flatMap { case (id, _, t) =>
+          cum += t; if (cum <= 60L) Some(id -> cum) else None }
+    }
+    assert(out == expect)
+    assert(out.nonEmpty && out.size < rows.size) // the budget actually cut
+    intercept[IllegalArgumentException] {
+      Sampling.takeTokenBudget(docs, "id", "tok", "st", budget = 0L)
+    }
+  }
+
+  test("winnowPairs: shared >= w+k-1 substring pairs up; unrelated docs don't") {
+    import graft.pipeline.Dedup
+    val docs = spark.createDataFrame(Seq(
+      (1L, "completely original text about the quick brown fox of the north"),
+      (2L, "another unrelated document concerning liquor jugs and boxes"),
+      (3L, "intro phrase then text about the quick brown fox of the north")))
+      .toDF("id", "text")
+    for (oracle <- Seq(true, false)) {
+      val pairs = Dedup.winnowPairs(docs, "id", "text", k = 8, w = 4,
+          oracleHash = oracle)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)), s"oracle=$oracle got $pairs")
+    }
+  }
+
   test("epochKey: distinct reproducible permutations per epoch, both hash families") {
     import graft.pipeline.Sampling
     val docs = spark.createDataFrame((1L to 50L).map(Tuple1(_))).toDF("id")
