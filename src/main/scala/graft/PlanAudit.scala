@@ -29,7 +29,14 @@ object PlanAudit {
       "q98_mp4_probe", // container probe: narrow projection pass
       "q106_image_probe", // header sniff: narrow projection, no decode, no shuffle
       "q107_image_neardup_blocked", // block-key buckets: shuffle keyed on 32-bit combos
-      "q109_image_search") // hamming top-k: XOR+popcount scan → TakeOrderedAndProject
+      "q109_image_search", // hamming top-k: XOR+popcount scan → TakeOrderedAndProject
+      "q117_bm25_search", // filtered tf explode, broadcast df/scalars, TakeOrdered
+      "q118_line_dedup", // keeper partial-agg + line-keyed join (no window over corpus)
+      "q120_vocab_topk", // one token shuffle → TakeOrdered over the vocab
+      "q121_hash_embed", // two map-combined aggs, HOF assembly, no UDF
+      "q122_temperature_mix", // codegen CASE scan (rates pre-derived)
+      "q125_winnow", // winnowing: narrow HOF chain → explode → per-doc agg
+      "q127_token_budget") // per-stratum window, no global sort
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
