@@ -1337,6 +1337,22 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q129_line_dedup_doc" -> ((s, dir) => {
+      // q118's re-lining under scope="doc": only WITHIN-document repeats
+      // drop (RefinedWeb intra-doc trim); cross-doc repeats survive, so
+      // n_kept here ≥ q118's for every doc
+      val d = eng(s, dir).table("documents")
+      val ws = split(trim(col("text")), " ")
+      val relined = d.select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), (ceil(size(ws) / 3.0)).cast("int") - 1),
+            i => array_join(slice(ws, i * 3 + 1, lit(3)), " ")),
+          "\n").as("text"))
+      Dedup.dedupLines(relined, "doc_id", "text", scope = "doc")
+        .withColumn("text_kept", md5(col("text_kept")))
+        .orderBy("doc_id")
+    }),
     "q127_token_budget" -> ((s, dir) => {
       // budgeted corpus assembly: ≤3000 chars per source, hash-ordered
       // prefix (reproducible uniform pick), one window per stratum
@@ -2635,6 +2651,30 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q129: q118's oracle with the keeper window partitioned by
+    // (doc_id, line) — within-doc keep-first, cross-doc survival
+    "q129_line_dedup_doc" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+         ), l AS (
+           SELECT doc_id,
+                  [array_to_string(ws[i*3+1:i*3+3], ' ')
+                   for i in range(0, CAST(ceil(len(ws)/3.0e0) AS BIGINT))] AS lines
+           FROM d
+         ), e AS (
+           SELECT doc_id, unnest(lines) AS line,
+                  unnest(range(0, len(lines))) AS pos
+           FROM l
+         ), r AS (
+           SELECT doc_id, pos, line,
+                  row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+           FROM e
+         )
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '')) AS text_kept
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     // q127: the oracle rebuilds the same md5-prefix order (8-hex key +
     // doc_id tiebreak) and the running total — a frame or order drift
     // moves a boundary row and breaks the hash

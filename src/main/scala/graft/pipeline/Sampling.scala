@@ -175,7 +175,12 @@ object Sampling {
    */
   def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
       alpha: Double, salt: String = "temp"): DataFrame = {
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    // null strata are EXCLUDED from rate derivation AND from the output:
+    // stratifiedFlag's `===` can never match a null stratum, so letting a
+    // null group into the counts could set cnt_min from rows that cannot
+    // be kept — silently deflating every other stratum's rate
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val rates = temperatureRates(counts, alpha).toMap
     df.where(stratifiedFlag(col(idCol), col(strataCol), rates,

@@ -1028,6 +1028,15 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == expected)
     assert((60L until 90L).forall(kept.contains)) // rarest stratum keeps all
+    // a null stratum must not deflate real strata's rates: 5 null-stratum
+    // rows (the would-be minimum) neither keep nor set cnt_min
+    val withNull = spark.createDataFrame(
+      (0L until 90L).map(i => (i, if (i < 60) "big" else "small")) ++
+        (100L until 105L).map(i => (i, null: String)))
+      .toDF("id", "st")
+    val keptN = Sampling.temperatureMix(withNull, "id", "st", alpha = 0.0, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptN == kept) // identical to the null-free corpus
   }
 
   test("hashEmbed: md5 bucket/sign hand-checked, unit norm, tf direction invariance") {
@@ -1081,6 +1090,18 @@ class PipelineSpec extends SparkSpec {
       (2L, 2L, 1L, "c"),
       (3L, 3L, 1L, "d"),
       (4L, 2L, 0L, "")))
+    // scope="doc": within-doc repeats drop, cross-doc repeats survive
+    val doc = graft.pipeline.Dedup.dedupLines(docs, "id", "text", scope = "doc")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(doc.toSeq == Seq(
+      (1L, 2L, "a\nb"),   // intra-doc "a" repeat drops
+      (2L, 2L, "b\nc"),   // cross-doc repeats survive
+      (3L, 2L, "c\nd"),   // intra-doc "d" repeat drops
+      (4L, 2L, "a\nb")))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.dedupLines(docs, "id", "text", scope = "corpsu")
+    }
     // custom separator: same semantics on "||"-joined lines
     val docs2 = spark.createDataFrame(Seq((1L, "x||y"), (2L, "y||z")))
       .toDF("id", "text")
