@@ -1337,6 +1337,33 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q130_rag_prep" -> ((s, dir) => {
+      // RAG-ingestion flagship: context chunking (32-token windows, 8
+      // overlap, q76's gated op) → feature-hash chunk embeddings (q121's
+      // md5 family, dim 16) → cross-doc chunk kNN for docs 0-1's chunks
+      // (top-2, same-doc chunks excluded). The scale path swaps in real
+      // embeddings + IVF/PQ/Graph serving — all gated separately; this
+      // pins the composed plumbing end-to-end.
+      val chunks = TextAnalysis.chunkByTokens(eng(s, dir).table("documents"),
+          "doc_id", "text", tokensPerChunk = 32, overlap = 8)
+        .select((col("doc_id") * 1000L + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      val emb = TextAnalysis.hashEmbed(chunks, "cid", "chunk_text",
+          dim = 16, oracleHash = true)
+        .select(col("cid"), col("embedding"))
+      val q = emb.where(col("cid") < 2000)
+        .select(col("cid").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid").asc)
+      emb.join(broadcast(q),
+          floor(col("cid") / 1000) =!= floor(col("qid") / 1000))
+        .withColumn("cosine",
+          round(cosineSimilarity(col("embedding"), col("qv")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 2)
+        .select(col("qid"), col("rank"), col("cid").as("nn_cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    }),
     "q129_line_dedup_doc" -> ((s, dir) => {
       // q118's re-lining under scope="doc": only WITHIN-document repeats
       // drop (RefinedWeb intra-doc trim); cross-doc repeats survive, so
@@ -2651,6 +2678,53 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q130: q76's chunk slicing + q121's embed arithmetic composed, then
+    // the cross-doc pair join with round-then-rank — a boundary slip in
+    // ANY composed stage breaks the hash
+    "q130_rag_prep" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+           FROM documents
+         ), c AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  CASE WHEN len(toks) <= 32 THEN 1
+                       ELSE CAST(ceil(CAST(len(toks) - 32 AS DOUBLE) / 24) AS INT) + 1
+                  END AS nchunks
+           FROM t
+         ), ch AS (
+           SELECT doc_id * 1000 + i AS cid,
+                  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text
+           FROM c, unnest(range(0, nchunks)) AS u(i)
+         ), tok AS (
+           SELECT cid, unnest(string_split(regexp_replace(lower(trim(chunk_text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM ch
+         ), b AS (
+           SELECT cid,
+                  CAST(strpos('0123456789abcdef', substr(md5(w), 32, 1)) - 1 AS BIGINT) AS bucket,
+                  CASE WHEN (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) % 2 = 0
+                       THEN 1.0e0 ELSE -1.0e0 END AS s
+           FROM tok
+         ), g AS (SELECT cid, bucket, sum(s) AS v FROM b GROUP BY 1, 2),
+         sp AS (
+           SELECT cid, unnest(range(0, 16)) AS bucket
+           FROM (SELECT DISTINCT cid FROM b)
+         ), j AS (
+           SELECT sp.cid, sp.bucket, coalesce(g.v, 0.0e0) AS v
+           FROM sp LEFT JOIN g ON sp.cid = g.cid AND sp.bucket = g.bucket
+         ), vec AS (SELECT cid, list(v ORDER BY bucket) AS vec FROM j GROUP BY 1),
+         p AS (
+           SELECT q.cid AS qid, e.cid AS nn_cid,
+                  round(list_cosine_similarity(q.vec, e.vec), 6) AS cosine
+           FROM vec q JOIN vec e ON e.cid // 1000 <> q.cid // 1000
+           WHERE q.cid < 2000
+         ), r AS (
+           SELECT qid, nn_cid, cosine,
+                  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nn_cid) AS rank
+           FROM p
+         )
+         SELECT qid, CAST(rank AS BIGINT) AS rank, nn_cid, cosine FROM r
+         WHERE rank <= 2 ORDER BY qid, rank""",
     // q129: q118's oracle with the keeper window partitioned by
     // (doc_id, line) — within-doc keep-first, cross-doc survival
     "q129_line_dedup_doc" ->
