@@ -1337,6 +1337,37 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q131_url_filter" -> ((s, dir) => {
+      // URL-filter gate (BmpCodec discipline for strings): URLs
+      // synthesized from doc_id with closed-form host/tld/depth/params,
+      // pushed through the full regexp parser + blocklist — the oracle
+      // recomputes every fact ARITHMETICALLY, so an extraction slip in
+      // any component cannot hash-match
+      val id = col("doc_id")
+      val tld = element_at(array(lit("com"), lit("org"), lit("net"), lit("xyz")),
+        (id % 4).cast("int") + 1)
+      val path = when(id % 4 > 0,
+          concat_ws("", transform(sequence(lit(1), (id % 4).cast("int")),
+            i => concat(lit("/s"), i))))
+        .otherwise(lit(""))
+      val query = when(id % 3 > 0,
+          concat(lit("?"), concat_ws("&",
+            transform(sequence(lit(1), (id % 3).cast("int")),
+              i => concat(lit("k"), i, lit("=v"))))))
+        .otherwise(lit(""))
+      val url = concat(lit("https://sub"), id % 3, lit(".site"), id % 7,
+        lit("."), tld, path, query)
+      val d = eng(s, dir).table("documents").select(id, url.as("url"))
+      val f = TextAnalysis.urlFeatures(col("url"))
+      d.select(col("doc_id"),
+          f.getField("host").as("host"),
+          f.getField("tld").as("tld"),
+          f.getField("path_depth").as("path_depth"),
+          f.getField("n_params").as("n_params"),
+          TextAnalysis.urlBlocked(col("url"), Seq("xyz"), "\\.site0\\.")
+            .as("blocked"))
+        .orderBy("doc_id")
+    }),
     "q130_rag_prep" -> ((s, dir) => {
       // RAG-ingestion flagship: context chunking (32-token windows, 8
       // overlap, q76's gated op) → feature-hash chunk embeddings (q121's
@@ -2678,6 +2709,24 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q131: every parsed component recomputed arithmetically from doc_id
+    // (host/tld by concat, depth = id%4, params = id%3, blocked = xyz-tld
+    // or the .site0. host) — the parser is gated against the closed form
+    "q131_url_filter" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       WHEN 2 THEN 'net' ELSE 'xyz' END AS tld
+           FROM documents
+         )
+         SELECT doc_id,
+                'sub' || CAST(doc_id % 3 AS VARCHAR) || '.site' ||
+                  CAST(doc_id % 7 AS VARCHAR) || '.' || tld AS host,
+                tld,
+                CAST(doc_id % 4 AS BIGINT) AS path_depth,
+                CAST(doc_id % 3 AS BIGINT) AS n_params,
+                (tld = 'xyz' OR doc_id % 7 = 0) AS blocked
+         FROM f ORDER BY doc_id""",
     // q130: q76's chunk slicing + q121's embed arithmetic composed, then
     // the cross-doc pair join with round-then-rank — a boundary slip in
     // ANY composed stage breaks the hash

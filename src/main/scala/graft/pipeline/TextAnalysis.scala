@@ -464,6 +464,47 @@ object TextAnalysis {
   // ---------- sequence packing ----------
 
   /**
+   * URL component extraction — the C4/RefinedWeb URL-filter stage's
+   * parser: scheme, host (userinfo and port stripped, lowercased), tld
+   * (last dot-label of the host — no public-suffix list is shipped, so
+   * multi-label suffixes like co.uk read as 'uk'; documented), path
+   * depth (non-empty segments) and query-param count. Pure codegen
+   * `regexp_extract` chain in the RE2 ∩ java.regex subset — shuffle-free
+   * and engine-reproducible. A schemeless or unparseable URL yields
+   * empty host/tld and zero counts (filter-stage honesty: never throws).
+   */
+  def urlFeatures(url: Column): Column = bind(url) { u =>
+    val rest = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$", 1)
+    val authority = regexp_extract(rest, "^([^/?#]*)", 1)
+    val host = lower(regexp_extract(
+      regexp_extract(authority, "^(?:[^@]*@)?(.*)$", 1), "^([^:]*)", 1))
+    val path = regexp_extract(rest, "^[^/?#]*(/[^?#]*)?", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    struct(
+      lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)).as("scheme"),
+      host.as("host"),
+      regexp_extract(host, "([^.]+)$", 1).as("tld"),
+      size(filter(split(path, "/"), s => s =!= "")).cast("long").as("path_depth"),
+      when(query === "", lit(0L))
+        .otherwise(size(split(query, "&")).cast("long")).as("n_params"))
+  }
+
+  /** Blocklist verdict over `urlFeatures`: tld membership + an optional
+    * host regex (spam domains, link farms). Composable with
+    * `Sampling.stratifiedFlag`-style keeps — this is the FILTER, the
+    * parser stays reusable. */
+  def urlBlocked(url: Column, blockedTlds: Seq[String],
+      blockedHostRegex: String = ""): Column = bind(urlFeatures(url)) { f =>
+    val byTld =
+      if (blockedTlds.isEmpty) lit(false)
+      else f.getField("tld").isin(blockedTlds: _*)
+    val byHost =
+      if (blockedHostRegex.isEmpty) lit(false)
+      else f.getField("host").rlike(blockedHostRegex)
+    byTld || byHost
+  }
+
+  /**
    * Pack documents into fixed token budgets — the batch-construction step
    * before training. Deterministic "fill then overflow" strategy: within
    * each `groupCol` partition, docs are taken in `idCol` order and a doc

@@ -880,6 +880,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("urlFeatures: ports, userinfo, fragments, case, schemeless honesty; blocklist") {
+    import graft.pipeline.TextAnalysis
+    val cases = Seq(
+      ("https://www.Example.COM:8443/a/b/c?x=1&y=2#frag",
+        ("https", "www.example.com", "com", 3L, 2L)),
+      ("http://user:pw@Host.Org/one", ("http", "host.org", "org", 1L, 0L)),
+      ("https://plain.net", ("https", "plain.net", "net", 0L, 0L)),
+      ("https://deep.co.uk/x", ("https", "deep.co.uk", "uk", 1L, 0L)),
+      ("ftp://files.site/a?only=1", ("ftp", "files.site", "site", 1L, 1L)),
+      ("not a url at all", ("", "", "", 0L, 0L)),
+      ("https://tail.example/?#", ("https", "tail.example", "example", 0L, 0L)))
+    val df = spark.createDataFrame(cases.map { case (u, _) => Tuple1(u) })
+      .toDF("url")
+      .select(col("url"), TextAnalysis.urlFeatures(col("url")).as("f"))
+      .select(col("url"), col("f.scheme"), col("f.host"), col("f.tld"),
+        col("f.path_depth"), col("f.n_params"))
+    val got = df.collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    for ((u, expect) <- cases) assert(got(u) == expect, u)
+    // blocklist: tld set + host regex, independently
+    val b = spark.createDataFrame(Seq(
+      Tuple1("https://a.spam.xyz/x"), Tuple1("https://ads.tracker.com/x"),
+      Tuple1("https://fine.org/x"))).toDF("url")
+      .select(col("url"),
+        TextAnalysis.urlBlocked(col("url"), Seq("xyz"), "^ads\\.").as("blk"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(b("https://a.spam.xyz/x") && b("https://ads.tracker.com/x") &&
+      !b("https://fine.org/x"))
+  }
+
   test("takeTokenBudget: hash-order prefix per stratum vs an independent reimplementation") {
     import graft.pipeline.Sampling
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
