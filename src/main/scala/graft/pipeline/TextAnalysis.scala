@@ -62,7 +62,9 @@ object TextAnalysis {
         map_from_arrays(collect_list(col("b")), collect_list(col("v"))).as("m"))
       .withColumn("__vec", transform(
         sequence(lit(0L), lit(dim - 1L)),
-        i => coalesce(element_at(col("m"), i), lit(0.0))))
+        // try_element_at, not element_at: a missing bucket must read as
+        // 0.0 under ANSI mode too, not throw
+        i => coalesce(try_element_at(col("m"), i), lit(0.0))))
       .withColumn("__nrm", sqrt(aggregate(col("__vec"), lit(0.0),
         (acc, x) => acc + x * x)))
       .select(col(idCol), col("n_tokens"),
