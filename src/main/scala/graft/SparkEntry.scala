@@ -1337,6 +1337,21 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q132_quality_curriculum" -> ((s, dir) => {
+      // quality-curriculum composition: corpus-trained unigram LM score
+      // (q82's gated op) → exact quintile bins (q124's oracle path) →
+      // per-bin population profile; the scale path swaps scoreBins'
+      // approx cutpoints
+      val lm = graft.pipeline.CorpusStats.unigramLogProb(
+        eng(s, dir).table("documents"), "doc_id", "text")
+      TextAnalysis.scoreBinsExact(lm, "doc_id", "avg_logprob", nBins = 5)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("avg_logprob")), 6).as("mean_lp"),
+          round(min(col("avg_logprob")), 6).as("lo"),
+          round(max(col("avg_logprob")), 6).as("hi"))
+        .orderBy("bin")
+    }),
     "q131_url_filter" -> ((s, dir) => {
       // URL-filter gate (BmpCodec discipline for strings): URLs
       // synthesized from doc_id with closed-form host/tld/depth/params,
@@ -2709,6 +2724,30 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q132: q82's LM CTE → ntile(5) over (score, doc_id) → bin profile;
+    // the 6dp rounding happens BEFORE binning on both sides (q82's
+    // contract), so ulp drift can't move a boundary doc between bins
+    "q132_quality_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), v AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+         n AS (SELECT sum(cnt) AS n FROM v),
+         lm AS (
+           SELECT t.doc_id,
+                  round(avg(ln(CAST(v.cnt AS DOUBLE) / n.n)), 6) AS avg_logprob
+           FROM t JOIN v USING (w), n
+           GROUP BY t.doc_id
+         ), b AS (
+           SELECT doc_id, avg_logprob,
+                  ntile(5) OVER (ORDER BY avg_logprob, doc_id) AS bin
+           FROM lm
+         )
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS cnt,
+                round(avg(avg_logprob), 6) AS mean_lp,
+                round(min(avg_logprob), 6) AS lo,
+                round(max(avg_logprob), 6) AS hi
+         FROM b GROUP BY bin ORDER BY bin""",
     // q131: every parsed component recomputed arithmetically from doc_id
     // (host/tld by concat, depth = id%4, params = id%3, blocked = xyz-tld
     // or the .site0. host) — the parser is gated against the closed form
