@@ -47,11 +47,24 @@ object ParquetNanos {
     }
   }
 
-  /** Read parquet with nanos-timestamp columns converted to TimestampType. */
+  /** Read parquet with nanos-timestamp columns converted to TimestampType.
+    *
+    * Micros columns written without UTC adjustment surface as
+    * TIMESTAMP_NTZ under Spark's parquet NTZ inference; the engine
+    * normalizes them to TimestampType so every downstream consumer
+    * (event-time windows, watermarks, keyset cursors) sees one
+    * timestamp type regardless of how the producer annotated the file.
+    * The session runs in UTC, so the cast is value-identical.
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
-    nanosColumns(spark, path).foldLeft(df) { (acc, c) =>
+    val converted = nanosColumns(spark, path).foldLeft(df) { (acc, c) =>
       acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+    }
+    converted.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(converted) { (acc, c) =>
+      acc.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
     }
   }
 }
