@@ -1,5 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench-record formatting, factored out of the main so specs can pin the
+  * driver-contract constraint: the parse-target stdout line must fit the
+  * driver's capture window (last 2000 bytes of stdout, measured from
+  * BENCH_r09.json's `tail` length), with room left for the build tool's
+  * trailing "[success] ..." line. The full-name full-precision record grew
+  * past 4 KB at 132 queries, so it can NEVER fit — it lives in
+  * target/bench.json and BASELINE.md instead, and stdout's last line is a
+  * compact twin: query keys shortened to their "qNN" prefix, 2-decimal
+  * values, sf as a basename. */
+object BenchFormat {
+  /** "q01_filter_range" -> "q01". Prefixes are unique by construction
+    * (query numbers never repeat); formatCompact asserts it anyway. */
+  def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  private def fmt(v: Double, scale: Int): String =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Full-precision, full-name record: first stdout line + target/bench.json. */
+  def formatFull(results: Seq[(String, Double)], sfDir: String, reps: Int, cpus: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
+  }
+
+  /** Compact record: LAST stdout line, the driver's parse target. */
+  def formatCompact(results: Seq[(String, Double)], sfDir: String): String = {
+    val keys = results.map { case (k, _) => shortKey(k) }
+    require(keys.distinct.size == keys.size, "short query keys collide")
+    val qs = keys.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,33 +91,27 @@ object Bench {
         (if (good.isEmpty) " (ALL REPS FAILED)" else ""))
       name -> dt
     }
-    // 3-decimal seconds (1 ms grain): the full-precision line ran ~3.5 KB
-    // and the driver's capture window clipped it mid-line four rounds
-    // running (BENCH_r05–r08 "parsed": null); rounding keeps it ~2 KB
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
-    // FIRST post-run stdout line, flushed immediately — nothing (record
-    // IO, spark.stop) may run before it: the driver's tail has clipped a
-    // late-emitted record four consecutive rounds
-    println(line)
+    // Full-precision full-name record: first stdout line + file. It is
+    // ~4 KB at 132 queries, so the driver's 2000-byte tail window can
+    // never hold it (BENCH_r05–r09 "parsed": null, five rounds running) —
+    // it exists for humans and for BASELINE.md.
+    val fullLine = BenchFormat.formatFull(results, sfDir, reps, cpus)
+    println(fullLine)
     System.out.flush()
-    // Self-recording: ALSO persist the exact same line to
-    // target/bench.json (overridable for tests) in case stdout is lost.
+    // Self-recording: ALSO persist the full record to target/bench.json
+    // (overridable for tests) in case stdout is lost entirely.
     val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(recordPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] record written to $recordPath")
     } catch { case e: Throwable => System.err.println(s"[bench] record write failed: $e") }
-    // identical line again as the LAST stdout line: a tail-biased capture
-    // window sees a complete record too (duplicates are safe — first- and
-    // last-match parsers read the same bytes)
-    println(line)
+    // Compact record as the LAST stdout line — the driver's parse target.
+    // Short "qNN" keys + 2-decimal values keep it ~1.5 KB at 132 queries,
+    // well inside the 2000-byte tail even after sbt appends its
+    // "[success] Total time ..." trailer. BenchSpec pins the size budget.
+    println(BenchFormat.formatCompact(results, sfDir))
     System.out.flush()
     spark.stop()
   }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver-contract constraint on the bench stdout record: the
+  * driver captures only the LAST 2000 bytes of stdout (measured from
+  * BENCH_r09.json's `tail` length) and sbt appends a ~80-byte
+  * "[success] Total time ..." trailer after our last line. The compact
+  * record must therefore stay under ~1900 bytes at the CURRENT query
+  * count — this spec fails the build the moment query growth breaks
+  * that, instead of silently costing another round of driver records. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  test("short keys are the qNN prefix and collide for no registered query") {
+    assert(BenchFormat.shortKey("q01_filter_range") == "q01")
+    assert(BenchFormat.shortKey("q130_rag_prep") == "q130")
+    val shorts = names.map(BenchFormat.shortKey)
+    assert(shorts.distinct.size == names.size)
+  }
+
+  test("compact line fits the driver tail window with worst-case values") {
+    // 99.99 is a per-query worst case with margin: the heaviest query on
+    // record (q111) runs ~15 s; a 100 s single query would itself be a
+    // regression caught elsewhere.
+    val results = names.map(_ -> 99.99)
+    val line = BenchFormat.formatCompact(results, "/root/testdata/sf0.1")
+    assert(!line.contains("\n"))
+    assert(
+      line.length <= 1900,
+      s"compact bench line is ${line.length} bytes at ${names.size} queries — " +
+        "over the 1900-byte budget (2000-byte driver tail minus sbt trailer). " +
+        "Trim the format (1-decimal values / shorter keys) before adding more queries.")
+  }
+
+  test("compact line is valid JSON with the contract fields") {
+    val results = Seq("q01_filter_range" -> 1.234, "q100_audio_spectrum" -> 0.5)
+    val line = BenchFormat.formatCompact(results, "/root/testdata/sf0.1")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(math.abs(node.get("value").asDouble - 1.73) < 1e-9)
+    assert(node.get("sf").asText == "sf0.1")
+    val qs = node.get("queries")
+    assert(qs.size == 2)
+    assert(math.abs(qs.get("q01").asDouble - 1.23) < 1e-9)
+    assert(math.abs(qs.get("q100").asDouble - 0.5) < 1e-9)
+  }
+
+  test("full line keeps full names and 3-decimal grain") {
+    val results = Seq("q01_filter_range" -> 1.2345)
+    val line = BenchFormat.formatFull(results, "/root/testdata/sf0.1", 2, "32")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(math.abs(node.get("queries").get("q01_filter_range").asDouble - 1.235) < 1e-9)
+    assert(node.get("reps").asInt == 2)
+    assert(node.get("sf").asText == "/root/testdata/sf0.1")
+  }
+}
