@@ -1337,6 +1337,21 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q133_snapshot_diff" -> ((s, dir) => {
+      // snapshot-diff CDC derivation: old = keys %7!=1, new = keys %5!=2
+      // with prices bumped on %3==0 — the full-outer PK join must
+      // classify exactly the constructed insert/delete/update sets; the
+      // oracle rebuilds both snapshots and the null-safe comparison
+      val orders = eng(s, dir).table("orders")
+      val oldSnap = orders.where(pmod(col("o_orderkey"), lit(7)) =!= 1)
+      val newSnap = orders.where(pmod(col("o_orderkey"), lit(5)) =!= 2)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      graft.operators.SnapshotDiff.changes(oldSnap, newSnap,
+          "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
     "q132_quality_curriculum" -> ((s, dir) => {
       // quality-curriculum composition: corpus-trained unigram LM score
       // (q82's gated op) → exact quintile bins (q124's oracle path) →
@@ -2724,6 +2739,29 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q133: both snapshots rebuilt from the same modular construction;
+    // null-safe comparison via IS NOT DISTINCT FROM mirrors Spark's <=>
+    "q133_snapshot_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 7 <> 1
+         ), n AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 <> 2
+         ), d AS (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                  CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                       WHEN n.o_orderkey IS NULL THEN 'deleted'
+                       WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                         THEN 'unchanged'
+                       ELSE 'updated' END AS change_type
+           FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+         )
+         SELECT o_orderkey, change_type FROM d
+         WHERE change_type <> 'unchanged' ORDER BY o_orderkey""",
     // q132: q82's LM CTE → ntile(5) over (score, doc_id) → bin profile;
     // the 6dp rounding happens BEFORE binning on both sides (q82's
     // contract), so ulp drift can't move a boundary doc between bins
