@@ -1337,6 +1337,16 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q134_bigram_lm" -> ((s, dir) => {
+      // interpolated bigram LM (Jelinek–Mercer): corpus-trained bigram +
+      // unigram counts, per-doc mean log of the mixed probability. The
+      // oracle retrains both tables and recomputes the identical IEEE
+      // mixture, so a drift in context normalization or the
+      // interpolation weights goes red
+      graft.pipeline.CorpusStats.bigramLogProb(
+          eng(s, dir).table("documents"), "doc_id", "text", lambda = 0.8)
+        .orderBy("doc_id")
+    }),
     "q133_snapshot_diff" -> ((s, dir) => {
       // snapshot-diff CDC derivation: old = keys %7!=1, new = keys %5!=2
       // with prices bumped on %3==0 — the full-outer PK join must
@@ -2739,6 +2749,26 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q134: bigram/unigram counts retrained in SQL; the lateral
+    // generate_series mirrors the engine's index-sequence transform, and
+    // (1.0 - 0.8) reproduces Spark's IEEE 1.0-λ exactly (NOT 0.2)
+    "q134_bigram_lm" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents
+         ), b AS (
+           SELECT doc_id, ws[g.i] AS w1, ws[g.i+1] AS w2
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+         ), bc AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY 1),
+         tw AS (SELECT doc_id, unnest(ws) AS w FROM t),
+         u AS (SELECT w, count(*) AS cu FROM tw GROUP BY w),
+         n AS (SELECT sum(cu) AS n FROM u)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                round(avg(ln(0.8 * bc.c2 / ctx.c1 + (1.0 - 0.8) * u.cu / n.n)), 6) AS avg_logprob
+         FROM b JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+              JOIN u ON u.w = b.w2, n
+         GROUP BY b.doc_id ORDER BY b.doc_id""",
     // q133: both snapshots rebuilt from the same modular construction;
     // null-safe comparison via IS NOT DISTINCT FROM mirrors Spark's <=>
     "q133_snapshot_diff" ->

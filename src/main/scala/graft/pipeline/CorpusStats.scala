@@ -50,6 +50,59 @@ object CorpusStats {
   }
 
   /**
+   * CCNet-style INTERPOLATED BIGRAM language-model score — the standard
+   * perplexity quality filter one notch above [[unigramLogProb]]: train
+   * bigram and unigram counts on the corpus itself, then score each
+   * document by the mean log of
+   * `λ·c(w1,w2)/c(w1·) + (1−λ)·c(w2)/N` over its bigrams, where
+   * `c(w1·)` is the count of bigrams starting at `w1` (so the bigram MLE
+   * row-normalizes exactly) and `N` the corpus token total. Interpolation
+   * (Jelinek–Mercer) keeps unseen-in-context tokens finite via the
+   * unigram floor — in-distribution prose scores high, shuffled-token
+   * soup scores low even when every unigram is common.
+   *
+   * Shape at scale: bigrams explode from the per-row token array with NO
+   * shuffle (a codegen `transform` over an index sequence); the count
+   * tables shuffle keyed on the bigram / context / token exactly like
+   * [[unigramLogProb]]'s vocab pass, all partially aggregated map-side;
+   * the corpus total rides as a broadcast scalar. Nothing is ever keyed
+   * on the document pair — linear in token volume.
+   *
+   * λ and 1−λ are derived with the SAME IEEE arithmetic on both engine
+   * and oracle (`1.0 - λ`, not a rounded literal), and the per-doc mean
+   * rounds to 6dp so partial-sum order can't leak into the hash.
+   *
+   * Output: (`idCol`, n_bigrams, avg_logprob) for docs with ≥ 1 bigram.
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0,1)")
+    val ws = docs.select(col(idCol),
+      whitespaceTokens(lower(col(textCol))).as("ws"))
+    // guard: Spark's sequence(1, 0) DESCENDS instead of returning empty,
+    // so single-token docs must short-circuit to an empty array
+    val bi = ws.select(col(idCol), explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws)-1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))"))
+        .otherwise(expr("array()"))).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctx = bc.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = tokenTable(docs, idCol, textCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("n"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * col("c2") / col("c1") +
+            lit(1.0 - lambda) * col("cu") / col("n"))), 6).as("avg_logprob"))
+  }
+
+  /**
    * TF-IDF top-`k` terms per document — the classic keyword-extraction /
    * topic-fingerprint step. `tf` = occurrences in the doc, `idf` =
    * ln(N/df) with `df` = documents containing the term; ranking uses the

@@ -840,6 +840,27 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((2L, -1.262864)))
   }
 
+  test("bigramLogProb: interpolated bigram LM, hand-checked; 1-token docs drop") {
+    // bigrams: doc1 → (a,b),(b,a); doc2 → (a,b) ⇒ bc={ab:2, ba:1},
+    // ctx c(a·)=2, c(b·)=1; unigrams a:3 b:2 solo:1, N=6. Expected
+    // per-bigram probs recomputed below with the same IEEE 1.0-0.8 mix.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a"), (2L, "a b"), (3L, "solo"))).toDF("id", "text")
+    val out = graft.pipeline.CorpusStats.bigramLogProb(docs, "id", "text", lambda = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val mu = 1.0 - 0.8
+    def p(c2: Long, c1: Long, cu: Long): Double =
+      math.log(0.8 * c2 / c1 + mu * cu / 6.0)
+    // unigrams: a:3 b:2 solo:1 → N=6
+    val d1 = BigDecimal((p(2, 2, 2) + p(1, 1, 3)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal(p(2, 2, 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((2L, d1)))
+    assert(out(2L) == ((1L, d2)))
+    assert(!out.contains(3L), "single-token doc must produce no bigrams")
+  }
+
   test("tfidfTopTerms: tf*ln(N/df), rounded-score ranking, term tiebreak") {
     val docs = spark.createDataFrame(Seq(
       (1L, "x x y"), (2L, "y z"), (3L, "z z z"))).toDF("id", "text")
