@@ -1337,6 +1337,24 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q135_zorder_layout" -> ((s, dir) => {
+      // Z-order vs linear clustering, measured: per-bucket min/max
+      // "footer stats" + scan flags for a narrow-acctbal box and a
+      // narrow-nation box. The oracle recomputes grid coords, the Morton
+      // interleave (explicit bit arithmetic) and the overlap tests —
+      // a drift in any bit position flips a bucket assignment and goes
+      // red. linear scans ~every bucket for the nation box; zorder
+      // prunes both (the multi-dim layout story at 100 TB)
+      graft.operators.ZOrder.layoutPruningStats(
+          eng(s, dir).table("customer"),
+          "c_acctbal", "c_nationkey",
+          aMin = -1000.0, aMax = 10000.0, bMin = 0.0, bMax = 25.0,
+          boxes = Seq(
+            graft.operators.ZOrder.Box("narrow_a", 0.0, 1000.0, 0.0, 25.0),
+            graft.operators.ZOrder.Box("narrow_b", -1000.0, 10000.0, 5.0, 10.0)),
+          bits = 8, bucketBits = 4)
+        .orderBy("layout", "bucket")
+    }),
     "q134_bigram_lm" -> ((s, dir) => {
       // interpolated bigram LM (Jelinek–Mercer): corpus-trained bigram +
       // unigram counts, per-doc mean log of the mixed probability. The
@@ -1983,6 +2001,12 @@ object SparkEntry {
     }
     bits.mkString("concat(", ", ", ")")
   }
+
+  /** Morton interleave of 8-bit aN/bN as explicit DuckDB bit arithmetic —
+    * the q135 oracle recomputes the engine's zOrderKey bit-for-bit. */
+  private val duckZkey: String = (0 until 8).map { i =>
+    s"((aN // ${1L << i}) % 2) * ${1L << (2 * i)} + ((bN // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "q27_text_quality" -> {
@@ -2749,6 +2773,34 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q135: grid coords + Morton interleave + bucket split + overlap
+    // tests all recomputed arithmetically; IEEE scaling matches the
+    // engine's gridCoord ((x-min)*256/span, floor, clamp)
+    "q135_zorder_layout" ->
+      s"""WITH g AS (
+           SELECT c_acctbal, c_nationkey,
+                  least(greatest(CAST(floor((c_acctbal - -1000.0) * 256.0 / 11000.0) AS BIGINT), 0), 255) AS aN,
+                  least(greatest(CAST(floor((c_nationkey - 0.0) * 256.0 / 25.0) AS BIGINT), 0), 255) AS bN
+           FROM customer
+         ), z AS (
+           SELECT c_acctbal, c_nationkey, aN, ($duckZkey) AS zkey FROM g
+         ), b AS (
+           SELECT 'zorder' AS layout, zkey // 4096 AS bucket,
+                  c_acctbal AS a, c_nationkey AS bb FROM z
+           UNION ALL
+           SELECT 'linear', aN // 16, c_acctbal, c_nationkey FROM z
+         ), s AS (
+           SELECT layout, bucket, count(*) AS n_rows,
+                  round(min(CAST(a AS DOUBLE)), 6) AS min_a,
+                  round(max(CAST(a AS DOUBLE)), 6) AS max_a,
+                  round(min(CAST(bb AS DOUBLE)), 6) AS min_b,
+                  round(max(CAST(bb AS DOUBLE)), 6) AS max_b
+           FROM b GROUP BY 1, 2
+         )
+         SELECT layout, bucket, n_rows, min_a, max_a, min_b, max_b,
+                NOT (max_a < 0.0 OR min_a >= 1000.0 OR max_b < 0.0 OR min_b >= 25.0) AS scan_narrow_a,
+                NOT (max_a < -1000.0 OR min_a >= 10000.0 OR max_b < 5.0 OR min_b >= 10.0) AS scan_narrow_b
+         FROM s ORDER BY layout, bucket""",
     // q134: bigram/unigram counts retrained in SQL; the lateral
     // generate_series mirrors the engine's index-sequence transform, and
     // (1.0 - 0.8) reproduces Spark's IEEE 1.0-λ exactly (NOT 0.2)
