@@ -1337,6 +1337,44 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q136_caption_align" -> ((s, dir) => {
+      // caption↔image alignment (CLIP-score filter shape): each doc gets
+      // a REAL pure-channel PNG (channel = id%3) and a caption whose
+      // color word shifts off-channel when id%5==0. The engine must
+      // decode pixels → channel means → dominant color, regexp-parse the
+      // caption, and score agreement; the oracle recomputes every value
+      // from the modular construction — a decode or parse slip cannot
+      // hash-match
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val rgb = (id % 3) match {
+          case 0 => 0xFF0000
+          case 1 => 0x00FF00
+          case _ => 0x0000FF
+        }
+        (id, Multimodal.ImageIoCodec.encodeSolidRgb("png", 8, 8, rgb))
+      }).toDF("media_id", "content")
+      val colorWords = Seq("red", "green", "blue")
+      val captions = ids.map { id =>
+        val c = if (id % 5 == 0) ((id % 3) + 1) % 3 else id % 3
+        (id, s"a photo of a ${colorWords(c.toInt)} object number $id")
+      }.toDF("media_id", "caption")
+      val means = Multimodal.channelMeans(media)
+      val imgColor = when(col("mean_r") >= col("mean_g") && col("mean_r") >= col("mean_b"), "red")
+        .when(col("mean_g") >= col("mean_b"), "green").otherwise("blue")
+      val capColor = regexp_extract(lower(col("caption")), "\\b(red|green|blue)\\b", 1)
+      means.join(captions, "media_id")
+        .withColumn("img_color", imgColor)
+        .withColumn("cap_color", capColor)
+        .withColumn("score", round(
+          when(col("cap_color") === "red", col("mean_r"))
+            .when(col("cap_color") === "green", col("mean_g"))
+            .otherwise(col("mean_b")) / lit(255.0), 6))
+        .withColumn("aligned", col("img_color") === col("cap_color"))
+        .select("media_id", "img_color", "cap_color", "score", "aligned")
+        .orderBy("media_id")
+    }),
     "q135_zorder_layout" -> ((s, dir) => {
       // Z-order vs linear clustering, measured: per-bucket min/max
       // "footer stats" + scan flags for a narrow-acctbal box and a
@@ -2773,6 +2811,25 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q136: every output recomputed from the modular fixture — img
+    // channel = id%3, caption channel shifts +1 when id%5=0, score is
+    // the caption-channel mean (255 or 0) over 255
+    "q136_caption_align" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  doc_id % 3 AS ci,
+                  CASE WHEN doc_id % 5 = 0 THEN (doc_id % 3 + 1) % 3
+                       ELSE doc_id % 3 END AS cc
+           FROM documents
+         )
+         SELECT doc_id AS media_id,
+                CASE CAST(ci AS INTEGER) WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+                     ELSE 'blue' END AS img_color,
+                CASE CAST(cc AS INTEGER) WHEN 0 THEN 'red' WHEN 1 THEN 'green'
+                     ELSE 'blue' END AS cap_color,
+                CAST(CASE WHEN cc = ci THEN 1.0 ELSE 0.0 END AS DOUBLE) AS score,
+                cc = ci AS aligned
+         FROM c ORDER BY media_id""",
     // q135: grid coords + Morton interleave + bucket split + overlap
     // tests all recomputed arithmetically; IEEE scaling matches the
     // engine's gridCoord ((x-min)*256/span, floor, clamp)

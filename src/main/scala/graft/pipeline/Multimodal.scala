@@ -51,11 +51,17 @@ object Multimodal {
       * w×h image through the stock ImageIO writer for `fmt` — only the
       * header facts (format, dims) are contract, so encoder byte drift
       * across JDKs cannot break an oracle built on the closed-form dims. */
-    def encodeSolid(fmt: String, w: Int, h: Int, seed: Long): Array[Byte] = {
+    def encodeSolid(fmt: String, w: Int, h: Int, seed: Long): Array[Byte] =
+      encodeSolidRgb(fmt, w, h, ((seed * 2654435761L) & 0xFFFFFF).toInt)
+
+    /** `encodeSolid` with an explicit RGB — alignment gates (q136) need
+      * exact pure-channel pixels, not a seed-hashed color. Lossless
+      * formats (png/bmp) round-trip the channel values exactly. */
+    def encodeSolidRgb(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = img.createGraphics()
-      g.setColor(new java.awt.Color(((seed * 2654435761L) & 0xFFFFFF).toInt))
+      g.setColor(new java.awt.Color(rgb))
       g.fillRect(0, 0, w, h)
       g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
@@ -1243,6 +1249,50 @@ object Multimodal {
             (fw, fh, FakeCodec.features(bytes))
         }
         org.apache.spark.sql.Row(r.getLong(idIdx), w, h, feat.toSeq)
+      }
+    }(enc)
+  }
+
+  /**
+   * Per-image mean channel intensities (r̄, ḡ, b̄) — the visual side of a
+   * caption↔image alignment check (the CLIP-score filter shape: pair a
+   * text-derived signal with an image-derived signal and threshold on
+   * their agreement). One real decode per row, one pass over the pixels;
+   * undecodable payloads → NULL means, the pass stays total. Same
+   * mapPartitions discipline as [[decodeImages]] — at 100 TB this is an
+   * embarrassingly parallel scan whose cost IS the decode.
+   */
+  def channelMeans(df: DataFrame,
+      idCol: String = "media_id", contentCol: String = "content"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = true),
+      StructField("mean_g", DoubleType, nullable = true),
+      StructField("mean_b", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val cIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(cIdx)) null else r.getAs[Array[Byte]](cIdx)
+        ImageIoCodec.decode(bytes) match {
+          case Some(img) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (img.getWidth.toLong * img.getHeight).toDouble
+            org.apache.spark.sql.Row(r.getLong(idIdx), sr / n, sg / n, sb / n)
+          case None =>
+            org.apache.spark.sql.Row(r.getLong(idIdx), null, null, null)
+        }
       }
     }(enc)
   }

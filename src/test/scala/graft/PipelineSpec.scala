@@ -840,6 +840,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((2L, -1.262864)))
   }
 
+  test("channelMeans: pure-channel PNG decodes to exact means; undecodable -> nulls") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Multimodal.ImageIoCodec.encodeSolidRgb("png", 4, 4, 0xFF0000)),
+      (2L, Multimodal.ImageIoCodec.encodeSolidRgb("png", 4, 4, 0x00FF00)),
+      (3L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    val out = Multimodal.channelMeans(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert((out(1L).getDouble(1), out(1L).getDouble(2), out(1L).getDouble(3)) == ((255.0, 0.0, 0.0)))
+    assert((out(2L).getDouble(1), out(2L).getDouble(2), out(2L).getDouble(3)) == ((0.0, 255.0, 0.0)))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+
   test("bigramLogProb: interpolated bigram LM, hand-checked; 1-token docs drop") {
     // bigrams: doc1 → (a,b),(b,a); doc2 → (a,b) ⇒ bc={ab:2, ba:1},
     // ctx c(a·)=2, c(b·)=1; unigrams a:3 b:2 solo:1, N=6. Expected
