@@ -1337,6 +1337,25 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q137_bpe_tokens" -> ((s, dir) => {
+      // real greedy BPE apply (merge-table inference) over closed-form
+      // words: "the"/"in"/"thin" fully merge under the table, "x"-runs
+      // never merge, so exact token and multi-char-token counts are
+      // arithmetic in doc_id — a priority slip or missed/extra merge
+      // changes the counts and goes red
+      val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+        "e" -> "r", "o" -> "u", "x" -> "q")
+      val df = eng(s, dir).table("documents").select(col("doc_id"),
+        expr("concat(repeat('the ', CAST(doc_id % 7 + 1 AS INT)), " +
+          "repeat('in ', CAST(doc_id % 5 AS INT)), " +
+          "repeat('thin ', CAST(doc_id % 2 AS INT)), " +
+          "repeat('x', CAST(doc_id % 3 + 1 AS INT)))").as("text"))
+      df.select(col("doc_id"),
+          bpeCount(col("text"), merges).cast("long").as("n_tokens"),
+          size(filter(bpeEncode(col("text"), merges),
+            t => length(t) > lit(1))).cast("long").as("n_multi"))
+        .orderBy("doc_id")
+    }),
     "q136_caption_align" -> ((s, dir) => {
       // caption↔image alignment (CLIP-score filter shape): each doc gets
       // a REAL pure-channel PNG (channel = id%3) and a caption whose
@@ -2811,6 +2830,13 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q137: token counts have closed forms — "the"×k, "in"×m, "thin"×t
+    // merge to single/double tokens, the x-run stays character-split
+    "q137_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(doc_id % 7 + 1 + doc_id % 5 + 2 * (doc_id % 2) + doc_id % 3 + 1 AS BIGINT) AS n_tokens,
+           CAST(doc_id % 7 + 1 + doc_id % 5 + 2 * (doc_id % 2) AS BIGINT) AS n_multi
+         FROM documents ORDER BY doc_id""",
     // q136: every output recomputed from the modular fixture — img
     // channel = id%3, caption channel shifts +1 when id%5=0, score is
     // the caption-channel mean (255 or 0) over 255

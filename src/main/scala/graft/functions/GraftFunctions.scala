@@ -109,6 +109,15 @@ object GraftFunctions {
   def textStats(text: Column): Column =
     kcol(graft.expr.TextStatsExpr(kexp(text)))
 
+  /** Greedy BPE apply under an ordered merge table — EXACT tokenizer
+    * token counts for packing/budget math (codegen kernel,
+    * graft.expr.BpeKernel). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    kcol(graft.expr.BpeEncodeExpr(kexp(text), merges))
+
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    kcol(graft.expr.BpeCountExpr(kexp(text), merges))
+
   /** Word-level shingles (n-grams of whitespace tokens) for MinHash —
     * codegen kernel (graft.expr.ShinglesExpr); `shinglesHof` is the
     * byte-identical Column formulation kept as its spec cross-check. */
