@@ -1337,6 +1337,25 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q138_entity_match" -> ((s, dir) => {
+      // record linkage: syllable names from c_custkey, plus a
+      // transposed-typo variant for every third key; blocked (first
+      // char + length) Jaro-Winkler self-join at 0.9 must recover the
+      // planted twins. The oracle rebuilds the same entities and scores
+      // with DuckDB's own jaro_winkler_similarity — a REAL independent
+      // implementation, not a closed form: any window/transposition/
+      // boost drift in the kernel goes red
+      val base = eng(s, dir).table("customer").selectExpr("c_custkey AS k",
+        "concat(element_at(array('bel','cor','dan','fay','gil','hart','jor'), CAST(c_custkey % 7 + 1 AS INT)), " +
+          "element_at(array('mon','ris','tab','ven','wick','zel','oak'), CAST((c_custkey div 7) % 7 + 1 AS INT)), " +
+          "element_at(array('a','ton','ley','mor','ix'), CAST((c_custkey div 49) % 5 + 1 AS INT)), " +
+          "char(97 + c_custkey % 26)) AS nm")
+      val variants = base.where("k % 3 = 0").selectExpr("k + 10000000 AS k",
+        "concat(substring(nm,1,1), substring(nm,3,1), substring(nm,2,1), substring(nm,4,100)) AS nm")
+      graft.pipeline.EntityMatch.nameMatchBlocked(
+          base.unionByName(variants), "k", "nm", minSim = 0.9)
+        .orderBy("a", "b")
+    }),
     "q137_bpe_tokens" -> ((s, dir) => {
       // real greedy BPE apply (merge-table inference) over closed-form
       // words: "the"/"in"/"thin" fully merge under the table, "x"-runs
@@ -2830,6 +2849,33 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q138: same entity fixture, scored by DuckDB's OWN jaro_winkler —
+    // an independent implementation as oracle; round-before-threshold
+    // on both sides keeps boundary pairs ulp-safe
+    "q138_entity_match" ->
+      """WITH base AS (
+           SELECT c_custkey AS k,
+                  ['bel','cor','dan','fay','gil','hart','jor'][CAST(c_custkey % 7 + 1 AS INTEGER)] ||
+                  ['mon','ris','tab','ven','wick','zel','oak'][CAST((c_custkey // 7) % 7 + 1 AS INTEGER)] ||
+                  ['a','ton','ley','mor','ix'][CAST((c_custkey // 49) % 5 + 1 AS INTEGER)] ||
+                  chr(CAST(97 + c_custkey % 26 AS INTEGER)) AS nm
+           FROM customer
+         ), ents AS (
+           SELECT k, nm FROM base
+           UNION ALL
+           SELECT k + 10000000,
+                  substr(nm, 1, 1) || substr(nm, 3, 1) || substr(nm, 2, 1) || substr(nm, 4, 100)
+           FROM base WHERE k % 3 = 0
+         ), blk AS (
+           SELECT k, nm,
+                  substr(lower(nm), 1, 1) || '_' || CAST(len(nm) AS VARCHAR) AS bk
+           FROM ents
+         )
+         SELECT x.k AS a, y.k AS b,
+                round(jaro_winkler_similarity(x.nm, y.nm), 6) AS sim
+         FROM blk x JOIN blk y ON x.bk = y.bk AND x.k < y.k
+         WHERE round(jaro_winkler_similarity(x.nm, y.nm), 6) >= 0.9
+         ORDER BY a, b""",
     // q137: token counts have closed forms — "the"×k, "in"×m, "thin"×t
     // merge to single/double tokens, the x-run stays character-split
     "q137_bpe_tokens" ->

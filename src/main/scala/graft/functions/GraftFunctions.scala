@@ -109,6 +109,11 @@ object GraftFunctions {
   def textStats(text: Column): Column =
     kcol(graft.expr.TextStatsExpr(kexp(text)))
 
+  /** Jaro-Winkler similarity (record-linkage standard; Spark only ships
+    * levenshtein) — codegen kernel, DuckDB-parity semantics. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    kcol(graft.expr.JaroWinklerExpr(kexp(a), kexp(b)))
+
   /** Greedy BPE apply under an ordered merge table — EXACT tokenizer
     * token counts for packing/budget math (codegen kernel,
     * graft.expr.BpeKernel). */
