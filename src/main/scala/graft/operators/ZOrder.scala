@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
  * Everything here is pure column arithmetic (shift/and/floor — codegen,
  * no UDF): a deterministic grid normalization, the bit interleave, and a
  * bucket assignment by leading z-bits, so the layout is a stable function
- * of the row, never of a sampled partitioner. `clusterByZ` is the write
- * path; `layoutPruningStats` is the measurable gate: per-bucket min/max
- * + would-this-box-scan-it flags for the z-order layout AND the linear
- * baseline, side by side.
+ * of the row, never of a sampled partitioner. The WRITE path lives in
+ * [[Scale.writeZOrdered]] (n-column, bounds from a metadata agg); this
+ * object is the MEASURABLE side: explicit-bounds floor arithmetic an
+ * oracle reproduces bit-for-bit, and `layoutPruningStats` — per-bucket
+ * min/max + would-this-box-scan-it flags for the z-order layout AND the
+ * linear baseline, side by side.
  */
 object ZOrder {
 
@@ -42,22 +44,6 @@ object ZOrder {
       shiftright(aN, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
         shiftright(bN, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
-  }
-
-  /** Write-path clustering: range-partition + sort by the z-key so
-    * parquet row-group min/max stats become tight boxes on BOTH columns.
-    * The z-key is appended as `zkey` (drop it after write if unwanted). */
-  def clusterByZ(df: DataFrame, aCol: String, bCol: String,
-      aMin: Double, aMax: Double, bMin: Double, bMax: Double,
-      bits: Int = 8, numPartitions: Int = 0): DataFrame = {
-    val z = zOrderKey(
-      gridCoord(col(aCol), aMin, aMax, bits),
-      gridCoord(col(bCol), bMin, bMax, bits), bits)
-    val keyed = df.withColumn("zkey", z)
-    val parted =
-      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col("zkey"))
-      else keyed.repartitionByRange(col("zkey"))
-    parted.sortWithinPartitions("zkey")
   }
 
   /** A named box predicate in ORIGINAL units, [lo, hi) on each dim. */

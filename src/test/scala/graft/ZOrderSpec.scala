@@ -44,12 +44,4 @@ class ZOrderSpec extends SparkSpec {
     assert(scanned("zorder") == ((4L, 16L)))
   }
 
-  test("clusterByZ keeps rows and appends the zkey") {
-    val pts = spark.range(100)
-      .select(col("id").cast("double").as("x"), (lit(99.0) - col("id")).as("y"))
-    val out = ZOrder.clusterByZ(pts, "x", "y", 0.0, 100.0, 0.0, 100.0,
-      bits = 6, numPartitions = 4)
-    assert(out.columns.contains("zkey"))
-    assert(out.count() == 100)
-  }
 }
