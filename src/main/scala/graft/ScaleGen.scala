@@ -40,12 +40,35 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events"))
+    for (t <- Seq("region", "nation", "supplier", "part", "lineitem", "events"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     val idStep = 10000000L
+
+    // customer/orders scale by KEY-SHIFTED copies so the relational gate
+    // family (snapshot diff q133, z-order layout q135) rehearses on ×N
+    // rows; the modular gate constructions stay valid under shifted keys
+    // (shifted ids land on the same residue classes with the same
+    // densities). Foreign keys shift together so join fan-out per key is
+    // UNCHANGED — the honest linear regime, never a densified join.
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until copies).map { k =>
+      if (k == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(k * idStep))
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    val ords = spark.read.parquet(s"$base/orders.parquet")
+    (0 until copies).map { k =>
+      if (k == 0) ords
+      else ords
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * idStep))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * idStep))
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until copies).map { k =>
       if (k == 0) docs
