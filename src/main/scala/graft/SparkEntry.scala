@@ -1337,6 +1337,45 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q139_mv_rewrite" -> ((s, dir) => {
+      // materialized-view aggregate rewrite: a private base copy gets a
+      // (returnflag, linestatus) summary; the coarser returnflag query
+      // must be REDIRECTED to the summary by the optimizer rule (loud
+      // require on the scan path) and still hash-match the oracle
+      // computed from the RAW lineitem — exactness of the
+      // sum-of-partial-sums decomposition is the contract. DECIMAL
+      // accumulation (the q01 dec() convention) keeps the sums
+      // order-independent; the final output casts to double
+      val root = tmpDir("q139")
+      val base = root + "/base"
+      val mv = root + "/mv"
+      eng(s, dir).table("lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          dec(col("l_quantity")).as("qty_d"))
+        .write.mode("overwrite").parquet(base)
+      graft.plans.MaterializedViews.create(s, base, mv,
+        dims = Seq("l_returnflag", "l_linestatus"),
+        aggSpecs = Seq(("sum", "qty_d"), ("count", "*"),
+          ("min", "qty_d"), ("max", "qty_d")))
+      val q = s.read.parquet(base).groupBy("l_returnflag")
+        .agg(sum(col("qty_d")).as("sq"), count(lit(1)).as("cnt"),
+          min(col("qty_d")).as("mn"), max(col("qty_d")).as("mx"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scans.exists(_.contains("/mv")),
+        s"q139: MV rewrite did not engage — scans $scans")
+      q.select(col("l_returnflag"), col("cnt"),
+          col("sq").cast("double").as("sum_qty"),
+          col("mn").cast("double").as("min_qty"),
+          col("mx").cast("double").as("max_qty"))
+        .orderBy("l_returnflag")
+    }),
     "q138_entity_match" -> ((s, dir) => {
       // record linkage: syllable names from c_custkey, plus a
       // transposed-typo variant for every third key; blocked (first
@@ -2849,6 +2888,14 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q139: the oracle aggregates the RAW base table — the rewrite must
+    // be EXACT through the summary (decimal partials, cast at the edge)
+    "q139_mv_rewrite" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+                CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // q138: same entity fixture, scored by DuckDB's OWN jaro_winkler —
     // an independent implementation as oracle; round-before-threshold
     // on both sides keeps boundary pairs ulp-safe

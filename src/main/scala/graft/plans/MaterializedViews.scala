@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/**
+ * Materialized-view aggregate rewrite — the classic warehouse
+ * acceleration: a query that re-aggregates a base table over a SUBSET of
+ * a summary's grouping dimensions is silently redirected to the summary
+ * (sum → sum of partial sums, count → sum of partial counts, min/max →
+ * min/max of partial min/max). At 100 TB the base scan is the entire
+ * query cost; the summary is smaller by the group-reduction factor, and
+ * the rewrite is exact because sum/count/min/max are self-decomposable.
+ *
+ * Spark-first shape: a `Rule[LogicalPlan]` in the optimizer (injected
+ * via `SparkSessionExtensions`, like [[NanosPredicatePushdown]]) pattern-
+ * matching `Aggregate` directly over a registered base-table scan. The
+ * registry maps RESOLVED scan root paths to their summary definition, so
+ * matching is exact — never a name heuristic. Freshness is the caller's
+ * contract: re-run [[MaterializedViews.create]] after base writes (the
+ * same snapshot-at-registration semantics as any warehouse MV without
+ * incremental maintenance).
+ *
+ * Rewrite preconditions (else the plan is left untouched): every
+ * grouping expression is a bare dimension column of the view; every
+ * aggregate is an undistinct, unfiltered sum/count(constant)/min/max
+ * over a pre-aggregated column. Queries with residual filters or other
+ * functions fall through to the base scan — correct, just unaccelerated.
+ */
+object MaterializedViews {
+
+  /** ("sum"|"min"|"max", srcCol) or ("count", "*") → summary column. */
+  final case class MvDef(mvPath: String, dims: Set[String],
+      aggs: Map[(String, String), String])
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+
+  def clear(): Unit = registry.clear()
+
+  /** Root paths of the scan a DataFrame reads (empty if not a file scan). */
+  private def rootPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  /** Build + write + register the summary for `basePath`. Aggregate specs:
+    * ("sum", c) / ("min", c) / ("max", c) / ("count", "*"). */
+  def create(spark: SparkSession, basePath: String, mvPath: String,
+      dims: Seq[String], aggSpecs: Seq[(String, String)]): MvDef = {
+    require(dims.nonEmpty && aggSpecs.nonEmpty, "dims and aggs must be non-empty")
+    val base = spark.read.parquet(basePath)
+    val cols = aggSpecs.map {
+      case ("sum", c)   => sum(col(c)).as(s"mv_sum_$c")
+      case ("min", c)   => min(col(c)).as(s"mv_min_$c")
+      case ("max", c)   => max(col(c)).as(s"mv_max_$c")
+      case ("count", _) => count(lit(1)).as("mv_cnt")
+      case (f, c)       => throw new IllegalArgumentException(s"unsupported agg $f($c)")
+    }
+    base.groupBy(dims.map(col): _*).agg(cols.head, cols.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val names = aggSpecs.map {
+      case ("count", _) => ("count", "*") -> "mv_cnt"
+      case (f, c)       => (f, c) -> s"mv_${f}_$c"
+    }.toMap
+    val d = MvDef(mvPath, dims.toSet, names)
+    rootPaths(base).foreach(p => registry.put(p, d))
+    d
+  }
+
+  private[plans] def lookup(paths: Seq[String]): Option[MvDef] =
+    paths.iterator.map(registry.get).find(_ != null)
+}
+
+/** The optimizer rule. Idempotent: a rewritten Aggregate scans the
+  * summary path, which is never registered as a base. */
+object MvAggregateRewrite extends Rule[LogicalPlan] {
+
+  /** Aggregate child shapes we accept: a file scan, optionally under a
+    * column-pruning Project of bare attributes. */
+  private object BaseScan {
+    def unapply(p: LogicalPlan): Option[Seq[String]] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
+        case _ => None
+      }
+      case Project(pl, child) if pl.forall(_.isInstanceOf[Attribute]) =>
+        unapply(child)
+      case _ => None
+    }
+  }
+
+  private def constantCount(c: Count): Boolean =
+    c.children.nonEmpty && c.children.forall {
+      case l: Literal => l.value != null
+      case _ => false
+    }
+
+  private def rewritable(ges: Seq[Expression], aes: Seq[NamedExpression],
+      mv: MaterializedViews.MvDef): Boolean = {
+    val dimsOk = ges.forall {
+      case a: Attribute => mv.dims.contains(a.name)
+      case _ => false
+    }
+    dimsOk && aes.forall {
+      case a: Attribute => mv.dims.contains(a.name)
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Sum(c: Attribute, _) => mv.aggs.contains(("sum", c.name))
+          case Min(c: Attribute)    => mv.aggs.contains(("min", c.name))
+          case Max(c: Attribute)    => mv.aggs.contains(("max", c.name))
+          case c: Count             => constantCount(c) && mv.aggs.contains(("count", "*"))
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  private def rewrite(agg: Aggregate, mv: MaterializedViews.MvDef): LogicalPlan = {
+    val spark = SparkSession.active
+    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+    val ges2 = agg.groupingExpressions.map {
+      case a: Attribute => mvAttr(a.name)
+      case e => e
+    }
+    val aes2: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        val fn2 = ae.aggregateFunction match {
+          case s @ Sum(c: Attribute, _) => s.copy(child = mvAttr(mv.aggs(("sum", c.name))))
+          case m @ Min(c: Attribute)    => m.copy(child = mvAttr(mv.aggs(("min", c.name))))
+          case m @ Max(c: Attribute)    => m.copy(child = mvAttr(mv.aggs(("max", c.name))))
+          case _: Count                 => Sum(mvAttr(mv.aggs(("count", "*"))))
+          case other => other
+        }
+        val re = ae.copy(aggregateFunction = fn2)
+        // sum-of-partial-sums widens (e.g. DECIMAL(28,2) → DECIMAL(38,2));
+        // downstream operators hold attribute references with the ORIGINAL
+        // type, so cast back — same overflow contract as the base sum
+        val body: Expression =
+          if (re.dataType == ae.dataType) re
+          else org.apache.spark.sql.catalyst.expressions.Cast(re, ae.dataType)
+        Alias(body, name)(exprId = al.exprId)
+      case e => e
+    }
+    Aggregate(ges2, aes2, mvPlan)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(ges, aes, BaseScan(paths), _) =>
+      MaterializedViews.lookup(paths) match {
+        case Some(mv) if rewritable(ges, aes, mv) => rewrite(agg, mv)
+        case _ => agg
+      }
+  }
+}

@@ -74,5 +74,6 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] {
 object GraftExtensions {
   val install: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(_ => NanosPredicatePushdown)
+    ext.injectOptimizerRule(_ => MvAggregateRewrite)
   }
 }

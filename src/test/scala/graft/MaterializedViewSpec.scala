@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.MaterializedViews
+
+class MaterializedViewSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"mvspec_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Root paths of every file scan in the optimized plan. */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("aggregate over a registered base rewrites to the summary and stays exact") {
+    val base = tmp("base")
+    engine.table("lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .write.mode("overwrite").parquet(base)
+    val mv = tmp("mv")
+    MaterializedViews.create(spark, base, mv,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      aggSpecs = Seq(("sum", "l_quantity"), ("count", "*"),
+        ("min", "l_quantity"), ("max", "l_quantity")))
+    val q = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+    // rewrite engaged: the optimized plan scans the summary, not the base
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains(mv)), s"expected MV scan, got $paths")
+    assert(!paths.exists(_.contains(base)))
+    // and is EXACT vs the direct base aggregation (computed without the
+    // rewrite by grouping on a derived column the rule won't touch)
+    val direct = spark.read.parquet(base)
+      .withColumn("rf", col("l_returnflag"))
+      .groupBy("rf")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == direct)
+  }
+
+  test("non-matching shapes fall through: unknown dim, distinct agg, filters") {
+    val base = tmp("base2")
+    engine.table("orders")
+      .select("o_orderstatus", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(base)
+    val mv = tmp("mv2")
+    MaterializedViews.create(spark, base, mv,
+      dims = Seq("o_orderstatus"), aggSpecs = Seq(("sum", "o_totalprice")))
+
+    // group by a column that is not a registered dim -> base scan stays
+    val q1 = spark.read.parquet(base).groupBy("o_orderpriority")
+      .agg(sum(col("o_totalprice")).as("s"))
+    assert(!scanPaths(q1).exists(_.contains(mv)))
+
+    // distinct aggregate -> base scan stays
+    val q2 = spark.read.parquet(base).groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_totalprice")).as("d"))
+    assert(!scanPaths(q2).exists(_.contains(mv)))
+
+    // residual filter -> base scan stays (and result is correct)
+    val q3 = spark.read.parquet(base).where(col("o_totalprice") > 1000)
+      .groupBy("o_orderstatus").agg(sum(col("o_totalprice")).as("s"))
+    assert(!scanPaths(q3).exists(_.contains(mv)))
+    assert(q3.count() > 0)
+  }
+}
