@@ -1337,6 +1337,24 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q140_salted_join" -> ((s, dir) => {
+      // skew-salted join equivalence: orders⋈customer through the
+      // salt-replicated build side must aggregate to EXACTLY the plain
+      // join's answer — salting redistributes rows, it must never
+      // duplicate or drop a match. DECIMAL accumulation keeps the sum
+      // order-independent; the oracle runs the unsalted join
+      val orders = eng(s, dir).table("orders")
+        .select(col("o_custkey"), dec(col("o_totalprice")).as("price_d"))
+      val cust = eng(s, dir).table("customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      graft.operators.Scale.saltedJoin(orders, cust,
+          "o_custkey", "c_custkey", salt = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price_d")).as("sp"))
+        .select(col("c_nationkey"), col("cnt"),
+          col("sp").cast("double").as("sum_price"))
+        .orderBy("c_nationkey")
+    }),
     "q139_mv_rewrite" -> ((s, dir) => {
       // materialized-view aggregate rewrite: a private base copy gets a
       // (returnflag, linestatus) summary; the coarser returnflag query
@@ -2888,6 +2906,13 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q140: the oracle is the UNSALTED join — exact equivalence is the
+    // whole point of the salt transform
+    "q140_salted_join" ->
+      """SELECT c.c_nationkey, count(*) AS cnt,
+                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_nationkey ORDER BY c.c_nationkey""",
     // q139: the oracle aggregates the RAW base table — the rewrite must
     // be EXACT through the summary (decimal partials, cast at the edge)
     "q139_mv_rewrite" ->
