@@ -36,7 +36,14 @@ object PlanAudit {
       "q121_hash_embed", // two map-combined aggs, HOF assembly, no UDF
       "q122_temperature_mix", // codegen CASE scan (rates pre-derived)
       "q125_winnow", // winnowing: narrow HOF chain → explode → per-doc agg
-      "q127_token_budget") // per-stratum window, no global sort
+      "q127_token_budget", // per-stratum window, no global sort
+      "q133_snapshot_diff", // ONE full-outer PK shuffle join, codegen classify
+      "q134_bigram_lm", // no-shuffle bigram explode; token-keyed count joins
+      "q135_zorder_layout", // two bucket-keyed aggs; interleave stays codegen
+      "q137_bpe_tokens", // BPE kernel scan: projection only, no shuffle
+      "q138_entity_match", // block-keyed self-join; JW kernel inside codegen
+      "q139_mv_rewrite", // MUST scan the summary, not the base (rule engaged)
+      "q140_salted_join") // salt-replicated build side; no broadcast of probe
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

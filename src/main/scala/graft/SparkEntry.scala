@@ -1402,7 +1402,13 @@ object SparkEntry {
       // with DuckDB's own jaro_winkler_similarity — a REAL independent
       // implementation, not a closed form: any window/transposition/
       // boost drift in the kernel goes red
-      val base = eng(s, dir).table("customer").selectExpr("c_custkey AS k",
+      // bounded slice (the q44/q111 discipline): past ~4k keys the FIXED
+      // syllable space starts repeating (period lcm(245,26)=6370), and
+      // every repeat pairs at >=0.95 with its whole residue class — pair
+      // mass then grows quadratically with sf by construction, which is
+      // the fixture's artifact, not the operator's shape
+      val base = eng(s, dir).table("customer")
+        .where(col("c_custkey") < 4000).selectExpr("c_custkey AS k",
         "concat(element_at(array('bel','cor','dan','fay','gil','hart','jor'), CAST(c_custkey % 7 + 1 AS INT)), " +
           "element_at(array('mon','ris','tab','ven','wick','zel','oak'), CAST((c_custkey div 7) % 7 + 1 AS INT)), " +
           "element_at(array('a','ton','ley','mor','ix'), CAST((c_custkey div 49) % 5 + 1 AS INT)), " +
@@ -2931,7 +2937,7 @@ object SparkEntry {
                   ['mon','ris','tab','ven','wick','zel','oak'][CAST((c_custkey // 7) % 7 + 1 AS INTEGER)] ||
                   ['a','ton','ley','mor','ix'][CAST((c_custkey // 49) % 5 + 1 AS INTEGER)] ||
                   chr(CAST(97 + c_custkey % 26 AS INTEGER)) AS nm
-           FROM customer
+           FROM customer WHERE c_custkey < 4000
          ), ents AS (
            SELECT k, nm FROM base
            UNION ALL
