@@ -1337,6 +1337,16 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q141_heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters through the Misra-Gries candidate sketch
+      // (custom TypedImperativeAggregate): the MG superset guarantee
+      // makes the verified output IDENTICAL to the exact computation
+      // the oracle runs — sketch internals cannot leak into the hash
+      graft.pipeline.CorpusStats.heavyHitters(
+          eng(s, dir).table("documents"), "doc_id", "text",
+          capacity = 64, fracDen = 32)
+        .orderBy("w")
+    }),
     "q140_salted_join" -> ((s, dir) => {
       // skew-salted join equivalence: orders⋈customer through the
       // salt-replicated build side must aggregate to EXACTLY the plain
@@ -2912,6 +2922,15 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q141: the oracle is the plain exact computation — the 2-pass
+    // sketch route must land on the identical answer
+    "q141_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), v AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+         n AS (SELECT count(*) AS n FROM t)
+         SELECT v.w, v.cnt FROM v, n WHERE v.cnt * 32 > n.n ORDER BY w""",
     // q140: the oracle is the UNSALTED join — exact equivalence is the
     // whole point of the salt transform
     "q140_salted_join" ->

@@ -109,6 +109,13 @@ object GraftFunctions {
   def textStats(text: Column): Column =
     kcol(graft.expr.TextStatsExpr(kexp(text)))
 
+  /** Misra-Gries heavy-hitter candidate sketch — a mergeable
+    * TypedImperativeAggregate with capacity-bounded state; see
+    * CorpusStats.heavyHitters for the 2-pass exact pattern. */
+  def heavyHitterCandidates(c: Column, capacity: Int): Column =
+    kcol(graft.expr.MisraGriesCandidates(kexp(c), capacity)
+      .toAggregateExpression())
+
   /** Jaro-Winkler similarity (record-linkage standard; Spark only ships
     * levenshtein) — codegen kernel, DuckDB-parity semantics. */
   def jaroWinkler(a: Column, b: Column): Column =

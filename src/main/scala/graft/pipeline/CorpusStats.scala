@@ -50,6 +50,37 @@ object CorpusStats {
   }
 
   /**
+   * EXACT heavy hitters via the 2-pass sketch pattern: a Misra-Gries
+   * candidate sketch ([[graft.expr.MisraGriesCandidates]], a custom
+   * `TypedImperativeAggregate` with `capacity`-bounded mergeable state)
+   * runs as ONE narrow aggregation — no token-keyed shuffle — then only
+   * the ≤`capacity` candidates broadcast back and are exact-counted
+   * (shuffle of MATCHING tokens only). The MG bound (true count −
+   * counter ≤ N/(capacity+1)) makes the candidate set a superset of
+   * every item with count > N/`fracDen` whenever capacity+1 ≥ fracDen,
+   * so the verified output is EXACT regardless of sketch internals —
+   * which is what lets an oracle gate it.
+   *
+   * Output: (w, cnt) for tokens with cnt·fracDen > N, the classic
+   * "stop-word discovery over 100 TB without shuffling the firehose".
+   */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 64, fracDen: Int = 32): DataFrame = {
+    require(capacity + 1 >= fracDen,
+      s"capacity+1 (${capacity + 1}) must cover fracDen ($fracDen) for the MG guarantee")
+    val toks = tokenTable(docs, idCol, textCol)
+    val cands = toks
+      .agg(heavyHitterCandidates(col("w"), capacity).as("cand"))
+      .select(explode(col("cand")).as("w"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt") * fracDen > col("n"))
+      .select(col("w"), col("cnt"))
+  }
+
+  /**
    * CCNet-style INTERPOLATED BIGRAM language-model score — the standard
    * perplexity quality filter one notch above [[unigramLogProb]]: train
    * bigram and unigram counts on the corpus itself, then score each
