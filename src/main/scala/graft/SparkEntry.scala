@@ -1337,6 +1337,34 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q142_mv_incremental" -> ((s, dir) => {
+      // incremental MV maintenance composed from the CDC diff: the q133
+      // snapshot construction drives delta partials (old rows negated,
+      // new rows positive) into the old summary; the result must equal
+      // a FULL rebuild of the new snapshot, which is what the oracle
+      // aggregates directly
+      val root = tmpDir("q142")
+      val orders = eng(s, dir).table("orders")
+      val oldSnap = orders.where(pmod(col("o_orderkey"), lit(7)) =!= 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          dec(col("o_totalprice")).as("price_d"))
+      val newSnap = orders.where(pmod(col("o_orderkey"), lit(5)) =!= 2)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, dec(col("o_totalprice") + lit(1.0)))
+            .otherwise(dec(col("o_totalprice"))).as("price_d"))
+      oldSnap.write.mode("overwrite").parquet(root + "/old")
+      graft.plans.MaterializedViews.create(s, root + "/old", root + "/mv",
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        aggSpecs = Seq(("sum", "price_d"), ("count", "*")))
+      graft.plans.MaterializedViews.refreshIncremental(
+          s.read.parquet(root + "/old"), newSnap, "o_orderkey",
+          s.read.parquet(root + "/mv"),
+          dims = Seq("o_orderstatus", "o_orderpriority"), sumCols = Seq("price_d"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("mv_cnt").as("cnt"),
+          col("mv_sum_price_d").cast("double").as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
     "q141_heavy_hitters" -> ((s, dir) => {
       // exact heavy hitters through the Misra-Gries candidate sketch
       // (custom TypedImperativeAggregate): the MG superset guarantee
@@ -2922,6 +2950,19 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q142: the oracle aggregates the NEW snapshot directly — the
+    // incremental route (old summary + signed delta partials) must land
+    // on the identical decimal-exact answer
+    "q142_mv_incremental" ->
+      """WITH n AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS DECIMAL(18,2)) AS price_d
+           FROM orders WHERE o_orderkey % 5 <> 2
+         )
+         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                CAST(sum(price_d) AS DOUBLE) AS sum_price
+         FROM n GROUP BY 1, 2 ORDER BY 1, 2""",
     // q141: the oracle is the plain exact computation — the 2-pass
     // sketch route must land on the identical answer
     "q141_heavy_hitters" ->

@@ -78,6 +78,46 @@ object MaterializedViews {
 
   private[plans] def lookup(paths: Seq[String]): Option[MvDef] =
     paths.iterator.map(registry.get).find(_ != null)
+
+  /**
+   * INCREMENTAL refresh: rebuild the summary from the OLD summary plus
+   * only the changed rows, never a full re-aggregation of the new base.
+   * Deleted/updated keys contribute their OLD rows negated,
+   * inserted/updated keys their NEW rows positive; re-aggregating the
+   * union with the old partials is exact for sum/count (self-inverting
+   * under negation). min/max are NOT delete-maintainable and are
+   * deliberately unsupported here — refresh those with [[create]].
+   * Groups whose count nets to zero vanish, matching a full rebuild.
+   *
+   * At 100 TB the change set normally arrives from CDC (q133's
+   * `SnapshotDiff.changes` is the batch derivation when it doesn't);
+   * the two key-joins and the final dims-keyed aggregation touch
+   * |changes| + |summary| rows, not the base.
+   */
+  def refreshIncremental(oldDf: DataFrame, newDf: DataFrame, pk: String,
+      mv: DataFrame, dims: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(dims.nonEmpty && sumCols.nonEmpty, "dims and sumCols must be non-empty")
+    val ch = graft.operators.SnapshotDiff.changes(oldDf, newDf, pk, dims ++ sumCols)
+    val negKeys = ch.where(col("change_type").isin("deleted", "updated")).select(col(pk))
+    val posKeys = ch.where(col("change_type").isin("inserted", "updated")).select(col(pk))
+    val sumTypes = sumCols.map(c => c -> mv.schema(s"mv_sum_$c").dataType).toMap
+    def partials(df: DataFrame, keys: DataFrame, sign: Int): DataFrame =
+      df.join(keys, pk).select(
+        dims.map(col) ++
+          sumCols.map(c => (col(c) * lit(sign)).cast(sumTypes(c)).as(s"mv_sum_$c")) :+
+          lit(sign.toLong).as("mv_cnt"): _*)
+    val mvPartials = mv.select(
+      dims.map(col) ++ sumCols.map(c => col(s"mv_sum_$c")) :+ col("mv_cnt"): _*)
+    val aggCols = sumCols.map(c =>
+      sum(col(s"mv_sum_$c")).cast(sumTypes(c)).as(s"mv_sum_$c")) :+
+      sum(col("mv_cnt")).as("mv_cnt")
+    mvPartials
+      .unionByName(partials(oldDf, negKeys, -1))
+      .unionByName(partials(newDf, posKeys, 1))
+      .groupBy(dims.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .where(col("mv_cnt") > 0)
+  }
 }
 
 /** The optimizer rule. Idempotent: a rewritten Aggregate scans the

@@ -56,6 +56,30 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("incremental refresh equals full rebuild; emptied groups vanish") {
+    import spark.implicits._
+    val base = tmp("base3")
+    val oldDf = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0),   // group a: one row updated
+      (3L, "b", 5.0),                     // group b: row deleted -> vanishes
+      (4L, "c", 7.0)                      // group c: untouched
+    ).toDF("id", "g", "v")
+    oldDf.write.mode("overwrite").parquet(base)
+    val mv = tmp("mv3")
+    MaterializedViews.create(spark, base, mv,
+      dims = Seq("g"), aggSpecs = Seq(("sum", "v"), ("count", "*")))
+    val newDf = Seq(
+      (1L, "a", 10.0), (2L, "a", 25.0),
+      (4L, "c", 7.0), (5L, "d", 3.0)      // group d: inserted
+    ).toDF("id", "g", "v")
+    val got = MaterializedViews.refreshIncremental(
+        spark.read.parquet(base), newDf, "id",
+        spark.read.parquet(mv), dims = Seq("g"), sumCols = Seq("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((35.0, 2L)), "c" -> ((7.0, 1L)), "d" -> ((3.0, 1L))))
+  }
+
   test("non-matching shapes fall through: unknown dim, distinct agg, filters") {
     val base = tmp("base2")
     engine.table("orders")
