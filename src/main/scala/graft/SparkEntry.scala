@@ -1337,6 +1337,18 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q143_topk_physical" -> ((s, dir) => {
+      // the custom physical operator (TopKPerKeyNode → TopKStrategy →
+      // two TopKPerKeyExec stages around a planner-inserted exchange)
+      // must produce EXACTLY the window formulation the oracle runs —
+      // top-k decomposability under the total order is the contract
+      graft.plans.TopK.perKey(
+          eng(s, dir).table("orders")
+            .select("o_orderstatus", "o_orderkey", "o_totalprice"),
+          keyCols = Seq("o_orderstatus"), orderCol = "o_totalprice",
+          k = 3, tieCol = "o_orderkey")
+        .orderBy("o_orderstatus", "rank")
+    }),
     "q142_mv_incremental" -> ((s, dir) => {
       // incremental MV maintenance composed from the CDC diff: the q133
       // snapshot construction drives delta partials (old rows negated,
@@ -2950,6 +2962,16 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q143: the oracle is the window formulation the operator replaces
+    "q143_topk_physical" ->
+      """WITH r AS (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+           FROM orders
+         )
+         SELECT o_orderstatus, o_orderkey, o_totalprice, rank FROM r
+         WHERE rank <= 3 ORDER BY o_orderstatus, rank""",
     // q142: the oracle aggregates the NEW snapshot directly — the
     // incremental route (old summary + signed delta partials) must land
     // on the identical decimal-exact answer

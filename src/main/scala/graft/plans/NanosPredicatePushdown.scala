@@ -75,5 +75,6 @@ object GraftExtensions {
   val install: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(_ => NanosPredicatePushdown)
     ext.injectOptimizerRule(_ => MvAggregateRewrite)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
