@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -159,6 +159,11 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
           case Min(c: Attribute)    => mv.aggs.contains(("min", c.name))
           case Max(c: Attribute)    => mv.aggs.contains(("max", c.name))
           case c: Count             => constantCount(c) && mv.aggs.contains(("count", "*"))
+          // avg decomposes to sum/count; DOUBLE only — decimal Average
+          // carries its own scale rules a Divide would not reproduce
+          case Average(c: Attribute, _) =>
+            c.dataType == org.apache.spark.sql.types.DoubleType &&
+              mv.aggs.contains(("sum", c.name)) && mv.aggs.contains(("count", "*"))
           case _ => false
         }
       case _ => false
@@ -176,6 +181,22 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
     val aes2: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if ae.aggregateFunction.isInstanceOf[Average] =>
+        // avg → sum(partial sums) / sum(partial counts): the alias body
+        // becomes an expression over TWO aggregate functions (legal in
+        // Aggregate), matching double-Average's own partial semantics
+        val c = ae.aggregateFunction.asInstanceOf[Average]
+          .child.asInstanceOf[Attribute]
+        val s = Sum(mvAttr(mv.aggs(("sum", c.name)))).toAggregateExpression()
+        val n = Sum(mvAttr(mv.aggs(("count", "*")))).toAggregateExpression()
+        val div = org.apache.spark.sql.catalyst.expressions.Divide(
+          s, org.apache.spark.sql.catalyst.expressions.Cast(
+            n, org.apache.spark.sql.types.DoubleType))
+        val body: Expression =
+          if (div.dataType == ae.dataType) div
+          else org.apache.spark.sql.catalyst.expressions.Cast(div, ae.dataType)
+        Alias(body, name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
         val fn2 = ae.aggregateFunction match {
           case s @ Sum(c: Attribute, _) => s.copy(child = mvAttr(mv.aggs(("sum", c.name))))

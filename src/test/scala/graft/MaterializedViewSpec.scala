@@ -56,6 +56,29 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("avg rewrites to sum/count over the summary (double only)") {
+    val base = tmp("base4")
+    engine.table("orders")
+      .select("o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(base)
+    val mv = tmp("mv4")
+    MaterializedViews.create(spark, base, mv,
+      dims = Seq("o_orderstatus"),
+      aggSpecs = Seq(("sum", "o_totalprice"), ("count", "*")))
+    val q = spark.read.parquet(base).groupBy("o_orderstatus")
+      .agg(avg(col("o_totalprice")).as("a"))
+    assert(scanPaths(q).exists(_.contains(mv)), "avg must redirect to the summary")
+    val direct = spark.read.parquet(base)
+      .withColumn("st", col("o_orderstatus")).groupBy("st")
+      .agg(avg(col("o_totalprice")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q.collect().foreach { r =>
+      val d = direct(r.getString(0))
+      assert(math.abs(r.getDouble(1) - d) <= math.abs(d) * 1e-12,
+        s"avg drifted beyond partial-sum ulp class for ${r.getString(0)}")
+    }
+  }
+
   test("incremental refresh equals full rebuild; emptied groups vanish") {
     import spark.implicits._
     val base = tmp("base3")
