@@ -1337,6 +1337,23 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q144_quality_audit" -> ((s, dir) => {
+      // declarative audit over lineitem: a cutting range (1..25 splits
+      // the 1..50 quantity domain), a deliberately-sliced dimension
+      // (suppliers %3==0 removed → real ref violations), uniqueness
+      // over the multi-row order key, and a not-null; the oracle
+      // recomputes each count with the same NULL semantics
+      import graft.operators.QualityAudit._
+      val li = eng(s, dir).table("lineitem")
+      val dimSlice = eng(s, dir).table("supplier")
+        .where(pmod(col("s_suppkey"), lit(3)) =!= 0)
+      audit(li, Seq(
+          NotNull("l_returnflag"),
+          Bounds("l_quantity", 1.0, 25.0),
+          Unique(Seq("l_orderkey")),
+          RefIntegrity("l_suppkey", dimSlice, "s_suppkey")))
+        .orderBy("rule")
+    }),
     "q143_topk_physical" -> ((s, dir) => {
       // the custom physical operator (TopKPerKeyNode → TopKStrategy →
       // two TopKPerKeyExec stages around a planner-inserted exchange)
@@ -2962,6 +2979,28 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q144: every count recomputed with identical NULL semantics
+    "q144_quality_audit" ->
+      """SELECT 'not_null:l_returnflag' AS rule,
+                CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+         FROM lineitem
+         UNION ALL
+         SELECT 'range:l_quantity',
+                CAST(coalesce(sum(CASE WHEN l_quantity IS NOT NULL
+                  AND (l_quantity < 1.0 OR l_quantity > 25.0) THEN 1 ELSE 0 END), 0) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'unique:l_orderkey',
+                CAST(coalesce((SELECT sum(c - 1) FROM
+                  (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) g
+                  WHERE c > 1), 0) AS BIGINT)
+         UNION ALL
+         SELECT 'ref:l_suppkey',
+                CAST((SELECT count(*) FROM lineitem l
+                      LEFT JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 <> 0) s
+                        ON l.l_suppkey = s.s_suppkey
+                      WHERE l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL) AS BIGINT)
+         ORDER BY rule""",
     // q143: the oracle is the window formulation the operator replaces
     "q143_topk_physical" ->
       """WITH r AS (
