@@ -1337,6 +1337,25 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q145_script_profile" -> ((s, dir) => {
+      // Unicode-script profiling over closed-form mixed-script text:
+      // per-script counts and the dominant-script argmax must match the
+      // modular construction — a UAX#24 bucket slip or a fold-order
+      // drift in the tiebreak goes red
+      val df = eng(s, dir).table("documents").select(col("doc_id"),
+        expr("concat(repeat('a', CAST(doc_id % 5 + 1 AS INT)), " +
+          "repeat('я', CAST(doc_id % 3 AS INT)), " +
+          "repeat('中', CAST(doc_id % 4 AS INT)), " +
+          "repeat('م', CAST(doc_id % 2 AS INT)))").as("text"))
+      val prof = TextAnalysis.scriptProfile(col("text"))
+      df.select(col("doc_id"),
+          element_at(prof, 1).as("latin"),
+          element_at(prof, 2).as("cyrillic"),
+          element_at(prof, 3).as("han"),
+          element_at(prof, 4).as("arabic"),
+          TextAnalysis.dominantScript(col("text")).as("dominant"))
+        .orderBy("doc_id")
+    }),
     "q144_quality_audit" -> ((s, dir) => {
       // declarative audit over lineitem: a cutting range (1..25 splits
       // the 1..50 quantity domain), a deliberately-sliced dimension
@@ -2979,6 +2998,23 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q145: counts are pure doc_id arithmetic; the dominant CASE chain
+    // replicates the engine's earlier-bucket-wins strict-> fold
+    "q145_script_profile" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(doc_id % 5 + 1 AS INTEGER) AS latin,
+                  CAST(doc_id % 3 AS INTEGER) AS cyrillic,
+                  CAST(doc_id % 4 AS INTEGER) AS han,
+                  CAST(doc_id % 2 AS INTEGER) AS arabic
+           FROM documents
+         )
+         SELECT doc_id, latin, cyrillic, han, arabic,
+                CASE WHEN arabic > latin AND arabic > cyrillic AND arabic > han THEN 'arabic'
+                     WHEN han > latin AND han > cyrillic THEN 'han'
+                     WHEN cyrillic > latin THEN 'cyrillic'
+                     ELSE 'latin' END AS dominant
+         FROM c ORDER BY doc_id""",
     // q144: every count recomputed with identical NULL semantics
     "q144_quality_audit" ->
       """SELECT 'not_null:l_returnflag' AS rule,

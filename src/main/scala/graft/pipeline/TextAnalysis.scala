@@ -176,6 +176,26 @@ object TextAnalysis {
       when(best._2 === 0, "und").otherwise(best._1)
     }
 
+  /** Unicode-script counts (ScriptKernel.Buckets order) in one kernel
+    * pass — the script-level split BEFORE langId's within-script marker
+    * vote; works on languages with no marker list at all. */
+  def scriptProfile(text: Column): Column =
+    kcol(graft.expr.ScriptProfileExpr(kexp(text)))
+
+  /** Argmax writing system over the LETTER buckets (digits/whitespace/
+    * other never vote); ties broken by bucket order; "und" for text with
+    * no letters. */
+  def dominantScript(text: Column): Column =
+    bind(scriptProfile(text)) { p =>
+      val letters = graft.expr.ScriptKernel.Buckets.zipWithIndex
+        .filter { case (n, _) => n != "digit" && n != "space" && n != "other" }
+      val scored = letters.map { case (n, i) => (n, element_at(p, i + 1)) }
+      val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+        case ((bn, bs), (n, s)) => (when(s > bs, lit(n)).otherwise(bn), greatest(s, bs))
+      }
+      when(best._2 === 0, "und").otherwise(best._1)
+    }
+
   // ---------- fused document profile ----------
 
   /** Every q27-class signal in ONE kernel pass per document:

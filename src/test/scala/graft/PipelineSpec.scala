@@ -840,6 +840,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((2L, -1.262864)))
   }
 
+  test("scriptProfile: UAX#24 buckets, digits/space pulled out; dominantScript tiebreak") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "abc яя 中中中中 م 12"),  // han 4 beats latin 3
+      (2L, "ab яя"),               // tie latin/cyrillic -> latin (bucket order)
+      (3L, "123 456"),             // digits+space only -> und
+      (4L, "한글"))                // hangul
+    val out = rows.toDF("id", "t").select(col("id"),
+        TextAnalysis.scriptProfile(col("t")).as("p"),
+        TextAnalysis.dominantScript(col("t")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getString(2)))).toMap
+    // buckets: latin cyr han arabic hangul greek hebrew devanagari digit space other
+    assert(out(1L)._1 == Seq(3, 2, 4, 1, 0, 0, 0, 0, 2, 4, 0))
+    assert(out(1L)._2 == "han")
+    assert(out(2L)._2 == "latin")
+    assert(out(3L)._1(8) == 6 && out(3L)._1(9) == 1 && out(3L)._2 == "und")
+    assert(out(4L)._2 == "hangul")
+  }
+
   test("channelMeans: pure-channel PNG decodes to exact means; undecodable -> nulls") {
     import spark.implicits._
     val media = Seq(
