@@ -40,7 +40,7 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (t <- Seq("region", "nation", "supplier", "part", "lineitem", "events"))
+    for (t <- Seq("region", "nation", "supplier", "part", "events"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
@@ -69,6 +69,17 @@ object ScaleGen {
     }.reduce(_ unionByName _)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // lineitem shifts l_orderkey with orders (FK-consistent); supplier/
+    // part stay unscaled, so per-supplier fan-out grows ×copies — the
+    // realistic regime for a fixed dimension under a growing fact table
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until copies).map { k =>
+      if (k == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * idStep))
+    }.reduce(_ unionByName _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until copies).map { k =>
       if (k == 0) docs
