@@ -1337,6 +1337,40 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q146_delta_pipeline" -> ((s, dir) => {
+      // the delta-first ingestion flagship: the daily increment (q112's
+      // split) runs quality (q27/q110 semantics) AND history near-dedup
+      // (q112 semantics, md5 oracle family) and rolls up per source —
+      // acceptance counts plus the post-ingest corpus size. The oracle
+      // recomputes all three stages and the roll-up; at 100 TB every
+      // stage touches the increment + the history INDEX surfaces
+      // (fingerprints, band keys), never history text twice
+      val docs = eng(s, dir).table("documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val history = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val incr = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val dedupOk = Dedup.dedupAgainstHistory(history, incr, "doc_id", "text",
+          shingleN = 3, k = 12, bands = 4, oracleHash = true)
+        .select(col("doc_id"), lit(1L).as("dok"))
+      val staged = incr
+        .withColumn("qok",
+          (TextAnalysis.qualityScore(col("text")) >= 0.5).cast("long"))
+        .join(dedupOk, Seq("doc_id"), "left")
+        .withColumn("dok", coalesce(col("dok"), lit(0L)))
+      val perSource = staged.groupBy(col("source")).agg(
+        count(lit(1)).as("n_incr"),
+        sum(col("qok")).as("n_quality_ok"),
+        sum(col("dok")).as("n_dedup_ok"),
+        sum(col("qok") * col("dok")).as("n_accepted"))
+      val histCnt = history.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_hist"))
+      perSource.join(histCnt, Seq("source"), "left")
+        .withColumn("corpus_after",
+          coalesce(col("n_hist"), lit(0L)) + col("n_accepted"))
+        .select("source", "n_incr", "n_quality_ok", "n_dedup_ok",
+          "n_accepted", "corpus_after")
+        .orderBy("source")
+    }),
     "q145_script_profile" -> ((s, dir) => {
       // Unicode-script profiling over closed-form mixed-script text:
       // per-script counts and the dominant-script argmax must match the
@@ -2998,6 +3032,62 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q146: q112's history-dedup CTEs + q110's quality formula, rolled
+    // up per source with the post-ingest corpus count
+    "q146_delta_pipeline" -> {
+      val sw = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""$duckShingles, sig AS (
+            SELECT doc_id,
+              [list_min([md5(concat(CAST(i AS VARCHAR), ':', x)) for x in sh]) for i in range(0, 12)] AS sg
+            FROM s
+          ), bands AS (
+            SELECT doc_id, j.j AS band, md5(array_to_string(sg[j.j*3+1:j.j*3+3], '|')) AS bh
+            FROM sig, (SELECT unnest(range(4)) AS j) j
+          ), fps AS (
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+          ), dok AS (
+            SELECT f.doc_id FROM fps f
+            WHERE f.doc_id % 5 = 0
+              AND f.fp NOT IN (SELECT fp FROM fps WHERE doc_id % 5 != 0)
+              AND NOT EXISTS (
+                SELECT 1 FROM bands n JOIN bands h
+                ON n.band = h.band AND n.bh = h.bh AND h.doc_id % 5 != 0
+                WHERE n.doc_id = f.doc_id)
+          ), b AS (
+            SELECT doc_id, source, text,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+            FROM documents WHERE doc_id % 5 = 0
+          ), q AS (
+            SELECT doc_id, source,
+              round((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                   + CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END
+                   + least((CASE WHEN len(ltoks) = 0 THEN 0.0 ELSE CAST(len([x for x in ltoks if list_contains($sw, x)]) AS DOUBLE) / len(ltoks) END) * 4.0, 1.0)
+                   + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0)))
+                   / 4.0, 6) AS quality
+            FROM b
+          ), staged AS (
+            SELECT q.source,
+              CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END AS qok,
+              CASE WHEN q.doc_id IN (SELECT doc_id FROM dok) THEN 1 ELSE 0 END AS dokk
+            FROM q
+          ), agg AS (
+            SELECT source, count(*) AS n_incr, sum(qok) AS n_quality_ok,
+                   sum(dokk) AS n_dedup_ok, sum(qok * dokk) AS n_accepted
+            FROM staged GROUP BY source
+          ), h AS (
+            SELECT source, count(*) AS n_hist FROM documents
+            WHERE doc_id % 5 != 0 GROUP BY source
+          )
+          SELECT a.source,
+                 CAST(a.n_incr AS BIGINT) AS n_incr,
+                 CAST(a.n_quality_ok AS BIGINT) AS n_quality_ok,
+                 CAST(a.n_dedup_ok AS BIGINT) AS n_dedup_ok,
+                 CAST(a.n_accepted AS BIGINT) AS n_accepted,
+                 CAST(coalesce(h.n_hist, 0) + a.n_accepted AS BIGINT) AS corpus_after
+          FROM agg a LEFT JOIN h USING (source)
+          ORDER BY a.source"""
+    },
     // q145: counts are pure doc_id arithmetic; the dominant CASE chain
     // replicates the engine's earlier-bucket-wins strict-> fold
     "q145_script_profile" ->
