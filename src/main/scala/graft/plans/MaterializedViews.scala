@@ -144,85 +144,83 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  private def rewritable(ges: Seq[Expression], aes: Seq[NamedExpression],
-      mv: MaterializedViews.MvDef): Boolean = {
-    val dimsOk = ges.forall {
-      case a: Attribute => mv.dims.contains(a.name)
-      case _ => false
+  /** Replacement for one aggregate call over the base, or None if it is
+    * not decomposable onto the summary. The replacement is type-stable:
+    * widened results (sum-of-sums decimal) cast back to the original. */
+  private def rewriteAggExpr(ae: AggregateExpression,
+      mv: MaterializedViews.MvDef,
+      mvAttr: Map[String, Attribute]): Option[Expression] = {
+    if (ae.isDistinct || ae.filter.nonEmpty) return None
+    val replaced: Option[Expression] = ae.aggregateFunction match {
+      case s @ Sum(c: Attribute, _) if mv.aggs.contains(("sum", c.name)) =>
+        Some(ae.copy(aggregateFunction = s.copy(child = mvAttr(mv.aggs(("sum", c.name))))))
+      case m @ Min(c: Attribute) if mv.aggs.contains(("min", c.name)) =>
+        Some(ae.copy(aggregateFunction = m.copy(child = mvAttr(mv.aggs(("min", c.name))))))
+      case m @ Max(c: Attribute) if mv.aggs.contains(("max", c.name)) =>
+        Some(ae.copy(aggregateFunction = m.copy(child = mvAttr(mv.aggs(("max", c.name))))))
+      case c: Count if constantCount(c) && mv.aggs.contains(("count", "*")) =>
+        Some(ae.copy(aggregateFunction = Sum(mvAttr(mv.aggs(("count", "*"))))))
+      // avg → sum(partial sums)/sum(partial counts): DOUBLE only —
+      // decimal Average carries scale rules a Divide would not reproduce
+      case Average(c: Attribute, _)
+          if c.dataType == org.apache.spark.sql.types.DoubleType &&
+            mv.aggs.contains(("sum", c.name)) && mv.aggs.contains(("count", "*")) =>
+        val s = Sum(mvAttr(mv.aggs(("sum", c.name)))).toAggregateExpression()
+        val n = Sum(mvAttr(mv.aggs(("count", "*")))).toAggregateExpression()
+        Some(org.apache.spark.sql.catalyst.expressions.Divide(
+          s, org.apache.spark.sql.catalyst.expressions.Cast(
+            n, org.apache.spark.sql.types.DoubleType)))
+      case _ => None
     }
-    dimsOk && aes.forall {
-      case a: Attribute => mv.dims.contains(a.name)
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Sum(c: Attribute, _) => mv.aggs.contains(("sum", c.name))
-          case Min(c: Attribute)    => mv.aggs.contains(("min", c.name))
-          case Max(c: Attribute)    => mv.aggs.contains(("max", c.name))
-          case c: Count             => constantCount(c) && mv.aggs.contains(("count", "*"))
-          // avg decomposes to sum/count; DOUBLE only — decimal Average
-          // carries its own scale rules a Divide would not reproduce
-          case Average(c: Attribute, _) =>
-            c.dataType == org.apache.spark.sql.types.DoubleType &&
-              mv.aggs.contains(("sum", c.name)) && mv.aggs.contains(("count", "*"))
-          case _ => false
-        }
-      case _ => false
+    replaced.map { re =>
+      if (re.dataType == ae.dataType) re
+      else org.apache.spark.sql.catalyst.expressions.Cast(re, ae.dataType)
     }
   }
 
-  private def rewrite(agg: Aggregate, mv: MaterializedViews.MvDef): LogicalPlan = {
+  /** Rewrite one output expression. Aggregate calls may sit ANYWHERE in
+    * the alias body (CollapseProject merges post-agg projections into
+    * the Aggregate, producing e.g. Alias(Cast(agg))); bare attributes
+    * outside aggregates must be dimensions. Manual recursion — a blind
+    * transform would also rewrite the attributes INSIDE aggregate
+    * children, which are measure columns, not dims. */
+  private def rewriteNamed(ne: NamedExpression,
+      mv: MaterializedViews.MvDef,
+      mvAttr: Map[String, Attribute]): Option[NamedExpression] = ne match {
+    case a: Attribute if mv.dims.contains(a.name) =>
+      Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
+    case al @ Alias(body, name) =>
+      var ok = true
+      def rw(e: Expression): Expression = e match {
+        case ae: AggregateExpression =>
+          rewriteAggExpr(ae, mv, mvAttr).getOrElse { ok = false; ae }
+        case a: Attribute =>
+          if (mv.dims.contains(a.name)) mvAttr(a.name) else { ok = false; a }
+        case other => other.mapChildren(rw)
+      }
+      val nb = rw(body)
+      if (ok) Some(Alias(nb, name)(exprId = al.exprId)) else None
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, mv: MaterializedViews.MvDef): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
     val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
     val ges2 = agg.groupingExpressions.map {
-      case a: Attribute => mvAttr(a.name)
-      case e => e
+      case a: Attribute if mv.dims.contains(a.name) => Some(mvAttr(a.name))
+      case _ => None
     }
-    val aes2: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case a: Attribute =>
-        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name)
-          if ae.aggregateFunction.isInstanceOf[Average] =>
-        // avg → sum(partial sums) / sum(partial counts): the alias body
-        // becomes an expression over TWO aggregate functions (legal in
-        // Aggregate), matching double-Average's own partial semantics
-        val c = ae.aggregateFunction.asInstanceOf[Average]
-          .child.asInstanceOf[Attribute]
-        val s = Sum(mvAttr(mv.aggs(("sum", c.name)))).toAggregateExpression()
-        val n = Sum(mvAttr(mv.aggs(("count", "*")))).toAggregateExpression()
-        val div = org.apache.spark.sql.catalyst.expressions.Divide(
-          s, org.apache.spark.sql.catalyst.expressions.Cast(
-            n, org.apache.spark.sql.types.DoubleType))
-        val body: Expression =
-          if (div.dataType == ae.dataType) div
-          else org.apache.spark.sql.catalyst.expressions.Cast(div, ae.dataType)
-        Alias(body, name)(exprId = al.exprId)
-      case al @ Alias(ae: AggregateExpression, name) =>
-        val fn2 = ae.aggregateFunction match {
-          case s @ Sum(c: Attribute, _) => s.copy(child = mvAttr(mv.aggs(("sum", c.name))))
-          case m @ Min(c: Attribute)    => m.copy(child = mvAttr(mv.aggs(("min", c.name))))
-          case m @ Max(c: Attribute)    => m.copy(child = mvAttr(mv.aggs(("max", c.name))))
-          case _: Count                 => Sum(mvAttr(mv.aggs(("count", "*"))))
-          case other => other
-        }
-        val re = ae.copy(aggregateFunction = fn2)
-        // sum-of-partial-sums widens (e.g. DECIMAL(28,2) → DECIMAL(38,2));
-        // downstream operators hold attribute references with the ORIGINAL
-        // type, so cast back — same overflow contract as the base sum
-        val body: Expression =
-          if (re.dataType == ae.dataType) re
-          else org.apache.spark.sql.catalyst.expressions.Cast(re, ae.dataType)
-        Alias(body, name)(exprId = al.exprId)
-      case e => e
-    }
-    Aggregate(ges2, aes2, mvPlan)
+    val aes2 = agg.aggregateExpressions.map(rewriteNamed(_, mv, mvAttr))
+    if (ges2.forall(_.isDefined) && aes2.forall(_.isDefined))
+      Some(Aggregate(ges2.flatten, aes2.flatten, mvPlan))
+    else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(ges, aes, BaseScan(paths), _) =>
-      MaterializedViews.lookup(paths) match {
-        case Some(mv) if rewritable(ges, aes, mv) => rewrite(agg, mv)
-        case _ => agg
-      }
+    case agg @ Aggregate(_, _, BaseScan(paths), _) =>
+      MaterializedViews.lookup(paths)
+        .flatMap(mv => rewrite(agg, mv))
+        .getOrElse(agg)
   }
 }

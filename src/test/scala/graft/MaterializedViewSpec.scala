@@ -56,6 +56,27 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("post-agg projection collapsed into the Aggregate still rewrites (q139 regression)") {
+    val base = tmp("base5")
+    engine.table("lineitem")
+      .select("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(base)
+    val mv = tmp("mv5")
+    MaterializedViews.create(spark, base, mv,
+      dims = Seq("l_returnflag"), aggSpecs = Seq(("sum", "l_quantity"), ("count", "*")))
+    // CollapseProject merges the outer cast/arithmetic into the Aggregate:
+    // alias bodies become Cast(agg) / agg+agg expressions, not bare aggs
+    val q = spark.read.parquet(base).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("c"))
+      .select(col("l_returnflag"),
+        col("s").cast("string").as("s_str"),
+        (col("c") + lit(1)).as("c1"))
+      .orderBy("l_returnflag")
+    assert(scanPaths(q).exists(_.contains(mv)),
+      "collapsed-projection aggregate must still redirect to the summary")
+    assert(q.count() > 0)
+  }
+
   test("avg rewrites to sum/count over the summary (double only)") {
     val base = tmp("base4")
     engine.table("orders")
