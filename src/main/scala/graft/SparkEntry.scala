@@ -1337,6 +1337,18 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q147_vocab_drift" -> ((s, dir) => {
+      // crawl-over-crawl vocabulary drift: two modular corpus slices
+      // produce organic added/vanished/changed tokens; the top movers
+      // under the (|Δ| desc, token) total order must match the oracle's
+      // full-outer recount
+      val docs = eng(s, dir).table("documents")
+        .select(col("doc_id"), col("text"))
+      graft.pipeline.CorpusStats.vocabDrift(
+          docs.where(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text", topN = 20)
+    }),
     "q146_delta_pipeline" -> ((s, dir) => {
       // the delta-first ingestion flagship: the daily increment (q112's
       // split) runs quality (q27/q110 semantics) AND history near-dedup
@@ -3032,6 +3044,28 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q147: both vocabularies recounted; the (|Δ| desc, w) total order
+    // makes the top-20 cut deterministic
+    "q147_vocab_drift" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), vo AS (
+           SELECT w, count(*) AS old_cnt FROM t WHERE doc_id % 5 <> 0 GROUP BY w
+         ), vn AS (
+           SELECT w, count(*) AS new_cnt FROM t WHERE doc_id % 3 <> 0 GROUP BY w
+         ), j AS (
+           SELECT coalesce(vo.w, vn.w) AS w,
+                  coalesce(old_cnt, 0) AS old_cnt,
+                  coalesce(new_cnt, 0) AS new_cnt
+           FROM vo FULL OUTER JOIN vn ON vo.w = vn.w
+         )
+         SELECT w, old_cnt, new_cnt, new_cnt - old_cnt AS delta,
+                CASE WHEN old_cnt = 0 THEN 'added'
+                     WHEN new_cnt = 0 THEN 'vanished'
+                     WHEN new_cnt <> old_cnt THEN 'changed'
+                     ELSE 'stable' END AS status
+         FROM j ORDER BY abs(new_cnt - old_cnt) DESC, w LIMIT 20""",
     // q146: q112's history-dedup CTEs + q110's quality formula, rolled
     // up per source with the post-ingest corpus count
     "q146_delta_pipeline" -> {

@@ -50,6 +50,39 @@ object CorpusStats {
   }
 
   /**
+   * Vocabulary drift between two corpus snapshots — the crawl-over-crawl
+   * monitoring signal: which tokens appeared, vanished, or shifted most.
+   * A tokenizer retrained on drifted vocabulary changes every downstream
+   * token count; this is the cheap alarm that fires first. Two map-
+   * combined token counts meet in ONE full-outer shuffle keyed on the
+   * token; the top-`topN` movers come out of a bounded
+   * TakeOrderedAndProject under the total order (|Δ| desc, token asc) —
+   * never a full sort.
+   *
+   * Output: (w, old_cnt, new_cnt, delta, status) with status ∈
+   * {added, vanished, changed, stable}.
+   */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, topN: Int = 20): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    def vocab(df: DataFrame, cnt: String) =
+      tokenTable(df, idCol, textCol).groupBy(col("w"))
+        .agg(count(lit(1)).as(cnt))
+    vocab(oldDocs, "old_cnt").join(vocab(newDocs, "new_cnt"), Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("old_cnt"), lit(0L)).as("old_cnt"),
+        coalesce(col("new_cnt"), lit(0L)).as("new_cnt"))
+      .withColumn("delta", col("new_cnt") - col("old_cnt"))
+      .withColumn("status",
+        when(col("old_cnt") === 0, "added")
+          .when(col("new_cnt") === 0, "vanished")
+          .when(col("delta") =!= 0, "changed")
+          .otherwise("stable"))
+      .orderBy(abs(col("delta")).desc, col("w"))
+      .limit(topN)
+  }
+
+  /**
    * EXACT heavy hitters via the 2-pass sketch pattern: a Misra-Gries
    * candidate sketch ([[graft.expr.MisraGriesCandidates]], a custom
    * `TypedImperativeAggregate` with `capacity`-bounded mergeable state)

@@ -840,6 +840,20 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((2L, -1.262864)))
   }
 
+  test("vocabDrift: added/vanished/changed classification, |delta| ranking, topN cut") {
+    import spark.implicits._
+    val oldDocs = Seq((1L, "a a a b c")).toDF("id", "text")
+    val newDocs = Seq((1L, "a b b b d")).toDF("id", "text")
+    val out = graft.pipeline.CorpusStats.vocabDrift(oldDocs, newDocs, "id", "text", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // deltas: a -2, b +2, c -1 (vanished), d +1 (added)
+    // order: |2| ties a<b, then |1| ties c<d -> top3 = a, b, c
+    assert(out.toSeq == Seq(
+      ("a", 3L, 1L, -2L, "changed"),
+      ("b", 1L, 3L, 2L, "changed"),
+      ("c", 1L, 0L, -1L, "vanished")))
+  }
+
   test("scriptProfile: UAX#24 buckets, digits/space pulled out; dominantScript tiebreak") {
     import spark.implicits._
     val rows = Seq(
