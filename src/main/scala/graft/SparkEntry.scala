@@ -1337,6 +1337,30 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q148_funnel" -> ((s, dir) => {
+      // ordered windowed funnel (view → click → purchase, 7-day window
+      // anchored at the first view) in ONE custom TypedImperativeAggregate
+      // pass; the oracle recomputes the identical min-chaining contract
+      // with three sequential CTEs — a level or chain-timestamp slip at
+      // any user goes red
+      graft.operators.Funnel.levels(
+          eng(s, dir).table("events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"),
+          windowMicros = 7L * 24 * 3600 * 1000000L)
+        // epoch-micros fit a double exactly (< 2^53); double on BOTH sides
+        // keeps the nullable-BIGINT → pandas-float oracle rendering aligned
+        .transform(outDouble(_, "ts1", "ts2", "ts3"))
+        .orderBy("user_id")
+    }),
+    "q149_cohort" -> ((s, dir) => {
+      // cohort-retention grid: first-activity-day cohorts × day offsets,
+      // counts AND the ratio recomputed by the oracle; the user-keyed
+      // aggs co-partition so the join adds no exchange
+      graft.operators.Retention.cohortRetention(
+          eng(s, dir).table("events"), "user_id", "ts")
+        .withColumn("cohort_day", date_format(col("cohort_day"), "yyyy-MM-dd"))
+        .orderBy("cohort_day", "day_offset")
+    }),
     "q147_vocab_drift" -> ((s, dir) => {
       // crawl-over-crawl vocabulary drift: two modular corpus slices
       // produce organic added/vanished/changed tokens; the top movers
@@ -3044,6 +3068,61 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q148: the aggregate's min-chaining contract replayed as three
+    // sequential CTEs — t(i) is the earliest step-i event strictly after
+    // t(i-1) and inside the 7-day window anchored at t1
+    "q148_funnel" ->
+      """WITH t1 AS (
+           SELECT user_id, min(epoch_us(ts)) AS ts1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id
+         ), t2 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS ts2
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts1
+             AND epoch_us(e.ts) - t1.ts1 <= 604800000000
+           GROUP BY e.user_id
+         ), t3 AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS ts3
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+                         JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts2
+             AND epoch_us(e.ts) - t1.ts1 <= 604800000000
+           GROUP BY e.user_id
+         )
+         SELECT u.user_id,
+                CASE WHEN t3.ts3 IS NOT NULL THEN 3
+                     WHEN t2.ts2 IS NOT NULL THEN 2
+                     WHEN t1.ts1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+                CAST(t1.ts1 AS DOUBLE) AS ts1,
+                CAST(t2.ts2 AS DOUBLE) AS ts2,
+                CAST(t3.ts3 AS DOUBLE) AS ts3
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN t1 ON u.user_id = t1.user_id
+         LEFT JOIN t2 ON u.user_id = t2.user_id
+         LEFT JOIN t3 ON u.user_id = t3.user_id
+         ORDER BY u.user_id""",
+    // q149: cohort grid recomputed from scratch; retention as plain
+    // double division on both sides
+    "q149_cohort" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id
+         ), a AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+         ), g AS (
+           SELECT f.cohort_day, datediff('day', f.cohort_day, a.active_day) AS day_offset,
+                  CAST(count(*) AS BIGINT) AS users
+           FROM a JOIN f ON a.user_id = f.user_id
+           GROUP BY 1, 2
+         ), sz AS (
+           SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY 1
+         )
+         SELECT strftime(g.cohort_day, '%Y-%m-%d') AS cohort_day,
+                day_offset, users, cohort_size,
+                CAST(users AS DOUBLE) / cohort_size AS retention
+         FROM g JOIN sz ON g.cohort_day = sz.cohort_day
+         ORDER BY 1, day_offset""",
     // q147: both vocabularies recounted; the (|Δ| desc, w) total order
     // makes the top-20 cut deterministic
     "q147_vocab_drift" ->

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Cohort-retention analysis — the standard product-analytics rollup:
+ * users are cohorted by their first-activity day, and each later active
+ * day counts toward (cohort_day, day_offset) retention.
+ *
+ * Plan shape (scale-grade): two user-keyed aggregations over one scan
+ * lineage — (user → first day) and (user, day) distinct — joined on the
+ * user key (co-partitioned: both sides arrive hash-partitioned by user,
+ * no extra exchange), then one map-combined rollup to the tiny
+ * (cohort_day × offset) grid. The event log is never self-joined and
+ * nothing is keyed by a high-cardinality composite; output cardinality
+ * is days², corpus-size-free.
+ */
+object Retention {
+
+  /**
+   * @return (cohort_day DATE, day_offset INT, users BIGINT,
+   *          cohort_size BIGINT, retention DOUBLE) — one row per
+   *          (cohort, offset) with at least one active user; offset 0 is
+   *          the cohort itself, so retention(0) = 1.0.
+   */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val firstDay = df.groupBy(col(userCol))
+      .agg(min(day).as("cohort_day"))
+    val activeDays = df.select(col(userCol), day.as("active_day")).distinct()
+    val grid = activeDays.join(firstDay, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+    val sizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    grid.join(sizes, "cohort_day")
+      .withColumn("retention",
+        col("users").cast("double") / col("cohort_size"))
+      .select("cohort_day", "day_offset", "users", "cohort_size", "retention")
+  }
+}
