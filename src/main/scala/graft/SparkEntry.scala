@@ -1337,6 +1337,49 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q150_grouping_sets" -> ((s, dir) => {
+      // arbitrary GROUPING SETS (not a rollup/cube prefix chain) with
+      // grouping flags — Catalyst expands to one Expand + single agg,
+      // not one scan per set; flags disambiguate rolled-up nulls
+      eng(s, dir).table("lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"),
+          count(lit(1)).as("cnt"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q151_pivot" -> ((s, dir) => {
+      // pivot to wide: explicit value list keeps the plan single-pass
+      // (one agg + one pivot projection, no per-value scans) and the
+      // output schema static — the contract a 100 TB pivot needs
+      eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))))
+        .select(col("o_orderpriority"),
+          col("F").cast("double").as("f_total"),
+          col("O").cast("double").as("o_total"),
+          col("P").cast("double").as("p_total"))
+        .orderBy("o_orderpriority")
+    }),
+    "q152_unpivot" -> ((s, dir) => {
+      // unpivot (melt) the q151 wide shape back to long — the inverse
+      // operator, a zero-shuffle Expand projection; null cells drop per
+      // the unpivot contract so the roundtrip equals the plain group-by
+      eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")),
+          "status", "total")
+        .orderBy("o_orderpriority", "status")
+    }),
     "q148_funnel" -> ((s, dir) => {
       // ordered windowed funnel (view → click → purchase, 7-day window
       // anchored at the first view) in ONE custom TypedImperativeAggregate
@@ -3068,6 +3111,27 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q150: same sets, same flags; DuckDB's GROUPING matches Spark's
+    "q150_grouping_sets" ->
+      """SELECT GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+                l_returnflag, l_linestatus, count(*) AS cnt,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // q151: the pivot recomputed as conditional aggregation
+    "q151_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+                CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // q152: the unpivot roundtrip equals the plain long-form group-by
+    // (null cells drop, so only existing (priority, status) pairs appear)
+    "q152_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus AS status,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, status""",
     // q148: the aggregate's min-chaining contract replayed as three
     // sequential CTEs — t(i) is the earliest step-i event strictly after
     // t(i-1) and inside the 7-day window anchored at t1
