@@ -1337,6 +1337,16 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q153_exact_quantiles" -> ((s, dir) => {
+      // exact per-group quantiles by histogram bisection (no per-group
+      // full sort; only candidate bins reach the selection shuffle) —
+      // must equal DuckDB's quantile_disc rank-for-rank
+      graft.operators.Quantiles.exactQuantiles(
+          eng(s, dir).table("lineitem"),
+          Seq("l_returnflag"), "l_extendedprice",
+          ps = Seq(0.25, 0.5, 0.75, 0.875))
+        .orderBy("l_returnflag", "p")
+    }),
     "q150_grouping_sets" -> ((s, dir) => {
       // arbitrary GROUPING SETS (not a rollup/cube prefix chain) with
       // grouping flags — Catalyst expands to one Expand + single agg,
@@ -3111,6 +3121,15 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q153: quantile_disc == percentile_disc == rank ceil(p*n)-1; dyadic
+    // p keeps the rank arithmetic exact on both engines
+    "q153_exact_quantiles" -> {
+      val qs = Seq(0.25, 0.5, 0.75, 0.875).map(p =>
+        s"""SELECT l_returnflag, CAST($p AS DOUBLE) AS p,
+                   quantile_disc(l_extendedprice, $p) AS value
+            FROM lineitem GROUP BY l_returnflag""").mkString(" UNION ALL ")
+      s"SELECT * FROM ($qs) ORDER BY l_returnflag, p"
+    },
     // q150: same sets, same flags; DuckDB's GROUPING matches Spark's
     "q150_grouping_sets" ->
       """SELECT GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * EXACT distributed quantiles by histogram bisection — the selection
+ * algorithm an engine wants at 100 TB, where a per-group full sort
+ * (`percentile` / window-rank) is the thing to avoid:
+ *
+ *   pass A: per-group (n, min, max) — one map-combined aggregation;
+ *   pass B: fixed-width histogram counts (group, bin) — one map-combined
+ *           aggregation whose output is |groups| × bins rows,
+ *           corpus-size-free; a per-group running sum over the bins
+ *           (a ≤`bins`-row window per group) locates, for every target
+ *           rank, its bin and the offset inside that bin;
+ *   pass C: only rows falling in CANDIDATE bins (expected n/bins per
+ *           group) are shuffled, ranked per (group, p) and the offset-th
+ *           row is the exact answer.
+ *
+ * Rank contract = SQL `percentile_disc` / DuckDB `quantile_disc`:
+ * 0-based rank `max(0, ceil(p·n) − 1)` — the smallest value whose
+ * cumulative frequency reaches p. Use dyadic p (k/2^m: 0.25, 0.5,
+ * 0.875…) so `p·n` is exact in binary floating point on every engine.
+ *
+ * Nothing is collected to the driver; the bin→rank resolution is a join
+ * between two bounded relations (histogram, targets). A pathological bin
+ * (massive tie-run) degrades pass C to a larger — still bin-bounded —
+ * sort; production refinement is recursing the bisection on that bin,
+ * which this implementation documents rather than needs at gate scale.
+ */
+object Quantiles {
+
+  /**
+   * @param ps dyadic quantiles in (0, 1]
+   * @return one row per (group, p): groupCols..., p DOUBLE, value DOUBLE
+   */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double], bins: Int = 4096): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile")
+    require(bins >= 2, "bins >= 2")
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+
+    // pass A: per-group extent
+    val stats = df.groupBy(g: _*).agg(
+      count(v).as("__n"), min(v).as("__min"), max(v).as("__max"))
+
+    // target ranks per (group, p): 0-based ceil(p*n)-1, clamped at 0
+    val targets = stats
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("__rank",
+        greatest(ceil(col("p") * col("__n")).cast("long") - 1L, lit(0L)))
+      .select(g :+ col("p") :+ col("__rank"): _*)
+
+    // shared bin expression (passes B and C must agree bit-for-bit)
+    val width = (col("__max") - col("__min")) / lit(bins)
+    val binExpr = when(col("__max") === col("__min"), lit(0))
+      .otherwise(least(
+        floor((v - col("__min")) / width).cast("int"), lit(bins - 1)))
+
+    // pass B: histogram + per-group cumulative counts (window over <= bins rows)
+    val binned = df.join(broadcast(stats), groupCols)
+    val hist = binned.groupBy(g :+ binExpr.as("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        Window.partitionBy(g: _*).orderBy(col("__bin"))))
+    // the bin holding each rank, plus the rank's offset inside the bin
+    val targetBins = targets.join(hist, groupCols)
+      .where(col("__rank") < col("__cum") &&
+        col("__rank") >= col("__cum") - col("__cnt"))
+      .withColumn("__off", col("__rank") - (col("__cum") - col("__cnt")))
+      .select(g :+ col("p") :+ col("__bin") :+ col("__off"): _*)
+
+    // pass C: candidate rows only -> per-(group, p) offset selection
+    val candidates = binned.withColumn("__bin", binExpr)
+      .join(broadcast(targetBins), groupCols :+ "__bin")
+    candidates
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(g :+ col("p"): _*).orderBy(v)))
+      .where(col("__rn") === col("__off") + 1)
+      .select(g :+ col("p") :+ v.as("value"): _*)
+  }
+}

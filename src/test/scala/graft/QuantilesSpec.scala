@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+
+  test("histogram bisection equals the sort-based percentile_disc rank") {
+    val li = engine.table("lineitem")
+    val ps = Seq(0.25, 0.5, 0.75, 0.875)
+    val got = Quantiles.exactQuantiles(li, Seq("l_returnflag"), "l_extendedprice", ps)
+      .orderBy("l_returnflag", "p")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+
+    // oracle: explicit rank selection over a full sort (small data only)
+    val expect = for {
+      rf <- Seq("A", "N", "R")
+      p <- ps
+    } yield {
+      val vals = li.where(col("l_returnflag") === rf)
+        .select(col("l_extendedprice").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      val rank = math.max(0, math.ceil(p * vals.length).toLong - 1).toInt
+      (rf, p, vals(rank))
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("degenerate group (all values equal) resolves to that value") {
+    import spark.implicits._
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("h", 1.0), ("h", 2.0))
+      .toDF("k", "x")
+    val got = Quantiles.exactQuantiles(df, Seq("k"), "x", Seq(0.5))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(got.toSeq == Seq(("g", 5.0), ("h", 1.0)))
+  }
+}
