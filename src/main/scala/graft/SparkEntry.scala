@@ -1337,6 +1337,38 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q154_stream_join" -> ((s, dir) => {
+      // stream-stream interval join end-to-end: click→purchase
+      // attribution within 300 s on a rebased clock whose TOTAL spread
+      // (3000 s) sits far inside the 6 h horizon, so no state eviction
+      // can drop a match and the result equals the batch interval join
+      // the oracle runs (q66's bounded-spread determinism pattern)
+      val base = tmpDir("q154")
+      val ev = eng(s, dir).table("events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("t", timestamp_seconds(lit(1767225600L) + pmod(col("event_id"), lit(3000))))
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("t").as("click_t"))
+        .write.mode("overwrite").parquet(base + "/clicks")
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t").as("purchase_t"))
+        .write.mode("overwrite").parquet(base + "/purchases")
+      val clicks = s.readStream
+        .schema("user_id LONG, click_t TIMESTAMP").parquet(base + "/clicks")
+      val purchases = s.readStream
+        .schema("user_id LONG, purchase_t TIMESTAMP").parquet(base + "/purchases")
+      val q = graft.streaming.IntervalJoin.stream(
+          clicks, purchases, "user_id", "click_t", "purchase_t",
+          minDelaySec = 0, maxDelaySec = 300, watermark = "6 hours")
+        .select(col("user_id"),
+          col("click_t").cast("long").as("click_s"),
+          col("purchase_t").cast("long").as("purchase_s"))
+        .writeStream.format("memory").queryName("q154_join_mem")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(120000); q.stop()
+      require(finished, "q154_stream_join: streaming query did not finish within 120 s")
+      s.table("q154_join_mem").orderBy("user_id", "click_s", "purchase_s")
+    }),
     "q153_exact_quantiles" -> ((s, dir) => {
       // exact per-group quantiles by histogram bisection (no per-group
       // full sort; only candidate bins reach the selection shuffle) —
@@ -3121,6 +3153,20 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q154: the batch interval join on the same rebased clock; ties in
+    // the total order are content-identical so the hash is stable
+    "q154_stream_join" ->
+      """WITH c AS (
+           SELECT user_id, 1767225600 + event_id % 3000 AS t
+           FROM events WHERE event_type = 'click'
+         ), p AS (
+           SELECT user_id, 1767225600 + event_id % 3000 AS t
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT c.user_id, c.t AS click_s, p.t AS purchase_s
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.t >= c.t AND p.t <= c.t + 300
+         ORDER BY c.user_id, click_s, purchase_s""",
     // q153: quantile_disc == percentile_disc == rank ceil(p*n)-1; dyadic
     // p keeps the rank arithmetic exact on both engines
     "q153_exact_quantiles" -> {

@@ -435,4 +435,34 @@ class StreamingSpec extends SparkSpec {
     assert(sessions >= users)
     assert(s.agg(sum("cnt")).collect()(0).getLong(0) == engine.table("events").count())
   }
+
+  test("IntervalJoin.stream matches only inside the delay window, both sides streaming") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = MemoryStream[(Long, java.sql.Timestamp)]
+    val right = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = graft.streaming.IntervalJoin.stream(
+      left.toDF.toDF("user_id", "click_t"), right.toDF.toDF("user_id", "purchase_t"),
+      "user_id", "click_t", "purchase_t", minDelaySec = 0, maxDelaySec = 60,
+      watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ijtest").start()
+    try {
+      left.addData((1L, ts(100)), (2L, ts(100)))
+      q.processAllAvailable()
+      // in-window for u1 (right arrives AFTER left is already in state),
+      // out-of-window for u2 (+61 s), wrong key for u3
+      right.addData((1L, ts(130)), (2L, ts(161)), (3L, ts(130)))
+      // left arriving after right: state works in both directions
+      left.addData((4L, ts(200)))
+      q.processAllAvailable()
+      right.addData((4L, ts(200))) // boundary: delay 0 is inside [0, 60]
+      q.processAllAvailable()
+      val rows = spark.table("ijtest")
+        .select(col("user_id"), col("purchase_t").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 130L), (4L, 200L)))
+    } finally q.stop()
+  }
 }
