@@ -1337,6 +1337,24 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q155_range_join" -> ((s, dir) => {
+      // batch range join (click→purchase within 30 min, real clocks)
+      // computed as the bucketed EQUI-join — the hash-joinable plan for
+      // what Catalyst would otherwise run as a per-key cross product;
+      // the oracle runs the naive theta join
+      val ev = eng(s, dir).table("events")
+      graft.operators.RangeJoin.inner(
+          ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("click_t")),
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("purchase_t")),
+          "user_id", "click_t", "purchase_t",
+          minDelaySec = 0, maxDelaySec = 1800, bucketSec = 600)
+        .select(col("user_id"),
+          unix_micros(col("click_t")).as("click_us"),
+          unix_micros(col("purchase_t")).as("purchase_us"))
+        .orderBy("user_id", "click_us", "purchase_us")
+    }),
     "q154_stream_join" -> ((s, dir) => {
       // stream-stream interval join end-to-end: click→purchase
       // attribution within 300 s on a rebased clock whose TOTAL spread
@@ -3153,6 +3171,13 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q155: the naive theta join the bucketed plan must reproduce
+    "q155_range_join" ->
+      """SELECT c.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECONDS
+         ORDER BY c.user_id, click_us, purchase_us""",
     // q154: the batch interval join on the same rebased clock; ties in
     // the total order are content-identical so the hash is stable
     "q154_stream_join" ->
