@@ -1337,6 +1337,27 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q157_analyze" -> ((s, dir) => {
+      // ANALYZE: per-column n/nulls/exact-NDV/extents for five orders
+      // columns in ONE scan (multi-DISTINCT → single Expand + agg); the
+      // oracle recounts each column independently
+      graft.operators.Analyze.tableStats(
+          eng(s, dir).table("orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderpriority"))
+        .orderBy("column_name")
+    }),
+    "q156_gap_fill" -> ((s, dir) => {
+      // 6-hour resample with explicit gap rows and forward-filled sums
+      // over a 15-user slice; the oracle rebuilds the grid with
+      // range()+IGNORE NULLS — a missing cell, a wrong carry, or an FP
+      // drift in the decimal sum goes red
+      graft.operators.Resample.resample(
+          eng(s, dir).table("events").where(pmod(col("user_id"), lit(10)) === 0),
+          "user_id", "ts", stepSec = 21600, valueCol = "value")
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("user_id", "b")
+    }),
     "q155_range_join" -> ((s, dir) => {
       // batch range join (click→purchase within 30 min, real clocks)
       // computed as the bucketed EQUI-join — the hash-joinable plan for
@@ -3171,6 +3192,47 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q157: one UNION ALL branch per column, each recounted from scratch
+    "q157_analyze" -> {
+      val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val strCols = Seq("o_orderstatus", "o_orderpriority")
+      val branches = numCols.map(c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+               CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM orders""") ++ strCols.map(c =>
+        s"""SELECT '$c', CAST(count(*) AS BIGINT), CAST(count(*) - count($c) AS BIGINT),
+               CAST(count(DISTINCT $c) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min($c), max($c)
+            FROM orders""")
+      s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY column_name"
+    },
+    // q156: grid rebuilt per user via range(); carry-forward via
+    // IGNORE NULLS window; decimal accumulation matches dec()
+    "q156_gap_fill" ->
+      """WITH agg AS (
+           SELECT user_id, epoch_us(ts) // 21600000000 AS b,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sv
+           FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+         ), ext AS (
+           SELECT user_id, min(b) AS mn, max(b) AS mx FROM agg GROUP BY 1
+         ), spine AS (
+           SELECT user_id, unnest(range(mn, mx + 1)) AS b FROM ext
+         ), j AS (
+           SELECT s.user_id, s.b,
+                  coalesce(a.cnt, 0) AS n_events,
+                  CASE WHEN a.cnt IS NULL THEN 1 ELSE 0 END AS gap,
+                  a.sv
+           FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.b = a.b
+         )
+         SELECT user_id, b, n_events, gap,
+                CAST(last_value(sv IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_value
+         FROM j ORDER BY user_id, b""",
     // q155: the naive theta join the bucketed plan must reproduce
     "q155_range_join" ->
       """SELECT c.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
