@@ -1337,6 +1337,35 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q159_skew_probe" -> ((s, dir) => {
+      // pre-join skew probe: exact multiplicity quantiles (incl. the
+      // p=1.0 max fan-out) for two candidate join keys, computed over
+      // the count relations, not the event rows; the oracle recounts
+      // and quantile_disc's each distribution
+      graft.operators.SkewProbe.multiplicityProfile(
+          eng(s, dir).table("orders"), Seq("o_custkey", "o_orderpriority"))
+        .orderBy("key_col", "p")
+    }),
+    "q158_set_ops" -> ((s, dir) => {
+      // relational set ops incl. the BAG variant: EXCEPT/INTERSECT are
+      // distinct-semantics aggregates, EXCEPT ALL keeps multiplicity
+      // (Catalyst plans the count-diff generate) — all three tagged into
+      // one result the oracle reproduces with native set operators
+      val c = eng(s, dir).table("customer")
+      val bld = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val open = eng(s, dir).table("orders")
+        .where(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val rich = c.where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val li = eng(s, dir).table("lineitem")
+      val hi = li.where(col("l_quantity") >= 48).select(col("l_orderkey").as("k"))
+      val ret = li.where(col("l_returnflag") === "A").select(col("l_orderkey").as("k"))
+      bld.except(open).withColumn("op", lit("except"))
+        .unionByName(bld.intersect(rich).withColumn("op", lit("intersect")))
+        .unionByName(hi.exceptAll(ret).withColumn("op", lit("except_all")))
+        .select("op", "k").orderBy("op", "k")
+    }),
     "q157_analyze" -> ((s, dir) => {
       // ANALYZE: per-column n/nulls/exact-NDV/extents for five orders
       // columns in ONE scan (multi-DISTINCT → single Expand + agg); the
@@ -3192,6 +3221,35 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q159: counts per key, then quantile_disc over each distribution
+    "q159_skew_probe" -> {
+      val branches = for {
+        k <- Seq("o_custkey", "o_orderpriority")
+        p <- Seq(0.5, 0.75, 0.875, 1.0)
+      } yield
+        s"""SELECT '$k' AS key_col, CAST($p AS DOUBLE) AS p,
+               quantile_disc(cnt, $p) AS value
+            FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM orders GROUP BY $k)"""
+      s"SELECT * FROM (${branches.mkString(" UNION ALL ")}) ORDER BY key_col, p"
+    },
+    // q158: the same three set ops natively; EXCEPT ALL pins bag
+    // semantics (multiplicity difference), not just membership
+    "q158_set_ops" ->
+      """SELECT 'except' AS op, k FROM (
+           SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         UNION ALL
+         SELECT 'intersect', k FROM (
+           SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+         UNION ALL
+         SELECT 'except_all', k FROM (
+           SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 48
+           EXCEPT ALL
+           SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+         ORDER BY op, k""",
     // q157: one UNION ALL branch per column, each recounted from scratch
     "q157_analyze" -> {
       val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
