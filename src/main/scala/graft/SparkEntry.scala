@@ -1337,6 +1337,18 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q160_sliding_distinct" -> ((s, dir) => {
+      // exact DISTINCT users per sliding window (24 h window, 6 h hop):
+      // the sliding assignment is a bounded ×4 Expand, the distinct one
+      // keyed aggregation — never a self-join per hop; the oracle
+      // enumerates aligned window starts and recounts
+      eng(s, dir).table("events")
+        .groupBy(window(col("ts"), "24 hours", "6 hours").as("w"))
+        .agg(count_distinct(col("user_id")).as("nu"),
+          count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("long").as("ws"), col("nu"), col("n_events"))
+        .orderBy("ws")
+    }),
     "q159_skew_probe" -> ((s, dir) => {
       // pre-join skew probe: exact multiplicity quantiles (incl. the
       // p=1.0 max fan-out) for two candidate join keys, computed over
@@ -3221,6 +3233,22 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q160: aligned 6h-grid window starts enumerated, each recounted;
+    // only non-empty windows survive the inner join (Spark's contract)
+    "q160_sliding_distinct" ->
+      """WITH ext AS (
+           SELECT (epoch_us(min(ts)) // 1000000 // 21600) * 21600 - 64800 AS t0,
+                  (epoch_us(max(ts)) // 1000000 // 21600) * 21600 AS t1
+           FROM events
+         ), starts AS (
+           SELECT unnest(range((SELECT t0 FROM ext), (SELECT t1 FROM ext) + 1, 21600)) AS ws
+         )
+         SELECT ws, CAST(count(DISTINCT e.user_id) AS BIGINT) AS nu,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM starts s JOIN events e
+           ON epoch_us(e.ts) >= s.ws * 1000000
+          AND epoch_us(e.ts) < (s.ws + 86400) * 1000000
+         GROUP BY ws ORDER BY ws""",
     // q159: counts per key, then quantile_disc over each distribution
     "q159_skew_probe" -> {
       val branches = for {
