@@ -8,8 +8,10 @@ import org.apache.spark.sql.SparkSession
   * trailing "[success] ..." line. The full-name full-precision record grew
   * past 4 KB at 132 queries, so it can NEVER fit — it lives in
   * target/bench.json and BASELINE.md instead, and stdout's last line is a
-  * compact twin: query keys shortened to their "qNN" prefix, 2-decimal
-  * values, sf as a basename. */
+  * compact twin: query keys shortened to their "qNN" prefix, adaptive
+  * per-query precision (1 decimal under 10 s, whole seconds above — the
+  * sub-decisecond grain only matters for fast queries), sf as a
+  * basename. */
 object BenchFormat {
   /** "q01_filter_range" -> "q01". Prefixes are unique by construction
     * (query numbers never repeat); formatCompact asserts it anyway. */
@@ -30,7 +32,7 @@ object BenchFormat {
     val keys = results.map { case (k, _) => shortKey(k) }
     require(keys.distinct.size == keys.size, "short query keys collide")
     val qs = keys.zip(results.map(_._2))
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, if (v >= 9.95) 0 else 1) }
       .mkString("{", ",", "}")
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""

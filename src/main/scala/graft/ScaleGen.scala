@@ -40,11 +40,28 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (t <- Seq("region", "nation", "supplier", "part", "events"))
+    for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     val idStep = 10000000L
+
+    // events scale by KEY-SHIFTED user copies (event_id/user_id shift
+    // together, timestamps unchanged): ×copies users with UNCHANGED
+    // per-user activity — the honest regime for the user-keyed analytics
+    // family (funnel q148, cohort q149, gap-fill q156, range join q155,
+    // sliding distinct q160): per-user state/grid/pair mass constant,
+    // total linear. Naive row copies would densify per-user event counts
+    // and grow range-join pair mass quadratically.
+    val evs = spark.read.parquet(s"$base/events.parquet")
+    (0 until copies).map { k =>
+      if (k == 0) evs
+      else evs
+        .withColumn("event_id", col("event_id") + lit(k * idStep))
+        .withColumn("user_id", col("user_id") + lit(k * idStep))
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // customer/orders scale by KEY-SHIFTED copies so the relational gate
     // family (snapshot diff q133, z-order layout q135) rehearses on ×N

@@ -44,8 +44,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("sf").asText == "sf0.1")
     val qs = node.get("queries")
     assert(qs.size == 2)
-    assert(math.abs(qs.get("q01").asDouble - 1.23) < 1e-9)
+    assert(math.abs(qs.get("q01").asDouble - 1.2) < 1e-9)
     assert(math.abs(qs.get("q100").asDouble - 0.5) < 1e-9)
+    // adaptive precision: >= ~10 s renders whole seconds
+    val slow = BenchFormat.formatCompact(Seq("q01_filter_range" -> 12.34), "sf")
+    val slowNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(slow)
+    assert(math.abs(slowNode.get("queries").get("q01").asDouble - 12.0) < 1e-9)
   }
 
   test("full line keeps full names and 3-decimal grain") {
