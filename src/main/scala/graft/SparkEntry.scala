@@ -1337,6 +1337,31 @@ object SparkEntry {
         "doc_id", "text", terms = Seq("spark", "vector", "stream"),
         topK = 10)
     }),
+    "q161_event_paths" -> ((s, dir) => {
+      // top-20 consecutive event trigrams: one user-partitioned window
+      // pass + a |types|³-bounded rollup; (cnt desc, path) total order
+      graft.operators.EventPaths.topSequences(
+          eng(s, dir).table("events"), "user_id", "ts", "event_type",
+          tieCol = "event_id", n = 3, topK = 20)
+    }),
+    "q162_transitions" -> ((s, dir) => {
+      // first-order Markov matrix with per-source probabilities — the
+      // lead() pairing and the normalizing window both replayed by the
+      // oracle
+      graft.operators.EventPaths.transitions(
+          eng(s, dir).table("events"), "user_id", "ts", "event_type",
+          tieCol = "event_id")
+        .orderBy("prev", "next")
+    }),
+    "q163_rfm" -> ((s, dir) => {
+      // RFM quintiles over orders (deterministic ntile with custkey
+      // tiebreak); monetary stays decimal until the output cast
+      graft.operators.Retention.rfm(
+          eng(s, dir).table("orders"), "o_custkey", "o_orderdate",
+          "o_totalprice", asOfDate = "2001-09-01")
+        .withColumn("monetary", col("monetary").cast("double"))
+        .orderBy("o_custkey")
+    }),
     "q160_sliding_distinct" -> ((s, dir) => {
       // exact DISTINCT users per sliding window (24 h window, 6 h hop):
       // the sliding assignment is a bounded ×4 Expand, the distinct one
@@ -3233,6 +3258,50 @@ object SparkEntry {
          SELECT doc_id, matched, score,
                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          FROM s ORDER BY score DESC, doc_id LIMIT 10""",
+    // q161: lead() chains under the (ts, event_id) total order
+    "q161_event_paths" ->
+      """WITH c AS (
+           SELECT event_type AS e0,
+                  lead(event_type, 1) OVER w AS e1,
+                  lead(event_type, 2) OVER w AS e2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         )
+         SELECT e0 || '>' || e1 || '>' || e2 AS path,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM c WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+    // q162: the same pairing + normalization
+    "q162_transitions" ->
+      """WITH c AS (
+           SELECT event_type AS prev, lead(event_type, 1) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next
+           FROM events
+         ), g AS (
+           SELECT prev, next, CAST(count(*) AS BIGINT) AS cnt
+           FROM c WHERE next IS NOT NULL GROUP BY 1, 2
+         )
+         SELECT prev, next, cnt,
+                CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
+         FROM g ORDER BY prev, next""",
+    // q163: identical aggregation + three deterministic ntile windows
+    "q163_rfm" ->
+      """WITH b AS (
+           SELECT o_custkey,
+                  datediff('day', max(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS recency_days,
+                  CAST(count(*) AS BIGINT) AS frequency,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+           FROM orders GROUP BY o_custkey
+         )
+         SELECT o_custkey, recency_days, frequency,
+                CAST(monetary AS DOUBLE) AS monetary,
+                ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+                ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f,
+                ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS m,
+                CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS VARCHAR) ||
+                CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS VARCHAR) ||
+                CAST(ntile(5) OVER (ORDER BY monetary ASC, o_custkey) AS VARCHAR) AS segment
+         FROM b ORDER BY o_custkey""",
     // q160: aligned 6h-grid window starts enumerated, each recounted;
     // only non-empty windows survive the inner join (Spark's contract)
     "q160_sliding_distinct" ->

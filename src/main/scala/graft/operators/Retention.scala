@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -24,6 +25,42 @@ object Retention {
    *          (cohort, offset) with at least one active user; offset 0 is
    *          the cohort itself, so retention(0) = 1.0.
    */
+  /**
+   * RFM segmentation — recency/frequency/monetary quintiles, the
+   * standard customer-value rollup. One customer-keyed aggregation, then
+   * three `ntile(5)` windows over the CUSTOMER relation (not the orders
+   * log) with a key tiebreak making every tile assignment deterministic.
+   * Scores follow the usual convention: 5 = most recent / most frequent /
+   * highest spend.
+   *
+   * Scale note: `ntile` is a global sort of the aggregated relation —
+   * fine while |customers| ≪ |orders|, the usual regime. When the
+   * customer relation itself is huge, swap the exact tiles for
+   * threshold bucketing off [[Quantiles.exactQuantiles]] cut points
+   * (broadcast 4 cuts per dimension, one CASE per row, no global sort);
+   * ntile is the gate contract here because DuckDB reproduces it
+   * rank-for-rank.
+   *
+   * @param asOfDate recency anchor, 'yyyy-MM-dd'
+   * @return (custCol, recency_days INT, frequency BIGINT,
+   *          monetary DECIMAL(18,2), r/f/m INT quintiles, segment "rfm")
+   */
+  def rfm(orders: DataFrame, custCol: String, dateCol: String,
+      amountCol: String, asOfDate: String): DataFrame = {
+    val base = orders.groupBy(col(custCol)).agg(
+      datediff(lit(asOfDate).cast("date"), max(to_date(col(dateCol))))
+        .as("recency_days"),
+      count(lit(1)).as("frequency"),
+      sum(col(amountCol).cast("decimal(18,2)")).as("monetary"))
+    def tile(order: Column) =
+      ntile(5).over(Window.orderBy(order, col(custCol)))
+    base
+      .withColumn("r", tile(col("recency_days").desc))
+      .withColumn("f", tile(col("frequency").asc))
+      .withColumn("m", tile(col("monetary").asc))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+  }
+
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val day = to_date(col(tsCol))
     val firstDay = df.groupBy(col(userCol))
