@@ -1353,6 +1353,51 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q164_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct-count sketch (md5 oracle family, k=256, ESTIMATE
+      // regime: ~11k distinct orders per flag >> k): one k-bounded
+      // mergeable aggregation, never a count(distinct) shuffle of the
+      // full key set; the oracle re-derives the k-th smallest distinct
+      // hash per group and the identical exact-binary-fraction estimator
+      val sk = graft.operators.DistinctSketch.sketchBy(
+        eng(s, dir).table("lineitem"), Seq("l_returnflag"),
+        graft.operators.DistinctSketch.md5Hash(col("l_orderkey")), k = 256)
+      sk.select(col("l_returnflag"),
+          round(graft.operators.DistinctSketch.estimate(col("kmv"), 256,
+            graft.operators.DistinctSketch.fracMd5), 6).as("est_distinct"))
+        .orderBy("l_returnflag")
+    }),
+    "q165_kmv_overlap" -> ((s, dir) => {
+      // sketch ALGEBRA: pairwise distinct-order overlap between return
+      // flags by MERGING the per-flag sketches (pure array functions —
+      // no rescan of lineitem) + inclusion-exclusion; intersection is a
+      // pure function of the published rounded estimates
+      val sk = graft.operators.DistinctSketch.sketchBy(
+        eng(s, dir).table("lineitem"), Seq("l_returnflag"),
+        graft.operators.DistinctSketch.md5Hash(col("l_orderkey")), k = 256)
+      graft.operators.DistinctSketch.overlap(sk, "l_returnflag", 256,
+          graft.operators.DistinctSketch.fracMd5)
+        .orderBy("g_a", "g_b")
+    }),
+    "q166_kmv_rollup" -> ((s, dir) => {
+      // production hash family (xxhash64>>>12) in the EXACT regime
+      // (1.5k distinct customers < k=4096 — the sketch holds every
+      // distinct hash, estimate == exact count): per-priority counts
+      // PLUS an 'ALL' row RE-AGGREGATED from the five group sketches
+      // (explode + re-sketch), never from the base table — the cube
+      // rollup count(distinct) cannot do. Oracle: exact count(distinct).
+      import graft.operators.DistinctSketch._
+      val k = 4096
+      val sk = sketchBy(eng(s, dir).table("orders"), Seq("o_orderpriority"),
+        xxHash52(col("o_custkey")), k)
+      val per = sk.select(col("o_orderpriority").as("grp"),
+        estimate(col("kmv"), k, fracXx).cast("long").as("est_distinct"))
+      val all = sk.select(explode(col("kmv")).as("h"))
+        .agg(graft.functions.GraftFunctions.kmvSketch(col("h"), k).as("kmv"))
+        .select(lit("ALL").as("grp"),
+          estimate(col("kmv"), k, fracXx).cast("long").as("est_distinct"))
+      per.unionByName(all).orderBy("grp")
+    }),
     "q163_rfm" -> ((s, dir) => {
       // RFM quintiles over orders (deterministic ntile with custkey
       // tiebreak); monetary stays decimal until the output cast
@@ -3285,6 +3330,75 @@ object SparkEntry {
                 CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
          FROM g ORDER BY prev, next""",
     // q163: identical aggregation + three deterministic ntile windows
+    // q164: the oracle re-derives the KMV sketch itself — k-th smallest
+    // DISTINCT md5 per group — and applies the identical estimator; every
+    // double in the chain is an exact binary fraction (52-bit hash / 2^52)
+    "q164_kmv_distinct" ->
+      """WITH d AS (
+           SELECT DISTINCT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h
+           FROM lineitem
+         ), r AS (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY g) AS m
+           FROM d
+         ), kk AS (
+           SELECT g, max(m) AS m, max(CASE WHEN rn = 256 THEN h END) AS hk
+           FROM r GROUP BY g
+         )
+         SELECT g AS l_returnflag,
+                round(CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                      ELSE 255.0 / (CAST(CAST(('0x' || substr(hk, 1, 13)) AS UBIGINT) AS DOUBLE)
+                                    / 4503599627370496.0) END, 6) AS est_distinct
+         FROM kk ORDER BY g""",
+    // q165: union sketch per pair = k smallest distinct of the two
+    // k-truncated sketches; intersection from the ROUNDED published
+    // estimates (pure function of output columns on both engines)
+    "q165_kmv_overlap" ->
+      """WITH d AS (
+           SELECT DISTINCT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h
+           FROM lineitem
+         ), s AS (
+           SELECT g, h FROM (
+             SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
+           ) WHERE rn <= 256
+         ), est AS (
+           SELECT g, round(CASE WHEN max(m) < 256 THEN CAST(max(m) AS DOUBLE)
+                      ELSE 255.0 / (CAST(CAST(('0x' || substr(max(CASE WHEN rn = 256 THEN h END), 1, 13)) AS UBIGINT) AS DOUBLE)
+                                    / 4503599627370496.0) END, 6) AS est
+           FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn,
+                        count(*) OVER (PARTITION BY g) AS m FROM d)
+           GROUP BY g
+         ), pairs AS (
+           SELECT a.g AS ga, b.g AS gb
+           FROM (SELECT DISTINCT g FROM d) a JOIN (SELECT DISTINCT g FROM d) b ON a.g < b.g
+         ), uh AS (
+           SELECT p.ga, p.gb, s.h
+           FROM pairs p JOIN s ON s.g = p.ga OR s.g = p.gb
+           GROUP BY p.ga, p.gb, s.h
+         ), ur AS (
+           SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn,
+                  count(*) OVER (PARTITION BY ga, gb) AS m
+           FROM uh
+         ), uest AS (
+           SELECT ga, gb,
+                  round(CASE WHEN max(CASE WHEN m < 256 THEN m ELSE 256 END) < 256 THEN CAST(max(m) AS DOUBLE)
+                        ELSE 255.0 / (CAST(CAST(('0x' || substr(max(CASE WHEN rn = 256 THEN h END), 1, 13)) AS UBIGINT) AS DOUBLE)
+                                      / 4503599627370496.0) END, 6) AS est_union
+           FROM ur GROUP BY ga, gb
+         )
+         SELECT u.ga AS g_a, u.gb AS g_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+                round(greatest(0.0, ea.est + eb.est - u.est_union), 6) AS est_intersect
+         FROM uest u JOIN est ea ON ea.g = u.ga JOIN est eb ON eb.g = u.gb
+         ORDER BY g_a, g_b""",
+    // q166: EXACT regime (distinct < k) — the sketch estimate equals the
+    // exact count, so the oracle is plain count(distinct); the ALL row is
+    // re-aggregated from group sketches on the Spark side
+    "q166_kmv_rollup" ->
+      """SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS est_distinct
+         FROM orders GROUP BY 1
+         UNION ALL
+         SELECT 'ALL' AS grp, count(DISTINCT o_custkey) AS est_distinct FROM orders
+         ORDER BY grp""",
     "q163_rfm" ->
       """WITH b AS (
            SELECT o_custkey,

@@ -111,3 +111,134 @@ case class MisraGriesCandidates(
       newChildren: IndexedSeq[Expression]): MisraGriesCandidates =
     copy(child = newChildren.head)
 }
+
+/**
+ * KMV (K-Minimum-Values) distinct-count sketch (Bar-Yossef et al. 2002;
+ * Beyer et al., "On Synopses for Distinct-Value Estimation Under Multiset
+ * Operations", SIGMOD 2007) as a custom `TypedImperativeAggregate`: keep
+ * the `k` smallest DISTINCT hash values seen. State is k-bounded, merges
+ * are associative set unions (take the k smallest of the union), so the
+ * whole pass is ONE narrow map-side-combined aggregation — the mergeable
+ * distinct-count summary you pre-compute per partition/group of a 100 TB
+ * cube and re-aggregate to ANY coarser grouping without rescanning base
+ * data (unlike `count(distinct)`, which cannot be rolled up).
+ *
+ * The sketch IS deterministic: the k smallest distinct hashes of a multiset
+ * do not depend on scan/merge order. With a deterministic hash both the
+ * sketch and every estimate derived from it are exactly reproducible —
+ * which is what lets an external oracle recompute them bit-for-bit.
+ *
+ * Estimator (computed downstream from the array, not here):
+ *   m < k  → exact: the sketch holds EVERY distinct hash, estimate = m
+ *   m == k → (k-1) / frac(h_k), h_k the k-th smallest hash as a fraction
+ *            of the hash domain.
+ * Set ops: union = merge arrays, keep k smallest distinct (pure Spark
+ * array functions); intersection via inclusion-exclusion on estimates.
+ *
+ * `child` must be the HASH column: either a lowercase fixed-width hex
+ * string (md5 — lexicographic order == numeric order; DuckDB-reproducible
+ * oracle family, like q29) or a non-negative long (xxhash64 >>> 12, the
+ * 52-bit production family). Reference anchor: the reference keeps exact
+ * per-table unique indexes (`lib/src/core/index_manager.dart`) and has no
+ * approximate distinct machinery; this is a scale extension.
+ */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[AnyRef]] {
+
+  require(k >= 2, "k must be >= 2")
+
+  // resolved lazily — the ctor runs on the UNRESOLVED child (kexp wraps a
+  // plain column reference); dataType only exists after analysis
+  @transient private lazy val isString: Boolean = child.dataType == StringType
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(if (isString) StringType else LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv child must be STRING (hex hash) or BIGINT (non-negative hash), got ${child.dataType}")
+
+  override def createAggregationBuffer(): java.util.TreeSet[AnyRef] =
+    new java.util.TreeSet[AnyRef]()
+
+  private def add(s: java.util.TreeSet[AnyRef], v: AnyRef): Unit = {
+    // TreeSet gives distinctness for free; cap at k by evicting the largest
+    if (s.size < k) { s.add(v); () }
+    else if (s.last().asInstanceOf[Comparable[AnyRef]].compareTo(v) > 0) {
+      if (s.add(v)) s.pollLast()
+      ()
+    }
+  }
+
+  override def update(s: java.util.TreeSet[AnyRef],
+      input: InternalRow): java.util.TreeSet[AnyRef] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key: AnyRef =
+        if (isString) v.asInstanceOf[UTF8String].toString
+        else java.lang.Long.valueOf(v.asInstanceOf[Long])
+      add(s, key)
+    }
+    s
+  }
+
+  override def merge(a: java.util.TreeSet[AnyRef],
+      b: java.util.TreeSet[AnyRef]): java.util.TreeSet[AnyRef] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(s: java.util.TreeSet[AnyRef]): Any = {
+    val arr = new Array[AnyRef](s.size)
+    val it = s.iterator()
+    var i = 0
+    while (it.hasNext) {
+      arr(i) = if (isString) UTF8String.fromString(it.next().asInstanceOf[String])
+               else it.next()
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(s: java.util.TreeSet[AnyRef]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(s.size)
+    val it = s.iterator()
+    while (it.hasNext) {
+      if (isString) out.writeUTF(it.next().asInstanceOf[String])
+      else out.writeLong(it.next().asInstanceOf[java.lang.Long].longValue())
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[AnyRef] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val s = new java.util.TreeSet[AnyRef]()
+    var i = 0
+    while (i < n) {
+      s.add(if (isString) in.readUTF() else java.lang.Long.valueOf(in.readLong()))
+      i += 1
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KmvSketchAgg =
+    copy(child = newChildren.head)
+}

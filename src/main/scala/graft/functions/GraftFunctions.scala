@@ -116,6 +116,12 @@ object GraftFunctions {
     kcol(graft.expr.MisraGriesCandidates(kexp(c), capacity)
       .toAggregateExpression())
 
+  /** KMV distinct-count sketch: the k smallest distinct hash values of `c`
+    * (hex-string or non-negative long hash), as a sorted array. Mergeable,
+    * k-bounded state — see [[graft.expr.KmvSketchAgg]]. */
+  def kmvSketch(c: Column, k: Int): Column =
+    kcol(graft.expr.KmvSketchAgg(kexp(c), k).toAggregateExpression())
+
   /** Jaro-Winkler similarity (record-linkage standard; Spark only ships
     * levenshtein) — codegen kernel, DuckDB-parity semantics. */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -39,4 +39,58 @@ class SketchSpec extends SparkSpec {
         capacity = 8, fracDen = 32)
     }
   }
+
+  import graft.operators.DistinctSketch._
+
+  test("KMV keeps exactly the k smallest distinct hashes across partitions") {
+    val df = ((0 until 5000).map(_.toLong) ++ (0 until 5000).map(_.toLong))
+      .toDF("v").repartition(13)
+    val sk = sketchBy(df, Seq.empty, xxHash52(col("v")), k = 64)
+      .head().getSeq[Long](0)
+    // independent truth: all 5000 distinct hashes, sorted, take 64
+    val truth = df.select(xxHash52(col("v")).as("h")).distinct()
+      .orderBy("h").limit(64).collect().map(_.getLong(0)).toSeq
+    assert(sk == truth)
+  }
+
+  test("KMV is exact below capacity (estimate == distinct count)") {
+    val df = (0 until 700).map(i => (i % 350).toLong).toDF("v").repartition(7)
+    val est = sketchBy(df, Seq.empty, xxHash52(col("v")), k = 1024)
+      .select(estimate(col("kmv"), 1024, fracXx).as("e"))
+      .head().getDouble(0)
+    assert(est == 350.0)
+  }
+
+  test("KMV estimate regime: error within theory bound on 20k distinct longs") {
+    val df = (0 until 20000).map(_.toLong).toDF("v").repartition(11)
+    val est = sketchBy(df, Seq.empty, xxHash52(col("v")), k = 256)
+      .select(estimate(col("kmv"), 256, fracXx).as("e"))
+      .head().getDouble(0)
+    // relative standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4σ
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"est=$est")
+  }
+
+  test("KMV merge of group sketches == sketch of the union (array equality)") {
+    val df = (0 until 4000).map(i => (i % 2, (i % 1700).toLong)).toDF("g", "v")
+    val grouped = sketchBy(df, Seq("g"), xxHash52(col("v")), k = 128)
+    val merged = grouped
+      .agg(collect_list(col("kmv")).as("ks"))
+      .select(mergeSketches(element_at(col("ks"), 1), element_at(col("ks"), 2), 128).as("kmv"))
+      .head().getSeq[Long](0)
+    val direct = sketchBy(df, Seq.empty, xxHash52(col("v")), k = 128)
+      .head().getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("KMV md5 family: lexicographic hex order is numeric fraction order") {
+    val df = (0 until 3000).map(_.toLong).toDF("v")
+    val sk = sketchBy(df, Seq.empty, md5Hash(col("v")), k = 32)
+    val row = sk.select(col("kmv"),
+      estimate(col("kmv"), 32, fracMd5).as("e")).head()
+    val hashes = row.getSeq[String](0)
+    assert(hashes == hashes.sorted) // hex strings, lexicographic
+    // estimator uses the last (k-th) element's 52-bit prefix
+    val frac = java.lang.Long.parseLong(hashes.last.take(13), 16) / HashDenom
+    assert(row.getDouble(1) == 31.0 / frac)
+  }
 }
