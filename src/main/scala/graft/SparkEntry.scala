@@ -1353,6 +1353,23 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q167_filtered_knn" -> ((s, dir) => {
+      // predicate-constrained ANN: the label filter rides INSIDE the
+      // probed-cell scan; under-filled probes escalate nprobe (1→2→4)
+      // until the terminal full-probe rung, which equals the exact
+      // filtered scan — topK=60 > |label=3| forces the whole ladder, so
+      // the published result is the exact one the oracle recomputes
+      val e = eng(s, dir)
+      val embs = e.table("embeddings")
+      val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8,
+        metric = "l2")
+      val q = embs.where(col("vec_id") === 7)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      VectorSearch.ivfSearchFiltered(
+        VectorSearch.ivfIndex(embs, model, "embedding"), model,
+        "vec_id", "embedding", col("label") === 3, q,
+        topK = 60, nprobe = 1)
+    }),
     "q164_kmv_distinct" -> ((s, dir) => {
       // KMV distinct-count sketch (md5 oracle family, k=256, ESTIMATE
       // regime: ~11k distinct orders per flag >> k): one k-bounded
@@ -3330,6 +3347,16 @@ object SparkEntry {
                 CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
          FROM g ORDER BY prev, next""",
     // q163: identical aggregation + three deterministic ntile windows
+    // q167: the escalation ladder terminates in the full-probe rung ==
+    // exact scan under the predicate, which is what the oracle runs
+    "q167_filtered_knn" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+         SELECT e.vec_id AS pk,
+                round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance,
+                round(1.0 / (1.0 + round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6)), 6) AS score
+         FROM embeddings e, q
+         WHERE e.label = 3
+         ORDER BY distance, pk LIMIT 60""",
     // q164: the oracle re-derives the KMV sketch itself — k-th smallest
     // DISTINCT md5 per group — and applies the identical estimator; every
     // double in the chain is an exact binary fraction (52-bit hash / 2^52)

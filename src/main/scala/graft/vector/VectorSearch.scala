@@ -226,6 +226,45 @@ object VectorSearch {
     table.withColumn("__ivf_cell", ivfCell(model, col(vecCol)))
 
   /**
+   * Predicate-constrained ANN — the filtered-search problem every vector
+   * store faces (the reference's `vectorSearch` has no predicate surface;
+   * this is the production extension). Pre-filter vs post-filter is a
+   * correctness trap, not a tuning knob: a WHERE clause can empty the
+   * probed cells, so a fixed nprobe silently under-returns. Strategy here:
+   * the predicate rides INSIDE the probed-cell scan (one pass — at scale
+   * it prunes row groups alongside the cell partition pruning, never a
+   * second pass over candidates), and when the probe under-fills `topK`
+   * the search ESCALATES nprobe geometrically. The terminal rung scans
+   * every cell, where the result EQUALS the exact filtered scan by
+   * construction — so selective filters degrade gracefully to
+   * brute-force-over-the-filter instead of returning silent partials.
+   * ≤ log2(nlist)+1 bounded jobs; the count that drives escalation is on
+   * an already-topK-limited result, never the table.
+   */
+  def ivfSearchFiltered(
+      indexed: DataFrame, // must carry __ivf_cell
+      model: IvfModel,
+      pkCol: String,
+      vecCol: String,
+      predicate: Column,
+      queryVector: Seq[Double],
+      topK: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val nlist = model.centroids.length
+    var p = math.min(math.max(nprobe, 1), nlist)
+    while (p < nlist) {
+      val cells = model.nearestCells(queryVector, p)
+      val res = exact(indexed.where(col("__ivf_cell").isin(cells: _*) && predicate),
+        pkCol, vecCol, queryVector, topK, model.metric)
+      if (res.count() >= topK) return res
+      p = math.min(p * 2, nlist)
+    }
+    // full probe: every cell scanned — identical row set to the unindexed
+    // filtered scan, so this rung is exact (and oracle-checkable)
+    exact(indexed.where(predicate), pkCol, vecCol, queryVector, topK, model.metric)
+  }
+
+  /**
    * IVF-PQ (the FAISS-standard pairing): probe `nprobe` cells (partition
    * pruning on a clustered layout — only nprobe/nlist of the data is
    * READ), rank the probed rows by ADC lookup on the byte codes (no

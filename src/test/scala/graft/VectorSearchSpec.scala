@@ -71,6 +71,30 @@ class VectorSearchSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("filtered ANN: escalation terminates at exact-over-filter; probes post-filter in-scan") {
+    val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+    val indexed = VectorSearch.ivfIndex(embs, model, "embedding").cache()
+    val pred = col("label") === 3 // 43 rows at sf0.001, spread over cells
+    // topK > |matches| forces the ladder to the terminal full-probe rung,
+    // which must EQUAL the exact filtered scan (same rows, same order)
+    val got = VectorSearch.ivfSearchFiltered(indexed, model, "vec_id",
+      "embedding", pred, query, topK = 100, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = VectorSearch.exact(embs.where(pred), "vec_id", "embedding",
+      query, topK = 100, metric = "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+    // approximate regime: small topK satisfiable within probed cells —
+    // returns exactly topK rows, every one passing the predicate
+    val approx = VectorSearch.ivfSearchFiltered(indexed, model, "vec_id",
+      "embedding", pred, query, topK = 3, nprobe = 8).collect()
+    assert(approx.length == 3)
+    val labels = embs.where(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.forall(r => labels.contains(r.getLong(0))))
+    indexed.unpersist()
+  }
+
   test("IVF clustered layout: probe prunes partitions PHYSICALLY; recall@10 ≥ 0.9 at nprobe=4") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
     val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
