@@ -1353,6 +1353,26 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q168_bloom_index" -> ((s, dir) => {
+      // file-level bloom data-skipping: orders clustered into 8 files by
+      // hash(custkey), per-file bloom sidecar on o_custkey, point lookup
+      // reads ONLY bloom-positive files (loud guard: the probe must
+      // actually skip) and re-applies the exact predicate — result is
+      // IDENTICAL to the full scan the oracle runs (no false negatives)
+      val base = tmpDir("bloom")
+      val tdir = base + "/orders8"
+      eng(s, dir).table("orders").repartition(8, col("o_custkey"))
+        .write.mode("overwrite").parquet(tdir)
+      val idx = graft.operators.BloomIndex.buildIndex(s, tdir, "o_custkey")
+      val (total, scanned) = graft.operators.BloomIndex.pruneStats(
+        s, tdir, idx, "o_custkey", 721L)
+      require(scanned < total,
+        s"bloom index failed to skip: $scanned/$total files scanned")
+      graft.operators.BloomIndex.lookup(s, tdir, idx, "o_custkey", 721L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total_price"))
+        .orderBy("o_orderkey")
+    }),
     "q167_filtered_knn" -> ((s, dir) => {
       // predicate-constrained ANN: the label filter rides INSIDE the
       // probed-cell scan; under-filled probes escalate nprobe (1→2→4)
@@ -3347,6 +3367,13 @@ object SparkEntry {
                 CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
          FROM g ORDER BY prev, next""",
     // q163: identical aggregation + three deterministic ntile windows
+    // q168: bloom skipping has no false negatives — the pruned read must
+    // equal the full-scan filter the oracle runs
+    "q168_bloom_index" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(o_totalprice AS DOUBLE) AS total_price
+         FROM orders WHERE o_custkey = 721
+         ORDER BY o_orderkey""",
     // q167: the escalation ladder terminates in the full-probe rung ==
     // exact scan under the predicate, which is what the oracle runs
     "q167_filtered_knn" ->

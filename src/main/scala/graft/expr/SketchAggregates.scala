@@ -242,3 +242,92 @@ case class KmvSketchAgg(
       newChildren: IndexedSeq[Expression]): KmvSketchAgg =
     copy(child = newChildren.head)
 }
+
+/**
+ * Bloom bitset as a mergeable aggregate: `child` is a 64-bit hash column
+ * (xxhash64 — computed codegen in the scan, the agg only sets bits), the
+ * buffer a fixed `mBits`-bit set, merges are bitwise OR. `numHashes` bit
+ * positions per value via Kirsch-Mitzenmacher double hashing
+ * (pos_i = h1 + i·h2 mod m) — the membership probe recomputes the same
+ * positions from the same xxhash64, so there are NO false negatives by
+ * construction; false positives only cost extra reads, never wrong rows.
+ *
+ * Built per FILE (group = `input_file_name()`), this is the data-skipping
+ * sidecar that gives point lookups on a NON-layout column O(matching
+ * files) IO instead of a full scan — the shared-nothing analogue of the
+ * reference's secondary B+Tree indexes (`lib/src/core/index_manager.dart`:
+ * value → rowid; here value → file, Parquet row groups do the rest).
+ */
+case class BloomBitsetAgg(
+    child: Expression,
+    mBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(mBits >= 64 && (mBits & 63) == 0, "mBits must be a positive multiple of 64")
+  require(numHashes >= 1 && numHashes <= 16, "numHashes in [1,16]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
+
+  override def update(bits: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) BloomBitsetAgg.set(bits, v.asInstanceOf[Long], mBits, numHashes)
+    bits
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(bits: Array[Long]): Any = {
+    val boxed = new Array[AnyRef](bits.length)
+    var i = 0
+    while (i < bits.length) { boxed(i) = java.lang.Long.valueOf(bits(i)); i += 1 }
+    new GenericArrayData(boxed)
+  }
+
+  override def serialize(bits: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBitsetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBitsetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomBitsetAgg =
+    copy(child = newChildren.head)
+}
+
+object BloomBitsetAgg {
+  /** Kirsch-Mitzenmacher positions for a 64-bit hash. Shared by the
+    * build-side aggregate and the probe side (bit tests on the sidecar). */
+  def positions(hash64: Long, mBits: Int, numHashes: Int): Array[Int] = {
+    val h1 = (hash64 & 0xffffffffL).toInt
+    val h2 = ((hash64 >>> 32) | 1L).toInt // odd → cycles the full ring
+    Array.tabulate(numHashes) { i =>
+      val p = (h1.toLong + i.toLong * h2.toLong) % mBits
+      (if (p < 0) p + mBits else p).toInt
+    }
+  }
+
+  private[expr] def set(bits: Array[Long], hash64: Long, mBits: Int, numHashes: Int): Unit =
+    positions(hash64, mBits, numHashes).foreach { p =>
+      bits(p >>> 6) |= (1L << (p & 63))
+    }
+}

@@ -122,6 +122,12 @@ object GraftFunctions {
   def kmvSketch(c: Column, k: Int): Column =
     kcol(graft.expr.KmvSketchAgg(kexp(c), k).toAggregateExpression())
 
+  /** Bloom bitset aggregate over a 64-bit hash column — mergeable (bitwise
+    * OR), fixed mBits state. See [[graft.expr.BloomBitsetAgg]]. */
+  def bloomBits(hash: Column, mBits: Int, numHashes: Int): Column =
+    kcol(graft.expr.BloomBitsetAgg(kexp(hash), mBits, numHashes)
+      .toAggregateExpression())
+
   /** Jaro-Winkler similarity (record-linkage standard; Spark only ships
     * levenshtein) — codegen kernel, DuckDB-parity semantics. */
   def jaroWinkler(a: Column, b: Column): Column =
