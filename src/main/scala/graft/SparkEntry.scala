@@ -1353,6 +1353,27 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q169_mad_outliers" -> ((s, dir) => {
+      // robust per-group outlier profile: median/MAD (50% breakdown —
+      // heavy tails can't drag the cut the way mean/stddev let them),
+      // |z|>3.5 counted; two broadcast-sized percentile aggs, the event
+      // rows are never shuffled
+      graft.operators.Outliers.madProfile(
+          eng(s, dir).table("events"), "event_type", "value", zThresh = 3.5)
+        .orderBy("event_type")
+    }),
+    "q170_trend" -> ((s, dir) => {
+      // per-priority revenue trend: OLS slope/intercept/r² from
+      // DECIMAL-exact moment sums (the cancellation step runs in exact
+      // arithmetic; only the final division is IEEE) — engine-portable
+      // unlike regr_slope's order-dependent double accumulation
+      graft.operators.Trend.fitLinear(
+          eng(s, dir).table("orders"), "o_orderpriority",
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority")
+    }),
     "q168_bloom_index" -> ((s, dir) => {
       // file-level bloom data-skipping: orders clustered into 8 files by
       // hash(custkey), per-file bloom sidecar on o_custkey, point lookup
@@ -3367,6 +3388,48 @@ object SparkEntry {
                 CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
          FROM g ORDER BY prev, next""",
     // q163: identical aggregation + three deterministic ntile windows
+    // q169: DuckDB's continuous median/mad replicate the exact-percentile
+    // semantics; cutoffs rounded to 6dp on both sides before the 3.5 cut
+    "q169_mad_outliers" ->
+      """WITH med AS (
+           SELECT event_type AS g, round(median(value), 6) AS med
+           FROM events GROUP BY 1
+         ), madt AS (
+           SELECT e.event_type AS g, round(median(abs(e.value - m.med)), 6) AS mad
+           FROM events e JOIN med m ON m.g = e.event_type GROUP BY 1
+         )
+         SELECT e.event_type, max(m.med) AS med, max(d.mad) AS mad,
+                count(*) AS n,
+                CAST(sum(CASE WHEN abs(round((e.value - m.med) / (1.4826 * d.mad), 6)) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+         FROM events e JOIN med m ON m.g = e.event_type
+                       JOIN madt d ON d.g = e.event_type
+         GROUP BY 1 ORDER BY 1""",
+    // q170: identical normal-equation arithmetic — decimal moment sums,
+    // exact decimal differences, one double cast per term, IEEE division
+    "q170_trend" ->
+      """WITH m AS (
+           SELECT o_orderpriority,
+                  CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  sum(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(38,0))) AS sx,
+                  sum(CAST(o_totalprice AS DECIMAL(38,2))) AS sy,
+                  sum(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(38,0))
+                    * CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(38,0))) AS sxx,
+                  sum(CAST(CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(38,0))
+                    * CAST(o_totalprice AS DECIMAL(38,2)) AS DECIMAL(38,2))) AS sxy,
+                  sum(CAST(CAST(o_totalprice AS DECIMAL(38,2))
+                    * CAST(o_totalprice AS DECIMAL(38,2)) AS DECIMAL(38,4))) AS syy
+           FROM orders GROUP BY 1
+         )
+         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                round((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+                round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+         FROM m ORDER BY o_orderpriority""",
     // q168: bloom skipping has no false negatives — the pruned read must
     // equal the full-scan filter the oracle runs
     "q168_bloom_index" ->

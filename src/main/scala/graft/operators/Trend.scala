@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-group linear trend (OLS on a metric over time) with DECIMAL-exact
+ * moment sums: slope/intercept/r² from the closed-form normal equations
+ *
+ *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+ *   r²    = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+ *
+ * computed from EXACT decimal sums. The built-in `regr_slope`/`covar_pop`
+ * accumulate doubles in partition order — the last bits differ run to run
+ * and engine to engine; here every Σ is decimal (x integral days, y
+ * decimal money → all products exact), the n·Σ−Σ·Σ differences are exact
+ * decimal subtraction (the catastrophic-cancellation step happens in
+ * exact arithmetic), and only the final division runs in IEEE doubles —
+ * identically on any engine. ONE map-side-combined aggregation per group;
+ * the moment row is O(|groups|).
+ *
+ * Reference anchor: the reference's aggregates stop at count/sum/avg/
+ * min/max (`lib/src/query/aggregate.dart`); regression is a relational
+ * superset (SURVEY §2.6 extension rows).
+ */
+object Trend {
+
+  /**
+   * (group, n, slope, intercept, r2), all doubles rounded to 6dp.
+   * `xCol` must be integral (e.g. a day number), `yCol` numeric; both are
+   * widened to DECIMAL(38,…) before summing so every moment is exact.
+   */
+  def fitLinear(df: DataFrame, groupCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val x = xCol.cast("decimal(38,0)")
+    val y = yCol.cast("decimal(38,2)")
+    val moments = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum((x * y).cast("decimal(38,2)")).as("sxy"),
+      sum((y * y).cast("decimal(38,4)")).as("syy"))
+    // exact decimal differences, THEN one cast to double per term
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / denX
+    moments.select(
+        col(groupCol), col("n").cast("long").as("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"),
+        round(num * num / (denX * denY), 6).as("r2"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Outliers, Trend}
+
+/** Robust (median/MAD) outlier scoring and decimal-exact OLS trend. */
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("robustZ: hand-checked median/MAD; spike flagged, band kept") {
+    // g: values 1..9 plus a 1000 spike → med=5.5? no: 10 values
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1000.0)).toDF("k", "v")
+    // median of (1..9,1000) = 5.5; |x-5.5| sorted = .5,.5,1.5,...,994.5 → MAD = 2.5
+    val scored = Outliers.robustZ(df, "k", "v").cache()
+    val byV = scored.collect()
+      .map(r => r.getAs[Double]("v") -> r.getAs[Double]("robust_z")).toMap
+    val med = scored.select("med").head().getDouble(0)
+    val mad = scored.select("mad").head().getDouble(0)
+    scored.unpersist()
+    assert(med == 5.5 && mad == 2.5)
+    assert(math.abs(byV(1000.0) - math.rint((1000.0 - 5.5) / (1.4826 * 2.5) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(byV(5.0)) < 3.5)
+  }
+
+  test("madProfile counts outliers; trimRobust removes exactly those rows") {
+    val df = ((1 to 50).map(v => ("a", v.toDouble)) ++
+      Seq(("a", 5000.0), ("a", -5000.0)) ++
+      (1 to 30).map(_ => ("b", 7.0))).toDF("k", "v") // b: constant → MAD 0
+    val prof = Outliers.madProfile(df, "k", "v").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(prof("a") == (52L, 2L))
+    assert(prof("b") == (30L, 0L)) // zero-MAD: nothing scored
+    assert(Outliers.trimRobust(df, "k", "v").count() == 50 + 30)
+  }
+
+  test("fitLinear recovers an exact line (slope/intercept exact, r2 = 1)") {
+    // y = 3x + 7 exactly, x = 0..99
+    val df = (0 until 100).map(i => ("g", i, BigDecimal(3 * i + 7))).toDF("k", "x", "y")
+    val r = Trend.fitLinear(df, "k", col("x"), col("y")).head()
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 7.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(r.getAs[Long]("n") == 100L)
+  }
+
+  test("fitLinear is partition-order independent (decimal moments)") {
+    val base = (0 until 1000).map(i => ("g", i, 2.5 * i + 11.0 + (i % 7)))
+    val a = Trend.fitLinear(base.toDF("k", "x", "y").repartition(13),
+      "k", col("x"), col("y")).head()
+    val b = Trend.fitLinear(scala.util.Random.shuffle(base).toDF("k", "x", "y")
+      .repartition(3), "k", col("x"), col("y")).head()
+    assert(a.getAs[Double]("slope") == b.getAs[Double]("slope"))
+    assert(a.getAs[Double]("intercept") == b.getAs[Double]("intercept"))
+    assert(a.getAs[Double]("r2") == b.getAs[Double]("r2"))
+  }
+}
