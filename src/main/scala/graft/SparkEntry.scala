@@ -1353,6 +1353,49 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q171_mv_stream" -> ((s, dir) => {
+      // STREAMING MV maintenance e2e: summary of snapshot v0, then two
+      // CDC batches (v0→v1, v1→v2, Debezium-shaped before/after images)
+      // replay through a file stream; foreachBatch applies signed deltas
+      // and republishes via atomic swap. The final summary must equal a
+      // full rebuild of v2 — which is what the oracle aggregates. Signed
+      // deltas commute, so the gate is batch-split-insensitive by design.
+      import graft.plans.MaterializedViews
+      val base = tmpDir("mvstream")
+      val orders = eng(s, dir).table("orders")
+      def bump(m: Int, amt: String) =
+        when(pmod(col("o_orderkey"), lit(m)) === 0,
+          lit(amt).cast("decimal(18,2)")).otherwise(lit("0.00").cast("decimal(18,2)"))
+      def snap(keep: Column, priceCol: Column) = orders.where(keep)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          priceCol.cast("decimal(18,2)").as("price"))
+      val v0 = snap(pmod(col("o_orderkey"), lit(7)) =!= 1, dec(col("o_totalprice")))
+      val v1 = snap(pmod(col("o_orderkey"), lit(5)) =!= 2,
+        dec(col("o_totalprice")) + bump(3, "1.00"))
+      val v2 = snap(pmod(col("o_orderkey"), lit(4)) =!= 3,
+        dec(col("o_totalprice")) + bump(3, "1.00") + bump(2, "2.00"))
+      val mvPath = base + "/mv"
+      v0.groupBy(col("o_orderpriority"))
+        .agg(sum(col("price")).as("mv_sum_price"), count(lit(1)).as("mv_cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(mvPath)
+      val cols = Seq("o_orderpriority", "price")
+      val feed = base + "/feed"
+      val b1 = MaterializedViews.cdcFeed(v0, v1, "o_orderkey", cols)
+      b1.coalesce(1).write.mode("overwrite").parquet(feed)
+      MaterializedViews.cdcFeed(v1, v2, "o_orderkey", cols)
+        .coalesce(1).write.mode("append").parquet(feed)
+      val stream = s.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = MaterializedViews.maintainStream(stream, mvPath,
+          Seq("o_orderpriority"), Seq("price"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", base + "/ck").start()
+      q.awaitTermination()
+      s.read.parquet(mvPath)
+        .select(col("o_orderpriority"), col("mv_cnt").as("cnt"),
+          col("mv_sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "q169_mad_outliers" -> ((s, dir) => {
       // robust per-group outlier profile: median/MAD (50% breakdown —
       // heavy tails can't drag the cut the way mean/stddev let them),
@@ -3388,6 +3431,17 @@ object SparkEntry {
                 CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
          FROM g ORDER BY prev, next""",
     // q163: identical aggregation + three deterministic ntile windows
+    // q171: the oracle is a FULL REBUILD of the final snapshot v2 — the
+    // incrementally-maintained summary must match it exactly
+    "q171_mv_stream" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CASE WHEN o_orderkey % 3 = 0 THEN CAST('1.00' AS DECIMAL(18,2))
+                         ELSE CAST('0.00' AS DECIMAL(18,2)) END
+                  + CASE WHEN o_orderkey % 2 = 0 THEN CAST('2.00' AS DECIMAL(18,2))
+                         ELSE CAST('0.00' AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey % 4 <> 3
+         GROUP BY 1 ORDER BY 1""",
     // q169: DuckDB's continuous median/mad replicate the exact-percentile
     // semantics; cutoffs rounded to 6dp on both sides before the 3.5 cut
     "q169_mad_outliers" ->

@@ -118,6 +118,100 @@ object MaterializedViews {
       .agg(aggCols.head, aggCols.tail: _*)
       .where(col("mv_cnt") > 0)
   }
+
+  /**
+   * CDC row feed between two snapshots, WITH before/after images — what a
+   * log-based CDC source (Debezium-shaped) emits and what streaming
+   * maintenance consumes: (`pk`, change_type, before_c…, after_c…) for
+   * every changed key. Same ONE full-outer PK join as
+   * [[graft.operators.SnapshotDiff.diff]], images ride along instead of
+   * being re-fetched later.
+   */
+  def cdcFeed(oldDf: DataFrame, newDf: DataFrame, pk: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val o = oldDf.select(pk, cols: _*).withColumn("__old", lit(1)).alias("o")
+    val n = newDf.select(pk, cols: _*).withColumn("__new", lit(1)).alias("n")
+    val same = cols.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    o.join(n, col(s"o.$pk") === col(s"n.$pk"), "full_outer")
+      .select(
+        coalesce(col(s"o.$pk"), col(s"n.$pk")).as(pk) +:
+        when(col("o.__old").isNull, lit("inserted"))
+          .when(col("n.__new").isNull, lit("deleted"))
+          .when(same, lit("unchanged"))
+          .otherwise(lit("updated")).as("change_type") +:
+        (cols.map(c => col(s"o.$c").as(s"before_$c")) ++
+         cols.map(c => col(s"n.$c").as(s"after_$c"))): _*)
+      .where(col("change_type") =!= "unchanged")
+  }
+
+  /**
+   * Apply one CDC batch (rows shaped like [[cdcFeed]]) to a sum/count
+   * summary: before-images of deleted/updated keys contribute NEGATED
+   * partials, after-images of inserted/updated keys positive ones, then
+   * one dims-keyed re-aggregation with the old summary. Exact for
+   * sum/count (self-inverting under negation), and ORDER-INSENSITIVE
+   * across batches: signed deltas commute, so any batch split of the same
+   * net change converges to the same summary. Touches |batch| + |summary|
+   * rows — never a base-table scan.
+   */
+  def applyCdc(mv: DataFrame, batch: DataFrame, dims: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(dims.nonEmpty && sumCols.nonEmpty, "dims and sumCols must be non-empty")
+    val sumTypes = sumCols.map(c => c -> mv.schema(s"mv_sum_$c").dataType).toMap
+    def side(prefix: String, types: Seq[String], sign: Int) =
+      batch.where(col("change_type").isin(types: _*)).select(
+        dims.map(c => col(s"${prefix}_$c").as(c)) ++
+          sumCols.map(c => (col(s"${prefix}_$c") * lit(sign))
+            .cast(sumTypes(c)).as(s"mv_sum_$c")) :+
+          lit(sign.toLong).as("mv_cnt"): _*)
+    val aggCols = sumCols.map(c =>
+      sum(col(s"mv_sum_$c")).cast(sumTypes(c)).as(s"mv_sum_$c")) :+
+      sum(col("mv_cnt")).as("mv_cnt")
+    mv.select(dims.map(col) ++ sumCols.map(c => col(s"mv_sum_$c")) :+
+        col("mv_cnt"): _*)
+      .unionByName(side("before", Seq("deleted", "updated"), -1))
+      .unionByName(side("after", Seq("inserted", "updated"), 1))
+      .groupBy(dims.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .where(col("mv_cnt") > 0)
+  }
+
+  /**
+   * STREAMING maintenance: keep the summary at `mvPath` current against a
+   * stream of CDC rows ([[cdcFeed]] schema) — `foreachBatch` applies
+   * [[applyCdc]] per micro-batch and republishes the summary with an
+   * atomic directory swap (write staging → rename aside → rename in), so
+   * readers never observe a partial summary. The summary is |groups|-
+   * sized; each batch costs |batch| + |summary|, never a base scan —
+   * the streaming complement of [[refreshIncremental]] (q142's batch
+   * shape). Caller starts/awaits the returned writer.
+   */
+  def maintainStream(cdcStream: DataFrame, mvPath: String, dims: Seq[String],
+      sumCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    cdcStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val next = applyCdc(spark.read.parquet(mvPath), batch, dims, sumCols)
+      swapPublish(next, mvPath)
+    }
+
+  /** Atomic republish of a small summary directory. */
+  private def swapPublish(df: DataFrame, path: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".staging")
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    try df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) { if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"mv swap: cannot move $dst aside") }
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"mv swap: cannot publish $tmp")
+    fs.delete(bak, true): Unit
+  }
 }
 
 /** The optimizer rule. Idempotent: a rewritten Aggregate scans the
