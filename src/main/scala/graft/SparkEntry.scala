@@ -1353,6 +1353,27 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q172_weighted_sample" -> ((s, dir) => {
+      // Efraimidis-Spirakis weighted sampling w/o replacement, 5 docs per
+      // source weighted by length — exponential clocks −ln(u)/w with the
+      // md5-fraction draw (no RNG state: reproducible across engines,
+      // partitionings and retries); selection via the bounded
+      // top-k-per-key PHYSICAL operator, shuffle = k·|groups| rows
+      graft.pipeline.Sampling.weightedSample(
+          eng(s, dir).table("documents"), "source", "doc_id",
+          col("n_chars"), k = 5)
+        .select(col("source"), col("doc_id"), col("rank"))
+        .orderBy("source", "rank")
+    }),
+    "q173_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: per anchor (vec_id<5) the 5
+      // most-similar OTHER-label vectors below the near-dup ceiling;
+      // broadcast anchors, one corpus pass, physical top-k ranking
+      VectorSearch.hardNegatives(eng(s, dir).table("embeddings"),
+          "vec_id", "embedding", "label", col("vec_id") < 5,
+          topK = 5, nearDupCeil = 0.95)
+        .orderBy("qid", "rank")
+    }),
     "q171_mv_stream" -> ((s, dir) => {
       // STREAMING MV maintenance e2e: summary of snapshot v0, then two
       // CDC batches (v0→v1, v1→v2, Debezium-shaped before/after images)
@@ -3431,6 +3452,38 @@ object SparkEntry {
                 CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
          FROM g ORDER BY prev, next""",
     // q163: identical aggregation + three deterministic ntile windows
+    // q172: the oracle redraws the same exponential clocks from the same
+    // md5 fractions and ranks with the same (es, doc_id) order
+    "q172_weighted_sample" ->
+      """WITH kk AS (
+           SELECT source, doc_id,
+                  -ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                      / 4503599627370496.0) / n_chars AS es
+           FROM documents
+         ), r AS (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source ORDER BY es, doc_id) AS rank
+           FROM kk
+         )
+         SELECT source, doc_id, rank FROM r WHERE rank <= 5
+         ORDER BY source, rank""",
+    // q173: sim rounds to 6dp BEFORE ranking on both sides; pk breaks ties
+    "q173_hard_negatives" ->
+      """WITH a AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 5
+         ), scored AS (
+           SELECT a.qid, a.qlabel, e.vec_id AS pk,
+                  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.qv), 6) AS sim
+           FROM embeddings e, a
+           WHERE e.label <> a.qlabel
+         ), r AS (
+           SELECT qid, qlabel, pk, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, pk) AS rank
+           FROM scored WHERE sim < 0.95
+         )
+         SELECT qid, qlabel, pk, sim, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
     // q171: the oracle is a FULL REBUILD of the final snapshot v2 — the
     // incrementally-maintained summary must match it exactly
     "q171_mv_stream" ->

@@ -260,6 +260,36 @@ object Sampling {
 
   /** Shared tail: distinct the train-side shingles, left-join the test
     * side once, one groupBy yields totals and hits together. */
+  /**
+   * Deterministic WEIGHTED sampling without replacement, k per group —
+   * Efraimidis-Spirakis (IPL 2006) via exponential clocks: each row draws
+   * `e_i = −ln(u_i) / w_i` and the k SMALLEST per group win, which samples
+   * without replacement with probability proportional to weight. The
+   * "draw" u_i is the md5 hash fraction of the row id — no RNG state, so
+   * the sample is reproducible across engines, partitionings, retries and
+   * years (same contract as [[hashSplit]]), and an independent redraw is a
+   * salt away. Selection runs on the bounded top-k-per-key PHYSICAL
+   * operator ([[graft.plans.TopK.perKey]]): the shuffle moves k·|groups|
+   * rows, never the corpus.
+   *
+   * The training-data use: quality-weighted corpus subsampling (weight =
+   * quality score or length) with an audit-able, re-derivable draw.
+   * Weights must be positive; u=0 (probability 2^-52) maps to e=+∞ —
+   * deterministically never sampled, identically on both engines.
+   */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val seed: Column =
+      if (salt.isEmpty) col(idCol).cast("string")
+      else concat(lit(salt), lit(":"), col(idCol).cast("string"))
+    val u = graft.operators.DistinctSketch.fracMd5(md5(seed))
+    val keyed = df.withColumn("__es", -log(u) / weightCol)
+    graft.plans.TopK.perKey(keyed, Seq(groupCol), "__es", k, idCol,
+        desc = false)
+      .drop("__es")
+  }
+
   private def contaminationTail(withSplit: DataFrame, idCol: String,
       testSplit: String, trainG: DataFrame): DataFrame = {
     val trainSet = trainG.distinct().withColumn("__hit", lit(1L))

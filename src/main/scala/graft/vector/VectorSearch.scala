@@ -265,6 +265,44 @@ object VectorSearch {
   }
 
   /**
+   * Hard-negative mining for contrastive training: for each anchor, the
+   * `topK` MOST similar rows with a DIFFERENT label, excluding
+   * near-duplicates (cosine ≥ `nearDupCeil` — an unlabeled positive in
+   * disguise poisons the loss; ceiling from the batch-negative literature,
+   * e.g. RocketQA's denoised negatives). The hardest negatives are the
+   * ones that move the margin; random negatives are mostly trivial.
+   *
+   * Shape: anchors BROADCAST (bounded batches — mine in anchor chunks),
+   * similarity scored in ONE corpus pass, per-anchor ranking on the
+   * bounded top-k-per-key physical operator (shuffle moves topK·|anchors|
+   * rows). Similarity rounds to 6dp BEFORE ranking, pk breaks ties — the
+   * ranking an external engine reproduces exactly. At higher anchor
+   * volume, swap the scan for `ivfSearchFiltered` probes per anchor (the
+   * label predicate rides the cell scan).
+   *
+   * Output: (qid, qlabel, pk, sim, rank), rank 1..topK per anchor.
+   */
+  def hardNegatives(
+      table: DataFrame,
+      pkCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchorPredicate: Column,
+      topK: Int = 10,
+      nearDupCeil: Double = 0.95): DataFrame = {
+    val anchors = table.where(anchorPredicate).select(
+      col(pkCol).as("qid"), col(vecCol).as("__qv"), col(labelCol).as("qlabel"))
+    val sim = cosineSimilarity(col(vecCol), col("__qv"))
+    val scored = table.where(col(vecCol).isNotNull)
+      .crossJoin(broadcast(anchors))
+      .where(col(labelCol) =!= col("qlabel"))
+      .select(col("qid"), col("qlabel"), col(pkCol).as("pk"),
+        round(sim, 6).as("sim"))
+      .where(col("sim") < nearDupCeil)
+    graft.plans.TopK.perKey(scored, Seq("qid"), "sim", topK, "pk", desc = true)
+  }
+
+  /**
    * IVF-PQ (the FAISS-standard pairing): probe `nprobe` cells (partition
    * pruning on a clustered layout — only nprobe/nlist of the data is
    * READ), rank the probed rows by ADC lookup on the byte codes (no

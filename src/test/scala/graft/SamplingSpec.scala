@@ -112,4 +112,23 @@ class SamplingSpec extends SparkSpec {
       assert(bloomed == exact, s"bloom path diverged at fpp=$fpp")
     }
   }
+
+  test("weightedSample: k per group, partition-independent, weight-biased") {
+    import spark.implicits._
+    // group g: ids 0..199 with weight 1, ids 200..219 with weight 100 —
+    // the 20 heavy ids should dominate a k=10 sample
+    val df = ((0 until 200).map(i => ("g", i.toLong, 1.0)) ++
+      (200 until 220).map(i => ("g", i.toLong, 100.0))).toDF("s", "id", "w")
+    val a = Sampling.weightedSample(df.repartition(13), "s", "id", col("w"), k = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    val b = Sampling.weightedSample(df.repartition(2), "s", "id", col("w"), k = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    assert(a == b) // the draw is a pure function of (salt, id)
+    assert(a.size == 10)
+    assert(a.keys.count(_ >= 200) >= 7, s"heavy ids under-sampled: $a")
+    // a different salt draws an independent sample (almost surely different)
+    val c = Sampling.weightedSample(df, "s", "id", col("w"), k = 10, salt = "v2")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(c != a.keys.toSet)
+  }
 }

@@ -95,6 +95,25 @@ class VectorSearchSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("hardNegatives: other-label only, below the near-dup ceiling, hardest first") {
+    val got = VectorSearch.hardNegatives(embs, "vec_id", "embedding", "label",
+      col("vec_id") < 3, topK = 4, nearDupCeil = 0.95).collect()
+    assert(got.length == 12) // 3 anchors × 4
+    val labelOf = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    got.foreach { r =>
+      val (qid, pk, sim) = (r.getAs[Long]("qid"), r.getAs[Long]("pk"),
+        r.getAs[Double]("sim"))
+      assert(labelOf(pk) != labelOf(qid), s"same-label negative $pk for $qid")
+      assert(sim < 0.95)
+    }
+    // per anchor: ranked by sim desc; rank-1 is the global hardest eligible
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    }
+  }
+
   test("IVF clustered layout: probe prunes partitions PHYSICALLY; recall@10 ≥ 0.9 at nprobe=4") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
     val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
