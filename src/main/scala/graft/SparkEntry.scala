@@ -1353,6 +1353,25 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q174_profile_drift" -> ((s, dir) => {
+      // column-profile drift between snapshots: ONE profiling pass per
+      // version (KMV distinct in the exact regime, numeric min/max),
+      // drift = pure rounded arithmetic over the two |columns|-sized
+      // profiles — the monitoring query that catches null spikes,
+      // cardinality collapses and unit changes before they poison a run
+      val orders = eng(s, dir).table("orders")
+      val v0 = orders.where(pmod(col("o_orderkey"), lit(7)) =!= 1)
+      val v1 = orders.where(pmod(col("o_orderkey"), lit(5)) =!= 2)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+      graft.operators.Profile.drift(
+          graft.operators.Profile.profile(v0, cols),
+          graft.operators.Profile.profile(v1, cols))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    }),
     "q172_weighted_sample" -> ((s, dir) => {
       // Efraimidis-Spirakis weighted sampling w/o replacement, 5 docs per
       // source weighted by length — exponential clocks −ln(u)/w with the
@@ -3452,6 +3471,43 @@ object SparkEntry {
                 CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY prev) AS prob
          FROM g ORDER BY prev, next""",
     // q163: identical aggregation + three deterministic ntile windows
+    // q174: the oracle recounts both snapshot profiles exactly (the KMV
+    // distinct runs in its exact regime) and replays the drift arithmetic
+    "q174_profile_drift" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                       o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         p0 AS (
+           SELECT 'o_custkey' AS col_name, count(*) AS n, count(*) - count(o_custkey) AS n_null,
+                  count(DISTINCT o_custkey) AS d,
+                  round(CAST(min(o_custkey) AS DOUBLE), 6) AS mn, round(CAST(max(o_custkey) AS DOUBLE), 6) AS mx FROM v0
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                  count(DISTINCT o_orderstatus), NULL, NULL FROM v0
+           UNION ALL
+           SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                  count(DISTINCT o_totalprice),
+                  round(CAST(min(o_totalprice) AS DOUBLE), 6), round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM v0
+         ),
+         p1 AS (
+           SELECT 'o_custkey' AS col_name, count(*) AS n, count(*) - count(o_custkey) AS n_null,
+                  count(DISTINCT o_custkey) AS d,
+                  round(CAST(min(o_custkey) AS DOUBLE), 6) AS mn, round(CAST(max(o_custkey) AS DOUBLE), 6) AS mx FROM v1
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                  count(DISTINCT o_orderstatus), NULL, NULL FROM v1
+           UNION ALL
+           SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                  count(DISTINCT o_totalprice),
+                  round(CAST(min(o_totalprice) AS DOUBLE), 6), round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM v1
+         )
+         SELECT p0.col_name, p0.n AS n_old, p1.n AS n_new,
+                round(CAST(p1.n_null AS DOUBLE) / p1.n - CAST(p0.n_null AS DOUBLE) / p0.n, 6) AS null_frac_delta,
+                round(CAST(p1.d AS DOUBLE) / p0.d, 6) AS distinct_ratio,
+                round(p1.mn - p0.mn, 6) AS min_shift,
+                round(p1.mx - p0.mx, 6) AS max_shift
+         FROM p0 JOIN p1 USING (col_name) ORDER BY col_name""",
     // q172: the oracle redraws the same exponential clocks from the same
     // md5 fractions and ranks with the same (es, doc_id) order
     "q172_weighted_sample" ->

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+import graft.functions.GraftFunctions.kmvSketch
+
+/**
+ * Column profiling and snapshot drift — the monitoring layer a 100 TB
+ * ingest needs BEFORE queries go wrong: null-rate spikes, cardinality
+ * collapses (a join key suddenly constant), range shifts (an upstream
+ * unit change). One pass per table version, |columns|-sized outputs,
+ * pure-arithmetic drift on top.
+ *
+ * Distinct counts ride the KMV sketch ([[DistinctSketch]]): in ONE
+ * aggregation alongside the other moments (a multi-column exact
+ * `count(distinct)` would plan an Expand pass per column), exact below
+ * sketch capacity (the gate regime), ~1/√k relative error above —
+ * production profiles run k≈1024 per column and never shuffle values.
+ *
+ * min/max are published for NUMERIC columns only (cast to double, 6dp) —
+ * cross-type renderings are not portable across engines; categorical
+ * drift is cardinality drift here.
+ *
+ * Reference anchor: the reference has no profiling surface; nearest is
+ * table stats in `queryTableDiagnostics` (SURVEY §2.11). Extension.
+ */
+object Profile {
+
+  /** Long-format profile: one row per requested column —
+    * (column, n, n_null, n_distinct, min_num, max_num). */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 1 << 16): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val schema = df.schema
+    val aggs = cols.flatMap { c =>
+      val numeric = schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        count(col(c)).as(s"__nn_$c"),
+        // xxhash64(NULL) returns the seed, not NULL — mask nulls out so
+        // they can't masquerade as a distinct value
+        size(kmvSketch(when(col(c).isNotNull,
+            shiftrightunsigned(xxhash64(col(c)), 12)), k))
+          .cast("long").as(s"__d_$c"),
+        (if (numeric) round(min(col(c)).cast("double"), 6) else lit(null).cast("double"))
+          .as(s"__min_$c"),
+        (if (numeric) round(max(col(c)).cast("double"), 6) else lit(null).cast("double"))
+          .as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n"),
+        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"), col(s"__max_$c").as("max_num"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /**
+   * Drift between two profiles of the same column set: per column the
+   * null-rate delta, the cardinality ratio (new/old), and numeric range
+   * shifts — every value a pure rounded function of the two profiles, so
+   * an external engine reproduces it from its own recount.
+   */
+  def drift(oldP: DataFrame, newP: DataFrame): DataFrame = {
+    val o = oldP.alias("o")
+    val n = newP.alias("n")
+    def nullFrac(side: String) =
+      col(s"$side.n_null").cast("double") / col(s"$side.n").cast("double")
+    o.join(n, col("o.column") === col("n.column"), "full_outer")
+      .select(
+        coalesce(col("o.column"), col("n.column")).as("column"),
+        col("o.n").as("n_old"), col("n.n").as("n_new"),
+        round(nullFrac("n") - nullFrac("o"), 6).as("null_frac_delta"),
+        round(col("n.n_distinct").cast("double")
+          / col("o.n_distinct").cast("double"), 6).as("distinct_ratio"),
+        round(col("n.min_num") - col("o.min_num"), 6).as("min_shift"),
+        round(col("n.max_num") - col("o.max_num"), 6).as("max_shift"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** Column profiling + drift: counts/nulls/distinct/min-max, drift math. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val v0 = Seq(
+    (1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+    (3L, None, "a"), (4L, Some(40.0), "c")
+  ).toDF("id", "v", "s")
+
+  test("profile: counts, null count, exact distinct, numeric-only min/max") {
+    val p = Profile.profile(v0, Seq("id", "v", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 0)
+    assert(p("id").getLong(3) == 4) // exact regime
+    assert(p("v").getLong(2) == 1)  // one null
+    assert(p("v").getLong(3) == 3)  // distinct excludes null
+    assert(p("v").getDouble(4) == 10.0 && p("v").getDouble(5) == 40.0)
+    assert(p("s").getLong(3) == 3)
+    assert(p("s").isNullAt(4) && p("s").isNullAt(5)) // non-numeric: no range
+  }
+
+  test("drift: null spike, cardinality collapse, range shift") {
+    val v1 = Seq(
+      (1L, Some(10.0), "a"), (2L, None, "a"),
+      (3L, None, "a"), (4L, Some(90.0), "a")
+    ).toDF("id", "v", "s")
+    val d = Profile.drift(
+        Profile.profile(v0, Seq("v", "s")), Profile.profile(v1, Seq("v", "s")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("v").getDouble(3) == 0.25)     // null frac 0.25 → 0.5
+    assert(d("s").getDouble(4) == 0.333333) // distinct 3 → 1
+    assert(d("v").getDouble(6) == 50.0)     // max 40 → 90
+  }
+}
