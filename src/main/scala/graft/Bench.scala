@@ -27,15 +27,25 @@ object BenchFormat {
     s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"}"""
   }
 
-  /** Compact record: LAST stdout line, the driver's parse target. */
-  def formatCompact(results: Seq[(String, Double)], sfDir: String): String = {
+  /** Compact record: LAST stdout line, the driver's parse target. The
+    * per-query map keeps only the `keep` SLOWEST queries (key-sorted):
+    * "value" still totals EVERY query, `"n"` says how many ran, and the
+    * sub-second tail the cut drops is exactly the part whose 1-decimal
+    * rendering carries no signal — the full-name 3-decimal record
+    * (stdout first line + target/bench.json) has everything. Bounding the
+    * map makes the line size O(keep), immune to query growth
+    * (BenchFormatSpec pins the budget at 3x today's count). */
+  def formatCompact(results: Seq[(String, Double)], sfDir: String,
+      keep: Int = 60): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     require(keys.distinct.size == keys.size, "short query keys collide")
-    val qs = keys.zip(results.map(_._2))
+    val slowest = keys.zip(results.map(_._2))
+      .sortBy { case (k, v) => (-v, k) }.take(keep).sortBy(_._1)
+    val qs = slowest
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, if (v >= 9.95) 0 else 1) }
       .mkString("{", ",", "}")
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sf"}"""
   }
 }
 

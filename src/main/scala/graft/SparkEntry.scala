@@ -59,6 +59,14 @@ object SparkEntry {
       queries.toSeq.filter { case (n, _) => ps.exists(n.startsWith) })
   }
 
+  /** (order, brand) basket-item rows for the q175-q177 graph family —
+    * part is dimension-sized, so the join broadcasts. */
+  private def brandBaskets(s: SparkSession, dir: String): DataFrame =
+    eng(s, dir).table("lineitem")
+      .join(broadcast(eng(s, dir).table("part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 filters / predicates ------------------------------------
     "q01_filter_range" -> ((s, dir) => {
@@ -1352,6 +1360,37 @@ object SparkEntry {
           eng(s, dir).table("events"), "user_id", "ts", "event_type",
           tieCol = "event_id")
         .orderBy("prev", "next")
+    }),
+    "q175_association" -> ((s, dir) => {
+      // market-basket association: brand pairs co-ordered ≥400 times —
+      // distinct basket-items first (multiplicity must not inflate
+      // support), basket-keyed pair join bounded by the loud mega-basket
+      // guard, conf/lift from exact counts
+      graft.operators.Association.pairs(brandBaskets(s, dir),
+          "l_orderkey", "p_brand", minSupport = 400L)
+        .orderBy("item_a", "item_b")
+    }),
+    "q176_pagerank" -> ((s, dir) => {
+      // PageRank on the symmetrized brand graph in 1e-9 FIXED-POINT
+      // integer units: contributions are integer `div` (truncation is the
+      // definition), sums exact longs — bit-identical on any engine or
+      // partitioning; the oracle replays 5 iterations as chained CTEs
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
+      graft.operators.GraphOps.pageRankFixed(edges, iters = 5)
+        .orderBy("node")
+    }),
+    "q177_triangles" -> ((s, dir) => {
+      // per-node triangle counts on the canonical (a<b) brand graph via
+      // the ordered wedge join — each triangle counted once, then its
+      // three corners exploded
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      graft.operators.GraphOps.triangles(
+          pr.select(col("item_a").as("src"), col("item_b").as("dst")))
+        .orderBy("node")
     }),
     "q174_profile_drift" -> ((s, dir) => {
       // column-profile drift between snapshots: ONE profiling pass per
@@ -2679,7 +2718,70 @@ object SparkEntry {
     s"((aN // ${1L << i}) % 2) * ${1L << (2 * i)} + ((bN // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
   }.mkString(" + ")
 
+  /** Shared brand co-occurrence graph (q175-q177): distinct (order,
+    * brand) baskets → support-counted canonical pairs at threshold 400. */
+  private val duckBrandGraph =
+    """WITH bi AS (
+         SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       ), pr AS (
+         SELECT x.i AS pa, y.i AS pb, count(*) AS support
+         FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+         GROUP BY 1, 2 HAVING count(*) >= 400
+       )"""
+
+  /** Five fixed-point PageRank iterations as chained CTEs — integer
+    * arithmetic ((r*85) // (100*deg)) replays GraphOps.pageRankFixed
+    * exactly, dangling-mass-drop contract included. */
+  private val duckPageRank: String = {
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s""", it$i AS (
+           SELECT n.node, CAST(150000000 + COALESCE(f.infl, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum((rp.r * 85) // (100 * deg.deg)) AS BIGINT) AS infl
+             FROM e JOIN $prev rp ON rp.node = e.src
+                    JOIN deg ON deg.src = e.src
+             GROUP BY 1
+           ) f ON f.node = n.node
+         )"""
+    }.mkString
+    duckBrandGraph +
+      """, e AS (SELECT pa AS src, pb AS dst FROM pr
+                 UNION ALL SELECT pb, pa FROM pr),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)""" +
+      iters +
+      " SELECT node, r AS rank_units FROM it5 ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // q175: exact counts; conf/lift pure rounded functions of them
+    "q175_association" ->
+      (duckBrandGraph +
+        """, n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+           s AS (SELECT i, count(*) AS supp FROM bi GROUP BY 1)
+           SELECT pr.pa AS item_a, pr.pb AS item_b, pr.support,
+                  round(CAST(pr.support AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6) AS conf_ab,
+                  round(CAST(pr.support AS DOUBLE) / CAST(sb.supp AS DOUBLE), 6) AS conf_ba,
+                  round(CAST(n.nb AS DOUBLE) * CAST(pr.support AS DOUBLE)
+                        / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)), 6) AS lift
+           FROM pr CROSS JOIN n
+                JOIN s sa ON sa.i = pr.pa JOIN s sb ON sb.i = pr.pb
+           ORDER BY item_a, item_b"""),
+    "q176_pagerank" -> duckPageRank,
+    // q177: ordered three-join counts each triangle once; corners explode
+    "q177_triangles" ->
+      (duckBrandGraph +
+        """, w AS (
+             SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+             FROM pr e1 JOIN pr e2 ON e2.pa = e1.pb
+           ), t AS (
+             SELECT w.x, w.y, w.z FROM w JOIN pr e3 ON e3.pa = w.x AND e3.pb = w.z
+           ), u AS (SELECT unnest([x, y, z]) AS node FROM t)
+           SELECT node, count(*) AS n_triangles FROM u GROUP BY 1 ORDER BY node"""),
     "q27_text_quality" -> {
       val sw = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
       val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Market-basket co-occurrence and association rules: support-counted item
+ * pairs plus confidence/lift — the first pass of Apriori (Agrawal &
+ * Srikant, VLDB 1994), which at warehouse scale is usually the ONLY pass
+ * anyone needs (pairs drive "bought together"; k≥3 itemsets are rarely
+ * actionable).
+ *
+ * Shape at scale: distinct (basket, item) first — multiplicity inside a
+ * basket must not inflate support — then pairs via a basket-keyed
+ * self-join (item_a < item_b). The join is keyed on the BASKET, so the
+ * shuffle is one partition pass of the basket-item table and the blowup
+ * per basket is items², bounded by `maxItemsPerBasket` (a loud guard: a
+ * degenerate mega-basket would otherwise square silently — same contract
+ * as PPJoin's posting caps). Pair counting and single-item supports
+ * partially aggregate map-side; the metrics join is |items|-sized and
+ * broadcast.
+ *
+ * Reference anchor: none (the reference has no analytics of this shape);
+ * SURVEY §2 extension family.
+ */
+object Association {
+
+  /**
+   * Association pairs: (item_a, item_b, support, conf_ab, conf_ba, lift)
+   * for item_a < item_b, support ≥ `minSupport` baskets. conf_ab =
+   * P(b∈basket | a∈basket), lift = n·supp(ab)/(supp(a)·supp(b)) — both
+   * 6dp-rounded pure functions of exact counts.
+   */
+  def pairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxItemsPerBasket: Int = 1000): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).cast("string").as("i"))
+      .where(col("i").isNotNull).distinct()
+    val fat = bi.groupBy(col("b")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") > maxItemsPerBasket).limit(1).collect()
+    require(fat.isEmpty,
+      s"basket ${fat.headOption.map(_.get(0))} exceeds maxItemsPerBasket=$maxItemsPerBasket")
+    val nBaskets = bi.select(col("b")).distinct().count()
+    val singles = bi.groupBy(col("i")).agg(count(lit(1)).as("supp"))
+    val l = bi.select(col("b"), col("i").as("item_a"))
+    val r = bi.select(col("b"), col("i").as("item_b"))
+    val pairSupp = l.join(r, Seq("b")).where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    pairSupp
+      .join(broadcast(singles.select(col("i").as("item_a"), col("supp").as("__sa"))), "item_a")
+      .join(broadcast(singles.select(col("i").as("item_b"), col("supp").as("__sb"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") / col("__sa").cast("double"), 6).as("conf_ab"),
+        round(col("support").cast("double") / col("__sb").cast("double"), 6).as("conf_ba"),
+        round(lit(nBaskets).cast("double") * col("support").cast("double")
+          / (col("__sa").cast("double") * col("__sb").cast("double")), 6).as("lift"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph analytics with EXACT fixed-point arithmetic.
+ *
+ * The reproducibility problem: PageRank's per-node contribution sum is a
+ * floating add whose order changes with partitioning, so two runs of the
+ * textbook double-based loop differ in the last ulps — unacceptable for a
+ * gated engine. Here rank is an INTEGER in units of 1e-9 (UNIT = 1e9):
+ * contributions are integer division (truncation is part of the
+ * definition), sums are exact longs, and the result is bit-identical on
+ * any engine, any partitioning, any iteration schedule.
+ *
+ * Shape at scale: out-degrees computed once; each iteration is one
+ * contributions shuffle keyed on dst + a left join back onto the node
+ * set (isolated/dangling-target nodes keep receiving the teleport mass).
+ * Driver holds NOTHING but the loop counter — state lives in DataFrames,
+ * and `iters` is small and fixed (rank converges geometrically).
+ * Dangling-node mass is dropped, the classic simplification — documented
+ * so the oracle replays the same contract.
+ *
+ * Reference anchor: none; extension family (same rationale as q67's
+ * connected components, `pipeline/Dedup.scala`).
+ */
+object GraphOps {
+
+  val Unit9: Long = 1000000000L
+
+  /**
+   * PageRank over directed `edges` (src, dst) with damping 85/100,
+   * `iters` fixed-point iterations. Nodes = every id appearing on either
+   * side. Output: (node, rank_units) — rank in 1e-9 units, exact.
+   */
+  def pageRankFixed(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
+    val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val teleport = lit(Unit9 * 15L / 100L)
+    var rank = nodes.withColumn("rank_units", lit(Unit9))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        // integer fixed-point: rank*85 exact in long (rank ≤ n·1e9, edges
+        // bounded), `div` truncates BY DEFINITION (long `/` would go double)
+        .selectExpr("dst as node", "(rank_units * 85) div (100 * deg) as c")
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      rank = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (teleport + coalesce(col("inflow"), lit(0L))).as("rank_units"))
+    }
+    rank
+  }
+
+  /**
+   * Triangle counting over an UNDIRECTED graph given as canonical edges
+   * (a < b): each triangle {x<y<z} is counted once via the ordered
+   * three-join. Per-node counts follow by exploding the triangle's three
+   * corners. Shuffles are edge-keyed; the heavy step is the wedge join,
+   * bounded by Σ deg² — the standard bound, mitigated upstream by support
+   * thresholds on how `edges` is built.
+   */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.selectExpr("cast(src as string) as a", "cast(dst as string) as b")
+      .where(col("a") < col("b")).distinct()
+    val wedges = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+    wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

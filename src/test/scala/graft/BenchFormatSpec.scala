@@ -23,15 +23,28 @@ class BenchFormatSpec extends AnyFunSuite {
   test("compact line fits the driver tail window with worst-case values") {
     // 99.99 is a per-query worst case with margin: the heaviest query on
     // record (q111) runs ~15 s; a 100 s single query would itself be a
-    // regression caught elsewhere.
-    val results = names.map(_ -> 99.99)
+    // regression caught elsewhere. 3x today's query count: the slowest-60
+    // cut must keep the line bounded regardless of growth.
+    val results = (names ++ (500 until 500 + 2 * names.size)
+      .map(i => s"q${i}_synthetic")).map(_ -> 99.99)
     val line = BenchFormat.formatCompact(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
     assert(
       line.length <= 1900,
-      s"compact bench line is ${line.length} bytes at ${names.size} queries — " +
-        "over the 1900-byte budget (2000-byte driver tail minus sbt trailer). " +
-        "Trim the format (1-decimal values / shorter keys) before adding more queries.")
+      s"compact bench line is ${line.length} bytes at ${results.size} queries — " +
+        "over the 1900-byte budget (2000-byte driver tail minus sbt trailer).")
+  }
+
+  test("compact line keeps the slowest queries and totals ALL of them") {
+    val results = (1 to 100).map(i => (f"q$i%03d_x", if (i <= 70) 0.1 else 5.0))
+    val line = BenchFormat.formatCompact(results, "sf", keep = 30)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("n").asInt == 100)
+    assert(node.get("queries").size == 30)
+    // every kept entry is one of the 5.0 s slow queries
+    val it = node.get("queries").fields()
+    while (it.hasNext) assert(it.next().getValue.asDouble == 5.0)
+    assert(math.abs(node.get("value").asDouble - (70 * 0.1 + 30 * 5.0)) < 1e-6)
   }
 
   test("compact line is valid JSON with the contract fields") {

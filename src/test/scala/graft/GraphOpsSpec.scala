@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Association, GraphOps}
+
+/** Association pairs, fixed-point PageRank, triangle counting. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Association.pairs: hand-checked support/conf/lift; multiplicity ignored") {
+    val bi = Seq(
+      (1, "a"), (1, "b"), (1, "c"), (1, "a"), // duplicate a must not inflate
+      (2, "a"), (2, "b"),
+      (3, "a"), (3, "c"),
+      (4, "b")).toDF("bk", "it")
+    val got = Association.pairs(bi, "bk", "it", minSupport = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // supports: a=3, b=3, c=2; pairs: ab=2, ac=2, bc=1 (cut)
+    assert(got.keySet == Set(("a", "b"), ("a", "c")))
+    assert(got(("a", "b")) == ((2L, 0.666667, 0.666667, 0.888889)))
+    assert(got(("a", "c")) == ((2L, 0.666667, 1.0, 1.333333)))
+  }
+
+  test("Association.pairs: mega-basket guard is loud") {
+    val bi = (0 until 40).map(i => (1, s"i$i")).toDF("bk", "it")
+    intercept[IllegalArgumentException] {
+      Association.pairs(bi, "bk", "it", maxItemsPerBasket = 10).collect()
+    }
+  }
+
+  test("pageRankFixed: hand-checked star graph, partition-independent") {
+    // undirected star a-b, a-c as directed both ways
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val r1 = GraphOps.pageRankFixed(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deg(a)=2, deg(b)=deg(c)=1; after 1 iter:
+    // a: 0.15e9 + 2·((1e9·85) div 100) = 150000000 + 1700000000
+    // b, c: 0.15e9 + (1e9·85) div 200 = 150000000 + 425000000
+    assert(r1 == Map("a" -> 1850000000L, "b" -> 575000000L, "c" -> 575000000L))
+    val r5a = GraphOps.pageRankFixed(edges.repartition(7), iters = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r5b = GraphOps.pageRankFixed(edges.repartition(2), iters = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r5a == r5b) // exact fixed-point: bit-identical on any layout
+    assert(r5a("a") > r5a("b")) // the hub outranks the spokes
+  }
+
+  test("triangles: one triangle counted once per corner; outside node absent") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val got = GraphOps.triangles(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+}
