@@ -43,7 +43,12 @@ object PlanAudit {
       "q137_bpe_tokens", // BPE kernel scan: projection only, no shuffle
       "q138_entity_match", // block-keyed self-join; JW kernel inside codegen
       "q139_mv_rewrite", // MUST scan the summary, not the base (rule engaged)
-      "q140_salted_join") // salt-replicated build side; no broadcast of probe
+      "q140_salted_join", // salt-replicated build side; no broadcast of probe
+      "q164_kmv_distinct", // ONE ObjectHashAggregate, no distinct-key shuffle
+      "q172_weighted_sample", // TopKPerKeyExec two-stage, no window sort
+      "q173_hard_negatives", // broadcast anchors; TopKPerKeyExec ranking
+      "q175_association", // broadcast part dim; basket-keyed pair join
+      "q176_pagerank") // per-iteration dst-keyed agg; integer div codegen
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

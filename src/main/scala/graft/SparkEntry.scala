@@ -1361,6 +1361,29 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q178_bitmap_audience" -> ((s, dir) => {
+      // EXACT audience algebra on bounded ids: one bitmap per event type
+      // (ONE aggregation, |domain|/8 bytes state), then every pairwise
+      // intersection/union/jaccard is codegen zip_with+bit_count array
+      // math — users are never shuffled again. The exact complement of
+      // the KMV estimates (q165); oracle recounts with DISTINCT joins
+      val bms = graft.operators.Bitmaps.bitmapBy(
+        eng(s, dir).table("events"), Seq("event_type"),
+        col("user_id"), maxId = 65536)
+      graft.operators.Bitmaps.overlap(bms, "event_type")
+        .orderBy("g_a", "g_b")
+    }),
+    "q179_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits its value to the
+      // user's most recent click/view within 1 h, else 'direct' — ONE
+      // user-keyed window pass with a total (ts, id) order, no
+      // per-conversion lookup join; decimal value accumulation
+      graft.operators.Attribution.byChannel(
+          eng(s, dir).table("events"), "user_id", "ts", "event_id",
+          "event_type", "value", convType = "purchase",
+          touchTypes = Seq("click", "view"), lookbackSec = 3600L)
+        .orderBy("channel")
+    }),
     "q175_association" -> ((s, dir) => {
       // market-basket association: brand pairs co-ordered ≥400 times —
       // distinct basket-items first (multiplicity must not inflate
@@ -2758,6 +2781,46 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q178: the oracle recounts each pairwise audience with exact
+    // DISTINCT set SQL — bitmaps must match it bit-for-bit
+    "q178_bitmap_audience" ->
+      """WITH u AS (SELECT DISTINCT event_type AS g, user_id AS uid FROM events),
+         g AS (SELECT DISTINCT g FROM u),
+         p AS (SELECT a.g AS g_a, b.g AS g_b FROM g a JOIN g b ON a.g < b.g)
+         SELECT p.g_a, p.g_b,
+                (SELECT count(*) FROM u WHERE u.g = p.g_a) AS n_a,
+                (SELECT count(*) FROM u WHERE u.g = p.g_b) AS n_b,
+                (SELECT count(*) FROM u x JOIN u y ON x.uid = y.uid
+                  WHERE x.g = p.g_a AND y.g = p.g_b) AS n_and,
+                (SELECT count(DISTINCT uid) FROM u
+                  WHERE u.g = p.g_a OR u.g = p.g_b) AS n_or,
+                round(CAST((SELECT count(*) FROM u x JOIN u y ON x.uid = y.uid
+                            WHERE x.g = p.g_a AND y.g = p.g_b) AS DOUBLE)
+                      / CAST((SELECT count(DISTINCT uid) FROM u
+                              WHERE u.g = p.g_a OR u.g = p.g_b) AS DOUBLE), 6) AS jaccard
+         FROM p ORDER BY g_a, g_b""",
+    // q179: identical window semantics — IGNORE NULLS last over a total
+    // (ts, id) ROWS frame; floor-to-second timestamps on both engines
+    "q179_attribution" ->
+      """WITH t AS (
+           SELECT *,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_t,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt_ch
+           FROM events
+         )
+         SELECT CASE WHEN lt_t IS NOT NULL
+                      AND CAST(floor(epoch(ts)) AS BIGINT) - lt_t <= 3600
+                     THEN lt_ch ELSE 'direct' END AS channel,
+                count(*) AS n_conversions,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY channel""",
     // q175: exact counts; conf/lift pure rounded functions of them
     "q175_association" ->
       (duckBrandGraph +

@@ -314,6 +314,81 @@ case class BloomBitsetAgg(
     copy(child = newChildren.head)
 }
 
+/**
+ * EXACT id-bitmap aggregate for BOUNDED integer domains: one bit per id,
+ * merges are bitwise OR. Where [[KmvSketchAgg]] estimates distinct counts
+ * for unbounded domains, this is the exact-set complement when ids are
+ * dense and bounded (user ids, enum dims — the roaring-bitmap warehouse
+ * pattern, simplified to a flat bitset because the domain is declared):
+ * per-group bitmaps persist next to the summary, and audience
+ * intersections/unions become codegen `zip_with`/`bit_count` array math
+ * on |domain|/8 bytes — the users are never shuffled again.
+ *
+ * Out-of-range ids fail LOUDLY (a silent drop would fake exactness).
+ */
+case class IdBitmapAgg(
+    child: Expression,
+    maxId: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(maxId >= 1 && maxId <= (1 << 26),
+    s"maxId in [1, 2^26] (8 MiB bitmap ceiling): $maxId")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def words: Int = (maxId + 63) / 64
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(bits: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v.asInstanceOf[Long]
+      if (id < 0 || id >= maxId)
+        throw new IllegalArgumentException(
+          s"IdBitmapAgg: id $id outside declared domain [0, $maxId)")
+      bits((id >>> 6).toInt) |= (1L << (id & 63))
+    }
+    bits
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(bits: Array[Long]): Any = {
+    val boxed = new Array[AnyRef](bits.length)
+    var i = 0
+    while (i < bits.length) { boxed(i) = java.lang.Long.valueOf(bits(i)); i += 1 }
+    new GenericArrayData(boxed)
+  }
+
+  override def serialize(bits: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): IdBitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): IdBitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): IdBitmapAgg =
+    copy(child = newChildren.head)
+}
+
 object BloomBitsetAgg {
   /** Kirsch-Mitzenmacher positions for a 64-bit hash. Shared by the
     * build-side aggregate and the probe side (bit tests on the sidecar). */

@@ -128,6 +128,12 @@ object GraftFunctions {
     kcol(graft.expr.BloomBitsetAgg(kexp(hash), mBits, numHashes)
       .toAggregateExpression())
 
+  /** Exact id bitmap over a bounded long domain [0, maxId) — mergeable
+    * (bitwise OR); out-of-range ids throw. See [[graft.expr.IdBitmapAgg]]. */
+  def idBitmap(id: Column, maxId: Int): Column =
+    kcol(graft.expr.IdBitmapAgg(kexp(id.cast("long")), maxId)
+      .toAggregateExpression())
+
   /** Jaro-Winkler similarity (record-linkage standard; Spark only ships
     * levenshtein) — codegen kernel, DuckDB-parity semantics. */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -36,11 +36,14 @@ object GraphOps {
    */
   def pageRankFixed(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
+    // the loop references these once PER ITERATION — without persistence
+    // the whole upstream lineage (possibly a multi-join edge derivation)
+    // re-executes iters times
     val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
-      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val teleport = lit(Unit9 * 15L / 100L)
     var rank = nodes.withColumn("rank_units", lit(Unit9))
     for (_ <- 1 to iters) {
