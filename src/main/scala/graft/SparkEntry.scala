@@ -1361,6 +1361,26 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q180_countmin" -> ((s, dir) => {
+      // count-min frequency table: the token stream is sketched in ONE
+      // narrow aggregation (never key-shuffled); per-token estimates are
+      // codegen element_at lookups on the broadcast counter row. Width
+      // 8192 >> |vocab| → collision-free regime, estimates == exact
+      // counts (the CM guarantee only ever over-counts)
+      val toks = eng(s, dir).table("documents")
+        .select(explode(whitespaceTokens(lower(col("text")))).as("w"))
+      graft.operators.FreqSketch.frequencies(
+          toks, col("w"), toks.select("w").distinct(), "w")
+        .orderBy("w")
+    }),
+    "q181_decayed_topk" -> ((s, dir) => {
+      // recency-weighted leaderboard in EXACT integer arithmetic: cents
+      // div 2^(age-buckets) — no pow(), no float sums, bit-identical on
+      // any layout; bounded TakeOrdered for the top slice
+      graft.operators.Decay.leaderboard(eng(s, dir).table("events"),
+          "user_id", "ts", "value", asOfDate = "2024-02-01",
+          halfLifeDays = 7, topK = 15)
+    }),
     "q178_bitmap_audience" -> ((s, dir) => {
       // EXACT audience algebra on bounded ids: one bitmap per event type
       // (ONE aggregation, |domain|/8 bytes state), then every pairwise
@@ -2781,6 +2801,26 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q180: collision-free regime — the oracle's exact token counts ARE
+    // the expected estimates
+    "q180_countmin" ->
+      """WITH t AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         )
+         SELECT w, count(*) AS est FROM t GROUP BY w ORDER BY w""",
+    // q181: identical integer ladder — cents // (1 << age-buckets)
+    "q181_decayed_topk" ->
+      """WITH d AS (
+           SELECT user_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // (CAST(1 AS BIGINT) << CAST(least(greatest(
+                         datediff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7, 0), 62) AS INT)) AS dc
+           FROM events
+         )
+         SELECT user_id, CAST(sum(dc) AS BIGINT) AS decayed_cents, count(*) AS n_events
+         FROM d GROUP BY 1
+         ORDER BY decayed_cents DESC, user_id LIMIT 15""",
     // q178: the oracle recounts each pairwise audience with exact
     // DISTINCT set SQL — bitmaps must match it bit-for-bit
     "q178_bitmap_audience" ->

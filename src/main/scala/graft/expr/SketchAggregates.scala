@@ -389,6 +389,85 @@ case class IdBitmapAgg(
     copy(child = newChildren.head)
 }
 
+/**
+ * Count-min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+ * aggregate: `depth` rows of `width` counters; each item (presented as
+ * its xxhash64) increments one counter per row at Kirsch-Mitzenmacher
+ * positions; merge is element-wise add. Point-frequency estimate =
+ * min over rows ([[graft.operators.FreqSketch.estimate]]) — always ≥ the
+ * true count, equal when the item avoids collision in ANY row (the
+ * regime the gate pins: width >> |distinct| ⇒ estimates ARE the exact
+ * counts). Completes the mergeable-sketch shelf: Misra-Gries (heavy
+ * hitters), KMV (distinct), bitmaps (exact sets), bloom (membership),
+ * count-min (frequencies) — one narrow aggregation each, never a
+ * key-shuffle of the stream.
+ */
+case class CountMinAgg(
+    child: Expression,
+    width: Int,
+    depth: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(width >= 16 && width <= (1 << 22), s"width in [16, 2^22]: $width")
+  require(depth >= 1 && depth <= 8, s"depth in [1,8]: $depth")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](width * depth)
+
+  override def update(cnt: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val h1 = h & 0xffffffffL
+      val h2 = (h >>> 32) | 1L
+      var d = 0
+      while (d < depth) {
+        val p = ((h1 + d.toLong * h2) % width + width) % width
+        cnt(d * width + p.toInt) += 1L
+        d += 1
+      }
+    }
+    cnt
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(cnt: Array[Long]): Any = {
+    val boxed = new Array[AnyRef](cnt.length)
+    var i = 0
+    while (i < cnt.length) { boxed(i) = java.lang.Long.valueOf(cnt(i)); i += 1 }
+    new GenericArrayData(boxed)
+  }
+
+  override def serialize(cnt: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(cnt.length * 8)
+    cnt.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren.head)
+}
+
 object BloomBitsetAgg {
   /** Kirsch-Mitzenmacher positions for a 64-bit hash. Shared by the
     * build-side aggregate and the probe side (bit tests on the sidecar). */

@@ -134,6 +134,12 @@ object GraftFunctions {
     kcol(graft.expr.IdBitmapAgg(kexp(id.cast("long")), maxId)
       .toAggregateExpression())
 
+  /** Count-min sketch aggregate over a 64-bit hash column — mergeable
+    * (element-wise add). See [[graft.expr.CountMinAgg]]. */
+  def countMinSketch(hash: Column, width: Int, depth: Int): Column =
+    kcol(graft.expr.CountMinAgg(kexp(hash), width, depth)
+      .toAggregateExpression())
+
   /** Jaro-Winkler similarity (record-linkage standard; Spark only ships
     * levenshtein) — codegen kernel, DuckDB-parity semantics. */
   def jaroWinkler(a: Column, b: Column): Column =

@@ -82,6 +82,42 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("count-min: exact in the collision-free regime; never under-counts when squeezed") {
+    import graft.operators.FreqSketch
+    val words = (Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 300).map(i => s"u${i % 60}"))
+    val df = words.toDF("w").repartition(9)
+    val probes = df.distinct()
+    // wide: estimates == exact counts
+    val wide = FreqSketch.frequencies(df, col("w"), probes, "w",
+        width = 4096, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(wide == exact)
+    // squeezed width forces collisions: estimates may inflate, never deflate
+    val tight = FreqSketch.frequencies(df, col("w"), probes, "w",
+        width = 16, depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (w, c) => assert(tight(w) >= c, s"under-count for $w") }
+  }
+
+  test("decayed leaderboard: exact power-of-two ladder, hand-checked") {
+    import graft.operators.Decay
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    val df = Seq(
+      (1L, ts("2024-01-31"), 10.00), // age 1d  → k=0 → 1000
+      (1L, ts("2024-01-20"), 10.00), // age 12d → k=1 → 500
+      (2L, ts("2024-01-01"), 40.00), // age 31d → k=4 → 250
+      (2L, ts("2024-01-31"), 0.07)   // 7 cents, k=0 → 7
+    ).toDF("u", "ts", "v")
+    val got = Decay.decayedSum(df, "u", "ts", "v", "2024-02-01", halfLifeDays = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1500L, 2L)), 2L -> ((257L, 2L))))
+    val top = Decay.leaderboard(df, "u", "ts", "v", "2024-02-01", 7, topK = 1)
+      .head()
+    assert(top.getLong(0) == 1L && top.getLong(1) == 1500L)
+  }
+
   test("KMV md5 family: lexicographic hex order is numeric fraction order") {
     val df = (0 until 3000).map(_.toLong).toDF("v")
     val sk = sketchBy(df, Seq.empty, md5Hash(col("v")), k = 32)
