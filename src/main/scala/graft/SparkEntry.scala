@@ -59,6 +59,18 @@ object SparkEntry {
       queries.toSeq.filter { case (n, _) => ps.exists(n.startsWith) })
   }
 
+  /** The q133-style snapshot pair (v0: keys %7!=1; v1: keys %5!=2 with
+    * prices bumped on %3==0) — shared by the drift family (q174/q182/q183). */
+  private def snapPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val orders = eng(s, dir).table("orders")
+    val v0 = orders.where(pmod(col("o_orderkey"), lit(7)) =!= 1)
+    val v1 = orders.where(pmod(col("o_orderkey"), lit(5)) =!= 2)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    (v0, v1)
+  }
+
   /** (order, brand) basket-item rows for the q175-q177 graph family —
     * part is dimension-sized, so the join broadcasts. */
   private def brandBaskets(s: SparkSession, dir: String): DataFrame =
@@ -1360,6 +1372,22 @@ object SparkEntry {
           eng(s, dir).table("events"), "user_id", "ts", "event_type",
           tieCol = "event_id")
         .orderBy("prev", "next")
+    }),
+    "q182_psi" -> ((s, dir) => {
+      // population stability index between order snapshots: declared
+      // [0,500k) bins (an engine-derived range would make binning a
+      // moving target), Laplace-smoothed shares, decimal-summed terms;
+      // the standard "did the score distribution move" monitor
+      val (v0, v1) = snapPair(s, dir)
+      graft.operators.DistDrift.psi(v0, v1, "o_totalprice",
+        lo = 0.0, hi = 500000.0, nBins = 10)
+    }),
+    "q183_ks_test" -> ((s, dir) => {
+      // exact two-sample KS: the max |F1-F2| search runs on INTEGER
+      // |c1*n2 - c2*n1| (no float CDF accumulation — deterministic max
+      // + smallest-attaining-value tiebreak); ratio published once
+      val (v0, v1) = snapPair(s, dir)
+      graft.operators.DistDrift.ks(v0, v1, "o_totalprice")
     }),
     "q180_countmin" -> ((s, dir) => {
       // count-min frequency table: the token stream is sketched in ONE
@@ -2801,6 +2829,43 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q182: identical binning (declared bounds), Laplace smoothing, and
+    // 12dp-rounded decimal-summed terms on both engines
+    "q182_psi" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         n0 AS (SELECT count(*) AS n FROM v0), n1 AS (SELECT count(*) AS n FROM v1),
+         bins AS (SELECT unnest(range(10)) AS bin),
+         b0 AS (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0.0), 9.0) AS BIGINT) AS bin,
+                       count(*) AS c FROM v0 GROUP BY 1),
+         b1 AS (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0.0), 9.0) AS BIGINT) AS bin,
+                       count(*) AS c FROM v1 GROUP BY 1),
+         p AS (SELECT bins.bin, CAST(COALESCE(b0.c, 0) + 1 AS DOUBLE) / CAST(n0.n + 10 AS DOUBLE) AS p
+               FROM bins LEFT JOIN b0 ON b0.bin = bins.bin CROSS JOIN n0),
+         q AS (SELECT bins.bin, CAST(COALESCE(b1.c, 0) + 1 AS DOUBLE) / CAST(n1.n + 10 AS DOUBLE) AS q
+               FROM bins LEFT JOIN b1 ON b1.bin = bins.bin CROSS JOIN n1)
+         SELECT round(CAST(sum(CAST(round((q.q - p.p) * ln(q.q / p.p), 12) AS DECIMAL(20,12))) AS DOUBLE), 6) AS psi,
+                (SELECT n FROM n0) AS n_old, (SELECT n FROM n1) AS n_new
+         FROM p JOIN q ON p.bin = q.bin""",
+    // q183: the max runs on integer |c1*n2 - c2*n1|; ratio published once
+    "q183_ks_test" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s1, 0 AS s2 FROM v0
+               UNION ALL
+               SELECT CAST(o_totalprice AS DOUBLE), 0, 1 FROM v1),
+         pv AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM t WHERE v IS NOT NULL GROUP BY 1),
+         n AS (SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2 FROM t),
+         c AS (SELECT v,
+                      sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+                      sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+               FROM pv),
+         m AS (SELECT c.v, CAST(abs(a1 * n.n2 - a2 * n.n1) AS BIGINT) AS num, n.n1, n.n2 FROM c CROSS JOIN n)
+         SELECT round(CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks,
+                v AS at_value, n1 AS n_old, n2 AS n_new
+         FROM m ORDER BY num DESC, v LIMIT 1""",
     // q180: collision-free regime — the oracle's exact token counts ARE
     // the expected estimates
     "q180_countmin" ->

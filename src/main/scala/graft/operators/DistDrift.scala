@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution drift between two table versions — the ML-monitoring
+ * complement of [[Profile]]'s moment drift: population stability index
+ * (the industry-standard binned divergence) and the exact two-sample
+ * Kolmogorov-Smirnov statistic.
+ *
+ * PSI bins on EXPLICIT bounds (caller-declared, like `ZOrder.gridCoord` —
+ * an engine-derived min/max would make the binning a moving target),
+ * Laplace-smooths shares so empty bins don't blow up the log, and is one
+ * grouped count per side.
+ *
+ * KS runs in EXACT integer arithmetic until the last step: with side
+ * counts c1,c2 cumulated over the ordered distinct values, the statistic
+ * is max |c1·n2 − c2·n1| / (n1·n2) — the numerator is an exact long, so
+ * the max is deterministic (no float CDF accumulation). The cumulative
+ * counts need an ordered scan: here a single ordered window over the
+ * DISTINCT value set (bounded by value cardinality); at 100 TB you bin
+ * first (PSI) or range-partition the prefix sum — documented trade-off.
+ */
+object DistDrift {
+
+  private def bin(v: Column, lo: Double, hi: Double, nBins: Int): Column =
+    least(greatest(floor((v - lit(lo)) / lit((hi - lo) / nBins)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+
+  /** Per-bin shares of `valCol` over declared [lo, hi) equi-width bins,
+    * Laplace-smoothed: (cnt + 1) / (n + nBins). */
+  private def shares(df: DataFrame, valCol: String, lo: Double, hi: Double,
+      nBins: Int, n: Long): DataFrame = {
+    val binned = df.select(bin(col(valCol), lo, hi, nBins).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val allBins = df.sparkSession.range(nBins).select(col("id").as("bin"))
+    allBins.join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+          / lit((n + nBins).toDouble)).as("share"))
+  }
+
+  /**
+   * PSI between `oldDf` and `newDf` on `valCol`:
+   * one row — (psi, n_old, n_new). psi = Σ (q−p)·ln(q/p), 6dp.
+   */
+  def psi(oldDf: DataFrame, newDf: DataFrame, valCol: String,
+      lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    val (nOld, nNew) = (oldDf.count(), newDf.count())
+    val p = shares(oldDf, valCol, lo, hi, nBins, nOld).withColumnRenamed("share", "p")
+    val q = shares(newDf, valCol, lo, hi, nBins, nNew).withColumnRenamed("share", "q")
+    p.join(q, "bin")
+      // per-bin terms round to 12dp and sum as DECIMAL: the Σ is exact and
+      // partition-order free (a raw double Σ could flip the 6dp rounding)
+      .agg(round(sum(round((col("q") - col("p")) * log(col("q") / col("p")), 12)
+        .cast("decimal(20,12)")).cast("double"), 6).as("psi"))
+      .select(col("psi"), lit(nOld).as("n_old"), lit(nNew).as("n_new"))
+  }
+
+  /**
+   * Exact two-sample KS: one row — (ks, at_value, n_old, n_new), where
+   * `ks` = max |F1−F2| over the pooled distinct values and `at_value` is
+   * the smallest value attaining it (deterministic tiebreak). The max
+   * search compares the INTEGER |c1·n2 − c2·n1| — floats appear only in
+   * the published ratio.
+   */
+  def ks(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
+    val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
+      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
+      .where(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    val cum = perValue
+      .select(col("v"), sum(col("c1")).over(w).as("a1"), sum(col("c2")).over(w).as("a2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("num", abs(col("a1") * col("n2") - col("a2") * col("n1")))
+    cum.orderBy(col("num").desc, col("v").asc).limit(1)
+      .select(
+        round(col("num").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks"),
+        col("v").as("at_value"), col("n1").as("n_old"), col("n2").as("n_new"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DistDrift
+
+/** PSI and exact two-sample KS. */
+class DistDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi: zero for identical distributions, hand-checked for a full shift") {
+    val a = (1 to 100).map(_ => 0.5).toDF("v")
+    val b = (1 to 100).map(_ => 1.5).toDF("v")
+    val same = DistDrift.psi(a, a, "v", lo = 0.0, hi = 2.0, nBins = 2).head()
+    assert(same.getDouble(0) == 0.0)
+    val shifted = DistDrift.psi(a, b, "v", 0.0, 2.0, nBins = 2).head()
+    // p = (101/102, 1/102), q = (1/102, 101/102):
+    // psi = 2 * (100/102) * ln(101)
+    val expect = math.rint(2 * (100.0 / 102.0) * math.log(101.0) * 1e6) / 1e6
+    assert(math.abs(shifted.getDouble(0) - expect) < 2e-6, s"${shifted.getDouble(0)}")
+    assert(shifted.getLong(1) == 100 && shifted.getLong(2) == 100)
+  }
+
+  test("ks: 0 for identical, 1 for disjoint, hand-checked midpoint") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    assert(DistDrift.ks(a, a, "v").head().getDouble(0) == 0.0)
+    val b = (51 to 100).map(_.toDouble).toDF("v")
+    val disj = DistDrift.ks(a, b, "v").head()
+    assert(disj.getDouble(0) == 1.0)
+    assert(disj.getDouble(1) == 50.0) // max first attained at the last a-value
+    // half-overlap: a = 1..50, c = 26..75 → max gap at v=25 (F1=.5, F2=0)
+    val c = (26 to 75).map(_.toDouble).toDF("v")
+    val half = DistDrift.ks(a, c, "v").head()
+    assert(half.getDouble(0) == 0.5 && half.getDouble(1) == 25.0)
+  }
+}
