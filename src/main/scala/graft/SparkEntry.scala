@@ -1373,6 +1373,29 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q184_secondary_index" -> ((s, dir) => {
+      // persisted value→PK secondary index (the reference's B+Tree shape
+      // re-expressed): range-sorted index files + min/max sidecar; a
+      // BETWEEN probe reads only overlapping index files (loud skip
+      // guard), matched PKs broadcast-semi-join the base — result ==
+      // full-scan filter by construction, which the oracle runs
+      val base = tmpDir("sidx")
+      val tdir = base + "/orders8"
+      eng(s, dir).table("orders").repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(tdir)
+      val idxPath = base + "/idx_price"
+      graft.operators.SecondaryIndex.build(s, tdir, "o_totalprice",
+        "o_orderkey", idxPath)
+      val (total, scanned) = graft.operators.SecondaryIndex.pruneStats(
+        s, idxPath, "o_totalprice", 100000.0, 110000.0)
+      require(scanned < total,
+        s"secondary index failed to prune: $scanned/$total index files")
+      graft.operators.SecondaryIndex.lookupRange(s, tdir, idxPath,
+          "o_totalprice", "o_orderkey", 100000.0, 110000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total_price"))
+        .orderBy("o_orderkey")
+    }),
     "q182_psi" -> ((s, dir) => {
       // population stability index between order snapshots: declared
       // [0,500k) bins (an engine-derived range would make binning a
@@ -2829,6 +2852,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q184: the index only skips files that cannot intersect the probe —
+    // the pruned lookup must equal the full-scan BETWEEN
+    "q184_secondary_index" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(o_totalprice AS DOUBLE) AS total_price
+         FROM orders
+         WHERE o_totalprice BETWEEN 100000.0 AND 110000.0
+         ORDER BY o_orderkey""",
     // q182: identical binning (declared bounds), Laplace smoothing, and
     // 12dp-rounded decimal-summed terms on both engines
     "q182_psi" ->
