@@ -1373,6 +1373,32 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q185_twap" -> ((s, dir) => {
+      // time-weighted average on irregular samples: each observation
+      // holds until the user's next event; cents × whole-second
+      // durations — long products, long sums, ONE published ratio; a
+      // plain avg() would over-weight bursts
+      graft.operators.TimeSeries.twap(eng(s, dir).table("events"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    }),
+    "q186_ohlc" -> ((s, dir) => {
+      // OHLC candle resample per (type, day): open/close under the TOTAL
+      // (ts, id) order — deterministic under timestamp ties; one window
+      // + one aggregation, no per-bucket lookups
+      graft.operators.TimeSeries.ohlc(eng(s, dir).table("events"),
+          "event_type", "ts", "event_id", "value", unit = "DAY")
+        .orderBy("event_type", "bucket_ts")
+    }),
+    "q187_corr" -> ((s, dir) => {
+      // pairwise Pearson matrix from ONE decimal-exact moment pass —
+      // corr()'s running double covariances are order/engine-unstable,
+      // these cancellations run in exact decimal (doubles only at the
+      // final correctly-rounded sqrt and divide)
+      graft.operators.Trend.corrMatrix(eng(s, dir).table("lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
+    }),
     "q184_secondary_index" -> ((s, dir) => {
       // persisted value→PK secondary index (the reference's B+Tree shape
       // re-expressed): range-sorted index files + min/max sidecar; a
@@ -2852,6 +2878,75 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q185: identical lead() durations (raw-ts window order, floored-
+    // second values) and the identical single-ratio arithmetic
+    "q185_twap" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events
+         ), d AS (
+           SELECT user_id, cents,
+                  COALESCE(lead(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) - tsec, 0) AS dur
+           FROM t
+         )
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(dur) AS BIGINT) AS dur_s,
+                CASE WHEN sum(dur) > 0
+                     THEN round(CAST(sum(cents * dur) AS DOUBLE)
+                                / (CAST(sum(dur) AS DOUBLE) * 100.0), 6) END AS twap
+         FROM d GROUP BY 1 ORDER BY user_id""",
+    // q186: same total-order row_number windows, same bucket floor
+    "q186_ohlc" ->
+      """WITH b AS (
+           SELECT event_type, date_trunc('day', ts) AS bkt, ts, event_id, value
+           FROM events
+         ), r AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY event_type, bkt ORDER BY ts, event_id) AS ra,
+                  row_number() OVER (PARTITION BY event_type, bkt ORDER BY ts DESC, event_id DESC) AS rd
+           FROM b
+         )
+         SELECT event_type, CAST(floor(epoch(bkt)) AS BIGINT) AS bucket_ts,
+                max(CASE WHEN ra = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rd = 1 THEN value END) AS close,
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_ts""",
+    // q187: identical decimal moments and assembly; sqrt is IEEE
+    // correctly-rounded on both engines
+    "q187_corr" ->
+      """WITH m AS (
+           SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                  sum(CAST(l_quantity AS DECIMAL(38,4))) AS s_q,
+                  sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS s_e,
+                  sum(CAST(l_discount AS DECIMAL(38,4))) AS s_d,
+                  sum(CAST(l_tax AS DECIMAL(38,4))) AS s_t,
+                  sum(CAST(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_quantity AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS ss_q,
+                  sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(l_extendedprice AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS ss_e,
+                  sum(CAST(CAST(l_discount AS DECIMAL(38,4)) * CAST(l_discount AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS ss_d,
+                  sum(CAST(CAST(l_tax AS DECIMAL(38,4)) * CAST(l_tax AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS ss_t,
+                  sum(CAST(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_extendedprice AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS sp_q_e,
+                  sum(CAST(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_discount AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS sp_q_d,
+                  sum(CAST(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_tax AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS sp_q_t,
+                  sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(l_discount AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS sp_e_d,
+                  sum(CAST(CAST(l_extendedprice AS DECIMAL(38,4)) * CAST(l_tax AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS sp_e_t,
+                  sum(CAST(CAST(l_discount AS DECIMAL(38,4)) * CAST(l_tax AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS sp_d_t
+           FROM lineitem
+         ), pairs AS (
+           SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n, sp_q_e AS sp, s_q AS sa, s_e AS sb, ss_q AS ssa, ss_e AS ssb FROM m
+           UNION ALL SELECT 'l_quantity', 'l_discount', n, sp_q_d, s_q, s_d, ss_q, ss_d FROM m
+           UNION ALL SELECT 'l_quantity', 'l_tax', n, sp_q_t, s_q, s_t, ss_q, ss_t FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', n, sp_e_d, s_e, s_d, ss_e, ss_d FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_tax', n, sp_e_t, s_e, s_t, ss_e, ss_t FROM m
+           UNION ALL SELECT 'l_discount', 'l_tax', n, sp_d_t, s_d, s_t, ss_d, ss_t FROM m
+         )
+         SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+                round(CAST(n * sp - sa * sb AS DOUBLE)
+                      / sqrt(CAST(n * ssa - sa * sa AS DOUBLE) * CAST(n * ssb - sb * sb AS DOUBLE)), 6) AS corr
+         FROM pairs ORDER BY col_a, col_b""",
     // q184: the index only skips files that cannot intersect the probe —
     // the pruned lookup must equal the full-scan BETWEEN
     "q184_secondary_index" ->

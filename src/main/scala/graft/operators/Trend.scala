@@ -51,4 +51,36 @@ object Trend {
           / col("n").cast("double"), 6).as("intercept"),
         round(num * num / (denX * denY), 6).as("r2"))
   }
+
+  /**
+   * Pairwise Pearson correlation matrix over `cols` — ONE aggregation
+   * computes every moment (sums, squares, cross-products) as exact
+   * DECIMAL(38,8); the correlation assembles as
+   * (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²)) with the
+   * cancellations in exact decimal, doubles entering only at the final
+   * sqrt (IEEE sqrt is correctly rounded → deterministic) and division.
+   * `corr()`'s running double covariances are neither order- nor
+   * engine-stable; this is. Output: (col_a, col_b, n, corr) for a < b.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val d = (c: String) => col(c).cast("decimal(38,4)")
+    val aggs =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+      cols.map(c => sum(d(c)).as(s"s_$c")) ++
+      cols.map(c => sum((d(c) * d(c)).cast("decimal(38,8)")).as(s"ss_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        sum((d(a) * d(b)).cast("decimal(38,8)")).as(s"sp_${a}_$b") }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val num = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val dx = (col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+      val dy = (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col("n").cast("long").as("n"),
+        round(num / sqrt(dx * dy), 6).as("corr"))
+    }
+    m.select(explode(array(pairs: _*)).as("p")).select("p.*")
+  }
 }
