@@ -1373,6 +1373,37 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q188_cusum" -> ((s, dir) => {
+      // CUSUM change-point detection in exact longs via the prefix-min
+      // identity: max(0, S+d) recursion == P − min(0, running-min P) —
+      // a sequential statistic turned into two stacked window passes,
+      // no recursion, no floats
+      graft.operators.TimeSeries.cusum(eng(s, dir).table("events"),
+          "event_type", "ts", "event_id", "value",
+          targetCents = 5500L, hCents = 20000L)
+        .orderBy("event_type")
+    }),
+    "q189_benford" -> ((s, dir) => {
+      // Benford first-digit audit: digits from INTEGER cents rendered as
+      // strings (no log10 boundary hazard), chi² vs LITERAL expected
+      // shares with decimal-summed terms
+      graft.operators.Profile.benford(
+          eng(s, dir).table("orders"), "o_totalprice")
+        .orderBy("digit")
+    }),
+    "q190_linear_touch" -> ((s, dir) => {
+      // linear multi-touch attribution with EXACT integer credit
+      // splitting: cents div k per eligible touch, remainder to the
+      // latest — credits reconcile to the conversion total to the cent;
+      // one window pass carries the running touch list (no self-join);
+      // the oracle derives the same credits INDEPENDENTLY via a
+      // conversions×touches join
+      graft.operators.Attribution.linearTouch(
+          eng(s, dir).table("events"), "user_id", "ts", "event_id",
+          "event_type", "value", convType = "purchase",
+          touchTypes = Seq("click", "view"), lookbackSec = 3600L)
+        .orderBy("channel")
+    }),
     "q185_twap" -> ((s, dir) => {
       // time-weighted average on irregular samples: each observation
       // holds until the user's next event; cents × whole-second
@@ -2878,6 +2909,87 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q188: the same two stacked windows in SQL — all long arithmetic
+    "q188_cusum" ->
+      """WITH t AS (
+           SELECT event_type, ts, event_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) - 5500 AS d
+           FROM events
+         ), p AS (
+           SELECT event_type, ts, event_id,
+                  sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+           FROM t
+         ), s AS (
+           SELECT event_type, ts,
+                  pp - least(CAST(0 AS BIGINT),
+                             min(pp) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS sv
+           FROM p
+         )
+         SELECT event_type, count(*) AS n,
+                CAST(max(sv) AS BIGINT) AS max_s,
+                CAST(sum(CASE WHEN sv > 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+                CAST(min(CASE WHEN sv > 20000 THEN floor(epoch(ts)) END) AS BIGINT) AS first_alarm_t
+         FROM s GROUP BY 1 ORDER BY 1""",
+    // q189: digits from integer cents rendered as strings; chi² terms
+    // 12dp-rounded and decimal-summed against the same literal shares
+    "q189_benford" ->
+      """WITH cents AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM orders WHERE o_totalprice > 0
+         ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cents),
+         obs AS (
+           SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS observed
+           FROM cents GROUP BY 1
+         ), exp AS (
+           SELECT * FROM (VALUES
+             (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829993),
+             (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322),
+             (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514))
+             AS t(digit, share)
+         ), j AS (
+           SELECT e.digit, COALESCE(o.observed, 0) AS observed,
+                  round(n.n * e.share, 6) AS expected,
+                  round((CAST(COALESCE(o.observed, 0) AS DOUBLE) - n.n * e.share)
+                        * (CAST(COALESCE(o.observed, 0) AS DOUBLE) - n.n * e.share)
+                        / (n.n * e.share), 12) AS term
+           FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN n
+         ), c2 AS (
+           SELECT round(CAST(sum(CAST(term AS DECIMAL(20,12))) AS DOUBLE), 6) AS chi2 FROM j
+         )
+         SELECT j.digit, j.observed, j.expected, c2.chi2
+         FROM j CROSS JOIN c2 ORDER BY j.digit""",
+    // q190: INDEPENDENT derivation — conversions×touches join + ranked
+    // split, vs the engine's windowed running-touch-list explode
+    "q190_linear_touch" ->
+      """WITH conv AS (
+           SELECT user_id AS u, ts AS ct, event_id AS cid,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'
+         ), tch AS (
+           SELECT user_id AS u, ts AS tt, event_id AS tid, event_type AS ch
+           FROM events WHERE event_type IN ('click', 'view')
+         ), el AS (
+           SELECT c.cid, c.cents, t.tt, t.tid, t.ch
+           FROM conv c JOIN tch t ON t.u = c.u
+            AND (t.tt < c.ct OR (t.tt = c.ct AND t.tid < c.cid))
+            AND CAST(floor(epoch(c.ct)) AS BIGINT) - CAST(floor(epoch(t.tt)) AS BIGINT) <= 3600
+         ), r AS (
+           SELECT *, row_number() OVER (PARTITION BY cid ORDER BY tt, tid) AS rn,
+                  count(*) OVER (PARTITION BY cid) AS k
+           FROM el
+         ), cr AS (
+           SELECT ch AS channel,
+                  cents // k + CASE WHEN rn = k THEN cents % k ELSE 0 END AS credit
+           FROM r
+           UNION ALL
+           SELECT 'direct', cents FROM conv
+           WHERE cid NOT IN (SELECT cid FROM el)
+         )
+         SELECT channel, count(*) AS n_credits,
+                CAST(sum(credit) AS BIGINT) AS credited_cents
+         FROM cr GROUP BY 1 ORDER BY 1""",
     // q185: identical lead() durations (raw-ts window order, floored-
     // second values) and the identical single-ratio arithmetic
     "q185_twap" ->

@@ -58,6 +58,48 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** log10(1 + 1/d) for d = 1..9 as LITERALS — Benford's expected
+    * first-digit shares. Hardcoded (not computed) so no transcendental
+    * evaluation can diverge between engines. */
+  val BenfordShares: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /**
+   * Benford first-digit audit of a positive 2-decimal money column — the
+   * classic fabricated-data / unit-mixup detector: natural multi-scale
+   * amounts follow log10(1+1/d); uniform or clamped data does not.
+   * First digit via INTEGER cents rendered to a string (no log10 — a
+   * boundary value like 100.00 must not land in the wrong digit on one
+   * engine), chi² against the literal expected shares with 12dp-rounded
+   * DECIMAL-summed terms (the PSI doctrine). Output per digit:
+   * (digit, observed, expected, chi2) — chi2 repeated (grand total).
+   */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
+    val digits = df.where(col(valCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val n = df.where(col(valCol) > 0).count()
+    val expected = BenfordShares.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("digit"), lit(s).as("share"))
+    }
+    val exp = df.sparkSession.range(1)
+      .select(explode(array(expected: _*)).as("e")).select("e.*")
+    val joined = exp.join(digits, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        round(lit(n.toDouble) * col("share"), 6).as("expected"),
+        round(
+          (coalesce(col("observed"), lit(0L)).cast("double") - lit(n.toDouble) * col("share"))
+            * (coalesce(col("observed"), lit(0L)).cast("double") - lit(n.toDouble) * col("share"))
+            / (lit(n.toDouble) * col("share")), 12).as("__term"))
+    val chi2 = joined.agg(
+      round(sum(col("__term").cast("decimal(20,12)")).cast("double"), 6).as("chi2"))
+    joined.crossJoin(broadcast(chi2)).drop("__term")
+  }
+
   /**
    * Drift between two profiles of the same column set: per column the
    * null-rate delta, the cardinality ratio (new/old), and numeric range

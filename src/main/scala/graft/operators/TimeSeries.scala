@@ -49,6 +49,35 @@ object TimeSeries {
   }
 
   /**
+   * CUSUM change-point detection per key, in EXACT long arithmetic via
+   * the prefix-minimum identity: the textbook recursion
+   * S_t = max(0, S_{t−1} + (x_t − target)) equals
+   * S_t = P_t − min(0, min_{i≤t} P_i) for the prefix sums
+   * P_t = Σ(x_i − target) — which turns an inherently sequential
+   * statistic into TWO stacked window passes (prefix sum, running min)
+   * with no recursion and no floats. An alarm is S_t > h.
+   *
+   * Output per key: (key, n, max_s, n_alarms, first_alarm_t) —
+   * max drift in cents, alarm count, epoch-second of the first alarm
+   * (null when none). Page (1954) statistic; target/h in cents.
+   */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, targetCents: Long, hCents: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = df
+      .withColumn("__d",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long") - lit(targetCents))
+      .withColumn("__p", sum(col("__d")).over(w))
+      .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+    scored.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__s")).as("max_s"),
+        sum(when(col("__s") > hCents, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("__s") > hCents, col(tsCol).cast("long"))).as("first_alarm_t"))
+  }
+
+  /**
    * OHLC candles per (key, bucket): bucket = date_trunc(`unit`, ts);
    * open/close under the total (ts, id) order; volume and a decimal-exact
    * value sum ride along. Output: (key, bucket_ts, open, high, low,

@@ -27,6 +27,53 @@ class AudienceSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("linearTouch: equal split with remainder to the LATEST touch; cents reconcile") {
+    val ts = (s: Int) => new java.sql.Timestamp(s * 1000L)
+    val df = Seq(
+      (1L, ts(10), 1L, "view", 0.0),
+      (1L, ts(20), 2L, "click", 0.0),
+      (1L, ts(30), 3L, "view", 0.0),
+      (1L, ts(40), 4L, "buy", 1.00),  // 100 cents over 3 touches: 33/33/34
+      (2L, ts(10), 5L, "buy", 9.99)   // no touches → direct 999
+    ).toDF("u", "ts", "id", "et", "v")
+    val got = Attribution.linearTouch(df, "u", "ts", "id", "et", "v",
+        "buy", Seq("view", "click"), lookbackSec = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // view: rows 1 and 3 → 33 + 34 (row 3 is LATEST, takes the remainder)
+    assert(got == Map("view" -> ((2L, 67L)), "click" -> ((1L, 33L)),
+      "direct" -> ((1L, 999L))))
+    // exact reconciliation: total credited == total conversion cents
+    assert(got.values.map(_._2).sum == 100L + 999L)
+  }
+
+  test("cusum: prefix-min identity matches the textbook recursion") {
+    val ts = (s: Int) => new java.sql.Timestamp(s * 1000L)
+    // values in dollars; target 5.00 → d (cents): +300, -700, +400, +900
+    val df = Seq(
+      ("k", ts(1), 1L, 8.0), ("k", ts(2), 2L, -2.0),
+      ("k", ts(3), 3L, 9.0), ("k", ts(4), 4L, 14.0)
+    ).toDF("g", "ts", "id", "v")
+    // recursion: S = 300, 0, 400, 1300 → max 1300, alarms(>350): t3? S3=400>350, S4=1300
+    val r = graft.operators.TimeSeries.cusum(df, "g", "ts", "id", "v",
+      targetCents = 500L, hCents = 350L).head()
+    assert(r.getAs[Long]("max_s") == 1300L)
+    assert(r.getAs[Long]("n_alarms") == 2L)
+    assert(r.getAs[Long]("first_alarm_t") == 3L)
+  }
+
+  test("benford: counts by leading cent digit; chi2 small on a Benford-ish set") {
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 300).map(i => math.pow(1.04, i)) // geometric → Benford
+    val df = vals.map(v => math.rint(v * 100) / 100).toDF("v")
+    val rows = graft.operators.Profile.benford(df, "v").collect()
+    assert(rows.length == 9)
+    val obs = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(obs.values.sum == 300)
+    assert(obs(1) > obs(9)) // monotone-ish Benford shape
+    val chi2 = rows.head.getAs[Double]("chi2")
+    assert(chi2 < 30.0, s"chi2=$chi2") // geometric data ≈ Benford
+  }
+
   test("lastTouch: credits the latest in-window touch, else direct") {
     val ts = (s: Int) => new java.sql.Timestamp(s * 1000L)
     val df = Seq(
