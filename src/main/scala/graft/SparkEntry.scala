@@ -1373,6 +1373,59 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q191_scd2" -> ((s, dir) => {
+      // SCD type-2 dimension build: per-user event_type runs become
+      // effective-dated rows — null-safe lag marks run heads, lead
+      // closes intervals; ONE pk-keyed window pass, deterministic under
+      // the total (ts, id) order
+      graft.operators.Scd.buildHistory(eng(s, dir).table("events"),
+          "user_id", "ts", "event_id", Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from").cast("long").as("vf_s"),
+          col("valid_to").cast("long").cast("double").as("vt_s"),
+          col("is_current"))
+        .orderBy("user_id", "vf_s")
+    }),
+    "q192_temporal_join" -> ((s, dir) => {
+      // point-in-time lookup: each purchase attaches the state version
+      // active at its timestamp — SCD2 history composed with the as-of
+      // join (union-sort shape, never a fact×history range join); the
+      // oracle derives the same rows via interval CONTAINMENT
+      val ev = eng(s, dir).table("events")
+      val hist = graft.operators.Scd.buildHistory(
+        ev.where(col("event_type") =!= "purchase"),
+        "user_id", "ts", "event_id", Seq("event_type"))
+      graft.operators.Scd.temporalJoin(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          hist.withColumnRenamed("event_type", "state"),
+          "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_s"), col("state"),
+          col("state_since").cast("long").cast("double").as("since_s"))
+        .orderBy("event_id")
+    }),
+    "q193_ab_test" -> ((s, dir) => {
+      // A/B readout on deterministic hash assignment: arms from salted
+      // md5 (reproducible, re-derivable), conversion per USER (a big
+      // purchase), pooled two-proportion z from exact counts — p-value
+      // deliberately unpublished (erf is not engine-portable; z is)
+      val ev = eng(s, dir).table("events")
+      val units = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 150.0,
+          1L).otherwise(0L)).as("big"))
+      graft.operators.Experiment.abTest(units, "user_id",
+        col("big") === 1L, salt = "exp1")
+    }),
+    "q194_weighted_median" -> ((s, dir) => {
+      // quantity-weighted median price per return flag: exact integer
+      // cumulative weights under the total (value, pk) order — no
+      // interpolation ambiguity, no explode-by-weight blowup
+      graft.operators.Quantiles.weightedMedian(eng(s, dir).table("lineitem"),
+          Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+          Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_returnflag")
+    }),
     "q188_cusum" -> ((s, dir) => {
       // CUSUM change-point detection in exact longs via the prefix-min
       // identity: max(0, S+d) recursion == P − min(0, running-min P) —
@@ -2909,6 +2962,89 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q191: run heads via lag, intervals via lead over the kept heads —
+    // the window-function evaluation order (after WHERE) does the rest
+    "q191_scd2" ->
+      """WITH w AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), h AS (
+           SELECT user_id, event_type AS state,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS vf_s,
+                  CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS DOUBLE) AS vt_s,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+           FROM w WHERE prev_ts IS NULL OR prev <> event_type
+         )
+         SELECT * FROM h ORDER BY user_id, vf_s""",
+    // q192: INDEPENDENT derivation — interval containment join vs the
+    // engine's as-of composition
+    "q192_temporal_join" ->
+      """WITH st AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+         w AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM st
+         ), h AS (
+           SELECT user_id, event_type AS state, ts AS vf,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+           FROM w WHERE prev_ts IS NULL OR prev <> event_type
+         ), p AS (
+           SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+         )
+         SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+                h.state, CAST(floor(epoch(h.vf)) AS DOUBLE) AS since_s
+         FROM p LEFT JOIN h ON h.user_id = p.user_id
+           AND h.vf <= p.ts AND (h.vt IS NULL OR p.ts < h.vt)
+         ORDER BY p.event_id""",
+    // q193: identical md5 assignment and the identical z expression tree
+    "q193_ab_test" ->
+      """WITH units AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS big
+           FROM events GROUP BY 1
+         ), armed AS (
+           SELECT CASE WHEN CAST(CAST(('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                            / 4503599627370496.0 < 0.5
+                       THEN 'A' ELSE 'B' END AS arm, big
+           FROM units
+         ), agg AS (
+           SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN arm = 'A' THEN big ELSE 0 END) AS BIGINT) AS conv_a,
+                  CAST(sum(CASE WHEN arm = 'B' THEN big ELSE 0 END) AS BIGINT) AS conv_b
+           FROM armed
+         )
+         SELECT n_a, n_b, conv_a, conv_b,
+                round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+                round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+                round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift,
+                round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                             * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+         FROM agg""",
+    // q194: same exact long cumulative weights, same total order
+    "q194_weighted_median" ->
+      """WITH t AS (
+           SELECT l_returnflag AS g, l_extendedprice AS v,
+                  CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+           FROM lineitem
+         ), c AS (
+           SELECT g, v,
+                  sum(w) OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(w) OVER (PARTITION BY g) AS tot
+           FROM t
+         )
+         SELECT g AS l_returnflag,
+                CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS DOUBLE) AS wmedian,
+                CAST(max(tot) AS BIGINT) AS total_weight
+         FROM c GROUP BY 1 ORDER BY 1""",
     // q188: the same two stacked windows in SQL — all long arithmetic
     "q188_cusum" ->
       """WITH t AS (

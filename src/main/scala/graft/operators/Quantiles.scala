@@ -82,4 +82,30 @@ object Quantiles {
       .where(col("__rn") === col("__off") + 1)
       .select(g :+ col("p") :+ v.as("value"): _*)
   }
+
+  /**
+   * Exact WEIGHTED median per group with integer weights: the smallest
+   * value whose cumulative weight reaches half the group total
+   * (2·cum ≥ total) under the total (value, tie…) order — one window
+   * cumulative sum in exact longs, no interpolation ambiguity, no
+   * value duplication by weight (the naive explode-by-weight blows the
+   * row count up by Σw). Output: (group…, wmedian, total_weight).
+   */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weightCol: String, tieCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val order = col(valueCol) +: tieCols.map(col)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .groupBy(g: _*)
+      .agg(min(col(valueCol).cast("double")).as("wmedian"),
+        max(col("__tot")).as("total_weight"))
+  }
 }

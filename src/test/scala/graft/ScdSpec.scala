@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Experiment, Quantiles, Scd}
+
+/** SCD2 history build, temporal join, A/B readout, weighted median. */
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (s: Int) => new java.sql.Timestamp(s * 1000L)
+
+  test("buildHistory collapses runs; intervals chain; is_current on the tail") {
+    val df = Seq(
+      (1L, ts(10), 1L, "bronze"),
+      (1L, ts(20), 2L, "bronze"), // same state → collapsed
+      (1L, ts(30), 3L, "gold"),
+      (1L, ts(40), 4L, "bronze")  // back again → NEW row (type 2, not dedup)
+    ).toDF("pk", "ts", "id", "tier")
+    val h = Scd.buildHistory(df, "pk", "ts", "id", Seq("tier"))
+      .orderBy("valid_from").collect()
+    assert(h.map(_.getAs[String]("tier")).toSeq == Seq("bronze", "gold", "bronze"))
+    assert(h(0).getAs[java.sql.Timestamp]("valid_to") == ts(30))
+    assert(h(1).getAs[java.sql.Timestamp]("valid_to") == ts(40))
+    assert(h(2).isNullAt(h(2).fieldIndex("valid_to")))
+    assert(h.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, false, true))
+  }
+
+  test("temporalJoin: fact picks the version active at its ts; pre-history null") {
+    val hist = Scd.buildHistory(Seq(
+      (1L, ts(10), 1L, "bronze"), (1L, ts(30), 2L, "gold")
+    ).toDF("pk", "ts", "id", "tier"), "pk", "ts", "id", Seq("tier"))
+    val facts = Seq((1L, ts(5), 100L), (1L, ts(10), 101L),
+      (1L, ts(29), 102L), (1L, ts(30), 103L)).toDF("pk", "fts", "fid")
+    val got = Scd.temporalJoin(facts, hist, "pk", "fts")
+      .collect().map(r => r.getAs[Long]("fid") -> Option(r.getAs[String]("tier"))).toMap
+    assert(got == Map(100L -> None, 101L -> Some("bronze"),
+      102L -> Some("bronze"), 103L -> Some("gold")))
+  }
+
+  test("abTest: deterministic arms, exact counts, z sign follows lift") {
+    val units = (0 until 400).map(i => (i.toLong, i % 3 == 0)).toDF("id", "c")
+    val r = Experiment.abTest(units, "id", col("c"), salt = "s1").head()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 400)
+    val again = Experiment.abTest(units.repartition(7), "id", col("c"), "s1").head()
+    assert(r == again) // pure function of (salt, id) + exact counts
+    assert(math.signum(r.getAs[Double]("z")) ==
+      math.signum(r.getAs[Double]("lift")) || r.getAs[Double]("lift") == 0.0)
+  }
+
+  test("weightedMedian: reaches half the total weight; ties deterministic") {
+    // values 1(w1), 2(w2), 3(w10): total 13, half at 6.5 → first cum*2>=13 is 3
+    val df = Seq((1.0, 1L, 1L), (2.0, 2L, 2L), (3.0, 10L, 3L))
+      .toDF("v", "w", "id").withColumn("g", lit("x"))
+    val r = Quantiles.weightedMedian(df, Seq("g"), "v", "w", Seq("id")).head()
+    assert(r.getAs[Double]("wmedian") == 3.0)
+    assert(r.getAs[Long]("total_weight") == 13L)
+    // balanced: 1(w5), 3(w5) → cum*2>=10 already at value 1
+    val df2 = Seq((1.0, 5L, 1L), (3.0, 5L, 2L)).toDF("v", "w", "id")
+      .withColumn("g", lit("x"))
+    assert(Quantiles.weightedMedian(df2, Seq("g"), "v", "w", Seq("id"))
+      .head().getAs[Double]("wmedian") == 1.0)
+  }
+}
