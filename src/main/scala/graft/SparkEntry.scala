@@ -1373,6 +1373,43 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q195_bfs_hops" -> ((s, dir) => {
+      // single-source shortest hops by frontier expansion (BFS as
+      // iterated joins) on the symmetrized brand graph — all-integer,
+      // bit-deterministic; the oracle walks the same graph with a
+      // recursive CTE
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
+      graft.operators.GraphOps.bfsHops(edges, source = "Brand#12", maxHops = 4)
+        .orderBy("node")
+    }),
+    "q196_bm25_indexed" -> ((s, dir) => {
+      // build/serve split for lexical retrieval: corpus passes run once
+      // into a term-sorted postings layout + exact (sum_dl, n_docs)
+      // scalars; the query touches only its terms' postings and must
+      // rank exactly like the from-scratch oracle
+      val idx = tmpDir("bm25") + "/idx"
+      graft.pipeline.CorpusStats.bm25BuildIndex(
+        eng(s, dir).table("documents"), "doc_id", "text", idx)
+      graft.pipeline.CorpusStats.bm25QueryIndex(s, idx, "doc_id",
+        terms = Seq("spark", "vector", "stream"), topK = 10)
+    }),
+    "q197_bm25_delta" -> ((s, dir) => {
+      // DELTA index maintenance: index two-thirds of the corpus, fold
+      // the remaining third in WITHOUT re-tokenizing the old docs
+      // (append postings/doclen, recompute exact scalars) — serving
+      // must equal a from-scratch build on the full corpus (the oracle)
+      val idx = tmpDir("bm25d") + "/idx"
+      val docs = eng(s, dir).table("documents")
+      graft.pipeline.CorpusStats.bm25BuildIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text", idx)
+      graft.pipeline.CorpusStats.bm25UpdateIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text", idx)
+      graft.pipeline.CorpusStats.bm25QueryIndex(s, idx, "doc_id",
+        terms = Seq("spark", "vector", "stream"), topK = 10)
+    }),
     "q191_scd2" -> ((s, dir) => {
       // SCD type-2 dimension build: per-user event_type runs become
       // effective-dated rows — null-safe lag marks run heads, lead
@@ -2922,6 +2959,34 @@ object SparkEntry {
     s"((aN // ${1L << i}) % 2) * ${1L << (2 * i)} + ((bN // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
   }.mkString(" + ")
 
+  /** q196/q197 oracle: from-scratch BM25 over the FULL corpus with the
+    * served path's exact sum/count avgdl — the persisted (and
+    * delta-updated) index must rank identically. */
+  private val bm25IndexOracle: String =
+    """WITH t AS (
+         SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+         FROM documents
+       ), dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+       tf AS (
+         SELECT doc_id, w, count(*) AS tf FROM t
+         WHERE w IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+       ), df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       c AS (
+         SELECT tf.doc_id,
+                round(ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+                      * (tf.tf * (1.2e0 + 1.0e0))
+                      / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / st.avgdl)), 6) AS c
+         FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st
+       ), s AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS matched, round(sum(c), 6) AS score
+         FROM c GROUP BY doc_id
+       )
+       SELECT doc_id, matched, score,
+              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       FROM s ORDER BY score DESC, doc_id LIMIT 10"""
+
   /** Shared brand co-occurrence graph (q175-q177): distinct (order,
     * brand) baskets → support-counted canonical pairs at threshold 400. */
   private val duckBrandGraph =
@@ -2962,6 +3027,29 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q195: recursive-CTE walk over the same graph; UNION dedups states,
+    // the hop bound terminates it
+    "q195_bfs_hops" ->
+      """WITH RECURSIVE bi AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         ), pr AS (
+           SELECT x.i AS pa, y.i AS pb, count(*) AS support
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 400
+         ), e AS (
+           SELECT pa AS src, pb AS dst FROM pr
+           UNION ALL SELECT pb, pa FROM pr
+         ), walk(node, d) AS (
+           SELECT 'Brand#12', 0
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.d < 4
+         )
+         SELECT node, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY 1 ORDER BY node""",
+    // q196/q197: from-scratch BM25 on the corpus the index claims to
+    // represent; avgdl from exact sum/count like the served path
+    "q196_bm25_indexed" -> bm25IndexOracle,
+    "q197_bm25_delta" -> bm25IndexOracle,
     // q191: run heads via lag, intervals via lead over the kept heads —
     // the window-function evaluation order (after WHERE) does the rest
     "q191_scd2" ->

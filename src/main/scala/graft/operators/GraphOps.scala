@@ -62,6 +62,29 @@ object GraphOps {
   }
 
   /**
+   * Single-source shortest HOP distances by frontier expansion (BFS as
+   * iterated joins — the textbook distributed formulation): each round
+   * relaxes dist via min(dist, neighbor dist + 1); `maxHops` bounds the
+   * rounds, so unreached nodes within the bound are absent. All-integer
+   * (hop counts), hence bit-deterministic; static relations cached once
+   * (the [[pageRankFixed]] discipline).
+   */
+  def bfsHops(edges: DataFrame, source: String, maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 30, s"maxHops in [1,30]: $maxHops")
+    val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("d"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist
+  }
+
+  /**
    * Triangle counting over an UNDIRECTED graph given as canonical edges
    * (a < b): each triangle {x<y<z} is counted once via the ordered
    * three-join. Per-node counts follow by exploding the triangle's three

@@ -251,6 +251,91 @@ object CorpusStats {
   }
 
   /**
+   * PERSISTED BM25 inverted index — the build/serve split every search
+   * deployment needs (the IVF save/load doctrine applied to lexical
+   * retrieval): the corpus-wide passes (postings, doc lengths, corpus
+   * scalars) run ONCE at build; a query then touches only its terms'
+   * postings. Layout: `path/postings` (w, id, tf) RANGE-SORTED on the
+   * term so a term probe prunes to O(matching) row groups;
+   * `path/doclen` (id, dl); `path/stats` (n_docs, sum_dl) — sum_dl as an
+   * exact LONG so the served avgdl (sum/n) is reproducible arithmetic,
+   * not a stored float.
+   */
+  def bm25BuildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val toks = tokenTable(docs, idCol, textCol)
+    toks.groupBy(col("w"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(8, col("w")).sortWithinPartitions("w")
+      .write.mode("overwrite").parquet(path + "/postings")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    dl.write.mode("overwrite").parquet(path + "/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** Serve a query from the persisted index: same scoring contract as
+    * [[bm25Search]], but df/tf come from the term-pruned postings scan
+    * and avgdl from the exact stored (sum_dl, n_docs). */
+  def bm25QueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, terms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    val tf = spark.read.parquet(path + "/postings")
+      .where(col("w").isin(terms: _*)) // pushdown → sorted-run pruning
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(path + "/doclen")
+    val stats = spark.read.parquet(path + "/stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(dfreq), "w")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("c", round(
+        col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    contrib.groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched"), round(sum(col("c")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+  }
+
+  /**
+   * DELTA index maintenance: fold a batch of NEW documents into the
+   * persisted index without re-tokenizing the old corpus — postings and
+   * doc lengths APPEND (new ids by contract, enforced LOUDLY with an
+   * anti-join guard), corpus scalars recompute from the |docs|-sized
+   * doclen table. Serving after an update must equal a from-scratch
+   * rebuild on the union corpus (exact longs everywhere — q197 gates it).
+   */
+  def bm25UpdateIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val existing = spark.read.parquet(path + "/doclen").select(col(idCol))
+    val dupes = newDocs.select(col(idCol)).join(existing, idCol).limit(1).collect()
+    require(dupes.isEmpty,
+      s"bm25UpdateIndex: id ${dupes.headOption.map(_.get(0))} already indexed — " +
+        "delta batches must carry NEW documents only")
+    val toks = tokenTable(newDocs, idCol, textCol)
+    toks.groupBy(col("w"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(path + "/postings")
+    toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(path + "/doclen")
+    val stats = spark.read.parquet(path + "/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .collect().head
+    import spark.implicits._
+    Seq((stats.getLong(0), stats.getLong(1))).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /**
    * Frequency-ranked vocabulary with cumulative corpus coverage — the
    * first pass of any tokenizer build (BPE/WordPiece seed vocab, OOV-rate
    * planning): rank tokens by count desc (token asc tiebreak) and report

@@ -48,6 +48,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(r5a("a") > r5a("b")) // the hub outranks the spokes
   }
 
+  test("bfsHops: path-graph distances, unreached beyond bound absent") {
+    // path a-b-c-d-e (symmetric): hops from a = 0,1,2,3,4; maxHops=3 drops e
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.bfsHops(edges, "a", maxHops = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L))
+  }
+
   test("triangles: one triangle counted once per corner; outside node absent") {
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
       .toDF("src", "dst")
