@@ -1373,6 +1373,14 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q198_item_recs" -> ((s, dir) => {
+      // item-item "bought together": binary-basket cosine from the
+      // association pairs' PUBLISHED rounded confidences (pure function
+      // of gated columns), top-3 per item on the physical top-k operator
+      graft.operators.Association.recommendations(brandBaskets(s, dir),
+          "l_orderkey", "p_brand", minSupport = 100L, topK = 3)
+        .orderBy("item", "rank")
+    }),
     "q195_bfs_hops" -> ((s, dir) => {
       // single-source shortest hops by frontier expansion (BFS as
       // iterated joins) on the symmetrized brand graph — all-integer,
@@ -3027,6 +3035,32 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q198: sim from the rounded confidences (published-column doctrine),
+    // row_number over (sim desc, rec) replays the physical top-k
+    "q198_item_recs" ->
+      """WITH bi AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         ), s AS (SELECT i, count(*) AS supp FROM bi GROUP BY 1),
+         pr AS (
+           SELECT x.i AS pa, y.i AS pb, count(*) AS support
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 100
+         ), scored AS (
+           SELECT pr.pa, pr.pb,
+                  round(sqrt(round(CAST(pr.support AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
+                             * round(CAST(pr.support AS DOUBLE) / CAST(sb.supp AS DOUBLE), 6)), 6) AS sim
+           FROM pr JOIN s sa ON sa.i = pr.pa JOIN s sb ON sb.i = pr.pb
+         ), bd AS (
+           SELECT pa AS item, pb AS rec, sim FROM scored
+           UNION ALL SELECT pb, pa, sim FROM scored
+         ), r AS (
+           SELECT item, rec, sim,
+                  CAST(row_number() OVER (PARTITION BY item ORDER BY sim DESC, rec) AS BIGINT) AS rank
+           FROM bd
+         )
+         SELECT item, rec, sim, rank FROM r WHERE rank <= 3
+         ORDER BY item, rank""",
     // q195: recursive-CTE walk over the same graph; UNION dedups states,
     // the hop bound terminates it
     "q195_bfs_hops" ->

@@ -55,4 +55,21 @@ object Association {
         round(lit(nBaskets).cast("double") * col("support").cast("double")
           / (col("__sa").cast("double") * col("__sb").cast("double")), 6).as("lift"))
   }
+
+  /**
+   * Item-item "bought together" recommendations: binary-basket cosine
+   * sim(a,b) = supp(ab)/√(supp(a)·supp(b)) = √(conf_ab·conf_ba) — a pure
+   * rounded function of [[pairs]]' PUBLISHED columns (cross-engine
+   * reproducible by construction); both rule directions feed the bounded
+   * top-k-per-item ranking ([[graft.plans.TopK.perKey]], rec-name
+   * tiebreak). Output: (item, rec, sim, rank).
+   */
+  def recommendations(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, topK: Int = 3): DataFrame = {
+    val p = pairs(df, basketCol, itemCol, minSupport)
+      .withColumn("sim", round(sqrt(col("conf_ab") * col("conf_ba")), 6))
+    val both = p.select(col("item_a").as("item"), col("item_b").as("rec"), col("sim"))
+      .unionByName(p.select(col("item_b").as("item"), col("item_a").as("rec"), col("sim")))
+    graft.plans.TopK.perKey(both, Seq("item"), "sim", topK, "rec", desc = true)
+  }
 }
