@@ -33,8 +33,11 @@ object Association {
    */
   def pairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, maxItemsPerBasket: Int = 1000): DataFrame = {
+    // referenced by the guard, the basket count, the singles agg and BOTH
+    // self-join sides — five actions would otherwise re-derive the
+    // upstream (possibly join-shaped) basket table each time
     val bi = df.select(col(basketCol).as("b"), col(itemCol).cast("string").as("i"))
-      .where(col("i").isNotNull).distinct()
+      .where(col("i").isNotNull).distinct().cache()
     val fat = bi.groupBy(col("b")).agg(count(lit(1)).as("sz"))
       .where(col("sz") > maxItemsPerBasket).limit(1).collect()
     require(fat.isEmpty,
