@@ -1373,6 +1373,22 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q199_chi2_indep" -> ((s, dir) => {
+      // categorical dependence: priority × status contingency from exact
+      // counts, rational expected cells, decimal-summed χ² terms,
+      // Cramér's V from the published χ² — the categorical complement
+      // of the PSI/KS drift pair
+      graft.operators.DistDrift.chi2Independence(
+        eng(s, dir).table("orders"), "o_orderpriority", "o_orderstatus")
+    }),
+    "q200_gini" -> ((s, dir) => {
+      // revenue concentration per priority: Gini from rank-weighted
+      // EXACT long sums (ties are position-invariant in Σ i·x — no
+      // tiebreak needed), one window pass per group
+      graft.operators.DistDrift.gini(
+          eng(s, dir).table("orders"), "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
     "q198_item_recs" -> ((s, dir) => {
       // item-item "bought together": binary-basket cosine from the
       // association pairs' PUBLISHED rounded confidences (pure function
@@ -3035,6 +3051,50 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q199: identical contingency construction incl. structural zeros,
+    // identical term rounding/summation
+    "q199_chi2_indep" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+           FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+           GROUP BY 1, 2
+         ), rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         dims AS (SELECT (SELECT count(*) FROM rt) AS r, (SELECT count(*) FROM ct) AS c),
+         fl AS (
+           SELECT rt.rt, ct.ct, COALESCE(cells.o, 0) AS o,
+                  CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+           FROM rt CROSS JOIN ct CROSS JOIN nn
+                LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+         ), terms AS (
+           SELECT round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12) AS term
+           FROM fl
+         ), c2 AS (
+           SELECT round(CAST(sum(CAST(term AS DECIMAL(24,12))) AS DOUBLE), 6) AS chi2 FROM terms
+         )
+         SELECT nn.n AS n, CAST(dims.r AS BIGINT) AS n_rows, CAST(dims.c AS BIGINT) AS n_cols,
+                c2.chi2,
+                round(sqrt(c2.chi2 / (CAST(nn.n AS DOUBLE)
+                      * CAST(least(dims.r - 1, dims.c - 1) AS DOUBLE))), 6) AS cramers_v
+         FROM c2 CROSS JOIN nn CROSS JOIN dims""",
+    // q200: identical rank-weighted long sums and final formula
+    "q200_gini" ->
+      """WITH t AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders
+         ), r AS (
+           SELECT g, cents,
+                  CAST(row_number() OVER (PARTITION BY g ORDER BY cents) AS BIGINT) AS i
+           FROM t
+         )
+         SELECT g AS o_orderpriority, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                round(2.0 * CAST(sum(i * cents) AS DOUBLE)
+                      / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+                      - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE), 6) AS gini
+         FROM r GROUP BY 1 ORDER BY 1""",
     // q198: sim from the rounded confidences (published-column doctrine),
     // row_number over (sim desc, rec) replays the physical top-k
     "q198_item_recs" ->

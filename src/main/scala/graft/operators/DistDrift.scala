@@ -61,6 +61,64 @@ object DistDrift {
   }
 
   /**
+   * Chi-square test of INDEPENDENCE between two categorical columns —
+   * the categorical complement of [[psi]]/[[ks]]: does priority depend
+   * on status? One grouped count builds the contingency cells; expected
+   * counts are the rational rt·ct/n evaluated once in doubles; terms
+   * 12dp-round and DECIMAL-sum (the engine's Σ doctrine); Cramér's V =
+   * √(χ²/(n·min(r−1,c−1))) normalizes to [0,1] from the PUBLISHED χ².
+   * Output: one row (n, n_rows, n_cols, chi2, cramers_v).
+   */
+  def chi2Independence(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o")).cache()
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o"))).head().getLong(0)
+    val r = rowTot.count()
+    val c = colTot.count()
+    // every (a, b) cell including structural zeros: expected > 0 for all
+    val full = rowTot.crossJoin(colTot)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") / lit(n.toDouble))
+      .withColumn("__term", round(
+        (coalesce(col("o"), lit(0L)).cast("double") - col("e"))
+          * (coalesce(col("o"), lit(0L)).cast("double") - col("e")) / col("e"), 12))
+    val chi2 = full.agg(
+      round(sum(col("__term").cast("decimal(24,12)")).cast("double"), 6).as("chi2"))
+    chi2.select(lit(n).as("n"), lit(r).as("n_rows"), lit(c).as("n_cols"),
+      col("chi2"),
+      round(sqrt(col("chi2") / (lit(n.toDouble) * lit(math.min(r - 1, c - 1).toDouble))), 6)
+        .as("cramers_v"))
+  }
+
+  /**
+   * Gini concentration coefficient per group, exact until the last step:
+   * with values as integer cents sorted ascending (ties are
+   * position-invariant in Σ i·x, so no tiebreak is even needed),
+   * G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — rank-weighted sums are exact longs,
+   * one window pass per group. The inequality/concentration measure for
+   * "how skewed is revenue across customers/sources".
+   * Output: (group, n, total_cents, gini).
+   */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__cents"))
+    val ranked = df
+      .withColumn("__cents", (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__cents")).as("total_cents"),
+        sum(col("__i") * col("__cents")).as("__six"))
+      .select(col(groupCol), col("n"), col("total_cents"),
+        round(lit(2.0) * col("__six").cast("double")
+            / (col("n").cast("double") * col("total_cents").cast("double"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  /**
    * Exact two-sample KS: one row — (ks, at_value, n_old, n_new), where
    * `ks` = max |F1−F2| over the pooled distinct values and `at_value` is
    * the smallest value attaining it (deterministic tiebreak). The max

@@ -21,6 +21,29 @@ class DistDriftSpec extends SparkSpec {
     assert(shifted.getLong(1) == 100 && shifted.getLong(2) == 100)
   }
 
+  test("chi2: zero under exact independence; 2x2 hand-check; V in [0,1]") {
+    // perfectly independent 2x2: counts o = rt*ct/n exactly
+    val ind = (Seq.fill(40)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(120)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val r0 = DistDrift.chi2Independence(ind, "a", "b").head()
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    assert(r0.getAs[Double]("cramers_v") == 0.0)
+    // fully dependent 2x2: chi2 = n, V = 1
+    val dep = (Seq.fill(50)(("x", "p")) ++ Seq.fill(50)(("y", "q"))).toDF("a", "b")
+    val r1 = DistDrift.chi2Independence(dep, "a", "b").head()
+    assert(r1.getAs[Double]("chi2") == 100.0)
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    assert(r1.getAs[Long]("n") == 100 && r1.getAs[Long]("n_rows") == 2)
+  }
+
+  test("gini: 0 for perfect equality, (n-1)/n for total concentration") {
+    val equal = Seq.fill(10)(("g", 5.0)).toDF("g", "v")
+    assert(DistDrift.gini(equal, "g", "v").head().getAs[Double]("gini") == 0.0)
+    val concentrated = (Seq.fill(9)(("g", 0.0)) :+ (("g", 100.0))).toDF("g", "v")
+    // all mass on the last of 10 → G = 2·(10·10000)/(10·10000) − 11/10 = 0.9
+    assert(DistDrift.gini(concentrated, "g", "v").head().getAs[Double]("gini") == 0.9)
+  }
+
   test("ks: 0 for identical, 1 for disjoint, hand-checked midpoint") {
     val a = (1 to 50).map(_.toDouble).toDF("v")
     assert(DistDrift.ks(a, a, "v").head().getDouble(0) == 0.0)
