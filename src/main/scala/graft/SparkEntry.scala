@@ -1479,10 +1479,12 @@ object SparkEntry {
         col("big") === 1L, salt = "exp1")
     }),
     "q194_weighted_median" -> ((s, dir) => {
-      // quantity-weighted median price per return flag: exact integer
-      // cumulative weights under the total (value, pk) order — no
-      // interpolation ambiguity, no explode-by-weight blowup
-      graft.operators.Quantiles.weightedMedian(eng(s, dir).table("lineitem"),
+      // quantity-weighted median price per return flag via histogram
+      // BISECTION (the exactQuantiles shape with weight sums): the
+      // full-sort-window twin is the oracle semantics — q194 proves the
+      // binned path lands on the identical exact answer
+      graft.operators.Quantiles.weightedMedianBinned(
+          eng(s, dir).table("lineitem"),
           Seq("l_returnflag"), "l_extendedprice", "l_quantity",
           Seq("l_orderkey", "l_linenumber"))
         .orderBy("l_returnflag")

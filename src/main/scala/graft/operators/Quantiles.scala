@@ -91,6 +91,54 @@ object Quantiles {
    * value duplication by weight (the naive explode-by-weight blows the
    * row count up by Σw). Output: (group…, wmedian, total_weight).
    */
+  /**
+   * SCALE path for the weighted median: the same histogram-bisection
+   * shape as [[exactQuantiles]], with bin COUNTS replaced by bin WEIGHT
+   * sums — a per-group full-sort window (the [[weightedMedian]] oracle
+   * path) serializes each group into one task, which at coarse groups
+   * (3 return flags × millions of rows) wastes the cluster; here the
+   * corpus-sized passes are both map-combined aggregations and only the
+   * target bin's rows (expected n/bins) ever see a window. Same
+   * contract: smallest value under (value, tie…) whose cumulative weight
+   * w reaches ⌈W/2⌉. Output: (group…, wmedian, total_weight).
+   */
+  def weightedMedianBinned(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String, tieCols: Seq[String],
+      bins: Int = 4096): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val wgt = col(weightCol).cast("long")
+    val stats = df.groupBy(g: _*).agg(
+      sum(wgt).as("__W"), min(v).as("__min"), max(v).as("__max"))
+    val width = (col("__max") - col("__min")) / lit(bins)
+    val binExpr = when(col("__max") === col("__min"), lit(0))
+      .otherwise(least(
+        floor((v - col("__min")) / width).cast("int"), lit(bins - 1)))
+    val binned = df.join(broadcast(stats), groupCols)
+    val hist = binned.groupBy(g :+ binExpr.as("__bin"): _*)
+      .agg(sum(wgt).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        Window.partitionBy(g: _*).orderBy(col("__bin"))))
+    val targetBin = hist
+      .join(broadcast(stats.select(g :+ expr("(__W + 1) div 2").as("__T"): _*)),
+        groupCols)
+      .where(col("__T") <= col("__cum") &&
+        col("__T") > col("__cum") - col("__cnt"))
+      .withColumn("__off", col("__T") - (col("__cum") - col("__cnt")))
+      .select(g :+ col("__bin") :+ col("__off"): _*)
+    val order = v +: tieCols.map(col)
+    val candidates = binned.withColumn("__bin", binExpr)
+      .join(broadcast(targetBin), groupCols :+ "__bin")
+      .withColumn("__cw", sum(wgt).over(
+        Window.partitionBy(g: _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    candidates.where(col("__cw") >= col("__off"))
+      .groupBy(g: _*).agg(min(v).as("wmedian"))
+      .join(broadcast(stats.select(g :+ col("__W").as("total_weight"): _*)),
+        groupCols)
+      .select(g :+ col("wmedian") :+ col("total_weight"): _*)
+  }
+
   def weightedMedian(df: DataFrame, groupCols: Seq[String], valueCol: String,
       weightCol: String, tieCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)

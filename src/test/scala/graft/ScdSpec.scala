@@ -61,4 +61,22 @@ class ScdSpec extends SparkSpec {
     assert(Quantiles.weightedMedian(df2, Seq("g"), "v", "w", Seq("id"))
       .head().getAs[Double]("wmedian") == 1.0)
   }
+
+  test("weightedMedianBinned == window twin on real data and edge shapes") {
+    val li = engine.table("lineitem")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("wmedian"),
+        r.getAs[Long]("total_weight")))).toMap
+    val windowed = m(Quantiles.weightedMedian(li, Seq("l_returnflag"),
+      "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber")))
+    val binned = m(Quantiles.weightedMedianBinned(li, Seq("l_returnflag"),
+      "l_extendedprice", "l_quantity", Seq("l_orderkey", "l_linenumber")))
+    assert(binned == windowed)
+    // constant-value group (degenerate single bin)
+    import spark.implicits._
+    val const = Seq((7.0, 2L, 1L), (7.0, 3L, 2L)).toDF("v", "w", "id")
+      .withColumn("g", org.apache.spark.sql.functions.lit("c"))
+    val r = Quantiles.weightedMedianBinned(const, Seq("g"), "v", "w", Seq("id")).head()
+    assert(r.getAs[Double]("wmedian") == 7.0 && r.getAs[Long]("total_weight") == 5L)
+  }
 }
