@@ -1373,6 +1373,23 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q201_mutual_info" -> ((s, dir) => {
+      // mutual information + marginal entropies + min-normalized NMI:
+      // every log argument is a rational of exact counts, terms
+      // decimal-summed — the feature-selection measure chi2 isn't
+      graft.operators.DistDrift.mutualInformation(
+        eng(s, dir).table("orders"), "o_orderpriority", "o_orderstatus")
+    }),
+    "q202_neyman" -> ((s, dir) => {
+      // variance-optimal stratified sampling: allocations ∝ N_h·S_h from
+      // decimal-exact moments, largest-remainder integerization summing
+      // to EXACTLY nTotal, md5-rank draw per stratum — reproducible
+      // end-to-end, oracle replays every stage
+      graft.pipeline.Sampling.neymanSample(
+          eng(s, dir).table("documents"), "source", "doc_id",
+          col("n_chars"), nTotal = 100)
+        .orderBy("source", "rank")
+    }),
     "q199_chi2_indep" -> ((s, dir) => {
       // categorical dependence: priority × status contingency from exact
       // counts, rational expected cells, decimal-summed χ² terms,
@@ -3053,6 +3070,71 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q201: rational log arguments, identical term rounding/summation
+    "q201_mutual_info" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+           FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+           GROUP BY 1, 2
+         ), nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         mt AS (
+           SELECT round(CAST(c.o AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                  * ln(CAST(nn.n AS DOUBLE) * CAST(c.o AS DOUBLE)
+                       / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))), 12) AS t
+           FROM cells c JOIN rt ON rt.a = c.a JOIN ct ON ct.b = c.b CROSS JOIN nn
+         ), mi AS (SELECT round(CAST(sum(CAST(t AS DECIMAL(24,12))) AS DOUBLE), 6) AS mi FROM mt),
+         ha AS (
+           SELECT round(CAST(sum(CAST(round(CAST(rt.rt AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                  * ln(CAST(nn.n AS DOUBLE) / CAST(rt.rt AS DOUBLE)), 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS h_a
+           FROM rt CROSS JOIN nn
+         ), hb AS (
+           SELECT round(CAST(sum(CAST(round(CAST(ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                  * ln(CAST(nn.n AS DOUBLE) / CAST(ct.ct AS DOUBLE)), 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS h_b
+           FROM ct CROSS JOIN nn
+         )
+         SELECT nn.n AS n, mi.mi, ha.h_a, hb.h_b,
+                round(mi.mi / least(ha.h_a, hb.h_b), 6) AS nmi
+         FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN nn""",
+    // q202: every stage replayed — decimal moments, largest remainder,
+    // md5-rank draw
+    "q202_neyman" ->
+      """WITH m AS (
+           SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS nh,
+                  sum(CAST(n_chars AS DECIMAL(38,4))) AS sx,
+                  sum(CAST(CAST(n_chars AS DECIMAL(38,4)) * CAST(n_chars AS DECIMAL(38,4)) AS DECIMAL(38,8))) AS sxx
+           FROM documents GROUP BY 1
+         ), wgt AS (
+           SELECT source, CAST(nh AS BIGINT) AS nhl,
+                  CAST(nh AS DOUBLE) * sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
+                    / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))) AS w
+           FROM m
+         ), a1 AS (
+           SELECT source, nhl, 100.0 * w / sum(w) OVER () AS share FROM wgt
+         ), a2 AS (
+           SELECT source, nhl, share,
+                  CAST(floor(share) AS BIGINT) AS base,
+                  share - CAST(floor(share) AS BIGINT) AS rem
+           FROM a1
+         ), a3 AS (
+           SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                  100 - sum(base) OVER () AS leftn
+           FROM a2
+         ), alloc AS (
+           SELECT source,
+                  CAST(least(base + CASE WHEN rk <= leftn THEN 1 ELSE 0 END, nhl) AS BIGINT) AS n_h
+           FROM a3
+         ), ranked AS (
+           SELECT d.source, d.doc_id,
+                  CAST(row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS rank
+           FROM documents d
+         )
+         SELECT r.source, r.doc_id, r.rank
+         FROM ranked r JOIN alloc a ON a.source = r.source
+         WHERE r.rank <= a.n_h
+         ORDER BY r.source, r.rank""",
     // q199: identical contingency construction incl. structural zeros,
     // identical term rounding/summation
     "q199_chi2_indep" ->

@@ -95,6 +95,38 @@ object DistDrift {
   }
 
   /**
+   * Mutual information between two categoricals (+ marginal entropies
+   * and the min-entropy-normalized NMI) — the feature-selection measure
+   * χ² isn't: MI ranks "how much does knowing A tell you about B" on a
+   * comparable scale. All probabilities are rationals of exact counts;
+   * each term's log argument is the rational n·o/(rt·ct); terms 12dp-
+   * round and DECIMAL-sum (the Σ doctrine). Output: one row
+   * (n, mi, h_a, h_b, nmi), nats, 6dp.
+   */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o")).cache()
+    val n = cells.agg(sum(col("o"))).head().getLong(0)
+    val nd = lit(n.toDouble)
+    def entropy(tot: DataFrame, c: String): DataFrame =
+      tot.select(round(col(c).cast("double") / nd
+          * log(nd / col(c).cast("double")), 12).as("__t"))
+        .agg(round(sum(col("__t").cast("decimal(24,12)")).cast("double"), 6).as("h"))
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val mi = cells.join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .select(round(col("o").cast("double") / nd
+        * log(nd * col("o").cast("double")
+          / (col("rt").cast("double") * col("ct").cast("double"))), 12).as("__t"))
+      .agg(round(sum(col("__t").cast("decimal(24,12)")).cast("double"), 6).as("mi"))
+    mi.crossJoin(entropy(rowTot, "rt").withColumnRenamed("h", "h_a"))
+      .crossJoin(entropy(colTot, "ct").withColumnRenamed("h", "h_b"))
+      .select(lit(n).as("n"), col("mi"), col("h_a"), col("h_b"),
+        round(col("mi") / least(col("h_a"), col("h_b")), 6).as("nmi"))
+  }
+
+  /**
    * Gini concentration coefficient per group, exact until the last step:
    * with values as integer cents sorted ascending (ties are
    * position-invariant in Σ i·x, so no tiebreak is even needed),

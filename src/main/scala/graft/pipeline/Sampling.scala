@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -288,6 +289,59 @@ object Sampling {
     graft.plans.TopK.perKey(keyed, Seq(groupCol), "__es", k, idCol,
         desc = false)
       .drop("__es")
+  }
+
+  /**
+   * NEYMAN-allocation stratified sampling: per-stratum sample sizes
+   * proportional to N_h·S_h (population × spread — the variance-optimal
+   * allocation, Neyman 1934) instead of plain proportional, then a
+   * deterministic md5-rank draw inside each stratum. S_h comes from
+   * DECIMAL-exact moments (the n·Σx²−(Σx)² cancellation in exact
+   * decimal, IEEE sqrt at the edge); integer allocations by largest
+   * remainder with a stratum-name tiebreak, so Σ n_h == nTotal exactly.
+   * The draw is [[weightedSample]]'s contract: pure function of
+   * (salt, id) — reproducible anywhere.
+   *
+   * Output: the selected rows as (stratum, id, rank) with rank 1..n_h.
+   */
+  def neymanSample(df: DataFrame, strataCol: String, idCol: String,
+      valueCol: Column, nTotal: Int, salt: String = ""): DataFrame = {
+    require(nTotal >= 1, s"nTotal must be >= 1: $nTotal")
+    val g = col(strataCol)
+    val x = valueCol.cast("decimal(38,4)")
+    val moments = df.groupBy(g).agg(
+      count(lit(1)).cast("decimal(38,0)").as("nh"),
+      sum(x).as("sx"),
+      sum((x * x).cast("decimal(38,8)")).as("sxx"))
+    // population variance = (n·Σx² − Σx²)/n², exact until the division
+    val varPop = (col("nh") * col("sxx") - col("sx") * col("sx")).cast("double") /
+      (col("nh").cast("double") * col("nh").cast("double"))
+    val weighted = moments.select(g, col("nh").cast("long").as("nh"),
+      (col("nh").cast("double") * sqrt(varPop)).as("w"))
+    val totW = Window.partitionBy()
+    val alloc = weighted
+      .withColumn("__share", lit(nTotal.toDouble) * col("w") / sum(col("w")).over(totW))
+      .withColumn("__base", floor(col("__share")).cast("long"))
+      .withColumn("__rem", col("__share") - col("__base"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, g.asc)))
+      .withColumn("__left",
+        lit(nTotal.toLong) - sum(col("__base")).over(totW))
+      .withColumn("n_h",
+        (col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          // a stratum cannot yield more rows than it has
+          .cast("long"))
+      .select(g, least(col("n_h"), col("nh")).as("n_h"))
+    val seed: Column =
+      if (salt.isEmpty) col(idCol).cast("string")
+      else concat(lit(salt), lit(":"), col(idCol).cast("string"))
+    val drawn = df
+      .withColumn("__u", md5(seed))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(g).orderBy(col("__u"), col(idCol))).cast("long"))
+      .join(broadcast(alloc), strataCol)
+      .where(col("rank") <= col("n_h"))
+    drawn.select(g, col(idCol), col("rank"))
   }
 
   private def contaminationTail(withSplit: DataFrame, idCol: String,

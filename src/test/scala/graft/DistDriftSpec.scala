@@ -36,6 +36,21 @@ class DistDriftSpec extends SparkSpec {
     assert(r1.getAs[Long]("n") == 100 && r1.getAs[Long]("n_rows") == 2)
   }
 
+  test("mutual information: 0 under independence, MI == H and NMI == 1 when determined") {
+    val ind = (Seq.fill(40)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(120)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val r0 = DistDrift.mutualInformation(ind, "a", "b").head()
+    assert(r0.getAs[Double]("mi") == 0.0)
+    // b fully determined by a: MI = H(A) = H(B), NMI = 1
+    val dep = (Seq.fill(50)(("x", "p")) ++ Seq.fill(150)(("y", "q"))).toDF("a", "b")
+    val r1 = DistDrift.mutualInformation(dep, "a", "b").head()
+    assert(r1.getAs[Double]("mi") == r1.getAs[Double]("h_a"))
+    assert(r1.getAs[Double]("nmi") == 1.0)
+    // H(A) for p=(1/4,3/4) = ln4/4 + (3/4)ln(4/3)
+    val expect = math.rint((math.log(4.0) / 4 + 0.75 * math.log(4.0 / 3)) * 1e6) / 1e6
+    assert(math.abs(r1.getAs[Double]("h_a") - expect) < 2e-6)
+  }
+
   test("gini: 0 for perfect equality, (n-1)/n for total concentration") {
     val equal = Seq.fill(10)(("g", 5.0)).toDF("g", "v")
     assert(DistDrift.gini(equal, "g", "v").head().getAs[Double]("gini") == 0.0)

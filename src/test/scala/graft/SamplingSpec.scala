@@ -131,4 +131,21 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(c != a.keys.toSet)
   }
+
+  test("neymanSample: allocations sum to nTotal, spread attracts budget, deterministic") {
+    import spark.implicits._
+    // three strata, same size; b has 10x the spread of a; c is constant
+    val df = ((0 until 100).map(i => ("a", i.toLong, 50.0 + (i % 10))) ++
+      (100 until 200).map(i => ("b", i.toLong, 50.0 + (i % 10) * 10)) ++
+      (200 until 300).map(i => ("c", i.toLong, 50.0))).toDF("s", "id", "v")
+    val got = Sampling.neymanSample(df, "s", "id", col("v"), nTotal = 30)
+    val perStratum = got.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum.values.sum == 30)
+    assert(perStratum("b") > perStratum.getOrElse("a", 0L)) // S_b = 10·S_a
+    assert(perStratum.getOrElse("c", 0L) == 0L) // zero variance → no budget
+    val again = Sampling.neymanSample(df.repartition(7), "s", "id", col("v"), 30)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
 }
