@@ -1373,6 +1373,24 @@ object SparkEntry {
           tieCol = "event_id")
         .orderBy("prev", "next")
     }),
+    "q203_survival" -> ((s, dir) => {
+      // Kaplan-Meier time-to-first-purchase with right censoring (users
+      // who never purchase survived AT LEAST their observed horizon —
+      // information a plain mean discards); the running product runs as
+      // exp of a DECIMAL-summed 12dp log chain, zero-survival handled by
+      // flag, never ln(0)
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("tc"))
+      val subjects = perUser.select(
+        when(col("tc").isNotNull, col("tc") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("tc").isNotNull.as("ev"))
+      graft.operators.Survival.kaplanMeier(subjects, "dur", col("ev"))
+        .orderBy("t")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3070,6 +3088,47 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q203: identical per-user reduction and the identical ordered
+    // log-sum-exp chain over exact decimals
+    "q203_survival" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tc
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CASE WHEN tc IS NOT NULL THEN tc - t0 ELSE tl - t0 END AS t,
+                  tc IS NOT NULL AS ev
+           FROM pu
+         ), tot AS (SELECT count(*) AS n FROM subj),
+         byt AS (
+           SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                  CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS nc
+           FROM subj GROUP BY 1
+         ), c1 AS (
+           SELECT t, ne, nc,
+                  sum(ne + nc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gone
+           FROM byt
+         ), c2 AS (
+           SELECT c1.t, c1.ne, c1.nc,
+                  CAST(tot.n - c1.gone + c1.ne + c1.nc AS BIGINT) AS nr
+           FROM c1 CROSS JOIN tot
+         ), c3 AS (
+           SELECT *, CASE WHEN ne = nr THEN 1 ELSE 0 END AS z,
+                  CASE WHEN ne = nr THEN 0.0
+                       ELSE round(ln(1.0 - CAST(ne AS DOUBLE) / CAST(nr AS DOUBLE)), 12) END AS term
+           FROM c2
+         ), c4 AS (
+           SELECT *,
+                  sum(CAST(term AS DECIMAL(24,12))) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+                  max(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS az
+           FROM c3
+         )
+         SELECT t, nr AS n_risk, ne AS n_event, nc AS n_censored,
+                CASE WHEN az = 1 THEN 0.0 ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+         FROM c4 WHERE ne > 0 ORDER BY t""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Survival
+
+/** Kaplan-Meier product-limit estimator. */
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textbook cohort: censoring removes from risk without an event row") {
+    // t=1 event, t=2 censored, t=3 event, t=4 censored
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "ev")
+    val rows = Survival.kaplanMeier(df, "dur", col("ev"))
+      .orderBy("t").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // event times only
+    assert(rows(0).getAs[Long]("n_risk") == 4)
+    assert(rows(0).getAs[Double]("survival") == 0.75)       // 3/4
+    assert(rows(1).getAs[Long]("n_risk") == 2)
+    assert(rows(1).getAs[Double]("survival") == 0.375)      // 3/4 · 1/2
+  }
+
+  test("full-event tail zeroes the curve without evaluating ln(0)") {
+    val df = Seq((1L, true), (2L, true)).toDF("dur", "ev")
+    val rows = Survival.kaplanMeier(df, "dur", col("ev"))
+      .orderBy("t").collect()
+    assert(rows(0).getAs[Double]("survival") == 0.5)
+    assert(rows(1).getAs[Double]("survival") == 0.0) // d == n at t=2
+  }
+
+  test("partition-order independent (decimal log sums)") {
+    val df = (1 to 500).map(i => ((i % 37).toLong + 1, i % 5 != 0)).toDF("dur", "ev")
+    val a = Survival.kaplanMeier(df.repartition(11), "dur", col("ev"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival")).toMap
+    val b = Survival.kaplanMeier(df.repartition(2), "dur", col("ev"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival")).toMap
+    assert(a == b)
+  }
+}
