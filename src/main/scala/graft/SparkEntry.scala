@@ -1391,6 +1391,21 @@ object SparkEntry {
       graft.operators.Survival.kaplanMeier(subjects, "dur", col("ev"))
         .orderBy("t")
     }),
+    "q204_holt_forecast" -> ((s, dir) => {
+      // Holt level+trend forecast of daily revenue per priority with
+      // α=β=1/2: halving weights keep every smoothing step EXACT integer
+      // arithmetic (`div` truncation is the published contract), so the
+      // inherently-sequential fit is bit-reproducible — it runs as an
+      // ordered codegen fold per key, series bounded by the calendar
+      val daily = eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority").as("key"),
+          date_trunc("DAY", col("o_orderdate")).cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.TimeSeries.holt(daily, "key", "t", "units",
+          horizons = Seq(1, 7, 28))
+        .orderBy("key")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3129,6 +3144,36 @@ object SparkEntry {
          SELECT t, nr AS n_risk, ne AS n_event, nc AS n_censored,
                 CASE WHEN az = 1 THEN 0.0 ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
          FROM c4 WHERE ne > 0 ORDER BY t""",
+    // q204: the identical truncating-div recurrence replayed as a
+    // recursive CTE (trunc(v/2.0) == `div` for |v| < 2^52 — exact double)
+    "q204_holt_forecast" ->
+      """WITH RECURSIVE d AS (
+           SELECT o_orderpriority AS key,
+                  CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1, 2
+         ), o AS (
+           SELECT key, t, x,
+                  row_number() OVER (PARTITION BY key ORDER BY t) AS rn,
+                  count(*) OVER (PARTITION BY key) AS nk
+           FROM d
+         ), r AS (
+           SELECT key, rn, nk, x AS l,
+                  CAST(0 AS BIGINT) AS tr, CAST(0 AS BIGINT) AS sae
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.key, o.rn, o.nk,
+                  CAST(trunc((o.x + r.l + r.tr) / 2.0) AS BIGINT),
+                  CAST(trunc((CAST(trunc((o.x + r.l + r.tr) / 2.0) AS BIGINT)
+                              - r.l + r.tr) / 2.0) AS BIGINT),
+                  r.sae + abs(o.x - (r.l + r.tr))
+           FROM r JOIN o ON o.key = r.key AND o.rn = r.rn + 1
+         )
+         SELECT key, CAST(nk AS BIGINT) AS n_buckets, l AS level_units,
+                tr AS trend_units, sae AS sae_units,
+                l + tr AS f_1_units, l + 7 * tr AS f_7_units,
+                l + 28 * tr AS f_28_units
+         FROM r WHERE rn = nk ORDER BY key""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

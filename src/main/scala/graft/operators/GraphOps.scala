@@ -46,7 +46,7 @@ object GraphOps {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val teleport = lit(Unit9 * 15L / 100L)
     var rank = nodes.withColumn("rank_units", lit(Unit9))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = e
         .join(rank.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
@@ -57,6 +57,13 @@ object GraphOps {
       rank = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (teleport + coalesce(col("inflow"), lit(0L))).as("rank_units"))
+      // truncate lineage EVERY iteration: otherwise iterate i carries i
+      // chained join/agg rounds through analysis+optimization (quadratic
+      // planner work) and, uncached, re-executes them. localCheckpoint
+      // materializes the iterate; exact longs make the cut loss-free. On
+      // an unreliable cluster swap for reliable checkpoint(dir) — the
+      // iterate is O(|V|) either way.
+      if (i < iters) rank = rank.localCheckpoint(true)
     }
     rank
   }
@@ -75,11 +82,14 @@ object GraphOps {
       .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("d"))
-    for (_ <- 1 to maxHops) {
+    for (h <- 1 to maxHops) {
       val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("d") + 1L).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("d")).as("d"))
+      // same lineage cut as pageRankFixed: without it round h replans and
+      // re-runs all h-1 prior frontier expansions
+      if (h < maxHops) dist = dist.localCheckpoint(true)
     }
     dist
   }

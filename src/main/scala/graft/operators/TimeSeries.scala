@@ -78,6 +78,57 @@ object TimeSeries {
   }
 
   /**
+   * Holt double-exponential smoothing (level + trend) per key over an
+   * already-bucketed integer series, with α = β = 1/2 — the halving
+   * weights make every step EXACT integer arithmetic (truncating `div`
+   * is part of the published definition), so the fit is bit-reproducible
+   * on any engine: no float accumulation order to diverge on.
+   *
+   *   l_t = (x_t + l_{t-1} + b_{t-1}) div 2        (α = 1/2)
+   *   b_t = (l_t − l_{t-1} + b_{t-1}) div 2        (β = 1/2)
+   *   init l_1 = x_1, b_1 = 0;  SAE = Σ|x_t − (l_{t-1}+b_{t-1})|
+   *
+   * The recurrence is inherently sequential, so it runs as an ordered
+   * fold (`aggregate` HOF, whole-stage codegen) over the key's collected
+   * series — the SERIES is bounded (calendar buckets), the KEYS are
+   * distributed; at 100 TB this is one groupBy shuffle and a per-key
+   * O(|series|) fold, never a driver loop. Operand bound: |units| must
+   * stay < 2^52 (exact-double trunc replay for the oracle) — cents-level
+   * daily totals satisfy this up to ~$45 T/day.
+   *
+   * Output per key: (key, n_buckets, level_units, trend_units,
+   * sae_units, f_<h>_units = level + h·trend for each horizon).
+   */
+  def holt(bucketed: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, horizons: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(h => h >= 1 && h <= 365))
+    val series = bucketed
+      .select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+        col(unitsCol).cast("long").as("x"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("s"))
+    val fold = series.withColumn("st", expr(
+      """aggregate(s,
+           named_struct('l', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT),
+                        'i', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT)),
+           (a, e) -> CASE WHEN a.i = 0 THEN
+               named_struct('l', e.x, 'tr', CAST(0 AS BIGINT),
+                            'i', CAST(1 AS BIGINT), 'sae', CAST(0 AS BIGINT))
+             ELSE named_struct(
+               'l', (e.x + a.l + a.tr) div 2,
+               'tr', (((e.x + a.l + a.tr) div 2) - a.l + a.tr) div 2,
+               'i', a.i + 1,
+               'sae', a.sae + abs(e.x - (a.l + a.tr))) END)"""))
+    val base = fold.select(
+      col("key"), col("st.i").as("n_buckets"), col("st.l").as("level_units"),
+      col("st.tr").as("trend_units"), col("st.sae").as("sae_units"))
+    horizons.foldLeft(base) { (d, h) =>
+      d.withColumn(s"f_${h}_units",
+        col("level_units") + lit(h.toLong) * col("trend_units"))
+    }
+  }
+
+  /**
    * OHLC candles per (key, bucket): bucket = date_trunc(`unit`, ts);
    * open/close under the total (ts, id) order; volume and a decimal-exact
    * value sum ride along. Output: (key, bucket_ts, open, high, low,

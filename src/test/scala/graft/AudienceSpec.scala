@@ -61,6 +61,33 @@ class AudienceSpec extends SparkSpec {
     assert(r.getAs[Long]("first_alarm_t") == 3L)
   }
 
+  test("holt: ordered fold equals the textbook recursion (incl. negative-trend truncation)") {
+    def ref(xs: Seq[Long]): (Long, Long, Long) = {
+      var l = xs.head; var b = 0L; var sae = 0L
+      for (x <- xs.tail) {
+        sae += math.abs(x - (l + b))
+        val nl = (x + l + b) / 2 // scala Long / truncates toward zero == `div`
+        b = (nl - l + b) / 2; l = nl
+      }
+      (l, b, sae)
+    }
+    for (xs <- Seq(Seq(100L, 120L, 90L, 200L, 180L, 210L),
+                   Seq(100L, 3L, 7L),          // odd negative numerators
+                   Seq(5L))) {                 // single bucket
+      val (l, b, sae) = ref(xs)
+      val df = xs.zipWithIndex
+        .map { case (x, i) => ("k", i.toLong, x) }.toDF("key", "t", "units")
+        .repartition(3)
+      val r = graft.operators.TimeSeries.holt(df, "key", "t", "units",
+        horizons = Seq(1, 7)).head()
+      assert(r.getAs[Long]("n_buckets") == xs.length)
+      assert(r.getAs[Long]("level_units") == l, s"level for $xs")
+      assert(r.getAs[Long]("trend_units") == b, s"trend for $xs")
+      assert(r.getAs[Long]("sae_units") == sae, s"sae for $xs")
+      assert(r.getAs[Long]("f_7_units") == l + 7 * b)
+    }
+  }
+
   test("benford: counts by leading cent digit; chi2 small on a Benford-ish set") {
     import org.apache.spark.sql.functions.col
     val vals = (1 to 300).map(i => math.pow(1.04, i)) // geometric → Benford
