@@ -1406,6 +1406,18 @@ object SparkEntry {
           horizons = Seq(1, 7, 28))
         .orderBy("key")
     }),
+    "q205_seasonal_dow" -> ((s, dir) => {
+      // day-of-week seasonal decomposition of daily revenue: centered
+      // 7-day MA trend, deviations kept as exact integers (7·x − Σ±3)
+      // and summed per weekday; weekday from pure epoch-day arithmetic
+      // so no engine DOW convention is involved
+      val daily = eng(s, dir).table("orders")
+        .groupBy(date_trunc("DAY", col("o_orderdate")).cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.TimeSeries.seasonalDow(daily, "t", "units")
+        .orderBy("dow")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3174,6 +3186,26 @@ object SparkEntry {
                 l + tr AS f_1_units, l + 7 * tr AS f_7_units,
                 l + 28 * tr AS f_28_units
          FROM r WHERE rn = nk ORDER BY key""",
+    // q205: identical centered-7 window over the identical daily rollup;
+    // deviations integer-exact (7x − Σ), one final double division
+    "q205_seasonal_dow" ->
+      """WITH d AS (
+           SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1
+         ), m AS (
+           SELECT t, x,
+                  sum(x) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ms,
+                  count(*) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mn
+           FROM d
+         ), dev AS (
+           SELECT CAST((CAST(trunc(t / 86400.0) AS BIGINT) + 4) % 7 AS BIGINT) AS dow,
+                  x * 7 - ms AS dev7
+           FROM m WHERE mn = 7
+         )
+         SELECT dow, count(*) AS n_days, CAST(sum(dev7) AS BIGINT) AS sum_dev7,
+                round(CAST(sum(dev7) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 7.0), 6) AS seasonal
+         FROM dev GROUP BY 1 ORDER BY 1""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

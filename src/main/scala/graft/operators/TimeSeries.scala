@@ -129,6 +129,43 @@ object TimeSeries {
   }
 
   /**
+   * Additive seasonal decomposition by day-of-week over a DAILY integer
+   * series: trend is the centered 7-day moving average, the seasonal
+   * index is the mean deviation from trend per weekday. Published in the
+   * exact doctrine — deviation is kept as the integer 7·x_t − Σ_{±3} x
+   * (multiply through by 7 instead of dividing the moving sum, so no
+   * rational ever materializes), summed exactly; only the final index is
+   * one double division. Weekday = (days-since-epoch + 4) mod 7
+   * (0 = Thursday) — pure integer arithmetic, no engine DOW convention
+   * to disagree on.
+   *
+   * The ordered window is GLOBAL but runs over the already-reduced daily
+   * series — calendar-bounded (~10³ rows for years of data), so the
+   * single-partition window is a non-issue at any input scale; the heavy
+   * reduction upstream is the distributed part. Edge days without a full
+   * ±3 window are excluded (mn = 7), the standard centered-MA contract.
+   *
+   * Output: (dow, n_days, sum_dev7, seasonal) with seasonal =
+   * round(sum_dev7 / (7·n_days), 6) in input units.
+   */
+  def seasonalDow(daily: DataFrame, tCol: String, unitsCol: String): DataFrame = {
+    val w = Window.orderBy(col("__t")).rowsBetween(-3, 3)
+    daily
+      .select(col(tCol).cast("long").as("__t"),
+        col(unitsCol).cast("long").as("__x"))
+      .withColumn("__ms", sum(col("__x")).over(w))
+      .withColumn("__mn", count(lit(1)).over(w))
+      .where(col("__mn") === 7)
+      .select(expr("pmod((__t div 86400) + 4, 7)").as("dow"),
+        (col("__x") * 7L - col("__ms")).as("__dev7"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__dev7")).as("sum_dev7"))
+      .withColumn("seasonal",
+        round(col("sum_dev7").cast("double") /
+          (col("n_days").cast("double") * 7.0), 6))
+  }
+
+  /**
    * OHLC candles per (key, bucket): bucket = date_trunc(`unit`, ts);
    * open/close under the total (ts, id) order; volume and a decimal-exact
    * value sum ride along. Output: (key, bucket_ts, open, high, low,

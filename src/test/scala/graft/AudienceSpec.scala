@@ -88,6 +88,27 @@ class AudienceSpec extends SparkSpec {
     }
   }
 
+  test("seasonalDow: exact integer deviations match a hand-rolled centered MA") {
+    val xs = Vector(100L, 200L, 150L, 300L, 250L, 120L, 180L,
+                    110L, 210L, 160L, 310L, 260L, 130L, 190L, 140L)
+    // reference: centered ±3 full windows only, dev7 = 7x - windowSum
+    val devByDow = (3 until xs.length - 3).map { k =>
+      val dow = (k + 4) % 7 // t = k days since epoch
+      dow -> (xs(k) * 7 - (k - 3 to k + 3).map(xs).sum)
+    }.groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val df = xs.zipWithIndex
+      .map { case (x, k) => (k.toLong * 86400L, x) }.toDF("t", "units")
+      .repartition(4)
+    val got = graft.operators.TimeSeries.seasonalDow(df, "t", "units")
+      .collect().map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("sum_dev7")))).toMap
+    assert(got == devByDow.map { case (d, v) => d.toLong -> v })
+    // constant series decomposes to an all-zero seasonal profile
+    val const = (0 until 14).map(k => (k.toLong * 86400L, 500L)).toDF("t", "units")
+    val zero = graft.operators.TimeSeries.seasonalDow(const, "t", "units").collect()
+    assert(zero.forall(_.getAs[Double]("seasonal") == 0.0))
+  }
+
   test("benford: counts by leading cent digit; chi2 small on a Benford-ish set") {
     import org.apache.spark.sql.functions.col
     val vals = (1 to 300).map(i => math.pow(1.04, i)) // geometric → Benford
