@@ -1418,6 +1418,22 @@ object SparkEntry {
       graft.operators.TimeSeries.seasonalDow(daily, "t", "units")
         .orderBy("dow")
     }),
+    "q206_hll_distinct" -> ((s, dir) => {
+      // mergeable HLL distinct-count: per-flag register tables built in
+      // one aggregation, the TOTAL row derived by register-wise max (no
+      // base rescan — the rollup property exact distinct lacks); both
+      // estimator branches exercised (per-flag linear counting, TOTAL
+      // raw harmonic). Ranks live in string space, Z in exact longs.
+      import graft.operators.DistinctSketch
+      val li = eng(s, dir).table("lineitem")
+      val regs = DistinctSketch.hllRegistersMd5(li, Seq("l_returnflag"),
+        DistinctSketch.md5Hash(col("l_orderkey")))
+      val total = DistinctSketch.mergeRegisters(
+        regs.withColumn("l_returnflag", lit("TOTAL")), Seq("l_returnflag"))
+      DistinctSketch.hllEstimate(regs.unionByName(total), Seq("l_returnflag"))
+        .withColumnRenamed("l_returnflag", "g")
+        .orderBy("g")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3206,6 +3222,49 @@ object SparkEntry {
          SELECT dow, count(*) AS n_days, CAST(sum(dev7) AS BIGINT) AS sum_dev7,
                 round(CAST(sum(dev7) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 7.0), 6) AS seasonal
          FROM dev GROUP BY 1 ORDER BY 1""",
+    // q206: registers replayed byte-for-byte in string space (zero-run
+    // regexp + ASCII nibble CASE), Z in exact longs, same literal alpha
+    "q206_hll_distinct" ->
+      """WITH h AS (
+           SELECT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h
+           FROM lineitem
+         ), r0 AS (
+           SELECT g, substr(h, 1, 3) AS bucket, substr(h, 4, 16) AS tail,
+                  length(regexp_extract(substr(h, 4, 16), '^0*')) AS z
+           FROM h
+         ), rk AS (
+           SELECT g, bucket,
+                  CASE WHEN z = 16 THEN 65 ELSE 4 * z + 1 +
+                    (CASE WHEN substr(tail, z + 1, 1) >= '8' THEN 0
+                          WHEN substr(tail, z + 1, 1) >= '4' THEN 1
+                          WHEN substr(tail, z + 1, 1) >= '2' THEN 2
+                          ELSE 3 END) END AS r
+           FROM r0
+         ), regs AS (
+           SELECT g, bucket, max(r) AS r FROM rk GROUP BY 1, 2
+         ), allregs AS (
+           SELECT g, bucket, r FROM regs
+           UNION ALL
+           SELECT 'TOTAL', bucket, max(r) FROM regs GROUP BY 2
+         ), est AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_nonempty,
+                  CAST(sum(CASE WHEN r <= 40 THEN CAST(pow(2, 40 - r) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS znon
+           FROM allregs GROUP BY 1
+         ), fin AS (
+           SELECT g, n_nonempty,
+                  CAST(znon + (4096 - n_nonempty) * 1099511627776 AS BIGINT) AS z_scaled,
+                  round(0.721253 * pow(2, 64) /
+                        CAST(znon + (4096 - n_nonempty) * 1099511627776 AS DOUBLE), 6) AS est_raw,
+                  CASE WHEN 4096 - n_nonempty > 0 THEN
+                    round(4096.0 * ln(4096.0 / CAST(4096 - n_nonempty AS DOUBLE)), 6)
+                  END AS est_linear
+           FROM est
+         )
+         SELECT g, n_nonempty, z_scaled, est_raw, est_linear,
+                CASE WHEN 4096 - n_nonempty > 0 AND est_raw <= 10240.0
+                     THEN est_linear ELSE est_raw END AS est
+         FROM fin ORDER BY g""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

@@ -80,6 +80,74 @@ object DistinctSketch {
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
   /**
+   * HyperLogLog register table (Flajolet et al. 2007) from md5-hex
+   * hashes, m = 4096 buckets: bucket = first 3 hex chars, rank = leading
+   * zero BITS of the next 64 bits + 1 (65 when all-zero). The rank is
+   * derived ENTIRELY in string space — zero-run length by regexp, the
+   * sub-nibble bit count by ASCII comparison on the first nonzero hex
+   * char ('8'≤c→0, '4'≤c→1, '2'≤c→2, else 3) — so an independent SQL
+   * engine reproduces every register byte-for-byte, no integer-parse or
+   * bit-op dialect in sight.
+   *
+   * Registers are the MERGEABLE form: max(r) per bucket unions sketches
+   * across any regrouping — the rollup property count(distinct) lacks.
+   * One map-side-combined aggregation; ≤ m rows per group survive.
+   */
+  def hllRegistersMd5(df: DataFrame, groupCols: Seq[String],
+      hashCol: Column): DataFrame = {
+    val ranked = df
+      .select(groupCols.map(col) :+ hashCol.as("__h"): _*)
+      .withColumn("__tail", expr("substr(__h, 4, 16)"))
+      .withColumn("__z", expr("length(regexp_extract(__tail, '^0*', 0))"))
+      .withColumn("__c", expr("substr(__tail, __z + 1, 1)"))
+      .withColumn("__r", expr(
+        """CASE WHEN __z = 16 THEN 65 ELSE 4 * __z + 1 +
+             (CASE WHEN __c >= '8' THEN 0 WHEN __c >= '4' THEN 1
+                   WHEN __c >= '2' THEN 2 ELSE 3 END) END"""))
+    ranked
+      .groupBy(groupCols.map(col) :+ expr("substr(__h, 1, 3)").as("bucket"): _*)
+      .agg(max(col("__r")).as("r"))
+  }
+
+  /** Merge register tables into a coarser grouping (e.g. a TOTAL rollup):
+    * register-wise max — associative, idempotent, no base-data rescan. */
+  def mergeRegisters(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+
+  /**
+   * HLL estimate per group from a register table, in the exact doctrine:
+   * the harmonic denominator is kept as the INTEGER
+   * Z = Σ 2^(40−r) (ranks > 40 contribute 0, empty buckets 2^40) — exact
+   * longs, ≤ 2^52 total, so the one double division at the end is
+   * bit-identical on any engine. est_raw = α₁₂·2^64/Z with the published
+   * literal α₁₂ = 0.721253; linear counting (m·ln(m/V)) replaces it below
+   * 2.5·m when empty buckets remain — the standard small-range rule,
+   * decided on the ROUNDED est_raw so the branch is a pure function of
+   * published columns. Output: (groups…, n_nonempty, z_scaled, est_raw,
+   * est_linear, est).
+   */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_nonempty"),
+        sum(expr("CASE WHEN r <= 40 THEN CAST(pow(2, 40 - r) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("__znon"))
+      .withColumn("z_scaled",
+        col("__znon") + (lit(4096L) - col("n_nonempty")) * lit(1099511627776L))
+      .withColumn("est_raw",
+        round(lit(0.721253) * lit(1.8446744073709552E19) /
+          col("z_scaled").cast("double"), 6))
+      .withColumn("est_linear", expr(
+        """CASE WHEN 4096 - n_nonempty > 0 THEN
+             round(4096.0 * ln(4096.0 / CAST(4096 - n_nonempty AS DOUBLE)), 6)
+           END"""))
+      .withColumn("est", expr(
+        """CASE WHEN 4096 - n_nonempty > 0 AND est_raw <= 10240.0
+           THEN est_linear ELSE est_raw END"""))
+      .select(groupCols.map(col) ++ Seq(col("n_nonempty"), col("z_scaled"),
+        col("est_raw"), col("est_linear"), col("est")): _*)
+
+  /**
    * Pairwise distinct-overlap between groups via inclusion-exclusion:
    * for each pair (a, b) of rows of `sketches` (output of [[sketchBy]]
    * with ONE group column), estimate |A|, |B|, |A∪B| from the sketches and

@@ -129,4 +129,41 @@ class SketchSpec extends SparkSpec {
     val frac = java.lang.Long.parseLong(hashes.last.take(13), 16) / HashDenom
     assert(row.getDouble(1) == 31.0 / frac)
   }
+
+  test("HLL registers: string-space rank equals the bit definition") {
+    val df = (0 until 5000).map(_.toLong).toDF("v")
+    val regs = graft.operators.DistinctSketch.hllRegistersMd5(df, Seq.empty, md5Hash(col("v")))
+      .collect().map(r => r.getAs[String]("bucket") -> r.getAs[Int]("r"))
+    // independent reference: parse the hex tail as a 64-bit value and
+    // count leading zero bits directly
+    val ref = scala.collection.mutable.Map.empty[String, Int]
+    (0 until 5000).foreach { v =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val tail = h.substring(3, 19)
+      val bits = new java.math.BigInteger(tail, 16)
+      val rank = if (bits.signum == 0) 65 else 64 - bits.bitLength + 1
+      val b = h.substring(0, 3)
+      ref(b) = math.max(ref.getOrElse(b, 0), rank)
+    }
+    assert(regs.toMap == ref.toMap)
+  }
+
+  test("HLL merge of halves == whole; estimate within 5% on 20k distinct") {
+    val whole = (0 until 20000).map(_.toLong).toDF("v").repartition(9)
+    val h1 = (0 until 12000).map(_.toLong).toDF("v")
+    val h2 = (8000 until 20000).map(_.toLong).toDF("v") // overlapping halves
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.DistinctSketch.hllRegistersMd5(df.withColumn("g", lit("x")), Seq("g"),
+        md5Hash(col("v")))
+    val merged = graft.operators.DistinctSketch.mergeRegisters(
+      regsOf(h1).unionByName(regsOf(h2)), Seq("g"))
+    val a = merged.orderBy("bucket").collect().toSeq
+    val b = regsOf(whole).orderBy("bucket").collect().toSeq
+    assert(a == b) // register-wise max is lossless union
+    val est = graft.operators.DistinctSketch.hllEstimate(merged, Seq("g"))
+      .head().getAs[Double]("est")
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"est=$est")
+  }
 }
