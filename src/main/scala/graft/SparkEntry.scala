@@ -1434,6 +1434,15 @@ object SparkEntry {
         .withColumnRenamed("l_returnflag", "g")
         .orderBy("g")
     }),
+    "q207_triples" -> ((s, dir) => {
+      // Apriori pass 2: frequent brand triples with the pair-floor prune
+      // semi-joined (broadcast) BEFORE the third basket expansion; conf
+      // and lift from exact counts. The oracle brute-forces the same
+      // semantics — pruning must be invisible in the result
+      graft.operators.Association.triples(brandBaskets(s, dir),
+          "l_orderkey", "p_brand", minSupport = 60L)
+        .orderBy("item_a", "item_b", "item_c")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3265,6 +3274,36 @@ object SparkEntry {
                 CASE WHEN 4096 - n_nonempty > 0 AND est_raw <= 10240.0
                      THEN est_linear ELSE est_raw END AS est
          FROM fin ORDER BY g""",
+    // q207: brute-force triple enumeration — the engine's Apriori prune
+    // must be invisible in the result; identical metric arithmetic order
+    "q207_triples" ->
+      """WITH bi AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         ), n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+         singles AS (SELECT i, CAST(count(*) AS BIGINT) AS supp FROM bi GROUP BY 1),
+         pr AS (
+           SELECT x.i AS a, y.i AS bb, CAST(count(*) AS BIGINT) AS supp_ab
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 60
+         ), tri AS (
+           SELECT x.i AS a, y.i AS bb, z.i AS c, CAST(count(*) AS BIGINT) AS s
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+                     JOIN bi z ON z.b = x.b AND z.i > y.i
+           GROUP BY 1, 2, 3 HAVING count(*) >= 60
+         )
+         SELECT t.a AS item_a, t.bb AS item_b, t.c AS item_c, t.s AS support,
+                round(CAST(t.s AS DOUBLE) / CAST(p.supp_ab AS DOUBLE), 6) AS conf_ab_c,
+                round(CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE) * CAST(t.s AS DOUBLE)
+                      / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)
+                         * CAST(sc.supp AS DOUBLE)), 6) AS lift
+         FROM tri t
+         JOIN pr p ON p.a = t.a AND p.bb = t.bb
+         JOIN singles sa ON sa.i = t.a
+         JOIN singles sb ON sb.i = t.bb
+         JOIN singles sc ON sc.i = t.c
+         CROSS JOIN n
+         ORDER BY item_a, item_b, item_c""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

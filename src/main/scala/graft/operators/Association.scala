@@ -60,6 +60,63 @@ object Association {
   }
 
   /**
+   * Frequent triples — the SECOND Apriori pass, with the classic prune
+   * doing the scale work: a triple {a<b<c} can only reach `minSupport` if
+   * all three of its pairs do, so candidate enumeration SEMI-JOINS each
+   * extension against the frequent-pair list (broadcast — it already
+   * passed a support floor) BEFORE the third basket expansion. The
+   * basket-keyed joins never blow past the guarded items-per-basket
+   * bound, and the pair floor kills the tail before it multiplies.
+   *
+   * Output: (item_a, item_b, item_c, support, conf_ab_c = supp(abc) /
+   * supp(ab), lift = n²·supp(abc)/(supp(a)·supp(b)·supp(c))) — all
+   * 6dp-rounded pure functions of exact counts.
+   */
+  def triples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 2L, maxItemsPerBasket: Int = 1000): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).cast("string").as("i"))
+      .where(col("i").isNotNull).distinct().cache()
+    val fat = bi.groupBy(col("b")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") > maxItemsPerBasket).limit(1).collect()
+    require(fat.isEmpty,
+      s"basket ${fat.headOption.map(_.get(0))} exceeds maxItemsPerBasket=$maxItemsPerBasket")
+    val nBaskets = bi.select(col("b")).distinct().count()
+    val singles = bi.groupBy(col("i")).agg(count(lit(1)).as("supp"))
+    val pairSupp = bi.select(col("b"), col("i").as("item_a"))
+      .join(bi.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("supp_ab"))
+      .where(col("supp_ab") >= minSupport).cache()
+    val freqAB = pairSupp.select(col("item_a"), col("item_b"))
+    val t2 = bi.select(col("b"), col("i").as("item_a"))
+      .join(bi.select(col("b"), col("i").as("item_b")), Seq("b"))
+      .where(col("item_a") < col("item_b"))
+      .join(broadcast(freqAB), Seq("item_a", "item_b"), "left_semi")
+    val tri = t2
+      .join(bi.select(col("b"), col("i").as("item_c")), Seq("b"))
+      .where(col("item_c") > col("item_b"))
+      .join(broadcast(freqAB.select(col("item_a").as("item_b"),
+        col("item_b").as("item_c"))), Seq("item_b", "item_c"), "left_semi")
+      .join(broadcast(freqAB.select(col("item_a"),
+        col("item_b").as("item_c"))), Seq("item_a", "item_c"), "left_semi")
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    tri
+      .join(broadcast(pairSupp), Seq("item_a", "item_b"))
+      .join(broadcast(singles.select(col("i").as("item_a"), col("supp").as("__sa"))), "item_a")
+      .join(broadcast(singles.select(col("i").as("item_b"), col("supp").as("__sb"))), "item_b")
+      .join(broadcast(singles.select(col("i").as("item_c"), col("supp").as("__sc"))), "item_c")
+      .select(col("item_a"), col("item_b"), col("item_c"), col("support"),
+        round(col("support").cast("double") / col("supp_ab").cast("double"), 6)
+          .as("conf_ab_c"),
+        round(lit(nBaskets).cast("double") * lit(nBaskets).cast("double")
+            * col("support").cast("double")
+          / (col("__sa").cast("double") * col("__sb").cast("double")
+            * col("__sc").cast("double")), 6).as("lift"))
+  }
+
+  /**
    * Item-item "bought together" recommendations: binary-basket cosine
    * sim(a,b) = supp(ab)/√(supp(a)·supp(b)) = √(conf_ab·conf_ba) — a pure
    * rounded function of [[pairs]]' PUBLISHED columns (cross-engine

@@ -23,6 +23,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(("a", "c")) == ((2L, 0.666667, 1.0, 1.333333)))
   }
 
+  test("Association.triples: hand-checked; apriori prune invisible in the result") {
+    // baskets: {a,b,c} ×3, {a,b,c,d} ×1, {a,b} ×1, {d} ×1
+    val bi = (Seq.tabulate(3)(k => Seq((k, "a"), (k, "b"), (k, "c"))).flatten ++
+      Seq((3, "a"), (3, "b"), (3, "c"), (3, "d"), (4, "a"), (4, "b"), (5, "d")))
+      .toDF("bk", "it")
+    val got = Association.triples(bi, "bk", "it", minSupport = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // supports: a=5, b=5, c=4, d=2; abc=4 (abd/acd/bcd=1, cut by support)
+    // conf(ab→c) = 4/5; lift = 6²·4 / (5·5·4) = 1.44
+    assert(got.keySet == Set(("a", "b", "c")))
+    assert(got(("a", "b", "c")) == ((4L, 0.8, 1.44)))
+  }
+
   test("Association.pairs: mega-basket guard is loud") {
     val bi = (0 until 40).map(i => (1, s"i$i")).toDF("bk", "it")
     intercept[IllegalArgumentException] {
