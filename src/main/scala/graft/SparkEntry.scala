@@ -1443,6 +1443,13 @@ object SparkEntry {
           "l_orderkey", "p_brand", minSupport = 60L)
         .orderBy("item_a", "item_b", "item_c")
     }),
+    "q208_zipf_fit" -> ((s, dir) => {
+      // Zipf slope of the rank-frequency curve (corpus health: natural
+      // text ≈ −1): logs 12dp-rounded into exact decimals, moments
+      // decimal-summed, normal equations in doubles only after
+      graft.pipeline.CorpusStats.zipfFit(eng(s, dir).table("documents"),
+        "doc_id", "text", topN = 200)
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3304,6 +3311,36 @@ object SparkEntry {
          JOIN singles sc ON sc.i = t.c
          CROSS JOIN n
          ORDER BY item_a, item_b, item_c""",
+    // q208: identical 12dp log rounding, exact decimal moments, the
+    // identical double expression for the normal equations
+    "q208_zipf_fit" ->
+      """WITH t AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), v AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
+         k AS (SELECT w, cnt FROM v ORDER BY cnt DESC, w LIMIT 200),
+         rk AS (
+           SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank, cnt
+           FROM k
+         ), xy AS (
+           SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 12) AS DECIMAL(15,12)) AS x,
+                  CAST(round(ln(CAST(cnt AS DOUBLE)), 12) AS DECIMAL(15,12)) AS y
+           FROM rk
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(x * x AS DECIMAL(34,24))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(x * y AS DECIMAL(34,24))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(y * y AS DECIMAL(34,24))) AS DOUBLE) AS syy
+           FROM xy
+         )
+         SELECT n_tokens,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+                round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM m""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

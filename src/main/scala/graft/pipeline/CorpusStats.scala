@@ -366,6 +366,50 @@ object CorpusStats {
   }
 
   /**
+   * Zipf power-law fit of the rank–frequency curve: OLS slope of
+   * ln(freq) on ln(rank) over the top-`topN` vocabulary — the classic
+   * corpus-health signal (natural language sits near slope −1; template
+   * spam and boilerplate flatten it, truncated crawls steepen it).
+   *
+   * Determinism: the log points are 12dp-rounded into DECIMAL(15,12),
+   * all five moments are summed EXACTLY in decimal (operand precisions
+   * sized so no 38-digit cap can round anywhere), and the normal
+   * equations run in doubles only after the exact sums — the identical
+   * IEEE expression on both engines. One token shuffle + a topN-bounded
+   * tail; nothing driver-side.
+   *
+   * Output: one row (n_tokens, slope, intercept, r2).
+   */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 200): DataFrame = {
+    require(topN >= 2, s"topN >= 2: $topN")
+    val byFreq = Window.orderBy(col("cnt").desc, col("w").asc)
+    val ranked = tokenTable(docs, idCol, textCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(topN)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+    val dx = round(log(col("rank").cast("double")), 12).cast("decimal(15,12)")
+    val dy = round(log(col("cnt").cast("double")), 12).cast("decimal(15,12)")
+    val m = ranked.select(dx.as("x"), dy.as("y")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("x")).as("dsx"), sum(col("y")).as("dsy"),
+      sum((col("x") * col("x")).cast("decimal(34,24)")).as("dsxx"),
+      sum((col("x") * col("y")).cast("decimal(34,24)")).as("dsxy"),
+      sum((col("y") * col("y")).cast("decimal(34,24)")).as("dsyy"))
+    val n = col("n_tokens").cast("double")
+    val sx = col("dsx").cast("double"); val sy = col("dsy").cast("double")
+    val sxx = col("dsxx").cast("double"); val sxy = col("dsxy").cast("double")
+    val syy = col("dsyy").cast("double")
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    m.select(col("n_tokens"),
+      round(num / denX, 6).as("slope"),
+      round((sy - (num / denX) * sx) / n, 6).as("intercept"),
+      round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /**
    * Per-group embedding centroids (element-wise mean pooling) — the
    * corpus-fingerprint op behind drift detection, source comparison and
    * IVF seeding. Returns (`grp`, dim, centroid, centroid_norm,

@@ -1174,6 +1174,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("zipfFit: matches a hand-rolled OLS with the same rounding; ideal Zipf ≈ -1") {
+    // corpus where token i appears floor(600/i) times, i = 1..30
+    val words = (1 to 30).flatMap(i => Seq.fill(600 / i)(f"w$i%02d"))
+    val docs = spark.createDataFrame(Seq((1L, words.mkString(" "))))
+      .toDF("id", "text")
+    val got = graft.pipeline.CorpusStats.zipfFit(docs, "id", "text", topN = 30).head()
+    // independent reference: same 12dp rounding, exact BigDecimal moments
+    val pts = (1 to 30).map { i =>
+      val cnt = 600 / i
+      (BigDecimal(math.log(i.toDouble)).setScale(12, BigDecimal.RoundingMode.HALF_UP),
+       BigDecimal(math.log(cnt.toDouble)).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got.getAs[Long]("n_tokens") == 30L)
+    assert(got.getAs[Double]("slope") ==
+      BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(got.getAs[Double]("slope") + 1.0) < 0.05) // Zipf ≈ −1
+    assert(got.getAs[Double]("r2") > 0.99)
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
