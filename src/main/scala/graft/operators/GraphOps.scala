@@ -33,39 +33,69 @@ object GraphOps {
    * PageRank over directed `edges` (src, dst) with damping 85/100,
    * `iters` fixed-point iterations. Nodes = every id appearing on either
    * side. Output: (node, rank_units) — rank in 1e-9 units, exact.
+   *
+   * Two-regime execution, the q67 connected-components discipline
+   * (`pipeline/Dedup.scala`): analytics graphs are usually built by a
+   * support threshold over a huge fact table — the DERIVATION is the
+   * 100 TB part, the surviving graph is often thousands of edges. Below
+   * `maxLocalEdges` the loop runs on the driver over the collected edge
+   * list (identical integer arithmetic, so bit-identical output) instead
+   * of paying ~6 shuffle stages × iters of scheduling for kilobyte
+   * relations; above the EXPLICIT cutover it stays fully distributed
+   * with per-iteration lineage cuts.
    */
-  def pageRankFixed(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRankFixed(edges: DataFrame, iters: Int = 5,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
-    // the loop references these once PER ITERATION — without persistence
-    // the whole upstream lineage (possibly a multi-join edge derivation)
-    // re-executes iters times
+    // referenced by the count probe and (either regime) the loop — cache
+    // so the possibly-join-shaped edge derivation runs once
     val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
-    val teleport = lit(Unit9 * 15L / 100L)
-    var rank = nodes.withColumn("rank_units", lit(Unit9))
-    for (i <- 1 to iters) {
-      val contribs = e
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(outDeg, "src")
-        // integer fixed-point: rank*85 exact in long (rank ≤ n·1e9, edges
-        // bounded), `div` truncates BY DEFINITION (long `/` would go double)
-        .selectExpr("dst as node", "(rank_units * 85) div (100 * deg) as c")
-        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
-      rank = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (teleport + coalesce(col("inflow"), lit(0L))).as("rank_units"))
-      // truncate lineage EVERY iteration: otherwise iterate i carries i
-      // chained join/agg rounds through analysis+optimization (quadratic
-      // planner work) and, uncached, re-executes them. localCheckpoint
-      // materializes the iterate; exact longs make the cut loss-free. On
-      // an unreliable cluster swap for reliable checkpoint(dir) — the
-      // iterate is O(|V|) either way.
-      if (i < iters) rank = rank.localCheckpoint(true)
+    val teleportU = Unit9 * 15L / 100L
+    if (e.count() <= maxLocalEdges) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank: Map[String, Long] = nodes.map(_ -> Unit9).toMap
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.Map.empty[String, Long]
+        es.foreach { case (s, d) =>
+          // same fixed-point step as the distributed branch: long
+          // truncating division IS the definition
+          inflow(d) = inflow.getOrElse(d, 0L) + (rank(s) * 85L) / (100L * deg(s))
+        }
+        rank = nodes.iterator.map(n => n -> (teleportU + inflow.getOrElse(n, 0L))).toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank_units")
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().cache()
+      val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+      var rank = nodes.withColumn("rank_units", lit(Unit9))
+      for (i <- 1 to iters) {
+        val contribs = e
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .join(outDeg, "src")
+          // integer fixed-point: rank*85 exact in long (rank ≤ n·1e9, edges
+          // bounded), `div` truncates BY DEFINITION (long `/` would go double)
+          .selectExpr("dst as node", "(rank_units * 85) div (100 * deg) as c")
+          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        rank = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleportU) + coalesce(col("inflow"), lit(0L))).as("rank_units"))
+        // truncate lineage EVERY iteration: otherwise iterate i carries i
+        // chained join/agg rounds through analysis+optimization (quadratic
+        // planner work) and, uncached, re-executes them. localCheckpoint
+        // materializes the iterate; exact longs make the cut loss-free. On
+        // an unreliable cluster swap for reliable checkpoint(dir) — the
+        // iterate is O(|V|) either way.
+        if (i < iters) rank = rank.localCheckpoint(true)
+      }
+      rank
     }
-    rank
   }
 
   /**
@@ -76,22 +106,44 @@ object GraphOps {
    * (hop counts), hence bit-deterministic; static relations cached once
    * (the [[pageRankFixed]] discipline).
    */
-  def bfsHops(edges: DataFrame, source: String, maxHops: Int = 5): DataFrame = {
+  def bfsHops(edges: DataFrame, source: String, maxHops: Int = 5,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     require(maxHops >= 1 && maxHops <= 30, s"maxHops in [1,30]: $maxHops")
     val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
-    var dist = e.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0L).as("d"))
-    for (h <- 1 to maxHops) {
-      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), (col("d") + 1L).as("d"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
-      // same lineage cut as pageRankFixed: without it round h replans and
-      // re-runs all h-1 prior frontier expansions
-      if (h < maxHops) dist = dist.localCheckpoint(true)
+    // same two-regime cutover as pageRankFixed: a thresholded analytics
+    // graph is usually tiny next to its derivation — BFS over the
+    // collected adjacency is the plan you'd pick on a real cluster too
+    if (e.count() <= maxLocalEdges) {
+      val adj = e.collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      e.unpersist(false)
+      val dist = scala.collection.mutable.Map(source -> 0L)
+      var frontier = Seq(source)
+      var h = 0
+      while (frontier.nonEmpty && h < maxHops) {
+        h += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[String]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = h.toLong)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      dist.toSeq.toDF("node", "d")
+    } else {
+      var dist = e.sparkSession.range(1)
+        .select(lit(source).as("node"), lit(0L).as("d"))
+      for (h <- 1 to maxHops) {
+        val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("d") + 1L).as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+        // same lineage cut as pageRankFixed: without it round h replans and
+        // re-runs all h-1 prior frontier expansions
+        if (h < maxHops) dist = dist.localCheckpoint(true)
+      }
+      dist
     }
-    dist
   }
 
   /**

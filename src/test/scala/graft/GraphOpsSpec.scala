@@ -62,6 +62,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(r5a("a") > r5a("b")) // the hub outranks the spokes
   }
 
+  test("pageRank/bfs: distributed branch is bit-identical to the local fast path") {
+    val edges = ((1 to 60).map(i => (s"n${i % 12}", s"n${(i * 7) % 12}")) :+
+      (("n0", "n5"))).filter(e => e._1 != e._2).toDF("src", "dst")
+    val local = GraphOps.pageRankFixed(edges, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dist = GraphOps.pageRankFixed(edges, iters = 4, maxLocalEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    val bl = GraphOps.bfsHops(edges, "n1", maxHops = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bd = GraphOps.bfsHops(edges, "n1", maxHops = 4, maxLocalEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bl == bd)
+  }
+
   test("bfsHops: path-graph distances, unreached beyond bound absent") {
     // path a-b-c-d-e (symmetric): hops from a = 0,1,2,3,4; maxHops=3 drops e
     val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
