@@ -1450,6 +1450,25 @@ object SparkEntry {
       graft.pipeline.CorpusStats.zipfFit(eng(s, dir).table("documents"),
         "doc_id", "text", topN = 200)
     }),
+    "q209_hybrid_search" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical top-50 + exact-l2 vector top-50
+      // fused by reciprocal-rank fusion (k0=60) — rank-only combination,
+      // no score calibration; reciprocals 12dp-rounded and decimal-
+      // summed, fusion relation bounded at |systems|·50 rows
+      val e = eng(s, dir)
+      val lex = graft.pipeline.CorpusStats.bm25Search(e.table("documents"),
+          "doc_id", "text", terms = Seq("spark", "vector", "stream"), topK = 50)
+        .select(col("doc_id"), col("rank"))
+      val qv = e.table("embeddings").where(col("vec_id") === 7)
+        .select("embedding").head.getSeq[Float](0).map(_.toDouble)
+      val vec = VectorSearch.exact(e.table("embeddings"), "vec_id",
+          "embedding", qv, topK = 50, metric = "l2")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("distance").asc, col("pk").asc)).cast("long"))
+        .select(col("pk").as("doc_id"), col("rank"))
+      graft.operators.Fusion.rrf(Seq("lex" -> lex, "vec" -> vec), "doc_id",
+        k0 = 60, topK = 10)
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3341,6 +3360,44 @@ object SparkEntry {
                 round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          FROM m""",
+    // q209: both rankings replayed (BM25 chain as q117 at top-50; vector
+    // rank over the 6dp distance + pk order), identical rrf arithmetic
+    "q209_hybrid_search" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents
+         ), dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, w, count(*) AS tf FROM t
+           WHERE w IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+         ), df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         c AS (
+           SELECT tf.doc_id,
+                  round(ln((CAST(st.n_docs AS DOUBLE) - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+                        * (tf.tf * (1.2e0 + 1.0e0))
+                        / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / st.avgdl)), 6) AS c
+           FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st
+         ), sc AS (
+           SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
+         ), lexr AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           FROM sc ORDER BY score DESC, doc_id LIMIT 50
+         ), q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+         vd AS (
+           SELECT e.vec_id AS doc_id,
+                  round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance
+           FROM embeddings e, q WHERE e.embedding IS NOT NULL
+         ), vecr AS (
+           SELECT doc_id, CAST(row_number() OVER (ORDER BY distance, doc_id) AS BIGINT) AS rank
+           FROM vd ORDER BY distance, doc_id LIMIT 50
+         ), u AS (
+           SELECT doc_id, rank FROM lexr UNION ALL SELECT doc_id, rank FROM vecr
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems,
+                round(CAST(sum(CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(16,12))) AS DOUBLE), 6) AS rrf
+         FROM u GROUP BY doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

@@ -1198,6 +1198,19 @@ class PipelineSpec extends SparkSpec {
     assert(got.getAs[Double]("r2") > 0.99)
   }
 
+  test("Fusion.rrf: hand-checked two-system fusion; shared doc outranks singles") {
+    val lex = spark.createDataFrame(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+      .toDF("id", "rank")
+    val vec = spark.createDataFrame(Seq((2L, 1L), (4L, 2L))).toDF("id", "rank")
+    val got = graft.operators.Fusion.rrf(Seq("lex" -> lex, "vec" -> vec),
+        "id", k0 = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc2: r12(1/62)+r12(1/61) = 0.032522474881 → 0.032522 — ranked first
+    assert(got.toSeq == Seq(
+      (2L, 2L, 0.032522), (1L, 1L, 0.016393),
+      (4L, 1L, 0.016129), (3L, 1L, 0.015873)))
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
