@@ -1469,6 +1469,15 @@ object SparkEntry {
       graft.operators.Fusion.rrf(Seq("lex" -> lex, "vec" -> vec), "doc_id",
         k0 = 60, topK = 10)
     }),
+    "q210_winsorize" -> ((s, dir) => {
+      // winsorized revenue per priority: clip to exact dyadic-rank
+      // quantiles (histogram-bisection path, broadcast cuts) — keeps
+      // every row while taming the tails; clip + sum exact longs
+      graft.operators.Outliers.winsorize(eng(s, dir).table("orders"),
+          "o_orderpriority",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .orderBy("g")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3398,6 +3407,34 @@ object SparkEntry {
                 round(CAST(sum(CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 12) AS DECIMAL(16,12))) AS DOUBLE), 6) AS rrf
          FROM u GROUP BY doc_id
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    // q210: rank-for-rank quantile replay (ceil(p·n)−1 zero-clamped,
+    // 1-based rn), identical long clip and sum
+    "q210_winsorize" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders
+         ), r AS (
+           SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY g) AS n
+           FROM b
+         ), cuts AS (
+           SELECT g,
+                  max(CASE WHEN rn = greatest(CAST(ceil(0.0625 * n) AS BIGINT) - 1, 0) + 1 THEN v END) AS lo_cut,
+                  max(CASE WHEN rn = greatest(CAST(ceil(0.9375 * n) AS BIGINT) - 1, 0) + 1 THEN v END) AS hi_cut
+           FROM r GROUP BY 1
+         ), w AS (
+           SELECT b.g, b.v, c.lo_cut, c.hi_cut,
+                  least(greatest(b.v, c.lo_cut), c.hi_cut) AS wv
+           FROM b JOIN cuts c ON c.g = b.g
+         )
+         SELECT g, CAST(count(*) AS BIGINT) AS n,
+                max(lo_cut) AS lo_cut, max(hi_cut) AS hi_cut,
+                CAST(sum(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+                CAST(sum(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                CAST(sum(wv) AS BIGINT) AS sum_w,
+                round(CAST(sum(wv) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_w
+         FROM w GROUP BY g ORDER BY g""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

@@ -57,4 +57,38 @@ object Outliers {
     robustZ(df, groupCol, valCol)
       .where(col("robust_z").isNull || abs(col("robust_z")) <= zThresh)
       .drop("med", "mad", "robust_z")
+
+  /**
+   * Winsorized per-group summary: clip to the exact [pLo, pHi] rank
+   * quantiles instead of DROPPING the tails (trimming changes n and
+   * biases sums; winsorizing keeps every row, pulling the tails to the
+   * cut). Quantiles come from the histogram-bisection path (no per-group
+   * sort — the 100 TB route, q153/q194 discipline) and are BROADCAST
+   * back onto the scan; the clip and the winsorized sum are exact long
+   * arithmetic over integer `unitsCol`, so the published mean's one
+   * division is the only float. `pLo`/`pHi` must be dyadic (exact
+   * doubles) — p·n then has no float dust to shift a rank.
+   *
+   * Output: (group, n, lo_cut, hi_cut, n_lo, n_hi, sum_w, mean_w).
+   */
+  def winsorize(df: DataFrame, groupCol: String, unitsCol: Column,
+      pLo: Double = 0.0625, pHi: Double = 0.9375): DataFrame = {
+    require(pLo > 0 && pHi > pLo && pHi <= 1, s"0 < pLo < pHi <= 1: $pLo, $pHi")
+    val base = df.select(col(groupCol).as("g"), unitsCol.cast("long").as("v"))
+    val qs = Quantiles.exactQuantiles(base, Seq("g"), "v", Seq(pLo, pHi))
+    val lo = qs.where(col("p") === pLo)
+      .select(col("g"), col("value").cast("long").as("lo_cut"))
+    val hi = qs.where(col("p") === pHi)
+      .select(col("g"), col("value").cast("long").as("hi_cut"))
+    base.join(broadcast(lo), Seq("g")).join(broadcast(hi), Seq("g"))
+      .withColumn("__w", least(greatest(col("v"), col("lo_cut")), col("hi_cut")))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo_cut")).as("lo_cut"), max(col("hi_cut")).as("hi_cut"),
+        sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_hi"),
+        sum(col("__w")).as("sum_w"))
+      .withColumn("mean_w",
+        round(col("sum_w").cast("double") / col("n").cast("double"), 6))
+  }
 }

@@ -54,4 +54,20 @@ class RobustSpec extends SparkSpec {
     assert(a.getAs[Double]("intercept") == b.getAs[Double]("intercept"))
     assert(a.getAs[Double]("r2") == b.getAs[Double]("r2"))
   }
+
+  test("winsorize: hand-checked cuts, clip counts, exact winsorized sum") {
+    // one group, values 0..31 (n=32), dyadic p = 1/16 and 15/16:
+    // lo rank = max(ceil(32/16)-1,0) = 1 (0-based) → value 1
+    // hi rank = ceil(30)-1 = 29 → value 29; clips: {0}→1, {30,31}→29
+    val df = (0 until 32).map(v => ("g", v.toLong)).toDF("k", "v")
+    val r = Outliers.winsorize(df, "k", col("v")).head()
+    assert(r.getAs[Long]("n") == 32L)
+    assert(r.getAs[Long]("lo_cut") == 1L && r.getAs[Long]("hi_cut") == 29L)
+    assert(r.getAs[Long]("n_lo") == 1L && r.getAs[Long]("n_hi") == 2L)
+    val expected = (0 until 32).map(v => math.min(math.max(v, 1), 29).toLong).sum
+    assert(r.getAs[Long]("sum_w") == expected)
+    assert(r.getAs[Double]("mean_w") ==
+      BigDecimal(expected.toDouble / 32.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
