@@ -1478,6 +1478,29 @@ object SparkEntry {
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
         .orderBy("g")
     }),
+    "q211_hll_stream" -> ((s, dir) => {
+      // STREAMING distinct-count sketch: the HLL register aggregation
+      // runs as a streaming groupBy max — state is bounded at m=4096
+      // register rows FOREVER, however long the stream runs (the whole
+      // point of sketching a firehose); register max is order-blind, so
+      // the streamed registers equal the batch build exactly and the
+      // estimate is the same deterministic q206 arithmetic
+      import graft.operators.DistinctSketch
+      val base = tmpDir("q211")
+      val li = eng(s, dir).table("lineitem").select(col("l_orderkey"))
+      li.write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(li.schema).parquet(base + "/feed")
+      val regs = DistinctSketch.hllRegistersMd5(
+        stream.withColumn("g", lit("ALL")), Seq("g"),
+        DistinctSketch.md5Hash(col("l_orderkey")))
+      val q = regs.writeStream.format("memory").queryName("q211_hll_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(120000); q.stop()
+      require(finished, "q211_hll_stream: streaming query did not finish within 120 s")
+      DistinctSketch.hllEstimate(s.table("q211_hll_mem"), Seq("g"))
+        .withColumnRenamed("g", "grp").orderBy("grp")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3435,6 +3458,43 @@ object SparkEntry {
                 CAST(sum(wv) AS BIGINT) AS sum_w,
                 round(CAST(sum(wv) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_w
          FROM w GROUP BY g ORDER BY g""",
+    // q211: streamed registers == batch registers (max is order-blind);
+    // the q206 estimator replayed over the single ALL group
+    "q211_hll_stream" ->
+      """WITH h AS (
+           SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+         ), r0 AS (
+           SELECT substr(h, 1, 3) AS bucket, substr(h, 4, 16) AS tail,
+                  length(regexp_extract(substr(h, 4, 16), '^0*')) AS z
+           FROM h
+         ), rk AS (
+           SELECT bucket,
+                  CASE WHEN z = 16 THEN 65 ELSE 4 * z + 1 +
+                    (CASE WHEN substr(tail, z + 1, 1) >= '8' THEN 0
+                          WHEN substr(tail, z + 1, 1) >= '4' THEN 1
+                          WHEN substr(tail, z + 1, 1) >= '2' THEN 2
+                          ELSE 3 END) END AS r
+           FROM r0
+         ), regs AS (SELECT bucket, max(r) AS r FROM rk GROUP BY 1),
+         est AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+                  CAST(sum(CASE WHEN r <= 40 THEN CAST(pow(2, 40 - r) AS BIGINT)
+                                ELSE 0 END) AS BIGINT) AS znon
+           FROM regs
+         ), fin AS (
+           SELECT n_nonempty,
+                  CAST(znon + (4096 - n_nonempty) * 1099511627776 AS BIGINT) AS z_scaled,
+                  round(0.721253 * pow(2, 64) /
+                        CAST(znon + (4096 - n_nonempty) * 1099511627776 AS DOUBLE), 6) AS est_raw,
+                  CASE WHEN 4096 - n_nonempty > 0 THEN
+                    round(4096.0 * ln(4096.0 / CAST(4096 - n_nonempty AS DOUBLE)), 6)
+                  END AS est_linear
+           FROM est
+         )
+         SELECT 'ALL' AS grp, n_nonempty, z_scaled, est_raw, est_linear,
+                CASE WHEN 4096 - n_nonempty > 0 AND est_raw <= 10240.0
+                     THEN est_linear ELSE est_raw END AS est
+         FROM fin""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

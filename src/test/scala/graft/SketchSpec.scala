@@ -164,6 +164,22 @@ class SketchSpec extends SparkSpec {
     assert(a == b) // register-wise max is lossless union
     val est = graft.operators.DistinctSketch.hllEstimate(merged, Seq("g"))
       .head().getAs[Double]("est")
+    // streaming build (complete-mode groupBy max, state bounded at m
+    // register rows) == the batch registers: max is order-blind
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sregs = graft.operators.DistinctSketch.hllRegistersMd5(
+      mem.toDF.toDF("v").withColumn("g", lit("x")), Seq("g"),
+      md5Hash(col("v")))
+    val q = sregs.writeStream.format("memory").queryName("hll_stream_spec")
+      .outputMode("complete").start()
+    try {
+      mem.addData(0L until 12000L: _*); q.processAllAvailable()
+      mem.addData(8000L until 20000L: _*); q.processAllAvailable()
+      val streamed = spark.table("hll_stream_spec").orderBy("bucket").collect().toSeq
+      assert(streamed == b)
+    } finally q.stop()
     assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"est=$est")
   }
 }
