@@ -1501,6 +1501,25 @@ object SparkEntry {
       DistinctSketch.hllEstimate(s.table("q211_hll_mem"), Seq("g"))
         .withColumnRenamed("g", "grp").orderBy("grp")
     }),
+    "q212_readability" -> ((s, dir) => {
+      // Flesch + FK grade per document from three codegen regexp-run
+      // counts (sentence/word/vowel-group) and literal coefficients —
+      // a single projection pass, no shuffle at all
+      eng(s, dir).table("documents")
+        .select(col("doc_id"), TextAnalysis.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_sentences"), col("r.n_words"),
+          col("r.n_syllables"), col("r.flesch"), col("r.fk_grade"))
+        .orderBy("doc_id")
+    }),
+    "q213_embed_diversity" -> ((s, dir) => {
+      // corpus-collapse probe: mean pairwise cosine over a deterministic
+      // md5-prefix sample (pure function of the id — any engine draws
+      // the same sample); O(k²) only on the sample, norms hoisted,
+      // cosines decimal-summed
+      graft.pipeline.CorpusStats.embeddingDiversity(
+        eng(s, dir).table("embeddings"), "vec_id", "embedding",
+        hexPrefix = "a")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3495,6 +3514,49 @@ object SparkEntry {
                 CASE WHEN 4096 - n_nonempty > 0 AND est_raw <= 10240.0
                      THEN est_linear ELSE est_raw END AS est
          FROM fin""",
+    // q212: identical regexp-run counts and the identical literal-
+    // coefficient expression, left-associated the same way
+    "q212_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  greatest(CAST(1 AS BIGINT),
+                           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+           FROM documents
+         )
+         SELECT doc_id, n_sentences, n_words, n_syllables,
+                CASE WHEN n_words > 0 THEN
+                  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+                END AS flesch,
+                CASE WHEN n_words > 0 THEN
+                  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                        + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                        - 15.59, 6)
+                END AS fk_grade
+         FROM c ORDER BY doc_id""",
+    // q213: identical md5-prefix sample, 6dp cosine rounding (q31
+    // family), exact decimal sum, diversity from the PUBLISHED mean
+    "q213_embed_diversity" ->
+      """WITH s AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = 'a'
+         ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled FROM s),
+         p AS (
+           SELECT round(list_cosine_similarity(a.v, b.v), 6) AS c
+           FROM s a JOIN s b ON a.vec_id < b.vec_id
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  round(CAST(sum(CAST(c AS DECIMAL(10,6))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS mean_cos,
+                  min(c) AS min_cos, max(c) AS max_cos
+           FROM p
+         )
+         SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
+                agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
+         FROM agg CROSS JOIN n""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

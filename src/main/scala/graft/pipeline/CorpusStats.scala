@@ -410,6 +410,50 @@ object CorpusStats {
   }
 
   /**
+   * Corpus embedding-diversity probe: mean/min/max pairwise cosine over
+   * a DETERMINISTIC md5-prefix sample of the vectors (the q75-family
+   * sampling trick — a pure function of the id, so any engine draws the
+   * same sample). Semantic diversity is the collapse detector for
+   * synthetic/curated corpora: mean pairwise cosine rising toward 1
+   * means the corpus is folding onto a few modes.
+   *
+   * The pair loop is O(k²) over the SAMPLE only — `hexPrefix` sets the
+   * rate (1 hex char = 1/16, 2 = 1/256 …), chosen so k stays in the
+   * thousands at any corpus size; norms are hoisted to the per-row side
+   * (one dot per pair). Cosines are 6dp-rounded into DECIMAL(10,6) and
+   * summed exactly — the mean is one division.
+   *
+   * Output: one row (n_sampled, n_pairs, mean_cos, min_cos, max_cos,
+   * diversity = 1 − mean_cos).
+   */
+  def embeddingDiversity(embs: DataFrame, idCol: String, vecCol: String,
+      hexPrefix: String = "a"): DataFrame = {
+    require(hexPrefix.nonEmpty && hexPrefix.length <= 8, "1..8 hex chars")
+    val sampled = embs
+      .where(substring(md5(col(idCol).cast("string")), 1, hexPrefix.length)
+        === hexPrefix)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        l2Norm(col(vecCol)).as("__n"))
+      .cache() // both join sides + the count probe
+    val nSampled = sampled.count()
+    val l = sampled.select(col("__id").as("a"), col("__v").as("va"), col("__n").as("na"))
+    val r = sampled.select(col("__id").as("b"), col("__v").as("vb"), col("__n").as("nb"))
+    val pairs = l.join(r, col("a") < col("b"))
+      .select(round(dotProduct(col("va"), col("vb"))
+        / (col("na") * col("nb")), 6).as("c"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("c").cast("decimal(10,6)")).as("__sum"),
+        min(col("c")).as("min_cos"), max(col("c")).as("max_cos"))
+      .withColumn("n_sampled", lit(nSampled))
+      .withColumn("mean_cos",
+        round(col("__sum").cast("double") / col("n_pairs").cast("double"), 6))
+      .withColumn("diversity", round(lit(1.0) - col("mean_cos"), 6))
+      .select(col("n_sampled"), col("n_pairs"), col("mean_cos"),
+        col("min_cos"), col("max_cos"), col("diversity"))
+  }
+
+  /**
    * Per-group embedding centroids (element-wise mean pooling) — the
    * corpus-fingerprint op behind drift detection, source comparison and
    * IVF seeding. Returns (`grp`, dim, centroid, centroid_norm,

@@ -495,6 +495,34 @@ object TextAnalysis {
    * and engine-reproducible. A schemeless or unparseable URL yields
    * empty host/tld and zero counts (filter-stage honesty: never throws).
    */
+  /**
+   * Flesch reading ease + Flesch–Kincaid grade from three regexp-run
+   * counts — sentences are [.!?]+ runs (floored at 1), words \S+ runs,
+   * syllables [aeiouy]+ vowel groups (the standard heuristic; vowel
+   * groups cannot span whitespace, so one pass over the whole text
+   * equals the per-word sum). Entirely codegen regexp counting + fixed
+   * literal coefficients, one rounded expression — cross-engine exact.
+   * Empty text (0 words) yields NULL scores. Returns a struct
+   * (n_sentences, n_words, n_syllables, flesch, fk_grade).
+   */
+  def readability(text: Column): Column = {
+    val words = size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+    val sylls = size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val w = words.cast("double"); val s = sents.cast("double")
+    val y = sylls.cast("double")
+    struct(
+      sents.as("n_sentences"), words.as("n_words"), sylls.as("n_syllables"),
+      when(words > 0, round(
+        lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w), 6))
+        .as("flesch"),
+      when(words > 0, round(
+        lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59), 6))
+        .as("fk_grade"))
+  }
+
   def urlFeatures(url: Column): Column = bind(url) { u =>
     val rest = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$", 1)
     val authority = regexp_extract(rest, "^([^/?#]*)", 1)

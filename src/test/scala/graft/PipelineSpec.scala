@@ -1211,6 +1211,50 @@ class PipelineSpec extends SparkSpec {
       (4L, 1L, 0.016129), (3L, 1L, 0.015873)))
   }
 
+  test("readability: hand-checked Flesch/FK; no-terminator floor; empty text null") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "The cat sat. The dog ran!"), // 2 sents, 6 words, 6 vowel runs
+      (2L, "no terminator here"),        // sentence floor = 1
+      (3L, "")))                         // empty → null scores
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+        graft.pipeline.TextAnalysis.readability(col("text")).as("r"))
+      .orderBy("id").collect()
+    val r1 = rows(0).getStruct(1)
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 6L && r1.getLong(2) == 6L)
+    // 206.835 − 1.015·(6/2) − 84.6·(6/6) = 119.19
+    assert(r1.getDouble(3) == 119.19)
+    // 0.39·3 + 11.8·1 − 15.59 = −2.62
+    assert(r1.getDouble(4) == -2.62)
+    val r2 = rows(1).getStruct(1)
+    assert(r2.getLong(0) == 1L && r2.getLong(1) == 3L)
+    val r3 = rows(2).getStruct(1)
+    assert(r3.getLong(1) == 0L && r3.isNullAt(3) && r3.isNullAt(4))
+  }
+
+  test("embeddingDiversity: sample is the md5-prefix set; identical vectors → diversity 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val vec = Array(1.0f, 2.0f, 2.0f)
+    val rows = (0L until 200L).map(i => Row(i, vec.toSeq))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 5), schema)
+    val expectedSample = (0L until 200L).count { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .startsWith("a")
+    }
+    val r = graft.pipeline.CorpusStats.embeddingDiversity(df, "vec_id",
+      "embedding", hexPrefix = "a").head()
+    assert(r.getAs[Long]("n_sampled") == expectedSample.toLong)
+    assert(r.getAs[Long]("n_pairs") ==
+      expectedSample.toLong * (expectedSample - 1) / 2)
+    assert(r.getAs[Double]("mean_cos") == 1.0)
+    assert(r.getAs[Double]("diversity") == 0.0)
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
