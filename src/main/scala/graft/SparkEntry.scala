@@ -1520,6 +1520,13 @@ object SparkEntry {
         eng(s, dir).table("embeddings"), "vec_id", "embedding",
         hexPrefix = "a")
     }),
+    "q214_k_anonymity" -> ((s, dir) => {
+      // release-governance audit: k-anonymity + l-diversity over the
+      // (nation, segment) quasi-identifier with account balance as the
+      // sensitive attribute — one QI-keyed aggregation + class rollup
+      graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3557,6 +3564,22 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q214: identical class aggregation and rollup
+    "q214_k_anonymity" ->
+      """WITH cl AS (
+           SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+                  count(DISTINCT c_acctbal) AS ldiv
+           FROM customer GROUP BY 1, 2
+         )
+         SELECT CAST(5 AS BIGINT) AS k_threshold, CAST(2 AS BIGINT) AS l_threshold,
+                CAST(sum(sz) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(min(sz) AS BIGINT) AS min_class_size,
+                CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_k_violating,
+                CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_k_violating,
+                CAST(min(ldiv) AS BIGINT) AS min_l,
+                CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_l_violating
+         FROM cl""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

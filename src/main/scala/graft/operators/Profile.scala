@@ -76,6 +76,36 @@ object Profile {
    * DECIMAL-summed terms (the PSI doctrine). Output per digit:
    * (digit, observed, expected, chi2) — chi2 repeated (grand total).
    */
+  /**
+   * k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+   * al. 2007) over a quasi-identifier tuple — the re-identification
+   * check a training-data release needs: a row whose QI combination is
+   * shared by fewer than k individuals is linkable; an equivalence class
+   * whose sensitive attribute takes fewer than l distinct values leaks
+   * it outright. ONE grouped aggregation on the QI key (map-side
+   * combined; |classes| rows survive), then a class-level rollup —
+   * nothing quadratic, nothing collected.
+   *
+   * Output: one row (k_threshold, l_threshold, n_rows, n_classes,
+   * min_class_size, n_rows_k_violating, n_classes_k_violating,
+   * min_l, n_classes_l_violating).
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Int = 5, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2 && l >= 1)
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        count_distinct(col(sensitiveCol)).as("ldiv"))
+    classes.agg(
+      lit(k.toLong).as("k_threshold"), lit(l.toLong).as("l_threshold"),
+      sum(col("sz")).as("n_rows"), count(lit(1)).as("n_classes"),
+      min(col("sz")).as("min_class_size"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_rows_k_violating"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_classes_k_violating"),
+      min(col("ldiv")).as("min_l"),
+      sum(when(col("ldiv") < l, 1L).otherwise(0L)).as("n_classes_l_violating"))
+  }
+
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
     val digits = df.where(col(valCol) > 0)

@@ -37,4 +37,21 @@ class ProfileSpec extends SparkSpec {
     assert(d("s").getDouble(4) == 0.333333) // distinct 3 → 1
     assert(d("v").getDouble(6) == 50.0)     // max 40 → 90
   }
+
+  test("kAnonymity: hand-checked class sizes and l-diversity violations") {
+    // classes: (1,x)→4 rows sens {a,b}; (1,y)→2 rows sens {a};
+    //          (2,x)→5 rows sens {a,b,c}
+    val df = (Seq.fill(2)((1, "x", "a")) ++ Seq.fill(2)((1, "x", "b")) ++
+      Seq.fill(2)((1, "y", "a")) ++
+      (Seq.fill(3)((2, "x", "a")) ++ Seq((2, "x", "b"), (2, "x", "c"))))
+      .toDF("qi1", "qi2", "sens")
+    val r = Profile.kAnonymity(df, Seq("qi1", "qi2"), "sens", k = 5, l = 2).head()
+    assert(r.getAs[Long]("n_rows") == 11L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_class_size") == 2L)
+    assert(r.getAs[Long]("n_rows_k_violating") == 6L)   // 4 + 2
+    assert(r.getAs[Long]("n_classes_k_violating") == 2L)
+    assert(r.getAs[Long]("min_l") == 1L)                // class (1,y)
+    assert(r.getAs[Long]("n_classes_l_violating") == 1L)
+  }
 }
