@@ -1527,6 +1527,17 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q215_holt_backtest" -> ((s, dir) => {
+      // rolling-origin backtest: last-7-origin one-step-ahead errors of
+      // the Holt fit — all folds run as ONE holt call keyed by cutoff
+      // (the fold loop is data, not a driver loop), exact integers
+      val daily = eng(s, dir).table("orders")
+        .groupBy(date_trunc("DAY", col("o_orderdate")).cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.TimeSeries.holtBacktest(daily, "t", "units", folds = 7)
+        .orderBy("fold")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3580,6 +3591,37 @@ object SparkEntry {
                 CAST(min(ldiv) AS BIGINT) AS min_l,
                 CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_classes_l_violating
          FROM cl""",
+    // q215: per-cutoff prefix recursion — the identical truncating-div
+    // chain of q204, keyed by fold cutoff
+    "q215_holt_backtest" ->
+      """WITH RECURSIVE d AS (
+           SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1
+         ), o AS (
+           SELECT t, x, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn FROM d
+         ), nn AS (SELECT CAST(max(rn) AS BIGINT) AS n FROM o),
+         cuts AS (
+           SELECT CAST(unnest(generate_series(n - 7, n - 1)) AS BIGINT) AS c FROM nn
+         ), ex AS (
+           SELECT c.c, o.rn, o.x FROM o CROSS JOIN cuts c WHERE o.rn <= c.c
+         ), r AS (
+           SELECT c, rn, x AS l, CAST(0 AS BIGINT) AS tr FROM ex WHERE rn = 1
+           UNION ALL
+           SELECT ex.c, ex.rn,
+                  CAST(trunc((ex.x + r.l + r.tr) / 2.0) AS BIGINT),
+                  CAST(trunc((CAST(trunc((ex.x + r.l + r.tr) / 2.0) AS BIGINT)
+                              - r.l + r.tr) / 2.0) AS BIGINT)
+           FROM r JOIN ex ON ex.c = r.c AND ex.rn = r.rn + 1
+         ), fin AS (SELECT c, l + tr AS f1 FROM r WHERE rn = c)
+         SELECT CAST(fin.c - (nn.n - 7) + 1 AS BIGINT) AS fold,
+                oc.t AS cutoff_t, fin.f1 AS f_1_units, oa.x AS actual_units,
+                abs(fin.f1 - oa.x) AS abs_err
+         FROM fin
+         JOIN o oa ON oa.rn = fin.c + 1
+         JOIN o oc ON oc.rn = fin.c
+         CROSS JOIN nn
+         ORDER BY fold""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

@@ -129,6 +129,43 @@ object TimeSeries {
   }
 
   /**
+   * Rolling-origin backtest of [[holt]] over a single bucketed series:
+   * for each of the last `folds` origins, fit on the prefix and score
+   * the one-step-ahead forecast against the actual — the honest
+   * out-of-sample error a fit statistic (SAE on trained points) cannot
+   * give. Prefixes materialize as a (cutoff, prefix-rows) theta join —
+   * folds × |series| rows, both calendar-bounded — and ALL folds then
+   * run as ONE [[holt]] call keyed by the cutoff: the fold loop is data,
+   * not a driver loop. Exact integer end to end.
+   *
+   * Output per fold: (fold 1..folds, cutoff_t, f1_units, actual_units,
+   * abs_err).
+   */
+  def holtBacktest(bucketed: DataFrame, tCol: String, unitsCol: String,
+      folds: Int = 7): DataFrame = {
+    require(folds >= 1 && folds <= 60, s"folds in [1,60]: $folds")
+    val w = Window.orderBy(col("t"))
+    val ranked = bucketed
+      .select(col(tCol).cast("long").as("t"), col(unitsCol).cast("long").as("x"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .cache() // cutoff probe + three joins below
+    val n = ranked.count()
+    require(n > folds, s"series length $n must exceed folds=$folds")
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    val cuts = (n - folds until n).map(_.toLong).toDF("c")
+    val prefixes = ranked.join(broadcast(cuts), col("rn") <= col("c"))
+    val fits = holt(prefixes, "c", "t", "x", horizons = Seq(1))
+      .select(col("key").as("c"), col("f_1_units"))
+    fits
+      .join(ranked.select((col("rn") - 1L).as("c"), col("x").as("actual_units")), "c")
+      .join(ranked.select(col("rn").as("c"), col("t").as("cutoff_t")), "c")
+      .select((col("c") - lit(n - folds) + 1L).as("fold"), col("cutoff_t"),
+        col("f_1_units"), col("actual_units"),
+        abs(col("f_1_units") - col("actual_units")).as("abs_err"))
+  }
+
+  /**
    * Additive seasonal decomposition by day-of-week over a DAILY integer
    * series: trend is the centered 7-day moving average, the seasonal
    * index is the mean deviation from trend per weekday. Published in the

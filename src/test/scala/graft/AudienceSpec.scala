@@ -88,6 +88,29 @@ class AudienceSpec extends SparkSpec {
     }
   }
 
+  test("holtBacktest: per-fold forecasts equal prefix refits; errors vs actuals") {
+    val xs = Vector(100L, 120L, 90L, 200L, 180L, 210L, 170L, 260L, 240L, 300L)
+    def refFit(p: Seq[Long]): (Long, Long) = { // (level, trend)
+      var l = p.head; var b = 0L
+      for (x <- p.tail) { val nl = (x + l + b) / 2; b = (nl - l + b) / 2; l = nl }
+      (l, b)
+    }
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong * 86400L, x) }
+      .toDF("t", "units").repartition(3)
+    val got = graft.operators.TimeSeries.holtBacktest(df, "t", "units", folds = 3)
+      .orderBy("fold").collect()
+    assert(got.length == 3)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val cut = xs.length - 3 + i // fit-prefix length
+      val (l, b) = refFit(xs.take(cut))
+      assert(r.getAs[Long]("fold") == i + 1)
+      assert(r.getAs[Long]("cutoff_t") == (cut - 1).toLong * 86400L)
+      assert(r.getAs[Long]("f_1_units") == l + b, s"fold ${i + 1}")
+      assert(r.getAs[Long]("actual_units") == xs(cut))
+      assert(r.getAs[Long]("abs_err") == math.abs(l + b - xs(cut)))
+    }
+  }
+
   test("seasonalDow: exact integer deviations match a hand-rolled centered MA") {
     val xs = Vector(100L, 200L, 150L, 300L, 250L, 120L, 180L,
                     110L, 210L, 160L, 310L, 260L, 130L, 190L, 140L)
