@@ -1538,6 +1538,17 @@ object SparkEntry {
       graft.operators.TimeSeries.holtBacktest(daily, "t", "units", folds = 7)
         .orderBy("fold")
     }),
+    "q216_langid_eval" -> ((s, dir) => {
+      // classifier eval of langId against the labeled lang column:
+      // per-class P/R/F1 + micro accuracy from two class-keyed count
+      // aggregations; zh (no marker list) shows up as recall 0 with the
+      // hallucinated 'und' class getting its own row — the full-outer
+      // class union at work
+      graft.operators.Experiment.classifierEval(
+          eng(s, dir).table("documents"),
+          col("lang"), TextAnalysis.langId(col("text")))
+        .orderBy("cls")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3622,6 +3633,49 @@ object SparkEntry {
          JOIN o oc ON oc.rn = fin.c
          CROSS JOIN nn
          ORDER BY fold""",
+    // q216: the q27 lang_guess machinery + the identical two class-keyed
+    // aggregations; f1 from the PUBLISHED rounded precision/recall
+    "q216_langid_eval" -> {
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+        s"len([x for x in ltoks if list_contains(${ms.map(m => s"'$m'").mkString("[", ",", "]")}, x)]) AS s_$l"
+      }.mkString(", ")
+      val mx = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
+      val pick = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ")
+      s"""WITH b AS (
+            SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+            FROM documents
+          ), sc AS (SELECT lang, $scores FROM b),
+          g AS (SELECT lang AS l, CASE WHEN $mx = 0 THEN 'und' $pick END AS p FROM sc),
+          bt AS (
+            SELECT l AS cls, CAST(count(*) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN p = l THEN 1 ELSE 0 END) AS BIGINT) AS tp
+            FROM g GROUP BY 1
+          ), bp AS (SELECT p AS cls, CAST(count(*) AS BIGINT) AS n_pred FROM g GROUP BY 1),
+          tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN p = l THEN 1 ELSE 0 END) AS BIGINT) AS tpall
+            FROM g
+          ), j AS (
+            SELECT COALESCE(bt.cls, bp.cls) AS cls,
+                   COALESCE(bt.n_true, 0) AS n_true,
+                   COALESCE(bp.n_pred, 0) AS n_pred,
+                   COALESCE(bt.tp, 0) AS tp
+            FROM bt FULL OUTER JOIN bp ON bp.cls = bt.cls
+          ), m AS (
+            SELECT cls, n_true, n_pred, tp,
+                   CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS "precision",
+                   CASE WHEN n_true > 0 THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
+            FROM j
+          )
+          SELECT m.cls, m.n_true, m.n_pred, m.tp, m."precision", m.recall,
+                 CASE WHEN m."precision" IS NOT NULL AND m.recall IS NOT NULL
+                           AND (m."precision" + m.recall) > 0
+                      THEN round(2.0 * m."precision" * m.recall / (m."precision" + m.recall), 6)
+                 END AS f1,
+                 round(CAST(tot.tpall AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS accuracy
+          FROM m CROSS JOIN tot ORDER BY cls"""
+    },
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

@@ -48,4 +48,52 @@ object Experiment {
       round((rb - ra) / sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)), 6)
         .as("z"))
   }
+
+  /**
+   * Multi-class classifier evaluation against a labeled column: per-class
+   * support/predicted/true-positive counts, precision, recall, F1, plus
+   * micro accuracy (repeated per row — it is a corpus constant). Classes
+   * are the union of observed labels and predictions (full outer join of
+   * the two class-keyed count relations), so a class the model never
+   * predicts — or hallucinates — still gets its row.
+   *
+   * Shape: two class-keyed aggregations over one (label, pred) pass —
+   * map-side combined, |classes| rows survive. Rates are pure rounded
+   * functions of exact counts; F1 composes from the PUBLISHED (rounded)
+   * precision/recall, the engine's pure-function doctrine. Division by a
+   * zero class count publishes NULL, not a poisoned 0.
+   *
+   * Output: (cls, n_true, n_pred, tp, precision, recall, f1, accuracy)
+   * — the standard eval a langid/quality-filter pipeline is judged by.
+   */
+  def classifierEval(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val pairs = df.select(labelCol.cast("string").as("__l"),
+      predCol.cast("string").as("__p")).cache()
+    val byTrue = pairs.groupBy(col("__l").as("cls"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__p") === col("__l"), 1L).otherwise(0L)).as("tp"))
+    val byPred = pairs.groupBy(col("__p").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val totals = pairs.agg(count(lit(1)).as("__n"),
+      sum(when(col("__p") === col("__l"), 1L).otherwise(0L)).as("__tpall"))
+    val joined = byTrue.join(byPred, Seq("cls"), "full_outer")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .crossJoin(broadcast(totals))
+    val p = when(col("n_pred") > 0,
+      round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
+    val r = when(col("n_true") > 0,
+      round(col("tp").cast("double") / col("n_true").cast("double"), 6))
+    joined
+      .withColumn("precision", p).withColumn("recall", r)
+      .withColumn("f1", when(
+        col("precision").isNotNull && col("recall").isNotNull &&
+          (col("precision") + col("recall")) > 0,
+        round(lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall")), 6)))
+      .withColumn("accuracy",
+        round(col("__tpall").cast("double") / col("__n").cast("double"), 6))
+      .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+        col("precision"), col("recall"), col("f1"), col("accuracy"))
+  }
 }

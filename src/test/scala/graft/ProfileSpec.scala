@@ -38,6 +38,22 @@ class ProfileSpec extends SparkSpec {
     assert(d("v").getDouble(6) == 50.0)     // max 40 → 90
   }
 
+  test("classifierEval: hand confusion; unpredicted class gets NULL precision") {
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("c", "a")).toDF("l", "p")
+    val got = graft.operators.Experiment.classifierEval(df, col("l"), col("p"))
+      .orderBy("cls").collect()
+    val a = got(0); val b = got(1); val c = got(2)
+    assert(a.getString(0) == "a" && a.getAs[Long]("n_true") == 3L &&
+      a.getAs[Long]("n_pred") == 3L && a.getAs[Long]("tp") == 2L)
+    assert(a.getAs[Double]("precision") == 0.666667 &&
+      a.getAs[Double]("recall") == 0.666667 &&
+      a.getAs[Double]("f1") == 0.666667)
+    assert(b.getAs[Double]("recall") == 1.0 && b.getAs[Double]("f1") == 0.8)
+    assert(c.getAs[Long]("n_pred") == 0L && c.isNullAt(4) && c.isNullAt(6))
+    assert(a.getAs[Double]("accuracy") == 0.666667)
+  }
+
   test("kAnonymity: hand-checked class sizes and l-diversity violations") {
     // classes: (1,x)→4 rows sens {a,b}; (1,y)→2 rows sens {a};
     //          (2,x)→5 rows sens {a,b,c}
