@@ -82,15 +82,18 @@ object Association {
       s"basket ${fat.headOption.map(_.get(0))} exceeds maxItemsPerBasket=$maxItemsPerBasket")
     val nBaskets = bi.select(col("b")).distinct().count()
     val singles = bi.groupBy(col("i")).agg(count(lit(1)).as("supp"))
-    val pairSupp = bi.select(col("b"), col("i").as("item_a"))
+    // the per-basket pair relation feeds BOTH the support floor and the
+    // third-item extension — materialize it once (guarded-quadratic size,
+    // spillable) instead of paying the basket self-join shuffle twice
+    val basketPairs = bi.select(col("b"), col("i").as("item_a"))
       .join(bi.select(col("b"), col("i").as("item_b")), Seq("b"))
       .where(col("item_a") < col("item_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairSupp = basketPairs
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("supp_ab"))
       .where(col("supp_ab") >= minSupport).cache()
     val freqAB = pairSupp.select(col("item_a"), col("item_b"))
-    val t2 = bi.select(col("b"), col("i").as("item_a"))
-      .join(bi.select(col("b"), col("i").as("item_b")), Seq("b"))
-      .where(col("item_a") < col("item_b"))
+    val t2 = basketPairs
       .join(broadcast(freqAB), Seq("item_a", "item_b"), "left_semi")
     val tri = t2
       .join(bi.select(col("b"), col("i").as("item_c")), Seq("b"))
