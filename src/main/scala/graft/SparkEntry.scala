@@ -1549,6 +1549,23 @@ object SparkEntry {
           col("lang"), TextAnalysis.langId(col("text")))
         .orderBy("cls")
     }),
+    "q217_fd_audit" -> ((s, dir) => {
+      // functional-dependency profiling: a clean FD (o_orderkey →
+      // o_custkey) next to two near/violated ones — one distinct-pair
+      // aggregation + det-keyed rollup per candidate
+      graft.operators.Profile.fdAudit(eng(s, dir).table("orders"),
+          Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"),
+            ("o_orderpriority", "o_orderstatus")))
+        .orderBy("det", "dep")
+    }),
+    "q218_inter_arrival" -> ((s, dir) => {
+      // bot-signal burstiness: per-user gap CV from exact long moments
+      // (one lag window + one grouped aggregation); schedulers read
+      // cv→0, replays read zero_gap_frac→1
+      graft.operators.EventPaths.interArrival(eng(s, dir).table("events"),
+          "user_id", "ts", "event_id", minEvents = 3L)
+        .orderBy("user")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3676,6 +3693,46 @@ object SparkEntry {
                  round(CAST(tot.tpall AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS accuracy
           FROM m CROSS JOIN tot ORDER BY cls"""
     },
+    // q217: identical distinct-pair aggregation per candidate, unioned
+    "q217_fd_audit" -> {
+      def one(det: String, dep: String) =
+        s"""SELECT '$det' AS det, '$dep' AS dep,
+              CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+              CAST(max(k) AS BIGINT) AS max_distinct,
+              round(CAST(count(*) - sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS conformance
+            FROM (SELECT $det, count(DISTINCT $dep) AS k FROM orders GROUP BY 1)"""
+      Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"),
+        ("o_orderpriority", "o_orderstatus"))
+        .map { case (a, b) => one(a, b) }
+        .mkString("", " UNION ALL ", " ORDER BY det, dep")
+    },
+    // q218: identical lag under the (ts, event_id) total order, identical
+    // long moment arithmetic and the one sqrt/divide
+    "q218_inter_arrival" ->
+      """WITH t AS (
+           SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts
+           FROM events
+         ), g AS (
+           SELECT user_id,
+                  ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+           FROM t
+         ), f AS (SELECT user_id, g FROM g WHERE g IS NOT NULL),
+         a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(g) AS BIGINT) AS sg,
+                  CAST(sum(g * g) AS BIGINT) AS sgg,
+                  CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz
+           FROM f GROUP BY 1
+         )
+         SELECT user_id AS "user", n + 1 AS n_events, nz AS n_zero_gaps,
+                round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+                CASE WHEN sg > 0 THEN
+                  round(sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE), 6)
+                END AS cv_gap,
+                round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_gap_frac
+         FROM a WHERE n + 1 >= 3 ORDER BY "user"""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

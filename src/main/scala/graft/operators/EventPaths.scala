@@ -53,4 +53,42 @@ object EventPaths {
         sum(col("cnt")).over(Window.partitionBy(col("prev"))))
       .select("prev", "next", "cnt", "prob")
   }
+
+  /**
+   * Per-user inter-arrival statistics — the burstiness read behind bot /
+   * scripted-traffic detection: humans are bursty (CV of gaps well above
+   * 0), schedulers are metronomes (CV → 0), replayed logs collapse to
+   * zero gaps. One user-partitioned lag window + one grouped moment
+   * aggregation; moments are EXACT longs (gaps in whole seconds), the
+   * variance cancellation n·Σg² − (Σg)² happens in long arithmetic, and
+   * CV = √var/mean reduces to √(n·Σg²−(Σg)²)/Σg — one sqrt, one divide,
+   * both IEEE-deterministic. Operand bound: n·Σg² must stay < 2^63
+   * (≈10⁵ events × 10⁵-second gaps per user clears it by 10³×).
+   *
+   * Output (users with ≥ `minEvents`): (user, n_events, n_zero_gaps,
+   * mean_gap_s, cv_gap, zero_gap_frac).
+   */
+  def interArrival(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, minEvents: Long = 3L): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col(idCol))
+    val gaps = df
+      .select(col(userCol).as("__u"), col(tsCol).cast("long").as("__t"),
+        col(idCol))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .where(col("__g").isNotNull)
+    gaps.groupBy(col("__u").as("user"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__g")).as("__sg"),
+        sum(col("__g") * col("__g")).as("__sgg"),
+        sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("n_zero_gaps"))
+      .where(col("__n") + 1L >= minEvents)
+      .select(col("user"), (col("__n") + 1L).as("n_events"), col("n_zero_gaps"),
+        round(col("__sg").cast("double") / col("__n").cast("double"), 6)
+          .as("mean_gap_s"),
+        when(col("__sg") > 0, round(
+          sqrt((col("__n") * col("__sgg") - col("__sg") * col("__sg"))
+            .cast("double")) / col("__sg").cast("double"), 6)).as("cv_gap"),
+        round(col("n_zero_gaps").cast("double") / col("__n").cast("double"), 6)
+          .as("zero_gap_frac"))
+  }
 }

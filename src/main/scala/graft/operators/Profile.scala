@@ -77,6 +77,37 @@ object Profile {
    * (digit, observed, expected, chi2) — chi2 repeated (grand total).
    */
   /**
+   * Functional-dependency audit: for each candidate determinant → dependent
+   * pair, how close does `det → dep` hold? A clean FD (n_violating = 0) is
+   * a join-collapse/normalization opportunity and a data contract worth
+   * enforcing; a near-FD with a handful of violating groups is usually a
+   * data-quality bug (the classic profiling read, Papenbrock et al. 2015).
+   *
+   * Per pair: ONE (det, dep) distinct-pair aggregation then a det-keyed
+   * rollup — both map-side combined, |distinct det| rows survive. conformance
+   * = fraction of determinant groups with exactly one dependent value.
+   *
+   * Output per candidate: (det, dep, n_groups, n_violating, max_distinct,
+   * conformance).
+   */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "at least one candidate FD")
+    candidates.map { case (det, dep) =>
+      val groups = df.select(col(det).as("__d"), col(dep).as("__v"))
+        .distinct()
+        .groupBy(col("__d")).agg(count_distinct(col("__v")).as("__k"))
+      groups.agg(
+        lit(det).as("det"), lit(dep).as("dep"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__k") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("__k")).as("max_distinct"))
+        .withColumn("conformance", round(
+          (col("n_groups") - col("n_violating")).cast("double")
+            / col("n_groups").cast("double"), 6))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
    * al. 2007) over a quasi-identifier tuple — the re-identification
    * check a training-data release needs: a row whose QI combination is

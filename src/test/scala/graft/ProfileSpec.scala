@@ -54,6 +54,41 @@ class ProfileSpec extends SparkSpec {
     assert(a.getAs[Double]("accuracy") == 0.666667)
   }
 
+  test("fdAudit: clean FD vs violated FD, hand-checked") {
+    val df = Seq((1, "x", "p"), (1, "x", "q"), (2, "y", "p"), (3, "y", "p"))
+      .toDF("a", "b", "c")
+    val got = graft.operators.Profile.fdAudit(df,
+        Seq(("a", "b"), ("b", "c"), ("a", "c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("max_distinct"), r.getAs[Double]("conformance")))).toMap
+    assert(got(("a", "b")) == ((3L, 0L, 1L, 1.0)))      // a → b holds
+    assert(got(("b", "c")) == ((2L, 1L, 2L, 0.5)))      // x → {p,q}
+    assert(got(("a", "c")) == ((3L, 1L, 2L, 0.666667))) // 1 → {p,q}
+  }
+
+  test("interArrival: metronome cv 0, bursty cv positive, replay zero gaps") {
+    val ts = (s: Int) => new java.sql.Timestamp(s * 1000L)
+    val df = (
+      Seq((1L, 0), (1L, 10), (1L, 20), (1L, 30)) ++      // metronome
+      Seq((2L, 0), (2L, 1), (2L, 2), (2L, 100)) ++       // bursty
+      Seq((3L, 5), (3L, 5), (3L, 5)) ++                  // replay: all dup ts
+      Seq((4L, 0), (4L, 9)))                             // under minEvents
+      .zipWithIndex.map { case ((u, t), i) => (u, ts(t), i.toLong) }
+      .toDF("u", "ts", "id")
+    val got = graft.operators.EventPaths.interArrival(df, "u", "ts", "id", 3L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(4L))
+    assert(got(1L).getAs[Double]("cv_gap") == 0.0)
+    assert(got(1L).getAs[Double]("mean_gap_s") == 10.0)
+    // user 2 gaps (1,1,98): mean 100/3; var_num = 3·9606 − 10000 = 18818
+    assert(got(2L).getAs[Double]("cv_gap") ==
+      BigDecimal(math.sqrt(18818.0) / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(3L).getAs[Double]("zero_gap_frac") == 1.0)
+    assert(got(3L).isNullAt(4)) // sg = 0 → cv null
+  }
+
   test("kAnonymity: hand-checked class sizes and l-diversity violations") {
     // classes: (1,x)→4 rows sens {a,b}; (1,y)→2 rows sens {a};
     //          (2,x)→5 rows sens {a,b,c}
