@@ -1566,6 +1566,31 @@ object SparkEntry {
           "user_id", "ts", "event_id", minEvents = 3L)
         .orderBy("user")
     }),
+    "q219_index_delta" -> ((s, dir) => {
+      // incremental secondary-index maintenance: build on 2/3 of the
+      // table, append the remaining 1/3 via update() (fresh sorted files
+      // + sidecar rows for only those files — nothing rewritten), then
+      // serve the same BETWEEN probe; result must equal the full-scan
+      // filter over the WHOLE table, which the oracle runs
+      val base = tmpDir("sidx_delta")
+      val tdir = base + "/orders8"
+      val orders = eng(s, dir).table("orders")
+      orders.repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(tdir)
+      val idxPath = base + "/idx_price"
+      orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .write.mode("overwrite").parquet(base + "/orders_v0")
+      graft.operators.SecondaryIndex.build(s,
+        base + "/orders_v0", "o_totalprice", "o_orderkey", idxPath)
+      graft.operators.SecondaryIndex.update(s,
+        orders.where(pmod(col("o_orderkey"), lit(3)) === 0),
+        "o_totalprice", "o_orderkey", idxPath)
+      graft.operators.SecondaryIndex.lookupRange(s, tdir, idxPath,
+          "o_totalprice", "o_orderkey", 100000.0, 110000.0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total_price"))
+        .orderBy("o_orderkey")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3733,6 +3758,13 @@ object SparkEntry {
                 END AS cv_gap,
                 round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_gap_frac
          FROM a WHERE n + 1 >= 3 ORDER BY "user"""",
+    // q219: the index answer must equal the whole-table full-scan filter
+    "q219_index_delta" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(o_totalprice AS DOUBLE) AS total_price
+         FROM orders
+         WHERE o_totalprice BETWEEN 100000.0 AND 110000.0
+         ORDER BY o_orderkey""",
     // q201: rational log arguments, identical term rounding/summation
     "q201_mutual_info" ->
       """WITH cells AS (

@@ -38,6 +38,44 @@ object SecondaryIndex {
       .write.mode("overwrite").parquet(indexPath + "_stats")
   }
 
+  /** Delta maintenance: append the new rows' (value, pk) pairs as fresh
+    * range-sorted file(s) and sidecar rows for ONLY those files — the
+    * existing index is never rewritten, and the sidecar refresh reads
+    * just the appended files (filesystem-listing diff finds them; the
+    * bm25UpdateIndex discipline). Under the pk-unique contract a pk that
+    * is already indexed fails LOUDLY (anti-join guard, column-pruned to
+    * the pk) — silently double-indexing would make lookups return stale
+    * rows after a pk re-insert. Lookup code is unchanged: candidate
+    * pruning just sees more sidecar rows. */
+  def update(spark: SparkSession, newRows: DataFrame, column: String,
+      pkCol: String, indexPath: String, nFiles: Int = 1,
+      requireNewPks: Boolean = true): Unit = {
+    val add = newRows.select(col(column).as("v"), col(pkCol).as("pk"))
+      .where(col("v").isNotNull)
+    if (requireNewPks) {
+      val dup = add.select("pk")
+        .join(spark.read.parquet(indexPath).select("pk"), Seq("pk"), "left_semi")
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"pk ${dup.headOption.map(_.get(0))} already indexed at $indexPath")
+    }
+    def listing(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = listing()
+    add.repartitionByRange(nFiles, col("v")).sortWithinPartitions("v")
+      .write.mode("append").parquet(indexPath)
+    val fresh = (listing() -- before).toSeq.sorted
+    require(fresh.nonEmpty, "append produced no index files")
+    spark.read.parquet(fresh: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .write.mode("append").parquet(indexPath + "_stats")
+  }
+
   /** Index files whose [min,max] intersects [lo, hi] — |files|-bounded. */
   private def candidateFiles(spark: SparkSession, indexPath: String,
       lo: Column, hi: Column): Seq[String] =

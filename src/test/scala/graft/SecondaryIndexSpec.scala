@@ -41,4 +41,33 @@ class SecondaryIndexSpec extends SparkSpec {
       "o_totalprice", "o_orderkey", -10.0, -5.0)
     assert(none.count() == 0 && none.columns.contains("o_custkey"))
   }
+
+  test("delta update: serve == full rebuild; re-indexing a pk fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sidxd").toString
+    val orders = engine.table("orders")
+    orders.repartition(6, col("o_orderkey"))
+      .write.mode("overwrite").parquet(base + "/t")
+    orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .write.mode("overwrite").parquet(base + "/t0")
+    SecondaryIndex.build(spark, base + "/t0", "o_totalprice", "o_orderkey",
+      base + "/idx", nFiles = 4)
+    SecondaryIndex.update(spark,
+      orders.where(pmod(col("o_orderkey"), lit(3)) === 0),
+      "o_totalprice", "o_orderkey", base + "/idx")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val got = keys(SecondaryIndex.lookupRange(spark, base + "/t", base + "/idx",
+      "o_totalprice", "o_orderkey", 50000.0, 80000.0))
+    val want = keys(spark.read.parquet(base + "/t")
+      .where(col("o_totalprice").between(50000.0, 80000.0)))
+    assert(got == want && want.nonEmpty)
+    // sidecar grew by exactly the fresh files, none rewritten
+    val stats = spark.read.parquet(base + "/idx_stats")
+    assert(stats.count() > 4)
+    val e = intercept[IllegalArgumentException] {
+      SecondaryIndex.update(spark, orders.limit(1),
+        "o_totalprice", "o_orderkey", base + "/idx")
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
 }
