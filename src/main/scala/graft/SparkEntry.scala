@@ -1591,6 +1591,18 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q220_bpe_learn" -> ((s, dir) => {
+      // BPE merge LEARNING on the canonical Sennrich corpus replicated
+      // per document row — the merge sequence (es, est, est</w>, lo,
+      // low, ew) and its frequency-weighted counts are closed-form, so
+      // a priority slip, tie-break drift, or miscount goes red against
+      // the literal oracle
+      val corpus = eng(s, dir).table("documents").select(col("doc_id"),
+        lit(("low " * 5) + ("lower " * 2) + ("newest " * 6) +
+          ("widest " * 3)).as("text"))
+      graft.pipeline.CorpusStats.learnBpe(corpus, col("text"), numMerges = 6)
+        .orderBy("rank")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3758,6 +3770,16 @@ object SparkEntry {
                 END AS cv_gap,
                 round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_gap_frac
          FROM a WHERE n + 1 >= 3 ORDER BY "user"""",
+    // q220: the merge sequence and frequency-weighted counts are
+    // closed-form on the canonical corpus (×|documents| rows)
+    "q220_bpe_learn" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         t(rank, l, r, mult) AS (VALUES
+           (1, 'e', 's', 9), (2, 'es', 't', 9), (3, 'est', '</w>', 9),
+           (4, 'l', 'o', 7), (5, 'lo', 'w', 7), (6, 'e', 'w', 6))
+         SELECT t.rank, t.l AS "left", t.r AS "right",
+                t.mult * n.n AS pair_count
+         FROM t CROSS JOIN n ORDER BY t.rank""",
     // q219: the index answer must equal the whole-table full-scan filter
     "q219_index_delta" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

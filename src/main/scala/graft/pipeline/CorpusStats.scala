@@ -366,6 +366,74 @@ object CorpusStats {
   }
 
   /**
+   * BPE merge-table LEARNING (Sennrich et al. 2016) — the training half
+   * of the q137 apply path. Two-regime by construction, exactly how
+   * fastBPE/HF tokenizers train at corpus scale: the DISTRIBUTED part is
+   * the word-frequency table (one token shuffle over however many TB —
+   * Zipf makes the distinct-word relation tiny next to the corpus); the
+   * driver then iterates over the top-`maxVocab` words (explicit cap,
+   * frequency-ranked), counting adjacent symbol pairs weighted by word
+   * frequency and merging the argmax pair left-to-right, `numMerges`
+   * times. Words carry a terminal `</w>` marker (the canonical
+   * formulation). Fully deterministic: argmax ties break on the
+   * lexicographically smallest (left, right) pair.
+   *
+   * Output: (rank, left, right, pair_count) — feed to the q137 apply
+   * kernel as the merge table.
+   */
+  def learnBpe(docs: DataFrame, textCol: Column, numMerges: Int,
+      maxVocab: Int = 100000): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 65536, s"numMerges: $numMerges")
+    val top = docs
+      .select(explode(split(regexp_replace(lower(trim(textCol)), "\\s+", " "),
+        " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(maxVocab)
+      .collect()
+    var vocab: Vector[(Vector[String], Long)] = top.toVector
+      .map(r => (r.getString(0).map(_.toString).toVector :+ "</w>",
+        r.getLong(1)))
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (bl, br) = counts.keysIterator.reduce { (a, b) =>
+          val ca = counts(a); val cb = counts(b)
+          if (ca > cb || (ca == cb &&
+            (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))) a else b
+        }
+        k += 1
+        merges += ((k, bl, br, counts((bl, br))))
+        vocab = vocab.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == bl && syms(i + 1) == br) {
+              out += (bl + br); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+      }
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
+  /**
    * Zipf power-law fit of the rank–frequency curve: OLS slope of
    * ln(freq) on ln(rank) over the top-`topN` vocabulary — the classic
    * corpus-health signal (natural language sits near slope −1; template

@@ -1255,6 +1255,26 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Double]("diversity") == 0.0)
   }
 
+  test("learnBpe: canonical Sennrich sequence with deterministic tie-breaks") {
+    // low×5 lower×2 newest×6 widest×3 → es(9) est(9) est</w>(9) lo(7)
+    // low(7) ew(6); the three 9-ties resolve by smallest left symbol
+    val txt = ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)
+    val docs = spark.createDataFrame(Seq((1L, txt))).toDF("id", "text")
+    val got = graft.pipeline.CorpusStats.learnBpe(docs, col("text"), 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L), (6, "e", "w", 6L)))
+    // the learned table drives the q137 apply kernel: "newest" = n e w e s t
+    // merges by priority → es, est, (no </w> in raw apply), then (e,w):
+    // n ew est → 3 tokens
+    val merges = got.map(m => (m._2, m._3)).toSeq
+    val n = docs.select(graft.functions.GraftFunctions.bpeCount(
+      lit("newest"), merges).cast("long")).head().getLong(0)
+    assert(n == 3L)
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
