@@ -1603,6 +1603,15 @@ object SparkEntry {
       graft.pipeline.CorpusStats.learnBpe(corpus, col("text"), numMerges = 6)
         .orderBy("rank")
     }),
+    "q221_cross_source_dup" -> ((s, dir) => {
+      // which feeds mirror each other: gated near-dup pairs rolled up
+      // per unordered source pair (|sources|²-bounded), within-source
+      // on the diagonal, decimal-summed mean jaccard
+      Dedup.crossSourceDup(eng(s, dir).table("documents"),
+          "doc_id", "text", "source",
+          shingleN = 3, k = 12, bands = 4, threshold = 0.3)
+        .orderBy("source_a", "source_b")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3770,6 +3779,34 @@ object SparkEntry {
                 END AS cv_gap,
                 round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_gap_frac
          FROM a WHERE n + 1 >= 3 ORDER BY "user"""",
+    // q221: the q29 pair chain + source labels, |sources|²-bounded rollup
+    "q221_cross_source_dup" ->
+      s"""$duckShingles, sig AS (
+            SELECT doc_id, sh,
+              [list_min([md5(concat(CAST(i AS VARCHAR), ':', x)) for x in sh]) for i in range(0, 12)] AS sg
+            FROM s
+          ), bands AS (
+            SELECT doc_id, j.j AS band, md5(array_to_string(sg[j.j*3+1:j.j*3+3], '|')) AS bh
+            FROM sig, (SELECT unnest(range(4)) AS j) j
+          ), cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+          ), scored AS (
+            SELECT c.a, c.b,
+              round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+            FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b
+          ), pr AS (SELECT a, b, jaccard FROM scored WHERE jaccard >= 0.3),
+          m AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b, pr.jaccard
+            FROM pr JOIN documents da ON da.doc_id = pr.a
+                    JOIN documents db ON db.doc_id = pr.b
+          )
+          SELECT source_a, source_b, source_a = source_b AS within_source,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(CAST(sum(CAST(jaccard AS DECIMAL(10,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS mean_jaccard
+          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     // q220: the merge sequence and frequency-weighted counts are
     // closed-form on the canonical corpus (×|documents| rows)
     "q220_bpe_learn" ->

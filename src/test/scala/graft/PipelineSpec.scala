@@ -1275,6 +1275,21 @@ class PipelineSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("crossSourceDup: planted cross-source near-dup lands in the right cell") {
+    val t = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = spark.createDataFrame(Seq(
+      (1L, t, "srcA"),
+      (2L, t + " extra", "srcB"), // near-dup of 1, different source
+      (3L, "completely unrelated text about database engines and sharding", "srcA"),
+      (4L, "another separate text mentioning streams and watermarks only", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Dedup.crossSourceDup(docs, "doc_id", "text",
+        "source", threshold = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2), r.getLong(3))).toSeq
+    assert(got == Seq(("srcA", "srcB", false, 1L)))
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
