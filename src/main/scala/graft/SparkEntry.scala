@@ -1612,6 +1612,36 @@ object SparkEntry {
           shingleN = 3, k = 12, bands = 4, threshold = 0.3)
         .orderBy("source_a", "source_b")
     }),
+    "q222_bloom_delta" -> ((s, dir) => {
+      // incremental bloom-sidecar maintenance: table grows by appended
+      // files, updateIndex blooms ONLY the new ones (path-normalized FS
+      // diff; indexed files never rescanned), and the served point
+      // lookup still equals the whole-table full-scan oracle
+      val base = tmpDir("bloom_delta")
+      val tdir = base + "/orders8"
+      val orders = eng(s, dir).table("orders")
+      orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+        .repartition(6, col("o_custkey"))
+        .write.mode("overwrite").parquet(tdir)
+      val idxPath = base + "/bloom_custkey"
+      graft.operators.BloomIndex.writeIndex(
+        graft.operators.BloomIndex.buildIndex(s, tdir, "o_custkey"), idxPath)
+      orders.where(pmod(col("o_orderkey"), lit(3)) === 0)
+        .repartition(2, col("o_custkey"))
+        .write.mode("append").parquet(tdir)
+      val added = graft.operators.BloomIndex.updateIndex(s, tdir,
+        "o_custkey", idxPath)
+      require(added > 0, "bloom delta found no new files to index")
+      val idx = s.read.parquet(idxPath)
+      val (total, scanned) = graft.operators.BloomIndex.pruneStats(
+        s, tdir, idx, "o_custkey", 721L)
+      require(scanned < total,
+        s"bloom index failed to skip after delta: $scanned/$total")
+      graft.operators.BloomIndex.lookup(s, tdir, idx, "o_custkey", 721L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total_price"))
+        .orderBy("o_orderkey")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3779,6 +3809,13 @@ object SparkEntry {
                 END AS cv_gap,
                 round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_gap_frac
          FROM a WHERE n + 1 >= 3 ORDER BY "user"""",
+    // q222: after delta maintenance the index answer must still equal
+    // the whole-table full-scan filter
+    "q222_bloom_delta" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CAST(o_totalprice AS DOUBLE) AS total_price
+         FROM orders WHERE o_custkey = 721
+         ORDER BY o_orderkey""",
     // q221: the q29 pair chain + source labels, |sources|²-bounded rollup
     "q221_cross_source_dup" ->
       s"""$duckShingles, sig AS (

@@ -46,6 +46,38 @@ object BloomIndex {
   def writeIndex(idx: DataFrame, path: String): Unit =
     idx.write.mode("overwrite").parquet(path)
 
+  /** Delta maintenance for a persisted sidecar: bloom rows are built for
+    * ONLY the table files missing from the index (path-normalized FS diff
+    * — scheme rendering differs between listings and `_metadata`), read
+    * file-by-file, appended; existing sidecar rows are never rewritten
+    * and the indexed files never rescanned. `mBits`/`numHashes` must
+    * match the existing sidecar (LOUD require — mixed geometries would
+    * make probes silently lossy). Returns the number of files added. */
+  def updateIndex(spark: SparkSession, tableDir: String, column: String,
+      indexPath: String, mBits: Int = 1 << 17, numHashes: Int = 5): Long = {
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val existing = spark.read.parquet(indexPath)
+    val head = existing.select("m_bits", "num_hashes").head()
+    require(head.getInt(0) == mBits && head.getInt(1) == numHashes,
+      s"sidecar geometry ${head.getInt(0)}/${head.getInt(1)} != $mBits/$numHashes")
+    val known = existing.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).filterNot(f => known(norm(f))).toSeq.sorted
+    if (fresh.nonEmpty) {
+      spark.read.parquet(fresh: _*)
+        .select(col("_metadata.file_path").as("file"),
+          xxhash64(col(column)).as("__h"))
+        .groupBy(col("file"))
+        .agg(bloomBits(col("__h"), mBits, numHashes).as("bits"))
+        .withColumn("m_bits", lit(mBits))
+        .withColumn("num_hashes", lit(numHashes))
+        .write.mode("append").parquet(indexPath)
+    }
+    fresh.size.toLong
+  }
+
   /** Bloom-positive files for `column = value` — the sidecar is
     * self-describing (m_bits/num_hashes ride with it). Bounded collect:
     * one row per FILE of the base table. */

@@ -68,4 +68,33 @@ class BloomIndexSpec extends SparkSpec {
     val (total, scanned) = BloomIndex.pruneStats(spark, dir, idx, "c_mktsegment", "BUILDING")
     assert(scanned < total)
   }
+
+  test("delta update: only new files bloomed, lookup stays exact, geometry guarded") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloomd").toString
+    val dir = base + "/t"
+    val orders = engine.table("orders")
+    orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .repartition(4, col("o_custkey")).write.mode("overwrite").parquet(dir)
+    val idxPath = base + "/idx"
+    BloomIndex.writeIndex(BloomIndex.buildIndex(spark, dir, "o_custkey"), idxPath)
+    val before = spark.read.parquet(idxPath).count()
+    orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .repartition(2, col("o_custkey")).write.mode("append").parquet(dir)
+    val added = BloomIndex.updateIndex(spark, dir, "o_custkey", idxPath)
+    assert(added == 2L)
+    assert(spark.read.parquet(idxPath).count() == before + 2)
+    // idempotent: nothing new on a second call
+    assert(BloomIndex.updateIndex(spark, dir, "o_custkey", idxPath) == 0L)
+    val idx = spark.read.parquet(idxPath)
+    val k = orders.select("o_custkey").head().getLong(0)
+    val got = BloomIndex.lookup(spark, dir, idx, "o_custkey", k)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(dir).where(col("o_custkey") === k)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && want.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.updateIndex(spark, dir, "o_custkey", idxPath, mBits = 1 << 10)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
 }
