@@ -1642,6 +1642,17 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q223_blocklist" -> ((s, dir) => {
+      // safety-filter stage shape: exact-token blocklist hits + density
+      // + thresholded flag in one kernel pass per row (the lexicon is
+      // the caller's policy; exact match by design — no Scunthorpe)
+      eng(s, dir).table("documents")
+        .select(col("doc_id"), TextAnalysis.blocklistScore(col("text"),
+          Seq("spark", "stream", "vector"), flagDensity = 0.02).as("b"))
+        .select(col("doc_id"), col("b.n_tokens"), col("b.n_hits"),
+          col("b.density"), col("b.flagged"))
+        .orderBy("doc_id")
+    }),
     "q201_mutual_info" -> ((s, dir) => {
       // mutual information + marginal entropies + min-normalized NMI:
       // every log argument is a rational of exact counts, terms
@@ -3809,6 +3820,26 @@ object SparkEntry {
                 END AS cv_gap,
                 round(CAST(nz AS DOUBLE) / CAST(n AS DOUBLE), 6) AS zero_gap_frac
          FROM a WHERE n + 1 >= 3 ORDER BY "user"""",
+    // q223: identical tokenization (q27 family), identical density
+    // rounding, flag from the published density
+    "q223_blocklist" ->
+      """WITH b AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks
+           FROM documents
+         ), c AS (
+           SELECT doc_id, CAST(len(ltoks) AS BIGINT) AS n_tokens,
+                  CAST(len([x for x in ltoks
+                            if list_contains(['spark','stream','vector'], x)]) AS BIGINT) AS n_hits
+           FROM b
+         ), d AS (
+           SELECT doc_id, n_tokens, n_hits,
+                  CASE WHEN n_tokens = 0 THEN 0.0
+                       ELSE round(CAST(n_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                  END AS density
+           FROM c
+         )
+         SELECT doc_id, n_tokens, n_hits, density, density >= 0.02 AS flagged
+         FROM d ORDER BY doc_id""",
     // q222: after delta maintenance the index answer must still equal
     // the whole-table full-scan filter
     "q222_bloom_delta" ->

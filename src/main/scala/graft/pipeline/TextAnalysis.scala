@@ -131,6 +131,31 @@ object TextAnalysis {
     }
 
   /**
+   * Term-blocklist density — the safety-filter stage shape (NSFW /
+   * toxicity / spam proxy): exact-token hits against a caller-supplied
+   * blocklist, published as count + density + a thresholded flag. The
+   * LEXICON is the policy (callers bring their own); the operator
+   * contributes the scale shape — one tokenize + one kernel pass per
+   * row (the stopwordRatio machinery), no joins, no shuffle. Exact
+   * token match only, by design: substring matching flags "class" for
+   * "ass" (the classic Scunthorpe failure) — callers wanting stemmed or
+   * fuzzy policies normalize upstream.
+   *
+   * Returns struct (n_tokens, n_hits, density, flagged).
+   */
+  def blocklistScore(text: Column, terms: Seq[String],
+      flagDensity: Double = 0.02): Column = {
+    require(terms.nonEmpty, "empty blocklist")
+    bind(whitespaceTokens(lower(text))) { toks =>
+      val hits = element_at(markerCounts(toks, Seq(terms)), 1).cast("long")
+      val dens = when(size(toks) === 0, 0.0)
+        .otherwise(round(hits.cast("double") / size(toks).cast("double"), 6))
+      struct(size(toks).cast("long").as("n_tokens"), hits.as("n_hits"),
+        dens.as("density"), (dens >= flagDensity).as("flagged"))
+    }
+  }
+
+  /**
    * Composite quality score ∈ [0,1]: mean of clamped component signals —
    * (a) length in a healthy band, (b) alpha ratio, (c) stopword presence,
    * (d) not punctuation-soup. Deterministic, SQL-expressible (oracle-able).

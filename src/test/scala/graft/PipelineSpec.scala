@@ -1290,6 +1290,22 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq(("srcA", "srcB", false, 1L)))
   }
 
+  test("blocklistScore: exact-token hits only (no Scunthorpe), flag at threshold") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "bad words and bad apples"),   // 5 tokens, 2 hits → 0.4 flagged
+      (2L, "badge is not a bad-word hit"),// substring/hyphen: 0 hits
+      (3L, "clean text here")))
+      .toDF("id", "text")
+    val got = df.select(col("id"), graft.pipeline.TextAnalysis
+        .blocklistScore(col("text"), Seq("bad", "evil"), 0.3).as("b"))
+      .orderBy("id").collect()
+    assert(got(0).getStruct(1).getLong(1) == 2L)
+    assert(got(0).getStruct(1).getDouble(2) == 0.4)
+    assert(got(0).getStruct(1).getBoolean(3))
+    assert(got(1).getStruct(1).getLong(1) == 0L) // "badge"/"bad-word" don't hit
+    assert(!got(2).getStruct(1).getBoolean(3))
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
