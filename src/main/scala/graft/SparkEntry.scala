@@ -1642,6 +1642,19 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q224_pagerank_weighted" -> ((s, dir) => {
+      // edge-weighted PageRank on the same brand graph, mass ∝ pair
+      // support — a thousand weak ties can no longer outvote one strong
+      // one; identical exact fixed-point + two-regime doctrine
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("support").as("w"))
+        .unionByName(pr.select(col("item_b").as("src"),
+          col("item_a").as("dst"), col("support").as("w")))
+      graft.operators.GraphOps.pageRankWeighted(edges, iters = 5)
+        .orderBy("node")
+    }),
     "q223_blocklist" -> ((s, dir) => {
       // safety-filter stage shape: exact-token blocklist hits + density
       // + thresholded flag in one kernel pass per row (the lexicon is
@@ -3349,7 +3362,33 @@ object SparkEntry {
       " SELECT node, r AS rank_units FROM it5 ORDER BY node"
   }
 
+  /** Weighted twin of [[duckPageRank]]: (r·85·w) // (100·Σ_out w). */
+  private val duckPageRankWeighted: String = {
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s""", it$i AS (
+           SELECT n.node, CAST(150000000 + COALESCE(f.infl, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum((rp.r * 85 * e.w) // (100 * wdeg.ws)) AS BIGINT) AS infl
+             FROM e JOIN $prev rp ON rp.node = e.src
+                    JOIN wdeg ON wdeg.src = e.src
+             GROUP BY 1
+           ) f ON f.node = n.node
+         )"""
+    }.mkString
+    duckBrandGraph +
+      """, e AS (SELECT pa AS src, pb AS dst, support AS w FROM pr
+                 UNION ALL SELECT pb, pa, support FROM pr),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS ws FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)""" +
+      iters +
+      " SELECT node, r AS rank_units FROM it5 ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q224_pagerank_weighted" -> duckPageRankWeighted,
     // q203: identical per-user reduction and the identical ordered
     // log-sum-exp chain over exact decimals
     "q203_survival" ->

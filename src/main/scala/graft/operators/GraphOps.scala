@@ -99,6 +99,64 @@ object GraphOps {
   }
 
   /**
+   * Edge-WEIGHTED PageRank — contribution mass proportional to edge
+   * weight (e.g. co-occurrence support), the variant that stops a
+   * thousand weak ties from outvoting one strong one:
+   *
+   *   contrib(s→d) = (rank_s · 85 · w_sd) div (100 · Σ_out w_s)
+   *
+   * Same exact fixed-point doctrine and two-regime execution as
+   * [[pageRankFixed]]; weights must be positive longs. Overflow bound:
+   * rank_s·85·w must stay < 2^63 — with rank ≤ |V|·1e9 that is
+   * |V|·w_max < 1.08e8 (scale weights down first if a graph exceeds it;
+   * the ratio, not the magnitude, carries the signal).
+   */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
+    val e = edges.selectExpr("cast(src as string) as src",
+        "cast(dst as string) as dst", "cast(w as long) as w")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .cache()
+    val teleportU = Unit9 * 15L / 100L
+    if (e.count() <= maxLocalEdges) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val wOut = es.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var rank: Map[String, Long] = nodes.map(_ -> Unit9).toMap
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.Map.empty[String, Long]
+        es.foreach { case (s, d, w) =>
+          inflow(d) = inflow.getOrElse(d, 0L) +
+            (rank(s) * 85L * w) / (100L * wOut(s))
+        }
+        rank = nodes.iterator.map(n => n -> (teleportU + inflow.getOrElse(n, 0L))).toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank_units")
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().cache()
+      val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ws")).cache()
+      var rank = nodes.withColumn("rank_units", lit(Unit9))
+      for (i <- 1 to iters) {
+        val contribs = e
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .join(outW, "src")
+          .selectExpr("dst as node", "(rank_units * 85 * w) div (100 * ws) as c")
+          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        rank = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleportU) + coalesce(col("inflow"), lit(0L))).as("rank_units"))
+        if (i < iters) rank = rank.localCheckpoint(true)
+      }
+      rank
+    }
+  }
+
+  /**
    * Single-source shortest HOP distances by frontier expansion (BFS as
    * iterated joins — the textbook distributed formulation): each round
    * relaxes dist via min(dist, neighbor dist + 1); `maxHops` bounds the

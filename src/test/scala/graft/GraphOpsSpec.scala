@@ -77,6 +77,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(bl == bd)
   }
 
+  test("pageRankWeighted: strong edge carries the mass; branches match; uniform == unweighted") {
+    // star: a→b w=9, a→c w=1; b→a, c→a w=1
+    val edges = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val r1 = GraphOps.pageRankWeighted(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: 0.15e9 + (1e9·85·1) div (100·1) ×2 = 150000000 + 1700000000
+    // b: 0.15e9 + (1e9·85·9) div (100·10) = 150000000 + 765000000
+    // c: 0.15e9 + (1e9·85·1) div (100·10) = 150000000 + 85000000
+    assert(r1 == Map("a" -> 1850000000L, "b" -> 915000000L, "c" -> 235000000L))
+    val dist = GraphOps.pageRankWeighted(edges, iters = 4, maxLocalEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val local = GraphOps.pageRankWeighted(edges, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == local)
+    // uniform weights reduce to the unweighted operator exactly
+    val uni = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val uw = GraphOps.pageRankFixed(uni, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ww = GraphOps.pageRankWeighted(uni.withColumn("w", lit(7L)), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uw == ww)
+  }
+
   test("bfsHops: path-graph distances, unreached beyond bound absent") {
     // path a-b-c-d-e (symmetric): hops from a = 0,1,2,3,4; maxHops=3 drops e
     val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
