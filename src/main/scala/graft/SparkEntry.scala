@@ -1642,6 +1642,19 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q225_pagerank_personalized" -> ((s, dir) => {
+      // topic-sensitive restart: teleport mass lands only on the seed
+      // brands, so rank reads "related to THESE" — the recommendation
+      // walk; same exact integer doctrine, seeds guaranteed in the node
+      // set even when absent from the thresholded graph
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
+      graft.operators.GraphOps.pageRankPersonalized(edges,
+          seeds = Seq("Brand#12", "Brand#25"), iters = 5)
+        .orderBy("node")
+    }),
     "q224_pagerank_weighted" -> ((s, dir) => {
       // edge-weighted PageRank on the same brand graph, mass ∝ pair
       // support — a thousand weak ties can no longer outvote one strong
@@ -3387,7 +3400,42 @@ object SparkEntry {
       " SELECT node, r AS rank_units FROM it5 ORDER BY node"
   }
 
+  /** Personalized twin of [[duckPageRank]]: teleport only on the seeds,
+    * init mass split over the seeds, seeds unioned into the node set. */
+  private val duckPageRankPersonalized: String = {
+    val seeds = "['Brand#12', 'Brand#25']"
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"it${i - 1}"
+      s""", it$i AS (
+           SELECT n.node,
+                  CAST(CASE WHEN list_contains($seeds, n.node)
+                            THEN 75000000 ELSE 0 END
+                       + COALESCE(f.infl, 0) AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node,
+                    CAST(sum((rp.r * 85) // (100 * deg.deg)) AS BIGINT) AS infl
+             FROM e JOIN $prev rp ON rp.node = e.src
+                    JOIN deg ON deg.src = e.src
+             GROUP BY 1
+           ) f ON f.node = n.node
+         )"""
+    }.mkString
+    duckBrandGraph +
+      s""", e AS (SELECT pa AS src, pb AS dst FROM pr
+                  UNION ALL SELECT pb, pa FROM pr),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e
+                   UNION SELECT unnest($seeds)),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT node,
+                  CAST(CASE WHEN list_contains($seeds, node)
+                            THEN 500000000 ELSE 0 END AS BIGINT) AS r
+                FROM nodes)""" +
+      iters +
+      " SELECT node, r AS rank_units FROM it5 ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q225_pagerank_personalized" -> duckPageRankPersonalized,
     "q224_pagerank_weighted" -> duckPageRankWeighted,
     // q203: identical per-user reduction and the identical ordered
     // log-sum-exp chain over exact decimals

@@ -99,6 +99,69 @@ object GraphOps {
   }
 
   /**
+   * PERSONALIZED PageRank (topic-sensitive restart, Haveliwala 2002):
+   * teleport mass lands only on the `seeds` — rank becomes "importance
+   * relative to THIS seed set", the standard related-items /
+   * recommendation walk. Init mass splits the usual 1e9 units over the
+   * seeds (integer div; remainder documented-dropped, same family as
+   * the dangling-mass contract); non-seed nodes receive only inflow.
+   * Same exact fixed-point + two-regime doctrine as [[pageRankFixed]].
+   */
+  def pageRankPersonalized(edges: DataFrame, seeds: Seq[String],
+      iters: Int = 5, maxLocalEdges: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
+    require(seeds.nonEmpty, "at least one seed")
+    val seedSet = seeds.toSet
+    val seedShare = Unit9 / seedSet.size
+    val teleportU = Unit9 * 15L / 100L / seedSet.size
+    val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
+    if (e.count() <= maxLocalEdges) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2) ++ seeds).distinct.sorted
+      val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank: Map[String, Long] =
+        nodes.map(n => n -> (if (seedSet(n)) seedShare else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val inflow = scala.collection.mutable.Map.empty[String, Long]
+        es.foreach { case (s, d) =>
+          inflow(d) = inflow.getOrElse(d, 0L) + (rank(s) * 85L) / (100L * deg(s))
+        }
+        rank = nodes.iterator.map(n => n ->
+          ((if (seedSet(n)) teleportU else 0L) + inflow.getOrElse(n, 0L))).toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.map(n => (n, rank(n))).toSeq.toDF("node", "rank_units")
+    } else {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val seedDf = seeds.toDF("node").withColumn("__seed", lit(1))
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .union(seedDf.select("node")).distinct()
+        .join(broadcast(seedDf), Seq("node"), "left").cache()
+      val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+      var rank = nodes.select(col("node"),
+        when(col("__seed") === 1, lit(seedShare)).otherwise(lit(0L)).as("rank_units"))
+      for (i <- 1 to iters) {
+        val contribs = e
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .join(outDeg, "src")
+          .selectExpr("dst as node", "(rank_units * 85) div (100 * deg) as c")
+          .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+        rank = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (when(col("__seed") === 1, lit(teleportU)).otherwise(lit(0L))
+              + coalesce(col("inflow"), lit(0L))).as("rank_units"))
+        if (i < iters) rank = rank.localCheckpoint(true)
+      }
+      rank
+    }
+  }
+
+  /**
    * Edge-WEIGHTED PageRank — contribution mass proportional to edge
    * weight (e.g. co-occurrence support), the variant that stops a
    * thousand weak ties from outvoting one strong one:

@@ -101,6 +101,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(uw == ww)
   }
 
+  test("pageRankPersonalized: mass stays near the seed; off-graph seed kept; branches match") {
+    // path a-b-c (symmetric); seed {a}: c only gets second-hop mass
+    val und = Seq(("a", "b"), ("b", "c"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.pageRankPersonalized(edges, Seq("a"), iters = 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // hand-run of the integer recursion (seed-only teleport, 3 iters):
+    // a = 150e6 + (127.5e6·85) div 200 = 204187500
+    // b = (511.25e6·85) div 100 + (361.25e6·85) div 100 = 741625000
+    // c = (127.5e6·85) div 200 = 54187500
+    assert(r == Map("a" -> 204187500L, "b" -> 741625000L, "c" -> 54187500L))
+    assert(r("b") > r("c") && r("a") > r("c")) // mass decays away from the seed
+    val dist = GraphOps.pageRankPersonalized(edges, Seq("a"), iters = 3,
+      maxLocalEdges = 0L).collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == dist)
+    // a seed that is not in the graph still appears, holding teleport mass
+    val r2 = GraphOps.pageRankPersonalized(edges, Seq("zz"), iters = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2("zz") == 150000000L && r2("a") == 0L)
+  }
+
   test("bfsHops: path-graph distances, unreached beyond bound absent") {
     // path a-b-c-d-e (symmetric): hops from a = 0,1,2,3,4; maxHops=3 drops e
     val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
