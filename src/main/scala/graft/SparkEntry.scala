@@ -1642,6 +1642,15 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q226_cohort_ltv" -> ((s, dir) => {
+      // unit economics: cumulative revenue per user by cohort age, exact
+      // cents end to end (daily sums, rollup, running cumulative all
+      // longs), co-partitioned user aggs + one grid window
+      graft.operators.Retention.cohortLtv(
+          eng(s, dir).table("events"), "user_id", "ts", "value")
+        .withColumn("cohort_day", date_format(col("cohort_day"), "yyyy-MM-dd"))
+        .orderBy("cohort_day", "day_offset")
+    }),
     "q225_pagerank_personalized" -> ((s, dir) => {
       // topic-sensitive restart: teleport mass lands only on the seed
       // brands, so rank reads "related to THESE" — the recommendation
@@ -3435,6 +3444,34 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q226: identical co-partitioned rollup + cumulative window in longs
+    "q226_cohort_ltv" ->
+      """WITH f AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id
+         ), d AS (
+           SELECT user_id, CAST(ts AS DATE) AS active_day,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2
+         ), g AS (
+           SELECT f.cohort_day, datediff('day', f.cohort_day, d.active_day) AS day_offset,
+                  CAST(sum(d.c) AS BIGINT) AS revenue_cents
+           FROM d JOIN f ON d.user_id = f.user_id
+           GROUP BY 1, 2
+         ), sz AS (
+           SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY 1
+         ), cum AS (
+           SELECT g.cohort_day, g.day_offset, g.revenue_cents,
+                  CAST(sum(g.revenue_cents) OVER (PARTITION BY g.cohort_day ORDER BY g.day_offset
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents,
+                  sz.cohort_size
+           FROM g JOIN sz ON g.cohort_day = sz.cohort_day
+         )
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+                revenue_cents, cum_revenue_cents, cohort_size,
+                round(CAST(cum_revenue_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS ltv_cents_per_user
+         FROM cum ORDER BY cohort_day, day_offset""",
     "q225_pagerank_personalized" -> duckPageRankPersonalized,
     "q224_pagerank_weighted" -> duckPageRankWeighted,
     // q203: identical per-user reduction and the identical ordered

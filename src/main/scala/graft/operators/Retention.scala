@@ -77,4 +77,42 @@ object Retention {
         col("users").cast("double") / col("cohort_size"))
       .select("cohort_day", "day_offset", "users", "cohort_size", "retention")
   }
+
+  /**
+   * Cohort LTV curve — cumulative revenue per user by cohort age, the
+   * unit-economics readout every acquisition decision hangs on (is day-N
+   * cumulative value crossing acquisition cost, and does a newer cohort
+   * bend the curve). Revenue is EXACT cents end to end: daily sums,
+   * cohort-age rollup, and the running cumulative are all long
+   * arithmetic; the only division is the published per-user LTV. Shape:
+   * two user-keyed aggregations that co-partition (the cohortRetention
+   * discipline) + one cohort-partitioned window over the
+   * days²-bounded grid. Output: (cohort_day, day_offset, revenue_cents,
+   * cum_revenue_cents, cohort_size, ltv_cents_per_user).
+   */
+  def cohortLtv(df: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val day = to_date(col(tsCol))
+    val firstDay = df.groupBy(col(userCol)).agg(min(day).as("cohort_day"))
+    val daily = df
+      .select(col(userCol), day.as("active_day"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("__c"))
+      .groupBy(col(userCol), col("active_day")).agg(sum(col("__c")).as("__c"))
+    val grid = daily.join(firstDay, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .agg(sum(col("__c")).as("revenue_cents"))
+    val sizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(sizes, "cohort_day")
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .withColumn("ltv_cents_per_user",
+        round(col("cum_revenue_cents").cast("double")
+          / col("cohort_size").cast("double"), 6))
+      .select("cohort_day", "day_offset", "revenue_cents",
+        "cum_revenue_cents", "cohort_size", "ltv_cents_per_user")
+  }
 }

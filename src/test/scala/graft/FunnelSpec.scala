@@ -72,4 +72,22 @@ class FunnelSpec extends SparkSpec {
       ("2024-01-01", 0, 2L, 2L), ("2024-01-01", 1, 1L, 2L),
       ("2024-01-02", 0, 1L, 1L), ("2024-01-02", 2, 1L, 1L)))
   }
+
+  test("cohort LTV: exact-cent cumulative curve and per-user division") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.00),
+      (1L, ts("2024-01-02 10:00:00"), 2.00),
+      (2L, ts("2024-01-01 12:00:00"), 0.50),
+      (3L, ts("2024-01-06 12:00:00"), 4.00)
+    ).toDF("user_id", "ts", "value")
+    val got = Retention.cohortLtv(events, "user_id", "ts", "value")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 150L, 150L, 2L, 75.0),
+      ("2024-01-01", 1, 200L, 350L, 2L, 175.0),
+      ("2024-01-06", 0, 400L, 400L, 1L, 400.0)))
+  }
 }
