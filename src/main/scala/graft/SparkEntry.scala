@@ -1642,6 +1642,24 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q227_hits" -> ((s, dir) => {
+      // HITS on the bipartite customer→brand purchase graph: dual
+      // hub/authority scores (influential buyers vs authoritative
+      // brands) with exact integer sum-normalization each half-step —
+      // no float norm anywhere
+      val e = eng(s, dir)
+      val edges = e.table("orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(e.table("lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          Seq("o_orderkey"))
+        .join(e.table("part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+          Seq("l_partkey"))
+        .select(col("o_custkey").as("src"), col("p_brand").as("dst"))
+      graft.operators.GraphOps.hits(edges, iters = 5)
+        .orderBy("role", "node")
+    }),
     "q226_cohort_ltv" -> ((s, dir) => {
       // unit economics: cumulative revenue per user by cohort age, exact
       // cents end to end (daily sums, rollup, running cumulative all
@@ -3443,7 +3461,45 @@ object SparkEntry {
       " SELECT node, r AS rank_units FROM it5 ORDER BY node"
   }
 
+  /** Five HITS iterations as chained CTEs: opposite-score sums + the
+    * identical integer sum-normalization (·1e6 // Σ) each half-step. */
+  private val duckHits: String = {
+    val iters = (1 to 5).map { i =>
+      val ph = if (i == 1) "h0" else s"hn${i - 1}"
+      s""", ar$i AS MATERIALIZED (
+             SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+             FROM e JOIN $ph h ON h.node = e.src GROUP BY 1),
+           aa$i AS MATERIALIZED (
+             SELECT n.node, CAST(COALESCE(ar.s, 0) AS BIGINT) AS s
+             FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+           at$i AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM aa$i),
+           an$i AS MATERIALIZED (SELECT node, CAST((s * 1000000) // t AS BIGINT) AS s
+                    FROM aa$i, at$i),
+           hr$i AS MATERIALIZED (
+             SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+             FROM e JOIN an$i a ON a.node = e.dst GROUP BY 1),
+           ha$i AS MATERIALIZED (
+             SELECT n.node, CAST(COALESCE(hr.s, 0) AS BIGINT) AS s
+             FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node),
+           ht$i AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM ha$i),
+           hn$i AS MATERIALIZED (SELECT node, CAST((s * 1000000) // t AS BIGINT) AS s
+                    FROM ha$i, ht$i)"""
+    }.mkString
+    """WITH e AS MATERIALIZED (
+         SELECT DISTINCT CAST(o.o_custkey AS VARCHAR) AS src, p.p_brand AS dst
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                       JOIN part p ON p.p_partkey = l.l_partkey
+       ),
+       nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes)""" +
+      iters +
+      """ SELECT node, 'hub' AS role, s AS score_units FROM hn5
+          UNION ALL SELECT node, 'authority', s FROM an5
+          ORDER BY role, node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q227_hits" -> duckHits,
     // q226: identical co-partitioned rollup + cumulative window in longs
     "q226_cohort_ltv" ->
       """WITH f AS (

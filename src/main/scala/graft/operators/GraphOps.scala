@@ -220,6 +220,81 @@ object GraphOps {
   }
 
   /**
+   * HITS hubs & authorities (Kleinberg 1999) in exact integer
+   * arithmetic: on a directed (often bipartite) graph, a good hub points
+   * at good authorities and vice versa — the customer↔item dual ranking
+   * PageRank's single score conflates. Each half-step sums the opposite
+   * score over the edges and SUM-normalizes to Unit6 = 1e6 total mass
+   * (integer ·1e6 div Σ — truncation is the published contract), so the
+   * iteration is bit-deterministic with no float norm in sight.
+   * Overflow bound: per-node raw ≤ deg·1e6, and raw·1e6 must stay
+   * < 2^63 → |E| < 9.2e6 under the LOUD require; beyond that, shard the
+   * graph or scale Unit6 down (the ratio carries the signal).
+   *
+   * Two-regime like [[pageRankFixed]]. Output: (node, role
+   * 'hub'|'authority', score_units) for every node, zeros included.
+   */
+  def hits(edges: DataFrame, iters: Int = 5,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
+    val Unit6 = 1000000L
+    val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
+    val ecnt = e.count()
+    require(ecnt < 9200000L,
+      s"hits: $ecnt edges exceeds the exact-integer bound — shard or rescale")
+    if (ecnt <= maxLocalEdges) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      def normalize(m: Map[String, Long]): Map[String, Long] = {
+        val t = m.valuesIterator.sum
+        if (t == 0L) m else m.map { case (k, v) => k -> v * Unit6 / t }
+      }
+      var hub: Map[String, Long] = nodes.map(_ -> Unit6).toMap
+      var auth: Map[String, Long] = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        val a = scala.collection.mutable.Map.empty[String, Long]
+        es.foreach { case (s, d) => a(d) = a.getOrElse(d, 0L) + hub(s) }
+        auth = normalize(nodes.map(n => n -> a.getOrElse(n, 0L)).toMap)
+        val h = scala.collection.mutable.Map.empty[String, Long]
+        es.foreach { case (s, d) => h(s) = h.getOrElse(s, 0L) + auth(d) }
+        hub = normalize(nodes.map(n => n -> h.getOrElse(n, 0L)).toMap)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      (nodes.map(n => (n, "hub", hub(n))) ++
+        nodes.map(n => (n, "authority", auth(n)))).toSeq
+        .toDF("node", "role", "score_units")
+    } else {
+      val spark = edges.sparkSession
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().cache()
+      def normalize(df: DataFrame): DataFrame = {
+        val t = df.agg(sum(col("s")).as("t"))
+        df.crossJoin(broadcast(t))
+          .selectExpr("node", "CASE WHEN t = 0 THEN s ELSE (s * 1000000) div t END as s")
+      }
+      var hub = nodes.withColumn("s", lit(Unit6))
+      var auth = nodes.withColumn("s", lit(0L))
+      for (i <- 1 to iters) {
+        val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("s")).as("s"))
+        auth = normalize(nodes.join(aRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
+          .localCheckpoint(true)
+        val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("s")).as("s"))
+        hub = normalize(nodes.join(hRaw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s")))
+          .localCheckpoint(true)
+      }
+      hub.selectExpr("node", "'hub' as role", "s as score_units")
+        .unionByName(auth.selectExpr("node", "'authority' as role", "s as score_units"))
+    }
+  }
+
+  /**
    * Single-source shortest HOP distances by frontier expansion (BFS as
    * iterated joins — the textbook distributed formulation): each round
    * relaxes dist via min(dist, neighbor dist + 1); `maxHops` bounds the

@@ -122,6 +122,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(r2("zz") == 150000000L && r2("a") == 0L)
   }
 
+  test("hits: bipartite hand-check — the shared authority wins; branches match") {
+    // hubs u1,u2,u3 → authorities x (from u1,u2), y (from u2 only)
+    val edges = Seq(("u1", "x"), ("u2", "x"), ("u2", "y"), ("u3", "y"))
+      .toDF("src", "dst")
+    val r = GraphOps.hits(edges, iters = 5).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r(("x", "authority")) == r(("y", "authority"))) // symmetric here
+    assert(r(("u2", "hub")) > r(("u1", "hub"))) // u2 points at both
+    assert(r(("x", "hub")) == 0L && r(("u1", "authority")) == 0L)
+    // total mass ≈ Unit6 per side (div truncation loses a few units)
+    val authSum = r.collect { case ((_, "authority"), v) => v }.sum
+    assert(authSum <= 1000000L && authSum > 999990L)
+    val dist = GraphOps.hits(edges, iters = 5, maxLocalEdges = 0L).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == dist)
+  }
+
   test("bfsHops: path-graph distances, unreached beyond bound absent") {
     // path a-b-c-d-e (symmetric): hops from a = 0,1,2,3,4; maxHops=3 drops e
     val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
