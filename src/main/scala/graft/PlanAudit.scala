@@ -48,7 +48,15 @@ object PlanAudit {
       "q172_weighted_sample", // TopKPerKeyExec two-stage, no window sort
       "q173_hard_negatives", // broadcast anchors; TopKPerKeyExec ranking
       "q175_association", // broadcast part dim; basket-keyed pair join
-      "q176_pagerank") // per-iteration dst-keyed agg; integer div codegen
+      "q176_pagerank", // per-iteration dst-keyed agg; integer div codegen
+      "q204_holt_forecast", // one groupBy + ordered codegen fold, no driver loop
+      "q206_hll_distinct", // string-space rank projection + register agg
+      "q207_triples", // broadcast pair-floor semi-joins before the 3rd expansion
+      "q209_hybrid_search", // two bounded rankings union → tiny agg → TakeOrdered
+      "q210_winsorize", // broadcast cuts back onto the scan; no per-group sort
+      "q212_readability", // three regexp counts: projection only, no shuffle
+      "q221_cross_source_dup", // band buckets → |sources|²-bounded rollup
+      "q223_blocklist") // kernel pass: projection only, no shuffle
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
