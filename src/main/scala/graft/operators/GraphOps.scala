@@ -231,11 +231,15 @@ object GraphOps {
    * < 2^63 → |E| < 9.2e6 under the LOUD require; beyond that, shard the
    * graph or scale Unit6 down (the ratio carries the signal).
    *
-   * Two-regime like [[pageRankFixed]]. Output: (node, role
-   * 'hub'|'authority', score_units) for every node, zeros included.
+   * Two-regime like [[pageRankFixed]], with the q67 connected-components
+   * cutover (4M edges driver-local — the exact-integer bound already
+   * caps the domain at 9.2M, so the local loop covers most of it; the
+   * distributed branch remains for driver-memory-bound node-id sets).
+   * Output: (node, role 'hub'|'authority', score_units) for every node,
+   * zeros included.
    */
   def hits(edges: DataFrame, iters: Int = 5,
-      maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxLocalEdges: Long = 4000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
     val Unit6 = 1000000L
     val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
@@ -247,24 +251,36 @@ object GraphOps {
       val es = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
-      def normalize(m: Map[String, Long]): Map[String, Long] = {
-        val t = m.valuesIterator.sum
-        if (t == 0L) m else m.map { case (k, v) => k -> v * Unit6 / t }
+      // millions of edges × iters: index nodes once and loop over
+      // primitive arrays — boxed-map lookups here cost more than the
+      // distributed branch's shuffles
+      val idx = new java.util.HashMap[String, Int](nodes.length * 2)
+      nodes.zipWithIndex.foreach { case (n, i) => idx.put(n, i) }
+      val m = es.length; val n = nodes.length
+      val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+      var k = 0
+      while (k < m) { srcI(k) = idx.get(es(k)._1); dstI(k) = idx.get(es(k)._2); k += 1 }
+      def normalize(a: Array[Long]): Unit = {
+        var t = 0L; var i = 0
+        while (i < n) { t += a(i); i += 1 }
+        if (t != 0L) { i = 0; while (i < n) { a(i) = a(i) * Unit6 / t; i += 1 } }
       }
-      var hub: Map[String, Long] = nodes.map(_ -> Unit6).toMap
-      var auth: Map[String, Long] = nodes.map(_ -> 0L).toMap
+      val hub = Array.fill(n)(Unit6)
+      val auth = new Array[Long](n)
       for (_ <- 1 to iters) {
-        val a = scala.collection.mutable.Map.empty[String, Long]
-        es.foreach { case (s, d) => a(d) = a.getOrElse(d, 0L) + hub(s) }
-        auth = normalize(nodes.map(n => n -> a.getOrElse(n, 0L)).toMap)
-        val h = scala.collection.mutable.Map.empty[String, Long]
-        es.foreach { case (s, d) => h(s) = h.getOrElse(s, 0L) + auth(d) }
-        hub = normalize(nodes.map(n => n -> h.getOrElse(n, 0L)).toMap)
+        java.util.Arrays.fill(auth, 0L)
+        var j = 0
+        while (j < m) { auth(dstI(j)) += hub(srcI(j)); j += 1 }
+        normalize(auth)
+        java.util.Arrays.fill(hub, 0L)
+        j = 0
+        while (j < m) { hub(srcI(j)) += auth(dstI(j)); j += 1 }
+        normalize(hub)
       }
       val spark = edges.sparkSession
       import spark.implicits._
-      (nodes.map(n => (n, "hub", hub(n))) ++
-        nodes.map(n => (n, "authority", auth(n)))).toSeq
+      (nodes.indices.map(i => (nodes(i), "hub", hub(i))) ++
+        nodes.indices.map(i => (nodes(i), "authority", auth(i))))
         .toDF("node", "role", "score_units")
     } else {
       val spark = edges.sparkSession
