@@ -1642,6 +1642,26 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q228_exif_scrub" -> ((s, dir) => {
+      // EXIF probe + GPS scrub over real ImageIO JPEGs carrying a
+      // closed-form APP1: every published field is arithmetic in the id
+      // (orientation, capture day, GPS presence, the 98/68-byte strip
+      // delta), and the scrubbed copy must probe clean — the
+      // privacy-governance stage for image ingest
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val bytes = Multimodal.ExifCodec.synthesizeJpegExif(id)
+        val e = Multimodal.ExifCodec.probe(bytes)
+        val st = Multimodal.ExifCodec.strip(bytes)
+        (id, e.flatMap(_.orientation).getOrElse(-1),
+          e.flatMap(_.dateTime).getOrElse(""), e.exists(_.hasGps),
+          bytes.length - st.length,
+          Multimodal.ExifCodec.probe(st).isDefined)
+      }.toDF("media_id", "orientation", "capture_dt", "has_gps",
+        "strip_delta", "exif_after_strip")
+        .orderBy("media_id")
+    }),
     "q227_hits" -> ((s, dir) => {
       // HITS on the bipartite customer→brand purchase graph: dual
       // hub/authority scores (influential buyers vs authoritative
@@ -3499,6 +3519,16 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q228: every field is a closed form of the id; the strip delta is
+    // the fixed APP1 layout size (98 bytes with the GPS IFD, 68 without)
+    "q228_exif_scrub" ->
+      """SELECT doc_id AS media_id,
+                CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+                printf('2026:01:%02d 12:00:00', CAST(doc_id % 28 + 1 AS INTEGER)) AS capture_dt,
+                doc_id % 3 = 0 AS has_gps,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 98 ELSE 68 END AS INTEGER) AS strip_delta,
+                FALSE AS exif_after_strip
+         FROM documents ORDER BY media_id""",
     "q227_hits" -> duckHits,
     // q226: identical co-partitioned rollup + cumulative window in longs
     "q226_cohort_ltv" ->

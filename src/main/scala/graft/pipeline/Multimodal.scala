@@ -1517,4 +1517,157 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /**
+   * EXIF metadata codec: pure-JVM JPEG APP1/TIFF walk — the
+   * privacy-relevant half of image ingest (orientation and capture time
+   * are features; embedded GPS is a LEAK a training-data release must
+   * scrub). `probe` parses the first Exif APP1 (both II and MM byte
+   * orders, offsets bounds-checked — a truncated IFD yields None, never
+   * a throw); `strip` rebuilds the JPEG without Exif APP1 segments,
+   * copying everything from SOS on verbatim — pixels untouched, GPS
+   * gone. `synthesizeJpegExif` plants a closed-form APP1 (orientation =
+   * id%8+1, DateTime day = id%28+1, GPS IFD iff id%3==0) inside a real
+   * ImageIO JPEG so gates can oracle every field arithmetically; the
+   * segment is 98 bytes with GPS, 68 without (fixed layout).
+   */
+  object ExifCodec {
+    private val ExifHeader = Array[Byte]('E', 'x', 'i', 'f', 0, 0)
+
+    final case class Exif(orientation: Option[Int], dateTime: Option[String],
+      hasGps: Boolean)
+
+    private def u16(b: Array[Byte], p: Int, le: Boolean): Int =
+      if (le) (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+
+    private def u32(b: Array[Byte], p: Int, le: Boolean): Long =
+      if (le) (u16(b, p, le).toLong | (u16(b, p + 2, le).toLong << 16))
+      else ((u16(b, p, le).toLong << 16) | u16(b, p + 2, le).toLong)
+
+    /** (segStart, payloadStart, segLen) of every APP1-Exif segment. */
+    private def exifSegments(b: Array[Byte]): Seq[(Int, Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int, Int)]
+      if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return Nil
+      var p = 2
+      var done = false
+      while (!done && p + 4 <= b.length) {
+        if ((b(p) & 0xFF) != 0xFF) { done = true }
+        else {
+          val marker = b(p + 1) & 0xFF
+          if (marker == 0xDA || marker == 0xD9) done = true // SOS/EOI: entropy data follows
+          else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) p += 2
+          else {
+            val len = u16(b, p + 2, le = false)
+            val segEnd = p + 2 + len
+            if (len < 2 || segEnd > b.length) done = true
+            else {
+              if (marker == 0xE1 && len >= 8 &&
+                  (0 until 6).forall(i => b(p + 4 + i) == ExifHeader(i)))
+                out += ((p, p + 10, 2 + len))
+              p = segEnd
+            }
+          }
+        }
+      }
+      out.result()
+    }
+
+    /** Parse the first Exif APP1: orientation (0x0112), DateTime
+      * (0x0132), GPS-IFD presence (0x8825). */
+    def probe(bytes: Array[Byte]): Option[Exif] =
+      exifSegments(bytes).headOption.flatMap { case (_, tiff, segLen) =>
+        val end = tiff + segLen - 10
+        if (tiff + 8 > bytes.length || tiff + 8 > end) None
+        else {
+          val le = bytes(tiff) == 'I'
+          val be = bytes(tiff) == 'M'
+          if (!le && !be) None
+          else if (u16(bytes, tiff + 2, le) != 42) None
+          else {
+            val ifd0 = tiff + u32(bytes, tiff + 4, le).toInt
+            if (ifd0 + 2 > end) None
+            else {
+              var orientation: Option[Int] = None
+              var dt: Option[String] = None
+              var gps = false
+              val n = u16(bytes, ifd0, le)
+              var i = 0
+              while (i < n) {
+                val e = ifd0 + 2 + i * 12
+                if (e + 12 <= end) {
+                  val tag = u16(bytes, e, le)
+                  val count = u32(bytes, e + 4, le).toInt
+                  if (tag == 0x0112) orientation = Some(u16(bytes, e + 8, le))
+                  else if (tag == 0x0132 && count >= 1 && count <= 32) {
+                    val off = tiff + u32(bytes, e + 8, le).toInt
+                    if (off + count <= end)
+                      dt = Some(new String(bytes, off, count - 1, "US-ASCII"))
+                  } else if (tag == 0x8825) gps = true
+                }
+                i += 1
+              }
+              Some(Exif(orientation, dt, gps))
+            }
+          }
+        }
+      }
+
+    /** The JPEG without its Exif APP1 segments — pixels and every other
+      * segment byte-identical. */
+    def strip(bytes: Array[Byte]): Array[Byte] = {
+      val segs = exifSegments(bytes)
+      if (segs.isEmpty) bytes
+      else {
+        val out = new java.io.ByteArrayOutputStream(bytes.length)
+        var p = 0
+        segs.foreach { case (start, _, len) =>
+          out.write(bytes, p, start - p); p = start + len
+        }
+        out.write(bytes, p, bytes.length - p)
+        out.toByteArray
+      }
+    }
+
+    /** APP1 payload with the closed-form fields (fixed II layout). */
+    private def app1(orientation: Int, dateTime: String, gps: Boolean): Array[Byte] = {
+      require(dateTime.length == 19, "EXIF DateTime is 19 chars")
+      val entries = if (gps) 3 else 2
+      val dtOff = 8 + 2 + entries * 12 + 4
+      val gpsOff = dtOff + 20
+      val tiffLen = if (gps) gpsOff + 18 else dtOff + 20
+      val bb = java.nio.ByteBuffer.allocate(2 + 2 + 6 + tiffLen)
+      bb.put(0xFF.toByte).put(0xE1.toByte)
+      bb.putShort((2 + 6 + tiffLen).toShort) // big-endian segment length
+      bb.put(ExifHeader)
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42.toShort).putInt(8)
+      bb.putShort(entries.toShort)
+      bb.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+        .putShort(orientation.toShort).putShort(0.toShort)
+      bb.putShort(0x0132.toShort).putShort(2.toShort).putInt(20).putInt(dtOff)
+      if (gps) bb.putShort(0x8825.toShort).putShort(4.toShort).putInt(1).putInt(gpsOff)
+      bb.putInt(0) // next IFD
+      bb.put(dateTime.getBytes("US-ASCII")).put(0.toByte)
+      if (gps) { // GPS IFD: one GPSLatitudeRef entry
+        bb.putShort(1.toShort)
+        bb.putShort(0x0001.toShort).putShort(2.toShort).putInt(2)
+          .put('N'.toByte).put(0.toByte).putShort(0.toShort)
+        bb.putInt(0)
+      }
+      bb.array()
+    }
+
+    /** Real ImageIO JPEG + the closed-form APP1 right after SOI. */
+    def synthesizeJpegExif(id: Long): Array[Byte] = {
+      val base = ImageIoCodec.encodeSolid("jpg", 8, 8, id)
+      val seg = app1((id % 8 + 1).toInt,
+        f"2026:01:${id % 28 + 1}%02d 12:00:00", id % 3 == 0)
+      val out = new java.io.ByteArrayOutputStream(base.length + seg.length)
+      out.write(base, 0, 2)
+      out.write(seg)
+      out.write(base, 2, base.length - 2)
+      out.toByteArray
+    }
+  }
 }

@@ -1306,6 +1306,27 @@ class PipelineSpec extends SparkSpec {
     assert(!got(2).getStruct(1).getBoolean(3))
   }
 
+  test("ExifCodec: probe reads the planted fields; strip scrubs GPS, keeps pixels") {
+    import graft.pipeline.Multimodal.{ExifCodec, ImageIoCodec}
+    for (id <- Seq(0L, 5L, 123L)) {
+      val bytes = ExifCodec.synthesizeJpegExif(id)
+      val e = ExifCodec.probe(bytes).get
+      assert(e.orientation.contains((id % 8 + 1).toInt))
+      assert(e.dateTime.contains(f"2026:01:${id % 28 + 1}%02d 12:00:00"))
+      assert(e.hasGps == (id % 3 == 0))
+      val st = ExifCodec.strip(bytes)
+      assert(ExifCodec.probe(st).isEmpty)
+      assert(bytes.length - st.length == (if (id % 3 == 0) 98 else 68))
+      // pixels survive the scrub: still a decodable JPEG of the same size
+      assert(ImageIoCodec.imageDims(st).contains((8, 8)))
+      // idempotent on clean input
+      assert(ExifCodec.strip(st).sameElements(st))
+    }
+    // non-JPEG bytes: probe None, strip identity
+    val junk = Array[Byte](1, 2, 3, 4)
+    assert(ExifCodec.probe(junk).isEmpty && (ExifCodec.strip(junk) eq junk))
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
