@@ -1642,6 +1642,25 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q229_png_text_scrub" -> ((s, dir) => {
+      // PNG metadata scrub twin of q228: a closed-form tEXt chunk
+      // (Comment → doc<id>, proper CRC) planted in real ImageIO PNGs;
+      // key/value and the 23+digits strip delta are arithmetic in the
+      // id, and the scrubbed copy must probe empty
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val bytes = Multimodal.PngTextCodec.synthesizePngText(id)
+        val kv = Multimodal.PngTextCodec.probe(bytes).get
+        val st = Multimodal.PngTextCodec.strip(bytes)
+        (id, kv.size, kv.headOption.map(_._1).getOrElse(""),
+          kv.headOption.map(_._2).getOrElse(""),
+          bytes.length - st.length,
+          Multimodal.PngTextCodec.probe(st).get.nonEmpty)
+      }.toDF("media_id", "n_text_chunks", "key", "value",
+        "strip_delta", "text_after_strip")
+        .orderBy("media_id")
+    }),
     "q228_exif_scrub" -> ((s, dir) => {
       // EXIF probe + GPS scrub over real ImageIO JPEGs carrying a
       // closed-form APP1: every published field is arithmetic in the id
@@ -3519,6 +3538,14 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q229: key/value/delta are closed forms of the id (delta = 12-byte
+    // chunk frame + 7-char key + NUL + 'doc'||id)
+    "q229_png_text_scrub" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS n_text_chunks,
+                'Comment' AS key, 'doc' || CAST(doc_id AS VARCHAR) AS value,
+                CAST(23 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) AS strip_delta,
+                FALSE AS text_after_strip
+         FROM documents ORDER BY media_id""",
     // q228: every field is a closed form of the id; the strip delta is
     // the fixed APP1 layout size (98 bytes with the GPS IFD, 68 without)
     "q228_exif_scrub" ->

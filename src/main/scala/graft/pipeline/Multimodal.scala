@@ -1670,4 +1670,96 @@ object Multimodal {
       out.toByteArray
     }
   }
+
+  /**
+   * PNG text-metadata codec — [[ExifCodec]]'s twin for the other major
+   * format: tEXt/zTXt/iTXt chunks carry author/software/comment strings
+   * (and, from phone exporters, location text) that a release should
+   * scrub. Pure chunk walk: 8-byte signature then (len, type, data,
+   * crc32) frames; `probe` returns the tEXt key→value pairs, `strip`
+   * drops every textual chunk — all other bytes, CRCs included, pass
+   * through verbatim, so the image decodes identically.
+   */
+  object PngTextCodec {
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    private val Textual = Set("tEXt", "zTXt", "iTXt")
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (0 until 8).forall(i => b(i) == Sig(i))
+
+    private def be32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+
+    /** (chunkStart, dataStart, dataLen, type) for every chunk. */
+    private def chunks(b: Array[Byte]): Seq[(Int, Int, Int, String)] = {
+      val out = Seq.newBuilder[(Int, Int, Int, String)]
+      var p = 8
+      var ok = isPng(b)
+      while (ok && p + 12 <= b.length) {
+        val len = be32(b, p)
+        if (len > Int.MaxValue - 12 || p + 12 + len > b.length) ok = false
+        else {
+          val tpe = new String(b, p + 4, 4, "US-ASCII")
+          out += ((p, p + 8, len.toInt, tpe))
+          p += 12 + len.toInt
+          if (tpe == "IEND") ok = false
+        }
+      }
+      out.result()
+    }
+
+    /** tEXt key→value pairs (zTXt/iTXt reported by key with empty value
+      * — their payloads are compressed/utf8-structured). */
+    def probe(bytes: Array[Byte]): Option[Seq[(String, String)]] =
+      if (!isPng(bytes)) None
+      else Some(chunks(bytes).collect {
+        case (_, d, len, "tEXt") =>
+          val rel = (d until d + len).indexWhere(i => bytes(i) == 0)
+          val nul = if (rel == -1) d + len else d + rel
+          (new String(bytes, d, nul - d, "ISO-8859-1"),
+            new String(bytes, math.min(nul + 1, d + len),
+              (d + len) - math.min(nul + 1, d + len), "ISO-8859-1"))
+        case (_, d, len, t) if Textual(t) =>
+          val rel = (d until d + len).indexWhere(i => bytes(i) == 0)
+          val nul = if (rel == -1) d + len else d + rel
+          (new String(bytes, d, nul - d, "ISO-8859-1"), "")
+      })
+
+    /** The PNG without its textual chunks; non-PNG input passes through. */
+    def strip(bytes: Array[Byte]): Array[Byte] = {
+      if (!isPng(bytes)) return bytes
+      val drop = chunks(bytes).filter(c => Textual(c._4))
+      if (drop.isEmpty) bytes
+      else {
+        val out = new java.io.ByteArrayOutputStream(bytes.length)
+        var p = 0
+        drop.foreach { case (start, _, len, _) =>
+          out.write(bytes, p, start - p); p = start + 12 + len
+        }
+        out.write(bytes, p, bytes.length - p)
+        out.toByteArray
+      }
+    }
+
+    /** Real ImageIO PNG + a closed-form tEXt chunk ("Comment" →
+      * "doc<id>") inserted after IHDR, CRC computed properly. */
+    def synthesizePngText(id: Long): Array[Byte] = {
+      val base = ImageIoCodec.encodeSolid("png", 8, 8, id)
+      val data = ("Comment" + "\u0000" + s"doc$id").getBytes("ISO-8859-1")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length)
+      bb.put("tEXt".getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      val ihdrEnd = 8 + 12 + 13 // signature + IHDR frame (13-byte data)
+      val out = new java.io.ByteArrayOutputStream(base.length + bb.capacity())
+      out.write(base, 0, ihdrEnd)
+      out.write(bb.array())
+      out.write(base, ihdrEnd, base.length - ihdrEnd)
+      out.toByteArray
+    }
+  }
 }

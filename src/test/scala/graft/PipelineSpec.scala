@@ -1327,6 +1327,22 @@ class PipelineSpec extends SparkSpec {
     assert(ExifCodec.probe(junk).isEmpty && (ExifCodec.strip(junk) eq junk))
   }
 
+  test("PngTextCodec: planted tEXt read back; strip keeps the image decodable") {
+    import graft.pipeline.Multimodal.{ImageIoCodec, PngTextCodec}
+    for (id <- Seq(0L, 42L, 1234L)) {
+      val bytes = PngTextCodec.synthesizePngText(id)
+      val kv = PngTextCodec.probe(bytes).get
+      assert(kv == Seq(("Comment", s"doc$id")))
+      val st = PngTextCodec.strip(bytes)
+      assert(PngTextCodec.probe(st).get.isEmpty)
+      assert(bytes.length - st.length == 23 + id.toString.length)
+      assert(ImageIoCodec.imageDims(st).contains((8, 8)))
+      assert(PngTextCodec.strip(st).sameElements(st))
+    }
+    val junk = Array[Byte](9, 9, 9)
+    assert(PngTextCodec.probe(junk).isEmpty && (PngTextCodec.strip(junk) eq junk))
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
