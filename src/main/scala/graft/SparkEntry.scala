@@ -1642,6 +1642,25 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q230_id3_scrub" -> ((s, dir) => {
+      // ID3 scrub completes the metadata triad (EXIF/JPEG, tEXt/PNG,
+      // ID3/MP3): closed-form v2.3 TIT2 tag + conditional v1 trailer
+      // around a real Mp3Probe-accepted stream; the scrubbed audio must
+      // probe tag-free AND still parse as MPEG
+      import s.implicits._
+      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val bytes = Multimodal.Id3Codec.synthesizeMp3Id3(id)
+        val t = Multimodal.Id3Codec.probe(bytes).get
+        val st = Multimodal.Id3Codec.strip(bytes)
+        (id, t.version, t.tagSize, t.frameIds.mkString(","), t.hasV1,
+          bytes.length - st.length,
+          Multimodal.Id3Codec.probe(st).isDefined,
+          Multimodal.Mp3Probe.probe(st).isDefined)
+      }.toDF("media_id", "id3_version", "tag_size", "frames", "has_v1",
+        "strip_delta", "id3_after_strip", "mp3_still_probes")
+        .orderBy("media_id")
+    }),
     "q229_png_text_scrub" -> ((s, dir) => {
       // PNG metadata scrub twin of q228: a closed-form tEXt chunk
       // (Comment → doc<id>, proper CRC) planted in real ImageIO PNGs;
@@ -3538,6 +3557,18 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q230: version/size/frames/delta are closed forms of the id
+    // (tag_size = 14+digits; delta adds the 10-byte header and the
+    // conditional 128-byte v1 trailer)
+    "q230_id3_scrub" ->
+      """SELECT doc_id AS media_id, CAST(3 AS INTEGER) AS id3_version,
+                CAST(14 + length(CAST(doc_id AS VARCHAR)) AS INTEGER) AS tag_size,
+                'TIT2' AS frames,
+                doc_id % 2 = 0 AS has_v1,
+                CAST(24 + length(CAST(doc_id AS VARCHAR))
+                     + CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 0 END AS INTEGER) AS strip_delta,
+                FALSE AS id3_after_strip, TRUE AS mp3_still_probes
+         FROM documents ORDER BY media_id""",
     // q229: key/value/delta are closed forms of the id (delta = 12-byte
     // chunk frame + 7-char key + NUL + 'doc'||id)
     "q229_png_text_scrub" ->

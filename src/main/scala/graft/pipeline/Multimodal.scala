@@ -1672,6 +1672,87 @@ object Multimodal {
   }
 
   /**
+   * ID3 tag codec — the audio leg of the metadata-scrub triad
+   * (EXIF/JPEG, tEXt/PNG, ID3/MP3): ID3v2 prefixes and ID3v1 trailers
+   * carry artist/title/comment strings a release should scrub. `probe`
+   * reads the v2 version, syncsafe tag size and frame ids (v2.3/v2.4
+   * 10-byte frame headers), plus v1-trailer presence; `strip` drops the
+   * v2 prefix and v1 trailer — the MPEG audio frames pass through
+   * byte-identical, so [[Mp3Probe]] still reads the stream.
+   */
+  object Id3Codec {
+    final case class Id3(version: Int, tagSize: Int, frameIds: Seq[String],
+      hasV1: Boolean)
+
+    private def v2Size(b: Array[Byte]): Int =
+      ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+
+    private def hasV2(b: Array[Byte]): Boolean =
+      b.length > 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3'
+
+    private def hasV1(b: Array[Byte]): Boolean =
+      b.length >= 128 && b(b.length - 128) == 'T' &&
+        b(b.length - 127) == 'A' && b(b.length - 126) == 'G'
+
+    def probe(bytes: Array[Byte]): Option[Id3] = {
+      if (bytes == null) return None
+      val v1 = hasV1(bytes)
+      if (!hasV2(bytes)) {
+        return if (v1) Some(Id3(1, 0, Nil, hasV1 = true)) else None
+      }
+      val size = v2Size(bytes)
+      val end = math.min(10 + size, bytes.length)
+      val ids = Seq.newBuilder[String]
+      var p = 10
+      var ok = true
+      while (ok && p + 10 <= end) {
+        val fid = new String(bytes, p, 4, "US-ASCII")
+        if (!fid.forall(c => c.isUpper || c.isDigit)) ok = false // padding
+        else {
+          val fsz = ((bytes(p + 4) & 0xFF) << 24) | ((bytes(p + 5) & 0xFF) << 16) |
+            ((bytes(p + 6) & 0xFF) << 8) | (bytes(p + 7) & 0xFF)
+          if (fsz < 0 || p + 10 + fsz > end) ok = false
+          else { ids += fid; p += 10 + fsz }
+        }
+      }
+      Some(Id3(bytes(3) & 0xFF, size, ids.result(), v1))
+    }
+
+    /** Audio frames only: v2 prefix and v1 trailer removed. */
+    def strip(bytes: Array[Byte]): Array[Byte] = {
+      if (bytes == null) return bytes
+      val start = if (hasV2(bytes)) math.min(10 + v2Size(bytes), bytes.length) else 0
+      val end = if (hasV1(bytes)) bytes.length - 128 else bytes.length
+      if (start == 0 && end == bytes.length) bytes
+      else java.util.Arrays.copyOfRange(bytes, start, math.max(start, end))
+    }
+
+    /** Closed-form fixture: ID3v2.3 with one TIT2 frame ("doc<id>"),
+      * a v1 trailer iff id is even, and a 128 kbps / 44.1 kHz MPEG-1
+      * Layer III header + 100 zero bytes that [[Mp3Probe]] accepts. */
+    def synthesizeMp3Id3(id: Long): Array[Byte] = {
+      val text = s"doc$id".getBytes("ISO-8859-1")
+      val frameData = Array(0.toByte) ++ text
+      val tagSize = 10 + frameData.length
+      val bb = java.nio.ByteBuffer.allocate(10 + tagSize + 4 + 100)
+      bb.put('I'.toByte).put('D'.toByte).put('3'.toByte)
+        .put(3.toByte).put(0.toByte).put(0.toByte)
+      bb.put(((tagSize >> 21) & 0x7F).toByte).put(((tagSize >> 14) & 0x7F).toByte)
+        .put(((tagSize >> 7) & 0x7F).toByte).put((tagSize & 0x7F).toByte)
+      bb.put("TIT2".getBytes("US-ASCII")).putInt(frameData.length)
+        .putShort(0.toShort).put(frameData)
+      bb.put(0xFF.toByte).put(0xFB.toByte).put(0x90.toByte).put(0.toByte)
+      val body = bb.array()
+      if (id % 2 == 0) {
+        val v1 = new Array[Byte](128)
+        v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+        body ++ v1
+      } else body
+    }
+  }
+
+  /**
    * PNG text-metadata codec — [[ExifCodec]]'s twin for the other major
    * format: tEXt/zTXt/iTXt chunks carry author/software/comment strings
    * (and, from phone exporters, location text) that a release should

@@ -1343,6 +1343,25 @@ class PipelineSpec extends SparkSpec {
     assert(PngTextCodec.probe(junk).isEmpty && (PngTextCodec.strip(junk) eq junk))
   }
 
+  test("Id3Codec: v2+v1 read back; strip leaves a probe-clean MPEG stream") {
+    import graft.pipeline.Multimodal.{Id3Codec, Mp3Probe}
+    for (id <- Seq(0L, 7L, 1234L)) {
+      val bytes = Id3Codec.synthesizeMp3Id3(id)
+      val t = Id3Codec.probe(bytes).get
+      assert(t.version == 3 && t.frameIds == Seq("TIT2"))
+      assert(t.tagSize == 14 + id.toString.length)
+      assert(t.hasV1 == (id % 2 == 0))
+      assert(Mp3Probe.probe(bytes).exists(_._1 == 128)) // probe skips v2
+      val st = Id3Codec.strip(bytes)
+      assert(Id3Codec.probe(st).isEmpty)
+      assert(Mp3Probe.probe(st).exists(p => p._1 == 128 && p._2 == 44100))
+      val delta = 24 + id.toString.length + (if (id % 2 == 0) 128 else 0)
+      assert(bytes.length - st.length == delta)
+      assert(Id3Codec.strip(st).sameElements(st))
+    }
+    assert(Id3Codec.probe(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
