@@ -1642,6 +1642,27 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q231_stream_leaderboard" -> ((s, dir) => {
+      // continuous revenue leaderboard: complete-mode streaming
+      // aggregation of EXACT cent sums (order-blind, so streamed state
+      // == batch twin deterministically), state bounded at |keys| rows
+      // forever; the top-k cut runs on the |keys|-sized result
+      val base = tmpDir("q231")
+      val ev = eng(s, dir).table("events")
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      ev.write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(ev.schema).parquet(base + "/feed")
+      val agg = stream.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName("q231_lb_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val finished = q.awaitTermination(120000); q.stop()
+      require(finished, "q231_stream_leaderboard: did not finish within 120 s")
+      s.table("q231_lb_mem")
+        .orderBy(col("revenue_cents").desc, col("event_type")).limit(5)
+    }),
     "q230_id3_scrub" -> ((s, dir) => {
       // ID3 scrub completes the metadata triad (EXIF/JPEG, tEXt/PNG,
       // ID3/MP3): closed-form v2.3 TIT2 tag + conditional v1 trailer
@@ -3557,6 +3578,13 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q231: streamed exact sums == batch sums (order-blind), same cut
+    "q231_stream_leaderboard" ->
+      """SELECT event_type,
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1
+         ORDER BY revenue_cents DESC, event_type LIMIT 5""",
     // q230: version/size/frames/delta are closed forms of the id
     // (tag_size = 14+digits; delta adds the 10-byte header and the
     // conditional 128-byte v1 trailer)
