@@ -1642,6 +1642,23 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q232_logrank" -> ((s, dir) => {
+      // two-cohort log-rank on time-to-first-purchase (hash-split arms):
+      // does one arm convert FASTER — the censoring-aware A/B that a
+      // mean comparison gets wrong; every term a 12dp-rounded rational
+      // of exact counts, decimal-summed
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("tc"))
+      val subjects = perUser.select(
+        when(col("tc").isNotNull, col("tc") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("tc").isNotNull.as("ev"),
+        pmod(col("user_id"), lit(2)).cast("string").as("arm"))
+      graft.operators.Survival.logRank(subjects, "dur", col("ev"), col("arm"))
+    }),
     "q231_stream_leaderboard" -> ((s, dir) => {
       // continuous revenue leaderboard: complete-mode streaming
       // aggregation of EXACT cent sums (order-blind, so streamed state
@@ -3578,6 +3595,67 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q232: identical pooled-time risk windows (strictly-earlier RANGE
+    // frame) and identical 12dp term rounding/summation
+    "q232_logrank" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tc
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CASE WHEN tc IS NOT NULL THEN tc - t0 ELSE tl - t0 END AS t,
+                  tc IS NOT NULL AS ev,
+                  CAST(user_id % 2 AS VARCHAR) AS g
+           FROM pu
+         ), byt AS (
+           SELECT g, t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                  CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS nc
+           FROM subj GROUP BY 1, 2
+         ), tot AS (SELECT g, CAST(count(*) AS BIGINT) AS total FROM subj GROUP BY 1),
+         pooled AS (SELECT DISTINCT t FROM byt WHERE ne > 0),
+         marked AS (
+           SELECT g, t, CAST(sum(ne) AS BIGINT) AS ne, CAST(sum(nc) AS BIGINT) AS nc
+           FROM (SELECT g, t, ne, nc FROM byt
+                 UNION ALL
+                 SELECT tot.g, p.t, 0, 0 FROM tot CROSS JOIN pooled p)
+           GROUP BY 1, 2
+         ), risk AS (
+           SELECT m.g, m.t, m.ne,
+                  tot.total - COALESCE(sum(m.ne + m.nc) OVER (
+                    PARTITION BY m.g ORDER BY m.t
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+           FROM marked m JOIN tot ON tot.g = m.g
+         ), ab AS (
+           SELECT a.t, a.ne AS d1, a.n_risk AS n1, b.ne AS d2, b.n_risk AS n2
+           FROM risk a JOIN risk b ON b.t = a.t AND a.g = '0' AND b.g = '1'
+           WHERE a.t IN (SELECT t FROM pooled)
+         ), terms AS (
+           SELECT d1, d1 + d2 AS dj, n1 + n2 AS nj, n1
+           FROM ab WHERE d1 + d2 > 0 AND n1 + n2 > 0
+         ), rterms AS (
+           SELECT d1,
+                  CAST(round(CAST(dj AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(nj AS DOUBLE), 12) AS DECIMAL(24,12)) AS e,
+                  CAST(CASE WHEN nj > 1 THEN
+                    round(CAST(dj AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(nj AS DOUBLE))
+                          * (1.0 - CAST(n1 AS DOUBLE) / CAST(nj AS DOUBLE))
+                          * CAST(nj - dj AS DOUBLE) / CAST(nj - 1 AS DOUBLE), 12)
+                  ELSE 0.0 END AS DECIMAL(24,12)) AS v
+           FROM terms
+         )
+         SELECT '0' AS group_a, '1' AS group_b,
+                (SELECT CAST(count(*) AS BIGINT) FROM subj WHERE g = '0') AS n_a,
+                (SELECT CAST(count(*) AS BIGINT) FROM subj WHERE g = '1') AS n_b,
+                CAST(sum(d1) AS BIGINT) AS o_a,
+                round(CAST(sum(e) AS DOUBLE), 6) AS e_a,
+                round(CAST(sum(v) AS DOUBLE), 6) AS v_sum,
+                CASE WHEN sum(v) > 0 THEN
+                  round((CAST(sum(d1) AS DOUBLE) - CAST(sum(e) AS DOUBLE))
+                        / sqrt(CAST(sum(v) AS DOUBLE)), 6)
+                END AS z
+         FROM rterms""",
     // q231: streamed exact sums == batch sums (order-blind), same cut
     "q231_stream_leaderboard" ->
       """SELECT event_type,

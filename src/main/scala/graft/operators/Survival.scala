@@ -51,4 +51,76 @@ object Survival {
       .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
         col("survival"))
   }
+
+  /**
+   * Two-sample log-rank test (Mantel 1966) — "does cohort A reach the
+   * event FASTER", the hypothesis test the two KM curves beg for and
+   * the time-to-event A/B readout a mean-comparison gets wrong under
+   * censoring. At every pooled event time: O₁ − E₁ with
+   * E₁ⱼ = dⱼ·n₁ⱼ/nⱼ and hypergeometric variance
+   * Vⱼ = dⱼ·(n₁ⱼ/nⱼ)·(1 − n₁ⱼ/nⱼ)·(nⱼ−dⱼ)/(nⱼ−1); z = (O₁−E₁)/√V.
+   *
+   * Determinism: every term is a rational of exact counts, 12dp-rounded
+   * and DECIMAL-summed (the engine's Σ doctrine); the only unrounded
+   * float work is the final √ and divide. At-risk counts at POOLED
+   * times come from a RANGE window (strictly-earlier frame, so subjects
+   * eventing at t still count at risk) over the per-group time table
+   * unioned with pooled-time markers — |distinct times| rows per group,
+   * never subjects × times.
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, o_a, e_a, v_sum, z) —
+   * the p-value is deliberately not published (erf is not reproducible
+   * across math libraries; z is).
+   */
+  def logRank(df: DataFrame, durationCol: String, eventCol: Column,
+      groupCol: Column): DataFrame = {
+    val subj = df.select(groupCol.cast("string").as("g"),
+      col(durationCol).cast("long").as("t"), eventCol.as("ev"))
+    val byT = subj.groupBy(col("g"), col("t"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("ne"),
+        sum(when(col("ev"), 0L).otherwise(1L)).as("nc"))
+    val totals = subj.groupBy(col("g")).agg(count(lit(1)).as("total"))
+    val pooled = byT.where(col("ne") > 0).select(col("t")).distinct()
+    val groups = totals.select(col("g"))
+    val marked = byT
+      .unionByName(groups.crossJoin(pooled)
+        .select(col("g"), col("t"), lit(0L).as("ne"), lit(0L).as("nc")))
+      .groupBy(col("g"), col("t"))
+      .agg(sum(col("ne")).as("ne"), sum(col("nc")).as("nc"))
+    val wStrict = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val risk = marked
+      .withColumn("__gone", coalesce(sum(col("ne") + col("nc")).over(wStrict), lit(0L)))
+      .join(totals, "g")
+      .withColumn("n_risk", col("total") - col("__gone"))
+      .join(pooled, Seq("t"), "left_semi")
+    val gs = totals.orderBy(col("g")).collect().map(_.getString(0))
+    require(gs.length == 2, s"logRank needs exactly two groups, got ${gs.toSeq}")
+    val a = risk.where(col("g") === gs(0))
+      .select(col("t"), col("ne").as("d1"), col("n_risk").as("n1"))
+    val b = risk.where(col("g") === gs(1))
+      .select(col("t"), col("ne").as("d2"), col("n_risk").as("n2"))
+    val terms = a.join(b, "t")
+      .withColumn("dj", col("d1") + col("d2"))
+      .withColumn("nj", col("n1") + col("n2"))
+      .where(col("dj") > 0 && col("nj") > 0)
+      .withColumn("__e", round(col("dj").cast("double") * col("n1").cast("double")
+        / col("nj").cast("double"), 12).cast("decimal(24,12)"))
+      .withColumn("__v", when(col("nj") > 1, round(
+        col("dj").cast("double") * (col("n1").cast("double") / col("nj").cast("double"))
+          * (lit(1.0) - col("n1").cast("double") / col("nj").cast("double"))
+          * (col("nj") - col("dj")).cast("double") / (col("nj") - 1L).cast("double"),
+        12)).otherwise(lit(0.0)).cast("decimal(24,12)"))
+    val na = totals.where(col("g") === gs(0)).select(col("total")).head().getLong(0)
+    val nb = totals.where(col("g") === gs(1)).select(col("total")).head().getLong(0)
+    terms.agg(sum(col("d1")).as("o_a"), sum(col("__e")).as("__esum"),
+        sum(col("__v")).as("__vsum"))
+      .select(lit(gs(0)).as("group_a"), lit(gs(1)).as("group_b"),
+        lit(na).as("n_a"), lit(nb).as("n_b"), col("o_a"),
+        round(col("__esum").cast("double"), 6).as("e_a"),
+        round(col("__vsum").cast("double"), 6).as("v_sum"),
+        when(col("__vsum") > 0, round(
+          (col("o_a").cast("double") - col("__esum").cast("double"))
+            / sqrt(col("__vsum").cast("double")), 6)).as("z"))
+  }
 }

@@ -37,4 +37,23 @@ class SurvivalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("survival")).toMap
     assert(a == b)
   }
+
+  test("logRank: hand-computed O/E/V/z; identical curves give z 0") {
+    // A: events at 1, 2; B: censored at 1, event at 3
+    // t=1: n=(2,2) d=(1,0) → E .5 V .25 | t=2: n=(1,1) d=(1,0) → E .5 V .25
+    // t=3: n=(0,1) d=(0,1) → E 0, V 0 (nj=1) ⇒ O=2 E=1 V=.5 z=1.414214
+    val df = Seq(("A", 1L, true), ("A", 2L, true),
+      ("B", 1L, false), ("B", 3L, true)).toDF("g", "dur", "ev")
+    val r = Survival.logRank(df, "dur", col("ev"), col("g")).head()
+    assert(r.getAs[String]("group_a") == "A" && r.getAs[Long]("n_a") == 2L)
+    assert(r.getAs[Long]("o_a") == 2L)
+    assert(r.getAs[Double]("e_a") == 1.0)
+    assert(r.getAs[Double]("v_sum") == 0.5)
+    assert(r.getAs[Double]("z") == 1.414214)
+    // identical cohorts → O == E exactly → z == 0
+    val same = Seq(("A", 1L, true), ("A", 5L, false), ("B", 1L, true),
+      ("B", 5L, false)).toDF("g", "dur", "ev")
+    assert(Survival.logRank(same, "dur", col("ev"), col("g"))
+      .head().getAs[Double]("z") == 0.0)
+  }
 }
