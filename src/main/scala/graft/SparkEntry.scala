@@ -1642,6 +1642,17 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q233_mann_whitney" -> ((s, dir) => {
+      // nonparametric "is one arm systematically larger": rank sums in
+      // exact half-units (2r̄ = 2·min_rank + ties − 1), tie-corrected
+      // variance, one final divide — URGENT vs LOW order values
+      val two = eng(s, dir).table("orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("arm"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.operators.DistDrift.mannWhitney(two, col("cents"), col("arm"))
+    }),
     "q232_logrank" -> ((s, dir) => {
       // two-cohort log-rank on time-to-first-purchase (hash-split arms):
       // does one arm convert FASTER — the censoring-aware A/B that a
@@ -3595,6 +3606,46 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q233: identical half-unit rank sums, tie aggregation, and the
+    // identical final double expression
+    "q233_mann_whitney" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         ), r AS (
+           SELECT g, v, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+           FROM s
+         ), sums AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(2 * rnk + ties - 1) AS BIGINT) AS r2x
+           FROM r GROUP BY 1
+         ), a AS (SELECT n, r2x FROM sums WHERE g = '1-URGENT'),
+         b AS (SELECT n FROM sums WHERE g = '5-LOW'),
+         ts AS (
+           SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts
+           FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v)
+         ), f AS (
+           SELECT a.n AS n_a, b.n AS n_b,
+                  a.r2x - a.n * (a.n + 1) AS u2x,
+                  a.n + b.n AS n, ts.ts
+           FROM a, b, ts
+         ), g2 AS (
+           SELECT n_a, n_b, u2x, ts,
+                  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                    * (CAST(n + 1 AS DOUBLE)
+                       - CAST(ts AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS s2,
+                  n
+           FROM f
+         )
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b, n_a, n_b,
+                CAST(u2x AS DOUBLE) / 2.0 AS u_a, ts AS tie_terms,
+                CASE WHEN n > 1 AND s2 > 0 THEN
+                  round(((CAST(u2x AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0)
+                        / sqrt(s2), 6)
+                END AS z
+         FROM g2""",
     // q232: identical pooled-time risk windows (strictly-earlier RANGE
     // frame) and identical 12dp term rounding/summation
     "q232_logrank" ->

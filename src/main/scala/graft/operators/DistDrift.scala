@@ -175,4 +175,53 @@ object DistDrift {
         round(col("num").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks"),
         col("v").as("at_value"), col("n1").as("n_old"), col("n2").as("n_new"))
   }
+
+  /**
+   * Mann–Whitney U rank-sum test (1947) — the nonparametric two-sample
+   * location test that pairs with [[ks]] (KS asks "same distribution?",
+   * U asks "is one systematically larger?") and needs no normality the
+   * way a t-test does. Exactness trick: average ranks are half-integer,
+   * so rank sums live in HALF-UNITS — 2·r̄ = 2·min_rank + ties − 1, an
+   * exact long — and every statistic stays integer until the one final
+   * divide: U₁ (half-units) = ΣR₂ₓ − n₁(n₁+1), z = ((U₂ₓ − n₁n₂)/2) /
+   * σ with the tie-corrected σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))).
+   * One value-keyed rank window over the pooled relation + a tie
+   * aggregation — no subject×subject anything.
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, u_a, tie_terms, z).
+   */
+  def mannWhitney(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
+    val subj = df.select(groupCol.cast("string").as("g"),
+      valCol.cast("long").as("v"))
+    val gs = subj.select(col("g")).distinct().orderBy(col("g"))
+      .collect().map(_.getString(0))
+    require(gs.length == 2, s"mannWhitney needs exactly two groups, got ${gs.toSeq}")
+    val w = Window.orderBy(col("v"))
+    val ranked = subj
+      .withColumn("__rnk", rank().over(w).cast("long"))
+      .withColumn("__ties", count(lit(1)).over(Window.partitionBy(col("v"))))
+      .withColumn("__r2x", lit(2L) * col("__rnk") + col("__ties") - 1L)
+    val sums = ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("__r2x")).as("r2x"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (na, r2xa) = sums(gs(0)); val (nb, _) = sums(gs(1))
+    val n = na + nb
+    val tieSum = subj.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts"))
+      .head().getLong(0)
+    val u2x = r2xa - na * (na + 1L) // U₁ in half-units
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((gs(0), gs(1), na, nb, u2x, tieSum)).toDF(
+      "group_a", "group_b", "n_a", "n_b", "__u2x", "tie_terms")
+      .withColumn("u_a", col("__u2x").cast("double") / 2.0)
+      .withColumn("__s2",
+        lit(na.toDouble) * lit(nb.toDouble) / 12.0
+          * (lit((n + 1).toDouble)
+            - col("tie_terms").cast("double") / (lit(n.toDouble) * lit((n - 1).toDouble))))
+      .withColumn("z", when(lit(n) > 1 && col("__s2") > 0, round(
+        ((col("__u2x").cast("double") - lit(na.toDouble) * lit(nb.toDouble)) / 2.0)
+          / sqrt(col("__s2")), 6)))
+      .select("group_a", "group_b", "n_a", "n_b", "u_a", "tie_terms", "z")
+  }
 }

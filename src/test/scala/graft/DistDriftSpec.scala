@@ -71,4 +71,27 @@ class DistDriftSpec extends SparkSpec {
     val half = DistDrift.ks(a, c, "v").head()
     assert(half.getDouble(0) == 0.5 && half.getDouble(1) == 25.0)
   }
+
+  test("mannWhitney: textbook U and z, with and without ties") {
+    // A=[1,2,5], B=[3,4]: R_A=8, U=2, sigma^2=3, z=(2-3)/sqrt(3)
+    val noTies = Seq(("A", 1L), ("A", 2L), ("A", 5L), ("B", 3L), ("B", 4L))
+      .toDF("g", "v")
+    val r1 = DistDrift.mannWhitney(noTies, col("v"), col("g")).head()
+    assert(r1.getAs[Double]("u_a") == 2.0 && r1.getAs[Long]("tie_terms") == 0L)
+    assert(r1.getAs[Double]("z") ==
+      BigDecimal(-1.0 / math.sqrt(3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // A=[1,2,2], B=[2,3]: avg-rank 3 for the tied 2s → U=1, t³−t=24,
+    // sigma^2 = 0.5·(6 − 24/20) = 2.4
+    val ties = Seq(("A", 1L), ("A", 2L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("g", "v")
+    val r2 = DistDrift.mannWhitney(ties, col("v"), col("g")).head()
+    assert(r2.getAs[Double]("u_a") == 1.0 && r2.getAs[Long]("tie_terms") == 24L)
+    assert(r2.getAs[Double]("z") ==
+      BigDecimal(-2.0 / math.sqrt(2.4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // degenerate: all values identical → sigma 0 → z NULL, never NaN
+    val flat = Seq(("A", 7L), ("A", 7L), ("B", 7L)).toDF("g", "v")
+    assert(DistDrift.mannWhitney(flat, col("v"), col("g")).head().isNullAt(6))
+  }
 }
