@@ -1642,6 +1642,17 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q234_welch_t" -> ((s, dir) => {
+      // parametric partner of q233 on the same arms: Welch's unequal-
+      // variance t with exact-decimal moment cancellation, doubles only
+      // in the published means/t/df
+      val two = eng(s, dir).table("orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("arm"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.operators.DistDrift.welchT(two, col("cents"), col("arm"))
+    }),
     "q233_mann_whitney" -> ((s, dir) => {
       // nonparametric "is one arm systematically larger": rank sums in
       // exact half-units (2r̄ = 2·min_rank + ties − 1), tie-corrected
@@ -3606,6 +3617,42 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q234: HUGEINT moment cancellation (exact, one DOUBLE cast) and
+    // the identical Welch expressions with unrounded means inside t
+    "q234_welch_t" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         ), m AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT) AS sxx
+           FROM s GROUP BY 1
+         ), st AS (
+           SELECT g, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                  CASE WHEN n > 1 THEN
+                    CAST(n * sxx - sx * sx AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                  ELSE 0.0 END AS s2
+           FROM m
+         ), a AS (SELECT n, mean, s2 FROM st WHERE g = '1-URGENT'),
+         b AS (SELECT n, mean, s2 FROM st WHERE g = '5-LOW'),
+         f AS (
+           SELECT a.n AS n_a, b.n AS n_b, a.mean AS ma, b.mean AS mb,
+                  a.s2 / CAST(a.n AS DOUBLE) AS va, b.s2 / CAST(b.n AS DOUBLE) AS vb
+           FROM a, b
+         )
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b, n_a, n_b,
+                round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                CASE WHEN va + vb > 0 THEN
+                  round((ma - mb) / sqrt(va + vb), 6) END AS t,
+                CASE WHEN va + vb > 0 AND n_a > 1 AND n_b > 1 THEN
+                  round((va + vb) * (va + vb)
+                        / (va * va / CAST(n_a - 1 AS DOUBLE)
+                           + vb * vb / CAST(n_b - 1 AS DOUBLE)), 6)
+                END AS df
+         FROM f""",
     // q233: identical half-unit rank sums, tie aggregation, and the
     // identical final double expression
     "q233_mann_whitney" ->

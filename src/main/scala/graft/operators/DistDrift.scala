@@ -190,6 +190,62 @@ object DistDrift {
    *
    * Output: one row (group_a, group_b, n_a, n_b, u_a, tie_terms, z).
    */
+  /**
+   * Welch's unequal-variance t-test — the parametric partner of
+   * [[mannWhitney]] (means, not ranks; no equal-variance assumption, so
+   * it is the safe default t). Moments are EXACT: long sums widened to
+   * DECIMAL(38,0) for the n·Σx² − (Σx)² cancellation (the Trend
+   * doctrine — the catastrophic subtraction happens in exact
+   * arithmetic), doubles entering only in the published means, t and
+   * Welch–Satterthwaite df. The p-value is deliberately not published
+   * (the t CDF is not cross-engine reproducible; t and df are).
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, mean_a, mean_b, t, df).
+   */
+  def welchT(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
+    val subj = df.select(groupCol.cast("string").as("g"),
+      valCol.cast("long").as("v"))
+    val moments = subj.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("sx"),
+        sum((col("v").cast("decimal(38,0)") * col("v").cast("decimal(38,0)"))
+          .cast("decimal(38,0)")).as("sxx"))
+      .orderBy(col("g"))
+      .collect()
+    require(moments.length == 2,
+      s"welchT needs exactly two groups, got ${moments.length}")
+    def stats(r: org.apache.spark.sql.Row): (String, Long, Double, Double) = {
+      val n = r.getLong(1)
+      val sx = r.getDecimal(2); val sxx = r.getDecimal(3)
+      val nBd = java.math.BigDecimal.valueOf(n)
+      val mean = sx.doubleValue() / n
+      // exact decimal cancellation, ONE double cast
+      val varNum = nBd.multiply(sxx).subtract(sx.multiply(sx)).doubleValue()
+      val s2 = if (n > 1) varNum / (n.toDouble * (n - 1).toDouble) else 0.0
+      (r.getString(0), n, mean, s2)
+    }
+    val (ga, na, ma, s2a) = stats(moments(0))
+    val (gb, nb, mb, s2b) = stats(moments(1))
+    val a = s2a / na; val b = s2b / nb
+    val se2 = a + b
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((ga, gb, na, nb,
+      BigDecimal(ma).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(mb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      if (se2 > 0)
+        BigDecimal((ma - mb) / math.sqrt(se2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else Double.NaN,
+      if (se2 > 0 && na > 1 && nb > 1)
+        BigDecimal(se2 * se2 / (a * a / (na - 1).toDouble + b * b / (nb - 1).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else Double.NaN))
+      .toDF("group_a", "group_b", "n_a", "n_b", "mean_a", "mean_b", "t", "df")
+      .withColumn("t", when(!isnan(col("t")), col("t")))
+      .withColumn("df", when(!isnan(col("df")), col("df")))
+  }
+
   def mannWhitney(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))

@@ -72,6 +72,25 @@ class DistDriftSpec extends SparkSpec {
     assert(half.getDouble(0) == 0.5 && half.getDouble(1) == 25.0)
   }
 
+  test("welchT: hand moments; equal groups give t 0; constant groups NULL t") {
+    // A=[1,2,3]: mean 2, s2 1; B=[5,7]: mean 6, s2 2
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 5L), ("B", 7L))
+      .toDF("g", "v")
+    val r = DistDrift.welchT(df, col("v"), col("g")).head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Double]("mean_a") == 2.0)
+    val va = 1.0 / 3; val vb = 2.0 / 2
+    val t = (2.0 - 6.0) / math.sqrt(va + vb)
+    val dfree = (va + vb) * (va + vb) / (va * va / 2.0 + vb * vb / 1.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("t") == r6(t))
+    assert(r.getAs[Double]("df") == r6(dfree))
+    val same = Seq(("A", 4L), ("A", 6L), ("B", 4L), ("B", 6L)).toDF("g", "v")
+    assert(DistDrift.welchT(same, col("v"), col("g")).head().getAs[Double]("t") == 0.0)
+    val const = Seq(("A", 4L), ("A", 4L), ("B", 4L), ("B", 4L)).toDF("g", "v")
+    assert(DistDrift.welchT(const, col("v"), col("g")).head().isNullAt(6))
+  }
+
   test("mannWhitney: textbook U and z, with and without ties") {
     // A=[1,2,5], B=[3,4]: R_A=8, U=2, sigma^2=3, z=(2-3)/sqrt(3)
     val noTies = Seq(("A", 1L), ("A", 2L), ("A", 5L), ("B", 3L), ("B", 4L))
