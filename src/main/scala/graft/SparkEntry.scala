@@ -1642,6 +1642,16 @@ object SparkEntry {
           col("o_totalprice").cast("double").as("total_price"))
         .orderBy("o_orderkey")
     }),
+    "q235_kruskal_wallis" -> ((s, dir) => {
+      // nonparametric one-way ANOVA across ALL five priorities: same
+      // half-unit exact ranks as q233, per-group terms 12dp-rounded and
+      // decimal-summed, tie-corrected H vs chi-square(k-1)
+      val all = eng(s, dir).table("orders")
+        .select(col("o_orderpriority").as("arm"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.operators.DistDrift.kruskalWallis(all, col("cents"), col("arm"))
+    }),
     "q234_welch_t" -> ((s, dir) => {
       // parametric partner of q233 on the same arms: Welch's unequal-
       // variance t with exact-decimal moment cancellation, doubles only
@@ -3617,6 +3627,45 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q235: identical half-unit ranks, identical 12dp term rounding and
+    // decimal summation, identical H and tie-correction expressions
+    "q235_kruskal_wallis" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders
+         ), r AS (
+           SELECT g, v, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+           FROM s
+         ), sums AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                  CAST(sum(2 * rnk + ties - 1) AS BIGINT) AS r2x
+           FROM r GROUP BY 1
+         ), nn AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                          CAST(count(*) AS INTEGER) AS k FROM sums),
+         ts AS (
+           SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts
+           FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v)
+         ), tsum AS (
+           SELECT CAST(sum(CAST(round(
+                    (CAST(r2x AS DOUBLE) / 2.0) * (CAST(r2x AS DOUBLE) / 2.0)
+                      / CAST(ng AS DOUBLE), 12) AS DECIMAL(24,12))) AS DOUBLE) AS srg
+           FROM sums
+         ), f AS (
+           SELECT nn.k, nn.n, ts.ts,
+                  round(12.0 / (CAST(nn.n AS DOUBLE) * CAST(nn.n + 1 AS DOUBLE))
+                        * tsum.srg - 3.0 * CAST(nn.n + 1 AS DOUBLE), 6) AS h,
+                  12.0 / (CAST(nn.n AS DOUBLE) * CAST(nn.n + 1 AS DOUBLE))
+                        * tsum.srg - 3.0 * CAST(nn.n + 1 AS DOUBLE) AS h_raw,
+                  1.0 - CAST(ts.ts AS DOUBLE)
+                        / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                           - CAST(nn.n AS DOUBLE)) AS denom
+           FROM nn, ts, tsum
+         )
+         SELECT k, n, ts AS tie_terms, h,
+                CASE WHEN denom > 0 THEN round(h_raw / denom, 6) END AS h_corrected
+         FROM f""",
     // q234: HUGEINT moment cancellation (exact, one DOUBLE cast) and
     // the identical Welch expressions with unrounded means inside t
     "q234_welch_t" ->

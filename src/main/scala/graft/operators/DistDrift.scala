@@ -246,6 +246,52 @@ object DistDrift {
       .withColumn("df", when(!isnan(col("df")), col("df")))
   }
 
+  /**
+   * Kruskal–Wallis H (1952) — [[mannWhitney]] generalized to k groups:
+   * "does ANY group's distribution sit higher", the nonparametric
+   * one-way ANOVA. Same half-unit exact rank machinery; the per-group
+   * terms (Rg²/n_g) are 12dp-rounded and DECIMAL-summed (a plain float
+   * sum over groups would be order-dependent), the tie correction
+   * divides by 1 − Σ(t³−t)/(n³−n). Output: one row (k, n, tie_terms,
+   * h, h_corrected) — compare h_corrected to χ²(k−1).
+   */
+  def kruskalWallis(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
+    val subj = df.select(groupCol.cast("string").as("g"),
+      valCol.cast("long").as("v"))
+    val w = Window.orderBy(col("v"))
+    val ranked = subj
+      .withColumn("__rnk", rank().over(w).cast("long"))
+      .withColumn("__ties", count(lit(1)).over(Window.partitionBy(col("v"))))
+      .withColumn("__r2x", lit(2L) * col("__rnk") + col("__ties") - 1L)
+    val sums = ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("__r2x")).as("r2x"))
+      .orderBy(col("g")).collect()
+    require(sums.length >= 2, s"kruskalWallis needs >= 2 groups, got ${sums.length}")
+    val n = sums.map(_.getLong(1)).sum
+    val tieSum = subj.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts"))
+      .head().getLong(0)
+    // Σ (Rg²/n_g) with each term 12dp-rounded into exact decimal — the
+    // same Σ doctrine the oracle replays; group order cannot matter
+    val termSum = sums.map { r =>
+      val ng = r.getLong(1); val r2x = r.getLong(2)
+      val rg = r2x.toDouble / 2.0
+      BigDecimal(rg * rg / ng.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1).toDouble) * termSum.toDouble -
+      3.0 * (n + 1).toDouble
+    val denom = 1.0 - tieSum.toDouble / (n.toDouble * n.toDouble * n.toDouble - n.toDouble)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((sums.length, n, tieSum, r6(h),
+      if (denom > 0) r6(h / denom) else Double.NaN))
+      .toDF("k", "n", "tie_terms", "h", "h_corrected")
+      .withColumn("h_corrected", when(!isnan(col("h_corrected")), col("h_corrected")))
+  }
+
   def mannWhitney(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))

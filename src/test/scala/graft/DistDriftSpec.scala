@@ -91,6 +91,18 @@ class DistDriftSpec extends SparkSpec {
     assert(DistDrift.welchT(const, col("v"), col("g")).head().isNullAt(6))
   }
 
+  test("kruskalWallis: hand H on three clean groups; identity under no ties") {
+    // A=[1,2] B=[3,4] C=[5,6]: R=3,7,11 → S=89.5,
+    // H = 12/42·89.5 − 21 = 4.571429; no ties → h_corrected == h
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("g", "v")
+    val r = DistDrift.kruskalWallis(df, col("v"), col("g")).head()
+    assert(r.getAs[Int]("k") == 3 && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("tie_terms") == 0L)
+    assert(r.getAs[Double]("h") == 4.571429)
+    assert(r.getAs[Double]("h_corrected") == 4.571429)
+  }
+
   test("mannWhitney: textbook U and z, with and without ties") {
     // A=[1,2,5], B=[3,4]: R_A=8, U=2, sigma^2=3, z=(2-3)/sqrt(3)
     val noTies = Seq(("A", 1L), ("A", 2L), ("A", 5L), ("B", 3L), ("B", 4L))
