@@ -19,11 +19,69 @@ import org.apache.spark.sql.functions._
  * counts c1,c2 cumulated over the ordered distinct values, the statistic
  * is max |c1·n2 − c2·n1| / (n1·n2) — the numerator is an exact long, so
  * the max is deterministic (no float CDF accumulation). The cumulative
- * counts need an ordered scan: here a single ordered window over the
- * DISTINCT value set (bounded by value cardinality); at 100 TB you bin
- * first (PSI) or range-partition the prefix sum — documented trade-off.
+ * counts come from [[withPrefixSums]] — a DISTRIBUTED prefix sum over
+ * the distinct-value relation (deterministic equi-width value buckets →
+ * partitioned windows + exactly-cumulated broadcast offsets), so no
+ * operator here ever funnels the relation through a single task.
  */
 object DistDrift {
+
+  /**
+   * Distributed exclusive prefix sums over ascending `v` — the scan
+   * primitive KS/Mann-Whitney/Kruskal-Wallis all need. A naive
+   * `Window.orderBy(v)` collapses the whole relation into ONE task; this
+   * instead buckets values equi-width (boundaries from one min/max agg,
+   * so the bucket id is a deterministic pure function of v), runs the
+   * running-sum window PARTITIONED per bucket, and cumulates the ≤
+   * `PrefixBuckets` per-bucket totals exactly (longs) on the driver,
+   * broadcasting the offsets back. Adds `<c>_below` = Σ of `c` over all
+   * rows with smaller `v` for each requested count column. Null `v`
+   * sorts first (its own bucket), matching SQL null-first rank order.
+   */
+  private val PrefixBuckets = 256
+
+  private def withPrefixSums(perValue: DataFrame, cnts: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = perValue.sparkSession
+    val stats = perValue.where(col("v").isNotNull)
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx")).head()
+    // always a function of v (never a foldable literal — Catalyst would
+    // fold a constant partition key away and recreate the single-task
+    // window); degenerate single-value/empty inputs get width 1 so the
+    // formula itself lands everything in bucket 0
+    val mn = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
+    val mx = if (stats.isNullAt(0)) 0.0 else stats.getDouble(1)
+    val width = if (mx > mn) (mx - mn) / PrefixBuckets else 1.0
+    val bucketOf =
+      least(greatest(floor((col("v").cast("double") - lit(mn)) / lit(width)),
+        lit(0.0)), lit((PrefixBuckets - 1).toDouble)).cast("int")
+    val bucketed = perValue.withColumn("__b",
+      when(col("v").isNull, lit(-1)).otherwise(bucketOf))
+    val bucketTotals = bucketed.groupBy(col("__b"))
+      .agg(sum(col(cnts.head)).as(cnts.head),
+        cnts.tail.map(c => sum(col(c)).as(c)): _*)
+      .orderBy(col("__b")).collect()
+    val acc = scala.collection.mutable.LinkedHashMap(cnts.map(_ -> 0L): _*)
+    val offRows = bucketTotals.map { r =>
+      val offs = cnts.map { c => val o = acc(c); acc(c) += r.getAs[Long](c); o }
+      Row.fromSeq(r.getInt(0) +: offs)
+    }
+    val offSchema = StructType(StructField("__b", IntegerType, nullable = false) +:
+      cnts.map(c => StructField(s"__off_$c", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = cnts.foldLeft(bucketed) { (d, c) =>
+      d.withColumn(s"__wb_$c", coalesce(sum(col(c)).over(wIn), lit(0L)))
+    }
+    val joined = cnts.foldLeft(withLocal.join(broadcast(offDf), "__b")) { (d, c) =>
+      d.withColumn(s"${c}_below", col(s"__wb_$c") + col(s"__off_$c"))
+    }
+    joined.drop("__b" +: cnts.flatMap(c => Seq(s"__wb_$c", s"__off_$c")): _*)
+  }
 
   private def bin(v: Column, lo: Double, hi: Double, nBins: Int): Column =
     least(greatest(floor((v - lit(lo)) / lit((hi - lo) / nBins)), lit(0.0)),
@@ -163,11 +221,10 @@ object DistDrift {
       .where(col("v").isNotNull)
     val perValue = tagged.groupBy(col("v"))
       .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
-    val cum = perValue
-      .select(col("v"), sum(col("c1")).over(w).as("a1"), sum(col("c2")).over(w).as("a2"))
+    val cum = withPrefixSums(perValue, Seq("c1", "c2"))
+      .select(col("v"), (col("c1_below") + col("c1")).as("a1"),
+        (col("c2_below") + col("c2")).as("a2"))
       .crossJoin(broadcast(totals))
       .withColumn("num", abs(col("a1") * col("n2") - col("a2") * col("n1")))
     cum.orderBy(col("num").desc, col("v").asc).limit(1)
@@ -185,8 +242,10 @@ object DistDrift {
    * exact long — and every statistic stays integer until the one final
    * divide: U₁ (half-units) = ΣR₂ₓ − n₁(n₁+1), z = ((U₂ₓ − n₁n₂)/2) /
    * σ with the tie-corrected σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))).
-   * One value-keyed rank window over the pooled relation + a tie
-   * aggregation — no subject×subject anything.
+   * Rank sums come from [[rankSums]]' distinct-value identity — the
+   * window runs over the DISTINCT-value relation (value-cardinality
+   * bounded, the KS discipline), never over the subject rows, and
+   * there is no subject×subject anything.
    *
    * Output: one row (group_a, group_b, n_a, n_b, u_a, tie_terms, z).
    */
@@ -255,26 +314,47 @@ object DistDrift {
    * divides by 1 − Σ(t³−t)/(n³−n). Output: one row (k, n, tie_terms,
    * h, h_corrected) — compare h_corrected to χ²(k−1).
    */
+  /**
+   * Exact half-unit rank sums per group via the distinct-value identity
+   * (the KS discipline — [[ks]] aggregates per distinct value FIRST, then
+   * windows over the distinct-value relation, bounded by value
+   * cardinality rather than row count). For value v with
+   * `below = Σ counts of smaller values` and `t = pooled count at v`,
+   * every row at v has average rank r̄ = below + (t+1)/2, so
+   * 2·r̄ = 2·below + t + 1 — an exact long. Per-group rank sums are then
+   * Σ_v cnt_{g,v}·(2·below_v + t_v + 1): one (g,v) grouped agg, one
+   * distributed prefix sum over DISTINCT values ([[withPrefixSums]]),
+   * one value-keyed join back. No row of the subject relation ever
+   * passes through a window, and no single-task window exists at all.
+   *
+   * Returns ((group, n, 2·rank-sum) sorted by group, Σ(t³−t) tie term).
+   */
+  private def rankSums(subj: DataFrame): (Array[(String, Long, Long)], Long) = {
+    val cells = subj.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val perValue = cells.groupBy(col("v")).agg(sum(col("c")).as("t")).cache()
+    val valStats = withPrefixSums(perValue, Seq("t"))
+      .withColumn("__r2x", lit(2L) * col("t_below") + col("t") + 1L)
+    val sums = cells.join(valStats.select(col("v"), col("__r2x")), "v")
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("__r2x")).as("r2x"))
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tieSum = perValue
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts"))
+      .head().getLong(0)
+    perValue.unpersist()
+    (sums, tieSum)
+  }
+
   def kruskalWallis(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))
-    val w = Window.orderBy(col("v"))
-    val ranked = subj
-      .withColumn("__rnk", rank().over(w).cast("long"))
-      .withColumn("__ties", count(lit(1)).over(Window.partitionBy(col("v"))))
-      .withColumn("__r2x", lit(2L) * col("__rnk") + col("__ties") - 1L)
-    val sums = ranked.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), sum(col("__r2x")).as("r2x"))
-      .orderBy(col("g")).collect()
+    val (sums, tieSum) = rankSums(subj)
     require(sums.length >= 2, s"kruskalWallis needs >= 2 groups, got ${sums.length}")
-    val n = sums.map(_.getLong(1)).sum
-    val tieSum = subj.groupBy(col("v")).agg(count(lit(1)).as("t"))
-      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts"))
-      .head().getLong(0)
+    val n = sums.map(_._2).sum
     // Σ (Rg²/n_g) with each term 12dp-rounded into exact decimal — the
     // same Σ doctrine the oracle replays; group order cannot matter
-    val termSum = sums.map { r =>
-      val ng = r.getLong(1); val r2x = r.getLong(2)
+    val termSum = sums.map { case (_, ng, r2x) =>
       val rg = r2x.toDouble / 2.0
       BigDecimal(rg * rg / ng.toDouble)
         .setScale(12, BigDecimal.RoundingMode.HALF_UP)
@@ -295,22 +375,12 @@ object DistDrift {
   def mannWhitney(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))
-    val gs = subj.select(col("g")).distinct().orderBy(col("g"))
-      .collect().map(_.getString(0))
-    require(gs.length == 2, s"mannWhitney needs exactly two groups, got ${gs.toSeq}")
-    val w = Window.orderBy(col("v"))
-    val ranked = subj
-      .withColumn("__rnk", rank().over(w).cast("long"))
-      .withColumn("__ties", count(lit(1)).over(Window.partitionBy(col("v"))))
-      .withColumn("__r2x", lit(2L) * col("__rnk") + col("__ties") - 1L)
-    val sums = ranked.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), sum(col("__r2x")).as("r2x"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    val (na, r2xa) = sums(gs(0)); val (nb, _) = sums(gs(1))
+    val (sums, tieSum) = rankSums(subj)
+    require(sums.length == 2,
+      s"mannWhitney needs exactly two groups, got ${sums.map(_._1).toSeq}")
+    val Array((ga, na, r2xa), (gb, nb, _)) = sums
+    val gs = Array(ga, gb)
     val n = na + nb
-    val tieSum = subj.groupBy(col("v")).agg(count(lit(1)).as("t"))
-      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts"))
-      .head().getLong(0)
     val u2x = r2xa - na * (na + 1L) // U₁ in half-units
     val spark = df.sparkSession
     import spark.implicits._
