@@ -3484,7 +3484,7 @@ object SparkEntry {
                       / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / st.avgdl)), 6) AS c
          FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st
        ), s AS (
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS matched, round(sum(c), 6) AS score
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS matched, round(CAST(sum(CAST(c AS DECIMAL(24,12))) AS DOUBLE), 6) AS score
          FROM c GROUP BY doc_id
        )
        SELECT doc_id, matched, score,
@@ -3942,8 +3942,9 @@ object SparkEntry {
                 l + tr AS f_1_units, l + 7 * tr AS f_7_units,
                 l + 28 * tr AS f_28_units
          FROM r WHERE rn = nk ORDER BY key""",
-    // q205: identical centered-7 window over the identical daily rollup;
-    // deviations integer-exact (7x − Σ), one final double division
+    // q205: identical centered-7 RANGE(±3 days) window over the identical
+    // daily rollup (gap-safe); deviations integer-exact (7x − Σ), one
+    // final double division
     "q205_seasonal_dow" ->
       """WITH d AS (
            SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS t,
@@ -3951,8 +3952,8 @@ object SparkEntry {
            FROM orders GROUP BY 1
          ), m AS (
            SELECT t, x,
-                  sum(x) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ms,
-                  count(*) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mn
+                  sum(x) OVER (ORDER BY t RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING) AS ms,
+                  count(*) OVER (ORDER BY t RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING) AS mn
            FROM d
          ), dev AS (
            SELECT CAST((CAST(trunc(t / 86400.0) AS BIGINT) + 4) % 7 AS BIGINT) AS dow,
@@ -3994,7 +3995,7 @@ object SparkEntry {
          ), fin AS (
            SELECT g, n_nonempty,
                   CAST(znon + (4096 - n_nonempty) * 1099511627776 AS BIGINT) AS z_scaled,
-                  round(0.721253 * pow(2, 64) /
+                  round(0.721110 * pow(2, 64) /
                         CAST(znon + (4096 - n_nonempty) * 1099511627776 AS DOUBLE), 6) AS est_raw,
                   CASE WHEN 4096 - n_nonempty > 0 THEN
                     round(4096.0 * ln(4096.0 / CAST(4096 - n_nonempty AS DOUBLE)), 6)
@@ -4084,7 +4085,7 @@ object SparkEntry {
                         / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / st.avgdl)), 6) AS c
            FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st
          ), sc AS (
-           SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
+           SELECT doc_id, round(CAST(sum(CAST(c AS DECIMAL(24,12))) AS DOUBLE), 6) AS score FROM c GROUP BY doc_id
          ), lexr AS (
            SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
            FROM sc ORDER BY score DESC, doc_id LIMIT 50
@@ -4157,7 +4158,7 @@ object SparkEntry {
          ), fin AS (
            SELECT n_nonempty,
                   CAST(znon + (4096 - n_nonempty) * 1099511627776 AS BIGINT) AS z_scaled,
-                  round(0.721253 * pow(2, 64) /
+                  round(0.721110 * pow(2, 64) /
                         CAST(znon + (4096 - n_nonempty) * 1099511627776 AS DOUBLE), 6) AS est_raw,
                   CASE WHEN 4096 - n_nonempty > 0 THEN
                     round(4096.0 * ln(4096.0 / CAST(4096 - n_nonempty AS DOUBLE)), 6)
@@ -5691,7 +5692,7 @@ object SparkEntry {
                         / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / st.avgdl)), 6) AS c
            FROM tf JOIN df USING (w) JOIN dl USING (doc_id), st
          ), s AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS matched, round(sum(c), 6) AS score
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS matched, round(CAST(sum(CAST(c AS DECIMAL(24,12))) AS DOUBLE), 6) AS score
            FROM c GROUP BY doc_id
          )
          SELECT doc_id, matched, score,

@@ -121,7 +121,8 @@ object DistinctSketch {
    * Z = Σ 2^(40−r) (ranks > 40 contribute 0, empty buckets 2^40) — exact
    * longs, ≤ 2^52 total, so the one double division at the end is
    * bit-identical on any engine. est_raw = α₁₂·2^64/Z with the published
-   * literal α₁₂ = 0.721253; linear counting (m·ln(m/V)) replaces it below
+   * literal α₁₂ = 0.721110, the Flajolet et al. α_m = 0.7213/(1+1.079/m)
+   * at m=4096 rounded to 6dp; linear counting (m·ln(m/V)) replaces it below
    * 2.5·m when empty buckets remain — the standard small-range rule,
    * decided on the ROUNDED est_raw so the branch is a pure function of
    * published columns. Output: (groups…, n_nonempty, z_scaled, est_raw,
@@ -135,7 +136,7 @@ object DistinctSketch {
       .withColumn("z_scaled",
         col("__znon") + (lit(4096L) - col("n_nonempty")) * lit(1099511627776L))
       .withColumn("est_raw",
-        round(lit(0.721253) * lit(1.8446744073709552E19) /
+        round(lit(0.721110) * lit(1.8446744073709552E19) /
           col("z_scaled").cast("double"), 6))
       .withColumn("est_linear", expr(
         """CASE WHEN 4096 - n_nonempty > 0 THEN

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
  */
 object Experiment {
 
-  /** 8-hex md5 bucket fraction in [0,1) for unit assignment. */
+  /** 13-hex (52-bit) md5 fraction in [0,1) for unit assignment. */
   private def frac(id: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 13), 16, 10)
       .cast("long") / lit(DistinctSketch.HashDenom)

@@ -179,14 +179,18 @@ object TimeSeries {
    * The ordered window is GLOBAL but runs over the already-reduced daily
    * series — calendar-bounded (~10³ rows for years of data), so the
    * single-partition window is a non-issue at any input scale; the heavy
-   * reduction upstream is the distributed part. Edge days without a full
-   * ±3 window are excluded (mn = 7), the standard centered-MA contract.
+   * reduction upstream is the distributed part. The window is RANGE ±3
+   * calendar days over __t (not ROWS ±3): on a gapped daily series a
+   * row-count window would silently span 8+ days and misattribute the
+   * deviation, whereas the range frame + the mn = 7 guard excludes any
+   * day whose ±3-day calendar neighborhood is incomplete — edge days and
+   * gap-adjacent days alike, the standard centered-MA contract.
    *
    * Output: (dow, n_days, sum_dev7, seasonal) with seasonal =
    * round(sum_dev7 / (7·n_days), 6) in input units.
    */
   def seasonalDow(daily: DataFrame, tCol: String, unitsCol: String): DataFrame = {
-    val w = Window.orderBy(col("__t")).rowsBetween(-3, 3)
+    val w = Window.orderBy(col("__t")).rangeBetween(-3L * 86400L, 3L * 86400L)
     daily
       .select(col(tCol).cast("long").as("__t"),
         col(unitsCol).cast("long").as("__x"))

@@ -215,9 +215,11 @@ object CorpusStats {
    * needs every doc's length once; persist `dl` per corpus snapshot to
    * amortize it across queries.
    *
-   * Per-term contributions round to 6dp before the sum (and the sum
-   * again) so last-ulp `ln` differences between engines can't reach the
-   * ranking — same convention as `tfidfTopTerms`.
+   * Per-term contributions round to 6dp, are DECIMAL-summed (the Σ
+   * doctrine — a raw double sum over many query terms is partial-sum-
+   * order dependent and could flip the 6dp rounding, hence a rank), and
+   * the published score rounds to 6dp again, so last-ulp `ln`
+   * differences between engines can't reach the ranking.
    *
    * Output: (`idCol`, matched, score, rank), rank 1..topK.
    */
@@ -243,7 +245,8 @@ object CorpusStats {
           (col("tf") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6))
     contrib.groupBy(col(idCol))
-      .agg(count(lit(1)).as("matched"), round(sum(col("c")), 6).as("score"))
+      .agg(count(lit(1)).as("matched"),
+        round(sum(col("c").cast("decimal(24,12)")).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
       .withColumn("rank", row_number().over(
@@ -299,7 +302,8 @@ object CorpusStats {
           (col("tf") + lit(k1) *
             (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6))
     contrib.groupBy(col(idCol))
-      .agg(count(lit(1)).as("matched"), round(sum(col("c")), 6).as("score"))
+      .agg(count(lit(1)).as("matched"),
+        round(sum(col("c").cast("decimal(24,12)")).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
       .withColumn("rank", row_number().over(

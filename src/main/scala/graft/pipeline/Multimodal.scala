@@ -1710,8 +1710,16 @@ object Multimodal {
         val fid = new String(bytes, p, 4, "US-ASCII")
         if (!fid.forall(c => c.isUpper || c.isDigit)) ok = false // padding
         else {
-          val fsz = ((bytes(p + 4) & 0xFF) << 24) | ((bytes(p + 5) & 0xFF) << 16) |
-            ((bytes(p + 6) & 0xFF) << 8) | (bytes(p + 7) & 0xFF)
+          // v2.4 frame sizes are syncsafe (7 bits/byte); v2.2/v2.3 are
+          // plain 32-bit BE — reading v2.4 as plain desyncs the walk for
+          // any frame >= 128 bytes
+          val fsz =
+            if ((bytes(3) & 0xFF) >= 4)
+              ((bytes(p + 4) & 0x7F) << 21) | ((bytes(p + 5) & 0x7F) << 14) |
+                ((bytes(p + 6) & 0x7F) << 7) | (bytes(p + 7) & 0x7F)
+            else
+              ((bytes(p + 4) & 0xFF) << 24) | ((bytes(p + 5) & 0xFF) << 16) |
+                ((bytes(p + 6) & 0xFF) << 8) | (bytes(p + 7) & 0xFF)
           if (fsz < 0 || p + 10 + fsz > end) ok = false
           else { ids += fid; p += 10 + fsz }
         }

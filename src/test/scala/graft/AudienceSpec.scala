@@ -130,6 +130,18 @@ class AudienceSpec extends SparkSpec {
     val const = (0 until 14).map(k => (k.toLong * 86400L, 500L)).toDF("t", "units")
     val zero = graft.operators.TimeSeries.seasonalDow(const, "t", "units").collect()
     assert(zero.forall(_.getAs[Double]("seasonal") == 0.0))
+    // calendar-gap safety: drop day 7 from a 15-day series — the RANGE
+    // window must exclude every day whose ±3-day calendar neighborhood
+    // is incomplete (days 4..10), not silently span the hole the way a
+    // ROWS ±3 frame would
+    val gapped = xs.zipWithIndex.filter(_._2 != 7)
+      .map { case (x, k) => (k.toLong * 86400L, x) }.toDF("t", "units")
+      .repartition(3)
+    val keptDays = graft.operators.TimeSeries.seasonalDow(gapped, "t", "units")
+      .agg(org.apache.spark.sql.functions.sum("n_days")).head().getLong(0)
+    // full windows remain only at centers 3..xs.length-4 minus 4..10
+    val expectKept = (3 until xs.length - 3).count(k => k < 4 || k > 10)
+    assert(keptDays == expectKept.toLong, s"kept $keptDays")
   }
 
   test("benford: counts by leading cent digit; chi2 small on a Benford-ish set") {

@@ -1362,6 +1362,33 @@ class PipelineSpec extends SparkSpec {
     assert(Id3Codec.probe(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("Id3Codec: v2.4 syncsafe frame sizes — a >=128-byte frame doesn't desync") {
+    import graft.pipeline.Multimodal.Id3Codec
+    // hand-built v2.4 tag: TIT2 of 200 bytes (syncsafe 0,0,1,72),
+    // then TALB of 5 bytes; a plain-BE read of the TIT2 size (0x0148=328)
+    // would overshoot TALB and report one frame only
+    val f1 = 200; val f2 = 5
+    val tagSize = 10 + f1 + 10 + f2
+    val bb = java.nio.ByteBuffer.allocate(10 + tagSize + 4)
+    bb.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte).put(0.toByte)
+    bb.put(((tagSize >> 21) & 0x7F).toByte).put(((tagSize >> 14) & 0x7F).toByte)
+      .put(((tagSize >> 7) & 0x7F).toByte).put((tagSize & 0x7F).toByte)
+    bb.put("TIT2".getBytes("US-ASCII"))
+    bb.put(((f1 >> 21) & 0x7F).toByte).put(((f1 >> 14) & 0x7F).toByte)
+      .put(((f1 >> 7) & 0x7F).toByte).put((f1 & 0x7F).toByte)
+    bb.putShort(0.toShort).put(new Array[Byte](f1))
+    bb.put("TALB".getBytes("US-ASCII"))
+    bb.put(0.toByte).put(0.toByte).put(0.toByte).put(f2.toByte)
+    bb.putShort(0.toShort).put(new Array[Byte](f2))
+    bb.put(0xFF.toByte).put(0xFB.toByte).put(0x90.toByte).put(0.toByte)
+    val t = Id3Codec.probe(bb.array()).get
+    assert(t.version == 4 && t.frameIds == Seq("TIT2", "TALB"), t.toString)
+    // same bytes relabeled v2.3 with plain-BE sizes still walk both frames
+    val v3 = bb.array().clone(); v3(3) = 3.toByte
+    v3(14) = 0; v3(15) = 0; v3(16) = 0; v3(17) = f1.toByte // 200 plain BE
+    assert(Id3Codec.probe(v3).get.frameIds == Seq("TIT2", "TALB"))
+  }
+
   test("dedupLines: keep-first-instance across corpus, reassembly, all-lost doc") {
     // keepers: a→(1,0) b→(1,1) c→(2,1) d→(3,1); doc 4 loses every line
     val docs = spark.createDataFrame(Seq(
