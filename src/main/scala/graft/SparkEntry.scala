@@ -329,13 +329,29 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
     "q45_dedup_minhash_fast" -> ((s, dir) => {
-      // production hash family: xxhash64 minhash (codegen, ~1 cycle/byte)
-      // instead of the md5-hex oracle family. No DuckDB oracle (xxhash64
-      // isn't reproducible there) → driver rows-only check, like q33; the
-      // md5 family (q29) is the hash-matched twin of this plan.
-      Dedup.minhashPairs(eng(s, dir).table("documents"), "doc_id", "text",
-          shingleN = 3, k = 12, bands = 4, threshold = 0.3, oracleHash = false)
-        .orderBy("a", "b")
+      // production hash family promoted to a HARD gate: xxhash64 minhash
+      // (codegen, ~1 cycle/byte) instead of the md5-hex oracle family
+      // (xxhash64 isn't reproducible in DuckDB). The body compares the
+      // fast-family verified pairs against the md5-family pairs (q29's
+      // hash-matched plan) and REQUIRES recall ≥ 0.95 — measured 1.0 at
+      // sf0.01 AND sf0.1 (identical sets), 2555/2559 = 0.9984 at sf1
+      // (band-candidate recall differs per hash family; Jaccard verify
+      // makes precision-vs-threshold structural 1.0 for BOTH). Driver row
+      // = pass contract vs a literal oracle; q29 stays the md5 twin.
+      import s.implicits._
+      val docs = eng(s, dir).table("documents")
+      def pairSet(oracle: Boolean) =
+        Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, k = 12,
+            bands = 4, threshold = 0.3, oracleHash = oracle)
+          .select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fast = pairSet(false)
+      val md5 = pairSet(true)
+      val recall = (fast & md5).size.toDouble / math.max(1, md5.size)
+      require(recall >= 0.95,
+        s"q45 recall contract broken: |fast|=${fast.size} |md5|=${md5.size} recall=$recall < 0.95")
+      Seq((12, 4, 95, 1)).toDF(
+        "k", "bands", "recall_floor_pct", "recall_ok")
     }),
     "q30_simhash" -> ((s, dir) => {
       val d = eng(s, dir).table("documents")
@@ -367,11 +383,16 @@ object SparkEntry {
         topK = 10, metric = "l2")
     }),
     "q33_ann_ivf" -> ((s, dir) => {
-      // approximate path: seeded k-means cells + nprobe probing over the
-      // PHYSICALLY clustered layout — the IN-filter on __ivf_cell is a
-      // partition filter, so only nprobe/nlist of the files are read
-      // (VectorSearchSpec asserts the pruning; q55 publishes recall). No
-      // SQL oracle (approximate by design) → driver rows-only check.
+      // approximate path promoted to a HARD gate: seeded k-means cells +
+      // nprobe=3 probing over the PHYSICALLY clustered layout — the
+      // IN-filter on __ivf_cell is a partition filter, so only
+      // nprobe/nlist of the files are read (VectorSearchSpec asserts the
+      // pruning). The body computes recall@10 vs the exact scan and
+      // REQUIRES the floor (measured 0.90 at sf0.01 / 0.70 at sf0.1 →
+      // floor 0.60), so the driver row is a pass contract against a
+      // literal oracle instead of a rows-only check; q32/q26 remain the
+      // hash-matched exact twins.
+      import s.implicits._
       val e = eng(s, dir)
       val embs = e.table("embeddings")
       val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
@@ -380,35 +401,71 @@ object SparkEntry {
       val clustered = s.read.parquet(tmp)
       val q = embs.where(col("vec_id") === 7)
         .select("embedding").head.getSeq[Float](0).map(_.toDouble)
-      VectorSearch.ivfSearch(clustered, model, "vec_id", "embedding", q,
-        topK = 10, nprobe = 3)
+      val ann = VectorSearch.ivfSearch(clustered, model, "vec_id", "embedding",
+        q, topK = 10, nprobe = 3).select("pk").collect().map(_.getLong(0)).toSet
+      val exact = VectorSearch.exact(embs, "vec_id", "embedding", q,
+        topK = 10, metric = "l2").select("pk").collect().map(_.getLong(0)).toSet
+      val recall = (ann & exact).size.toDouble / math.max(1, exact.size)
+      require(ann.size == 10 && recall >= 0.60,
+        s"q33 recall contract broken: |ann|=${ann.size}, recall=$recall < 0.60")
+      Seq((10, 8, 3, ann.size, 60, 1)).toDF(
+        "top_k", "nlist", "nprobe", "n_results", "recall_floor_pct", "recall_ok")
     }),
     "q55_ann_ivf_recall" -> ((s, dir) => {
-      // published recall@10 for the clustered IVF path (SURVEY §7.3): one
-      // row per nprobe with averaged recall vs the exact oracle and the
-      // scanned-row fraction (the pruning ratio). Approximate by design →
-      // driver rows-only check; VectorSearchSpec pins recall ≥ 0.9 at
-      // nprobe=4 and monotone recall in nprobe. NOTE the recall/scan
-      // tradeoff is data-dependent: on near-isotropic embeddings (the
-      // sf0.1 draw — top-10 neighbors share a label only ~21% of the
-      // time, and even ideal label centroids recall ≤ scanned_frac) ANY
-      // partition scheme degenerates to recall ≈ fraction scanned; this
-      // report makes that visible per-run instead of hiding it.
+      // recall/scan tradeoff report promoted to a HARD gate: per-nprobe
+      // recall floors REQUIRED in-body (measured .425/.575/.875/1.0 at
+      // sf0.01 and .375/.600/.775/1.0 at sf0.1 → floors 35/55/75/100 pct;
+      // nprobe=8 probes every one of the nlist=8 cells so recall 1.0 is
+      // STRUCTURAL), plus monotone recall in nprobe — the driver row is a
+      // pass contract against a literal oracle. NOTE (unchanged): on
+      // near-isotropic embeddings recall ≈ fraction scanned — ANY
+      // partition scheme degenerates to that; the floors encode it.
+      import s.implicits._
       val e = eng(s, dir)
       val tmp = tmpDir("ivf_rec") + "/emb"
-      VectorSearch.ivfRecallReport(e.table("embeddings"), "vec_id", "embedding",
-        tmp, queryIds = 0L until 8L, nprobes = Seq(1, 2, 4, 8), topK = 10, nlist = 8)
+      val rep = VectorSearch.ivfRecallReport(e.table("embeddings"), "vec_id",
+          "embedding", tmp, queryIds = 0L until 8L, nprobes = Seq(1, 2, 4, 8),
+          topK = 10, nlist = 8)
+        .orderBy("nprobe").collect()
+        .map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("recall_at_k"))
+      val floors = Seq(1 -> 0.35, 2 -> 0.55, 4 -> 0.75, 8 -> 1.0)
+      require(rep.map(_._1).sameElements(floors.map(_._1)),
+        s"q55 report rows: ${rep.toSeq}")
+      floors.zip(rep).foreach { case ((np, floor), (_, rec)) =>
+        require(rec >= floor, s"q55 recall contract broken: nprobe=$np " +
+          s"recall=$rec < $floor") }
+      require(rep.map(_._2).sameElements(rep.map(_._2).sorted),
+        s"q55 recall not monotone in nprobe: ${rep.toSeq}")
+      floors.map { case (np, f) => (np, math.round(f * 100).toInt, 1) }
+        .toDF("nprobe", "recall_floor_pct", "recall_ok")
     }),
     "q91_pq_recall" -> ((s, dir) => {
-      // published recall for the PQ serving path (SURVEY §7.3), the PQ
-      // counterpart of q55: one row per rerankFactor with mean recall@10
-      // vs the exact batch oracle, the full-precision candidate fraction,
-      // and the code-column compression. Approximate by design → driver
-      // rows-only check; VectorSearchSpec pins monotone recall and exact
-      // recovery at the q90 gate's rerankFactor.
+      // PQ serving-path recall report promoted to a HARD gate (the PQ
+      // counterpart of q55): per-rerankFactor recall floors REQUIRED
+      // in-body (measured .3375/.50/.8625/.975 at sf0.01 and
+      // .20/.30/.5125/.725 at sf0.1 → floors 15/25/45/65 pct), plus
+      // monotone recall in rerankFactor; compression 32× is structural
+      // (dim·4 bytes / m codes). Driver row = pass contract vs a literal
+      // oracle; q87/q90 remain the hash-matched exact ADC twins.
+      import s.implicits._
       val e = eng(s, dir)
-      VectorSearch.pqRecallReport(e.table("embeddings"), "vec_id", "embedding",
-        queryIds = 0L until 8L, rerankFactors = Seq(1, 2, 8, 20), topK = 10)
+      val rep = VectorSearch.pqRecallReport(e.table("embeddings"), "vec_id",
+          "embedding", queryIds = 0L until 8L, rerankFactors = Seq(1, 2, 8, 20),
+          topK = 10)
+        .orderBy("rerank_factor").collect()
+        .map(r => (r.getAs[Int]("rerank_factor"), r.getAs[Double]("recall_at_k"),
+          r.getAs[Double]("compression_x")))
+      val floors = Seq(1 -> 0.15, 2 -> 0.25, 8 -> 0.45, 20 -> 0.65)
+      require(rep.map(_._1).sameElements(floors.map(_._1)),
+        s"q91 report rows: ${rep.toSeq}")
+      floors.zip(rep).foreach { case ((rf, floor), (_, rec, comp)) =>
+        require(rec >= floor, s"q91 recall contract broken: rerank=$rf " +
+          s"recall=$rec < $floor")
+        require(comp == 32.0, s"q91 compression drifted: $comp") }
+      require(rep.map(_._2).sameElements(rep.map(_._2).sorted),
+        s"q91 recall not monotone in rerankFactor: ${rep.toSeq}")
+      floors.map { case (rf, f) => (rf, math.round(f * 100).toInt, 1, 32.0) }
+        .toDF("rerank_factor", "recall_floor_pct", "recall_ok", "compression_x")
     }),
     "q34_kv_roundtrip" -> ((s, dir) => {
       val wh = tmpDir("kv")
@@ -1090,15 +1147,29 @@ object SparkEntry {
         assumeColocated = true).orderBy("qid", "rank")
     }),
     "q97_graph_recall" -> ((s, dir) => {
-      // approximate regime of q96's graph: recall@10 vs the exact scan
-      // per efSearch, with the MEASURED fraction of nodes visited (the
-      // graph path's cost). No SQL oracle (approximate by design; q96 is
-      // the hash-matched exact twin) → driver rows-only check.
-      GraphAnn.graphRecallReport(eng(s, dir).table("embeddings"),
-        "vec_id", "embedding", queryIds = Seq(3L, 7L, 11L),
-        efs = Seq(8, 32, 128), topK = 10,
-        shards = 4, maxDegree = 8, efConstruction = 24)
-        .orderBy("ef_search")
+      // graph-ANN recall report promoted to a HARD gate (approximate
+      // regime of q96, which stays the hash-matched exact twin):
+      // per-efSearch recall floors REQUIRED in-body (measured
+      // .8667/1.0/1.0 at sf0.01 and .4333/.7667/1.0 at sf0.1 → floors
+      // 35/60/95 pct), plus monotone recall in efSearch. Driver row =
+      // pass contract vs a literal oracle.
+      import s.implicits._
+      val rep = GraphAnn.graphRecallReport(eng(s, dir).table("embeddings"),
+          "vec_id", "embedding", queryIds = Seq(3L, 7L, 11L),
+          efs = Seq(8, 32, 128), topK = 10,
+          shards = 4, maxDegree = 8, efConstruction = 24)
+        .orderBy("ef_search").collect()
+        .map(r => r.getAs[Int]("ef_search") -> r.getAs[Double]("recall_at_k"))
+      val floors = Seq(8 -> 0.35, 32 -> 0.60, 128 -> 0.95)
+      require(rep.map(_._1).sameElements(floors.map(_._1)),
+        s"q97 report rows: ${rep.toSeq}")
+      floors.zip(rep).foreach { case ((ef, floor), (_, rec)) =>
+        require(rec >= floor, s"q97 recall contract broken: efSearch=$ef " +
+          s"recall=$rec < $floor") }
+      require(rep.map(_._2).sameElements(rep.map(_._2).sorted),
+        s"q97 recall not monotone in efSearch: ${rep.toSeq}")
+      floors.map { case (ef, f) => (ef, math.round(f * 100).toInt, 1, 8, 4) }
+        .toDF("ef_search", "recall_floor_pct", "recall_ok", "max_degree", "shards")
     }),
     "q98_mp4_probe" -> ((s, dir) => {
       // REAL ISO-BMFF metadata gate (q95's contract for the mp4
@@ -3627,6 +3698,29 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q33/q45/q55/q91/q97: literal pass-contract oracles — the query body
+    // REQUIRES the measured recall floor (throws if broken, so the driver
+    // sees no output at all), then emits exactly these constants. This
+    // turns the former rows-only checks into hard gates; the exact twins
+    // (q26/q32, q29, q87/q90, q96) remain the hash-matched plans.
+    "q33_ann_ivf" ->
+      """SELECT 10 AS top_k, 8 AS nlist, 3 AS nprobe, 10 AS n_results,
+                60 AS recall_floor_pct, 1 AS recall_ok""",
+    "q45_dedup_minhash_fast" ->
+      "SELECT 12 AS k, 4 AS bands, 95 AS recall_floor_pct, 1 AS recall_ok",
+    "q55_ann_ivf_recall" ->
+      """SELECT * FROM (VALUES (1, 35, 1), (2, 55, 1), (4, 75, 1), (8, 100, 1))
+           AS t(nprobe, recall_floor_pct, recall_ok) ORDER BY nprobe""",
+    "q91_pq_recall" ->
+      """SELECT * FROM (VALUES (1, 15, 1, 32.0), (2, 25, 1, 32.0),
+                               (8, 45, 1, 32.0), (20, 65, 1, 32.0))
+           AS t(rerank_factor, recall_floor_pct, recall_ok, compression_x)
+         ORDER BY rerank_factor""",
+    "q97_graph_recall" ->
+      """SELECT * FROM (VALUES (8, 35, 1, 8, 4), (32, 60, 1, 8, 4),
+                               (128, 95, 1, 8, 4))
+           AS t(ef_search, recall_floor_pct, recall_ok, max_degree, shards)
+         ORDER BY ef_search""",
     // q235: identical half-unit ranks, identical 12dp term rounding and
     // decimal summation, identical H and tie-correction expressions
     "q235_kruskal_wallis" ->
