@@ -56,7 +56,10 @@ object PlanAudit {
       "q210_winsorize", // broadcast cuts back onto the scan; no per-group sort
       "q212_readability", // three regexp counts: projection only, no shuffle
       "q221_cross_source_dup", // band buckets → |sources|²-bounded rollup
-      "q223_blocklist") // kernel pass: projection only, no shuffle
+      "q223_blocklist", // kernel pass: projection only, no shuffle
+      "q183_ks_test", // bucketed prefix sums: every Window partitioned by __b
+      "q233_mann_whitney", // distinct-value ranks; no unpartitioned window
+      "q235_kruskal_wallis") // same rank identity; no unpartitioned window
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

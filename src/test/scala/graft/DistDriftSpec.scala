@@ -125,4 +125,31 @@ class DistDriftSpec extends SparkSpec {
     val flat = Seq(("A", 7L), ("A", 7L), ("B", 7L)).toDF("g", "v")
     assert(DistDrift.mannWhitney(flat, col("v"), col("g")).head().isNullAt(6))
   }
+
+  test("rank tests: every window in the physical plan is PARTITIONED " +
+      "(no single-task full-relation sort at any scale)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+      val expanded = p.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      expanded.flatMap(_.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      })
+    }
+    val df = (1 to 500).map(i => (if (i % 3 == 0) "A" else "B", (i * 37 % 101).toLong))
+      .toDF("g", "v")
+    for ((name, plan) <- Seq(
+        "mannWhitney" -> DistDrift.mannWhitney(df, col("v"), col("g")),
+        "kruskalWallis" -> DistDrift.kruskalWallis(df, col("v"), col("g")),
+        "ks" -> DistDrift.ks(df.where(col("g") === "A"),
+          df.where(col("g") === "B"), "v"))) {
+      plan.collect() // materialize so AQE finalizes the executed plan
+      val bad = unpartitionedWindows(plan.queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$name has unpartitioned WindowExec: $bad")
+    }
+  }
 }
