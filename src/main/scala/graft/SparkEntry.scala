@@ -1745,6 +1745,38 @@ object SparkEntry {
             .as("cents"))
       graft.operators.DistDrift.mannWhitney(two, col("cents"), col("arm"))
     }),
+    "q236_mw_binned" -> ((s, dir) => {
+      // declared-bounds binned Mann-Whitney: values clamp into 96
+      // equi-width bins over [0, 600000) and each bin is one giant tie —
+      // the distinct-value relation is ≤ 96 rows BY CONSTRUCTION (the
+      // 100 TB guarantee the exact q233 only gets from observed
+      // cardinality); same half-unit rank identity on the bin ids
+      val two = eng(s, dir).table("orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("arm"),
+          col("o_totalprice").cast("double").as("price"))
+      graft.operators.DistDrift.mannWhitneyBinned(two, col("price"),
+        col("arm"), lo = 0.0, hi = 600000.0, nBins = 96)
+    }),
+    "q237_kw_binned" -> ((s, dir) => {
+      // binned Kruskal-Wallis across all five priorities — H on the
+      // fully-tied-within-bin ranks with the same tie correction;
+      // declared [0, 600000) x 96 bins, nulls excluded by contract
+      val all = eng(s, dir).table("orders")
+        .select(col("o_orderpriority").as("arm"),
+          col("o_totalprice").cast("double").as("price"))
+      graft.operators.DistDrift.kruskalWallisBinned(all, col("price"),
+        col("arm"), lo = 0.0, hi = 600000.0, nBins = 96)
+    }),
+    "q238_ks_binned" -> ((s, dir) => {
+      // binned two-sample KS on the drift pair: max |F1-F2| over bin
+      // BOUNDARIES (a lower bound on exact KS, converging as bins
+      // shrink), integer |c1*n2 - c2*n1| max search as q183 — but the
+      // cumulated relation is ≤ 96 rows regardless of value cardinality
+      val (v0, v1) = snapPair(s, dir)
+      graft.operators.DistDrift.ksBinned(v0, v1, "o_totalprice",
+        lo = 0.0, hi = 600000.0, nBins = 96)
+    }),
     "q232_logrank" -> ((s, dir) => {
       // two-cohort log-rank on time-to-first-purchase (hash-split arms):
       // does one arm convert FASTER — the censoring-aware A/B that a
@@ -3744,7 +3776,7 @@ object SparkEntry {
          ), tsum AS (
            SELECT CAST(sum(CAST(round(
                     (CAST(r2x AS DOUBLE) / 2.0) * (CAST(r2x AS DOUBLE) / 2.0)
-                      / CAST(ng AS DOUBLE), 12) AS DECIMAL(24,12))) AS DOUBLE) AS srg
+                      / CAST(ng AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE) AS srg
            FROM sums
          ), f AS (
            SELECT nn.k, nn.n, ts.ts,
@@ -3796,6 +3828,118 @@ object SparkEntry {
                            + vb * vb / CAST(n_b - 1 AS DOUBLE)), 6)
                 END AS df
          FROM f""",
+    // q236: q233's rank/tie/z SQL verbatim with v = the clamped
+    // equi-width bin id (identical IEEE floor((x-lo)/width) on both
+    // sides; width 6250.0 = (600000-0)/96 is exact in double)
+    "q236_mw_binned" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(least(greatest(floor(
+                    (CAST(o_totalprice AS DOUBLE) - 0.0) / 6250.0), 0.0), 95.0)
+                    AS BIGINT) AS v
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+             AND o_totalprice IS NOT NULL
+         ), r AS (
+           SELECT g, v, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+           FROM s
+         ), sums AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(2 * rnk + ties - 1) AS BIGINT) AS r2x
+           FROM r GROUP BY 1
+         ), a AS (SELECT n, r2x FROM sums WHERE g = '1-URGENT'),
+         b AS (SELECT n FROM sums WHERE g = '5-LOW'),
+         ts AS (
+           SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts
+           FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v)
+         ), f AS (
+           SELECT a.n AS n_a, b.n AS n_b,
+                  a.r2x - a.n * (a.n + 1) AS u2x,
+                  a.n + b.n AS n, ts.ts
+           FROM a, b, ts
+         ), g2 AS (
+           SELECT n_a, n_b, u2x, ts,
+                  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                    * (CAST(n + 1 AS DOUBLE)
+                       - CAST(ts AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS s2,
+                  n
+           FROM f
+         )
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b, n_a, n_b,
+                CAST(u2x AS DOUBLE) / 2.0 AS u_a, ts AS tie_terms,
+                CASE WHEN n > 1 AND s2 > 0 THEN
+                  round(((CAST(u2x AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0)
+                        / sqrt(s2), 6)
+                END AS z
+         FROM g2""",
+    // q237: q235's H/tie SQL verbatim with v = the clamped bin id
+    "q237_kw_binned" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(least(greatest(floor(
+                    (CAST(o_totalprice AS DOUBLE) - 0.0) / 6250.0), 0.0), 95.0)
+                    AS BIGINT) AS v
+           FROM orders WHERE o_totalprice IS NOT NULL
+         ), r AS (
+           SELECT g, v, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+           FROM s
+         ), sums AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                  CAST(sum(2 * rnk + ties - 1) AS BIGINT) AS r2x
+           FROM r GROUP BY 1
+         ), nn AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                          CAST(count(*) AS INTEGER) AS k FROM sums),
+         ts AS (
+           SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ts
+           FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM s GROUP BY v)
+         ), tsum AS (
+           SELECT CAST(sum(CAST(round(
+                    (CAST(r2x AS DOUBLE) / 2.0) * (CAST(r2x AS DOUBLE) / 2.0)
+                      / CAST(ng AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE) AS srg
+           FROM sums
+         ), f AS (
+           SELECT nn.k, nn.n, ts.ts,
+                  round(12.0 / (CAST(nn.n AS DOUBLE) * CAST(nn.n + 1 AS DOUBLE))
+                        * tsum.srg - 3.0 * CAST(nn.n + 1 AS DOUBLE), 6) AS h,
+                  12.0 / (CAST(nn.n AS DOUBLE) * CAST(nn.n + 1 AS DOUBLE))
+                        * tsum.srg - 3.0 * CAST(nn.n + 1 AS DOUBLE) AS h_raw,
+                  1.0 - CAST(ts.ts AS DOUBLE)
+                        / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                           - CAST(nn.n AS DOUBLE)) AS denom
+           FROM nn, ts, tsum
+         )
+         SELECT k, n, ts AS tie_terms, h,
+                CASE WHEN denom > 0 THEN round(h_raw / denom, 6) END AS h_corrected
+         FROM f""",
+    // q238: q183's integer max search with v = the clamped bin id;
+    // bin_lo recovered as lo + bin*width, 6dp
+    "q238_ks_binned" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         t AS (SELECT CAST(least(greatest(floor(
+                 (CAST(o_totalprice AS DOUBLE) - 0.0) / 6250.0), 0.0), 95.0)
+                 AS BIGINT) AS v, 1 AS s1, 0 AS s2
+               FROM v0 WHERE o_totalprice IS NOT NULL
+               UNION ALL
+               SELECT CAST(least(greatest(floor(
+                 (CAST(o_totalprice AS DOUBLE) - 0.0) / 6250.0), 0.0), 95.0)
+                 AS BIGINT), 0, 1
+               FROM v1 WHERE o_totalprice IS NOT NULL),
+         pv AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM t GROUP BY 1),
+         n AS (SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2 FROM t),
+         c AS (SELECT v,
+                      sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+                      sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+               FROM pv),
+         m AS (SELECT c.v, CAST(abs(a1 * n.n2 - a2 * n.n1) AS BIGINT) AS num, n.n1, n.n2 FROM c CROSS JOIN n)
+         SELECT round(CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks,
+                v AS at_bin,
+                round(0.0 + CAST(v AS DOUBLE) * 6250.0, 6) AS bin_lo,
+                n1 AS n_old, n2 AS n_new
+         FROM m ORDER BY num DESC, v LIMIT 1""",
     // q233: identical half-unit rank sums, tie aggregation, and the
     // identical final double expression
     "q233_mann_whitney" ->

@@ -234,6 +234,60 @@ object DistDrift {
   }
 
   /**
+   * Binned two-sample KS — the declared-bounds sibling of [[ks]] for
+   * 100 TB inputs whose raw value cardinality is unbounded (floats,
+   * timestamps): values clamp into `nBins` equi-width bins over the
+   * DECLARED [lo, hi) (the [[psi]] discipline — boundaries are
+   * constants, never a data-dependent min/max, so the plan is one scan
+   * feeding a distinct relation bounded by nBins regardless of data).
+   * The statistic is max |F1−F2| over bin BOUNDARIES — a lower bound on
+   * the exact KS that converges as bins shrink; same integer
+   * |c1·n2 − c2·n1| max search and smallest-bin tiebreak as [[ks]].
+   * Output: one row (ks, at_bin, bin_lo, n_old, n_new) — bin_lo is the
+   * left edge of the bin attaining the max.
+   */
+  def ksBinned(oldDf: DataFrame, newDf: DataFrame, valCol: String,
+      lo: Double, hi: Double, nBins: Int = 100): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    def binned(df: DataFrame) = df.where(col(valCol).isNotNull)
+      .select(bin(col(valCol).cast("double"), lo, hi, nBins).as("__bin"))
+    val width = (hi - lo) / nBins
+    ks(binned(oldDf), binned(newDf), "__bin")
+      .select(col("ks"), col("at_value").cast("long").as("at_bin"),
+        round(lit(lo) + col("at_value") * lit(width), 6).as("bin_lo"),
+        col("n_old"), col("n_new"))
+  }
+
+  /**
+   * [[mannWhitney]] over declared equi-width bins — each bin is one big
+   * tie, so the half-unit rank identity applies unchanged with the bin
+   * id as the value, and the distinct-value relation is ≤ nBins rows BY
+   * CONSTRUCTION (the exact test is bounded only by observed value
+   * cardinality). This is the test to reach for when values are
+   * continuous floats at 100 TB: statistically it trades resolution
+   * below the bin width for a hard cardinality bound. NULL values are
+   * excluded (declared-domain semantics, as [[ksBinned]]). Output: as
+   * [[mannWhitney]] — note u_a/z are computed on the binned ranks.
+   */
+  def mannWhitneyBinned(df: DataFrame, valCol: Column, groupCol: Column,
+      lo: Double, hi: Double, nBins: Int = 100): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    mannWhitney(df.where(valCol.isNotNull),
+      bin(valCol.cast("double"), lo, hi, nBins), groupCol)
+  }
+
+  /** [[kruskalWallis]] over declared equi-width bins — see
+    * [[mannWhitneyBinned]] for the contract; H is computed on the
+    * binned (fully tied-within-bin) ranks with the same tie
+    * correction. */
+  def kruskalWallisBinned(df: DataFrame, valCol: Column, groupCol: Column,
+      lo: Double, hi: Double, nBins: Int = 100): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    kruskalWallis(df.where(valCol.isNotNull),
+      bin(valCol.cast("double"), lo, hi, nBins), groupCol)
+  }
+
+  /**
    * Mann–Whitney U rank-sum test (1947) — the nonparametric two-sample
    * location test that pairs with [[ks]] (KS asks "same distribution?",
    * U asks "is one systematically larger?") and needs no normality the

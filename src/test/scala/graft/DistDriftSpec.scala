@@ -126,6 +126,53 @@ class DistDriftSpec extends SparkSpec {
     assert(DistDrift.mannWhitney(flat, col("v"), col("g")).head().isNullAt(6))
   }
 
+  test("binned siblings: order-preserving bins reproduce the exact test; " +
+      "collisions become ties; out-of-range values clamp to edge bins") {
+    // values 5,15,25,...: one per [i*10,(i+1)*10) bin → binning is an
+    // order-isomorphism and the binned MW/KW must equal the exact ones
+    val iso = (1 to 60).map(i => (if (i % 2 == 0) "A" else "B", i * 10.0 - 5.0))
+      .toDF("g", "v")
+    val exactR = DistDrift.mannWhitney(iso, col("v"), col("g")).head()
+    val binR = DistDrift.mannWhitneyBinned(iso, col("v"), col("g"),
+      lo = 0.0, hi = 600.0, nBins = 60).head()
+    assert(binR.getAs[Double]("u_a") == exactR.getAs[Double]("u_a"))
+    assert(binR.getAs[Double]("z") == exactR.getAs[Double]("z"))
+    val kwExact = DistDrift.kruskalWallis(iso, col("v"), col("g")).head()
+    val kwBin = DistDrift.kruskalWallisBinned(iso, col("v"), col("g"),
+      0.0, 600.0, 60).head()
+    assert(kwBin.getAs[Double]("h_corrected") == kwExact.getAs[Double]("h_corrected"))
+    // 2-bin collapse: A={1,2}, B={11,12} with [0,20) x 2 → bin ids
+    // A:{0,0}, B:{1,1}; ranks (1.5,1.5,3.5,3.5) → R_A=3, U_A=3-3=0;
+    // ties Σ(t³−t) = 2·(8−2) = 12
+    val two = Seq(("A", 1.0), ("A", 2.0), ("B", 11.0), ("B", 12.0)).toDF("g", "v")
+    val r2 = DistDrift.mannWhitneyBinned(two, col("v"), col("g"), 0.0, 20.0, 2).head()
+    assert(r2.getAs[Double]("u_a") == 0.0 && r2.getAs[Long]("tie_terms") == 12L)
+    // clamping: -5 → bin 0, 999 → last bin; nulls excluded
+    val cl = Seq(("A", -5.0), ("A", 999.0), ("B", 5.0), ("B", 15.0)).toDF("g", "v")
+      .union(Seq(("B", Option.empty[Double])).toDF("g", "v"))
+    val r3 = DistDrift.mannWhitneyBinned(cl, col("v"), col("g"), 0.0, 20.0, 2).head()
+    assert(r3.getAs[Long]("n_a") == 2 && r3.getAs[Long]("n_b") == 2)
+    // A's clamped bins {0, 1}, B's {0, 1}: ranks (1.5,1.5) and (3.5,3.5)
+    // → R_A = 5, U_A = 5 - 3 = 2
+    assert(r3.getAs[Double]("u_a") == 2.0)
+  }
+
+  test("ksBinned: lower bound on exact KS; equal when values are bin-aligned") {
+    val a = (1 to 80).map(i => (i * 37 % 101).toDouble).toDF("v")
+    val b = (1 to 90).map(i => (i * 53 % 97 + 10).toDouble).toDF("v")
+    val exact = DistDrift.ks(a, b, "v").head().getAs[Double]("ks")
+    val binned = DistDrift.ksBinned(a, b, "v", 0.0, 128.0, 16).head()
+    assert(binned.getAs[Double]("ks") <= exact + 1e-9)
+    assert(binned.getAs[Long]("n_old") == 80 && binned.getAs[Long]("n_new") == 90)
+    // bin-aligned: values are exactly k*8 → 16 bins of width 8 lose nothing
+    val a2 = (0 to 15).flatMap(i => Seq.fill(i + 1)((i * 8).toDouble)).toDF("v")
+    val b2 = (0 to 15).flatMap(i => Seq.fill(16 - i)((i * 8).toDouble)).toDF("v")
+    val e2 = DistDrift.ks(a2, b2, "v").head()
+    val b2r = DistDrift.ksBinned(a2, b2, "v", 0.0, 128.0, 16).head()
+    assert(b2r.getAs[Double]("ks") == e2.getAs[Double]("ks"))
+    assert(b2r.getAs[Double]("bin_lo") == e2.getAs[Double]("at_value"))
+  }
+
   test("rank tests: every window in the physical plan is PARTITIONED " +
       "(no single-task full-relation sort at any scale)") {
     import org.apache.spark.sql.execution.SparkPlan
