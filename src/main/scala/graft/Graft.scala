@@ -689,6 +689,56 @@ final class Graft(
   def updateSchema(name: String): graft.schema.SchemaUpdateBuilder =
     graft.schema.SchemaUpdateBuilder(this, name)
 
+  /** Reference parity for `queryMigrationTaskStatus(taskId)`
+    * (tostore.dart:1104-1124): status of a task started by
+    * `updateSchema(...).applyAsync()`, None for an unknown id — exactly
+    * the reference's null. Tasks here are completed by the time the id
+    * is returned (each space's migration is one atomic Spark rewrite;
+    * see [[graft.schema.MigrationStatus]]), so the status always reads
+    * 100% with the real per-space record counts. */
+  def queryMigrationTaskStatus(taskId: String): Option[graft.schema.MigrationStatus] =
+    registry.migrationTask(taskId)
+
+  /** Multi-space form of [[applySchemaUpdate]] (the reference's
+    * background-migration shape, tostore.dart:1083-1119): applies the
+    * SAME schema update in every space where `table` is registered —
+    * current space first, then the others in sorted order — recording a
+    * migration task with per-space record counts. Returns the task id.
+    * Global tables have exactly one copy, so their task has one space. */
+  private[graft] def applySchemaUpdateAllSpaces(
+      b: graft.schema.SchemaUpdateBuilder): String = {
+    val t0 = System.currentTimeMillis()
+    val isGlobal = registry.get(space, b.table).exists(_.isGlobal)
+    val others =
+      if (isGlobal) Nil
+      else registry.allSpaces.sorted
+        .filter(sp => sp != space && sp != "global")
+        .filter(sp => registry.get(sp, b.table).exists(!_.isGlobal))
+    val spaces = space +: others
+    val taskId = registry.newMigrationTaskId(b.table)
+    def publish(done: Seq[String], records: Long, completed: Boolean): Unit = {
+      val elapsed = math.max(1L, System.currentTimeMillis() - t0)
+      registry.putMigrationTask(graft.schema.MigrationStatus(
+        taskId = taskId, isCompleted = completed, createTimeMs = t0,
+        pendingSpaces = spaces.diff(done),
+        processedSpacesCount = done.size, totalSpacesCount = spaces.size,
+        totalRecordsProcessed = records,
+        currentSpaceProgress = if (completed) 1.0 else 0.0,
+        throughput = records.toDouble * 1000.0 / elapsed))
+    }
+    publish(Nil, 0L, completed = false)
+    var records = 0L
+    var done = Vector.empty[String]
+    spaces.foreach { sp =>
+      val eng = if (sp == space) this else switchSpace(sp)
+      records += eng.table(b.table).count()
+      eng.applySchemaUpdate(b)
+      done :+= sp
+      publish(done, records, completed = done.size == spaces.size)
+    }
+    taskId
+  }
+
   private[graft] def applySchemaUpdate(b: graft.schema.SchemaUpdateBuilder): Unit =
       graft.write.Writes.exclusiveFlow {
     val cur = registry.get(space, b.table).getOrElse(

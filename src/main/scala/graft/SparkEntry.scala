@@ -811,6 +811,51 @@ object SparkEntry {
           FieldSchema("status", GType.GText, defaultValue = Some("active"))))) // added
       e.table("mig").orderBy(col("id").cast("long"))
     }),
+    "q239_migration_task" -> ((s, dir) => {
+      // async-facade migration parity (tostore.dart:1083-1124): the SAME
+      // updateSchema chain applied across three spaces via applyAsync(),
+      // the returned task id polled with queryMigrationTaskStatus, and
+      // the per-space data verified post-migration (rename preserved the
+      // data, the added column defaulted) — task columns are the pass
+      // contract, data columns the oracle-recomputed slices
+      import graft.schema._
+      val wh = tmpDir("q239")
+      val e = Graft.withWarehouse(s, dir, wh)
+      val ranges = Seq("default" -> (1, 20), "beta" -> (21, 40), "gamma" -> (41, 60))
+      ranges.foreach { case (sp, (lo, hi)) =>
+        val se = e.switchSpace(sp)
+        se.createTable(TableSchema("mig2", PrimaryKeyConfig("id", PkStrategy.None),
+          Seq(FieldSchema("name", GType.GText), FieldSchema("qty", GType.GInteger))))
+        se.insertFrom("mig2", e.table("customer")
+          .where(col("c_custkey").between(lo, hi))
+          .select(col("c_custkey").cast("string").as("id"),
+            col("c_name").as("name"), col("c_nationkey").as("qty")))
+      }
+      val tid = e.updateSchema("mig2")
+        .renameField("qty", "quantity")
+        .addField("status", GType.GText, defaultValue = Some("active"))
+        .applyAsync()
+      val st = e.queryMigrationTaskStatus(tid).get
+      require(st.isCompleted && st.pendingSpaces.isEmpty
+          && st.progressPercentage == 100.0,
+        s"q239 migration task not complete: $st")
+      require(e.queryMigrationTaskStatus("no-such-task").isEmpty)
+      ranges.map(_._1).map { sp =>
+        e.switchSpace(sp).table("mig2").agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("quantity").cast("long")).as("sum_qty"),
+            sum(when(col("status") === "active", 1L).otherwise(0L)).as("n_active"))
+          .withColumn("space", lit(sp))
+      }.reduce(_ unionByName _)
+        .select(col("space"), col("n_rows"), col("sum_qty"), col("n_active"),
+          lit(tid).as("task_id"),
+          lit(if (st.isCompleted) 1 else 0).as("is_completed"),
+          lit(st.processedSpacesCount).as("processed_spaces"),
+          lit(st.totalSpacesCount).as("total_spaces"),
+          lit(st.totalRecordsProcessed).as("records_processed"),
+          lit(st.pendingSpaces.size).as("pending_spaces"))
+        .orderBy("space")
+    }),
     "q63_fk_onupdate" -> ((s, dir) => {
       // FK onUpdate=cascade end-to-end: rewriting parent keys rewrites the
       // child FK columns through the mapping join (two-phase, restrict
@@ -5542,6 +5587,25 @@ object SparkEntry {
                 CAST(c_nationkey AS DOUBLE) AS qty, 'active' AS status
          FROM customer WHERE c_custkey <= 30
          ORDER BY c_custkey""",
+    // q239: the oracle recomputes each space's post-migration slice from
+    // the fixture ranges; the task columns are the CONTRACT (completed,
+    // 3/3 spaces, 0 pending, records = Σ slice rows, deterministic id)
+    "q239_migration_task" ->
+      """WITH sl AS (
+           SELECT CASE WHEN c_custkey BETWEEN 1 AND 20 THEN 'default'
+                       WHEN c_custkey BETWEEN 21 AND 40 THEN 'beta'
+                       ELSE 'gamma' END AS space,
+                  c_nationkey
+           FROM customer WHERE c_custkey BETWEEN 1 AND 60
+         )
+         SELECT space, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CAST(c_nationkey AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(count(*) AS BIGINT) AS n_active,
+                'mig-mig2-1' AS task_id, 1 AS is_completed,
+                3 AS processed_spaces, 3 AS total_spaces,
+                CAST((SELECT count(*) FROM sl) AS BIGINT) AS records_processed,
+                0 AS pending_spaces
+         FROM sl GROUP BY space ORDER BY space""",
     "q63_fk_onupdate" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_id,
                 CASE WHEN o_custkey = 1 THEN '9001'

@@ -45,6 +45,21 @@ final class SchemaRegistry {
   /** Drop every registration (deleteDatabase). */
   def clearAll(): Unit = synchronized { schemas = Map.empty }
 
+  // Migration-task ledger (reference queryMigrationTaskStatus parity,
+  // lib/tostore.dart:1104-1124) — shared across switchSpace views like
+  // the schema map itself, so a task started from one space view is
+  // queryable from any other.
+  private var migTasks = Map.empty[String, MigrationStatus]
+  private var migCounter = 0
+
+  def newMigrationTaskId(table: String): String = synchronized {
+    migCounter += 1; s"mig-$table-$migCounter"
+  }
+  def putMigrationTask(s: MigrationStatus): Unit = synchronized {
+    migTasks += s.taskId -> s
+  }
+  def migrationTask(id: String): Option[MigrationStatus] = migTasks.get(id)
+
   /** Resolve the FK join keys between `from` and `to`, forward (from
     * references to) or reverse (to references from) — reference
     * query_builder.dart:851-951. Returns ALL (fromField, toField) pairs of

@@ -6,11 +6,14 @@ package graft.schema
  * removeField / renameField / modifyField). `apply()` performs ONE atomic
  * table rewrite and re-registers the schema.
  *
- * Differences from the reference, by design: the rewrite is synchronous
- * (no task id / migration status to poll — the reference migrates in
- * background isolates; see COVERAGE "Migration task status"), and
- * `modifyField` takes a Scala transform of the declared `FieldSchema`
- * (type changes cast, constraint changes apply to FUTURE writes).
+ * Differences from the reference, by design: each rewrite is
+ * synchronous-atomic — `apply()` migrates the current space only;
+ * `applyAsync()` is the reference's task form (all spaces + task id for
+ * `queryMigrationTaskStatus`), completed by the time it returns rather
+ * than polled (the reference migrates in background isolates; Spark
+ * executors are that machinery here). `modifyField` takes a Scala
+ * transform of the declared `FieldSchema` (type changes cast,
+ * constraint changes apply to FUTURE writes).
  *
  * Renames PRESERVE data: the physical rename happens before the
  * reconcile-select, and the primary key, unique indexes and FK fields
@@ -74,4 +77,14 @@ final case class SchemaUpdateBuilder(
 
   /** One atomic rewrite + registry update. */
   def apply(): Unit = engine.applySchemaUpdate(this)
+
+  /** Reference-parity task form (tostore.dart:1083-1119 — `final taskId
+    * = await db.updateSchema('users').renameField(...)`): applies the
+    * SAME update in every space holding `table` (current space first),
+    * records a migration task with real per-space record counts, and
+    * returns the task id for `queryMigrationTaskStatus`. Each space's
+    * rewrite is synchronous-atomic — the task is complete when this
+    * returns (see [[MigrationStatus]] for why there is nothing to poll
+    * mid-flight here). */
+  def applyAsync(): String = engine.applySchemaUpdateAllSpaces(this)
 }

@@ -424,6 +424,37 @@ class FacadeSpec extends SparkSpec {
     assert(e.sql("SELECT sum(qty) FROM items").collect()(0).getLong(0) == 2L)
   }
 
+  test("applyAsync migrates every space holding the table; " +
+      "queryMigrationTaskStatus reports the completed task; unknown id -> None") {
+    val wh = Files.createTempDirectory("graft_mig_async").toString
+    val e = Graft.withWarehouse(spark, sfDir, wh)
+    for ((sp, base) <- Seq("default" -> 0, "alpha" -> 10)) {
+      val se = e.switchSpace(sp)
+      se.createTable(TableSchema("m", PrimaryKeyConfig("id", PkStrategy.None),
+        Seq(FieldSchema("v", GType.GInteger))))
+      se.batchInsert("m", (1 to 3).map(i =>
+        Map[String, Any]("id" -> s"$i", "v" -> (base + i))))
+    }
+    val tid = e.updateSchema("m").renameField("v", "val")
+      .addField("flag", GType.GText, defaultValue = Some("y")).applyAsync()
+    val st = e.queryMigrationTaskStatus(tid).get
+    assert(st.isCompleted && st.taskId == tid)
+    assert(st.processedSpacesCount == 2 && st.totalSpacesCount == 2)
+    assert(st.pendingSpaces.isEmpty && st.totalRecordsProcessed == 6L)
+    assert(st.progressPercentage == 100.0 && st.throughput > 0.0)
+    // both spaces migrated: rename preserved data, added column defaulted
+    for ((sp, base) <- Seq("default" -> 0, "alpha" -> 10)) {
+      val rows = e.switchSpace(sp).table("m").orderBy(col("id")).collect()
+      assert(rows.map(_.getAs[Long]("val")).toSeq == Seq(base + 1L, base + 2L, base + 3L))
+      assert(rows.forall(_.getAs[String]("flag") == "y"))
+    }
+    assert(e.queryMigrationTaskStatus("nope").isEmpty)
+    // a second task gets a distinct id and its own ledger entry
+    val tid2 = e.updateSchema("m").removeField("flag").applyAsync()
+    assert(tid2 != tid && e.queryMigrationTaskStatus(tid2).get.isCompleted)
+    assert(e.queryMigrationTaskStatus(tid).get.isCompleted) // first still queryable
+  }
+
   test("dropTable removes data + schema") {
     val e = freshEngine()
     e.batchInsert("items", Seq(Map("id" -> "1", "name" -> "x", "qty" -> 1, "price" -> 1.0)))
