@@ -2223,6 +2223,21 @@ object SparkEntry {
           toks, col("w"), toks.select("w").distinct(), "w")
         .orderBy("w")
     }),
+    "q242_join_size" -> ((s, dir) => {
+      // pre-shuffle join-size estimation (AMS/CM inner product): two
+      // narrow sketch scans + an O(width*depth) dot product answer
+      // |supplier JOIN customer| on nationkey WITHOUT running the join.
+      // On the bounded 25-key domain the counter rows are collision-free,
+      // so the deterministic estimate IS the exact join size (the q180
+      // regime — hash-matched vs the real join count); at unbounded key
+      // cardinalities it over-counts by <= (e/width)*nL*nR, and the
+      // point is choosing broadcast/shuffle/pre-agg before paying for
+      // the shuffle
+      val e = eng(s, dir)
+      graft.operators.FreqSketch.joinSizeEstimate(
+        e.table("supplier"), col("s_nationkey"),
+        e.table("customer"), col("c_nationkey"), width = 8192, depth = 4)
+    }),
     "q181_decayed_topk" -> ((s, dir) => {
       // recency-weighted leaderboard in EXACT integer arithmetic: cents
       // div 2^(age-buckets) — no pow(), no float sums, bit-identical on
@@ -2591,6 +2606,43 @@ object SparkEntry {
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q154_stream_join: streaming query did not finish within 120 s")
       s.table("q154_join_mem").orderBy("user_id", "click_s", "purchase_s")
+    }),
+    "q240_acf" -> ((s, dir) => {
+      // exact autocorrelation (lags 1..7) of the daily revenue series per
+      // event type: moments in DECIMAL(38,0) with denominators cleared
+      // (the welchT doctrine), one key-partitioned window pass builds all
+      // leads, ONE double division per (key, lag). Lag is ROW lag over
+      // the observed daily series (the oracle replays the same contract);
+      // real pipelines gap-fill first (q156) when calendar lag is meant
+      val daily = eng(s, dir).table("events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      graft.operators.TimeSeries.acf(daily, "event_type", "day", "cents",
+          maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+    "q241_sketch_quantiles" -> ((s, dir) => {
+      // mergeable-sketch quantiles: Spark's native GK QuantileSummaries
+      // via percentile_approx — Catalyst partial/final aggregation IS the
+      // sketch merge (fixed-size state, the 100 TB path; q153 is the
+      // exact twin). GK estimates are merge-order-dependent within the
+      // rank bound, so the gate REQUIRES the bound in-body (exact-rank
+      // interval of each estimate overlaps target ± n/accuracy) and
+      // hash-matches only the deterministic columns + the exact twin
+      val li = eng(s, dir).table("lineitem")
+      val ps = Seq(0.25, 0.5, 0.75, 0.875)
+      val sk = graft.operators.Quantiles.sketchQuantiles(li,
+        Seq("l_returnflag"), "l_extendedprice", ps, accuracy = 100)
+      val bad = sk.where(col("within_eps") =!= 1).count()
+      require(bad == 0, s"q241 GK rank bound broken for $bad (group,p) pairs")
+      val exact = graft.operators.Quantiles.exactQuantiles(li,
+        Seq("l_returnflag"), "l_extendedprice", ps)
+      exact.join(sk.select(col("l_returnflag"), col("p"), col("n"),
+          col("target_rank"), col("within_eps")), Seq("l_returnflag", "p"))
+        .select(col("l_returnflag"), col("p"), col("n"), col("target_rank"),
+          col("value").as("exact_value"), col("within_eps"))
+        .orderBy("l_returnflag", "p")
     }),
     "q153_exact_quantiles" -> ((s, dir) => {
       // exact per-group quantiles by histogram bisection (no per-group
@@ -5141,6 +5193,13 @@ object SparkEntry {
            FROM documents
          )
          SELECT w, count(*) AS est FROM t GROUP BY w ORDER BY w""",
+    // q242: the oracle RUNS the join the sketch avoids — in the
+    // collision-free bounded-domain regime the estimate must equal it
+    "q242_join_size" ->
+      """SELECT (SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL) AS n_left,
+                (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL) AS n_right,
+                (SELECT count(*) FROM supplier s JOIN customer c
+                 ON s.s_nationkey = c.c_nationkey) AS est_join_size""",
     // q181: identical integer ladder — cents // (1 << age-buckets)
     "q181_decayed_topk" ->
       """WITH d AS (
@@ -6365,6 +6424,53 @@ object SparkEntry {
       val qs = Seq(0.25, 0.5, 0.75, 0.875).map(p =>
         s"""SELECT l_returnflag, CAST($p AS DOUBLE) AS p,
                    quantile_disc(l_extendedprice, $p) AS value
+            FROM lineitem GROUP BY l_returnflag""").mkString(" UNION ALL ")
+      s"SELECT * FROM ($qs) ORDER BY l_returnflag, p"
+    },
+    // q240: identical HUGEINT moment algebra (denominators cleared) and
+    // the identical final double expression; row-lag pairs via rn self-join
+    "q240_acf" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2
+         ), m AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+                  CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS HUGEINT) AS sxx
+           FROM d GROUP BY 1
+         ), r AS (
+           SELECT event_type, cents,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           FROM d
+         ), pl AS (
+           SELECT a.event_type, k.lag, CAST(count(*) AS HUGEINT) AS np,
+                  CAST(sum(CAST(a.cents AS HUGEINT) * CAST(b.cents AS HUGEINT)) AS HUGEINT) AS sxy,
+                  CAST(sum(CAST(a.cents AS HUGEINT)) AS HUGEINT) AS sh,
+                  CAST(sum(CAST(b.cents AS HUGEINT)) AS HUGEINT) AS st
+           FROM r a
+           JOIN (SELECT unnest(range(1, 8)) AS lag) k ON true
+           JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn + k.lag
+           GROUP BY 1, 2
+         )
+         SELECT pl.event_type, CAST(pl.lag AS INTEGER) AS lag,
+                CAST(m.n AS BIGINT) AS n, CAST(pl.np AS BIGINT) AS n_pairs,
+                CASE WHEN m.n * m.sxx - m.s * m.s <> 0 THEN
+                  round(CAST(m.n * m.n * pl.sxy - m.n * m.s * (pl.sh + pl.st)
+                             + pl.np * m.s * m.s AS DOUBLE)
+                        / CAST(m.n * (m.n * m.sxx - m.s * m.s) AS DOUBLE), 6)
+                END AS acf
+         FROM pl JOIN m ON pl.event_type = m.event_type
+         ORDER BY pl.event_type, lag""",
+    // q241: the exact twin's quantile_disc values + the GK pass contract
+    // (within_eps is REQUIRED in-body; target_rank = ceil(p*n) replayed)
+    "q241_sketch_quantiles" -> {
+      val qs = Seq(0.25, 0.5, 0.75, 0.875).map(p =>
+        s"""SELECT l_returnflag, CAST($p AS DOUBLE) AS p,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(ceil($p * count(*)) AS BIGINT) AS target_rank,
+                   quantile_disc(l_extendedprice, $p) AS exact_value,
+                   1 AS within_eps
             FROM lineitem GROUP BY l_returnflag""").mkString(" UNION ALL ")
       s"SELECT * FROM ($qs) ORDER BY l_returnflag, p"
     },

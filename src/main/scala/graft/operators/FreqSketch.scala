@@ -41,4 +41,46 @@ object FreqSketch {
       probeCol: String, width: Int = 8192, depth: Int = 4): DataFrame =
     probes.crossJoin(broadcast(countMin(df, itemCol, width, depth)))
       .select(col(probeCol), estimate(col("cms"), col(probeCol), width, depth).as("est"))
+
+  /**
+   * Equi-join SIZE estimation from two count-min sketches — the
+   * pre-shuffle cardinality probe (AMS/CM inner product, Alon-Matias-
+   * Szegedy '96 / Cormode-Muthukrishnan '05): |A ⋈ B| = Σ_k cntA(k)·
+   * cntB(k) is estimated per depth row as the dot product of the two
+   * counter rows, taking the MIN over rows. Each row only OVER-counts
+   * (collision cross-terms are non-negative), so est ≥ true always, and
+   * est = true exactly when no two observed keys share a cell in some
+   * row — guaranteed-checkable for bounded key domains (the q180
+   * collision-free regime), and the expected overshoot is ≤
+   * (e/width)·n_left·n_right otherwise.
+   *
+   * Why it matters at 100 TB: the answer costs two narrow map-combined
+   * scans (the key streams are never shuffled) + an O(width·depth) dot
+   * product — you learn whether the join output is 10⁶ or 10¹² rows,
+   * and hence broadcast vs shuffle vs pre-aggregate, WITHOUT running
+   * the join. Deterministic (counter sums are order-free), so the
+   * estimate itself is gate-hashable.
+   *
+   * Output: one row (n_left, n_right, est_join_size).
+   */
+  def joinSizeEstimate(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      width: Int = 8192, depth: Int = 4): DataFrame = {
+    // NULL keys never join — exclude them from the sketches so n_left/
+    // n_right and the estimate share the join's semantics
+    val a = countMin(left.where(leftKey.isNotNull), leftKey, width, depth)
+      .select(col("cms").as("__cma"))
+    val b = countMin(right.where(rightKey.isNotNull), rightKey, width, depth)
+      .select(col("cms").as("__cmb"))
+    def rowDot(d: Int): Column = aggregate(
+      zip_with(slice(col("__cma"), d * width + 1, width),
+        slice(col("__cmb"), d * width + 1, width), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    def total(c: Column): Column =
+      aggregate(slice(c, 1, width), lit(0L), (acc, x) => acc + x)
+    a.crossJoin(broadcast(b)).select(
+      total(col("__cma")).as("n_left"),
+      total(col("__cmb")).as("n_right"),
+      least((0 until depth).map(rowDot): _*).as("est_join_size"))
+  }
 }

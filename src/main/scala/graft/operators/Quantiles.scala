@@ -156,4 +156,63 @@ object Quantiles {
       .agg(min(col(valueCol).cast("double")).as("wmedian"),
         max(col("__tot")).as("total_weight"))
   }
+
+  /**
+   * MERGEABLE-SKETCH quantiles — the missing member of the sketch
+   * family (HLL/KMV/CountMin have it; quantiles get it here): Spark's
+   * native `percentile_approx` is a Greenwald–Khanna `QuantileSummaries`
+   * ImperativeAggregate, so Catalyst's partial/final aggregation IS the
+   * sketch build-and-merge — fixed-size state per group, one
+   * map-combined pass, merge-associative across partitions/executors.
+   * That makes it the 100 TB path; [[exactQuantiles]] is the exact twin.
+   *
+   * The GK guarantee is on RANK, not value: rank(est) ∈
+   * [⌈φ·n⌉ − ε·n, ⌈φ·n⌉ + ε·n] with ε = 1/accuracy. `verified = true`
+   * adds one broadcast-join verification scan that computes the exact
+   * rank of each estimate and a `within_eps` flag — the production
+   * pattern is to run it on a sample or not at all (the bound is a
+   * theorem), the gate runs it always and REQUIRES the flag.
+   *
+   * Determinism note (why gates must not hash the estimate itself): the
+   * sketch merge ORDER across partitions is scheduler-dependent and GK
+   * estimates may differ between runs WITHIN the rank bound; `est` and
+   * `est_rank` are published for humans, the deterministic columns are
+   * (group, p, n, target_rank, within_eps).
+   *
+   * Output: (group…, p, n, target_rank, est, est_rank?, within_eps?).
+   */
+  def sketchQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double], accuracy: Int = 100, verified: Boolean = true): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile")
+    require(accuracy >= 10, "accuracy >= 10")
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val sk = df.groupBy(g: _*).agg(
+        count(v).as("n"),
+        percentile_approx(v, array(ps.map(lit): _*), lit(accuracy)).as("__ests"))
+      .withColumn("__pe", explode(arrays_zip(
+        array(ps.map(lit): _*).as("p"), col("__ests").as("est"))))
+      .select(g ++ Seq(col("__pe.p").as("p"), col("n"),
+        ceil(col("__pe.p") * col("n")).cast("long").as("target_rank"),
+        col("__pe.est").as("est")): _*)
+    if (!verified) sk
+    else {
+      // one verification scan: exact rank INTERVAL of every estimate
+      // (ties give est a rank range [count(<est)+1, count(<=est)]; the
+      // GK bound holds if that interval overlaps target ± eps·n) via a
+      // broadcast of the tiny (|groups|·|ps|) estimate relation
+      val ranks = df.join(broadcast(sk), groupCols)
+        .groupBy(g :+ col("p"): _*)
+        .agg(sum(when(v < col("est"), 1L).otherwise(0L)).as("__below"),
+          sum(when(v <= col("est"), 1L).otherwise(0L)).as("__ub"))
+      sk.join(ranks, groupCols :+ "p")
+        .withColumn("__eps_n", ceil(col("n") / lit(accuracy)).cast("long"))
+        .withColumn("within_eps",
+          (col("__below") + 1L <= col("target_rank") + col("__eps_n") &&
+            col("__ub") >= col("target_rank") - col("__eps_n")).cast("int"))
+        .select(g ++ Seq(col("p"), col("n"), col("target_rank"), col("est"),
+          (col("__below") + 1L).as("est_rank_lo"), col("__ub").as("est_rank_hi"),
+          col("within_eps")): _*)
+    }
+  }
 }

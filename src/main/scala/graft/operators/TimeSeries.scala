@@ -231,4 +231,67 @@ object TimeSeries {
         count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
+
+  /**
+   * Exact sample autocorrelation at lags 1..maxLag per key, over a
+   * series of integer values (cents) ordered by `tCol` — the "is there
+   * weekly structure / does yesterday predict today" probe that pairs
+   * with [[holt]]/[[seasonalDow]]. The textbook estimator
+   * r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² is evaluated in
+   * EXACT integer arithmetic by clearing denominators (x̄ = S/n):
+   *
+   *   num·n² = n²·Σ x_t·x_{t+k} − n·S·(S_head + S_tail) + (n−k)·S²
+   *   den·n² = n·(n·Σx² − S²)
+   *
+   * where S_head/S_tail are the sums of the first/last n−k values. All
+   * sums are DECIMAL(38,0) (the welchT moment doctrine — the
+   * catastrophic cancellation happens in exact arithmetic); ONE double
+   * division per (key, lag), 6dp. Plan: a single key-partitioned window
+   * pass computes every lead_k (one WindowExec, maxLag functions), the
+   * lag relation stacks via an inline array (no per-lag scan), and two
+   * map-combined aggs finish — no self-joins. Keys with n ≤ maxLag or
+   * zero variance publish NULL for the affected lags. Lags are bounded
+   * small by contract; state is |keys|·maxLag rows. `tCol` must be
+   * UNIQUE per key (resample/aggregate first — q156/q240 do): a tie
+   * would make lead() order-dependent.
+   *
+   * Output: (key, lag, n, n_pairs, acf).
+   */
+  def acf(df: DataFrame, keyCol: String, tCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag >= 1")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val base = df.select(col(keyCol).as("__k"), col(tCol).as("__t"),
+      col(valueCol).cast("long").as("__x"))
+    val leads = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__x$k", lead(col("__x"), k).over(w))
+    }
+    // per-key full-series moments (exact)
+    val dec = "decimal(38,0)"
+    val moments = base.groupBy(col("__k")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum((col("__x").cast(dec) * col("__x").cast(dec)).cast(dec)).as("__sxx"))
+    // stack lags: (key, lag, x, x_lead) — pairs only
+    val stacked = leads.select(col("__k"), col("__x"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"__x$k").as("xl"))): _*)).as("p"))
+      .select(col("__k"), col("p.lag").as("lag"), col("__x"), col("p.xl"))
+      .where(col("xl").isNotNull)
+    val perLag = stacked.groupBy(col("__k"), col("lag")).agg(
+      count(lit(1)).as("__np"),
+      sum((col("__x").cast(dec) * col("xl").cast(dec)).cast(dec)).as("__sxy"),
+      sum(col("__x").cast(dec)).as("__sh"),
+      sum(col("xl").cast(dec)).as("__st"))
+    perLag.join(moments, "__k")
+      .select(col("__k").as(keyCol), col("lag"), col("__n").as("n"),
+        col("__np").as("n_pairs"),
+        when(col("__n") * col("__sxx") - col("__s") * col("__s") =!= 0, round(
+          (col("__n").cast(dec) * col("__n").cast(dec) * col("__sxy")
+            - col("__n").cast(dec) * col("__s") * (col("__sh") + col("__st"))
+            + col("__np").cast(dec) * col("__s") * col("__s")).cast("double")
+          / (col("__n").cast(dec)
+            * (col("__n").cast(dec) * col("__sxx") - col("__s") * col("__s")))
+            .cast("double"), 6)).as("acf"))
+  }
 }

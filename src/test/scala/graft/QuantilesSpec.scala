@@ -35,4 +35,32 @@ class QuantilesSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(2)))
     assert(got.toSeq == Seq(("g", 5.0), ("h", 1.0)))
   }
+
+  test("sketchQuantiles: GK rank bound holds on real data; high accuracy " +
+      "recovers the exact median; verified=false skips the check scan") {
+    val li = engine.table("lineitem")
+    val ps = Seq(0.25, 0.5, 0.75, 0.875)
+    val sk = Quantiles.sketchQuantiles(li, Seq("l_returnflag"),
+      "l_extendedprice", ps, accuracy = 100).collect()
+    assert(sk.length == 3 * ps.size)
+    assert(sk.forall(_.getAs[Int]("within_eps") == 1))
+    // rank interval really is an interval around the target
+    sk.foreach { r =>
+      assert(r.getAs[Long]("est_rank_lo") <= r.getAs[Long]("est_rank_hi"))
+      assert(r.getAs[Long]("target_rank") >= 1L &&
+        r.getAs[Long]("target_rank") <= r.getAs[Long]("n"))
+    }
+    // 100 distinct values, accuracy 10000 -> eps_n = ceil(100/10000) = 1:
+    // the estimate's rank interval must hit ceil(0.5*100) = 50 within 1
+    import spark.implicits._
+    val d = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "x")
+    val one = Quantiles.sketchQuantiles(d, Seq("k"), "x", Seq(0.5),
+      accuracy = 10000).head()
+    assert(one.getAs[Int]("within_eps") == 1)
+    assert(math.abs(one.getAs[Double]("est") - 50.0) <= 1.0)
+    val unverified = Quantiles.sketchQuantiles(d, Seq("k"), "x", Seq(0.5),
+      accuracy = 100, verified = false)
+    assert(!unverified.columns.contains("within_eps"))
+    assert(unverified.count() == 1)
+  }
 }

@@ -182,4 +182,27 @@ class SketchSpec extends SparkSpec {
     } finally q.stop()
     assert(math.abs(est - 20000.0) / 20000.0 < 0.05, s"est=$est")
   }
+
+  test("joinSizeEstimate: exact in the collision-free regime, " +
+      "over-count-only under forced collisions, nulls excluded") {
+    import spark.implicits._
+    import graft.operators.FreqSketch
+    // 10 distinct keys, fanout join: true size = sum cntA(k)*cntB(k)
+    val a = (1 to 100).map(i => Option((i % 10).toLong)).toDF("k")
+    val b = (1 to 60).map(i => Option((i % 10).toLong)).toDF("k")
+    val truth = a.join(b, "k").count()
+    val r = FreqSketch.joinSizeEstimate(a, col("k"), b, col("k")).head()
+    assert(r.getAs[Long]("n_left") == 100 && r.getAs[Long]("n_right") == 60)
+    assert(r.getAs[Long]("est_join_size") == truth)
+    // width 16 (the minimum) forces collisions among the 10 keys:
+    // the CM inner product may only OVER-count
+    val r2 = FreqSketch.joinSizeEstimate(a, col("k"), b, col("k"),
+      width = 16, depth = 4).head()
+    assert(r2.getAs[Long]("est_join_size") >= truth)
+    // null keys never join and never enter the sketch
+    val an = a.union(Seq(Option.empty[Long], Option.empty[Long]).toDF("k"))
+    val r3 = FreqSketch.joinSizeEstimate(an, col("k"), b, col("k")).head()
+    assert(r3.getAs[Long]("n_left") == 100 &&
+      r3.getAs[Long]("est_join_size") == truth)
+  }
 }

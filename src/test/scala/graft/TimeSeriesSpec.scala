@@ -55,4 +55,30 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr")).toMap
     assert(again == got)
   }
+
+  test("acf: hand-checked lags, zero-variance null, multi-key independence") {
+    // x = 1..5: mean 3, acf(1) = 4/10 = 0.4, acf(2) = -1/10 = -0.1
+    val a = (1 to 5).map(i => ("a", i.toLong, i.toLong))
+    // alternating 10,20: acf(1) = -125/150, acf(2) = 100/150
+    val b = (1 to 6).map(i => ("b", i.toLong, if (i % 2 == 1) 10L else 20L))
+    // constant: zero variance -> NULL at every lag
+    val c = (1 to 5).map(i => ("c", i.toLong, 7L))
+    val df = (a ++ b ++ c).toDF("k", "t", "x")
+    val got = TimeSeries.acf(df, "k", "t", "x", maxLag = 2)
+      .orderBy("k", "lag").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == Seq(
+      ("a", 1, Some(0.4)), ("a", 2, Some(-0.1)),
+      ("b", 1, Some(BigDecimal(-125.0 / 150.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      ("b", 2, Some(BigDecimal(100.0 / 150.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      ("c", 1, None), ("c", 2, None)))
+    // n and n_pairs: n constant per key, pairs shrink by lag
+    val np = TimeSeries.acf(df, "k", "t", "x", maxLag = 2)
+      .orderBy("k", "lag").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(np.filter(_._1 == "a") == Seq(("a", 1, 5L, 4L), ("a", 2, 5L, 3L)))
+  }
 }
