@@ -1643,6 +1643,16 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q243_dp_release" -> ((s, dir) => {
+      // the release half of the privacy shelf (q214 audits; this ships):
+      // per-event-type counts + SEEDED Laplace(1/eps) noise via the
+      // salted-md5 inverse-CDF draw — reproducible releases the oracle
+      // replays term for term (same md5 uniform, same clamp, same ln);
+      // event_type is a public domain, so per-group rows leak nothing
+      graft.operators.Profile.dpCounts(eng(s, dir).table("events"),
+          Seq("event_type"), salt = "dp1", epsilon = 0.5)
+        .orderBy("event_type")
+    }),
     "q215_holt_backtest" -> ((s, dir) => {
       // rolling-origin backtest: last-7-origin one-step-ahead errors of
       // the Holt fit — all folds run as ONE holt call keyed by cutoff
@@ -4547,6 +4557,24 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q243: the identical seeded Laplace draw — same md5 uniform, same
+    // 2^-52 clamp, same left-assoc (-b)*sign*ln product, 6dp once
+    "q243_dp_release" ->
+      """WITH g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1
+         ), u AS (
+           SELECT event_type, n,
+                  CAST(CAST(('0x' || substr(md5('dp1:' || CAST(event_type AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                    / 4503599627370496.0 AS u
+           FROM g
+         )
+         SELECT event_type,
+                round(n + (-2.0) * sign(u - 0.5)
+                        * ln(greatest(1.0 - 2.0 * abs(u - 0.5),
+                                      1.0 / 4503599627370496.0)), 6) AS noisy_count,
+                0.5 AS epsilon, CAST(1 AS BIGINT) AS sensitivity, 2.0 AS scale
+         FROM u ORDER BY event_type""",
     // q214: identical class aggregation and rollup
     "q214_k_anonymity" ->
       """WITH cl AS (

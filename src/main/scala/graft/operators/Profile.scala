@@ -137,6 +137,48 @@ object Profile {
       sum(when(col("ldiv") < l, 1L).otherwise(0L)).as("n_classes_l_violating"))
   }
 
+  /**
+   * Differentially-private count release with SEEDED Laplace noise —
+   * the release half of the privacy shelf ([[kAnonymity]] audits what
+   * must not ship; this ships what may). Per group: noisy = exact +
+   * Lap(Δ/ε) with count sensitivity Δ = 1 and the noise drawn by
+   * inverse-CDF transform of a salted-md5 uniform over the GROUP KEY
+   * (the [[Experiment]] assignment idiom): u ∈ [0,1),
+   * noise = −(Δ/ε)·sgn(u−½)·ln(1−2|u−½|), the ln argument clamped at
+   * 2⁻⁵² so the one measure-zero u never yields ±∞. Seeding makes the
+   * release REPRODUCIBLE — replayable audits, bit-identical across
+   * engines, the right tool for pipeline tests and fixed one-shot
+   * releases; the ε-budget obligations stay with the caller: a fresh
+   * salt per NEW release (republishing the identical value spends no
+   * new budget; a re-draw does), and ε_total = Σ ε over distinct
+   * releases. Group keys must come from a PUBLIC domain (the
+   * declared-bounds discipline) — emitting a row per observed group
+   * would otherwise leak group existence regardless of noise.
+   *
+   * One map-combined count aggregation; the noise is a codegen
+   * projection over the |groups|-bounded result.
+   * Output: (group…, noisy_count 6dp, epsilon, sensitivity, scale).
+   */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], salt: String,
+      epsilon: Double): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0, "need groups and epsilon > 0")
+    val b = 1.0 / epsilon
+    val keyStr = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val u = conv(substring(md5(concat(lit(salt), lit(":"), keyStr)), 1, 13), 16, 10)
+      .cast("long") / lit(DistinctSketch.HashDenom)
+    val centered = u - lit(0.5)
+    val inner = greatest(lit(1.0) - lit(2.0) * abs(centered),
+      lit(1.0 / DistinctSketch.HashDenom))
+    val noise = -lit(b) * signum(centered) * log(inner)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__n") + noise, 6).as("noisy_count"),
+        lit(epsilon).as("epsilon"),
+        lit(1L).as("sensitivity"),
+        lit(b).as("scale")): _*)
+  }
+
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
     val digits = df.where(col(valCol) > 0)
