@@ -1643,6 +1643,20 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q244_ccf" -> ((s, dir) => {
+      // lead/lag discovery between two metrics: cross-correlation of the
+      // daily view-revenue and purchase-revenue series at lags -3..3 —
+      // exact decimal moments with denominators cleared (the acf/welchT
+      // doctrine), the two sqrts taken separately on correctly-rounded
+      // double casts (Dx*Dy would overflow 128-bit integers), rows are
+      // the inner day alignment of the two series
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val daily = eng(s, dir).table("events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", cents)).as("x"),
+          sum(when(col("event_type") === "purchase", cents)).as("y"))
+      graft.operators.TimeSeries.ccf(daily, "day", "x", "y", maxLag = 3)
+    }),
     "q243_dp_release" -> ((s, dir) => {
       // the release half of the privacy shelf (q214 audits; this ships):
       // per-event-type counts + SEEDED Laplace(1/eps) noise via the
@@ -4557,6 +4571,49 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q244: identical HUGEINT moment algebra; the +-lag pair set is ONE
+    // rn self-join with a signed offset (x_t paired with y_{t+lag})
+    "q244_ccf" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  sum(CASE WHEN event_type = 'view'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS x,
+                  sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS y
+           FROM events GROUP BY 1
+         ), b AS (
+           SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                  row_number() OVER (ORDER BY day) AS rn
+           FROM d WHERE x IS NOT NULL AND y IS NOT NULL
+         ), m AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+                  CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+           FROM b
+         ), ks AS (SELECT unnest(range(-3, 4)) AS lag),
+         pl AS (
+           SELECT k.lag, CAST(count(*) AS HUGEINT) AS np,
+                  CAST(sum(CAST(a.x AS HUGEINT) * CAST(c.y AS HUGEINT)) AS HUGEINT) AS sab,
+                  CAST(sum(CAST(a.x AS HUGEINT)) AS HUGEINT) AS sa,
+                  CAST(sum(CAST(c.y AS HUGEINT)) AS HUGEINT) AS sb
+           FROM b a
+           JOIN ks k ON true
+           JOIN b c ON c.rn = a.rn + k.lag
+           GROUP BY 1
+         )
+         SELECT CAST(pl.lag AS INTEGER) AS lag, CAST(m.n AS BIGINT) AS n,
+                CAST(pl.np AS BIGINT) AS n_pairs,
+                CASE WHEN m.n * m.sxx - m.sx * m.sx > 0
+                      AND m.n * m.syy - m.sy * m.sy > 0 THEN
+                  round(CAST(m.n * m.n * pl.sab - m.n * m.sy * pl.sa
+                             - m.n * m.sx * pl.sb + pl.np * m.sx * m.sy AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE)
+                           * (sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+                              * sqrt(CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)))), 6)
+                END AS ccf
+         FROM pl, m ORDER BY lag""",
     // q243: the identical seeded Laplace draw — same md5 uniform, same
     // 2^-52 clamp, same left-assoc (-b)*sign*ln product, 6dp once
     "q243_dp_release" ->

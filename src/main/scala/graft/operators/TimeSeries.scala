@@ -294,4 +294,77 @@ object TimeSeries {
             * (col("__n").cast(dec) * col("__sxx") - col("__s") * col("__s")))
             .cast("double"), 6)).as("acf"))
   }
+
+  /**
+   * Exact cross-correlation between two aligned series — "does x LEAD
+   * y": r_xy(k) for k in −maxLag..maxLag correlates x_t with y_{t+k}
+   * (positive k = x leads by k steps; r_xy(−k) = r_yx(k)). Pearson over
+   * the overlapping pairs with FULL-series means/variances (the
+   * standard ccf estimator), denominators cleared as in [[acf]]:
+   *
+   *   num·n² = n²·Σ x_t·y_{t+k} − n·Sy·Σ_head x − n·Sx·Σ_tail y + (n−k)·Sx·Sy
+   *   den·n² = n · (√(n·Σx²−Sx²) · √(n·Σy²−Sy²))
+   *
+   * Every sum is DECIMAL(38,0); Dx·Dy would overflow 128-bit integers
+   * at realistic scales, so the two square roots are taken SEPARATELY
+   * on correctly-rounded double casts (bit-identical cross-engine) and
+   * ONE division publishes 6dp. Rows are the inner time alignment of
+   * the two columns (both non-null); `tCol` unique per row (resample
+   * first, as [[acf]]). One window pass builds every lead of BOTH
+   * columns; the ±lag relation stacks inline; two map-combined aggs.
+   * Zero variance in either series → NULL.
+   *
+   * Output: (lag −maxLag..maxLag, n, n_pairs, ccf); lag 0 is the plain
+   * Pearson correlation of the aligned series.
+   */
+  def ccf(df: DataFrame, tCol: String, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag >= 1")
+    val w = Window.orderBy(col("__t"))
+    val base = df.select(col(tCol).as("__t"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val dec = "decimal(38,0)"
+    val moments = base.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum((col("__x").cast(dec) * col("__x").cast(dec)).cast(dec)).as("__sxx"),
+      sum((col("__y").cast(dec) * col("__y").cast(dec)).cast(dec)).as("__syy"))
+    val leads = (1 to maxLag).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__xl$k", lead(col("__x"), k).over(w))
+        .withColumn(s"__yl$k", lead(col("__y"), k).over(w))
+    }
+    // lag +k pairs (x_t, y_{t+k}); lag −k pairs (x_{t+k}, y_t)
+    val pairStructs =
+      (1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col("__x").as("a"), col(s"__yl$k").as("b"))) ++
+      (1 to maxLag).map(k =>
+        struct(lit(-k).as("lag"), col(s"__xl$k").as("a"), col("__y").as("b"))) :+
+      struct(lit(0).as("lag"), col("__x").as("a"), col("__y").as("b"))
+    val stacked = leads
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.lag").as("lag"), col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val perLag = stacked.groupBy(col("lag")).agg(
+      count(lit(1)).as("__np"),
+      sum((col("a").cast(dec) * col("b").cast(dec)).cast(dec)).as("__sab"),
+      sum(col("a").cast(dec)).as("__sa"),
+      sum(col("b").cast(dec)).as("__sb"))
+    // in the +k rows a is the head-x and b the tail-y; in the −k rows a
+    // is the tail-x and b the head-y — the num formula is symmetric in
+    // that pairing, so one expression covers both signs
+    val dx = col("__n").cast(dec) * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("__n").cast(dec) * col("__syy") - col("__sy") * col("__sy")
+    perLag.crossJoin(broadcast(moments))
+      .select(col("lag"), col("__n").as("n"), col("__np").as("n_pairs"),
+        when(dx > 0 && dy > 0, round(
+          (col("__n").cast(dec) * col("__n").cast(dec) * col("__sab")
+            - col("__n").cast(dec) * col("__sy") * col("__sa")
+            - col("__n").cast(dec) * col("__sx") * col("__sb")
+            + col("__np").cast(dec) * col("__sx") * col("__sy")).cast("double")
+          / (col("__n").cast("double")
+            * (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))), 6)).as("ccf"))
+      .orderBy("lag")
+  }
 }

@@ -81,4 +81,26 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
     assert(np.filter(_._1 == "a") == Seq(("a", 1, 5L, 4L), ("a", 2, 5L, 3L)))
   }
+
+  test("ccf: lag-0 Pearson, shifted-ramp hand check, zero variance NULL") {
+    // y = x - 1: lag 0 is perfect correlation; at lags +-1 the
+    // full-series-mean estimator gives 1.25/5 = 0.25 (hand-computed)
+    val df = Seq((1L, 1L, 0L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 3L))
+      .toDF("t", "x", "y")
+    val got = TimeSeries.ccf(df, "t", "x", "y", maxLag = 1)
+      .orderBy("lag").collect()
+      .map(r => (r.getInt(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq((-1, 3L, Some(0.25)), (0, 4L, Some(1.0)),
+      (1, 3L, Some(0.25))))
+    // zero variance on one side -> NULL everywhere
+    val flat = Seq((1L, 1L, 5L), (2L, 2L, 5L), (3L, 3L, 5L)).toDF("t", "x", "y")
+    assert(TimeSeries.ccf(flat, "t", "x", "y", maxLag = 1)
+      .collect().forall(_.isNullAt(3)))
+    // rows with a NULL on either side are excluded from the alignment
+    val withNull = df.union(Seq((5L, Option.empty[Long], Option(9L)))
+      .toDF("t", "x", "y"))
+    assert(TimeSeries.ccf(withNull, "t", "x", "y", maxLag = 1)
+      .where(col("lag") === 0).head().getLong(1) == 4L)
+  }
 }
