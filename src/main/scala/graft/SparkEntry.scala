@@ -1643,6 +1643,19 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q245_kcore" -> ((s, dir) => {
+      // dense-kernel filter on the brand co-occurrence graph: k-core by
+      // batch peeling (Seidman 1983) — the maximal subgraph where every
+      // node keeps degree >= 4, which a plain degree cut gets wrong
+      // (removals cascade). Two-regime peel, converged-or-THROW within
+      // 8 rounds so the oracle's 8 unrolled rounds are provably enough
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      graft.operators.GraphOps.kCore(
+          pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+          k = 4, maxRounds = 8)
+        .orderBy("node")
+    }),
     "q244_ccf" -> ((s, dir) => {
       // lead/lag discovery between two metrics: cross-correlation of the
       // daily view-revenue and purchase-revenue series at lags -3..3 —
@@ -3727,6 +3740,28 @@ object SparkEntry {
          GROUP BY 1, 2 HAVING count(*) >= 400
        )"""
 
+  /** Eight unrolled batch-peel rounds replaying GraphOps.kCore(k=4) on
+    * the symmetrized brand graph — each round keeps only edges whose
+    * BOTH endpoints still hold degree ≥ k; the Spark side throws unless
+    * it converged within the same 8 rounds, so the unroll is provably
+    * sufficient (extra rounds are no-ops after the fixpoint). */
+  private val duckKCore: String = {
+    val rounds = (1 to 8).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s""", d$i AS MATERIALIZED (SELECT src, count(*) AS dg FROM $prev GROUP BY 1),
+           e$i AS MATERIALIZED (
+             SELECT t.src, t.dst FROM $prev t
+             JOIN d$i a ON a.src = t.src
+             JOIN d$i b ON b.src = t.dst
+             WHERE a.dg >= 4 AND b.dg >= 4)"""
+    }.mkString
+    duckBrandGraph +
+      """, e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM pr
+                               UNION SELECT pb, pa FROM pr)""" +
+      rounds +
+      " SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM e8 GROUP BY 1 ORDER BY node"
+  }
+
   /** Five fixed-point PageRank iterations as chained CTEs — integer
     * arithmetic ((r*85) // (100*deg)) replays GraphOps.pageRankFixed
     * exactly, dangling-mass-drop contract included. */
@@ -4571,6 +4606,9 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q245: eight unrolled peel rounds; the Spark side's converge-or-
+    // throw within the same 8 rounds makes the unroll provably enough
+    "q245_kcore" -> duckKCore,
     // q244: identical HUGEINT moment algebra; the +-lag pair set is ONE
     // rn self-join with a signed offset (x_t paired with y_{t+lag})
     "q244_ccf" ->

@@ -375,4 +375,74 @@ object GraphOps {
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * k-core decomposition by iterative peeling (Seidman 1983): the
+   * maximal subgraph in which every node keeps degree ≥ k — the
+   * standard "dense kernel" filter for link/citation graphs (spam
+   * cores, community seeds) that a plain degree cut gets wrong (a
+   * high-degree node whose neighbors all vanish must vanish too).
+   * Input edges are UNDIRECTED (symmetrized + deduped here; self-loops
+   * dropped); each round removes EVERY node currently under degree k
+   * simultaneously — batch peeling reaches the same unique fixpoint as
+   * sequential. Same two-regime doctrine as [[pageRankFixed]]: under
+   * `maxLocalEdges` the peel runs on the collected edge list; above it
+   * each round is one degree aggregation + two anti-joins with a
+   * lineage cut, and an empty removal set ends the loop. A peel that
+   * has not CONVERGED within `maxRounds` throws (the result would be a
+   * silent superset); rounds needed is the graph's degeneracy ordering
+   * depth — bounded by diameter-like constants on real graphs, O(n) on
+   * adversarial paths, hence the explicit bound.
+   *
+   * Output: (node, degree) for the k-core's nodes with their degree
+   * INSIDE the core (all ≥ k); empty when no k-core exists.
+   */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k >= 1, maxRounds >= 1")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e0 = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (e0.count() <= maxLocalEdges) {
+      var es = e0.collect().map(r => (r.getString(0), r.getString(1)))
+      e0.unpersist(false)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        rounds += 1
+        val deg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+        val bad = deg.collect { case (n, d) if d < k => n }.toSet
+        if (bad.isEmpty) converged = true
+        else es = es.filter { case (s, d) => !bad.contains(s) && !bad.contains(d) }
+      }
+      require(converged || es.isEmpty,
+        s"kCore: peel not converged after $maxRounds rounds")
+      es.groupBy(_._1).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+        .toDF("node", "degree")
+    } else {
+      var cur = e0
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        rounds += 1
+        val deg = cur.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        val bad = deg.where(col("dg") < k).select(col("src").as("node")).cache()
+        if (bad.isEmpty) converged = true
+        else {
+          cur = cur
+            .join(bad.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+            .join(bad.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(true) // cut lineage per round (pageRank doctrine)
+        }
+        bad.unpersist(false)
+      }
+      require(converged || cur.isEmpty,
+        s"kCore: peel not converged after $maxRounds rounds")
+      cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    }
+  }
 }

@@ -155,4 +155,34 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("kCore: hand-built core, cascade peeling, branch equality, empty core") {
+    import spark.implicits._
+    // K4 on a,b,c,d (every degree 3) + a tail e-f hanging off d:
+    // 2-core = the K4 plus nothing else (e,f peel in cascade: f first
+    // round has deg 1; then e drops to 1 and peels second round)
+    val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+    val edges = (k4 ++ Seq(("d","e"),("e","f"))).toDF("src", "dst")
+    val core2 = GraphOps.kCore(edges, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // 3-core: still the K4 (d's extra tail edge is gone either way)
+    val core3 = GraphOps.kCore(edges, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core3 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // 4-core: none exists -> empty
+    assert(GraphOps.kCore(edges, k = 4).isEmpty)
+    // distributed branch bit-identical to the local peel
+    val dist = GraphOps.kCore(edges, k = 2, maxLocalEdges = 0L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == core2)
+    // a long path with k=2 peels one end per round: maxRounds too small
+    // must THROW, never return the superset
+    val path = (1 to 9).map(i => (s"p$i", s"p${i + 1}")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.kCore(path, k = 2, maxRounds = 2).collect()
+    }
+    // with enough rounds the path has no 2-core at all
+    assert(GraphOps.kCore(path, k = 2, maxRounds = 30).isEmpty)
+  }
 }
