@@ -1643,6 +1643,30 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q246_fingerprint" -> ((s, dir) => {
+      // order-invariant dataset fingerprints of the two drift snapshots:
+      // O(1) state per version, the cheap are-they-identical probe run
+      // BEFORE paying for a q133 full-outer diff; the body REQUIRES
+      // layout-independence (repartitioned v0 == v0) and that the two
+      // snapshots really differ — the md5 row-hash sum replays in DuckDB
+      val (v0, v1) = snapPair(s, dir)
+      def cols = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      def fp(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Profile.datasetFingerprint(df, cols)
+      val base = fp(v0).head()
+      val shuffled = fp(v0.repartition(13)).head()
+      require(base.getString(1) == shuffled.getString(1),
+        "q246: fingerprint must be layout-invariant")
+      val other = fp(v1).head()
+      require(base.getString(1) != other.getString(1),
+        "q246: different snapshots must not collide")
+      fp(v0).withColumn("snap", lit("v0"))
+        .unionByName(fp(v1).withColumn("snap", lit("v1")))
+        .select("snap", "n_rows", "fingerprint")
+        .orderBy("snap")
+    }),
     "q245_kcore" -> ((s, dir) => {
       // dense-kernel filter on the brand co-occurrence graph: k-core by
       // batch peeling (Seidman 1983) — the maximal subgraph where every
@@ -4606,6 +4630,33 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q246: identical row canonicalization ('|'-joined strings, cents),
+    // identical 52-bit md5 row hash, exact 128-bit sum
+    "q246_fingerprint" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         h0 AS (
+           SELECT 'v0' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(CAST(sum(CAST(CAST(('0x' || substr(md5('fp:' ||
+                    concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                              CAST(o_custkey AS VARCHAR), o_orderstatus,
+                              CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR))),
+                    1, 13)) AS UBIGINT) AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS fingerprint
+           FROM v0
+         ), h1 AS (
+           SELECT 'v1' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(CAST(sum(CAST(CAST(('0x' || substr(md5('fp:' ||
+                    concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                              CAST(o_custkey AS VARCHAR), o_orderstatus,
+                              CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR))),
+                    1, 13)) AS UBIGINT) AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS fingerprint
+           FROM v1
+         )
+         SELECT snap, n_rows, fingerprint FROM h0
+         UNION ALL SELECT snap, n_rows, fingerprint FROM h1
+         ORDER BY snap""",
     // q245: eight unrolled peel rounds; the Spark side's converge-or-
     // throw within the same 8 rounds makes the unroll provably enough
     "q245_kcore" -> duckKCore,

@@ -179,6 +179,33 @@ object Profile {
         lit(b).as("scale")): _*)
   }
 
+  /**
+   * Order-invariant dataset fingerprint — O(1) state per table version,
+   * the cheap "are these two snapshots identical?" probe that makes a
+   * full q133-style diff unnecessary when the answer is yes. Each row
+   * hashes to a 52-bit integer (salted-md5 over the '|'-joined canonical
+   * column strings — the [[Experiment]] idiom, cross-engine exact) and
+   * the fingerprint is the plain SUM of row hashes: commutative, so
+   * partition/layout/order free, and mergeable (fingerprint of a union
+   * = sum of fingerprints mod nothing — exact decimal sum). Collisions:
+   * two different MULTISETS colliding needs a 52-bit sum match —
+   * adversarial inputs defeat it (not a MAC), drift does not. Callers
+   * pick the column list; casts must be deterministic (cents for
+   * decimals, epoch for timestamps).
+   *
+   * Output: one row (n_rows, fingerprint DECIMAL(38,0) as string —
+   * stringified so the driver-side canonical rendering is stable).
+   */
+  def datasetFingerprint(df: DataFrame, cols: Seq[Column],
+      salt: String = "fp"): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val key = concat_ws("|", cols.map(_.cast("string")): _*)
+    val h = conv(substring(md5(concat(lit(salt), lit(":"), key)), 1, 13), 16, 10)
+      .cast("long")
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(h.cast("decimal(38,0)")).cast("string").as("fingerprint"))
+  }
+
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
     val digits = df.where(col(valCol) > 0)

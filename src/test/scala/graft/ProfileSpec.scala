@@ -142,4 +142,25 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r1.find(_.getString(0) == "b").get
       .getAs[Double]("noisy_count") - 20.0) < 40.0)
   }
+
+  test("datasetFingerprint: layout-invariant, mergeable by addition, " +
+      "sensitive to a single cell") {
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Profile.datasetFingerprint(d, Seq(col("id"), col("s"))).head()
+    val a = fp(df)
+    assert(a.getLong(0) == 200L)
+    // layout-free: repartition/coalesce do not move the sum
+    assert(fp(df.repartition(17)).getString(1) == a.getString(1))
+    assert(fp(df.orderBy(desc("id"))).getString(1) == a.getString(1))
+    // mergeable: fingerprint(union) == fingerprint parts summed
+    val left = df.where(col("id") <= 120)
+    val right = df.where(col("id") > 120)
+    val merged = BigInt(fp(left).getString(1)) + BigInt(fp(right).getString(1))
+    assert(merged == BigInt(a.getString(1)))
+    // one changed cell changes the fingerprint
+    val tweaked = df.withColumn("s",
+      when(col("id") === 77L, lit("v77x")).otherwise(col("s")))
+    assert(fp(tweaked).getString(1) != a.getString(1))
+  }
 }
