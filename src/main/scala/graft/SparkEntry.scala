@@ -1643,6 +1643,18 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q247_log_templates" -> ((s, dir) => {
+      // template mining gated the codec way (synthesize -> recover): log
+      // lines composed from events rows are mined WITHOUT the schema —
+      // masking the variable tokens must collapse every line to exactly
+      // one template per event type carrying that type's row count (the
+      // float/epoch formatting differences vanish under the <n> mask,
+      // so the oracle just groups by type and builds the same strings)
+      val lines = eng(s, dir).table("events").select(format_string(
+        "%s user=%d value=%.2f at t=%d", col("event_type"),
+        col("user_id"), col("value"), col("ts").cast("long")).as("line"))
+      graft.pipeline.TextAnalysis.logTemplates(lines, col("line"), topK = 10)
+    }),
     "q246_fingerprint" -> ((s, dir) => {
       // order-invariant dataset fingerprints of the two drift snapshots:
       // O(1) state per version, the cheap are-they-identical probe run
@@ -4630,6 +4642,14 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q247: the oracle builds the EXPECTED templates directly from the
+    // schema the miner never saw — one per event type, the type's count
+    "q247_log_templates" ->
+      """SELECT event_type || ' user=<n> value=<n> at t=<n>' AS template,
+                CAST(count(*) AS BIGINT) AS n_lines
+         FROM events GROUP BY event_type
+         ORDER BY n_lines DESC, template ASC
+         LIMIT 10""",
     // q246: identical row canonicalization ('|'-joined strings, cents),
     // identical 52-bit md5 row hash, exact 128-bit sum
     "q246_fingerprint" ->

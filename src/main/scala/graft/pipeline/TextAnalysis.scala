@@ -684,4 +684,33 @@ object TextAnalysis {
     }
     docs.withColumn("bin", bin)
   }
+
+  /**
+   * Log-template mining (Drain-lite): collapse each line to its TEMPLATE
+   * by masking the variable tokens — UUIDs → `<id>`, long hex / 0x ids
+   * → `<hex>`, numbers → `<n>` — then count lines per template. The
+   * curation tool for machine-generated text: template frequency is how
+   * boilerplate, crawler chrome and log spew get identified for dedup
+   * or removal BEFORE tokens are spent on them. Pure codegen projection
+   * (three regexp passes + whitespace collapse) into one template-keyed
+   * count and a bounded TakeOrdered — no corpus-wide window, no
+   * explode. Tie-break: (count desc, template asc), deterministic.
+   *
+   * Output: topK rows (template, n_lines).
+   */
+  def logTemplates(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val uuid = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    val hex = "\\b(0x[0-9a-fA-F]+|[0-9a-f]{16,})\\b"
+    val num = "\\b[0-9]+(\\.[0-9]+)?\\b"
+    val masked = regexp_replace(regexp_replace(regexp_replace(
+      textCol, uuid, "<id>"), hex, "<hex>"), num, "<n>")
+    val template = trim(regexp_replace(masked, "\\s+", " "))
+    df.select(template.as("template"))
+      .where(col("template") =!= "")
+      .groupBy(col("template")).agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("n_lines").desc, col("template").asc)
+      .limit(topK)
+  }
 }

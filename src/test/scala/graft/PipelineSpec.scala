@@ -1459,4 +1459,30 @@ class PipelineSpec extends SparkSpec {
     assert(r.getDouble(3) == 37.0)
     assert(r.getDouble(5) == 25.0)
   }
+
+  test("logTemplates: uuid/hex/number masking, whitespace collapse, " +
+      "deterministic top-K tie-break") {
+    import spark.implicits._
+    val lines = Seq(
+      "GET /api/user/42 took 12.5 ms",
+      "GET /api/user/977 took 3.0 ms",
+      "session 550e8400-e29b-41d4-a716-446655440000 opened",
+      "session 123e4567-e89b-42d3-a456-426614174000 opened",
+      "cache key 0xdeadbeef evicted",
+      "cache key deadbeefcafebabe01 evicted",
+      "  spaced   out   line  ",
+      "").toDF("line")
+    val got = TextAnalysis.logTemplates(lines, col("line"), topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(
+      "GET /api/user/<n> took <n> ms" -> 2L,
+      "cache key <hex> evicted" -> 2L,
+      "session <id> opened" -> 2L,
+      "spaced out line" -> 1L))
+    // top-K really bounds the output, count-desc then template-asc
+    val many = (1 to 5).flatMap(i => Seq.fill(i)(s"tpl$i x ${i * 11}")).toDF("line")
+    val top2 = TextAnalysis.logTemplates(many, col("line"), topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("tpl5 x <n>", "tpl4 x <n>"))
+  }
 }
