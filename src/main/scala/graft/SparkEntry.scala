@@ -1643,6 +1643,25 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q248_cuped" -> ((s, dir) => {
+      // CUPED sharpened A/B readout: January splits into a pre-period
+      // covariate (revenue cents before Jan 16) and the post-period
+      // metric; arms by the experiment family's deterministic md5 split;
+      // theta/rho2 from exact pooled moments, adjusted means compose
+      // from the PUBLISHED 6dp theta (pure-function doctrine)
+      val ev = eng(s, dir).table("events")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val units = ev.groupBy(col("user_id")).agg(
+        sum(when(col("ts") < lit("2024-01-16").cast("timestamp"), cents))
+          .as("x"),
+        sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), cents))
+          .as("y"))
+      val arm = when(
+        conv(substring(md5(concat(lit("cup:"), col("user_id").cast("string"))),
+          1, 13), 16, 10).cast("long") / lit(4503599627370496.0) < 0.5,
+        "A").otherwise("B")
+      graft.operators.Experiment.cuped(units, arm, col("x"), col("y"))
+    }),
     "q247_log_templates" -> ((s, dir) => {
       // template mining gated the codec way (synthesize -> recover): log
       // lines composed from events rows are mined WITHOUT the schema —
@@ -4642,6 +4661,55 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q248: identical HUGEINT pooled moments, identical md5 arm split,
+    // adjusted means compose from the identically-published 6dp theta
+    "q248_cuped" ->
+      """WITH u AS (
+           SELECT user_id,
+                  COALESCE(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT), 0) AS x,
+                  COALESCE(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT), 0) AS y
+           FROM events GROUP BY 1
+         ), a AS (
+           SELECT CASE WHEN CAST(CAST(('0x' || substr(md5('cup:' || CAST(user_id AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                            / 4503599627370496.0 < 0.5
+                       THEN 'A' ELSE 'B' END AS arm, x, y
+           FROM u
+         ), m AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+                  CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy,
+                  CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+           FROM a
+         ), t AS (
+           SELECT CASE WHEN m.n * m.sxx - m.sx * m.sx > 0 THEN
+                    round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                          / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6) END AS theta,
+                  CASE WHEN m.n * m.sxx - m.sx * m.sx > 0
+                        AND m.n * m.syy - m.sy * m.sy > 0 THEN
+                    round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                          * CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                          / (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                             * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)), 6) END AS rho2,
+                  CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_x
+           FROM m
+         ), pa AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx_arm,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy_arm
+           FROM a GROUP BY 1
+         )
+         SELECT pa.arm, pa.n,
+                round(CAST(pa.sy_arm AS DOUBLE) / CAST(pa.n AS DOUBLE), 6) AS mean_y,
+                round(CAST(pa.sy_arm AS DOUBLE) / CAST(pa.n AS DOUBLE)
+                      - COALESCE(t.theta, 0.0)
+                        * (CAST(pa.sx_arm AS DOUBLE) / CAST(pa.n AS DOUBLE) - t.mean_x), 6)
+                  AS mean_y_adj,
+                t.theta, t.rho2
+         FROM pa, t ORDER BY pa.arm""",
     // q247: the oracle builds the EXPECTED templates directly from the
     // schema the miner never saw — one per event type, the type's count
     "q247_log_templates" ->

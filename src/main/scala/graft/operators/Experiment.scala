@@ -50,6 +50,62 @@ object Experiment {
   }
 
   /**
+   * CUPED variance reduction (Deng–Xu–Kohavi–Walker, WSDM 2013) — the
+   * industry-standard sharpened experiment readout: a PRE-period
+   * covariate X that predicts the metric Y absorbs unit-level variance
+   * without biasing the contrast (randomization makes E[X] arm-free):
+   *
+   *   θ = cov(X,Y)/var(X)  pooled across arms,  Y′ᵢ = Yᵢ − θ·(Xᵢ − X̄)
+   *
+   * so each arm's adjusted mean is mean_y − θ·(mean_x_arm − mean_x),
+   * and ρ² = corr(X,Y)² is the fraction of metric variance removed —
+   * the sample-size multiplier the method buys. Moments are EXACT
+   * decimal sums (the welchT doctrine); θ and ρ² are published 6dp and
+   * the adjusted means COMPOSE FROM THE PUBLISHED θ (the engine's
+   * pure-function doctrine, as F1 does from published precision/
+   * recall). Units without pre-period activity enter with X = 0 — the
+   * standard "own stratum" choice; zero covariate variance → NULL θ
+   * and unadjusted means published as adjusted. ONE unit-keyed
+   * aggregation; the readout math runs on a 2-row relation.
+   *
+   * Output per arm: (arm, n, mean_y, mean_y_adj, theta, rho2) — means
+   * in Y's units, 6dp.
+   */
+  def cuped(units: DataFrame, armCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val u = units.select(armCol.cast("string").as("arm"),
+      coalesce(xCol.cast("long"), lit(0L)).as("x"),
+      coalesce(yCol.cast("long"), lit(0L)).as("y"))
+    val pooled = u.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"),
+      sum((col("y").cast(dec) * col("y").cast(dec)).cast(dec)).as("syy"),
+      sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"))
+    val perArm = u.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_arm"),
+      sum(col("x").cast(dec)).as("sx_arm"), sum(col("y").cast(dec)).as("sy_arm"))
+    val nD = col("n").cast(dec)
+    val numXY = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dX = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dY = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = when(dX > 0, round(numXY / dX, 6))
+    val rho2 = when(dX > 0 && dY > 0, round(numXY * numXY / (dX * dY), 6))
+    val meanY = col("sy_arm").cast("double") / col("n_arm").cast("double")
+    val meanXArm = col("sx_arm").cast("double") / col("n_arm").cast("double")
+    val meanX = col("sx").cast("double") / col("n").cast("double")
+    perArm.crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_arm").as("n"),
+        round(meanY, 6).as("mean_y"),
+        // composes from the PUBLISHED 6dp theta — replayable anywhere
+        round(meanY - coalesce(theta, lit(0.0)) * (meanXArm - meanX), 6)
+          .as("mean_y_adj"),
+        theta.as("theta"), rho2.as("rho2"))
+      .orderBy("arm")
+  }
+
+  /**
    * Multi-class classifier evaluation against a labeled column: per-class
    * support/predicted/true-positive counts, precision, recall, F1, plus
    * micro accuracy (repeated per row — it is a corpus constant). Classes

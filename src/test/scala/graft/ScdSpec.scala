@@ -79,4 +79,35 @@ class ScdSpec extends SparkSpec {
     val r = Quantiles.weightedMedianBinned(const, Seq("g"), "v", "w", Seq("id")).head()
     assert(r.getAs[Double]("wmedian") == 7.0 && r.getAs[Long]("total_weight") == 5L)
   }
+
+  test("cuped: perfect covariate equalizes adjusted means (theta=2, rho2=1); " +
+      "zero-variance X publishes raw means with NULL theta") {
+    import spark.implicits._
+    // Y = 2X exactly, arms differ only through X: theta = 2, rho2 = 1,
+    // and both adjusted means land on the pooled 2*mean_x = 50
+    val units = Seq(("A", 10L, 20L), ("A", 20L, 40L),
+      ("B", 30L, 60L), ("B", 40L, 80L)).toDF("arm", "x", "y")
+    val r = Experiment.cuped(units, col("arm"), col("x"), col("y"))
+      .orderBy("arm").collect()
+    assert(r.map(_.getAs[Double]("theta")).toSeq == Seq(2.0, 2.0))
+    assert(r.map(_.getAs[Double]("rho2")).toSeq == Seq(1.0, 1.0))
+    assert(r.map(_.getAs[Double]("mean_y")).toSeq == Seq(30.0, 70.0))
+    assert(r.map(_.getAs[Double]("mean_y_adj")).toSeq == Seq(50.0, 50.0))
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(2L, 2L))
+    // flat covariate: nothing to adjust with - NULL theta, raw means kept
+    val flat = Seq(("A", 7L, 20L), ("A", 7L, 40L), ("B", 7L, 60L))
+      .toDF("arm", "x", "y")
+    val rf = Experiment.cuped(flat, col("arm"), col("x"), col("y"))
+      .orderBy("arm").collect()
+    assert(rf.forall(_.isNullAt(4)))
+    assert(rf.map(_.getAs[Double]("mean_y_adj")).toSeq ==
+      rf.map(_.getAs[Double]("mean_y")).toSeq)
+    // null x/y coalesce to the zero stratum, not dropped rows
+    val withNull = Seq(("A", Option(10L), Option(20L)),
+      ("A", Option.empty[Long], Option(4L)), ("B", Option(6L), Option.empty[Long]))
+      .toDF("arm", "x", "y")
+    val rn = Experiment.cuped(withNull, col("arm"), col("x"), col("y"))
+      .orderBy("arm").collect()
+    assert(rn.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
+  }
 }
