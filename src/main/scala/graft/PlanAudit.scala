@@ -59,7 +59,14 @@ object PlanAudit {
       "q223_blocklist", // kernel pass: projection only, no shuffle
       "q183_ks_test", // bucketed prefix sums: every Window partitioned by __b
       "q233_mann_whitney", // distinct-value ranks; no unpartitioned window
-      "q235_kruskal_wallis") // same rank identity; no unpartitioned window
+      "q235_kruskal_wallis", // same rank identity; no unpartitioned window
+      "q236_mw_binned", // bin ids bound the distinct relation at nBins
+      "q241_sketch_quantiles", // GK partial/final agg IS the sketch merge
+      "q242_join_size", // two narrow sketch scans, no join executed
+      "q243_dp_release", // count agg + codegen noise projection
+      "q245_kcore", // per-round degree agg + anti-joins, lineage cut
+      "q247_log_templates", // regexp projection -> count -> TakeOrdered
+      "q248_cuped") // one unit agg; readout on a 2-row relation
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
