@@ -1643,6 +1643,17 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q249_seasonal_naive" -> ((s, dir) => {
+      // the MASE denominators + cheapest is-the-week-real probe on the
+      // daily revenue series: exact long |errors|, the two MAEs publish
+      // 6dp and the ratio composes from the PUBLISHED values — pairs
+      // with q204/q215 (Holt fit/backtest) and q205 (DOW decomposition)
+      val daily = eng(s, dir).table("orders")
+        .groupBy(date_trunc("DAY", col("o_orderdate")).cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.TimeSeries.seasonalNaiveEval(daily, "t", "units", m = 7)
+    }),
     "q248_cuped" -> ((s, dir) => {
       // CUPED sharpened A/B readout: January splits into a pre-period
       // covariate (revenue cents before Jan 16) and the post-period
@@ -4661,6 +4672,39 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q249: identical lag pairs (rn self-join), exact integer |errors|,
+    // mase composed from the identically-published 6dp MAEs
+    "q249_seasonal_naive" ->
+      """WITH d AS (
+           SELECT CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1
+         ), r AS (
+           SELECT x, row_number() OVER (ORDER BY t) AS rn FROM d
+         ), e AS (
+           SELECT a.x, b1.x AS l1, bm.x AS lm
+           FROM r a
+           LEFT JOIN r b1 ON b1.rn = a.rn - 1
+           LEFT JOIN r bm ON bm.rn = a.rn - 7
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_1,
+                  CAST(sum(abs(x - l1)) AS BIGINT) AS sae1,
+                  CAST(sum(CASE WHEN lm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_m,
+                  CAST(sum(abs(x - lm)) AS BIGINT) AS saem
+           FROM e
+         ), f AS (
+           SELECT n, n_pairs_1,
+                  CASE WHEN n_pairs_1 > 0 THEN
+                    round(CAST(sae1 AS DOUBLE) / CAST(n_pairs_1 AS DOUBLE), 6) END AS mae_1,
+                  n_pairs_m,
+                  CASE WHEN n_pairs_m > 0 THEN
+                    round(CAST(saem AS DOUBLE) / CAST(n_pairs_m AS DOUBLE), 6) END AS mae_m
+           FROM s
+         )
+         SELECT n, n_pairs_1, mae_1, n_pairs_m, mae_m,
+                CASE WHEN mae_1 > 0 THEN round(mae_m / mae_1, 6) END AS mase_m
+         FROM f""",
     // q248: identical HUGEINT pooled moments, identical md5 arm split,
     // adjusted means compose from the identically-published 6dp theta
     "q248_cuped" ->

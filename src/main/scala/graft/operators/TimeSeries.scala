@@ -296,6 +296,47 @@ object TimeSeries {
   }
 
   /**
+   * Naive / seasonal-naive forecast baselines over one bucketed series —
+   * the denominators every forecast evaluation needs (MASE, Hyndman &
+   * Koehler 2006, scales a model's error by the naive in-sample MAE)
+   * and the cheapest possible "is there m-periodicity worth modeling"
+   * probe: if the seasonal-naive (repeat the value m steps back) beats
+   * the naive (repeat yesterday), the season is real. Errors are exact
+   * long |differences| in the series' integer units; the two MAEs and
+   * their ratio publish 6dp. One ordered window pass (lag 1 and lag m),
+   * one aggregation; series bounded by the calendar (resample first,
+   * [[acf]] contract). mase_m < 1 ⇒ season m explains the series better
+   * than persistence.
+   *
+   * Output: one row (n, n_pairs_1, mae_1, n_pairs_m, mae_m, mase_m).
+   */
+  def seasonalNaiveEval(bucketed: DataFrame, tCol: String, unitsCol: String,
+      m: Int = 7): DataFrame = {
+    require(m >= 2, "season m >= 2")
+    val w = Window.orderBy(col("__t"))
+    val base = bucketed.select(col(tCol).as("__t"),
+        col(unitsCol).cast("long").as("__x"))
+      .where(col("__x").isNotNull)
+      .withColumn("__l1", lag(col("__x"), 1).over(w))
+      .withColumn("__lm", lag(col("__x"), m).over(w))
+    base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__l1").isNotNull, 1L).otherwise(0L)).as("n_pairs_1"),
+        sum(abs(col("__x") - col("__l1"))).as("__sae1"),
+        sum(when(col("__lm").isNotNull, 1L).otherwise(0L)).as("n_pairs_m"),
+        sum(abs(col("__x") - col("__lm"))).as("__saem"))
+      .select(col("n"), col("n_pairs_1"),
+        when(col("n_pairs_1") > 0, round(col("__sae1").cast("double")
+          / col("n_pairs_1").cast("double"), 6)).as("mae_1"),
+        col("n_pairs_m"),
+        when(col("n_pairs_m") > 0, round(col("__saem").cast("double")
+          / col("n_pairs_m").cast("double"), 6)).as("mae_m"))
+      // mase composes from the PUBLISHED 6dp MAEs (pure-function doctrine)
+      .withColumn("mase_m", when(col("mae_1") > 0,
+        round(col("mae_m") / col("mae_1"), 6)))
+  }
+
+  /**
    * Exact cross-correlation between two aligned series — "does x LEAD
    * y": r_xy(k) for k in −maxLag..maxLag correlates x_t with y_{t+k}
    * (positive k = x leads by k steps; r_xy(−k) = r_yx(k)). Pearson over

@@ -103,4 +103,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.ccf(withNull, "t", "x", "y", maxLag = 1)
       .where(col("lag") === 0).head().getLong(1) == 4L)
   }
+
+  test("seasonalNaiveEval: linear ramp vs perfect weekly series") {
+    // ramp: |x_t - x_{t-1}| = 1, |x_t - x_{t-7}| = 7 -> mase 7 (no season)
+    val ramp = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("t", "x")
+    val r = TimeSeries.seasonalNaiveEval(ramp, "t", "x", m = 7).head()
+    assert(r.getAs[Long]("n") == 20 && r.getAs[Long]("n_pairs_1") == 19 &&
+      r.getAs[Long]("n_pairs_m") == 13)
+    assert(r.getAs[Double]("mae_1") == 1.0 && r.getAs[Double]("mae_m") == 7.0)
+    assert(r.getAs[Double]("mase_m") == 7.0)
+    // perfect weekly pattern: seasonal-naive error is exactly zero
+    val weekly = (1 to 21).map(i => (i.toLong, (i % 7).toLong * 10)).toDF("t", "x")
+    val w = TimeSeries.seasonalNaiveEval(weekly, "t", "x", m = 7).head()
+    assert(w.getAs[Double]("mae_m") == 0.0 && w.getAs[Double]("mase_m") == 0.0)
+    assert(w.getAs[Double]("mae_1") > 0.0)
+  }
 }
