@@ -1643,6 +1643,18 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q250_pacf" -> ((s, dir) => {
+      // AR-order probe on the q240 series: Durbin-Levinson PACF at lags
+      // 1..3, each level composed from the PUBLISHED 6dp values (pacf_3
+      // is a pure function of the rounded r's and pacf_2 — replayable
+      // by any engine from the acf output alone)
+      val daily = eng(s, dir).table("events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      graft.operators.TimeSeries.pacf3(daily, "event_type", "day", "cents")
+        .orderBy("event_type")
+    }),
     "q249_seasonal_naive" -> ((s, dir) => {
       // the MASE denominators + cheapest is-the-week-real probe on the
       // daily revenue series: exact long |errors|, the two MAEs publish
@@ -4672,6 +4684,57 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q250: the q240 acf algebra at lags 1..3, then the identical
+    // Durbin-Levinson closed forms with a 6dp round at EVERY level
+    "q250_pacf" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2
+         ), m AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+                  CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS HUGEINT) AS sxx
+           FROM d GROUP BY 1
+         ), r AS (
+           SELECT event_type, cents,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           FROM d
+         ), pl AS (
+           SELECT a.event_type, k.lag, CAST(count(*) AS HUGEINT) AS np,
+                  CAST(sum(CAST(a.cents AS HUGEINT) * CAST(b.cents AS HUGEINT)) AS HUGEINT) AS sxy,
+                  CAST(sum(CAST(a.cents AS HUGEINT)) AS HUGEINT) AS sh,
+                  CAST(sum(CAST(b.cents AS HUGEINT)) AS HUGEINT) AS st
+           FROM r a
+           JOIN (SELECT unnest(range(1, 4)) AS lag) k ON true
+           JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn + k.lag
+           GROUP BY 1, 2
+         ), ac AS (
+           SELECT pl.event_type, pl.lag, CAST(m.n AS BIGINT) AS n,
+                  CASE WHEN m.n * m.sxx - m.s * m.s <> 0 THEN
+                    round(CAST(m.n * m.n * pl.sxy - m.n * m.s * (pl.sh + pl.st)
+                               + pl.np * m.s * m.s AS DOUBLE)
+                          / CAST(m.n * (m.n * m.sxx - m.s * m.s) AS DOUBLE), 6)
+                  END AS acf
+           FROM pl JOIN m ON pl.event_type = m.event_type
+         ), pv AS (
+           SELECT event_type, max(n) AS n,
+                  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                  max(CASE WHEN lag = 3 THEN acf END) AS r3
+           FROM ac GROUP BY 1
+         ), p2 AS (
+           SELECT *, CASE WHEN 1.0 - r1 * r1 <> 0.0 THEN
+                       round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) END AS p22
+           FROM pv
+         ), p1 AS (
+           SELECT *, round(r1 * (1.0 - p22), 6) AS p21 FROM p2
+         )
+         SELECT event_type, n, r1, r2, r3, r1 AS pacf_1, p22 AS pacf_2,
+                CASE WHEN 1.0 - p21 * r1 - p22 * r2 <> 0.0 THEN
+                  round((r3 - p21 * r2 - p22 * r1)
+                        / (1.0 - p21 * r1 - p22 * r2), 6) END AS pacf_3
+         FROM p1 ORDER BY event_type""",
     // q249: identical lag pairs (rn self-join), exact integer |errors|,
     // mase composed from the identically-published 6dp MAEs
     "q249_seasonal_naive" ->

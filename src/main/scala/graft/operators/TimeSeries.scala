@@ -296,6 +296,49 @@ object TimeSeries {
   }
 
   /**
+   * Partial autocorrelation at lags 1..3 per key (Durbin–Levinson) —
+   * the AR-order probe that [[acf]] cannot be: ACF of an AR(1) decays
+   * over every lag, PACF cuts off sharply after the true order, so
+   * "which lags matter DIRECTLY" reads off this, not ACF. The DL
+   * recursion at depth 3 is closed-form in r₁..r₃:
+   *
+   *   φ₁₁ = r₁
+   *   φ₂₂ = (r₂ − r₁²) / (1 − r₁²),      φ₂₁ = r₁·(1 − φ₂₂)
+   *   φ₃₃ = (r₃ − φ₂₁·r₂ − φ₂₂·r₁) / (1 − φ₂₁·r₁ − φ₂₂·r₂)
+   *
+   * and COMPOSES FROM THE PUBLISHED 6dp ACF values (the engine's
+   * pure-function doctrine — bit-replayable by any engine from the
+   * q240-style output, which is also why depth is fixed at 3: each
+   * further level squares the expression tree that must be spelled
+   * identically in an oracle). Zero denominators publish NULL. Cost: the
+   * [[acf]] pass + a |keys|-bounded pivot and projection.
+   *
+   * Output: (key, n, r1, r2, r3, pacf_1, pacf_2, pacf_3).
+   */
+  def pacf3(df: DataFrame, keyCol: String, tCol: String,
+      valueCol: String): DataFrame = {
+    val r = acf(df, keyCol, tCol, valueCol, maxLag = 3)
+      .groupBy(col(keyCol), col("n"))
+      .pivot("lag", Seq(1, 2, 3)).agg(first(col("acf")))
+      .withColumnsRenamed(Map("1" -> "r1", "2" -> "r2", "3" -> "r3"))
+    val phi22 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0) - col("r1") * col("r1"))
+    val phi21 = col("r1") * (lit(1.0) - col("__p22"))
+    val num3 = col("r3") - col("__p21") * col("r2") - col("__p22") * col("r1")
+    val den3 = lit(1.0) - col("__p21") * col("r1") - col("__p22") * col("r2")
+    // each level ROUNDS before feeding the next (compose-from-published):
+    // __p22 is the 6dp pacf_2 itself, so pacf_3 is a pure function of
+    // published values and replays identically anywhere
+    r.withColumn("__p22",
+        when(lit(1.0) - col("r1") * col("r1") =!= 0.0, round(phi22, 6)))
+      .withColumn("__p21", round(phi21, 6))
+      .select(col(keyCol), col("n"), col("r1"), col("r2"), col("r3"),
+        col("r1").as("pacf_1"),
+        col("__p22").as("pacf_2"),
+        when(den3 =!= 0.0, round(num3 / den3, 6)).as("pacf_3"))
+  }
+
+  /**
    * Naive / seasonal-naive forecast baselines over one bucketed series —
    * the denominators every forecast evaluation needs (MASE, Hyndman &
    * Koehler 2006, scales a model's error by the naive in-sample MAE)

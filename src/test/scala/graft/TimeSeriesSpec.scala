@@ -118,4 +118,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(w.getAs[Double]("mae_m") == 0.0 && w.getAs[Double]("mase_m") == 0.0)
     assert(w.getAs[Double]("mae_1") > 0.0)
   }
+
+  test("pacf3: replayable from the published acf values alone; " +
+      "zero variance publishes nulls") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = (1 to 40).map(i => ("k", i.toLong, ((i * 37) % 19 + i / 3).toLong))
+      .toDF("k", "t", "x")
+    // replay the Durbin-Levinson closed forms from the PUBLISHED acf
+    // rows - the operator's whole contract is that this matches
+    val rs = TimeSeries.acf(df, "k", "t", "x", maxLag = 3)
+      .orderBy("lag").collect().map(_.getDouble(4))
+    val Array(r1, r2, r3) = rs
+    val p22 = r6((r2 - r1 * r1) / (1.0 - r1 * r1))
+    val p21 = r6(r1 * (1.0 - p22))
+    val p33 = r6((r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2))
+    val got = TimeSeries.pacf3(df, "k", "t", "x").head()
+    assert(got.getAs[Double]("r1") == r1 && got.getAs[Double]("r3") == r3)
+    assert(got.getAs[Double]("pacf_1") == r1)
+    assert(got.getAs[Double]("pacf_2") == p22)
+    assert(got.getAs[Double]("pacf_3") == p33)
+    // flat series: acf NULL everywhere -> every pacf NULL
+    val flat = (1 to 10).map(i => ("k", i.toLong, 5L)).toDF("k", "t", "x")
+    val f = TimeSeries.pacf3(flat, "k", "t", "x").head()
+    assert(f.isNullAt(5) && f.isNullAt(6) && f.isNullAt(7))
+  }
 }
