@@ -73,4 +73,18 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("reps").asInt == 2)
     assert(node.get("sf").asText == "/root/testdata/sf0.1")
   }
+
+  test("gate invariant: every declared query has an oracle and vice versa " +
+      "(a missing entry would silently become a no_oracle driver row)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    // name discipline: every key is qNNN_snake and numbers are unique
+    val nums = q.toSeq.map { n =>
+      assert(n.matches("q\\d+_[a-z0-9_]+"), s"bad query name: $n")
+      n.drop(1).takeWhile(_.isDigit).toInt
+    }
+    assert(nums.distinct.size == nums.size, "duplicate query numbers")
+  }
 }
