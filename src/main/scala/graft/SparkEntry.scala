@@ -1643,6 +1643,21 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q251_theil_sen" -> ((s, dir) => {
+      // robust trend per priority: lower median of all pairwise daily
+      // slopes (29.3% breakdown — the outlier days q170's OLS chases do
+      // not move it), intercept composed from the PUBLISHED 6dp slope;
+      // all-pairs on calendar-bounded series by contract (maxN guard)
+      val daily = eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority"),
+          (date_trunc("DAY", col("o_orderdate")).cast("long") / 86400)
+            .cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.Trend.theilSen(daily, "o_orderpriority",
+          col("t"), col("units"), maxN = 4000)
+        .orderBy("o_orderpriority")
+    }),
     "q250_pacf" -> ((s, dir) => {
       // AR-order probe on the q240 series: Durbin-Levinson PACF at lags
       // 1..3, each level composed from the PUBLISHED 6dp values (pacf_3
@@ -4684,6 +4699,39 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q251: identical pairwise double slopes, identical lower-median
+    // rank pick (equal values make tie order irrelevant), intercept
+    // from the identically-published 6dp slope
+    "q251_theil_sen" ->
+      """WITH d AS (
+           SELECT o_orderpriority AS k,
+                  CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2
+         ), p AS (
+           SELECT a.k, CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+           FROM d a JOIN d b ON b.k = a.k AND b.t > a.t
+         ), sr AS (
+           SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+                  count(*) OVER (PARTITION BY k) AS np
+           FROM p
+         ), sp AS (
+           SELECT k, CAST(np AS BIGINT) AS n_pairs, round(s, 6) AS slope
+           FROM sr WHERE rn = CAST(ceil(CAST(np AS DOUBLE) / 2.0) AS BIGINT)
+         ), r AS (
+           SELECT d.k, sp.n_pairs, sp.slope,
+                  CAST(d.y AS DOUBLE) - sp.slope * CAST(d.t AS DOUBLE) AS res
+           FROM d JOIN sp ON sp.k = d.k
+         ), rr AS (
+           SELECT k, n_pairs, slope, res,
+                  row_number() OVER (PARTITION BY k ORDER BY res) AS rn,
+                  count(*) OVER (PARTITION BY k) AS n
+           FROM r
+         )
+         SELECT k AS o_orderpriority, CAST(n AS BIGINT) AS n, n_pairs, slope,
+                round(res, 6) AS intercept
+         FROM rr WHERE rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS BIGINT)
+         ORDER BY o_orderpriority""",
     // q250: the q240 acf algebra at lags 1..3, then the identical
     // Durbin-Levinson closed forms with a 6dp round at EVERY level
     "q250_pacf" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -50,6 +51,62 @@ object Trend {
         round((col("sy").cast("double") - slope * col("sx").cast("double"))
           / col("n").cast("double"), 6).as("intercept"),
         round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /**
+   * Theil–Sen robust trend per group (Theil 1950 / Sen 1968): the slope
+   * is the LOWER MEDIAN of all pairwise slopes (y_j−y_i)/(t_j−t_i) over
+   * i<j, the intercept the lower median of (y_i − slope·t_i) — a 29.3%
+   * breakdown point, so outliers [[fitLinear]] chases simply do not
+   * move it. Each pairwise slope is ONE double division (identical
+   * expression both engines; the median then selects among
+   * identically-computed values, so tie order cannot matter), and the
+   * intercept composes from the PUBLISHED 6dp slope. Pairs build as a
+   * per-key rn self-join (i<j): O(n²/2) per series BY DESIGN — this is
+   * the exact small-series estimator, guarded by `maxN` (the peel-style
+   * contract: a series longer than maxN throws rather than silently
+   * paying quadratic cost; at scale use [[fitLinear]] or bucket first).
+   * Medians run as rank windows PARTITIONED by key over the pair/point
+   * relations. `tCol` must be unique per key.
+   *
+   * Output: (key, n, n_pairs, slope, intercept), 6dp.
+   */
+  def theilSen(df: DataFrame, keyCol: String, tCol: Column, yCol: Column,
+      maxN: Int = 2000): DataFrame = {
+    require(maxN >= 2, "maxN >= 2")
+    val base = df.select(col(keyCol).as("__k"), tCol.cast("long").as("__t"),
+      yCol.cast("long").as("__y")).where(col("__t").isNotNull && col("__y").isNotNull)
+      .cache()
+    val worst = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(worst <= maxN,
+      s"theilSen: longest series has $worst points > maxN=$maxN — " +
+        "the all-pairs exact estimator is for bounded series; bucket first")
+    val a = base.select(col("__k"), col("__t").as("ta"), col("__y").as("ya"))
+    val b = base.select(col("__k"), col("__t").as("tb"), col("__y").as("yb"))
+    val slopes = a.join(b, "__k").where(col("tb") > col("ta"))
+      .select(col("__k"),
+        ((col("yb") - col("ya")).cast("double")
+          / (col("tb") - col("ta")).cast("double")).as("__s"))
+    val wS = Window.partitionBy(col("__k")).orderBy(col("__s"))
+    val slopePick = slopes
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .where(col("__rn") === ceil(col("__np").cast("double") / 2.0).cast("long"))
+      .select(col("__k"), col("__np").as("n_pairs"),
+        round(col("__s"), 6).as("slope"))
+    // intercept from the PUBLISHED slope: lower median of y − slope·t
+    val resid = base.join(slopePick, "__k")
+      .select(col("__k"), col("n_pairs"), col("slope"),
+        (col("__y").cast("double") - col("slope") * col("__t").cast("double"))
+          .as("__r"))
+    val wR = Window.partitionBy(col("__k")).orderBy(col("__r"))
+    resid
+      .withColumn("__rn", row_number().over(wR))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .where(col("__rn") === ceil(col("__n").cast("double") / 2.0).cast("long"))
+      .select(col("__k").as(keyCol), col("__n").as("n"), col("n_pairs"),
+        col("slope"), round(col("__r"), 6).as("intercept"))
   }
 
   /**

@@ -143,4 +143,27 @@ class TimeSeriesSpec extends SparkSpec {
     val f = TimeSeries.pacf3(flat, "k", "t", "x").head()
     assert(f.isNullAt(5) && f.isNullAt(6) && f.isNullAt(7))
   }
+
+  test("theilSen: outlier-immune slope (OLS moves, the median does not), " +
+      "maxN guard throws, single-point keys vanish") {
+    val clean = (1 to 9).map(i => ("k", i.toLong, 2L * i))
+    val df = (clean :+ (("k", 10L, 1000L))).toDF("g", "t", "y")
+    val r = Trend.theilSen(df, "g", col("t"), col("y")).head()
+    // 36 of the 45 pairwise slopes are exactly 2.0; lower median = 2.0,
+    // residual lower median = 0.0 - the 1000-unit outlier is invisible
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("n_pairs") == 45)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 0.0)
+    // OLS on the same data is dragged far off 2.0 by the outlier
+    val ols = Trend.fitLinear(df, "g", col("t"), col("y")).head()
+    assert(math.abs(ols.getAs[Double]("slope") - 2.0) > 10.0)
+    // guard: an over-long series throws instead of paying quadratic
+    val long = (1 to 50).map(i => ("k", i.toLong, i.toLong)).toDF("g", "t", "y")
+    intercept[IllegalArgumentException] {
+      Trend.theilSen(long, "g", col("t"), col("y"), maxN = 10).collect()
+    }
+    // a single-point key has no pairs and yields no row
+    val single = Seq(("solo", 1L, 5L)).toDF("g", "t", "y")
+    assert(Trend.theilSen(single, "g", col("t"), col("y")).isEmpty)
+  }
 }
