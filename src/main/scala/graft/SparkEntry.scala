@@ -1643,6 +1643,16 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q252_calibration" -> ((s, dir) => {
+      // does the score MEAN what it claims: calibration curve + ECE for
+      // a value-derived purchase propensity (score 6dp-quantized by the
+      // caller so the decimal sum is exact; label = purchase) — the eval
+      // that catches a quality filter silently shifting corpus mix
+      val ev = eng(s, dir).table("events")
+      val score = round(least(col("value") / 200.0, lit(1.0)), 6)
+      graft.operators.Experiment.calibration(ev.where(col("value").isNotNull),
+        score, col("event_type") === "purchase", nBins = 10)
+    }),
     "q251_theil_sen" -> ((s, dir) => {
       // robust trend per priority: lower median of all pairwise daily
       // slopes (29.3% breakdown — the outlier days q170's OLS chases do
@@ -4699,6 +4709,32 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q252: identical clamped bins, exact DECIMAL(38,6) score sums,
+    // ECE terms 12dp-rounded and decimal-summed from published values
+    "q252_calibration" ->
+      """WITH b AS (
+           SELECT CAST(least(greatest(floor(round(least(value / 200.0, 1.0), 6) * 10), 0.0), 9.0) AS BIGINT) AS bin,
+                  CAST(round(least(value / 200.0, 1.0), 6) AS DECIMAL(38,6)) AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL
+         ), pb AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  round(CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS confidence,
+                  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS observed
+           FROM b GROUP BY 1
+         ), g AS (
+           SELECT bin, n, confidence, observed,
+                  round(abs(observed - confidence), 6) AS gap
+           FROM pb
+         ), nt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+         e AS (
+           SELECT round(CAST(sum(CAST(round(
+                    CAST(n AS DOUBLE) / CAST(nt.n_total AS DOUBLE) * gap, 12)
+                    AS DECIMAL(24,12))) AS DOUBLE), 6) AS ece
+           FROM g, nt
+         )
+         SELECT g.bin, g.n, g.confidence, g.observed, g.gap, e.ece, nt.n_total
+         FROM g, e, nt ORDER BY g.bin""",
     // q251: identical pairwise double slopes, identical lower-median
     // rank pick (equal values make tie order irrelevant), intercept
     // from the identically-published 6dp slope

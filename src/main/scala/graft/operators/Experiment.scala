@@ -50,6 +50,57 @@ object Experiment {
   }
 
   /**
+   * Calibration curve + expected calibration error — the eval
+   * [[classifierEval]] is not: accuracy says how often the model is
+   * right, calibration says whether its SCORES mean what they claim
+   * (a 0.8 bucket should convert 80% of the time); a miscalibrated
+   * quality filter silently shifts a corpus mix. Scores clamp into
+   * `nBins` declared equi-width bins over [0,1] (the PSI discipline);
+   * per bin: count, mean score (confidence), observed positive rate;
+   * ECE = Σ (n_b/n)·|obs_b − conf_b| over the published 6dp values
+   * (compose-from-published doctrine — terms are decimal-summed so
+   * group order cannot flip the rounding). Scores sum as
+   * DECIMAL(38,6) — an exact sum of 6dp-quantized scores, order-free.
+   * One bin-keyed map-combined aggregation; empty bins publish no row
+   * (their ECE weight is zero).
+   *
+   * Output: per bin (bin, n, confidence, observed, gap) + (ece, n_total)
+   * replicated.
+   */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "nBins >= 2")
+    val s = scoreCol.cast("double")
+    val binned = df.where(s.isNotNull && labelCol.isNotNull)
+      .select(
+        least(greatest(floor(s * nBins), lit(0.0)), lit((nBins - 1).toDouble))
+          .cast("long").as("bin"),
+        s.cast("decimal(38,6)").as("__s"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+    val perBin = binned.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("__s")).as("__ss"),
+        sum(col("__y")).as("__pos"))
+      .select(col("bin"), col("n"),
+        round(col("__ss").cast("double") / col("n").cast("double"), 6)
+          .as("confidence"),
+        round(col("__pos").cast("double") / col("n").cast("double"), 6)
+          .as("observed"))
+      .withColumn("gap", round(abs(col("observed") - col("confidence")), 6))
+    // ECE from the PUBLISHED per-bin values: weight gap by n_b/n with
+    // 12dp-rounded decimal-summed terms (the Σ doctrine)
+    val n = binned.count()
+    val ece = perBin.select(
+        round(col("n").cast("double") / lit(n.toDouble) * col("gap"), 12)
+          .cast("decimal(24,12)").as("__t"))
+      .agg(round(sum(col("__t")).cast("double"), 6).as("ece"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("confidence"), col("observed"),
+        col("gap"), col("ece"), lit(n).as("n_total"))
+      .orderBy("bin")
+  }
+
+  /**
    * CUPED variance reduction (Deng–Xu–Kohavi–Walker, WSDM 2013) — the
    * industry-standard sharpened experiment readout: a PRE-period
    * covariate X that predicts the metric Y absorbs unit-level variance

@@ -110,4 +110,28 @@ class ScdSpec extends SparkSpec {
       .orderBy("arm").collect()
     assert(rn.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
   }
+
+  test("calibration: per-bin confidence/observed/gap and the ECE hand-check") {
+    import spark.implicits._
+    // bin 2: four rows at score .25, one positive -> perfectly calibrated
+    // bin 8: two rows at score .85, both positive -> gap .15
+    // ECE = (4/6)*0 + (2/6)*.15 = .05
+    val df = (Seq.fill(3)((0.25, false)) :+ ((0.25, true)) :+
+      ((0.85, true)) :+ ((0.85, true))).toDF("score", "label")
+    val r = Experiment.calibration(df, col("score"), col("label"), nBins = 10)
+      .collect()
+    assert(r.map(_.getAs[Long]("bin")).toSeq == Seq(2L, 8L))
+    val b2 = r(0); val b8 = r(1)
+    assert(b2.getAs[Long]("n") == 4 && b2.getAs[Double]("confidence") == 0.25 &&
+      b2.getAs[Double]("observed") == 0.25 && b2.getAs[Double]("gap") == 0.0)
+    assert(b8.getAs[Long]("n") == 2 && b8.getAs[Double]("confidence") == 0.85 &&
+      b8.getAs[Double]("observed") == 1.0 && b8.getAs[Double]("gap") == 0.15)
+    assert(r.forall(_.getAs[Double]("ece") == 0.05))
+    assert(r.forall(_.getAs[Long]("n_total") == 6))
+    // score 1.0 clamps into the last bin, never an 11th
+    val edge = Seq((1.0, true), (0.0, false)).toDF("score", "label")
+    val bins = Experiment.calibration(edge, col("score"), col("label"), 10)
+      .collect().map(_.getAs[Long]("bin")).toSeq
+    assert(bins == Seq(0L, 9L))
+  }
 }
