@@ -1643,6 +1643,16 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q253_roc_auc" -> ((s, dir) => {
+      // exact AUC of the same propensity score: normalized Mann-Whitney
+      // U on the half-unit rank identity (rankSums reuse — no pos×neg
+      // join, windowed relation bounded by score cardinality), exact
+      // longs until the one divide
+      val ev = eng(s, dir).table("events")
+      val score = round(least(col("value") / 200.0, lit(1.0)), 6)
+      graft.operators.Experiment.rocAuc(ev.where(col("value").isNotNull),
+        score, col("event_type") === "purchase")
+    }),
     "q252_calibration" -> ((s, dir) => {
       // does the score MEAN what it claims: calibration curve + ECE for
       // a value-derived purchase propensity (score 6dp-quantized by the
@@ -4709,6 +4719,31 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q253: the q233 rank identity specialized to AUC — identical
+    // micro-unit quantization, half-unit rank sum, one final divide
+    "q253_roc_auc" ->
+      """WITH s AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                  CAST(CAST(round(least(value / 200.0, 1.0), 6) AS DECIMAL(18,6))
+                       * 1000000 AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL
+         ), r AS (
+           SELECT y, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+           FROM s
+         ), m AS (
+           SELECT CAST(sum(y) AS BIGINT) AS npos,
+                  CAST(count(*) - sum(y) AS BIGINT) AS nneg,
+                  CAST(sum(CASE WHEN y = 1 THEN 2 * rnk + ties - 1 ELSE 0 END) AS BIGINT) AS r2x
+           FROM r
+         )
+         SELECT npos AS n_pos, nneg AS n_neg,
+                CASE WHEN npos > 0 AND nneg > 0 THEN
+                  round((CAST(r2x AS DOUBLE) / 2.0
+                         - CAST(npos AS DOUBLE) * (CAST(npos AS DOUBLE) + 1.0) / 2.0)
+                        / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6)
+                END AS auc
+         FROM m""",
     // q252: identical clamped bins, exact DECIMAL(38,6) score sums,
     // ECE terms 12dp-rounded and decimal-summed from published values
     "q252_calibration" ->

@@ -383,7 +383,7 @@ object DistDrift {
    *
    * Returns ((group, n, 2·rank-sum) sorted by group, Σ(t³−t) tie term).
    */
-  private def rankSums(subj: DataFrame): (Array[(String, Long, Long)], Long) = {
+  private[operators] def rankSums(subj: DataFrame): (Array[(String, Long, Long)], Long) = {
     val cells = subj.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val perValue = cells.groupBy(col("v")).agg(sum(col("c")).as("t")).cache()
     val valStats = withPrefixSums(perValue, Seq("t"))

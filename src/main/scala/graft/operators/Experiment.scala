@@ -50,6 +50,38 @@ object Experiment {
   }
 
   /**
+   * EXACT ROC-AUC — the ranking eval that completes the shelf
+   * ([[classifierEval]] judges the hard decision, [[calibration]] the
+   * score's meaning, this the score's ORDERING): AUC = P(score⁺ >
+   * score⁻) + ½·P(tie), which is exactly the normalized Mann–Whitney U,
+   * so it reuses [[DistDrift.rankSums]]' half-unit distinct-value rank
+   * identity — exact longs until the ONE final divide, no subject×
+   * subject join, the windowed relation bounded by score cardinality
+   * (scores are 6dp-quantized to integer micro-units, so ≤ 10⁶ + 1
+   * distinct values no matter the corpus). Degenerate single-class
+   * input publishes NULL.
+   *
+   * Output: one row (n_pos, n_neg, auc 6dp).
+   */
+  def rocAuc(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val subj = df.where(scoreCol.isNotNull && labelCol.isNotNull)
+      .select(when(labelCol, "pos").otherwise("neg").as("g"),
+        (scoreCol.cast("decimal(18,6)") * 1000000).cast("long").as("v"))
+    val (sums, _) = DistDrift.rankSums(subj)
+    val byG = sums.map(t => t._1 -> t).toMap
+    val (nPos, r2xPos) = byG.get("pos").map(t => (t._2, t._3)).getOrElse((0L, 0L))
+    val nNeg = byG.get("neg").map(_._2).getOrElse(0L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nPos, nNeg)).toDF("n_pos", "n_neg")
+      .withColumn("auc",
+        when(lit(nPos) > 0 && lit(nNeg) > 0, round(
+          (lit(r2xPos).cast("double") / 2.0
+            - lit(nPos).cast("double") * (lit(nPos).cast("double") + 1.0) / 2.0)
+            / (lit(nPos).cast("double") * lit(nNeg).cast("double")), 6)))
+  }
+
+  /**
    * Calibration curve + expected calibration error — the eval
    * [[classifierEval]] is not: accuracy says how often the model is
    * right, calibration says whether its SCORES mean what they claim

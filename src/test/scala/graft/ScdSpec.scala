@@ -134,4 +134,22 @@ class ScdSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("bin")).toSeq
     assert(bins == Seq(0L, 9L))
   }
+
+  test("rocAuc: perfect/reversed/tied/hand-mixed separation; single-class NULL") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Boolean)]): java.lang.Double = {
+      val r = Experiment.rocAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+      if (r.isNullAt(2)) null else r.getDouble(2)
+    }
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))) == 1.0)
+    assert(auc(Seq((0.1, true), (0.2, true), (0.8, false), (0.9, false))) == 0.0)
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))) == 0.5)
+    // pos {3,5}, neg {1,3}: pairwise wins 3 + one tie (0.5) over 4 pairs
+    assert(auc(Seq((3.0, true), (5.0, true), (1.0, false), (3.0, false))) == 0.875)
+    assert(auc(Seq((0.4, true), (0.6, true))) == null)
+    // counts are published even in the degenerate case
+    val r = Experiment.rocAuc(Seq((0.4, true)).toDF("s", "y"), col("s"), col("y"))
+      .head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
 }
