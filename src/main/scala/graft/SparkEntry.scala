@@ -1643,6 +1643,17 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q254_avg_precision" -> ((s, dir) => {
+      // PR-AUC summary of the same score — the imbalanced-data eval AUC
+      // is not: distinct-threshold average precision with the >=-counts
+      // from DISTRIBUTED prefix sums (no per-row ranking, no single-task
+      // window), exact-rational terms decimal-summed
+      val ev = eng(s, dir).table("events")
+      val score = round(least(col("value") / 200.0, lit(1.0)), 6)
+      graft.operators.Experiment.averagePrecision(
+        ev.where(col("value").isNotNull),
+        score, col("event_type") === "purchase")
+    }),
     "q253_roc_auc" -> ((s, dir) => {
       // exact AUC of the same propensity score: normalized Mann-Whitney
       // U on the half-unit rank identity (rankSums reuse — no pos×neg
@@ -4719,6 +4730,36 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q254: identical distinct-threshold AP — descending cumulative
+    // tp/pred counts, identical rational terms, 12dp round + decimal sum
+    "q254_avg_precision" ->
+      """WITH s AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                  CAST(CAST(round(least(value / 200.0, 1.0), 6) AS DECIMAL(18,6))
+                       * 1000000 AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL
+         ), pv AS (
+           SELECT v, CAST(sum(y) AS BIGINT) AS cp, CAST(count(*) AS BIGINT) AS ct
+           FROM s GROUP BY v
+         ), c AS (
+           SELECT v, cp,
+                  CAST(sum(cp) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp_ge,
+                  CAST(sum(ct) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pred_ge
+           FROM pv
+         ), np AS (
+           SELECT CAST(sum(y) AS BIGINT) AS npos,
+                  CAST(count(*) - sum(y) AS BIGINT) AS nneg
+           FROM s
+         )
+         SELECT np.npos AS n_pos, np.nneg AS n_neg,
+                CASE WHEN np.npos > 0 THEN
+                  round(CAST(sum(CAST(round(
+                    CAST(c.cp AS DOUBLE) / CAST(np.npos AS DOUBLE)
+                    * (CAST(c.tp_ge AS DOUBLE) / CAST(c.pred_ge AS DOUBLE)), 12)
+                    AS DECIMAL(24,12))) AS DOUBLE), 6)
+                END AS avg_precision
+         FROM c, np WHERE c.cp > 0
+         GROUP BY np.npos, np.nneg""",
     // q253: the q233 rank identity specialized to AUC — identical
     // micro-unit quantization, half-unit rank sum, one final divide
     "q253_roc_auc" ->

@@ -40,7 +40,7 @@ object DistDrift {
    */
   private val PrefixBuckets = 256
 
-  private def withPrefixSums(perValue: DataFrame, cnts: Seq[String]): DataFrame = {
+  private[operators] def withPrefixSums(perValue: DataFrame, cnts: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val spark = perValue.sparkSession

@@ -82,6 +82,53 @@ object Experiment {
   }
 
   /**
+   * Average precision (the PR-AUC summary) — the imbalanced-data
+   * companion of [[rocAuc]]: with 0.1% positives, AUC 0.99 can still
+   * mean drowning in false positives, and precision-recall is the curve
+   * that shows it. Standard distinct-threshold form (one threshold per
+   * distinct score, descending — sklearn's convention):
+   *
+   *   AP = Σ_v ΔR(v)·P(v),  ΔR(v) = pos(v)/n_pos,
+   *   P(v) = tp_{≥v} / pred_{≥v}
+   *
+   * The ≥-cumulative counts come from [[DistDrift.withPrefixSums]]'
+   * DISTRIBUTED below-sums over the distinct-score relation (≥ = total
+   * − below; scores 6dp-micro-unit quantized, so ≤ 10⁶+1 distinct
+   * values) — no per-row ranking, no single-task window. Terms are
+   * exact rationals, 12dp-rounded and decimal-summed (Σ doctrine), one
+   * 6dp publish. No positives → NULL.
+   *
+   * Output: one row (n_pos, n_neg, avg_precision).
+   */
+  def averagePrecision(df: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val subj = df.where(scoreCol.isNotNull && labelCol.isNotNull)
+      .select((scoreCol.cast("decimal(18,6)") * 1000000).cast("long").as("v"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+    val perValue = subj.groupBy(col("v"))
+      .agg(sum(col("y")).as("cp"), count(lit(1)).as("ct"))
+    val totals = subj.agg(sum(col("y")).as("np"), count(lit(1)).as("n")).head()
+    val (nPos, n) = (totals.getLong(0), totals.getLong(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (nPos == 0) {
+      Seq((0L, n)).toDF("n_pos", "n_neg")
+        .withColumn("avg_precision", lit(null).cast("double"))
+    } else {
+      val cum = DistDrift.withPrefixSums(perValue, Seq("cp", "ct"))
+        .select(col("v"), col("cp"),
+          (lit(nPos) - col("cp_below")).as("tp_ge"),
+          (lit(n) - col("ct_below")).as("pred_ge"))
+      val ap = cum.where(col("cp") > 0)
+        .select(round(col("cp").cast("double") / lit(nPos.toDouble)
+          * (col("tp_ge").cast("double") / col("pred_ge").cast("double")), 12)
+          .cast("decimal(24,12)").as("__t"))
+        .agg(round(sum(col("__t")).cast("double"), 6).as("avg_precision"))
+      Seq((nPos, n - nPos)).toDF("n_pos", "n_neg").crossJoin(broadcast(ap))
+    }
+  }
+
+  /**
    * Calibration curve + expected calibration error — the eval
    * [[classifierEval]] is not: accuracy says how often the model is
    * right, calibration says whether its SCORES mean what they claim

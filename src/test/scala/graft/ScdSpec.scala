@@ -152,4 +152,20 @@ class ScdSpec extends SparkSpec {
       .head()
     assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.isNullAt(2))
   }
+
+  test("averagePrecision: sklearn hand case, perfect ranking, ties, no-pos NULL") {
+    import spark.implicits._
+    def ap(rows: Seq[(Double, Boolean)]): java.lang.Double = {
+      val r = Experiment.averagePrecision(rows.toDF("s", "y"), col("s"), col("y"))
+        .head()
+      if (r.isNullAt(2)) null else r.getDouble(2)
+    }
+    // the sklearn docs example: AP = 1/2*1 + 1/2*(2/3) = 0.833333
+    assert(ap(Seq((0.8, true), (0.6, false), (0.4, true), (0.2, false)))
+      == 0.833333)
+    assert(ap(Seq((0.9, true), (0.8, true), (0.2, false))) == 1.0)
+    // one fully tied threshold: AP = precision = n_pos/n
+    assert(ap(Seq((0.5, true), (0.5, false), (0.5, false), (0.5, true))) == 0.5)
+    assert(ap(Seq((0.7, false), (0.3, false))) == null)
+  }
 }
