@@ -1675,18 +1675,18 @@ object SparkEntry {
         score, col("event_type") === "purchase", nBins = 10)
     }),
     "q251_theil_sen" -> ((s, dir) => {
-      // robust trend per priority: lower median of all pairwise daily
+      // robust trend per priority: lower median of all pairwise weekly
       // slopes (29.3% breakdown — the outlier days q170's OLS chases do
       // not move it), intercept composed from the PUBLISHED 6dp slope;
       // all-pairs on calendar-bounded series by contract (maxN guard)
-      val daily = eng(s, dir).table("orders")
+      val weekly = eng(s, dir).table("orders")
         .groupBy(col("o_orderpriority"),
-          (date_trunc("DAY", col("o_orderdate")).cast("long") / 86400)
+          (date_trunc("WEEK", col("o_orderdate")).cast("long") / 86400)
             .cast("long").as("t"))
         .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
           .cast("long")).as("units"))
-      graft.operators.Trend.theilSen(daily, "o_orderpriority",
-          col("t"), col("units"), maxN = 4000)
+      graft.operators.Trend.theilSen(weekly, "o_orderpriority",
+          col("t"), col("units"), maxN = 1000)
         .orderBy("o_orderpriority")
     }),
     "q250_pacf" -> ((s, dir) => {
@@ -4817,7 +4817,7 @@ object SparkEntry {
     "q251_theil_sen" ->
       """WITH d AS (
            SELECT o_orderpriority AS k,
-                  CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT) AS t,
+                  CAST(epoch(date_trunc('week', o_orderdate)) / 86400 AS BIGINT) AS t,
                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
            FROM orders GROUP BY 1, 2
          ), p AS (
