@@ -1643,6 +1643,33 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q255_rank_eval" -> ((s, dir) => {
+      // the judge for the retrieval family: exact-KNN top-10 per query
+      // (self excluded — removing one element preserves the others'
+      // order) scored against the same-label relevance set: P@10,
+      // reciprocal rank, binary nDCG@10 with 12dp-rounded decimal-summed
+      // log terms; evaluation cost is |queries|·k, corpus-free
+      val emb = eng(s, dir).table("embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq.sortBy(_._1)
+      val res = graft.vector.VectorSearch.exactBatch(emb, "vec_id",
+          "embedding", queries, topK = 11, metric = "l2")
+        .where(col("pk") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("rank"))))
+        .where(col("rank") <= 10)
+        .select(col("qid"), col("pk").as("id"), col("rank"))
+      val qlab = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("__ql"))
+      val rel = emb.select(col("vec_id").as("id"), col("label"))
+        .join(broadcast(qlab),
+          col("label") === col("__ql") && col("id") =!= col("qid"))
+        .select("qid", "id")
+      graft.operators.RankEval.rankingEval(res, rel, k = 10).orderBy("qid")
+    }),
     "q254_avg_precision" -> ((s, dir) => {
       // PR-AUC summary of the same score — the imbalanced-data eval AUC
       // is not: distinct-threshold average precision with the >=-counts
@@ -4730,6 +4757,57 @@ object SparkEntry {
          SELECT n.n_sampled, agg.n_pairs, agg.mean_cos, agg.min_cos,
                 agg.max_cos, round(1.0 - agg.mean_cos, 6) AS diversity
          FROM agg CROSS JOIN n""",
+    // q255: identical (6dp-dist, id) ranking with self excluded, same
+    // relevance join, identical 12dp log2 terms and decimal sums
+    "q255_rank_eval" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 8
+         ), d AS (
+           SELECT q.qid, e.vec_id AS id,
+                  round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS dist
+           FROM embeddings e, q WHERE e.vec_id <> q.qid
+         ), r AS (
+           SELECT qid, id,
+                  row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM d
+         ), rel AS (
+           SELECT q.qid, e.vec_id AS id
+           FROM embeddings e, q WHERE e.label = q.ql AND e.vec_id <> q.qid
+         ), nrel AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+         ), f AS (
+           SELECT r.qid, r.rank,
+                  CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS relf
+           FROM r LEFT JOIN rel ON rel.qid = r.qid AND rel.id = r.id
+           WHERE r.rank <= 10
+         ), pq AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n_results,
+                  CAST(sum(relf) AS BIGINT) AS hits,
+                  min(CASE WHEN relf = 1 THEN rank END) AS frst,
+                  sum(CASE WHEN relf = 1 THEN
+                        CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 12) AS DECIMAL(24,12))
+                      ELSE CAST(0 AS DECIMAL(24,12)) END) AS dcg
+           FROM f GROUP BY 1
+         ), w AS (
+           SELECT pq.*, CAST(COALESCE(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+                  least(CAST(10 AS BIGINT), CAST(COALESCE(nrel.n_rel, 0) AS BIGINT)) AS m
+           FROM pq LEFT JOIN nrel ON nrel.qid = pq.qid
+         ), idcg AS (
+           SELECT w.qid,
+                  sum(CAST(round(1.0 / log2(CAST(t.i AS DOUBLE) + 1.0), 12) AS DECIMAL(24,12))) AS idcg
+           FROM w, (SELECT unnest(range(1, 11)) AS i) t
+           WHERE t.i <= greatest(w.m, 1)
+           GROUP BY 1
+         )
+         SELECT w.qid, w.n_rel, w.n_results,
+                round(CAST(w.hits AS DOUBLE) / 10.0, 6) AS p_at_k,
+                CASE WHEN w.frst IS NOT NULL THEN
+                  round(1.0 / CAST(w.frst AS DOUBLE), 6) END AS rr,
+                CASE WHEN w.n_rel > 0 THEN
+                  round(CAST(w.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+                END AS ndcg
+         FROM w JOIN idcg ON idcg.qid = w.qid ORDER BY w.qid""",
     // q254: identical distinct-threshold AP — descending cumulative
     // tp/pred counts, identical rational terms, 12dp round + decimal sum
     "q254_avg_precision" ->

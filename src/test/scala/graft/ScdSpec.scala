@@ -168,4 +168,33 @@ class ScdSpec extends SparkSpec {
     assert(ap(Seq((0.5, true), (0.5, false), (0.5, false), (0.5, true))) == 0.5)
     assert(ap(Seq((0.7, false), (0.3, false))) == null)
   }
+
+  test("rankingEval: hand P@k/RR/nDCG, perfect ranking = 1.0, " +
+      "no-relevant NULLs, missing-from-results relevance") {
+    import spark.implicits._
+    import graft.operators.RankEval
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val results = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3)).toDF("qid", "id", "rank")
+    val rel = Seq((1L, "b"), (1L, "d")).toDF("qid", "id")
+    val r = RankEval.rankingEval(results, rel, k = 3).head()
+    assert(r.getAs[Long]("n_rel") == 2 && r.getAs[Long]("n_results") == 3)
+    assert(r.getAs[Double]("p_at_k") == r6(1.0 / 3.0))
+    assert(r.getAs[Double]("rr") == 0.5)
+    val dcg = r12(1.0 / (math.log(3.0) / math.log(2.0)))
+    val idcg = BigDecimal(r12(1.0)) + BigDecimal(dcg)
+    assert(r.getAs[Double]("ndcg") == r6((BigDecimal(dcg) / idcg).toDouble))
+    // perfect: the two relevant items at ranks 1-2 of 2 results, k=2
+    val perfect = RankEval.rankingEval(
+      Seq((1L, "b", 1), (1L, "d", 2)).toDF("qid", "id", "rank"), rel, 2).head()
+    assert(perfect.getAs[Double]("ndcg") == 1.0 &&
+      perfect.getAs[Double]("p_at_k") == 1.0 && perfect.getAs[Double]("rr") == 1.0)
+    // a query with no relevant items: ndcg and rr NULL, p 0
+    val none = RankEval.rankingEval(results,
+      Seq((2L, "z")).toDF("qid", "id"), 3).head()
+    assert(none.getAs[Long]("n_rel") == 0 && none.getAs[Double]("p_at_k") == 0.0)
+    assert(none.isNullAt(4) && none.isNullAt(5))
+  }
 }
