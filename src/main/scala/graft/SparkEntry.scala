@@ -4776,18 +4776,26 @@ object SparkEntry {
            FROM embeddings e, q WHERE e.label = q.ql AND e.vec_id <> q.qid
          ), nrel AS (
            SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
-         ), f AS (
+         ), f0 AS (
            SELECT r.qid, r.rank,
                   CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END AS relf
            FROM r LEFT JOIN rel ON rel.qid = r.qid AND rel.id = r.id
            WHERE r.rank <= 10
+         ), f AS (
+           SELECT qid, rank, relf,
+                  CAST(sum(relf) OVER (PARTITION BY qid ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM f0
          ), pq AS (
            SELECT qid, CAST(count(*) AS BIGINT) AS n_results,
                   CAST(sum(relf) AS BIGINT) AS hits,
                   min(CASE WHEN relf = 1 THEN rank END) AS frst,
                   sum(CASE WHEN relf = 1 THEN
                         CAST(round(1.0 / log2(CAST(rank AS DOUBLE) + 1.0), 12) AS DECIMAL(24,12))
-                      ELSE CAST(0 AS DECIMAL(24,12)) END) AS dcg
+                      ELSE CAST(0 AS DECIMAL(24,12)) END) AS dcg,
+                  sum(CASE WHEN relf = 1 THEN
+                        CAST(round(CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE), 12) AS DECIMAL(24,12))
+                      ELSE CAST(0 AS DECIMAL(24,12)) END) AS apn
            FROM f GROUP BY 1
          ), w AS (
            SELECT pq.*, CAST(COALESCE(nrel.n_rel, 0) AS BIGINT) AS n_rel,
@@ -4806,7 +4814,10 @@ object SparkEntry {
                   round(1.0 / CAST(w.frst AS DOUBLE), 6) END AS rr,
                 CASE WHEN w.n_rel > 0 THEN
                   round(CAST(w.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
-                END AS ndcg
+                END AS ndcg,
+                CASE WHEN w.n_rel > 0 THEN
+                  round(CAST(w.apn AS DOUBLE) / CAST(w.m AS DOUBLE), 6)
+                END AS ap
          FROM w JOIN idcg ON idcg.qid = w.qid ORDER BY w.qid""",
     // q254: identical distinct-threshold AP — descending cumulative
     // tp/pred counts, identical rational terms, 12dp round + decimal sum

@@ -20,9 +20,11 @@ object RankEval {
   /**
    * @param results  (qid, id, rank) — rank 1-based, ≤ some cutoff
    * @param relevant (qid, id) — the ground-truth set per query
-   * @return per qid: (qid, n_rel, n_results, p_at_k, rr, ndcg) —
-   *         rr NULL when nothing relevant was retrieved, ndcg NULL when
-   *         the query has no relevant items at all
+   * @return per qid: (qid, n_rel, n_results, p_at_k, rr, ndcg, ap) —
+   *         rr NULL when nothing relevant was retrieved, ndcg/ap NULL
+   *         when the query has no relevant items at all; ap is the
+   *         AP@k MAP summand (precision at each hit averaged over
+   *         min(k, |relevant|))
    */
   def rankingEval(results: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
@@ -32,13 +34,22 @@ object RankEval {
       .where(col("rank") <= k)
       .join(rel.withColumn("__r", lit(1L)), Seq("qid", "id"), "left")
       .withColumn("rel", coalesce(col("__r"), lit(0L)))
+      // cumulative hits by rank: a window PARTITIONED by qid over <= k
+      // rows per query - the AP@k precision-at-each-hit numerators
+      .withColumn("__cum", sum(col("rel")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("rank"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     val perQ = flagged.groupBy(col("qid")).agg(
       count(lit(1)).as("n_results"),
       sum(col("rel")).as("__hits"),
       min(when(col("rel") === 1L, col("rank"))).as("__first"),
       sum(when(col("rel") === 1L,
         round(lit(1.0) / log2(col("rank").cast("double") + 1.0), 12))
-        .otherwise(lit(0.0)).cast("decimal(24,12)")).as("__dcg"))
+        .otherwise(lit(0.0)).cast("decimal(24,12)")).as("__dcg"),
+      sum(when(col("rel") === 1L,
+        round(col("__cum").cast("double") / col("rank").cast("double"), 12))
+        .otherwise(lit(0.0)).cast("decimal(24,12)")).as("__apn"))
     val withIdeal = perQ.join(nRel, Seq("qid"), "left")
       .na.fill(0L, Seq("n_rel"))
       .withColumn("__m", least(lit(k.toLong), col("n_rel")))
@@ -54,6 +65,11 @@ object RankEval {
         round(lit(1.0) / col("__first").cast("double"), 6)).as("rr"),
       when(col("n_rel") > 0,
         round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6))
-        .as("ndcg"))
+        .as("ndcg"),
+      // AP@k (the MAP summand): precision-at-each-hit averaged over
+      // min(k, |relevant|) - exact-rational 12dp terms, decimal-summed
+      when(col("n_rel") > 0,
+        round(col("__apn").cast("double") / col("__m").cast("double"), 6))
+        .as("ap"))
   }
 }

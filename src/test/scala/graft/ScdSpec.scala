@@ -191,10 +191,14 @@ class ScdSpec extends SparkSpec {
       Seq((1L, "b", 1), (1L, "d", 2)).toDF("qid", "id", "rank"), rel, 2).head()
     assert(perfect.getAs[Double]("ndcg") == 1.0 &&
       perfect.getAs[Double]("p_at_k") == 1.0 && perfect.getAs[Double]("rr") == 1.0)
-    // a query with no relevant items: ndcg and rr NULL, p 0
+    // AP@3 for the hand case: one hit at rank 2 with cum-precision 1/2,
+    // averaged over min(3, 2) relevant -> 0.25
+    assert(r.getAs[Double]("ap") == 0.25)
+    assert(perfect.getAs[Double]("ap") == 1.0)
+    // a query with no relevant items: ndcg/rr/ap NULL, p 0
     val none = RankEval.rankingEval(results,
       Seq((2L, "z")).toDF("qid", "id"), 3).head()
     assert(none.getAs[Long]("n_rel") == 0 && none.getAs[Double]("p_at_k") == 0.0)
-    assert(none.isNullAt(4) && none.isNullAt(5))
+    assert(none.isNullAt(4) && none.isNullAt(5) && none.isNullAt(6))
   }
 }
