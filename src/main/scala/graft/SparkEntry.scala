@@ -1643,6 +1643,15 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q256_containment" -> ((s, dir) => {
+      // asymmetric containment dedup — the quote/subset detector
+      // symmetric Jaccard structurally misses (a snippet inside a page
+      // has containment 1.0 but Jaccard ~0): contained-side-only prefix
+      // filter against full postings, boilerplate df guard, exact verify
+      graft.pipeline.Dedup.containmentPairs(eng(s, dir).table("documents"),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .orderBy("contained", "container")
+    }),
     "q255_rank_eval" -> ((s, dir) => {
       // the judge for the retrieval family: exact-KNN top-10 per query
       // (self excluded — removing one element preserves the others'
@@ -6319,6 +6328,20 @@ object SparkEntry {
          ) s ON CAST(o.o_custkey AS VARCHAR) = s.id
          GROUP BY 1
          ORDER BY 1""",
+    // q256: ordered all-pairs containment over the same shingle sets
+    "q256_containment" ->
+      s"""$duckShingles, scored AS (
+            SELECT a.doc_id AS contained, b.doc_id AS container,
+              round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / CAST(len(a.sh) AS DOUBLE), 6) AS containment,
+              CAST(len(a.sh) AS INTEGER) AS sz_contained,
+              CAST(len(b.sh) AS INTEGER) AS sz_container
+            FROM s a JOIN s b ON a.doc_id <> b.doc_id
+            WHERE len(a.sh) > 0
+          )
+          SELECT contained, container, containment, sz_contained, sz_container
+          FROM scored WHERE containment >= 0.5
+          ORDER BY contained, container""",
     "q65_jaccard_pairs" ->
       s"""$duckShingles, scored AS (
             SELECT a.doc_id AS a, b.doc_id AS b,

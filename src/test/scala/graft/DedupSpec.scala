@@ -468,4 +468,30 @@ class DedupSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("containmentPairs: planted snippet-in-page found at containment 1.0 " +
+      "where Jaccard misses it; symmetric near-dups appear both ways") {
+    import spark.implicits._
+    val page = (1 to 200).map(i => s"w$i").mkString(" ")
+    val snippet = (50 to 60).map(i => s"w$i").mkString(" ")  // inside page
+    val other = (500 to 700).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, page), (2L, snippet), (3L, other),
+      (4L, page + " tail")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .orderBy("contained", "container").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // snippet (2) fully inside page (1) AND inside page+tail (4);
+    // pages 1 and 4 contain each other (1 fully in 4; 4 nearly in 1)
+    assert(got.exists(t => t._1 == 2L && t._2 == 1L && t._3 == 1.0))
+    assert(got.exists(t => t._1 == 2L && t._2 == 4L && t._3 == 1.0))
+    assert(got.exists(t => t._1 == 1L && t._2 == 4L && t._3 == 1.0))
+    assert(got.forall(t => t._1 != 3L && t._2 != 3L)) // disjoint doc absent
+    // the same planted pair is INVISIBLE to symmetric Jaccard at 0.8:
+    // |snippet|/|page| ~ 0.05
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1)))
+    assert(!jac.contains(Set(1L, 2L)))
+  }
 }
