@@ -1647,7 +1647,10 @@ object SparkEntry {
       // asymmetric containment dedup — the quote/subset detector
       // symmetric Jaccard structurally misses (a snippet inside a page
       // has containment 1.0 but Jaccard ~0): contained-side-only prefix
-      // filter against full postings, boilerplate df guard, exact verify
+      // filter against full postings, boilerplate df guard, exact
+      // verify. Deliberately in the exact-verify-heavy class
+      // (q31/q44/q65): the tiny synthetic vocab densifies every posting
+      // list, so candidate mass is fixture-high; real corpora thin it
       graft.pipeline.Dedup.containmentPairs(eng(s, dir).table("documents"),
           "doc_id", "text", shingleN = 3, threshold = 0.5)
         .orderBy("contained", "container")
