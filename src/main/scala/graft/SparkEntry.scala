@@ -1643,6 +1643,17 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q257_mode" -> ((s, dir) => {
+      // per-group mode with the tie-break built-ins leave undefined:
+      // most frequent order priority per customer segment via a
+      // (group,value) count + a rank window over the bounded count
+      // relation - subject rows never pass through a window
+      val joined = eng(s, dir).table("orders")
+        .join(eng(s, dir).table("customer"),
+          col("o_custkey") === col("c_custkey"))
+      graft.operators.Profile.modeBy(joined, "c_mktsegment", "o_orderpriority")
+        .orderBy("c_mktsegment")
+    }),
     "q256_containment" -> ((s, dir) => {
       // asymmetric containment dedup — the quote/subset detector
       // symmetric Jaccard structurally misses (a snippet inside a page
@@ -6331,6 +6342,22 @@ object SparkEntry {
          ) s ON CAST(o.o_custkey AS VARCHAR) = s.id
          GROUP BY 1
          ORDER BY 1""",
+    // q257: identical (count desc, value asc) rank pick
+    "q257_mode" ->
+      """WITH c AS (
+           SELECT c.c_mktsegment AS g, o.o_orderpriority AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_orderpriority IS NOT NULL
+           GROUP BY 1, 2
+         ), r AS (
+           SELECT g, v, c,
+                  row_number() OVER (PARTITION BY g ORDER BY c DESC, v ASC) AS rn,
+                  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nd
+           FROM c
+         )
+         SELECT g AS c_mktsegment, v AS mode, c AS mode_count, nd AS n_distinct
+         FROM r WHERE rn = 1 ORDER BY c_mktsegment""",
     // q256: ordered all-pairs containment over the same shingle sets
     "q256_containment" ->
       s"""$duckShingles, scored AS (

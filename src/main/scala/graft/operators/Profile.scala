@@ -206,6 +206,33 @@ object Profile {
       sum(h.cast("decimal(38,0)")).cast("string").as("fingerprint"))
   }
 
+  /**
+   * Per-group MODE with a deterministic tie-break — the categorical
+   * imputation/profiling basic `mode()` built-ins leave tie-undefined:
+   * the most frequent value per group, ties resolved to the SMALLEST
+   * value (string order), so the answer is a pure function of the data.
+   * One map-combined (group, value) count, then a rank window over the
+   * value-cardinality-bounded count relation — the subject rows never
+   * pass through a window. NULL values are excluded (a NULL mode means
+   * "no non-null values", published as no row).
+   *
+   * Output: (group, mode, mode_count, n_distinct).
+   */
+  def modeBy(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("c").desc, col("v").asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .where(col("__rn") === 1)
+      .select(col("g").as(groupCol), col("v").as("mode"),
+        col("c").as("mode_count"), col("__nd").as("n_distinct"))
+  }
+
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
     val digits = df.where(col(valCol) > 0)

@@ -163,4 +163,16 @@ class ProfileSpec extends SparkSpec {
       when(col("id") === 77L, lit("v77x")).otherwise(col("s")))
     assert(fp(tweaked).getString(1) != a.getString(1))
   }
+
+  test("modeBy: frequency winner, smallest-value tie-break, null exclusion") {
+    val df = (Seq.fill(3)(("g1", "b")) ++ Seq.fill(3)(("g1", "a")) ++
+      Seq(("g1", "z"), ("g2", "x")) :+ (("g2", null))).toDF("g", "v")
+    val got = Profile.modeBy(df, "g", "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // g1: a and b tie at 3 -> smallest value wins; 3 distinct values
+    assert(got == Seq(("g1", "a", 3L, 3L), ("g2", "x", 1L, 1L)))
+    // a group with only nulls publishes no row
+    val nulls = Seq(("g3", Option.empty[String])).toDF("g", "v")
+    assert(Profile.modeBy(nulls, "g", "v").isEmpty)
+  }
 }
