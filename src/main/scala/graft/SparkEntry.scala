@@ -1643,6 +1643,28 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q259_jsd" -> ((s, dir) => {
+      // symmetric always-finite drift between the weekend and weekday
+      // event-type mixes — the KL replacement for dashboards (weekend
+      // day index from pure epoch-day arithmetic: (d+4)%7 ∈ {0,6} with
+      // Sunday=0, engine-independent, no dow() dialect trap)
+      val ev = eng(s, dir).table("events")
+        .withColumn("__w",
+          ((col("ts").cast("long") / 86400).cast("long") + 4) % 7)
+      graft.operators.DistDrift.jensenShannon(
+        ev.where(col("__w").isin(0, 6)),
+        ev.where(!col("__w").isin(0, 6)), "event_type")
+    }),
+    "q258_cohen_kappa" -> ((s, dir) => {
+      // chance-corrected agreement between the value-threshold rater and
+      // the event-type rater — the skew-proof sibling of q216 accuracy:
+      // one contingency pass, κ exact integer rational until the one
+      // published divide
+      val ev = eng(s, dir).table("events").where(col("value").isNotNull)
+      graft.operators.Experiment.cohenKappa(ev,
+        when(col("value") >= 100.0, lit("hi")).otherwise(lit("lo")),
+        when(col("event_type") === "purchase", lit("hi")).otherwise(lit("lo")))
+    }),
     "q257_mode" -> ((s, dir) => {
       // per-group mode with the tie-break built-ins leave undefined:
       // most frequent order priority per customer segment via a
@@ -4060,6 +4082,74 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q259: identical epoch-day weekend split, identical rational p/q/m,
+    // ½(p·ln(p/m)+q·ln(q/m)) terms 12dp-rounded and decimal-summed;
+    // bits/dist composed from the published 6dp jsd
+    "q259_jsd" ->
+      """WITH e AS (
+           SELECT event_type AS v,
+                  (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS w
+           FROM events WHERE event_type IS NOT NULL
+         ), a AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS ca FROM e WHERE w IN (0, 6) GROUP BY 1
+         ), b AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS cb FROM e WHERE w NOT IN (0, 6) GROUP BY 1
+         ), nn AS (
+           SELECT CAST(sum(CASE WHEN w IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN w IN (0, 6) THEN 0 ELSE 1 END) AS BIGINT) AS nb
+           FROM e
+         ), j AS (
+           SELECT COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+           FROM a FULL JOIN b ON a.v = b.v
+         ), t AS (
+           SELECT ca, cb,
+                  CAST(ca AS DOUBLE) / CAST(nn.na AS DOUBLE) AS p,
+                  CAST(cb AS DOUBLE) / CAST(nn.nb AS DOUBLE) AS q
+           FROM j, nn
+         ), r AS (
+           SELECT round((CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+                       + CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+                       * 0.5, 12) AS tt
+           FROM t
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cats,
+                  round(CAST(sum(CAST(tt AS DECIMAL(24,12))) AS DOUBLE), 6) AS jsd
+           FROM r
+         )
+         SELECT nn.na AS n_a, nn.nb AS n_b, agg.n_cats, agg.jsd,
+                round(agg.jsd / 0.6931471805599453, 6) AS jsd_bits,
+                round(sqrt(agg.jsd / 0.6931471805599453), 6) AS js_dist
+         FROM agg, nn""",
+    // q258: identical contingency cells; κ replayed as the exact integer
+    // rational (n·diag − Σrt·ct)/(n² − Σrt·ct), HUGEINT-safe casts
+    "q258_cohen_kappa" ->
+      """WITH s AS (
+           SELECT CASE WHEN value >= 100 THEN 'hi' ELSE 'lo' END AS a,
+                  CASE WHEN event_type = 'purchase' THEN 'hi' ELSE 'lo' END AS b
+           FROM events WHERE value IS NOT NULL
+         ), c AS (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM s GROUP BY 1, 2
+         ), rt AS (
+           SELECT a AS k, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1
+         ), ct AS (
+           SELECT b AS k, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1
+         ), m AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS diag
+           FROM c
+         ), p AS (
+           SELECT CAST(sum(COALESCE(rt.rt, 0) * COALESCE(ct.ct, 0)) AS BIGINT) AS sp,
+                  CAST(count(rt.rt) AS BIGINT) AS n_cat_a,
+                  CAST(count(ct.ct) AS BIGINT) AS n_cat_b
+           FROM rt FULL JOIN ct ON rt.k = ct.k
+         )
+         SELECT m.n, p.n_cat_a, p.n_cat_b,
+                round(CAST(m.diag AS DOUBLE) / CAST(m.n AS DOUBLE), 6) AS po,
+                round(CAST(p.sp AS DOUBLE)
+                      / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)), 6) AS pe,
+                round(CAST(m.n * m.diag - p.sp AS DOUBLE)
+                      / CAST(m.n * m.n - p.sp AS DOUBLE), 6) AS kappa
+         FROM m, p""",
     // q33/q45/q55/q91/q97: literal pass-contract oracles — the query body
     // REQUIRES the measured recall floor (throws if broken, so the driver
     // sees no output at all), then emits exactly these constants. This

@@ -185,6 +185,41 @@ object DistDrift {
   }
 
   /**
+   * Jensen–Shannon divergence between two categorical distributions —
+   * the symmetric, always-finite drift measure KL isn't (KL blows up on
+   * categories one side lacks; JSD's mixture M = (P+Q)/2 is nonzero
+   * wherever either side is). Probabilities are rationals of exact
+   * counts; per-category terms ½(p·ln(p/m) + q·ln(q/m)) round to 12dp
+   * and DECIMAL-sum (the Σ doctrine); `jsd_bits` and the metric
+   * `js_dist` = √(jsd/ln2) compose from the PUBLISHED 6dp jsd.
+   * Output: one row (n_a, n_b, n_cats, jsd, jsd_bits, js_dist).
+   */
+  def jensenShannon(dfA: DataFrame, dfB: DataFrame, valCol: String): DataFrame = {
+    val a = dfA.select(col(valCol).cast("string").as("v")).where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+    val b = dfB.select(col(valCol).cast("string").as("v")).where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    val na = dfA.where(col(valCol).isNotNull).count()
+    val nb = dfB.where(col(valCol).isNotNull).count()
+    require(na > 0 && nb > 0, s"jensenShannon needs rows on both sides ($na, $nb)")
+    val joined = a.join(b, Seq("v"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val p = col("ca").cast("double") / lit(na.toDouble)
+    val q = col("cb").cast("double") / lit(nb.toDouble)
+    val m = (p + q) / lit(2.0)
+    val term = (when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0))
+      + when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0))) * lit(0.5)
+    val ln2 = 0.6931471805599453
+    joined.withColumn("__t", round(term, 12))
+      .agg(count(lit(1)).as("n_cats"),
+        round(sum(col("__t").cast("decimal(24,12)")).cast("double"), 6).as("jsd"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("n_cats"), col("jsd"),
+        round(col("jsd") / lit(ln2), 6).as("jsd_bits"),
+        round(sqrt(col("jsd") / lit(ln2)), 6).as("js_dist"))
+  }
+
+  /**
    * Gini concentration coefficient per group, exact until the last step:
    * with values as integer cents sorted ascending (ties are
    * position-invariant in Σ i·x, so no tiebreak is even needed),

@@ -282,4 +282,39 @@ object Experiment {
       .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
         col("precision"), col("recall"), col("f1"), col("accuracy"))
   }
+
+  /**
+   * Cohen's kappa — chance-corrected agreement between two categorical
+   * raters, the number accuracy alone overstates when the base rates are
+   * skewed (two raters that both say "keep" 95% of the time agree 90%+
+   * by luck). One contingency pass; the whole statistic is an exact
+   * integer rational: with diag = Σ agreeing counts, sp = Σ_k rt_k·ct_k
+   * (marginal products over the union of categories),
+   * κ = (po−pe)/(1−pe) = (n·diag − sp)/(n² − sp) — products kept in
+   * DECIMAL(38,0) so n up to ~1e18 cannot overflow, doubles enter only
+   * in the three published ratios. Output: one row
+   * (n, n_cat_a, n_cat_b, po, pe, kappa), 6dp.
+   */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df.select(raterA.cast("string").as("a"), raterB.cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o")).cache()
+    val rowTot = cells.groupBy(col("a").as("k")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("b").as("k")).agg(sum(col("o")).as("ct"))
+    val totals = cells.agg(sum(col("o")).as("n"),
+      sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("diag"))
+    val margins = rowTot.join(colTot, Seq("k"), "full_outer")
+      .agg(sum(coalesce(col("rt"), lit(0L)).cast("decimal(38,0)")
+          * coalesce(col("ct"), lit(0L)).cast("decimal(38,0)")).as("sp"),
+        sum(when(col("rt").isNotNull, 1L).otherwise(0L)).as("n_cat_a"),
+        sum(when(col("ct").isNotNull, 1L).otherwise(0L)).as("n_cat_b"))
+    val nD = col("n").cast("decimal(38,0)")
+    totals.crossJoin(broadcast(margins))
+      .select(col("n"), col("n_cat_a"), col("n_cat_b"),
+        round(col("diag").cast("double") / col("n").cast("double"), 6).as("po"),
+        round(col("sp").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")), 6).as("pe"),
+        round((nD * col("diag").cast("decimal(38,0)") - col("sp")).cast("double")
+          / (nD * nD - col("sp")).cast("double"), 6).as("kappa"))
+  }
 }

@@ -199,4 +199,25 @@ class DistDriftSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name has unpartitioned WindowExec: $bad")
     }
   }
+
+  test("jensenShannon: 0 for identical, ln2 for disjoint, hand-checked mix") {
+    val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("v")
+    val same = DistDrift.jensenShannon(a, a, "v").head()
+    assert(same.getAs[Double]("jsd") == 0.0)
+    assert(same.getAs[Long]("n_cats") == 2)
+    // disjoint supports: JSD = ln 2 (max), js_dist = 1 in bits
+    val b = (Seq.fill(20)("z")).toDF("v")
+    val dis = DistDrift.jensenShannon(a, b, "v").head()
+    assert(math.abs(dis.getAs[Double]("jsd") - math.log(2.0)) < 1e-6)
+    assert(dis.getAs[Double]("jsd_bits") == 1.0)
+    assert(dis.getAs[Double]("js_dist") == 1.0)
+    assert(dis.getAs[Long]("n_cats") == 3)
+    // hand case: P = (3/4, 1/4), Q = (1/4, 3/4); m = (1/2, 1/2) for both
+    // jsd = ½Σ p ln(2p) + ½Σ q ln(2q), symmetric ⇒ = Σ_p terms
+    val c = (Seq.fill(10)("x") ++ Seq.fill(30)("y")).toDF("v")
+    val expect = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    val r = DistDrift.jensenShannon(a, c, "v").head()
+    assert(math.abs(r.getAs[Double]("jsd") - expect) < 2e-6)
+    assert(r.getAs[Long]("n_a") == 40 && r.getAs[Long]("n_b") == 40)
+  }
 }

@@ -201,4 +201,25 @@ class ScdSpec extends SparkSpec {
     assert(none.getAs[Long]("n_rel") == 0 && none.getAs[Double]("p_at_k") == 0.0)
     assert(none.isNullAt(4) && none.isNullAt(5) && none.isNullAt(6))
   }
+
+  test("cohenKappa: perfect = 1, independent = 0, textbook 2x2 = 0.4, one-sided cat") {
+    import spark.implicits._
+    def kappa(rows: Seq[(String, String)]): org.apache.spark.sql.Row =
+      Experiment.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    val perfect = kappa(Seq.fill(10)(("k", "k")) ++ Seq.fill(5)(("d", "d")))
+    assert(perfect.getAs[Double]("kappa") == 1.0 && perfect.getAs[Double]("po") == 1.0)
+    // exact independence: cells are products of the marginals → κ = 0
+    val ind = kappa(Seq.fill(30)(("k", "k")) ++ Seq.fill(30)(("k", "d")) ++
+      Seq.fill(20)(("d", "k")) ++ Seq.fill(20)(("d", "d")))
+    assert(ind.getAs[Double]("kappa") == 0.0 && ind.getAs[Double]("pe") == 0.5)
+    // classic 2x2 (20,5 / 10,15): po = 0.7, pe = 0.5, κ = 0.4 exactly
+    val tb = kappa(Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n")))
+    assert(tb.getAs[Double]("kappa") == 0.4)
+    assert(tb.getAs[Long]("n") == 50 && tb.getAs[Long]("n_cat_a") == 2)
+    // a category only rater A uses: marginal product is 0, counts still right
+    val oneSided = kappa(Seq.fill(8)(("k", "k")) ++ Seq.fill(2)(("m", "k")))
+    assert(oneSided.getAs[Long]("n_cat_a") == 2 && oneSided.getAs[Long]("n_cat_b") == 1)
+    assert(oneSided.getAs[Double]("po") == 0.8)
+  }
 }
