@@ -1643,6 +1643,15 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q260_spearman" -> ((s, dir) => {
+      // monotone association between quantity and line price without a
+      // per-row ranking: distinct-value half-unit ranks (the KS prefix-
+      // sum discipline), exact integer moments, doubles only in the
+      // final ratio — the outlier-proof sibling of q170's Pearson
+      val li = eng(s, dir).table("lineitem")
+      graft.operators.DistDrift.spearman(li,
+        col("l_quantity"), col("l_extendedprice"))
+    }),
     "q259_jsd" -> ((s, dir) => {
       // symmetric always-finite drift between the weekend and weekday
       // event-type mixes — the KL replacement for dashboards (weekend
@@ -4082,6 +4091,45 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q260: identical half-unit rank identity per distinct value, HUGEINT
+    // exact moments, identical final ratio with separate sqrts
+    "q260_spearman" ->
+      """WITH s AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         ), px AS (
+           SELECT x, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY 1
+         ), rx AS (
+           SELECT x, 2 * COALESCE(CAST(sum(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                  + t + 1 AS ax
+           FROM px
+         ), py AS (
+           SELECT y, CAST(count(*) AS BIGINT) AS t FROM s GROUP BY 1
+         ), ry AS (
+           SELECT y, 2 * COALESCE(CAST(sum(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                  + t + 1 AS ay
+           FROM py
+         ), j AS (
+           SELECT rx.ax, ry.ay FROM s
+           JOIN rx ON rx.x = s.x JOIN ry ON ry.y = s.y
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(ax AS HUGEINT) * CAST(ay AS HUGEINT)) AS sxy,
+                  sum(CAST(ax AS HUGEINT) * CAST(ax AS HUGEINT)) AS sx2,
+                  sum(CAST(ay AS HUGEINT) * CAST(ay AS HUGEINT)) AS sy2
+           FROM j
+         )
+         SELECT n,
+                CASE WHEN CAST(sx2 - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE) > 0
+                      AND CAST(sy2 - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE) > 0
+                THEN round(CAST(sxy - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE)
+                     / (sqrt(CAST(sx2 - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE))
+                      * sqrt(CAST(sy2 - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS DOUBLE))), 6)
+                END AS rho
+         FROM m""",
     // q259: identical epoch-day weekend split, identical rational p/q/m,
     // ½(p·ln(p/m)+q·ln(q/m)) terms 12dp-rounded and decimal-summed;
     // bits/dist composed from the published 6dp jsd

@@ -220,6 +220,43 @@ object DistDrift {
   }
 
   /**
+   * Spearman rank correlation — the monotone-association measure that
+   * ignores outliers and units Pearson chokes on. Tie-corrected average
+   * ranks come from the SAME distinct-value discipline as [[ks]]: per-
+   * value counts + bucketed prefix sums give the half-unit identity
+   * 2·rank̄(v) = 2·below(v) + t(v) + 1, so NO full-relation window and
+   * no per-row ranking — rows meet their rank by a value-keyed join.
+   * With A = 2·rank̄ all moments are exact integers (ΣA = n(n+1) always):
+   * ρ = (ΣAxAy − n(n+1)²) / √(ΣAx²−n(n+1)²)·√(ΣAy²−n(n+1)²) — sums in
+   * DECIMAL(38,0) (exact to n ≈ 10⁴ trillion rows; A·A ≤ 4n²), doubles
+   * only in the final ratio with the two sqrts taken separately (the
+   * q244 overflow doctrine). Output: one row (n, rho), 6dp.
+   */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val subj = df.select(xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    def rankOf(c: String): DataFrame = {
+      val perValue = subj.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+      withPrefixSums(perValue, Seq("t"))
+        .select(col("v").as(c),
+          (lit(2L) * col("t_below") + col("t") + 1L)
+            .cast("decimal(38,0)").as(s"__a_$c"))
+    }
+    val ranked = subj.join(rankOf("x"), "x").join(rankOf("y"), "y")
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("__a_x") * col("__a_y")).as("sxy"),
+      sum(col("__a_x") * col("__a_x")).as("sx2"),
+      sum(col("__a_y") * col("__a_y")).as("sy2"))
+    val nD = col("n").cast("decimal(38,0)")
+    val m = nD * (nD + lit(1)) * (nD + lit(1))
+    val num = (col("sxy") - m).cast("double")
+    val dx = (col("sx2") - m).cast("double")
+    val dy = (col("sy2") - m).cast("double")
+    agg.select(col("n"),
+      when(dx > 0 && dy > 0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+  }
+
+  /**
    * Gini concentration coefficient per group, exact until the last step:
    * with values as integer cents sorted ascending (ties are
    * position-invariant in Σ i·x, so no tiebreak is even needed),

@@ -200,6 +200,20 @@ class DistDriftSpec extends SparkSpec {
     }
   }
 
+  test("spearman: monotone = 1, inverse = -1, tie hand case = 2/sqrt(5), constant NULL") {
+    def rho(rows: Seq[(Double, Double)]): org.apache.spark.sql.Row =
+      DistDrift.spearman(rows.toDF("x", "y"), col("x"), col("y")).head()
+    // nonlinear but monotone: Pearson < 1, Spearman exactly 1
+    assert(rho(Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0))).getDouble(1) == 1.0)
+    assert(rho(Seq((1.0, 16.0), (2.0, 9.0), (3.0, 4.0), (4.0, 1.0))).getDouble(1) == -1.0)
+    // ties: x = (1,1,2,2) ranks (1.5,1.5,3.5,3.5) vs y = 1..4 → 2/√5
+    val t = rho(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0), (2.0, 4.0)))
+    assert(t.getDouble(1) == math.rint(2.0 / math.sqrt(5.0) * 1e6) / 1e6)
+    assert(t.getLong(0) == 4)
+    // zero-variance side: undefined, publishes NULL not NaN
+    assert(rho(Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0))).isNullAt(1))
+  }
+
   test("jensenShannon: 0 for identical, ln2 for disjoint, hand-checked mix") {
     val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("v")
     val same = DistDrift.jensenShannon(a, a, "v").head()
