@@ -1643,6 +1643,16 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q261_adamic_adar" -> ((s, dir) => {
+      // who should be connected next: Adamic-Adar common-neighbor
+      // scores for non-adjacent brand pairs — rare shared neighbors
+      // weigh 1/ln(deg), one wedge join (the q177 cost class), exact
+      // decimal order before the one double cast
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      graft.operators.GraphOps.adamicAdar(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")), topK = 50)
+    }),
     "q260_spearman" -> ((s, dir) => {
       // monotone association between quantity and line price without a
       // per-row ranking: distinct-value half-unit ranks (the KS prefix-
@@ -4091,6 +4101,30 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q261: identical symmetrized wedge join, 12dp 1/ln(deg) terms
+    // decimal-summed, anti-join on canonical edges, exact-decimal order
+    "q261_adamic_adar" -> (duckBrandGraph +
+      """, sym AS (SELECT pa AS src, pb AS dst FROM pr
+                   UNION SELECT pb, pa FROM pr
+         ), deg AS (
+           SELECT src AS z, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+         ), wd AS (
+           SELECT a.src AS z, a.dst AS ua, b.dst AS wa
+           FROM sym a JOIN sym b ON b.src = a.src AND a.dst < b.dst
+         ), sc AS (
+           SELECT ua, wa, CAST(count(*) AS BIGINT) AS n_common,
+                  sum(CAST(round(1.0 / ln(CAST(deg.deg AS DOUBLE)), 12)
+                      AS DECIMAL(24,12))) AS s
+           FROM wd JOIN deg ON deg.z = wd.z
+           GROUP BY 1, 2
+         ), f AS (
+           SELECT sc.* FROM sc
+           LEFT JOIN pr ON pr.pa = sc.ua AND pr.pb = sc.wa
+           WHERE pr.pa IS NULL
+         )
+         SELECT ua AS node_a, wa AS node_b, n_common,
+                round(CAST(s AS DOUBLE), 6) AS score
+         FROM f ORDER BY s DESC, ua, wa LIMIT 50"""),
     // q260: identical half-unit rank identity per distinct value, HUGEINT
     // exact moments, identical final ratio with separate sqrts
     "q260_spearman" ->

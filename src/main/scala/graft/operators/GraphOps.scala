@@ -397,6 +397,46 @@ object GraphOps {
    * Output: (node, degree) for the k-core's nodes with their degree
    * INSIDE the core (all ≥ k); empty when no k-core exists.
    */
+  /**
+   * Adamic–Adar link prediction: score NON-adjacent pairs by their
+   * common neighbors, weighting rare neighbors up —
+   * AA(u,w) = Σ_{z ∈ N(u)∩N(w)} 1/ln(deg z) (Adamic & Adar 2003), the
+   * standard "who should be connected next" baseline for co-occurrence
+   * and citation graphs. Edges are symmetrized + deduped, self-loops
+   * dropped; candidates come from one wedge join through each z
+   * (u < w canonicalizes — each common neighbor contributes once), the
+   * same Σ deg² cost class as [[triangles]]; existing edges leave by an
+   * anti-join. A common neighbor has deg ≥ 2 so ln(deg) ≥ ln 2 — terms
+   * are finite, 12dp-rounded and DECIMAL-summed (the Σ doctrine), the
+   * ORDER runs on the exact decimal score before the one double cast.
+   * Output: top `topK` rows (node_a, node_b, n_common, score) by
+   * (score desc, node_a, node_b) — bounded, TakeOrdered-friendly.
+   */
+  def adamicAdar(edges: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val nbr = sym.select(col("src").as("z"), col("dst").as("n"))
+    val wedges = nbr.select(col("z"), col("n").as("u"))
+      .join(nbr.select(col("z"), col("n").as("w")), "z")
+      .where(col("u") < col("w"))
+    val canon = sym.where(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("w"))
+    wedges.join(deg, "z")
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / log(col("deg").cast("double")), 12)
+          .cast("decimal(24,12)")).as("__s"))
+      .join(canon, Seq("u", "w"), "left_anti")
+      .orderBy(col("__s").desc, col("u").asc, col("w").asc)
+      .limit(topK)
+      .select(col("u").as("node_a"), col("w").as("node_b"), col("n_common"),
+        round(col("__s").cast("double"), 6).as("score"))
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
       maxLocalEdges: Long = 1000000L): DataFrame = {
     require(k >= 1 && maxRounds >= 1, "k >= 1, maxRounds >= 1")

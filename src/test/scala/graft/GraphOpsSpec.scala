@@ -185,4 +185,25 @@ class GraphOpsSpec extends SparkSpec {
     // with enough rounds the path has no 2-core at all
     assert(GraphOps.kCore(path, k = 2, maxRounds = 30).isEmpty)
   }
+
+  test("adamicAdar: path/star/square hand scores, adjacency excluded, topK order") {
+    import spark.implicits._
+    def aa(edges: Seq[(String, String)], k: Int = 50): Seq[(String, String, Long, Double)] =
+      GraphOps.adamicAdar(edges.toDF("src", "dst"), topK = k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // path a-b-c: only (a,c) is predictable, through b with deg 2
+    assert(aa(Seq(("a", "b"), ("b", "c"))) ==
+      Seq(("a", "c", 1L, r6(1.0 / math.log(2.0)))))
+    // star: all leaf pairs share the center (deg 3); adjacency excluded
+    val star = aa(Seq(("s", "a"), ("s", "b"), ("s", "c")))
+    assert(star.map(t => (t._1, t._2)) == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(star.forall(t => t._3 == 1L && t._4 == r6(1.0 / math.log(3.0))))
+    // square a-b-c-d-a: diagonals share TWO deg-2 corners
+    val sq = aa(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    assert(sq == Seq(("a", "c", 2L, r6(2.0 / math.log(2.0))),
+      ("b", "d", 2L, r6(2.0 / math.log(2.0)))))
+    // topK bounds the output after the exact-decimal sort
+    assert(aa(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")), k = 1).size == 1)
+  }
 }
