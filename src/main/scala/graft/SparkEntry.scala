@@ -1643,6 +1643,21 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q262_changepoint" -> ((s, dir) => {
+      // when did the level shift: offline best-split changepoint on the
+      // daily revenue series per priority — exact long prefix sums, one
+      // fixed 12dp gain expression, earliest-split tie-break; the
+      // retrospective complement of q146's online CUSUM
+      val daily = eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority"),
+          (date_trunc("DAY", col("o_orderdate")).cast("long") / 86400)
+            .cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.TimeSeries.changepoint(daily, "o_orderpriority",
+          "t", "units")
+        .orderBy("o_orderpriority")
+    }),
     "q261_adamic_adar" -> ((s, dir) => {
       // who should be connected next: Adamic-Adar common-neighbor
       // scores for non-adjacent brand pairs — rare shared neighbors
@@ -4101,6 +4116,39 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q262: identical daily cents series, identical 12dp gain double
+    // expression, argmax with earliest-split tie-break
+    "q262_changepoint" ->
+      """WITH d AS (
+           SELECT o_orderpriority AS k,
+                  CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1, 2
+         ), p AS (
+           SELECT k, t, v,
+                  CAST(row_number() OVER (PARTITION BY k ORDER BY t) AS BIGINT) AS i,
+                  CAST(sum(v) OVER (PARTITION BY k ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM d
+         ), tot AS (
+           SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sn
+           FROM d GROUP BY 1
+         ), c AS (
+           SELECT p.k, p.t, p.i, tot.n, p.s, tot.sn,
+                  round(CAST(CAST(p.s AS HUGEINT) * p.s * (tot.n - p.i) * tot.n
+                           + CAST(tot.sn - p.s AS HUGEINT) * (tot.sn - p.s) * p.i * tot.n
+                           - CAST(tot.sn AS HUGEINT) * tot.sn * p.i * (tot.n - p.i) AS DOUBLE)
+                      / CAST(CAST(p.i AS HUGEINT) * (tot.n - p.i) * tot.n AS DOUBLE), 6) AS gain
+           FROM p JOIN tot ON tot.k = p.k WHERE p.i < tot.n
+         ), r AS (
+           SELECT c.*, row_number() OVER (PARTITION BY k ORDER BY gain DESC, t ASC) AS rn
+           FROM c
+         )
+         SELECT k AS o_orderpriority, n AS n_buckets, t AS cp_t, i AS n_left,
+                round(CAST(s AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_left,
+                round(CAST(sn - s AS DOUBLE) / CAST(n - i AS DOUBLE), 6) AS mean_right,
+                gain
+         FROM r WHERE rn = 1 ORDER BY o_orderpriority""",
     // q261: identical symmetrized wedge join, 12dp 1/ln(deg) terms
     // decimal-summed, anti-join on canonical edges, exact-decimal order
     "q261_adamic_adar" -> (duckBrandGraph +

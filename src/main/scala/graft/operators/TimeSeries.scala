@@ -78,6 +78,61 @@ object TimeSeries {
   }
 
   /**
+   * Offline single-changepoint detection per key — the retrospective
+   * structural-break finder [[cusum]]'s online alarm isn't: over an
+   * already-bucketed integer series, pick the split τ minimizing pooled
+   * SSE, equivalently maximizing the variance-reduction gain
+   * G(τ) = S_τ²/τ + (S_n−S_τ)²/(n−τ) − S_n²/n (binary segmentation's
+   * one step, Scott & Knott 1974). Prefix sums are exact longs over a
+   * key-partitioned window (series bounded by calendar buckets, keys
+   * distributed — the [[holt]] scale shape). The gain is the exact
+   * integer rational num/den with denominators CLEARED —
+   * num = S_τ²(n−τ)n + S_r²τn − S_n²τ(n−τ) in DECIMAL(38,0), den =
+   * τ(n−τ)n — because a 3-term double chain is NOT engine-reproducible
+   * (contraction flipped the last ulp vs the oracle at 5e15); one
+   * double division of exactly-converted integers is. Operand bound:
+   * S_n²·n < 10³⁸ — cents-level daily sums to ~$10¹⁴ total per key.
+   * Argmax tie-breaks to the earliest split. Output per key:
+   * (key, n_buckets, cp_t — last LEFT bucket, n_left, mean_left,
+   * mean_right, gain), 6dp in units / units².
+   */
+  def changepoint(bucketed: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bucketed
+      .select(col(keyCol).as("__k"), col(tCol).as("__t"),
+        col(unitsCol).cast("long").as("__v"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(col("__t"))).cast("long"))
+      .withColumn("__s", sum(col("__v")).over(w))
+    val tot = pre.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sn"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val slD = d(col("__s"))
+    val srD = d(col("__sn")) - slD
+    val iD = d(col("__i"))
+    val nrD = d(col("__n")) - iD
+    val nD = d(col("__n"))
+    val cand = pre.join(tot, "__k").where(col("__i") < col("__n"))
+      .withColumn("__num", slD * slD * nrD * nD + srD * srD * iD * nD
+        - d(col("__sn")) * d(col("__sn")) * iD * nrD)
+      .withColumn("__den", iD * nrD * nD)
+      .withColumn("__gain",
+        round(col("__num").cast("double") / col("__den").cast("double"), 6))
+    val pick = Window.partitionBy(col("__k"))
+      .orderBy(col("__gain").desc, col("__t").asc)
+    cand.withColumn("__rn", row_number().over(pick)).where(col("__rn") === 1)
+      .select(col("__k").as(keyCol), col("__n").as("n_buckets"),
+        col("__t").as("cp_t"), col("__i").as("n_left"),
+        round(col("__s").cast("double") / col("__i").cast("double"), 6)
+          .as("mean_left"),
+        round((col("__sn") - col("__s")).cast("double")
+          / (col("__n") - col("__i")).cast("double"), 6).as("mean_right"),
+        col("__gain").as("gain"))
+  }
+
+  /**
    * Holt double-exponential smoothing (level + trend) per key over an
    * already-bucketed integer series, with α = β = 1/2 — the halving
    * weights make every step EXACT integer arithmetic (truncating `div`

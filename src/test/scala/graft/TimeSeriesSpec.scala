@@ -166,4 +166,19 @@ class TimeSeriesSpec extends SparkSpec {
     val single = Seq(("solo", 1L, 5L)).toDF("g", "t", "y")
     assert(Trend.theilSen(single, "g", col("t"), col("y")).isEmpty)
   }
+
+  test("changepoint: clean shift found with exact gain; flat series ties to earliest") {
+    val shift = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("a", 4L, 50L), ("a", 5L, 50L)).toDF("g", "t", "v")
+    val r = TimeSeries.changepoint(shift, "g", "t", "v").head()
+    assert(r.getLong(1) == 5 && r.getLong(2) == 3 && r.getLong(3) == 3)
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 50.0)
+    // hand rational: num = 900·2·5 + 10000·3·5 − 16900·3·2 = 57600, den = 30
+    assert(r.getDouble(6) == 1920.0)
+    // constant series: every split gains 0, earliest wins deterministically
+    val flat = Seq(("b", 1L, 7L), ("b", 2L, 7L), ("b", 3L, 7L)).toDF("g", "t", "v")
+    val f = TimeSeries.changepoint(flat, "g", "t", "v").head()
+    assert(f.getLong(2) == 1 && f.getDouble(6) == 0.0)
+    assert(f.getDouble(4) == 7.0 && f.getDouble(5) == 7.0)
+  }
 }
