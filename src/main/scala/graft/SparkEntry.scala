@@ -1643,6 +1643,24 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q265_decision_stump" -> ((s, dir) => {
+      // is value predictive of purchase at all: best single Gini split
+      // over the distinct-value prefix sums (no full-relation window),
+      // exact-rational cost with ONE divide per candidate, earliest-
+      // threshold tie-break — the one-node tree boosted models repeat
+      val ev = eng(s, dir).table("events")
+      graft.operators.FeatureEng.decisionStump(ev.where(col("value").isNotNull),
+        col("value"), col("event_type") === "purchase")
+    }),
+    "q263_target_encode" -> ((s, dir) => {
+      // high-cardinality-safe categorical encoder: per-segment account
+      // balance with a 20-row pseudo-count shrinking small segments to
+      // the global prior — enc = (s·N + m·S)/(N·(c+m)), one exact divide
+      graft.operators.FeatureEng.targetEncode(eng(s, dir).table("customer"),
+          col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"), m = 20L)
+        .orderBy("category")
+    }),
     "q262_changepoint" -> ((s, dir) => {
       // when did the level shift: offline best-split changepoint on the
       // daily revenue series per priority — exact long prefix sums, one
@@ -4116,6 +4134,61 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q265: identical prefix-sum candidates, identical exact-rational
+    // cost (HUGEINT num/den, one divide), argmin with earliest-v tiebreak
+    "q265_decision_stump" ->
+      """WITH s AS (
+           SELECT CAST(value AS DOUBLE) AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL
+         ), pv AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS ct, CAST(sum(y) AS BIGINT) AS cp
+           FROM s GROUP BY 1
+         ), c AS (
+           SELECT v,
+                  CAST(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+                  CAST(sum(cp) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+           FROM pv
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p FROM s
+         ), cand AS (
+           SELECT c.v, c.nl, c.pl, tot.n - c.nl AS nr, tot.p - c.pl AS pr,
+                  tot.n, tot.p,
+                  round(CAST(2 * (CAST(c.pl AS HUGEINT) * (c.nl - c.pl) * (tot.n - c.nl)
+                            + CAST(tot.p - c.pl AS HUGEINT)
+                              * ((tot.n - c.nl) - (tot.p - c.pl)) * c.nl) AS DOUBLE)
+                      / CAST(CAST(tot.n AS HUGEINT) * c.nl * (tot.n - c.nl) AS DOUBLE), 6) AS cost
+           FROM c, tot WHERE c.nl < tot.n
+         ), best AS (
+           SELECT * FROM cand ORDER BY cost ASC, v ASC LIMIT 1
+         )
+         SELECT n, p AS n_pos, v AS threshold, nl AS n_left, pl AS pos_left,
+                nr AS n_right, pr AS pos_right,
+                round(CAST(2 * CAST(p AS HUGEINT) * (n - p) AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS gini_parent,
+                cost AS gini_split,
+                round(round(CAST(2 * CAST(p AS HUGEINT) * (n - p) AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) - cost, 6) AS gain
+         FROM best""",
+    // q263: identical cents sums; enc replayed as the cleared-denominator
+    // rational (s·N + m·S)/(N·(c+m)) in HUGEINT with one divide
+    "q263_target_encode" ->
+      """WITH s AS (
+           SELECT c_mktsegment AS category,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS u
+           FROM customer WHERE c_mktsegment IS NOT NULL
+         ), per AS (
+           SELECT category, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(u) AS BIGINT) AS sum_units
+           FROM s GROUP BY 1
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(u) AS BIGINT) AS ss FROM s
+         )
+         SELECT category, n, sum_units,
+                round(CAST(sum_units AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+                round(CAST(CAST(sum_units AS HUGEINT) * nn + 20 * CAST(ss AS HUGEINT) AS DOUBLE)
+                      / CAST(CAST(nn AS HUGEINT) * (n + 20) AS DOUBLE), 6) AS enc
+         FROM per, tot ORDER BY category""",
     // q262: identical daily cents series, identical 12dp gain double
     // expression, argmax with earliest-split tie-break
     "q262_changepoint" ->

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Feature-engineering primitives for model pipelines over warehouse
+ * tables, in the engine's exact-arithmetic doctrine: every published
+ * statistic is an integer rational of exact counts/unit-sums with ONE
+ * double division at the end (the q262 lesson — multi-term double
+ * chains are not engine-reproducible; single divides of exactly-
+ * converted integers are).
+ *
+ *  - [[targetEncode]]: smoothed mean-target encoding (Micci-Barreca
+ *    2001) — the high-cardinality categorical encoder one-hot can't be.
+ *  - [[decisionStump]]: the best single-threshold Gini split — the
+ *    one-feature baseline model and the building block boosted trees
+ *    repeat; also the cheapest "is this feature predictive at all"
+ *    probe.
+ *
+ * Reference anchor: none (no ML surface in the reference); extends the
+ * evaluation family (rocAuc/averagePrecision/calibration).
+ */
+object FeatureEng {
+
+  /**
+   * Smoothed mean-target encoding per category: with per-category count
+   * c and unit-sum s, global N and S, pseudo-count m,
+   *   enc = (s + m·(S/N)) / (c + m) = (s·N + m·S) / (N·(c + m))
+   * — the right-hand form clears the prior's denominator so the encode
+   * is ONE divide of exact DECIMAL(38,0) integers (bound: s·N < 10³⁸).
+   * A category with few rows shrinks toward the global prior instead of
+   * memorizing its target — the leakage-prone naive mean does not.
+   * One groupBy + a broadcast scalar join; no windows, no second pass.
+   * Output per category: (category, n, sum_units, raw_mean, enc), 6dp.
+   */
+  def targetEncode(df: DataFrame, catCol: Column, unitsCol: Column,
+      m: Long): DataFrame = {
+    require(m >= 0, "pseudo-count m must be >= 0")
+    val s = df.select(catCol.cast("string").as("category"),
+        unitsCol.cast("long").as("u"))
+      .where(col("category").isNotNull && col("u").isNotNull)
+    val per = s.groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("sum_units"))
+    val tot = s.agg(count(lit(1)).as("__N"), sum(col("u")).as("__S"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    per.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("sum_units"),
+        round(col("sum_units").cast("double") / col("n").cast("double"), 6)
+          .as("raw_mean"),
+        round((d(col("sum_units")) * d(col("__N")) + lit(m) * d(col("__S")))
+            .cast("double")
+          / (d(col("__N")) * (d(col("n")) + lit(m))).cast("double"), 6)
+          .as("enc"))
+  }
+
+  /**
+   * Best single-threshold Gini split of a numeric score against a
+   * boolean label. Thresholds are the DISTINCT score values (left =
+   * score ≤ v), their cumulative pos/row counts come from the bucketed
+   * prefix sums of [[DistDrift.withPrefixSums]] — no full-relation
+   * window, candidate relation bounded by score cardinality. Node Gini
+   * 2p(n−p)/n² makes the weighted-split cost the exact rational
+   *   cost(v) = 2·[p_l(n_l−p_l)·n_r + p_r(n_r−p_r)·n_l] / (N·n_l·n_r)
+   * — ONE divide per candidate of DECIMAL(38,0) integers, argmin
+   * tie-breaks to the smallest threshold; `gain` composes from the
+   * PUBLISHED 6dp parent/split Ginis. Output: one row (n, n_pos,
+   * threshold, n_left, pos_left, n_right, pos_right, gini_parent,
+   * gini_split, gain).
+   */
+  def decisionStump(df: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val s = df.select(scoreCol.cast("double").as("v"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .where(col("v").isNotNull)
+    val perValue = s.groupBy(col("v"))
+      .agg(count(lit(1)).as("ct"), sum(col("y")).as("cp"))
+    val tot = s.agg(count(lit(1)).as("__n"), sum(col("y")).as("__p"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val nl = col("ct_below") + col("ct")
+    val pl = col("cp_below") + col("cp")
+    val nr = col("__n") - nl
+    val pr = col("__p") - pl
+    val cost = round(
+      (lit(2L) * (d(pl) * (d(nl) - d(pl)) * d(nr)
+        + d(pr) * (d(nr) - d(pr)) * d(nl))).cast("double")
+      / (d(col("__n")) * d(nl) * d(nr)).cast("double"), 6)
+    val best = DistDrift.withPrefixSums(perValue, Seq("ct", "cp"))
+      .crossJoin(broadcast(tot))
+      .where(nl < col("__n"))
+      .withColumn("__cost", cost)
+      .orderBy(col("__cost").asc, col("v").asc)
+      .limit(1)
+    val parent = round((lit(2L) * d(col("__p")) * (d(col("__n")) - d(col("__p"))))
+        .cast("double")
+      / (d(col("__n")) * d(col("__n"))).cast("double"), 6)
+    best.select(col("__n").as("n"), col("__p").as("n_pos"),
+        col("v").as("threshold"), nl.as("n_left"), pl.as("pos_left"),
+        nr.as("n_right"), pr.as("pos_right"),
+        parent.as("gini_parent"), col("__cost").as("gini_split"))
+      .withColumn("gain", round(col("gini_parent") - col("gini_split"), 6))
+  }
+}
