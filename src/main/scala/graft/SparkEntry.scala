@@ -1643,6 +1643,14 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q264_phrase_search" -> ((s, dir) => {
+      // order-sensitive retrieval BM25 can't do: exact positional
+      // phrase match for "table part" — offset-voted starts, count-k
+      // test, only phrase-token postings ever shuffle
+      graft.pipeline.CorpusStats.phraseSearch(
+          eng(s, dir).table("documents"), "doc_id", "text", "table part")
+        .orderBy("doc_id")
+    }),
     "q265_decision_stump" -> ((s, dir) => {
       // is value predictive of purchase at all: best single Gini split
       // over the distinct-value prefix sums (no full-relation window),
@@ -4134,6 +4142,27 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q264: identical tokenizer (q117's), identical start-vote count-k
+    // phrase test, positions from 0-based generate_subscripts
+    "q264_phrase_search" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+           FROM documents
+         ), p AS (
+           SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
+           FROM tok
+         ), q AS (
+           SELECT * FROM (VALUES ('table', 0), ('part', 1)) AS t(w, qi)
+         ), m AS (
+           SELECT p.doc_id, CAST(p.pos - q.qi AS BIGINT) AS st
+           FROM p JOIN q ON q.w = p.w WHERE p.pos - q.qi >= 0
+         ), s AS (
+           SELECT doc_id, st FROM m GROUP BY doc_id, st HAVING count(*) = 2
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                CAST(min(st) AS BIGINT) AS first_pos
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     // q265: identical prefix-sum candidates, identical exact-rational
     // cost (HUGEINT num/den, one divide), argmin with earliest-v tiebreak
     "q265_decision_stump" ->

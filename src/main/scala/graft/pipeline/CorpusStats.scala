@@ -28,6 +28,41 @@ object CorpusStats {
       explode(whitespaceTokens(lower(col(textCol)))).as("w"))
 
   /**
+   * Exact positional phrase search — the IR primitive BM25's bag-of-
+   * words scoring can't express ("data table" must not match "table
+   * data"). Positional postings come from one posexplode of the SAME
+   * tokenizer as [[bm25Search]]; each phrase token joins the postings
+   * (broadcast of the tiny query side — only phrase-token postings ever
+   * shuffle) and votes for its implied start = pos − offset; a start
+   * every one of the k offsets voted for is an occurrence (a repeated
+   * phrase token casts one vote per offset it fills, so the count-k
+   * test is exact even for phrases like "the cat the"). Per-doc rollup
+   * is one grouped agg keyed on (doc, start) then doc — linear in
+   * phrase-token volume, never in corpus size.
+   * Output: (`idCol`, n_hits, first_pos) for matching docs only.
+   */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qToks = phrase.toLowerCase.trim.split("\\s+").toSeq
+    require(qToks.nonEmpty && qToks.head.nonEmpty, "phrase must have tokens")
+    val k = qToks.size
+    val q = qToks.zipWithIndex.toDF("w", "__qi")
+    val postings = docs.select(col(idCol).as("__id"),
+      posexplode(whitespaceTokens(lower(col(textCol)))).as(Seq("__pos", "w")))
+    postings.join(broadcast(q), "w")
+      .select(col("__id"), (col("__pos") - col("__qi")).cast("long").as("__start"))
+      .where(col("__start") >= 0)
+      .groupBy(col("__id"), col("__start"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") === k)
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("__start")).as("first_pos"))
+      .select(col("__id").as(idCol), col("n_hits"), col("first_pos"))
+  }
+
+  /**
    * CCNet-style unigram language-model quality score: train unigram
    * probabilities on the corpus itself, then score each document by the
    * mean log-probability of its tokens. Repetitive, in-distribution text

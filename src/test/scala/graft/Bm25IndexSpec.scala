@@ -35,4 +35,23 @@ class Bm25IndexSpec extends SparkSpec {
       CorpusStats.bm25UpdateIndex(delta, "doc_id", "text", idx) // re-ingest
     }
   }
+
+  test("phraseSearch: exact positions, order-sensitive, repeated-token phrase") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x a b a b y"),            // "a b" at 1 and 3
+      (2L, "b a b a"),                // "a b" at 1 only
+      (3L, "a x b"),                  // gap breaks the phrase
+      (4L, "The Cat the dog the cat the")) // case-folded, repeated token
+      .toDF("doc_id", "text")
+    def hits(ph: String): Map[Long, (Long, Long)] =
+      CorpusStats.phraseSearch(docs, "doc_id", "text", ph).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hits("a b") == Map(1L -> (2L, 1L), 2L -> (1L, 1L)))
+    // order matters: "b a" is a different phrase
+    assert(hits("b a") == Map(1L -> (1L, 2L), 2L -> (2L, 0L)))
+    // a repeated phrase token must fill BOTH its offsets
+    assert(hits("the cat the") == Map(4L -> (2L, 0L)))
+    assert(hits("q z") == Map.empty)
+  }
 }
