@@ -1870,7 +1870,12 @@ object SparkEntry {
       // one template per event type carrying that type's row count (the
       // float/epoch formatting differences vanish under the <n> mask,
       // so the oracle just groups by type and builds the same strings)
-      val lines = eng(s, dir).table("events").select(format_string(
+      // value IS NOT NULL (mirrors q252-q254): a null renders as
+      // 'value=null' and a negative as 'value=-<n>', both of which break
+      // the one-template-per-event-type assumption the oracle replays
+      val lines = eng(s, dir).table("events")
+        .filter(col("value").isNotNull && col("value") >= 0)
+        .select(format_string(
         "%s user=%d value=%.2f at t=%d", col("event_type"),
         col("user_id"), col("value"), col("ts").cast("long")).as("line"))
       graft.pipeline.TextAnalysis.logTemplates(lines, col("line"), topK = 10)
@@ -5416,7 +5421,8 @@ object SparkEntry {
     "q247_log_templates" ->
       """SELECT event_type || ' user=<n> value=<n> at t=<n>' AS template,
                 CAST(count(*) AS BIGINT) AS n_lines
-         FROM events GROUP BY event_type
+         FROM events WHERE value IS NOT NULL AND value >= 0
+         GROUP BY event_type
          ORDER BY n_lines DESC, template ASC
          LIMIT 10""",
     // q246: identical row canonicalization ('|'-joined strings, cents),

@@ -465,8 +465,10 @@ object DistDrift {
       .agg(sum(col("c")).as("n"), sum(col("c") * col("__r2x")).as("r2x"))
       .orderBy(col("g")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // coalesce: sum over ZERO rows is NULL — an all-filtered (empty)
+    // subject must yield (no groups, 0 ties), not an NPE at getLong
     val tieSum = perValue
-      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ts"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L)).as("ts"))
       .head().getLong(0)
     perValue.unpersist()
     (sums, tieSum)

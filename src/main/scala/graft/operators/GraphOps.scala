@@ -364,11 +364,22 @@ object GraphOps {
    * three-join. Per-node counts follow by exploding the triangle's three
    * corners. Shuffles are edge-keyed; the heavy step is the wedge join,
    * bounded by Σ deg² — the standard bound, mitigated upstream by support
-   * thresholds on how `edges` is built.
+   * thresholds on how `edges` is built. `maxDegree` is the hub contract
+   * (house style: containmentPairs.maxPosting, kCore.maxLocalEdges): one
+   * 10⁶-degree hub manufactures ~10¹² wedges, so a graph whose max degree
+   * exceeds the bound REFUSES loudly — cap-prefilter or raise the bound
+   * deliberately rather than silently paying quadratic hub cost.
    */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame, maxDegree: Long = 100000L): DataFrame = {
+    require(maxDegree >= 1, "maxDegree >= 1")
     val e = edges.selectExpr("cast(src as string) as a", "cast(dst as string) as b")
       .where(col("a") < col("b")).distinct()
+    val worstDeg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+    require(worstDeg <= maxDegree,
+      s"triangles: max node degree $worstDeg > maxDegree=$maxDegree — the wedge " +
+        "join is Sum(deg^2); degree-cap-prefilter the edge list or raise the bound")
     val wedges = e.select(col("a").as("x"), col("b").as("y"))
       .join(e.select(col("a").as("y"), col("b").as("z")), "y")
     wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
@@ -411,14 +422,25 @@ object GraphOps {
    * ORDER runs on the exact decimal score before the one double cast.
    * Output: top `topK` rows (node_a, node_b, n_common, score) by
    * (score desc, node_a, node_b) — bounded, TakeOrdered-friendly.
+   * `maxDegree` is the hub contract shared with [[triangles]]: the wedge
+   * join through z emits deg(z)²/2 candidate pairs, so one 10⁶-degree hub
+   * is ~10¹² pairs; a hub past the bound throws rather than silently
+   * exploding — cap-prefilter (drop z with deg > cap, an explicit recall
+   * trade) or raise the bound deliberately.
    */
-  def adamicAdar(edges: DataFrame, topK: Int = 50): DataFrame = {
+  def adamicAdar(edges: DataFrame, topK: Int = 50,
+      maxDegree: Long = 100000L): DataFrame = {
     require(topK >= 1, "topK >= 1")
+    require(maxDegree >= 2, "maxDegree >= 2")
     val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val worstDeg = deg.agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
+    require(worstDeg <= maxDegree,
+      s"adamicAdar: max node degree $worstDeg > maxDegree=$maxDegree — the wedge " +
+        "join is Sum(deg^2); degree-cap-prefilter the edge list or raise the bound")
     val nbr = sym.select(col("src").as("z"), col("dst").as("n"))
     val wedges = nbr.select(col("z"), col("n").as("u"))
       .join(nbr.select(col("z"), col("n").as("w")), "z")
@@ -477,12 +499,18 @@ object GraphOps {
             .join(bad.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
             .select("src", "dst")
             .localCheckpoint(true) // cut lineage per round (pageRank doctrine)
+          // cur no longer references e0 (lineage cut) — drop the cache now
+          // instead of leaking it for the session
+          e0.unpersist(false)
         }
         bad.unpersist(false)
       }
       require(converged || cur.isEmpty,
         s"kCore: peel not converged after $maxRounds rounds")
-      cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      val out = cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      if (cur eq e0) { // converged on round 1: materialize, then release
+        val m = out.localCheckpoint(true); e0.unpersist(false); m
+      } else out
     }
   }
 }

@@ -197,15 +197,19 @@ object Quantiles {
         col("__pe.est").as("est")): _*)
     if (!verified) sk
     else {
+      // Materialize the sketch ONCE before reusing its plan: GK merges
+      // are order-dependent, so re-evaluating `sk` in the verification
+      // lineage could verify a DIFFERENT estimate than the one published.
+      val skM = sk.localCheckpoint(true)
       // one verification scan: exact rank INTERVAL of every estimate
       // (ties give est a rank range [count(<est)+1, count(<=est)]; the
       // GK bound holds if that interval overlaps target ± eps·n) via a
       // broadcast of the tiny (|groups|·|ps|) estimate relation
-      val ranks = df.join(broadcast(sk), groupCols)
+      val ranks = df.join(broadcast(skM), groupCols)
         .groupBy(g :+ col("p"): _*)
         .agg(sum(when(v < col("est"), 1L).otherwise(0L)).as("__below"),
           sum(when(v <= col("est"), 1L).otherwise(0L)).as("__ub"))
-      sk.join(ranks, groupCols :+ "p")
+      skM.join(ranks, groupCols :+ "p")
         .withColumn("__eps_n", ceil(col("n") / lit(accuracy)).cast("long"))
         .withColumn("within_eps",
           (col("__below") + 1L <= col("target_rank") + col("__eps_n") &&

@@ -197,7 +197,7 @@ object TimeSeries {
    * abs_err).
    */
   def holtBacktest(bucketed: DataFrame, tCol: String, unitsCol: String,
-      folds: Int = 7): DataFrame = {
+      folds: Int = 7, maxBuckets: Long = 200000L): DataFrame = {
     require(folds >= 1 && folds <= 60, s"folds in [1,60]: $folds")
     val w = Window.orderBy(col("t"))
     val ranked = bucketed
@@ -206,6 +206,13 @@ object TimeSeries {
       .cache() // cutoff probe + three joins below
     val n = ranked.count()
     require(n > folds, s"series length $n must exceed folds=$folds")
+    // calendar-bound CONTRACT (the seasonalDow doctrine made loud): the
+    // ordered window is global, safe only because the input is an
+    // already-reduced bucketed series — un-bucketed rows passed here
+    // would silently recreate the single-task window, so refuse instead
+    require(n <= maxBuckets,
+      s"holtBacktest: $n buckets > maxBuckets=$maxBuckets — input must be a " +
+        "calendar-bounded bucketed series (resample/aggregate first)")
     val spark = bucketed.sparkSession
     import spark.implicits._
     val cuts = (n - folds until n).map(_.toLong).toDF("c")
@@ -318,6 +325,10 @@ object TimeSeries {
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
     val base = df.select(col(keyCol).as("__k"), col(tCol).as("__t"),
       col(valueCol).cast("long").as("__x"))
+      // own-value null filter (matches ccf's inner-alignment filter): a
+      // NULL bucket must not count toward __n/__np on one engine only —
+      // the oracle counts rn-joined pairs regardless of null values
+      .where(col("__x").isNotNull)
     val leads = (1 to maxLag).foldLeft(base) { (d, k) =>
       d.withColumn(s"__x$k", lead(col("__x"), k).over(w))
     }
@@ -409,12 +420,19 @@ object TimeSeries {
    * Output: one row (n, n_pairs_1, mae_1, n_pairs_m, mae_m, mase_m).
    */
   def seasonalNaiveEval(bucketed: DataFrame, tCol: String, unitsCol: String,
-      m: Int = 7): DataFrame = {
+      m: Int = 7, maxBuckets: Long = 200000L): DataFrame = {
     require(m >= 2, "season m >= 2")
     val w = Window.orderBy(col("__t"))
-    val base = bucketed.select(col(tCol).as("__t"),
+    val pre = bucketed.select(col(tCol).as("__t"),
         col(unitsCol).cast("long").as("__x"))
       .where(col("__x").isNotNull)
+    // calendar-bound CONTRACT (see holtBacktest): the global ordered
+    // window is safe only over an already-bucketed series — refuse loud
+    val nb = pre.count()
+    require(nb <= maxBuckets,
+      s"seasonalNaiveEval: $nb buckets > maxBuckets=$maxBuckets — input must " +
+        "be a calendar-bounded bucketed series (resample/aggregate first)")
+    val base = pre
       .withColumn("__l1", lag(col("__x"), 1).over(w))
       .withColumn("__lm", lag(col("__x"), m).over(w))
     base.agg(
@@ -457,12 +475,18 @@ object TimeSeries {
    * Pearson correlation of the aligned series.
    */
   def ccf(df: DataFrame, tCol: String, xCol: String, yCol: String,
-      maxLag: Int): DataFrame = {
+      maxLag: Int, maxBuckets: Long = 200000L): DataFrame = {
     require(maxLag >= 1, "maxLag >= 1")
     val w = Window.orderBy(col("__t"))
     val base = df.select(col(tCol).as("__t"),
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
       .where(col("__x").isNotNull && col("__y").isNotNull)
+    // calendar-bound CONTRACT (see holtBacktest): the global ordered
+    // window is safe only over an already-bucketed aligned series
+    val nb = base.count()
+    require(nb <= maxBuckets,
+      s"ccf: $nb buckets > maxBuckets=$maxBuckets — input must be a " +
+        "calendar-bounded bucketed series (resample/aggregate first)")
     val dec = "decimal(38,0)"
     val moments = base.agg(
       count(lit(1)).as("__n"),

@@ -101,12 +101,15 @@ object Trend {
         (col("__y").cast("double") - col("slope") * col("__t").cast("double"))
           .as("__r"))
     val wR = Window.partitionBy(col("__k")).orderBy(col("__r"))
-    resid
+    val out = resid
       .withColumn("__rn", row_number().over(wR))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"))))
       .where(col("__rn") === ceil(col("__n").cast("double") / 2.0).cast("long"))
       .select(col("__k").as(keyCol), col("__n").as("n"), col("n_pairs"),
         col("slope"), round(col("__r"), 6).as("intercept"))
+      .localCheckpoint(true) // one row per key — materialize, then free base
+    base.unpersist(false)
+    out
   }
 
   /**

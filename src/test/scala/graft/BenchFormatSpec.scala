@@ -55,6 +55,10 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("unit").asText == "sec")
     assert(math.abs(node.get("value").asDouble - 1.73) < 1e-9)
     assert(node.get("sf").asText == "sf0.1")
+    assert(node.get("reps").asInt == 1) // default param; Bench passes its N
+    val r2 = BenchFormat.formatCompact(results, "sf", reps = 2)
+    val r2node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r2)
+    assert(r2node.get("reps").asInt == 2)
     val qs = node.get("queries")
     assert(qs.size == 2)
     assert(math.abs(qs.get("q01").asDouble - 1.2) < 1e-9)

@@ -156,6 +156,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("wedge-join hub contract: triangles and adamicAdar refuse past maxDegree") {
+    import spark.implicits._
+    // star with center degree 5; edges spelled canonically (a < b) so the
+    // same relation feeds both operators (triangles drops a >= b rows)
+    val star = (1 to 5).map(i => (s"l$i", "z")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.adamicAdar(star, maxDegree = 4).collect()
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.triangles(star, maxDegree = 4).collect()
+    }
+    // at the exact bound both run (refusal is strict >)
+    assert(GraphOps.adamicAdar(star, maxDegree = 5).count() == 10L)
+    assert(GraphOps.triangles(star, maxDegree = 5).isEmpty)
+  }
+
   test("kCore: hand-built core, cascade peeling, branch equality, empty core") {
     import spark.implicits._
     // K4 on a,b,c,d (every degree 3) + a tail e-f hanging off d:

@@ -151,6 +151,12 @@ class ScdSpec extends SparkSpec {
     val r = Experiment.rocAuc(Seq((0.4, true)).toDF("s", "y"), col("s"), col("y"))
       .head()
     assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.isNullAt(2))
+    // EMPTY subject (all rows null-filtered) publishes (0, 0, NULL) —
+    // the rankSums tie aggregation must not NPE on a zero-row sum
+    val e = Experiment.rocAuc(
+      Seq((Option.empty[Double], Option.empty[Boolean])).toDF("s", "y"),
+      col("s"), col("y")).head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
   }
 
   test("averagePrecision: sklearn hand case, perfect ranking, ties, no-pos NULL") {

@@ -119,6 +119,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(w.getAs[Double]("mae_1") > 0.0)
   }
 
+  test("calendar-bound contract: the global-window trio refuses un-bucketed input") {
+    val big = (1 to 50).map(i => (i.toLong, i.toLong)).toDF("t", "x")
+    intercept[IllegalArgumentException] {
+      TimeSeries.ccf(big.withColumn("y", col("x")), "t", "x", "y",
+        maxLag = 1, maxBuckets = 10).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalNaiveEval(big, "t", "x", m = 7, maxBuckets = 10).collect()
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtBacktest(big, "t", "x", folds = 3, maxBuckets = 10).collect()
+    }
+    // at/below the bound all three run
+    assert(TimeSeries.seasonalNaiveEval(big, "t", "x", m = 7, maxBuckets = 50)
+      .head().getAs[Long]("n") == 50)
+  }
+
   test("pacf3: replayable from the published acf values alone; " +
       "zero variance publishes nulls") {
     def r6(x: Double) =
