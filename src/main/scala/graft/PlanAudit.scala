@@ -66,7 +66,10 @@ object PlanAudit {
       "q243_dp_release", // count agg + codegen noise projection
       "q245_kcore", // per-round degree agg + anti-joins, lineage cut
       "q247_log_templates", // regexp projection -> count -> TakeOrdered
-      "q248_cuped") // one unit agg; readout on a 2-row relation
+      "q248_cuped", // one unit agg; readout on a 2-row relation
+      "q261_adamic_adar", // wedge join keyed on z; anti-join; TakeOrdered
+      "q264_phrase_search", // broadcast query tokens; (doc,start) vote agg
+      "q265_decision_stump") // distinct-value prefix sums; scalar broadcast
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
