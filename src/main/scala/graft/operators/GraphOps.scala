@@ -372,8 +372,9 @@ object GraphOps {
    */
   def triangles(edges: DataFrame, maxDegree: Long = 100000L): DataFrame = {
     require(maxDegree >= 1, "maxDegree >= 1")
+    // cache: the dedup shuffle feeds the probe + three wedge-join scans
     val e = edges.selectExpr("cast(src as string) as a", "cast(dst as string) as b")
-      .where(col("a") < col("b")).distinct()
+      .where(col("a") < col("b")).distinct().cache()
     val worstDeg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
       .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
@@ -382,9 +383,12 @@ object GraphOps {
         "join is Sum(deg^2); degree-cap-prefilter the edge list or raise the bound")
     val wedges = e.select(col("a").as("x"), col("b").as("y"))
       .join(e.select(col("a").as("y"), col("b").as("z")), "y")
-    wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val out = wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true) // |nodes|-bounded — materialize, then free e
+    e.unpersist(false)
+    out
   }
 
   /**
@@ -434,8 +438,10 @@ object GraphOps {
     require(maxDegree >= 2, "maxDegree >= 2")
     val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    // cache: the symmetrize+dedup shuffle feeds the degree probe, the
+    // degree join, both wedge sides, and the adjacency anti-join
     val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().cache()
     val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
     val worstDeg = deg.agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
     require(worstDeg <= maxDegree,
@@ -447,7 +453,7 @@ object GraphOps {
       .where(col("u") < col("w"))
     val canon = sym.where(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("w"))
-    wedges.join(deg, "z")
+    val out = wedges.join(deg, "z")
       .groupBy(col("u"), col("w"))
       .agg(count(lit(1)).as("n_common"),
         sum(round(lit(1.0) / log(col("deg").cast("double")), 12)
@@ -457,6 +463,9 @@ object GraphOps {
       .limit(topK)
       .select(col("u").as("node_a"), col("w").as("node_b"), col("n_common"),
         round(col("__s").cast("double"), 6).as("score"))
+      .localCheckpoint(true) // <= topK rows — materialize, then free sym
+    sym.unpersist(false)
+    out
   }
 
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,

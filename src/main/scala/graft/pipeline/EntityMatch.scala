@@ -26,15 +26,27 @@ import graft.functions.GraftFunctions.jaroWinkler
 object EntityMatch {
 
   /** Candidate pairs with Jaro-Winkler ≥ `minSim` inside
-    * (first-char, length) blocks. Output: (a, b, sim) with a < b on
+    * (name-prefix, length) blocks. Output: (a, b, sim) with a < b on
     * `keyCol` and sim rounded to 6dp BEFORE the threshold compare, so an
-    * engine-vs-oracle ulp cannot flip a boundary pair. */
+    * engine-vs-oracle ulp cannot flip a boundary pair.
+    *
+    * `prefixLen` sets the blocking grain: 1 (default) is the classic
+    * (first-char, length) key — cheap, recall-safe for leading-char-
+    * preserving typos, but its key space is BOUNDED (≤ ~26·lengths), so
+    * block sizes grow linearly with ANY corpus and pair mass goes
+    * quadratic at scale. At 100 TB use prefixLen 3-4: on a
+    * diversity-growing corpus the key space grows with the data and
+    * block density stays constant (the DensityScale-measured linear
+    * regime). The recall trade is explicit: a typo INSIDE the prefix
+    * escapes the block at any prefixLen > the typo position — the same
+    * contract every blocking scheme carries. */
   def nameMatchBlocked(entities: DataFrame, keyCol: String, nameCol: String,
-      minSim: Double): DataFrame = {
+      minSim: Double, prefixLen: Int = 1): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, "minSim must be in (0,1]")
+    require(prefixLen >= 1, "prefixLen >= 1")
     val blocked = entities.select(
       col(keyCol), col(nameCol),
-      concat_ws("_", substring(lower(col(nameCol)), 1, 1),
+      concat_ws("_", substring(lower(col(nameCol)), 1, prefixLen),
         length(col(nameCol)).cast("string")).as("__blk"))
     val a = blocked.select(col("__blk"), col(keyCol).as("a"),
       col(nameCol).as("__na"))
@@ -48,9 +60,10 @@ object EntityMatch {
   }
 
   /** Block-size histogram — the skew probe to run before a match pass. */
-  def blockCounts(entities: DataFrame, nameCol: String): DataFrame =
+  def blockCounts(entities: DataFrame, nameCol: String,
+      prefixLen: Int = 1): DataFrame =
     entities.groupBy(
-        concat_ws("_", substring(lower(col(nameCol)), 1, 1),
+        concat_ws("_", substring(lower(col(nameCol)), 1, prefixLen),
           length(col(nameCol)).cast("string")).as("block"))
       .agg(count(lit(1)).as("n"))
 }
