@@ -1643,6 +1643,28 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q266_percentile_rank" -> ((s, dir) => {
+      // percentile-rank transform of order totals (cents): mid-rank
+      // percentiles per DISTINCT value via distributed prefix sums —
+      // the rank-calibration feature map; no row ever crosses a window
+      val ords = eng(s, dir).table("orders")
+      graft.operators.FeatureEng.percentileRank(ords,
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    }),
+    "q267_stratified_split" -> ((s, dir) => {
+      // EXACT-count per-source eval split: rank by a replayable md5 of
+      // the id inside each stratum, keep the first round(n/10) — the
+      // protocol split sampleStratified's binomial coin cannot promise.
+      // Production orders by xxhash64 (codegen); the gate orders by md5
+      // so DuckDB replays the identical total order
+      val docs = eng(s, dir).table("documents")
+      graft.pipeline.Sampling.stratifiedSplitExact(docs, "doc_id", "source",
+          fracNum = 1, fracDen = 10,
+          md5(concat(lit("split:"), col("doc_id").cast("string"))))
+        .where(col("split") === "test")
+        .select(col("source"), col("rnk"), col("doc_id"))
+        .orderBy("source", "rnk")
+    }),
     "q264_phrase_search" -> ((s, dir) => {
       // order-sensitive retrieval BM25 can't do: exact positional
       // phrase match for "table part" — offset-voted starts, count-k
@@ -4149,6 +4171,43 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q266: identical distinct-value prefix sums, identical single
+    // double divide of the 2·below+cnt+1 mid-rank numerator
+    "q266_percentile_rank" ->
+      """WITH s AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders WHERE o_totalprice IS NOT NULL
+         ), p AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1
+         ), w AS (
+           SELECT v, cnt,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS n_below
+           FROM p
+         ), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+         SELECT v, cnt, n_below,
+                round(CAST(2 * n_below + cnt + 1 AS DOUBLE)
+                      / CAST(2 * t.n AS DOUBLE), 6) AS pct
+         FROM w, t ORDER BY v""",
+    // q267: identical md5 total order per stratum, identical integer
+    // half-up rational k = (n*1 + 5) // 10
+    "q267_stratified_split" ->
+      """WITH c AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_stratum,
+                  CAST((count(*) * 1 + 5) // 10 AS BIGINT) AS k_test
+           FROM documents GROUP BY 1
+         ), r AS (
+           SELECT d.source, doc_id,
+                  CAST(row_number() OVER (PARTITION BY d.source
+                    ORDER BY md5(concat('split:', CAST(doc_id AS VARCHAR))),
+                             doc_id) AS BIGINT) AS rnk
+           FROM documents d
+         )
+         SELECT r.source, r.rnk, r.doc_id
+         FROM r JOIN c ON c.source = r.source
+         WHERE r.rnk <= c.k_test
+         ORDER BY r.source, r.rnk""",
     "q264_phrase_search" ->
       """WITH tok AS (
            SELECT doc_id,

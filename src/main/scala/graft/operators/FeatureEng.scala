@@ -68,6 +68,35 @@ object FeatureEng {
    * threshold, n_left, pos_left, n_right, pos_right, gini_parent,
    * gini_split, gain).
    */
+  /**
+   * Percentile-rank (quantile-normalize) transform — the monotone
+   * feature map that makes heavy-tailed columns comparable across
+   * sources and models (rank-based calibration, the Spearman/q260
+   * worldview applied as a TRANSFORM): each distinct integer value v
+   * publishes its mid-rank percentile
+   *
+   *   pct(v) = (2·below(v) + cnt(v) + 1) / (2·n)
+   *
+   * (half-unit mid-rank over ties — min value with cnt 1 gets 1/n, max
+   * gets exactly 1.0). below comes from [[DistDrift.withPrefixSums]]'
+   * distributed prefix sums over the DISTINCT-value relation, so no row
+   * ever passes through a window and the result is bounded by value
+   * cardinality, not row count; apply to rows by joining back on v.
+   * ONE double divide per distinct value, 6dp.
+   * Output: (v, cnt, n_below, pct) ordered by v.
+   */
+  def percentileRank(df: DataFrame, valueCol: Column): DataFrame = {
+    val s = df.select(valueCol.cast("long").as("v")).where(col("v").isNotNull)
+    val perValue = s.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val tot = s.agg(count(lit(1)).as("__n"))
+    DistDrift.withPrefixSums(perValue, Seq("cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("cnt"), col("cnt_below").as("n_below"),
+        round((lit(2L) * col("cnt_below") + col("cnt") + 1L).cast("double")
+          / (lit(2L) * col("__n")).cast("double"), 6).as("pct"))
+      .orderBy(col("v"))
+  }
+
   def decisionStump(df: DataFrame, scoreCol: Column,
       labelCol: Column): DataFrame = {
     val s = df.select(scoreCol.cast("double").as("v"),

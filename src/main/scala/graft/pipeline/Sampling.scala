@@ -89,6 +89,40 @@ object Sampling {
     df.where(stratifiedFlag(col(idCol), col(strataCol), fractions,
       defaultFraction, salt))
 
+  /**
+   * EXACT-count stratified split: per stratum, rank rows by a caller-
+   * supplied deterministic order column (a hash of the id — uniform but
+   * reproducible) and mark the first round(frac·n_s) as the held-out
+   * split. [[sampleStratified]]'s per-row coin gives each stratum a
+   * BINOMIAL split size (±√n noise — fine for sampling, wrong for "give
+   * me exactly 10% per source" eval protocol splits); this is the
+   * rank-relative twin with exact per-stratum counts. One window
+   * PARTITIONED by stratum (parallel across strata, the takeTokenBudget
+   * discipline) + one broadcast of per-stratum counts. Membership is
+   * rank-relative: freeze the snapshot before splitting (same contract
+   * as takeTokenBudget). Ties in `orderCol` break by `idCol` so the
+   * split is total-order deterministic. The fraction is a RATIONAL
+   * num/den so k_test = ⌊(n·num + den/2)/den⌋ is pure integer
+   * arithmetic — a double frac would make the half-way rounding depend
+   * on binary representation, which no oracle can be trusted to replay.
+   * Output: input columns + (n_stratum, k_test, rnk, split∈{test,train}).
+   */
+  def stratifiedSplitExact(df: DataFrame, idCol: String, strataCol: String,
+      fracNum: Long, fracDen: Long, orderCol: Column): DataFrame = {
+    require(fracDen >= 1 && fracNum >= 0 && fracNum <= fracDen,
+      "fraction num/den must be in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(orderCol.asc, col(idCol).asc)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("k_test", expr(
+        s"CAST((n_stratum * $fracNum + ${fracDen / 2}) div $fracDen AS BIGINT)"))
+    df.join(broadcast(counts), Seq(strataCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("split",
+        when(col("rnk") <= col("k_test"), lit("test")).otherwise(lit("train")))
+  }
+
   /** Boolean form of `sampleStratified`'s predicate (for flags/projections
     * — e.g. `Curate` keeps the verdict as a column instead of filtering). */
   def stratifiedFlag(id: Column, strata: Column,

@@ -25,6 +25,19 @@ class FeatureEngSpec extends SparkSpec {
     assert(math.abs(pinned.getAs[Double]("enc") - 250.0) < 0.01)
   }
 
+  test("percentileRank: mid-rank hand case, endpoints, ties, null drop") {
+    val df = Seq(Some(10L), Some(20L), Some(20L), Some(30L), None).toDF("v")
+    val got = FeatureEng.percentileRank(df, col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // n=4: 10 -> (0·2+1+1)/8 = 0.25; 20 ties -> (2+2+1)/8 = 0.625; 30 -> 1.0
+    assert(got.toSeq == Seq((10L, 1L, 0L, 0.25), (20L, 2L, 1L, 0.625),
+      (30L, 1L, 3L, 1.0)))
+    // partition-layout invariance (prefix sums, not a global window)
+    val re = FeatureEng.percentileRank(df.repartition(7), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(re.toSeq == Seq((10L, 0.25), (20L, 0.625), (30L, 1.0)))
+  }
+
   test("decisionStump: perfect split, pure-label zero parent, published rationals") {
     val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
       .toDF("x", "y")

@@ -71,6 +71,31 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("high" -> 2000L))
   }
 
+  test("stratifiedSplitExact: exact per-stratum counts, disjoint, deterministic") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5}
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 70) "a" else "b"))
+      .toDF("id", "src")
+    val ord = md5(concat(lit("t:"), col("id").cast("string")))
+    val got = Sampling.stratifiedSplitExact(df, "id", "src", 1, 10, ord)
+    // exact counts: round(70/10)=7, round(30/10)=3
+    val perStratum = got.where(col("split") === "test")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum == Map("a" -> 7L, "b" -> 3L))
+    // half-up rational rounding: n=15, 1/10 -> (15+5)//10 = 2
+    val odd = (1 to 15).map(i => (i.toLong, "x")).toDF("id", "src")
+    assert(Sampling.stratifiedSplitExact(odd, "id", "src", 1, 10, ord)
+      .where(col("split") === "test").count() == 2L)
+    // deterministic + partition-invariant membership
+    val a = got.where(col("split") === "test").select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.stratifiedSplitExact(df.repartition(13), "id", "src", 1, 10, ord)
+      .where(col("split") === "test").select("id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq)
+    // exhaustive + disjoint
+    assert(got.select("id").distinct().count() == 100L)
+    assert(got.where(col("split").isin("test", "train")).count() == 100L)
+  }
+
   test("contamination: hand-built corpus, full / partial / zero overlap") {
     // force the split with a two-way 0/1 weighting trick: instead, build
     // docs whose md5 assignment is known — easier to just probe the real
