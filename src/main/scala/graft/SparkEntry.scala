@@ -1643,6 +1643,29 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q268_rolling_median" -> ((s, dir) => {
+      // robust daily smoothing: exact ±3-day rolling MEDIAN of per-type
+      // daily revenue (cents) — the spike-proof twin of the centered
+      // moving average; complete calendar windows only, median = the
+      // exact middle order statistic, never an interpolation
+      val daily = eng(s, dir).table("events").where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          (expr("(CAST(ts AS LONG) div 86400) * 86400")).as("t"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("units"))
+      graft.operators.TimeSeries.rollingMedian(daily, "event_type", "t",
+          "units", halfWindowDays = 3)
+        .orderBy("event_type", "t")
+    }),
+    "q269_clustering_coeff" -> ((s, dir) => {
+      // local clustering coefficient on the brand co-occurrence graph —
+      // the community-structure probe raw triangle counts can't be: a
+      // hub in many triangles with huge degree is NOT clustered
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      graft.operators.GraphOps.clusteringCoefficient(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")))
+    }),
     "q266_percentile_rank" -> ((s, dir) => {
       // percentile-rank transform of order totals (cents): mid-rank
       // percentiles per DISTINCT value via distributed prefix sums —
@@ -4171,6 +4194,46 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q268: DuckDB's exact median over the identical RANGE frame — odd
+    // (=7) windows make it the exact middle element, CAST back to BIGINT
+    "q268_rolling_median" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS t,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS units
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         ), w AS (
+           SELECT event_type, t, units,
+                  CAST(count(*) OVER win AS BIGINT) AS mn,
+                  CAST(median(units) OVER win AS BIGINT) AS med_units
+           FROM d
+           WINDOW win AS (PARTITION BY event_type ORDER BY t
+             RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
+         )
+         SELECT event_type, t, units, med_units
+         FROM w WHERE mn = 7 ORDER BY event_type, t""",
+    // q269: triangle counts from the q177 wedge CTE + endpoint degree
+    // counts; identical single double divide of 2T / deg(deg-1)
+    "q269_clustering_coeff" -> (duckBrandGraph +
+      """, w AS (
+           SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+           FROM pr e1 JOIN pr e2 ON e2.pa = e1.pb
+         ), t AS (
+           SELECT w.x, w.y, w.z FROM w JOIN pr e3 ON e3.pa = w.x AND e3.pb = w.z
+         ), u AS (SELECT unnest([x, y, z]) AS node FROM t
+         ), tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM u GROUP BY 1
+         ), dg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS degree
+           FROM (SELECT pa AS node FROM pr UNION ALL SELECT pb FROM pr)
+           GROUP BY 1
+         )
+         SELECT dg.node, dg.degree,
+                coalesce(tri.n_triangles, 0) AS n_triangles,
+                round(CAST(2 * coalesce(tri.n_triangles, 0) AS DOUBLE)
+                      / CAST(dg.degree * (dg.degree - 1) AS DOUBLE), 6) AS cc
+         FROM dg LEFT JOIN tri ON tri.node = dg.node
+         WHERE dg.degree >= 2 ORDER BY dg.node"""),
     // q266: identical distinct-value prefix sums, identical single
     // double divide of the 2·below+cnt+1 mid-rank numerator
     "q266_percentile_rank" ->

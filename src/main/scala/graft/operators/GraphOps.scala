@@ -468,6 +468,35 @@ object GraphOps {
     out
   }
 
+  /**
+   * Local clustering coefficient per node — "how close is this node's
+   * neighborhood to a clique", the standard community-structure /
+   * spam-farm probe [[triangles]] alone can't read (a hub in 1000
+   * triangles with degree 1000 is NOT clustered): for deg(v) ≥ 2,
+   *
+   *   cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))
+   *
+   * with T(v) from [[triangles]] (same canonical a<b edge contract, same
+   * `maxDegree` hub guard — one probe guards both passes) and deg(v)
+   * one count over the two edge endpoints. ONE double divide of exact
+   * longs, 6dp. Output: (node, degree, n_triangles, cc) for deg ≥ 2
+   * nodes, ordered by node; triangle-free nodes publish cc = 0.
+   */
+  def clusteringCoefficient(edges: DataFrame,
+      maxDegree: Long = 100000L): DataFrame = {
+    val e = edges.selectExpr("cast(src as string) as a", "cast(dst as string) as b")
+      .where(col("a") < col("b")).distinct().localCheckpoint(true)
+    val tri = triangles(e.select(col("a").as("src"), col("b").as("dst")), maxDegree)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.where(col("degree") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("cc", round((lit(2L) * col("n_triangles")).cast("double")
+        / (col("degree") * (col("degree") - 1L)).cast("double"), 6))
+      .orderBy(col("node"))
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
       maxLocalEdges: Long = 1000000L): DataFrame = {
     require(k >= 1 && maxRounds >= 1, "k >= 1, maxRounds >= 1")

@@ -405,6 +405,37 @@ object TimeSeries {
   }
 
   /**
+   * Exact rolling median over per-key daily integer series — the
+   * robust-smoothing twin of [[seasonalDow]]'s centered moving average
+   * (one spiky day drags a mean for the whole window; the median
+   * ignores it). RANGE ±`halfWindowDays` calendar days over __t (the
+   * seasonalDow doctrine: a gapped series must not let a ROWS frame
+   * span 8+ days), complete windows only (count == 2h+1, odd), so the
+   * median is the EXACT middle order statistic — published as the
+   * integer unit value itself, no interpolation, engine-independent:
+   * sort_array over the ≤(2h+1)-element window list is deterministic
+   * whatever order collect_list saw. Windows are PARTITIONED by key;
+   * each key's series is calendar-bounded (resample first, the acf
+   * contract). Output: (key, t, units, med_units).
+   */
+  def rollingMedian(daily: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, halfWindowDays: Int = 3): DataFrame = {
+    require(halfWindowDays >= 1 && halfWindowDays <= 30, "halfWindowDays in [1,30]")
+    val h = halfWindowDays
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rangeBetween(-h.toLong * 86400L, h.toLong * 86400L)
+    daily
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(unitsCol).cast("long").as("__x"))
+      .where(col("__x").isNotNull)
+      .withColumn("__win", sort_array(collect_list(col("__x")).over(w)))
+      .where(size(col("__win")) === 2 * h + 1)
+      .select(col("__k").as(keyCol), col("__t").as("t"),
+        col("__x").as("units"),
+        element_at(col("__win"), h + 1).as("med_units"))
+  }
+
+  /**
    * Naive / seasonal-naive forecast baselines over one bucketed series —
    * the denominators every forecast evaluation needs (MASE, Hyndman &
    * Koehler 2006, scales a model's error by the naive in-sample MAE)

@@ -156,6 +156,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("clusteringCoefficient: K4 clique = 1, bridge dilutes, deg-1 absent") {
+    import spark.implicits._
+    // K4 a,b,c,d plus a pendant edge d-e: a,b,c keep cc 1 (deg 3, 3
+    // triangles); d has deg 4, 3 triangles -> 2*3/(4*3) = 0.5; e deg 1 absent
+    val k4 = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"))
+    val got = GraphOps.clusteringCoefficient((k4 :+ ("d","e")).toDF("src","dst"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      "a" -> (3L, 3L, 1.0), "b" -> (3L, 3L, 1.0), "c" -> (3L, 3L, 1.0),
+      "d" -> (4L, 3L, 0.5)))
+    // triangle-free path: cc 0 for the middle node, endpoints absent
+    val path = GraphOps.clusteringCoefficient(
+      Seq(("a","b"),("b","c")).toDF("src","dst")).collect()
+    assert(path.map(r => (r.getString(0), r.getDouble(3))).toSeq ==
+      Seq(("b", 0.0)))
+  }
+
   test("wedge-join hub contract: triangles and adamicAdar refuse past maxDegree") {
     import spark.implicits._
     // star with center degree 5; edges spelled canonically (a < b) so the

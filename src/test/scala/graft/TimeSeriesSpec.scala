@@ -119,6 +119,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(w.getAs[Double]("mae_1") > 0.0)
   }
 
+  test("rollingMedian: spike-proof middle element, complete windows only, gaps") {
+    // days 0..8 all value 10 except a spike 1000 on day 4: the ±3 median
+    // stays 10 everywhere (mean smoothing would smear the spike)
+    val days = (0 to 8).map(d =>
+      ("k", d.toLong * 86400L, if (d == 4) 1000L else 10L))
+    val got = TimeSeries.rollingMedian(days.toDF("k", "t", "x"), "k", "t", "x")
+      .orderBy("t").collect()
+    // complete windows: centers 3..5 only
+    assert(got.map(_.getAs[Long]("t")).toSeq ==
+      Seq(3L * 86400, 4L * 86400, 5L * 86400))
+    assert(got.map(_.getAs[Long]("med_units")).toSeq == Seq(10L, 10L, 10L))
+    // a calendar gap disqualifies windows spanning it (RANGE, not ROWS):
+    // dropping day 2 leaves no 7 consecutive days at all -> empty
+    val gapped = days.filterNot(_._2 == 2L * 86400)
+    assert(TimeSeries.rollingMedian(gapped.toDF("k", "t", "x"), "k", "t", "x")
+      .isEmpty)
+    // dropping day 0 instead: centers 4 and 5 keep complete windows
+    val gap0 = days.filterNot(_._2 == 0L)
+    assert(TimeSeries.rollingMedian(gap0.toDF("k", "t", "x"), "k", "t", "x")
+      .orderBy("t").collect().map(_.getAs[Long]("t")).toSeq ==
+      Seq(4L * 86400, 5L * 86400))
+  }
+
   test("calendar-bound contract: the global-window trio refuses un-bucketed input") {
     val big = (1 to 50).map(i => (i.toLong, i.toLong)).toDF("t", "x")
     intercept[IllegalArgumentException] {
