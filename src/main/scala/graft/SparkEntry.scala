@@ -1643,6 +1643,35 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q270_conformal" -> ((s, dir) => {
+      // distribution-free error bars for a per-priority mean predictor:
+      // fit on even orderkeys, conformal q_hat = k-th smallest |residual|
+      // at alpha=1/10 (k exact integer), empirical coverage on odd keys.
+      // The interval needs NO normality and no variance model — the
+      // calibration order statistic IS the guarantee
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val base = eng(s, dir).table("orders").select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("g"), cents.as("y"))
+      val cal = base.where(pmod(col("k"), lit(2)) === 0)
+      val ev = base.where(pmod(col("k"), lit(2)) === 1)
+      val pred = cal.groupBy(col("g"))
+        .agg(expr("CAST(sum(y) div count(1) AS BIGINT)").as("p"))
+      graft.operators.Experiment.conformalInterval(
+        cal.join(broadcast(pred), "g"), ev.join(broadcast(pred), "g"),
+        col("p"), col("y"), alphaNum = 1, alphaDen = 10)
+    }),
+    "q271_bootstrap" -> ((s, dir) => {
+      // uncertainty for the mean order total WITHOUT resampling shuffles:
+      // Poisson(1) multiplicities per (row, replica) from a salted md5
+      // fraction against frozen 12dp CDF thresholds — 32 replicas in one
+      // map-side-combined pass, CI = order statistics of replica means
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      graft.operators.Experiment.bootstrapMeanCI(
+        eng(s, dir).table("orders")
+          .where(col("o_totalprice").isNotNull)
+          .select(col("o_orderkey"), cents.as("cents")),
+        col("o_orderkey"), col("cents"))
+    }),
     "q268_rolling_median" -> ((s, dir) => {
       // robust daily smoothing: exact ±3-day rolling MEDIAN of per-type
       // daily revenue (cents) — the spike-proof twin of the centered
@@ -4194,6 +4223,86 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q270: identical integer-div predictor, identical exact k, q_hat by
+    // cumulative count over ordered residuals (ties safe: the last tie
+    // row carries cum = below+cnt), one coverage divide
+    "q270_conformal" ->
+      """WITH b AS (
+           SELECT o_orderkey AS k, o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM orders
+         ), cal AS (SELECT * FROM b WHERE k % 2 = 0),
+         ev AS (SELECT * FROM b WHERE k % 2 = 1),
+         pred AS (
+           SELECT g, CAST(sum(y) // count(*) AS BIGINT) AS p FROM cal GROUP BY 1
+         ), cs AS (SELECT abs(y - p) AS v FROM cal JOIN pred USING (g)),
+         kk AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cal,
+                  CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+           FROM cs
+         ), q AS (
+           SELECT min(v) AS q_hat
+           FROM (SELECT v, CAST(count(*) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum FROM cs) x, kk
+           WHERE x.cum >= kk.k
+         ), es AS (SELECT abs(y - p) AS v FROM ev JOIN pred USING (g)),
+         cov AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                  CAST(sum(CASE WHEN es.v <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_covered
+           FROM es, q
+         )
+         SELECT kk.n_cal, kk.k, q.q_hat, cov.n_eval, cov.n_covered,
+                round(CAST(cov.n_covered AS DOUBLE)
+                      / CAST(cov.n_eval AS DOUBLE), 6) AS coverage
+         FROM kk, q, cov""",
+    // q271: identical 52-bit md5 fractions vs the identical frozen
+    // 12dp Poisson CDF literals, exact integer replica sums, identical
+    // 6dp replica means, order-statistic CI at ranks 2/31
+    "q271_bootstrap" ->
+      """WITH b AS (
+           SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+           FROM orders WHERE o_totalprice IS NOT NULL
+         ), r AS (
+           SELECT id, x, bb FROM b
+           CROSS JOIN (SELECT unnest(range(0, 32)) AS bb)
+         ), u AS (
+           SELECT bb, x,
+                  CAST(CAST(('0x' || substr(md5('boot:' || id || ':' ||
+                    CAST(bb AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                    / 4503599627370496.0 AS uu
+           FROM r
+         ), w AS (
+           SELECT bb, x,
+                  CASE WHEN uu < 0.367879441171 THEN 0
+                       WHEN uu < 0.735758882343 THEN 1
+                       WHEN uu < 0.919698602929 THEN 2
+                       WHEN uu < 0.981011843124 THEN 3
+                       WHEN uu < 0.996340153173 THEN 4
+                       WHEN uu < 0.999405815182 THEN 5
+                       WHEN uu < 0.999916758851 THEN 6
+                       ELSE 7 END AS w
+           FROM u
+         ), m AS (
+           SELECT bb, CAST(sum(w) AS BIGINT) AS sw,
+                  CAST(sum(CAST(w AS BIGINT) * x) AS BIGINT) AS swx
+           FROM w GROUP BY 1
+         ), o AS (
+           SELECT round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS mean_b,
+                  row_number() OVER (ORDER BY
+                    round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6)) AS rn
+           FROM m
+         ), t AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  round(CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS mean
+           FROM b
+         )
+         SELECT t.n, 32 AS b_reps, t.mean, lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+         FROM t, (SELECT mean_b FROM o WHERE rn = 2) lo,
+                 (SELECT mean_b FROM o WHERE rn = 31) hi""",
     // q268: DuckDB's exact median over the identical RANGE frame — odd
     // (=7) windows make it the exact middle element, CAST back to BIGINT
     "q268_rolling_median" ->

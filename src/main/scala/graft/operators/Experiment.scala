@@ -317,4 +317,111 @@ object Experiment {
         round((nD * col("diag").cast("decimal(38,0)") - col("sp")).cast("double")
           / (nD * nD - col("sp")).cast("double"), 6).as("kappa"))
   }
+
+  /**
+   * Split conformal prediction interval (Vovk et al.; Lei et al. 2018) —
+   * the distribution-free "how wrong is this model, with guarantees"
+   * readout: on a held-out calibration set the k-th smallest absolute
+   * residual with k = ⌈(n_cal+1)·(1−α)⌉ gives q_hat such that
+   * P(|y−ŷ| ≤ q_hat) ≥ 1−α on exchangeable data — no normality, no
+   * variance estimate, any model. α is the RATIONAL αNum/αDen so k is
+   * pure integer arithmetic; residuals are exact longs in the caller's
+   * units; q_hat is found by distinct-value prefix sums (smallest
+   * residual value whose cumulative count reaches k — bounded by
+   * residual cardinality, no global sort); the eval pass then publishes
+   * EMPIRICAL coverage at q_hat. One double divide (coverage), 6dp.
+   * Output: one row (n_cal, k, q_hat, n_eval, n_covered, coverage).
+   */
+  def conformalInterval(cal: DataFrame, eval: DataFrame,
+      predCol: Column, actualCol: Column,
+      alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 1 && alphaNum < alphaDen,
+      "alpha num/den must be in (0,1)")
+    def scores(df: DataFrame) = df
+      .select(abs(actualCol.cast("long") - predCol.cast("long")).as("v"))
+      .where(col("v").isNotNull)
+    val calS = scores(cal)
+    val perValue = calS.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val nCal = calS.count()
+    require(nCal >= 1, "calibration set must be non-empty")
+    // k = ceil((n+1)(den-num)/den), exact integers
+    val k = ((nCal + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen
+    val qRow = DistDrift.withPrefixSums(perValue, Seq("cnt"))
+      .where(col("cnt_below") + col("cnt") >= k)
+      .agg(min(col("v"))).head()
+    // k > n_cal (tiny calibration sets) => infinite interval: publish NULL
+    val qHat: Option[Long] = if (qRow.isNullAt(0)) None else Some(qRow.getLong(0))
+    val spark = cal.sparkSession
+    import spark.implicits._
+    val ev = scores(eval).agg(count(lit(1)).as("n_eval"),
+      qHat.map(q => sum(when(col("v") <= q, 1L).otherwise(0L)))
+        .getOrElse(lit(null).cast("long")).as("n_covered")).head()
+    Seq((nCal, k, qHat, ev.getLong(0),
+        if (ev.isNullAt(1)) None else Some(ev.getLong(1))))
+      .toDF("n_cal", "k", "q_hat", "n_eval", "n_covered")
+      .withColumn("coverage", when(col("n_covered").isNotNull && col("n_eval") > 0,
+        round(col("n_covered").cast("double") / col("n_eval").cast("double"), 6)))
+  }
+
+  /** Cumulative Poisson(1) CDF thresholds, 12dp literals — FROZEN: both
+    * engines compare the same hash fraction against the same constants,
+    * so weight assignment is exact whatever a math library thinks
+    * exp(-1) is. Tail capped at w=7 (P ≈ 8·10⁻⁵ beyond). */
+  private[operators] val PoissonCdf12: Seq[Double] = Seq(
+    0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+    0.996340153173, 0.999405815182, 0.999916758851)
+
+  /**
+   * Deterministic Poisson bootstrap CI for a mean (the distributed
+   * bootstrap — Chamandy et al. 2012, "Estimating Uncertainty for
+   * Massive Data Streams"): resampling n rows WITH replacement needs
+   * global coordination, but each row's multiplicity in a replica is
+   * asymptotically Poisson(1), so replica b gives every row weight
+   * w = F⁻¹_Poisson(u(id, b)) from a salted 52-bit md5 fraction — one
+   * pass, B map-side-combined aggregations, zero driver state beyond
+   * the B replica rows, and bit-reproducible (the [[PoissonCdf12]]
+   * frozen thresholds). CI bounds are ORDER STATISTICS of the B
+   * 6dp-rounded replica means at ranks kLo/kHi (B=32 defaults 2 and 31
+   * ≈ a 94% interval) — rank selection on rounded values cannot
+   * tie-diverge. Output: one row (n, b_reps, mean, ci_lo, ci_hi).
+   */
+  def bootstrapMeanCI(df: DataFrame, idCol: Column, unitsCol: Column,
+      bReps: Int = 32, kLo: Int = 2, kHi: Int = 31,
+      salt: String = "boot"): DataFrame = {
+    require(bReps >= 4 && bReps <= 256, "bReps in [4,256]")
+    require(kLo >= 1 && kHi <= bReps && kLo < kHi, "1 <= kLo < kHi <= bReps")
+    val base = df.select(idCol.cast("string").as("id"),
+        unitsCol.cast("long").as("x"))
+      .where(col("x").isNotNull)
+    val u = conv(substring(md5(concat(lit(salt), lit(":"), col("id"),
+        lit(":"), col("b").cast("string"))), 1, 13), 16, 10)
+      .cast("long") / lit(DistinctSketch.HashDenom)
+    val w = PoissonCdf12.zipWithIndex.foldRight(lit(7L)) {
+      case ((c, i), rest) => when(col("__u") < c, lit(i.toLong)).otherwise(rest)
+    }
+    val reps = base
+      .select(col("id"), col("x"), explode(expr(s"sequence(0, ${bReps - 1})")).as("b"))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("__w")).as("sw"), sum(col("__w") * col("x")).as("swx"))
+      .select(col("b"),
+        when(col("sw") > 0, round(col("swx").cast("double")
+          / col("sw").cast("double"), 6)).as("mean_b"))
+      .collect() // bounded: exactly bReps rows
+    val means = reps.map(r =>
+      if (r.isNullAt(1)) Double.NaN else r.getDouble(1)).sorted
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx")).head()
+    val n = tot.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, bReps,
+        if (n > 0) Some(BigDecimal(tot.getLong(1).toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None,
+        Some(means(kLo - 1)).filterNot(_.isNaN),
+        Some(means(kHi - 1)).filterNot(_.isNaN)))
+      .toDF("n", "b_reps", "mean", "ci_lo", "ci_hi")
+  }
 }

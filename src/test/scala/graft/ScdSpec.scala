@@ -159,6 +159,37 @@ class ScdSpec extends SparkSpec {
     assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
   }
 
+  test("conformalInterval: hand k and q_hat, coverage, tiny-cal NULL interval") {
+    import spark.implicits._
+    // pred 0 everywhere, cal actuals 1..10: residuals 1..10, n=10,
+    // alpha=1/10 -> k = ceil(11*9/10) = 10 -> q_hat = 10
+    val cal = (1 to 10).map(i => (0L, i.toLong)).toDF("p", "y")
+    val ev = Seq((0L, 5L), (0L, 15L)).toDF("p", "y")
+    val r = Experiment.conformalInterval(cal, ev, col("p"), col("y"), 1, 10).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L && r.getLong(2) == 10L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getAs[Double]("coverage") == 0.5)
+    // alpha=1/2: k = ceil(11/2) = 6 -> q_hat = 6
+    val r2 = Experiment.conformalInterval(cal, ev, col("p"), col("y"), 1, 2).head()
+    assert(r2.getLong(1) == 6L && r2.getLong(2) == 6L)
+    // k > n_cal (1 row, alpha 1/10 -> k=2): infinite interval -> NULLs
+    val tiny = Experiment.conformalInterval(
+      Seq((0L, 3L)).toDF("p", "y"), ev, col("p"), col("y"), 1, 10).head()
+    assert(tiny.getLong(1) == 2L && tiny.isNullAt(2) && tiny.isNullAt(4))
+  }
+
+  test("bootstrapMeanCI: deterministic, layout-invariant, ordered CI brackets") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, (i % 100).toLong * 10)).toDF("id", "x")
+    val a = Experiment.bootstrapMeanCI(df, col("id"), col("x")).head()
+    val b = Experiment.bootstrapMeanCI(df.repartition(17), col("id"), col("x")).head()
+    assert(a == b) // salted-hash weights: layout cannot matter
+    assert(a.getLong(0) == 2000L && a.getInt(1) == 32)
+    assert(a.getAs[Double]("mean") == 495.0)
+    val (lo, hi) = (a.getAs[Double]("ci_lo"), a.getAs[Double]("ci_hi"))
+    assert(lo <= hi && lo > 400.0 && hi < 600.0) // sane bracket near 495
+  }
+
   test("averagePrecision: sklearn hand case, perfect ranking, ties, no-pos NULL") {
     import spark.implicits._
     def ap(rows: Seq[(Double, Boolean)]): java.lang.Double = {
