@@ -1643,6 +1643,14 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q272_pmi" -> ((s, dir) => {
+      // collocation mining: top-50 adjacent pairs by PMI (min count 5) —
+      // the phrase-vocabulary probe raw bigram counts can't be; exact
+      // decimal products, one double ln, rank on the rounded score
+      graft.pipeline.CorpusStats.collocations(
+        eng(s, dir).table("documents"), "doc_id", "text",
+        minCount = 5L, topK = 50)
+    }),
     "q270_conformal" -> ((s, dir) => {
       // distribution-free error bars for a per-priority mean predictor:
       // fit on even orderkeys, conformal q_hat = k-th smallest |residual|
@@ -4223,6 +4231,29 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q272: q134's tokenizer CTE; HUGEINT products mirror DECIMAL(38,0),
+    // one double divide feeding one ln, rank on the 6dp-rounded score
+    "q272_pmi" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents
+         ), b AS (
+           SELECT ws[g.i] AS w1, ws[g.i+1] AS w2
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+         ), bc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+           FROM b GROUP BY 1, 2 HAVING count(*) >= 5
+         ), tw AS (SELECT unnest(ws) AS w FROM t),
+         u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tw GROUP BY 1),
+         tot AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS nbi,
+                  (SELECT CAST(sum(cu) AS BIGINT) FROM u) AS nuni
+         )
+         SELECT bc.w1, bc.w2, bc.c_xy,
+                round(ln(CAST(CAST(bc.c_xy AS HUGEINT) * tot.nuni * tot.nuni AS DOUBLE)
+                       / CAST(CAST(tot.nbi AS HUGEINT) * u1.cu * u2.cu AS DOUBLE)), 6) AS pmi
+         FROM bc JOIN u u1 ON u1.w = bc.w1 JOIN u u2 ON u2.w = bc.w2, tot
+         ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50""",
     // q270: identical integer-div predictor, identical exact k, q_hat by
     // cumulative count over ordered residuals (ties safe: the last tie
     // row carries cum = below+cnt), one coverage divide

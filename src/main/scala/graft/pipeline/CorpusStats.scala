@@ -202,6 +202,54 @@ object CorpusStats {
   }
 
   /**
+   * Top-k bigram collocations by pointwise mutual information — "which
+   * adjacent word pairs co-occur far beyond chance" (Church & Hanks
+   * 1990), the phrase-vocabulary miner for tokenizer/stopword curation
+   * that raw bigram COUNTS can't be (frequent pairs of frequent words
+   * dominate counts; PMI normalizes by both unigram rates):
+   *
+   *   pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )
+   *            = ln( (c_xy · N_uni²) / (N_bi · c_x · c_y) )
+   *
+   * The integer products run in exact DECIMAL(38,0) (they overflow
+   * doubles at corpus scale), each side casts to a correctly-rounded
+   * double ONCE, and one division + one ln publish 6dp. `minCount`
+   * prunes the hapax noise PMI is notorious for (a 1-count pair of
+   * 1-count words maxes the score) — the standard collocation guard.
+   * Ranking on the ROUNDED score, ties by (w1, w2): TakeOrdered, never
+   * a global sort. Counts: two token-keyed aggregations (the bigram
+   * relation reuses [[bigramLogProb]]'s construction), broadcast scalar
+   * totals. Output: top `topK` rows (w1, w2, c_xy, pmi).
+   */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount >= 1, topK >= 1")
+    val ws = docs.select(col(idCol),
+      whitespaceTokens(lower(col(textCol))).as("ws"))
+    val bi = ws.select(explode(when(size(col("ws")) >= 2,
+        expr("transform(sequence(1, size(ws)-1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i+1) AS w2))"))
+        .otherwise(expr("array()"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val uni = tokenTable(docs, idCol, textCol)
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tot = bi.agg(count(lit(1)).as("__nbi"))
+      .crossJoin(uni.agg(sum(col("cu")).as("__nuni")))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    bc.join(uni.select(col("w").as("w1"), col("cu").as("__c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("__c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi", round(log(
+        (d(col("c_xy")) * d(col("__nuni")) * d(col("__nuni"))).cast("double")
+          / (d(col("__nbi")) * d(col("__c1")) * d(col("__c2"))).cast("double")), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_xy"), col("pmi"))
+  }
+
+  /**
    * TF-IDF top-`k` terms per document — the classic keyword-extraction /
    * topic-fingerprint step. `tf` = occurrences in the doc, `idf` =
    * ln(N/df) with `df` = documents containing the term; ranking uses the

@@ -907,6 +907,28 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(3L), "single-token doc must produce no bigrams")
   }
 
+  test("collocations: hand PMI, minCount prunes hapax, rounded-score ranking") {
+    // corpus "a b a b" + "c d": bigrams ab,ba,ab,cd -> N_bi=4; unigrams
+    // a:2 b:2 c:1 d:1 -> N_uni=6. minCount=2 keeps only (a,b) c_xy=2:
+    // pmi = ln(2*36 / (4*2*2)) = ln(4.5)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a b"), (2L, "c d"))).toDF("id", "text")
+    val got = graft.pipeline.CorpusStats.collocations(docs, "id", "text",
+      minCount = 2L, topK = 10).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == (("a", "b", 2L)))
+    assert(r.getDouble(3) == BigDecimal(math.log(4.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // minCount=1 admits the hapax pairs; (c,d) of two 1-count words
+    // outscores everything (the noise PMI is notorious for)
+    val all = graft.pipeline.CorpusStats.collocations(docs, "id", "text",
+      minCount = 1L, topK = 10).collect()
+    assert(all.head.getString(0) == "c" && all.head.getString(1) == "d")
+    assert(all.map(r2 => (r2.getString(0), r2.getString(1))).toSeq ==
+      Seq(("c", "d"), ("a", "b"), ("b", "a")))
+  }
+
   test("tfidfTopTerms: tf*ln(N/df), rounded-score ranking, term tiebreak") {
     val docs = spark.createDataFrame(Seq(
       (1L, "x x y"), (2L, "y z"), (3L, "z z z"))).toDF("id", "text")
