@@ -1643,6 +1643,27 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q273_grid_dbscan" -> ((s, dir) => {
+      // density clustering with explicit noise: 50 planted dense squares
+      // (side 21, spaced 1000) plus a sparse diagonal of noise points,
+      // all pure modular arithmetic on c_custkey so the oracle rebuilds
+      // the identical plane; eps=5 minPts=4 makes a core/border/noise
+      // mixture, components via the two-regime connected components
+      val pts = eng(s, dir).table("customer").select(
+        col("c_custkey").cast("long").as("id"),
+        expr("CASE WHEN c_custkey % 97 <> 0 THEN " +
+          "((c_custkey % 50) % 10) * 1000 + (c_custkey * 7) % 21 " +
+          "ELSE 50000 + c_custkey % 1000 END").as("x"),
+        expr("CASE WHEN c_custkey % 97 <> 0 THEN " +
+          "((c_custkey % 50) div 10) * 1000 + (c_custkey * 13) % 21 " +
+          "ELSE 70000 + c_custkey % 1000 END").as("y"))
+      graft.operators.Clustering.gridDbscan(pts, "id", "x", "y",
+          eps = 5, minPts = 4)
+        // noise publishes component NULL; the gate maps it to -1 because
+        // a nullable BIGINT turns float on the oracle's pandas path
+        .withColumn("component", coalesce(col("component"), lit(-1L)))
+        .orderBy("id")
+    }),
     "q272_pmi" -> ((s, dir) => {
       // collocation mining: top-50 adjacent pairs by PMI (min count 5) —
       // the phrase-vocabulary probe raw bigram counts can't be; exact
@@ -4231,6 +4252,60 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q273: identical modular plane, cell-adjacency candidate join,
+    // integer squared distances, q67's recursive min-label components,
+    // min-core-neighbor border assignment
+    "q273_grid_dbscan" ->
+      """WITH RECURSIVE pts AS (
+           SELECT c_custkey AS id,
+                  CASE WHEN c_custkey % 97 <> 0
+                       THEN ((c_custkey % 50) % 10) * 1000 + (c_custkey * 7) % 21
+                       ELSE 50000 + c_custkey % 1000 END AS x,
+                  CASE WHEN c_custkey % 97 <> 0
+                       THEN ((c_custkey % 50) // 10) * 1000 + (c_custkey * 13) % 21
+                       ELSE 70000 + c_custkey % 1000 END AS y
+           FROM customer
+         ), c AS (SELECT id, x, y, x // 5 AS cx, y // 5 AS cy FROM pts),
+         nbr AS (
+           SELECT a.id AS a, b.id AS b
+           FROM c a JOIN c b
+             ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+           WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+         ), cnt AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS n_nbr
+                    FROM nbr GROUP BY 1),
+         core AS (SELECT id FROM cnt WHERE n_nbr >= 4),
+         ce AS (
+           SELECT n.a, n.b FROM nbr n
+           JOIN core x ON x.id = n.a JOIN core y ON y.id = n.b
+           WHERE n.a < n.b
+         ), edges AS (
+           SELECT a AS src, b AS dst FROM ce UNION SELECT b, a FROM ce
+         ), verts AS (SELECT DISTINCT src AS id FROM edges),
+         cc(id, comp) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.dst, c2.comp FROM cc c2 JOIN edges e ON e.src = c2.id
+           WHERE c2.comp < e.dst
+         ), fin AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         corec AS (
+           SELECT core.id, coalesce(fin.comp, core.id) AS component
+           FROM core LEFT JOIN fin ON fin.id = core.id
+         ), borderc AS (
+           SELECT n.a AS id, min(corec.component) AS component
+           FROM nbr n JOIN corec ON corec.id = n.b
+           WHERE n.a NOT IN (SELECT id FROM core)
+           GROUP BY 1
+         )
+         SELECT cnt.id, cnt.n_nbr,
+                CASE WHEN corec.id IS NOT NULL THEN 'core'
+                     WHEN borderc.id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                CAST(coalesce(corec.component, borderc.component, -1) AS BIGINT)
+                  AS component
+         FROM cnt
+         LEFT JOIN corec ON corec.id = cnt.id
+         LEFT JOIN borderc ON borderc.id = cnt.id
+         ORDER BY cnt.id""",
     // q272: q134's tokenizer CTE; HUGEINT products mirror DECIMAL(38,0),
     // one double divide feeding one ln, rank on the 6dp-rounded score
     "q272_pmi" ->

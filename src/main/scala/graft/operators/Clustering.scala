@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Density clustering over integer feature grids — DBSCAN (Ester et al.
+ * 1996) made shuffle-shaped: candidate neighbor pairs come ONLY from a
+ * 3×3 grid-cell join (cell side = eps, so every true ε-neighbor pair
+ * shares adjacent cells — exact recall by construction, the
+ * hammingPairs64 pigeonhole argument in 2D), never an all-pairs join.
+ * The k-means family the engine already carries (IVF medoids/centroids)
+ * needs k and returns convex cells; DBSCAN finds the cluster COUNT
+ * itself, any shape, and names noise explicitly — the right tool for
+ * embedding-projection / (quality, length)-plane corpus triage.
+ *
+ * Reference anchor: none (no clustering surface in the reference);
+ * extends the dedup-components family ([[graft.pipeline.Dedup]]).
+ */
+object Clustering {
+
+  /**
+   * Grid DBSCAN over integer 2-D points:
+   *  - core: ≥ `minPts` points (self included) within Euclidean `eps`;
+   *  - edges between ε-close CORE pairs → connected components
+   *    ([[graft.pipeline.Dedup.connectedComponents]] two-regime);
+   *  - border: non-core with a core ε-neighbor — assigned its MIN core
+   *    neighbor's component (the deterministic tie rule; textbook DBSCAN
+   *    leaves border assignment order-dependent, a gate cannot);
+   *  - noise: everything else (component NULL).
+   *
+   * Exactness: distances compare as integer squares (no sqrt); cell
+   * keys are integer divisions — coordinates must be NON-NEGATIVE
+   * (required loudly: `div` truncates toward zero, so negative coords
+   * would shear cells). `maxCellPoints` is the occupancy contract
+   * (house style: maxPosting/maxDegree): one degenerate cell of c
+   * points costs c² pairs — probe refuses before the join pays it.
+   * Output: (id, n_nbr, role ∈ core|border|noise, component).
+   */
+  def gridDbscan(points: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Long, minPts: Int, maxCellPoints: Long = 100000L): DataFrame = {
+    require(eps >= 1, "eps >= 1")
+    require(minPts >= 1, "minPts >= 1")
+    val pts = points.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val mins = pts.agg(min(col("x")).as("mx"), min(col("y")).as("my")).head()
+    require(mins.isNullAt(0) || (mins.getLong(0) >= 0 && mins.getLong(1) >= 0),
+      "gridDbscan: coordinates must be non-negative (integer cell division)")
+    val cells = pts
+      .withColumn("cx", expr(s"x div $eps"))
+      .withColumn("cy", expr(s"y div $eps"))
+      .localCheckpoint(true) // probe + both join sides below
+    val worst = cells.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    require(worst <= maxCellPoints,
+      s"gridDbscan: densest cell holds $worst points > maxCellPoints=" +
+        s"$maxCellPoints — the cell join is Sum(occupancy^2); shrink eps, " +
+        "pre-aggregate duplicates, or raise the bound")
+    val probes = cells.select(col("id").as("a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr("transform(sequence(0, 8), " +
+          "i -> struct(i div 3 - 1 AS ox, i % 3 - 1 AS oy))")).as("o"),
+        col("cx"), col("cy"))
+      .select(col("a"), col("xa"), col("ya"),
+        (col("cx") + col("o.ox")).as("cx"), (col("cy") + col("o.oy")).as("cy"))
+    val build = cells.select(col("cx"), col("cy"), col("id").as("b"),
+      col("x").as("xb"), col("y").as("yb"))
+    // every ε-pair shares adjacent cells (cell side = eps) — exact recall
+    val nbr = probes.join(build, Seq("cx", "cy"))
+      .where((col("xa") - col("xb")) * (col("xa") - col("xb"))
+        + (col("ya") - col("yb")) * (col("ya") - col("yb")) <= eps * eps)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true) // counts, edges, and border votes all read it
+    val cnt = nbr.groupBy(col("a")).agg(count(lit(1)).as("n_nbr"))
+    val coreIds = cnt.where(col("n_nbr") >= minPts).select(col("a").as("id"))
+    val coreEdges = nbr.where(col("a") < col("b"))
+      .join(coreIds.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(coreIds.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+    val comp = graft.pipeline.Dedup.connectedComponents(coreEdges, "a", "b")
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreComp = coreIds
+      .join(comp, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    // border: min component over CORE ε-neighbors
+    val borderComp = nbr
+      .join(coreIds.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+      .join(coreComp.withColumnRenamed("id", "b")
+        .withColumnRenamed("component", "__bc"), Seq("b"))
+      .groupBy(col("a").as("id")).agg(min(col("__bc")).as("component"))
+    val withRole = cnt.select(col("a").as("id"), col("n_nbr"))
+      .join(coreComp.withColumn("role", lit("core")),
+        Seq("id"), "left")
+      .join(borderComp.withColumnRenamed("component", "__bcomp"),
+        Seq("id"), "left")
+      .select(col("id"), col("n_nbr"),
+        coalesce(col("role"),
+          when(col("__bcomp").isNotNull, lit("border")).otherwise(lit("noise")))
+          .as("role"),
+        coalesce(col("component"), col("__bcomp")).as("component"))
+    withRole
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Clustering
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gridDbscan: hand case — core triangle, border, noise, second cluster") {
+    // eps=2, minPts=3: {1,2,3} mutually close -> core, one component;
+    // 4 touches only core 2 -> border into component 1; 5 isolated ->
+    // noise; {6,7,8} coincident -> their own core component 6
+    val pts = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 3L, 0L),
+      (5L, 10L, 10L), (6L, 20L, 20L), (7L, 20L, 20L), (8L, 20L, 20L))
+      .toDF("id", "x", "y")
+    val got = Clustering.gridDbscan(pts, "id", "x", "y", eps = 2, minPts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, "core", 1L)))
+    assert(got(2L) == ((4L, "core", 1L)))
+    assert(got(3L) == ((3L, "core", 1L)))
+    assert(got(4L) == ((2L, "border", 1L)))
+    assert(got(5L) == ((1L, "noise", -1L)))
+    assert(got(6L) == ((3L, "core", 6L)))
+    assert(got(7L) == ((3L, "core", 6L)))
+    assert(got(8L) == ((3L, "core", 6L)))
+    // cross-cell recall: points straddling a cell boundary still pair
+    // (9 at x=4 is in cell 2 with eps=2; 2 at x=1 is in cell 0 — NOT
+    // adjacent, dist 3 > eps anyway; 10 at x=3,y=1 is cell (1,0),
+    // dist to 4 (cell (1,0)) is 1 — same cell)
+    val edge = Seq((1L, 3L, 0L), (2L, 4L, 0L), (3L, 5L, 0L))
+      .toDF("id", "x", "y") // consecutive, cells 1,2,2 at eps=2
+    val er = Clustering.gridDbscan(edge, "id", "x", "y", eps = 2, minPts = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(er == Map(1L -> "core", 2L -> "core", 3L -> "core"))
+  }
+
+  test("gridDbscan contracts: negative coords refuse; dense cell refuses") {
+    val neg = Seq((1L, -1L, 0L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Clustering.gridDbscan(neg, "id", "x", "y", eps = 2, minPts = 2).collect()
+    }
+    val dense = (1 to 100).map(i => (i.toLong, 0L, 0L)).toDF("id", "x", "y")
+    intercept[IllegalArgumentException] {
+      Clustering.gridDbscan(dense, "id", "x", "y", eps = 2, minPts = 2,
+        maxCellPoints = 50).collect()
+    }
+  }
+
+  test("gridDbscan: layout-invariant (repartition changes nothing)") {
+    val pts = (1 to 60).map(i => (i.toLong, (i % 10).toLong * 3, (i % 7).toLong * 3))
+      .toDF("id", "x", "y")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.gridDbscan(df, "id", "x", "y", eps = 4, minPts = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+    assert(run(pts) == run(pts.repartition(13)))
+  }
+}
