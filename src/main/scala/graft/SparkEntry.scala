@@ -1643,6 +1643,29 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q274_isotonic" -> ((s, dir) => {
+      // isotonic calibration of a noisy-but-monotone label rate over 50
+      // $10k price buckets: PAVA on the distinct-score relation, exact
+      // integer violator compares; the oracle computes the MINIMAX
+      // characterization instead of replaying the pooling loop, so the
+      // two implementations are genuinely independent
+      val base = eng(s, dir).table("orders").select(
+        expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+          "div 1000000 AS BIGINT)").as("score"),
+        col("o_orderkey"))
+      graft.operators.FeatureEng.isotonicCalibrate(base, col("score"),
+        pmod(col("o_orderkey"), lit(100)) < (lit(20) + col("score")))
+    }),
+    "q275_seq_patterns" -> ((s, dir) => {
+      // gap-allowed sequential patterns over each user's first 12
+      // events: support = users containing the subsequence (one vote per
+      // user, any number of embeddings) — "signup ... eventually
+      // purchase" with anything between, which contiguous q161 chains
+      // and q162 transitions cannot express
+      graft.operators.EventPaths.frequentSubsequences(
+        eng(s, dir).table("events"), "user_id", "ts", "event_type",
+        "event_id", maxLen = 3, topK = 25, prefixLen = 12)
+    }),
     "q273_grid_dbscan" -> ((s, dir) => {
       // density clustering with explicit noise: 50 planted dense squares
       // (side 21, spaced 1000) plus a sparse diagonal of noise points,
@@ -4252,6 +4275,62 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q274: the oracle computes the MINIMAX characterization
+    // max_{j<=i} min_{k>=i} mean(y[j..k]) over prefix sums — provably
+    // equal to the PAVA fit, computed nothing like it
+    "q274_isotonic" ->
+      """WITH s AS (
+           SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 1000000 AS BIGINT) AS v,
+                  CASE WHEN o_orderkey % 100 <
+                         20 + (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                               // 1000000)
+                       THEN 1 ELSE 0 END AS y
+           FROM orders
+         ), g AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+           FROM s GROUP BY 1
+         ), o AS (
+           SELECT v, n, pos, row_number() OVER (ORDER BY v) AS rn,
+                  CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn,
+                  CAST(sum(pos) OVER (ORDER BY v) AS BIGINT) AS cp
+           FROM g
+         ), m AS (
+           SELECT i.rn AS i, j.rn AS jr,
+                  min(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                      / CAST(k.cn - (j.cn - j.n) AS DOUBLE)) AS mn
+           FROM o i JOIN o j ON j.rn <= i.rn JOIN o k ON k.rn >= i.rn
+           GROUP BY 1, 2
+         ), p AS (SELECT i, max(mn) AS fit FROM m GROUP BY 1)
+         SELECT o.v, o.n, o.pos, round(p.fit, 6) AS p_iso
+         FROM o JOIN p ON p.i = o.rn ORDER BY o.v""",
+    // q275: identical per-user rank prefix, identical embedding joins
+    // with per-user DISTINCT before the support count
+    "q275_seq_patterns" ->
+      """WITH e AS (
+           SELECT user_id AS u, event_type AS t,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events
+           QUALIFY rn <= 12
+         ), p2 AS (
+           SELECT DISTINCT a.u, a.t AS t1, b.t AS t2
+           FROM e a JOIN e b ON b.u = a.u AND a.rn < b.rn
+         ), s2 AS (
+           SELECT t1 || '->' || t2 AS pattern, 2 AS len,
+                  CAST(count(*) AS BIGINT) AS support
+           FROM p2 GROUP BY 1, 2
+         ), p3 AS (
+           SELECT DISTINCT a.u, a.t AS t1, b.t AS t2, c.t AS t3
+           FROM e a JOIN e b ON b.u = a.u AND a.rn < b.rn
+                    JOIN e c ON c.u = a.u AND b.rn < c.rn
+         ), s3 AS (
+           SELECT t1 || '->' || t2 || '->' || t3 AS pattern, 3 AS len,
+                  CAST(count(*) AS BIGINT) AS support
+           FROM p3 GROUP BY 1, 2
+         ), uni AS (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         SELECT pattern, len, support FROM uni
+         ORDER BY support DESC, pattern LIMIT 25""",
     // q273: identical modular plane, cell-adjacency candidate join,
     // integer squared distances, q67's recursive min-label components,
     // min-core-neighbor border assignment

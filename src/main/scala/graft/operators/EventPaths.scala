@@ -39,6 +39,55 @@ object EventPaths {
       .limit(topK)
   }
 
+  /**
+   * Gap-allowed sequential patterns (the PrefixSpan support notion,
+   * Pei et al. 2001): support of a→b (or a→b→c) = number of USERS whose
+   * event sequence contains the pattern as a not-necessarily-contiguous
+   * subsequence — each user votes ONCE however many embeddings exist.
+   * [[topSequences]] counts contiguous occurrences; "signup … eventually
+   * purchase, anything between" is this operator. Only the first
+   * `prefixLen` events per user are mined (the standard bounding device:
+   * the embedding join is O(L²)/O(L³) per user, so the per-user prefix
+   * IS the scale contract — raise it deliberately, never implicitly).
+   * Joins are user-keyed; per-user DISTINCT before the support count.
+   * Output: top `topK` rows (pattern "a->b[->c]", len, support) by
+   * (support desc, pattern) — TakeOrdered, never a global sort.
+   */
+  def frequentSubsequences(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, maxLen: Int = 3, topK: Int = 25,
+      prefixLen: Int = 12): DataFrame = {
+    require(maxLen == 2 || maxLen == 3, "maxLen in {2,3}")
+    require(prefixLen >= 2 && prefixLen <= 64,
+      "prefixLen in [2,64] — the per-user embedding join is O(L^3)")
+    require(topK >= 1, "topK >= 1")
+    val w = Window.partitionBy(col("u")).orderBy(col("__ts"), col("__tie"))
+    val e = df.select(col(userCol).as("u"), col(typeCol).as("t"),
+        col(tsCol).as("__ts"), col(tieCol).as("__tie"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= prefixLen)
+      .select(col("u"), col("t"), col("rn"))
+    val a = e.select(col("u"), col("t").as("t1"), col("rn").as("r1"))
+    val b = e.select(col("u"), col("t").as("t2"), col("rn").as("r2"))
+    val p2 = a.join(b, "u").where(col("r1") < col("r2"))
+      .select(col("u"), col("t1"), col("t2")).distinct()
+    val s2 = p2.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("support"))
+      .select(concat_ws("->", col("t1"), col("t2")).as("pattern"),
+        lit(2).as("len"), col("support"))
+    val out = if (maxLen == 2) s2 else {
+      val c = e.select(col("u"), col("t").as("t3"), col("rn").as("r3"))
+      val p3 = a.join(b, "u").where(col("r1") < col("r2"))
+        .join(c, "u").where(col("r2") < col("r3"))
+        .select(col("u"), col("t1"), col("t2"), col("t3")).distinct()
+      val s3 = p3.groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("support"))
+        .select(concat_ws("->", col("t1"), col("t2"), col("t3")).as("pattern"),
+          lit(3).as("len"), col("support"))
+      s2.unionByName(s3)
+    }
+    out.orderBy(col("support").desc, col("pattern").asc).limit(topK)
+  }
+
   /** @return (prev, next, cnt, prob) — prob normalized per prev row. */
   def transitions(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {

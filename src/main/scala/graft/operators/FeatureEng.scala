@@ -97,6 +97,60 @@ object FeatureEng {
       .orderBy(col("v"))
   }
 
+  /**
+   * Isotonic calibration by pool-adjacent-violators (PAVA; Barlow et al.
+   * 1972) — the non-parametric score→probability map: the best
+   * MONOTONE fit of label rate to score, the calibrator that fixes what
+   * [[Experiment.calibration]]'s binned ECE only measures. Runs on the
+   * per-DISTINCT-score (n, pos) relation: the heavy pass is one
+   * distributed aggregation; PAVA itself is inherently sequential, so
+   * it runs driver-side on the bounded distinct relation (`maxDistinct`
+   * loud contract — the BPE-vocab house pattern; quantize scores
+   * upstream, exactly as every isotonic implementation does). Violator
+   * comparisons are EXACT cross-multiplied integers (BigInt — no float
+   * mean ever compared); each block's rate takes ONE double divide,
+   * 6dp. The fit equals the minimax characterization
+   * max_{j≤i} min_{k≥i} mean(y[j..k]) — which is what the independent
+   * oracle computes, so a pooling bug cannot hash-match.
+   * Output: (v, n, pos, p_iso) per distinct score, ordered by v,
+   * p_iso non-decreasing.
+   */
+  def isotonicCalibrate(df: DataFrame, scoreCol: Column, labelCol: Column,
+      maxDistinct: Long = 100000L): DataFrame = {
+    val s = df.select(scoreCol.cast("long").as("v"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .where(col("v").isNotNull)
+    val per = s.groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val nd = per.count()
+    require(nd >= 1, "isotonicCalibrate: empty input")
+    require(nd <= maxDistinct,
+      s"isotonicCalibrate: $nd distinct scores > maxDistinct=$maxDistinct — " +
+        "PAVA is sequential; quantize the score upstream or raise the bound")
+    val rows = per.orderBy(col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    rows.foreach { case (_, n0, p0) =>
+      var (cn, cp, cs) = (n0, p0, 1)
+      // pool while the previous block's rate EXCEEDS this one's (exact
+      // integer compare; pooling equal rates would not change any value)
+      while (st.nonEmpty && BigInt(st.last._2) * cn > BigInt(cp) * st.last._1) {
+        val (pn, pp, ps) = st.remove(st.size - 1)
+        cn += pn; cp += pp; cs += ps
+      }
+      st += ((cn, cp, cs))
+    }
+    val fits = st.toSeq.flatMap { case (n0, p0, span) =>
+      val p = BigDecimal(p0.toDouble / n0.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq.fill(span)(p)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.zip(fits).map { case ((v, n0, p0), p) => (v, n0, p0, p) }.toSeq
+      .toDF("v", "n", "pos", "p_iso")
+  }
+
   def decisionStump(df: DataFrame, scoreCol: Column,
       labelCol: Column): DataFrame = {
     val s = df.select(scoreCol.cast("double").as("v"),

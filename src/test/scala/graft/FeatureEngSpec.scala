@@ -25,6 +25,41 @@ class FeatureEngSpec extends SparkSpec {
     assert(math.abs(pinned.getAs[Double]("enc") - 250.0) < 0.01)
   }
 
+  test("isotonicCalibrate: PAVA hand case == brute-force minimax; contracts") {
+    // rates per score 1..5: 0, 1, 0, 1, 1 -> fit 0, .5, .5, 1, 1
+    val df = Seq((1L, false), (2L, true), (3L, false), (4L, true), (5L, true))
+      .toDF("v", "y")
+    val got = FeatureEng.isotonicCalibrate(df, col("v"), col("y")).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 0.0), (2L, 0.5), (3L, 0.5), (4L, 1.0), (5L, 1.0)))
+    // a longer mixed case vs an independent brute-force minimax
+    val data = Seq(
+      (1L, 2L, 0L), (2L, 3L, 3L), (3L, 4L, 1L), (4L, 2L, 2L), (5L, 5L, 2L))
+    val rows = data.flatMap { case (v, n, pos) =>
+      (1L to n).map(i => (v, i <= pos)) }
+    val fit = FeatureEng.isotonicCalibrate(rows.toDF("v", "y"), col("v"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val cn = data.map(_._2).scanLeft(0L)(_ + _)
+    val cp = data.map(_._3).scanLeft(0L)(_ + _)
+    def minimax(i: Int): Double = (0 until i + 1).map { j =>
+      (i until data.size).map { k =>
+        (cp(k + 1) - cp(j)).toDouble / (cn(k + 1) - cn(j)).toDouble
+      }.min
+    }.max
+    data.zipWithIndex.foreach { case ((v, _, _), i) =>
+      assert(fit(v) == BigDecimal(minimax(i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"v=$v")
+    }
+    // monotone output
+    val seq = data.map(_._1).sorted.map(fit)
+    assert(seq == seq.sorted)
+    // distinct-cardinality contract refuses loudly
+    intercept[IllegalArgumentException] {
+      FeatureEng.isotonicCalibrate(df, col("v"), col("y"), maxDistinct = 3)
+        .collect()
+    }
+  }
+
   test("percentileRank: mid-rank hand case, endpoints, ties, null drop") {
     val df = Seq(Some(10L), Some(20L), Some(20L), Some(30L), None).toDF("v")
     val got = FeatureEng.percentileRank(df, col("v")).collect()

@@ -8,6 +8,36 @@ import graft.operators.Profile
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
 
+  test("frequentSubsequences: gap-allowed support, one vote per user, prefix cap") {
+    // u1: a b c ; u2: a c b ; u3: c a b
+    val ev = Seq((1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "c", 3L),
+      (2L, 1L, "a", 4L), (2L, 2L, "c", 5L), (2L, 3L, "b", 6L),
+      (3L, 1L, "c", 7L), (3L, 2L, "a", 8L), (3L, 3L, "b", 9L))
+      .toDF("u", "ts", "t", "id")
+    val got = graft.operators.EventPaths.frequentSubsequences(
+        ev, "u", "ts", "t", "id", maxLen = 3, topK = 100)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // a->b in all three (gap-allowed: u2 has a _ b)
+    assert(got(("a->b", 2)) == 3L)
+    assert(got(("a->c", 2)) == 2L) // u1, u2
+    assert(got(("c->b", 2)) == 2L) // u2, u3
+    assert(got(("a->b->c", 3)) == 1L) // only u1
+    assert(!got.contains(("b->a", 2)))
+    // repeated embeddings vote once: u with a a b still supports a->b once
+    val rep = Seq((9L, 1L, "a", 1L), (9L, 2L, "a", 2L), (9L, 3L, "b", 3L))
+      .toDF("u", "ts", "t", "id")
+    val r2 = graft.operators.EventPaths.frequentSubsequences(
+        rep, "u", "ts", "t", "id", maxLen = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r2("a->b") == 1L && r2("a->a") == 1L)
+    // prefix cap: events past prefixLen are invisible
+    val capped = graft.operators.EventPaths.frequentSubsequences(
+        ev.where(col("u") === 1L), "u", "ts", "t", "id",
+        maxLen = 2, topK = 10, prefixLen = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("a->b"))
+  }
+
   private val v0 = Seq(
     (1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
     (3L, None, "a"), (4L, Some(40.0), "c")
