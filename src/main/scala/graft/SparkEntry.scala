@@ -1643,6 +1643,19 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q276_wasserstein" -> ((s, dir) => {
+      // earth-mover drift between weekend and weekday purchase values in
+      // CENTS — the drift metric with units (PSI/KS/JSD read mass only;
+      // W1 says how far the money moved). Exact decimal transport sum
+      // over pooled distinct values, one divide; q259's weekend split
+      val ev = eng(s, dir).table("events").where(col("value").isNotNull)
+        .withColumn("__w",
+          ((col("ts").cast("long") / 86400).cast("long") + 4) % 7)
+        .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      graft.operators.DistDrift.wasserstein1(
+        ev.where(col("__w").isin(0, 6)),
+        ev.where(!col("__w").isin(0, 6)), "cents")
+    }),
     "q274_isotonic" -> ((s, dir) => {
       // isotonic calibration of a noisy-but-monotone label rate over 50
       // $10k price buckets: PAVA on the distinct-score relation, exact
@@ -4275,6 +4288,41 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q276: identical pooled distinct values; the oracle is free to use
+    // one global cumulative window; HUGEINT transport terms mirror the
+    // DECIMAL(38,0) sums; identical final divide
+    "q276_wasserstein" ->
+      """WITH e AS (
+           SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                  (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS w
+           FROM events WHERE value IS NOT NULL
+         ), t AS (
+           SELECT v, CASE WHEN w IN (0, 6) THEN 1 ELSE 0 END AS s1,
+                  CASE WHEN w IN (0, 6) THEN 0 ELSE 1 END AS s2
+           FROM e
+         ), p AS (
+           SELECT v, CAST(sum(s1) AS BIGINT) AS c1, CAST(sum(s2) AS BIGINT) AS c2
+           FROM t GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2
+           FROM t
+         ), c AS (
+           SELECT v,
+                  CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS a1,
+                  CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS a2,
+                  lead(v) OVER (ORDER BY v) AS vn
+           FROM p
+         ), s AS (
+           SELECT sum(abs(CAST(a1 AS HUGEINT) * tot.n2
+                        - CAST(a2 AS HUGEINT) * tot.n1)
+                      * CAST(vn - v AS HUGEINT)) AS ts_
+           FROM c, tot WHERE vn IS NOT NULL
+         )
+         SELECT tot.n1 AS n_a, tot.n2 AS n_b,
+                (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_values,
+                round(CAST(s.ts_ AS DOUBLE)
+                      / CAST(CAST(tot.n1 AS HUGEINT) * tot.n2 AS DOUBLE), 6) AS w1
+         FROM s, tot""",
     // q274: the oracle computes the MINIMAX characterization
     // max_{j<=i} min_{k>=i} mean(y[j..k]) over prefix sums — provably
     // equal to the PAVA fit, computed nothing like it

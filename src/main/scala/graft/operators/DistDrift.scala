@@ -40,7 +40,8 @@ object DistDrift {
    */
   private val PrefixBuckets = 256
 
-  private[operators] def withPrefixSums(perValue: DataFrame, cnts: Seq[String]): DataFrame = {
+  private[operators] def withPrefixSums(perValue: DataFrame, cnts: Seq[String],
+      keepBucket: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val spark = perValue.sparkSession
@@ -80,7 +81,8 @@ object DistDrift {
     val joined = cnts.foldLeft(withLocal.join(broadcast(offDf), "__b")) { (d, c) =>
       d.withColumn(s"${c}_below", col(s"__wb_$c") + col(s"__off_$c"))
     }
-    joined.drop("__b" +: cnts.flatMap(c => Seq(s"__wb_$c", s"__off_$c")): _*)
+    joined.drop((if (keepBucket) Nil else Seq("__b")) ++
+      cnts.flatMap(c => Seq(s"__wb_$c", s"__off_$c")): _*)
   }
 
   private def bin(v: Column, lo: Double, hi: Double, nBins: Int): Column =
@@ -287,6 +289,70 @@ object DistDrift {
    * search compares the INTEGER |c1·n2 − c2·n1| — floats appear only in
    * the published ratio.
    */
+  /**
+   * Exact 1-Wasserstein (earth-mover) distance between two integer-unit
+   * samples — the drift metric WITH UNITS: PSI/KS/JSD see probability
+   * mass only (10% of mass moving 1 cent reads like 10% moving $100);
+   * W1 is the literal average transport cost in the value's own units,
+   *
+   *   W1 = ∫|F_A − F_B| dx
+   *      = Σ_v |cumA(v)·n_B − cumB(v)·n_A| · gap(v) / (n_A·n_B)
+   *
+   * over pooled DISTINCT values (gap = successor − v). Every term is
+   * exact DECIMAL(38,0); ONE double divide publishes 6dp. Plan: the
+   * [[ks]] shape — distinct-value aggregation + distributed prefix
+   * sums. The successor stays partitioned too: buckets are monotone in
+   * v, so gap = bucket-local lead, patched at bucket boundaries by a
+   * ≤257-row broadcast of next-bucket first values (the withPrefixSums
+   * offset discipline applied to successors).
+   * Output: one row (n_a, n_b, n_values, w1); w1 NULL if a side is empty.
+   */
+  def wasserstein1(aDf: DataFrame, bDf: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val tagged = aDf.select(col(valCol).cast("long").as("v"),
+        lit(1L).as("s1"), lit(0L).as("s2"))
+      .unionByName(bDf.select(col(valCol).cast("long").as("v"),
+        lit(0L).as("s1"), lit(1L).as("s2")))
+      .where(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val totals = tagged.agg(coalesce(sum(col("s1")), lit(0L)).as("n1"),
+      coalesce(sum(col("s2")), lit(0L)).as("n2"))
+    val cum = withPrefixSums(perValue, Seq("c1", "c2"), keepBucket = true)
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("v"))
+    val withLead = cum.withColumn("__vn", lead(col("v"), 1).over(wIn))
+    // per-bucket first values (≤257 rows) → each bucket's next-bucket first
+    val firsts = cum.groupBy(col("__b")).agg(min(col("v")).as("fv"))
+      .orderBy(col("__b")).collect()
+    val nfRows: Seq[Row] = firsts.indices.map { i =>
+      Row(firsts(i).getInt(0),
+        if (i + 1 < firsts.length) java.lang.Long.valueOf(firsts(i + 1).getLong(1))
+        else null)
+    }
+    val nfSchema = StructType(Seq(StructField("__b", IntegerType, nullable = false),
+      StructField("__nf", LongType, nullable = true)))
+    val nfDf = aDf.sparkSession.createDataFrame(
+      java.util.Arrays.asList(nfRows: _*), nfSchema)
+    val dec = "decimal(38,0)"
+    val terms = withLead.join(broadcast(nfDf), "__b")
+      .withColumn("__vnext", coalesce(col("__vn"), col("__nf")))
+      .where(col("__vnext").isNotNull) // the global max value carries no gap
+      .crossJoin(broadcast(totals))
+      .withColumn("__t",
+        (abs((col("c1_below") + col("c1")).cast(dec) * col("n2").cast(dec)
+          - (col("c2_below") + col("c2")).cast(dec) * col("n1").cast(dec))
+          * (col("__vnext") - col("v")).cast(dec)).cast(dec))
+    val nv = perValue.agg(count(lit(1)).as("n_values"))
+    terms.agg(coalesce(sum(col("__t")), lit(0).cast(dec)).as("__s"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(nv))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"), col("n_values"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round(col("__s").cast("double")
+            / (col("n1").cast(dec) * col("n2").cast(dec)).cast("double"), 6))
+          .as("w1"))
+  }
+
   def ks(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
     val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
       .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))

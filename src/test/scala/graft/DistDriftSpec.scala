@@ -200,6 +200,33 @@ class DistDriftSpec extends SparkSpec {
     }
   }
 
+  test("wasserstein1: point shift = distance, split transport, zero, empty NULL") {
+    def w1(a: Seq[Long], b: Seq[Long]): java.lang.Double = {
+      val r = DistDrift.wasserstein1(a.toDF("v"), b.toDF("v"), "v").head()
+      if (r.isNullAt(3)) null else r.getDouble(3)
+    }
+    // a point mass shifted by d costs exactly d
+    assert(w1(Seq(0L), Seq(100L)) == 100.0)
+    // {0,100} vs {50,50}: both units travel 50 -> mean 50
+    assert(w1(Seq(0L, 100L), Seq(50L, 50L)) == 50.0)
+    // identical samples cost 0; unequal sizes still exact:
+    // {0} vs {0,10}: F_B jumps to 1/2 at 0 -> integral |1 - 1/2|*10 = 5
+    assert(w1(Seq(5L, 7L), Seq(5L, 7L)) == 0.0)
+    assert(w1(Seq(0L), Seq(0L, 10L)) == 5.0)
+    // empty side publishes NULL with counts intact
+    val e = DistDrift.wasserstein1(Seq.empty[Long].toDF("v"),
+      Seq(1L).toDF("v"), "v").head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 1L && e.isNullAt(3))
+    // layout invariance (prefix sums + boundary stitch, no global window)
+    val big = (1 to 3000).map(i => (i * 37 % 501).toLong)
+    val shifted = big.map(_ + 13L)
+    val x = DistDrift.wasserstein1(big.toDF("v"), shifted.toDF("v"), "v").head()
+    val y = DistDrift.wasserstein1(big.toDF("v").repartition(17),
+      shifted.toDF("v").repartition(5), "v").head()
+    assert(x.getDouble(3) == y.getDouble(3))
+    assert(x.getDouble(3) == 13.0) // rigid shift by 13 costs exactly 13
+  }
+
   test("spearman: monotone = 1, inverse = -1, tie hand case = 2/sqrt(5), constant NULL") {
     def rho(rows: Seq[(Double, Double)]): org.apache.spark.sql.Row =
       DistDrift.spearman(rows.toDF("x", "y"), col("x"), col("y")).head()
