@@ -1643,6 +1643,36 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q277_stream_drift" -> ((s, dir) => {
+      // weekly value-drift INSIDE a stream: tumbling 7-day event-time
+      // windows maintain 64-bin cent histograms (bounded state per
+      // window — the ksBinned/psi declared-bounds discipline applied to
+      // streaming); each week then scores against the whole-corpus
+      // reference with the exact binned W1. At scale add a watermark;
+      // the gate replays a finite feed with AvailableNow
+      val base = tmpDir("q277")
+      val ev = eng(s, dir).table("events").where(col("value").isNotNull)
+        .select(col("ts"), col("value"))
+      ev.write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(ev.schema).parquet(base + "/feed")
+      val binOf = (d: org.apache.spark.sql.DataFrame) => d
+        .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumn("bin", least(lit(63L), expr("cents div 1000")))
+      val q = binOf(stream)
+        .groupBy(window(col("ts"), "7 days").as("w"), col("bin")).count()
+        .writeStream.format("memory").queryName("q277_drift_mem")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val fin = q.awaitTermination(120000); q.stop()
+      require(fin, "q277_stream_drift: streaming query did not finish within 120 s")
+      val perKey = s.table("q277_drift_mem")
+        .select(col("w.start").cast("long").as("k"), col("bin"),
+          col("count").as("c"))
+      val ref = binOf(ev.toDF()).groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      graft.operators.DistDrift.histW1(perKey, ref, width = 1000.0)
+        .select(col("k").as("week_start"), col("n_key"), col("w1"))
+        .orderBy("week_start")
+    }),
     "q276_wasserstein" -> ((s, dir) => {
       // earth-mover drift between weekend and weekday purchase values in
       // CENTS — the drift metric with units (PSI/KS/JSD read mass only;
@@ -4288,6 +4318,44 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
+    // q277: epoch-aligned 7-day windows (Spark's tumbling origin is
+    // 1970-01-01 UTC), identical 64-bin clamp, identical HUGEINT
+    // transport terms per week vs the corpus reference
+    "q277_stream_drift" ->
+      """WITH e AS (
+           SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800 AS k,
+                  least(63, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000) AS bin
+           FROM events WHERE value IS NOT NULL
+         ), h AS (
+           SELECT k, bin, CAST(count(*) AS BIGINT) AS cw FROM e GROUP BY 1, 2
+         ), r AS (SELECT bin, CAST(count(*) AS BIGINT) AS cr FROM e GROUP BY 1),
+         nrr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM r),
+         keys AS (SELECT DISTINCT k FROM h),
+         pooled AS (
+           SELECT coalesce(h.k, kr.k) AS k, coalesce(h.bin, kr.bin) AS bin,
+                  coalesce(h.cw, 0) AS cw, coalesce(kr.cr, 0) AS cr
+           FROM h FULL OUTER JOIN
+                (SELECT keys.k, r.bin, r.cr FROM keys, r) kr
+             ON kr.k = h.k AND kr.bin = h.bin
+         ), cum AS (
+           SELECT k, bin,
+                  CAST(sum(cw) OVER (PARTITION BY k ORDER BY bin) AS BIGINT) AS aw,
+                  CAST(sum(cr) OVER (PARTITION BY k ORDER BY bin) AS BIGINT) AS ar,
+                  lead(bin) OVER (PARTITION BY k ORDER BY bin) - bin AS gap
+           FROM pooled
+         ), nk AS (SELECT k, CAST(sum(cw) AS BIGINT) AS nk FROM h GROUP BY 1),
+         sumt AS (
+           SELECT cum.k, nk.nk, nrr.nr,
+                  sum(abs(CAST(aw AS HUGEINT) * nrr.nr
+                        - CAST(ar AS HUGEINT) * nk.nk)
+                      * CAST(gap AS HUGEINT)) AS s
+           FROM cum JOIN nk ON nk.k = cum.k, nrr
+           WHERE gap IS NOT NULL GROUP BY 1, 2, 3
+         )
+         SELECT k AS week_start, nk AS n_key,
+                round(CAST(s AS DOUBLE)
+                      / CAST(CAST(nk AS HUGEINT) * nr AS DOUBLE) * 1000.0, 6) AS w1
+         FROM sumt ORDER BY week_start""",
     // q276: identical pooled distinct values; the oracle is free to use
     // one global cumulative window; HUGEINT transport terms mirror the
     // DECIMAL(38,0) sums; identical final divide

@@ -353,6 +353,54 @@ object DistDrift {
           .as("w1"))
   }
 
+  /**
+   * Per-key binned 1-Wasserstein against one reference histogram — the
+   * bounded-state form of [[wasserstein1]] for streams and dashboards:
+   * each key (a time window, a source, an experiment arm) carries at
+   * most `nBins` counts, the reference broadcasts, and the distance is
+   * exact over bin indices then scaled by the declared bin `width`
+   * (the [[ksBinned]] lower-bound contract: converges to true W1 as
+   * bins shrink). All windows PARTITION BY key (≤ nBins rows each);
+   * terms are exact DECIMAL(38,0); one divide·scale publishes 6dp.
+   * Input: `perKey` rows (k, bin, c); `ref` rows (bin, c).
+   * Output per key: (k, n_key, w1) — w1 in value units; NULL if either
+   * side is empty.
+   */
+  def histW1(perKey: DataFrame, ref: DataFrame, width: Double): DataFrame = {
+    require(width > 0.0, "width > 0")
+    val refTot = ref.agg(coalesce(sum(col("c")), lit(0L)).as("nr"))
+    val r = ref.select(col("bin").as("bin"), col("c").as("cr"))
+    val keys = perKey.select(col("k")).distinct()
+    // pooled bins per key: the key's own bins ∪ every reference bin
+    // (a bin one side lacks still moves the other side's cumulative)
+    val pooled = perKey.select(col("k"), col("bin"), col("c").as("cw"))
+      .join(keys.crossJoin(broadcast(r)), Seq("k", "bin"), "full_outer")
+      .withColumn("cw", coalesce(col("cw"), lit(0L)))
+      .withColumn("cr", coalesce(col("cr"), lit(0L)))
+    val wK = Window.partitionBy(col("k")).orderBy(col("bin"))
+    val dec = "decimal(38,0)"
+    val cum = pooled
+      .withColumn("__aw", sum(col("cw")).over(
+        wK.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__ar", sum(col("cr")).over(
+        wK.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gap", lead(col("bin"), 1).over(wK) - col("bin"))
+    val nw = perKey.groupBy(col("k"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("nk"))
+    cum.where(col("__gap").isNotNull)
+      .join(nw, "k").crossJoin(broadcast(refTot))
+      .withColumn("__t", (abs(col("__aw").cast(dec) * col("nr").cast(dec)
+        - col("__ar").cast(dec) * col("nk").cast(dec))
+        * col("__gap").cast(dec)).cast(dec))
+      .groupBy(col("k"), col("nk"), col("nr"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast(dec)).as("__s"))
+      .select(col("k"), col("nk").as("n_key"),
+        when(col("nk") > 0 && col("nr") > 0,
+          round(col("__s").cast("double")
+            / (col("nk").cast(dec) * col("nr").cast(dec)).cast("double")
+            * lit(width), 6)).as("w1"))
+  }
+
   def ks(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
     val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
       .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))

@@ -227,6 +227,24 @@ class DistDriftSpec extends SparkSpec {
     assert(x.getDouble(3) == 13.0) // rigid shift by 13 costs exactly 13
   }
 
+  test("histW1: identical hist = 0, one-bin shift = width, missing bins count") {
+    val ref = Seq((0L, 2L), (1L, 2L)).toDF("bin", "c")
+    // key A identical to ref -> 0; key B all mass one bin right of ref's
+    // average... hand: B = {bin1:2, bin2:2} vs ref {0:2,1:2} — every unit
+    // moves exactly one bin -> w1 = width
+    val perKey = Seq(("A", 0L, 2L), ("A", 1L, 2L), ("B", 1L, 2L), ("B", 2L, 2L))
+      .toDF("k", "bin", "c")
+    val got = DistDrift.histW1(perKey, ref, width = 10.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("A" -> 0.0, "B" -> 10.0))
+    // a key missing a middle ref bin still integrates across the gap:
+    // C = {0:1, 4:1} vs ref2 = {2:2}: cum diffs |1*2-0*2|*2 + |1*2-2*2|*2
+    // over gaps (0->2, 2->4) -> (4+4)/(2*2)*10 = 20
+    val c2 = DistDrift.histW1(Seq(("C", 0L, 1L), ("C", 4L, 1L)).toDF("k", "bin", "c"),
+      Seq((2L, 2L)).toDF("bin", "c"), width = 10.0).head()
+    assert(c2.getDouble(2) == 20.0)
+  }
+
   test("spearman: monotone = 1, inverse = -1, tie hand case = 2/sqrt(5), constant NULL") {
     def rho(rows: Seq[(Double, Double)]): org.apache.spark.sql.Row =
       DistDrift.spearman(rows.toDF("x", "y"), col("x"), col("y")).head()
