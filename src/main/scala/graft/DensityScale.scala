@@ -107,6 +107,25 @@ object DensityScale {
           })
           (r, () => df.unpersist(false), n / famSize, n / famSize)
         }),
+        // n/famSize planted 5x4 blobs (all famSize points pairwise within
+        // eps=5 -> all core, EXACTLY one component each), blob origins on
+        // a 1000-spaced lattice that GROWS with n — per-cell occupancy is
+        // constant by construction, the honest geometry for the q273
+        // gate's fixed-50-squares fixture (which densifies ~n^2 pair mass
+        // at growing SF by design)
+        "grid" -> (() => {
+          val df = spark.range(n).select(col("id"),
+              expr(s"((id div $famSize) % 1000) * 1000 + (id % $famSize) % 5")
+                .as("x"),
+              expr(s"((id div $famSize) div 1000) * 1000 + (id % $famSize) div 5")
+                .as("y"))
+            .localCheckpoint(true)
+          val r = (() => operators.Clustering
+            .gridDbscan(df, "id", "x", "y", eps = 5, minPts = 4)
+            .where(col("component").isNotNull)
+            .select(col("component")).distinct().count())
+          (r, () => df.unpersist(false), n / famSize, n / famSize)
+        }),
         "entity" -> (() => {
           val df = entityCorpus(n).localCheckpoint(true)
           val r = (() => pipeline.EntityMatch

@@ -1643,6 +1643,48 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q280_quantile_norm" -> ((s, dir) => {
+      // quantile-normalize $100 order-price buckets ONTO the pooled
+      // corpus distribution per priority class (Bolstad batch-effect
+      // removal): pure integer rank arithmetic on the distinct
+      // (group, value) relation, pooled lookup via one ordered merge
+      graft.operators.FeatureEng.quantileNormalize(
+        eng(s, dir).table("orders"),
+        col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"))
+    }),
+    "q279_label_prop" -> ((s, dir) => {
+      // community detection by determinized synchronous label
+      // propagation (3 rounds, majority-of-neighbors, ties to the
+      // smallest label) over the 90 strongest brand co-occurrence
+      // edges — splits the connected brand graph along density, which
+      // connected components (q67) cannot. Top-k-by-weight with a full
+      // tie-break makes the graph itself SF-independent-deterministic
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+          "l_orderkey", "p_brand", minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      graft.operators.GraphOps.labelPropagation(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+        iters = 3)
+    }),
+    "q278_nelson_aalen" -> ((s, dir) => {
+      // Nelson-Aalen cumulative hazard for time-to-first-error per user
+      // (the reliability read: expected errors per user still at risk),
+      // right-censored at each user's last observed event. Additive
+      // d/n increments, 12dp-rounded, DECIMAL-summed — no ln/exp at all
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "error", col("ts").cast("long")))
+          .as("te"))
+      val subjects = perUser.select(
+        when(col("te").isNotNull, col("te") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("te").isNotNull.as("ev"))
+      graft.operators.Survival.nelsonAalen(subjects, "dur", col("ev"))
+        .orderBy("t")
+    }),
     "q277_stream_drift" -> ((s, dir) => {
       // weekly value-drift INSIDE a stream: tumbling 7-day event-time
       // windows maintain 64-bin cent histograms (bounded state per
@@ -4321,6 +4363,126 @@ object SparkEntry {
     // q277: epoch-aligned 7-day windows (Spark's tumbling origin is
     // 1970-01-01 UTC), identical 64-bin clamp, identical HUGEINT
     // transport terms per week vs the corpus reference
+    // q280: the oracle computes the same max-rank inverse-CDF map with
+    // HUGEINT ceil-div and DuckDB's native ASOF JOIN for the pooled
+    // lookup — a genuinely different lookup mechanism than the engine's
+    // union-merge window, same integer definition
+    "q280_quantile_norm" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS v
+           FROM orders
+         ), per AS (
+           SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2
+         ), ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM per GROUP BY 1),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+         pro AS (
+           SELECT g, v, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS r_g
+           FROM per
+         ), poss AS (
+           SELECT pro.g, pro.v, pro.cnt,
+                  CAST((CAST(pro.r_g AS HUGEINT) * np.n + ng.n_g - 1) // ng.n_g
+                       AS BIGINT) AS pos
+           FROM pro JOIN ng ON ng.g = pro.g CROSS JOIN np
+         ), pooled AS (
+           SELECT v, CAST(sum(cnt) AS BIGINT) AS cp FROM per GROUP BY 1
+         ), ref AS (
+           SELECT v AS ref_v,
+                  CAST(coalesce(sum(cp) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS k
+           FROM pooled
+         )
+         SELECT poss.g, poss.v, poss.cnt, poss.pos, r.ref_v AS q_norm
+         FROM poss ASOF JOIN ref r ON poss.pos - 1 >= r.k
+         ORDER BY g, v""",
+    // q279: three unrolled synchronous LPA rounds (majority-of-neighbors,
+    // count-desc/label-asc argmax) over the top-90-by-support brand
+    // graph; the tie-broken LIMIT makes the edge set a total-order
+    // selection, deterministic at any SF
+    "q279_label_prop" ->
+      """WITH bi AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         ), pr AS (
+           SELECT x.i AS pa, y.i AS pb, count(*) AS c
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2
+         ), top AS MATERIALIZED (
+           SELECT pa, pb FROM pr ORDER BY c DESC, pa, pb LIMIT 90
+         ), e AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM top
+           UNION SELECT pb, pa FROM top
+         ),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+         v1 AS MATERIALIZED (
+           SELECT e.dst AS node, l.label, count(*) AS c
+           FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
+         ), l1 AS MATERIALIZED (
+           SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+             FROM v1) WHERE rk = 1
+         ),
+         v2 AS MATERIALIZED (
+           SELECT e.dst AS node, l.label, count(*) AS c
+           FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
+         ), l2 AS MATERIALIZED (
+           SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+             FROM v2) WHERE rk = 1
+         ),
+         v3 AS MATERIALIZED (
+           SELECT e.dst AS node, l.label, count(*) AS c
+           FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
+         ), l3 AS MATERIALIZED (
+           SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+             FROM v3) WHERE rk = 1
+         )
+         SELECT node, label FROM l3 ORDER BY node""",
+    // q278: the oracle replays the additive hazard chain with the same
+    // 12dp term rounding + DECIMAL running sum (no transcendentals on
+    // either side)
+    "q278_nelson_aalen" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'error'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS te
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CASE WHEN te IS NOT NULL THEN te - t0 ELSE tl - t0 END AS t,
+                  te IS NOT NULL AS ev
+           FROM pu
+         ), tot AS (SELECT count(*) AS n FROM subj),
+         byt AS (
+           SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                  CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS nc
+           FROM subj GROUP BY 1
+         ), c1 AS (
+           SELECT t, ne, nc,
+                  sum(ne + nc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gone
+           FROM byt
+         ), c2 AS (
+           SELECT c1.t, c1.ne, c1.nc,
+                  CAST(tot.n - c1.gone + c1.ne + c1.nc AS BIGINT) AS nr
+           FROM c1 CROSS JOIN tot
+         ), c3 AS (
+           SELECT *, round(CAST(ne AS DOUBLE) / CAST(nr AS DOUBLE), 12) AS term
+           FROM c2
+         ), c4 AS (
+           SELECT *,
+                  sum(CAST(term AS DECIMAL(24,12))) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hs
+           FROM c3
+         )
+         SELECT t, nr AS n_risk, ne AS n_event, nc AS n_censored,
+                round(CAST(hs AS DOUBLE), 6) AS cumhazard
+         FROM c4 WHERE ne > 0 ORDER BY t""",
     "q277_stream_drift" ->
       """WITH e AS (
            SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800 AS k,

@@ -151,6 +151,82 @@ object FeatureEng {
       .toDF("v", "n", "pos", "p_iso")
   }
 
+  /**
+   * QUANTILE NORMALIZATION onto the pooled distribution (the
+   * microarray-era technique, Bolstad et al. 2003, batch-effect removal
+   * for features): every group's value v is replaced by the POOLED
+   * distribution's value at the same quantile, making all groups share
+   * one marginal distribution exactly — where [[percentileRank]] maps
+   * into [0,1], this maps back into the VALUE domain of the corpus.
+   *
+   * Definition (type-1 inverse CDF, max-rank over ties): for a group-g
+   * value v with cumulative in-group count r = cum_g(v) out of n_g, its
+   * pooled position is pos = ⌈r·N/n_g⌉ and the normalized value is the
+   * smallest pooled value q with cum_pool(q) ≥ pos. All integer: pos
+   * computes as (r·N + n_g − 1) div n_g in DECIMAL(38,0) (r·N overflows
+   * long at warehouse scale), and the lookup compares exact longs — no
+   * float enters at any point, so the map is engine-reproducible.
+   *
+   * Shape: everything runs on the DISTINCT (group, value) relation —
+   * per-group ranks from a window PARTITIONED by group, the pooled
+   * lookup as ONE ordered merge (the AsOfJoin union-window trick: ref
+   * rows keyed by exclusive cum-below, probe rows by pos−1, last
+   * ref value carried forward). The merge window is unpartitioned BY
+   * CONTRACT — it orders ≤ (|groups|+1)·`maxDistinct` rows (the
+   * isotonic/theilSen bounded-relation class, loud require below);
+   * quantize the value upstream to stay inside it. Rows never enter
+   * any window; apply to rows by joining back on (group, value).
+   *
+   * Output: (g, v, cnt, pos, q_norm) per distinct (group, value),
+   * ordered. q_norm is a value the pooled corpus actually contains.
+   */
+  def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column,
+      maxDistinct: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(groupCol.cast("string").as("g"),
+        valueCol.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val per = s.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds ranks, pooled ref, and the probe side
+    val ndist = per.select(col("v")).distinct().count()
+    require(ndist >= 1, "quantileNormalize: empty input")
+    require(ndist <= maxDistinct,
+      s"quantileNormalize: $ndist distinct values > maxDistinct=$maxDistinct " +
+        "— the pooled merge orders the distinct relation; quantize the " +
+        "value upstream or raise the bound")
+    val nPool = s.count()
+    val nG = per.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val probes = per
+      .withColumn("r_g", sum(col("cnt")).over(wG))
+      .join(nG, "g")
+      // ceil(r·N / n_g) in exact decimal; pos ≤ N fits a long again
+      .withColumn("pos",
+        floor((d(col("r_g")) * d(lit(nPool)) + d(col("n_g")) - d(lit(1L)))
+          / d(col("n_g"))).cast("long"))
+    val pooled = per.groupBy(col("v")).agg(sum(col("cnt")).as("cp"))
+    val wP = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ref = pooled
+      .withColumn("k", coalesce(sum(col("cp")).over(wP), lit(0L)))
+      .select(col("k"), lit(0).as("side"), col("v").as("ref_v"),
+        lit(null).cast("string").as("g"), lit(null).cast("long").as("v"),
+        lit(null).cast("long").as("cnt"), lit(null).cast("long").as("pos"))
+    val pr = probes.select((col("pos") - 1L).as("k"), lit(1).as("side"),
+      lit(null).cast("long").as("ref_v"), col("g"), col("v"), col("cnt"),
+      col("pos"))
+    // ref sorts before probes at equal key: a probe at pos = cb+1 takes
+    // THIS ref value (its interval starts there), matching <= semantics
+    val wM = Window.orderBy(col("k"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref.unionByName(pr)
+      .withColumn("q_norm", last(col("ref_v"), ignoreNulls = true).over(wM))
+      .where(col("side") === 1)
+      .select(col("g"), col("v"), col("cnt"), col("pos"), col("q_norm"))
+      .orderBy(col("g"), col("v"))
+  }
+
   def decisionStump(df: DataFrame, scoreCol: Column,
       labelCol: Column): DataFrame = {
     val s = df.select(scoreCol.cast("double").as("v"),

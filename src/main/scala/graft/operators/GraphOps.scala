@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -466,6 +467,85 @@ object GraphOps {
       .localCheckpoint(true) // <= topK rows — materialize, then free sym
     sym.unpersist(false)
     out
+  }
+
+  /**
+   * SYNCHRONOUS label-propagation community detection (Raghavan et al.
+   * 2007, determinized): labels start as the node's own id; each of
+   * `iters` rounds every node adopts the most frequent label among its
+   * NEIGHBORS, ties broken by the lexicographically smallest label —
+   * a total order, so the result is a pure function of the edge set
+   * (no RNG, no visit-order dependence, reproducible across engines
+   * and partitionings). Fixed iteration count rather than
+   * convergence-detection: the gate contract is "the label field after
+   * exactly k rounds", bit-stable by construction.
+   *
+   * Unlike connected components (q67), LPA splits a connected graph
+   * along density: a bridge edge between two dense clusters cannot
+   * out-vote either side's internal majority.
+   *
+   * Shape per round: one join of the O(|V|) label iterate onto the
+   * symmetrized edge list, one (node, label) count aggregation, one
+   * per-node window argmax — all partitioned by node, O(|E|) rows
+   * moved, no wedge term. Two-regime like [[pageRankFixed]]: below
+   * `maxLocalEdges` the identical integer/string arithmetic runs on
+   * the collected edge list; above it stays distributed with
+   * per-round lineage cuts.
+   *
+   * Output: (node, label) for every node, plus community sizes are one
+   * groupBy away. Ordered by node.
+   */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters in [1,20]: $iters")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val n = sym.count()
+    if (n <= maxLocalEdges) {
+      val es = sym.collect().map(r => (r.getString(0), r.getString(1)))
+      sym.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      var lab: Map[String, String] = nodes.map(x => x -> x).toMap
+      for (_ <- 1 to iters) {
+        // votes(dst) = multiset of neighbor labels; argmax by (count
+        // desc, label asc) — same total order as the window branch
+        val votes = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.Map[String, Long]]
+        es.foreach { case (s, d) =>
+          val m = votes.getOrElseUpdate(d, scala.collection.mutable.Map.empty)
+          val l = lab(s); m(l) = m.getOrElse(l, 0L) + 1L
+        }
+        lab = nodes.map { v =>
+          val m = votes(v) // symmetrized: every node has >= 1 neighbor
+          v -> m.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.map(v => (v, lab(v))).toSeq.toDF("node", "label")
+        .orderBy(col("node"))
+    } else {
+      val nodes = sym.select(col("src").as("node")).distinct().cache()
+      var lab = nodes.withColumn("label", col("node"))
+      val byVotes = Window.partitionBy(col("node"))
+        .orderBy(col("__c").desc, col("label").asc)
+      for (i <- 1 to iters) {
+        val votes = sym
+          .join(lab.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("__c"))
+        lab = votes
+          .withColumn("__rk", row_number().over(byVotes))
+          .where(col("__rk") === 1)
+          .select(col("node"), col("label"))
+        if (i < iters) lab = lab.localCheckpoint(true)
+      }
+      val out = lab.orderBy(col("node")).localCheckpoint(true)
+      nodes.unpersist(false); sym.unpersist(false)
+      out
+    }
   }
 
   /**

@@ -72,6 +72,50 @@ object Survival {
    * the p-value is deliberately not published (erf is not reproducible
    * across math libraries; z is).
    */
+  /**
+   * Nelson-Aalen cumulative hazard (Nelson 1972, Aalen 1978) — the
+   * additive sibling of [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over
+   * ordered event times. Where KM answers "what fraction survives past
+   * t", H(t) reads as the expected number of events per subject still
+   * at risk — the estimator of choice when hazards are the modeling
+   * target (its increments are the raw hazard terms) and the numerically
+   * safer one near total failure (no product collapses to 0).
+   *
+   * Determinism: each increment dᵢ/nᵢ is a rational of exact counts,
+   * 12dp-rounded, DECIMAL-summed by a running window (the engine's Σ
+   * doctrine) — no ln/exp at all, so the curve is reproducible across
+   * engines with no transcendental in sight. exp(−H) (the
+   * Fleming-Harrington survival estimate) is deliberately left to the
+   * caller.
+   *
+   * Shape: identical to KM — one grouped count by duration
+   * (|distinct times| rows), one ordered window over that bounded
+   * relation; the subject table is touched once.
+   *
+   * Output (event times only): (t, n_risk, n_event, n_censored,
+   * cumhazard).
+   */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+      eventCol: Column): DataFrame = {
+    val total = df.count()
+    val byT = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(eventCol, 1L).otherwise(0L)).as("n_event"),
+        sum(when(eventCol, 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("__gone", sum(col("n_event") + col("n_censored")).over(w))
+      .withColumn("n_risk",
+        lit(total) - col("__gone") + col("n_event") + col("n_censored"))
+      .withColumn("__term", round(
+        col("n_event").cast("double") / col("n_risk").cast("double"), 12))
+      .withColumn("cumhazard", round(
+        sum(col("__term").cast("decimal(24,12)")).over(w).cast("double"), 6))
+      .where(col("n_event") > 0)
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        col("cumhazard"))
+  }
+
   def logRank(df: DataFrame, durationCol: String, eventCol: Column,
       groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),

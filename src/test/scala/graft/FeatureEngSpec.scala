@@ -96,4 +96,31 @@ class FeatureEngSpec extends SparkSpec {
     assert(m.getAs[Double]("threshold") == 1.0)
     assert(m.getAs[Double]("gini_split") == 0.333333)
   }
+
+  test("quantileNormalize: hand-computed pooled map, monotone, edge anchors") {
+    // A = [1,1,2], B = [5,6,6,7]; pool = [1,1,2,5,6,6,7], N = 7
+    // A v=1: pos = ceil(2·7/3) = 5 → pooled cum(6)=6 covers → 6
+    // A v=2: pos = 7 → 7 (group max → pooled max, always)
+    // B v=5: pos = ceil(7/4) = 2 → cum(1)=2 → 1 (group min near pooled min)
+    // B v=6: pos = ceil(5.25) = 6 → 6 ; B v=7: pos = 7 → 7
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L),
+      ("B", 5L), ("B", 6L), ("B", 6L), ("B", 7L)).toDF("g", "x")
+    val out = FeatureEng.quantileNormalize(df, col("g"), col("x"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(out == Map(("A", 1L) -> 6L, ("A", 2L) -> 7L,
+      ("B", 5L) -> 1L, ("B", 6L) -> 6L, ("B", 7L) -> 7L))
+    // partition-layout invariance
+    val re = FeatureEng.quantileNormalize(df.repartition(5), col("g"), col("x"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(re == out)
+    // identical groups are a fixed point: every value maps to itself
+    val same = Seq(("A", 1L), ("A", 3L), ("B", 1L), ("B", 3L)).toDF("g", "x")
+    val fix = FeatureEng.quantileNormalize(same, col("g"), col("x"))
+      .collect().map(r => (r.getLong(1), r.getLong(4)))
+    assert(fix.forall { case (v, q) => v == q })
+    // distinct-cardinality contract is loud
+    intercept[IllegalArgumentException] {
+      FeatureEng.quantileNormalize(df, col("g"), col("x"), maxDistinct = 2L)
+    }
+  }
 }

@@ -240,4 +240,32 @@ class GraphOpsSpec extends SparkSpec {
     // topK bounds the output after the exact-decimal sort
     assert(aa(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")), k = 1).size == 1)
   }
+
+  test("labelPropagation: two triangles + bridge split; barbell; branches match") {
+    import spark.implicits._
+    def lp(edges: Seq[(String, String)], iters: Int = 3,
+        cutover: Long = 1000000L): Map[String, String] =
+      GraphOps.labelPropagation(edges.toDF("src", "dst"), iters,
+          maxLocalEdges = cutover)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // two triangles joined by one bridge: the bridge cannot out-vote a
+    // triangle's internal majority — two communities survive (where
+    // connected components would merge everything)
+    val barbell = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val lab = lp(barbell)
+    assert(lab("a") == lab("b") && lab("b") == lab("c"))
+    assert(lab("x") == lab("y") && lab("y") == lab("z"))
+    assert(lab("a") != lab("x"))
+    // round 1 on a path a-b-c: every node adopts its smallest neighbor
+    // (all vote counts 1) — hand-traceable sync update
+    assert(lp(Seq(("a", "b"), ("b", "c")), iters = 1) ==
+      Map("a" -> "b", "b" -> "a", "c" -> "b"))
+    // the two regimes produce the identical label field
+    assert(lp(barbell, cutover = 0L) == lp(barbell))
+    // iteration contract is loud
+    intercept[IllegalArgumentException] {
+      GraphOps.labelPropagation(Seq(("a", "b")).toDF("src", "dst"), iters = 0)
+    }
+  }
 }

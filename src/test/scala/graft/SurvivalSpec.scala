@@ -38,6 +38,28 @@ class SurvivalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("nelsonAalen: hand-computed additive hazard; exp(-H) ~ KM") {
+    // t=1 event (4 at risk), t=2 censored, t=3 event (2 at risk), t=4 cens
+    // H(1) = 1/4 = 0.25; H(3) = 1/4 + 1/2 = 0.75
+    val df = Seq((1L, true), (2L, false), (3L, true), (4L, false))
+      .toDF("dur", "ev")
+    val rows = Survival.nelsonAalen(df, "dur", col("ev"))
+      .orderBy("t").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(rows(0).getAs[Long]("n_risk") == 4)
+    assert(rows(0).getAs[Double]("cumhazard") == 0.25)
+    assert(rows(1).getAs[Long]("n_risk") == 2)
+    assert(rows(1).getAs[Double]("cumhazard") == 0.75)
+  }
+
+  test("nelsonAalen: total failure stays finite where KM hits zero") {
+    val df = Seq((1L, true), (2L, true)).toDF("dur", "ev")
+    val rows = Survival.nelsonAalen(df, "dur", col("ev"))
+      .orderBy("t").collect()
+    assert(rows(0).getAs[Double]("cumhazard") == 0.5)
+    assert(rows(1).getAs[Double]("cumhazard") == 1.5) // 1/2 + 1/1 — no 0 collapse
+  }
+
   test("logRank: hand-computed O/E/V/z; identical curves give z 0") {
     // A: events at 1, 2; B: censored at 1, event at 3
     // t=1: n=(2,2) d=(1,0) → E .5 V .25 | t=2: n=(1,1) d=(1,0) → E .5 V .25
