@@ -1643,6 +1643,45 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q283_cluster_agreement" -> ((s, dir) => {
+      // pair-counting clustering eval (ARI + pair P/R/F1) between a
+      // 50-cluster reference partition and a degraded prediction that
+      // splits every 10th point into a shadow cluster — exact
+      // DECIMAL(38,0) pair sums, one double divide per metric
+      val pts = eng(s, dir).table("customer").select(
+        (col("c_custkey") % 50).as("truth"),
+        when(col("c_custkey") % 10 === 0, col("c_custkey") % 50 + 50)
+          .otherwise(col("c_custkey") % 50).as("pred"))
+      graft.operators.Clustering.agreement(pts, "truth", "pred")
+    }),
+    "q282_mann_kendall" -> ((s, dir) => {
+      // the nonparametric "is there a monotone trend" test on q251's
+      // weekly revenue series: exact integer S and tie-corrected
+      // 18·Var(S), one sqrt+divide for z — the hypothesis test that
+      // pairs with the Theil-Sen slope estimate
+      val weekly = eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority"),
+          (date_trunc("WEEK", col("o_orderdate")).cast("long") / 86400)
+            .cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.Trend.mannKendall(weekly, "o_orderpriority",
+          col("t"), col("units"), maxN = 1000)
+        .orderBy("o_orderpriority")
+    }),
+    "q281_ewma_chart" -> ((s, dir) => {
+      // EWMA control chart on daily per-type event value: online alarm
+      // against the exponentially-weighted mean with robust EW-|dev|
+      // limits — all integer α=1/2 truncating-div state (the holt
+      // doctrine), replayed by the oracle as a recursive CTE
+      val daily = eng(s, dir).table("events").where(col("value").isNotNull)
+        .groupBy(col("event_type").as("key"),
+          date_trunc("DAY", col("ts")).cast("long").as("t"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("units"))
+      graft.operators.TimeSeries.ewmaChart(daily, "key", "t", "units", k = 3)
+        .orderBy("key", "t")
+    }),
     "q280_quantile_norm" -> ((s, dir) => {
       // quantile-normalize $100 order-price buckets ONTO the pooled
       // corpus distribution per priority class (Bolstad batch-effect
@@ -4363,6 +4402,101 @@ object SparkEntry {
     // q277: epoch-aligned 7-day windows (Spark's tumbling origin is
     // 1970-01-01 UTC), identical 64-bin clamp, identical HUGEINT
     // transport terms per week vs the corpus reference
+    // q283: HUGEINT contingency pair sums, the ARI form multiplied
+    // through by C(N,2); "precision" double-quoted (DuckDB keyword)
+    "q283_cluster_agreement" ->
+      """WITH s AS (
+           SELECT c_custkey % 50 AS tr,
+                  CASE WHEN c_custkey % 10 = 0 THEN c_custkey % 50 + 50
+                       ELSE c_custkey % 50 END AS pr
+           FROM customer
+         ), cells AS (
+           SELECT tr, pr, CAST(count(*) AS BIGINT) AS nij FROM s GROUP BY 1, 2
+         ), tp AS (
+           SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS HUGEINT) AS tp,
+                  CAST(count(*) AS BIGINT) AS n_cells,
+                  CAST(sum(nij) AS BIGINT) AS n
+           FROM cells
+         ), a2t AS (
+           SELECT CAST(sum(CAST(ai AS HUGEINT) * (ai - 1) // 2) AS HUGEINT) AS a2
+           FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY tr)
+         ), b2t AS (
+           SELECT CAST(sum(CAST(bi AS HUGEINT) * (bi - 1) // 2) AS HUGEINT) AS b2
+           FROM (SELECT CAST(sum(nij) AS BIGINT) AS bi FROM cells GROUP BY pr)
+         ), m AS (
+           SELECT tp.n, tp.n_cells, tp.tp, a2t.a2, b2t.b2,
+                  CAST(tp.n AS HUGEINT) * (tp.n - 1) // 2 AS c
+           FROM tp, a2t, b2t
+         )
+         SELECT n, n_cells, CAST(tp AS BIGINT) AS tp_pairs,
+                CAST(a2 AS BIGINT) AS pairs_truth,
+                CAST(b2 AS BIGINT) AS pairs_pred,
+                CASE WHEN b2 > 0 THEN
+                  round(CAST(tp AS DOUBLE) / CAST(b2 AS DOUBLE), 6) END AS "precision",
+                CASE WHEN a2 > 0 THEN
+                  round(CAST(tp AS DOUBLE) / CAST(a2 AS DOUBLE), 6) END AS recall,
+                CASE WHEN a2 + b2 > 0 THEN
+                  round(CAST(2 * tp AS DOUBLE) / CAST(a2 + b2 AS DOUBLE), 6) END AS f1,
+                CASE WHEN c * (a2 + b2) - 2 * a2 * b2 <> 0 THEN
+                  round(CAST(2 * (c * tp - a2 * b2) AS DOUBLE)
+                        / CAST(c * (a2 + b2) - 2 * a2 * b2 AS DOUBLE), 6) END AS ari
+         FROM m""",
+    // q282: exact integer S and tie sum; identical final
+    // (s - sgn) / sqrt(var18 / 18.0) spelling
+    "q282_mann_kendall" ->
+      """WITH d AS (
+           SELECT o_orderpriority AS k,
+                  CAST(epoch(date_trunc('week', o_orderdate)) / 86400 AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2
+         ), sagg AS (
+           SELECT a.k, CAST(sum(CASE WHEN b.y > a.y THEN 1
+                                     WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM d a JOIN d b ON b.k = a.k AND b.t > a.t GROUP BY 1
+         ), tg AS (
+           SELECT k, y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+         ), ties AS (
+           SELECT k, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tsum
+           FROM tg GROUP BY 1
+         )
+         SELECT ties.k AS o_orderpriority, ties.n, sagg.s,
+                CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tsum
+                  AS BIGINT) AS var18,
+                CASE WHEN ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tsum > 0
+                     THEN round((CAST(sagg.s AS DOUBLE) - sign(CAST(sagg.s AS DOUBLE)))
+                          / sqrt(CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5)
+                                      - ties.tsum AS DOUBLE) / 18.0), 6)
+                END AS z
+         FROM ties JOIN sagg ON sagg.k = ties.k
+         ORDER BY o_orderpriority""",
+    // q281: recursive-CTE replay of the integer EWMA recursion (trunc
+    // div via the q204 idiom); the seed bucket publishes no row
+    "q281_ewma_chart" ->
+      """WITH RECURSIVE d AS (
+           SELECT event_type AS key,
+                  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         ), o AS (
+           SELECT key, t, x,
+                  row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+           FROM d
+         ), r AS (
+           SELECT key, rn, t, x, x AS m, CAST(0 AS BIGINT) AS dv,
+                  CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS dev,
+                  CAST(NULL AS BOOLEAN) AS alarm
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.key, o.rn, o.t, o.x,
+                  CAST(trunc((o.x + r.m) / 2.0) AS BIGINT),
+                  CAST(trunc((abs(o.x - r.m) + r.dv) / 2.0) AS BIGINT),
+                  r.m, r.dv,
+                  r.dv > 0 AND abs(o.x - r.m) > 3 * r.dv
+           FROM r JOIN o ON o.key = r.key AND o.rn = r.rn + 1
+         )
+         SELECT key, t, x, pred, dev, alarm
+         FROM r WHERE rn > 1 ORDER BY key, t""",
     // q280: the oracle computes the same max-rank inverse-CDF map with
     // HUGEINT ceil-div and DuckDB's native ASOF JOIN for the pooled
     // lookup — a genuinely different lookup mechanism than the engine's

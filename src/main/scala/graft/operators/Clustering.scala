@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -100,5 +100,76 @@ object Clustering {
           .as("role"),
         coalesce(col("component"), col("__bcomp")).as("component"))
     withRole
+  }
+
+  /**
+   * Pair-counting clustering agreement: Adjusted Rand Index (Hubert &
+   * Arabie 1985) plus pair precision / recall / F1 — "did the clusterer
+   * recover the reference partition", the evaluation the engine's own
+   * clustering operators (gridDbscan / dedupClusters / labelPropagation)
+   * beg for. Over the (truth, pred) contingency with cell counts n_ij,
+   * row sums a_i, column sums b_j, N points, and the C(·,2) pair sums
+   * TP = ΣC(n_ij,2), A = ΣC(a_i,2), B = ΣC(b_j,2), C = C(N,2):
+   *
+   *   precision = TP/B,  recall = TP/A,  f1 = 2·TP/(A+B)
+   *   ari = 2·(C·TP − A·B) / (C·(A+B) − 2·A·B)
+   *
+   * (the standard form multiplied through by C — every term an EXACT
+   * DECIMAL(38,0) integer, ONE double divide per published metric; the
+   * F1 identity 2TP/(A+B) is the harmonic mean with no composed
+   * rounding). `maxPoints` (default 10⁹) is the overflow contract:
+   * beyond it A·B can exceed DECIMAL(38,0) — sample first, loudly.
+   *
+   * Shape: one (truth, pred) count aggregation — |cells| bounded by the
+   * cluster-count product — then marginal aggs over it; the point
+   * relation is touched once. Rows with a NULL label on either side are
+   * excluded (noise: decide upstream whether to map it to a sentinel).
+   *
+   * Output: one row (n, n_cells, tp_pairs, pairs_truth, pairs_pred,
+   * precision, recall, f1, ari); degenerate partitions (all-singleton /
+   * one-cluster on both sides make the ARI denominator 0) publish NULL
+   * ari, pair metrics NULL when their denominator is 0.
+   */
+  def agreement(points: DataFrame, truthCol: String, predCol: String,
+      maxPoints: Long = 1000000000L): DataFrame = {
+    val s = points.select(col(truthCol).cast("string").as("tr"),
+        col(predCol).cast("string").as("pr"))
+      .where(col("tr").isNotNull && col("pr").isNotNull)
+    val cells = s.groupBy(col("tr"), col("pr"))
+      .agg(count(lit(1)).as("nij")).localCheckpoint(true)
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    def c2(c: Column): Column = (d(c) * (d(c) - 1) / 2).cast("decimal(38,0)")
+    val tp = cells.agg(sum(c2(col("nij"))).as("tp"),
+      count(lit(1)).as("n_cells"), sum(col("nij")).as("n"))
+    val aa = cells.groupBy(col("tr")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(c2(col("ai"))).as("a2"))
+    val bb = cells.groupBy(col("pr")).agg(sum(col("nij")).as("bi"))
+      .agg(sum(c2(col("bi"))).as("b2"))
+    val m = tp.crossJoin(aa).crossJoin(bb)
+    val nRow = m.select(col("n")).head()
+    val nPts = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    require(nPts <= maxPoints,
+      s"agreement: $nPts points > maxPoints=$maxPoints — the pair-count " +
+        "products overflow DECIMAL(38,0); sample before evaluating")
+    val cTot = c2(col("n"))
+    val ariNum = (lit(2) * (cTot * col("tp") - col("a2") * col("b2")))
+      .cast("decimal(38,0)")
+    val ariDen = (cTot * (col("a2") + col("b2"))
+      - lit(2) * col("a2") * col("b2")).cast("decimal(38,0)")
+    m.select(col("n"), col("n_cells"),
+      col("tp").cast("long").as("tp_pairs"),
+      col("a2").cast("long").as("pairs_truth"),
+      col("b2").cast("long").as("pairs_pred"),
+      when(col("b2") > 0,
+        round(col("tp").cast("double") / col("b2").cast("double"), 6))
+        .as("precision"),
+      when(col("a2") > 0,
+        round(col("tp").cast("double") / col("a2").cast("double"), 6))
+        .as("recall"),
+      when(col("a2") + col("b2") > 0,
+        round((lit(2) * col("tp")).cast("double")
+          / (col("a2") + col("b2")).cast("double"), 6)).as("f1"),
+      when(ariDen =!= 0,
+        round(ariNum.cast("double") / ariDen.cast("double"), 6)).as("ari"))
   }
 }

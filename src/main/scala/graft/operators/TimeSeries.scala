@@ -196,6 +196,70 @@ object TimeSeries {
    * Output per fold: (fold 1..folds, cutoff_t, f1_units, actual_units,
    * abs_err).
    */
+  /**
+   * EWMA control chart per key (Roberts 1959, the SPC classic) — the
+   * ONLINE anomaly monitor that complements [[cusum]]'s structural-break
+   * alarm: each bucket is scored against the exponentially-weighted
+   * mean of its own past, with limits from the exponentially-weighted
+   * absolute deviation (a robust sigma stand-in that needs no second
+   * pass). All state is INTEGER with α = 1/2 truncating division (the
+   * [[holt]] doctrine — `div` IS the definition, so the chart is
+   * bit-reproducible by any engine replaying the recursion):
+   *
+   *   pred  = m  (state before seeing x)
+   *   alarm = dev > 0 AND |x − pred| > k·dev
+   *   m'    = (x + m)   div 2
+   *   dev'  = (|x − pred| + dev) div 2
+   *
+   * seeded m = x₀, dev = 0 (the seed bucket publishes no row — there is
+   * no "past" to score against; the first few alarms are warm-up noise
+   * by nature and the caller filters on bucket index if needed).
+   *
+   * Shape: one groupBy collects each key's CALENDAR-BOUNDED bucketed
+   * series into a sorted array (`maxBuckets` loud contract, the
+   * holtBacktest doctrine), ONE `aggregate` fold replays the recursion
+   * appending per-bucket rows, one explode — no windows, no self-joins,
+   * |keys| parallelism.
+   *
+   * Output: (key, t, x, pred, dev, alarm) per non-seed bucket; `dev` is
+   * the PRE-update deviation the alarm compared against.
+   */
+  def ewmaChart(bucketed: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, k: Int = 3, maxBuckets: Long = 200000L): DataFrame = {
+    require(k >= 1 && k <= 10, s"k in [1,10]: $k")
+    val series = bucketed
+      .select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+        col(unitsCol).cast("long").as("x"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("s"),
+        count(lit(1)).as("__n"))
+    val worst = series.agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+    require(worst <= maxBuckets,
+      s"ewmaChart: a key holds $worst buckets > maxBuckets=$maxBuckets — " +
+        "input must be a calendar-bounded bucketed series (resample first)")
+    val fold = series.withColumn("st", expr(
+      s"""aggregate(s,
+           named_struct('m', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT),
+                        'i', CAST(0 AS BIGINT),
+                        'out', CAST(array() AS ARRAY<STRUCT<
+                          t: BIGINT, x: BIGINT, pred: BIGINT,
+                          dev: BIGINT, alarm: BOOLEAN>>)),
+           (a, e) -> CASE WHEN a.i = 0 THEN
+               named_struct('m', e.x, 'd', CAST(0 AS BIGINT),
+                            'i', CAST(1 AS BIGINT), 'out', a.out)
+             ELSE named_struct(
+               'm', (e.x + a.m) div 2,
+               'd', (abs(e.x - a.m) + a.d) div 2,
+               'i', a.i + 1,
+               'out', concat(a.out, array(named_struct(
+                 't', e.t, 'x', e.x, 'pred', a.m, 'dev', a.d,
+                 'alarm', a.d > 0 AND abs(e.x - a.m) > $k * a.d)))) END)"""))
+    fold.select(col("key"), explode(col("st.out")).as("o"))
+      .select(col("key"), col("o.t").as("t"), col("o.x").as("x"),
+        col("o.pred").as("pred"), col("o.dev").as("dev"),
+        col("o.alarm").as("alarm"))
+  }
+
   def holtBacktest(bucketed: DataFrame, tCol: String, unitsCol: String,
       folds: Int = 7, maxBuckets: Long = 200000L): DataFrame = {
     require(folds >= 1 && folds <= 60, s"folds in [1,60]: $folds")

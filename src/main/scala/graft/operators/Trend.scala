@@ -113,6 +113,66 @@ object Trend {
   }
 
   /**
+   * Mann–Kendall trend test per key (Mann 1945, Kendall 1975) — the
+   * NONPARAMETRIC "is there a monotone trend at all" hypothesis test
+   * that pairs with [[theilSen]]'s slope estimate (same pair set, same
+   * bounded-series contract): S = Σ_{i<j} sgn(y_j − y_i) over the
+   * t-ordered series, variance with the tie correction
+   *
+   *   18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)
+   *
+   * (t_g = size of each tied-value group), z with the ±1 continuity
+   * correction. S, the tie sum and 18·Var(S) are EXACT integers; the
+   * published z takes one sqrt + one divide of those integers, spelled
+   * identically in any replaying engine. The p-value is deliberately
+   * not published (erf is not library-reproducible; z is).
+   *
+   * Shape: the same per-key rn self-join as theilSen — O(n²/2) per
+   * series BY DESIGN under the same loud `maxN` refusal (this is the
+   * exact small-series test; bucket first at scale), plus one
+   * (key, value) tie count. Constant series (Var = 0) publish NULL z.
+   *
+   * Output: (key, n, s, var18, z) — var18 = 18·Var(S), exact.
+   */
+  def mannKendall(df: DataFrame, keyCol: String, tCol: Column, yCol: Column,
+      maxN: Int = 2000): DataFrame = {
+    require(maxN >= 2, "maxN >= 2")
+    val base = df.select(col(keyCol).as("__k"), tCol.cast("long").as("__t"),
+        yCol.cast("long").as("__y"))
+      .where(col("__t").isNotNull && col("__y").isNotNull)
+      .cache()
+    val worst = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(worst <= maxN,
+      s"mannKendall: longest series has $worst points > maxN=$maxN — " +
+        "the all-pairs exact test is for bounded series; bucket first")
+    val a = base.select(col("__k"), col("__t").as("ta"), col("__y").as("ya"))
+    val b = base.select(col("__k"), col("__t").as("tb"), col("__y").as("yb"))
+    val sAgg = a.join(b, "__k").where(col("tb") > col("ta"))
+      .groupBy(col("__k"))
+      .agg(sum(signum((col("yb") - col("ya")).cast("double")).cast("long"))
+        .as("s"))
+    val ties = base.groupBy(col("__k"), col("__y"))
+      .agg(count(lit(1)).as("tg"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__ng"), sum(col("tg")).as("__n"),
+        sum(col("tg") * (col("tg") - 1L) * (lit(2L) * col("tg") + 5L))
+          .as("__tsum"))
+    val out = ties.join(sAgg, "__k")
+      .withColumn("var18",
+        col("__n") * (col("__n") - 1L) * (lit(2L) * col("__n") + 5L)
+          - col("__tsum"))
+      .select(col("__k").as(keyCol), col("__n").as("n"), col("s"),
+        col("var18"),
+        when(col("var18") > 0, round(
+          (col("s").cast("double") - signum(col("s").cast("double")))
+            / sqrt(col("var18").cast("double") / 18.0), 6)).as("z"))
+      .localCheckpoint(true) // one row per key — materialize, free base
+    base.unpersist(false)
+    out
+  }
+
+  /**
    * Pairwise Pearson correlation matrix over `cols` — ONE aggregation
    * computes every moment (sums, squares, cross-products) as exact
    * DECIMAL(38,8); the correlation assembles as

@@ -56,4 +56,37 @@ class ClusteringSpec extends SparkSpec {
           if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
     assert(run(pts) == run(pts.repartition(13)))
   }
+
+  test("agreement: hand contingency, perfect = 1, one-cluster ARI NULL, " +
+      "nulls excluded, overflow contract") {
+    // truth [a,a,b,b] vs pred [x,x,y,z]: TP=1, A=2, B=1, C=6
+    // P=1, R=.5, F1=2/3, ARI = 2(6-2)/(6*3-4) = 8/14
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "z"))
+      .toDF("tr", "pr")
+    val r = Clustering.agreement(df, "tr", "pr").head()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("tp_pairs") == 1)
+    assert(r.getAs[Long]("pairs_truth") == 2 && r.getAs[Long]("pairs_pred") == 1)
+    assert(r.getAs[Double]("precision") == 1.0)
+    assert(r.getAs[Double]("recall") == 0.5)
+    assert(r.getAs[Double]("f1") == 0.666667)
+    assert(r.getAs[Double]("ari") == math.rint(8.0 / 14.0 * 1e6) / 1e6)
+    // identical partitions: every metric 1
+    val same = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("tr", "pr")
+    val rs = Clustering.agreement(same, "tr", "pr").head()
+    assert(rs.getAs[Double]("f1") == 1.0 && rs.getAs[Double]("ari") == 1.0)
+    // one cluster on both sides: ARI denominator 0 -> NULL, F1 still 1
+    val one = Seq(("a", "x"), ("a", "x"), ("a", "x")).toDF("tr", "pr")
+    val ro = Clustering.agreement(one, "tr", "pr").head()
+    assert(ro.isNullAt(ro.fieldIndex("ari")))
+    assert(ro.getAs[Double]("f1") == 1.0)
+    // a null label on either side drops the point
+    val withNull = Seq(("a", "x"), ("a", null), (null, "y"), ("b", "y"))
+      .toDF("tr", "pr")
+    assert(Clustering.agreement(withNull, "tr", "pr").head()
+      .getAs[Long]("n") == 2)
+    intercept[IllegalArgumentException] {
+      Clustering.agreement(df, "tr", "pr", maxPoints = 3L).collect()
+    }
+  }
 }

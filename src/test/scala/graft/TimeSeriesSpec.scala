@@ -207,6 +207,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(Trend.theilSen(single, "g", col("t"), col("y")).isEmpty)
   }
 
+  test("ewmaChart: hand-traced integer recursion, flat-series dev stays 0, " +
+      "seed publishes no row, bound contract") {
+    // x = [10, 14, 10, 100]: seed m=10; then pred/dev/alarm per step
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 14L), ("k", 3L, 10L),
+      ("k", 4L, 100L)).toDF("g", "t", "x")
+    val rows = TimeSeries.ewmaChart(df, "g", "t", "x", k = 3)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.toSeq == Seq((2L, 10L, 0L, false), // |14-10|=4, dev 0 -> no alarm
+      (3L, 12L, 2L, false),                        // m=(14+10)/2, d=(4+0)/2
+      (4L, 11L, 2L, true)))                        // |100-11|=89 > 3*2
+    // flat series: dev never leaves 0, so no alarm can ever fire
+    val flat = Seq(("k", 1L, 10L), ("k", 2L, 10L), ("k", 3L, 10L))
+      .toDF("g", "t", "x")
+    assert(TimeSeries.ewmaChart(flat, "g", "t", "x")
+      .where(col("alarm")).isEmpty)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaChart(df, "g", "t", "x", maxBuckets = 2L).collect()
+    }
+  }
+
+  test("mannKendall: monotone/tied/constant hand cases, maxN guard") {
+    // strictly increasing: S = C(4,2) = 6, no ties, var18 = 4*3*13 = 156
+    val up = (1 to 4).map(i => ("k", i.toLong, i.toLong)).toDF("g", "t", "y")
+    val r = Trend.mannKendall(up, "g", col("t"), col("y")).head()
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("s") == 6)
+    assert(r.getAs[Long]("var18") == 156)
+    assert(r.getAs[Double]("z") ==
+      math.rint(5.0 / math.sqrt(156.0 / 18.0) * 1e6) / 1e6)
+    // ties: [1,1,2] -> S=2, tie group of 2 subtracts 2*1*9=18 from 66
+    val tied = Seq(("k", 1L, 1L), ("k", 2L, 1L), ("k", 3L, 2L))
+      .toDF("g", "t", "y")
+    val rt = Trend.mannKendall(tied, "g", col("t"), col("y")).head()
+    assert(rt.getAs[Long]("s") == 2 && rt.getAs[Long]("var18") == 48)
+    assert(rt.getAs[Double]("z") ==
+      math.rint(1.0 / math.sqrt(48.0 / 18.0) * 1e6) / 1e6)
+    // constant series: var18 = 0 -> z NULL
+    val const = Seq(("k", 1L, 5L), ("k", 2L, 5L), ("k", 3L, 5L))
+      .toDF("g", "t", "y")
+    assert(Trend.mannKendall(const, "g", col("t"), col("y"))
+      .head().isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Trend.mannKendall(up, "g", col("t"), col("y"), maxN = 3).collect()
+    }
+  }
+
   test("changepoint: clean shift found with exact gain; flat series ties to earliest") {
     val shift = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
       ("a", 4L, 50L), ("a", 5L, 50L)).toDF("g", "t", "v")
