@@ -1643,6 +1643,44 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q286_diff_in_diff" -> ((s, dir) => {
+      // quasi-experimental effect of "treatment" (even user ids) on
+      // purchase value across the mid-month boundary: four exact-cents
+      // cell means, the effect composed from the published 6dp means —
+      // shared time shocks cancel by construction
+      val ev = eng(s, dir).table("events")
+        .where(col("value").isNotNull && col("event_type") === "purchase")
+      graft.operators.Experiment.diffInDiff(ev,
+        col("user_id") % 2 === 0,
+        col("ts") >= lit("2024-01-16").cast("timestamp"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    }),
+    "q285_feature_rank" -> ((s, dir) => {
+      // which order column best predicts urgency with one threshold:
+      // Gini-gain stumps over three candidate features, ranked — the
+      // pre-training feature triage, q265's machinery per candidate
+      val o = eng(s, dir).table("orders")
+      graft.operators.FeatureEng.featureRank(o, Seq(
+        "price10k" -> expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000000"),
+        "dow" -> (((date_trunc("DAY", col("o_orderdate")).cast("long") / 86400)
+          .cast("long") + 4) % 7),
+        "keymod" -> (col("o_orderkey") % 50)),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    }),
+    "q284_holt_winters" -> ((s, dir) => {
+      // Holt-Winters additive: q204's Holt plus a 7-slot seasonal index
+      // — the weekly rhythm moves out of the trend and into s[dow]; all
+      // integer α=β=γ=1/2 truncating-div state, the oracle replays the
+      // identical recursion carrying a BIGINT[] through a recursive CTE
+      val daily = eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority").as("key"),
+          date_trunc("DAY", col("o_orderdate")).cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.TimeSeries.holtWinters(daily, "key", "t", "units", m = 7)
+        .orderBy("key")
+    }),
     "q283_cluster_agreement" -> ((s, dir) => {
       // pair-counting clustering eval (ARI + pair P/R/F1) between a
       // 50-cluster reference partition and a degraded prediction that
@@ -4241,6 +4279,42 @@ object SparkEntry {
 
   /** Shared brand co-occurrence graph (q175-q177): distinct (order,
     * brand) baskets → support-counted canonical pairs at threshold 400. */
+  /** One Gini-stump oracle block over orders for q285, tagged so three
+    * instances coexist in one WITH; the arithmetic is q265's verbatim. */
+  private def duckStump(tag: String, vExpr: String): String =
+    s"""s$tag AS (
+         SELECT CAST($vExpr AS DOUBLE) AS v,
+                CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END AS y
+         FROM orders
+       ), pv$tag AS (
+         SELECT v, CAST(count(*) AS BIGINT) AS ct, CAST(sum(y) AS BIGINT) AS cp
+         FROM s$tag GROUP BY 1
+       ), c$tag AS (
+         SELECT v,
+                CAST(sum(ct) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl,
+                CAST(sum(cp) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pl
+         FROM pv$tag
+       ), tot$tag AS (
+         SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+         FROM s$tag
+       ), cand$tag AS (
+         SELECT c.v, c.nl, c.pl, tot.n, tot.p,
+                round(CAST(2 * (CAST(c.pl AS HUGEINT) * (c.nl - c.pl) * (tot.n - c.nl)
+                          + CAST(tot.p - c.pl AS HUGEINT)
+                            * ((tot.n - c.nl) - (tot.p - c.pl)) * c.nl) AS DOUBLE)
+                    / CAST(CAST(tot.n AS HUGEINT) * c.nl * (tot.n - c.nl) AS DOUBLE), 6) AS cost
+         FROM c$tag c, tot$tag tot WHERE c.nl < tot.n
+       ), best$tag AS (
+         SELECT '$tag' AS feature, n, p AS n_pos, v AS threshold,
+                round(CAST(2 * CAST(p AS HUGEINT) * (n - p) AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS gini_parent,
+                cost AS gini_split,
+                round(round(CAST(2 * CAST(p AS HUGEINT) * (n - p) AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) - cost, 6) AS gain
+         FROM cand$tag ORDER BY cost ASC, v ASC LIMIT 1
+       )"""
+
   private val duckBrandGraph =
     """WITH bi AS (
          SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
@@ -4402,6 +4476,86 @@ object SparkEntry {
     // q277: epoch-aligned 7-day windows (Spark's tumbling origin is
     // 1970-01-01 UTC), identical 64-bin clamp, identical HUGEINT
     // transport terms per week vs the corpus reference
+    // q286: identical cents cell sums; did recomposed from the rounded
+    // means exactly as published
+    "q286_diff_in_diff" ->
+      """WITH s AS (
+           SELECT user_id % 2 = 0 AS tr,
+                  ts >= TIMESTAMP '2024-01-16' AS po,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+         ), m AS (
+           SELECT
+             CAST(sum(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+             CAST(sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+             CAST(sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+             CAST(sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+             CAST(sum(CASE WHEN tr AND po THEN y ELSE 0 END) AS BIGINT) AS s_tp,
+             CAST(sum(CASE WHEN tr AND NOT po THEN y ELSE 0 END) AS BIGINT) AS s_t0,
+             CAST(sum(CASE WHEN NOT tr AND po THEN y ELSE 0 END) AS BIGINT) AS s_cp,
+             CAST(sum(CASE WHEN NOT tr AND NOT po THEN y ELSE 0 END) AS BIGINT) AS s_c0
+           FROM s
+         ), mm AS (
+           SELECT n_tp, n_t0, n_cp, n_c0,
+                  CASE WHEN n_tp > 0 THEN round(CAST(s_tp AS DOUBLE) / n_tp, 6) END AS m_treat_post,
+                  CASE WHEN n_t0 > 0 THEN round(CAST(s_t0 AS DOUBLE) / n_t0, 6) END AS m_treat_pre,
+                  CASE WHEN n_cp > 0 THEN round(CAST(s_cp AS DOUBLE) / n_cp, 6) END AS m_ctrl_post,
+                  CASE WHEN n_c0 > 0 THEN round(CAST(s_c0 AS DOUBLE) / n_c0, 6) END AS m_ctrl_pre
+           FROM m
+         )
+         SELECT *, round(m_treat_post - m_treat_pre
+                         - (m_ctrl_post - m_ctrl_pre), 6) AS did
+         FROM mm""",
+    // q285: three tagged instances of the q265 stump oracle in one WITH,
+    // unioned and ranked by gain
+    "q285_feature_rank" -> ("WITH " + Seq(
+      duckStump("price10k",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000"),
+      duckStump("dow",
+        "(CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) // 86400 + 4) % 7"),
+      duckStump("keymod", "o_orderkey % 50")).mkString(", ") +
+      """ SELECT * FROM (
+            SELECT * FROM bestprice10k
+            UNION ALL SELECT * FROM bestdow
+            UNION ALL SELECT * FROM bestkeymod)
+          ORDER BY gain DESC, feature ASC"""),
+    // q284: the l' formula inlines three times (SQL has no let-binding);
+    // trunc-div idiom matches Spark `div` on negative operands too
+    "q284_holt_winters" ->
+      """WITH RECURSIVE d AS (
+           SELECT o_orderpriority AS key,
+                  CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1, 2
+         ), o AS (
+           SELECT key, t, x,
+                  row_number() OVER (PARTITION BY key ORDER BY t) AS rn,
+                  count(*) OVER (PARTITION BY key) AS nk
+           FROM d
+         ), r AS (
+           SELECT key, rn, nk, x AS l,
+                  CAST(0 AS BIGINT) AS tr, CAST(0 AS BIGINT) AS sae,
+                  [0,0,0,0,0,0,0]::BIGINT[] AS s
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.key, o.rn, o.nk,
+                  CAST(trunc((o.x - r.s[CAST(r.rn % 7 AS INT) + 1] + r.l + r.tr) / 2.0) AS BIGINT),
+                  CAST(trunc((CAST(trunc((o.x - r.s[CAST(r.rn % 7 AS INT) + 1] + r.l + r.tr) / 2.0) AS BIGINT)
+                              - r.l + r.tr) / 2.0) AS BIGINT),
+                  r.sae + abs(o.x - (r.l + r.tr + r.s[CAST(r.rn % 7 AS INT) + 1])),
+                  list_transform(generate_series(1, 7), j ->
+                    CASE WHEN j = CAST(r.rn % 7 AS INT) + 1 THEN
+                      CAST(trunc((o.x
+                        - CAST(trunc((o.x - r.s[CAST(r.rn % 7 AS INT) + 1] + r.l + r.tr) / 2.0) AS BIGINT)
+                        + r.s[CAST(r.rn % 7 AS INT) + 1]) / 2.0) AS BIGINT)
+                    ELSE r.s[j] END)
+           FROM r JOIN o ON o.key = r.key AND o.rn = r.rn + 1
+         )
+         SELECT key, CAST(nk AS BIGINT) AS n_buckets, l AS level_units,
+                tr AS trend_units, sae AS sae_units,
+                l + tr + s[CAST(nk % 7 AS INT) + 1] AS f_1_units,
+                l + 7 * tr + s[CAST((nk + 6) % 7 AS INT) + 1] AS f_7_units
+         FROM r WHERE rn = nk ORDER BY key""",
     // q283: HUGEINT contingency pair sums, the ARI form multiplied
     // through by C(N,2); "precision" double-quoted (DuckDB keyword)
     "q283_cluster_agreement" ->

@@ -50,6 +50,47 @@ object Experiment {
   }
 
   /**
+   * Difference-in-differences readout (Card & Krueger 1994 canonical
+   * form) — the quasi-experimental estimator for when there IS no
+   * randomized arm: compare the treated group's pre→post change against
+   * the control group's, so any shared time shock cancels and what
+   * remains is the treatment effect (under the parallel-trends
+   * assumption, which the caller owns). The four cell means are each
+   * ONE double divide of exact integer unit-sums (6dp); the effect
+   * COMPOSES FROM THE PUBLISHED means (the pacf3 doctrine) so any
+   * engine replays it from the output alone:
+   *
+   *   did = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre)
+   *
+   * One map-combined aggregation over the unit relation; no windows.
+   * Output: one row (n_tp, n_t0, n_cp, n_c0, m_treat_post, m_treat_pre,
+   * m_ctrl_post, m_ctrl_pre, did); an EMPTY cell (no rows) makes its
+   * mean — and the effect — NULL, loudly visible rather than silently 0.
+   */
+  def diffInDiff(units: DataFrame, treatedCol: Column, postCol: Column,
+      unitsCol: Column): DataFrame = {
+    val s = units.select(treatedCol.as("tr"), postCol.as("po"),
+      unitsCol.cast("long").as("y"))
+    def cell(t: Boolean, p: Boolean, agg: Column): Column =
+      sum(when(col("tr") === t && col("po") === p, agg).otherwise(lit(0L)))
+    val m = s.agg(
+      cell(true, true, lit(1L)).as("n_tp"), cell(true, false, lit(1L)).as("n_t0"),
+      cell(false, true, lit(1L)).as("n_cp"), cell(false, false, lit(1L)).as("n_c0"),
+      cell(true, true, col("y")).as("s_tp"), cell(true, false, col("y")).as("s_t0"),
+      cell(false, true, col("y")).as("s_cp"), cell(false, false, col("y")).as("s_c0"))
+    def mean(sc: String, nc: String): Column =
+      when(col(nc) > 0,
+        round(col(sc).cast("double") / col(nc).cast("double"), 6))
+    m.select(col("n_tp"), col("n_t0"), col("n_cp"), col("n_c0"),
+        mean("s_tp", "n_tp").as("m_treat_post"),
+        mean("s_t0", "n_t0").as("m_treat_pre"),
+        mean("s_cp", "n_cp").as("m_ctrl_post"),
+        mean("s_c0", "n_c0").as("m_ctrl_pre"))
+      .withColumn("did", round(col("m_treat_post") - col("m_treat_pre")
+        - (col("m_ctrl_post") - col("m_ctrl_pre")), 6))
+  }
+
+  /**
    * EXACT ROC-AUC — the ranking eval that completes the shelf
    * ([[classifierEval]] judges the hard decision, [[calibration]] the
    * score's meaning, this the score's ORDERING): AUC = P(score⁺ >

@@ -227,6 +227,34 @@ object FeatureEng {
       .orderBy(col("g"), col("v"))
   }
 
+  /**
+   * Feature ranking by best-split Gini gain — [[decisionStump]] run per
+   * candidate feature, ranked by how much a single threshold on each
+   * explains the label: the standard "which columns are predictive AT
+   * ALL" triage before any model is trained, and the per-feature split
+   * criterion a boosted-tree layer would compute anyway. Each feature's
+   * stump is the exact-rational machinery (distinct-value prefix sums,
+   * one divide per candidate); the loop is driver-side over the BOUNDED
+   * feature list (≤ 64 by contract), each iteration fully distributed.
+   * Ties in gain order by feature name — a total order.
+   *
+   * Output: (feature, n, n_pos, threshold, gini_parent, gini_split,
+   * gain), best feature first.
+   */
+  def featureRank(df: DataFrame, features: Seq[(String, Column)],
+      labelCol: Column): DataFrame = {
+    require(features.nonEmpty && features.size <= 64,
+      s"featureRank: 1..64 candidate features, got ${features.size}")
+    require(features.map(_._1).distinct.size == features.size,
+      "featureRank: duplicate feature names")
+    features.map { case (name, c) =>
+      decisionStump(df, c, labelCol)
+        .select(lit(name).as("feature"), col("n"), col("n_pos"),
+          col("threshold"), col("gini_parent"), col("gini_split"), col("gain"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("gain").desc, col("feature").asc)
+  }
+
   def decisionStump(df: DataFrame, scoreCol: Column,
       labelCol: Column): DataFrame = {
     val s = df.select(scoreCol.cast("double").as("v"),

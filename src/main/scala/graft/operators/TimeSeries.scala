@@ -197,6 +197,75 @@ object TimeSeries {
    * abs_err).
    */
   /**
+   * Holt-Winters ADDITIVE seasonal smoothing per key (Winters 1960) —
+   * [[holt]] plus a seasonal index of period `m`: the level/trend pair
+   * tracks the de-seasonalized series while s[p mod m] absorbs the
+   * recurring within-period offset, so a weekly rhythm stops polluting
+   * the trend and the h-step forecast carries the right day's offset.
+   * All state INTEGER with α=β=γ=1/2 truncating division (the holt
+   * doctrine — `div` IS the published contract, bit-replayable):
+   *
+   *   idx  = p mod m          (p = 0-based bucket position; seed p=0)
+   *   f    = l + tr + s[idx]                        (pre-update forecast)
+   *   l'   = ((x − s[idx]) + (l + tr))  div 2
+   *   tr'  = ((l' − l) + tr)            div 2
+   *   s'[idx] = ((x − l') + s[idx])     div 2
+   *   sae += |x − f|
+   *
+   * seeded l = x₀, tr = 0, s = zeros (the first period behaves like
+   * [[holt]] while the seasonal fills in — the standard cold-start,
+   * and part of the replayable contract). Forecast at horizon h:
+   * l + h·tr + s[(n+h−1) mod m].
+   *
+   * Shape: identical to [[holt]] — one groupBy collects each key's
+   * calendar-bounded bucketed series, ONE `aggregate` fold carries the
+   * (l, tr, s[m]) state, no windows, |keys| parallelism.
+   *
+   * Output: (key, n_buckets, level_units, trend_units, sae_units,
+   * f_1_units, f_m_units) — f_m exercises the full seasonal cycle.
+   */
+  def holtWinters(bucketed: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, m: Int = 7): DataFrame = {
+    require(m >= 2 && m <= 366, s"period m in [2,366]: $m")
+    val series = bucketed
+      .select(col(keyCol).as("key"), col(tCol).cast("long").as("t"),
+        col(unitsCol).cast("long").as("x"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("s"))
+    // l' appears in tr' and s' — SQL has no let-binding, so the l'
+    // formula is repeated verbatim (the holt idiom)
+    val lNew = "(((e.x - element_at(a.s, cast(a.i % $M as int) + 1)) " +
+      "+ a.l + a.tr) div 2)"
+    val fold = series.withColumn("st", expr(
+      s"""aggregate(s,
+           named_struct('l', CAST(0 AS BIGINT), 'tr', CAST(0 AS BIGINT),
+                        'i', CAST(0 AS BIGINT), 'sae', CAST(0 AS BIGINT),
+                        's', array_repeat(CAST(0 AS BIGINT), $m)),
+           (a, e) -> CASE WHEN a.i = 0 THEN
+               named_struct('l', e.x, 'tr', CAST(0 AS BIGINT),
+                            'i', CAST(1 AS BIGINT), 'sae', CAST(0 AS BIGINT),
+                            's', array_repeat(CAST(0 AS BIGINT), $m))
+             ELSE named_struct(
+               'l', ${lNew.replace("$M", m.toString)},
+               'tr', ((${lNew.replace("$M", m.toString)} - a.l) + a.tr) div 2,
+               'i', a.i + 1,
+               'sae', a.sae + abs(e.x - (a.l + a.tr
+                 + element_at(a.s, cast(a.i % $m as int) + 1))),
+               's', transform(sequence(0, ${m - 1}), j ->
+                 IF(j = cast(a.i % $m as int),
+                   ((e.x - ${lNew.replace("$M", m.toString)})
+                     + element_at(a.s, cast(a.i % $m as int) + 1)) div 2,
+                   element_at(a.s, j + 1)))) END)"""))
+    fold.select(
+      col("key"), col("st.i").as("n_buckets"), col("st.l").as("level_units"),
+      col("st.tr").as("trend_units"), col("st.sae").as("sae_units"),
+      (col("st.l") + col("st.tr") + element_at(col("st.s"),
+        (col("st.i") % m).cast("int") + 1)).as("f_1_units"),
+      (col("st.l") + lit(m.toLong) * col("st.tr") + element_at(col("st.s"),
+        ((col("st.i") + m - 1) % m).cast("int") + 1)).as(s"f_${m}_units"))
+  }
+
+  /**
    * EWMA control chart per key (Roberts 1959, the SPC classic) — the
    * ONLINE anomaly monitor that complements [[cusum]]'s structural-break
    * alarm: each bucket is scored against the exponentially-weighted

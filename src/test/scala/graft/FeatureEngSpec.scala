@@ -97,6 +97,26 @@ class FeatureEngSpec extends SparkSpec {
     assert(m.getAs[Double]("gini_split") == 0.333333)
   }
 
+  test("featureRank: perfect predictor outranks noise; contracts loud") {
+    // x1 IS the label (gain = parent gini 0.5); x2 is uninformative
+    // (best split cost equals parent -> gain 0)
+    val df = Seq((0L, 0L, false), (0L, 1L, false), (1L, 0L, true),
+      (1L, 1L, true)).toDF("x1", "x2", "y")
+    val rows = FeatureEng.featureRank(df,
+        Seq("strong" -> col("x1"), "noise" -> col("x2")), col("y"))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("strong", "noise"))
+    assert(rows(0).getAs[Double]("gain") == 0.5)
+    assert(rows(1).getAs[Double]("gain") == 0.0)
+    intercept[IllegalArgumentException] {
+      FeatureEng.featureRank(df, Seq.empty, col("y"))
+    }
+    intercept[IllegalArgumentException] {
+      FeatureEng.featureRank(df,
+        Seq("a" -> col("x1"), "a" -> col("x2")), col("y"))
+    }
+  }
+
   test("quantileNormalize: hand-computed pooled map, monotone, edge anchors") {
     // A = [1,1,2], B = [5,6,6,7]; pool = [1,1,2,5,6,6,7], N = 7
     // A v=1: pos = ceil(2·7/3) = 5 → pooled cum(6)=6 covers → 6

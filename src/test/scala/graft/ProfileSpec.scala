@@ -205,4 +205,30 @@ class ProfileSpec extends SparkSpec {
     val nulls = Seq(("g3", Option.empty[String])).toDF("g", "v")
     assert(Profile.modeBy(nulls, "g", "v").isEmpty)
   }
+
+  test("diffInDiff: hand cells, shared shock cancels, empty cell -> NULL") {
+    import org.apache.spark.sql.functions.col
+    // treated pre [5] -> post [10,20]; control pre [4] -> post [8]
+    // did = (15 - 5) - (8 - 4) = 6
+    val df = Seq((true, true, 10L), (true, true, 20L), (true, false, 5L),
+      (false, true, 8L), (false, false, 4L)).toDF("tr", "po", "y")
+    val r = graft.operators.Experiment.diffInDiff(df, col("tr"), col("po"),
+      col("y")).head()
+    assert(r.getAs[Long]("n_tp") == 2 && r.getAs[Long]("n_c0") == 1)
+    assert(r.getAs[Double]("m_treat_post") == 15.0)
+    assert(r.getAs[Double]("did") == 6.0)
+    // a uniform +100 post-period shock to BOTH groups leaves did alone
+    val shocked = Seq((true, true, 110L), (true, true, 120L),
+      (true, false, 5L), (false, true, 108L), (false, false, 4L))
+      .toDF("tr", "po", "y")
+    assert(graft.operators.Experiment.diffInDiff(shocked, col("tr"),
+      col("po"), col("y")).head().getAs[Double]("did") == 6.0)
+    // an empty cell nulls its mean and the effect — never a silent 0
+    val missing = Seq((true, true, 10L), (false, true, 8L),
+      (false, false, 4L)).toDF("tr", "po", "y")
+    val rm = graft.operators.Experiment.diffInDiff(missing, col("tr"),
+      col("po"), col("y")).head()
+    assert(rm.isNullAt(rm.fieldIndex("m_treat_pre")))
+    assert(rm.isNullAt(rm.fieldIndex("did")))
+  }
 }

@@ -207,6 +207,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(Trend.theilSen(single, "g", col("t"), col("y")).isEmpty)
   }
 
+  test("holtWinters: hand-traced m=2 recursion with seasonal slots, " +
+      "forecasts pick the right slot, period contract") {
+    // x=[10,20,30,40], m=2: l=33, tr=7, s=[3,4], sae=10+13+10=33
+    // f_1 = 33+7+s[0]=43 (next position 4 is even), f_2 = 33+14+s[1]=51
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L),
+      ("k", 4L, 40L)).toDF("g", "t", "x")
+    val r = TimeSeries.holtWinters(df, "g", "t", "x", m = 2).head()
+    assert(r.getAs[Long]("n_buckets") == 4)
+    assert(r.getAs[Long]("level_units") == 33)
+    assert(r.getAs[Long]("trend_units") == 7)
+    assert(r.getAs[Long]("sae_units") == 33)
+    assert(r.getAs[Long]("f_1_units") == 43)
+    assert(r.getAs[Long]("f_2_units") == 51)
+    // zero seasonal (m larger than series): degenerates to holt's path
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtWinters(df, "g", "t", "x", m = 1)
+    }
+  }
+
   test("ewmaChart: hand-traced integer recursion, flat-series dev stays 0, " +
       "seed publishes no row, bound contract") {
     // x = [10, 14, 10, 100]: seed m=10; then pred/dev/alarm per step
