@@ -1643,6 +1643,50 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q288_kendall_tau" -> ((s, dir) => {
+      // do weekly revenue and weekly order volume move TOGETHER per
+      // priority: Kendall tau-b with tie-corrected denominator — exact
+      // integer S/D0/Dx/Dy over q251's bounded weekly series, one
+      // sqrt+divide; completes the correlation shelf (Pearson q187,
+      // Spearman q260)
+      val weekly = eng(s, dir).table("orders")
+        .groupBy(col("o_orderpriority"),
+          (date_trunc("WEEK", col("o_orderdate")).cast("long") / 86400)
+            .cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("rev"), count(lit(1)).as("vol"))
+      graft.operators.Trend.kendallTau(weekly, "o_orderpriority",
+          col("t"), col("rev"), col("vol"), maxN = 1000)
+        .orderBy("o_orderpriority")
+    }),
+    "q287_stream_ewma" -> ((s, dir) => {
+      // the q281 chart INSIDE a stream: flatMapGroupsWithState carries
+      // the integer (m, d) EWMA state across micro-batches (4 longs per
+      // key, bounded forever) and scores each daily bucket on arrival.
+      // Single-file replay -> exact batch parity: the output must equal
+      // q281 row for row, and the ORACLE IS q281's oracle verbatim
+      import s.implicits._
+      val base = tmpDir("q287")
+      val daily = eng(s, dir).table("events").where(col("value").isNotNull)
+        .groupBy(col("event_type").as("key"),
+          date_trunc("DAY", col("ts")).cast("long").as("t"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("x"))
+      daily.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(daily.schema).parquet(base + "/feed")
+        .select(col("key"), timestamp_seconds(col("t")).as("ts"), col("x"))
+        .as[(String, java.sql.Timestamp, Long)]
+      val q = graft.streaming.Stateful.ewmaAlarms(stream, k = 3).toDF()
+        .writeStream.format("memory").queryName("q287_ewma_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val fin = q.awaitTermination(120000); q.stop()
+      require(fin, "q287_stream_ewma: streaming query did not finish within 120 s")
+      s.table("q287_ewma_mem")
+        .select(col("key"), col("ts").cast("long").as("t"), col("x"),
+          col("pred"), col("dev"), col("alarm"))
+        .orderBy("key", "t")
+    }),
     "q286_diff_in_diff" -> ((s, dir) => {
       // quasi-experimental effect of "treatment" (even user ids) on
       // purchase value across the mid-month boundary: four exact-cents
@@ -4279,6 +4323,35 @@ object SparkEntry {
 
   /** Shared brand co-occurrence graph (q175-q177): distinct (order,
     * brand) baskets → support-counted canonical pairs at threshold 400. */
+  /** The q281 EWMA-chart replay (recursive CTE, trunc-div idiom) —
+    * shared verbatim by q287: the streaming chart must equal the batch
+    * chart row for row. */
+  private val duckEwmaChart =
+    """WITH RECURSIVE d AS (
+         SELECT event_type AS key,
+                CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS t,
+                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+       ), o AS (
+         SELECT key, t, x,
+                row_number() OVER (PARTITION BY key ORDER BY t) AS rn
+         FROM d
+       ), r AS (
+         SELECT key, rn, t, x, x AS m, CAST(0 AS BIGINT) AS dv,
+                CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS dev,
+                CAST(NULL AS BOOLEAN) AS alarm
+         FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.key, o.rn, o.t, o.x,
+                CAST(trunc((o.x + r.m) / 2.0) AS BIGINT),
+                CAST(trunc((abs(o.x - r.m) + r.dv) / 2.0) AS BIGINT),
+                r.m, r.dv,
+                r.dv > 0 AND abs(o.x - r.m) > 3 * r.dv
+         FROM r JOIN o ON o.key = r.key AND o.rn = r.rn + 1
+       )
+       SELECT key, t, x, pred, dev, alarm
+       FROM r WHERE rn > 1 ORDER BY key, t"""
+
   /** One Gini-stump oracle block over orders for q285, tagged so three
     * instances coexist in one WITH; the arithmetic is q265's verbatim. */
   private def duckStump(tag: String, vExpr: String): String =
@@ -4624,33 +4697,48 @@ object SparkEntry {
                 END AS z
          FROM ties JOIN sagg ON sagg.k = ties.k
          ORDER BY o_orderpriority""",
+    // q288: integer S via sign products over the same week pairs,
+    // HUGEINT-free (bounded series), identical final sqrt spelling
+    "q288_kendall_tau" ->
+      """WITH d AS (
+           SELECT o_orderpriority AS k,
+                  CAST(epoch(date_trunc('week', o_orderdate)) / 86400 AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2
+         ), sagg AS (
+           SELECT a.k,
+                  CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)
+                         * CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s
+           FROM d a JOIN d b ON b.k = a.k AND b.t > a.t GROUP BY 1
+         ), nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         txx AS (
+           SELECT k, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS dx
+           FROM (SELECT k, x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2)
+           GROUP BY 1
+         ), tyy AS (
+           SELECT k, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS dy
+           FROM (SELECT k, y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2)
+           GROUP BY 1
+         )
+         SELECT nn.k AS o_orderpriority, nn.n, sagg.s,
+                CAST(nn.n * (nn.n - 1) // 2 AS BIGINT) AS d0,
+                txx.dx, tyy.dy,
+                CASE WHEN nn.n * (nn.n - 1) // 2 > txx.dx
+                      AND nn.n * (nn.n - 1) // 2 > tyy.dy THEN
+                  round(CAST(sagg.s AS DOUBLE)
+                        / sqrt(CAST(nn.n * (nn.n - 1) // 2 - txx.dx AS DOUBLE)
+                             * CAST(nn.n * (nn.n - 1) // 2 - tyy.dy AS DOUBLE)), 6)
+                END AS tau_b
+         FROM nn JOIN sagg ON sagg.k = nn.k
+         JOIN txx ON txx.k = nn.k JOIN tyy ON tyy.k = nn.k
+         ORDER BY o_orderpriority""",
+    // q287: the streaming chart must equal the batch chart row for row —
+    // the oracle IS q281's replay, verbatim
+    "q287_stream_ewma" -> duckEwmaChart,
     // q281: recursive-CTE replay of the integer EWMA recursion (trunc
     // div via the q204 idiom); the seed bucket publishes no row
-    "q281_ewma_chart" ->
-      """WITH RECURSIVE d AS (
-           SELECT event_type AS key,
-                  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS t,
-                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
-           FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-         ), o AS (
-           SELECT key, t, x,
-                  row_number() OVER (PARTITION BY key ORDER BY t) AS rn
-           FROM d
-         ), r AS (
-           SELECT key, rn, t, x, x AS m, CAST(0 AS BIGINT) AS dv,
-                  CAST(NULL AS BIGINT) AS pred, CAST(NULL AS BIGINT) AS dev,
-                  CAST(NULL AS BOOLEAN) AS alarm
-           FROM o WHERE rn = 1
-           UNION ALL
-           SELECT o.key, o.rn, o.t, o.x,
-                  CAST(trunc((o.x + r.m) / 2.0) AS BIGINT),
-                  CAST(trunc((abs(o.x - r.m) + r.dv) / 2.0) AS BIGINT),
-                  r.m, r.dv,
-                  r.dv > 0 AND abs(o.x - r.m) > 3 * r.dv
-           FROM r JOIN o ON o.key = r.key AND o.rn = r.rn + 1
-         )
-         SELECT key, t, x, pred, dev, alarm
-         FROM r WHERE rn > 1 ORDER BY key, t""",
+    "q281_ewma_chart" -> duckEwmaChart,
     // q280: the oracle computes the same max-rank inverse-CDF map with
     // HUGEINT ceil-div and DuckDB's native ASOF JOIN for the pooled
     // lookup — a genuinely different lookup mechanism than the engine's

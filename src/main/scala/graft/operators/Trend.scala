@@ -173,6 +173,69 @@ object Trend {
   }
 
   /**
+   * Kendall τ-b per key (Kendall 1938) — the third leg of the
+   * correlation shelf (Pearson [[fitLinear]]/corr reads linearity,
+   * Spearman q260 reads monotone-through-ranks, τ reads CONCORDANCE:
+   * the probability a random pair moves together minus apart), with
+   * the tie-corrected denominator:
+   *
+   *   S   = Σ_{i<j} sgn(x_j−x_i)·sgn(y_j−y_i)
+   *   τ_b = S / √((D₀−Dx)(D₀−Dy)),  D₀ = n(n−1)/2,
+   *   Dx = Σ tx(tx−1)/2,  Dy = Σ ty(ty−1)/2  over tied-value groups.
+   *
+   * S and every D are EXACT integers; one sqrt + one divide publishes
+   * τ_b at 6dp. Same bounded-series pair join and loud `maxN` contract
+   * as [[theilSen]]/[[mannKendall]] (`idCol` must be unique per key —
+   * it defines the i<j pair order, though S itself is pair-symmetric).
+   * A side with all values tied (Dx = D₀) publishes NULL.
+   *
+   * Output: (key, n, s, d0, dx, dy, tau_b).
+   */
+  def kendallTau(df: DataFrame, keyCol: String, idCol: Column, xCol: Column,
+      yCol: Column, maxN: Int = 2000): DataFrame = {
+    require(maxN >= 2, "maxN >= 2")
+    val base = df.select(col(keyCol).as("__k"), idCol.cast("long").as("__i"),
+        xCol.cast("long").as("__x"), yCol.cast("long").as("__y"))
+      .where(col("__i").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+      .cache()
+    val worst = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    require(worst <= maxN,
+      s"kendallTau: longest series has $worst points > maxN=$maxN — " +
+        "the all-pairs exact statistic is for bounded series; bucket first")
+    val a = base.select(col("__k"), col("__i").as("ia"),
+      col("__x").as("xa"), col("__y").as("ya"))
+    val b = base.select(col("__k"), col("__i").as("ib"),
+      col("__x").as("xb"), col("__y").as("yb"))
+    val sAgg = a.join(b, "__k").where(col("ib") > col("ia"))
+      .groupBy(col("__k"))
+      .agg(sum((signum((col("xb") - col("xa")).cast("double"))
+        * signum((col("yb") - col("ya")).cast("double"))).cast("long"))
+        .as("s"))
+    // integer pair counts stay in longs: c(c−1) is even, `div` exact
+    def tieSum(c: String): Column = sum(expr(s"$c * ($c - 1) div 2"))
+    val tx = base.groupBy(col("__k"), col("__x"))
+      .agg(count(lit(1)).as("c")).groupBy(col("__k"))
+      .agg(tieSum("c").cast("long").as("dx"))
+    val ty = base.groupBy(col("__k"), col("__y"))
+      .agg(count(lit(1)).as("c")).groupBy(col("__k"))
+      .agg(tieSum("c").cast("long").as("dy"))
+    val n = base.groupBy(col("__k")).agg(count(lit(1)).as("n"))
+    val out = n.join(sAgg, "__k").join(tx, "__k").join(ty, "__k")
+      .withColumn("d0", expr("n * (n - 1) div 2").cast("long"))
+      .select(col("__k").as(keyCol), col("n"), col("s"), col("d0"),
+        col("dx"), col("dy"),
+        when(col("d0") > col("dx") && col("d0") > col("dy"), round(
+          col("s").cast("double")
+            / sqrt((col("d0") - col("dx")).cast("double")
+              * (col("d0") - col("dy")).cast("double")), 6)).as("tau_b"))
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
+  }
+
+  /**
    * Pairwise Pearson correlation matrix over `cols` — ONE aggregation
    * computes every moment (sums, squares, cross-products) as exact
    * DECIMAL(38,8); the correlation assembles as

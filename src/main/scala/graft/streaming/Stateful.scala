@@ -179,4 +179,58 @@ object Stateful {
         count(lit(1)).as("events"))
       .drop("__session_id")
   }
+
+  /** EWMA monitor state for one key: exactly
+    * [[graft.operators.TimeSeries.ewmaChart]]'s integer (m, d) pair plus
+    * the last-seen event time and a processed count. */
+  final case class EwmaState(m: Long, d: Long, lastT: Long, n: Long)
+
+  /** One scored bucket: the pre-update prediction/deviation the alarm
+    * compared against (the batch chart's exact row shape). */
+  final case class EwmaAlarm(key: String, ts: Timestamp, x: Long,
+      pred: Long, dev: Long, alarm: Boolean)
+
+  /**
+   * STREAMING twin of [[graft.operators.TimeSeries.ewmaChart]]: the same
+   * integer α=1/2 truncating-div recursion (Scala `Long./` truncates
+   * toward zero — the identical `div`), carried as O(1) per-key state
+   * across micro-batches, scoring each bucket as it arrives. Within a
+   * micro-batch rows fold in (event-time, value) order; a row older than
+   * the key's last processed time CANNOT be folded into an
+   * order-sensitive recursion and is DROPPED (the documented late-data
+   * contract — deliver per-key in order, e.g. bucketed upstream, for
+   * exact batch parity; the gate replays a single-file feed where parity
+   * is exact). The seed bucket emits no row, exactly like the batch
+   * chart.
+   *
+   * State: 4 longs per key, forever bounded; emission is append-mode.
+   */
+  def ewmaAlarms(events: Dataset[(String, Timestamp, Long)],
+      k: Int = 3): Dataset[EwmaAlarm] = {
+    require(k >= 1 && k <= 10, s"k in [1,10]: $k")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Long)],
+         state: GroupState[EwmaState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._3))
+          var st = state.getOption.getOrElse(EwmaState(0L, 0L, Long.MinValue, 0L))
+          val out = List.newBuilder[EwmaAlarm]
+          sorted.foreach { case (_, ts, x) =>
+            val t = ts.getTime
+            if (st.n == 0L) st = EwmaState(x, 0L, t, 1L)
+            else if (t > st.lastT) {
+              val resid = x - st.m
+              out += EwmaAlarm(key, ts, x, st.m, st.d,
+                st.d > 0L && math.abs(resid) > k.toLong * st.d)
+              st = EwmaState((x + st.m) / 2L, (math.abs(resid) + st.d) / 2L,
+                t, st.n + 1L)
+            } // t <= lastT: late or duplicate bucket — dropped by contract
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -465,4 +465,36 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, 130L), (4L, 200L)))
     } finally q.stop()
   }
+
+  test("Stateful.ewmaAlarms: state carries across batches, equals the batch " +
+      "chart, late rows dropped by contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val q = Stateful.ewmaAlarms(mem.toDS(), k = 3)
+      .writeStream.format("memory").queryName("ewmatest")
+      .outputMode("append").start()
+    try {
+      // the q281 hand trace split across TWO batches: [10, 14] then
+      // [10, 100] — the (m, d) state must survive the batch boundary
+      mem.addData(("k", ts(1), 10L), ("k", ts(2), 14L))
+      q.processAllAvailable()
+      mem.addData(("k", ts(3), 10L), ("k", ts(4), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("ewmatest").orderBy("ts")
+        .select("x", "pred", "dev", "alarm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(rows.toSeq == Seq((14L, 10L, 0L, false),
+        (10L, 12L, 2L, false), (100L, 11L, 2L, true)))
+      // a row older than the last processed bucket is dropped, state intact
+      mem.addData(("k", ts(2), 999L), ("k", ts(5), 55L))
+      q.processAllAvailable()
+      val after = spark.table("ewmatest").orderBy("ts")
+        .select("x", "pred").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // m after 100: (100+11)/2 = 55, d = (89+2)/2 = 45 -> pred 55
+      assert(after.toSeq == Seq((14L, 10L), (10L, 12L), (100L, 11L), (55L, 55L)))
+    } finally q.stop()
+  }
 }

@@ -247,6 +247,33 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("kendallTau: perfect concordance/discordance, ties shrink the " +
+      "denominator, all-tied side NULL") {
+    // x=[1,2,3], y=[10,20,30]: S=3, D0=3, no ties -> tau 1
+    val up = Seq(("k", 1L, 1L, 10L), ("k", 2L, 2L, 20L), ("k", 3L, 3L, 30L))
+      .toDF("g", "i", "x", "y")
+    val r = Trend.kendallTau(up, "g", col("i"), col("x"), col("y")).head()
+    assert(r.getAs[Long]("s") == 3 && r.getAs[Long]("d0") == 3)
+    assert(r.getAs[Double]("tau_b") == 1.0)
+    // reversed y: tau -1
+    val down = Seq(("k", 1L, 1L, 30L), ("k", 2L, 2L, 20L), ("k", 3L, 3L, 10L))
+      .toDF("g", "i", "x", "y")
+    assert(Trend.kendallTau(down, "g", col("i"), col("x"), col("y"))
+      .head().getAs[Double]("tau_b") == -1.0)
+    // tie in y: x=[1,2,3], y=[10,10,30]: S = 0+1+1 = 2, Dy=1
+    // tau_b = 2/sqrt(3*2)
+    val tied = Seq(("k", 1L, 1L, 10L), ("k", 2L, 2L, 10L), ("k", 3L, 3L, 30L))
+      .toDF("g", "i", "x", "y")
+    val rt = Trend.kendallTau(tied, "g", col("i"), col("x"), col("y")).head()
+    assert(rt.getAs[Long]("s") == 2 && rt.getAs[Long]("dy") == 1)
+    assert(rt.getAs[Double]("tau_b") ==
+      math.rint(2.0 / math.sqrt(6.0) * 1e6) / 1e6)
+    // a constant side makes the denominator 0 -> NULL
+    val const = Seq(("k", 1L, 1L, 5L), ("k", 2L, 2L, 5L)).toDF("g", "i", "x", "y")
+    assert(Trend.kendallTau(const, "g", col("i"), col("x"), col("y"))
+      .head().isNullAt(6))
+  }
+
   test("mannKendall: monotone/tied/constant hand cases, maxN guard") {
     // strictly increasing: S = C(4,2) = 6, no ties, var18 = 4*3*13 = 156
     val up = (1 to 4).map(i => ("k", i.toLong, i.toLong)).toDF("g", "t", "y")
