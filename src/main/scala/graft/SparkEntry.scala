@@ -1643,6 +1643,42 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q291_horvitz_thompson" -> ((s, dir) => {
+      // estimate total revenue per priority from the deterministic
+      // stratified hash sample (20% urgent/high, 10% rest) by inverse-
+      // rate weighting, AND audit it against the true total in the same
+      // pass — the sample is a pure function of (salt, id), so the
+      // estimate and its error are reproducible gate numbers
+      graft.pipeline.Sampling.horvitzThompson(
+        eng(s, dir).table("orders"), "o_orderkey", "o_orderpriority",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        Map("1-URGENT" -> 0.2, "2-HIGH" -> 0.2, "3-MEDIUM" -> 0.1,
+          "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.1))
+    }),
+    "q290_strata_match" -> ((s, dir) => {
+      // exact-matching ATT blocked on nation: treated (even custkeys)
+      // vs control balance-cents difference per nation, averaged by
+      // treated weight over both-sides strata — per-stratum single
+      // divides, the ATT numerator DECIMAL-sums the published diffs
+      graft.operators.Experiment.strataMatchAtt(
+        eng(s, dir).table("customer"),
+        col("c_nationkey"),
+        col("c_custkey") % 2 === 0,
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+    }),
+    "q289_sprt" -> ((s, dir) => {
+      // how early could "urgent-order share exceeds 35%" have been
+      // decided: Wald SPRT over the daily bucketed Bernoulli stream,
+      // first bound crossing wins — 12dp ln-constant literals shared
+      // with the oracle, exact cumulative counts, one decision row
+      val daily = eng(s, dir).table("orders")
+        .groupBy(date_trunc("DAY", col("o_orderdate")).cast("long").as("t"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("s"))
+      graft.operators.Experiment.sprt(daily, "t", col("n"), col("s"),
+        p0 = 0.35, p1 = 0.40)
+    }),
     "q288_kendall_tau" -> ((s, dir) => {
       // do weekly revenue and weekly order volume move TOGETHER per
       // priority: Kendall tau-b with tie-corrected denominator — exact
@@ -4697,6 +4733,103 @@ object SparkEntry {
                 END AS z
          FROM ties JOIN sagg ON sagg.k = ties.k
          ORDER BY o_orderpriority""",
+    // q291: the md5 sampling predicate replays with the engine's own
+    // cutHex constants (the q122 idiom); rel_err from the ROUNDED est
+    "q291_horvitz_thompson" -> {
+      val c20 = graft.pipeline.Sampling.cutHex(0.2)
+      val c10 = graft.pipeline.Sampling.cutHex(0.1)
+      s"""WITH s AS (
+           SELECT o_orderpriority AS stratum,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0.2e0 ELSE 0.1e0 END AS rate,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+                  CASE WHEN substring(md5('ht:' || CAST(o_orderkey AS VARCHAR)), 1, 8)
+                       < CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN '$c20' ELSE '$c10' END
+                       THEN 1 ELSE 0 END AS sel
+           FROM orders
+         ), agg AS (
+           SELECT stratum, rate, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(sel) AS BIGINT) AS n_sampled,
+                  CAST(sum(y) AS BIGINT) AS total_units,
+                  round(CAST(sum(y * sel) AS DOUBLE) / rate, 6) AS est_units
+           FROM s GROUP BY 1, 2
+         )
+         SELECT stratum, rate, n, n_sampled, total_units, est_units,
+                CASE WHEN total_units <> 0 THEN
+                  round((est_units - CAST(total_units AS DOUBLE))
+                        / CAST(total_units AS DOUBLE), 6) END AS rel_err
+         FROM agg ORDER BY stratum"""
+    },
+    // q290: identical per-stratum cents sums; the weighted numerator
+    // replays as DECIMAL(38,6) products of the 6dp-rounded diffs
+    "q290_strata_match" ->
+      """WITH s AS (
+           SELECT CAST(c_nationkey AS VARCHAR) AS g,
+                  c_custkey % 2 = 0 AS tr,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM customer
+         ), per AS (
+           SELECT g,
+                  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                  CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+                  CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS st,
+                  CAST(sum(CASE WHEN tr THEN 0 ELSE y END) AS BIGINT) AS sc
+           FROM s GROUP BY 1
+         ), u AS (
+           SELECT *, CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END AS used,
+                  round(round(CAST(st AS DOUBLE) / nt, 6)
+                        - round(CAST(sc AS DOUBLE) / nc, 6), 6) AS diff
+           FROM per
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                CAST(sum(used) AS BIGINT) AS n_strata_used,
+                CAST(sum(CASE WHEN used = 1 THEN nt ELSE 0 END) AS BIGINT) AS n_treated_used,
+                CAST(sum(CASE WHEN used = 1 THEN nc ELSE 0 END) AS BIGINT) AS n_control_used,
+                CASE WHEN sum(CASE WHEN used = 1 THEN nt ELSE 0 END) > 0 THEN
+                  round(CAST(sum(CASE WHEN used = 1 THEN
+                          CAST(nt AS DECIMAL(38,6)) * CAST(diff AS DECIMAL(24,6))
+                        ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                        / CAST(sum(CASE WHEN used = 1 THEN nt ELSE 0 END) AS DOUBLE), 6)
+                END AS att
+         FROM u""",
+    // q289: the ln constants interpolate as the IDENTICAL 12dp literals
+    // the engine used (both engines parse the same decimal string to
+    // the same double); identical two-term LLR spelling
+    "q289_sprt" -> {
+      val (c1, c0, ub, lb) =
+        graft.operators.Experiment.sprtConstants(0.35, 0.40, 0.05, 0.05)
+      def f(x: Double) = f"($x%.12f)"
+      s"""WITH d AS (
+           SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS t,
+                  CAST(count(*) AS BIGINT) AS n0,
+                  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS s0
+           FROM orders GROUP BY 1
+         ), c AS (
+           SELECT t,
+                  CAST(sum(n0) OVER (ORDER BY t) AS BIGINT) AS n,
+                  CAST(sum(s0) OVER (ORDER BY t) AS BIGINT) AS s
+           FROM d
+         ), l AS (
+           SELECT t, n, s,
+                  CAST(s AS DOUBLE) * ${f(c1)}
+                  + CAST(n - s AS DOUBLE) * ${f(c0)} AS llr
+           FROM c
+         ), firstx AS (
+           SELECT CASE WHEN llr >= ${f(ub)} THEN 'accept_h1'
+                       ELSE 'accept_h0' END AS decision,
+                  t, n, s, round(llr, 6) AS llr, 0 AS p
+           FROM l WHERE llr >= ${f(ub)} OR llr <= ${f(lb)}
+           ORDER BY t LIMIT 1
+         ), lastx AS (
+           SELECT 'continue' AS decision, t, n, s, round(llr, 6) AS llr, 1 AS p
+           FROM l ORDER BY t DESC LIMIT 1
+         )
+         SELECT decision, t, n, s, llr
+         FROM (SELECT * FROM firstx UNION ALL SELECT * FROM lastx)
+         ORDER BY p LIMIT 1"""
+    },
     // q288: integer S via sign products over the same week pairs,
     // HUGEINT-free (bounded series), identical final sqrt spelling
     "q288_kendall_tau" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -88,6 +89,126 @@ object Experiment {
         mean("s_c0", "n_c0").as("m_ctrl_pre"))
       .withColumn("did", round(col("m_treat_post") - col("m_treat_pre")
         - (col("m_ctrl_post") - col("m_ctrl_pre")), 6))
+  }
+
+  /**
+   * Stratified exact-matching treatment effect (the blocking estimator,
+   * Cochran 1968): within every stratum that contains BOTH treated and
+   * control units, take the treated−control mean difference, then
+   * average the differences weighted by each stratum's TREATED count —
+   * the ATT under exact matching on the stratum key, the estimator to
+   * reach for when treatment correlates with an observable (the raw
+   * diff-of-means confound [[diffInDiff]] can't fix without a time
+   * axis). Per-stratum means are ONE double divide each (6dp); the ATT
+   * numerator Σ n_t·(m_t − m_c) accumulates the PUBLISHED 6dp
+   * differences as exact DECIMAL(38,6) — composable-from-published, no
+   * float sum order anywhere — and takes one final divide by the
+   * matched treated count. Off-support strata (one side empty) are
+   * EXCLUDED and counted, never silently imputed.
+   *
+   * One grouped aggregation over the unit relation, |strata| rows.
+   * Output: one row (n_strata, n_strata_used, n_treated_used,
+   * n_control_used, att); no matched stratum → NULL att.
+   */
+  def strataMatchAtt(units: DataFrame, strataCol: Column,
+      treatedCol: Column, unitsCol: Column): DataFrame = {
+    val s = units.select(strataCol.cast("string").as("g"),
+        treatedCol.as("tr"), unitsCol.cast("long").as("y"))
+      .where(col("g").isNotNull)
+    val per = s.groupBy(col("g")).agg(
+      sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("tr"), 0L).otherwise(1L)).as("nc"),
+      sum(when(col("tr"), col("y")).otherwise(0L)).as("st"),
+      sum(when(col("tr"), 0L).otherwise(col("y"))).as("sc"))
+    val used = per.withColumn("__used",
+      (col("nt") > 0 && col("nc") > 0).cast("int"))
+    val diff = round(col("st").cast("double") / col("nt").cast("double"), 6)
+      .minus(round(col("sc").cast("double") / col("nc").cast("double"), 6))
+    used.agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("__used")).as("n_strata_used"),
+        sum(when(col("__used") === 1, col("nt")).otherwise(0L))
+          .as("n_treated_used"),
+        sum(when(col("__used") === 1, col("nc")).otherwise(0L))
+          .as("n_control_used"),
+        sum(when(col("__used") === 1,
+          (col("nt").cast("decimal(38,6)")
+            * round(diff, 6).cast("decimal(24,6)")).cast("decimal(38,6)"))
+          .otherwise(lit(0).cast("decimal(38,6)"))).as("__num"))
+      .select(col("n_strata"), col("n_strata_used"), col("n_treated_used"),
+        col("n_control_used"),
+        when(col("n_treated_used") > 0, round(
+          col("__num").cast("double") / col("n_treated_used").cast("double"),
+          6)).as("att"))
+  }
+
+  /** The four SPRT constants as 12dp-rounded doubles — exposed so an
+    * oracle can interpolate the IDENTICAL literals: (c1 = ln(p1/p0),
+    * c0 = ln((1−p1)/(1−p0)), A = ln((1−β)/α), B = ln(β/(1−α))). */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Double, Double, Double, Double) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0/p1 in (0,1), distinct: $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta in (0,1): $alpha, $beta")
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (r12(math.log(p1 / p0)), r12(math.log((1 - p1) / (1 - p0))),
+      r12(math.log((1 - beta) / alpha)), r12(math.log(beta / (1 - alpha))))
+  }
+
+  /**
+   * Wald's Sequential Probability Ratio Test (Wald 1945) over a
+   * CALENDAR-BUCKETED Bernoulli stream — "how early could this A/B/
+   * drift question have been answered": at each bucket the cumulative
+   * log-likelihood ratio for H1: p=p1 vs H0: p=p0,
+   *
+   *   LLR_t = s_t·ln(p1/p0) + (n_t − s_t)·ln((1−p1)/(1−p0))
+   *
+   * is compared against Wald's bounds A = ln((1−β)/α), B = ln(β/(1−α));
+   * the FIRST bucket crossing either decides. The four ln constants are
+   * 12dp-rounded literals ([[sprtConstants]] — interpolate them into
+   * any replaying engine); s_t/n_t are exact cumulative integers, so
+   * LLR is one two-term double expression, reproducible when spelled
+   * identically. Published at the decision: the 6dp LLR.
+   *
+   * Shape: cumulative counts from ONE ordered window over the bucketed
+   * relation — calendar-bounded by the loud `maxBuckets` contract (the
+   * holtBacktest doctrine); the decision row is a TakeOrdered(1).
+   * No crossing by the last bucket publishes decision='continue' with
+   * the final state.
+   *
+   * Output: one row (decision, t, n, s, llr).
+   */
+  def sprt(bucketed: DataFrame, tCol: String, nCol: Column, sCol: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05, beta: Double = 0.05,
+      maxBuckets: Long = 200000L): DataFrame = {
+    val (c1, c0, ubound, lbound) = sprtConstants(p0, p1, alpha, beta)
+    val base = bucketed.select(col(tCol).cast("long").as("t"),
+      nCol.cast("long").as("__n"), sCol.cast("long").as("__s"))
+    val nb = base.count()
+    require(nb >= 1, "sprt: empty input")
+    require(nb <= maxBuckets,
+      s"sprt: $nb buckets > maxBuckets=$maxBuckets — input must be a " +
+        "calendar-bounded bucketed series (resample/aggregate first)")
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("n", sum(col("__n")).over(w))
+      .withColumn("s", sum(col("__s")).over(w))
+      .withColumn("llr", col("s").cast("double") * lit(c1)
+        + (col("n") - col("s")).cast("double") * lit(c0))
+    val first = cum.where(col("llr") >= ubound || col("llr") <= lbound)
+      .orderBy(col("t")).limit(1)
+      .select(when(col("llr") >= ubound, lit("accept_h1"))
+        .otherwise(lit("accept_h0")).as("decision"),
+        col("t"), col("n"), col("s"), round(col("llr"), 6).as("llr"))
+      .withColumn("__p", lit(0))
+    val last = cum.orderBy(col("t").desc).limit(1)
+      .select(lit("continue").as("decision"), col("t"), col("n"), col("s"),
+        round(col("llr"), 6).as("llr"))
+      .withColumn("__p", lit(1))
+    first.unionByName(last).orderBy(col("__p")).limit(1).drop("__p")
   }
 
   /**

@@ -139,6 +139,58 @@ object Sampling {
   }
 
   /**
+   * Horvitz–Thompson stratified estimate WITH its own audit (HT 1952):
+   * estimate a corpus total from the engine's deterministic stratified
+   * hash sample by inverse-inclusion weighting — per stratum s with
+   * nominal rate r_s, est_s = (Σ_{sampled} y) / r_s — and, because the
+   * sample is a PURE FUNCTION of (salt, id), publish the true total
+   * beside the estimate: the relative error of the sampling design is
+   * itself a reproducible, gateable number (run the audit at full scale
+   * once, then trust the cheap estimate at 100 TB).
+   *
+   * Exactness: sampled/true sums are exact longs (one pass, the flag is
+   * a codegen CASE over the md5 key); est takes ONE double divide by
+   * the 6dp-quantized rate; rel_err composes from the published values.
+   * Strata not named in `rates` are excluded (rate 0 — nothing sampled,
+   * nothing estimated) and surface in their own row with NULL est.
+   *
+   * Output per stratum: (stratum, rate, n, n_sampled, total_units,
+   * est_units, rel_err), ordered by stratum.
+   */
+  def horvitzThompson(df: DataFrame, idCol: String, strataCol: String,
+      unitsCol: Column, rates: Map[String, Double],
+      salt: String = "ht"): DataFrame = {
+    require(rates.nonEmpty, "horvitzThompson: at least one stratum rate")
+    require(rates.values.forall(r => r > 0 && r <= 1),
+      s"rates in (0,1]: $rates")
+    val q6 = rates.map { case (k, v) =>
+      k -> math.round(v * 1e6).toDouble / 1e6 }
+    val flag = stratifiedFlag(col(idCol), col(strataCol), q6,
+      defaultFraction = 0.0, salt)
+    val rateCol = q6.toSeq.sortBy(_._1).foldRight(
+      lit(null).cast("double")) { case ((k, v), rest) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(rest)
+    }
+    df.select(col(strataCol).cast("string").as("stratum"),
+        rateCol.as("rate"), unitsCol.cast("long").as("y"),
+        flag.cast("int").as("__in"))
+      .groupBy(col("stratum"), col("rate"))
+      .agg(count(lit(1)).as("n"), sum(col("__in")).as("n_sampled"),
+        sum(col("y")).as("total_units"),
+        sum(col("y") * col("__in")).as("__ssum"))
+      .select(col("stratum"), col("rate"), col("n"), col("n_sampled"),
+        col("total_units"),
+        when(col("rate").isNotNull,
+          round(col("__ssum").cast("double") / col("rate"), 6))
+          .as("est_units"))
+      .withColumn("rel_err", when(
+        col("est_units").isNotNull && col("total_units") =!= 0,
+        round((col("est_units") - col("total_units").cast("double"))
+          / col("total_units").cast("double"), 6)))
+      .orderBy(col("stratum"))
+  }
+
+  /**
    * Deterministic token-budget corpus assembly: keep a hash-ordered
    * (uniformly random but reproducible) prefix of each stratum until its
    * cumulative token budget is exhausted — "at most N tokens per source,

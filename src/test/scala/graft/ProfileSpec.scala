@@ -206,6 +206,47 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.modeBy(nulls, "g", "v").isEmpty)
   }
 
+  test("sprt: hand crossing with ln3 constants, H0 side, continue, contract") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Experiment
+    // p0=.25/p1=.75: each success adds ln3; A = ln19 crossed at 3 successes
+    val df = Seq((1L, 2L, 2L), (2L, 1L, 1L), (3L, 5L, 5L)).toDF("t", "n", "s")
+    val r = Experiment.sprt(df, "t", col("n"), col("s"), 0.25, 0.75).head()
+    assert(r.getAs[String]("decision") == "accept_h1")
+    assert(r.getAs[Long]("t") == 2L && r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("llr") ==
+      math.rint(3.0 * 1.098612288668 * 1e6) / 1e6)
+    // all failures cross the LOWER bound
+    val lo = Seq((1L, 2L, 0L), (2L, 1L, 0L)).toDF("t", "n", "s")
+    assert(Experiment.sprt(lo, "t", col("n"), col("s"), 0.25, 0.75)
+      .head().getAs[String]("decision") == "accept_h0")
+    // not enough evidence: continue with the final state
+    val open = Seq((1L, 1L, 1L)).toDF("t", "n", "s")
+    val ro = Experiment.sprt(open, "t", col("n"), col("s"), 0.25, 0.75).head()
+    assert(ro.getAs[String]("decision") == "continue" && ro.getAs[Long]("n") == 1L)
+    intercept[IllegalArgumentException] {
+      Experiment.sprt(df, "t", col("n"), col("s"), 0.5, 0.5)
+    }
+  }
+
+  test("strataMatchAtt: hand strata, off-support excluded, weighting exact") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Experiment
+    // A: T[10,20] C[5] diff 10 (nt 2); B: T[8] C[2,4] diff 5 (nt 1);
+    // C: treated only -> excluded. ATT = (2*10 + 1*5)/3
+    val df = Seq(("A", true, 10L), ("A", true, 20L), ("A", false, 5L),
+      ("B", true, 8L), ("B", false, 2L), ("B", false, 4L),
+      ("C", true, 99L)).toDF("g", "tr", "y")
+    val r = Experiment.strataMatchAtt(df, col("g"), col("tr"), col("y")).head()
+    assert(r.getAs[Long]("n_strata") == 3 && r.getAs[Long]("n_strata_used") == 2)
+    assert(r.getAs[Long]("n_treated_used") == 3 && r.getAs[Long]("n_control_used") == 3)
+    assert(r.getAs[Double]("att") == math.rint(25.0 / 3.0 * 1e6) / 1e6)
+    // no matched stratum -> NULL att
+    val none = Seq(("A", true, 1L), ("B", false, 2L)).toDF("g", "tr", "y")
+    val rn = Experiment.strataMatchAtt(none, col("g"), col("tr"), col("y")).head()
+    assert(rn.isNullAt(rn.fieldIndex("att")))
+  }
+
   test("diffInDiff: hand cells, shared shock cancels, empty cell -> NULL") {
     import org.apache.spark.sql.functions.col
     // treated pre [5] -> post [10,20]; control pre [4] -> post [8]

@@ -173,4 +173,37 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(again == got.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
+
+  test("horvitzThompson: est = sampled/rate exactly, unlisted stratum NULL, " +
+      "layout-invariant, audit composes from published") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i => ("a", i.toLong, 10L)) ++
+      (400 until 600).map(i => ("b", i.toLong, 5L)) ++ Seq(("zz", 999L, 7L))
+    val df = rows.toDF("st", "id", "v")
+    val rates = Map("a" -> 0.5, "b" -> 0.25)
+    val out = Sampling.horvitzThompson(df, "id", "st", col("v"), rates)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the estimate must be EXACTLY the sampled sum over the rate, with
+    // membership from the same stratifiedFlag the corpus sampler uses
+    val flag = Sampling.stratifiedFlag(col("id"), col("st"), rates,
+      defaultFraction = 0.0, salt = "ht")
+    val expect = df.withColumn("in", flag).where(col("in"))
+      .groupBy("st").agg(org.apache.spark.sql.functions.sum("v").as("ss"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a").getAs[Double]("est_units") ==
+      math.rint(expect("a") / 0.5 * 1e6) / 1e6)
+    assert(out("b").getAs[Double]("est_units") ==
+      math.rint(expect("b") / 0.25 * 1e6) / 1e6)
+    // the audit column composes from the published estimate
+    assert(out("a").getAs[Double]("rel_err") ==
+      math.rint((out("a").getAs[Double]("est_units") - 4000.0) / 4000.0 * 1e6) / 1e6)
+    // a stratum without a declared rate: nothing sampled, NULL estimate
+    assert(out("zz").isNullAt(out("zz").fieldIndex("est_units")))
+    assert(out("zz").getAs[Long]("n_sampled") == 0L)
+    // pure function of (salt, id): partition layout changes nothing
+    val re = Sampling.horvitzThompson(df.repartition(7), "id", "st",
+      col("v"), rates).collect().map(_.toSeq).toSet
+    assert(re == Sampling.horvitzThompson(df, "id", "st", col("v"), rates)
+      .collect().map(_.toSeq).toSet)
+  }
 }
