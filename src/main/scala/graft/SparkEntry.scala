@@ -1643,6 +1643,89 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(eng(s, dir).table("customer"),
         Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 5, l = 2)
     }),
+    "q298_interval_coverage" -> ((s, dir) => {
+      // per-supplier transit coverage: union the [shipdate, shipdate +
+      // qty%30 days) intervals with the sweep-line merge — SUM(end-start)
+      // would double-count overlapping shipments; key-partitioned
+      // windows, exact day-longs, one published ratio
+      val li = eng(s, dir).table("lineitem")
+      val st = (date_trunc("DAY", col("l_shipdate")).cast("long") / 86400)
+        .cast("long")
+      graft.operators.Intervals.unionCoverage(li, col("l_suppkey"),
+          st, st + col("l_quantity").cast("long") % 30)
+        .orderBy("key")
+    }),
+    "q299_state_runs" -> ((s, dir) => {
+      // how long do users persist in one event type: maximal same-state
+      // runs via the rn - rn' gaps-and-islands trick (key-partitioned,
+      // event_id tie-break so both engines segment identically), then
+      // per-state run-length stats
+      graft.operators.Intervals.stateRuns(eng(s, dir).table("events"),
+          col("user_id"), col("event_type"), col("ts").cast("long"),
+          col("event_id"))
+        .orderBy("state")
+    }),
+    "q295_brier_decomp" -> ((s, dir) => {
+      // Murphy decomposition of the q252 propensity score: exact
+      // decimal row-level Brier, REL/RES composed from the published
+      // per-bin means, brier_binned recomposed from published 6dp parts
+      val ev = eng(s, dir).table("events")
+      val score = round(least(col("value") / 200.0, lit(1.0)), 6)
+      graft.operators.Experiment.brierDecomposition(
+        ev.where(col("value").isNotNull), score,
+        col("event_type") === "purchase", nBins = 10)
+    }),
+    "q296_gains_table" -> ((s, dir) => {
+      // cumulative gains/lift deciles for the same score: top-decile
+      // capture of purchases — distinct-value prefix sums assign tiles
+      // (no full-relation window), exact rational capture and lift
+      val ev = eng(s, dir).table("events")
+      val score = round(least(col("value") / 200.0, lit(1.0)), 6)
+      graft.operators.Experiment.gainsTable(ev.where(col("value").isNotNull),
+        score, col("event_type") === "purchase", nTiles = 10)
+    }),
+    "q297_best_threshold" -> ((s, dir) => {
+      // operating point for the same score, chosen twice: Youden J and
+      // min expected cost with a missed purchase 5x a false alarm —
+      // cross-multiplied integer argmax, smallest-threshold tie-break
+      val ev = eng(s, dir).table("events")
+      val score = round(least(col("value") / 200.0, lit(1.0)), 6)
+      graft.operators.Experiment.bestThreshold(ev.where(col("value").isNotNull),
+        score, col("event_type") === "purchase", costFp = 1L, costFn = 5L)
+    }),
+    "q292_mcnemar" -> ((s, dir) => {
+      // paired before/after readout: did each user's purchasing change
+      // across the mid-month boundary — concordant users carry no
+      // information, the χ² lives on the discordant counts alone; exact
+      // integer rationals, one divide per statistic
+      val mid = lit("2024-01-16").cast("timestamp")
+      val pairs = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        (max(when(col("event_type") === "purchase" && col("ts") < mid, 1)
+          .otherwise(0)) === 1).as("bf"),
+        (max(when(col("event_type") === "purchase" && col("ts") >= mid, 1)
+          .otherwise(0)) === 1).as("af"))
+      graft.operators.Experiment.mcnemar(pairs, col("bf"), col("af"))
+    }),
+    "q293_chi2_residuals" -> ((s, dir) => {
+      // which priority × status cells drive q199's χ²: adjusted
+      // standardized residuals per cell, each ONE double expression from
+      // exact counts — the drill-down that turns "dependent" into
+      // "F-status orders are starved of urgent priorities"
+      graft.operators.DistDrift.chi2Residuals(
+          eng(s, dir).table("orders"), "o_orderpriority", "o_orderstatus")
+        .orderBy("a", "b")
+    }),
+    "q294_mantel_haenszel" -> ((s, dir) => {
+      // is even-customer exposure associated with urgent priority
+      // CONTROLLING for order month: CMH pooled odds ratio + continuity-
+      // corrected MH χ² over ~84 monthly 2×2 strata — 12dp term sums,
+      // Simpson-proof where the pooled table lies
+      graft.operators.Experiment.mantelHaenszel(
+        eng(s, dir).table("orders"),
+        date_format(col("o_orderdate"), "yyyy-MM"),
+        col("o_custkey") % 2 === 0,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    }),
     "q291_horvitz_thompson" -> ((s, dir) => {
       // estimate total revenue per priority from the deterministic
       // stratified hash sample (20% urgent/high, 10% rest) by inverse-
@@ -4580,6 +4663,287 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q298: identical (st, en) sweep — a tied duplicate interval gets
+    // nw=0 at the later position whichever engine orders it first, so
+    // islands agree; touching intervals merge (st > pm strictly opens)
+    "q298_interval_coverage" ->
+      """WITH s0 AS (
+           SELECT l_suppkey AS key,
+                  CAST(floor(epoch(date_trunc('day', l_shipdate))) AS BIGINT) // 86400 AS st,
+                  CAST(l_quantity AS BIGINT) % 30 AS dur
+           FROM lineitem
+           WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+             AND l_quantity IS NOT NULL
+         ), s AS (
+           SELECT key, st, st + dur AS en FROM s0 WHERE dur >= 0
+         ), isl AS (
+           SELECT key, st, en,
+                  CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w
+                       THEN 1 ELSE 0 END AS nw
+           FROM s
+           WINDOW w AS (PARTITION BY key ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ), isl2 AS (
+           SELECT key, st, en,
+                  sum(nw) OVER (PARTITION BY key ORDER BY st, en
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM isl
+         ), per AS (
+           SELECT key, grp, CAST(count(*) AS BIGINT) AS n,
+                  min(st) AS lo, max(en) AS hi
+           FROM isl2 GROUP BY 1, 2
+         )
+         SELECT key, CAST(sum(n) AS BIGINT) AS n_intervals,
+                CAST(count(*) AS BIGINT) AS n_islands,
+                CAST(sum(hi - lo) AS BIGINT) AS covered,
+                CAST(max(hi) - min(lo) AS BIGINT) AS span,
+                CASE WHEN max(hi) - min(lo) > 0 THEN
+                  round(CAST(sum(hi - lo) AS DOUBLE)
+                        / CAST(max(hi) - min(lo) AS DOUBLE), 6)
+                END AS coverage
+         FROM per GROUP BY key ORDER BY key""",
+    // q299: second-truncated t with the unique event_id tie-break gives
+    // both engines the same total order inside every key
+    "q299_state_runs" ->
+      """WITH s AS (
+           SELECT user_id AS key, event_type AS state,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS tie
+           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         ), r AS (
+           SELECT key, state,
+                  row_number() OVER (PARTITION BY key ORDER BY t, tie)
+                  - row_number() OVER (PARTITION BY key, state ORDER BY t, tie) AS grp
+           FROM s
+         ), runs AS (
+           SELECT key, state, grp, CAST(count(*) AS BIGINT) AS len
+           FROM r GROUP BY 1, 2, 3
+         )
+         SELECT state, CAST(count(*) AS BIGINT) AS n_runs,
+                CAST(sum(len) AS BIGINT) AS n_events,
+                CAST(max(len) AS BIGINT) AS max_len,
+                round(CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_len,
+                CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+         FROM runs GROUP BY state ORDER BY state""",
+    // q295: identical q252 bins; exact DECIMAL(19,6)^2 row Brier;
+    // REL/RES terms from the PUBLISHED 6dp per-bin means, 12dp-rounded
+    // and decimal-summed; brier_binned recomposed from published parts
+    "q295_brier_decomp" ->
+      """WITH b AS (
+           SELECT CAST(round(least(value / 200.0, 1.0), 6) AS DECIMAL(38,6)) AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL
+         ), bb AS (
+           SELECT CAST(least(greatest(floor(CAST(s AS DOUBLE) * 10), 0.0), 9.0) AS BIGINT) AS bin,
+                  s, y
+           FROM b
+         ), pb AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(s) AS DECIMAL(38,6)) AS ss,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(CAST(CAST(s - y AS DECIMAL(19,6)) * CAST(s - y AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS se
+           FROM bb GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS n_pos,
+                  CAST(sum(se) AS DECIMAL(38,12)) AS se_all
+           FROM pb
+         ), ob AS (
+           SELECT n, n_pos, se_all,
+                  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS o_bar
+           FROM tot
+         ), terms AS (
+           SELECT pb.n AS nk,
+                  round(CAST(pb.ss AS DOUBLE) / CAST(pb.n AS DOUBLE), 6) AS conf,
+                  round(CAST(pb.sy AS DOUBLE) / CAST(pb.n AS DOUBLE), 6) AS obs
+           FROM pb
+         ), t2 AS (
+           SELECT CAST(round(CAST(t.nk AS DOUBLE) * (t.conf - t.obs) * (t.conf - t.obs), 12) AS DECIMAL(38,12)) AS rel_t,
+                  CAST(round(CAST(t.nk AS DOUBLE) * (t.obs - ob.o_bar) * (t.obs - ob.o_bar), 12) AS DECIMAL(38,12)) AS res_t
+           FROM terms t CROSS JOIN ob
+         ), agg AS (
+           SELECT round(CAST(sum(t2.rel_t) AS DOUBLE) / CAST(ob.n AS DOUBLE), 6) AS rel,
+                  round(CAST(sum(t2.res_t) AS DOUBLE) / CAST(ob.n AS DOUBLE), 6) AS res
+           FROM t2 CROSS JOIN ob GROUP BY ob.n
+         )
+         SELECT ob.n, ob.n_pos,
+                round(CAST(ob.se_all AS DOUBLE) / CAST(ob.n AS DOUBLE), 6) AS brier,
+                ob.o_bar,
+                round(ob.o_bar * (1.0 - ob.o_bar), 6) AS unc,
+                agg.rel, agg.res,
+                round(agg.rel - agg.res + round(ob.o_bar * (1.0 - ob.o_bar), 6), 6) AS brier_binned
+         FROM ob CROSS JOIN agg""",
+    // q296: tile = (rows-above * 10) // n over the distinct-score
+    // relation (ties land whole), bounded cumulation, HUGEINT lift
+    "q296_gains_table" ->
+      """WITH b AS (
+           SELECT round(least(value / 200.0, 1.0), 6) AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL
+         ), pv AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+           FROM b GROUP BY 1
+         ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p FROM pv),
+         pw AS (
+           SELECT s, cnt, pos,
+                  COALESCE(CAST(sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+           FROM pv
+         ), tl AS (
+           SELECT least((cb * 10) // (SELECT n FROM tot), 9) AS tile, cnt, pos FROM pw
+         ), g AS (
+           SELECT tile, CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos
+           FROM tl GROUP BY 1
+         ), c AS (
+           SELECT tile, n, pos,
+                  CAST(sum(n) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+                  CAST(sum(pos) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+           FROM g
+         )
+         SELECT tile, n, pos, cum_n, cum_pos,
+                CASE WHEN (SELECT p FROM tot) > 0 THEN
+                  round(CAST(cum_pos AS DOUBLE) / CAST((SELECT p FROM tot) AS DOUBLE), 6)
+                END AS capture,
+                CASE WHEN (SELECT p FROM tot) > 0 AND cum_n > 0 THEN
+                  round(CAST(CAST(cum_pos AS HUGEINT) * (SELECT n FROM tot) AS DOUBLE)
+                        / CAST(CAST(cum_n AS HUGEINT) * (SELECT p FROM tot) AS DOUBLE), 6)
+                END AS lift
+         FROM c ORDER BY tile""",
+    // q297: confusion counts from ascending prefix sums; both argmaxes
+    // compare exact integers with smallest-threshold tie-break
+    "q297_best_threshold" ->
+      """WITH b AS (
+           SELECT round(least(value / 200.0, 1.0), 6) AS s,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL
+         ), pv AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+           FROM b GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p,
+                  CAST(sum(cnt) - sum(pos) AS BIGINT) AS negt
+           FROM pv
+         ), pw AS (
+           SELECT s,
+                  COALESCE(CAST(sum(pos) OVER (ORDER BY s ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pos_below,
+                  COALESCE(CAST(sum(cnt - pos) OVER (ORDER BY s ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS neg_below
+           FROM pv
+         ), cand AS (
+           SELECT s AS threshold,
+                  (SELECT p FROM tot) - pos_below AS tp,
+                  (SELECT negt FROM tot) - neg_below AS fp,
+                  pos_below AS fn, neg_below AS tn
+           FROM pw
+         ), scored AS (
+           SELECT threshold, tp, fp, fn, tn,
+                  tp * (SELECT negt FROM tot) - fp * (SELECT p FROM tot) AS j_num,
+                  fp * 1 + fn * 5 AS cost
+           FROM cand
+         )
+         SELECT criterion, threshold, tp, fp, fn, tn,
+                round(CAST(j_num AS DOUBLE)
+                      / (CAST((SELECT p FROM tot) AS DOUBLE) * CAST((SELECT negt FROM tot) AS DOUBLE)), 6) AS j,
+                CAST(cost AS BIGINT) AS cost
+         FROM (
+           SELECT 'min_cost' AS criterion, * FROM
+             (SELECT * FROM scored ORDER BY cost ASC, threshold ASC LIMIT 1)
+           UNION ALL
+           SELECT 'youden_j' AS criterion, * FROM
+             (SELECT * FROM scored ORDER BY j_num DESC, threshold ASC LIMIT 1)
+         ) ORDER BY criterion""",
+    // q292: bool_or == the engine's max(when)=1 per-user pair fold;
+    // exact integer discordant arithmetic, one divide per statistic
+    "q292_mcnemar" ->
+      """WITH pairs AS (
+           SELECT user_id,
+                  bool_or(event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16') AS bf,
+                  bool_or(event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16') AS af
+           FROM events GROUP BY 1
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN NOT bf AND NOT af THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+                  CAST(sum(CASE WHEN NOT bf AND af THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN bf AND NOT af THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN bf AND af THEN 1 ELSE 0 END) AS BIGINT) AS n11
+           FROM pairs
+         )
+         SELECT n, n00, n01, n10, n11,
+                CASE WHEN n01 + n10 > 0 THEN
+                  round(CAST((n01 - n10) * (n01 - n10) AS DOUBLE) / (n01 + n10), 6)
+                END AS chi2,
+                CASE WHEN n01 + n10 > 0 THEN
+                  round(CAST(greatest(abs(n01 - n10) - 1, 0)
+                        * greatest(abs(n01 - n10) - 1, 0) AS DOUBLE) / (n01 + n10), 6)
+                END AS chi2_cc
+         FROM m""",
+    // q293: identical left-assoc double spelling for e, the variance
+    // denominator, and the residual; structural zeros via the margin
+    // cross join; whole-margin rows (rt = n or ct = n) NULL out
+    "q293_chi2_residuals" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS a, o_orderstatus AS b, CAST(count(*) AS BIGINT) AS o
+           FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+           GROUP BY 1, 2
+         ), rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         fl AS (
+           SELECT rt.a, ct.b, COALESCE(cells.o, 0) AS o, rt.rt, ct.ct, nn.n,
+                  CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+           FROM rt CROSS JOIN ct CROSS JOIN nn
+           LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+         )
+         SELECT a, b, o, round(e, 6) AS e,
+                CASE WHEN e * (1.0 - CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (1.0 - CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) > 0 THEN
+                  round((CAST(o AS DOUBLE) - e)
+                        / sqrt(e * (1.0 - CAST(rt AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (1.0 - CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+                END AS resid
+         FROM fl ORDER BY a, b""",
+    // q294: per-stratum 2×2 terms 12dp-rounded into DECIMAL(38,12) sums,
+    // exact Σa; n < 2 strata excluded via the u flag exactly as the
+    // engine does; chi2 recomposes from the unrounded decimal sums
+    "q294_mantel_haenszel" ->
+      """WITH per AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS g,
+                  CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM orders GROUP BY 1
+         ), terms AS (
+           SELECT CASE WHEN a + b + c + d >= 2 THEN 1 ELSE 0 END AS u,
+                  CASE WHEN a + b + c + d >= 2 THEN a ELSE 0 END AS ua,
+                  CAST(CASE WHEN a + b + c + d >= 2 THEN
+                    round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 12)
+                  ELSE 0 END AS DECIMAL(38,12)) AS adn,
+                  CAST(CASE WHEN a + b + c + d >= 2 THEN
+                    round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 12)
+                  ELSE 0 END AS DECIMAL(38,12)) AS bcn,
+                  CAST(CASE WHEN a + b + c + d >= 2 THEN
+                    round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 12)
+                  ELSE 0 END AS DECIMAL(38,12)) AS e,
+                  CAST(CASE WHEN a + b + c + d >= 2 THEN
+                    round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                          / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+                             * (CAST(a + b + c + d AS DOUBLE) - 1.0)), 12)
+                  ELSE 0 END AS DECIMAL(38,12)) AS v
+           FROM per
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_strata, CAST(sum(u) AS BIGINT) AS n_used,
+                  CAST(sum(ua) AS BIGINT) AS sum_a,
+                  CAST(sum(adn) AS DECIMAL(38,12)) AS s_ad,
+                  CAST(sum(bcn) AS DECIMAL(38,12)) AS s_bc,
+                  CAST(sum(e) AS DECIMAL(38,12)) AS s_e,
+                  CAST(sum(v) AS DECIMAL(38,12)) AS s_v
+           FROM terms
+         )
+         SELECT n_strata, n_used, sum_a, round(CAST(s_e AS DOUBLE), 6) AS sum_e,
+                CASE WHEN s_bc > 0 THEN round(CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE), 6) END AS or_mh,
+                CASE WHEN s_v > 0 THEN
+                  round(greatest(abs(CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE)) - 0.5, 0.0)
+                        * greatest(abs(CAST(sum_a AS DOUBLE) - CAST(s_e AS DOUBLE)) - 0.5, 0.0)
+                        / CAST(s_v AS DOUBLE), 6)
+                END AS chi2_mh
+         FROM agg""",
     // q264: identical tokenizer (q117's), identical start-vote count-k
     // phrase test, positions from 0-based generate_subscripts
     // q277: epoch-aligned 7-day windows (Spark's tumbling origin is

@@ -155,6 +155,39 @@ object DistDrift {
   }
 
   /**
+   * Per-cell adjusted standardized residuals (Agresti §3.3.1) — the
+   * drill-down [[chi2Independence]]'s one-number χ² can't give: WHICH
+   * (a, b) cells drive the dependence and in which direction. For every
+   * cell (including structural zeros) the residual
+   * r = (o − e) / √(e·(1 − rt/n)·(1 − ct/n)) is asymptotically N(0,1)
+   * under independence, so |r| > 2–3 marks the deviating cells. e and r
+   * are each ONE double expression (6dp) from exact counts — no sums of
+   * floats anywhere, so no order dependence by construction. A margin
+   * spanning the whole relation (rt = n or ct = n) makes the denominator
+   * 0 → NULL residual, loudly. Output: one row per cell
+   * (a, b, o, e, resid); |cells| = |A|·|B|, bounded by the categorical
+   * domains exactly like the χ² contingency itself.
+   */
+  def chi2Residuals(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o")).cache()
+    val rowTot = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o"))).head().getLong(0)
+    val nd = lit(n.toDouble)
+    val o = coalesce(col("o"), lit(0L)).cast("double")
+    val e = col("rt").cast("double") * col("ct").cast("double") / nd
+    val denom = e * (lit(1.0) - col("rt").cast("double") / nd) *
+      (lit(1.0) - col("ct").cast("double") / nd)
+    rowTot.crossJoin(colTot)
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"),
+        round(e, 6).as("e"),
+        when(denom > 0, round((o - e) / sqrt(denom), 6)).as("resid"))
+  }
+
+  /**
    * Mutual information between two categoricals (+ marginal entropies
    * and the min-entropy-normalized NMI) — the feature-selection measure
    * χ² isn't: MI ranks "how much does knowing A tell you about B" on a

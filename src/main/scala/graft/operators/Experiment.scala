@@ -586,4 +586,235 @@ object Experiment {
         Some(means(kHi - 1)).filterNot(_.isNaN)))
       .toDF("n", "b_reps", "mean", "ci_lo", "ci_hi")
   }
+
+  /**
+   * Murphy (1973) decomposition of the Brier score — REL − RES + UNC:
+   * how much of a score's squared error is mis-calibration (REL, the
+   * fixable part), how much is discrimination it DOES have (RES, the
+   * part you'd lose by recalibrating to the base rate), and how much is
+   * irreducible outcome variance (UNC). The row-level Brier is EXACT:
+   * scores arrive 6dp-quantized (the [[calibration]] contract) so
+   * (s−y)² is an exact DECIMAL(38,12) per row, summed exactly, ONE
+   * divide. The decomposition uses the same clamped equi-width bins as
+   * [[calibration]]; REL/RES terms n_k·gap² compose from the PUBLISHED
+   * 6dp per-bin means (12dp-rounded, decimal-summed — the Σ doctrine),
+   * and `brier_binned` recomposes from the published 6dp REL/RES/UNC so
+   * any engine replays it from the output alone. Output: one row
+   * (n, n_pos, brier, o_bar, unc, rel, res, brier_binned), 6dp.
+   */
+  def brierDecomposition(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins in [2,1000]")
+    val s = df.select(scoreCol.cast("decimal(38,6)").as("s"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .where(col("s").isNotNull)
+      .withColumn("bin", least(greatest(floor(col("s").cast("double")
+        * nBins), lit(0.0)), lit((nBins - 1).toDouble)).cast("long"))
+    val perBin = s.groupBy(col("bin")).agg(count(lit(1)).as("n"),
+      sum(col("s")).as("ss"),
+      sum(col("y")).as("sy"),
+      sum(((col("s") - col("y")).cast("decimal(19,6)")
+        * (col("s") - col("y")).cast("decimal(19,6)"))
+        .cast("decimal(38,12)")).as("se"))
+    val tot = perBin.agg(sum(col("n")).as("n"), sum(col("sy")).as("n_pos"),
+      sum(col("se")).as("se_all")).head()
+    val n = tot.getLong(0)
+    require(n > 0, "brierDecomposition needs at least one scored row")
+    val nPos = tot.getLong(1)
+    val oBar = BigDecimal(nPos.toDouble / n.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val conf = round(col("ss").cast("double") / col("n").cast("double"), 6)
+    val obs = round(col("sy").cast("double") / col("n").cast("double"), 6)
+    val terms = perBin.select(col("n"),
+      round(col("n").cast("double") * (conf - obs) * (conf - obs), 12)
+        .cast("decimal(38,12)").as("__rel"),
+      round(col("n").cast("double") * (obs - lit(oBar)) * (obs - lit(oBar)), 12)
+        .cast("decimal(38,12)").as("__res"))
+    val agg = terms.agg(
+      round(sum(col("__rel")).cast("double") / lit(n.toDouble), 6).as("rel"),
+      round(sum(col("__res")).cast("double") / lit(n.toDouble), 6).as("res"))
+    val unc = BigDecimal(oBar * (1.0 - oBar))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    agg.select(lit(n).as("n"), lit(nPos).as("n_pos"),
+      round(lit(tot.getDecimal(2)).cast("double") / lit(n.toDouble), 6).as("brier"),
+      lit(oBar).as("o_bar"), lit(unc).as("unc"), col("rel"), col("res"),
+      round(col("rel") - col("res") + lit(unc), 6).as("brier_binned"))
+  }
+
+  /**
+   * Cumulative gains / lift table — "if I can only act on the top X% by
+   * score, what share of the positives do I capture": rows rank into
+   * `nTiles` equal-population tiles by score DESCENDING via the
+   * distinct-value prefix-sum discipline (NO full-relation window — a
+   * tied score block lands wholly in the tile of its first row), then
+   * per-tile positives cumulate. capture = cum_pos/P and
+   * lift = (cum_pos·n)/(cum_n·P) are exact integer rationals, ONE double
+   * divide each (6dp). The per-tile cumulation window runs over ≤ nTiles
+   * rows — bounded by construction. Output: nTiles rows
+   * (tile, n, pos, cum_n, cum_pos, capture, lift).
+   */
+  def gainsTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+      nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2 && nTiles <= 1000, "nTiles in [2,1000]")
+    val perValue = df.select((-scoreCol.cast("double")).as("v"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val tot = perValue.agg(sum(col("cnt")), sum(col("pos"))).head()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0, "gainsTable needs scored rows")
+    val n = tot.getLong(0)
+    val p = tot.getLong(1)
+    val tiles = DistDrift.withPrefixSums(perValue, Seq("cnt"))
+      .withColumn("tile", least(expr(s"(cnt_below * $nTiles) div ${n}L"),
+        lit((nTiles - 1).toLong)))
+      .groupBy(col("tile"))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("pos"))
+    val w = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ nTiles rows — the unpartitioned window is bounded by construction
+    tiles
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .select(col("tile"), col("n"), col("pos"), col("cum_n"), col("cum_pos"),
+        when(lit(p) > 0, round(col("cum_pos").cast("double") / lit(p.toDouble), 6))
+          .as("capture"),
+        when(lit(p) > 0 && col("cum_n") > 0,
+          round((col("cum_pos").cast("decimal(38,0)") * lit(n)).cast("double")
+            / (col("cum_n").cast("decimal(38,0)") * lit(p)).cast("double"), 6))
+          .as("lift"))
+      .orderBy("tile")
+  }
+
+  /**
+   * Operating-point selection over every distinct threshold — predict
+   * positive when score ≥ t, pick t twice: by Youden's J (max
+   * TPR − FPR, the balanced choice) and by minimum expected cost
+   * (fp·costFp + fn·costFn, the business choice). Confusion counts at
+   * every candidate come from the distinct-value prefix sums (tp = P −
+   * pos_below, fp = N⁻ − neg_below); BOTH argmaxes compare exact longs
+   * (J ∝ tp·N⁻ − fp·P cross-multiplied; cost is integer), ties break to
+   * the SMALLEST threshold — so engines cannot diverge on float
+   * comparison. Two bounded TakeOrdered(1) picks, no collect of the
+   * candidate relation. Output: 2 rows
+   * (criterion, threshold, tp, fp, fn, tn, j, cost).
+   */
+  def bestThreshold(df: DataFrame, scoreCol: Column, labelCol: Column,
+      costFp: Long = 1L, costFn: Long = 1L): DataFrame = {
+    require(costFp >= 0 && costFn >= 0 && costFp + costFn > 0,
+      "costs must be non-negative and not both zero")
+    val perValue = df.select(scoreCol.cast("double").as("v"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val tot = perValue.agg(sum(col("cnt")), sum(col("pos"))).head()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0, "bestThreshold needs scored rows")
+    val p = tot.getLong(1)
+    val negT = tot.getLong(0) - p
+    require(p > 0 && negT > 0, "bestThreshold needs both classes present")
+    val cand = DistDrift.withPrefixSums(perValue.withColumn("neg",
+        col("cnt") - col("pos")), Seq("pos", "neg"))
+      .select(col("v"),
+        (lit(p) - col("pos_below")).as("tp"),
+        (lit(negT) - col("neg_below")).as("fp"),
+        col("pos_below").as("fn"), col("neg_below").as("tn"))
+      .withColumn("__j", col("tp") * lit(negT) - col("fp") * lit(p))
+      .withColumn("__cost", col("fp") * lit(costFp) + col("fn") * lit(costFn))
+    def pick(tag: String, ord: Seq[Column]) = cand
+      .orderBy(ord :+ col("v").asc: _*).limit(1)
+      .select(lit(tag).as("criterion"), col("v").as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("__j").cast("double") / lit(p.toDouble * negT.toDouble), 6)
+          .as("j"),
+        col("__cost").as("cost"))
+    pick("min_cost", Seq(col("__cost").asc))
+      .unionAll(pick("youden_j", Seq(col("__j").desc)))
+      .orderBy("criterion")
+  }
+
+  /**
+   * McNemar's test — the PAIRED two-proportion readout [[abTest]] is
+   * wrong for: when the same unit is measured before and after (did the
+   * rollout change THIS user's behavior), the concordant pairs carry no
+   * information and only the discordant counts b (off→on) and c (on→off)
+   * matter: χ² = (b−c)²/(b+c), continuity-corrected
+   * χ²cc = (|b−c|−1)²/(b+c) (floored at 0 when |b−c| ≤ 1). Both are
+   * exact integer rationals — ONE double divide each (6dp). One
+   * map-combined aggregation over the per-unit pair relation; no joins,
+   * no windows. b+c = 0 (no discordant pairs) publishes NULL χ² loudly
+   * rather than a fake 0. Output: one row
+   * (n, n00, n01, n10, n11, chi2, chi2_cc).
+   */
+  def mcnemar(pairs: DataFrame, beforeCol: Column, afterCol: Column): DataFrame = {
+    val s = pairs.select(beforeCol.as("bf"), afterCol.as("af"))
+      .where(col("bf").isNotNull && col("af").isNotNull)
+    def cell(b: Boolean, a: Boolean): Column =
+      sum(when(col("bf") === b && col("af") === a, 1L).otherwise(0L))
+    val m = s.agg(count(lit(1)).as("n"),
+      cell(false, false).as("n00"), cell(false, true).as("n01"),
+      cell(true, false).as("n10"), cell(true, true).as("n11"))
+    val b = col("n01").cast("decimal(38,0)")
+    val c = col("n10").cast("decimal(38,0)")
+    val disc = col("n01") + col("n10")
+    val dAbs = abs(col("n01") - col("n10")).cast("decimal(38,0)")
+    val ccNum = greatest(dAbs - 1, lit(0).cast("decimal(38,0)"))
+    m.select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+      when(disc > 0, round(((b - c) * (b - c)).cast("double")
+        / disc.cast("double"), 6)).as("chi2"),
+      when(disc > 0, round((ccNum * ccNum).cast("double")
+        / disc.cast("double"), 6)).as("chi2_cc"))
+  }
+
+  /**
+   * Cochran–Mantel–Haenszel pooled odds ratio + test — "is exposure
+   * associated with outcome CONTROLLING for the stratum", the estimator
+   * that defuses Simpson's paradox where the pooled 2×2 lies. Per
+   * stratum k with cells (a=exp∧out, b=exp∧¬out, c=¬exp∧out, d) and
+   * n = a+b+c+d: OR_MH = Σ(a·d/n) / Σ(b·c/n); the MH χ² (1 df,
+   * continuity-corrected) uses E = r1·c1/n and
+   * V = r1·r0·c1·c0/(n²·(n−1)). The per-stratum terms are each ONE
+   * double expression 12dp-rounded and DECIMAL-summed (the Σ doctrine);
+   * Σa is exact integers. Strata with n < 2 (V undefined) are EXCLUDED
+   * and counted, never silently imputed. Output: one row (n_strata,
+   * n_used, sum_a, sum_e, or_mh, chi2_mh), 6dp; no usable stratum or a
+   * zero denominator publishes NULL loudly.
+   */
+  def mantelHaenszel(units: DataFrame, strataCol: Column,
+      exposedCol: Column, outcomeCol: Column): DataFrame = {
+    val s = units.select(strataCol.cast("string").as("g"),
+        exposedCol.as("ex"), outcomeCol.as("ou"))
+      .where(col("g").isNotNull && col("ex").isNotNull && col("ou").isNotNull)
+    def cell(e: Boolean, o: Boolean): Column =
+      sum(when(col("ex") === e && col("ou") === o, 1L).otherwise(0L))
+    val per = s.groupBy(col("g")).agg(
+      cell(true, true).as("a"), cell(true, false).as("b"),
+      cell(false, true).as("c"), cell(false, false).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val r1 = (col("a") + col("b")).cast("double")
+    val r0 = (col("c") + col("d")).cast("double")
+    val c1 = (col("a") + col("c")).cast("double")
+    val c0 = (col("b") + col("d")).cast("double")
+    val used = (col("a") + col("b") + col("c") + col("d")) >= 2
+    val terms = per.select(
+      when(used, lit(1L)).otherwise(0L).as("__u"),
+      when(used, col("a")).otherwise(0L).as("__a"),
+      when(used, round(col("a").cast("double") * col("d").cast("double") / n, 12))
+        .otherwise(0.0).cast("decimal(38,12)").as("__adn"),
+      when(used, round(col("b").cast("double") * col("c").cast("double") / n, 12))
+        .otherwise(0.0).cast("decimal(38,12)").as("__bcn"),
+      when(used, round(r1 * c1 / n, 12))
+        .otherwise(0.0).cast("decimal(38,12)").as("__e"),
+      when(used, round(r1 * r0 * c1 * c0 / (n * n * (n - lit(1.0))), 12))
+        .otherwise(0.0).cast("decimal(38,12)").as("__v"))
+    val agg = terms.agg(count(lit(1)).as("n_strata"), sum(col("__u")).as("n_used"),
+      sum(col("__a")).as("sum_a"), sum(col("__adn")).as("s_ad"),
+      sum(col("__bcn")).as("s_bc"), sum(col("__e")).as("s_e"),
+      sum(col("__v")).as("s_v"))
+    val num = abs(col("sum_a").cast("double") - col("s_e").cast("double")) - lit(0.5)
+    agg.select(col("n_strata"), col("n_used"), col("sum_a"),
+      round(col("s_e").cast("double"), 6).as("sum_e"),
+      when(col("s_bc") > 0, round(col("s_ad").cast("double")
+        / col("s_bc").cast("double"), 6)).as("or_mh"),
+      when(col("s_v") > 0, round(greatest(num, lit(0.0)) * greatest(num, lit(0.0))
+        / col("s_v").cast("double"), 6)).as("chi2_mh"))
+  }
 }

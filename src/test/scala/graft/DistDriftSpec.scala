@@ -279,4 +279,36 @@ class DistDriftSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("jsd") - expect) < 2e-6)
     assert(r.getAs[Long]("n_a") == 40 && r.getAs[Long]("n_b") == 40)
   }
+
+  test("chi2Residuals: 2x2 equal |r| sign pattern, structural zero, margin NULL") {
+    // cells (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=10; n=60, rt=(40,20), ct=(40,20)
+    val df = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val rows = DistDrift.chi2Residuals(df, "a", "b")
+      .orderBy("a", "b").collect()
+    assert(rows.length == 4)
+    val byCell = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Double]("e"), r.getAs[Double]("resid"))).toMap
+    val e = 40.0 * 40.0 / 60.0
+    val expResid = math.rint((30.0 - e) / math.sqrt(
+      e * (1.0 - 40.0 / 60.0) * (1.0 - 40.0 / 60.0)) * 1e6) / 1e6
+    assert(byCell(("x", "p"))._1 == math.rint(e * 1e6) / 1e6)
+    assert(byCell(("x", "p"))._2 == expResid)
+    // adjusted residuals of a 2x2 are +v,-v,-v,+v
+    assert(byCell(("x", "q"))._2 == -expResid || // rounding may differ in last dp
+      math.abs(byCell(("x", "q"))._2 + expResid) < 2e-6)
+    assert(math.abs(byCell(("y", "p"))._2 + expResid) < 2e-6)
+    assert(math.abs(byCell(("y", "q"))._2 - expResid) < 2e-6)
+    // structural zero appears as o=0 with e>0
+    val sz = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q")))
+      .toDF("a", "b")
+    val szRows = DistDrift.chi2Residuals(sz, "a", "b").collect()
+    assert(szRows.length == 4 &&
+      szRows.count(r => r.getAs[Long]("o") == 0L) == 2)
+    // a single-category margin (ct = n) nulls every residual
+    val deg = Seq(("x", "p"), ("y", "p")).toDF("a", "b")
+    val degRows = DistDrift.chi2Residuals(deg, "a", "b").collect()
+    assert(degRows.forall(_.isNullAt(4)))
+  }
 }

@@ -272,4 +272,54 @@ class ProfileSpec extends SparkSpec {
     assert(rm.isNullAt(rm.fieldIndex("m_treat_pre")))
     assert(rm.isNullAt(rm.fieldIndex("did")))
   }
+
+  test("mcnemar: hand discordants, concordant-only -> NULL chi2") {
+    import org.apache.spark.sql.functions.col
+    // b = n01 = 5, c = n10 = 1: chi2 = 16/6, cc = (4-1)^2/6
+    val df = (Seq.fill(2)((false, false)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(1)((true, false)) ++ Seq.fill(3)((true, true)))
+      .toDF("bf", "af")
+    val r = graft.operators.Experiment.mcnemar(df, col("bf"), col("af")).head()
+    assert(r.getAs[Long]("n") == 11 && r.getAs[Long]("n01") == 5
+      && r.getAs[Long]("n10") == 1)
+    assert(r.getAs[Double]("chi2") == math.rint(16.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getAs[Double]("chi2_cc") == math.rint(9.0 / 6.0 * 1e6) / 1e6)
+    // |b-c| <= 1 floors the corrected statistic at 0, not negative
+    val close = (Seq.fill(3)((false, true)) ++ Seq.fill(2)((true, false)))
+      .toDF("bf", "af")
+    assert(graft.operators.Experiment.mcnemar(close, col("bf"), col("af"))
+      .head().getAs[Double]("chi2_cc") == 0.0)
+    // no discordant pairs -> loud NULL, not a fake 0
+    val conc = Seq((true, true), (false, false)).toDF("bf", "af")
+    val rc = graft.operators.Experiment.mcnemar(conc, col("bf"), col("af")).head()
+    assert(rc.isNullAt(rc.fieldIndex("chi2")))
+  }
+
+  test("mantelHaenszel: hand strata, n<2 excluded, zero-denominator NULL") {
+    import org.apache.spark.sql.functions.col
+    // s1: a=4 b=1 c=2 d=3; s2: a=2 b=2 c=1 d=5 (both n=10)
+    def stratum(g: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((g, true, true)) ++ Seq.fill(b)((g, true, false)) ++
+        Seq.fill(c)((g, false, true)) ++ Seq.fill(d)((g, false, false))
+    val df = (stratum("s1", 4, 1, 2, 3) ++ stratum("s2", 2, 2, 1, 5) ++
+      Seq(("tiny", true, true))).toDF("g", "ex", "ou")
+    val r = graft.operators.Experiment.mantelHaenszel(df, col("g"),
+      col("ex"), col("ou")).head()
+    assert(r.getAs[Long]("n_strata") == 3 && r.getAs[Long]("n_used") == 2)
+    assert(r.getAs[Long]("sum_a") == 6)
+    // s_ad = 1.2 + 1.0, s_bc = 0.2 + 0.2 -> OR = 5.5
+    assert(r.getAs[Double]("or_mh") == 5.5)
+    // chi2 recomposed with the operator's own double spelling
+    val sE = BigDecimal("4.200000000000").toDouble
+    val sV = BigDecimal("1.226666666667").toDouble
+    val num = math.max(math.abs(6.0 - sE) - 0.5, 0.0)
+    assert(r.getAs[Double]("chi2_mh") ==
+      BigDecimal(num * num / sV).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all-exposed strata: b = c = 0 everywhere -> OR denominator 0 -> NULL
+    val oneSided = (Seq.fill(3)(("s", true, true)) ++
+      Seq.fill(3)(("s", true, false))).toDF("g", "ex", "ou")
+    val ro = graft.operators.Experiment.mantelHaenszel(oneSided, col("g"),
+      col("ex"), col("ou")).head()
+    assert(ro.isNullAt(ro.fieldIndex("or_mh")))
+  }
 }

@@ -259,4 +259,67 @@ class ScdSpec extends SparkSpec {
     assert(oneSided.getAs[Long]("n_cat_a") == 2 && oneSided.getAs[Long]("n_cat_b") == 1)
     assert(oneSided.getAs[Double]("po") == 0.8)
   }
+
+  test("brierDecomposition: hand two-bin case, exact Brier, parts recompose") {
+    import org.apache.spark.sql.functions.col
+    // bin0: s=0.05 x4, 1 positive; bin9: s=0.95 x4, 3 positive
+    val df = (Seq.fill(1)((0.05, true)) ++ Seq.fill(3)((0.05, false)) ++
+      Seq.fill(3)((0.95, true)) ++ Seq.fill(1)((0.95, false)))
+      .toDF("s", "y")
+    val r = Experiment.brierDecomposition(df, col("s"), col("y"), 10).head()
+    assert(r.getAs[Long]("n") == 8 && r.getAs[Long]("n_pos") == 4)
+    // exact Brier: (0.05-1)^2 + 3*0.05^2 + 3*(0.95-1)^2 + 0.95^2 over 8
+    val brier = (0.9025 + 3 * 0.0025 + 3 * 0.0025 + 0.9025) / 8.0
+    assert(r.getAs[Double]("brier") == math.rint(brier * 1e6) / 1e6)
+    assert(r.getAs[Double]("o_bar") == 0.5 && r.getAs[Double]("unc") == 0.25)
+    // conf0=0.05 obs0=0.25, conf9=0.95 obs9=0.75: rel = 2*4*0.04/8
+    assert(r.getAs[Double]("rel") == math.rint(0.04 * 1e6) / 1e6)
+    // res = 2*4*0.0625/8
+    assert(r.getAs[Double]("res") == 0.0625)
+    assert(r.getAs[Double]("brier_binned") ==
+      math.rint((0.04 - 0.0625 + 0.25) * 1e6) / 1e6)
+  }
+
+  test("gainsTable: tiles, cumulative capture and lift, tied block stays whole") {
+    import org.apache.spark.sql.functions.col
+    // 10 rows, scores 10..1, positives at the top 3 scores
+    val df = (1 to 10).map(i => (i.toDouble, i >= 8)).toDF("s", "y")
+    val rows = Experiment.gainsTable(df, col("s"), col("y"), nTiles = 5).collect()
+    assert(rows.length == 5)
+    val t0 = rows(0)
+    assert(t0.getAs[Long]("tile") == 0 && t0.getAs[Long]("n") == 2
+      && t0.getAs[Long]("pos") == 2)
+    assert(t0.getAs[Double]("capture") == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    // lift tile0 = (2*10)/(2*3)
+    assert(t0.getAs[Double]("lift") == math.rint(20.0 / 6.0 * 1e6) / 1e6)
+    assert(rows(4).getAs[Double]("capture") == 1.0 && rows(4).getAs[Double]("lift") == 1.0)
+    // one giant tied block lands wholly in tile 0
+    val tied = (1 to 10).map(_ => (1.0, true)).toDF("s", "y")
+    val rt = Experiment.gainsTable(tied, col("s"), col("y"), nTiles = 5).collect()
+    assert(rt.length == 1 && rt(0).getAs[Long]("tile") == 0
+      && rt(0).getAs[Long]("n") == 10)
+  }
+
+  test("bestThreshold: argmax by exact integers, cost asymmetry moves the point") {
+    import org.apache.spark.sql.functions.col
+    // neg at 1,2,3,4 ; pos at 3,4,5,6 — J max at t=3 (tp=4, fp=2)
+    val df = Seq((1.0, false), (2.0, false), (3.0, false), (4.0, false),
+      (3.0, true), (4.0, true), (5.0, true), (6.0, true)).toDF("s", "y")
+    val rows = Experiment.bestThreshold(df, col("s"), col("y"),
+      costFp = 1L, costFn = 1L).collect()
+    val j = rows.find(_.getString(0) == "youden_j").get
+    assert(j.getAs[Double]("threshold") == 3.0 && j.getAs[Long]("tp") == 4
+      && j.getAs[Long]("fp") == 2)
+    assert(j.getAs[Double]("j") == 0.5)
+    // heavy FN cost pushes the threshold down to keep recall
+    val cost = Experiment.bestThreshold(df, col("s"), col("y"),
+      costFp = 1L, costFn = 100L).collect()
+      .find(_.getString(0) == "min_cost").get
+    assert(cost.getAs[Double]("threshold") <= 3.0 && cost.getAs[Long]("fn") == 0)
+    // single-class input refuses loudly
+    intercept[IllegalArgumentException] {
+      Experiment.bestThreshold((1 to 3).map(i => (i.toDouble, true)).toDF("s", "y"),
+        col("s"), col("y"))
+    }
+  }
 }
