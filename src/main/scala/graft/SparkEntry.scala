@@ -1665,6 +1665,16 @@ object SparkEntry {
           col("event_id"))
         .orderBy("state")
     }),
+    "q300_markov_stationary" -> ((s, dir) => {
+      // where does the session process spend its time in the long run:
+      // stationary distribution of the event-type transition chain by 16
+      // integer-picounit power iterations — floor-divided fixed-point,
+      // bit-identical across engines; pair counting stays distributed,
+      // the driver holds only the k x k matrix (k = 5 event types)
+      graft.operators.EventPaths.stationary(eng(s, dir).table("events"),
+          "user_id", "ts", "event_type", "event_id", iters = 16)
+        .orderBy("state")
+    }),
     "q295_brier_decomp" -> ((s, dir) => {
       // Murphy decomposition of the q252 propensity score: exact
       // decimal row-level Brier, REL/RES composed from the published
@@ -4542,6 +4552,53 @@ object SparkEntry {
   /** Five fixed-point PageRank iterations as chained CTEs — integer
     * arithmetic ((r*85) // (100*deg)) replays GraphOps.pageRankFixed
     * exactly, dangling-mass-drop contract included. */
+  /** q300 oracle: the identical integer-picounit power iteration —
+    * HUGEINT products, `//` floor division, dangling self-loops; pmat
+    * MATERIALIZED so 16 iteration CTEs don't re-inline the event scan. */
+  private val duckMarkovStationary: String = {
+    val U = "1000000000000"
+    val iters = (1 to 16).map { i =>
+      val prev = if (i == 1) "v0" else s"it${i - 1}"
+      s""", it$i AS MATERIALIZED (
+           SELECT p.j AS state,
+                  CAST(sum(CAST(vp.v AS HUGEINT) * p.p // $U) AS BIGINT) AS v
+           FROM pmat p JOIN $prev vp ON vp.state = p.i
+           GROUP BY 1
+         )"""
+    }.mkString
+    s"""WITH ev AS (
+         SELECT user_id AS u, event_type AS s,
+                CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS tie
+         FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       ), tr AS (
+         SELECT s AS src, lead(s) OVER (PARTITION BY u ORDER BY t, tie) AS dst
+         FROM ev
+       ), cmat AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+         FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
+       ), states AS (SELECT DISTINCT s AS state FROM ev),
+       rs AS (
+         SELECT st.state AS src, COALESCE(CAST(sum(c.c) AS BIGINT), 0) AS r
+         FROM states st LEFT JOIN cmat c ON c.src = st.state GROUP BY 1
+       ), pmat AS MATERIALIZED (
+         SELECT a.state AS i, b.state AS j,
+                CASE WHEN rs.r = 0 THEN
+                  CASE WHEN a.state = b.state THEN $U ELSE 0 END
+                ELSE CAST(CAST(COALESCE(c.c, 0) AS HUGEINT) * $U // rs.r AS BIGINT)
+                END AS p
+         FROM states a CROSS JOIN states b
+         JOIN rs ON rs.src = a.state
+         LEFT JOIN cmat c ON c.src = a.state AND c.dst = b.state
+       ), v0 AS (
+         SELECT state, $U // (SELECT count(*) FROM states) AS v FROM states
+       )$iters
+       SELECT s.state AS state, rs.r AS n_out, itf.v AS pi_units,
+              round(CAST(itf.v AS DOUBLE) / 1e12, 6) AS pi
+       FROM states s JOIN rs ON rs.src = s.state
+       JOIN it16 itf ON itf.state = s.state
+       ORDER BY state"""
+  }
+
   private val duckPageRank: String = {
     val iters = (1 to 5).map { i =>
       val prev = if (i == 1) "r0" else s"it${i - 1}"
@@ -4724,6 +4781,7 @@ object SparkEntry {
                 round(CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_len,
                 CAST(count(DISTINCT key) AS BIGINT) AS n_keys
          FROM runs GROUP BY state ORDER BY state""",
+    "q300_markov_stationary" -> duckMarkovStationary,
     // q295: identical q252 bins; exact DECIMAL(19,6)^2 row Brier;
     // REL/RES terms from the PUBLISHED 6dp per-bin means, 12dp-rounded
     // and decimal-summed; brier_binned recomposed from published parts

@@ -104,6 +104,68 @@ object EventPaths {
   }
 
   /**
+   * Stationary distribution of the [[transitions]] Markov chain — where
+   * does the session process SPEND its time in the long run, the
+   * steady-state read raw transition counts only hint at. Fixed-point by
+   * `iters` synchronous power iterations (the pageRankFixed doctrine:
+   * fixed rounds, NO convergence test, INTEGER fixed-point units — both
+   * engines run the identical recursion on identical integers):
+   * probabilities and mass live in picounits (1e12), p_ij = (c·1e12) //
+   * rowSum and each step's v'_j = Σ_i (v_i·p_ij) // 1e12 use floor
+   * division over exact BigInt/HUGEINT, so every iterate is engine-
+   * independent bit-for-bit. Dangling states (no outgoing transition)
+   * become self-loops — deterministic, mass-preserving. The state domain
+   * is collected with a LOUD `maxStates` contract (house style: the
+   * matrix is bounded by the categorical domain, k² ≤ 4096 cells at the
+   * default — driver state is fixed, the heavy lifting — pair counting —
+   * stays distributed). Output: one row per state (state, n_out,
+   * pi_units, pi), pi = round(pi_units/1e12, 6) after `iters` steps.
+   */
+  def stationary(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, iters: Int = 16,
+      maxStates: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1,64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val U = 1000000000000L // picounits
+    val ev = df.select(col(userCol).as("__u"), col(typeCol).cast("string").as("__s"),
+        col(tsCol).cast("long").as("__t"), col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__s").isNotNull)
+    val states = ev.select(col("__s")).distinct().collect()
+      .map(_.getString(0)).sorted
+    require(states.nonEmpty, "stationary needs at least one event")
+    require(states.length <= maxStates,
+      s"stationary: ${states.length} states exceeds maxStates=$maxStates — " +
+        "this operator collects a k x k matrix; refuse rather than melt the driver")
+    val k = states.length
+    val idx = states.zipWithIndex.toMap
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__tie"))
+    val counts = ev.withColumn("__next", lead(col("__s"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col("__s"), col("__next")).agg(count(lit(1)).as("cnt"))
+      .collect() // bounded: ≤ k² ≤ maxStates² rows
+    val c = Array.ofDim[Long](k, k)
+    counts.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    val rowSum = c.map(_.sum)
+    val p = Array.tabulate(k, k) { (i, j) =>
+      if (rowSum(i) == 0L) { if (i == j) U else 0L }
+      else (BigInt(c(i)(j)) * U / rowSum(i)).toLong // floor: inputs >= 0
+    }
+    var v = Array.fill(k)(U / k)
+    for (_ <- 1 to iters) {
+      v = Array.tabulate(k) { j =>
+        var acc = BigInt(0)
+        var i = 0
+        while (i < k) { acc += BigInt(v(i)) * p(i)(j) / U; i += 1 }
+        acc.toLong
+      }
+    }
+    states.zipWithIndex.toSeq.map { case (s, i) => (s, rowSum(i), v(i)) }
+      .toDF("state", "n_out", "pi_units")
+      .withColumn("pi", round(col("pi_units").cast("double") / lit(1e12), 6))
+  }
+
+  /**
    * Per-user inter-arrival statistics — the burstiness read behind bot /
    * scripted-traffic detection: humans are bursty (CV of gaps well above
    * 0), schedulers are metronomes (CV → 0), replayed logs collapse to

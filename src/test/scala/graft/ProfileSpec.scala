@@ -322,4 +322,32 @@ class ProfileSpec extends SparkSpec {
       col("ex"), col("ou")).head()
     assert(ro.isNullAt(ro.fieldIndex("or_mh")))
   }
+
+  test("stationary: integer power iteration replica, dangling self-loop, refusal") {
+    // u1: a a b a ; u2: b c — c has no outgoing transition (absorbing)
+    val ev = Seq((1L, 1L, "a", 1L), (1L, 2L, "a", 2L), (1L, 3L, "b", 3L),
+      (1L, 4L, "a", 4L), (2L, 1L, "b", 5L), (2L, 2L, "c", 6L))
+      .toDF("u", "ts", "t", "id")
+    val got = graft.operators.EventPaths.stationary(ev, "u", "ts", "t", "id",
+      iters = 16).orderBy("state").collect()
+    // independent replica: c(a,a)=1 c(a,b)=1 c(b,a)=1 c(b,c)=1, c dangling
+    val U = 1000000000000L
+    val p = Array(Array(U / 2, U / 2, 0L), Array(U / 2, 0L, U / 2),
+      Array(0L, 0L, U))
+    var v = Array.fill(3)(U / 3)
+    for (_ <- 1 to 16) v = Array.tabulate(3) { j =>
+      (0 until 3).map(i => BigInt(v(i)) * p(i)(j) / U).sum.toLong
+    }
+    assert(got.map(_.getAs[Long]("pi_units")).toSeq == v.toSeq)
+    assert(got.map(_.getAs[Long]("n_out")).toSeq == Seq(2L, 2L, 0L))
+    // the absorbing state soaks up most of the mass by iteration 16
+    assert(got(2).getAs[Double]("pi") > 0.8)
+    assert(got(2).getAs[Double]("pi") ==
+      BigDecimal(v(2).toDouble / 1e12).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    intercept[IllegalArgumentException] {
+      graft.operators.EventPaths.stationary(ev, "u", "ts", "t", "id",
+        maxStates = 2)
+    }
+  }
 }
