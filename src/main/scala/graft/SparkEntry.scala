@@ -1665,6 +1665,19 @@ object SparkEntry {
           col("event_id"))
         .orderBy("state")
     }),
+    "q301_kmeans" -> ((s, dir) => {
+      // the (quantity, price-cents) plane of lineitem under k=4 Lloyd
+      // for 6 fixed rounds — md5-ranked deterministic init, integer-
+      // exact argmin assignment (smallest-cluster tie-break), floor-
+      // divided centroid means; rows collapse to the weighted DISTINCT
+      // feature relation and each round shuffles exactly k rows
+      val li = eng(s, dir).table("lineitem")
+      graft.operators.Clustering.kmeansLloyd(li,
+          Seq(col("l_quantity").cast("long"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
+          k = 4, iters = 6)
+        .orderBy("cluster")
+    }),
     "q300_markov_stationary" -> ((s, dir) => {
       // where does the session process spend its time in the long run:
       // stationary distribution of the event-type transition chain by 16
@@ -4552,6 +4565,60 @@ object SparkEntry {
   /** Five fixed-point PageRank iterations as chained CTEs — integer
     * arithmetic ((r*85) // (100*deg)) replays GraphOps.pageRankFixed
     * exactly, dangling-mass-drop contract included. */
+  /** q301 oracle: the identical weighted Lloyd recursion — md5-hex init
+    * ranking, HUGEINT squared distances with row_number (dist, idx)
+    * tie-break, floor-divided centroid updates, empty clusters COALESCE
+    * to the previous round's centroid. */
+  private val duckKmeans: String = {
+    def distExpr(c: String) =
+      s"""CAST(p.f0 - $c.c0 AS HUGEINT) * CAST(p.f0 - $c.c0 AS HUGEINT)
+          + CAST(p.f1 - $c.c1 AS HUGEINT) * CAST(p.f1 - $c.c1 AS HUGEINT)"""
+    val iters = (1 to 6).map { i =>
+      val prev = if (i == 1) "c0t" else s"c${i - 1}t"
+      s""", a$i AS MATERIALIZED (
+           SELECT f0, f1, w, idx, dist FROM (
+             SELECT p.f0, p.f1, p.w, c.idx, ${distExpr("c")} AS dist,
+                    row_number() OVER (PARTITION BY p.f0, p.f1
+                      ORDER BY ${distExpr("c")}, c.idx) AS rn
+             FROM pts p CROSS JOIN $prev c
+           ) WHERE rn = 1
+         ), s$i AS MATERIALIZED (
+           SELECT idx, CAST(sum(w) AS BIGINT) AS n,
+                  CAST(sum(CAST(f0 AS HUGEINT) * w) AS HUGEINT) AS s0,
+                  CAST(sum(CAST(f1 AS HUGEINT) * w) AS HUGEINT) AS s1,
+                  CAST(sum(dist * w) AS HUGEINT) AS sd
+           FROM a$i GROUP BY 1
+         ), c${i}t AS MATERIALIZED (
+           SELECT c.idx,
+                  CAST(COALESCE(s.s0 // s.n, CAST(c.c0 AS HUGEINT)) AS BIGINT) AS c0,
+                  CAST(COALESCE(s.s1 // s.n, CAST(c.c1 AS HUGEINT)) AS BIGINT) AS c1
+           FROM $prev c LEFT JOIN s$i s ON s.idx = c.idx
+         )"""
+    }.mkString
+    s"""WITH pts AS MATERIALIZED (
+         SELECT CAST(l_quantity AS BIGINT) AS f0,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS f1,
+                CAST(count(*) AS BIGINT) AS w
+         FROM lineitem
+         WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         GROUP BY 1, 2
+       ), c0t AS MATERIALIZED (
+         SELECT CAST(row_number() OVER (ORDER BY h, f0, f1) - 1 AS INTEGER) AS idx,
+                f0 AS c0, f1 AS c1
+         FROM (
+           SELECT f0, f1,
+                  md5(CAST(f0 AS VARCHAR) || '|' || CAST(f1 AS VARCHAR)) AS h
+           FROM pts ORDER BY h, f0, f1 LIMIT 4
+         )
+       )$iters
+       SELECT c.idx AS cluster, COALESCE(s.n, 0) AS n, c.c0 AS c0, c.c1 AS c1,
+              CASE WHEN s.n > 0 THEN
+                CAST(s.sd // s.n AS DOUBLE)
+              END AS mean_sqdist
+       FROM c6t c LEFT JOIN s6 s ON s.idx = c.idx
+       ORDER BY cluster"""
+  }
+
   /** q300 oracle: the identical integer-picounit power iteration —
     * HUGEINT products, `//` floor division, dangling self-loops; pmat
     * MATERIALIZED so 16 iteration CTEs don't re-inline the event scan. */
@@ -4782,6 +4849,7 @@ object SparkEntry {
                 CAST(count(DISTINCT key) AS BIGINT) AS n_keys
          FROM runs GROUP BY state ORDER BY state""",
     "q300_markov_stationary" -> duckMarkovStationary,
+    "q301_kmeans" -> duckKmeans,
     // q295: identical q252 bins; exact DECIMAL(19,6)^2 row Brier;
     // REL/RES terms from the PUBLISHED 6dp per-bin means, 12dp-rounded
     // and decimal-summed; brier_binned recomposed from published parts

@@ -130,6 +130,114 @@ object Clustering {
    * one-cluster on both sides make the ARI denominator 0) publish NULL
    * ari, pair metrics NULL when their denominator is 0.
    */
+  /**
+   * Lloyd k-means over non-negative integer d-dim features — fixed
+   * `iters` synchronous rounds (the pageRankFixed doctrine: no
+   * convergence test, both engines replay the identical recursion),
+   * bit-reproducible end to end: init picks the k distinct feature
+   * tuples with the smallest md5 hex of their '|'-joined coordinates
+   * (the DistinctSketch oracle-hash family — DuckDB has md5), assignment
+   * is integer-squared-distance argmin with smallest-cluster tie-break
+   * (array_min over (dist, idx) structs — lexicographic struct order IS
+   * the tie rule), and the centroid update is a floor-divided integer
+   * mean. Rows first collapse to the DISTINCT feature relation with
+   * weights (weighted Lloyd ≡ row Lloyd, and the per-iteration scan
+   * shrinks to the distinct mass); each round is then ONE map-side-
+   * combined aggregation shuffling k rows regardless of input size, and
+   * only k aggregate rows ever reach the driver. Coordinates must be
+   * non-negative and ≤ 1e12 (required loudly: floor vs truncation
+   * divides diverge on negatives across engines; the bound keeps d·diff²
+   * inside DECIMAL(38,0)). Empty clusters keep their previous centroid.
+   * Output: k rows (cluster, n, c0..c{d-1}, mean_sqdist) where n and the
+   * within-cluster mean squared distance (floor(Σw·dist² / n) — the
+   * exact integer mean, cast to double so both engines publish the same
+   * IEEE value) come from the LAST round's assignment (measured against
+   * that round's pre-update centroids) and the centroids are
+   * post-update — the standard Lloyd readout.
+   */
+  def kmeansLloyd(df: DataFrame, features: Seq[Column], k: Int, iters: Int,
+      maxK: Int = 64): DataFrame = {
+    require(k >= 1 && k <= maxK, s"k in [1,$maxK]")
+    require(iters >= 1 && iters <= 64, "iters in [1,64]")
+    val d = features.length
+    require(d >= 1 && d <= 16, "1..16 features")
+    val spark = df.sparkSession
+    val fn = (0 until d).map(i => s"__f$i")
+    val pts = df.select(features.zipWithIndex.map { case (c, i) =>
+        c.cast("long").as(fn(i)) }: _*)
+      .where(fn.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(fn.map(col): _*).agg(count(lit(1)).as("__w"))
+      .cache()
+    try {
+      val loC = if (d == 1) col(fn(0)) else least(fn.map(col): _*)
+      val hiC = if (d == 1) col(fn(0)) else greatest(fn.map(col): _*)
+      val bounds = pts.agg(min(loC), max(hiC)).head()
+      require(!bounds.isNullAt(0), "kmeansLloyd needs at least one complete row")
+      require(bounds.getLong(0) >= 0L, "kmeansLloyd: negative coordinates — " +
+        "floor/truncation division diverges across engines; shift first")
+      require(bounds.getLong(1) <= 1000000000000L,
+        "kmeansLloyd: coordinates above 1e12 overflow the exact distance class")
+      val init = pts.select(fn.map(col): _*)
+        .withColumn("__h", md5(concat_ws("|", fn.map(col): _*)))
+        .orderBy(col("__h") +: fn.map(col(_).asc): _*)
+        .limit(k).collect() // k rows
+      require(init.length == k,
+        s"kmeansLloyd: only ${init.length} distinct tuples < k=$k")
+      var cents = init.map(r => Array.tabulate(d)(i => r.getLong(i)))
+      val lastN = Array.fill(k)(0L)
+      val lastSd = Array.fill(k)(BigInt(0))
+      for (_ <- 1 to iters) {
+        val cands = array(cents.zipWithIndex.map { case (c, j) =>
+          val dist = (0 until d).map { i =>
+            val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
+            diff * diff
+          }.reduce(_ + _)
+          struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
+        }: _*)
+        val aggCols: Seq[Column] = sum(col("__w")).as("n") +:
+          sum((col("__best.d") * col("__w")).cast("decimal(38,0)")).as("sd") +:
+          (0 until d).map(i =>
+            sum((col(fn(i)) * col("__w")).cast("decimal(38,0)")).as(s"s$i"))
+        val sums = pts.withColumn("__best", array_min(cands))
+          .groupBy(col("__best.i").as("__c"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect() // ≤ k rows
+        java.util.Arrays.fill(lastN, 0L)
+        (0 until k).foreach(j => lastSd(j) = BigInt(0))
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          val j = r.getInt(0)
+          val n = r.getLong(1)
+          lastN(j) = n
+          lastSd(j) = BigInt(r.getDecimal(2).toBigInteger)
+          (0 until d).foreach { i =>
+            next(j)(i) = (BigInt(r.getDecimal(3 + i).toBigInteger) / n).toLong
+          }
+        }
+        cents = next
+      }
+      // mean_sqdist = floor(sd / n): the exact integer mean cast to
+      // double — both engines round the SAME integer to the same IEEE
+      // value (a 6dp round of a ~1e11 quotient is ULP-divergent; this
+      // is not)
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until d).map(i => org.apache.spark.sql.types.StructField(s"c$i",
+          org.apache.spark.sql.types.LongType, nullable = false)) :+
+        org.apache.spark.sql.types.StructField("mean_sqdist",
+          org.apache.spark.sql.types.DoubleType, nullable = true))
+      val rows = (0 until k).map { j =>
+        org.apache.spark.sql.Row.fromSeq(
+          j +: lastN(j) +: (0 until d).map(i => cents(j)(i)) :+
+            (if (lastN(j) > 0) (lastSd(j) / lastN(j)).toDouble else null))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } finally pts.unpersist()
+  }
+
   def agreement(points: DataFrame, truthCol: String, predCol: String,
       maxPoints: Long = 1000000000L): DataFrame = {
     val s = points.select(col(truthCol).cast("string").as("tr"),

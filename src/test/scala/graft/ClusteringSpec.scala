@@ -89,4 +89,38 @@ class ClusteringSpec extends SparkSpec {
       Clustering.agreement(df, "tr", "pr", maxPoints = 3L).collect()
     }
   }
+
+  test("kmeansLloyd: two-blob convergence, weighted ≡ row semantics, md5 init order") {
+    // {0,1} and {100,101}: any init converges to centroids {0,100} by
+    // iteration 3 (floor-divided means), n=2 each, last-round mean
+    // sqdist = floor((0²+1²)/2) = 0 on both sides
+    val df = Seq(0L, 1L, 100L, 101L).toDF("x")
+    val rows = Clustering.kmeansLloyd(df, Seq(col("x")), k = 2, iters = 6)
+      .orderBy("c0").collect()
+    assert(rows.map(_.getAs[Long]("c0")).toSeq == Seq(0L, 100L))
+    assert(rows.forall(_.getAs[Long]("n") == 2L))
+    assert(rows.forall(_.getAs[Double]("mean_sqdist") == 0.0))
+    // duplicate rows weight the mean: {0,0,0,9} with k=1 -> floor(9/4)=2
+    val wdf = Seq(0L, 0L, 0L, 9L).toDF("x")
+    val w = Clustering.kmeansLloyd(wdf, Seq(col("x")), k = 1, iters = 1).head()
+    assert(w.getAs[Long]("c0") == 2L && w.getAs[Long]("n") == 4L)
+    // cluster ids follow md5('|'-joined coords) hex order — replicate
+    val pts = Seq(3L, 7L, 11L)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectOrder = pts.sortBy(p => (md5hex(p.toString), p))
+    val fixed = Clustering.kmeansLloyd(pts.toDF("x"), Seq(col("x")),
+      k = 3, iters = 2).orderBy("cluster").collect()
+    assert(fixed.map(_.getAs[Long]("c0")).toSeq == expectOrder)
+    assert(fixed.forall(r => r.getAs[Long]("n") == 1L &&
+      r.getAs[Double]("mean_sqdist") == 0.0))
+    // refusals: negative coords, k above the distinct-tuple count
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansLloyd(Seq(-1L, 2L).toDF("x"), Seq(col("x")), 1, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansLloyd(Seq(5L, 5L).toDF("x"), Seq(col("x")), 2, 1)
+    }
+  }
 }
