@@ -1665,6 +1665,16 @@ object SparkEntry {
           col("event_id"))
         .orderBy("state")
     }),
+    "q302_attribution" -> ((s, dir) => {
+      // which channel earns each purchase, three models at once: last-
+      // touch / first-touch / linear share over the 7-day lookback —
+      // one user-partitioned RANGE window pass, strictly-earlier frame,
+      // untouched purchases credit "(direct)" in every model
+      graft.operators.EventPaths.attribution(eng(s, dir).table("events"),
+          "user_id", "ts", "event_type", "event_id",
+          target = "purchase", lookback = 604800L)
+        .orderBy("channel")
+    }),
     "q301_kmeans" -> ((s, dir) => {
       // the (quantity, price-cents) plane of lineitem under k=4 Lloyd
       // for 6 fixed rounds — md5-ranked deterministic init, integer-
@@ -4850,6 +4860,59 @@ object SparkEntry {
          FROM runs GROUP BY state ORDER BY state""",
     "q300_markov_stationary" -> duckMarkovStationary,
     "q301_kmeans" -> duckKmeans,
+    // q302: pair formulation of the same definition — last/first by
+    // (t, tie) rank inside the window, linear terms round(cnt/m, 12)
+    // decimal-summed per (conversion, channel), NOT-EXISTS direct count
+    "q302_attribution" ->
+      """WITH ev AS (
+           SELECT user_id AS u, event_type AS c,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS tie
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+         ), conv AS (SELECT u, t, tie FROM ev WHERE c = 'purchase'),
+         touch AS (SELECT u, c, t, tie FROM ev WHERE c <> 'purchase'),
+         pairs AS MATERIALIZED (
+           SELECT cv.u, cv.t AS ct, cv.tie AS ctie, tc.c, tc.t, tc.tie
+           FROM conv cv JOIN touch tc ON tc.u = cv.u
+             AND tc.t >= cv.t - 604800 AND tc.t <= cv.t - 1
+         ), ranked AS (
+           SELECT u, ct, ctie, c,
+                  row_number() OVER (PARTITION BY u, ct, ctie
+                                     ORDER BY t DESC, tie DESC) AS rl,
+                  row_number() OVER (PARTITION BY u, ct, ctie
+                                     ORDER BY t ASC, tie ASC) AS rf
+           FROM pairs
+         ), pc AS (
+           SELECT u, ct, ctie, c, CAST(count(*) AS BIGINT) AS cnt
+           FROM pairs GROUP BY 1, 2, 3, 4
+         ), pm AS (
+           SELECT u, ct, ctie, c, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY u, ct, ctie) AS BIGINT) AS m
+           FROM pc
+         ), ltft AS (
+           SELECT c AS channel,
+                  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+                  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ft
+           FROM ranked GROUP BY 1
+         ), lin AS (
+           SELECT c AS channel,
+                  round(CAST(sum(CAST(round(CAST(cnt AS DOUBLE)
+                    / CAST(m AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS linear
+           FROM pm GROUP BY 1
+         ), chans AS (SELECT DISTINCT c AS channel FROM ev WHERE c <> 'purchase'),
+         direct AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM conv cv
+           WHERE NOT EXISTS (SELECT 1 FROM pairs p
+             WHERE p.u = cv.u AND p.ct = cv.t AND p.ctie = cv.tie)
+         )
+         SELECT ch.channel AS channel, COALESCE(lf.lt, 0) AS last_touch,
+                COALESCE(lf.ft, 0) AS first_touch,
+                COALESCE(li.linear, 0.0) AS linear
+         FROM chans ch LEFT JOIN ltft lf ON lf.channel = ch.channel
+         LEFT JOIN lin li ON li.channel = ch.channel
+         UNION ALL
+         SELECT '(direct)', d.n, d.n, round(CAST(d.n AS DOUBLE), 6) FROM direct d
+         ORDER BY channel""",
     // q295: identical q252 bins; exact DECIMAL(19,6)^2 row Brier;
     // REL/RES terms from the PUBLISHED 6dp per-bin means, 12dp-rounded
     // and decimal-summed; brier_binned recomposed from published parts

@@ -166,6 +166,78 @@ object EventPaths {
   }
 
   /**
+   * Multi-touch conversion attribution — which channel gets credit for
+   * each `target` conversion, under the three standard models at once:
+   * last-touch (the nearest preceding touch inside the lookback wins),
+   * first-touch (the earliest inside the lookback wins), and linear
+   * (each touching channel gets its share cnt_c/m of one credit).
+   * Shape: ONE user-partitioned RANGE window pass ([ts−lookback, ts−1],
+   * strictly-earlier so same-second touches never self-credit) computes
+   * per-conversion last/first touch structs ((t, tie, channel) — the
+   * unique tie-breaker makes struct max/min a total order) and bounded
+   * per-channel counts; the rollup is one aggregation collapsing to
+   * |channels| values, so nothing corpus-sized moves after the window.
+   * Linear terms round(cnt_c/m, 12) are DECIMAL-summed (the Σ doctrine).
+   * Conversions with NO touch in the window credit the synthetic
+   * "(direct)" channel in all three models. The channel domain is
+   * collected under a LOUD `maxChannels` contract (the [[stationary]]
+   * pattern). Output: one row per channel incl "(direct)"
+   * (channel, last_touch, first_touch, linear), linear 6dp.
+   */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, target: String, lookback: Long,
+      maxChannels: Int = 64): DataFrame = {
+    require(lookback >= 1, "lookback >= 1 second")
+    val spark = df.sparkSession
+    val ev = df.select(col(userCol).as("__u"), col(typeCol).cast("string").as("__c"),
+        col(tsCol).cast("long").as("__t"), col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__c").isNotNull && col("__t").isNotNull)
+    val channels = ev.select(col("__c")).distinct().collect()
+      .map(_.getString(0)).filter(_ != target).sorted
+    require(channels.nonEmpty, s"attribution: no touch channels besides '$target'")
+    require(channels.length <= maxChannels,
+      s"attribution: ${channels.length} channels exceeds maxChannels=$maxChannels")
+    val isTouch = col("__c") =!= target
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"))
+      .rangeBetween(-lookback, -1)
+    val touchStruct = when(isTouch, struct(col("__t"), col("__tie"), col("__c")))
+    val cntCols = channels.zipWithIndex.map { case (c, i) =>
+      sum(when(col("__c") === c, 1L)).over(w).as(s"__n$i") }
+    val conv = ev.select(col("__u") +: col("__c") +:
+        max(touchStruct).over(w).as("__last") +:
+        min(touchStruct).over(w).as("__first") +: cntCols: _*)
+      .where(col("__c") === target)
+      .withColumn("__m",
+        channels.indices.map(i => coalesce(col(s"__n$i"), lit(0L))).reduce(_ + _))
+    val aggCols: Seq[org.apache.spark.sql.Column] =
+      sum(when(col("__m") === 0, 1L).otherwise(0L)).as("__direct") +:
+      channels.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(col("__last.__c") === c, 1L).otherwise(0L)).as(s"__lt$i"),
+        sum(when(col("__first.__c") === c, 1L).otherwise(0L)).as(s"__ft$i"),
+        sum(when(col("__m") > 0,
+          round(coalesce(col(s"__n$i"), lit(0L)).cast("double")
+            / col("__m").cast("double"), 12)).cast("decimal(38,12)")).as(s"__ln$i"))
+      }
+    val r = conv.agg(aggCols.head, aggCols.tail: _*).head() // one bounded row
+    val direct = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val zero = new java.math.BigDecimal(java.math.BigInteger.ZERO, 12)
+    val rows = ("(direct)", direct, direct,
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(direct), 0)
+          .setScale(12)) +:
+      channels.zipWithIndex.map { case (c, i) =>
+        (c,
+          if (r.isNullAt(1 + 3 * i)) 0L else r.getLong(1 + 3 * i),
+          if (r.isNullAt(2 + 3 * i)) 0L else r.getLong(2 + 3 * i),
+          if (r.isNullAt(3 + 3 * i)) zero
+          else r.getDecimal(3 + 3 * i).setScale(12))
+      }
+    import spark.implicits._
+    rows.toSeq.toDF("channel", "last_touch", "first_touch", "__lin")
+      .withColumn("linear", round(col("__lin").cast("double"), 6))
+      .drop("__lin")
+  }
+
+  /**
    * Per-user inter-arrival statistics — the burstiness read behind bot /
    * scripted-traffic detection: humans are bursty (CV of gaps well above
    * 0), schedulers are metronomes (CV → 0), replayed logs collapse to

@@ -323,6 +323,34 @@ class ProfileSpec extends SparkSpec {
     assert(ro.isNullAt(ro.fieldIndex("or_mh")))
   }
 
+  test("attribution: last/first/linear over the lookback, same-ts exclusion, direct") {
+    // u1: view@10 click@20 purchase@30 (m=2), purchase@1e6 (direct)
+    // u2: click@5 view@5 (tie-broken by id) purchase@50
+    // u3: view@40 purchase@40 — same second never self-credits -> direct
+    val ev = Seq(
+      (1L, 10L, "view", 1L), (1L, 20L, "click", 2L), (1L, 30L, "purchase", 3L),
+      (1L, 1000000L, "purchase", 4L),
+      (2L, 5L, "click", 5L), (2L, 5L, "view", 6L), (2L, 50L, "purchase", 7L),
+      (3L, 40L, "view", 8L), (3L, 40L, "purchase", 9L))
+      .toDF("u", "ts", "t", "id")
+    val rows = graft.operators.EventPaths.attribution(ev, "u", "ts", "t", "id",
+      target = "purchase", lookback = 100L).orderBy("channel").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("(direct)", "click", "view"))
+    val Seq(d, c, v) = rows.toSeq
+    assert(d.getAs[Long]("last_touch") == 2 && d.getAs[Long]("first_touch") == 2
+      && d.getAs[Double]("linear") == 2.0)
+    assert(c.getAs[Long]("last_touch") == 1 && c.getAs[Long]("first_touch") == 1
+      && c.getAs[Double]("linear") == 1.0)
+    assert(v.getAs[Long]("last_touch") == 1 && v.getAs[Long]("first_touch") == 1
+      && v.getAs[Double]("linear") == 1.0)
+    // no touch channels besides the target refuses loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.EventPaths.attribution(
+        Seq((1L, 1L, "purchase", 1L)).toDF("u", "ts", "t", "id"),
+        "u", "ts", "t", "id", "purchase", 100L)
+    }
+  }
+
   test("stationary: integer power iteration replica, dangling self-loop, refusal") {
     // u1: a a b a ; u2: b c — c has no outgoing transition (absorbing)
     val ev = Seq((1L, 1L, "a", 1L), (1L, 2L, "a", 2L), (1L, 3L, "b", 3L),
