@@ -1665,6 +1665,19 @@ object SparkEntry {
           col("event_id"))
         .orderBy("state")
     }),
+    "q303_landmark_closeness" -> ((s, dir) => {
+      // which brands sit central in the bought-together graph: 4
+      // md5-picked landmarks, a BFS per landmark (L × diameter keyed
+      // rounds — never a V × V pairs relation), harmonic closeness from
+      // 12dp 1/d terms decimal-summed
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
+      graft.operators.GraphOps.landmarkCloseness(edges, nLandmarks = 4,
+          maxHops = 6)
+        .orderBy("node")
+    }),
     "q302_attribution" -> ((s, dir) => {
       // which channel earns each purchase, three models at once: last-
       // touch / first-touch / linear share over the 7-day lookback —
@@ -4860,6 +4873,41 @@ object SparkEntry {
          FROM runs GROUP BY state ORDER BY state""",
     "q300_markov_stationary" -> duckMarkovStationary,
     "q301_kmeans" -> duckKmeans,
+    // q303: multi-source recursive walk tagged by landmark; UNION dedups
+    // (lm, node, d) states, min picks the hop distance, identical md5
+    // landmark ranking and 12dp 1/d decimal sums
+    "q303_landmark_closeness" ->
+      """WITH RECURSIVE bi AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         ), pr AS (
+           SELECT x.i AS pa, y.i AS pb, count(*) AS support
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 400
+         ), e AS (
+           SELECT pa AS src, pb AS dst FROM pr
+           UNION ALL SELECT pb, pa FROM pr
+         ), nodes AS (
+           -- explicit DISTINCT: under WITH RECURSIVE DuckDB does not
+           -- dedup a plain UNION in a non-recursive CTE
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+         ), lm AS (
+           SELECT node FROM nodes ORDER BY md5(node), node LIMIT 4
+         ), walk(lm, node, d) AS (
+           SELECT node, node, 0 FROM lm
+           UNION
+           SELECT w.lm, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+           WHERE w.d < 6
+         ), dmin AS (
+           SELECT lm, node, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY 1, 2
+         )
+         SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+                CAST(sum(d) AS BIGINT) AS sum_dist,
+                round(CAST(COALESCE(sum(CASE WHEN d > 0 THEN
+                  CAST(round(1.0 / d, 12) AS DECIMAL(38,12)) END),
+                  0) AS DOUBLE), 6) AS harmonic
+         FROM dmin GROUP BY 1 ORDER BY node""",
     // q302: pair formulation of the same definition — last/first by
     // (t, tie) rank inside the window, linear terms round(cnt/m, 12)
     // decimal-summed per (conversion, channel), NOT-EXISTS direct count

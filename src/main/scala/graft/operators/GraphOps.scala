@@ -360,6 +360,45 @@ object GraphOps {
   }
 
   /**
+   * Landmark (pivot) closeness centrality — exact all-pairs closeness
+   * needs a BFS per node; the standard scale fallback (Potamias et al.
+   * 2009) picks L landmarks and scores every node by its distances to
+   * the landmark set. Landmarks are the L nodes with the smallest md5
+   * hex of their id (the oracle-hash family: deterministic, engine-
+   * replayable); distances come from L [[bfsHops]] frontier expansions
+   * (two-regime like everything else in this file). Published per node
+   * over its REACHED landmarks: n_reached, sum_dist (exact integers),
+   * harmonic = Σ_{d>0} 1/d with terms round(1/d, 12) DECIMAL-summed
+   * (the Σ doctrine), 6dp — the landmark's own d=0 row counts toward
+   * n_reached/sum_dist and contributes nothing to harmonic. Nodes no
+   * landmark reaches within `maxHops` are absent, loudly visible in
+   * n_reached < L for everyone near them.
+   */
+  def landmarkCloseness(edges: DataFrame, nLandmarks: Int = 4,
+      maxHops: Int = 6, maxLocalEdges: Long = 1000000L): DataFrame = {
+    require(nLandmarks >= 1 && nLandmarks <= 16, "nLandmarks in [1,16]")
+    val e = edges.selectExpr("cast(src as string) as src",
+        "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val lms = nodes.withColumn("__h", md5(col("node")))
+      .orderBy(col("__h"), col("node")).limit(nLandmarks)
+      .collect().map(_.getString(0)) // ≤ nLandmarks rows
+    require(lms.nonEmpty, "landmarkCloseness needs at least one node")
+    val per = lms.map(l => bfsHops(e, l, maxHops, maxLocalEdges))
+      .reduce(_ unionByName _)
+    per.groupBy(col("node")).agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("d")).as("sum_dist"),
+        sum(when(col("d") > 0, round(lit(1.0) / col("d").cast("double"), 12))
+          .cast("decimal(38,12)")).as("__h"))
+      .select(col("node"), col("n_reached"), col("sum_dist"),
+        round(coalesce(col("__h"), lit(0).cast("decimal(38,12)"))
+          .cast("double"), 6).as("harmonic"))
+  }
+
+  /**
    * Triangle counting over an UNDIRECTED graph given as canonical edges
    * (a < b): each triangle {x<y<z} is counted once via the ordered
    * three-join. Per-node counts follow by exploding the triangle's three

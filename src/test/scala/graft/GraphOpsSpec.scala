@@ -268,4 +268,36 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.labelPropagation(Seq(("a", "b")).toDF("src", "dst"), iters = 0)
     }
   }
+
+  test("landmarkCloseness: md5 landmark pick, path distances, harmonic sums") {
+    // path a - b - c - d, symmetrized
+    val es = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")).toDF("src", "dst")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pos = Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3)
+    val lms = pos.keys.toSeq.sortBy(n => (md5hex(n), n)).take(2)
+    val rows = GraphOps.landmarkCloseness(es, nLandmarks = 2, maxHops = 5)
+      .orderBy("node").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val ds = lms.map(l => math.abs(pos(r.getString(0)) - pos(l)).toLong)
+      assert(r.getAs[Long]("n_reached") == 2L)
+      assert(r.getAs[Long]("sum_dist") == ds.sum)
+      val h = ds.filter(_ > 0).map(d => BigDecimal(1.0 / d)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(r.getAs[Double]("harmonic") ==
+        h.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // a component no landmark lives in is absent from the output
+    val twoComp = es.unionByName(
+      Seq(("x", "y"), ("y", "x")).toDF("src", "dst"))
+    val lm1 = (pos.keys.toSeq ++ Seq("x", "y"))
+      .sortBy(n => (md5hex(n), n)).head
+    val reached = GraphOps.landmarkCloseness(twoComp, nLandmarks = 1,
+      maxHops = 5).collect().map(_.getString(0)).toSet
+    val expect = if (Set("x", "y")(lm1)) Set("x", "y") else pos.keySet
+    assert(reached == expect)
+  }
 }
