@@ -377,9 +377,13 @@ object GraphOps {
   def landmarkCloseness(edges: DataFrame, nLandmarks: Int = 4,
       maxHops: Int = 6, maxLocalEdges: Long = 1000000L): DataFrame = {
     require(nLandmarks >= 1 && nLandmarks <= 16, "nLandmarks in [1,16]")
+    // materialize the (possibly expensive) edge derivation ONCE — the
+    // landmark pick and all L BFS expansions reuse it (without this the
+    // upstream graph build re-runs per landmark, L+1 times)
     val e = edges.selectExpr("cast(src as string) as src",
         "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val lms = nodes.withColumn("__h", md5(col("node")))
