@@ -69,7 +69,12 @@ object PlanAudit {
       "q248_cuped", // one unit agg; readout on a 2-row relation
       "q261_adamic_adar", // wedge join keyed on z; anti-join; TakeOrdered
       "q264_phrase_search", // broadcast query tokens; (doc,start) vote agg
-      "q265_decision_stump") // distinct-value prefix sums; scalar broadcast
+      "q265_decision_stump", // distinct-value prefix sums; scalar broadcast
+      "q296_gains_table", // prefix-sum tiling; ≤nTiles bounded cumulation
+      "q297_best_threshold", // prefix-sum confusion counts; TakeOrdered(1) picks
+      "q298_interval_coverage", // key-partitioned sweep windows only
+      "q299_state_runs", // key-partitioned rn − rn′ segmentation
+      "q302_attribution") // ONE user-partitioned RANGE window pass
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

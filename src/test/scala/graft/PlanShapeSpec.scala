@@ -58,4 +58,34 @@ class PlanShapeSpec extends SparkSpec {
       allowScalarBnl = true)
     assert(bad.isEmpty, bad.mkString("; "))
   }
+
+  test("unionCoverage / stateRuns plans: key-partitioned windows only") {
+    val iv = Seq(("k", 1L, 3L), ("k", 2L, 5L), ("m", 0L, 2L))
+      .toDF("g", "st", "en")
+    val b1 = offenders(graft.operators.Intervals.unionCoverage(iv,
+      col("g"), col("st"), col("en")), allowScalarBnl = false)
+    assert(b1.isEmpty, b1.mkString("; "))
+    val ev = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (2L, "a", 5L, 3L))
+      .toDF("u", "s", "t", "id")
+    val b2 = offenders(graft.operators.Intervals.stateRuns(ev,
+      col("u"), col("s"), col("t"), col("id")), allowScalarBnl = false)
+    assert(b2.isEmpty, b2.mkString("; "))
+  }
+
+  test("attribution plan: one user-partitioned RANGE window, no cartesian") {
+    val ev = Seq((1L, 10L, "view", 1L), (1L, 30L, "purchase", 2L),
+      (2L, 5L, "click", 3L), (2L, 50L, "purchase", 4L))
+      .toDF("u", "ts", "t", "id")
+    val bad = offenders(graft.operators.EventPaths.attribution(ev,
+      "u", "ts", "t", "id", "purchase", 100L), allowScalarBnl = false)
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("bestThreshold plan: prefix-sum windows partitioned, TakeOrdered picks") {
+    val df = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("s", "y")
+    val bad = offenders(graft.operators.Experiment.bestThreshold(df,
+      col("s"), F.col("y")), allowScalarBnl = false)
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
 }
