@@ -1665,6 +1665,20 @@ object SparkEntry {
           col("event_id"))
         .orderBy("state")
     }),
+    "q304_stl_decompose" -> ((s, dir) => {
+      // units = trend + seasonal + residual for per-type daily revenue:
+      // centered 7-day moving-mean trend (complete calendar windows
+      // only), day-of-week seasonal means of the detrended series,
+      // residual recomposed from the published 6dp parts
+      val daily = eng(s, dir).table("events").where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("(CAST(ts AS LONG) div 86400) * 86400").as("t"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("units"))
+      graft.operators.TimeSeries.stlDecompose(daily, "event_type", "t",
+          "units", period = 7, halfWindowDays = 3)
+        .orderBy("event_type", "t")
+    }),
     "q303_landmark_closeness" -> ((s, dir) => {
       // which brands sit central in the bought-together graph: 4
       // md5-picked landmarks, a BFS per landmark (L × diameter keyed
@@ -4873,6 +4887,50 @@ object SparkEntry {
          FROM runs GROUP BY state ORDER BY state""",
     "q300_markov_stationary" -> duckMarkovStationary,
     "q301_kmeans" -> duckKmeans,
+    // q304: identical window/divide spellings — trend one rational
+    // divide over complete RANGE windows, seasonal sums the exactly-6dp
+    // detrended terms in DECIMAL(38,6) (scale-6 numerator stays < 2^53
+    // in millionths, so the double cast is exact in both engines),
+    // resid is an exact decimal subtraction of the published parts
+    "q304_stl_decompose" ->
+      """WITH d AS (
+           SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS t,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS units
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         ), w AS (
+           SELECT event_type, t, units, (t // 86400) % 7 AS s,
+                  CAST(count(*) OVER win AS BIGINT) AS mn,
+                  CAST(sum(units) OVER win AS BIGINT) AS msum
+           FROM d
+           WINDOW win AS (PARTITION BY event_type ORDER BY t
+             RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
+         ), det AS (
+           SELECT event_type, t, units, s,
+                  CASE WHEN mn = 7 THEN
+                    round(CAST(msum AS DOUBLE) / CAST(mn AS DOUBLE), 6) END AS trend,
+                  CASE WHEN mn = 7 THEN
+                    CAST(units AS DECIMAL(38,6))
+                      - CAST(round(CAST(msum AS DOUBLE) / CAST(mn AS DOUBLE), 6)
+                             AS DECIMAL(38,6))
+                  END AS det
+           FROM w
+         ), seas AS (
+           SELECT event_type, s,
+                  round(CAST(sum(det) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS seasonal
+           FROM det WHERE det IS NOT NULL GROUP BY 1, 2
+         )
+         SELECT d2.event_type AS event_type, d2.t AS t, d2.units AS units,
+                d2.s AS s, d2.trend AS trend,
+                CASE WHEN d2.trend IS NOT NULL THEN se.seasonal END AS seasonal,
+                CASE WHEN d2.trend IS NOT NULL THEN
+                  CAST(CAST(d2.units AS DECIMAL(38,6))
+                    - CAST(d2.trend AS DECIMAL(38,6))
+                    - CAST(se.seasonal AS DECIMAL(38,6)) AS DOUBLE)
+                END AS resid
+         FROM det d2 LEFT JOIN seas se
+           ON se.event_type = d2.event_type AND se.s = d2.s
+         ORDER BY event_type, t""",
     // q303: multi-source recursive walk tagged by landmark; UNION dedups
     // (lm, node, d) states, min picks the hop distance, identical md5
     // landmark ranking and 12dp 1/d decimal sums

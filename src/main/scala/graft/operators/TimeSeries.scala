@@ -569,6 +569,66 @@ object TimeSeries {
   }
 
   /**
+   * Additive STL-lite decomposition over per-key daily integer series —
+   * units = trend + seasonal + residual, the readout behind "is Friday
+   * down because of the season or the trend". Trend is the centered
+   * (2h+1)-day moving mean over complete RANGE calendar windows only
+   * (the [[rollingMedian]] doctrine — a gapped series must not let a
+   * ROWS frame span extra days); seasonal is the per-key day-of-period
+   * mean of the detrended series; residual composes from the PUBLISHED
+   * 6dp trend and seasonal. Exactness: trend = round(Σunits/n, 6) is
+   * ONE exact-rational divide; detrended = units − trend is EXACTLY a
+   * 6dp decimal (integer minus a published 6dp value), carried as
+   * DECIMAL(38,6) so the seasonal numerator Σdet stays an exact 6dp
+   * decimal whose double image is identical across engines (|Σ|·10⁶
+   * must stay < 2⁵³ — holds for calendar-bounded daily series; a
+   * scale-12 carrier here would push the numerator past 2⁵³ and make
+   * the decimal→double cast ULP-divergent); seasonal is then one
+   * IEEE divide + round(·,6); residual is an EXACT
+   * DECIMAL(38,6) subtraction of the published parts (both are exact
+   * 6dp values, so no re-round — a final round(·,6) is ULP/tie
+   * divergent across engines). Edge buckets without a
+   * complete trend window publish NULL trend/seasonal/resid and are
+   * excluded from the seasonal means — visible, never imputed. Windows
+   * are key-partitioned; series calendar-bounded (resample first, the
+   * [[acf]] contract). Output: (key, t, units, s ∈ 0..period−1, trend,
+   * seasonal, resid), 6dp.
+   */
+  def stlDecompose(daily: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, period: Int = 7, halfWindowDays: Int = 3): DataFrame = {
+    require(period >= 2 && period <= 366, "period in [2,366]")
+    require(halfWindowDays >= 1 && halfWindowDays <= 183,
+      "halfWindowDays in [1,183]")
+    val h = halfWindowDays
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rangeBetween(-h.toLong * 86400L, h.toLong * 86400L)
+    val base = daily
+      .select(col(keyCol).as("__k"), col(tCol).cast("long").as("__t"),
+        col(unitsCol).cast("long").as("__x"))
+      .where(col("__x").isNotNull)
+      .withColumn("__s", pmod(expr("__t div 86400"), lit(period.toLong)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sum", sum(col("__x")).over(w))
+      .withColumn("trend", when(col("__n") === 2 * h + 1,
+        round(col("__sum").cast("double") / col("__n").cast("double"), 6)))
+      .withColumn("__det", when(col("trend").isNotNull,
+        col("__x").cast("decimal(38,6)") - col("trend").cast("decimal(38,6)")))
+    val seas = base.where(col("__det").isNotNull)
+      .groupBy(col("__k"), col("__s"))
+      .agg(round(sum(col("__det")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("seasonal"))
+    base.join(seas, Seq("__k", "__s"), "left")
+      .select(col("__k").as(keyCol), col("__t").as("t"),
+        col("__x").as("units"), col("__s").as("s"), col("trend"),
+        when(col("trend").isNotNull, col("seasonal")).as("seasonal"),
+        when(col("trend").isNotNull,
+          (col("__x").cast("decimal(38,6)")
+            - col("trend").cast("decimal(38,6)")
+            - col("seasonal").cast("decimal(38,6)")).cast("double"))
+          .as("resid"))
+  }
+
+  /**
    * Naive / seasonal-naive forecast baselines over one bucketed series —
    * the denominators every forecast evaluation needs (MASE, Hyndman &
    * Koehler 2006, scales a model's error by the naive in-sample MAE)

@@ -351,6 +351,47 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("stlDecompose: independent replica over an alternating series, edge NULLs") {
+    import org.apache.spark.sql.functions.col
+    val xs = Seq(10L, 20L, 12L, 22L, 14L, 24L, 16L, 26L, 18L, 28L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong * 86400L, x) }
+      .toDF("k", "t", "units")
+    val rows = graft.operators.TimeSeries.stlDecompose(df, "k", "t", "units",
+      period = 2, halfWindowDays = 1).orderBy("t").collect()
+    assert(rows.length == 10)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replica: trend over complete +-1-day windows, parity seasonal means
+    val trend = xs.indices.map { i =>
+      if (i == 0 || i == 9) None
+      else Some(r6((xs(i - 1) + xs(i) + xs(i + 1)).toDouble / 3.0))
+    }
+    val det = xs.indices.map(i => trend(i).map(tr => r6(xs(i).toDouble - tr)))
+    val seas = (0 to 1).map { s =>
+      val ds = xs.indices.filter(i => i % 2 == s).flatMap(det)
+      s -> r6(ds.map(BigDecimal(_)).sum.toDouble / ds.size)
+    }.toMap
+    xs.indices.foreach { i =>
+      val r = rows(i)
+      assert(r.getAs[Long]("s") == i % 2)
+      trend(i) match {
+        case None => assert(r.isNullAt(r.fieldIndex("trend")) &&
+          r.isNullAt(r.fieldIndex("seasonal")) && r.isNullAt(r.fieldIndex("resid")))
+        case Some(tr) =>
+          assert(r.getAs[Double]("trend") == tr)
+          assert(r.getAs[Double]("seasonal") == seas(i % 2))
+          assert(r.getAs[Double]("resid") ==
+            r6(xs(i).toDouble - tr - seas(i % 2)))
+      }
+    }
+    // additivity: units == trend + seasonal + resid on complete rows (6dp)
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      val back = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(back - r.getAs[Long]("units").toDouble) < 2e-6)
+    }
+  }
+
   test("stationary: integer power iteration replica, dangling self-loop, refusal") {
     // u1: a a b a ; u2: b c — c has no outgoing transition (absorbing)
     val ev = Seq((1L, 1L, "a", 1L), (1L, 2L, "a", 2L), (1L, 3L, "b", 3L),
