@@ -74,7 +74,8 @@ object PlanAudit {
       "q297_best_threshold", // prefix-sum confusion counts; TakeOrdered(1) picks
       "q298_interval_coverage", // key-partitioned sweep windows only
       "q299_state_runs", // key-partitioned rn − rn′ segmentation
-      "q302_attribution") // ONE user-partitioned RANGE window pass
+      "q302_attribution", // ONE user-partitioned RANGE window pass
+      "q304_stl_decompose") // key-partitioned RANGE trend window + (k,s) agg
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -81,6 +81,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("stlDecompose plan: key-partitioned RANGE window, no cartesian") {
+    val df = (0 until 20).map(i => ("k", i.toLong * 86400L, (i % 7 + 1).toLong))
+      .toDF("k", "t", "units")
+    val bad = offenders(graft.operators.TimeSeries.stlDecompose(
+      df, "k", "t", "units"), allowScalarBnl = false)
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("bestThreshold plan: prefix-sum windows partitioned, TakeOrdered picks") {
     val df = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
       .toDF("s", "y")
