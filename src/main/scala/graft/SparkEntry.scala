@@ -1679,6 +1679,50 @@ object SparkEntry {
           "units", period = 7, halfWindowDays = 3)
         .orderBy("event_type", "t")
     }),
+    "q305_rmst" -> ((s, dir) => {
+      // the q203 survival curve collapsed to one effect size: mean
+      // event-free seconds over the first 90 days — PUBLISHED 6dp
+      // survival × exact rectangle widths, decimal-summed; the lead
+      // window rides the bounded event-time curve relation
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("tc"))
+      val subjects = perUser.select(
+        when(col("tc").isNotNull, col("tc") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("tc").isNotNull.as("ev"))
+      graft.operators.Survival.rmst(subjects, "dur", col("ev"),
+        tau = 7776000L)
+    }),
+    "q306_srm" -> ((s, dir) => {
+      // assignment-integrity audit of a declared 3:1 rollout over
+      // customers: arms cut by EXACT hash·W integer compares (no float
+      // boundary), χ² goodness-of-fit vs the declared ratio from
+      // cleared-form 12dp terms, decimal-summed
+      graft.operators.Experiment.srmCheck(eng(s, dir).table("customer"),
+        "c_custkey", salt = "graft-srm-r12",
+        weights = Seq(("control", 1L), ("treat", 3L)))
+    }),
+    "q307_woe_iv" -> ((s, dir) => {
+      // is market segment informative about account delinquency:
+      // weight-of-evidence per segment + information value — Laplace-
+      // smoothed exact rationals, 12dp ln terms, IV decimal-summed
+      // from published parts
+      graft.operators.FeatureEng.woeEncode(eng(s, dir).table("customer"),
+        col("c_mktsegment"), col("c_acctbal") < 0)
+    }),
+    "q308_concentration" -> ((s, dir) => {
+      // do 10% of customers carry most of the revenue: Gini + top-decile
+      // and top-percentile shares of per-customer order cents — distinct-
+      // value prefix sums (no full-relation window), three exact divides
+      val perCust = eng(s, dir).table("orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      graft.operators.Profile.concentration(perCust, col("cents"))
+    }),
     "q303_landmark_closeness" -> ((s, dir) => {
       // which brands sit central in the bought-together graph: 4
       // md5-picked landmarks, a BFS per landmark (L × diameter keyed
@@ -4887,6 +4931,176 @@ object SparkEntry {
          FROM runs GROUP BY state ORDER BY state""",
     "q300_markov_stationary" -> duckMarkovStationary,
     "q301_kmeans" -> duckKmeans,
+    // q305: the q203 KM chain verbatim, then rectangle areas — published
+    // 6dp survival × exact widths in DECIMAL(38,6), leading all-alive
+    // segment ends at the first event time clamped to τ
+    "q305_rmst" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tc
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CASE WHEN tc IS NOT NULL THEN tc - t0 ELSE tl - t0 END AS t,
+                  tc IS NOT NULL AS ev
+           FROM pu
+         ), tot AS (SELECT count(*) AS n FROM subj),
+         byt AS (
+           SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                  CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS nc
+           FROM subj GROUP BY 1
+         ), c1 AS (
+           SELECT t, ne, nc,
+                  sum(ne + nc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gone
+           FROM byt
+         ), c2 AS (
+           SELECT c1.t, c1.ne, c1.nc,
+                  CAST(tot.n - c1.gone + c1.ne + c1.nc AS BIGINT) AS nr
+           FROM c1 CROSS JOIN tot
+         ), c3 AS (
+           SELECT *, CASE WHEN ne = nr THEN 1 ELSE 0 END AS z,
+                  CASE WHEN ne = nr THEN 0.0
+                       ELSE round(ln(1.0 - CAST(ne AS DOUBLE) / CAST(nr AS DOUBLE)), 12) END AS term
+           FROM c2
+         ), c4 AS (
+           SELECT *,
+                  sum(CAST(term AS DECIMAL(24,12))) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+                  max(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS az
+           FROM c3
+         ), km AS (
+           SELECT t, ne,
+                  CASE WHEN az = 1 THEN 0.0
+                       ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+           FROM c4 WHERE ne > 0
+         ), seg AS (
+           SELECT t, ne, survival,
+                  least(COALESCE(lead(t) OVER (ORDER BY t), 7776000), 7776000) AS e
+           FROM km WHERE t < 7776000
+         ), a AS (
+           SELECT COALESCE(sum(CAST(CAST(survival AS DECIMAL(24,6))
+                    * CAST(e - t AS DECIMAL(38,0)) AS DECIMAL(38,6))),
+                  CAST(0 AS DECIMAL(38,6))) AS tail,
+                  COALESCE(CAST(sum(ne) AS BIGINT), 0) AS nev,
+                  COALESCE(min(t), 7776000) AS t1
+           FROM seg
+         )
+         SELECT CAST(7776000 AS BIGINT) AS tau,
+                (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+                nev AS n_events,
+                round(CAST(CAST(t1 AS DECIMAL(38,6)) + tail AS DOUBLE), 6) AS rmst
+         FROM a""",
+    // q306: identical 13-hex md5 fraction, but the arm cut is the EXACT
+    // integer compare h·W < cum·2^52 (no float boundary); cleared-form
+    // χ² terms, 12dp, decimal-summed
+    "q306_srm" ->
+      """WITH armed AS (
+           SELECT CASE WHEN CAST(('0x' || substr(md5('graft-srm-r12:' || CAST(c_custkey AS VARCHAR)), 1, 13)) AS UBIGINT) * 4
+                            < CAST(4503599627370496 AS UBIGINT)
+                       THEN 'control' ELSE 'treat' END AS arm
+           FROM customer
+         ), declared AS (
+           SELECT 'control' AS arm, CAST(1 AS BIGINT) AS weight
+           UNION ALL SELECT 'treat', CAST(3 AS BIGINT)
+         ), counts AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n_obs FROM armed GROUP BY 1
+         ), per AS (
+           SELECT d.arm, d.weight, COALESCE(c.n_obs, 0) AS n_obs
+           FROM declared d LEFT JOIN counts c ON c.arm = d.arm
+         ), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM per),
+         scored AS (
+           SELECT p.arm, p.weight, p.n_obs,
+                  round(CAST(CAST(t.n AS HUGEINT) * p.weight AS DOUBLE) / 4.0, 6) AS expected,
+                  CASE WHEN t.n > 0 THEN round(
+                    CAST((CAST(p.n_obs AS HUGEINT) * 4 - CAST(t.n AS HUGEINT) * p.weight)
+                       * (CAST(p.n_obs AS HUGEINT) * 4 - CAST(t.n AS HUGEINT) * p.weight) AS DOUBLE)
+                    / CAST(4 * CAST(t.n AS HUGEINT) * p.weight AS DOUBLE), 12) END AS term
+           FROM per p CROSS JOIN tot t
+         ), cc AS (
+           SELECT round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6) AS chi2
+           FROM scored
+         )
+         SELECT s.arm, s.weight, s.n_obs, s.expected, s.term, c.chi2,
+                CAST(1 AS INTEGER) AS df
+         FROM scored s CROSS JOIN cc c ORDER BY arm""",
+    // q307: Laplace-smoothed WoE — ln of ONE exact-product ratio, 12dp;
+    // IV terms multiply the cleared dp−dn divide by the PUBLISHED woe
+    "q307_woe_iv" ->
+      """WITH s AS (
+           SELECT c_mktsegment AS category,
+                  CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS y
+           FROM customer WHERE c_mktsegment IS NOT NULL
+         ), per AS (
+           SELECT category, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_pos
+           FROM s GROUP BY 1
+         ), per2 AS (
+           SELECT category, n, n_pos, n - n_pos AS n_neg FROM per
+         ), kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM per2),
+         tot AS (
+           SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+                  CAST(sum(n_neg) AS BIGINT) AS nn
+           FROM per2
+         ), scored AS (
+           SELECT per2.category, per2.n, per2.n_pos, per2.n_neg,
+                  round(ln(CAST((CAST(per2.n_pos AS HUGEINT) + 1) * (t.nn + k.k) AS DOUBLE)
+                           / CAST((CAST(per2.n_neg AS HUGEINT) + 1) * (t.p + k.k) AS DOUBLE)), 12) AS woe,
+                  round(CAST((CAST(per2.n_pos AS HUGEINT) + 1) * (t.nn + k.k)
+                             - (CAST(per2.n_neg AS HUGEINT) + 1) * (t.p + k.k) AS DOUBLE)
+                        / CAST(CAST(t.p + k.k AS HUGEINT) * (t.nn + k.k) AS DOUBLE)
+                        * round(ln(CAST((CAST(per2.n_pos AS HUGEINT) + 1) * (t.nn + k.k) AS DOUBLE)
+                                   / CAST((CAST(per2.n_neg AS HUGEINT) + 1) * (t.p + k.k) AS DOUBLE)), 12),
+                        12) AS iv_term
+           FROM per2 CROSS JOIN tot t CROSS JOIN kk k
+         ), iv AS (
+           SELECT round(CAST(sum(CAST(iv_term AS DECIMAL(38,12))) AS DOUBLE), 6) AS iv
+           FROM scored
+         )
+         SELECT s2.category, s2.n, s2.n_pos, s2.n_neg, s2.woe, s2.iv_term, i.iv
+         FROM scored s2 CROSS JOIN iv i ORDER BY category""",
+    // q308: same distinct-value prefix sums as windows over the bounded
+    // value relation; rank-weighted sum in HUGEINT, boundary rows split
+    // the k-th-largest tie run exactly
+    "q308_concentration" ->
+      """WITH pc AS (
+           SELECT o_custkey,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1
+         ), pv AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM pc GROUP BY 1
+         ), pre AS (
+           SELECT v, cnt, v * cnt AS uv,
+                  COALESCE(CAST(sum(cnt) OVER w AS BIGINT), 0) AS cb,
+                  COALESCE(CAST(sum(v * cnt) OVER w AS BIGINT), 0) AS ub
+           FROM pv
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ), tot AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(uv) AS BIGINT) AS t,
+                  sum(CAST(v AS HUGEINT) * (CAST(cnt AS HUGEINT) * cb
+                      + CAST(cnt AS HUGEINT) * (cnt + 1) // 2)) AS s1
+           FROM pre
+         ), top10 AS (
+           SELECT round(CAST((t.t - p.ub - p.uv)
+                        + ((t.n + 9) // 10 - (t.n - p.cb - p.cnt)) * p.v AS DOUBLE)
+                  / CAST(t.t AS DOUBLE), 6) AS top10_share
+           FROM pre p CROSS JOIN tot t
+           WHERE t.n - p.cb - p.cnt < (t.n + 9) // 10
+             AND (t.n + 9) // 10 <= t.n - p.cb
+         ), top1 AS (
+           SELECT round(CAST((t.t - p.ub - p.uv)
+                        + ((t.n + 99) // 100 - (t.n - p.cb - p.cnt)) * p.v AS DOUBLE)
+                  / CAST(t.t AS DOUBLE), 6) AS top1_share
+           FROM pre p CROSS JOIN tot t
+           WHERE t.n - p.cb - p.cnt < (t.n + 99) // 100
+             AND (t.n + 99) // 100 <= t.n - p.cb
+         )
+         SELECT t.n AS n, t.t AS total_units,
+                CASE WHEN t.t > 0 THEN
+                  round(CAST(2 * t.s1 - (CAST(t.n AS HUGEINT) + 1) * t.t AS DOUBLE)
+                        / CAST(CAST(t.n AS HUGEINT) * t.t AS DOUBLE), 6) END AS gini,
+                top10.top10_share, top1.top1_share
+         FROM tot t CROSS JOIN top10 CROSS JOIN top1""",
     // q304: identical window/divide spellings — trend one rational
     // divide over complete RANGE windows, seasonal sums the exactly-6dp
     // detrended terms in DECIMAL(38,6) (scale-6 numerator stays < 2^53

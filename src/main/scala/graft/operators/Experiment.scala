@@ -51,6 +51,72 @@ object Experiment {
   }
 
   /**
+   * Sample-ratio-mismatch check (SRM; Fabijan et al. 2019) — the first
+   * diagnostic every experimentation platform runs before reading an
+   * effect: do the OBSERVED arm counts match the DECLARED allocation
+   * weights? A mismatch means broken assignment/logging and invalidates
+   * the whole readout. χ² goodness-of-fit against the declared ratios:
+   * with observed Oᵢ, total n, weight wᵢ out of W,
+   *
+   *   term_i = (Oᵢ − n·wᵢ/W)²/(n·wᵢ/W) = (Oᵢ·W − n·wᵢ)² / (W·n·wᵢ)
+   *
+   * — the cleared form is ONE divide of exact DECIMAL(38,0) integers per
+   * arm, 12dp-rounded, DECIMAL-summed (the Σ doctrine); df = k−1. The
+   * p-value is deliberately unpublished (χ² CDF is not engine-portable;
+   * the statistic is).
+   *
+   * Assignment is the [[abTest]] salted-md5 52-bit fraction, but the arm
+   * cut compares EXACT integers (hash·W < cum·2⁵²) so no float boundary
+   * dust can flip a unit between engines (bound: W ≤ 1024 keeps the
+   * product under 2⁶³). One aggregation over the unit relation; k ≤ 64
+   * arms by contract. Output: one row per arm (arm, weight, n_obs,
+   * expected, term, chi2, df), chi2/df repeated for self-containment.
+   */
+  def srmCheck(units: DataFrame, idCol: String, salt: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.size >= 2 && weights.size <= 64, "srmCheck: 2..64 arms")
+    require(weights.forall(_._2 > 0), "srmCheck: weights must be positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "srmCheck: duplicate arm names")
+    val w = weights.map(_._2).sum
+    require(w <= 1024L, s"srmCheck: total weight $w > 1024 — the exact " +
+      "hash*W cut would overflow 2^63")
+    val two52 = 4503599627370496L // 2^52, the 13-hex md5 fraction denominator
+    val h = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val cums = weights.scanLeft(0L)(_ + _._2).tail
+    val arm = weights.zip(cums).foldRight(lit(weights.last._1)) {
+      case (((name, _), cum), rest) =>
+        when(h * w < lit(cum) * lit(two52), lit(name)).otherwise(rest)
+    }
+    val counts = units.select(arm.as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_obs"))
+    val spark = units.sparkSession
+    import spark.implicits._
+    val declared = weights.toDF("arm", "weight")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val per = declared.join(counts, Seq("arm"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val tot = per.agg(sum(col("n_obs")).as("__n"))
+    val dev = d(col("n_obs")) * lit(w) - d(col("__n")) * d(col("weight"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("expected", round(
+        (d(col("__n")) * d(col("weight"))).cast("double")
+          / lit(w.toDouble), 6))
+      // degenerate empty relation: terms (and χ²) publish NULL, not NaN
+      .withColumn("__term", when(col("__n") > 0, round((dev * dev).cast("double")
+        / (lit(w) * d(col("__n")) * d(col("weight"))).cast("double"), 12)))
+    val chi2 = scored.agg(
+      round(sum(col("__term").cast("decimal(38,12)")).cast("double"), 6)
+        .as("chi2"))
+    scored.crossJoin(broadcast(chi2))
+      .select(col("arm"), col("weight"), col("n_obs"), col("expected"),
+        col("__term").as("term"), col("chi2"),
+        lit(weights.size - 1).as("df"))
+      .orderBy(col("arm"))
+  }
+
+  /**
    * Difference-in-differences readout (Card & Krueger 1994 canonical
    * form) — the quasi-experimental estimator for when there IS no
    * randomized arm: compare the treated group's pre→post change against

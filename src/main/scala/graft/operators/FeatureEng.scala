@@ -55,6 +55,58 @@ object FeatureEng {
   }
 
   /**
+   * Weight-of-evidence encoding + information value (the credit-scoring
+   * standard, Siddiqi 2006) — the categorical encoder whose output
+   * doubles as a feature-strength audit: per category,
+   *
+   *   WoE(c) = ln( dp(c) / dn(c) ),   IV = Σ_c (dp(c) − dn(c))·WoE(c)
+   *
+   * with dp = (pos_c + 1)/(P + k) and dn = (neg_c + 1)/(NN + k) the
+   * Laplace-smoothed positive/negative distributions over k categories
+   * (integer +1 smoothing keeps every ratio an EXACT integer rational —
+   * half-count variants do not). IV reads on the standard scale: < 0.02
+   * useless, > 0.3 strong, > 0.5 suspicious (leakage).
+   *
+   * Determinism: WoE is ln of ONE divide of exact DECIMAL(38,0) products
+   * ((pos+1)·(NN+k) over (neg+1)·(P+k)), 12dp-rounded (the ln doctrine —
+   * KM/MI/Zipf precedent); the IV term multiplies the cleared-form
+   * dp−dn (one exact-decimal divide) by the PUBLISHED 12dp WoE, rounds
+   * 12dp, and DECIMAL-sums. One groupBy + one broadcast totals join; no
+   * windows. Output per category: (category, n, n_pos, n_neg, woe,
+   * iv_term, iv) — iv repeated for self-containment, 6dp.
+   */
+  def woeEncode(df: DataFrame, catCol: Column, labelCol: Column): DataFrame = {
+    val s = df.select(catCol.cast("string").as("category"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .where(col("category").isNotNull)
+    val per = s.groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .localCheckpoint(true) // feeds k, the totals, and the scored scan
+    val k = per.count() // bounded: the category relation
+    require(k >= 1, "woeEncode: empty input")
+    val tot = per.agg(sum(col("n_pos")).as("__P"), sum(col("n_neg")).as("__NN"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val dpNum = (d(col("n_pos")) + 1) * (d(col("__NN")) + lit(k))
+    val dnNum = (d(col("n_neg")) + 1) * (d(col("__P")) + lit(k))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("woe",
+        round(log(dpNum.cast("double") / dnNum.cast("double")), 12))
+      .withColumn("iv_term", round(
+        (dpNum - dnNum).cast("double")
+          / ((d(col("__P")) + lit(k)) * (d(col("__NN")) + lit(k)))
+            .cast("double")
+          * col("woe"), 12))
+    val iv = scored.agg(
+      round(sum(col("iv_term").cast("decimal(38,12)")).cast("double"), 6)
+        .as("iv"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("category"), col("n"), col("n_pos"), col("n_neg"),
+        col("woe"), col("iv_term"), col("iv"))
+      .orderBy(col("category"))
+  }
+
+  /**
    * Best single-threshold Gini split of a numeric score against a
    * boolean label. Thresholds are the DISTINCT score values (left =
    * score ≤ v), their cumulative pos/row counts come from the bucketed

@@ -233,6 +233,63 @@ object Profile {
         col("c").as("mode_count"), col("__nd").as("n_distinct"))
   }
 
+  /**
+   * Concentration / inequality readout over a non-negative unit column —
+   * the Gini coefficient plus top-decile and top-percentile shares, the
+   * "do 10% of customers carry 80% of revenue" numbers every revenue,
+   * token-count, and degree distribution gets asked. With values ranked
+   * ascending, Gini = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx); ties make Σ i·x
+   * well-defined because equal values are exchangeable, so it computes
+   * on the DISTINCT-value relation: a value v with count c occupying
+   * ranks after `below` contributes v·(c·below + c(c+1)/2). Prefix
+   * counts come from [[DistDrift.withPrefixSums]] (distributed — no
+   * full-relation window); the top-k share picks the single boundary
+   * value row where k = ⌈n/10⌉ (or ⌈n/100⌉) crosses the suffix and
+   * splits its tie run exactly.
+   *
+   * Everything is exact DECIMAL(38,0) integer arithmetic with THREE
+   * published divides (gini, top10, top1), 6dp. Operand bound: per-value
+   * units v·c and the grand total must fit a long (cents at warehouse
+   * scale clear this; refuse negatives loudly — Gini is undefined
+   * below 0). Output: one row (n, total_units, gini, top10_share,
+   * top1_share).
+   */
+  def concentration(df: DataFrame, unitsCol: Column): DataFrame = {
+    val s = df.select(unitsCol.cast("long").as("v")).where(col("v").isNotNull)
+    val mn = s.agg(min(col("v"))).head()
+    require(!mn.isNullAt(0), "concentration: empty input")
+    require(mn.getLong(0) >= 0L,
+      "concentration: negative units — Gini needs a non-negative measure")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val perValue = s.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("uv", col("v") * col("cnt")) // long by contract
+    val pre = DistDrift.withPrefixSums(perValue, Seq("cnt", "uv"))
+      .localCheckpoint(true) // feeds the moment agg + two boundary picks
+    val tot = pre.agg(sum(col("cnt")).as("__n"), sum(col("uv")).as("__t"),
+      sum((d(col("v")) * (d(col("cnt")) * d(col("cnt_below"))
+        + (d(col("cnt")) * (d(col("cnt")) + 1) / 2).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")).as("__s1"))
+    def topShare(tag: String, div: Long) = {
+      // k-th largest boundary: above < k <= above + cnt; the tie run at
+      // the boundary value contributes only its (k - above) top rows
+      val k = (d(col("__n")) + (div - 1)) / div
+      val above = d(col("__n")) - d(col("cnt_below")) - d(col("cnt"))
+      pre.crossJoin(broadcast(tot))
+        .where(above < floor(k) && floor(k) <= above + d(col("cnt")))
+        .select(when(col("__t") > 0, round(
+          ((d(col("__t")) - d(col("uv_below")) - d(col("uv")))
+            + (floor(k) - above) * d(col("v"))).cast("double")
+          / d(col("__t")).cast("double"), 6)).as(s"top${tag}_share"))
+    }
+    tot.select(col("__n").as("n"), col("__t").as("total_units"),
+        when(col("__t") > 0, round(
+          (lit(2) * col("__s1") - (d(col("__n")) + 1) * d(col("__t")))
+            .cast("double")
+          / (d(col("__n")) * d(col("__t"))).cast("double"), 6)).as("gini"))
+      .crossJoin(topShare("10", 10L))
+      .crossJoin(topShare("1", 100L))
+  }
+
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
     val digits = df.where(col(valCol) > 0)

@@ -116,6 +116,50 @@ object Survival {
         col("cumhazard"))
   }
 
+  /**
+   * Restricted mean survival time (RMST; Royston & Parmar 2013) — the
+   * area under the [[kaplanMeier]] curve up to a chosen horizon τ:
+   * "average event-free time over the first τ seconds", the single
+   * effect-size number a whole survival curve collapses to, and the
+   * standard alternative to hazard ratios when proportional hazards is
+   * dubious. ∫₀^τ S(t)dt over a step curve is a finite sum of
+   * rectangles: 1·min(t₁,τ) for the leading all-alive segment, then
+   * S(tᵢ)·(min(tᵢ₊₁,τ)−tᵢ) per event time below τ.
+   *
+   * Determinism: each rectangle multiplies the PUBLISHED 6dp survival by
+   * an exact long width (exact DECIMAL(38,6) products), DECIMAL-summed
+   * (the Σ doctrine) — one final double cast, 6dp. The lead window runs
+   * over the KM curve relation (|distinct event times| rows — the same
+   * bounded class kaplanMeier's own cumulative window already uses).
+   *
+   * Output: one row (tau, n, n_events, rmst) — n_events counts events
+   * strictly below τ (the drops that shape the integrated area).
+   */
+  def rmst(df: DataFrame, durationCol: String, eventCol: Column,
+      tau: Long): DataFrame = {
+    require(tau >= 1, "rmst: tau >= 1")
+    val km = kaplanMeier(df, durationCol, eventCol)
+      .select(col("t"), col("n_event"), col("survival"))
+    val w = Window.orderBy(col("t"))
+    val seg = km.where(col("t") < tau)
+      .withColumn("__end",
+        least(coalesce(lead(col("t"), 1).over(w), lit(tau)), lit(tau)))
+      .withColumn("__area",
+        (col("survival").cast("decimal(24,6)")
+          * (col("__end") - col("t")).cast("decimal(38,0)"))
+          .cast("decimal(38,6)"))
+    val tail = seg.agg(
+      coalesce(sum(col("__area")), lit(0).cast("decimal(38,6)")).as("__tail"),
+      coalesce(sum(col("n_event")), lit(0L)).as("n_events"),
+      // leading rectangle ends at the FIRST event time (or τ if none
+      // falls below it): survival is 1.0 there by definition
+      coalesce(min(col("t")), lit(tau)).as("__t1"))
+    val n = df.count()
+    tail.select(lit(tau).as("tau"), lit(n).as("n"), col("n_events"),
+      round((col("__t1").cast("decimal(38,6)") + col("__tail"))
+        .cast("double"), 6).as("rmst"))
+  }
+
   def logRank(df: DataFrame, durationCol: String, eventCol: Column,
       groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),

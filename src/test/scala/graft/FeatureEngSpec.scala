@@ -8,6 +8,28 @@ import graft.operators.FeatureEng
 class FeatureEngSpec extends SparkSpec {
   import spark.implicits._
 
+  test("woeEncode: hand-smoothed WoE/IV; zero-information input scores ~0") {
+    // a: 3 rows 2 pos; b: 2 rows 0 pos — k=2, P=2, NN=3
+    // a: dp=3/4, dn=2/5 → woe=ln(1.875); b: dp=1/4, dn=3/5 → woe=ln(5/12)
+    val df = Seq(("a", true), ("a", true), ("a", false),
+      ("b", false), ("b", false)).toDF("c", "y")
+    val rows = FeatureEng.woeEncode(df, col("c"), col("y"))
+      .orderBy("category").collect()
+    assert(rows.map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+      r.getAs[Long]("n_neg"))).toSeq == Seq((3L, 2L, 1L), (2L, 0L, 2L)))
+    assert(rows(0).getAs[Double]("woe") == 0.628608659422)
+    assert(rows(0).getAs[Double]("iv_term") == 0.220013030798)
+    assert(rows(1).getAs[Double]("woe") == -0.875468737354)
+    assert(rows(1).getAs[Double]("iv_term") == 0.306414058074)
+    assert(rows.forall(_.getAs[Double]("iv") == 0.526427))
+    // label independent of category → every smoothed woe is exactly 0
+    val flat = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("c", "y")
+    val f = FeatureEng.woeEncode(flat, col("c"), col("y")).collect()
+    assert(f.forall(_.getAs[Double]("woe") == 0.0))
+    assert(f.forall(_.getAs[Double]("iv") == 0.0))
+  }
+
   test("targetEncode: m=0 is the raw mean; m>0 shrinks toward the prior") {
     val df = Seq(("A", 150L), ("A", 50L), ("B", 0L), ("B", 0L)).toDF("c", "u")
     val raw = FeatureEng.targetEncode(df, col("c"), col("u"), m = 0L)

@@ -419,4 +419,30 @@ class ProfileSpec extends SparkSpec {
         maxStates = 2)
     }
   }
+
+  test("concentration: hand Gini and tie-split top shares; refusals") {
+    import graft.operators.Profile
+    // [1,2,3,4]: S1=30, T=10, n=4 → gini=(60−50)/40=0.25; k10=k1=1 → 0.4
+    val df = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val r = Profile.concentration(df, col("v")).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("total_units") == 10L)
+    assert(r.getAs[Double]("gini") == 0.25)
+    assert(r.getAs[Double]("top10_share") == 0.4)
+    assert(r.getAs[Double]("top1_share") == 0.4)
+    // all equal: gini exactly 0; top-1-of-4 share = 2/8
+    val eq = Seq(2L, 2L, 2L, 2L).toDF("v")
+    val re = Profile.concentration(eq, col("v")).head()
+    assert(re.getAs[Double]("gini") == 0.0)
+    assert(re.getAs[Double]("top10_share") == 0.25)
+    // layout invariance (distributed prefix sums, no global window)
+    val big = (1 to 500).map(i => (i % 37).toLong).toDF("v")
+    assert(Profile.concentration(big.repartition(13), col("v")).head() ==
+      Profile.concentration(big.repartition(2), col("v")).head())
+    intercept[IllegalArgumentException] {
+      Profile.concentration(Seq(-1L, 5L).toDF("v"), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.concentration(Seq.empty[Long].toDF("v"), col("v"))
+    }
+  }
 }

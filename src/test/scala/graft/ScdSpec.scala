@@ -48,6 +48,39 @@ class ScdSpec extends SparkSpec {
       math.signum(r.getAs[Double]("lift")) || r.getAs[Double]("lift") == 0.0)
   }
 
+  test("srmCheck: terms replay from published columns; exact partition-free cut") {
+    val units = (0 until 1000).map(i => Tuple1(i.toLong)).toDF("id")
+    val rows = Experiment.srmCheck(units, "id", salt = "sA",
+      weights = Seq(("control", 1L), ("treat", 3L))).collect()
+    assert(rows.map(_.getAs[String]("arm")).toSeq == Seq("control", "treat"))
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == 1000L)
+    assert(rows.map(_.getAs[Int]("df")).distinct.toSeq == Seq(1))
+    // every term is the cleared-form rational of its own published row
+    val w = 4L
+    rows.foreach { r =>
+      val (o, wt) = (r.getAs[Long]("n_obs"), r.getAs[Long]("weight"))
+      val dev = BigDecimal(o * w - 1000L * wt)
+      val expect = BigDecimal((dev * dev).toDouble / (w * 1000L * wt).toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("term") == expect)
+      assert(r.getAs[Double]("expected") ==
+        BigDecimal(1000.0 * wt / w).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val chi2 = BigDecimal(rows.map(r => BigDecimal(r.getAs[Double]("term")))
+      .sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(_.getAs[Double]("chi2") == chi2))
+    // pure function of (salt, id): partitioning cannot move a unit
+    val again = Experiment.srmCheck(units.repartition(7), "id", "sA",
+      Seq(("control", 1L), ("treat", 3L))).collect()
+    assert(rows.toSeq == again.toSeq)
+    // a 3:1 split audited AS 3:1 over 1000 hash-uniform units is calm
+    assert(chi2 < 15.0)
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(units, "id", "sA", Seq(("only", 1L)))
+    }
+  }
+
   test("weightedMedian: reaches half the total weight; ties deterministic") {
     // values 1(w1), 2(w2), 3(w10): total 13, half at 6.5 → first cum*2>=13 is 3
     val df = Seq((1.0, 1L, 1L), (2.0, 2L, 2L), (3.0, 10L, 3L))

@@ -78,4 +78,26 @@ class SurvivalSpec extends SparkSpec {
     assert(Survival.logRank(same, "dur", col("ev"), col("g"))
       .head().getAs[Double]("z") == 0.0)
   }
+
+  test("rmst: hand rectangles under the KM step curve, clamped at tau") {
+    // KM: S=0.75 from t=2, S=0.375 from t=6 (see first test family)
+    // area to tau=7: 1·2 + 0.75·(6−2) + 0.375·(7−6) = 5.375
+    val df = Seq((2L, true), (4L, false), (6L, true), (8L, false))
+      .toDF("dur", "ev")
+    val r = Survival.rmst(df, "dur", col("ev"), tau = 7L).head()
+    assert(r.getAs[Long]("tau") == 7L && r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_events") == 2L)
+    assert(r.getAs[Double]("rmst") == 5.375)
+  }
+
+  test("rmst: tau at/below the first event is the all-alive rectangle") {
+    val df = Seq((2L, true), (4L, false)).toDF("dur", "ev")
+    val r = Survival.rmst(df, "dur", col("ev"), tau = 2L).head()
+    assert(r.getAs[Long]("n_events") == 0L)
+    assert(r.getAs[Double]("rmst") == 2.0)
+    // no events at all: S ≡ 1, rmst = tau exactly
+    val cens = Seq((3L, false), (9L, false)).toDF("dur", "ev")
+    assert(Survival.rmst(cens, "dur", col("ev"), tau = 5L)
+      .head().getAs[Double]("rmst") == 5.0)
+  }
 }
