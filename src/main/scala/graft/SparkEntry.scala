@@ -1723,6 +1723,51 @@ object SparkEntry {
           .cast("long")).as("cents"))
       graft.operators.Profile.concentration(perCust, col("cents"))
     }),
+    "q309_silhouette" -> ((s, dir) => {
+      // is the q301 clustering real structure or arbitrary cuts:
+      // simplified silhouette against the k=4 Lloyd centroids —
+      // distances to k centroids only (never within-cluster pairs),
+      // exact integer sq-dists, one IEEE sqrt each, 12dp scores
+      // weight-summed in decimal
+      val li = eng(s, dir).table("lineitem")
+      graft.operators.Clustering.silhouetteSimplified(li,
+        Seq(col("l_quantity").cast("long"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
+        k = 4, iters = 6)
+    }),
+    "q310_stl_anomalies" -> ((s, dir) => {
+      // which daily revenue points are genuinely anomalous AFTER trend
+      // and weekday season are removed: robust median/MAD z on the q304
+      // STL residual, |z| > 3.5 flags — exact-percentile cutoffs
+      // broadcast back, seasonal peaks never flagged for being seasonal
+      val daily = eng(s, dir).table("events").where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("(CAST(ts AS LONG) div 86400) * 86400").as("t"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("units"))
+      graft.operators.TimeSeries.stlAnomalies(daily, "event_type", "t",
+          "units", period = 7, halfWindowDays = 3, zThresh = 3.5)
+        .orderBy("event_type", "t")
+    }),
+    "q311_attribution_weighted" -> ((s, dir) => {
+      // the two models q302 leaves out: dyadic time-decay (a touch e
+      // whole days back weighs 2^(6-e) — integer weights, one exact
+      // divide per conversion-channel) and U-shaped 40/20/40 position
+      // credit, both as one window pass per exponent bucket
+      graft.operators.EventPaths.attributionWeighted(
+          eng(s, dir).table("events"), "user_id", "ts", "event_type",
+          "event_id", target = "purchase", lookback = 604800L,
+          halflife = 86400L)
+        .orderBy("channel")
+    }),
+    "q312_heaps_fit" -> ((s, dir) => {
+      // does vocabulary keep growing like natural text (V = K·n^beta):
+      // trigram-shingle types over md5-bucketed growth checkpoints,
+      // first-bucket-per-type vocab counting (one token shuffle),
+      // exact-moment OLS on 12dp ln points
+      graft.pipeline.CorpusStats.heapsFit(eng(s, dir).table("documents"),
+        "doc_id", "text", gram = 3, nBuckets = 64)
+    }),
     "q303_landmark_closeness" -> ((s, dir) => {
       // which brands sit central in the bought-together graph: 4
       // md5-picked landmarks, a BFS per landmark (L × diameter keyed
@@ -4650,10 +4695,14 @@ object SparkEntry {
     * ranking, HUGEINT squared distances with row_number (dist, idx)
     * tie-break, floor-divided centroid updates, empty clusters COALESCE
     * to the previous round's centroid. */
-  private val duckKmeans: String = {
-    def distExpr(c: String) =
-      s"""CAST(p.f0 - $c.c0 AS HUGEINT) * CAST(p.f0 - $c.c0 AS HUGEINT)
-          + CAST(p.f1 - $c.c1 AS HUGEINT) * CAST(p.f1 - $c.c1 AS HUGEINT)"""
+  private def duckKmeansDist(c: String) =
+    s"""CAST(p.f0 - $c.c0 AS HUGEINT) * CAST(p.f0 - $c.c0 AS HUGEINT)
+        + CAST(p.f1 - $c.c1 AS HUGEINT) * CAST(p.f1 - $c.c1 AS HUGEINT)"""
+
+  /** Shared CTE chain `WITH pts ... c6t` (6 Lloyd rounds) for the
+    * q301/q309 oracles — both must replay the IDENTICAL clustering. */
+  private val duckKmeansPrefix: String = {
+    def distExpr(c: String) = duckKmeansDist(c)
     val iters = (1 to 6).map { i =>
       val prev = if (i == 1) "c0t" else s"c${i - 1}t"
       s""", a$i AS MATERIALIZED (
@@ -4691,14 +4740,55 @@ object SparkEntry {
                   md5(CAST(f0 AS VARCHAR) || '|' || CAST(f1 AS VARCHAR)) AS h
            FROM pts ORDER BY h, f0, f1 LIMIT 4
          )
-       )$iters
+       )$iters"""
+  }
+
+  private val duckKmeans: String =
+    duckKmeansPrefix +
+      """
        SELECT c.idx AS cluster, COALESCE(s.n, 0) AS n, c.c0 AS c0, c.c1 AS c1,
               CASE WHEN s.n > 0 THEN
                 CAST(s.sd // s.n AS DOUBLE)
               END AS mean_sqdist
        FROM c6t c LEFT JOIN s6 s ON s.idx = c.idx
        ORDER BY cluster"""
-  }
+
+  /** q309 oracle: the q301 chain verbatim through c6t, then per-point
+    * (d1, d2) by (dist, idx) rank, one IEEE sqrt each, 12dp silhouettes
+    * weight-summed in DECIMAL(38,12). */
+  private val duckSilhouette: String =
+    duckKmeansPrefix +
+      s""", dists AS (
+           SELECT p.f0, p.f1, p.w, c.idx, ${duckKmeansDist("c")} AS dist,
+                  row_number() OVER (PARTITION BY p.f0, p.f1
+                    ORDER BY ${duckKmeansDist("c")}, c.idx) AS rn
+           FROM pts p CROSS JOIN c6t c
+         ), ab AS (
+           SELECT f0, f1, w,
+                  max(CASE WHEN rn = 1 THEN idx END) AS cluster,
+                  max(CASE WHEN rn = 1 THEN dist END) AS d1,
+                  max(CASE WHEN rn = 2 THEN dist END) AS d2
+           FROM dists GROUP BY 1, 2, 3
+         ), sil AS (
+           SELECT cluster, w,
+                  CASE WHEN greatest(sqrt(CAST(d1 AS DOUBLE)), sqrt(CAST(d2 AS DOUBLE))) > 0
+                       THEN round((sqrt(CAST(d2 AS DOUBLE)) - sqrt(CAST(d1 AS DOUBLE)))
+                            / greatest(sqrt(CAST(d1 AS DOUBLE)), sqrt(CAST(d2 AS DOUBLE))), 12)
+                       ELSE 0.0 END AS s
+           FROM ab
+         ), per AS (
+           SELECT c.idx AS cluster, COALESCE(CAST(sum(s2.w) AS BIGINT), 0) AS n,
+                  sum(CAST(CAST(s2.s AS DECIMAL(38,12)) * s2.w AS DECIMAL(38,12))) AS ts
+           FROM c6t c LEFT JOIN sil s2 ON s2.cluster = c.idx GROUP BY 1
+         ), allr AS (
+           SELECT CAST(-1 AS INTEGER) AS cluster, CAST(sum(n) AS BIGINT) AS n,
+                  sum(ts) AS ts
+           FROM per
+         )
+         SELECT cluster, n,
+                CASE WHEN n > 0 THEN round(CAST(ts AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS mean_sil
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+         ORDER BY cluster"""
 
   /** q300 oracle: the identical integer-picounit power iteration —
     * HUGEINT products, `//` floor division, dangling self-loops; pmat
@@ -4931,6 +5021,192 @@ object SparkEntry {
          FROM runs GROUP BY state ORDER BY state""",
     "q300_markov_stationary" -> duckMarkovStationary,
     "q301_kmeans" -> duckKmeans,
+    "q309_silhouette" -> duckSilhouette,
+    // q310: the q304 STL chain as a CTE, then the q169 median/MAD replay
+    // on the residual — identical 6dp cutoffs and 1.4826 constant
+    "q310_stl_anomalies" ->
+      """WITH d AS (
+           SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS t,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS units
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         ), w AS (
+           SELECT event_type, t, units, (t // 86400) % 7 AS s,
+                  CAST(count(*) OVER win AS BIGINT) AS mn,
+                  CAST(sum(units) OVER win AS BIGINT) AS msum
+           FROM d
+           WINDOW win AS (PARTITION BY event_type ORDER BY t
+             RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
+         ), det AS (
+           SELECT event_type, t, units, s,
+                  CASE WHEN mn = 7 THEN
+                    round(CAST(msum AS DOUBLE) / CAST(mn AS DOUBLE), 6) END AS trend,
+                  CASE WHEN mn = 7 THEN
+                    CAST(units AS DECIMAL(38,6))
+                      - CAST(round(CAST(msum AS DOUBLE) / CAST(mn AS DOUBLE), 6)
+                             AS DECIMAL(38,6))
+                  END AS det
+           FROM w
+         ), seas AS (
+           SELECT event_type, s,
+                  round(CAST(sum(det) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS seasonal
+           FROM det WHERE det IS NOT NULL GROUP BY 1, 2
+         ), dc AS (
+           SELECT d2.event_type AS event_type, d2.t AS t, d2.units AS units,
+                  d2.s AS s, d2.trend AS trend,
+                  CASE WHEN d2.trend IS NOT NULL THEN se.seasonal END AS seasonal,
+                  CASE WHEN d2.trend IS NOT NULL THEN
+                    CAST(CAST(d2.units AS DECIMAL(38,6))
+                      - CAST(d2.trend AS DECIMAL(38,6))
+                      - CAST(se.seasonal AS DECIMAL(38,6)) AS DOUBLE)
+                  END AS resid
+           FROM det d2 LEFT JOIN seas se
+             ON se.event_type = d2.event_type AND se.s = d2.s
+         ), scored AS (
+           SELECT *, CAST(round(resid * 1000000, 0) AS BIGINT) AS rm
+           FROM dc WHERE resid IS NOT NULL
+         ), med AS (
+           SELECT event_type, median(rm) AS medm FROM scored GROUP BY 1
+         ), madt AS (
+           SELECT s2.event_type, median(abs(s2.rm - m.medm)) AS madm
+           FROM scored s2 JOIN med m ON m.event_type = s2.event_type GROUP BY 1
+         )
+         SELECT s2.event_type AS event_type, s2.t AS t, s2.units AS units,
+                s2.s AS s, s2.trend AS trend, s2.seasonal AS seasonal,
+                s2.resid AS resid,
+                round(m.medm / 1000000.0, 6) AS med,
+                round(d3.madm / 1000000.0, 6) AS mad,
+                CASE WHEN round(d3.madm / 1000000.0, 6) > 0 THEN
+                  round((s2.resid - round(m.medm / 1000000.0, 6))
+                        / (1.4826 * round(d3.madm / 1000000.0, 6)), 6) END AS robust_z,
+                COALESCE(CASE WHEN round(d3.madm / 1000000.0, 6) > 0 THEN
+                  abs(round((s2.resid - round(m.medm / 1000000.0, 6))
+                      / (1.4826 * round(d3.madm / 1000000.0, 6)), 6)) > 3.5 END,
+                  FALSE) AS is_anomaly
+         FROM scored s2 JOIN med m ON m.event_type = s2.event_type
+                        JOIN madt d3 ON d3.event_type = s2.event_type
+         ORDER BY event_type, t""",
+    // q311: pair formulation of the same two models — dyadic weights
+    // 1<<(6−e) with e = (Δ−1)//86400, U-shaped exact rationals, 12dp
+    // shares decimal-summed per channel
+    "q311_attribution_weighted" ->
+      """WITH ev AS (
+           SELECT user_id AS u, event_type AS c,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS tie
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+         ), conv AS (SELECT u, t, tie FROM ev WHERE c = 'purchase'),
+         touch AS (SELECT u, c, t, tie FROM ev WHERE c <> 'purchase'),
+         pairs AS MATERIALIZED (
+           SELECT cv.u, cv.t AS ct, cv.tie AS ctie, tc.c, tc.t AS tt, tc.tie AS ttie
+           FROM conv cv JOIN touch tc ON tc.u = cv.u
+             AND tc.t >= cv.t - 604800 AND tc.t <= cv.t - 1
+         ), wpc AS (
+           SELECT u, ct, ctie, c,
+                  CAST(sum(CAST(1 AS BIGINT) << CAST(6 - (ct - tt - 1) // 86400 AS INTEGER)) AS BIGINT) AS num,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM pairs GROUP BY 1, 2, 3, 4
+         ), wm AS (
+           SELECT u, ct, ctie, c, num, cnt,
+                  CAST(sum(num) OVER (PARTITION BY u, ct, ctie) AS BIGINT) AS den,
+                  CAST(sum(cnt) OVER (PARTITION BY u, ct, ctie) AS BIGINT) AS m
+           FROM wpc
+         ), fl AS (
+           SELECT u, ct, ctie,
+                  max(CASE WHEN rl = 1 THEN c END) AS lc,
+                  max(CASE WHEN rf = 1 THEN c END) AS fc
+           FROM (
+             SELECT u, ct, ctie, c,
+                    row_number() OVER (PARTITION BY u, ct, ctie
+                                       ORDER BY tt DESC, ttie DESC) AS rl,
+                    row_number() OVER (PARTITION BY u, ct, ctie
+                                       ORDER BY tt ASC, ttie ASC) AS rf
+             FROM pairs
+           ) GROUP BY 1, 2, 3
+         ), sh AS (
+           SELECT w.c AS channel,
+                  CAST(round(CAST(w.num AS DOUBLE) / CAST(w.den AS DOUBLE), 12)
+                       AS DECIMAL(38,12)) AS dterm,
+                  CAST(CASE WHEN w.m <= 2 THEN round(
+                         ((CASE WHEN f.lc = w.c THEN 1 ELSE 0 END)
+                          + (CASE WHEN f.fc = w.c THEN 1 ELSE 0 END)) / 2.0, 12)
+                       ELSE round(
+                         CAST(2 * (w.m - 2) * ((CASE WHEN f.lc = w.c THEN 1 ELSE 0 END)
+                              + (CASE WHEN f.fc = w.c THEN 1 ELSE 0 END))
+                              + (w.cnt - (CASE WHEN f.lc = w.c THEN 1 ELSE 0 END)
+                                 - (CASE WHEN f.fc = w.c THEN 1 ELSE 0 END)) AS DOUBLE)
+                         / CAST(5 * (w.m - 2) AS DOUBLE), 12) END
+                       AS DECIMAL(38,12)) AS pterm
+           FROM wm w JOIN fl f ON f.u = w.u AND f.ct = w.ct AND f.ctie = w.ctie
+         ), chans AS (SELECT DISTINCT c AS channel FROM ev WHERE c <> 'purchase'),
+         per AS (
+           SELECT ch.channel,
+                  CAST(count(s.channel) AS BIGINT) AS n_touched,
+                  COALESCE(sum(s.dterm), CAST(0 AS DECIMAL(38,12))) AS dsum,
+                  COALESCE(sum(s.pterm), CAST(0 AS DECIMAL(38,12))) AS psum
+           FROM chans ch LEFT JOIN sh s ON s.channel = ch.channel
+           GROUP BY 1
+         ), direct AS (
+           SELECT CAST(count(*) AS BIGINT) AS d
+           FROM conv cv WHERE NOT EXISTS (
+             SELECT 1 FROM touch tc WHERE tc.u = cv.u
+               AND tc.t >= cv.t - 604800 AND tc.t <= cv.t - 1)
+         )
+         SELECT channel, n_touched,
+                round(CAST(dsum AS DOUBLE), 6) AS decay,
+                round(CAST(psum AS DOUBLE), 6) AS position
+         FROM per
+         UNION ALL
+         SELECT '(direct)', d, round(CAST(d AS DOUBLE), 6),
+                round(CAST(d AS DOUBLE), 6)
+         FROM direct
+         ORDER BY channel""",
+    // q312: identical md5-bucket order, first-bucket vocab counting, and
+    // the q208 exact-moment OLS over 12dp ln checkpoints
+    "q312_heaps_fit" ->
+      """WITH arrs AS (
+           SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a,
+                  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT) % 64 AS BIGINT) AS b
+           FROM documents
+         ), tok AS (
+           SELECT b, unnest(list_transform(generate_series(1, len(a) - 2),
+                    i -> a[i] || '|' || a[i+1] || '|' || a[i+2])) AS w
+           FROM arrs
+         ), tb AS (SELECT b, CAST(count(*) AS BIGINT) AS tk FROM tok GROUP BY 1),
+         vb AS (
+           SELECT fb AS b, CAST(count(*) AS BIGINT) AS vk FROM (
+             SELECT w, min(b) AS fb FROM tok GROUP BY 1
+           ) GROUP BY 1
+         ), spine AS (SELECT CAST(range AS BIGINT) AS b FROM range(64)),
+         pts AS (
+           SELECT s.b, COALESCE(t.tk, 0) AS tk, COALESCE(v.vk, 0) AS vk,
+                  CAST(sum(COALESCE(t.tk, 0)) OVER (ORDER BY s.b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+                  CAST(sum(COALESCE(v.vk, 0)) OVER (ORDER BY s.b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv
+           FROM spine s LEFT JOIN tb t ON t.b = s.b LEFT JOIN vb v ON v.b = s.b
+         ), xy AS (
+           SELECT CAST(round(ln(CAST(cn AS DOUBLE)), 12) AS DECIMAL(15,12)) AS x,
+                  CAST(round(ln(CAST(cv AS DOUBLE)), 12) AS DECIMAL(15,12)) AS y,
+                  cn, cv
+           FROM pts WHERE cn > 0 AND cv > 0
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_points,
+                  CAST(max(cn) AS BIGINT) AS n_tokens,
+                  CAST(max(cv) AS BIGINT) AS vocab,
+                  CAST(count(*) AS DOUBLE) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(x * x AS DECIMAL(34,24))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(x * y AS DECIMAL(34,24))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(y * y AS DECIMAL(34,24))) AS DOUBLE) AS syy
+           FROM xy
+         )
+         SELECT n_points, n_tokens, vocab,
+                round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+                round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+                round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM m""",
     // q305: the q203 KM chain verbatim, then rectangle areas — published
     // 6dp survival × exact widths in DECIMAL(38,6), leading all-alive
     // segment ends at the first event time clamped to τ

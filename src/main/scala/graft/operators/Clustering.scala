@@ -238,6 +238,70 @@ object Clustering {
     } finally pts.unpersist()
   }
 
+  /**
+   * Simplified silhouette over a [[kmeansLloyd]] clustering (Hruschka et
+   * al. 2004 — the linear-time variant every at-scale evaluator uses):
+   * per point, a = distance to its own (nearest) centroid, b = distance
+   * to the second-nearest, s = (b − a)/max(a, b) ∈ [0, 1] (centroid
+   * distances make s non-negative by construction; near 0 means the
+   * point sits on a cluster boundary). The O(n²) within-cluster pair
+   * definition is the thing this deliberately is NOT — distances go to
+   * k centroids only, so the scoring pass is one projection over the
+   * weighted DISTINCT feature relation (the kmeansLloyd collapse) plus
+   * one k-row-output aggregation.
+   *
+   * Determinism: squared distances are exact DECIMAL(38,0) integers
+   * (the kmeansLloyd bound), a/b take one IEEE sqrt each (exactly
+   * rounded, engine-portable), s rounds 12dp and weight-sums in DECIMAL
+   * (the Σ doctrine); argmin/second-min tie-break on centroid index via
+   * (dist, idx) struct sort. Output: k rows + an ALL rollup
+   * (cluster, n, mean_sil), mean 6dp; an empty cluster publishes NULL.
+   */
+  def silhouetteSimplified(df: DataFrame, features: Seq[Column], k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2, "silhouetteSimplified: k >= 2 — one cluster has no b")
+    val d = features.length
+    val cents = kmeansLloyd(df, features, k, iters).collect() // k rows
+      .sortBy(_.getInt(0))
+      .map(r => Array.tabulate(d)(i => r.getLong(2 + i)))
+    val fn = (0 until d).map(i => s"__f$i")
+    val pts = df.select(features.zipWithIndex.map { case (c, i) =>
+        c.cast("long").as(fn(i)) }: _*)
+      .where(fn.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(fn.map(col): _*).agg(count(lit(1)).as("__w"))
+    val cands = array(cents.zipWithIndex.map { case (c, j) =>
+      val dist = (0 until d).map { i =>
+        val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
+        diff * diff
+      }.reduce(_ + _)
+      struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
+    }: _*)
+    val scored = pts.withColumn("__s", array_sort(cands))
+      .withColumn("__a", sqrt(element_at(col("__s"), 1)("d").cast("double")))
+      .withColumn("__b", sqrt(element_at(col("__s"), 2)("d").cast("double")))
+      .withColumn("__sil", when(greatest(col("__a"), col("__b")) > 0,
+        round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 12))
+        .otherwise(lit(0.0)))
+      .select(element_at(col("__s"), 1)("i").as("cluster"), col("__w"),
+        (col("__sil").cast("decimal(38,12)") * col("__w"))
+          .cast("decimal(38,12)").as("__term"))
+    val per = scored.groupBy(col("cluster"))
+      .agg(sum(col("__w")).as("n"), sum(col("__term")).as("__ts"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (0 until k).toDF("cluster")
+    val perFull = spine.join(per, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+        col("__ts"))
+    val all = perFull.agg(sum(col("n")).as("n"), sum(col("__ts")).as("__ts"))
+      .select(lit(-1).as("cluster"), col("n"), col("__ts"))
+    perFull.unionByName(all)
+      .select(col("cluster"), col("n"),
+        when(col("n") > 0, round((col("__ts").cast("double"))
+          / col("n").cast("double"), 6)).as("mean_sil"))
+      .orderBy(col("cluster"))
+  }
+
   def agreement(points: DataFrame, truthCol: String, predCol: String,
       maxPoints: Long = 1000000000L): DataFrame = {
     val s = points.select(col(truthCol).cast("string").as("tr"),

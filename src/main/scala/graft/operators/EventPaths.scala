@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -235,6 +235,112 @@ object EventPaths {
     rows.toSeq.toDF("channel", "last_touch", "first_touch", "__lin")
       .withColumn("linear", round(col("__lin").cast("double"), 6))
       .drop("__lin")
+  }
+
+  /**
+   * Weighted multi-touch attribution — the two standard models
+   * [[attribution]]'s last/first/linear trio leaves out:
+   *
+   *  - TIME-DECAY with DYADIC halving: a touch `e` whole half-lives
+   *    before the conversion weighs 2^(E−1−e) where E = ⌈lookback/h⌉ —
+   *    integer weights by construction (the engine's exact-arithmetic
+   *    doctrine; a continuous 2^(−Δ/h) would be transcendental), so each
+   *    conversion's per-channel share is ONE divide of exact longs;
+   *  - POSITION-BASED (U-shaped 40/20/40): first and last touch get 40%
+   *    each, the m−2 middle touches split 20% — as the exact rational
+   *    (2(m−2)·[last=c] + 2(m−2)·[first=c] + mid_c) / (5(m−2)) for
+   *    m ≥ 3, and ([last=c]+[first=c])/2 for m ≤ 2 (a single touch is
+   *    both ends and collects 1.0).
+   *
+   * Shape: ONE user-partitioned window pass per exponent bucket — bucket
+   * e covers conversion-to-touch gaps Δ ∈ [e·h+1, (e+1)·h] (e = (Δ−1)
+   * div h; strictly-earlier, so same-second touches never self-credit)
+   * as a RANGE frame, so Δ needs no per-pair expression — plus the
+   * [[attribution]] first/last structs.
+   * Window-aggregate count is |channels|·E + 2, bounded by the
+   * `maxChannels`·E ≤ 128 contract. Per-conversion shares round 12dp and
+   * DECIMAL-sum (the Σ doctrine); untouched conversions credit
+   * "(direct)" 1.0 in both models. Output: one row per channel
+   * (channel, n_touched, decay, position), 6dp.
+   */
+  def attributionWeighted(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, target: String, lookback: Long,
+      halflife: Long, maxChannels: Int = 64): DataFrame = {
+    require(lookback >= 1 && halflife >= 1, "lookback/halflife >= 1 second")
+    require(lookback % halflife == 0,
+      "attributionWeighted: lookback must be a whole number of half-lives")
+    val nExp = (lookback / halflife).toInt
+    require(nExp >= 1 && nExp <= 16, "attributionWeighted: 1..16 half-lives")
+    val spark = df.sparkSession
+    val ev = df.select(col(userCol).as("__u"), col(typeCol).cast("string").as("__c"),
+        col(tsCol).cast("long").as("__t"), col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__c").isNotNull && col("__t").isNotNull)
+    val channels = ev.select(col("__c")).distinct().collect()
+      .map(_.getString(0)).filter(_ != target).sorted
+    require(channels.nonEmpty,
+      s"attributionWeighted: no touch channels besides '$target'")
+    require(channels.length <= maxChannels && channels.length * nExp <= 128,
+      s"attributionWeighted: ${channels.length} channels x $nExp buckets " +
+        "exceeds the window-aggregate budget (channels*buckets <= 128)")
+    val isTouch = col("__c") =!= target
+    def wFrame(e: Int) = Window.partitionBy(col("__u")).orderBy(col("__t"))
+      .rangeBetween(-(e + 1L) * halflife, -e.toLong * halflife - 1L)
+    val wAll = Window.partitionBy(col("__u")).orderBy(col("__t"))
+      .rangeBetween(-lookback, -1)
+    val touchStruct = when(isTouch, struct(col("__t"), col("__tie"), col("__c")))
+    val cntCols = channels.zipWithIndex.flatMap { case (c, i) =>
+      (0 until nExp).map { e =>
+        sum(when(col("__c") === c, 1L)).over(wFrame(e)).as(s"__n${i}_$e") }
+    }
+    val conv = ev.select(col("__u") +: col("__c") +:
+        max(touchStruct).over(wAll).as("__last") +:
+        min(touchStruct).over(wAll).as("__first") +: cntCols: _*)
+      .where(col("__c") === target)
+    def num(i: Int): Column = (0 until nExp).map { e =>
+      coalesce(col(s"__n${i}_$e"), lit(0L)) * lit(1L << (nExp - 1 - e))
+    }.reduce(_ + _)
+    def cnt(i: Int): Column = (0 until nExp).map { e =>
+      coalesce(col(s"__n${i}_$e"), lit(0L)) }.reduce(_ + _)
+    val scored = conv
+      .withColumn("__den", channels.indices.map(num).reduce(_ + _))
+      .withColumn("__m", channels.indices.map(cnt).reduce(_ + _))
+    def posShare(i: Int): Column = {
+      val l = when(col("__last.__c") === channels(i), 1L).otherwise(0L)
+      val f = when(col("__first.__c") === channels(i), 1L).otherwise(0L)
+      val mid = cnt(i) - l - f
+      when(col("__m") <= 2, round((l + f).cast("double") / lit(2.0), 12))
+        .otherwise(round(
+          (lit(2L) * (col("__m") - 2L) * (l + f) + mid).cast("double")
+            / (lit(5L) * (col("__m") - 2L)).cast("double"), 12))
+    }
+    val aggCols: Seq[Column] =
+      sum(when(col("__m") === 0, 1L).otherwise(0L)).as("__direct") +:
+      channels.zipWithIndex.flatMap { case (_, i) => Seq(
+        sum(when(col("__m") > 0, round(
+          num(i).cast("double") / col("__den").cast("double"), 12))
+          .cast("decimal(38,12)")).as(s"__dc$i"),
+        sum(when(col("__m") > 0, posShare(i)).cast("decimal(38,12)"))
+          .as(s"__ps$i"),
+        sum(when(col("__m") > 0 && cnt(i) > 0, 1L).otherwise(0L))
+          .as(s"__nt$i"))
+      }
+    val r = scored.agg(aggCols.head, aggCols.tail: _*).head() // bounded row
+    val direct = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val dDec = new java.math.BigDecimal(java.math.BigInteger.valueOf(direct), 0)
+      .setScale(12)
+    val zero = new java.math.BigDecimal(java.math.BigInteger.ZERO, 12)
+    val rows = ("(direct)", direct, dDec, dDec) +:
+      channels.zipWithIndex.map { case (c, i) =>
+        (c,
+          if (r.isNullAt(3 + 3 * i)) 0L else r.getLong(3 + 3 * i),
+          if (r.isNullAt(1 + 3 * i)) zero else r.getDecimal(1 + 3 * i).setScale(12),
+          if (r.isNullAt(2 + 3 * i)) zero else r.getDecimal(2 + 3 * i).setScale(12))
+      }
+    import spark.implicits._
+    rows.toSeq.toDF("channel", "n_touched", "__dc", "__ps")
+      .withColumn("decay", round(col("__dc").cast("double"), 6))
+      .withColumn("position", round(col("__ps").cast("double"), 6))
+      .drop("__dc", "__ps")
   }
 
   /**

@@ -629,6 +629,51 @@ object TimeSeries {
   }
 
   /**
+   * Seasonal anomaly detection over the [[stlDecompose]] residual — the
+   * S-H-ESD-lite read every metrics platform runs: remove trend and
+   * season first, THEN score what's left, so a weekly peak is never
+   * flagged merely for being a weekly peak. Scoring is the robust
+   * median/MAD z (the `Outliers.robustZ` doctrine: 1.4826 consistency
+   * constant, |z| > `zThresh` flags, 50% breakdown — mean/σ would be
+   * dragged by the anomalies themselves): per key, med and MAD of the
+   * residual come from two exact-percentile group aggregations (6dp
+   * cutoffs), broadcast back onto the decomposed rows.
+   *
+   * Only complete-window rows (resid non-NULL) are scored; a zero-MAD
+   * key (constant residual) publishes NULL z and flags nothing. The
+   * percentiles run over EXACT micro-unit integers (resid is a 6dp
+   * decimal by construction, so resid·10⁶ is integral): median
+   * interpolation of integers/half-integers is dyadic-exact in doubles,
+   * so no engine's (a+b)/2-vs-a+(b−a)/2 spelling can diverge by an ulp
+   * — the published 6dp med/mad are bit-identical everywhere. Output:
+   * every scored row (key, t, units, s, trend, seasonal, resid, med,
+   * mad, robust_z, is_anomaly) with z composed from the PUBLISHED
+   * med/mad.
+   */
+  def stlAnomalies(daily: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, period: Int = 7, halfWindowDays: Int = 3,
+      zThresh: Double = 3.5): DataFrame = {
+    require(zThresh > 0, "zThresh > 0")
+    val dec = stlDecompose(daily, keyCol, tCol, unitsCol, period,
+        halfWindowDays)
+      .where(col("resid").isNotNull)
+      .withColumn("__rm", round(col("resid") * lit(1e6), 0).cast("long"))
+    val med = dec.groupBy(col(keyCol)).agg(
+      expr("percentile(__rm, 0.5D)").as("__medm"))
+    val withMed = dec.join(broadcast(med), Seq(keyCol))
+    val mad = withMed.groupBy(col(keyCol)).agg(
+      expr("percentile(abs(__rm - __medm), 0.5D)").as("__madm"))
+    withMed.join(broadcast(mad), Seq(keyCol))
+      .withColumn("med", round(col("__medm") / lit(1e6), 6))
+      .withColumn("mad", round(col("__madm") / lit(1e6), 6))
+      .withColumn("robust_z", when(col("mad") > 0,
+        round((col("resid") - col("med")) / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("robust_z")) > zThresh, lit(false)))
+      .drop("__rm", "__medm", "__madm")
+  }
+
+  /**
    * Naive / seasonal-naive forecast baselines over one bucketed series —
    * the denominators every forecast evaluation needs (MASE, Hyndman &
    * Koehler 2006, scales a model's error by the naive in-sample MAE)

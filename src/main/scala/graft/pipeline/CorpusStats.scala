@@ -565,6 +565,85 @@ object CorpusStats {
   }
 
   /**
+   * Heaps' law fit — vocabulary growth V(n) = K·n^β against tokens seen
+   * (Heaps 1978; β ≈ 0.4–0.6 for natural text): the companion diagnostic
+   * to [[zipfFit]], and the capacity-planning curve for tokenizer/vocab
+   * builds ("how many NEW types will the next 10 TB bring"). Synthetic
+   * or templated corpora bend the exponent visibly — a dedup/quality
+   * probe, not just a constant.
+   *
+   * The growth curve needs a corpus ORDER; any exchangeable order gives
+   * the same law, so docs land in `nBuckets` md5 buckets (pure function
+   * of the id — both engines draw the identical order) and the curve is
+   * checkpointed at bucket boundaries: cum tokens from per-bucket token
+   * counts, cum vocabulary from each type's FIRST bucket (min __b per
+   * type — one token-keyed shuffle, never a per-doc scan order). The
+   * prefix window orders ≤ `nBuckets` ≤ 256 rows BY CONSTRUCTION — the
+   * bounded-relation class. OLS of ln V on ln n runs the [[zipfFit]]
+   * exact-moment machinery (12dp logs into DECIMAL(15,12), decimal
+   * moment sums, doubles only in the final normal equations).
+   *
+   * Types are word `gram`-gram shingles (1 = plain words): a corpus
+   * whose word vocabulary saturates early (templated/synthetic text)
+   * still shows its combinatorial growth — or its collapse — in the
+   * shingle curve, which is exactly the dedup-health signal this
+   * operator exists to read.
+   *
+   * Output: one row (n_points, n_tokens, vocab, beta, intercept, r2).
+   */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      gram: Int = 3, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 8 && nBuckets <= 256, "nBuckets in [8,256]")
+    require(gram >= 1 && gram <= 5, "gram in [1,5]")
+    val b = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long"), lit(nBuckets.toLong)).as("__b")
+    val arr = whitespaceTokens(lower(col(textCol)))
+    // 1-based element_at matches the oracle's 1-based list indexing;
+    // guard: Spark's sequence DESCENDS when stop < start (a <gram-token
+    // doc must contribute zero shingles, not a reversed index pair)
+    val shingles = when(size(arr) >= gram, transform(
+      sequence(lit(1), size(arr) - (gram - 1)),
+      i => concat_ws("|", (0 until gram).map(j => element_at(arr, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val tok = docs.select(b, explode(shingles).as("w"))
+    val tb = tok.groupBy(col("__b")).agg(count(lit(1)).as("tk"))
+    val vb = tok.groupBy(col("w")).agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("vk"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spine = (0 until nBuckets).map(_.toLong).toDF("__b")
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = spine.join(tb, Seq("__b"), "left").join(vb, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("tk"), lit(0L)).as("tk"),
+        coalesce(col("vk"), lit(0L)).as("vk"))
+      .withColumn("cn", sum(col("tk")).over(w))
+      .withColumn("cv", sum(col("vk")).over(w))
+      .where(col("cn") > 0 && col("cv") > 0)
+    val dx = round(log(col("cn").cast("double")), 12).cast("decimal(15,12)")
+    val dy = round(log(col("cv").cast("double")), 12).cast("decimal(15,12)")
+    val m = pts.select(dx.as("x"), dy.as("y"),
+        col("cn"), col("cv")).agg(
+      count(lit(1)).as("n_points"),
+      max(col("cn")).as("n_tokens"), max(col("cv")).as("vocab"),
+      sum(col("x")).as("dsx"), sum(col("y")).as("dsy"),
+      sum((col("x") * col("x")).cast("decimal(34,24)")).as("dsxx"),
+      sum((col("x") * col("y")).cast("decimal(34,24)")).as("dsxy"),
+      sum((col("y") * col("y")).cast("decimal(34,24)")).as("dsyy"))
+    val n = col("n_points").cast("double")
+    val sx = col("dsx").cast("double"); val sy = col("dsy").cast("double")
+    val sxx = col("dsxx").cast("double"); val sxy = col("dsxy").cast("double")
+    val syy = col("dsyy").cast("double")
+    val num = n * sxy - sx * sy
+    val denX = n * sxx - sx * sx
+    val denY = n * syy - sy * sy
+    m.select(col("n_points"), col("n_tokens"), col("vocab"),
+      round(num / denX, 6).as("beta"),
+      round((sy - (num / denX) * sx) / n, 6).as("intercept"),
+      round(num * num / (denX * denY), 6).as("r2"))
+  }
+
+  /**
    * Corpus embedding-diversity probe: mean/min/max pairwise cosine over
    * a DETERMINISTIC md5-prefix sample of the vectors (the q75-family
    * sampling trick — a pure function of the id, so any engine draws the

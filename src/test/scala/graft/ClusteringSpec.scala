@@ -123,4 +123,29 @@ class ClusteringSpec extends SparkSpec {
       Clustering.kmeansLloyd(Seq(5L, 5L).toDF("x"), Seq(col("x")), 2, 1)
     }
   }
+
+  test("silhouetteSimplified: separated clusters score 1, layout-free, k>=2") {
+    // two point masses at 0 and 10, k=2: each point sits ON its centroid
+    // (a=0) with the other 10 away (b=10) → s = 1 everywhere
+    val df = Seq(0L, 0L, 10L, 10L).toDF("x")
+    val rows = Clustering.silhouetteSimplified(df, Seq(col("x")), k = 2,
+      iters = 3).collect()
+    assert(rows.map(_.getAs[Int]("cluster")).toSeq == Seq(-1, 0, 1))
+    assert(rows.forall(_.getAs[Double]("mean_sil") == 1.0))
+    assert(rows.head.getAs[Long]("n") == 4L) // the ALL rollup
+    // a point midway scores lower than the on-centroid points, and the
+    // readout is partition-layout free (weighted decimal sums)
+    val mid = (Seq.fill(20)(0L) ++ Seq.fill(20)(100L) ++ Seq(40L)).toDF("x")
+    val a = Clustering.silhouetteSimplified(mid.repartition(7),
+      Seq(col("x")), 2, 6).collect()
+    val b = Clustering.silhouetteSimplified(mid.repartition(2),
+      Seq(col("x")), 2, 6).collect()
+    assert(a.toSeq == b.toSeq)
+    val all = a.find(_.getAs[Int]("cluster") == -1).get
+    assert(all.getAs[Double]("mean_sil") > 0.5 &&
+      all.getAs[Double]("mean_sil") < 1.0)
+    intercept[IllegalArgumentException] {
+      Clustering.silhouetteSimplified(df, Seq(col("x")), 1, 1)
+    }
+  }
 }

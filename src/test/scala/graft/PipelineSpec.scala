@@ -1220,6 +1220,38 @@ class PipelineSpec extends SparkSpec {
     assert(got.getAs[Double]("r2") > 0.99)
   }
 
+  test("heapsFit: shingle totals exact; duplicate corpus flattens beta; " +
+      "short docs contribute nothing") {
+    // 200 docs mixing shared and doc-unique words → the trigram
+    // vocabulary keeps growing with the corpus (fresh types every doc)
+    val docs = spark.createDataFrame((1 to 200).map(i =>
+      (i.toLong, (1 to 12).map(j =>
+        if (j % 2 == 0) s"c$j" else s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.CorpusStats.heapsFit(docs, "doc_id", "text",
+      gram = 3, nBuckets = 16).head()
+    // totals replayed independently: 10 trigrams per 12-token doc
+    assert(got.getAs[Long]("n_tokens") == 200L * 10L)
+    val allTris = (1 to 200).flatMap { i =>
+      val ws = (1 to 12).map(j => if (j % 2 == 0) s"c$j" else s"u${i}_$j")
+      ws.sliding(3).map(_.mkString("|"))
+    }
+    assert(got.getAs[Long]("vocab") == allTris.distinct.size.toLong)
+    assert(got.getAs[Double]("beta") > 0.5 && got.getAs[Double]("beta") <= 1.0)
+    // identical docs: vocabulary saturates in the first bucket → flat
+    val dup = spark.createDataFrame((1 to 200).map(i =>
+      (i.toLong, "a b c d e f"))).toDF("doc_id", "text")
+    val flat = graft.pipeline.CorpusStats.heapsFit(dup, "doc_id", "text",
+      gram = 3, nBuckets = 16).head()
+    assert(math.abs(flat.getAs[Double]("beta")) < 0.01)
+    // a 2-token doc yields no trigram — and no reversed-sequence ghosts
+    val short = spark.createDataFrame(Seq((1L, "a b"), (2L, "x y z w")))
+      .toDF("doc_id", "text")
+    val s = graft.pipeline.CorpusStats.heapsFit(short, "doc_id", "text",
+      gram = 3, nBuckets = 8).head()
+    assert(s.getAs[Long]("n_tokens") == 2L && s.getAs[Long]("vocab") == 2L)
+  }
+
   test("Fusion.rrf: hand-checked two-system fusion; shared doc outranks singles") {
     val lex = spark.createDataFrame(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
       .toDF("id", "rank")

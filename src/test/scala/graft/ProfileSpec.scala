@@ -351,6 +351,53 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("attributionWeighted: dyadic decay buckets, U-shaped credit, direct") {
+    // lookback 7 half-lives of 100 s; conversion at t=1000.
+    // u1: ad Δ=101 (e=1, w=32), email Δ=1 (e=0, w=64), m=2
+    //     → decay email 64/96, ad 32/96; position 0.5 / 0.5
+    // u2: promo Δ=4 (first), email Δ=3 (mid), ad Δ=2 (last), all e=0, m=3
+    //     → decay 1/3 each; position ad/promo (2·1·1+0)/5=0.4, email 1/5
+    // u3: purchase with a same-second touch only → "(direct)"
+    // boundary: u1's ad at Δ=101 is e=1; a Δ=100 touch would still be e=0
+    val ev = Seq(
+      (1L, 899L, "ad", 1L), (1L, 999L, "email", 2L), (1L, 1000L, "purchase", 3L),
+      (2L, 996L, "promo", 4L), (2L, 997L, "email", 5L), (2L, 998L, "ad", 6L),
+      (2L, 1000L, "purchase", 7L),
+      (3L, 1000L, "ad", 8L), (3L, 1000L, "purchase", 9L))
+      .toDF("u", "ts", "t", "id")
+    val rows = graft.operators.EventPaths.attributionWeighted(ev, "u", "ts",
+      "t", "id", target = "purchase", lookback = 700L, halflife = 100L)
+      .orderBy("channel").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("(direct)", "ad", "email", "promo"))
+    val Seq(d, a, e, p) = rows.toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d.getAs[Long]("n_touched") == 1 && d.getAs[Double]("decay") == 1.0
+      && d.getAs[Double]("position") == 1.0)
+    // decay: ad 32/96 + 64/192·... u2 all-equal weights → 1/3 each
+    val third = BigDecimal(1.0 / 3).setScale(12,
+      BigDecimal.RoundingMode.HALF_UP)
+    assert(a.getAs[Double]("decay") == r6(
+      (third + BigDecimal(32.0 / 96).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)).toDouble))
+    assert(e.getAs[Double]("decay") == r6(
+      (third + BigDecimal(64.0 / 96).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)).toDouble))
+    assert(p.getAs[Double]("decay") == r6(third.toDouble))
+    // position: ad 0.5(u1 first? no — u1 first=ad) ... totals below
+    assert(a.getAs[Double]("position") == 0.9)  // 0.5 (u1) + 0.4 (u2 last)
+    assert(e.getAs[Double]("position") == 0.7)  // 0.5 (u1) + 0.2 (u2 mid)
+    assert(p.getAs[Double]("position") == 0.4)  // 0.4 (u2 first)
+    assert(a.getAs[Long]("n_touched") == 2 && e.getAs[Long]("n_touched") == 2
+      && p.getAs[Long]("n_touched") == 1)
+    // non-whole half-life count refuses loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.EventPaths.attributionWeighted(ev, "u", "ts", "t", "id",
+        "purchase", lookback = 750L, halflife = 100L)
+    }
+  }
+
   test("stlDecompose: independent replica over an alternating series, edge NULLs") {
     import org.apache.spark.sql.functions.col
     val xs = Seq(10L, 20L, 12L, 22L, 14L, 24L, 16L, 26L, 18L, 28L)

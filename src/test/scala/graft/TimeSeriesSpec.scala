@@ -313,4 +313,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(f.getLong(2) == 1 && f.getDouble(6) == 0.0)
     assert(f.getDouble(4) == 7.0 && f.getDouble(5) == 7.0)
   }
+
+  test("stlAnomalies: spike flagged after season removal; flat series silent; " +
+      "med/mad replay from exact micro medians") {
+    // 28 flat days at 100 with a +1000 spike on day 14: the spike must
+    // carry the max |z| and a flag; the med/mad the operator publishes
+    // must equal an independent micro-unit median computed here
+    val spiky = (0 until 28).map(d =>
+      ("k", d.toLong * 86400L, if (d == 14) 1100L else 100L))
+      .toDF("g", "t", "units")
+    val rows = TimeSeries.stlAnomalies(spiky, "g", "t", "units",
+      period = 7, halfWindowDays = 3, zThresh = 3.5)
+      .orderBy("t").collect()
+    // the spike leaks into its neighbors' trend windows (echo flags are
+    // expected of any moving-mean STL) — the contract is: the spike day
+    // IS flagged and carries the LARGEST |z| of all
+    val flagged = rows.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.map(_.getAs[Long]("t")).contains(14L * 86400L))
+    val zMax = rows.map(r => math.abs(
+      Option(r.getAs[java.lang.Double]("robust_z")).fold(0.0)(_.doubleValue)))
+    assert(zMax.max == math.abs(
+      rows.find(_.getAs[Long]("t") == 14L * 86400L).get.getAs[Double]("robust_z")))
+    // independent med/mad replay over exact micro-units
+    val micro = rows.map(r => math.round(r.getAs[Double]("resid") * 1e6))
+    def medOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expMed = medOf(micro.map(_.toDouble).toSeq)
+    val expMad = medOf(micro.map(m => math.abs(m - expMed)).toSeq)
+    assert(rows.forall(_.getAs[Double]("med") == r6(expMed / 1e6)))
+    assert(rows.forall(_.getAs[Double]("mad") == r6(expMad / 1e6)))
+    // a constant series decomposes to zero residual: MAD 0, z NULL, silent
+    val quiet = (0 until 28).map(d => ("k", d.toLong * 86400L, 100L))
+      .toDF("g", "t", "units")
+    val q = TimeSeries.stlAnomalies(quiet, "g", "t", "units").collect()
+    assert(q.nonEmpty && q.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
+    assert(q.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
 }
