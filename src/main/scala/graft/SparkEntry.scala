@@ -1768,6 +1768,47 @@ object SparkEntry {
       graft.pipeline.CorpusStats.heapsFit(eng(s, dir).table("documents"),
         "doc_id", "text", gram = 3, nBuckets = 64)
     }),
+    "q313_user_entropy" -> ((s, dir) => {
+      // who behaves like a script: per-user Shannon entropy of the
+      // event-type mix — 12dp ln terms of exact count rationals,
+      // decimal-summed, normalized by ln(n_types)
+      graft.operators.EventPaths.behavioralEntropy(
+          eng(s, dir).table("events"), "user_id", "event_type")
+        .orderBy("user")
+    }),
+    "q314_seasonal_strength" -> ((s, dir) => {
+      // is the weekly season worth modeling per event type: Hyndman
+      // F_seasonal/F_trend over the q304 STL parts — exact micro-unit
+      // variance numerators, the shared n cancels, one divide each
+      val daily = eng(s, dir).table("events").where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("(CAST(ts AS LONG) div 86400) * 86400").as("t"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("units"))
+      graft.operators.TimeSeries.seasonalStrength(daily, "event_type", "t",
+          "units", period = 7, halfWindowDays = 3)
+        .orderBy("event_type")
+    }),
+    "q315_assortativity" -> ((s, dir) => {
+      // do hub brands co-occur with hub brands: Newman degree
+      // assortativity over the bought-together graph — exact integer
+      // moments over both-direction edges, one double expression
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      graft.operators.GraphOps.degreeAssortativity(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")))
+    }),
+    "q316_centroid_drift" -> ((s, dir) => {
+      // did half the corpus drift from the other half: per-label cosine
+      // between even-id and odd-id centroid vectors — micro-unit exact
+      // sums, count divides cancel in the cosine
+      val emb = eng(s, dir).table("embeddings")
+      graft.pipeline.CorpusStats.embeddingCentroidDrift(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          emb.where(pmod(col("vec_id"), lit(2)) === 1),
+          "label", "embedding")
+        .orderBy("grp")
+    }),
     "q303_landmark_closeness" -> ((s, dir) => {
       // which brands sit central in the bought-together graph: 4
       // md5-picked landmarks, a BFS per landmark (L × diameter keyed
@@ -5022,6 +5063,92 @@ object SparkEntry {
     "q300_markov_stationary" -> duckMarkovStationary,
     "q301_kmeans" -> duckKmeans,
     "q309_silhouette" -> duckSilhouette,
+    // q313: same 12dp per-type ln terms and decimal sums; norm composes
+    // from the published entropy and 12dp ln(k)
+    "q313_user_entropy" ->
+      """WITH ut AS (
+           SELECT user_id AS u, event_type AS t, CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2
+         ), wn AS (
+           SELECT u, t, c, CAST(sum(c) OVER (PARTITION BY u) AS BIGINT) AS n
+           FROM ut
+         ), terms AS (
+           SELECT u, n,
+                  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)), 12) AS term
+           FROM wn
+         ), per AS (
+           SELECT u AS "user", CAST(max(n) AS BIGINT) AS n_events,
+                  CAST(count(*) AS BIGINT) AS n_types,
+                  round(CAST(sum(CAST(term AS DECIMAL(24,12))) AS DOUBLE), 6) AS entropy
+           FROM terms GROUP BY 1
+         )
+         SELECT "user", n_events, n_types, entropy,
+                CASE WHEN n_types > 1 THEN
+                  round(entropy / round(ln(CAST(n_types AS DOUBLE)), 12), 6)
+                END AS entropy_norm
+         FROM per ORDER BY "user"""",
+    // q314: the q304 STL chain, residual/detrended/deseasonalized in
+    // exact micro-units, HUGEINT variance numerators, n cancels
+    "q314_seasonal_strength" ->
+      """WITH d AS (
+           SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS t,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS units
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+         ), w AS (
+           SELECT event_type, t, units, (t // 86400) % 7 AS s,
+                  CAST(count(*) OVER win AS BIGINT) AS mn,
+                  CAST(sum(units) OVER win AS BIGINT) AS msum
+           FROM d
+           WINDOW win AS (PARTITION BY event_type ORDER BY t
+             RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
+         ), det AS (
+           SELECT event_type, t, units, s,
+                  CASE WHEN mn = 7 THEN
+                    round(CAST(msum AS DOUBLE) / CAST(mn AS DOUBLE), 6) END AS trend,
+                  CASE WHEN mn = 7 THEN
+                    CAST(units AS DECIMAL(38,6))
+                      - CAST(round(CAST(msum AS DOUBLE) / CAST(mn AS DOUBLE), 6)
+                             AS DECIMAL(38,6))
+                  END AS det
+           FROM w
+         ), seas AS (
+           SELECT event_type, s,
+                  round(CAST(sum(det) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE), 6) AS seasonal
+           FROM det WHERE det IS NOT NULL GROUP BY 1, 2
+         ), dc AS (
+           SELECT d2.event_type AS event_type, d2.t AS t, d2.units AS units,
+                  d2.trend AS trend, se.seasonal AS seasonal,
+                  CASE WHEN d2.trend IS NOT NULL THEN
+                    CAST(CAST(d2.units AS DECIMAL(38,6))
+                      - CAST(d2.trend AS DECIMAL(38,6))
+                      - CAST(se.seasonal AS DECIMAL(38,6)) AS DOUBLE)
+                  END AS resid
+           FROM det d2 LEFT JOIN seas se
+             ON se.event_type = d2.event_type AND se.s = d2.s
+         ), mic AS (
+           SELECT event_type,
+                  CAST(round(resid * 1000000, 0) AS BIGINT) AS r,
+                  CAST(round((units - trend) * 1000000, 0) AS BIGINT) AS dd,
+                  CAST(round((units - seasonal) * 1000000, 0) AS BIGINT) AS g
+           FROM dc WHERE resid IS NOT NULL
+         ), agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(r) AS HUGEINT) AS sr, sum(CAST(r AS HUGEINT) * r) AS srr,
+                  CAST(sum(dd) AS HUGEINT) AS sd, sum(CAST(dd AS HUGEINT) * dd) AS sdd,
+                  CAST(sum(g) AS HUGEINT) AS sg, sum(CAST(g AS HUGEINT) * g) AS sgg
+           FROM mic GROUP BY 1
+         )
+         SELECT event_type, n,
+                CASE WHEN n * sdd - sd * sd > 0 THEN
+                  greatest(0.0, round(1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                    / CAST(n * sdd - sd * sd AS DOUBLE), 6)) END AS f_seasonal,
+                CASE WHEN n * sgg - sg * sg > 0 THEN
+                  greatest(0.0, round(1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                    / CAST(n * sgg - sg * sg AS DOUBLE), 6)) END AS f_trend
+         FROM agg ORDER BY event_type""",
     // q310: the q304 STL chain as a CTE, then the q169 median/MAD replay
     // on the residual — identical 6dp cutoffs and 1.4826 constant
     "q310_stl_anomalies" ->
@@ -5207,6 +5334,85 @@ object SparkEntry {
                 round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          FROM m""",
+    // q315: the shared brand graph, both-direction edges, exact HUGEINT
+    // Pearson moments over endpoint degrees
+    "q315_assortativity" -> (duckBrandGraph +
+      """, e0 AS (SELECT pa AS a, pb AS b FROM pr),
+         dirE AS (
+           SELECT a AS src, b AS dst FROM e0
+           UNION ALL SELECT b, a FROM e0
+         ), deg AS (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+           FROM dirE GROUP BY 1
+         ), xy AS (
+           SELECT dx.degree AS dx, dy.degree AS dy
+           FROM dirE e JOIN deg dx ON dx.node = e.src
+                       JOIN deg dy ON dy.node = e.dst
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS m2,
+                  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+                  sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+                  sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+                  sum(CAST(dy AS HUGEINT) * dy) AS syy
+           FROM xy
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT nn.n_nodes AS n_nodes, CAST(m.m2 // 2 AS BIGINT) AS m_edges,
+                round(CAST(m.m2 AS DOUBLE) / CAST(nn.n_nodes AS DOUBLE), 6) AS mean_degree,
+                CASE WHEN m.m2 * m.sxx - CAST(m.sx AS HUGEINT) * m.sx > 0
+                      AND m.m2 * m.syy - CAST(m.sy AS HUGEINT) * m.sy > 0 THEN
+                  round(CAST(m.m2 * m.sxy - CAST(m.sx AS HUGEINT) * m.sy AS DOUBLE)
+                        / (sqrt(CAST(m.m2 * m.sxx - CAST(m.sx AS HUGEINT) * m.sx AS DOUBLE))
+                           * sqrt(CAST(m.m2 * m.syy - CAST(m.sy AS HUGEINT) * m.sy AS DOUBLE))), 6)
+                END AS assortativity
+         FROM m CROSS JOIN nn"""),
+    // q316: positional zip-unnest, identical micro-unit quantization,
+    // count divides cancel in the cosine of exact sum vectors
+    "q316_centroid_drift" ->
+      """WITH base AS (
+           SELECT label, vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL
+         ), x0 AS (
+           SELECT CAST(label AS VARCHAR) AS grp,
+                  unnest(range(len(embedding))) AS pos,
+                  unnest(embedding) AS v
+           FROM base WHERE vec_id % 2 = 0
+         ), x1 AS (
+           SELECT CAST(label AS VARCHAR) AS grp,
+                  unnest(range(len(embedding))) AS pos,
+                  unnest(embedding) AS v
+           FROM base WHERE vec_id % 2 = 1
+         ), s0 AS (
+           SELECT grp, pos,
+                  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s0,
+                  CAST(count(*) AS BIGINT) AS n0
+           FROM x0 GROUP BY 1, 2
+         ), s1 AS (
+           SELECT grp, pos,
+                  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s1,
+                  CAST(count(*) AS BIGINT) AS n1
+           FROM x1 GROUP BY 1, 2
+         ), j AS (
+           SELECT s0.grp, s0.pos, s0.s0, s0.n0, s1.s1, s1.n1
+           FROM s0 JOIN s1 ON s1.grp = s0.grp AND s1.pos = s0.pos
+         ), g AS (
+           SELECT grp, CAST(max(n0) AS BIGINT) AS n_a,
+                  CAST(max(n1) AS BIGINT) AS n_b,
+                  CAST(count(*) AS BIGINT) AS dim,
+                  sum(CAST(s0 AS HUGEINT) * s1) AS dot,
+                  sum(CAST(s0 AS HUGEINT) * s0) AS m0,
+                  sum(CAST(s1 AS HUGEINT) * s1) AS m1
+           FROM j GROUP BY 1
+         )
+         SELECT grp, n_a, n_b, dim,
+                CASE WHEN m0 > 0 AND m1 > 0 THEN
+                  round(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(m0 AS DOUBLE)) * sqrt(CAST(m1 AS DOUBLE))), 6)
+                END AS cos,
+                CASE WHEN m0 > 0 AND m1 > 0 THEN
+                  round(1.0 - round(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(m0 AS DOUBLE)) * sqrt(CAST(m1 AS DOUBLE))), 6), 6)
+                END AS drift
+         FROM g ORDER BY grp""",
     // q305: the q203 KM chain verbatim, then rectangle areas — published
     // 6dp survival × exact widths in DECIMAL(38,6), leading all-alive
     // segment ends at the first event time clamped to τ

@@ -344,6 +344,44 @@ object EventPaths {
   }
 
   /**
+   * Per-user behavioral entropy — the Shannon entropy of each user's
+   * event-type distribution, the predictability read behind bot and
+   * scripted-traffic triage (a metronome that only ever "views" scores
+   * 0; an organic user mixing k types approaches ln k) and the
+   * per-entity complement of the corpus-level
+   * [[DistDrift.mutualInformation]] entropies. H = Σ (c/n)·ln(n/c) over
+   * the user's type counts; each term is ln of an exact rational times
+   * an exact rational (ONE spelling — both engines evaluate the
+   * identical IEEE expression), 12dp-rounded, DECIMAL-summed (the Σ
+   * doctrine). entropy_norm composes from the PUBLISHED entropy and the
+   * 12dp ln(k) — 1.0 means "uses all its types uniformly".
+   *
+   * Shape: one (user, type) count aggregation, one user rollup — both
+   * user-keyed, co-partitioned, output |users| rows.
+   *
+   * Output: (user, n_events, n_types, entropy, entropy_norm) —
+   * entropy_norm NULL for single-type users (ln 1 = 0).
+   */
+  def behavioralEntropy(df: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    val ut = df.select(col(userCol).as("user"), col(typeCol).as("__t"))
+      .where(col("user").isNotNull && col("__t").isNotNull)
+      .groupBy(col("user"), col("__t")).agg(count(lit(1)).as("__c"))
+    val wU = Window.partitionBy(col("user"))
+    val terms = ut
+      .withColumn("__n", sum(col("__c")).over(wU))
+      .withColumn("__term", round(
+        col("__c").cast("double") / col("__n").cast("double")
+          * log(col("__n").cast("double") / col("__c").cast("double")), 12))
+    terms.groupBy(col("user"))
+      .agg(max(col("__n")).as("n_events"), count(lit(1)).as("n_types"),
+        round(sum(col("__term").cast("decimal(24,12)")).cast("double"), 6)
+          .as("entropy"))
+      .withColumn("entropy_norm", when(col("n_types") > 1, round(
+        col("entropy") / round(log(col("n_types").cast("double")), 12), 6)))
+  }
+
+  /**
    * Per-user inter-arrival statistics — the burstiness read behind bot /
    * scripted-traffic detection: humans are bursty (CV of gaps well above
    * 0), schedulers are metronomes (CV → 0), replayed logs collapse to

@@ -674,6 +674,56 @@ object TimeSeries {
   }
 
   /**
+   * Trend / seasonality strength (Hyndman & Athanasopoulos, FPP §STL
+   * features) over the [[stlDecompose]] parts — the two numbers that
+   * say whether a series is WORTH seasonal modeling at all:
+   *
+   *   F_seasonal = max(0, 1 − Var(resid)/Var(seasonal + resid))
+   *   F_trend    = max(0, 1 − Var(resid)/Var(trend + resid))
+   *
+   * (0 = the component explains nothing, → 1 = dominates). seasonal +
+   * resid is exactly the detrended series units − trend, and trend +
+   * resid is units − seasonal — both exact 6dp decimals by the STL
+   * construction, so all three series quantize to EXACT micro-unit
+   * longs (the stlAnomalies device) and each variance numerator
+   * n·Σx² − (Σx)² is exact DECIMAL(38,0) integer arithmetic; the shared
+   * n cancels in the ratio, leaving ONE double divide per strength.
+   *
+   * One aggregation per key over the scored rows. Output: one row per
+   * key (key, n, f_seasonal, f_trend); a flat component (zero variance
+   * denominator) publishes NULL for its strength.
+   */
+  def seasonalStrength(daily: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, period: Int = 7,
+      halfWindowDays: Int = 3): DataFrame = {
+    val dec = stlDecompose(daily, keyCol, tCol, unitsCol, period,
+        halfWindowDays)
+      .where(col("resid").isNotNull)
+    def micro(c: Column): Column = round(c * lit(1e6), 0).cast("long")
+    val m = dec.select(col(keyCol),
+      micro(col("resid")).as("__r"),
+      micro(col("units").cast("double") - col("trend")).as("__d"),
+      micro(col("units").cast("double") - col("seasonal")).as("__g"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = m.groupBy(col(keyCol)).agg(count(lit(1)).as("n"),
+      sum(col("__r")).as("sr"), sum(d(col("__r")) * d(col("__r"))).as("srr"),
+      sum(col("__d")).as("sd"), sum(d(col("__d")) * d(col("__d"))).as("sdd"),
+      sum(col("__g")).as("sg"), sum(d(col("__g")) * d(col("__g"))).as("sgg"))
+    def ssq(s: Column, ss: Column): Column =
+      (d(col("n")) * ss - d(s) * d(s)).cast("decimal(38,0)")
+    val vr = ssq(col("sr"), col("srr"))
+    val vd = ssq(col("sd"), col("sdd"))
+    val vg = ssq(col("sg"), col("sgg"))
+    agg.select(col(keyCol), col("n"),
+      when(vd > 0, greatest(lit(0.0), round(
+        lit(1.0) - vr.cast("double") / vd.cast("double"), 6)))
+        .as("f_seasonal"),
+      when(vg > 0, greatest(lit(0.0), round(
+        lit(1.0) - vr.cast("double") / vg.cast("double"), 6)))
+        .as("f_trend"))
+  }
+
+  /**
    * Naive / seasonal-naive forecast baselines over one bucketed series —
    * the denominators every forecast evaluation needs (MASE, Hyndman &
    * Koehler 2006, scales a model's error by the naive in-sample MAE)

@@ -700,6 +700,53 @@ object CorpusStats {
    * ever collected; a 1B-vector corpus shuffles only (groups × dim)
    * partial aggregates.
    */
+  /**
+   * Embedding centroid drift between two corpus versions — the
+   * model/ingest-regression monitor for vector columns: per group, the
+   * cosine between the two versions' MEAN vectors. A re-embedded or
+   * silently-reordered pipeline moves group centroids long before any
+   * per-row check fires; cosine of the means is the cheapest such canary
+   * (1 − cos published as `drift`).
+   *
+   * Determinism: float components quantize to EXACT micro-unit longs
+   * (round(v·10⁶) — float→double is exact, the product and round are
+   * the same IEEE ops everywhere) and sum exactly per (group, dim); the
+   * count divides cancel in the cosine, so cos(mean₀, mean₁) =
+   * cos(S₀, S₁) over the exact sum vectors — DECIMAL(38,0) dot/norms,
+   * one double expression, 6dp. Shape: one (group, dim) aggregation per
+   * side, one dim-keyed join, one group rollup — dims × groups rows,
+   * never row×row.
+   *
+   * Output per group present on BOTH sides: (grp, n_a, n_b, dim, cos,
+   * drift); a zero centroid on either side publishes NULL cos.
+   */
+  def embeddingCentroidDrift(v0: DataFrame, v1: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.where(col(vecCol).isNotNull)
+        .select(col(groupCol).cast("string").as("grp"),
+          posexplode(col(vecCol)).as(Seq("pos", "val")))
+        .groupBy(col("grp"), col("pos"))
+        .agg(sum(round(col("val").cast("double") * lit(1e6), 0).cast("long"))
+          .as(s"s$tag"),
+          count(lit(1)).as(s"n$tag"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    side(v0, "0").join(side(v1, "1"), Seq("grp", "pos"))
+      .groupBy(col("grp"))
+      .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+        count(lit(1)).as("dim"),
+        sum(d(col("s0")) * d(col("s1"))).as("__dot"),
+        sum(d(col("s0")) * d(col("s0"))).as("__m0"),
+        sum(d(col("s1")) * d(col("s1"))).as("__m1"))
+      .select(col("grp"), col("n_a"), col("n_b"), col("dim"),
+        when(col("__m0") > 0 && col("__m1") > 0, round(
+          col("__dot").cast("double")
+            / (sqrt(col("__m0").cast("double"))
+               * sqrt(col("__m1").cast("double"))), 6)).as("cos"))
+      .withColumn("drift",
+        when(col("cos").isNotNull, round(lit(1.0) - col("cos"), 6)))
+  }
+
   def embeddingCentroids(df: DataFrame, group: Column, vecCol: String): DataFrame = {
     val perDim = df.select(group.as("grp"),
         posexplode(col(vecCol)).as(Seq("pos", "val")))

@@ -300,4 +300,23 @@ class GraphOpsSpec extends SparkSpec {
     val expect = if (Set("x", "y")(lm1)) Set("x", "y") else pos.keySet
     assert(reached == expect)
   }
+
+  test("degreeAssortativity: star is exactly -1; regular graph has no variance") {
+    import spark.implicits._
+    // K1,3: hub deg 3 meets leaves deg 1 on every edge → r = −1
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val s = GraphOps.degreeAssortativity(star).head()
+    assert(s.getAs[Long]("n_nodes") == 4L && s.getAs[Long]("m_edges") == 3L)
+    assert(s.getAs[Double]("mean_degree") == 1.5)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    // C4 cycle: every degree 2 → zero variance → NULL, not NaN
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val c = GraphOps.degreeAssortativity(cyc).head()
+    assert(c.isNullAt(c.fieldIndex("assortativity")))
+    // duplicate + reversed + self-loop inputs canonicalize away
+    val messy = Seq(("h", "a"), ("a", "h"), ("h", "a"), ("h", "h"),
+      ("h", "b"), ("h", "c")).toDF("src", "dst")
+    assert(GraphOps.degreeAssortativity(messy).head() == s)
+  }
 }

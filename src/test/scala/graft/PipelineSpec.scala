@@ -1252,6 +1252,28 @@ class PipelineSpec extends SparkSpec {
     assert(s.getAs[Long]("n_tokens") == 2L && s.getAs[Long]("vocab") == 2L)
   }
 
+  test("embeddingCentroidDrift: orthogonal halves score cos 0, identical " +
+      "and scaled halves score 1, zero side is NULL") {
+    val mk = (rows: Seq[(Int, Seq[Float])]) =>
+      spark.createDataFrame(rows.map { case (g, v) => (g, v) })
+        .toDF("label", "embedding")
+    val v0 = mk(Seq((1, Seq(1f, 0f)), (2, Seq(1f, 1f)), (3, Seq(1f, 0f)),
+      (4, Seq(0f, 0f))))
+    val v1 = mk(Seq((1, Seq(0f, 1f)), (2, Seq(2f, 2f)), (3, Seq(1f, 0f)),
+      (4, Seq(1f, 0f))))
+    val got = graft.pipeline.CorpusStats
+      .embeddingCentroidDrift(v0, v1, "label", "embedding")
+      .orderBy("grp").collect()
+    val byG = got.map(r => r.getString(0) -> r).toMap
+    assert(byG("1").getAs[Double]("cos") == 0.0
+      && byG("1").getAs[Double]("drift") == 1.0)
+    assert(byG("2").getAs[Double]("cos") == 1.0  // scale cancels
+      && byG("2").getAs[Double]("drift") == 0.0)
+    assert(byG("3").getAs[Double]("cos") == 1.0)
+    assert(byG("4").isNullAt(byG("4").fieldIndex("cos"))) // zero centroid
+    assert(got.forall(r => r.getAs[Long]("dim") == 2L))
+  }
+
   test("Fusion.rrf: hand-checked two-system fusion; shared doc outranks singles") {
     val lex = spark.createDataFrame(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
       .toDF("id", "rank")

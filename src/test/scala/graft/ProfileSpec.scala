@@ -398,6 +398,27 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("behavioralEntropy: hand 12dp term sums, uniform mix normalizes to 1, " +
+      "single-type user gets NULL norm") {
+    // A: 2 view + 2 click → H = ln 2; B: 4 view → H = 0, norm NULL;
+    // C: 1 a + 3 b → 0.25·ln4 + 0.75·ln(4/3) = 0.562335 at 6dp
+    val ev = Seq(
+      ("A", "view"), ("A", "view"), ("A", "click"), ("A", "click"),
+      ("B", "view"), ("B", "view"), ("B", "view"), ("B", "view"),
+      ("C", "a"), ("C", "b"), ("C", "b"), ("C", "b"))
+      .toDF("u", "t")
+    val rows = graft.operators.EventPaths.behavioralEntropy(ev, "u", "t")
+      .orderBy("user").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val Seq(a, b, c) = rows.toSeq
+    assert(a.getAs[Double]("entropy") == 0.693147)
+    assert(a.getAs[Double]("entropy_norm") == 1.0)
+    assert(b.getAs[Double]("entropy") == 0.0)
+    assert(b.isNullAt(b.fieldIndex("entropy_norm")))
+    assert(c.getAs[Double]("entropy") == 0.562335)
+    assert(c.getAs[Long]("n_events") == 4L && c.getAs[Long]("n_types") == 2L)
+  }
+
   test("stlDecompose: independent replica over an alternating series, edge NULLs") {
     import org.apache.spark.sql.functions.col
     val xs = Seq(10L, 20L, 12L, 22L, 14L, 24L, 16L, 26L, 18L, 28L)

@@ -354,4 +354,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(q.nonEmpty && q.forall(r => r.isNullAt(r.fieldIndex("robust_z"))))
     assert(q.forall(!_.getAs[Boolean]("is_anomaly")))
   }
+
+  test("seasonalStrength: pure season scores 1 (flat deseason -> NULL trend); " +
+      "pure trend scores 1 the other way") {
+    // exact period-7 wave, no trend, no noise: resid 0 → f_seasonal 1;
+    // units − seasonal is constant → zero variance → f_trend NULL
+    val wave = (0 until 28).map(d =>
+      ("k", d.toLong * 86400L, if (d % 7 == 0) 200L else 100L))
+      .toDF("g", "t", "units")
+    val w = TimeSeries.seasonalStrength(wave, "g", "t", "units").head()
+    assert(w.getAs[Double]("f_seasonal") == 1.0)
+    assert(w.isNullAt(w.fieldIndex("f_trend")))
+    // exact linear trend: moving mean recovers it, det 0 → f_seasonal
+    // NULL, resid 0 against a varying deseasonalized series → f_trend 1
+    val line = (0 until 28).map(d => ("k", d.toLong * 86400L, 10L * d))
+      .toDF("g", "t", "units")
+    val l = TimeSeries.seasonalStrength(line, "g", "t", "units").head()
+    assert(l.isNullAt(l.fieldIndex("f_seasonal")))
+    assert(l.getAs[Double]("f_trend") == 1.0)
+  }
 }
