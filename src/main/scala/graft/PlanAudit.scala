@@ -75,7 +75,14 @@ object PlanAudit {
       "q298_interval_coverage", // key-partitioned sweep windows only
       "q299_state_runs", // key-partitioned rn − rn′ segmentation
       "q302_attribution", // ONE user-partitioned RANGE window pass
-      "q304_stl_decompose") // key-partitioned RANGE trend window + (k,s) agg
+      "q304_stl_decompose", // key-partitioned RANGE trend window + (k,s) agg
+      "q308_concentration", // distinct-value prefix sums; scalar broadcasts
+      "q310_stl_anomalies", // STL chain + broadcast med/mad back onto rows
+      "q311_attribution_weighted", // per-bucket RANGE frames, one window pass
+      "q312_heaps_fit", // token shuffle + ≤nBuckets bounded spine window
+      "q313_user_entropy", // user-partitioned window + user rollup
+      "q315_assortativity", // degree agg + node-keyed joins; no node×node
+      "q316_centroid_drift") // (group, dim) aggs + dim-keyed join
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -269,24 +269,45 @@ object Clustering {
         c.cast("long").as(fn(i)) }: _*)
       .where(fn.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(fn.map(col): _*).agg(count(lit(1)).as("__w"))
+      .cache() // ONE scoring pass over the distinct relation
+    // fast path: when every coordinate fits 7e8, d·diff² < 2^63 and the
+    // squared distances are exact LONGs (codegen arithmetic, ~5× the
+    // decimal path); above that, the kmeansLloyd DECIMAL(38,0) class.
+    // Identical integers either way → identical sqrt doubles → the
+    // published silhouettes cannot differ between the two paths.
+    val hiRow = pts.agg(max(
+      if (d == 1) col(fn(0)) else greatest(fn.map(col): _*))).head()
+    val useLong = !hiRow.isNullAt(0) && hiRow.getLong(0) <= 700000000L
     val cands = array(cents.zipWithIndex.map { case (c, j) =>
-      val dist = (0 until d).map { i =>
-        val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
-        diff * diff
-      }.reduce(_ + _)
-      struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
+      if (useLong) {
+        val dist = (0 until d).map { i =>
+          val diff = col(fn(i)) - lit(c(i)); diff * diff
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(j).as("i")) // long field: codegen sort
+      } else {
+        val dist = (0 until d).map { i =>
+          val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
+          (diff * diff).cast("decimal(38,0)")
+        }.reduce(_ + _)
+        struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
+      }
     }: _*)
-    val scored = pts.withColumn("__s", array_sort(cands))
-      .withColumn("__a", sqrt(element_at(col("__s"), 1)("d").cast("double")))
-      .withColumn("__b", sqrt(element_at(col("__s"), 2)("d").cast("double")))
-      .withColumn("__sil", when(greatest(col("__a"), col("__b")) > 0,
-        round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 12))
-        .otherwise(lit(0.0)))
-      .select(element_at(col("__s"), 1)("i").as("cluster"), col("__w"),
-        (col("__sil").cast("decimal(38,12)") * col("__w"))
-          .cast("decimal(38,12)").as("__term"))
-    val per = scored.groupBy(col("cluster"))
-      .agg(sum(col("__w")).as("n"), sum(col("__term")).as("__ts"))
+    val per = try {
+      val scored = pts.withColumn("__s", array_sort(cands))
+        .withColumn("__a", sqrt(element_at(col("__s"), 1)("d").cast("double")))
+        .withColumn("__b", sqrt(element_at(col("__s"), 2)("d").cast("double")))
+        .withColumn("__sil", when(greatest(col("__a"), col("__b")) > 0,
+          round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 12))
+          .otherwise(lit(0.0)))
+        .select(element_at(col("__s"), 1)("i").as("cluster"), col("__w"),
+          (col("__sil").cast("decimal(38,12)") * col("__w"))
+            .cast("decimal(38,12)").as("__term"))
+      // ≤ k rows, materialized EAGERLY: the ALL rollup and the spine
+      // join below must not each replay the scoring scan
+      scored.groupBy(col("cluster"))
+        .agg(sum(col("__w")).as("n"), sum(col("__term")).as("__ts"))
+        .localCheckpoint(true)
+    } finally pts.unpersist()
     val spark = df.sparkSession
     import spark.implicits._
     val spine = (0 until k).toDF("cluster")

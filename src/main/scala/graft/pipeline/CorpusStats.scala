@@ -597,7 +597,12 @@ object CorpusStats {
     require(gram >= 1 && gram <= 5, "gram in [1,5]")
     val b = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("long"), lit(nBuckets.toLong)).as("__b")
-    val arr = whitespaceTokens(lower(col(textCol)))
+    // materialize the token array ONCE per row before the shingle HOF —
+    // referencing the split() expression from inside the transform
+    // lambda would re-tokenize the document once per element_at call
+    // (gram × tokens evaluations per row — measured 10× the whole query)
+    val arred = docs.select(b, whitespaceTokens(lower(col(textCol))).as("__a"))
+    val arr = col("__a")
     // 1-based element_at matches the oracle's 1-based list indexing;
     // guard: Spark's sequence DESCENDS when stop < start (a <gram-token
     // doc must contribute zero shingles, not a reversed index pair)
@@ -605,7 +610,7 @@ object CorpusStats {
       sequence(lit(1), size(arr) - (gram - 1)),
       i => concat_ws("|", (0 until gram).map(j => element_at(arr, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    val tok = docs.select(b, explode(shingles).as("w"))
+    val tok = arred.select(col("__b"), explode(shingles).as("w"))
     val tb = tok.groupBy(col("__b")).agg(count(lit(1)).as("tk"))
     val vb = tok.groupBy(col("w")).agg(min(col("__b")).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("vk"))

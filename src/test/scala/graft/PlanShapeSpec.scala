@@ -96,4 +96,49 @@ class PlanShapeSpec extends SparkSpec {
       col("s"), F.col("y")), allowScalarBnl = false)
     assert(bad.isEmpty, bad.mkString("; "))
   }
+
+  test("concentration / woeEncode plans: prefix-sum windows partitioned; " +
+      "the 1-row totals broadcasts are the allowed scalar BNLs") {
+    val v = (1 to 300).map(i => Tuple1((i % 41).toLong)).toDF("v")
+    val b1 = offenders(graft.operators.Profile.concentration(v, col("v")),
+      allowScalarBnl = true)
+    assert(b1.isEmpty, b1.mkString("; "))
+    val cat = (1 to 300).map(i => (s"c${i % 7}", i % 3 == 0)).toDF("c", "y")
+    val b2 = offenders(graft.operators.FeatureEng.woeEncode(cat,
+      col("c"), F.col("y")), allowScalarBnl = true)
+    assert(b2.isEmpty, b2.mkString("; "))
+  }
+
+  test("attributionWeighted / behavioralEntropy plans: user-partitioned " +
+      "windows only, no cartesian") {
+    val ev = Seq((1L, 899L, "ad", 1L), (1L, 999L, "email", 2L),
+      (1L, 1000L, "purchase", 3L), (2L, 998L, "ad", 4L),
+      (2L, 1000L, "purchase", 5L))
+      .toDF("u", "ts", "t", "id")
+    val b1 = offenders(graft.operators.EventPaths.attributionWeighted(ev,
+      "u", "ts", "t", "id", "purchase", 700L, 100L), allowScalarBnl = false)
+    assert(b1.isEmpty, b1.mkString("; "))
+    val b2 = offenders(graft.operators.EventPaths.behavioralEntropy(ev,
+      "u", "t"), allowScalarBnl = false)
+    assert(b2.isEmpty, b2.mkString("; "))
+  }
+
+  test("degreeAssortativity / embeddingCentroidDrift / stlAnomalies plans: " +
+      "keyed joins and key-partitioned windows, no cartesian") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val b1 = offenders(
+      graft.operators.GraphOps.degreeAssortativity(edges),
+      allowScalarBnl = false)
+    assert(b1.isEmpty, b1.mkString("; "))
+    val v0 = Seq((1, Seq(1f, 0f)), (2, Seq(0f, 1f))).toDF("label", "embedding")
+    val v1 = Seq((1, Seq(1f, 1f)), (2, Seq(0f, 2f))).toDF("label", "embedding")
+    val b2 = offenders(graft.pipeline.CorpusStats.embeddingCentroidDrift(
+      v0, v1, "label", "embedding"), allowScalarBnl = false)
+    assert(b2.isEmpty, b2.mkString("; "))
+    val daily = (0 until 20).map(i =>
+      ("k", i.toLong * 86400L, (i % 7 + 1).toLong)).toDF("g", "t", "units")
+    val b3 = offenders(graft.operators.TimeSeries.stlAnomalies(
+      daily, "g", "t", "units"), allowScalarBnl = false)
+    assert(b3.isEmpty, b3.mkString("; "))
+  }
 }
