@@ -82,7 +82,10 @@ object PlanAudit {
       "q312_heaps_fit", // token shuffle + ≤nBuckets bounded spine window
       "q313_user_entropy", // user-partitioned window + user rollup
       "q315_assortativity", // degree agg + node-keyed joins; no node×node
-      "q316_centroid_drift") // (group, dim) aggs + dim-keyed join
+      "q316_centroid_drift", // (group, dim) aggs + dim-keyed join
+      "q318_simpson", // one (group,type) count agg + group rollup
+      "q319_effective_dim", // dim-keyed micro-moment agg + one rollup row
+      "q320_dispersion") // per-key exact moment agg, one divide
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

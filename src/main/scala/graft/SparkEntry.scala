@@ -1809,6 +1809,59 @@ object SparkEntry {
           "label", "embedding")
         .orderBy("grp")
     }),
+    "q317_vocab_overlap" -> ((s, dir) => {
+      // which sources are near-clones and which are subset crawls:
+      // exact pairwise Jaccard + containment of trigram-shingle type
+      // sets — presence relation self-joined on the type, |sources|²
+      // rollup, three exact divides per pair
+      graft.pipeline.CorpusStats.vocabOverlap(eng(s, dir).table("documents"),
+        "text", "source", gram = 3)
+    }),
+    "q318_simpson" -> ((s, dir) => {
+      // is each event type driven by a few accounts: Simpson λ and the
+      // effective number of users per type — Σc²/n² exact divides,
+      // Hill-number concentration read
+      graft.operators.Profile.simpsonDiversity(eng(s, dir).table("events"),
+          "event_type", "user_id")
+        .orderBy("group")
+    }),
+    "q319_effective_dim" -> ((s, dir) => {
+      // how many of the 64 dimensions does the corpus actually use:
+      // participation ratio over per-dim variances from exact
+      // micro-unit moments — the eigen-free collapse probe
+      graft.pipeline.CorpusStats.embeddingEffectiveDim(
+        eng(s, dir).table("embeddings"), "embedding")
+    }),
+    "q320_dispersion" -> ((s, dir) => {
+      // are daily event arrivals Poisson-like or bursty per type:
+      // Fano factor over the daily count series — one exact divide of
+      // integer moments per key
+      val daily = eng(s, dir).table("events")
+        .where(col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS LONG) div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.TimeSeries.dispersionIndex(daily, "event_type",
+          "day", "c")
+        .orderBy("event_type")
+    }),
+    "q321_coverage" -> ((s, dir) => {
+      // did any event type silently lose days: per-type calendar
+      // coverage between first and last observation — exact bucket
+      // indices, key-partitioned lag window, one divide
+      graft.operators.TimeSeries.coverageReport(
+          eng(s, dir).table("events").where(col("event_type").isNotNull)
+            .select(col("event_type"), col("ts").cast("long").as("t")),
+          "event_type", "t", step = 86400L)
+        .orderBy("event_type")
+    }),
+    "q322_lexical_richness" -> ((s, dir) => {
+      // is any source templated/generated text: TTR, hapax share and
+      // exact Yule's K per source — one (source, token) count agg
+      graft.pipeline.CorpusStats.lexicalRichness(
+          eng(s, dir).table("documents"), "text", "source")
+        .orderBy("source")
+    }),
     "q303_landmark_closeness" -> ((s, dir) => {
       // which brands sit central in the bought-together graph: 4
       // md5-picked landmarks, a BFS per landmark (L × diameter keyed
@@ -5413,6 +5466,150 @@ object SparkEntry {
                         / (sqrt(CAST(m0 AS DOUBLE)) * sqrt(CAST(m1 AS DOUBLE))), 6), 6)
                 END AS drift
          FROM g ORDER BY grp""",
+    // q317: same shingle tokenizer, DISTINCT presence relation, pair
+    // spine over the bounded source list so disjoint pairs publish 0
+    "q317_vocab_overlap" ->
+      """WITH arrs AS (
+           SELECT source AS s,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a
+           FROM documents WHERE source IS NOT NULL
+         ), sv AS (
+           SELECT DISTINCT s, w FROM (
+             SELECT s, unnest(list_transform(generate_series(1, len(a) - 2),
+                      i -> a[i] || '|' || a[i+1] || '|' || a[i+2])) AS w
+             FROM arrs)
+         ), sizes AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS vocab FROM sv GROUP BY 1
+         ), inter AS (
+           SELECT x.s AS sa, y.s AS sb, CAST(count(*) AS BIGINT) AS i
+           FROM sv x JOIN sv y ON y.w = x.w AND x.s < y.s
+           GROUP BY 1, 2
+         )
+         SELECT a.s AS source_a, b.s AS source_b,
+                a.vocab AS vocab_a, b.vocab AS vocab_b,
+                COALESCE(i.i, 0) AS intersection,
+                round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                      / CAST(a.vocab + b.vocab - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard,
+                round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                      / CAST(a.vocab AS DOUBLE), 6) AS containment_a,
+                round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                      / CAST(b.vocab AS DOUBLE), 6) AS containment_b
+         FROM sizes a JOIN sizes b ON a.s < b.s
+         LEFT JOIN inter i ON i.sa = a.s AND i.sb = b.s
+         ORDER BY source_a, source_b""",
+    // q318: Σc²/n² and n²/Σc² as single HUGEINT divides; gini composes
+    // from the published simpson
+    "q318_simpson" ->
+      """WITH gt AS (
+           SELECT event_type AS g, user_id AS t, CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2
+         ), per AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_types,
+                  sum(CAST(c AS HUGEINT) * c) AS s2
+           FROM gt GROUP BY 1
+         )
+         SELECT g AS "group", n, n_types,
+                round(CAST(s2 AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS simpson,
+                round(1.0 - round(CAST(s2 AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6), 6) AS gini_simpson,
+                round(CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+                      / CAST(s2 AS DOUBLE), 6) AS effective_types
+         FROM per ORDER BY "group"""",
+    // q319: identical micro-unit moments, 6dp per-dim variances, PR from
+    // the exact decimal sums of the PUBLISHED values
+    "q319_effective_dim" ->
+      """WITH pd AS (
+           SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s,
+                  sum(CAST(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS HUGEINT)
+                      * CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS q
+           FROM (
+             SELECT unnest(range(len(embedding))) AS pos, unnest(embedding) AS v
+             FROM embeddings WHERE embedding IS NOT NULL
+           ) GROUP BY 1
+         ), v AS (
+           SELECT pos, n,
+                  round(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                        / CAST(CAST(n AS HUGEINT) * n * 1000000000000 AS DOUBLE), 6) AS var6
+           FROM pd
+         ), agg AS (
+           SELECT CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS dim,
+                  sum(CAST(var6 AS DECIMAL(38,6))) AS sv,
+                  sum(CAST(CAST(var6 AS DECIMAL(18,6)) * CAST(var6 AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS svv
+           FROM v
+         )
+         SELECT n, dim, round(CAST(sv AS DOUBLE), 6) AS total_var,
+                CASE WHEN svv > 0 THEN
+                  round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                        / CAST(svv AS DOUBLE), 6) END AS effective_dim,
+                CASE WHEN svv > 0 THEN
+                  round(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                        / CAST(svv AS DOUBLE), 6) / CAST(dim AS DOUBLE), 6)
+                END AS dim_ratio
+         FROM agg""",
+    // q320: Fano factor (n·Σc² − (Σc)²)/(n·Σc) as one HUGEINT divide
+    "q320_dispersion" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+         ), agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+                  CAST(sum(c) AS BIGINT) AS total,
+                  sum(CAST(c AS HUGEINT) * c) AS q
+           FROM daily GROUP BY 1
+         )
+         SELECT event_type, n_buckets, total,
+                round(CAST(total AS DOUBLE) / CAST(n_buckets AS DOUBLE), 6) AS mean,
+                CASE WHEN total > 0 THEN
+                  round(CAST(n_buckets * q - CAST(total AS HUGEINT) * total AS DOUBLE)
+                        / CAST(CAST(n_buckets AS HUGEINT) * total AS DOUBLE), 6)
+                END AS dispersion
+         FROM agg ORDER BY event_type""",
+    // q321: exact bucket indices, lag gaps per key, one divide
+    "q321_coverage" ->
+      """WITH b AS (
+           SELECT DISTINCT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS i
+           FROM events WHERE event_type IS NOT NULL
+         ), g AS (
+           SELECT event_type, i,
+                  i - lag(i) OVER (PARTITION BY event_type ORDER BY i) - 1 AS gap
+           FROM b
+         )
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_observed,
+                CAST(min(i) * 86400 AS BIGINT) AS t_min,
+                CAST(max(i) * 86400 AS BIGINT) AS t_max,
+                CAST(max(i) - min(i) + 1 AS BIGINT) AS n_expected,
+                CAST(max(i) - min(i) + 1 - count(*) AS BIGINT) AS n_missing,
+                CAST(greatest(COALESCE(max(gap), 0), 0) AS BIGINT) AS longest_gap,
+                round(CAST(count(*) AS DOUBLE)
+                      / CAST(max(i) - min(i) + 1 AS DOUBLE), 6) AS coverage
+         FROM g GROUP BY 1 ORDER BY 1""",
+    // q322: same tokenizer, exact Yule's K = 10⁴(Σc²−N)/N² in HUGEINT
+    "q322_lexical_richness" ->
+      """WITH sw AS (
+           SELECT source,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents WHERE source IS NOT NULL
+         ), cnts AS (
+           SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM sw GROUP BY 1, 2
+         ), per AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_types,
+                  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                  sum(CAST(c AS HUGEINT) * c) AS s2
+           FROM cnts GROUP BY 1
+         )
+         SELECT source, n_tokens, n_types, n_hapax,
+                round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 6) AS hapax_ratio,
+                round(CAST(10000 * (s2 - CAST(n_tokens AS HUGEINT)) AS DOUBLE)
+                      / CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE), 6) AS yule_k
+         FROM per ORDER BY source""",
     // q305: the q203 KM chain verbatim, then rectangle areas — published
     // 6dp survival × exact widths in DECIMAL(38,6), leading all-alive
     // segment ends at the first event time clamped to τ

@@ -290,6 +290,41 @@ object Profile {
       .crossJoin(topShare("1", 100L))
   }
 
+  /**
+   * Simpson diversity per group — λ = Σ(c/n)² over the group's type
+   * counts: the probability two draws agree, the concentration twin of
+   * [[graft.operators.EventPaths.behavioralEntropy]]'s entropy (λ is
+   * variance-flavored — hit hardest by the single dominant type —
+   * where entropy is log-flavored). effective_types = 1/λ is the
+   * "equivalent number of equally-common types" (Hill number of order
+   * 2), the audience-concentration read: 500 users but effective 3
+   * means three accounts dominate.
+   *
+   * Exact: λ = Σc² / n² and 1/λ = n²/Σc² are each ONE divide of exact
+   * DECIMAL(38,0) integers; gini_simpson composes from the PUBLISHED λ.
+   * One (group, type) count aggregation + one group rollup.
+   *
+   * Output: (group, n, n_types, simpson, gini_simpson, effective_types).
+   */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      typeCol: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val gt = df.select(col(groupCol).as("group"), col(typeCol).as("__t"))
+      .where(col("group").isNotNull && col("__t").isNotNull)
+      .groupBy(col("group"), col("__t")).agg(count(lit(1)).as("__c"))
+    gt.groupBy(col("group"))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_types"),
+        sum(d(col("__c")) * d(col("__c"))).as("__s2"))
+      .select(col("group"), col("n"), col("n_types"),
+        round(col("__s2").cast("double")
+          / (d(col("n")) * d(col("n"))).cast("double"), 6).as("simpson"),
+        round((d(col("n")) * d(col("n"))).cast("double")
+          / col("__s2").cast("double"), 6).as("effective_types"))
+      .withColumn("gini_simpson", round(lit(1.0) - col("simpson"), 6))
+      .select("group", "n", "n_types", "simpson", "gini_simpson",
+        "effective_types")
+  }
+
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
     val digits = df.where(col(valCol) > 0)

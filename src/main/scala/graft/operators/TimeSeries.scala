@@ -724,6 +724,76 @@ object TimeSeries {
   }
 
   /**
+   * Calendar coverage report per key — the data-quality read BEFORE any
+   * series operator runs: how many step-aligned buckets exist between a
+   * key's first and last observation, how many are missing, and the
+   * longest gap. The q156 gap-fill resample repairs holes; this one
+   * AUDITS them (a feed that silently lost a week shows up here first).
+   *
+   * All integer arithmetic on exact bucket indices (t div step): one
+   * key-partitioned lag window over the observed buckets + one rollup.
+   * Output: (key, n_observed, t_min, t_max, n_expected, n_missing,
+   * longest_gap, coverage) — coverage = observed/expected, one divide,
+   * 6dp; longest_gap counts consecutive MISSING buckets (0 = complete).
+   */
+  def coverageReport(bucketed: DataFrame, keyCol: String, tCol: String,
+      step: Long): DataFrame = {
+    require(step >= 1, "step >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__i"))
+    bucketed.select(col(keyCol), col(tCol).cast("long").as("__t"))
+      .where(col("__t").isNotNull)
+      .select(col(keyCol), expr(s"__t div ${step}L").as("__i"))
+      .distinct()
+      .withColumn("__gap", col("__i") - lag(col("__i"), 1).over(w) - 1L)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_observed"),
+        (min(col("__i")) * step).as("t_min"),
+        (max(col("__i")) * step).as("t_max"),
+        (max(col("__i")) - min(col("__i")) + 1L).as("n_expected"),
+        coalesce(max(col("__gap")), lit(0L)).as("longest_gap"))
+      .select(col(keyCol), col("n_observed"), col("t_min"), col("t_max"),
+        col("n_expected"),
+        (col("n_expected") - col("n_observed")).as("n_missing"),
+        greatest(col("longest_gap"), lit(0L)).as("longest_gap"),
+        round(col("n_observed").cast("double")
+          / col("n_expected").cast("double"), 6).as("coverage"))
+  }
+
+  /**
+   * Index of dispersion (Fano factor) per key — Var/mean of a bucketed
+   * count series, the one-number Poisson-ness probe: D ≈ 1 means
+   * arrivals are memoryless, D ≫ 1 means bursty/overdispersed (retry
+   * storms, bots, campaign spikes), D ≪ 1 means scheduled/metronomic.
+   * The count-series complement of [[graft.operators.EventPaths
+   * .interArrival]]'s gap CV.
+   *
+   * Exact: with integer counts c over n buckets, D = Var/mean =
+   * (n·Σc² − (Σc)²) / (n·Σc) — ONE divide of exact DECIMAL(38,0)
+   * integers, 6dp. One aggregation per key; buckets are
+   * calendar-bounded by construction.
+   *
+   * Output: (key, n_buckets, total, mean, dispersion); an all-zero key
+   * publishes NULL dispersion.
+   */
+  def dispersionIndex(bucketed: DataFrame, keyCol: String, tCol: String,
+      cntCol: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    bucketed.select(col(keyCol), col(cntCol).cast("long").as("__c"))
+      .where(col("__c").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("__c")).as("total"),
+        sum(d(col("__c")) * d(col("__c"))).as("__q"))
+      .select(col(keyCol), col("n_buckets"), col("total"),
+        round(col("total").cast("double") / col("n_buckets").cast("double"), 6)
+          .as("mean"),
+        when(col("total") > 0, round(
+          (d(col("n_buckets")) * col("__q") - d(col("total")) * d(col("total")))
+            .cast("double")
+          / (d(col("n_buckets")) * d(col("total"))).cast("double"), 6))
+          .as("dispersion"))
+  }
+
+  /**
    * Naive / seasonal-naive forecast baselines over one bucketed series —
    * the denominators every forecast evaluation needs (MASE, Hyndman &
    * Koehler 2006, scales a model's error by the naive in-sample MAE)

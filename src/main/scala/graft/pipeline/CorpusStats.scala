@@ -564,6 +564,159 @@ object CorpusStats {
       round(num * num / (denX * denY), 6).as("r2"))
   }
 
+  /** (tag, w) word-`gram`-gram shingle table under the house tokenizer.
+    * The token array is materialized ONCE per row before the shingle
+    * HOF — referencing the split() expression from inside the transform
+    * lambda would re-tokenize the document once per element_at call
+    * (gram × tokens evaluations per row — measured 7× the whole query).
+    * 1-based element_at matches DuckDB's 1-based list indexing; the
+    * size guard exists because Spark's sequence DESCENDS when stop <
+    * start (a <gram-token doc must contribute zero shingles, not a
+    * reversed index pair). */
+  private def shingleTable(docs: DataFrame, textCol: String, gram: Int,
+      tag: Column): DataFrame = {
+    val arred = docs.select(tag, whitespaceTokens(lower(col(textCol))).as("__a"))
+    val arr = col("__a")
+    val shingles = when(size(arr) >= gram, transform(
+      sequence(lit(1), size(arr) - (gram - 1)),
+      i => concat_ws("|", (0 until gram).map(j => element_at(arr, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    arred.select(col(arred.columns.head), explode(shingles).as("w"))
+  }
+
+  /**
+   * Source vocabulary-overlap matrix — pairwise Jaccard of the word-
+   * `gram`-gram TYPE sets across corpus sources: the corpus-mixing
+   * diagnostic that says which sources are near-clones (scrapes of the
+   * same sites), which are disjoint, and which CONTAIN one another
+   * (containment ≫ jaccard = one source is a subset crawl). Exact, not
+   * sketched: the (source, type) presence relation is vocabulary-
+   * bounded, its self-join is keyed on the type, and the rollup is
+   * |sources|²-bounded (`maxSources` contract — the q221 cross-source
+   * shape).
+   *
+   * Output per unordered source pair (a < b): (source_a, source_b,
+   * vocab_a, vocab_b, intersection, jaccard, containment_a,
+   * containment_b) — three exact-count divides, 6dp.
+   */
+  def vocabOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+      gram: Int = 3, maxSources: Int = 64): DataFrame = {
+    require(gram >= 1 && gram <= 5, "gram in [1,5]")
+    val sv = shingleTable(docs.where(col(sourceCol).isNotNull), textCol,
+        gram, col(sourceCol).cast("string").as("__s"))
+      .distinct().cache() // presence relation feeds sizes + the pair join
+    try {
+      val sizes = sv.groupBy(col("__s")).agg(count(lit(1)).as("vocab"))
+        .localCheckpoint(true) // |sources| rows
+      val nSrc = sizes.count()
+      require(nSrc >= 2, "vocabOverlap: need at least two sources")
+      require(nSrc <= maxSources,
+        s"vocabOverlap: $nSrc sources > maxSources=$maxSources — the pair " +
+          "rollup is |sources|²; bucket sources upstream")
+      val inter = sv.select(col("__s").as("sa"), col("w"))
+        .join(sv.select(col("__s").as("sb"), col("w")), "w")
+        .where(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("intersection"))
+      val a = sizes.select(col("__s").as("sa"), col("vocab").as("vocab_a"))
+      val b = sizes.select(col("__s").as("sb"), col("vocab").as("vocab_b"))
+      // spine = all pairs of the BOUNDED source list (disjoint sources
+      // must still publish a 0 row); both sides ≤ 64 rows
+      a.crossJoin(b).where(col("sa") < col("sb"))
+        .join(inter, Seq("sa", "sb"), "left")
+        .withColumn("intersection", coalesce(col("intersection"), lit(0L)))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("vocab_a"), col("vocab_b"), col("intersection"),
+          round(col("intersection").cast("double")
+            / (col("vocab_a") + col("vocab_b") - col("intersection"))
+              .cast("double"), 6).as("jaccard"),
+          round(col("intersection").cast("double")
+            / col("vocab_a").cast("double"), 6).as("containment_a"),
+          round(col("intersection").cast("double")
+            / col("vocab_b").cast("double"), 6).as("containment_b"))
+        .orderBy(col("source_a"), col("source_b"))
+        .localCheckpoint(true) // ≤ |sources|² rows; frees sv below
+    } finally sv.unpersist()
+  }
+
+  /**
+   * Lexical richness per source — type-token ratio, hapax share, and
+   * Yule's K, the corpus-health trio that catches templated/generated
+   * text (TTR collapses, hapax dries up, K spikes as a few types
+   * dominate). Yule's characteristic K = 10⁴·(Σc² − N)/N² is fully
+   * exact — one DECIMAL(38,0) divide — and famously length-robust
+   * where raw TTR is not; both are published so the pair is readable.
+   *
+   * Shape: one (source, token) count aggregation + one source rollup.
+   * Output: (source, n_tokens, n_types, n_hapax, ttr, hapax_ratio,
+   * yule_k), 6dp.
+   */
+  def lexicalRichness(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val sw = docs.where(col(sourceCol).isNotNull)
+      .select(col(sourceCol).cast("string").as("source"),
+        explode(whitespaceTokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("__c"))
+    sw.groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(d(col("__c")) * d(col("__c"))).as("__s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_ratio"),
+        round((lit(10000L) * (col("__s2") - d(col("n_tokens")))).cast("double")
+          / (d(col("n_tokens")) * d(col("n_tokens"))).cast("double"), 6)
+          .as("yule_k"))
+  }
+
+  /**
+   * Embedding effective dimensionality — the participation ratio
+   * PR = (Σ_d var_d)² / Σ_d var_d² over per-dimension variances: how
+   * many dimensions the corpus ACTUALLY uses (PR = dim for isotropic
+   * noise, PR → 1 when everything collapses onto one axis). The cheap
+   * eigen-free anisotropy probe for embedding health — representation
+   * collapse moves PR long before retrieval metrics notice.
+   *
+   * Determinism: components quantize to exact micro-unit longs (the
+   * centroid-drift device), per-dim moments are exact DECIMAL(38,0)
+   * (var numerator n·Σm² − (Σm)²), each published var_d takes one
+   * double divide (6dp), and PR composes from the EXACT decimal sums of
+   * those published values. Shape: one dim-keyed aggregation (dims
+   * rows), one rollup row.
+   *
+   * Output: one row (n, dim, total_var, effective_dim, dim_ratio).
+   */
+  def embeddingEffectiveDim(df: DataFrame, vecCol: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val perDim = df.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "val")))
+      .withColumn("__m", round(col("val").cast("double") * lit(1e6), 0)
+        .cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("__m")).as("s"),
+        sum(d(col("__m")) * d(col("__m"))).as("q"))
+      .withColumn("var6", round(
+        (d(col("n")) * col("q") - d(col("s")) * d(col("s"))).cast("double")
+          / (d(col("n")) * d(col("n")) * lit(1e12)).cast("double"), 6))
+    // (18,6) operands: the square is an exact (37,12) inside the 38-digit
+    // cap — (38,6)² would trip Spark's precision-loss scale reduction
+    perDim.agg(max(col("n")).as("n"), count(lit(1)).as("dim"),
+        sum(col("var6").cast("decimal(38,6)")).as("__sv"),
+        sum((col("var6").cast("decimal(18,6)")
+          * col("var6").cast("decimal(18,6)")).cast("decimal(38,12)"))
+          .as("__svv"))
+      .select(col("n"), col("dim"),
+        round(col("__sv").cast("double"), 6).as("total_var"),
+        // square in DOUBLE: a (38,6)² decimal would need width 76
+        when(col("__svv") > 0, round(
+          col("__sv").cast("double") * col("__sv").cast("double")
+            / col("__svv").cast("double"), 6)).as("effective_dim"))
+      .withColumn("dim_ratio", when(col("effective_dim").isNotNull,
+        round(col("effective_dim") / col("dim").cast("double"), 6)))
+  }
+
   /**
    * Heaps' law fit — vocabulary growth V(n) = K·n^β against tokens seen
    * (Heaps 1978; β ≈ 0.4–0.6 for natural text): the companion diagnostic
@@ -597,20 +750,7 @@ object CorpusStats {
     require(gram >= 1 && gram <= 5, "gram in [1,5]")
     val b = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("long"), lit(nBuckets.toLong)).as("__b")
-    // materialize the token array ONCE per row before the shingle HOF —
-    // referencing the split() expression from inside the transform
-    // lambda would re-tokenize the document once per element_at call
-    // (gram × tokens evaluations per row — measured 10× the whole query)
-    val arred = docs.select(b, whitespaceTokens(lower(col(textCol))).as("__a"))
-    val arr = col("__a")
-    // 1-based element_at matches the oracle's 1-based list indexing;
-    // guard: Spark's sequence DESCENDS when stop < start (a <gram-token
-    // doc must contribute zero shingles, not a reversed index pair)
-    val shingles = when(size(arr) >= gram, transform(
-      sequence(lit(1), size(arr) - (gram - 1)),
-      i => concat_ws("|", (0 until gram).map(j => element_at(arr, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val tok = arred.select(col("__b"), explode(shingles).as("w"))
+    val tok = shingleTable(docs, textCol, gram, b)
     val tb = tok.groupBy(col("__b")).agg(count(lit(1)).as("tk"))
     val vb = tok.groupBy(col("w")).agg(min(col("__b")).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("vk"))

@@ -1274,6 +1274,66 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(r => r.getAs[Long]("dim") == 2L))
   }
 
+  test("vocabOverlap: hand trigram sets, clones score 1, containment " +
+      "asymmetry, single-source refusal") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d", "A"),   // {a|b|c, b|c|d}
+      (2L, "b c d e", "B"),   // {b|c|d, c|d|e}
+      (3L, "a b c d", "C")))  // clone of A
+      .toDF("doc_id", "text", "source")
+    val rows = graft.pipeline.CorpusStats.vocabOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = rows(("A", "B"))
+    assert(ab.getAs[Long]("intersection") == 1L)
+    assert(ab.getAs[Double]("jaccard") ==
+      BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(ab.getAs[Double]("containment_a") == 0.5)
+    val ac = rows(("A", "C"))
+    assert(ac.getAs[Double]("jaccard") == 1.0
+      && ac.getAs[Double]("containment_a") == 1.0)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusStats.vocabOverlap(
+        docs.where(col("source") === "A"), "text", "source")
+    }
+  }
+
+  test("embeddingEffectiveDim: isotropic uses all dims, collapse scores 1") {
+    val iso = spark.createDataFrame(Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(0f, -1f)))).toDF("id", "embedding")
+    val r = graft.pipeline.CorpusStats.embeddingEffectiveDim(iso, "embedding")
+      .head()
+    assert(r.getAs[Long]("dim") == 2L)
+    assert(r.getAs[Double]("effective_dim") == 2.0)
+    assert(r.getAs[Double]("dim_ratio") == 1.0)
+    // all variance on one axis: PR collapses to exactly 1
+    val flat = spark.createDataFrame(Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(2f, 0f)), (3L, Seq(3f, 0f))))
+      .toDF("id", "embedding")
+    val f = graft.pipeline.CorpusStats.embeddingEffectiveDim(flat, "embedding")
+      .head()
+    assert(f.getAs[Double]("effective_dim") == 1.0)
+    assert(f.getAs[Double]("dim_ratio") == 0.5)
+  }
+
+  test("lexicalRichness: hand TTR/hapax/Yule K; templated source spikes K") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a b c", "A"),            // a:2 b:1 c:1 → K = 10⁴·2/16
+      (2L, "x x x x x x x y", "B")))   // x:7 y:1 → templated
+      .toDF("doc_id", "text", "source")
+    val rows = graft.pipeline.CorpusStats.lexicalRichness(docs, "text", "source")
+      .orderBy("source").collect()
+    val Seq(a, b) = rows.toSeq
+    assert(a.getAs[Long]("n_tokens") == 4L && a.getAs[Long]("n_types") == 3L)
+    assert(a.getAs[Long]("n_hapax") == 2L)
+    assert(a.getAs[Double]("ttr") == 0.75)
+    assert(a.getAs[Double]("hapax_ratio") == 0.666667)
+    assert(a.getAs[Double]("yule_k") == 1250.0) // 10⁴·(6−4)/16
+    // x:7 y:1 → Σc² = 50, K = 10⁴·42/64 = 6562.5 ≫ A's
+    assert(b.getAs[Double]("yule_k") == 6562.5)
+    assert(b.getAs[Double]("ttr") == 0.25)
+  }
+
   test("Fusion.rrf: hand-checked two-system fusion; shared doc outranks singles") {
     val lex = spark.createDataFrame(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
       .toDF("id", "rank")

@@ -398,6 +398,22 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("simpsonDiversity: hand lambda and Hill numbers") {
+    import graft.operators.Profile
+    // g1: counts [2,2] → λ=8/16=0.5, eff=2; g2: [3,1] → λ=10/16, eff=1.6
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+      ("g2", "a"), ("g2", "a"), ("g2", "a"), ("g2", "b")).toDF("g", "t")
+    val rows = Profile.simpsonDiversity(df, "g", "t")
+      .orderBy("group").collect()
+    val Seq(g1, g2) = rows.toSeq
+    assert(g1.getAs[Double]("simpson") == 0.5
+      && g1.getAs[Double]("gini_simpson") == 0.5
+      && g1.getAs[Double]("effective_types") == 2.0)
+    assert(g2.getAs[Double]("simpson") == 0.625
+      && g2.getAs[Double]("effective_types") == 1.6)
+    assert(g2.getAs[Long]("n") == 4L && g2.getAs[Long]("n_types") == 2L)
+  }
+
   test("behavioralEntropy: hand 12dp term sums, uniform mix normalizes to 1, " +
       "single-type user gets NULL norm") {
     // A: 2 view + 2 click → H = ln 2; B: 4 view → H = 0, norm NULL;

@@ -355,6 +355,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(q.forall(!_.getAs[Boolean]("is_anomaly")))
   }
 
+  test("coverageReport: hand gaps, duplicate buckets collapse, complete key") {
+    // k observes buckets {0,1,2,5,9} (two t values land in bucket 0):
+    // expected 10, missing 5, longest gap 3 (buckets 6..8)
+    val df = Seq(("k", 0L), ("k", 5L), ("k", 10L), ("k", 20L), ("k", 50L),
+      ("k", 90L), ("m", 0L), ("m", 10L), ("m", 20L)).toDF("g", "t")
+    val rows = TimeSeries.coverageReport(df, "g", "t", step = 10L)
+      .orderBy("g").collect()
+    val Seq(k, m) = rows.toSeq
+    assert(k.getAs[Long]("n_observed") == 5L)
+    assert(k.getAs[Long]("t_min") == 0L && k.getAs[Long]("t_max") == 90L)
+    assert(k.getAs[Long]("n_expected") == 10L)
+    assert(k.getAs[Long]("n_missing") == 5L)
+    assert(k.getAs[Long]("longest_gap") == 3L)
+    assert(k.getAs[Double]("coverage") == 0.5)
+    assert(m.getAs[Long]("n_missing") == 0L && m.getAs[Long]("longest_gap") == 0L)
+    assert(m.getAs[Double]("coverage") == 1.0)
+  }
+
+  test("dispersionIndex: hand Fano, metronome is 0, zero series NULL") {
+    // counts 1,9,2: n=3 S=12 Q=86 → D=(258−144)/36 = 3.166667, mean 4
+    val df = Seq(("k", 0L, 1L), ("k", 1L, 9L), ("k", 2L, 2L),
+      ("m", 0L, 5L), ("m", 1L, 5L), ("m", 2L, 5L),
+      ("z", 0L, 0L), ("z", 1L, 0L)).toDF("g", "t", "c")
+    val rows = TimeSeries.dispersionIndex(df, "g", "t", "c")
+      .orderBy("g").collect()
+    val Seq(k, m, z) = rows.toSeq
+    assert(k.getAs[Double]("mean") == 4.0)
+    assert(k.getAs[Double]("dispersion") == 3.166667)
+    assert(m.getAs[Double]("dispersion") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("dispersion")))
+  }
+
   test("seasonalStrength: pure season scores 1 (flat deseason -> NULL trend); " +
       "pure trend scores 1 the other way") {
     // exact period-7 wave, no trend, no noise: resid 0 → f_seasonal 1;
