@@ -1845,6 +1845,25 @@ object SparkEntry {
           "day", "c")
         .orderBy("event_type")
     }),
+    "q323_diameter" -> ((s, dir) => {
+      // how wide is the bought-together graph: 2-sweep BFS lower bound
+      // from the md5-min node to its farthest node and back — two
+      // frontier expansions instead of |V|
+      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = 400L)
+      graft.operators.GraphOps.diameterEstimate(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+        maxHops = 12)
+    }),
+    "q324_log_odds" -> ((s, dir) => {
+      // what vocabulary distinguishes the English slice from the French:
+      // Monroe informative-Dirichlet log-odds z — pooled prior published
+      // 12dp, identical IEEE chains both engines, TakeOrdered by |z|
+      val docs = eng(s, dir).table("documents")
+      graft.pipeline.CorpusStats.logOddsTerms(
+        docs.where(col("lang") === "en"), docs.where(col("lang") === "fr"),
+        "doc_id", "text", priorMass = 100.0, topK = 40)
+    }),
     "q321_coverage" -> ((s, dir) => {
       // did any event type silently lose days: per-type calendar
       // coverage between first and last observation — exact bucket
@@ -5569,6 +5588,85 @@ object SparkEntry {
                         / CAST(CAST(n_buckets AS HUGEINT) * total AS DOUBLE), 6)
                 END AS dispersion
          FROM agg ORDER BY event_type""",
+    // q323: the shared brand graph, symmetrized; two bounded recursive
+    // walks — start = md5-min node, peripheral = (d desc, node) argmax
+    "q323_diameter" ->
+      """WITH RECURSIVE bi AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         ), pr AS (
+           SELECT x.i AS pa, y.i AS pb, count(*) AS support
+           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 400
+         ), e AS (
+           SELECT pa AS src, pb AS dst FROM pr
+           UNION ALL SELECT pb, pa FROM pr
+         ), nodes AS (
+           SELECT DISTINCT src AS node FROM e
+         ), st AS (
+           SELECT node FROM nodes ORDER BY md5(node), node LIMIT 1
+         ), w1(node, d) AS (
+           SELECT node, 0 FROM st
+           UNION
+           SELECT e.dst, w1.d + 1 FROM w1 JOIN e ON e.src = w1.node
+           WHERE w1.d < 12
+         ), d1 AS (
+           SELECT node, CAST(min(d) AS BIGINT) AS d FROM w1 GROUP BY 1
+         ), peri AS (
+           SELECT node, d FROM d1 ORDER BY d DESC, node ASC LIMIT 1
+         ), w2(node, d) AS (
+           SELECT node, 0 FROM peri
+           UNION
+           SELECT e.dst, w2.d + 1 FROM w2 JOIN e ON e.src = w2.node
+           WHERE w2.d < 12
+         ), d2 AS (
+           SELECT node, CAST(min(d) AS BIGINT) AS d FROM w2 GROUP BY 1
+         )
+         SELECT (SELECT node FROM st) AS start_node,
+                (SELECT d FROM peri) AS ecc_start,
+                (SELECT node FROM peri) AS peripheral_node,
+                CAST(max(d2.d) AS BIGINT) AS diameter_lb,
+                (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_reached_start,
+                CAST(count(*) AS BIGINT) AS n_reached_peripheral
+         FROM d2""",
+    // q324: identical 12dp alpha then the same IEEE ln/sqrt chains
+    "q324_log_odds" ->
+      """WITH ta AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents WHERE lang = 'en'
+         ), tb AS (
+           SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+           FROM documents WHERE lang = 'fr'
+         ), ca AS (SELECT w, CAST(count(*) AS BIGINT) AS y_a FROM ta GROUP BY 1),
+         cb AS (SELECT w, CAST(count(*) AS BIGINT) AS y_b FROM tb GROUP BY 1),
+         j AS (
+           SELECT COALESCE(ca.w, cb.w) AS w, COALESCE(y_a, 0) AS y_a,
+                  COALESCE(y_b, 0) AS y_b
+           FROM ca FULL OUTER JOIN cb ON cb.w = ca.w
+         ), tot AS (
+           SELECT CAST(sum(y_a) AS BIGINT) AS na, CAST(sum(y_b) AS BIGINT) AS nb
+           FROM j
+         ), al AS (
+           SELECT j.w, j.y_a, j.y_b, t.na, t.nb,
+                  round(100.0 * CAST(j.y_a + j.y_b AS DOUBLE)
+                        / CAST(t.na + t.nb AS DOUBLE), 12) AS alpha
+           FROM j CROSS JOIN tot t
+         ), sc AS (
+           SELECT w, y_a, y_b, alpha,
+                  round(ln((CAST(y_a AS DOUBLE) + alpha)
+                           / (CAST(na AS DOUBLE) + 100.0 - CAST(y_a AS DOUBLE) - alpha))
+                        - ln((CAST(y_b AS DOUBLE) + alpha)
+                             / (CAST(nb AS DOUBLE) + 100.0 - CAST(y_b AS DOUBLE) - alpha)),
+                        12) AS delta
+           FROM al
+         )
+         SELECT w, y_a, y_b, alpha, delta,
+                round(delta / sqrt(1.0 / (CAST(y_a AS DOUBLE) + alpha)
+                                 + 1.0 / (CAST(y_b AS DOUBLE) + alpha)), 6) AS z
+         FROM sc
+         ORDER BY abs(round(delta / sqrt(1.0 / (CAST(y_a AS DOUBLE) + alpha)
+                                 + 1.0 / (CAST(y_b AS DOUBLE) + alpha)), 6)) DESC, w ASC
+         LIMIT 40""",
     // q321: exact bucket indices, lag gaps per key, one divide
     "q321_coverage" ->
       """WITH b AS (

@@ -360,6 +360,45 @@ object GraphOps {
   }
 
   /**
+   * Graph diameter estimate by DOUBLE BFS (the 2-sweep lower bound,
+   * Magnien et al. 2009): BFS from the deterministic md5-min node to
+   * its farthest reachable node u, then BFS from u — u's eccentricity
+   * is the classic tight lower bound on the true diameter (exact on
+   * trees), at the cost of TWO sweeps instead of |V|. Undirected: edges
+   * are symmetrized like [[landmarkCloseness]]. Ties at "farthest"
+   * break by node id — a total order both engines share. `maxHops`
+   * caps each sweep (a hit at the cap means the bound is "≥ maxHops",
+   * visible in the output).
+   *
+   * Output: one row (start_node, ecc_start, peripheral_node,
+   * diameter_lb, n_reached_start, n_reached_peripheral).
+   */
+  def diameterEstimate(edges: DataFrame, maxHops: Int = 16): DataFrame = {
+    val und = edges.selectExpr("cast(src as string) as src",
+        "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    // materialize the (possibly expensive) edge derivation ONCE — the
+    // start pick and BOTH sweeps reuse it (the landmarkCloseness lesson)
+    val sym = und.unionByName(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val start = sym.select(col("src").as("node")).distinct()
+      .orderBy(md5(col("node")), col("node")).limit(1)
+      .head().getString(0)
+    val d1 = bfsHops(sym, start, maxHops)
+    val s1 = d1.orderBy(col("d").desc, col("node").asc).limit(1).head()
+    val (peripheral, ecc) = (s1.getString(0), s1.getLong(1))
+    val n1 = d1.count()
+    val d2 = bfsHops(sym, peripheral, maxHops)
+    val s2 = d2.agg(max(col("d")).as("m"), count(lit(1)).as("n")).head()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((start, ecc, peripheral, s2.getLong(0), n1, s2.getLong(1)))
+      .toDF("start_node", "ecc_start", "peripheral_node", "diameter_lb",
+        "n_reached_start", "n_reached_peripheral")
+  }
+
+  /**
    * Landmark (pivot) closeness centrality — exact all-pairs closeness
    * needs a BFS per node; the standard scale fallback (Potamias et al.
    * 2009) picks L landmarks and scores every node by its distances to

@@ -118,6 +118,54 @@ object CorpusStats {
   }
 
   /**
+   * Distinguishing terms by log-odds with an informative Dirichlet
+   * prior (Monroe, Colaresi & Quinn 2008) — the variance-aware "what
+   * words make slice A sound different from slice B", the method that
+   * fixes what raw count deltas ([[vocabDrift]]) and PMI get wrong at
+   * both frequency extremes: the pooled-corpus prior shrinks rare-word
+   * noise, the z-score (δ/√σ²) downweights common-word certainty.
+   *
+   *   α_w = A·(y_a+y_b)/(n_a+n_b)   (pooled prior, 12dp-published)
+   *   δ_w = ln((y_a+α)/(n_a+A−y_a−α)) − ln((y_b+α)/(n_b+A−y_b−α))
+   *   z_w = δ_w / √(1/(y_a+α) + 1/(y_b+α))
+   *
+   * Every downstream value composes from the PUBLISHED 12dp α (then
+   * identical IEEE expression chains — the abTest z doctrine), δ
+   * publishes 12dp, z 6dp. Shape: one token count per side, one
+   * token-keyed full-outer join, broadcast totals, TakeOrdered
+   * top-`topK` by (|z| desc, token asc).
+   *
+   * Output: (w, y_a, y_b, alpha, delta, z), strongest first.
+   */
+  def logOddsTerms(v0: DataFrame, v1: DataFrame, idCol: String,
+      textCol: String, priorMass: Double = 100.0,
+      topK: Int = 40): DataFrame = {
+    require(priorMass > 0 && topK >= 1, "priorMass > 0, topK >= 1")
+    def cnt(df: DataFrame, tag: String) =
+      tokenTable(df, idCol, textCol).groupBy(col("w"))
+        .agg(count(lit(1)).as(s"y_$tag"))
+    val j = cnt(v0, "a").join(cnt(v1, "b"), Seq("w"), "full_outer")
+      .na.fill(0L, Seq("y_a", "y_b"))
+    val tot = j.agg(sum(col("y_a")).as("__na"), sum(col("y_b")).as("__nb"))
+    val a = lit(priorMass)
+    val withAlpha = j.crossJoin(broadcast(tot))
+      .withColumn("alpha", round(a * (col("y_a") + col("y_b")).cast("double")
+        / (col("__na") + col("__nb")).cast("double"), 12))
+    def side(y: Column, n: Column): Column =
+      log((y.cast("double") + col("alpha"))
+        / (n.cast("double") + a - y.cast("double") - col("alpha")))
+    withAlpha
+      .withColumn("delta",
+        round(side(col("y_a"), col("__na")) - side(col("y_b"), col("__nb")), 12))
+      .withColumn("z", round(col("delta")
+        / sqrt(lit(1.0) / (col("y_a").cast("double") + col("alpha"))
+             + lit(1.0) / (col("y_b").cast("double") + col("alpha"))), 6))
+      .select("w", "y_a", "y_b", "alpha", "delta", "z")
+      .orderBy(abs(col("z")).desc, col("w").asc)
+      .limit(topK)
+  }
+
+  /**
    * EXACT heavy hitters via the 2-pass sketch pattern: a Misra-Gries
    * candidate sketch ([[graft.expr.MisraGriesCandidates]], a custom
    * `TypedImperativeAggregate` with `capacity`-bounded mergeable state)

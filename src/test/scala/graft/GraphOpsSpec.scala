@@ -301,6 +301,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(reached == expect)
   }
 
+  test("diameterEstimate: exact on a path; cap visible; component-local") {
+    import spark.implicits._
+    // path a-b-c-d-e: 2-sweep is exact on trees → diameter 4
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val r = GraphOps.diameterEstimate(path, maxHops = 12).head()
+    assert(r.getAs[Long]("diameter_lb") == 4L)
+    assert(r.getAs[Long]("n_reached_start") == 5L
+      && r.getAs[Long]("n_reached_peripheral") == 5L)
+    assert(Set("a", "e")(r.getAs[String]("peripheral_node")))
+    // a tight maxHops caps the bound (reads as ">= cap")
+    val capped = GraphOps.diameterEstimate(path, maxHops = 2).head()
+    assert(capped.getAs[Long]("diameter_lb") <= 2L)
+    // second component is invisible from the start's component
+    val two = path.unionByName(Seq(("x", "y")).toDF("src", "dst"))
+    val t = GraphOps.diameterEstimate(two, maxHops = 12).head()
+    assert(t.getAs[Long]("n_reached_start") == 5L ||
+      t.getAs[Long]("n_reached_start") == 2L)
+  }
+
   test("degreeAssortativity: star is exactly -1; regular graph has no variance") {
     import spark.implicits._
     // K1,3: hub deg 3 meets leaves deg 1 on every edge → r = −1

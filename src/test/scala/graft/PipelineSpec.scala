@@ -1334,6 +1334,39 @@ class PipelineSpec extends SparkSpec {
     assert(b.getAs[Double]("ttr") == 0.25)
   }
 
+  test("logOddsTerms: replayed Monroe chain, side swap negates delta") {
+    val v0 = spark.createDataFrame(Seq((1L, "a a b"))).toDF("doc_id", "text")
+    val v1 = spark.createDataFrame(Seq((2L, "a b b b"))).toDF("doc_id", "text")
+    val rows = graft.pipeline.CorpusStats
+      .logOddsTerms(v0, v1, "doc_id", "text", priorMass = 100.0, topK = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent replay: na=3 nb=4, alpha_w = 100*(ya+yb)/7 at 12dp
+    def expect(ya: Long, yb: Long): (Double, Double, Double) = {
+      val alpha = r12(100.0 * (ya + yb) / 7.0)
+      val delta = r12(
+        math.log((ya + alpha) / (3.0 + 100.0 - ya - alpha))
+          - math.log((yb + alpha) / (4.0 + 100.0 - yb - alpha)))
+      val z = r6(delta / math.sqrt(1.0 / (ya + alpha) + 1.0 / (yb + alpha)))
+      (alpha, delta, z)
+    }
+    val (aA, dA, zA) = expect(2L, 1L)
+    assert(rows("a").getAs[Double]("alpha") == aA)
+    assert(rows("a").getAs[Double]("delta") == dA)
+    assert(rows("a").getAs[Double]("z") == zA)
+    val (_, dB, _) = expect(1L, 3L)
+    assert(rows("b").getAs[Double]("delta") == dB)
+    assert(dA > 0 && dB < 0) // a leans side A, b leans side B
+    // swapping the sides negates delta exactly (same IEEE terms)
+    val sw = graft.pipeline.CorpusStats
+      .logOddsTerms(v1, v0, "doc_id", "text", 100.0, 10)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("delta")).toMap
+    assert(sw("a") == -dA && sw("b") == -dB)
+  }
+
   test("Fusion.rrf: hand-checked two-system fusion; shared doc outranks singles") {
     val lex = spark.createDataFrame(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
       .toDF("id", "rank")
