@@ -1864,6 +1864,40 @@ object SparkEntry {
         docs.where(col("lang") === "en"), docs.where(col("lang") === "fr"),
         "doc_id", "text", priorMass = 100.0, topK = 40)
     }),
+    "q325_priority_sample" -> ((s, dir) => {
+      // keep 100 orders but let big orders speak for their revenue:
+      // Duffield priority sample with the unbiased max(w, tau)
+      // estimator — TakeOrdered top-(k+1), true total published beside
+      // the estimate
+      graft.pipeline.Sampling.prioritySample(eng(s, dir).table("orders"),
+        "o_orderkey",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        k = 100, salt = "prio-r12")
+    }),
+    "q326_survival_quantiles" -> ((s, dir) => {
+      // median (and quartile) time-to-purchase read off the q203 KM
+      // curve — censoring-correct, NULL where the curve never drops
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("tc"))
+      val subjects = perUser.select(
+        when(col("tc").isNotNull, col("tc") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("tc").isNotNull.as("ev"))
+      graft.operators.Survival.survivalQuantiles(subjects, "dur", col("ev"))
+    }),
+    "q327_capture_recapture" -> ((s, dir) => {
+      // how many customers exist if two independent 40% observation
+      // lists are all we have: Chapman estimate from the overlap, true
+      // coverage published beside it
+      val c = eng(s, dir).table("customer")
+      graft.operators.Profile.captureRecapture(
+        graft.pipeline.Sampling.hashSample(c, "c_custkey", 0.4, "crA"),
+        graft.pipeline.Sampling.hashSample(c, "c_custkey", 0.4, "crB"),
+        "c_custkey")
+    }),
     "q321_coverage" -> ((s, dir) => {
       // did any event type silently lose days: per-type calendar
       // coverage between first and last observation — exact bucket
@@ -5667,6 +5701,122 @@ object SparkEntry {
          ORDER BY abs(round(delta / sqrt(1.0 / (CAST(y_a AS DOUBLE) + alpha)
                                  + 1.0 / (CAST(y_b AS DOUBLE) + alpha)), 6)) DESC, w ASC
          LIMIT 40""",
+    // q325: identical 52-bit u, one-divide priorities, same top-(k+1)
+    // cut and published-6dp estimate sum
+    "q325_priority_sample" ->
+      """WITH base AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+                  CAST(('0x' || substr(md5('prio-r12:' || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS UBIGINT) AS h
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+             AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+         ), pr AS (
+           SELECT o_orderkey, w,
+                  CAST(w AS DOUBLE) / ((CAST(h AS DOUBLE) + 1.0) / 4503599627370496.0) AS p
+           FROM base
+         ), top AS (
+           SELECT * FROM pr ORDER BY p DESC, o_orderkey ASC LIMIT 101
+         ), tt AS (
+           SELECT CAST(count(*) AS BIGINT) AS kk, min(p) AS tau FROM top
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS total_w
+           FROM base
+         ), samp AS (
+           SELECT t.o_orderkey, t.w, t.p,
+                  CASE WHEN tt.kk <= 100 THEN CAST(t.w AS DOUBLE)
+                       ELSE greatest(CAST(t.w AS DOUBLE), tt.tau) END AS w_est,
+                  tt.kk, tt.tau
+           FROM top t CROSS JOIN tt
+           WHERE tt.kk <= 100 OR t.p > tt.tau
+         ), est AS (
+           SELECT CAST(sum(CAST(round(w_est, 0) AS DECIMAL(38,0))) AS DOUBLE) AS est_total
+           FROM samp
+         )
+         SELECT s.o_orderkey, s.w, round(s.p, 0) AS priority,
+                round(s.w_est, 0) AS w_est,
+                CASE WHEN s.kk > 100 THEN round(s.tau, 0) END AS tau,
+                tot.n, tot.total_w, est.est_total,
+                CASE WHEN tot.total_w > 0 THEN
+                  round((est.est_total - CAST(tot.total_w AS DOUBLE))
+                        / CAST(tot.total_w AS DOUBLE), 6) END AS rel_err
+         FROM samp s CROSS JOIN tot CROSS JOIN est
+         ORDER BY priority DESC, o_orderkey ASC""",
+    // q326: the q203 KM chain, then first-crossing min per quantile
+    "q326_survival_quantiles" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tc
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CASE WHEN tc IS NOT NULL THEN tc - t0 ELSE tl - t0 END AS t,
+                  tc IS NOT NULL AS ev
+           FROM pu
+         ), tot AS (SELECT count(*) AS n FROM subj),
+         byt AS (
+           SELECT t, CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+                  CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS nc
+           FROM subj GROUP BY 1
+         ), c1 AS (
+           SELECT t, ne, nc,
+                  sum(ne + nc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gone
+           FROM byt
+         ), c2 AS (
+           SELECT c1.t, c1.ne, c1.nc,
+                  CAST(tot.n - c1.gone + c1.ne + c1.nc AS BIGINT) AS nr
+           FROM c1 CROSS JOIN tot
+         ), c3 AS (
+           SELECT *, CASE WHEN ne = nr THEN 1 ELSE 0 END AS z,
+                  CASE WHEN ne = nr THEN 0.0
+                       ELSE round(ln(1.0 - CAST(ne AS DOUBLE) / CAST(nr AS DOUBLE)), 12) END AS term
+           FROM c2
+         ), c4 AS (
+           SELECT *,
+                  sum(CAST(term AS DECIMAL(24,12))) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls,
+                  max(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS az
+           FROM c3
+         ), km AS (
+           SELECT t, CASE WHEN az = 1 THEN 0.0
+                          ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival
+           FROM c4 WHERE ne > 0
+         ), qs AS (SELECT unnest([0.75, 0.5, 0.25]) AS q),
+         hit AS (
+           SELECT q.q, min(k.t) AS t_q
+           FROM qs q LEFT JOIN km k ON k.survival <= q.q
+           GROUP BY 1
+         )
+         SELECT h.q, h.t_q, k2.survival AS survival_at
+         FROM hit h LEFT JOIN km k2 ON k2.t = h.t_q
+         ORDER BY h.q DESC""",
+    // q327: identical md5 slice predicates (cutHex(0.4) = '66666666'),
+    // Chapman (nA+1)(nB+1)/(m+1) − 1 as one exact divide
+    "q327_capture_recapture" ->
+      """WITH ka AS (
+           SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+           WHERE substr(md5('crA:' || CAST(c_custkey AS VARCHAR)), 1, 8) < '66666666'
+         ), kb AS (
+           SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+           WHERE substr(md5('crB:' || CAST(c_custkey AS VARCHAR)), 1, 8) < '66666666'
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS overlap
+           FROM ka JOIN kb ON kb.k = ka.k
+         ), na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ka),
+         nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM kb),
+         nh AS (
+           SELECT na.n_a, nb.n_b, m.overlap,
+                  round(CAST(CAST(na.n_a + 1 AS HUGEINT) * (nb.n_b + 1) AS DOUBLE)
+                        / CAST(m.overlap + 1 AS DOUBLE) - 1.0, 6) AS n_hat
+           FROM na CROSS JOIN nb CROSS JOIN m
+         )
+         SELECT n_a, n_b, overlap, n_hat,
+                CASE WHEN n_hat > 0 THEN
+                  round(CAST(n_a AS DOUBLE) / n_hat, 6) END AS coverage_a,
+                CASE WHEN n_hat > 0 THEN
+                  round(CAST(n_b AS DOUBLE) / n_hat, 6) END AS coverage_b
+         FROM nh""",
     // q321: exact bucket indices, lag gaps per key, one divide
     "q321_coverage" ->
       """WITH b AS (

@@ -325,6 +325,40 @@ object Profile {
         "effective_types")
   }
 
+  /**
+   * Capture-recapture population estimate (Chapman 1951) — "how many
+   * distinct entities exist that we have only PARTIALLY observed":
+   * given two independent observation lists A and B of the same
+   * population, N̂ = (n_A+1)(n_B+1)/(m+1) − 1 with m = |A∩B|. The
+   * coverage auditor for logs/crawls (two scrapers, two days, two
+   * mirrors — the overlap tells you what neither saw), nearly unbiased
+   * where the naive Lincoln–Petersen n_A·n_B/m blows up at m = 0.
+   *
+   * Exact: one distinct per side, one key-keyed inner-join count, the
+   * Chapman estimate is ONE divide of exact DECIMAL(38,0) products.
+   * Output: one row (n_a, n_b, overlap, n_hat, coverage_a, coverage_b)
+   * — coverages = n/N̂ compose from the published estimate.
+   */
+  def captureRecapture(a: DataFrame, b: DataFrame,
+      keyCol: String): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val ka = a.select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull).distinct().localCheckpoint(true)
+    val kb = b.select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull).distinct().localCheckpoint(true)
+    val m = ka.join(kb, "k").agg(count(lit(1)).as("overlap"))
+    val na = ka.agg(count(lit(1)).as("n_a"))
+    val nb = kb.agg(count(lit(1)).as("n_b"))
+    na.crossJoin(nb).crossJoin(m)
+      .withColumn("n_hat", round(
+        ((d(col("n_a")) + 1) * (d(col("n_b")) + 1)).cast("double")
+          / (col("overlap") + 1L).cast("double") - lit(1.0), 6))
+      .withColumn("coverage_a", when(col("n_hat") > 0,
+        round(col("n_a").cast("double") / col("n_hat"), 6)))
+      .withColumn("coverage_b", when(col("n_hat") > 0,
+        round(col("n_b").cast("double") / col("n_hat"), 6)))
+  }
+
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val cents = (col(valCol).cast("decimal(18,2)") * 100).cast("bigint")
     val digits = df.where(col(valCol) > 0)

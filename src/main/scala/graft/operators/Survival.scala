@@ -160,6 +160,38 @@ object Survival {
         .cast("double"), 6).as("rmst"))
   }
 
+  /**
+   * Survival quantiles — median (and friends) survival time read off
+   * the [[kaplanMeier]] curve: t_q = the first event time where the
+   * PUBLISHED 6dp survival drops to ≤ q. "Median time to churn" is the
+   * single most-quoted survival number; unlike a plain median of
+   * observed durations it is censoring-correct. A curve that never
+   * reaches q (heavy censoring) publishes NULL — loudly undefined, the
+   * standard convention.
+   *
+   * Shape: the bounded KM curve cross-joined with the ≤16 requested
+   * quantiles, one (q) min-aggregation. Output per q (desc): (q, t_q,
+   * survival_at) where survival_at is the curve value AT t_q.
+   */
+  def survivalQuantiles(df: DataFrame, durationCol: String,
+      eventCol: Column, qs: Seq[Double] = Seq(0.75, 0.5, 0.25)): DataFrame = {
+    require(qs.nonEmpty && qs.size <= 16, "1..16 quantiles")
+    require(qs.forall(q => q > 0 && q < 1), "quantiles in (0,1)")
+    require(qs.distinct.size == qs.size, "duplicate quantiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val km = kaplanMeier(df, durationCol, eventCol)
+      .select(col("t"), col("survival")).localCheckpoint(true)
+    val qDf = qs.map(q => BigDecimal(q).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).toDF("q")
+    val hit = qDf.join(km, km("survival") <= qDf("q"), "left")
+      .groupBy(col("q")).agg(min(col("t")).as("t_q"))
+    hit.join(km.select(col("t").as("t_q"), col("survival").as("survival_at")),
+        Seq("t_q"), "left")
+      .select(col("q"), col("t_q"), col("survival_at"))
+      .orderBy(col("q").desc)
+  }
+
   def logRank(df: DataFrame, durationCol: String, eventCol: Column,
       groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),

@@ -157,6 +157,70 @@ object Sampling {
    * Output per stratum: (stratum, rate, n, n_sampled, total_units,
    * est_units, rel_err), ordered by stratum.
    */
+  /**
+   * Priority sampling (Duffield, Lund & Thorup 2007) — the
+   * weight-proportional k-sample with an UNBIASED total estimator, the
+   * standard answer to "keep k rows but let big rows still speak for
+   * their mass" (flow telemetry, revenue-weighted corpus subsampling).
+   * Each row gets priority p = w / u with u = (h+1)/2⁵² its salted-md5
+   * fraction in (0,1]; the sample is the top-k by priority and every
+   * sampled row's estimated weight is max(w, τ) where τ is the
+   * (k+1)-th priority — Σ max(w, τ) is unbiased for the true total.
+   *
+   * Determinism: u is a pure function of (salt, id); priorities are one
+   * double divide of exact operands — identical IEEE values on any
+   * engine — and the top-k cut carries the (priority desc, id) total
+   * order (TakeOrderedAndProject; the threshold row is ONE extra row,
+   * never a second scan). The true total is published beside the
+   * estimate (the horvitzThompson audit discipline: the design's error
+   * is itself a gate number).
+   *
+   * Output: k rows (`idCol`, w, priority, w_est) ordered by priority
+   * desc, each carrying (tau, n, total_w, est_total, rel_err).
+   * Published priority/tau/w_est are whole-unit rounded: at their
+   * w·2⁵²/(h+1) magnitude a finer grain is below double ULP.
+   */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String = "prio"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val two52 = 4503599627370496.0 // 2^52
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val base = df.select(col(idCol), weightCol.cast("long").as("w"))
+      .where(col("w").isNotNull && col("w") > 0 && col(idCol).isNotNull)
+      .withColumn("__p", col("w").cast("double")
+        / ((h.cast("double") + 1.0) / lit(two52)))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("w")).as("total_w"))
+    val top = base.orderBy(col("__p").desc, col(idCol).asc).limit(k + 1)
+      .localCheckpoint(true) // k+1 rows; cut once, reuse for tau + sample
+    val tau = top.agg(count(lit(1)).as("__kk"), min(col("__p")).as("__tau"))
+    val sample = top.crossJoin(broadcast(tau))
+      // with fewer than k+1 rows every row is sampled and tau plays no
+      // role (the estimator degenerates to the exact total)
+      .where(col("__kk") <= k || col("__p") > col("__tau"))
+      .withColumn("w_est", when(col("__kk") <= k, col("w").cast("double"))
+        .otherwise(greatest(col("w").cast("double"), col("__tau"))))
+    // decimal-sum the PUBLISHED whole-unit estimates (the Σ doctrine).
+    // Priorities/τ/estimates live at w/u ≈ 2⁵²-fraction scale (1e10+ for
+    // cent weights) where a 6dp round sits BELOW double ULP and is
+    // engine-divergent — whole units are the safe publishing grain.
+    // est_total is an exact integer sum of whole-unit estimates — cast
+    // straight to double (a round(·, 6) at 1e12 magnitude is itself
+    // ULP-mangled in some engines)
+    val est = sample.agg(
+      sum(round(col("w_est"), 0).cast("decimal(38,0)")).cast("double")
+        .as("est_total"))
+    sample.crossJoin(broadcast(tot)).crossJoin(broadcast(est))
+      .select(col(idCol), col("w"), round(col("__p"), 0).as("priority"),
+        round(col("w_est"), 0).as("w_est"),
+        when(col("__kk") > k, round(col("__tau"), 0)).as("tau"),
+        col("n"), col("total_w"), col("est_total"),
+        when(col("total_w") > 0, round(
+          (col("est_total") - col("total_w").cast("double"))
+            / col("total_w").cast("double"), 6)).as("rel_err"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+  }
+
   def horvitzThompson(df: DataFrame, idCol: String, strataCol: String,
       unitsCol: Column, rates: Map[String, Double],
       salt: String = "ht"): DataFrame = {

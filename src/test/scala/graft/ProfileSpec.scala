@@ -398,6 +398,20 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("captureRecapture: hand Chapman, duplicates collapse, coverages") {
+    import graft.operators.Profile
+    val a = Seq(1L, 2L, 3L, 4L, 4L).toDF("k") // dup collapses: nA = 4
+    val b = Seq(3L, 4L, 5L, 6L).toDF("k")
+    val r = Profile.captureRecapture(a, b, "k").head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("overlap") == 2L)
+    // Chapman: 5·5/3 − 1 = 7.333333
+    assert(r.getAs[Double]("n_hat") == 7.333333)
+    assert(r.getAs[Double]("coverage_a") ==
+      BigDecimal(4.0 / 7.333333).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("simpsonDiversity: hand lambda and Hill numbers") {
     import graft.operators.Profile
     // g1: counts [2,2] → λ=8/16=0.5, eff=2; g2: [3,1] → λ=10/16, eff=1.6

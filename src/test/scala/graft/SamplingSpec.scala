@@ -206,4 +206,42 @@ class SamplingSpec extends SparkSpec {
     assert(re == Sampling.horvitzThompson(df, "id", "st", col("v"), rates)
       .collect().map(_.toSeq).toSet)
   }
+
+  test("prioritySample: degenerate n<=k is exact; n>k replays priorities, " +
+      "w_est = max(w, tau), layout-free") {
+    import spark.implicits._
+    // n <= k: every row sampled, the estimator degenerates to the total
+    val tiny = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "w")
+    val t = Sampling.prioritySample(tiny, "id", col("w"), k = 5, salt = "s")
+      .collect()
+    assert(t.length == 3)
+    assert(t.forall(r => r.getAs[Double]("w_est") == r.getAs[Long]("w").toDouble))
+    assert(t.forall(_.getAs[Double]("est_total") == 60.0))
+    assert(t.forall(_.getAs[Double]("rel_err") == 0.0))
+    assert(t.forall(r => r.isNullAt(r.fieldIndex("tau"))))
+    // n > k: replay the priority formula independently and check the cut
+    val df = (1 to 50).map(i => (i.toLong, (i % 7 + 1).toLong * 100L))
+      .toDF("id", "w")
+    val got = Sampling.prioritySample(df, "id", col("w"), k = 10, salt = "s2")
+      .collect()
+    assert(got.length <= 10)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val prios = (1 to 50).map { i =>
+      val w = (i % 7 + 1).toLong * 100L
+      val h = java.lang.Long.parseLong(md5hex(s"s2:$i").take(13), 16)
+      (i.toLong, w, w.toDouble / ((h.toDouble + 1.0) / 4503599627370496.0))
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val tau = prios(10)._3
+    val expIds = prios.take(11).filter(_._3 > tau).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq == expIds)
+    got.foreach { r =>
+      val w = r.getAs[Long]("w").toDouble
+      assert(r.getAs[Double]("w_est") == BigDecimal(math.max(w, tau))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val again = Sampling.prioritySample(df.repartition(7), "id", col("w"),
+      10, "s2").collect()
+    assert(got.toSeq == again.toSeq)
+  }
 }

@@ -90,6 +90,23 @@ class SurvivalSpec extends SparkSpec {
     assert(r.getAs[Double]("rmst") == 5.375)
   }
 
+  test("survivalQuantiles: first-crossing picks, never-reached is NULL") {
+    // S: 0.75 from t=2, 0.375 from t=6 (the first-test cohort)
+    val df = Seq((2L, true), (4L, false), (6L, true), (8L, false))
+      .toDF("dur", "ev")
+    val rows = Survival.survivalQuantiles(df, "dur", col("ev"),
+      qs = Seq(0.75, 0.5, 0.25)).collect()
+    assert(rows.map(_.getAs[Double]("q")).toSeq == Seq(0.75, 0.5, 0.25))
+    assert(rows(0).getAs[Long]("t_q") == 2L
+      && rows(0).getAs[Double]("survival_at") == 0.75)
+    assert(rows(1).getAs[Long]("t_q") == 6L
+      && rows(1).getAs[Double]("survival_at") == 0.375)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("t_q"))) // never ≤ 0.25
+    intercept[IllegalArgumentException] {
+      Survival.survivalQuantiles(df, "dur", col("ev"), qs = Seq(1.5))
+    }
+  }
+
   test("rmst: tau at/below the first event is the all-alive rectangle") {
     val df = Seq((2L, true), (4L, false)).toDF("dur", "ev")
     val r = Survival.rmst(df, "dur", col("ev"), tau = 2L).head()
