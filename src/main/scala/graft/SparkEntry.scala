@@ -1898,6 +1898,31 @@ object SparkEntry {
         graft.pipeline.Sampling.hashSample(c, "c_custkey", 0.4, "crB"),
         "c_custkey")
     }),
+    "q328_stream_gaps" -> ((s, dir) => {
+      // the q321 coverage audit INSIDE a stream: flatMapGroupsWithState
+      // carries the last seen bucket per key (2 longs, bounded forever)
+      // and fires one alarm row per hole as the next bucket lands;
+      // day % 11 == 3 is dropped upstream so the holes are real.
+      // Single-file replay -> exact batch parity with the lag oracle
+      import s.implicits._
+      val base = tmpDir("q328")
+      val daily = eng(s, dir).table("events")
+        .where(col("event_type").isNotNull)
+        .select(col("event_type").as("key"),
+          expr("CAST(ts AS LONG) div 86400").as("i"))
+        .distinct()
+        .where(pmod(col("i"), lit(11)) =!= 3)
+      daily.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(daily.schema).parquet(base + "/feed")
+        .as[(String, Long)]
+      val q = graft.streaming.Stateful.gapAlarms(stream).toDF()
+        .writeStream.format("memory").queryName("q328_gaps_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val fin = q.awaitTermination(120000); q.stop()
+      require(fin, "q328_stream_gaps: streaming query did not finish within 120 s")
+      s.table("q328_gaps_mem").orderBy("key", "gap_start")
+    }),
     "q321_coverage" -> ((s, dir) => {
       // did any event type silently lose days: per-type calendar
       // coverage between first and last observation — exact bucket
@@ -5817,6 +5842,25 @@ object SparkEntry {
                 CASE WHEN n_hat > 0 THEN
                   round(CAST(n_b AS DOUBLE) / n_hat, 6) END AS coverage_b
          FROM nh""",
+    // q328: the batch lag-gap computation IS the oracle — single-file
+    // replay gives exact stream/batch parity
+    "q328_stream_gaps" ->
+      """WITH b AS (
+           SELECT DISTINCT event_type AS key,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS i
+           FROM events WHERE event_type IS NOT NULL
+         ), kept AS (
+           SELECT key, i FROM b WHERE i % 11 <> 3
+         ), g AS (
+           SELECT key, i,
+                  lag(i) OVER (PARTITION BY key ORDER BY i) AS prev
+           FROM kept
+         )
+         SELECT key, CAST(prev + 1 AS BIGINT) AS gap_start,
+                CAST(i - 1 AS BIGINT) AS gap_end,
+                CAST(i - 1 - prev AS BIGINT) AS missed
+         FROM g WHERE prev IS NOT NULL AND i > prev + 1
+         ORDER BY key, gap_start""",
     // q321: exact bucket indices, lag gaps per key, one divide
     "q321_coverage" ->
       """WITH b AS (

@@ -205,6 +205,48 @@ object Stateful {
    *
    * State: 4 longs per key, forever bounded; emission is append-mode.
    */
+  final case class GapState(lastI: Long, n: Long)
+  final case class GapAlarm(key: String, gap_start: Long, gap_end: Long,
+    missed: Long)
+
+  /**
+   * Streaming missing-bucket (heartbeat) alarms — the STREAMING twin of
+   * `TimeSeries.coverageReport`: per key, carry the last seen bucket
+   * index across micro-batches (2 longs, bounded forever) and emit one
+   * alarm row per hole the moment the first bucket AFTER it arrives
+   * ("days 12–13 never reported" fires as day 14 lands). Within a batch
+   * rows sort by bucket index (the ewmaAlarms in-order discipline);
+   * late or duplicate buckets (i ≤ last) are DROPPED by the same
+   * contract. Replayed as a single-file feed the output equals the
+   * batch lag-gap computation row for row — which is what the oracle
+   * computes.
+   *
+   * Output (append): (key, gap_start, gap_end, missed) per hole.
+   */
+  def gapAlarms(buckets: Dataset[(String, Long)]): Dataset[GapAlarm] = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets.groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[GapState]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L))
+          val out = List.newBuilder[GapAlarm]
+          sorted.foreach { i =>
+            if (st.n == 0L) st = GapState(i, 1L)
+            else if (i > st.lastI) {
+              if (i > st.lastI + 1L)
+                out += GapAlarm(key, st.lastI + 1L, i - 1L, i - 1L - st.lastI)
+              st = GapState(i, st.n + 1L)
+            } // i <= lastI: late or duplicate — dropped by contract
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def ewmaAlarms(events: Dataset[(String, Timestamp, Long)],
       k: Int = 3): Dataset[EwmaAlarm] = {
     require(k >= 1 && k <= 10, s"k in [1,10]: $k")

@@ -497,4 +497,31 @@ class StreamingSpec extends SparkSpec {
       assert(after.toSeq == Seq((14L, 10L), (10L, 12L), (100L, 11L), (55L, 55L)))
     } finally q.stop()
   }
+
+  test("Stateful.gapAlarms: holes fire across batch boundaries, late " +
+      "buckets dropped, per-key isolation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Stateful.gapAlarms(mem.toDS())
+      .writeStream.format("memory").queryName("gaptest")
+      .outputMode("append").start()
+    try {
+      mem.addData(("k", 1L), ("k", 2L), ("m", 10L))
+      q.processAllAvailable()
+      assert(spark.table("gaptest").count() == 0) // contiguous so far
+      // batch 2: k jumps 2 -> 5 (hole 3-4, fires as 5 lands) then 5 -> 7
+      mem.addData(("k", 5L), ("k", 7L), ("m", 11L))
+      q.processAllAvailable()
+      val rows = spark.table("gaptest").orderBy("key", "gap_start")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(rows.toSeq == Seq(("k", 3L, 4L, 2L), ("k", 6L, 6L, 1L)))
+      // a late bucket (0 < last) neither alarms nor disturbs the state
+      mem.addData(("k", 0L), ("k", 8L))
+      q.processAllAvailable()
+      assert(spark.table("gaptest").count() == 2) // 7 -> 8 is contiguous
+    } finally q.stop()
+  }
 }
