@@ -1898,6 +1898,35 @@ object SparkEntry {
         graft.pipeline.Sampling.hashSample(c, "c_custkey", 0.4, "crB"),
         "c_custkey")
     }),
+    "q329_hellinger" -> ((s, dir) => {
+      // the bounded-metric twin of q182's PSI on the same snapshot
+      // pair: Bhattacharyya + Hellinger over declared [0,500k) bins —
+      // symmetric, in [0,1], no near-empty-bin blow-up
+      val (v0, v1) = snapPair(s, dir)
+      graft.operators.DistDrift.hellinger(v0, v1, "o_totalprice",
+        lo = 0.0, hi = 500000.0, nBins = 10)
+    }),
+    "q330_cliffs_delta" -> ((s, dir) => {
+      // the effect SIZE behind q233's Mann-Whitney z: P(URGENT beats
+      // LOW) − P(LOW beats URGENT) from the same exact half-unit rank
+      // sums, one divide, standard magnitude bands
+      val two = eng(s, dir).table("orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("arm"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.operators.DistDrift.cliffsDelta(two, col("cents"), col("arm"))
+    }),
+    "q331_standardized_rates" -> ((s, dir) => {
+      // Simpson-proof conversion comparison: per-nation-standardized
+      // big-purchase rates for BUILDING vs MACHINERY customers — the
+      // pooled stratum mix reweights both groups, raw rates published
+      // beside so any paradox is visible
+      val cust = eng(s, dir).table("customer")
+        .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      graft.operators.Experiment.standardizedRates(cust,
+        col("c_nationkey"), col("c_mktsegment"), col("c_acctbal") > 5000)
+    }),
     "q328_stream_gaps" -> ((s, dir) => {
       // the q321 coverage audit INSIDE a stream: flatMapGroupsWithState
       // carries the last seen bucket per key (2 longs, bounded forever)
@@ -5842,6 +5871,107 @@ object SparkEntry {
                 CASE WHEN n_hat > 0 THEN
                   round(CAST(n_b AS DOUBLE) / n_hat, 6) END AS coverage_b
          FROM nh""",
+    // q329: the q182 share chain with √(p·q) terms; hellinger composes
+    // from the published bc
+    "q329_hellinger" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         n0 AS (SELECT count(*) AS n FROM v0), n1 AS (SELECT count(*) AS n FROM v1),
+         bins AS (SELECT unnest(range(10)) AS bin),
+         b0 AS (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0.0), 9.0) AS BIGINT) AS bin,
+                       count(*) AS c FROM v0 GROUP BY 1),
+         b1 AS (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 50000.0), 0.0), 9.0) AS BIGINT) AS bin,
+                       count(*) AS c FROM v1 GROUP BY 1),
+         p AS (SELECT bins.bin, CAST(COALESCE(b0.c, 0) + 1 AS DOUBLE) / CAST(n0.n + 10 AS DOUBLE) AS p
+               FROM bins LEFT JOIN b0 ON b0.bin = bins.bin CROSS JOIN n0),
+         q AS (SELECT bins.bin, CAST(COALESCE(b1.c, 0) + 1 AS DOUBLE) / CAST(n1.n + 10 AS DOUBLE) AS q
+               FROM bins LEFT JOIN b1 ON b1.bin = bins.bin CROSS JOIN n1),
+         bc AS (
+           SELECT round(CAST(sum(CAST(round(sqrt(p.p * q.q), 12) AS DECIMAL(20,12))) AS DOUBLE), 6) AS bc
+           FROM p JOIN q ON q.bin = p.bin
+         )
+         SELECT (SELECT CAST(n AS BIGINT) FROM n0) AS n_a,
+                (SELECT CAST(n AS BIGINT) FROM n1) AS n_b, bc,
+                round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
+         FROM bc""",
+    // q330: the q233 exact half-unit rank machinery; delta is one
+    // HUGEINT divide, bands applied to the published value
+    "q330_cliffs_delta" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         ), r AS (
+           SELECT g, v, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+           FROM s
+         ), sums AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(2 * rnk + ties - 1) AS BIGINT) AS r2x
+           FROM r GROUP BY 1
+         ), a AS (SELECT n, r2x FROM sums WHERE g = '1-URGENT'),
+         b AS (SELECT n FROM sums WHERE g = '5-LOW'),
+         f AS (
+           SELECT a.n AS n_a, b.n AS n_b, a.r2x - a.n * (a.n + 1) AS u2x
+           FROM a, b
+         ), d AS (
+           SELECT n_a, n_b, u2x,
+                  round(CAST(CAST(u2x AS HUGEINT) - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+                        / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE), 6) AS delta
+           FROM f
+         )
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b, n_a, n_b,
+                CAST(u2x AS DOUBLE) / 2.0 AS u_a, delta,
+                CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                     WHEN abs(delta) < 0.33 THEN 'small'
+                     WHEN abs(delta) < 0.474 THEN 'medium'
+                     ELSE 'large' END AS magnitude
+         FROM d""",
+    // q331: per-stratum expected conversions round 6dp (count scale),
+    // decimal-summed, one final divide by the on-support pooled N
+    "q331_standardized_rates" ->
+      """WITH s AS (
+           SELECT CAST(c_nationkey AS VARCHAR) AS s, c_mktsegment AS g,
+                  CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS y
+           FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+             AND c_nationkey IS NOT NULL
+         ), cells AS (
+           SELECT s, g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS c
+           FROM s GROUP BY 1, 2
+         ), a AS (SELECT s, n AS na, c AS ca FROM cells WHERE g = 'BUILDING'),
+         b AS (SELECT s, n AS nb, c AS cb FROM cells WHERE g = 'MACHINERY'),
+         onsup AS (
+           SELECT a.s, a.na, a.ca, b.nb, b.cb, a.na + b.nb AS ns
+           FROM a JOIN b ON b.s = a.s
+         ), off AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_off FROM a
+           FULL OUTER JOIN b ON b.s = a.s
+           WHERE a.s IS NULL OR b.s IS NULL
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                  CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+                  CAST(sum(ca) AS BIGINT) AS csa, CAST(sum(cb) AS BIGINT) AS csb,
+                  CAST(sum(ns) AS BIGINT) AS nn,
+                  sum(CAST(round(CAST(CAST(ns AS HUGEINT) * ca AS DOUBLE)
+                      / CAST(na AS DOUBLE), 6) AS DECIMAL(38,6))) AS wa,
+                  sum(CAST(round(CAST(CAST(ns AS HUGEINT) * cb AS DOUBLE)
+                      / CAST(nb AS DOUBLE), 6) AS DECIMAL(38,6))) AS wb
+           FROM onsup
+         )
+         SELECT 'BUILDING' AS group_a, 'MACHINERY' AS group_b,
+                agg.n_a, agg.n_b,
+                round(CAST(agg.csa AS DOUBLE) / CAST(agg.n_a AS DOUBLE), 6) AS raw_a,
+                round(CAST(agg.csb AS DOUBLE) / CAST(agg.n_b AS DOUBLE), 6) AS raw_b,
+                round(CAST(agg.wa AS DOUBLE) / CAST(agg.nn AS DOUBLE), 6) AS std_a,
+                round(CAST(agg.wb AS DOUBLE) / CAST(agg.nn AS DOUBLE), 6) AS std_b,
+                agg.n_strata, off.n_off AS n_off_support,
+                round(round(CAST(agg.csb AS DOUBLE) / CAST(agg.n_b AS DOUBLE), 6)
+                      - round(CAST(agg.csa AS DOUBLE) / CAST(agg.n_a AS DOUBLE), 6), 6) AS raw_diff,
+                round(round(CAST(agg.wb AS DOUBLE) / CAST(agg.nn AS DOUBLE), 6)
+                      - round(CAST(agg.wa AS DOUBLE) / CAST(agg.nn AS DOUBLE), 6), 6) AS std_diff
+         FROM agg CROSS JOIN off""",
     // q328: the batch lag-gap computation IS the oracle — single-file
     // replay gives exact stream/batch parity
     "q328_stream_gaps" ->

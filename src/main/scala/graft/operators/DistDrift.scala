@@ -647,6 +647,67 @@ object DistDrift {
       .withColumn("h_corrected", when(!isnan(col("h_corrected")), col("h_corrected")))
   }
 
+  /**
+   * Bhattacharyya coefficient + Hellinger distance between two samples
+   * over declared equi-width bins — the bounded-metric drift pair the
+   * PSI/JSD family lacks: Hellinger is a TRUE metric in [0,1]
+   * (H² = 1 − BC, BC = Σ√(p·q)), immune to PSI's blow-up on
+   * near-empty bins and symmetrical where KL is not. Same Laplace-
+   * smoothed declared-bin shares as [[psi]] (the 100 TB guarantee:
+   * the bin relation is nBins by construction); per-bin √(p·q) terms
+   * 12dp-round and DECIMAL-sum; hellinger composes from the PUBLISHED
+   * bc with one sqrt. Output: one row (n_a, n_b, bc, hellinger).
+   */
+  def hellinger(dfA: DataFrame, dfB: DataFrame, valCol: String,
+      lo: Double, hi: Double, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && hi > lo, "need nBins >= 2 and hi > lo")
+    val (na, nb) = (dfA.count(), dfB.count())
+    val p = shares(dfA, valCol, lo, hi, nBins, na).withColumnRenamed("share", "p")
+    val q = shares(dfB, valCol, lo, hi, nBins, nb).withColumnRenamed("share", "q")
+    p.join(q, "bin")
+      .agg(round(sum(round(sqrt(col("p") * col("q")), 12)
+        .cast("decimal(20,12)")).cast("double"), 6).as("bc"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("bc"),
+        round(sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))), 6)
+          .as("hellinger"))
+  }
+
+  /**
+   * Cliff's delta — the distribution-free effect size the Mann-Whitney
+   * z only tests: δ = P(a > b) − P(a < b) = 2U₁/(n_a·n_b) − 1 ∈ [−1,1],
+   * the "how often does a random A beat a random B" number that stays
+   * meaningful when variances are unequal and Cohen's d is not. Rides
+   * the SAME distributed rank machinery as [[mannWhitney]] (exact
+   * half-unit rank sums from bucketed prefix sums — no per-row window,
+   * no pair join): with u2x = 2U₁ exact, δ = (u2x − n_a·n_b)/(n_a·n_b)
+   * is ONE divide of exact integers, 6dp. The magnitude band applies
+   * the standard Romano et al. cuts to the PUBLISHED δ.
+   * Output: one row (group_a, group_b, n_a, n_b, u_a, delta, magnitude).
+   */
+  def cliffsDelta(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
+    val subj = df.select(groupCol.cast("string").as("g"),
+      valCol.cast("long").as("v"))
+    val (sums, _) = rankSums(subj)
+    require(sums.length == 2,
+      s"cliffsDelta needs exactly two groups, got ${sums.map(_._1).toSeq}")
+    val Array((ga, na, r2xa), (gb, nb, _)) = sums
+    val u2x = r2xa - na * (na + 1L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    Seq((ga, gb, na, nb, u2x)).toDF("group_a", "group_b", "n_a", "n_b", "__u2x")
+      .withColumn("u_a", col("__u2x").cast("double") / 2.0)
+      .withColumn("delta", round(
+        (d(col("__u2x")) - d(col("n_a")) * d(col("n_b"))).cast("double")
+          / (d(col("n_a")) * d(col("n_b"))).cast("double"), 6))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
+      .select("group_a", "group_b", "n_a", "n_b", "u_a", "delta", "magnitude")
+  }
+
   def mannWhitney(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))

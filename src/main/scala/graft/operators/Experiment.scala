@@ -117,6 +117,73 @@ object Experiment {
   }
 
   /**
+   * Direct standardization of two groups' conversion rates (the
+   * epidemiology-standard adjusted comparison; Simpson's-paradox
+   * armor for product metrics): both groups' per-stratum rates are
+   * re-weighted by the POOLED stratum mix w_s = n_s/N, so a group
+   * can't look better merely by over-indexing on an easy stratum.
+   *
+   *   std_g = ( Σ_s round(n_s·c_gs/n_gs, 6) ) / N
+   *
+   * — each per-stratum term is the group's EXPECTED conversions under
+   * the pooled mix (one divide of exact counts, 6dp on the count
+   * scale), DECIMAL-summed (the Σ doctrine), with ONE final divide by
+   * the on-support pooled N; raw rates publish beside the standardized
+   * ones so the paradox is visible when it happens. Strata missing a
+   * group are EXCLUDED from both sums and counted (the strataMatchAtt
+   * off-support discipline). One (stratum, group) aggregation; k
+   * strata rows.
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, raw_a, raw_b, std_a,
+   * std_b, raw_diff, std_diff, n_strata, n_off_support) — diffs
+   * compose from the published 6dp rates.
+   */
+  def standardizedRates(units: DataFrame, strataCol: Column,
+      groupCol: Column, converted: Column): DataFrame = {
+    val s = units.select(strataCol.cast("string").as("s"),
+        groupCol.cast("string").as("g"),
+        when(converted, 1L).otherwise(0L).as("y"))
+      .where(col("s").isNotNull && col("g").isNotNull)
+    val gs = s.select(col("g")).distinct().orderBy(col("g")).collect()
+      .map(_.getString(0))
+    require(gs.length == 2,
+      s"standardizedRates needs exactly two groups, got ${gs.toSeq}")
+    val cells = s.groupBy(col("s"), col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("c"))
+    val a = cells.where(col("g") === gs(0))
+      .select(col("s"), col("n").as("na"), col("c").as("ca"))
+    val b = cells.where(col("g") === gs(1))
+      .select(col("s"), col("n").as("nb"), col("c").as("cb"))
+    val onSupport = a.join(b, "s")
+      .withColumn("ns", col("na") + col("nb"))
+    val off = a.join(b, Seq("s"), "full_outer")
+      .where(col("na").isNull || col("nb").isNull).count()
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = onSupport.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum(col("ca")).as("__csa"), sum(col("cb")).as("__csb"),
+      sum(col("ns")).as("__nn"),
+      sum(round((d(col("ns")) * d(col("ca"))).cast("double")
+        / d(col("na")).cast("double"), 6).cast("decimal(38,6)")).as("__wa"),
+      sum(round((d(col("ns")) * d(col("cb"))).cast("double")
+        / d(col("nb")).cast("double"), 6).cast("decimal(38,6)")).as("__wb"))
+    agg.select(lit(gs(0)).as("group_a"), lit(gs(1)).as("group_b"),
+        col("n_a"), col("n_b"),
+        round(col("__csa").cast("double") / col("n_a").cast("double"), 6)
+          .as("raw_a"),
+        round(col("__csb").cast("double") / col("n_b").cast("double"), 6)
+          .as("raw_b"),
+        round(col("__wa").cast("double") / col("__nn").cast("double"), 6)
+          .as("std_a"),
+        round(col("__wb").cast("double") / col("__nn").cast("double"), 6)
+          .as("std_b"),
+        col("n_strata"), lit(off).as("n_off_support"))
+      .withColumn("raw_diff", round(col("raw_b") - col("raw_a"), 6))
+      .withColumn("std_diff", round(col("std_b") - col("std_a"), 6))
+  }
+
+  /**
    * Difference-in-differences readout (Card & Krueger 1994 canonical
    * form) — the quasi-experimental estimator for when there IS no
    * randomized arm: compare the treated group's pre→post change against

@@ -311,4 +311,36 @@ class DistDriftSpec extends SparkSpec {
     val degRows = DistDrift.chi2Residuals(deg, "a", "b").collect()
     assert(degRows.forall(_.isNullAt(4)))
   }
+
+  test("hellinger: identical samples score 0, separated masses replay by hand") {
+    val a = (1 to 10).map(_ => 1.0).toDF("v")
+    val b = (1 to 10).map(_ => 9.0).toDF("v")
+    val same = DistDrift.hellinger(a, a, "v", lo = 0.0, hi = 10.0,
+      nBins = 2).head()
+    assert(same.getAs[Double]("bc") == 1.0) // Laplace shares sum to 1
+    assert(same.getAs[Double]("hellinger") == 0.0)
+    // p = (11/12, 1/12), q = (1/12, 11/12): bc = 2·r12(√(11)/12)
+    val sep = DistDrift.hellinger(a, b, "v", 0.0, 10.0, 2).head()
+    def r(x: Double, n: Int) = BigDecimal(x)
+      .setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val term = r(math.sqrt((11.0 / 12) * (1.0 / 12)), 12)
+    val bc = r((BigDecimal(term) * 2).toDouble, 6)
+    assert(sep.getAs[Double]("bc") == bc)
+    assert(sep.getAs[Double]("hellinger") == r(math.sqrt(1.0 - bc), 6))
+  }
+
+  test("cliffsDelta: total separation is ±1, all-tied is 0, rides the exact ranks") {
+    val sep = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r1 = DistDrift.cliffsDelta(sep, col("v"), col("g")).head()
+    assert(r1.getAs[String]("group_a") == "A")
+    assert(r1.getAs[Double]("delta") == -1.0) // every B beats every A
+    assert(r1.getAs[String]("magnitude") == "large")
+    val rev = Seq(("A", 9L), ("B", 1L)).toDF("g", "v")
+    assert(DistDrift.cliffsDelta(rev, col("v"), col("g"))
+      .head().getAs[Double]("delta") == 1.0)
+    val tied = Seq(("A", 5L), ("B", 5L)).toDF("g", "v")
+    val rt = DistDrift.cliffsDelta(tied, col("v"), col("g")).head()
+    assert(rt.getAs[Double]("delta") == 0.0)
+    assert(rt.getAs[String]("magnitude") == "negligible")
+  }
 }

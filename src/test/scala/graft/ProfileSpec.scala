@@ -398,6 +398,35 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("standardizedRates: Simpson scenario flips under the pooled mix; " +
+      "off-support strata excluded and counted") {
+    import graft.operators.Experiment
+    // A: s1 80 rows r=.5, s2 20 rows r=.1 → raw .42
+    // B: s1 20 rows r=.4, s2 80 rows r=.075 → raw .14
+    // pooled mix 100/100 → std_a = (50+10)/200 = .3, std_b = (40+7.5)/200
+    // plus an A-only stratum s3 (off-support, excluded)
+    def rows(g: String, s: String, n: Int, c: Int) =
+      (0 until n).map(i => (s, g, i < c))
+    val units = (rows("A", "s1", 80, 40) ++ rows("A", "s2", 20, 2) ++
+      rows("B", "s1", 20, 8) ++ rows("B", "s2", 80, 6) ++
+      rows("A", "s3", 10, 10))
+      .toDF("s", "g", "y")
+    val r = Experiment.standardizedRates(units, col("s"), col("g"), col("y"))
+      .head()
+    assert(r.getAs[String]("group_a") == "A")
+    assert(r.getAs[Long]("n_a") == 100L && r.getAs[Long]("n_b") == 100L)
+    assert(r.getAs[Double]("raw_a") == 0.42 && r.getAs[Double]("raw_b") == 0.14)
+    assert(r.getAs[Double]("std_a") == 0.3)
+    assert(r.getAs[Double]("std_b") == 0.2375)
+    assert(r.getAs[Long]("n_strata") == 2L
+      && r.getAs[Long]("n_off_support") == 1L)
+    assert(r.getAs[Double]("std_diff") == -0.0625)
+    intercept[IllegalArgumentException] {
+      Experiment.standardizedRates(units.where(col("g") === "A"),
+        col("s"), col("g"), col("y"))
+    }
+  }
+
   test("captureRecapture: hand Chapman, duplicates collapse, coverages") {
     import graft.operators.Profile
     val a = Seq(1L, 2L, 3L, 4L, 4L).toDF("k") // dup collapses: nA = 4
