@@ -1927,6 +1927,37 @@ object SparkEntry {
       graft.operators.Experiment.standardizedRates(cust,
         col("c_nationkey"), col("c_mktsegment"), col("c_acctbal") > 5000)
     }),
+    "q332_qte" -> ((s, dir) => {
+      // WHERE does URGENT differ from LOW, not just on average:
+      // exact type-1 quantiles at p = .25/.5/.75 per arm from
+      // group-partitioned cumulative counts, rational rank compares,
+      // qte = q_b − q_a with no rounding anywhere
+      val two = eng(s, dir).table("orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("arm"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.operators.DistDrift.quantileTreatmentEffect(two,
+        col("cents"), col("arm"))
+    }),
+    "q333_sign_test" -> ((s, dir) => {
+      // did per-user spend rise in the second half of the month:
+      // paired sign test over exact cross-multiplied mean compares
+      // (sa·nb vs sb·na — no float mean ever compared), ties excluded
+      val mid = 1705363200L // 2024-01-16T00:00:00Z
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val per = eng(s, dir).table("events")
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(
+          sum(when(col("ts").cast("long") < mid, cents)).as("s1"),
+          sum(when(col("ts").cast("long") < mid, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("ts").cast("long") >= mid, cents)).as("s2"),
+          sum(when(col("ts").cast("long") >= mid, 1L).otherwise(0L)).as("n2"))
+        .where(col("n1") > 0 && col("n2") > 0)
+      graft.operators.Experiment.signTest(per,
+        col("s1").cast("decimal(38,0)") * col("n2"),
+        col("s2").cast("decimal(38,0)") * col("n1"))
+    }),
     "q328_stream_gaps" -> ((s, dir) => {
       // the q321 coverage audit INSIDE a stream: flatMapGroupsWithState
       // carries the last seen bucket per key (2 longs, bounded forever)
@@ -5972,6 +6003,64 @@ object SparkEntry {
                 round(round(CAST(agg.wb AS DOUBLE) / CAST(agg.nn AS DOUBLE), 6)
                       - round(CAST(agg.wa AS DOUBLE) / CAST(agg.nn AS DOUBLE), 6), 6) AS std_diff
          FROM agg CROSS JOIN off""",
+    // q332: per-group cumulative counts over the distinct relation,
+    // exact rational rank compares cum·den ≥ num·n
+    "q332_qte" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         ), pv AS (
+           SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM s GROUP BY 1, 2
+         ), cum AS (
+           SELECT g, v,
+                  CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+           FROM pv
+         ), ps AS (
+           SELECT * FROM (VALUES (1, 4, CAST(0.25 AS DOUBLE)),
+                                 (1, 2, CAST(0.5 AS DOUBLE)),
+                                 (3, 4, CAST(0.75 AS DOUBLE))) AS t(pn, pd, p)
+         ), picks AS (
+           SELECT ps.p, c.g, min(c.v) AS q, max(c.n) AS n
+           FROM ps JOIN cum c ON c.cum * ps.pd >= ps.pn * c.n
+           GROUP BY 1, 2
+         ), a AS (SELECT p, n AS n_a, q AS q_a FROM picks WHERE g = '1-URGENT'),
+         b AS (SELECT p, n AS n_b, q AS q_b FROM picks WHERE g = '5-LOW')
+         SELECT a.p, CAST(a.n_a AS BIGINT) AS n_a, CAST(b.n_b AS BIGINT) AS n_b,
+                a.q_a, b.q_b, b.q_b - a.q_a AS qte
+         FROM a JOIN b ON b.p = a.p ORDER BY a.p""",
+    // q333: identical exact cross-multiplied mean compares, one sqrt
+    "q333_sign_test" ->
+      """WITH per AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < 1705363200
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS s1,
+                  CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < 1705363200
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
+                       THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS s2,
+                  CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) >= 1705363200
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1
+         ), ok AS (SELECT * FROM per WHERE n1 > 0 AND n2 > 0),
+         cnt AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN CAST(s2 AS HUGEINT) * n1 > CAST(s1 AS HUGEINT) * n2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                  CAST(sum(CASE WHEN CAST(s2 AS HUGEINT) * n1 < CAST(s1 AS HUGEINT) * n2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                  CAST(sum(CASE WHEN CAST(s2 AS HUGEINT) * n1 = CAST(s1 AS HUGEINT) * n2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+           FROM ok
+         )
+         SELECT n_pairs, n_pos, n_neg, n_tie,
+                CASE WHEN n_pos + n_neg > 0 THEN
+                  round(CAST(n_pos - n_neg AS DOUBLE)
+                        / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 6) END AS z
+         FROM cnt""",
     // q328: the batch lag-gap computation IS the oracle — single-file
     // replay gives exact stream/batch parity
     "q328_stream_gaps" ->

@@ -708,6 +708,63 @@ object DistDrift {
       .select("group_a", "group_b", "n_a", "n_b", "u_a", "delta", "magnitude")
   }
 
+  /**
+   * Quantile treatment effect (QTE) — the per-quantile difference
+   * between two groups' value distributions: where a mean difference
+   * says "B is bigger on average", the QTE curve says WHERE (a
+   * treatment that only moves the top decile shows qte ≈ 0 at the
+   * median — invisible to the mean, obvious here). Type-1 exact
+   * quantiles: q_g(p) = the smallest value whose cumulative count
+   * reaches ⌈p·n_g⌉, computed from per-group cumulative counts over
+   * the DISTINCT (group, value) relation (group-partitioned window —
+   * bounded by per-group value cardinality, the weightedMedian class).
+   * Probabilities are dyadic-or-decimal RATIONALS num/den so the rank
+   * ⌈p·n⌉ = (p_num·n + p_den − 1) div p_den is pure integer arithmetic.
+   *
+   * Output per p (asc): (p, n_a, n_b, q_a, q_b, qte = q_b − q_a) —
+   * exact integers, no rounding anywhere.
+   */
+  def quantileTreatmentEffect(df: DataFrame, valCol: Column,
+      groupCol: Column, ps: Seq[(Long, Long)] = Seq((1L, 4L), (1L, 2L),
+        (3L, 4L))): DataFrame = {
+    require(ps.nonEmpty && ps.size <= 16, "1..16 quantiles")
+    require(ps.forall { case (n, d) => n >= 1 && n < d }, "p in (0,1)")
+    val subj = df.select(groupCol.cast("string").as("g"),
+        valCol.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val gs = subj.select(col("g")).distinct().orderBy(col("g")).collect()
+      .map(_.getString(0))
+    require(gs.length == 2,
+      s"quantileTreatmentEffect needs exactly two groups, got ${gs.toSeq}")
+    val perValue = subj.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wG = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perValue
+      .withColumn("__cum", sum(col("cnt")).over(wG))
+      .withColumn("__n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      .localCheckpoint(true) // reused once per requested quantile
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pDf = ps.map { case (n, d) => (n, d,
+      BigDecimal(n).setScale(6)./(BigDecimal(d)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("__pn", "__pd", "p")
+    val picks = pDf.crossJoin(cum)
+      .where(col("__cum") * col("__pd") >=
+        col("__pn") * col("__n")) // cum ≥ ⌈p·n⌉ ⟺ cum·den ≥ num·n
+      .groupBy(col("p"), col("g"))
+      .agg(min(col("v")).as("q"), max(col("__n")).as("n"))
+    val a = picks.where(col("g") === gs(0))
+      .select(col("p"), col("n").as("n_a"), col("q").as("q_a"))
+    val b = picks.where(col("g") === gs(1))
+      .select(col("p"), col("n").as("n_b"), col("q").as("q_b"))
+    a.join(b, "p")
+      .select(col("p"), col("n_a"), col("n_b"), col("q_a"), col("q_b"),
+        (col("q_b") - col("q_a")).as("qte"))
+      .orderBy(col("p"))
+  }
+
   def mannWhitney(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))

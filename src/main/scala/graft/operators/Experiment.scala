@@ -184,6 +184,33 @@ object Experiment {
   }
 
   /**
+   * Paired sign test — the assumption-free "did values go UP for more
+   * units than down" read over paired numeric measurements (the
+   * continuous-pair sibling of [[mcnemar]]'s binary table): S⁺ counts
+   * pairs with after > before, S⁻ the reverse, ties are EXCLUDED (the
+   * standard convention), z = (S⁺ − S⁻)/√(S⁺ + S⁻). No normality, no
+   * variance model — the test survives arbitrary per-unit scales,
+   * which is exactly why it's the first paired check on skewed
+   * engagement metrics. One map-combined count aggregation; the z is
+   * one sqrt + one divide of exact counts.
+   *
+   * Output: one row (n_pairs, n_pos, n_neg, n_tie, z) — z NULL when
+   * every pair ties.
+   */
+  def signTest(pairs: DataFrame, beforeCol: Column,
+      afterCol: Column): DataFrame = {
+    val s = pairs.select(beforeCol.as("__b"), afterCol.as("__a"))
+      .where(col("__b").isNotNull && col("__a").isNotNull)
+    s.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__a") > col("__b"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__a") < col("__b"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_tie"))
+      .withColumn("z", when(col("n_pos") + col("n_neg") > 0, round(
+        (col("n_pos") - col("n_neg")).cast("double")
+          / sqrt((col("n_pos") + col("n_neg")).cast("double")), 6)))
+  }
+
+  /**
    * Difference-in-differences readout (Card & Krueger 1994 canonical
    * form) — the quasi-experimental estimator for when there IS no
    * randomized arm: compare the treated group's pre→post change against

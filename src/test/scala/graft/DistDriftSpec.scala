@@ -329,6 +329,28 @@ class DistDriftSpec extends SparkSpec {
     assert(sep.getAs[Double]("hellinger") == r(math.sqrt(1.0 - bc), 6))
   }
 
+  test("quantileTreatmentEffect: exact type-1 picks, constant shift, ties") {
+    val df = (Seq(1L, 2L, 3L, 4L).map(("A", _)) ++
+      Seq(11L, 12L, 13L, 14L).map(("B", _))).toDF("g", "v")
+    val rows = DistDrift.quantileTreatmentEffect(df, col("v"), col("g"))
+      .collect()
+    assert(rows.map(_.getAs[Double]("p")).toSeq == Seq(0.25, 0.5, 0.75))
+    assert(rows.map(_.getAs[Long]("q_a")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getAs[Long]("q_b")).toSeq == Seq(11L, 12L, 13L))
+    assert(rows.forall(_.getAs[Long]("qte") == 10L))
+    // an all-tied group picks its single value at every p
+    val tied = (Seq.fill(4)(("A", 5L)) ++ Seq(("B", 1L), ("B", 9L)))
+      .toDF("g", "v")
+    val t = DistDrift.quantileTreatmentEffect(tied, col("v"), col("g"))
+      .collect()
+    assert(t.forall(_.getAs[Long]("q_a") == 5L))
+    assert(t.map(_.getAs[Long]("q_b")).toSeq == Seq(1L, 1L, 9L))
+    intercept[IllegalArgumentException] {
+      DistDrift.quantileTreatmentEffect(df.where(col("g") === "A"),
+        col("v"), col("g"))
+    }
+  }
+
   test("cliffsDelta: total separation is ±1, all-tied is 0, rides the exact ranks") {
     val sep = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
     val r1 = DistDrift.cliffsDelta(sep, col("v"), col("g")).head()

@@ -427,6 +427,20 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("signTest: hand counts, ties excluded, all-tied NULL z") {
+    import graft.operators.Experiment
+    val pairs = Seq((1L, 2L), (1L, 3L), (5L, 4L), (7L, 7L)).toDF("b", "a")
+    val r = Experiment.signTest(pairs, col("b"), col("a")).head()
+    assert(r.getAs[Long]("n_pairs") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("n_neg") == 1L && r.getAs[Long]("n_tie") == 1L)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(1.0 / math.sqrt(3.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val allTied = Seq((3L, 3L), (9L, 9L)).toDF("b", "a")
+    val t = Experiment.signTest(allTied, col("b"), col("a")).head()
+    assert(t.isNullAt(t.fieldIndex("z")) && t.getAs[Long]("n_tie") == 2L)
+  }
+
   test("captureRecapture: hand Chapman, duplicates collapse, coverages") {
     import graft.operators.Profile
     val a = Seq(1L, 2L, 3L, 4L, 4L).toDF("k") // dup collapses: nA = 4
