@@ -1958,6 +1958,22 @@ object SparkEntry {
         col("s1").cast("decimal(38,0)") * col("n2"),
         col("s2").cast("decimal(38,0)") * col("n1"))
     }),
+    "q334_aa_calibration" -> ((s, dir) => {
+      // is the assignment machinery NULL-calibrated: 8 independent A/A
+      // splits of the same customers and metric — z-scores must parade
+      // like standard normals, the summary counts |z| > 1.96
+      graft.operators.Experiment.aaCalibration(eng(s, dir).table("customer"),
+        "c_custkey", col("c_acctbal") > 5000,
+        salts = (1 to 8).map(i => s"aa$i"))
+    }),
+    "q335_nn_label_agreement" -> ((s, dir) => {
+      // does the embedding space respect the labels: 1-NN label
+      // agreement on the deterministic md5 sample — O(k²) on the
+      // sample only, 6dp cosines, (cos, id) struct-max neighbor pick
+      graft.pipeline.CorpusStats.nnLabelAgreement(
+        eng(s, dir).table("embeddings"), "vec_id", "embedding", "label",
+        hexPrefix = "a")
+    }),
     "q328_stream_gaps" -> ((s, dir) => {
       // the q321 coverage audit INSIDE a stream: flatMapGroupsWithState
       // carries the last seen bucket per key (2 longs, bounded forever)
@@ -4927,6 +4943,44 @@ object SparkEntry {
     * ranking, HUGEINT squared distances with row_number (dist, idx)
     * tie-break, floor-divided centroid updates, empty clusters COALESCE
     * to the previous round's centroid. */
+  /** q334 oracle: one q193-style A/A block per salt, UNION ALL'd, with
+    * the summary composed from the published per-salt z values. */
+  private val duckAaCalibration: String = {
+    val blocks = (1 to 8).map(i => s"aa$i").sorted.map { s =>
+      s"""SELECT '$s' AS salt,
+            CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN arm = 'A' THEN big ELSE 0 END) AS BIGINT) AS conv_a,
+            CAST(sum(CASE WHEN arm = 'B' THEN big ELSE 0 END) AS BIGINT) AS conv_b
+          FROM (
+            SELECT CASE WHEN CAST(CAST(('0x' || substr(md5('$s:' || CAST(c_custkey AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                             / 4503599627370496.0 < 0.5
+                        THEN 'A' ELSE 'B' END AS arm,
+                   CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS big
+            FROM customer)"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per0 AS (
+         $blocks
+       ), per AS (
+         SELECT salt, n_a, n_b, conv_a, conv_b,
+                round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                       - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                      / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                             * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z
+         FROM per0
+       ), summ AS (
+         SELECT max(abs(z)) AS max_abs_z,
+                CAST(sum(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_196
+         FROM per
+       )
+       SELECT p.salt, p.n_a, p.n_b, p.conv_a, p.conv_b, p.z,
+              s2.max_abs_z, s2.n_over_196
+       FROM per p CROSS JOIN summ s2 ORDER BY p.salt"""
+  }
+
   private def duckKmeansDist(c: String) =
     s"""CAST(p.f0 - $c.c0 AS HUGEINT) * CAST(p.f0 - $c.c0 AS HUGEINT)
         + CAST(p.f1 - $c.c1 AS HUGEINT) * CAST(p.f1 - $c.c1 AS HUGEINT)"""
@@ -6061,6 +6115,35 @@ object SparkEntry {
                   round(CAST(n_pos - n_neg AS DOUBLE)
                         / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 6) END AS z
          FROM cnt""",
+    // q334: eight q193-style A/A blocks UNION ALL'd; summary composes
+    // from the published z values
+    "q334_aa_calibration" -> duckAaCalibration,
+    // q335: the q213 sample + list_cosine_similarity spelling; neighbor
+    // pick replayed as (c DESC, b DESC) row_number
+    "q335_nn_label_agreement" ->
+      """WITH s AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings
+           WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = 'a'
+         ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled FROM s),
+         p AS (
+           SELECT a.vec_id AS a, a.label AS la, b.label AS lb,
+                  round(list_cosine_similarity(a.v, b.v), 6) AS c, b.vec_id AS b
+           FROM s a JOIN s b ON a.vec_id <> b.vec_id
+         ), nn AS (
+           SELECT a, la, lb FROM (
+             SELECT a, la, lb,
+                    row_number() OVER (PARTITION BY a ORDER BY c DESC, b DESC) AS rn
+             FROM p
+           ) WHERE rn = 1
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_scored,
+                  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           FROM nn WHERE la IS NOT NULL AND lb IS NOT NULL
+         )
+         SELECT n.n_sampled, agg.n_scored, agg.n_agree,
+                round(CAST(agg.n_agree AS DOUBLE) / CAST(agg.n_scored AS DOUBLE), 6) AS agreement
+         FROM agg CROSS JOIN n""",
     // q328: the batch lag-gap computation IS the oracle — single-file
     // replay gives exact stream/batch parity
     "q328_stream_gaps" ->

@@ -184,6 +184,35 @@ object Experiment {
   }
 
   /**
+   * A/A calibration harness — the null-distribution check every
+   * experimentation platform runs BEFORE trusting its A/B readouts:
+   * K independent null splits (distinct salts) of the SAME units with
+   * the SAME conversion metric must produce z-scores that look
+   * standard-normal. A |z| parade above 1.96 in far more than 5% of
+   * salts means broken assignment, unit mixing, or variance
+   * mis-estimation — and every real experiment on that stack is
+   * suspect. Each salt is one [[abTest]] aggregation pass (K ≤ 16 by
+   * contract, the featureRank bounded-loop pattern); the summary
+   * columns compose from the PUBLISHED per-salt z values.
+   *
+   * Output: one row per salt (salt, n_a, n_b, conv_a, conv_b, z,
+   * max_abs_z, n_over_196), salt-ordered.
+   */
+  def aaCalibration(units: DataFrame, idCol: String, converted: Column,
+      salts: Seq[String]): DataFrame = {
+    require(salts.nonEmpty && salts.size <= 16, "1..16 salts")
+    require(salts.distinct.size == salts.size, "duplicate salts")
+    val per = salts.sorted.map { s =>
+      abTest(units, idCol, converted, salt = s)
+        .select(lit(s).as("salt"), col("n_a"), col("n_b"),
+          col("conv_a"), col("conv_b"), col("z"))
+    }.reduce(_.unionByName(_))
+    val summary = per.agg(max(abs(col("z"))).as("max_abs_z"),
+      sum(when(abs(col("z")) > 1.96, 1L).otherwise(0L)).as("n_over_196"))
+    per.crossJoin(broadcast(summary)).orderBy(col("salt"))
+  }
+
+  /**
    * Paired sign test — the assumption-free "did values go UP for more
    * units than down" read over paired numeric measurements (the
    * continuous-pair sibling of [[mcnemar]]'s binary table): S⁺ counts

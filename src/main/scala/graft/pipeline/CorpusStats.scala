@@ -720,6 +720,50 @@ object CorpusStats {
   }
 
   /**
+   * 1-NN label agreement — the embedding-quality read a similarity
+   * metric can't fake: what fraction of points share a label with
+   * their nearest neighbor? High agreement = the space respects the
+   * labels (retrieval/clustering will work); chance-level = the
+   * embedding ignores them. Runs on the deterministic md5-prefix
+   * sample ([[embeddingDiversity]]'s device — a pure function of the
+   * id, so any engine draws the identical sample), O(k²) on the sample
+   * only; cosines round 6dp and the neighbor argmax tie-breaks by
+   * (cos desc, neighbor id desc) via struct max — a total order.
+   *
+   * Output: one row (n_sampled, n_scored, n_agree, agreement) —
+   * n_scored < n_sampled only when a label is NULL.
+   */
+  def nnLabelAgreement(embs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, hexPrefix: String = "a"): DataFrame = {
+    require(hexPrefix.nonEmpty && hexPrefix.length <= 8, "1..8 hex chars")
+    val sampled = embs
+      .where(substring(md5(col(idCol).cast("string")), 1, hexPrefix.length)
+        === hexPrefix)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        l2Norm(col(vecCol)).as("__n"), col(labelCol).as("__l"))
+      .localCheckpoint(true) // both pair sides + the count probe
+    val nSampled = sampled.count()
+    val l = sampled.select(col("__id").as("a"), col("__v").as("va"),
+      col("__n").as("na"), col("__l").as("la"))
+    val r = sampled.select(col("__id").as("b"), col("__v").as("vb"),
+      col("__n").as("nb"), col("__l").as("lb"))
+    val nn = l.join(r, col("a") =!= col("b"))
+      .select(col("a"), col("la"),
+        struct(round(dotProduct(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6).as("c"), col("b").as("b"),
+          col("lb").as("lb")).as("__s"))
+      .groupBy(col("a"), col("la"))
+      .agg(max(col("__s")).as("__nn"))
+    nn.where(col("la").isNotNull && col("__nn.lb").isNotNull)
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("la") === col("__nn.lb"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(lit(nSampled).as("n_sampled"), col("n_scored"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_scored").cast("double"), 6)
+          .as("agreement"))
+  }
+
+  /**
    * Embedding effective dimensionality — the participation ratio
    * PR = (Σ_d var_d)² / Σ_d var_d² over per-dimension variances: how
    * many dimensions the corpus ACTUALLY uses (PR = dim for isotropic

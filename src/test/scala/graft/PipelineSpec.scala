@@ -1367,6 +1367,33 @@ class PipelineSpec extends SparkSpec {
     assert(sw("a") == -dA && sw("b") == -dB)
   }
 
+  test("nnLabelAgreement: clustered labels agree fully, null labels excluded") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1 to 400).map(_.toLong).filter(i => md5hex(i.toString).head == 'a')
+    assert(ids.size >= 6) // the md5 sample is deterministic
+    // two tight clusters, label == cluster → every 1-NN agrees
+    val rows = ids.map { i =>
+      val off = (i % 7).toFloat / 1000f
+      if (i % 2 == 0) (i, Seq(1f + off, 0f), Integer.valueOf(0))
+      else (i, Seq(0f, 1f + off), Integer.valueOf(1))
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val r = graft.pipeline.CorpusStats.nnLabelAgreement(df, "vec_id",
+      "embedding", "label", hexPrefix = "a").head()
+    assert(r.getAs[Long]("n_sampled") == ids.size.toLong)
+    assert(r.getAs[Long]("n_scored") == ids.size.toLong)
+    assert(r.getAs[Double]("agreement") == 1.0)
+    // a NULL label drops out of scoring but not the sample count
+    val withNull = spark.createDataFrame(
+      rows.updated(0, (rows.head._1, rows.head._2, null: Integer)))
+      .toDF("vec_id", "embedding", "label")
+    val rn = graft.pipeline.CorpusStats.nnLabelAgreement(withNull, "vec_id",
+      "embedding", "label", "a").head()
+    assert(rn.getAs[Long]("n_sampled") == ids.size.toLong)
+    assert(rn.getAs[Long]("n_scored") == ids.size.toLong - 1L)
+  }
+
   test("Fusion.rrf: hand-checked two-system fusion; shared doc outranks singles") {
     val lex = spark.createDataFrame(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
       .toDF("id", "rank")

@@ -81,6 +81,26 @@ class ScdSpec extends SparkSpec {
     }
   }
 
+  test("aaCalibration: per-salt nulls parade, summary composes from " +
+      "published z, refusals") {
+    val units = (0 until 1000).map(i => (i.toLong, i % 3 == 0)).toDF("id", "c")
+    val rows = Experiment.aaCalibration(units, "id", col("c"),
+      salts = Seq("s1", "s2", "s3", "s4")).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2", "s3", "s4"))
+    assert(rows.forall(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 1000L))
+    val zs = rows.map(r => math.abs(r.getAs[Double]("z")))
+    assert(rows.forall(_.getAs[Double]("max_abs_z") == zs.max))
+    assert(rows.forall(_.getAs[Long]("n_over_196") ==
+      zs.count(_ > 1.96).toLong))
+    // a NULL split (same units, same metric) should rarely alarm — with
+    // 4 deterministic salts on 1000 uniform units, never catastrophically
+    assert(zs.max < 4.0)
+    intercept[IllegalArgumentException] {
+      Experiment.aaCalibration(units, "id", col("c"), Seq("dup", "dup"))
+    }
+  }
+
   test("weightedMedian: reaches half the total weight; ties deterministic") {
     // values 1(w1), 2(w2), 3(w10): total 13, half at 6.5 → first cum*2>=13 is 3
     val df = Seq((1.0, 1L, 1L), (2.0, 2L, 2L), (3.0, 10L, 3L))
