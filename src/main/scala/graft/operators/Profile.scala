@@ -286,8 +286,10 @@ object Profile {
           (lit(2) * col("__s1") - (d(col("__n")) + 1) * d(col("__t")))
             .cast("double")
           / (d(col("__n")) * d(col("__t"))).cast("double"), 6)).as("gini"))
-      .crossJoin(topShare("10", 10L))
-      .crossJoin(topShare("1", 100L))
+      // 1-row sides: broadcast explicitly so the assembly is two scalar
+      // BNLs, never a planned CartesianProduct
+      .crossJoin(broadcast(topShare("10", 10L)))
+      .crossJoin(broadcast(topShare("1", 100L)))
   }
 
   /**
