@@ -235,7 +235,10 @@ object Profile {
 
   /**
    * Concentration / inequality readout over a non-negative unit column —
-   * the Gini coefficient plus top-decile and top-percentile shares, the
+   * the GLOBAL sibling of [[DistDrift.gini]] (per-group, whose window is
+   * bounded by the group partition — a whole-relation Gini cannot
+   * window, hence the prefix-sum mechanism here) plus the top-decile
+   * and top-percentile shares it lacks: the
    * "do 10% of customers carry 80% of revenue" numbers every revenue,
    * token-count, and degree distribution gets asked. With values ranked
    * ascending, Gini = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx); ties make Σ i·x
