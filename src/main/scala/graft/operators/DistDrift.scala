@@ -750,7 +750,7 @@ object DistDrift {
       BigDecimal(n).setScale(6)./(BigDecimal(d)).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toDF("__pn", "__pd", "p")
-    val picks = pDf.crossJoin(cum)
+    val picks = broadcast(pDf).crossJoin(cum) // ≤16 quantile rows
       .where(col("__cum") * col("__pd") >=
         col("__pn") * col("__n")) // cum ≥ ⌈p·n⌉ ⟺ cum·den ≥ num·n
       .groupBy(col("p"), col("g"))

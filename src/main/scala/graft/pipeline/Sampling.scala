@@ -196,7 +196,10 @@ object Sampling {
     val tau = top.agg(count(lit(1)).as("__kk"), min(col("__p")).as("__tau"))
     val sample = top.crossJoin(broadcast(tau))
       // with fewer than k+1 rows every row is sampled and tau plays no
-      // role (the estimator degenerates to the exact total)
+      // role (the estimator degenerates to the exact total); priorities
+      // TIED at tau are excluded even if that leaves < k rows — the
+      // standard Duffield convention, and deterministic (same doubles
+      // on every engine)
       .where(col("__kk") <= k || col("__p") > col("__tau"))
       .withColumn("w_est", when(col("__kk") <= k, col("w").cast("double"))
         .otherwise(greatest(col("w").cast("double"), col("__tau"))))
