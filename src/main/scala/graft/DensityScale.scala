@@ -138,9 +138,16 @@ object DensityScale {
       runsFor.filter(f => families(f._1)).map { case (name, mk) =>
         val (run, cleanup, lo, hi) = mk()
         val runs = (1 to reps).map { _ =>
+          pipeline.Dedup.lastCcRounds.set(0)
           val t0 = System.nanoTime()
           val out = run()
-          ((System.nanoTime() - t0) / 1e9, out)
+          // rounds of the distributed CC loop inside this run (0 = no CC
+          // or the driver union-find regime) — decomposes any ≥linear
+          // exponent: at constant density the per-round cost is linear,
+          // so the residual must live in the ROUND COUNT, and this
+          // column says whether it grows like O(log n) (fine at 100 TB)
+          // or worse (not)
+          ((System.nanoTime() - t0) / 1e9, out, pipeline.Dedup.lastCcRounds.get)
         }
         cleanup()
         val out = runs.head._2
@@ -148,12 +155,14 @@ object DensityScale {
           System.err.println(
             s"[density-scale] WARNING $name n=$n out=$out expected=[$lo,$hi]")
         val dt = runs.map(_._1).min
-        System.err.println(f"[density-scale] $name n=$n out=$out $dt%.2f s")
-        (name, n, dt, out)
+        val rounds = runs.map(_._3).max
+        System.err.println(
+          f"[density-scale] $name n=$n out=$out $dt%.2f s cc_rounds=$rounds")
+        (name, n, dt, out, rounds)
       }
     }
-    val js = results.map { case (name, n, dt, p) =>
-      f"""{"family":"$name","n":$n,"out":$p,"sec":$dt%.3f}"""
+    val js = results.map { case (name, n, dt, p, rounds) =>
+      f"""{"family":"$name","n":$n,"out":$p,"sec":$dt%.3f,"cc_rounds":$rounds}"""
     }.mkString("[", ",", "]")
     println(s"""{"rehearsal":"density","famSize":$famSize,"reps":$reps,"results":$js}""")
     spark.stop()

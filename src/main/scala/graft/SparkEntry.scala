@@ -79,6 +79,26 @@ object SparkEntry {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand"))
 
+  /** The bought-together brand graph — `Association.pairs` over
+    * [[brandBaskets]] — is the shared substrate of 13 graph gates
+    * (q176/q177/q198/q224/q225/q227/q245/q261/q269/q279/q303/q315/q323).
+    * A production deployment would materialize it once
+    * (`plans/MaterializedViews`) instead of re-deriving the
+    * lineitem⋈part join + pair-support aggregation per query; here a
+    * session-scoped memo stages the derived pair list (≤ brands²/2 rows
+    * — 25 brands → ≤300) once per (session, dir, minSupport) as an eager
+    * localCheckpoint. Per-gate results and hashes are unchanged — the
+    * relation is byte-identical, only its derivation is staged — but the
+    * suite pays the derivation once, not 13×. Verify runs each gate in
+    * the same session, so the memo applies there identically. */
+  private val brandPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+  private def brandPairs(s: SparkSession, dir: String,
+      minSupport: Long = 400L): DataFrame =
+    brandPairsMemo.computeIfAbsent((s, dir, minSupport),
+      _ => graft.operators.Association.pairs(brandBaskets(s, dir),
+        "l_orderkey", "p_brand", minSupport = minSupport).localCheckpoint(true))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 filters / predicates ------------------------------------
     "q01_filter_range" -> ((s, dir) => {
@@ -1793,8 +1813,7 @@ object SparkEntry {
       // do hub brands co-occur with hub brands: Newman degree
       // assortativity over the bought-together graph — exact integer
       // moments over both-direction edges, one double expression
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       graft.operators.GraphOps.degreeAssortativity(
         pr.select(col("item_a").as("src"), col("item_b").as("dst")))
     }),
@@ -1849,8 +1868,7 @@ object SparkEntry {
       // how wide is the bought-together graph: 2-sweep BFS lower bound
       // from the md5-min node to its farthest node and back — two
       // frontier expansions instead of |V|
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       graft.operators.GraphOps.diameterEstimate(
         pr.select(col("item_a").as("src"), col("item_b").as("dst")),
         maxHops = 12)
@@ -2021,8 +2039,7 @@ object SparkEntry {
       // md5-picked landmarks, a BFS per landmark (L × diameter keyed
       // rounds — never a V × V pairs relation), harmonic closeness from
       // 12dp 1/d terms decimal-summed
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
       graft.operators.GraphOps.landmarkCloseness(edges, nLandmarks = 4,
@@ -2297,8 +2314,7 @@ object SparkEntry {
       // edges — splits the connected brand graph along density, which
       // connected components (q67) cannot. Top-k-by-weight with a full
       // tie-break makes the graph itself SF-independent-deterministic
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-          "l_orderkey", "p_brand", minSupport = 1L)
+      val pr = brandPairs(s, dir, minSupport = 1L)
         .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
         .limit(90)
       graft.operators.GraphOps.labelPropagation(
@@ -2464,8 +2480,7 @@ object SparkEntry {
       // local clustering coefficient on the brand co-occurrence graph —
       // the community-structure probe raw triangle counts can't be: a
       // hub in many triangles with huge degree is NOT clustered
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       graft.operators.GraphOps.clusteringCoefficient(
         pr.select(col("item_a").as("src"), col("item_b").as("dst")))
     }),
@@ -2537,8 +2552,7 @@ object SparkEntry {
       // scores for non-adjacent brand pairs — rare shared neighbors
       // weigh 1/ln(deg), one wedge join (the q177 cost class), exact
       // decimal order before the one double cast
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       graft.operators.GraphOps.adamicAdar(
         pr.select(col("item_a").as("src"), col("item_b").as("dst")), topK = 50)
     }),
@@ -2758,8 +2772,7 @@ object SparkEntry {
       // node keeps degree >= 4, which a plain degree cut gets wrong
       // (removals cascade). Two-regime peel, converged-or-THROW within
       // 8 rounds so the oracle's 8 unrolled rounds are provably enough
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       graft.operators.GraphOps.kCore(
           pr.select(col("item_a").as("src"), col("item_b").as("dst")),
           k = 4, maxRounds = 8)
@@ -3096,8 +3109,7 @@ object SparkEntry {
       // brands, so rank reads "related to THESE" — the recommendation
       // walk; same exact integer doctrine, seeds guaranteed in the node
       // set even when absent from the thresholded graph
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
       graft.operators.GraphOps.pageRankPersonalized(edges,
@@ -3108,8 +3120,7 @@ object SparkEntry {
       // edge-weighted PageRank on the same brand graph, mass ∝ pair
       // support — a thousand weak ties can no longer outvote one strong
       // one; identical exact fixed-point + two-regime doctrine
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"),
           col("support").as("w"))
         .unionByName(pr.select(col("item_b").as("src"),
@@ -3174,8 +3185,7 @@ object SparkEntry {
       // iterated joins) on the symmetrized brand graph — all-integer,
       // bit-deterministic; the oracle walks the same graph with a
       // recursive CTE
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
       graft.operators.GraphOps.bfsHops(edges, source = "Brand#12", maxHops = 4)
@@ -3420,8 +3430,7 @@ object SparkEntry {
       // distinct basket-items first (multiplicity must not inflate
       // support), basket-keyed pair join bounded by the loud mega-basket
       // guard, conf/lift from exact counts
-      graft.operators.Association.pairs(brandBaskets(s, dir),
-          "l_orderkey", "p_brand", minSupport = 400L)
+      brandPairs(s, dir)
         .orderBy("item_a", "item_b")
     }),
     "q176_pagerank" -> ((s, dir) => {
@@ -3429,8 +3438,7 @@ object SparkEntry {
       // integer units: contributions are integer `div` (truncation is the
       // definition), sums exact longs — bit-identical on any engine or
       // partitioning; the oracle replays 5 iterations as chained CTEs
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
         .unionByName(pr.select(col("item_b").as("src"), col("item_a").as("dst")))
       graft.operators.GraphOps.pageRankFixed(edges, iters = 5)
@@ -3440,8 +3448,7 @@ object SparkEntry {
       // per-node triangle counts on the canonical (a<b) brand graph via
       // the ordered wedge join — each triangle counted once, then its
       // three corners exploded
-      val pr = graft.operators.Association.pairs(brandBaskets(s, dir),
-        "l_orderkey", "p_brand", minSupport = 400L)
+      val pr = brandPairs(s, dir)
       graft.operators.GraphOps.triangles(
           pr.select(col("item_a").as("src"), col("item_b").as("dst")))
         .orderBy("node")
@@ -5629,26 +5636,30 @@ object SparkEntry {
          ), s0 AS (
            SELECT grp, pos,
                   CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s0,
-                  CAST(count(*) AS BIGINT) AS n0
+                  CAST(count(*) AS BIGINT) AS n0,
+                  CAST(max(pos) OVER (PARTITION BY grp) + 1 AS BIGINT) AS d0
            FROM x0 GROUP BY 1, 2
          ), s1 AS (
            SELECT grp, pos,
                   CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS s1,
-                  CAST(count(*) AS BIGINT) AS n1
+                  CAST(count(*) AS BIGINT) AS n1,
+                  CAST(max(pos) OVER (PARTITION BY grp) + 1 AS BIGINT) AS d1
            FROM x1 GROUP BY 1, 2
          ), j AS (
-           SELECT s0.grp, s0.pos, s0.s0, s0.n0, s1.s1, s1.n1
+           SELECT s0.grp, s0.pos, s0.s0, s0.n0, s0.d0, s1.s1, s1.n1, s1.d1
            FROM s0 JOIN s1 ON s1.grp = s0.grp AND s1.pos = s0.pos
          ), g AS (
            SELECT grp, CAST(max(n0) AS BIGINT) AS n_a,
                   CAST(max(n1) AS BIGINT) AS n_b,
+                  CAST(max(d0) AS BIGINT) AS dim_a,
+                  CAST(max(d1) AS BIGINT) AS dim_b,
                   CAST(count(*) AS BIGINT) AS dim,
                   sum(CAST(s0 AS HUGEINT) * s1) AS dot,
                   sum(CAST(s0 AS HUGEINT) * s0) AS m0,
                   sum(CAST(s1 AS HUGEINT) * s1) AS m1
            FROM j GROUP BY 1
          )
-         SELECT grp, n_a, n_b, dim,
+         SELECT grp, n_a, n_b, dim_a, dim_b, dim,
                 CASE WHEN m0 > 0 AND m1 > 0 THEN
                   round(CAST(dot AS DOUBLE)
                         / (sqrt(CAST(m0 AS DOUBLE)) * sqrt(CAST(m1 AS DOUBLE))), 6)

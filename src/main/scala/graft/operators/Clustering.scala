@@ -270,14 +270,22 @@ object Clustering {
       .where(fn.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(fn.map(col): _*).agg(count(lit(1)).as("__w"))
       .cache() // ONE scoring pass over the distinct relation
-    // fast path: when every coordinate fits 7e8, d·diff² < 2^63 and the
-    // squared distances are exact LONGs (codegen arithmetic, ~5× the
-    // decimal path); above that, the kmeansLloyd DECIMAL(38,0) class.
-    // Identical integers either way → identical sqrt doubles → the
-    // published silhouettes cannot differ between the two paths.
-    val hiRow = pts.agg(max(
-      if (d == 1) col(fn(0)) else greatest(fn.map(col): _*))).head()
-    val useLong = !hiRow.isNullAt(0) && hiRow.getLong(0) <= 700000000L
+    // fast path: squared distances are exact LONGs (codegen arithmetic,
+    // ~5× the decimal path) when d·span² < 2^63, span = max−min
+    // coordinate range (centroids are coordinate means, so every
+    // |coord − centroid| ≤ span; the −1 margin absorbs centroid
+    // rounding). The bound is d-DEPENDENT — a fixed cut like the
+    // original 7e8 holds only for d ≤ 18; with more features the long
+    // sum would (non-ANSI) wrap silently. Above the bound, the
+    // kmeansLloyd DECIMAL(38,0) class. Identical integers either way →
+    // identical sqrt doubles → the published silhouettes cannot differ
+    // between the two paths.
+    val loHi = pts.agg(
+      min(if (d == 1) col(fn(0)) else least(fn.map(col): _*)),
+      max(if (d == 1) col(fn(0)) else greatest(fn.map(col): _*))).head()
+    val spanBound = math.sqrt(Long.MaxValue.toDouble / d).toLong - 1
+    val useLong = !loHi.isNullAt(0) && !loHi.isNullAt(1) &&
+      loHi.getLong(1) - loHi.getLong(0) <= spanBound
     val cands = array(cents.zipWithIndex.map { case (c, j) =>
       if (useLong) {
         val dist = (0 until d).map { i =>

@@ -1006,4 +1006,188 @@ object Experiment {
       when(col("s_v") > 0, round(greatest(num, lit(0.0)) * greatest(num, lit(0.0))
         / col("s_v").cast("double"), 6)).as("chi2_mh"))
   }
+
+  /**
+   * Cochran–Armitage trend test: does a binary outcome rate move
+   * MONOTONICALLY across ordered dose levels (Cochran 1954, Armitage
+   * 1955) — the χ² of independence can't see order, this z can. Levels
+   * are the distinct integer values of `doseCol` with their natural
+   * order as scores; statistic T = Σ tᵢ(rᵢ − nᵢ·p̄), Var(T) =
+   * p̄(1−p̄)·(Σ tᵢ²nᵢ − (Σ tᵢnᵢ)²/N), z = T/√Var.
+   *
+   * Exactness: per-level (tᵢ, nᵢ, rᵢ) are exact longs from ONE
+   * aggregation; every moment (Σtn, Σt²n, N, R) composes exactly in
+   * DECIMAL(38,0); z is ONE double expression of those integers
+   * (p̄ = R/N stays symbolic: T = Σtr − (Σtn)·R/N over a common
+   * denominator) — engine-portable, 6dp. Shape: one groupBy over the
+   * fact table, then a ≤|levels|-row rollup.
+   *
+   * Output: one row (n, n_levels, successes, z_ca); NULL z on a
+   * degenerate margin (all success / all failure / one level).
+   */
+  def cochranArmitage(df: DataFrame, doseCol: Column,
+      successCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val lvl = df.select(doseCol.cast("long").as("t"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .where(col("t").isNotNull)
+      .groupBy(col("t")).agg(count(lit(1)).as("nn"), sum(col("y")).as("r"))
+    val m = lvl.agg(count(lit(1)).as("n_levels"),
+      sum(col("nn")).as("n"), sum(col("r")).as("successes"),
+      sum(d(col("t")) * d(col("nn"))).as("__tn"),
+      sum(d(col("t")) * d(col("t")) * d(col("nn"))).as("__t2n"),
+      sum(d(col("t")) * d(col("r"))).as("__tr"))
+    // N²·T = N·Σtr·N − Σtn·R·N  (kept over the common denominator so the
+    // numerator is an exact decimal); Var·N³ likewise — z = T/√Var then
+    // reduces to one double divide of two exact-decimal-rooted doubles
+    val nD = col("n").cast("double"); val rD = col("successes").cast("double")
+    val t = col("__tr").cast("double") - col("__tn").cast("double") * rD / nD
+    val varT = (rD / nD) * (lit(1.0) - rD / nD) *
+      (col("__t2n").cast("double")
+        - col("__tn").cast("double") * col("__tn").cast("double") / nD)
+    m.select(col("n"), col("n_levels"), col("successes"),
+      when(col("n_levels") > 1 && col("successes") > 0
+          && col("successes") < col("n"),
+        round(t / sqrt(varT), 6)).as("z_ca"))
+  }
+
+  /**
+   * Derandomized permutation test for a two-group mean difference: the
+   * label-shuffle null made reproducible — replicate b reassigns every
+   * unit to a pseudo-arm by its salted md5(id, b) fraction at the
+   * OBSERVED assignment rate, the per-replicate mean difference replays
+   * the null, and p = (1 + #{|T_b| ≥ |T_obs|}) / (B + 1) (the standard
+   * add-one Monte-Carlo estimator, Phipson & Smyth 2010). Deterministic:
+   * the md5 stream is a pure function of (salt, id, b), per-replicate
+   * sums are exact longs, each T_b is ONE double expression of exact
+   * integers — identical on any engine, so even the ≥ comparisons
+   * replicate exactly.
+   *
+   * Shape at scale: ONE pass over rows × B replicas with map-side
+   * combine into 2B partial sums (the bootstrapMeanCI discipline);
+   * the collect is bounded at exactly B rows.
+   *
+   * Output: one row (n_a, n_b, mean_a, mean_b, diff_obs, b_reps, n_ge,
+   * p_value).
+   */
+  def permutationTest(df: DataFrame, idCol: Column, armCol: Column,
+      valueCol: Column, bReps: Int = 64,
+      salt: String = "perm"): DataFrame = {
+    require(bReps >= 8 && bReps <= 512, "bReps in [8,512]")
+    val base = df.select(idCol.cast("string").as("id"),
+        armCol.cast("string").as("arm"), valueCol.cast("long").as("x"))
+      .where(col("x").isNotNull && col("arm").isNotNull).cache()
+    val obs = base.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") =!= "A", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "A", col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") =!= "A", col("x")).otherwise(0L)).as("sx_b")).head()
+    val (na, nb) = (obs.getLong(0), obs.getLong(1))
+    require(na > 0 && nb > 0, "permutationTest: both arms must be non-empty")
+    val meanA = obs.getLong(2).toDouble / na
+    val meanB = obs.getLong(3).toDouble / nb
+    val diffObs = meanA - meanB
+    val rate = na.toDouble / (na + nb)
+    val u = conv(substring(md5(concat(lit(salt), lit(":"), col("id"),
+        lit(":"), col("b").cast("string"))), 1, 13), 16, 10)
+      .cast("long") / lit(DistinctSketch.HashDenom)
+    val reps = base
+      .select(col("id"), col("x"), explode(expr(s"sequence(0, ${bReps - 1})")).as("b"))
+      .withColumn("__a", (u < lit(rate)).cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("__a")).as("ka"), count(lit(1)).as("k"),
+        sum(col("__a") * col("x")).as("sa"), sum(col("x")).as("s"))
+      .collect() // bounded: exactly bReps rows
+    base.unpersist(false)
+    val nGe = reps.count { r =>
+      val (ka, k, sa, s) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val kb = k - ka
+      // a replicate that degenerates to one arm can't produce a diff —
+      // counted as extreme (conservative, and deterministic)
+      kb == 0L || ka == 0L ||
+        math.abs(sa.toDouble / ka - (s - sa).toDouble / kb) >= math.abs(diffObs)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((na, nb, r6(meanA), r6(meanB), r6(diffObs), bReps, nGe.toLong,
+        r6((1.0 + nGe) / (bReps + 1.0))))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "diff_obs", "b_reps", "n_ge", "p_value")
+  }
+
+  /**
+   * Per-group Wilson score interval for a binary rate (Wilson 1927) —
+   * the interval that behaves at small n and extreme p̂ where the Wald
+   * ±z√(p̂q̂/n) collapses (the standard recommendation since Brown,
+   * Cai & DasGupta 2001). z fixed at 196/100 (≈95%) so the arithmetic
+   * is a pure function of exact counts: center = (p̂ + z²/2n)/(1+z²/n),
+   * half = z·√(p̂q̂/n + z²/4n²)/(1+z²/n) — one double expression each,
+   * 6dp. Shape: one groupBy, |groups| rows.
+   *
+   * Output per group: (grp, n, successes, rate, wilson_lo, wilson_hi),
+   * ordered by grp.
+   */
+  def wilsonIntervals(df: DataFrame, groupCol: Column,
+      successCol: Column): DataFrame = {
+    val z = lit(1.96)
+    val g = df.select(groupCol.cast("string").as("grp"),
+        when(successCol, 1L).otherwise(0L).as("y"))
+      .where(col("grp").isNotNull)
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("y")).as("successes"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2n = z * z / nD
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / 2) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nD + z * z / (lit(4.0) * nD * nD)) / denom
+    g.select(col("grp"), col("n"), col("successes"),
+        round(p, 6).as("rate"),
+        round(greatest(center - half, lit(0.0)), 6).as("wilson_lo"),
+        round(least(center + half, lit(1.0)), 6).as("wilson_hi"))
+      .orderBy("grp")
+  }
+
+  /**
+   * E-value sensitivity analysis (VanderWeele & Ding 2017): how strong
+   * would an UNMEASURED confounder have to be — on the risk-ratio scale,
+   * with both exposure and outcome — to explain away an observed
+   * association entirely. E = RR* + √(RR*·(RR*−1)) with RR* the
+   * observed risk ratio oriented above 1. The modern referee question
+   * for any observational readout, answered from the same 2×2 the
+   * risk ratio came from.
+   *
+   * Exactness: the 2×2 is exact longs; RR = (a/(a+b))/(c/(c+d)) is one
+   * double expression; the log-RR standard error √(1/a−1/(a+b)+1/c−1/(c+d))
+   * is published (6dp) INSTEAD of an exp-composed CI — exp is the one
+   * elementary function whose last-ulp behavior differs across math
+   * libraries, so the log-scale pair (log_rr, se_log_rr) is the
+   * engine-portable spelling.
+   *
+   * Output: one row (n, a, b, c, d, rr, log_rr, se_log_rr, e_value);
+   * NULL rr/e_value when a margin is empty.
+   */
+  def eValue(df: DataFrame, exposedCol: Column,
+      outcomeCol: Column): DataFrame = {
+    val cells = df.select(
+        when(exposedCol, 1L).otherwise(0L).as("e"),
+        when(outcomeCol, 1L).otherwise(0L).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("e") * col("y")).as("a"),
+        sum(col("e") * (lit(1L) - col("y"))).as("b"),
+        sum((lit(1L) - col("e")) * col("y")).as("c"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("y"))).as("d"))
+    val ok = col("a") > 0 && col("c") > 0 && col("b") > 0 && col("d") > 0
+    val rr = (col("a").cast("double") / (col("a") + col("b")).cast("double")) /
+      (col("c").cast("double") / (col("c") + col("d")).cast("double"))
+    val rrStar = when(rr >= 1.0, rr).otherwise(lit(1.0) / rr)
+    cells.select(col("n"), col("a"), col("b"), col("c"), col("d"),
+      when(ok, round(rr, 6)).as("rr"),
+      when(ok, round(log(rr), 6)).as("log_rr"),
+      when(ok, round(sqrt(
+        lit(1.0) / col("a") - lit(1.0) / (col("a") + col("b"))
+          + lit(1.0) / col("c") - lit(1.0) / (col("c") + col("d"))), 6))
+        .as("se_log_rr"),
+      when(ok, round(rrStar + sqrt(rrStar * (rrStar - lit(1.0))), 6))
+        .as("e_value"))
+  }
 }

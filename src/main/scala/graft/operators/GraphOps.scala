@@ -767,4 +767,185 @@ object GraphOps {
       } else out
     }
   }
+
+  /**
+   * Eigenvector centrality by power iteration on the SYMMETRIZED graph
+   * (Bonacich 1972): x ← A·x, L1-renormalized to 1e6 units per round —
+   * a node is central when its neighbors are central, the recursive
+   * upgrade of degree. Exactly the [[hits]] single-vector machinery
+   * (HITS on an undirected graph collapses hub = authority = this), kept
+   * as its own operator because the undirected symmetrize + single score
+   * is what "who is central in the co-occurrence graph" means.
+   *
+   * Integer fixed point: scores in 1e6 units, inflow sums exact longs
+   * (Σ score ≤ 1e6 after each renormalize, so a round's raw sums are
+   * ≤ degree·1e6 — no overflow below ~9e12 edges), truncating div IS
+   * the normalize definition — bit-identical across regimes and
+   * engines. Two-regime like [[pageRankFixed]]: primitive-array loop on
+   * the driver below `maxLocalEdges`, distributed with per-round
+   * lineage cuts above.
+   *
+   * Output: (node, score_units) — 1e-6 units of the L1-normalized
+   * iterate after exactly `iters` rounds, ordered by node.
+   */
+  def eigenvectorCentrality(edges: DataFrame, iters: Int = 5,
+      maxLocalEdges: Long = 4000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
+    val Unit6 = 1000000L
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val ecnt = e.count()
+    if (ecnt <= maxLocalEdges) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = new java.util.HashMap[String, Int](nodes.length * 2)
+      nodes.zipWithIndex.foreach { case (n, i) => idx.put(n, i) }
+      val m = es.length; val n = nodes.length
+      val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+      var k = 0
+      while (k < m) { srcI(k) = idx.get(es(k)._1); dstI(k) = idx.get(es(k)._2); k += 1 }
+      var x = Array.fill(n)(Unit6)
+      for (_ <- 1 to iters) {
+        val nx = new Array[Long](n)
+        var j = 0
+        while (j < m) { nx(dstI(j)) += x(srcI(j)); j += 1 }
+        var t = 0L; var i = 0
+        while (i < n) { t += nx(i); i += 1 }
+        if (t != 0L) { i = 0; while (i < n) { nx(i) = nx(i) * Unit6 / t; i += 1 } }
+        x = nx
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.indices.map(i => (nodes(i), x(i))).toDF("node", "score_units")
+        .orderBy("node")
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().cache()
+      var x = nodes.withColumn("s", lit(Unit6))
+      for (i <- 1 to iters) {
+        val raw = e.join(x.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("s")).as("s"))
+        val t = raw.agg(sum(col("s")).as("t"))
+        x = nodes.join(raw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+          .crossJoin(broadcast(t))
+          .selectExpr("node",
+            "CASE WHEN t = 0 OR t IS NULL THEN s ELSE (s * 1000000) div t END as s")
+          .localCheckpoint(true)
+      }
+      x.select(col("node"), col("s").as("score_units")).orderBy("node")
+    }
+  }
+
+  /**
+   * Link prediction over the symmetrized graph: for every NON-ADJACENT
+   * pair with ≥ 1 common neighbor, the three classic wedge scores
+   * (Liben-Nowell & Kleinberg 2003) — common-neighbor count, Jaccard
+   * |Γu∩Γw| / |Γu∪Γw|, and resource allocation Σ_z 1/deg(z) (Zhou,
+   * Lü & Zhang 2009 — RA outperforms Adamic-Adar's 1/log on dense
+   * hubs). Same wedge join + `maxDegree` hub contract as [[adamicAdar]]
+   * (the join is Σ deg², and a hub would square silently — refuse
+   * loudly); anti-join drops existing edges; top-K by (jaccard desc,
+   * pair) — TakeOrderedAndProject, never a full sort.
+   *
+   * Determinism: counts and degrees exact longs; jaccard is ONE double
+   * divide of exact operands, 6dp; RA sums 12dp-rounded reciprocals in
+   * DECIMAL (the Σ doctrine), published 6dp.
+   *
+   * Output: (node_a, node_b, n_common, jaccard, ra_score), node_a <
+   * node_b, topK rows.
+   */
+  def linkPredict(edges: DataFrame, topK: Int = 50,
+      maxDegree: Long = 100000L): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    require(maxDegree >= 2, "maxDegree >= 2")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val deg = sym.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val worstDeg = deg.agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
+    require(worstDeg <= maxDegree,
+      s"linkPredict: max node degree $worstDeg > maxDegree=$maxDegree — the wedge " +
+        "join is Sum(deg^2); degree-cap-prefilter the edge list or raise the bound")
+    val nbr = sym.select(col("src").as("z"), col("dst").as("n"))
+    val wedges = nbr.select(col("z"), col("n").as("u"))
+      .join(nbr.select(col("z"), col("n").as("w")), "z")
+      .where(col("u") < col("w"))
+    val canon = sym.where(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("w"))
+    val du = deg.select(col("z").as("u"), col("deg").as("__du"))
+    val dw = deg.select(col("z").as("w"), col("deg").as("__dw"))
+    val out = wedges.join(deg, "z")
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(round(lit(1.0) / col("deg").cast("double"), 12)
+          .cast("decimal(24,12)")).as("__ra"))
+      .join(canon, Seq("u", "w"), "left_anti")
+      .join(broadcast(du), "u").join(broadcast(dw), "w")
+      .withColumn("jaccard", round(col("n_common").cast("double")
+        / (col("__du") + col("__dw") - col("n_common")).cast("double"), 6))
+      .orderBy(col("jaccard").desc, col("u").asc, col("w").asc)
+      .limit(topK)
+      .select(col("u").as("node_a"), col("w").as("node_b"), col("n_common"),
+        col("jaccard"), round(col("__ra").cast("double"), 6).as("ra_score"))
+      .localCheckpoint(true) // <= topK rows — materialize, then free sym
+    sym.unpersist(false)
+    out
+  }
+
+  /**
+   * Newman modularity of a node partition: Q = Σ_c (e_c/m − (d_c/2m)²)
+   * — the fraction of edges inside communities minus the fraction a
+   * degree-preserving random rewire would put there (Newman & Girvan
+   * 2004). THE number that says whether labelPropagation (or any
+   * clustering) found real structure: Q ≈ 0 is random, ≥ ~0.3 is
+   * conventionally "has communities".
+   *
+   * Exact integer assembly: with m = |undirected edges|, e_c = within-
+   * community edge counts and d_c = community degree sums are exact
+   * longs, and Q = (4m·Σe_c − Σd_c²) / (4m²) is ONE double divide of an
+   * exact DECIMAL(38,0) numerator — engine-portable, 6dp. Shape: one
+   * label join onto each edge endpoint (node-keyed), one community
+   * rollup — |labels| rows, never pairs.
+   *
+   * Output: one row (m, n_communities, within_edges, q).
+   */
+  def modularity(edges: DataFrame, labels: DataFrame,
+      nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    // canonical undirected edge list, each edge ONCE
+    val und = dir0.selectExpr("least(src, dst) as a", "greatest(src, dst) as b")
+      .distinct().cache()
+    val lab = labels.select(col(nodeCol).cast("string").as("nd"),
+      col(labelCol).cast("string").as("lb"))
+    val tagged = und
+      .join(lab.select(col("nd").as("a"), col("lb").as("__la")), "a")
+      .join(lab.select(col("nd").as("b"), col("lb").as("__lb")), "b")
+      .cache()
+    // d_c: degree sums per community over the symmetrized incidence
+    val degC = tagged.select(col("__la").as("c"))
+      .unionByName(tagged.select(col("__lb").as("c")))
+      .groupBy(col("c")).agg(count(lit(1)).as("dc"))
+    val sums = degC.agg(
+      sum(col("dc").cast("decimal(38,0)") * col("dc").cast("decimal(38,0)"))
+        .as("__sumDc2"),
+      count(lit(1)).as("n_communities"))
+    val within = tagged.agg(count(lit(1)).as("m"),
+      sum(when(col("__la") === col("__lb"), 1L).otherwise(0L)).as("within_edges"))
+    val out = within.crossJoin(broadcast(sums))
+      .select(col("m"), col("n_communities"), col("within_edges"),
+        when(col("m") > 0, round(
+          (lit(4).cast("decimal(38,0)") * col("m") * col("within_edges")
+            - col("__sumDc2")).cast("double")
+          / (lit(4.0) * col("m").cast("double") * col("m").cast("double")), 6))
+          .as("q"))
+      .localCheckpoint(true)
+    tagged.unpersist(false); und.unpersist(false)
+    out
+  }
 }

@@ -243,4 +243,68 @@ object Survival {
           (col("o_a").cast("double") - col("__esum").cast("double"))
             / sqrt(col("__vsum").cast("double")), 6)).as("z"))
   }
+
+  /**
+   * Aalen–Johansen cumulative incidence under COMPETING RISKS (Aalen &
+   * Johansen 1978): when a subject can exit by more than one cause
+   * (churned vs converted, bounced vs purchased), 1−KM per cause
+   * OVERSTATES every cause's incidence — the correct per-cause
+   * probability is CIF_k(t) = Σ_{tᵢ≤t} S(tᵢ⁻)·d_{k,i}/nᵢ, with S(t⁻)
+   * the ALL-CAUSE Kaplan-Meier just before t. `causeCol`: 0/NULL =
+   * censored, any other integer = a competing event cause.
+   *
+   * Determinism: the all-cause S(t⁻) is the [[kaplanMeier]] machinery
+   * verbatim (12dp ln terms, DECIMAL running sum, explicit zero flag —
+   * here over the STRICTLY-EARLIER frame); each CIF increment is
+   * 12dp-rounded and DECIMAL-summed per cause (the Σ doctrine). Shape:
+   * subjects touched ONCE (one (t, cause) groupBy); every window runs
+   * over the bounded |distinct times| relation.
+   *
+   * Output (per event time × cause with events): (t, cause, n_risk,
+   * n_event, s_minus, cif), ordered by (cause, t). Σ_k CIF_k(∞) =
+   * 1 − S(∞) — the incidences partition the exits, which is the whole
+   * point.
+   */
+  def aalenJohansen(df: DataFrame, durationCol: String,
+      causeCol: Column): DataFrame = {
+    val total = df.count()
+    val byTC = df.groupBy(col(durationCol).cast("long").as("t"),
+        coalesce(causeCol.cast("long"), lit(0L)).as("cause"))
+      .agg(count(lit(1)).as("cnt")).cache()
+    val byT = byTC.groupBy(col("t")).agg(
+      sum(when(col("cause") =!= 0L, col("cnt")).otherwise(0L)).as("n_event"),
+      sum(when(col("cause") === 0L, col("cnt")).otherwise(0L)).as("n_censored"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val curve = byT
+      .withColumn("__gone", sum(col("n_event") + col("n_censored")).over(w))
+      .withColumn("n_risk",
+        lit(total) - col("__gone") + col("n_event") + col("n_censored"))
+      .withColumn("__zero", (col("n_event") === col("n_risk")).cast("int"))
+      .withColumn("__term", when(col("__zero") === 1, lit(0.0))
+        .otherwise(round(log(lit(1.0) -
+          col("n_event").cast("double") / col("n_risk").cast("double")), 12)))
+      .withColumn("__logprev", coalesce(
+        sum(col("__term").cast("decimal(24,12)")).over(wPrev),
+        lit(0).cast("decimal(24,12)")))
+      .withColumn("__zprev", coalesce(max(col("__zero")).over(wPrev), lit(0)))
+      .withColumn("s_minus", when(col("__zprev") === 1, lit(0.0))
+        .otherwise(exp(col("__logprev").cast("double"))))
+    val wc = Window.partitionBy(col("cause")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = byTC.where(col("cause") =!= 0L)
+      .join(curve.select(col("t"), col("n_risk"), col("s_minus")), "t")
+      .withColumn("__inc", round(col("s_minus")
+        * col("cnt").cast("double") / col("n_risk").cast("double"), 12)
+        .cast("decimal(24,12)"))
+      .withColumn("cif", round(sum(col("__inc")).over(wc).cast("double"), 6))
+      .select(col("t"), col("cause"), col("n_risk"), col("cnt").as("n_event"),
+        round(col("s_minus"), 6).as("s_minus"), col("cif"))
+      .orderBy("cause", "t")
+      .localCheckpoint(true) // bounded: |event times × causes| rows
+    byTC.unpersist(false)
+    out
+  }
 }

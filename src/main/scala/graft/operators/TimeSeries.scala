@@ -919,4 +919,58 @@ object TimeSeries {
             * (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))), 6)).as("ccf"))
       .orderBy("lag")
   }
+
+  /**
+   * Page–Hinkley upward-mean-shift detector per key (Page 1954, Hinkley
+   * 1971; the drift monitor in VFDT/MOA streaming-ML stacks), replayed
+   * over a bucketed series: mₜ = Σ_{i≤t}(xᵢ − x̄₁..ᵢ − δ), and the test
+   * statistic PHₜ = mₜ − min_{s≤t} mₛ crosses `lambda` when the mean
+   * has RISEN by more than the tolerance δ — unlike [[cusum]]'s fixed
+   * reference mean, the running-mean reference self-calibrates on the
+   * pre-drift regime.
+   *
+   * Determinism: prefix sums Sᵢ are exact longs; each deviation term
+   * xᵢ − Sᵢ/i − δ is ONE double expression of exact operands,
+   * 12dp-rounded and DECIMAL-prefix-summed (the Σ doctrine); the
+   * running min compares those exact decimals. Shape: three stacked
+   * key-partitioned ordered windows over the bucketed relation —
+   * calendar-bounded per key (`maxBuckets` loud contract, the
+   * [[ewmaChart]] discipline).
+   *
+   * Output per key: (key, n, ph_max, alarms, first_alarm_t) — ph_max
+   * 6dp; first_alarm_t NULL when the statistic never crosses.
+   */
+  def pageHinkley(bucketed: DataFrame, keyCol: String, tCol: String,
+      unitsCol: String, delta: Double = 0.0, lambda: Double,
+      maxBuckets: Long = 200000L): DataFrame = {
+    require(lambda > 0, "lambda > 0")
+    val pre = bucketed.select(col(keyCol).cast("string").as("__k"),
+        col(tCol).as("__t"), col(unitsCol).cast("long").as("__x"))
+      .where(col("__x").isNotNull)
+    val worst = pre.groupBy(col("__k")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    require(worst <= maxBuckets,
+      s"pageHinkley: a key holds $worst buckets > maxBuckets=$maxBuckets — " +
+        "input must be a calendar-bounded bucketed series (resample first)")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d6 = BigDecimal(delta).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l6 = BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = pre
+      .withColumn("__s", sum(col("__x")).over(w))
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__dev", round(col("__x").cast("double")
+        - col("__s").cast("double") / col("__i").cast("double") - lit(d6), 12)
+        .cast("decimal(38,12)"))
+      .withColumn("__m", sum(col("__dev")).over(w))
+      .withColumn("__mmin", min(col("__m")).over(w))
+      .withColumn("__ph", (col("__m") - col("__mmin")).cast("double"))
+      .withColumn("__alarm", (col("__ph") >= lit(l6)).cast("long"))
+    scored.groupBy(col("__k").as("key"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__ph")), 6).as("ph_max"),
+        sum(col("__alarm")).as("alarms"),
+        min(when(col("__alarm") === 1L, col("__t"))).as("first_alarm_t"))
+      .orderBy("key")
+  }
 }

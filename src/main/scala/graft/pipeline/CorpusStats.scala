@@ -954,11 +954,19 @@ object CorpusStats {
    * side, one dim-keyed join, one group rollup — dims × groups rows,
    * never row×row.
    *
-   * Output per group present on BOTH sides: (grp, n_a, n_b, dim, cos,
-   * drift); a zero centroid on either side publishes NULL cos.
+   * Output per group present on BOTH sides: (grp, n_a, n_b, dim_a,
+   * dim_b, dim, cos, drift); a zero centroid on either side publishes
+   * NULL cos. `dim_a`/`dim_b` are each side's OWN dimensionality
+   * (max position + 1) while `dim` counts the common positions the
+   * cosine ran over — published separately so a re-embedding that
+   * changed vector dimensionality (a key regression this monitor
+   * exists to catch) surfaces as dim_a ≠ dim_b instead of being
+   * silently averaged away over the intersection.
    */
   def embeddingCentroidDrift(v0: DataFrame, v1: DataFrame, groupCol: String,
       vecCol: String): DataFrame = {
+    // per-side dim rides a grp-partitioned window over the ALREADY
+    // AGGREGATED (groups × dim)-sized relation — no second corpus scan
     def side(df: DataFrame, tag: String): DataFrame =
       df.where(col(vecCol).isNotNull)
         .select(col(groupCol).cast("string").as("grp"),
@@ -967,21 +975,246 @@ object CorpusStats {
         .agg(sum(round(col("val").cast("double") * lit(1e6), 0).cast("long"))
           .as(s"s$tag"),
           count(lit(1)).as(s"n$tag"))
+        .withColumn(s"d$tag", (max(col("pos")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("grp")))
+          + 1).cast("long"))
     def d(c: Column): Column = c.cast("decimal(38,0)")
     side(v0, "0").join(side(v1, "1"), Seq("grp", "pos"))
       .groupBy(col("grp"))
       .agg(max(col("n0")).as("n_a"), max(col("n1")).as("n_b"),
+        max(col("d0")).as("dim_a"), max(col("d1")).as("dim_b"),
         count(lit(1)).as("dim"),
         sum(d(col("s0")) * d(col("s1"))).as("__dot"),
         sum(d(col("s0")) * d(col("s0"))).as("__m0"),
         sum(d(col("s1")) * d(col("s1"))).as("__m1"))
-      .select(col("grp"), col("n_a"), col("n_b"), col("dim"),
+      .select(col("grp"), col("n_a"), col("n_b"),
+        col("dim_a"), col("dim_b"), col("dim"),
         when(col("__m0") > 0 && col("__m1") > 0, round(
           col("__dot").cast("double")
             / (sqrt(col("__m0").cast("double"))
                * sqrt(col("__m1").cast("double"))), 6)).as("cos"))
       .withColumn("drift",
         when(col("cos").isNotNull, round(lit(1.0) - col("cos"), 6)))
+  }
+
+  /**
+   * Good–Turing frequency table (Good 1953): count-of-counts N_r over
+   * the unigram vocabulary, the Turing unseen-mass estimate P₀ = N₁/N,
+   * and the adjusted counts r* = (r+1)·N_{r+1}/N_r — the classical
+   * answer to "how much probability should the words we've NEVER seen
+   * get", i.e. the held-out novelty rate a dedup/contamination budget
+   * needs and the smoothing backbone of Katz LMs.
+   *
+   * Exactness: type counts, N_r and N are exact longs from two
+   * aggregations (tokens → types → count-of-counts); r* and masses are
+   * one double divide each, 6dp. Shape: token explode → |vocab| rows →
+   * ≤ maxR+1 output rows; the r+1 lookup is a lead() over the BOUNDED
+   * count-of-counts relation, never a second corpus pass.
+   *
+   * Output: row r=0 carries (n_types=0, r_star NULL, mass = N₁/N, the
+   * unseen mass); rows r=1..maxR carry (r, n_types=N_r, r_star —
+   * NULL where N_{r+1}=0 — and mass = r·N_r/N, the observed share of
+   * tokens sitting at frequency r). Ordered by r.
+   */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String,
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, "maxR in [1,1000]")
+    val types = tokenTable(docs, idCol, textCol)
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cofc = types.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_types"))
+      .localCheckpoint(true) // bounded: |distinct frequencies| rows
+    val tot = cofc.agg(sum(col("r") * col("n_types")).as("n_tokens"),
+      coalesce(sum(when(col("r") === 1L, col("n_types"))), lit(0L)).as("n1"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
+    val spine = cofc.where(col("r") <= maxR)
+      .withColumn("__next", lead(col("n_types"), 1).over(w))
+      .withColumn("__nextr", lead(col("r"), 1).over(w))
+    val rows = spine.crossJoin(broadcast(tot))
+      .select(col("r"), col("n_types"),
+        when(col("__nextr") === col("r") + 1, round(
+          (col("r") + 1).cast("double") * col("__next").cast("double")
+            / col("n_types").cast("double"), 6)).as("r_star"),
+        round(col("r").cast("double") * col("n_types").cast("double")
+          / col("n_tokens").cast("double"), 6).as("mass"))
+    val unseen = tot.select(lit(0L).as("r"), lit(0L).as("n_types"),
+      lit(null).cast("double").as("r_star"),
+      round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+        .as("mass"))
+    unseen.unionByName(rows).orderBy("r")
+  }
+
+  /**
+   * RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+   * maximal stopword-free token runs; each word scores deg(w)/freq(w)
+   * (deg = Σ phrase length over its candidate occurrences — co-
+   * occurrence credit; freq = its candidate occurrences), and a phrase
+   * scores the sum of its words' scores — longer, collocation-heavy
+   * phrases win. The no-model keyphrase baseline a corpus browser
+   * needs.
+   *
+   * Determinism: deg/freq are exact longs; each word ratio rounds 12dp
+   * and phrase scores DECIMAL-sum them (the Σ doctrine), published 6dp;
+   * top-K by (score desc, phrase) — orderBy+limit, a TakeOrdered. Shape:
+   * one posexplode pass; phrase ids are per-doc stopword-prefix counts
+   * (a doc-partitioned window); phrase assembly sorts (pos, w) structs
+   * INSIDE the row group — everything keyed on (doc, phrase), linear in
+   * token volume.
+   *
+   * Output: (phrase, n_words, freq, score), topK rows.
+   */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 25, maxPhraseLen: Int = 4,
+      stopwords: Seq[String] = graft.pipeline.TextAnalysis.StopwordsEn): DataFrame = {
+    require(topK >= 1 && maxPhraseLen >= 1, "topK >= 1, maxPhraseLen >= 1")
+    val toks = docs.select(col(idCol).as("__d"),
+        posexplode(whitespaceTokens(lower(col(textCol)))).as(Seq("pos", "w0")))
+      // strip edge punctuation so "cost," and "cost" are one word; a
+      // token that is ALL punctuation becomes a delimiter like a stopword
+      .withColumn("w", regexp_replace(col("w0"), "^[^a-z0-9]+|[^a-z0-9]+$", ""))
+      .withColumn("__stop",
+        (col("w") === "" || col("w").isin(stopwords: _*)).cast("long"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__d")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val phrases = toks
+      .withColumn("__pid", sum(col("__stop")).over(wDoc))
+      .where(col("__stop") === 0L)
+      .groupBy(col("__d"), col("__pid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        e => e.getField("w")).as("__ws"))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .where(col("n_words") <= maxPhraseLen)
+      .withColumn("phrase", concat_ws(" ", col("__ws")))
+      .cache() // feeds the word-score pass AND the phrase rollup
+    val wordStats = phrases
+      .select(col("n_words"), explode(col("__ws")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("n_words")).as("__deg"))
+      .withColumn("__ws_score", round(col("__deg").cast("double")
+        / col("__freq").cast("double"), 12).cast("decimal(24,12)"))
+    val out = phrases
+      .select(col("phrase"), col("n_words"), explode(col("__ws")).as("w"))
+      .join(wordStats.select(col("w"), col("__ws_score")), "w")
+      .groupBy(col("phrase"), col("n_words"))
+      // each occurrence contributes its full word-score sum; count(...)
+      // double-counts by n_words, so freq divides it back out
+      .agg((count(lit(1)) / col("n_words")).cast("long").as("freq"),
+        sum(col("__ws_score")).as("__raw"))
+      .select(col("phrase"), col("n_words"), col("freq"),
+        round((col("__raw") / col("freq").cast("decimal(24,12)"))
+          .cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+      .localCheckpoint(true)
+    phrases.unpersist(false)
+    out
+  }
+
+  /**
+   * Smoothed unigram Kullback–Leibler divergence between two corpora —
+   * the DIRECTED drift readout (JSD symmetrizes away which side moved;
+   * KL(P‖Q) says "P spends mass where Q has little", the question a
+   * train-vs-eval contamination or domain-shift audit actually asks).
+   * Add-α smoothing over the UNION vocabulary (α = 1/2, Jeffreys) keeps
+   * both divergences finite on one-sided types.
+   *
+   * Determinism: counts exact longs; V, N₀, N₁ exact; each type's two
+   * contributions p·ln(p/q) are one double expression each (smoothed p,
+   * q are rationals of exact operands), 12dp-rounded, DECIMAL-summed
+   * (the Σ doctrine), published 6dp in NATS. Shape: two token aggs, one
+   * full-outer type-keyed join, one rollup — linear in vocab.
+   *
+   * Output: one row (vocab, n0_tokens, n1_tokens, kl_pq, kl_qp,
+   * jeffreys = kl_pq + kl_qp from the published values).
+   */
+  def klUnigram(v0: DataFrame, v1: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def cnt(df: DataFrame, tag: String) =
+      tokenTable(df, idCol, textCol).where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as(s"c$tag"))
+    val joined = cnt(v0, "0").join(cnt(v1, "1"), Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("c0"), lit(0L)).as("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+      .localCheckpoint(true) // vocab-sized; feeds totals AND the term pass
+    val tot = joined.agg(count(lit(1)).as("vocab"),
+      sum(col("c0")).as("n0_tokens"), sum(col("c1")).as("n1_tokens"))
+    val p = (col("c0").cast("double") + lit(0.5)) /
+      (col("n0_tokens").cast("double") + lit(0.5) * col("vocab").cast("double"))
+    val q = (col("c1").cast("double") + lit(0.5)) /
+      (col("n1_tokens").cast("double") + lit(0.5) * col("vocab").cast("double"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("vocab"), col("n0_tokens"), col("n1_tokens"),
+        round(p * log(p / q), 12).cast("decimal(24,12)").as("__pq"),
+        round(q * log(q / p), 12).cast("decimal(24,12)").as("__qp"))
+      .groupBy(col("vocab"), col("n0_tokens"), col("n1_tokens"))
+      .agg(round(sum(col("__pq")).cast("double"), 6).as("kl_pq"),
+        round(sum(col("__qp")).cast("double"), 6).as("kl_qp"))
+      .withColumn("jeffreys", round(col("kl_pq") + col("kl_qp"), 6))
+  }
+
+  /**
+   * Burrows' Delta (Burrows 2002) between sources — the standard
+   * stylometric distance: over the corpus' top-`topM` words, z-score
+   * each source's RELATIVE frequency against the across-source
+   * mean/population-σ of that word, and Delta(a,b) = mean |z_a − z_b|.
+   * Low Delta = same "stylistic fingerprint" — the authorship/near-
+   * clone-source signal function words carry and topic words don't.
+   *
+   * Determinism: per-source relative frequencies round 12dp at birth;
+   * word means and σ² compose from DECIMAL sums of those published
+   * values (one √ per word); each z is one double expression; |z_a−z_b|
+   * rounds 12dp and DECIMAL-sums per pair (the Σ doctrine), 6dp out.
+   * Shape: everything after the token agg lives on the (sources × topM)
+   * relation — the word spine broadcast, the pair join tiny by
+   * construction.
+   *
+   * Output: (src_a, src_b, n_words, delta) for src_a < src_b, ordered.
+   */
+  def burrowsDelta(docs: DataFrame, sourceCol: String, textCol: String,
+      topM: Int = 50): DataFrame = {
+    require(topM >= 2 && topM <= 2000, "topM in [2,2000]")
+    val toks = docs.where(col(sourceCol).isNotNull)
+      .select(col(sourceCol).cast("string").as("src"),
+        explode(whitespaceTokens(lower(col(textCol)))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("src"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // (sources × their vocab) — feeds 3 passes
+    val topWords = toks.groupBy(col("w")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("w").asc).limit(topM)
+      .select(col("w"))
+    val srcTot = toks.groupBy(col("src")).agg(sum(col("c")).as("n"))
+    val nSrc = srcTot.count()
+    require(nSrc >= 2, "burrowsDelta: need at least two sources")
+    // dense (source × top word) grid so absent words count as f = 0
+    // f as decimal(14,12): the f·f product is then an EXACT (29,24) —
+    // wider operands would trip Spark's silent precision-loss scale cut
+    val grid = srcTot.crossJoin(broadcast(topWords))
+      .join(toks, Seq("src", "w"), "left")
+      .select(col("src"), col("w"),
+        round(coalesce(col("c"), lit(0L)).cast("double")
+          / col("n").cast("double"), 12).cast("decimal(14,12)").as("f"))
+      .localCheckpoint(true) // sources × topM rows
+    val stats = grid.groupBy(col("w")).agg(
+      (sum(col("f")).cast("double") / lit(nSrc.toDouble)).as("__mu"),
+      (sum(col("f") * col("f")).cast("double") / lit(nSrc.toDouble)).as("__ex2"))
+    val z = grid.join(broadcast(stats), "w")
+      .withColumn("__sig", sqrt(greatest(
+        col("__ex2") - col("__mu") * col("__mu"), lit(0.0))))
+      .where(col("__sig") > 0) // a word flat across sources carries no signal
+      .select(col("src"), col("w"),
+        ((col("f").cast("double") - col("__mu")) / col("__sig")).as("z"))
+    z.select(col("src").as("src_a"), col("w"), col("z").as("za"))
+      .join(z.select(col("src").as("src_b"), col("w"), col("z").as("zb")), "w")
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(round(abs(col("za") - col("zb")), 12).cast("decimal(24,12)"))
+          .as("__s"))
+      .select(col("src_a"), col("src_b"), col("n_words"),
+        round((col("__s") / col("n_words").cast("decimal(24,12)"))
+          .cast("double"), 6).as("delta"))
+      .orderBy("src_a", "src_b")
   }
 
   def embeddingCentroids(df: DataFrame, group: Column, vecCol: String): DataFrame = {

@@ -177,8 +177,15 @@ object Sampling {
    *
    * Output: k rows (`idCol`, w, priority, w_est) ordered by priority
    * desc, each carrying (tau, n, total_w, est_total, rel_err).
-   * Published priority/tau/w_est are whole-unit rounded: at their
-   * w·2⁵²/(h+1) magnitude a finer grain is below double ULP.
+   * Published priority/tau/w_est are whole-unit rounded. The
+   * "finer grain is below double ULP" claim holds at priority
+   * magnitudes ≥ ~1e10, i.e. for cent-scale (≥ 1e2) integer weights;
+   * priority = w/u is only GUARANTEED ≥ w, so with single-digit
+   * weights and u near 1 the whole-unit grain can collapse genuinely
+   * distinct priorities in the PUBLISHED columns. Display/audit
+   * ambiguity only: the top-k cut and the tau exclusion both compare
+   * the unrounded doubles, so sample membership and the estimator are
+   * exact regardless of weight scale.
    */
   def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
       k: Int, salt: String = "prio"): DataFrame = {
@@ -222,6 +229,45 @@ object Sampling {
           (col("est_total") - col("total_w").cast("double"))
             / col("total_w").cast("double"), 6)).as("rel_err"))
       .orderBy(col("priority").desc, col(idCol).asc)
+  }
+
+  /**
+   * Weighted random sampling WITHOUT replacement (Efraimidis & Spirakis
+   * 2006): each row draws key = −ln(u)/w from its salted-md5 uniform
+   * u ∈ (0,1], and the k SMALLEST keys are exactly a weight-
+   * proportional-without-replacement draw — the one-pass, shuffle-free
+   * answer to "sample k rows, heavier rows proportionally more likely,
+   * no row twice" (the A-ES reservoir algorithm's batch spelling).
+   * Sibling of [[prioritySample]]: that one optimizes for an unbiased
+   * TOTAL estimator; this one for exact WOR inclusion semantics.
+   *
+   * Determinism: u is a pure function of (salt, id); the key is
+   * ln (correctly-rounded libm in practice, and the ORDER of keys —
+   * all that matters — survives any last-ulp difference except exact
+   * ties, which the id tie-break resolves); the cut is
+   * orderBy+limit → TakeOrderedAndProject, never a full sort. The
+   * PUBLISHED key rounds 12dp for display; the cut uses the unrounded
+   * double (the prioritySample publishing doctrine).
+   *
+   * Output: k rows (`idCol`, w, es_key, rank) ordered by (es_key asc,
+   * id).
+   */
+  def efraimidisSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, salt: String = "es"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val two52 = 4503599627370496.0 // 2^52
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    df.select(col(idCol), weightCol.cast("long").as("w"))
+      .where(col("w").isNotNull && col("w") > 0 && col(idCol).isNotNull)
+      // u = (h+1)/2^52 ∈ (0,1] — never 0, so ln is always finite
+      .withColumn("__key",
+        -log((h.cast("double") + 1.0) / lit(two52)) / col("w").cast("double"))
+      .orderBy(col("__key").asc, col(idCol).asc).limit(k)
+      .select(col(idCol), col("w"), round(col("__key"), 12).as("es_key"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("es_key").asc, col(idCol).asc)).cast("long"))
   }
 
   def horvitzThompson(df: DataFrame, idCol: String, strataCol: String,
