@@ -4727,6 +4727,151 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
         .orderBy("doc_id")
     }),
+    "q336_eigenvector" -> ((s, dir) => {
+      // who is central when centrality is defined recursively (your
+      // neighbors' centrality counts): 5 integer power-iteration rounds
+      // over the SF-independent top-90 brand graph (the q279 family),
+      // L1-renormalized to 1e6 units per round — exact longs,
+      // bit-identical across the two execution regimes
+      val pr = brandPairs(s, dir, minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      graft.operators.GraphOps.eigenvectorCentrality(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+        iters = 5)
+    }),
+    "q337_link_predict" -> ((s, dir) => {
+      // which brands SHOULD co-occur but don't yet: common-neighbor /
+      // Jaccard / resource-allocation scores over non-adjacent pairs of
+      // the top-90 graph — the recommender's candidate-edge shortlist,
+      // wedge join under the maxDegree hub contract
+      val pr = brandPairs(s, dir, minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      graft.operators.GraphOps.linkPredict(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+        topK = 20)
+    }),
+    "q338_modularity" -> ((s, dir) => {
+      // did label propagation find REAL structure: Newman Q of the
+      // q279 LPA labels over the same top-90 graph — exact integer
+      // numerator (4m·within − Σd_c²), one double divide
+      val pr = brandPairs(s, dir, minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
+      val labs = graft.operators.GraphOps.labelPropagation(edges, iters = 3)
+      graft.operators.GraphOps.modularity(edges, labs)
+    }),
+    "q339_cochran_armitage" -> ((s, dir) => {
+      // does purchase share TREND across the hour of day (ordered doses
+      // 0..23) — the ordered alternative a χ² of independence cannot
+      // see; exact integer moments, one double expression
+      graft.operators.Experiment.cochranArmitage(
+        eng(s, dir).table("events"),
+        hour(col("ts")), col("event_type") === "purchase")
+    }),
+    "q340_permutation_test" -> ((s, dir) => {
+      // is the BUILDING-vs-rest balance gap real: 64 derandomized md5
+      // relabelings replay the null of the mean-acctbal-cents
+      // difference; add-one Monte-Carlo p — every replicate an exact
+      // integer sum, the whole test one pass over rows × 64
+      val c = eng(s, dir).table("customer").withColumn("arm",
+        when(col("c_mktsegment") === "BUILDING", "A").otherwise("B"))
+      graft.operators.Experiment.permutationTest(c,
+        col("c_custkey"), col("arm"),
+        round(col("c_acctbal") * 100, 0).cast("long"), bReps = 64)
+    }),
+    "q341_wilson" -> ((s, dir) => {
+      // per-priority fulfilled-share with small-n-honest Wilson 95%
+      // intervals — the interval that behaves where Wald collapses
+      graft.operators.Experiment.wilsonIntervals(
+        eng(s, dir).table("orders"),
+        col("o_orderpriority"), col("o_orderstatus") === "F")
+    }),
+    "q342_evalue" -> ((s, dir) => {
+      // how strong an UNMEASURED confounder would have to be to explain
+      // away the big-order → fulfilled association: VanderWeele E-value
+      // from the exact 2×2; CI published on the log scale (no exp on
+      // the gate path)
+      graft.operators.Experiment.eValue(eng(s, dir).table("orders"),
+        col("o_totalprice") > 100000, col("o_orderstatus") === "F")
+    }),
+    "q343_competing_risks" -> ((s, dir) => {
+      // what fraction of users exits by PURCHASE vs by ERROR when both
+      // compete: Aalen-Johansen CIFs per cause — 1−KM per cause would
+      // overstate both; the incidences partition 1 − S
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("tp"),
+        min(when(col("event_type") === "error", col("ts").cast("long")))
+          .as("te"))
+      val firstP = col("tp").isNotNull &&
+        (col("te").isNull || col("tp") <= col("te"))
+      val subjects = perUser.select(
+        when(firstP, col("tp") - col("t0"))
+          .when(col("te").isNotNull, col("te") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        when(firstP, 1L).when(col("te").isNotNull, 2L).otherwise(0L)
+          .as("cause"))
+      graft.operators.Survival.aalenJohansen(subjects, "dur", col("cause"))
+    }),
+    "q344_page_hinkley" -> ((s, dir) => {
+      // did any event type's daily volume drift upward: Page-Hinkley
+      // with running-mean self-calibration over the daily count series
+      // (unlike q188's CUSUM, no fixed reference mean to tune)
+      val daily = eng(s, dir).table("events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.pageHinkley(daily, "event_type", "d",
+        "cnt", delta = 0.0, lambda = 30.0)
+    }),
+    "q345_good_turing" -> ((s, dir) => {
+      // how much probability do the trigrams we've NEVER seen deserve:
+      // Good-Turing count-of-counts over word-trigram types (the
+      // unigram vocabulary is closed on this corpus — the tail lives in
+      // composed units), the Turing unseen mass N₁/N, adjusted r*
+      graft.pipeline.CorpusStats.goodTuring(
+        eng(s, dir).table("documents"), "doc_id", "text", maxR = 8,
+        gram = 3)
+    }),
+    "q346_rake" -> ((s, dir) => {
+      // no-model keyphrase extraction: RAKE stopword-delimited
+      // candidates scored by Σ deg(w)/freq(w) — longer collocation-
+      // heavy phrases win; top-20 by (score, phrase)
+      graft.pipeline.CorpusStats.rakeKeyphrases(
+        eng(s, dir).table("documents"), "doc_id", "text", topK = 20)
+    }),
+    "q347_kl_unigram" -> ((s, dir) => {
+      // DIRECTED drift between the even- and odd-id halves of the
+      // corpus: add-½ smoothed unigram KL both ways (JSD tells you THAT
+      // they differ; KL(P‖Q) vs KL(Q‖P) tells you which side spends
+      // mass where the other has little)
+      val docs = eng(s, dir).table("documents")
+      graft.pipeline.CorpusStats.klUnigram(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text")
+    }),
+    "q348_burrows_delta" -> ((s, dir) => {
+      // which sources share a stylistic fingerprint: Burrows' Delta
+      // over the top-40 corpus words — mean |z|-distance of relative
+      // function-word rates, the authorship/near-clone-source signal
+      graft.pipeline.CorpusStats.burrowsDelta(
+        eng(s, dir).table("documents"), "source", "text", topM = 40)
+    }),
+    "q349_es_sample" -> ((s, dir) => {
+      // weight-proportional sampling WITHOUT replacement: 50 customers
+      // by Efraimidis-Spirakis −ln(u)/w keys off salted md5 — heavier
+      // accounts proportionally likelier, no account twice, one pass
+      graft.pipeline.Sampling.efraimidisSample(
+        eng(s, dir).table("customer"), "c_custkey",
+        round(col("c_acctbal") * 100, 0), k = 50)
+        .orderBy(col("rank").asc)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -4919,6 +5064,57 @@ object SparkEntry {
          SELECT x.i AS pa, y.i AS pb, count(*) AS support
          FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
          GROUP BY 1, 2 HAVING count(*) >= 400
+       )"""
+
+  /** Shared CTE chain: the SF-independent top-90-by-support brand
+    * co-occurrence graph (q279's construction) — `top` (a<b canonical
+    * edges) and `e` (symmetrized), for the q279/q336/q337/q338 family. */
+  private val duckTop90Graph =
+    """WITH bi AS (
+         SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       ), pr AS (
+         SELECT x.i AS pa, y.i AS pb, count(*) AS c
+         FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+         GROUP BY 1, 2
+       ), top AS MATERIALIZED (
+         SELECT pa, pb FROM pr ORDER BY c DESC, pa, pb LIMIT 90
+       ), e AS MATERIALIZED (
+         SELECT pa AS src, pb AS dst FROM top
+         UNION SELECT pb, pa FROM top
+       )"""
+
+  /** 3 unrolled synchronous LPA rounds over `e` (majority label, ties
+    * to the smallest) — ends at CTE `l3`; shared by q279 and q338. */
+  private val duckLabelProp3 =
+    """,
+       l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+       v1 AS MATERIALIZED (
+         SELECT e.dst AS node, l.label, count(*) AS c
+         FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
+       ), l1 AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           FROM v1) WHERE rk = 1
+       ),
+       v2 AS MATERIALIZED (
+         SELECT e.dst AS node, l.label, count(*) AS c
+         FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
+       ), l2 AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           FROM v2) WHERE rk = 1
+       ),
+       v3 AS MATERIALIZED (
+         SELECT e.dst AS node, l.label, count(*) AS c
+         FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
+       ), l3 AS MATERIALIZED (
+         SELECT node, label FROM (
+           SELECT node, label,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+           FROM v3) WHERE rk = 1
        )"""
 
   /** Eight unrolled batch-peel rounds replaying GraphOps.kCore(k=4) on
@@ -7067,49 +7263,9 @@ object SparkEntry {
     // count-desc/label-asc argmax) over the top-90-by-support brand
     // graph; the tie-broken LIMIT makes the edge set a total-order
     // selection, deterministic at any SF
-    "q279_label_prop" ->
-      """WITH bi AS (
-           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
-           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-         ), pr AS (
-           SELECT x.i AS pa, y.i AS pb, count(*) AS c
-           FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
-           GROUP BY 1, 2
-         ), top AS MATERIALIZED (
-           SELECT pa, pb FROM pr ORDER BY c DESC, pa, pb LIMIT 90
-         ), e AS MATERIALIZED (
-           SELECT pa AS src, pb AS dst FROM top
-           UNION SELECT pb, pa FROM top
-         ),
-         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
-         v1 AS MATERIALIZED (
-           SELECT e.dst AS node, l.label, count(*) AS c
-           FROM e JOIN l0 l ON l.node = e.src GROUP BY 1, 2
-         ), l1 AS MATERIALIZED (
-           SELECT node, label FROM (
-             SELECT node, label,
-                    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
-             FROM v1) WHERE rk = 1
-         ),
-         v2 AS MATERIALIZED (
-           SELECT e.dst AS node, l.label, count(*) AS c
-           FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2
-         ), l2 AS MATERIALIZED (
-           SELECT node, label FROM (
-             SELECT node, label,
-                    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
-             FROM v2) WHERE rk = 1
-         ),
-         v3 AS MATERIALIZED (
-           SELECT e.dst AS node, l.label, count(*) AS c
-           FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2
-         ), l3 AS MATERIALIZED (
-           SELECT node, label FROM (
-             SELECT node, label,
-                    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
-             FROM v3) WHERE rk = 1
-         )
-         SELECT node, label FROM l3 ORDER BY node""",
+    "q279_label_prop" -> (duckTop90Graph + duckLabelProp3 +
+      """
+         SELECT node, label FROM l3 ORDER BY node"""),
     // q278: the oracle replays the additive hazard chain with the same
     // 12dp term rounding + DECIMAL running sum (no transcendentals on
     // either side)
@@ -11825,6 +11981,469 @@ object SparkEntry {
                   (acc, x) -> (acc*31 + x) % 1000000007) AS rfp
          FROM documents
          ORDER BY doc_id""",
+    // q336: 5 unrolled integer power-iteration rounds — sum-inflow then
+    // L1-renormalize by truncating div, the exact arithmetic both Spark
+    // regimes share
+    "q336_eigenvector" -> {
+      val rounds = (1 to 5).map { i =>
+        val prev = if (i == 1) "x0" else s"x${i - 1}"
+        s""", r$i AS MATERIALIZED (
+             SELECT e.dst AS node, sum(x.s) AS s
+             FROM e JOIN $prev x ON x.node = e.src GROUP BY 1
+           ), t$i AS (SELECT sum(s) AS t FROM r$i),
+           x$i AS MATERIALIZED (
+             SELECT n.node,
+                    CAST(CASE WHEN t.t IS NULL OR t.t = 0 THEN coalesce(r.s, 0)
+                         ELSE (coalesce(r.s, 0) * 1000000) // t.t END AS BIGINT) AS s
+             FROM (SELECT node FROM x0) n
+             LEFT JOIN r$i r ON r.node = n.node CROSS JOIN t$i t)"""
+      }.mkString
+      duckTop90Graph +
+        ", x0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1000000::BIGINT AS s FROM e)" +
+        rounds +
+        " SELECT node, s AS score_units FROM x5 ORDER BY node"
+    },
+    // q337: wedge join over the symmetrized top-90 graph, anti-join of
+    // existing edges, jaccard/RA published from exact counts
+    "q337_link_predict" -> (duckTop90Graph +
+      """, deg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+         w2 AS (
+           SELECT a.src AS z, a.dst AS u, b.dst AS w
+           FROM e a JOIN e b ON b.src = a.src AND a.dst < b.dst
+         ), cand AS (
+           SELECT u, w, CAST(count(*) AS BIGINT) AS n_common,
+                  sum(CAST(round(1.0::DOUBLE / d.dg, 12) AS DECIMAL(24,12))) AS ra
+           FROM w2 JOIN deg d ON d.z = w2.z GROUP BY 1, 2
+         ), nonadj AS (
+           SELECT c.* FROM cand c
+           LEFT JOIN top t ON t.pa = c.u AND t.pb = c.w WHERE t.pa IS NULL
+         )
+         SELECT u AS node_a, w AS node_b, n_common,
+                round(CAST(n_common AS DOUBLE) / (du.dg + dw.dg - n_common), 6) AS jaccard,
+                round(CAST(ra AS DOUBLE), 6) AS ra_score
+         FROM nonadj JOIN deg du ON du.z = u JOIN deg dw ON dw.z = w
+         ORDER BY jaccard DESC, u, w LIMIT 20"""),
+    // q338: the q279 LPA labels, then Newman Q by exact integer
+    // numerator over HUGEINT and one double divide
+    "q338_modularity" -> (duckTop90Graph + duckLabelProp3 +
+      """, tg AS (
+           SELECT t.pa AS a, t.pb AS b, la.label AS la, lb.label AS lb
+           FROM top t JOIN l3 la ON la.node = t.pa JOIN l3 lb ON lb.node = t.pb
+         ), degc AS (
+           SELECT c, CAST(count(*) AS BIGINT) AS dc
+           FROM (SELECT la AS c FROM tg UNION ALL SELECT lb FROM tg) GROUP BY 1
+         ), s1 AS (
+           SELECT sum(CAST(dc AS HUGEINT) * dc) AS sumdc2,
+                  CAST(count(*) AS BIGINT) AS n_communities
+           FROM degc
+         ), s2 AS (
+           SELECT CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS within_edges
+           FROM tg
+         )
+         SELECT s2.m, s1.n_communities, s2.within_edges,
+                CASE WHEN s2.m > 0 THEN round(
+                  CAST(4::HUGEINT * s2.m * s2.within_edges - s1.sumdc2 AS DOUBLE)
+                  / (4.0::DOUBLE * s2.m * s2.m), 6) END AS q
+         FROM s2 CROSS JOIN s1"""),
+    // q339: exact per-level moments, z in one double expression over a
+    // common denominator (p̄ stays symbolic)
+    "q339_cochran_armitage" ->
+      """WITH lvl AS (
+           SELECT CAST(extract(hour FROM ts) AS BIGINT) AS t,
+                  CAST(count(*) AS BIGINT) AS nn,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS r
+           FROM events GROUP BY 1
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_levels,
+                  CAST(sum(nn) AS BIGINT) AS n,
+                  CAST(sum(r) AS BIGINT) AS successes,
+                  sum(CAST(t AS HUGEINT) * nn) AS tn,
+                  sum(CAST(t AS HUGEINT) * t * nn) AS t2n,
+                  sum(CAST(t AS HUGEINT) * r) AS tr
+           FROM lvl
+         )
+         SELECT n, n_levels, successes,
+                CASE WHEN n_levels > 1 AND successes > 0 AND successes < n THEN
+                  round((CAST(tr AS DOUBLE) - CAST(tn AS DOUBLE) * CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                        / sqrt((CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (1.0::DOUBLE - CAST(successes AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(t2n AS DOUBLE) - CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+                END AS z_ca
+         FROM m""",
+    // q340: the same salted-md5 52-bit fraction stream, 64 relabelings,
+    // exact integer replicate sums, add-one Monte-Carlo p
+    "q340_permutation_test" ->
+      """WITH base AS (
+           SELECT CAST(c_custkey AS VARCHAR) AS id,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 'A' ELSE 'B' END AS arm,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS x
+           FROM customer
+           WHERE c_custkey IS NOT NULL AND round(c_acctbal * 100, 0) IS NOT NULL
+         ), obs AS (
+           SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN arm <> 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                  CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sa,
+                  CAST(sum(CASE WHEN arm <> 'A' THEN x ELSE 0 END) AS BIGINT) AS sb
+           FROM base
+         ), reps AS (
+           SELECT b, CAST(sum(a) AS BIGINT) AS ka, CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(a * x) AS BIGINT) AS sa2, CAST(sum(x) AS BIGINT) AS s
+           FROM (
+             SELECT base.x, t.b,
+                    CASE WHEN CAST(CAST(('0x' || substr(md5('perm:' || base.id || ':' || CAST(t.b AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                              / 4503599627370496.0
+                           < (SELECT CAST(na AS DOUBLE) / (na + nb) FROM obs)
+                         THEN 1 ELSE 0 END AS a
+             FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS b) t)
+           GROUP BY b
+         ), stat AS (
+           SELECT CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS diff_obs
+           FROM obs
+         ), nge AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_ge
+           FROM reps, stat
+           WHERE k - ka = 0 OR ka = 0
+              OR abs(CAST(sa2 AS DOUBLE) / ka - CAST(s - sa2 AS DOUBLE) / (k - ka))
+                 >= abs(diff_obs)
+         )
+         SELECT obs.na AS n_a, obs.nb AS n_b,
+                round(CAST(obs.sa AS DOUBLE) / obs.na, 6) AS mean_a,
+                round(CAST(obs.sb AS DOUBLE) / obs.nb, 6) AS mean_b,
+                round(stat.diff_obs, 6) AS diff_obs,
+                64 AS b_reps, nge.n_ge,
+                round((1.0::DOUBLE + nge.n_ge) / (64 + 1.0::DOUBLE), 6) AS p_value
+         FROM obs CROSS JOIN stat CROSS JOIN nge""",
+    // q341: the Wilson formula with the identical operator association
+    "q341_wilson" ->
+      """WITH g AS (
+           SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS successes
+           FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+         ), c AS (
+           SELECT grp, n, successes,
+                  CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                  CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE) AS z2n
+           FROM g
+         ), w AS (
+           SELECT grp, n, successes, p,
+                  (p + z2n / 2) / (1.0::DOUBLE + z2n) AS center,
+                  CAST(1.96 AS DOUBLE)
+                    * sqrt(p * (1.0::DOUBLE - p) / CAST(n AS DOUBLE)
+                           + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                             / (4.0::DOUBLE * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                    / (1.0::DOUBLE + z2n) AS half
+           FROM c
+         )
+         SELECT grp, n, successes, round(p, 6) AS rate,
+                round(greatest(center - half, 0.0::DOUBLE), 6) AS wilson_lo,
+                round(least(center + half, 1.0::DOUBLE), 6) AS wilson_hi
+         FROM w ORDER BY grp""",
+    // q342: exact 2×2, risk ratio + log-scale SE + E-value, same
+    // operator association as the Spark side
+    "q342_evalue" ->
+      """WITH cells AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_totalprice > 100000 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN o_totalprice > 100000 AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN o_totalprice <= 100000 AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN o_totalprice <= 100000 AND o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM orders
+         ), rrc AS (
+           SELECT *,
+                  (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d)) AS rr0,
+                  a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok
+           FROM cells
+         )
+         SELECT n, a, b, c, d,
+                CASE WHEN ok THEN round(rr0, 6) END AS rr,
+                CASE WHEN ok THEN round(ln(rr0), 6) END AS log_rr,
+                CASE WHEN ok THEN round(sqrt(
+                  1.0::DOUBLE / a - 1.0::DOUBLE / (a + b)
+                  + 1.0::DOUBLE / c - 1.0::DOUBLE / (c + d)), 6) END AS se_log_rr,
+                CASE WHEN ok THEN round(
+                  (CASE WHEN rr0 >= 1.0 THEN rr0 ELSE 1.0::DOUBLE / rr0 END)
+                  + sqrt((CASE WHEN rr0 >= 1.0 THEN rr0 ELSE 1.0::DOUBLE / rr0 END)
+                         * ((CASE WHEN rr0 >= 1.0 THEN rr0 ELSE 1.0::DOUBLE / rr0 END) - 1.0::DOUBLE)), 6)
+                END AS e_value
+         FROM rrc""",
+    // q343: all-cause KM just before t (the q203 12dp-ln/decimal
+    // machinery over the strictly-earlier frame), per-cause CIF
+    // increments 12dp-rounded and decimal-summed
+    "q343_competing_risks" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tp,
+                  min(CASE WHEN event_type = 'error'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS te
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN tp - t0
+                       WHEN te IS NOT NULL THEN te - t0
+                       ELSE tl - t0 END AS t,
+                  CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) THEN 1
+                       WHEN te IS NOT NULL THEN 2 ELSE 0 END AS cause
+           FROM pu
+         ), tot AS (SELECT count(*) AS n FROM subj),
+         bytc AS (
+           SELECT t, CAST(cause AS BIGINT) AS cause, CAST(count(*) AS BIGINT) AS cnt
+           FROM subj GROUP BY 1, 2
+         ), byt AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN cause <> 0 THEN cnt ELSE 0 END) AS BIGINT) AS ne,
+                  CAST(sum(CASE WHEN cause = 0 THEN cnt ELSE 0 END) AS BIGINT) AS nc
+           FROM bytc GROUP BY 1
+         ), c1 AS (
+           SELECT t, ne, nc,
+                  sum(ne + nc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gone
+           FROM byt
+         ), c2 AS (
+           SELECT c1.t, c1.ne, c1.nc,
+                  CAST(tot.n - c1.gone + c1.ne + c1.nc AS BIGINT) AS nr
+           FROM c1 CROSS JOIN tot
+         ), c3 AS (
+           SELECT *, CASE WHEN ne = nr THEN 1 ELSE 0 END AS z,
+                  CASE WHEN ne = nr THEN 0.0
+                       ELSE round(ln(1.0 - CAST(ne AS DOUBLE) / CAST(nr AS DOUBLE)), 12) END AS term
+           FROM c2
+         ), c4 AS (
+           SELECT *,
+                  coalesce(sum(CAST(term AS DECIMAL(24,12))) OVER
+                    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(0 AS DECIMAL(24,12))) AS lsp,
+                  coalesce(max(z) OVER
+                    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS azp
+           FROM c3
+         ), curve AS (
+           SELECT t, nr,
+                  CASE WHEN azp = 1 THEN 0.0 ELSE exp(CAST(lsp AS DOUBLE)) END AS sm
+           FROM c4
+         ), pc AS (
+           SELECT b.t, b.cause, c.nr, b.cnt, c.sm,
+                  CAST(round(c.sm * CAST(b.cnt AS DOUBLE) / CAST(c.nr AS DOUBLE), 12) AS DECIMAL(24,12)) AS inc
+           FROM bytc b JOIN curve c ON c.t = b.t WHERE b.cause <> 0
+         )
+         SELECT t, cause, nr AS n_risk, cnt AS n_event,
+                round(sm, 6) AS s_minus,
+                round(CAST(sum(inc) OVER (PARTITION BY cause ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cif
+         FROM pc ORDER BY cause, t""",
+    // q344: prefix sums exact, deviation terms 12dp-decimal-summed,
+    // running min over the decimals — the identical PH replay
+    "q344_page_hinkley" ->
+      """WITH daily AS (
+           SELECT event_type AS k, strftime(ts, '%Y-%m-%d') AS t,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2
+         ), s1 AS (
+           SELECT k, t, x,
+                  sum(x) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                  count(*) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+           FROM daily
+         ), s2 AS (
+           SELECT k, t,
+                  CAST(round(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(i AS DOUBLE) - 0.0::DOUBLE, 12) AS DECIMAL(38,12)) AS dev
+           FROM s1
+         ), s3 AS (
+           SELECT k, t,
+                  sum(dev) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+           FROM s2
+         ), s4 AS (
+           SELECT k, t, m,
+                  min(m) OVER (PARTITION BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+           FROM s3
+         ), s5 AS (
+           SELECT k, t, CAST(m - mmin AS DOUBLE) AS ph
+           FROM s4
+         )
+         SELECT k AS key, CAST(count(*) AS BIGINT) AS n,
+                round(max(ph), 6) AS ph_max,
+                CAST(sum(CASE WHEN ph >= 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS alarms,
+                min(CASE WHEN ph >= 30.0 THEN t END) AS first_alarm_t
+         FROM s5 GROUP BY 1 ORDER BY key""",
+    // q345: count-of-counts over the shared tokenizer; the r+1 lookup
+    // is a lead over the FULL relation, then the maxR cut
+    "q345_good_turing" ->
+      """WITH arrs AS (
+           SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a
+           FROM documents
+         ), toks AS (
+           SELECT unnest(list_transform(generate_series(1, len(a) - 2),
+                    i -> a[i] || '|' || a[i+1] || '|' || a[i+2])) AS w
+           FROM arrs
+         ), types AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks WHERE w <> '' GROUP BY 1
+         ), cofc AS (
+           SELECT c AS r, CAST(count(*) AS BIGINT) AS n_types FROM types GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(r * n_types) AS BIGINT) AS n_tokens,
+                  CAST(coalesce(sum(CASE WHEN r = 1 THEN n_types END), 0) AS BIGINT) AS n1
+           FROM cofc
+         ), spine AS (
+           SELECT r, n_types,
+                  lead(n_types, 1) OVER (ORDER BY r) AS nxt,
+                  lead(r, 1) OVER (ORDER BY r) AS nxtr
+           FROM cofc
+         ), rows1 AS (
+           SELECT s.r, s.n_types,
+                  CASE WHEN s.nxtr = s.r + 1 THEN round(
+                    CAST(s.r + 1 AS DOUBLE) * CAST(s.nxt AS DOUBLE) / CAST(s.n_types AS DOUBLE), 6) END AS r_star,
+                  round(CAST(s.r AS DOUBLE) * CAST(s.n_types AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6) AS mass
+           FROM spine s CROSS JOIN tot t WHERE s.r <= 8
+         )
+         SELECT 0::BIGINT AS r, 0::BIGINT AS n_types, CAST(NULL AS DOUBLE) AS r_star,
+                round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mass
+         FROM tot
+         UNION ALL
+         SELECT r, n_types, r_star, mass FROM rows1
+         ORDER BY r""",
+    // q346: the RAKE pipeline — punctuation-stripped tokens, stopword-
+    // boundary phrase ids, deg/freq word scores, phrase-score rollup
+    "q346_rake" -> {
+      val stops = graft.pipeline.TextAnalysis.StopwordsEn
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH arrs AS (
+           SELECT doc_id AS d,
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS a
+           FROM documents
+         ), toks AS (
+           SELECT d, i AS pos,
+                  regexp_replace(a[i], '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS w
+           FROM arrs, unnest(range(1, len(a) + 1)) AS t(i)
+         ), flags AS (
+           SELECT d, pos, w,
+                  CASE WHEN w = '' OR w IN ($stops) THEN 1 ELSE 0 END AS st
+           FROM toks
+         ), pid AS (
+           SELECT d, pos, w, st,
+                  sum(st) OVER (PARTITION BY d ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+           FROM flags
+         ), ph AS (
+           SELECT d, pid, list(w ORDER BY pos) AS ws
+           FROM pid WHERE st = 0 GROUP BY 1, 2
+         ), ph2 AS (
+           SELECT CAST(len(ws) AS BIGINT) AS n_words,
+                  array_to_string(ws, ' ') AS phrase, ws
+           FROM ph WHERE len(ws) <= 4
+         ), wstat AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(n_words) AS BIGINT) AS deg
+           FROM (SELECT n_words, unnest(ws) AS w FROM ph2) GROUP BY 1
+         ), wsc AS (
+           SELECT w, CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 12) AS DECIMAL(24,12)) AS s
+           FROM wstat
+         ), ps AS (
+           SELECT p.phrase, p.n_words, sc.s
+           FROM (SELECT phrase, n_words, unnest(ws) AS w FROM ph2) p
+           JOIN wsc sc ON sc.w = p.w
+         ), agg AS (
+           SELECT phrase, n_words,
+                  CAST(count(*) / n_words AS BIGINT) AS freq,
+                  sum(s) AS raw
+           FROM ps GROUP BY 1, 2
+         )
+         SELECT phrase, n_words, freq,
+                round(CAST(raw AS DOUBLE) / CAST(freq AS DOUBLE), 6) AS score
+         FROM agg ORDER BY score DESC, phrase LIMIT 20"""
+    },
+    // q347: union vocabulary via full-outer type join, add-½ smoothing,
+    // per-type 12dp terms, decimal sums — both directions in one pass
+    "q347_kl_unigram" ->
+      """WITH t0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS c0 FROM (
+             SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents WHERE doc_id % 2 = 0) WHERE w <> '' GROUP BY 1
+         ), t1 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+             SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents WHERE doc_id % 2 = 1) WHERE w <> '' GROUP BY 1
+         ), j AS (
+           SELECT coalesce(t0.w, t1.w) AS w,
+                  coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+           FROM t0 FULL OUTER JOIN t1 ON t1.w = t0.w
+         ), tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(sum(c0) AS BIGINT) AS n0_tokens,
+                  CAST(sum(c1) AS BIGINT) AS n1_tokens
+           FROM j
+         ), terms AS (
+           SELECT x.vocab, x.n0_tokens, x.n1_tokens,
+                  CAST(round(p * ln(p / q), 12) AS DECIMAL(24,12)) AS pq,
+                  CAST(round(q * ln(q / p), 12) AS DECIMAL(24,12)) AS qp
+           FROM (
+             SELECT j.c0, j.c1, tot.vocab, tot.n0_tokens, tot.n1_tokens,
+                    (CAST(j.c0 AS DOUBLE) + 0.5::DOUBLE)
+                      / (CAST(tot.n0_tokens AS DOUBLE) + 0.5::DOUBLE * CAST(tot.vocab AS DOUBLE)) AS p,
+                    (CAST(j.c1 AS DOUBLE) + 0.5::DOUBLE)
+                      / (CAST(tot.n1_tokens AS DOUBLE) + 0.5::DOUBLE * CAST(tot.vocab AS DOUBLE)) AS q
+             FROM j CROSS JOIN tot) x
+         ), agg AS (
+           SELECT vocab, n0_tokens, n1_tokens,
+                  round(CAST(sum(pq) AS DOUBLE), 6) AS kl_pq,
+                  round(CAST(sum(qp) AS DOUBLE), 6) AS kl_qp
+           FROM terms GROUP BY 1, 2, 3
+         )
+         SELECT vocab, n0_tokens, n1_tokens, kl_pq, kl_qp,
+                round(kl_pq + kl_qp, 6) AS jeffreys
+         FROM agg""",
+    // q348: top-40 words, per-source 12dp relative rates on a dense
+    // grid, across-source z-scores, pairwise mean |z|-distance
+    "q348_burrows_delta" ->
+      """WITH toks AS (
+           SELECT source AS src, w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT source, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents WHERE source IS NOT NULL) WHERE w <> '' GROUP BY 1, 2
+         ), topw AS (
+           SELECT w FROM (SELECT w, sum(c) AS tc FROM toks GROUP BY 1)
+           ORDER BY tc DESC, w LIMIT 40
+         ), st AS (
+           SELECT src, CAST(sum(c) AS BIGINT) AS n FROM toks GROUP BY 1
+         ), ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
+         grid AS (
+           SELECT st.src, topw.w,
+                  CAST(round(CAST(coalesce(t.c, 0) AS DOUBLE) / CAST(st.n AS DOUBLE), 12) AS DECIMAL(14,12)) AS f
+           FROM st CROSS JOIN topw
+           LEFT JOIN toks t ON t.src = st.src AND t.w = topw.w
+         ), stats AS (
+           SELECT w,
+                  CAST(sum(f) AS DOUBLE) / (SELECT k FROM ns) AS mu,
+                  CAST(sum(CAST(round(CAST(f AS DOUBLE) * CAST(f AS DOUBLE), 12) AS DECIMAL(24,12))) AS DOUBLE)
+                    / (SELECT k FROM ns) AS ex2
+           FROM grid GROUP BY 1
+         ), z AS (
+           SELECT g.src, g.w,
+                  (CAST(g.f AS DOUBLE) - s.mu) / sqrt(greatest(s.ex2 - s.mu * s.mu, 0.0::DOUBLE)) AS z
+           FROM grid g JOIN stats s ON s.w = g.w
+           WHERE sqrt(greatest(s.ex2 - s.mu * s.mu, 0.0::DOUBLE)) > 0
+         )
+         SELECT a.src AS src_a, b.src AS src_b,
+                CAST(count(*) AS BIGINT) AS n_words,
+                round(CAST(sum(CAST(round(abs(a.z - b.z), 12) AS DECIMAL(24,12))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS delta
+         FROM z a JOIN z b ON b.w = a.w AND a.src < b.src
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q349: the same −ln(u)/w keys off the salted 52-bit md5 fraction;
+    // cut on the unrounded key, publish 12dp
+    "q349_es_sample" ->
+      """WITH base AS (
+           SELECT c_custkey, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS w
+           FROM customer
+           WHERE c_custkey IS NOT NULL AND round(c_acctbal * 100, 0) > 0
+         ), keyed AS (
+           SELECT c_custkey, w,
+                  -ln((CAST(CAST(('0x' || substr(md5('es:' || CAST(c_custkey AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE) + 1.0)
+                      / 4503599627370496.0) / CAST(w AS DOUBLE) AS k
+           FROM base
+         ), cut AS (
+           SELECT c_custkey, w, round(k, 12) AS es_key
+           FROM keyed ORDER BY k, c_custkey LIMIT 50
+         )
+         SELECT c_custkey, w, es_key,
+                CAST(row_number() OVER (ORDER BY es_key, c_custkey) AS BIGINT) AS rank
+         FROM cut ORDER BY rank""",
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

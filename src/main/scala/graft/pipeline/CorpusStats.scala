@@ -1017,9 +1017,16 @@ object CorpusStats {
    * tokens sitting at frequency r). Ordered by r.
    */
   def goodTuring(docs: DataFrame, idCol: String, textCol: String,
-      maxR: Int = 10): DataFrame = {
+      maxR: Int = 10, gram: Int = 1): DataFrame = {
     require(maxR >= 1 && maxR <= 1000, "maxR in [1,1000]")
-    val types = tokenTable(docs, idCol, textCol)
+    require(gram >= 1 && gram <= 8, "gram in [1,8]")
+    // gram > 1 counts word-n-gram shingle types — the tail Good-Turing
+    // is ABOUT lives in composed units when the unigram vocabulary is
+    // closed (every word frequent), the common case for template-heavy
+    // corpora
+    val toks = if (gram <= 1) tokenTable(docs, idCol, textCol)
+      else shingleTable(docs, textCol, gram, col(idCol))
+    val types = toks
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val cofc = types.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_types"))
@@ -1027,9 +1034,12 @@ object CorpusStats {
     val tot = cofc.agg(sum(col("r") * col("n_types")).as("n_tokens"),
       coalesce(sum(when(col("r") === 1L, col("n_types"))), lit(0L)).as("n1"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("r"))
-    val spine = cofc.where(col("r") <= maxR)
+    // lead over the FULL count-of-counts, THEN cut at maxR — r* at the
+    // boundary must still see N_{maxR+1}
+    val spine = cofc
       .withColumn("__next", lead(col("n_types"), 1).over(w))
       .withColumn("__nextr", lead(col("r"), 1).over(w))
+      .where(col("r") <= maxR)
     val rows = spine.crossJoin(broadcast(tot))
       .select(col("r"), col("n_types"),
         when(col("__nextr") === col("r") + 1, round(
@@ -1101,9 +1111,11 @@ object CorpusStats {
       // double-counts by n_words, so freq divides it back out
       .agg((count(lit(1)) / col("n_words")).cast("long").as("freq"),
         sum(col("__ws_score")).as("__raw"))
+      // double-divide the decimal-summed raw by the exact freq — a
+      // decimal/decimal divide would carry engine-specific result scale
       .select(col("phrase"), col("n_words"), col("freq"),
-        round((col("__raw") / col("freq").cast("decimal(24,12)"))
-          .cast("double"), 6).as("score"))
+        round(col("__raw").cast("double") / col("freq").cast("double"), 6)
+          .as("score"))
       .orderBy(col("score").desc, col("phrase").asc)
       .limit(topK)
       .localCheckpoint(true)
@@ -1195,9 +1207,15 @@ object CorpusStats {
         round(coalesce(col("c"), lit(0L)).cast("double")
           / col("n").cast("double"), 12).cast("decimal(14,12)").as("f"))
       .localCheckpoint(true) // sources × topM rows
+    // the f² terms ride the ESTABLISHED scale-12 publish pattern
+    // (round(double,12) → decimal(24,12) → sum → double) — a raw
+    // (14,12)×(14,12) sum would put a scale-24 decimal→double cast on
+    // the gate path, which is not a validated cross-engine operation
+    val fD = col("f").cast("double")
     val stats = grid.groupBy(col("w")).agg(
       (sum(col("f")).cast("double") / lit(nSrc.toDouble)).as("__mu"),
-      (sum(col("f") * col("f")).cast("double") / lit(nSrc.toDouble)).as("__ex2"))
+      (sum(round(fD * fD, 12).cast("decimal(24,12)")).cast("double")
+        / lit(nSrc.toDouble)).as("__ex2"))
     val z = grid.join(broadcast(stats), "w")
       .withColumn("__sig", sqrt(greatest(
         col("__ex2") - col("__mu") * col("__mu"), lit(0.0))))
@@ -1212,8 +1230,8 @@ object CorpusStats {
         sum(round(abs(col("za") - col("zb")), 12).cast("decimal(24,12)"))
           .as("__s"))
       .select(col("src_a"), col("src_b"), col("n_words"),
-        round((col("__s") / col("n_words").cast("decimal(24,12)"))
-          .cast("double"), 6).as("delta"))
+        round(col("__s").cast("double") / col("n_words").cast("double"), 6)
+          .as("delta"))
       .orderBy("src_a", "src_b")
   }
 

@@ -339,4 +339,52 @@ class GraphOpsSpec extends SparkSpec {
       ("h", "b"), ("h", "c")).toDF("src", "dst")
     assert(GraphOps.degreeAssortativity(messy).head() == s)
   }
+
+  test("eigenvectorCentrality: hub dominates, leaves tie, regimes bit-agree") {
+    import spark.implicits._
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val loc = GraphOps.eigenvectorCentrality(star, iters = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dist = GraphOps.eigenvectorCentrality(star, iters = 5,
+        maxLocalEdges = 0).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(loc == dist) // two-regime contract: identical integers
+    val m = loc.toMap
+    assert(m("h") > m("a") && m("a") == m("b") && m("b") == m("c"))
+    // L1 renormalization: total stays ~1e6 units (truncation loses < n)
+    assert(loc.map(_._2).sum <= 1000000L
+      && loc.map(_._2).sum > 1000000L - 4)
+  }
+
+  test("linkPredict: path endpoints predicted via the middle; hub contract") {
+    import spark.implicits._
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val rows = GraphOps.linkPredict(path, topK = 10).collect()
+    assert(rows.length == 1) // only (a,c) is non-adjacent with a wedge
+    val r = rows.head
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Double]("jaccard") == 1.0) // 1 / (1 + 1 - 1)
+    assert(r.getAs[Double]("ra_score") == 0.5) // 1/deg(b) = 1/2
+    intercept[IllegalArgumentException] {
+      GraphOps.linkPredict(
+        Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst"),
+        maxDegree = 2)
+    }
+  }
+
+  test("modularity: two triangles + bridge — perfect split vs one blob") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val split = Seq(("a", "1"), ("b", "1"), ("c", "1"),
+      ("d", "2"), ("e", "2"), ("f", "2")).toDF("node", "label")
+    val q = GraphOps.modularity(edges, split).head()
+    assert(q.getAs[Long]("m") == 7L && q.getAs[Long]("within_edges") == 6L
+      && q.getAs[Long]("n_communities") == 2L)
+    // Q = (4·7·6 − (7² + 7²)) / (4·7²) = 70/196 = 0.357142857…
+    assert(q.getAs[Double]("q") == 0.357143)
+    val blob = split.select(col("node"), lit("1").as("label"))
+    assert(GraphOps.modularity(edges, blob).head().getAs[Double]("q") == 0.0)
+  }
 }

@@ -1681,4 +1681,62 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(top2 == Seq("tpl5 x <n>", "tpl4 x <n>"))
   }
+
+  test("goodTuring: hand count-of-counts, unseen mass, boundary r*") {
+    import spark.implicits._
+    // a:3 b:2 c:1 → N=6, N1=N2=N3=1
+    val docs = Seq((1L, "a a a b b c")).toDF("id", "text")
+    val rows = graft.pipeline.CorpusStats.goodTuring(docs, "id", "text", maxR = 3)
+      .collect()
+    val byR = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byR(0L).getAs[Double]("mass") == 0.166667) // N1/N
+    assert(byR(1L).getAs[Double]("r_star") == 2.0) // (1+1)·N2/N1
+    assert(byR(2L).getAs[Double]("r_star") == 3.0)
+    assert(byR(2L).getAs[Double]("mass") == 0.333333)
+    // boundary: r = maxR still sees N_{maxR+1} (lead BEFORE the cut)
+    val r2 = graft.pipeline.CorpusStats.goodTuring(docs, "id", "text", maxR = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(r2(2L).getAs[Double]("r_star") == 3.0)
+  }
+
+  test("rakeKeyphrases: hand deg/freq scores, stopword boundaries, punct strip") {
+    import spark.implicits._
+    // phrases: [good coffee], [good coffee beans] — deg/freq:
+    // good 5/2, coffee 5/2, beans 3/1 → scores 5.0 and 8.0
+    val docs = Seq((1L, "Good coffee is good coffee beans.")).toDF("id", "text")
+    val rows = graft.pipeline.CorpusStats.rakeKeyphrases(docs, "id", "text",
+      topK = 5).collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[Double]("score"))).toSeq ==
+      Seq(("good coffee beans", 8.0), ("good coffee", 5.0)))
+    assert(rows.head.getAs[Long]("n_words") == 3L
+      && rows.head.getAs[Long]("freq") == 1L)
+  }
+
+  test("klUnigram: identical corpora read zero both ways; shift is directed") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y z")).toDF("id", "text")
+    val r = graft.pipeline.CorpusStats.klUnigram(a, a, "id", "text").head()
+    assert(r.getAs[Double]("kl_pq") == 0.0 && r.getAs[Double]("kl_qp") == 0.0
+      && r.getAs[Double]("jeffreys") == 0.0)
+    val b = Seq((1L, "x y y z z z")).toDF("id", "text")
+    val d = graft.pipeline.CorpusStats.klUnigram(a, b, "id", "text").head()
+    assert(d.getAs[Long]("vocab") == 3L)
+    assert(d.getAs[Double]("kl_pq") > 0.0 && d.getAs[Double]("kl_qp") > 0.0)
+  }
+
+  test("burrowsDelta: identical sources at distance 0, the outlier further") {
+    import spark.implicits._
+    val docs = Seq(("s1", "x x y"), ("s2", "x x y"), ("s3", "y y x"))
+      .toDF("source", "text")
+    val rows = graft.pipeline.CorpusStats.burrowsDelta(docs, "source", "text",
+        topM = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Double]("delta")))
+      .toMap
+    assert(rows(("s1", "s2")) == 0.0)
+    assert(rows(("s1", "s3")) > 0.0 && rows(("s1", "s3")) == rows(("s2", "s3")))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusStats.burrowsDelta(
+        Seq(("only", "x")).toDF("source", "text"), "source", "text")
+    }
+  }
 }

@@ -244,4 +244,29 @@ class SamplingSpec extends SparkSpec {
       10, "s2").collect()
     assert(got.toSeq == again.toSeq)
   }
+
+  test("efraimidisSample: k distinct WOR rows, deterministic, weight-dominant") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, 1L)).toDF("id", "w")
+    val got = Sampling.efraimidisSample(df, "id", col("w"), 5).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getLong(0)).distinct.length == 5) // without replacement
+    assert(got.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    val again = Sampling.efraimidisSample(df.repartition(7), "id", col("w"), 5)
+      .collect()
+    assert(got.toSeq == again.toSeq)
+    // replay the key formula: the cut must be exactly the 5 smallest
+    val exp = (1 to 100).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"es:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.substring(0, 13), 16)
+      (i.toLong, -math.log((h.toDouble + 1.0) / 4503599627370496.0) / 1.0)
+    }.sortBy { case (id, k) => (k, id) }.take(5).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq == exp)
+    // a dominant weight is effectively always kept, and first
+    val skew = df.withColumn("w",
+      when(col("id") === 42, lit(1000000000L)).otherwise(lit(1L)))
+    val s = Sampling.efraimidisSample(skew, "id", col("w"), 3).collect()
+    assert(s.head.getLong(0) == 42L && s.head.getAs[Long]("rank") == 1L)
+  }
 }

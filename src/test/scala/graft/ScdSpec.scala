@@ -375,4 +375,67 @@ class ScdSpec extends SparkSpec {
         col("s"), col("y"))
     }
   }
+
+  test("cochranArmitage: two levels reduce to the hand z; degenerates NULL") {
+    import org.apache.spark.sql.functions.col
+    // t=0: 2/10 success; t=1: 6/10 → T = 6 − 10·8/20 = 2,
+    // Var = 0.4·0.6·(10 − 100/20) = 1.2, z = 2/√1.2
+    val df = ((1 to 10).map(i => (0L, i <= 2)) ++
+      (1 to 10).map(i => (1L, i <= 6))).toDF("dose", "y")
+    val r = Experiment.cochranArmitage(df, col("dose"), col("y")).head()
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("n_levels") == 2L
+      && r.getAs[Long]("successes") == 8L)
+    assert(r.getAs[Double]("z_ca") ==
+      BigDecimal(2.0 / math.sqrt(1.2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all-success margin → NULL z
+    val all = (1 to 6).map(i => ((i % 3).toLong, true)).toDF("dose", "y")
+    assert(Experiment.cochranArmitage(all, col("dose"), col("y"))
+      .head().isNullAt(3))
+  }
+
+  test("permutationTest: exact null p=1, planted separation small p, deterministic") {
+    import org.apache.spark.sql.functions.col
+    // identical values: every replicate diff (0) >= |diff_obs| (0) → p = 1
+    val flat = (1 to 40).map(i =>
+      (i.toString, if (i <= 20) "A" else "B", 7L)).toDF("id", "arm", "x")
+    val pf = Experiment.permutationTest(flat, col("id"), col("arm"), col("x"))
+    assert(pf.head().getAs[Double]("p_value") == 1.0)
+    // A=1000s vs B=0s: no md5 relabeling reproduces the full gap
+    val sep = (1 to 40).map(i =>
+      (i.toString, if (i <= 20) "A" else "B", if (i <= 20) 1000L else 0L))
+      .toDF("id", "arm", "x")
+    val r = Experiment.permutationTest(sep, col("id"), col("arm"), col("x")).head()
+    assert(r.getAs[Double]("diff_obs") == 1000.0)
+    assert(r.getAs[Double]("p_value") <= 0.1)
+    // pure function of (salt, data)
+    val again = Experiment.permutationTest(sep.repartition(5),
+      col("id"), col("arm"), col("x")).head()
+    assert(again == r)
+  }
+
+  test("wilsonIntervals: 5/10 is the textbook symmetric interval") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 10).map(i => ("g", i <= 5)).toDF("grp", "y")
+    val r = Experiment.wilsonIntervals(df, col("grp"), col("y")).head()
+    assert(r.getAs[Double]("rate") == 0.5)
+    val lo = r.getAs[Double]("wilson_lo"); val hi = r.getAs[Double]("wilson_hi")
+    assert(math.abs(lo + hi - 1.0) < 2e-6) // symmetric at p = ½
+    assert(lo > 0.23 && lo < 0.24) // known ≈ 0.2366 (Brown-Cai-DasGupta)
+  }
+
+  test("eValue: RR = 3 gives 3 + sqrt(6); empty cell nulls the readout") {
+    import org.apache.spark.sql.functions.col
+    val df = ((1 to 30).map(_ => (true, true)) ++ (1 to 70).map(_ => (true, false)) ++
+      (1 to 10).map(_ => (false, true)) ++ (1 to 90).map(_ => (false, false)))
+      .toDF("e", "y")
+    val r = Experiment.eValue(df, col("e"), col("y")).head()
+    assert(r.getAs[Double]("rr") == 3.0)
+    assert(r.getAs[Double]("e_value") ==
+      BigDecimal(3.0 + math.sqrt(6.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val oneSided = (1 to 5).map(_ => (true, true)).toDF("e", "y")
+    assert(Experiment.eValue(oneSided, col("e"), col("y"))
+      .head().isNullAt(5))
+  }
 }

@@ -117,4 +117,22 @@ class SurvivalSpec extends SparkSpec {
     assert(Survival.rmst(cens, "dur", col("ev"), tau = 5L)
       .head().getAs[Double]("rmst") == 5.0)
   }
+
+  test("aalenJohansen: single cause = 1−KM; competing causes partition 1−S") {
+    // one cause only → CIF must equal 1 − KM at every event time
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 1L)).toDF("dur", "cause")
+    val rows = Survival.aalenJohansen(one, "dur", col("cause")).collect()
+    assert(rows.map(r => (r.getAs[Long]("t"), r.getAs[Double]("cif"))).toSeq ==
+      Seq((1L, 0.25), (2L, 0.5), (4L, 1.0)))
+    assert(rows.map(_.getAs[Double]("s_minus")).toSeq == Seq(1.0, 0.75, 0.5))
+    // two subjects exit at the same time by DIFFERENT causes: the
+    // incidences split the full exit mass 0.5/0.5 — 1−KM per cause
+    // would have said 1.0 each
+    val comp = Seq((1L, 1L), (1L, 2L)).toDF("dur", "cause")
+    val cr = Survival.aalenJohansen(comp, "dur", col("cause")).collect()
+    assert(cr.length == 2)
+    assert(cr.map(r => (r.getAs[Long]("cause"), r.getAs[Double]("cif"))).toSet ==
+      Set((1L, 0.5), (2L, 0.5)))
+    assert(cr.forall(_.getAs[Double]("s_minus") == 1.0))
+  }
 }

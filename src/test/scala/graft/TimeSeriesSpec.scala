@@ -405,4 +405,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(l.isNullAt(l.fieldIndex("f_seasonal")))
     assert(l.getAs[Double]("f_trend") == 1.0)
   }
+
+  test("pageHinkley: flat series reads 0; planted level shift alarms") {
+    import spark.implicits._
+    val flat = (0 until 20).map(i => ("k", f"t$i%02d", 100L)).toDF("g", "t", "x")
+    val f = TimeSeries.pageHinkley(flat, "g", "t", "x", lambda = 10.0).head()
+    assert(f.getAs[Double]("ph_max") == 0.0 && f.getAs[Long]("alarms") == 0L
+      && f.isNullAt(f.fieldIndex("first_alarm_t")))
+    // 10×100 then 10×200: deviations vs the self-calibrating running
+    // mean accumulate ~50/bucket after the shift — crosses λ=100 well
+    // inside the second half
+    val shift = (0 until 20).map(i =>
+      ("k", f"t$i%02d", if (i < 10) 100L else 200L)).toDF("g", "t", "x")
+    val s = TimeSeries.pageHinkley(shift, "g", "t", "x", lambda = 100.0).head()
+    assert(s.getAs[Double]("ph_max") > 100.0)
+    assert(s.getAs[Long]("alarms") >= 1L)
+    assert(s.getString(s.fieldIndex("first_alarm_t")) >= "t10")
+    // calendar contract refuses loud
+    intercept[IllegalArgumentException] {
+      TimeSeries.pageHinkley(shift, "g", "t", "x", lambda = 1.0,
+        maxBuckets = 5L).collect()
+    }
+  }
 }
