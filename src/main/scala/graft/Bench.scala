@@ -148,12 +148,21 @@ object Bench {
     val canonicalPath = sys.env.getOrElse("SPARK_GRAFT_CANONICAL", "BASELINE_CANONICAL.json")
     val canonical: Map[String, Double] =
       try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(canonicalPath)).get("queries")
-        val it = node.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
-        b.result()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(canonicalPath))
+        // the canonical numbers are sf-specific — comparing an sf0.01
+        // smoke against sf0.1 references would mis-trigger (or worse,
+        // mask) the guard
+        val canonSf = Option(root.get("sf")).map(_.asText).getOrElse("")
+        if (!sfDir.split('/').filter(_.nonEmpty).lastOption.contains(canonSf))
+          Map.empty[String, Double]
+        else {
+          val node = root.get("queries")
+          val it = node.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble }
+          b.result()
+        }
       } catch { case _: Throwable => Map.empty }
     val flagged = measured.filter { case (name, t) =>
       canonical.get(name).exists(c => t > 3 * c && t >= 1.0) }.map(_._1)

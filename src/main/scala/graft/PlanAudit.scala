@@ -85,7 +85,14 @@ object PlanAudit {
       "q316_centroid_drift", // (group, dim) aggs + dim-keyed join
       "q318_simpson", // one (group,type) count agg + group rollup
       "q319_effective_dim", // dim-keyed micro-moment agg + one rollup row
-      "q320_dispersion") // per-key exact moment agg, one divide
+      "q320_dispersion", // per-key exact moment agg, one divide
+      "q337_link_predict", // wedge join keyed on z; anti-join; TakeOrdered
+      "q340_permutation_test", // rows×64 ONE map-combined agg, 64-row collect
+      "q343_competing_risks", // windows only over the bounded time relation
+      "q345_good_turing", // shingle shuffle → vocab agg → ≤maxR spine
+      "q346_rake", // doc-partitioned phrase windows; TakeOrdered top-k
+      "q348_burrows_delta", // token agg; everything after on sources×topM
+      "q349_es_sample") // key scan → TakeOrderedAndProject, no full sort
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

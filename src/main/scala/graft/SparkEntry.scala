@@ -4872,6 +4872,61 @@ object SparkEntry {
         round(col("c_acctbal") * 100, 0), k = 50)
         .orderBy(col("rank").asc)
     }),
+    "q350_ph_stream" -> ((s, dir) => {
+      // the q344 Page-Hinkley detector INSIDE a stream:
+      // flatMapGroupsWithState carries (prefix sum, count, m, min m) as
+      // exact picounit longs per key — drift alarms the moment the
+      // daily bucket lands; ph published in EXACT micro-units so the
+      // batch-replay oracle compares integers, never floats
+      import s.implicits._
+      val base = tmpDir("q350")
+      val daily = eng(s, dir).table("events")
+        .groupBy(col("event_type").as("key"),
+          date_format(col("ts"), "yyyy-MM-dd").as("t"))
+        .agg(count(lit(1)).as("x"))
+      daily.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
+      val stream = s.readStream.schema(daily.schema).parquet(base + "/feed")
+        .as[(String, String, Long)]
+      val q = graft.streaming.Stateful.phAlarms(stream,
+          lambdaMicro = 30000000L).toDF()
+        .writeStream.format("memory").queryName("q350_ph_mem")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val fin = q.awaitTermination(120000); q.stop()
+      require(fin, "q350_ph_stream: streaming query did not finish within 120 s")
+      s.table("q350_ph_mem").orderBy("key", "t")
+    }),
+    "q351_kwic" -> ((s, dir) => {
+      // keyword-in-context concordance for 'merge': ±3-token windows,
+      // token array materialized once per doc, array_contains prune
+      // before the positional explode, TakeOrdered cut
+      graft.pipeline.CorpusStats.kwic(
+        eng(s, dir).table("documents"), "doc_id", "text", "merge",
+        window = 3, maxRows = 100)
+    }),
+    "q352_katz" -> ((s, dir) => {
+      // attenuated-walk centrality at α=0.01 over the top-90 graph —
+      // unlike q336's pure power iteration, the +β injection keeps
+      // peripheral brands at nonzero mass; divergence guard α·maxDeg<1
+      // refuses loud before any iteration
+      val pr = brandPairs(s, dir, minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      graft.operators.GraphOps.katzCentrality(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+        alphaMicro = 10000L, iters = 5)
+    }),
+    "q353_nmi_matrix" -> ((s, dir) => {
+      // which order columns encode the same thing: pairwise min-entropy
+      // NMI over (priority, status, order month) — the redundancy map,
+      // one bounded MI pass per pair
+      graft.operators.DistDrift.nmiMatrix(
+        eng(s, dir).table("orders").select(
+          col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"),
+          month(col("o_orderdate")).cast("string").as("omonth")),
+        Seq("priority", "status", "omonth"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12444,6 +12499,109 @@ object SparkEntry {
          SELECT c_custkey, w, es_key,
                 CAST(row_number() OVER (ORDER BY es_key, c_custkey) AS BIGINT) AS rank
          FROM cut ORDER BY rank""",
+    // q350: the q344 replay emitting per-bucket rows in exact
+    // micro-units — deviation terms become picounit BIGINTs (the
+    // double product lands within ±0.2 of the exact integer, the cast
+    // rounds onto it), m/min-m/ph are pure integer window arithmetic
+    "q350_ph_stream" ->
+      """WITH daily AS (
+           SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS t,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2
+         ), s1 AS (
+           SELECT key, t, x,
+                  sum(x) OVER (PARTITION BY key ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                  count(*) OVER (PARTITION BY key ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+           FROM daily
+         ), s2 AS (
+           SELECT key, t, x,
+                  CAST(round(round(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(i AS DOUBLE), 12)
+                             * 1000000000000.0, 0) AS BIGINT) AS devp
+           FROM s1
+         ), s3 AS (
+           SELECT key, t, x,
+                  sum(devp) OVER (PARTITION BY key ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+           FROM s2
+         ), s4 AS (
+           SELECT key, t, x, m,
+                  min(m) OVER (PARTITION BY key ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+           FROM s3
+         )
+         SELECT key, t, x,
+                CAST((m - mmin) // 1000000 AS BIGINT) AS ph_micro,
+                CAST((m - mmin) // 1000000 AS BIGINT) >= 30000000 AS alarm
+         FROM s4 ORDER BY key, t""",
+    // q351: the same tokenizer; 1-based list slices mirror the Spark
+    // slice() windows exactly (empty slice → empty string both sides)
+    "q351_kwic" ->
+      """WITH arrs AS (
+           SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a
+           FROM documents
+         ), hits AS (
+           SELECT doc_id, i,
+                  coalesce(array_to_string(a[greatest(i - 3, 1) : i - 1], ' '), '') AS l,
+                  coalesce(array_to_string(a[i + 1 : least(i + 3, len(a))], ' '), '') AS r
+           FROM arrs, unnest(range(1, len(a) + 1)) AS t(i)
+           WHERE a[i] = 'merge'
+         )
+         SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                l AS left_ctx, r AS right_ctx
+         FROM hits ORDER BY doc_id, pos LIMIT 100""",
+    // q352: 5 unrolled Katz rounds — x ← (inflow·α)÷1e6 + 1e6, the
+    // identical integer attenuation both Spark regimes run
+    "q352_katz" -> {
+      val rounds = (1 to 5).map { i =>
+        val prev = if (i == 1) "x0" else s"x${i - 1}"
+        s""", r$i AS MATERIALIZED (
+             SELECT e.dst AS node, sum(x.s) AS s
+             FROM e JOIN $prev x ON x.node = e.src GROUP BY 1
+           ), x$i AS MATERIALIZED (
+             SELECT n.node,
+                    CAST((coalesce(r.s, 0) * 10000) // 1000000 + 1000000 AS BIGINT) AS s
+             FROM (SELECT node FROM x0) n
+             LEFT JOIN r$i r ON r.node = n.node)"""
+      }.mkString
+      duckTop90Graph +
+        ", x0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1000000::BIGINT AS s FROM e)" +
+        rounds +
+        " SELECT node, s AS score_units FROM x5 ORDER BY node"
+    },
+    // q353: the q201 MI chain per unordered column pair, UNION ALL —
+    // same 12dp terms, decimal sums, published-value NMI
+    "q353_nmi_matrix" -> {
+      def pairSql(a: String, b: String) =
+        s"""SELECT * FROM (
+            WITH cells AS (
+              SELECT $a AS a, $b AS b, count(*) AS o
+              FROM (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                           CAST(month(o_orderdate) AS VARCHAR) AS omonth FROM orders)
+              WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2
+            ), nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+            rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+            ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+            mt AS (
+              SELECT round(CAST(c.o AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                     * ln(CAST(nn.n AS DOUBLE) * CAST(c.o AS DOUBLE)
+                          / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE))), 12) AS t
+              FROM cells c JOIN rt ON rt.a = c.a JOIN ct ON ct.b = c.b CROSS JOIN nn
+            ), mi AS (SELECT round(CAST(sum(CAST(t AS DECIMAL(24,12))) AS DOUBLE), 6) AS mi FROM mt),
+            ha AS (
+              SELECT round(CAST(sum(CAST(round(CAST(rt.rt AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                     * ln(CAST(nn.n AS DOUBLE) / CAST(rt.rt AS DOUBLE)), 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS h_a
+              FROM rt CROSS JOIN nn
+            ), hb AS (
+              SELECT round(CAST(sum(CAST(round(CAST(ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                     * ln(CAST(nn.n AS DOUBLE) / CAST(ct.ct AS DOUBLE)), 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS h_b
+              FROM ct CROSS JOIN nn
+            )
+            SELECT '$a' AS col_a, '$b' AS col_b, nn.n AS n, mi.mi,
+                   ha.h_a, hb.h_b,
+                   round(mi.mi / least(ha.h_a, hb.h_b), 6) AS nmi
+            FROM mi CROSS JOIN ha CROSS JOIN hb CROSS JOIN nn)"""
+      Seq(("priority", "status"), ("priority", "omonth"), ("status", "omonth"))
+        .map { case (a, b) => pairSql(a, b) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

@@ -196,6 +196,36 @@ object DistDrift {
    * round and DECIMAL-sum (the Σ doctrine). Output: one row
    * (n, mi, h_a, h_b, nmi), nats, 6dp.
    */
+  /**
+   * Pairwise NMI matrix over a set of categorical columns — the
+   * redundancy map a feature audit reads ("these two columns encode the
+   * same thing") and the multi-column upgrade of [[mutualInformation]]:
+   * one row per unordered column pair, same exact-count/12dp-term/
+   * DECIMAL-sum arithmetic per pair. The pair loop is DRIVER-side over
+   * C(|cols|,2) — bounded by the declared column list, never by data —
+   * and each pair's readout is the one-row MI aggregation; the
+   * `maxCols` require keeps the pass count loud.
+   *
+   * Output: (col_a, col_b, n, mi, h_a, h_b, nmi), ordered by (col_a,
+   * col_b).
+   */
+  def nmiMatrix(df: DataFrame, cols: Seq[String],
+      maxCols: Int = 12): DataFrame = {
+    require(cols.size >= 2, "nmiMatrix: need at least two columns")
+    require(cols.size <= maxCols,
+      s"nmiMatrix: ${cols.size} columns > maxCols=$maxCols — " +
+        s"C(k,2) MI passes; raise the bound deliberately")
+    require(cols.distinct.size == cols.size, "nmiMatrix: duplicate columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      mutualInformation(df, a, b)
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n"), col("mi"), col("h_a"), col("h_b"), col("nmi"))
+    }.reduce(_ unionByName _).orderBy("col_a", "col_b")
+  }
+
   def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
     val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("a"), col(colB).as("b"))

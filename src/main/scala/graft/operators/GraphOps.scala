@@ -841,6 +841,80 @@ object GraphOps {
   }
 
   /**
+   * Katz centrality (Katz 1953) by the attenuated-walk fixed point
+   * x ← α·A·x + β·1 on the symmetrized graph: counts walks of EVERY
+   * length, each discounted α per hop. The practical difference from
+   * [[eigenvectorCentrality]]: the +β injection keeps peripheral and
+   * sink-adjacent nodes at nonzero mass (pure power iteration
+   * concentrates everything on the dominant component), so sparse
+   * regions still rank.
+   *
+   * Integer fixed point: β = 1e6 units, α = `alphaMicro`/1e6 applied as
+   * `(inflow · alphaMicro) div 1e6` — exact longs, truncating div IS
+   * the definition, bit-identical across the two regimes and any
+   * engine. Convergence needs α < 1/λ_max; with the L∞ bound λ_max ≤
+   * max degree the loud `require` below is checkable before any
+   * iteration, and `iters` rounds truncate the tail at α^iters.
+   *
+   * Output: (node, score_units) after exactly `iters` rounds, ordered
+   * by node.
+   */
+  def katzCentrality(edges: DataFrame, alphaMicro: Long = 100000L,
+      iters: Int = 5, maxLocalEdges: Long = 4000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50]: $iters")
+    require(alphaMicro >= 1 && alphaMicro < 1000000L,
+      s"alphaMicro in [1, 1e6): $alphaMicro")
+    val Unit6 = 1000000L
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val maxDeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+    require(alphaMicro * maxDeg < Unit6,
+      s"katzCentrality: alpha=${alphaMicro}e-6 × maxDegree=$maxDeg ≥ 1 — the " +
+        "series diverges (need alpha < 1/maxDegree); lower alphaMicro")
+    val ecnt = e.count()
+    if (ecnt <= maxLocalEdges) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = new java.util.HashMap[String, Int](nodes.length * 2)
+      nodes.zipWithIndex.foreach { case (n, i) => idx.put(n, i) }
+      val m = es.length; val n = nodes.length
+      val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+      var k = 0
+      while (k < m) { srcI(k) = idx.get(es(k)._1); dstI(k) = idx.get(es(k)._2); k += 1 }
+      var x = Array.fill(n)(Unit6)
+      for (_ <- 1 to iters) {
+        val nx = new Array[Long](n)
+        var j = 0
+        while (j < m) { nx(dstI(j)) += x(srcI(j)); j += 1 }
+        var i = 0
+        while (i < n) { nx(i) = nx(i) * alphaMicro / Unit6 + Unit6; i += 1 }
+        x = nx
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.indices.map(i => (nodes(i), x(i))).toDF("node", "score_units")
+        .orderBy("node")
+    } else {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().cache()
+      var x = nodes.withColumn("s", lit(Unit6))
+      for (i <- 1 to iters) {
+        val raw = e.join(x.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("s")).as("s"))
+        x = nodes.join(raw, Seq("node"), "left")
+          .selectExpr("node",
+            s"(coalesce(s, 0L) * ${alphaMicro}L) div ${Unit6}L + ${Unit6}L as s")
+          .localCheckpoint(true)
+      }
+      x.select(col("node"), col("s").as("score_units")).orderBy("node")
+    }
+  }
+
+  /**
    * Link prediction over the symmetrized graph: for every NON-ADJACENT
    * pair with ≥ 1 common neighbor, the three classic wedge scores
    * (Liben-Nowell & Kleinberg 2003) — common-neighbor count, Jaccard

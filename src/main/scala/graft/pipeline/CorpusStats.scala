@@ -1124,6 +1124,42 @@ object CorpusStats {
   }
 
   /**
+   * KWIC concordance (keyword in context) — every occurrence of `term`
+   * with its ±`window`-token context, the corpus-browsing primitive
+   * behind "HOW is this token used" audits (tokenizer debugging,
+   * contamination triage, sense inspection). Sorted (doc, pos) and
+   * bounded by `maxRows` — an orderBy+limit, so the cut is a
+   * TakeOrderedAndProject, never a full sort.
+   *
+   * Shape at scale: the token array MATERIALIZES ONCE per doc (the
+   * shingleTable discipline — a slice over a re-derived split() would
+   * re-tokenize per occurrence), `array_contains` prunes non-matching
+   * docs BEFORE the positional explode, and everything else is a
+   * narrow projection. Output: (`idCol`, pos — 0-based, left_ctx,
+   * right_ctx), contexts space-joined, maxRows rows.
+   */
+  def kwic(docs: DataFrame, idCol: String, textCol: String, term: String,
+      window: Int = 3, maxRows: Int = 100): DataFrame = {
+    require(term.nonEmpty && window >= 1 && maxRows >= 1,
+      "kwic: non-empty term, window >= 1, maxRows >= 1")
+    val arred = docs
+      .select(col(idCol), whitespaceTokens(lower(col(textCol))).as("__a"))
+      .where(array_contains(col("__a"), term))
+    arred
+      .select(col(idCol), col("__a"),
+        posexplode(col("__a")).as(Seq("pos", "w")))
+      .where(col("w") === term)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("__a"),
+          greatest(col("pos") - window, lit(0)) + 1,
+          least(col("pos"), lit(window)))).as("left_ctx"),
+        concat_ws(" ", slice(col("__a"), col("pos") + 2, lit(window)))
+          .as("right_ctx"))
+      .orderBy(col(idCol).asc, col("pos").asc)
+      .limit(maxRows)
+  }
+
+  /**
    * Smoothed unigram Kullback–Leibler divergence between two corpora —
    * the DIRECTED drift readout (JSD symmetrizes away which side moved;
    * KL(P‖Q) says "P spends mass where Q has little", the question a

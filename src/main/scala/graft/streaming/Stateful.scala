@@ -247,6 +247,73 @@ object Stateful {
       }
   }
 
+  /** Page-Hinkley streaming state: exact prefix sum + count, and the
+    * (m, min m) pair in PICOUNITS — the batch operator's DECIMAL(·,12)
+    * running sums are exact integer picounit sums, so 2 longs carry the
+    * batch arithmetic bit-for-bit (exactness bound: |m|·1e12 < 2^63,
+    * i.e. cumulative deviation mass < ~9.2e6 units — far above any
+    * chart-scale series; the deviations telescope toward 0 by
+    * construction). */
+  final case class PhState(sumX: Long, n: Long, mPico: Long,
+    mMinPico: Long, lastT: String)
+  /** One scored bucket: ph in exact MICRO-units (truncating pico→micro
+    * division — floor, both sides non-negative), so the batch-replay
+    * oracle compares integers, never floats. */
+  final case class PhScore(key: String, t: String, x: Long,
+    ph_micro: Long, alarm: Boolean)
+
+  /**
+   * STREAMING twin of [[graft.operators.TimeSeries.pageHinkley]]: the
+   * same running-mean deviation recursion mₜ = Σᵢ(xᵢ − x̄₁..ᵢ − δ),
+   * PHₜ = mₜ − min mₛ, carried as O(1) per-key state across
+   * micro-batches and scoring each bucket as it arrives — upward mean
+   * drift alarms the moment the bucket lands instead of at the next
+   * batch replay. Each deviation term is the batch side's exact 12dp
+   * rounding (BigDecimal HALF_UP — the same rational Spark's
+   * round(·,12) → DECIMAL cast produces) accumulated as picounit longs.
+   * Within a micro-batch rows fold in bucket order; a bucket ≤ the
+   * key's last processed CANNOT be folded into an order-sensitive
+   * recursion and is DROPPED (the [[ewmaAlarms]] late-data contract).
+   * λ and δ arrive as exact micro-units so the alarm compare is pure
+   * integer arithmetic.
+   *
+   * Output (append), one row per accepted bucket: (key, t, x,
+   * ph_micro, alarm).
+   */
+  def phAlarms(buckets: Dataset[(String, String, Long)],
+      lambdaMicro: Long, deltaMicro: Long = 0L): Dataset[PhScore] = {
+    require(lambdaMicro > 0, "lambdaMicro > 0")
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val delta = deltaMicro.toDouble / 1e6
+    buckets.groupByKey(_._1)
+      .flatMapGroupsWithState[PhState, PhScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[PhState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(PhState(0L, 0L, 0L, 0L, ""))
+          val out = List.newBuilder[PhScore]
+          sorted.foreach { case (_, t, x) =>
+            if (st.n == 0L || t > st.lastT) {
+              val sum2 = st.sumX + x
+              val n2 = st.n + 1L
+              val dev = x.toDouble - sum2.toDouble / n2 - delta
+              val devPico = BigDecimal(dev)
+                .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+                .bigDecimal.movePointRight(12).longValueExact()
+              val m2 = st.mPico + devPico
+              val mMin2 = if (st.n == 0L) m2 else math.min(st.mMinPico, m2)
+              val phMicro = (m2 - mMin2) / 1000000L
+              out += PhScore(key, t, x, phMicro, phMicro >= lambdaMicro)
+              st = PhState(sum2, n2, m2, mMin2, t)
+            } // t <= lastT: late or duplicate bucket — dropped by contract
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def ewmaAlarms(events: Dataset[(String, Timestamp, Long)],
       k: Int = 3): Dataset[EwmaAlarm] = {
     require(k >= 1 && k <= 10, s"k in [1,10]: $k")

@@ -365,4 +365,28 @@ class DistDriftSpec extends SparkSpec {
     assert(rt.getAs[Double]("delta") == 0.0)
     assert(rt.getAs[String]("magnitude") == "negligible")
   }
+
+  test("nmiMatrix: a copied column reads nmi 1, independent pairs near 0") {
+    import spark.implicits._
+    val df = (0 until 400).map { i =>
+      val a = (i % 4).toString
+      (a, a, (i % 2).toString) // c cycles independently of a at period 2 vs 4
+    }.toDF("a", "acopy", "c")
+    val rows = DistDrift.nmiMatrix(df, Seq("a", "acopy", "c")).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "acopy"), ("a", "c"), ("acopy", "c"))) // ordered pairs
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byPair(("a", "acopy")).getAs[Double]("nmi") == 1.0)
+    // a determines c here (i%2 is a function of i%4) — nmi(a,c) = 1 on
+    // the MIN-entropy normalization; swap c to a truly independent
+    // cycle length to read ~0
+    val ind = (0 until 400).map(i =>
+      ((i % 4).toString, (i % 4).toString, (i % 5).toString))
+      .toDF("a", "acopy", "c")
+    val r2 = DistDrift.nmiMatrix(ind, Seq("a", "c")).head()
+    assert(math.abs(r2.getAs[Double]("nmi")) < 1e-6)
+    intercept[IllegalArgumentException] {
+      DistDrift.nmiMatrix(df, Seq("a"))
+    }
+  }
 }

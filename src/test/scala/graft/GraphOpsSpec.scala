@@ -373,6 +373,25 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("katzCentrality: hand star trace, +β keeps leaves alive, divergence guard") {
+    import spark.implicits._
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val loc = GraphOps.katzCentrality(star, alphaMicro = 100000L, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val dist = GraphOps.katzCentrality(star, alphaMicro = 100000L, iters = 2,
+        maxLocalEdges = 0).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(loc == dist)
+    // round 1: h = 3e6·0.1 + 1e6 = 1.3e6, leaf = 1e6·0.1 + 1e6 = 1.1e6
+    // round 2: h = 3·1.1e6·0.1 + 1e6 = 1.33e6, leaf = 1.3e6·0.1 + 1e6
+    val m = loc.toMap
+    assert(m("h") == 1330000L && m("a") == 1130000L && m("a") == m("c"))
+    // α·maxDegree ≥ 1 → the series diverges → loud refusal
+    intercept[IllegalArgumentException] {
+      GraphOps.katzCentrality(star, alphaMicro = 500000L)
+    }
+  }
+
   test("modularity: two triangles + bridge — perfect split vs one blob") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),

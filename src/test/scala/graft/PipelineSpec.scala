@@ -1724,6 +1724,21 @@ class PipelineSpec extends SparkSpec {
     assert(d.getAs[Double]("kl_pq") > 0.0 && d.getAs[Double]("kl_qp") > 0.0)
   }
 
+  test("kwic: windows clamp at doc edges, ordered, bounded") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b merge c d"), (2L, "merge x"), (3L, "no hit here"))
+      .toDF("id", "text")
+    val rows = graft.pipeline.CorpusStats.kwic(docs, "id", "text", "merge")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("pos"),
+        r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq((1L, 2L, "a b", "c d"), (2L, 0L, "", "x")))
+    // maxRows is a real cut
+    val many = (1 to 10).map(i => (i.toLong, "merge merge merge")).toDF("id", "text")
+    assert(graft.pipeline.CorpusStats.kwic(many, "id", "text", "merge",
+      maxRows = 7).count() == 7)
+  }
+
   test("burrowsDelta: identical sources at distance 0, the outlier further") {
     import spark.implicits._
     val docs = Seq(("s1", "x x y"), ("s2", "x x y"), ("s3", "y y x"))

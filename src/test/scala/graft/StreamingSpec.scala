@@ -524,4 +524,38 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("gaptest").count() == 2) // 7 -> 8 is contiguous
     } finally q.stop()
   }
+
+  test("Stateful.phAlarms: hand trace across batches in exact micro-units, " +
+      "late buckets dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long)]
+    val q = Stateful.phAlarms(mem.toDS(), lambdaMicro = 50000000L)
+      .writeStream.format("memory").queryName("phtest")
+      .outputMode("append").start()
+    try {
+      // flat 100s: every deviation vs the running mean is 0 → ph 0
+      mem.addData(("k", "t01", 100L), ("k", "t02", 100L))
+      q.processAllAvailable()
+      // state must carry: t03 still flat; t04 jumps to 200 —
+      // mean(100,100,100,200)=125, dev=75 → ph = 75e6 micro ≥ λ=50e6
+      mem.addData(("k", "t03", 100L), ("k", "t04", 200L))
+      q.processAllAvailable()
+      val rows = spark.table("phtest").orderBy("t")
+        .select("t", "ph_micro", "alarm").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.toSeq == Seq(("t01", 0L, false), ("t02", 0L, false),
+        ("t03", 0L, false), ("t04", 75000000L, true)))
+      // fractional mean path: t05 x=100 → mean 600/5=120, dev −20,
+      // m = 55e12 pico, min still 0 → ph 55e6, still alarming;
+      // the re-sent t02 is late and dropped by contract
+      mem.addData(("k", "t02", 999L), ("k", "t05", 100L))
+      q.processAllAvailable()
+      val after = spark.table("phtest").orderBy("t")
+        .select("t", "ph_micro").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(after.length == 5 && after.last == (("t05", 55000000L)))
+    } finally q.stop()
+  }
 }
