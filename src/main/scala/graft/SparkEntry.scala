@@ -4927,6 +4927,36 @@ object SparkEntry {
           month(col("o_orderdate")).cast("string").as("omonth")),
         Seq("priority", "status", "omonth"))
     }),
+    "q354_shapley" -> ((s, dir) => {
+      // the axiomatic credit split the q179/q190/q302/q311 heuristics
+      // approximate: exact Shapley over the 4 pre-purchase touch
+      // channels — v(T) = purchasers whose pre-first-purchase touch set
+      // ⊆ T; φ·k! is an exact integer, ONE divide publishes it
+      val ev = eng(s, dir).table("events")
+      val chans = Seq("click", "view", "signup", "error")
+      // touched BEFORE the first purchase — post-purchase touches must
+      // not claim credit; min-ts per channel decides "before"
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("__fp"),
+        chans.map(ch => min(when(col("event_type") === ch, col("ts").cast("long")))
+          .as(s"__first_$ch")): _*)
+      graft.operators.Attribution.shapleyAttribution(perUser,
+        chans.map(ch => ch -> (col(s"__first_$ch").isNotNull
+          && col(s"__first_$ch") < col("__fp"))),
+        convertedCol = col("__fp").isNotNull)
+    }),
+    "q355_negbin" -> ((s, dir) => {
+      // how whale-heavy is per-user activity per event type: NB
+      // method-of-moments dispersion k̂ = mean²/(var−mean) over exact
+      // moments — small k̂ is the salting early-warning; at-most-
+      // Poisson publishes NULL k̂
+      val perUser = eng(s, dir).table("events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.DistDrift.negativeBinomialFit(perUser,
+        col("event_type"), col("cnt"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12602,6 +12632,70 @@ object SparkEntry {
         .map { case (a, b) => pairSql(a, b) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
+    // q354: subset-lattice v(T) from the converting masks, integer
+    // Shapley numerators with inline factorial weights, ONE divide
+    "q354_shapley" ->
+      """WITH per AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp,
+                  min(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS f0,
+                  min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS f1,
+                  min(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS f2,
+                  min(CASE WHEN event_type = 'error' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS f3
+           FROM events GROUP BY 1
+         ), masks AS (
+           SELECT CAST(CASE WHEN f0 IS NOT NULL AND f0 < fp THEN 1 ELSE 0 END
+                + CASE WHEN f1 IS NOT NULL AND f1 < fp THEN 2 ELSE 0 END
+                + CASE WHEN f2 IS NOT NULL AND f2 < fp THEN 4 ELSE 0 END
+                + CASE WHEN f3 IS NOT NULL AND f3 < fp THEN 8 ELSE 0 END AS BIGINT) AS m,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM per WHERE fp IS NOT NULL GROUP BY 1
+         ), lat AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS t),
+         v AS (
+           SELECT l.t, CAST(coalesce(sum(mk.c), 0) AS BIGINT) AS v
+           FROM lat l LEFT JOIN masks mk ON (mk.m & l.t) = mk.m GROUP BY 1
+         ), tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_conv FROM masks),
+         ch AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         terms AS (
+           SELECT ch.i,
+                  CASE bit_count(l.t) WHEN 0 THEN 6 WHEN 1 THEN 2
+                       WHEN 2 THEN 2 ELSE 6 END * (va.v - l.v) AS term
+           FROM ch JOIN v l ON (l.t & (1::BIGINT << ch.i)) = 0
+           JOIN v va ON va.t = (l.t | (1::BIGINT << ch.i))
+         )
+         SELECT CASE i WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                     WHEN 2 THEN 'signup' ELSE 'error' END AS channel,
+                tot.n_conv,
+                (SELECT v FROM v WHERE t = 15) AS v_full,
+                (SELECT v FROM v WHERE t = 0) AS v_empty,
+                round(CAST(sum(term) AS DOUBLE) / 24, 6) AS shapley
+         FROM terms CROSS JOIN tot
+         GROUP BY 1, 2 ORDER BY channel""",
+    // q355: exact per-group moments, sample variance over a cleared
+    // denominator, dispersion/k̂ from the unrounded doubles
+    "q355_negbin" ->
+      """WITH per AS (
+           SELECT event_type AS grp, user_id, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2
+         ), g AS (
+           SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS total,
+                  sum(CAST(x AS HUGEINT) * x) AS q
+           FROM per WHERE grp IS NOT NULL GROUP BY 1
+         ), m AS (
+           SELECT grp, n, total,
+                  CAST(total AS DOUBLE) / CAST(n AS DOUBLE) AS meand,
+                  CAST(n * q - CAST(total AS HUGEINT) * total AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vard
+           FROM g WHERE n > 1
+         )
+         SELECT grp, n, total,
+                round(meand, 6) AS mean,
+                round(vard, 6) AS variance,
+                CASE WHEN meand > 0 THEN round(vard / meand, 6) END AS dispersion,
+                CASE WHEN vard > meand THEN
+                  round(meand * meand / (vard - meand), 6) END AS k_hat
+         FROM m ORDER BY grp""",
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

@@ -107,4 +107,68 @@ object Attribution {
         sum(col("value").cast("decimal(18,2)")).as("__tv"))
       .select(col("channel"), col("n_conversions"),
         col("__tv").cast("double").as("total_value"))
+
+  /**
+   * EXACT Shapley-value attribution (Shapley 1953; the game-theoretic
+   * credit split marketing knows from Dalessandro et al. 2012): with
+   * characteristic function v(T) = converting units whose touched
+   * channel set ⊆ T ("could T alone have produced these conversions"),
+   * channel c earns φ_c = Σ_{T ⊆ C∖c} |T|!(k−1−|T|)!/k! ·
+   * (v(T∪{c}) − v(T)) — the only split that is efficient
+   * (Σφ = v(C) − v(∅)), symmetric, and null-player-zero; last/first/
+   * linear/position rules (q179/q190/q302/q311) are heuristics, this
+   * is the axiomatic answer.
+   *
+   * `channelCols` = (name, touched?) boolean columns over the per-UNIT
+   * relation (one row per user/journey — build it with one upstream
+   * aggregation); `convertedCol` marks converting units. EXACT by
+   * clearing denominators: φ_c·k! = Σ t!(k−1−t)!·Δ is an exact integer
+   * (weights and v are longs), published as ONE double divide by k!,
+   * 6dp. Shape: one mask projection + one ≤2^k-row groupBy; the 2^k·k
+   * Shapley fold runs on the driver over the bounded collect
+   * (`maxChannels` keeps the lattice loud — default 8 → 256 rows).
+   *
+   * Output per channel: (channel, n_conv, v_full, v_empty, shapley),
+   * ordered by channel. v_empty = direct conversions (no declared
+   * channel touched) — they belong to no channel by construction.
+   */
+  def shapleyAttribution(units: DataFrame,
+      channelCols: Seq[(String, Column)], convertedCol: Column,
+      maxChannels: Int = 8): DataFrame = {
+    val k = channelCols.size
+    require(k >= 1 && k <= maxChannels,
+      s"shapleyAttribution: $k channels > maxChannels=$maxChannels — " +
+        "the subset lattice is 2^k; raise the bound deliberately")
+    require(channelCols.map(_._1).distinct.size == k, "duplicate channel names")
+    val mask = channelCols.zipWithIndex.map { case ((_, c), i) =>
+      when(c, lit(1L << i)).otherwise(0L) }.reduce(_ + _)
+    val counts = units.where(convertedCol)
+      .select(mask.as("m")).groupBy(col("m")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // ≤ 2^k rows
+    val full = (1L << k) - 1L
+    def v(t: Long): Long =
+      counts.iterator.collect { case (m, c) if (m & ~t) == 0L => c }.sum
+    val fact = (0 to k).map(i => (1 to i).foldLeft(1L)(_ * _)).toArray
+    val kFact = fact(k)
+    val nConv = counts.valuesIterator.sum
+    val vFull = v(full); val vEmpty = v(0L)
+    val rows = channelCols.map(_._1).zipWithIndex.map { case (name, i) =>
+      val bit = 1L << i
+      var num = 0L
+      var t = 0L
+      while (t <= full) {
+        if ((t & bit) == 0L) {
+          val sz = java.lang.Long.bitCount(t)
+          num += fact(sz) * fact(k - 1 - sz) * (v(t | bit) - v(t))
+        }
+        t += 1L
+      }
+      (name, nConv, vFull, vEmpty,
+        BigDecimal(num.toDouble / kFact.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    val spark = units.sparkSession
+    import spark.implicits._
+    rows.toDF("channel", "n_conv", "v_full", "v_empty", "shapley")
+  }
 }

@@ -197,6 +197,49 @@ object DistDrift {
    * (n, mi, h_a, h_b, nmi), nats, 6dp.
    */
   /**
+   * Negative-binomial method-of-moments fit per group — the
+   * overdispersion readout for count data: a Poisson has var = mean;
+   * real per-user event counts almost never do, and the NB dispersion
+   * k̂ = mean²/(var − mean) is the one number that says HOW heavy the
+   * user-activity tail is (small k̂ = a few whales carry the volume —
+   * the skew-join/salting early warning). Sibling of the Fano index
+   * (`TimeSeries.dispersionIndex`, q320) which reads arrival buckets;
+   * this reads the per-unit count distribution.
+   *
+   * Exactness: S = Σx, Q = Σx² are exact DECIMAL sums; mean = S/n,
+   * sample variance = (n·Q − S²)/(n·(n−1)) are one double divide each
+   * of exact-decimal-rooted operands; dispersion and k̂ compose from
+   * the UNROUNDED doubles, all published 6dp. var ≤ mean (at-most-
+   * Poisson) → NULL k̂ (the NB fit does not exist). One groupBy,
+   * |groups| rows.
+   *
+   * Output: (grp, n, total, mean, variance, dispersion, k_hat),
+   * ordered by grp.
+   */
+  def negativeBinomialFit(df: DataFrame, groupCol: Column,
+      countCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val g = df.select(groupCol.cast("string").as("grp"),
+        countCol.cast("long").as("x"))
+      .where(col("grp").isNotNull && col("x").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(d(col("x")) * d(col("x"))).as("__q"))
+    val nD = col("n").cast("double")
+    val mean = col("total").cast("double") / nD
+    val variance = (d(col("n")) * col("__q") - d(col("total")) * d(col("total")))
+      .cast("double") / (nD * (nD - lit(1.0)))
+    g.where(col("n") > 1)
+      .select(col("grp"), col("n"), col("total"),
+        round(mean, 6).as("mean"),
+        round(variance, 6).as("variance"),
+        when(mean > 0, round(variance / mean, 6)).as("dispersion"),
+        when(variance > mean, round(mean * mean / (variance - mean), 6))
+          .as("k_hat"))
+      .orderBy("grp")
+  }
+
+  /**
    * Pairwise NMI matrix over a set of categorical columns — the
    * redundancy map a feature audit reads ("these two columns encode the
    * same thing") and the multi-column upgrade of [[mutualInformation]]:

@@ -181,4 +181,27 @@ class AudienceSpec extends SparkSpec {
     assert(roll == Map("view" -> ((1L, 5.0)), "click" -> ((2L, 13.0)),
       "direct" -> ((2L, 10.0))))
   }
+
+  test("shapleyAttribution: hand lattice, efficiency axiom, lattice guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // converting units: {A}×2, {A,B}×1, {}×1 direct; one {B} NON-convert
+    // v(∅)=1 v(A)=3 v(B)=1 v(AB)=4 → φ_A=(2+3)/2=2.5, φ_B=(0+1)/2=0.5
+    val units = Seq(
+      (true, false, true), (true, false, true), (true, true, true),
+      (false, false, true), (false, true, false)).toDF("a", "b", "conv")
+    val rows = Attribution.shapleyAttribution(units,
+      Seq("A" -> col("a"), "B" -> col("b")), col("conv")).collect()
+    val m = rows.map(r => r.getString(0) -> r.getAs[Double]("shapley")).toMap
+    assert(m == Map("A" -> 2.5, "B" -> 0.5))
+    assert(rows.head.getAs[Long]("n_conv") == 4L
+      && rows.head.getAs[Long]("v_full") == 4L
+      && rows.head.getAs[Long]("v_empty") == 1L)
+    // efficiency: Σφ = v(C) − v(∅)
+    assert(m.values.sum == 3.0)
+    intercept[IllegalArgumentException] {
+      Attribution.shapleyAttribution(units,
+        (1 to 9).map(i => s"c$i" -> col("a")), col("conv"))
+    }
+  }
 }

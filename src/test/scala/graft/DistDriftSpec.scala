@@ -389,4 +389,22 @@ class DistDriftSpec extends SparkSpec {
       DistDrift.nmiMatrix(df, Seq("a"))
     }
   }
+
+  test("negativeBinomialFit: hand moments; at-most-Poisson nulls k_hat") {
+    import spark.implicits._
+    // g1 = [1,2,3]: mean 2, sample var 1 < mean → NULL k̂, dispersion .5
+    // g2 = [0,0,6]: mean 2, var 12 → k̂ = 4/10 = 0.4
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 0L), ("g2", 0L), ("g2", 6L)).toDF("g", "x")
+    val rows = DistDrift.negativeBinomialFit(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = rows("g1")
+    assert(g1.getAs[Double]("mean") == 2.0 && g1.getAs[Double]("variance") == 1.0)
+    assert(g1.getAs[Double]("dispersion") == 0.5)
+    assert(g1.isNullAt(g1.fieldIndex("k_hat")))
+    val g2 = rows("g2")
+    assert(g2.getAs[Double]("variance") == 12.0
+      && g2.getAs[Double]("dispersion") == 6.0
+      && g2.getAs[Double]("k_hat") == 0.4)
+  }
 }
