@@ -4957,6 +4957,40 @@ object SparkEntry {
       graft.operators.DistDrift.negativeBinomialFit(perUser,
         col("event_type"), col("cnt"))
     }),
+    "q356_kripp_alpha" -> ((s, dir) => {
+      // do three language raters agree: the declared lang column, the
+      // n-gram langId over the full text, and langId over the first
+      // 120 chars — Krippendorff's nominal α, the labeling-pipeline
+      // agreement number Cohen's kappa (q258) can't be (3 raters,
+      // chance-corrected by the pooled value distribution)
+      val docs = eng(s, dir).table("documents")
+      val ratings = docs.select(col("doc_id").as("u"), col("lang").as("v"))
+        .unionByName(docs.select(col("doc_id").as("u"),
+          TextAnalysis.langId(col("text")).as("v")))
+        .unionByName(docs.select(col("doc_id").as("u"),
+          TextAnalysis.langId(substring(col("text"), 1, 120)).as("v")))
+      graft.operators.Experiment.krippendorffAlpha(ratings, col("u"), col("v"))
+    }),
+    "q357_mde" -> ((s, dir) => {
+      // how long must an experiment run: minimum detectable absolute /
+      // relative effect at 80% power, 5% two-sided, from the fulfilled
+      // base rate — per candidate arm size, pure function of exact
+      // counts
+      graft.operators.Experiment.minDetectableEffect(
+        eng(s, dir).table("orders"), col("o_orderstatus") === "F",
+        armSizes = Seq(1000L, 5000L, 10000L, 50000L, 100000L))
+    }),
+    "q358_apsp" -> ((s, dir) => {
+      // EXACT all-pairs geodesics on the top-90 brand graph — diameter,
+      // mean distance, global efficiency; the exact audit of q323's
+      // 2-sweep diameter ESTIMATE (two-regime: driver BFS here, the
+      // frontier iteration above the cutover)
+      val pr = brandPairs(s, dir, minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      graft.operators.GraphOps.apspStats(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12696,6 +12730,117 @@ object SparkEntry {
                 CASE WHEN vard > meand THEN
                   round(meand * meand / (vard - meand), 6) END AS k_hat
          FROM m ORDER BY grp""",
+    // q356: the q216 marker-argmax langId replayed for both detector
+    // raters, then the coincidence-matrix chain — 12dp terms, decimal
+    // sums, α from the unrounded composites
+    "q356_kripp_alpha" -> {
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      def det(src: String) = {
+        val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+          s"len([x for x in ltoks if list_contains(${ms.map(m => s"'$m'").mkString("[", ",", "]")}, x)]) AS s_$l"
+        }.mkString(", ")
+        val mx = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
+        val pick = langs.map(l => s"WHEN s_$l = $mx THEN '$l'").mkString(" ")
+        s"""SELECT u, CASE WHEN $mx = 0 THEN 'und' $pick END AS v FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS u, $scores FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower($src)), '\\s+') AS ltoks
+                FROM documents))"""
+      }
+      s"""WITH ratings AS (
+           SELECT CAST(doc_id AS VARCHAR) AS u, lang AS v
+           FROM documents WHERE lang IS NOT NULL
+           UNION ALL ${det("text")}
+           UNION ALL ${det("substr(text, 1, 120)")}
+         ), uc AS (
+           SELECT u, v, CAST(count(*) AS BIGINT) AS c
+           FROM ratings WHERE u IS NOT NULL AND v IS NOT NULL GROUP BY 1, 2
+         ), um AS (
+           SELECT u, CAST(sum(c) AS BIGINT) AS m FROM uc
+           GROUP BY 1 HAVING sum(c) >= 2
+         ), used AS (
+           SELECT uc.u, uc.v, uc.c, um.m FROM uc JOIN um ON um.u = uc.u
+         ), pairs AS (
+           SELECT a.v AS ca, b.v AS cb,
+                  sum(CAST(round(
+                    CAST(a.c * (b.c - CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)
+                    / CAST(a.m - 1 AS DOUBLE), 12) AS DECIMAL(24,12))) AS o
+           FROM used a JOIN used b ON b.u = a.u GROUP BY 1, 2
+         ), nc AS (SELECT ca, sum(o) AS ncv FROM pairs GROUP BY 1),
+         totals AS (
+           SELECT sum(o) AS nn,
+                  sum(CASE WHEN ca <> cb THEN o END) AS off
+           FROM pairs
+         ), ep AS (
+           SELECT sum(CAST(round(CAST(a.ncv AS DOUBLE) * CAST(b.ncv AS DOUBLE), 12)
+                    AS DECIMAL(38,12))) AS se
+           FROM nc a JOIN nc b ON b.ca <> a.ca
+         ), meta AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_units,
+                  CAST(sum(m) AS BIGINT) AS n_ratings
+           FROM um
+         ), nv AS (SELECT CAST(count(*) AS BIGINT) AS n_values FROM nc),
+         fin AS (
+           SELECT meta.n_units, meta.n_ratings, nv.n_values,
+                  coalesce(CAST(off AS DOUBLE), 0.0) / CAST(nn AS DOUBLE) AS dod,
+                  coalesce(CAST(se AS DOUBLE), 0.0)
+                    / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)) AS ded
+           FROM totals CROSS JOIN ep CROSS JOIN meta CROSS JOIN nv
+         )
+         SELECT n_units, n_ratings, n_values,
+                round(dod, 6) AS d_o, round(ded, 6) AS d_e,
+                CASE WHEN ded > 0 THEN round(1.0::DOUBLE - dod / ded, 6) END AS alpha
+         FROM fin"""
+    },
+    // q357: the sizing identity with the shared 2.8016 literal;
+    // mde_rel composes from the PUBLISHED values
+    "q357_mde" ->
+      """WITH b AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_obs,
+                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS s
+           FROM orders
+         ), sp AS (SELECT CAST(unnest([1000, 5000, 10000, 50000, 100000]) AS BIGINT) AS n_per_arm),
+         m AS (
+           SELECT sp.n_per_arm, b.n_obs,
+                  CAST(b.s AS DOUBLE) / CAST(b.n_obs AS DOUBLE) AS pd
+           FROM sp CROSS JOIN b
+         ), o AS (
+           SELECT n_per_arm, n_obs, round(pd, 6) AS p,
+                  round(2.8016::DOUBLE * sqrt(2.0::DOUBLE * pd * (1.0::DOUBLE - pd)
+                        / CAST(n_per_arm AS DOUBLE)), 6) AS mde_abs
+           FROM m
+         )
+         SELECT n_per_arm, n_obs, p, mde_abs,
+                CASE WHEN p > 0 THEN round(mde_abs / p, 6) END AS mde_rel
+         FROM o ORDER BY n_per_arm""",
+    // q358: recursive-CTE BFS (UNION dedup bounds the frontier), min-d
+    // per ordered pair, the same 12dp 1/d efficiency terms
+    "q358_apsp" -> (duckTop90Graph.replace("WITH bi", "WITH RECURSIVE bi") +
+      """, r AS (
+           SELECT src, dst AS node, 1 AS d FROM e
+           UNION
+           SELECT r.src, e.dst AS node, r.d + 1
+           FROM r JOIN e ON e.src = r.node
+           WHERE r.d < 24 AND e.dst <> r.src
+         ), md AS (
+           SELECT src, node, CAST(min(d) AS BIGINT) AS d
+           FROM r WHERE node <> src GROUP BY 1, 2
+         ), nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM e),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_reachable,
+                  CAST(coalesce(max(d), 0) AS BIGINT) AS diameter,
+                  CAST(sum(d) AS BIGINT) AS sd,
+                  sum(CAST(round(1.0::DOUBLE / d, 12) AS DECIMAL(24,12))) AS se
+           FROM md
+         )
+         SELECT nn.n AS n_nodes, nn.n * (nn.n - 1) AS n_pairs,
+                agg.n_reachable, agg.diameter,
+                CASE WHEN agg.n_reachable > 0 THEN
+                  round(CAST(agg.sd AS DOUBLE) / CAST(agg.n_reachable AS DOUBLE), 6)
+                END AS mean_dist,
+                round(coalesce(CAST(agg.se AS DOUBLE), 0.0)
+                      / CAST(nn.n * (nn.n - 1) AS DOUBLE), 6) AS efficiency
+         FROM agg CROSS JOIN nn"""),
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

@@ -1148,6 +1148,103 @@ object Experiment {
   }
 
   /**
+   * Krippendorff's alpha, nominal metric (Krippendorff 1970) — the
+   * inter-annotator agreement coefficient for LABELING PIPELINES that
+   * [[cohenKappa]] can't be: any number of raters, missing ratings
+   * (units keep whatever ratings they have; single-rating units carry
+   * no pair information and drop out), chance-corrected by the pooled
+   * value distribution. α = 1 − D_o/D_e over the coincidence matrix
+   * o(c,c′) = Σ_u n_uc·(n_uc′ − δ_cc′)/(m_u − 1).
+   *
+   * Determinism: per-unit value counts are exact longs; each
+   * coincidence term is one double expression 12dp-rounded and
+   * DECIMAL-summed (the Σ doctrine); the expected-disagreement
+   * products of the (already decimal) marginals round 12dp again;
+   * α is one double expression of the sums, 6dp. Shape: one
+   * (unit, value) count agg, a unit-keyed self-join bounded by
+   * values-per-unit ≤ raters, then everything lives on the
+   * |values|²-bounded coincidence relation.
+   *
+   * Output: one row (n_units, n_ratings, n_values, d_o, d_e, alpha);
+   * α = 1 means perfect agreement, 0 chance-level, < 0 systematic
+   * disagreement; NULL when D_e = 0 (every rating the same value).
+   */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: Column,
+      valueCol: Column): DataFrame = {
+    val r = ratings.select(unitCol.cast("string").as("u"),
+        valueCol.cast("string").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+    val uc = r.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // referenced by m-join AND both pair sides
+    val um = uc.groupBy(col("u")).agg(sum(col("c")).as("m"))
+      .where(col("m") >= 2)
+    val used = uc.join(um, "u")
+    val pairs = used
+      .select(col("u"), col("v").as("ca"), col("c").as("na"), col("m"))
+      .join(used.select(col("u"), col("v").as("cb"), col("c").as("nb")), "u")
+      .select(col("ca"), col("cb"),
+        round((col("na") * (col("nb")
+            - when(col("ca") === col("cb"), 1L).otherwise(0L))).cast("double")
+          / (col("m") - 1).cast("double"), 12).cast("decimal(24,12)").as("t"))
+      .groupBy(col("ca"), col("cb")).agg(sum(col("t")).as("o"))
+      .localCheckpoint(true) // ≤ |values|² rows; feeds 3 rollups
+    val nc = pairs.groupBy(col("ca")).agg(sum(col("o")).as("ncv"))
+      .localCheckpoint(true)
+    val totals = pairs.agg(sum(col("o")).as("__nn"),
+      sum(when(col("ca") =!= col("cb"), col("o"))).as("__off"))
+    val ePair = nc.select(col("ca").as("x"), col("ncv").as("nx"))
+      .crossJoin(broadcast(nc.select(col("ca").as("y"), col("ncv").as("ny"))))
+      .where(col("x") =!= col("y"))
+      .agg(sum(round(col("nx").cast("double") * col("ny").cast("double"), 12)
+        .cast("decimal(38,12)")).as("__se"))
+    val meta = um.agg(count(lit(1)).as("n_units"), sum(col("m")).as("n_ratings"))
+    val nVals = nc.agg(count(lit(1)).as("n_values"))
+    val nnD = col("__nn").cast("double")
+    val dO = coalesce(col("__off").cast("double"), lit(0.0)) / nnD
+    val dE = coalesce(col("__se").cast("double"), lit(0.0)) /
+      (nnD * (nnD - lit(1.0)))
+    totals.crossJoin(broadcast(ePair)).crossJoin(broadcast(meta))
+      .crossJoin(broadcast(nVals))
+      .select(col("n_units"), col("n_ratings"), col("n_values"),
+        round(dO, 6).as("d_o"), round(dE, 6).as("d_e"),
+        when(dE > 0, round(lit(1.0) - dO / dE, 6)).as("alpha"))
+  }
+
+  /**
+   * Minimum detectable effect for a two-arm conversion experiment —
+   * the design-time question ("how long must this run") answered from
+   * the data's own base rate: at α=5% two-sided and 80% power,
+   * MDE_abs(n) = (z_{α/2} + z_β)·√(2·p(1−p)/n) per arm size n (the
+   * standard normal-approximation sizing identity; constants 1.96 and
+   * 0.8416 fixed so the arithmetic is a pure function of exact
+   * counts). One aggregation for (N, p); the size spine is a declared
+   * literal list.
+   *
+   * Output per n: (n_per_arm, n_obs, p, mde_abs, mde_rel), ordered.
+   */
+  def minDetectableEffect(units: DataFrame, successCol: Column,
+      armSizes: Seq[Long]): DataFrame = {
+    require(armSizes.nonEmpty && armSizes.forall(_ >= 2), "arm sizes >= 2")
+    val spark = units.sparkSession
+    import spark.implicits._
+    val base = units.agg(count(lit(1)).as("n_obs"),
+      sum(when(successCol, 1L).otherwise(0L)).as("__s"))
+    val p = col("__s").cast("double") / col("n_obs").cast("double")
+    val spine = armSizes.distinct.sorted.toDF("n_per_arm")
+    spine.crossJoin(broadcast(base))
+      .select(col("n_per_arm"), col("n_obs"), round(p, 6).as("p"),
+        // 2.8016 = z_{α/2} + z_β as ONE literal — a Scala-side 1.96 +
+        // 0.8416 double sum could differ from an engine's decimal sum
+        // by an ulp; a single decimal literal parses identically
+        round(lit(2.8016)
+          * sqrt(lit(2.0) * p * (lit(1.0) - p) / col("n_per_arm").cast("double")), 6)
+          .as("mde_abs"))
+      .withColumn("mde_rel",
+        when(col("p") > 0, round(col("mde_abs") / col("p"), 6)))
+      .orderBy("n_per_arm")
+  }
+
+  /**
    * E-value sensitivity analysis (VanderWeele & Ding 2017): how strong
    * would an UNMEASURED confounder have to be — on the risk-ratio scale,
    * with both exposure and outcome — to explain away an observed

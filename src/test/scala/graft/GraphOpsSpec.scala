@@ -373,6 +373,28 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("apspStats: path-graph geodesics exact, disconnection counted, regimes agree") {
+    import spark.implicits._
+    // a—b—c: 6 ordered pairs, d = 1,1,1,1,2,2 → diameter 2,
+    // mean 8/6, efficiency (4 + 2·½)/6 = 5/6
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = GraphOps.apspStats(path).head()
+    assert(r.getAs[Long]("n_nodes") == 3L && r.getAs[Long]("n_pairs") == 6L
+      && r.getAs[Long]("n_reachable") == 6L && r.getAs[Long]("diameter") == 2L)
+    assert(r.getAs[Double]("mean_dist") == 1.333333)
+    assert(r.getAs[Double]("efficiency") == 0.833333)
+    val dist = GraphOps.apspStats(path, maxLocalEdges = 0).head()
+    assert(dist == r) // two-regime contract
+    // two components: unreachable pairs count in n_pairs and damp
+    // efficiency, mean is over reachable only
+    val split = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val s = GraphOps.apspStats(split).head()
+    assert(s.getAs[Long]("n_pairs") == 12L && s.getAs[Long]("n_reachable") == 4L)
+    assert(s.getAs[Double]("mean_dist") == 1.0
+      && s.getAs[Double]("efficiency") == 0.333333)
+    assert(GraphOps.apspStats(split, maxLocalEdges = 0).head() == s)
+  }
+
   test("katzCentrality: hand star trace, +β keeps leaves alive, divergence guard") {
     import spark.implicits._
     val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")

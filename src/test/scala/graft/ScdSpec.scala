@@ -424,6 +424,47 @@ class ScdSpec extends SparkSpec {
     assert(lo > 0.23 && lo < 0.24) // known ≈ 0.2366 (Brown-Cai-DasGupta)
   }
 
+  test("krippendorffAlpha: textbook coincidence matrix; degenerate cases") {
+    import org.apache.spark.sql.functions.col
+    // u1 (a,a), u2 (a,b), u3 (b,b), u4 (b,b) → o: aa=2 ab=ba=1 bb=4,
+    // n_a=3 n_b=5 → D_o = 2/8, D_e = 30/56, α = 1 − .25/.535714… = .533333
+    val r = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u4", "b"), ("u4", "b"),
+      ("u5", "a")) // single rating: no pair info, dropped
+      .toDF("u", "v")
+    val row = Experiment.krippendorffAlpha(r, col("u"), col("v")).head()
+    assert(row.getAs[Long]("n_units") == 4L && row.getAs[Long]("n_ratings") == 8L
+      && row.getAs[Long]("n_values") == 2L)
+    assert(row.getAs[Double]("d_o") == 0.25)
+    assert(row.getAs[Double]("alpha") == 0.533333)
+    // perfect agreement over a MIXED value set → α = 1
+    val perfect = Seq(("u1", "a"), ("u1", "a"), ("u2", "b"), ("u2", "b"))
+      .toDF("u", "v")
+    assert(Experiment.krippendorffAlpha(perfect, col("u"), col("v"))
+      .head().getAs[Double]("alpha") == 1.0)
+    // a single value everywhere: D_e = 0 → NULL (agreement is vacuous)
+    val mono = Seq(("u1", "a"), ("u1", "a")).toDF("u", "v")
+    val m = Experiment.krippendorffAlpha(mono, col("u"), col("v")).head()
+    assert(m.isNullAt(m.fieldIndex("alpha")))
+  }
+
+  test("minDetectableEffect: the sizing identity at p = 1/2") {
+    import org.apache.spark.sql.functions.col
+    val units = (1 to 100).map(i => Tuple1(i <= 50)).toDF("y")
+    val rows = Experiment.minDetectableEffect(units, col("y"),
+      Seq(1000L, 4000L)).collect()
+    def mde(n: Long) = BigDecimal(2.8016 * math.sqrt(2.0 * 0.5 * 0.5 / n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.map(r => (r.getLong(0), r.getAs[Double]("mde_abs"))).toSeq ==
+      Seq((1000L, mde(1000)), (4000L, mde(4000))))
+    // quadrupling n halves the MDE (√n law), rel = abs/p at p = .5
+    assert(math.abs(rows(0).getAs[Double]("mde_abs")
+      - 2 * rows(1).getAs[Double]("mde_abs")) < 1e-6)
+    assert(rows(0).getAs[Double]("mde_rel") ==
+      BigDecimal(rows(0).getAs[Double]("mde_abs") / 0.5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("eValue: RR = 3 gives 3 + sqrt(6); empty cell nulls the readout") {
     import org.apache.spark.sql.functions.col
     val df = ((1 to 30).map(_ => (true, true)) ++ (1 to 70).map(_ => (true, false)) ++
