@@ -50,13 +50,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q13_join_multi3")(spark, "/root/testdata/sf0.001")
 
-  /** `SPARK_GRAFT_ONLY=q62,q65` → restrict to matching name prefixes —
-    * the ONE definition of the iteration contract shared by Bench and
-    * Verify (the driver never sets the variable). */
+  /** `SPARK_GRAFT_ONLY=q62,q65` → restrict to the named queries — the
+    * ONE definition of the iteration contract shared by Bench and
+    * Verify (the driver never sets the variable). A selector matches
+    * its exact full name or its qNN number ("q19" = q19_count ONLY —
+    * the old raw-prefix rule silently swept q190–q199 in too, a
+    * repeatedly-hit trap). */
   def selectedQueries(): Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.map(_.trim))
     only.fold(queries.toSeq)(ps =>
-      queries.toSeq.filter { case (n, _) => ps.exists(n.startsWith) })
+      queries.toSeq.filter { case (n, _) =>
+        ps.exists(p => n == p || n.startsWith(p + "_")) })
   }
 
   /** The q133-style snapshot pair (v0: keys %7!=1; v1: keys %5!=2 with
