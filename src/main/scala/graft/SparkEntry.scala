@@ -4995,6 +4995,40 @@ object SparkEntry {
       graft.operators.GraphOps.apspStats(
         pr.select(col("item_a").as("src"), col("item_b").as("dst")))
     }),
+    "q359_rich_club" -> ((s, dir) => {
+      // do hub brands preferentially wire to EACH OTHER: rich-club
+      // density among nodes with degree > k, four thresholds folded
+      // into ONE aggregation — the connectivity companion of q315's
+      // assortativity correlation
+      val pr = brandPairs(s, dir, minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      graft.operators.GraphOps.richClub(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+        ks = Seq(4L, 8L, 12L, 16L))
+    }),
+    "q360_hub_removal" -> ((s, dir) => {
+      // what if the 3 super-connector brands vanish: percolation
+      // robustness — components and the giant component's share of the
+      // survivors (TakeOrdered removal set, CC machinery, singleton
+      // survivors counted)
+      val pr = brandPairs(s, dir, minSupport = 1L)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+      graft.operators.GraphOps.hubRemovalRobustness(
+        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+        removeTop = 3)
+    }),
+    "q361_smd_balance" -> ((s, dir) => {
+      // is BUILDING vs the rest comparable before any causal readout:
+      // standardized mean differences over three integer-unit
+      // covariates — the balance table q290's matching assumes
+      graft.operators.Experiment.smdBalance(eng(s, dir).table("customer"),
+        col("c_mktsegment") === "BUILDING",
+        Seq("acct_cents" -> round(col("c_acctbal") * 100, 0),
+          "name_len" -> length(col("c_name")),
+          "nation" -> col("c_nationkey")))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12845,6 +12879,96 @@ object SparkEntry {
                 round(coalesce(CAST(agg.se AS DOUBLE), 0.0)
                       / CAST(nn.n * (nn.n - 1) AS DOUBLE), 6) AS efficiency
          FROM agg CROSS JOIN nn"""),
+    // q359: per-edge min endpoint degree; the k spine reads both
+    // counts by correlated scan over the bounded relations
+    "q359_rich_club" -> (duckTop90Graph +
+      """, deg AS (SELECT src AS nd, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+         und AS (
+           SELECT least(da.dg, db.dg) AS md
+           FROM top t JOIN deg da ON da.nd = t.pa JOIN deg db ON db.nd = t.pb
+         ), sp AS (SELECT CAST(unnest([4, 8, 12, 16]) AS BIGINT) AS k),
+         base AS (
+           SELECT sp.k,
+                  (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE dg > sp.k) AS n_nodes,
+                  (SELECT CAST(count(*) AS BIGINT) FROM und WHERE md > sp.k) AS n_edges
+           FROM sp
+         )
+         SELECT k, n_nodes, n_edges,
+                CASE WHEN n_nodes >= 2 THEN round(
+                  2.0::DOUBLE * n_edges
+                  / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 6)
+                END AS phi
+         FROM base ORDER BY k"""),
+    // q360: deterministic top-3 removal, recursive min-label CC over
+    // the reduced graph (rnodes seeds keep isolated survivors)
+    "q360_hub_removal" -> (duckTop90Graph.replace("WITH bi", "WITH RECURSIVE bi") +
+      """, deg AS (SELECT src AS nd, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+         rem AS (SELECT nd FROM deg ORDER BY dg DESC, nd LIMIT 3),
+         re AS (
+           SELECT t.pa AS src, t.pb AS dst FROM top t
+           WHERE t.pa NOT IN (SELECT nd FROM rem)
+             AND t.pb NOT IN (SELECT nd FROM rem)
+         ), redges AS (
+           SELECT src, dst FROM re UNION SELECT dst, src FROM re
+         ), rnodes AS (
+           SELECT nd FROM deg WHERE nd NOT IN (SELECT nd FROM rem)
+         ), cc(id, comp) AS (
+           SELECT nd, nd FROM rnodes
+           UNION
+           SELECT e2.dst, c.comp FROM cc c JOIN redges e2 ON e2.src = c.id
+           WHERE c.comp < e2.dst
+         ), fin AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id),
+         sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM fin GROUP BY 1),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_components,
+                  CAST(coalesce(max(sz), 0) AS BIGINT) AS largest,
+                  CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rest
+           FROM sizes
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)
+         SELECT nn.n AS n_nodes, CAST(least(3, nn.n) AS BIGINT) AS n_removed,
+                agg.n_rest, agg.n_components, agg.largest,
+                CASE WHEN agg.n_rest > 0 THEN round(
+                  CAST(agg.largest AS DOUBLE) / CAST(agg.n_rest AS DOUBLE), 6)
+                END AS largest_share
+         FROM agg CROSS JOIN nn"""),
+    // q361: one unpivot, exact per-arm moments, cleared-denominator
+    // sample variances, pooled sd and smd from the unrounded doubles
+    "q361_smd_balance" ->
+      """WITH u AS (
+           SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 't' ELSE 'c' END AS g,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acct_cents,
+                  CAST(length(c_name) AS BIGINT) AS name_len,
+                  CAST(c_nationkey AS BIGINT) AS nation
+           FROM customer
+         ), r AS (
+           SELECT g, 'acct_cents' AS covariate, acct_cents AS x FROM u
+           UNION ALL SELECT g, 'name_len', name_len FROM u
+           UNION ALL SELECT g, 'nation', nation FROM u
+         ), a AS (
+           SELECT covariate,
+                  CAST(sum(CASE WHEN g = 't' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                  CAST(sum(CASE WHEN g <> 't' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                  CAST(sum(CASE WHEN g = 't' THEN x ELSE 0 END) AS BIGINT) AS st,
+                  CAST(sum(CASE WHEN g <> 't' THEN x ELSE 0 END) AS BIGINT) AS sc,
+                  sum(CASE WHEN g = 't' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qt,
+                  sum(CASE WHEN g <> 't' THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qc
+           FROM r WHERE x IS NOT NULL GROUP BY 1
+         ), m AS (
+           SELECT covariate, n_t, n_c,
+                  CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
+                  CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE) AS mc,
+                  sqrt((CAST(n_t * qt - CAST(st AS HUGEINT) * st AS DOUBLE)
+                          / (CAST(n_t AS DOUBLE) * (CAST(n_t AS DOUBLE) - 1.0))
+                        + CAST(n_c * qc - CAST(sc AS HUGEINT) * sc AS DOUBLE)
+                          / (CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0))) / 2.0::DOUBLE) AS sdp
+           FROM a
+         )
+         SELECT covariate, n_t, n_c,
+                round(mt, 6) AS mean_t, round(mc, 6) AS mean_c,
+                CASE WHEN n_t > 1 AND n_c > 1 THEN round(sdp, 6) END AS sd_pooled,
+                CASE WHEN n_t > 1 AND n_c > 1 AND sdp > 0 THEN
+                  round((mt - mc) / sdp, 6) END AS smd
+         FROM m ORDER BY covariate""",
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

@@ -1211,6 +1211,64 @@ object Experiment {
   }
 
   /**
+   * Standardized-mean-difference covariate balance table — the
+   * diagnostic every matching/weighting analysis must publish BEFORE
+   * its effect estimate (Austin 2009: |SMD| < 0.1 is the conventional
+   * "balanced"): per covariate, (mean_t − mean_c) / √((s²_t + s²_c)/2).
+   * The companion [[strataMatchAtt]] assumes balance; this measures
+   * it.
+   *
+   * Exactness: covariates arrive as integer units (cents/counts — the
+   * caller quantizes); one explode puts all k covariates through ONE
+   * scan; per (covariate, arm) moments are exact DECIMAL sums; means
+   * and sample variances are one double expression each over cleared
+   * denominators; SMD composes from the unrounded doubles, 6dp.
+   *
+   * Output per covariate: (covariate, n_t, n_c, mean_t, mean_c,
+   * sd_pooled, smd) — NULL smd when the pooled sd is 0 or an arm has
+   * < 2 rows; ordered by covariate.
+   */
+  def smdBalance(units: DataFrame, treatedCol: Column,
+      covariates: Seq[(String, Column)]): DataFrame = {
+    require(covariates.nonEmpty && covariates.size <= 64,
+      "smdBalance: 1..64 covariates")
+    require(covariates.map(_._1).distinct.size == covariates.size,
+      "duplicate covariate names")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val arr = array(covariates.map { case (n, c) =>
+      struct(lit(n).as("covariate"), c.cast("long").as("x")) }: _*)
+    val g = units
+      .select(when(treatedCol, lit("t")).otherwise(lit("c")).as("g"),
+        explode(arr).as("kv"))
+      .select(col("g"), col("kv.covariate").as("covariate"), col("kv.x").as("x"))
+      .where(col("x").isNotNull)
+      .groupBy(col("covariate"))
+      .agg(
+        sum(when(col("g") === "t", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("g") =!= "t", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("g") === "t", col("x")).otherwise(0L)).as("__st"),
+        sum(when(col("g") =!= "t", col("x")).otherwise(0L)).as("__sc"),
+        sum(when(col("g") === "t", d(col("x")) * d(col("x")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qt"),
+        sum(when(col("g") =!= "t", d(col("x")) * d(col("x")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qc"))
+    def meanOf(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def varOf(q: String, s: String, n: String) =
+      (d(col(n)) * col(q) - d(col(s)) * d(col(s))).cast("double") /
+        (col(n).cast("double") * (col(n).cast("double") - lit(1.0)))
+    val mt = meanOf("__st", "n_t"); val mc = meanOf("__sc", "n_c")
+    val sdP = sqrt((varOf("__qt", "__st", "n_t")
+      + varOf("__qc", "__sc", "n_c")) / lit(2.0))
+    g.select(col("covariate"), col("n_t"), col("n_c"),
+        round(mt, 6).as("mean_t"), round(mc, 6).as("mean_c"),
+        when(col("n_t") > 1 && col("n_c") > 1, round(sdP, 6)).as("sd_pooled"),
+        when(col("n_t") > 1 && col("n_c") > 1 && sdP > 0,
+          round((mt - mc) / sdP, 6)).as("smd"))
+      .orderBy("covariate")
+  }
+
+  /**
    * Minimum detectable effect for a two-arm conversion experiment —
    * the design-time question ("how long must this run") answered from
    * the data's own base rate: at α=5% two-sided and 80% power,

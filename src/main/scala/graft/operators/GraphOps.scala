@@ -1073,6 +1073,112 @@ object GraphOps {
   }
 
   /**
+   * Rich-club coefficient (Zhou & Mondragón 2004): for each degree
+   * threshold k, φ(k) = density of the subgraph induced by nodes with
+   * degree > k — do the hubs preferentially wire to EACH OTHER (φ → 1)
+   * or merely to the masses. The connectivity companion of
+   * [[degreeAssortativity]]'s correlation read.
+   *
+   * Exact and one-pass: degrees from one agg; each canonical a<b edge
+   * carries min(deg_a, deg_b); the declared k spine folds into ONE
+   * aggregation with a conditional sum per k (|ks| ≤ 16 literal
+   * columns) — no per-k scan, no subgraph materialization. φ is one
+   * double expression of exact counts, 6dp.
+   *
+   * Output per k: (k, n_nodes, n_edges, phi) — NULL φ below 2 nodes.
+   */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.size <= 16 && ks.forall(_ >= 0),
+      "richClub: 1..16 non-negative thresholds")
+    val spine = ks.distinct.sorted
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val deg = sym.groupBy(col("src").as("nd")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nCols = spine.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
+    val nAt = deg.agg(nCols.head, nCols.tail: _*)
+    val und = sym.where(col("src") < col("dst"))
+      .join(deg.select(col("nd").as("src"), col("deg").as("__da")), "src")
+      .join(deg.select(col("nd").as("dst"), col("deg").as("__db")), "dst")
+      .select(least(col("__da"), col("__db")).as("__md"))
+    val eCols = spine.map(k =>
+      sum(when(col("__md") > k, 1L).otherwise(0L)).as(s"e_$k"))
+    val eAt = und.agg(eCols.head, eCols.tail: _*)
+    sym.unpersist(false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val kDf = spine.toDF("k")
+    val joined = kDf.crossJoin(broadcast(nAt)).crossJoin(broadcast(eAt))
+    val nCol = spine.foldRight(lit(null).cast("long")) { (k, rest) =>
+      when(col("k") === k, col(s"n_$k")).otherwise(rest) }
+    val eCol = spine.foldRight(lit(null).cast("long")) { (k, rest) =>
+      when(col("k") === k, col(s"e_$k")).otherwise(rest) }
+    joined.select(col("k"), nCol.as("n_nodes"), eCol.as("n_edges"))
+      .withColumn("phi", when(col("n_nodes") >= 2, round(
+        lit(2.0) * col("n_edges").cast("double")
+          / (col("n_nodes").cast("double")
+            * (col("n_nodes").cast("double") - lit(1.0))), 6)))
+      .orderBy("k")
+  }
+
+  /**
+   * Hub-removal robustness: delete the `removeTop` highest-degree
+   * nodes (ties by node id — a total order) and measure what remains —
+   * component count and the largest component's share of surviving
+   * nodes. The percolation question behind "what if the top sellers /
+   * super-connectors vanish": a robust graph keeps one giant
+   * component, a hub-and-spoke shatters.
+   *
+   * Shape: one degree agg, a TakeOrdered top-K cut (the removal set is
+   * K rows, broadcast into two anti-joins), then
+   * [[graft.pipeline.Dedup.connectedComponents]] — the two-regime CC
+   * machinery with its own driver cutover. Isolated survivors
+   * (all their edges died with the hubs) count as singleton
+   * components.
+   *
+   * Output: one row (n_nodes, n_removed, n_rest, n_components,
+   * largest, largest_share 6dp).
+   */
+  def hubRemovalRobustness(edges: DataFrame, removeTop: Int): DataFrame = {
+    require(removeTop >= 0, "removeTop >= 0")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val deg = sym.groupBy(col("src").as("nd")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nNodes = deg.count()
+    val removed = deg.orderBy(col("deg").desc, col("nd").asc).limit(removeTop)
+      .select(col("nd")).localCheckpoint(true) // K rows
+    val restEdges = sym.where(col("src") < col("dst"))
+      .join(removed.withColumnRenamed("nd", "src"), Seq("src"), "left_anti")
+      .join(removed.withColumnRenamed("nd", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    val restNodes = deg.select(col("nd"))
+      .join(removed, Seq("nd"), "left_anti")
+    val comp = graft.pipeline.Dedup.connectedComponents(restEdges, "src", "dst")
+    // survivors missing from comp are isolated singletons
+    val labeled = restNodes.join(comp.withColumnRenamed("id", "nd"), Seq("nd"), "left")
+      .select(coalesce(col("component"), col("nd")).as("component"))
+    val sizes = labeled.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val out = sizes.agg(count(lit(1)).as("n_components"),
+        coalesce(max(col("sz")), lit(0L)).as("largest"),
+        coalesce(sum(col("sz")), lit(0L)).as("n_rest"))
+      .select(lit(nNodes).as("n_nodes"),
+        least(lit(removeTop.toLong), lit(nNodes)).as("n_removed"),
+        col("n_rest"), col("n_components"), col("largest"),
+        when(col("n_rest") > 0, round(col("largest").cast("double")
+          / col("n_rest").cast("double"), 6)).as("largest_share"))
+      .localCheckpoint(true)
+    sym.unpersist(false)
+    out
+  }
+
+  /**
    * Newman modularity of a node partition: Q = Σ_c (e_c/m − (d_c/2m)²)
    * — the fraction of edges inside communities minus the fraction a
    * degree-preserving random rewire would put there (Newman & Girvan

@@ -373,6 +373,43 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("richClub: hub triangle reads density 1, whole graph diluted, empty NULL") {
+    import spark.implicits._
+    // 3 hubs in a triangle, each with 2 private leaves: hub deg 4, leaf 1
+    val edges = Seq(("h1", "h2"), ("h2", "h3"), ("h1", "h3"),
+      ("h1", "a1"), ("h1", "a2"), ("h2", "b1"), ("h2", "b2"),
+      ("h3", "c1"), ("h3", "c2")).toDF("src", "dst")
+    val rows = GraphOps.richClub(edges, ks = Seq(0L, 1L, 4L)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // k=0: all 9 nodes, 9 edges → φ = 18/72 = 0.25
+    assert(rows(0L).getAs[Long]("n_nodes") == 9L
+      && rows(0L).getAs[Double]("phi") == 0.25)
+    // k=1: the 3 hubs only, fully wired → φ = 1
+    assert(rows(1L).getAs[Long]("n_nodes") == 3L
+      && rows(1L).getAs[Long]("n_edges") == 3L
+      && rows(1L).getAs[Double]("phi") == 1.0)
+    // k=4: nobody qualifies → NULL φ
+    assert(rows(4L).getAs[Long]("n_nodes") == 0L
+      && rows(4L).isNullAt(rows(4L).fieldIndex("phi")))
+  }
+
+  test("hubRemovalRobustness: removing the star hub shatters it; baseline intact") {
+    import spark.implicits._
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("d", "e"))
+      .toDF("src", "dst")
+    val r = GraphOps.hubRemovalRobustness(edges, removeTop = 1).head()
+    assert(r.getAs[Long]("n_nodes") == 6L && r.getAs[Long]("n_removed") == 1L
+      && r.getAs[Long]("n_rest") == 5L)
+    // survivors a,b,c isolated + {d,e} → 4 components, giant share 2/5
+    assert(r.getAs[Long]("n_components") == 4L
+      && r.getAs[Long]("largest") == 2L
+      && r.getAs[Double]("largest_share") == 0.4)
+    val base = GraphOps.hubRemovalRobustness(edges, removeTop = 0).head()
+    assert(base.getAs[Long]("n_components") == 2L
+      && base.getAs[Long]("largest") == 4L
+      && base.getAs[Double]("largest_share") == 0.666667)
+  }
+
   test("apspStats: path-graph geodesics exact, disconnection counted, regimes agree") {
     import spark.implicits._
     // a—b—c: 6 ordered pairs, d = 1,1,1,1,2,2 → diameter 2,

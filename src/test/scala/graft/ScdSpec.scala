@@ -465,6 +465,31 @@ class ScdSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("smdBalance: hand moments, zero-variance and thin-arm NULLs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // treated x = [10, 20] (mean 15, s² 50); control [10, 10, 16]
+    // (mean 12, s² 12) → sd_pooled = √31, smd = 3/√31
+    val df = Seq((true, 10L, 5L), (true, 20L, 5L),
+      (false, 10L, 5L), (false, 10L, 5L), (false, 16L, 5L))
+      .toDF("t", "x", "flat")
+    val rows = Experiment.smdBalance(df, col("t"),
+        Seq("x" -> col("x"), "flat" -> col("flat"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val x = rows("x")
+    assert(x.getAs[Long]("n_t") == 2L && x.getAs[Long]("n_c") == 3L)
+    assert(x.getAs[Double]("mean_t") == 15.0 && x.getAs[Double]("mean_c") == 12.0)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(x.getAs[Double]("sd_pooled") == r6(math.sqrt(31.0)))
+    assert(x.getAs[Double]("smd") == r6(3.0 / math.sqrt(31.0)))
+    // a constant covariate: balanced by construction but UNDEFINED smd
+    val f = rows("flat")
+    assert(f.getAs[Double]("sd_pooled") == 0.0 && f.isNullAt(f.fieldIndex("smd")))
+    // a 1-row arm cannot produce a sample variance
+    val thin = Seq((true, 10L), (false, 1L), (false, 2L)).toDF("t", "x")
+    val tr = Experiment.smdBalance(thin, col("t"), Seq("x" -> col("x"))).head()
+    assert(tr.isNullAt(tr.fieldIndex("smd")))
+  }
+
   test("eValue: RR = 3 gives 3 + sqrt(6); empty cell nulls the readout") {
     import org.apache.spark.sql.functions.col
     val df = ((1 to 30).map(_ => (true, true)) ++ (1 to 70).map(_ => (true, false)) ++
