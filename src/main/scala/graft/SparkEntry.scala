@@ -5029,6 +5029,29 @@ object SparkEntry {
           "name_len" -> length(col("c_name")),
           "nation" -> col("c_nationkey")))
     }),
+    "q362_qini" -> ((s, dir) => {
+      // does the q296 value score find the units the TREATMENT moves:
+      // per pooled-score tile, cumulative incremental conversions of
+      // the even-user arm over the scaled odd-user control — the
+      // uplift curve gains tables cannot express
+      val ev = eng(s, dir).table("events").where(col("value").isNotNull)
+        .select(round(least(col("value") / 200.0, lit(1.0)), 6).as("s"),
+          (pmod(col("user_id"), lit(2)) === 0).as("t"),
+          (col("event_type") === "purchase").as("y"))
+      graft.operators.Experiment.qiniTable(ev, col("s"), col("t"), col("y"))
+    }),
+    "q363_ratio_metric" -> ((s, dir) => {
+      // revenue per EVENT, not per user-average-of-ratios: delta-method
+      // SEs on the per-arm ratio of sums — the estimator ratio metrics
+      // actually need; exact per-user moments, one aggregation
+      val per = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("x"),
+        count(lit(1)).as("y"))
+      graft.operators.Experiment.ratioMetricDelta(per,
+        pmod(col("user_id"), lit(2)) === 0, col("x"), col("y"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12969,6 +12992,100 @@ object SparkEntry {
                 CASE WHEN n_t > 1 AND n_c > 1 AND sdp > 0 THEN
                   round((mt - mc) / sdp, 6) END AS smd
          FROM m ORDER BY covariate""",
+    // q362: the q296 pooled tiling with per-(value, arm) counts; the
+    // uplift term is one double expression of exact cumulative longs
+    "q362_qini" ->
+      """WITH b AS (
+           SELECT round(least(value / 200.0, 1.0), 6) AS s,
+                  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events WHERE value IS NOT NULL
+         ), pv AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(t) AS BIGINT) AS nt,
+                  CAST(sum(t * y) AS BIGINT) AS ct,
+                  CAST(sum((1 - t) * y) AS BIGINT) AS cc
+           FROM b GROUP BY 1
+         ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+         pw AS (
+           SELECT s, cnt, nt, ct, cc,
+                  COALESCE(CAST(sum(cnt) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb
+           FROM pv
+         ), tl AS (
+           SELECT least((cb * 10) // (SELECT n FROM tot), 9) AS tile,
+                  nt, cnt - nt AS nc, ct, cc
+           FROM pw
+         ), g AS (
+           SELECT tile, CAST(sum(nt) AS BIGINT) AS n_t, CAST(sum(nc) AS BIGINT) AS n_c,
+                  CAST(sum(ct) AS BIGINT) AS conv_t, CAST(sum(cc) AS BIGINT) AS conv_c
+           FROM tl GROUP BY 1
+         ), c AS (
+           SELECT tile, n_t, n_c, conv_t, conv_c,
+                  CAST(sum(n_t) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n_t,
+                  CAST(sum(n_c) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n_c,
+                  CAST(sum(conv_t) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cct,
+                  CAST(sum(conv_c) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccc
+           FROM g
+         )
+         SELECT tile, n_t, n_c, conv_t, conv_c, cum_n_t, cum_n_c,
+                CASE WHEN cum_n_c > 0 THEN round(
+                  CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE)
+                    * CAST(cum_n_t AS DOUBLE) / CAST(cum_n_c AS DOUBLE), 6)
+                END AS cum_uplift
+         FROM c ORDER BY tile""",
+    // q363: exact per-arm moments, Σ(x−Ry)² expanded over them, the
+    // same operator association as the Spark side
+    "q363_ratio_metric" ->
+      """WITH per AS (
+           SELECT user_id,
+                  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    ELSE 0 END), 0) AS BIGINT) AS x,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1
+         ), g AS (
+           SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS sum_x_t,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS sum_y_t,
+                  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN x ELSE 0 END) AS BIGINT) AS sum_x_c,
+                  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN y ELSE 0 END) AS BIGINT) AS sum_y_c,
+                  sum(CASE WHEN user_id % 2 = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qxxt,
+                  sum(CASE WHEN user_id % 2 = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qyyt,
+                  sum(CASE WHEN user_id % 2 = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS qxyt,
+                  sum(CASE WHEN user_id % 2 <> 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS qxxc,
+                  sum(CASE WHEN user_id % 2 <> 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END) AS qyyc,
+                  sum(CASE WHEN user_id % 2 <> 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END) AS qxyc
+           FROM per
+         ), m AS (
+           SELECT *,
+                  CAST(sum_x_t AS DOUBLE) / CAST(sum_y_t AS DOUBLE) AS rt,
+                  CAST(sum_x_c AS DOUBLE) / CAST(sum_y_c AS DOUBLE) AS rc
+           FROM g
+         ), m2 AS (
+           SELECT *,
+                  sqrt(greatest(CAST(qxxt AS DOUBLE) - 2.0::DOUBLE * rt * CAST(qxyt AS DOUBLE)
+                       + rt * rt * CAST(qyyt AS DOUBLE), 0.0::DOUBLE)
+                    * (CAST(n_t AS DOUBLE) / (CAST(n_t AS DOUBLE) - 1.0)))
+                    / CAST(sum_y_t AS DOUBLE) AS set_,
+                  sqrt(greatest(CAST(qxxc AS DOUBLE) - 2.0::DOUBLE * rc * CAST(qxyc AS DOUBLE)
+                       + rc * rc * CAST(qyyc AS DOUBLE), 0.0::DOUBLE)
+                    * (CAST(n_c AS DOUBLE) / (CAST(n_c AS DOUBLE) - 1.0)))
+                    / CAST(sum_y_c AS DOUBLE) AS sec_
+           FROM m
+         )
+         SELECT n_t, n_c, sum_x_t, sum_y_t, sum_x_c, sum_y_c,
+                CASE WHEN sum_y_t > 0 THEN round(rt, 6) END AS ratio_t,
+                CASE WHEN sum_y_c > 0 THEN round(rc, 6) END AS ratio_c,
+                CASE WHEN n_t > 1 AND n_c > 1 AND sum_y_t > 0 AND sum_y_c > 0
+                  THEN round(rt - rc, 6) END AS diff,
+                CASE WHEN n_t > 1 AND n_c > 1 AND sum_y_t > 0 AND sum_y_c > 0
+                  THEN round(set_, 6) END AS se_t,
+                CASE WHEN n_t > 1 AND n_c > 1 AND sum_y_t > 0 AND sum_y_c > 0
+                  THEN round(sec_, 6) END AS se_c,
+                CASE WHEN n_t > 1 AND n_c > 1 AND sum_y_t > 0 AND sum_y_c > 0
+                       AND (set_ * set_ + sec_ * sec_) > 0
+                  THEN round((rt - rc) / sqrt(set_ * set_ + sec_ * sec_), 6) END AS z
+         FROM m2""",
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

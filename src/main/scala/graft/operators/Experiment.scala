@@ -1211,6 +1211,133 @@ object Experiment {
   }
 
   /**
+   * Qini / uplift curve (Radcliffe 2007): does the model's score find
+   * the units the TREATMENT actually moves — per pooled-score tile,
+   * cumulative incremental conversions uplift(k) = CumConvT(k) −
+   * CumConvC(k)·CumN_T(k)/CumN_C(k). The treatment-aware sibling of
+   * [[gainsTable]] (which can only rank by outcome, not by
+   * incrementality); the last row is the whole-population estimated
+   * incremental-conversion total.
+   *
+   * Tiling is the gainsTable discipline verbatim — POOLED
+   * distinct-value prefix sums (both arms share one tiling, ties land
+   * whole), exact per-(value, arm) counts. The uplift term is one
+   * double expression of exact cumulative longs, 6dp; a tile prefix
+   * with an empty control arm publishes NULL (no scaling basis).
+   * Output per tile: (tile, n_t, n_c, conv_t, conv_c, cum_n_t,
+   * cum_n_c, cum_uplift).
+   */
+  def qiniTable(df: DataFrame, scoreCol: Column, treatedCol: Column,
+      convertedCol: Column, nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2 && nTiles <= 1000, "nTiles in [2,1000]")
+    val perValue = df.select((-scoreCol.cast("double")).as("v"),
+        when(treatedCol, 1L).otherwise(0L).as("t"),
+        when(convertedCol, 1L).otherwise(0L).as("y"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"),
+        sum(col("t")).as("nt"),
+        sum(col("t") * col("y")).as("ct"),
+        sum((lit(1L) - col("t")) * col("y")).as("cc"))
+    val tot = perValue.agg(sum(col("cnt")), sum(col("nt"))).head()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0, "qiniTable needs scored rows")
+    val n = tot.getLong(0)
+    require(tot.getLong(1) > 0 && tot.getLong(1) < n,
+      "qiniTable needs both arms non-empty")
+    val tiles = DistDrift.withPrefixSums(perValue, Seq("cnt"))
+      .withColumn("tile", least(expr(s"(cnt_below * $nTiles) div ${n}L"),
+        lit((nTiles - 1).toLong)))
+      .groupBy(col("tile"))
+      .agg(sum(col("nt")).as("n_t"), sum(col("cnt") - col("nt")).as("n_c"),
+        sum(col("ct")).as("conv_t"), sum(col("cc")).as("conv_c"))
+    val w = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ≤ nTiles rows — the unpartitioned window is bounded by construction
+    tiles
+      .withColumn("cum_n_t", sum(col("n_t")).over(w))
+      .withColumn("cum_n_c", sum(col("n_c")).over(w))
+      .withColumn("__cct", sum(col("conv_t")).over(w))
+      .withColumn("__ccc", sum(col("conv_c")).over(w))
+      .select(col("tile"), col("n_t"), col("n_c"), col("conv_t"), col("conv_c"),
+        col("cum_n_t"), col("cum_n_c"),
+        when(col("cum_n_c") > 0, round(col("__cct").cast("double")
+          - col("__ccc").cast("double") * col("cum_n_t").cast("double")
+            / col("cum_n_c").cast("double"), 6)).as("cum_uplift"))
+      .orderBy("tile")
+  }
+
+  /**
+   * Delta-method readout for a RATIO metric (revenue per session,
+   * clicks per view — the metrics a per-user mean can't express
+   * because the denominator varies per user): per arm, R = ΣX/ΣY with
+   * the linearization SE² = (n/(n−1))·Σ(xᵢ − R·yᵢ)² / (ΣY)²
+   * (Deng et al., KDD 2018's standard practice), and the two-arm z on
+   * the combined SE. The naive per-user-ratio average is biased and
+   * its variance wrong; this is the estimator experimentation
+   * platforms actually ship.
+   *
+   * Exactness: ΣX, ΣY exact longs; Σx², Σy², Σxy exact
+   * DECIMAL(38,0); R is one double divide and Σ(x−Ry)² expands to
+   * Qxx − 2R·Qxy + R²·Qyy over the exact moments — one double
+   * expression per arm, z from the unrounded SEs, all published 6dp.
+   * ONE map-combined aggregation over units.
+   *
+   * Output: one row (n_t, n_c, sum_x_t, sum_y_t, sum_x_c, sum_y_c,
+   * ratio_t, ratio_c, diff, se_t, se_c, z).
+   */
+  def ratioMetricDelta(units: DataFrame, treatedCol: Column,
+      xCol: Column, yCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val g = units.select(when(treatedCol, 1L).otherwise(0L).as("t"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .agg(
+        sum(col("t")).as("n_t"), sum(lit(1L) - col("t")).as("n_c"),
+        sum(col("t") * col("x")).as("sum_x_t"),
+        sum(col("t") * col("y")).as("sum_y_t"),
+        sum((lit(1L) - col("t")) * col("x")).as("sum_x_c"),
+        sum((lit(1L) - col("t")) * col("y")).as("sum_y_c"),
+        sum(when(col("t") === 1L, d(col("x")) * d(col("x")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qxxt"),
+        sum(when(col("t") === 1L, d(col("y")) * d(col("y")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qyyt"),
+        sum(when(col("t") === 1L, d(col("x")) * d(col("y")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qxyt"),
+        sum(when(col("t") === 0L, d(col("x")) * d(col("x")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qxxc"),
+        sum(when(col("t") === 0L, d(col("y")) * d(col("y")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qyyc"),
+        sum(when(col("t") === 0L, d(col("x")) * d(col("y")))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__qxyc"))
+    def ratio(tag: String) =
+      col(s"sum_x_$tag").cast("double") / col(s"sum_y_$tag").cast("double")
+    def se(tag: String, nC: String) = {
+      val r = ratio(tag)
+      val nD = col(nC).cast("double")
+      val ssq = col(s"__qxx$tag" + "").cast("double") -
+        lit(2.0) * r * col(s"__qxy$tag").cast("double") +
+        r * r * col(s"__qyy$tag").cast("double")
+      // greatest(·,1) keeps the n−1 divisor nonzero on a 1-row arm —
+      // that branch publishes NULL anyway, but ANSI mode evaluates the
+      // expression regardless of the `when` guard
+      sqrt(greatest(ssq, lit(0.0)) * (nD / greatest(nD - lit(1.0), lit(1.0)))) /
+        col(s"sum_y_$tag").cast("double")
+    }
+    val ok = col("n_t") > 1 && col("n_c") > 1 &&
+      col("sum_y_t") > 0 && col("sum_y_c") > 0
+    val seT = se("t", "n_t"); val seC = se("c", "n_c")
+    g.select(col("n_t"), col("n_c"),
+      col("sum_x_t"), col("sum_y_t"), col("sum_x_c"), col("sum_y_c"),
+      when(col("sum_y_t") > 0, round(ratio("t"), 6)).as("ratio_t"),
+      when(col("sum_y_c") > 0, round(ratio("c"), 6)).as("ratio_c"),
+      when(ok, round(ratio("t") - ratio("c"), 6)).as("diff"),
+      when(ok, round(seT, 6)).as("se_t"),
+      when(ok, round(seC, 6)).as("se_c"),
+      when(ok && (seT * seT + seC * seC) > 0,
+        round((ratio("t") - ratio("c")) / sqrt(seT * seT + seC * seC), 6))
+        .as("z"))
+  }
+
+  /**
    * Standardized-mean-difference covariate balance table — the
    * diagnostic every matching/weighting analysis must publish BEFORE
    * its effect estimate (Austin 2009: |SMD| < 0.1 is the conventional

@@ -465,6 +465,47 @@ class ScdSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("qiniTable: hand uplift curve — score finds the moved units") {
+    import org.apache.spark.sql.functions.col
+    // score 1.0: 2T both convert, 2C none → tile 0 uplift 2
+    // score 0.5: 2T none, 2C one  → cumulative uplift 2 − 1·(4/4) = 1
+    val df = Seq(
+      (1.0, true, true), (1.0, true, true), (1.0, false, false), (1.0, false, false),
+      (0.5, true, false), (0.5, true, false), (0.5, false, true), (0.5, false, false))
+      .toDF("s", "t", "y")
+    val rows = Experiment.qiniTable(df, col("s"), col("t"), col("y"), nTiles = 2)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("tile") == 0L
+      && rows(0).getAs[Double]("cum_uplift") == 2.0)
+    assert(rows(1).getAs[Long]("tile") == 1L
+      && rows(1).getAs[Long]("cum_n_t") == 4L
+      && rows(1).getAs[Double]("cum_uplift") == 1.0)
+    intercept[IllegalArgumentException] { // one-arm data has no control scale
+      Experiment.qiniTable(df.where(col("t")), col("s"), col("t"), col("y"))
+        .collect()
+    }
+  }
+
+  test("ratioMetricDelta: hand linearization SEs and z") {
+    import org.apache.spark.sql.functions.col
+    // T: (10,2),(20,2) → R=7.5, Σ(x−Ry)²=50, se=√(50·2)/4 = 2.5
+    // C: (8,2),(12,2)  → R=5,   Σ…=8,        se=√(8·2)/4 = 1
+    val df = Seq((true, 10L, 2L), (true, 20L, 2L),
+      (false, 8L, 2L), (false, 12L, 2L)).toDF("t", "x", "y")
+    val r = Experiment.ratioMetricDelta(df, col("t"), col("x"), col("y")).head()
+    assert(r.getAs[Double]("ratio_t") == 7.5 && r.getAs[Double]("ratio_c") == 5.0)
+    assert(r.getAs[Double]("se_t") == 2.5 && r.getAs[Double]("se_c") == 1.0)
+    assert(r.getAs[Double]("diff") == 2.5)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == r6(2.5 / math.sqrt(7.25)))
+    // a 1-row arm → NULL inference columns, ratios still published
+    val thin = Seq((true, 10L, 2L), (false, 8L, 2L), (false, 12L, 2L))
+      .toDF("t", "x", "y")
+    val tr = Experiment.ratioMetricDelta(thin, col("t"), col("x"), col("y")).head()
+    assert(tr.getAs[Double]("ratio_t") == 5.0 && tr.isNullAt(tr.fieldIndex("z")))
+  }
+
   test("smdBalance: hand moments, zero-variance and thin-arm NULLs") {
     import org.apache.spark.sql.functions.{col, lit}
     // treated x = [10, 20] (mean 15, s² 50); control [10, 10, 16]
