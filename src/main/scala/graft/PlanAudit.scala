@@ -92,7 +92,12 @@ object PlanAudit {
       "q345_good_turing", // shingle shuffle → vocab agg → ≤maxR spine
       "q346_rake", // doc-partitioned phrase windows; TakeOrdered top-k
       "q348_burrows_delta", // token agg; everything after on sources×topM
-      "q349_es_sample") // key scan → TakeOrderedAndProject, no full sort
+      "q349_es_sample", // key scan → TakeOrderedAndProject, no full sort
+      "q354_shapley", // one user agg; the lattice is a 2^k-row collect
+      "q356_kripp_alpha", // unit-keyed self-join bounded by values/unit
+      "q359_rich_club", // k spine folded into ONE conditional-sum agg
+      "q362_qini", // pooled distinct-value tiling; bounded tile window
+      "q363_ratio_metric") // one map-combined moment aggregation
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

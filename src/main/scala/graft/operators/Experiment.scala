@@ -1221,7 +1221,9 @@ object Experiment {
    *
    * Tiling is the gainsTable discipline verbatim — POOLED
    * distinct-value prefix sums (both arms share one tiling, ties land
-   * whole), exact per-(value, arm) counts. The uplift term is one
+   * whole), exact per-(value, arm) counts; scores arrive quantized
+   * (the [[calibration]] 6dp contract), so the distinct relation is
+   * score-grid-bounded, not row-bounded, at any corpus size. The uplift term is one
    * double expression of exact cumulative longs, 6dp; a tile prefix
    * with an empty control arm publishes NULL (no scaling basis).
    * Output per tile: (tile, n_t, n_c, conv_t, conv_c, cum_n_t,
