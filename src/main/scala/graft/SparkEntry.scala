@@ -103,6 +103,16 @@ object SparkEntry {
       _ => graft.operators.Association.pairs(brandBaskets(s, dir),
         "l_orderkey", "p_brand", minSupport = minSupport).localCheckpoint(true))
 
+  /** The SF-independent top-90-by-support brand edge list (src, dst) —
+    * the q279 construction shared by the q336/q337/q338/q352/q358/q359/
+    * q360 graph family (oracle twin: `duckTop90Graph`). Rides the
+    * [[brandPairs]] memo; the order-and-cut on ≤300 rows is free. */
+  private def top90Brand(s: SparkSession, dir: String): DataFrame =
+    brandPairs(s, dir, minSupport = 1L)
+      .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+      .limit(90)
+      .select(col("item_a").as("src"), col("item_b").as("dst"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 filters / predicates ------------------------------------
     "q01_filter_range" -> ((s, dir) => {
@@ -2318,11 +2328,8 @@ object SparkEntry {
       // edges — splits the connected brand graph along density, which
       // connected components (q67) cannot. Top-k-by-weight with a full
       // tie-break makes the graph itself SF-independent-deterministic
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      graft.operators.GraphOps.labelPropagation(
-        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+            graft.operators.GraphOps.labelPropagation(
+        top90Brand(s, dir),
         iters = 3)
     }),
     "q278_nelson_aalen" -> ((s, dir) => {
@@ -4737,11 +4744,8 @@ object SparkEntry {
       // over the SF-independent top-90 brand graph (the q279 family),
       // L1-renormalized to 1e6 units per round — exact longs,
       // bit-identical across the two execution regimes
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      graft.operators.GraphOps.eigenvectorCentrality(
-        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+            graft.operators.GraphOps.eigenvectorCentrality(
+        top90Brand(s, dir),
         iters = 5)
     }),
     "q337_link_predict" -> ((s, dir) => {
@@ -4749,21 +4753,15 @@ object SparkEntry {
       // Jaccard / resource-allocation scores over non-adjacent pairs of
       // the top-90 graph — the recommender's candidate-edge shortlist,
       // wedge join under the maxDegree hub contract
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      graft.operators.GraphOps.linkPredict(
-        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+            graft.operators.GraphOps.linkPredict(
+        top90Brand(s, dir),
         topK = 20)
     }),
     "q338_modularity" -> ((s, dir) => {
       // did label propagation find REAL structure: Newman Q of the
       // q279 LPA labels over the same top-90 graph — exact integer
       // numerator (4m·within − Σd_c²), one double divide
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      val edges = pr.select(col("item_a").as("src"), col("item_b").as("dst"))
+            val edges = top90Brand(s, dir)
       val labs = graft.operators.GraphOps.labelPropagation(edges, iters = 3)
       graft.operators.GraphOps.modularity(edges, labs)
     }),
@@ -4913,11 +4911,8 @@ object SparkEntry {
       // unlike q336's pure power iteration, the +β injection keeps
       // peripheral brands at nonzero mass; divergence guard α·maxDeg<1
       // refuses loud before any iteration
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      graft.operators.GraphOps.katzCentrality(
-        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+            graft.operators.GraphOps.katzCentrality(
+        top90Brand(s, dir),
         alphaMicro = 10000L, iters = 5)
     }),
     "q353_nmi_matrix" -> ((s, dir) => {
@@ -4989,22 +4984,16 @@ object SparkEntry {
       // mean distance, global efficiency; the exact audit of q323's
       // 2-sweep diameter ESTIMATE (two-regime: driver BFS here, the
       // frontier iteration above the cutover)
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      graft.operators.GraphOps.apspStats(
-        pr.select(col("item_a").as("src"), col("item_b").as("dst")))
+            graft.operators.GraphOps.apspStats(
+        top90Brand(s, dir))
     }),
     "q359_rich_club" -> ((s, dir) => {
       // do hub brands preferentially wire to EACH OTHER: rich-club
       // density among nodes with degree > k, four thresholds folded
       // into ONE aggregation — the connectivity companion of q315's
       // assortativity correlation
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      graft.operators.GraphOps.richClub(
-        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+            graft.operators.GraphOps.richClub(
+        top90Brand(s, dir),
         ks = Seq(4L, 8L, 12L, 16L))
     }),
     "q360_hub_removal" -> ((s, dir) => {
@@ -5012,11 +5001,8 @@ object SparkEntry {
       // robustness — components and the giant component's share of the
       // survivors (TakeOrdered removal set, CC machinery, singleton
       // survivors counted)
-      val pr = brandPairs(s, dir, minSupport = 1L)
-        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-        .limit(90)
-      graft.operators.GraphOps.hubRemovalRobustness(
-        pr.select(col("item_a").as("src"), col("item_b").as("dst")),
+            graft.operators.GraphOps.hubRemovalRobustness(
+        top90Brand(s, dir),
         removeTop = 3)
     }),
     "q361_smd_balance" -> ((s, dir) => {
@@ -5051,6 +5037,41 @@ object SparkEntry {
         count(lit(1)).as("y"))
       graft.operators.Experiment.ratioMetricDelta(per,
         pmod(col("user_id"), lit(2)) === 0, col("x"), col("y"))
+    }),
+    "q364_graph_churn" -> ((s, dir) => {
+      // did the bought-together graph silently rewire between halves
+      // of the shipping history: top-90 edge sets per half, one
+      // full-outer key join — added/removed/kept + Jaccard stability
+      def half(cmp: Column => Column): DataFrame = {
+        val bb = eng(s, dir).table("lineitem").where(cmp(col("l_shipdate")))
+          .join(broadcast(eng(s, dir).table("part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand"))
+        graft.operators.Association.pairs(bb, "l_orderkey", "p_brand",
+            minSupport = 1L)
+          .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+          .limit(90)
+          .select(col("item_a").as("src"), col("item_b").as("dst"))
+      }
+      val pivot = to_timestamp(lit("1998-06-01"))
+      graft.operators.GraphOps.edgeChurn(
+        half(c => c < pivot), half(c => c >= pivot))
+    }),
+    "q365_kendall_w" -> ((s, dir) => {
+      // do three document-length proxies RANK the corpus the same way:
+      // Kendall's W over (chars, whitespace tokens, distinct types) —
+      // tie-corrected, doubled-rank exact integers
+      val docs = eng(s, dir).table("documents")
+      val toks = whitespaceTokens(lower(col("text")))
+      val ratings = docs.select(col("doc_id").as("it"), lit("chars").as("rt"),
+          col("n_chars").cast("double").as("v"))
+        .unionByName(docs.select(col("doc_id").as("it"),
+          lit("tokens").as("rt"), size(toks).cast("double").as("v")))
+        .unionByName(docs.select(col("doc_id").as("it"),
+          lit("types").as("rt"),
+          size(array_distinct(toks)).cast("double").as("v")))
+      graft.operators.Experiment.kendallW(ratings, col("rt"), col("it"),
+        col("v"))
     }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
@@ -13086,6 +13107,92 @@ object SparkEntry {
                        AND (set_ * set_ + sec_ * sec_) > 0
                   THEN round((rt - rc) / sqrt(set_ * set_ + sec_ * sec_), 6) END AS z
          FROM m2""",
+    // q364: two filtered top-90 chains, one full-outer edge join
+    "q364_graph_churn" ->
+      """WITH biA AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_shipdate < TIMESTAMP '1998-06-01'
+         ), prA AS (
+           SELECT x.i AS pa, y.i AS pb, count(*) AS c
+           FROM biA x JOIN biA y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2
+         ), tA AS MATERIALIZED (
+           SELECT pa, pb FROM prA ORDER BY c DESC, pa, pb LIMIT 90
+         ), biB AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '1998-06-01'
+         ), prB AS (
+           SELECT x.i AS pa, y.i AS pb, count(*) AS c
+           FROM biB x JOIN biB y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2
+         ), tB AS MATERIALIZED (
+           SELECT pa, pb FROM prB ORDER BY c DESC, pa, pb LIMIT 90
+         ), f AS (
+           SELECT ta.pa IS NOT NULL AS ia, tb.pa IS NOT NULL AS ib
+           FROM tA ta FULL OUTER JOIN tB tb ON tb.pa = ta.pa AND tb.pb = ta.pb
+         ), agg AS (
+           SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS edges_a,
+                  CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT) AS edges_b,
+                  CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+                  CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS added,
+                  CAST(sum(CASE WHEN NOT ib THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+                  CAST(count(*) AS BIGINT) AS un
+           FROM f
+         ), na AS (
+           SELECT CAST(count(DISTINCT nd) AS BIGINT) AS c
+           FROM (SELECT pa AS nd FROM tA UNION SELECT pb FROM tA)
+         ), nb AS (
+           SELECT CAST(count(DISTINCT nd) AS BIGINT) AS c
+           FROM (SELECT pa AS nd FROM tB UNION SELECT pb FROM tB)
+         )
+         SELECT agg.edges_a, agg.edges_b, agg.kept, agg.added, agg.removed,
+                CASE WHEN agg.un > 0 THEN
+                  round(CAST(agg.kept AS DOUBLE) / CAST(agg.un AS DOUBLE), 6)
+                END AS jaccard,
+                na.c AS nodes_a, nb.c AS nodes_b
+         FROM agg CROSS JOIN na CROSS JOIN nb""",
+    // q365: doubled tie-averaged ranks via the same two windows, exact
+    // HUGEINT 4S and tie terms, one double divide
+    "q365_kendall_w" ->
+      """WITH base AS (
+           SELECT CAST(doc_id AS VARCHAR) AS it,
+                  CAST(n_chars AS DOUBLE) AS chars,
+                  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a
+           FROM documents
+         ), r AS (
+           SELECT it, 'chars' AS rt, chars AS v FROM base
+           UNION ALL SELECT it, 'tokens', CAST(len(a) AS DOUBLE) FROM base
+           UNION ALL SELECT it, 'types', CAST(len(list_distinct(a)) AS DOUBLE) FROM base
+         ), pv AS (
+           SELECT rt, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+         ), rkv AS (
+           SELECT rt, v,
+                  2 * COALESCE(sum(c) OVER (PARTITION BY rt ORDER BY v DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + c + 1 AS r2
+           FROM pv
+         ), per AS (
+           SELECT r.it, CAST(sum(rkv.r2) AS HUGEINT) AS r2
+           FROM r JOIN rkv ON rkv.rt = r.rt AND rkv.v = r.v GROUP BY 1
+         ),
+         mn AS (
+           SELECT CAST(count(DISTINCT rt) AS BIGINT) AS m,
+                  CAST(count(DISTINCT it) AS BIGINT) AS n
+           FROM r
+         ), s4 AS (
+           SELECT sum((per.r2 - mn.m * (mn.n + 1)) * (per.r2 - mn.m * (mn.n + 1))) AS s4
+           FROM per CROSS JOIN mn
+         ), t AS (
+           SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tt
+           FROM (SELECT rt, v, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2)
+         )
+         SELECT mn.m AS m_raters, mn.n AS n_items,
+                round(CAST(s4.s4 AS DOUBLE) / 4.0, 6) AS s,
+                round(3.0::DOUBLE * CAST(s4.s4 AS DOUBLE)
+                      / (CAST(mn.m AS DOUBLE) * mn.m
+                           * (CAST(mn.n AS DOUBLE) * mn.n * mn.n - mn.n)
+                         - CAST(mn.m AS DOUBLE) * CAST(t.tt AS DOUBLE)), 6) AS w
+         FROM mn CROSS JOIN s4 CROSS JOIN t""",
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

@@ -1398,6 +1398,82 @@ object Experiment {
   }
 
   /**
+   * Kendall's coefficient of concordance W (Kendall & Babington Smith
+   * 1939), tie-corrected — do m RANKERS agree on the ordering of n
+   * items: the ranking-system counterpart of [[krippendorffAlpha]]'s
+   * label agreement (three quality scorers, three retrieval systems,
+   * three heuristics — do they sort the corpus the same way).
+   * W = 12S / (m²(n³−n) − m·ΣT) with S the variance of item rank sums
+   * and T_j = Σ(t³−t) over each rater's tie groups.
+   *
+   * Exactness: average ranks are half-integers, so DOUBLED ranks
+   * 2R = 2·(items strictly better) + ties + 1 are exact longs; 4S =
+   * Σ(2R_i − m(n+1))² and the tie terms are exact DECIMAL(38,0);
+   * W = 3·(4S) / denominator is ONE double divide, 6dp. Rankings must
+   * be COMPLETE (every rater scores every item) — the statistic is
+   * undefined otherwise, so incompleteness refuses loud.
+   *
+   * Shape at scale: ranks come from the DISTINCT-VALUE relation via m
+   * per-rater [[DistDrift.withPrefixSums]] passes (the mannWhitney
+   * discipline) — each pass is a fully parallel bucketed prefix sum,
+   * where a rater-partitioned window would cap parallelism at m.
+   * Raters are few by contract (`require` ≤ 64); the passes run over
+   * the already-aggregated distinct-value relation, joined back on
+   * (rater, value).
+   *
+   * Output: one row (m_raters, n_items, s, w); W = 1 is perfect
+   * concordance, 0 is no agreement beyond chance.
+   */
+  def kendallW(ratings: DataFrame, raterCol: Column, itemCol: Column,
+      scoreCol: Column): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val r = ratings.select(raterCol.cast("string").as("rt"),
+        itemCol.cast("string").as("it"), scoreCol.cast("double").as("v"))
+      .where(col("rt").isNotNull && col("it").isNotNull && col("v").isNotNull)
+      .cache()
+    val m = r.select(col("rt")).distinct().count()
+    val n = r.select(col("it")).distinct().count()
+    require(m >= 2, "kendallW: need at least two raters")
+    require(n >= 2, "kendallW: need at least two items")
+    val cnt = r.count()
+    require(cnt == m * n,
+      s"kendallW: $cnt ratings != raters×items = ${m * n} — rankings must " +
+        "be complete (every rater scores every item, once)")
+    val pv = r.groupBy(col("rt"), col("v")).agg(count(lit(1)).as("c"))
+      .cache() // m per-rater prefix passes + the tie rollup read it
+    val raters = pv.select(col("rt")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(raters.length <= 64,
+      s"kendallW: ${raters.length} raters > 64 — one prefix pass per rater")
+    val ranked = raters.toSeq.map { rater =>
+      // rank desc by score == prefix count over ascending −score
+      val one = pv.where(col("rt") === rater)
+        .select((-col("v")).as("v"), col("v").as("__v0"), col("c"))
+      DistDrift.withPrefixSums(one, Seq("c"))
+        .select(lit(rater).as("rt"), col("__v0").as("v"),
+          (lit(2L) * col("c_below") + col("c") + lit(1L)).as("__r2"))
+    }.reduce(_ unionByName _)
+    val perItem = r.join(ranked, Seq("rt", "v"))
+      .groupBy(col("it")).agg(sum(col("__r2")).as("r2"))
+    val s4 = perItem.agg(sum(
+        (d(col("r2")) - lit(m * (n + 1))) * (d(col("r2")) - lit(m * (n + 1))))
+        .as("s4"))
+      .head().getDecimal(0)
+    val tt = pv
+      .agg(sum(d(col("c")) * d(col("c")) * d(col("c")) - d(col("c"))))
+      .head().getDecimal(0)
+    pv.unpersist(false); r.unpersist(false)
+    val s4D = s4.doubleValue(); val ttD = tt.doubleValue()
+    val mD = m.toDouble; val nD = n.toDouble
+    val den = mD * mD * (nD * nD * nD - nD) - mD * ttD
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    Seq((m, n, r6(s4D / 4.0), if (den > 0) Some(r6(3.0 * s4D / den)) else None))
+      .toDF("m_raters", "n_items", "s", "w")
+  }
+
+  /**
    * Minimum detectable effect for a two-arm conversion experiment —
    * the design-time question ("how long must this run") answered from
    * the data's own base rate: at α=5% two-sided and 80% power,

@@ -1073,6 +1073,50 @@ object GraphOps {
   }
 
   /**
+   * Edge churn between two graph snapshots — the drift monitor for
+   * DERIVED graphs (co-occurrence, similarity, entity links): a
+   * recommendation/dedup graph that silently rewires between pipeline
+   * runs moves product behavior long before any per-row check fires.
+   * Canonical undirected edge sets, one full-outer key join:
+   * added / removed / kept counts, Jaccard stability, and per-side
+   * node counts.
+   *
+   * All exact longs + two 6dp divides; shape: two distincts and one
+   * edge-keyed join — linear in edges, never pairs.
+   *
+   * Output: one row (edges_a, edges_b, kept, added, removed, jaccard,
+   * nodes_a, nodes_b).
+   */
+  def edgeChurn(edgesA: DataFrame, edgesB: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .selectExpr("least(src, dst) as a", "greatest(src, dst) as b")
+        .distinct()
+    val ca = canon(edgesA).localCheckpoint(true)
+    val cb = canon(edgesB).localCheckpoint(true)
+    val nodesA = ca.select(col("a")).unionByName(ca.select(col("b").as("a")))
+      .distinct().count()
+    val nodesB = cb.select(col("a")).unionByName(cb.select(col("b").as("a")))
+      .distinct().count()
+    val j = ca.withColumn("__ia", lit(1L))
+      .join(cb.withColumn("__ib", lit(1L)), Seq("a", "b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__ia"), lit(0L))).as("edges_a"),
+        sum(coalesce(col("__ib"), lit(0L))).as("edges_b"),
+        sum(when(col("__ia").isNotNull && col("__ib").isNotNull, 1L)
+          .otherwise(0L)).as("kept"),
+        sum(when(col("__ia").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("__ib").isNull, 1L).otherwise(0L)).as("removed"),
+        count(lit(1)).as("__union"))
+    j.select(col("edges_a"), col("edges_b"), col("kept"), col("added"),
+      col("removed"),
+      when(col("__union") > 0, round(col("kept").cast("double")
+        / col("__union").cast("double"), 6)).as("jaccard"),
+      lit(nodesA).as("nodes_a"), lit(nodesB).as("nodes_b"))
+  }
+
+  /**
    * Rich-club coefficient (Zhou & Mondragón 2004): for each degree
    * threshold k, φ(k) = density of the subgraph induced by nodes with
    * degree > k — do the hubs preferentially wire to EACH OTHER (φ → 1)

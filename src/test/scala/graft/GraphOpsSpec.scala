@@ -373,6 +373,22 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("edgeChurn: kept/added/removed exact, canonicalization collapses noise") {
+    import spark.implicits._
+    val a = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val b = Seq(("c", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst") // rev+dup
+    val r = GraphOps.edgeChurn(a, b).head()
+    assert(r.getAs[Long]("edges_a") == 2L && r.getAs[Long]("edges_b") == 2L)
+    assert(r.getAs[Long]("kept") == 1L && r.getAs[Long]("added") == 1L
+      && r.getAs[Long]("removed") == 1L)
+    assert(r.getAs[Double]("jaccard") == 0.333333)
+    assert(r.getAs[Long]("nodes_a") == 3L && r.getAs[Long]("nodes_b") == 3L)
+    // identical snapshots: jaccard 1, zero churn
+    val same = GraphOps.edgeChurn(a, a).head()
+    assert(same.getAs[Double]("jaccard") == 1.0
+      && same.getAs[Long]("added") == 0L && same.getAs[Long]("removed") == 0L)
+  }
+
   test("richClub: hub triangle reads density 1, whole graph diluted, empty NULL") {
     import spark.implicits._
     // 3 hubs in a triangle, each with 2 private leaves: hub deg 4, leaf 1

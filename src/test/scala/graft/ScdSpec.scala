@@ -465,6 +465,34 @@ class ScdSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("kendallW: perfect/null/tie-corrected hand values; incompleteness refuses") {
+    import org.apache.spark.sql.functions.col
+    // perfect concordance
+    val perfect = Seq(("r1", "A", 3.0), ("r1", "B", 2.0), ("r1", "C", 1.0),
+      ("r2", "A", 30.0), ("r2", "B", 20.0), ("r2", "C", 10.0))
+      .toDF("rt", "it", "v")
+    assert(Experiment.kendallW(perfect, col("rt"), col("it"), col("v"))
+      .head().getAs[Double]("w") == 1.0)
+    // exact reversal: rank sums equal → S = 0 → W = 0
+    val rev = Seq(("r1", "A", 3.0), ("r1", "B", 2.0), ("r1", "C", 1.0),
+      ("r2", "A", 1.0), ("r2", "B", 2.0), ("r2", "C", 3.0))
+      .toDF("rt", "it", "v")
+    val r0 = Experiment.kendallW(rev, col("rt"), col("it"), col("v")).head()
+    assert(r0.getAs[Double]("s") == 0.0 && r0.getAs[Double]("w") == 0.0)
+    // tie-corrected: r1 (2,2,1), r2 (3,2,1) → S = 6.5, T = 6,
+    // W = 12·6.5 / (4·24 − 2·6) = 78/84
+    val tied = Seq(("r1", "A", 2.0), ("r1", "B", 2.0), ("r1", "C", 1.0),
+      ("r2", "A", 3.0), ("r2", "B", 2.0), ("r2", "C", 1.0))
+      .toDF("rt", "it", "v")
+    val rt = Experiment.kendallW(tied, col("rt"), col("it"), col("v")).head()
+    assert(rt.getAs[Double]("s") == 6.5)
+    assert(rt.getAs[Double]("w") ==
+      BigDecimal(78.0 / 84.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    intercept[IllegalArgumentException] { // incomplete ranking
+      Experiment.kendallW(perfect.limit(5), col("rt"), col("it"), col("v"))
+    }
+  }
+
   test("qiniTable: hand uplift curve — score finds the moved units") {
     import org.apache.spark.sql.functions.col
     // score 1.0: 2T both convert, 2C none → tile 0 uplift 2
