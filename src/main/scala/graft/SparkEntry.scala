@@ -5073,6 +5073,16 @@ object SparkEntry {
       graft.operators.Experiment.kendallW(ratings, col("rt"), col("it"),
         col("v"))
     }),
+    "q366_top_component" -> ((s, dir) => {
+      // has the embedding space collapsed onto one direction: top
+      // principal component by power iteration over the EXACT
+      // covariance — λ₁, total variance, anisotropy share; the
+      // spectral head to q319's participation ratio, every matvec
+      // term 12dp-decimal-summed so the 8-round iteration replays
+      // verbatim in SQL
+      graft.pipeline.CorpusStats.embeddingTopComponent(
+        eng(s, dir).table("embeddings"), "embedding")
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13193,6 +13203,60 @@ object SparkEntry {
                            * (CAST(mn.n AS DOUBLE) * mn.n * mn.n - mn.n)
                          - CAST(mn.m AS DOUBLE) * CAST(t.tt AS DOUBLE)), 6) AS w
          FROM mn CROSS JOIN s4 CROSS JOIN t""",
+    // q366: exact micro-unit covariance cells, 8 unrolled power-
+    // iteration rounds with 12dp-decimal matvec/norm sums and 12dp
+    // component re-rounds — the driver loop's arithmetic verbatim
+    "q366_top_component" -> {
+      val rounds = (1 to 8).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s""", w$k AS MATERIALIZED (
+             SELECT c.i, CAST(sum(CAST(round(c.cv * v.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS w
+             FROM cov c JOIN $prev v ON v.i = c.j GROUP BY 1
+           ), n$k AS (
+             SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(24,12))) AS DOUBLE)) AS nm
+             FROM w$k
+           ), v$k AS MATERIALIZED (
+             SELECT i, round(w / (SELECT nm FROM n$k), 12) AS v FROM w$k)"""
+      }.mkString
+      s"""WITH x AS (
+           SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+                  CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xv
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+           WHERE embedding IS NOT NULL
+         ), nn AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+           WHERE embedding IS NOT NULL
+         ), sums AS (
+           SELECT i, CAST(sum(xv) AS BIGINT) AS s FROM x GROUP BY 1
+         ), cells AS (
+           SELECT a.i, b.i AS j, sum(CAST(a.xv AS HUGEINT) * b.xv) AS cij
+           FROM x a JOIN x b ON b.vec_id = a.vec_id GROUP BY 1, 2
+         ), cov AS MATERIALIZED (
+           SELECT c.i, c.j,
+                  round(CAST(nn.n * c.cij - CAST(sa.s AS HUGEINT) * sb.s AS DOUBLE)
+                        / (CAST(nn.n AS DOUBLE) * nn.n * 1000000000000.0), 12) AS cv
+           FROM cells c JOIN sums sa ON sa.i = c.i JOIN sums sb ON sb.i = c.j
+           CROSS JOIN nn
+         ), dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM sums),
+         v0 AS MATERIALIZED (
+           SELECT i, round(1.0::DOUBLE / sqrt((SELECT CAST(d AS DOUBLE) FROM dd)), 12) AS v
+           FROM sums)
+         $rounds
+         , wf AS (
+           SELECT c.i, CAST(sum(CAST(round(c.cv * v.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS w
+           FROM cov c JOIN v8 v ON v.i = c.j GROUP BY 1
+         ), lam AS (
+           SELECT CAST(sum(CAST(round(v.v * w.w, 12) AS DECIMAL(24,12))) AS DOUBLE) AS l
+           FROM v8 v JOIN wf w ON w.i = v.i
+         ), tr AS (
+           SELECT CAST(sum(CAST(cv AS DECIMAL(24,12))) AS DOUBLE) AS t
+           FROM cov WHERE i = j
+         )
+         SELECT nn.n AS n, dd.d AS dim,
+                round(lam.l, 6) AS lambda1, round(tr.t, 6) AS trace,
+                CASE WHEN tr.t > 0 THEN round(lam.l / tr.t, 6) END AS top_share
+         FROM nn CROSS JOIN dd CROSS JOIN lam CROSS JOIN tr"""
+    },
     "q26_vector_knn" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id,

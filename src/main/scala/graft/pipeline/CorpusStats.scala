@@ -1271,6 +1271,88 @@ object CorpusStats {
       .orderBy("src_a", "src_b")
   }
 
+  /**
+   * Top principal component of an embedding corpus by power iteration
+   * over the EXACT covariance — λ₁ and its share of total variance,
+   * the anisotropy diagnostic that pairs with
+   * [[embeddingEffectiveDim]]'s participation ratio: a top share → 1
+   * means the space has collapsed onto one direction (the classic
+   * post-training pathology ANN recall quietly dies from).
+   *
+   * Determinism, end to end: components micro-quantize to exact longs;
+   * the (i,j) second-moment cells and per-dim sums are exact DECIMAL;
+   * covariance entries are ONE double expression of those integers
+   * rounded to 12dp IN UNIT² (magnitude ~1, safely inside the
+   * publishing grain); every matvec term, norm term, and Rayleigh term
+   * rounds 12dp and sums in DECIMAL (the Σ doctrine), components
+   * re-round 12dp after each normalize — so the 8-round iteration is a
+   * pure function of the cells and replays verbatim in SQL.
+   *
+   * Shape at scale: ONE n·d² explode with map-side combine into d²
+   * cells (`maxDim` keeps it loud; n·d² is the honest cost of an exact
+   * covariance), then everything lives on the d²-bounded relation —
+   * the iteration itself runs on the driver over the collected cells.
+   *
+   * Output: one row (n, dim, lambda1, trace, top_share), unit² scale,
+   * 6dp.
+   */
+  def embeddingTopComponent(df: DataFrame, vecCol: String,
+      iters: Int = 8, maxDim: Int = 128): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters in [1,50]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val qarr = transform(col(vecCol),
+      v => round(v.cast("double") * lit(1e6), 0).cast("long"))
+    val base = df.where(col(vecCol).isNotNull).select(qarr.as("__q")).cache()
+    val n = base.count()
+    require(n >= 2, "embeddingTopComponent: need at least two vectors")
+    val sums = base.select(posexplode(col("__q")).as(Seq("i", "xv")))
+      .groupBy(col("i")).agg(sum(col("xv")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val d = sums.keys.max + 1
+    require(d <= maxDim,
+      s"embeddingTopComponent: dim $d > maxDim=$maxDim — the exact " +
+        "covariance is n·d² work; raise the bound deliberately")
+    val cells = base
+      .select(posexplode(col("__q")).as(Seq("i", "xi")), col("__q"))
+      .select(col("i"), col("xi"), posexplode(col("__q")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(dec(col("xi")) * dec(col("xj"))).as("cij"))
+      .collect() // bounded: d² rows under the maxDim contract
+    base.unpersist(false)
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nD = n.toDouble
+    val cov = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val num = BigDecimal(n) * BigDecimal(r.getDecimal(2)) -
+        BigDecimal(sums(i)) * BigDecimal(sums(j))
+      cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
+    }
+    // decimal-summed 12dp terms — order-free, the SQL replay's sums
+    def decSum(terms: Iterator[Double]): Double =
+      terms.foldLeft(BigDecimal(0))((a, t) =>
+        a + BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .toDouble
+    var v = Array.fill(d)(r12(1.0 / math.sqrt(d.toDouble)))
+    var w = new Array[Double](d)
+    for (_ <- 1 to iters) {
+      w = Array.tabulate(d)(i => decSum((0 until d).iterator.map(j => cov(i)(j) * v(j))))
+      val norm = math.sqrt(decSum(w.iterator.map(x => x * x)))
+      v = w.map(x => r12(x / norm))
+    }
+    val wf = Array.tabulate(d)(i =>
+      decSum((0 until d).iterator.map(j => cov(i)(j) * v(j))))
+    val lambda1 = decSum((0 until d).iterator.map(i => v(i) * wf(i)))
+    val trace = decSum((0 until d).iterator.map(i => cov(i)(i)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, d.toLong, r6(lambda1), r6(trace),
+        if (trace > 0) Some(r6(lambda1 / trace)) else None))
+      .toDF("n", "dim", "lambda1", "trace", "top_share")
+  }
+
   def embeddingCentroids(df: DataFrame, group: Column, vecCol: String): DataFrame = {
     val perDim = df.select(group.as("grp"),
         posexplode(col(vecCol)).as(Seq("pos", "val")))

@@ -1739,6 +1739,26 @@ class PipelineSpec extends SparkSpec {
       maxRows = 7).count() == 7)
   }
 
+  test("embeddingTopComponent: axis-aligned and isotropic hand spectra") {
+    import spark.implicits._
+    // all variance on e1: cov = diag(2.5, 0) → λ₁ = 2.5, share 1
+    val axis = Seq(Array(2f, 0f), Array(-2f, 0f), Array(1f, 0f), Array(-1f, 0f))
+      .map(Tuple1(_)).toDF("v")
+    val a = graft.pipeline.CorpusStats.embeddingTopComponent(axis, "v").head()
+    assert(a.getAs[Long]("n") == 4L && a.getAs[Long]("dim") == 2L)
+    assert(a.getAs[Double]("lambda1") == 2.5 && a.getAs[Double]("trace") == 2.5)
+    assert(a.getAs[Double]("top_share") == 1.0)
+    // perfectly isotropic: cov = diag(.5, .5) → any unit v is an
+    // eigenvector, λ = 0.5, share exactly ½
+    val iso = Seq(Array(1f, 0f), Array(-1f, 0f), Array(0f, 1f), Array(0f, -1f))
+      .map(Tuple1(_)).toDF("v")
+    val i = graft.pipeline.CorpusStats.embeddingTopComponent(iso, "v").head()
+    assert(i.getAs[Double]("lambda1") == 0.5 && i.getAs[Double]("top_share") == 0.5)
+    intercept[IllegalArgumentException] { // dim contract refuses loud
+      graft.pipeline.CorpusStats.embeddingTopComponent(axis, "v", maxDim = 1)
+    }
+  }
+
   test("burrowsDelta: identical sources at distance 0, the outlier further") {
     import spark.implicits._
     val docs = Seq(("s1", "x x y"), ("s2", "x x y"), ("s3", "y y x"))
