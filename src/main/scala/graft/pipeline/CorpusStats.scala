@@ -1305,13 +1305,16 @@ object CorpusStats {
     val base = df.where(col(vecCol).isNotNull).select(qarr.as("__q")).cache()
     val n = base.count()
     require(n >= 2, "embeddingTopComponent: need at least two vectors")
+    // probe the dim BEFORE collecting anything dim-sized — the guard
+    // must fire on one row, not after a d-row pull
+    val dProbe = base.agg(coalesce(max(size(col("__q"))), lit(0))).head().getInt(0)
+    require(dProbe <= maxDim,
+      s"embeddingTopComponent: dim $dProbe > maxDim=$maxDim — the exact " +
+        "covariance is n·d² work; raise the bound deliberately")
     val sums = base.select(posexplode(col("__q")).as(Seq("i", "xv")))
       .groupBy(col("i")).agg(sum(col("xv")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val d = sums.keys.max + 1
-    require(d <= maxDim,
-      s"embeddingTopComponent: dim $d > maxDim=$maxDim — the exact " +
-        "covariance is n·d² work; raise the bound deliberately")
     val cells = base
       .select(posexplode(col("__q")).as(Seq("i", "xi")), col("__q"))
       .select(col("i"), col("xi"), posexplode(col("__q")).as(Seq("j", "xj")))
