@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout/stderr, not through sbt's
+// logger — otherwise every line gains an "[info] "/"[error] " prefix and
+// the bench/verify JSON record lines stop being machine-parseable
+// (BENCH_r05–r13 "parsed": null, nine rounds running).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

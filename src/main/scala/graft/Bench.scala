@@ -164,8 +164,15 @@ object Bench {
           b.result()
         }
       } catch { case _: Throwable => Map.empty }
+    // queries with a MEASURED prior-round co-tenant-burst history get a
+    // tighter 2.5× trigger (q301: round-13 sustained 3-pass burst, round-13
+    // close read 2.94× — just under the 3× cut, so the unverified reading
+    // shipped); everything else keeps the 3× cut that separates real
+    // regressions from window noise
+    val burstHistory = Set("q301_kmeans")
     val flagged = measured.filter { case (name, t) =>
-      canonical.get(name).exists(c => t > 3 * c && t >= 1.0) }.map(_._1)
+      val cut = if (burstHistory(name)) 2.5 else 3.0
+      canonical.get(name).exists(c => t > cut * c && t >= 1.0) }.map(_._1)
     val rerunTimes: Map[String, Double] = flagged.map { name =>
       val fn = queries.find(_._1 == name).get._2
       val r = runOnce(name, fn)
@@ -179,7 +186,11 @@ object Bench {
     // ~4 KB at 132 queries, so the driver's 2000-byte tail window can
     // never hold it (BENCH_r05–r09 "parsed": null, five rounds running) —
     // it exists for humans and for BASELINE.md.
-    val fullLine = BenchFormat.formatFull(results, sfDir, reps, cpus, flagged)
+    // "reruns" in the record means ADJUDICATED (the published value is a
+    // verified re-measurement) — a flagged query whose rerun failed stays
+    // at its unverified first reading and must NOT carry the label
+    val adjudicated = flagged.filter(rerunTimes.contains)
+    val fullLine = BenchFormat.formatFull(results, sfDir, reps, cpus, adjudicated)
     println(fullLine)
     System.out.flush()
     // Self-recording: ALSO persist the full record to target/bench.json
@@ -196,7 +207,7 @@ object Bench {
     // well inside the 2000-byte tail even after sbt appends its
     // "[success] Total time ..." trailer. BenchSpec pins the size budget.
     println(BenchFormat.formatCompact(results, sfDir, reps = reps,
-      reruns = flagged.size))
+      reruns = adjudicated.size))
     System.out.flush()
     spark.stop()
   }

@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
  *  - all other tables copy through unchanged (the rehearsal family is
  *    dedup/ANN-centric; relational scaling is Catalyst's well-measured
  *    territory).
+ *
+ * Embedding GEOMETRY (arg 4, "hash" | "clustered"): hash-random vectors
+ * are near-ISOTROPIC — the adversarial regime where ANY partition scheme's
+ * recall degenerates to the fraction scanned (BASELINE.md standing
+ * caveat), which is the wrong fixture for rehearsing the IVF/PQ recall
+ * contracts: real-world embedding corpora are CLUSTERED (the geometry the
+ * reference's NGH engine exists to serve,
+ * /root/reference/lib/src/core/ngh_graph_engine.dart:14-23). "clustered"
+ * regenerates EVERY vector (all copies, k=0 included) as one of 64 tight
+ * deterministic clusters: center coords uniform in [-1,1] from
+ * xxhash64(7703, cluster, i), per-vector noise uniform in [-0.15, 0.15]
+ * from xxhash64(vec_id, i, 5501) — same-cluster points are ~7× closer
+ * than cross-cluster, so true nearest neighbors co-locate in IVF cells
+ * and the recall floors become a property of the INDEX, not of the
+ * fraction scanned. Both fixtures are kept: hash = adversarial twin,
+ * clustered = the production-geometry rehearsal.
  */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -110,9 +126,12 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    val geometry = args.lift(3).getOrElse("hash")
+    require(Seq("hash", "clustered").contains(geometry),
+      s"embedding geometry must be hash|clustered: $geometry")
     val embs = spark.read.parquet(s"$base/embeddings.parquet")
     val dim = embs.select(size(col("embedding"))).head.getInt(0)
-    (0 until copies).map { k =>
+    val allIds = (0 until copies).map { k =>
       if (k == 0) embs
       else embs.select(
         (col("vec_id") + lit(k * idStep)).as("vec_id"),
@@ -121,10 +140,23 @@ object ScaleGen {
                       / 1000.0 as float))""").as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
+    val scaledEmbs =
+      if (geometry == "hash") allIds
+      else allIds
+        .withColumn("__c", pmod(xxhash64(col("vec_id"), lit(9901L)), lit(64L)))
+        .select(col("vec_id"),
+          expr(s"""transform(sequence(0, ${dim - 1}),
+            i -> cast(
+              cast(pmod(xxhash64(7703L, __c, i), 2001) - 1000 as double) / 1000.0
+              + cast(pmod(xxhash64(vec_id, i, 5501L), 2001) - 1000 as double)
+                / 1000.0 * 0.15
+            as float))""").as("embedding"),
+          col("label"))
+    scaledEmbs
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"""{"scaled":"$out","copies":$copies,"documents":${
+    println(s"""{"scaled":"$out","copies":$copies,"geometry":"$geometry","documents":${
       spark.read.parquet(s"$out/documents.parquet").count()},"embeddings":${
       spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
     spark.stop()

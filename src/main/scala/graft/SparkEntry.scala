@@ -97,11 +97,25 @@ object SparkEntry {
     * the same session, so the memo applies there identically. */
   private val brandPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+  // sessions whose context carries our eviction listener — without it the
+  // static memo would pin localCheckpoint'd DataFrames (and stopped
+  // sessions) forever in any JVM that cycles sessions, e.g. test suites
+  private val brandPairsHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
   private def brandPairs(s: SparkSession, dir: String,
-      minSupport: Long = 400L): DataFrame =
+      minSupport: Long = 400L): DataFrame = {
+    if (brandPairsHooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          brandPairsMemo.keySet.removeIf(k => k._1 eq s)
+          brandPairsHooked.remove(s)
+        }
+      })
     brandPairsMemo.computeIfAbsent((s, dir, minSupport),
       _ => graft.operators.Association.pairs(brandBaskets(s, dir),
         "l_orderkey", "p_brand", minSupport = minSupport).localCheckpoint(true))
+  }
 
   /** The SF-independent top-90-by-support brand edge list (src, dst) —
     * the q279 construction shared by the q336/q337/q338/q352/q358/q359/
@@ -4984,8 +4998,12 @@ object SparkEntry {
       // mean distance, global efficiency; the exact audit of q323's
       // 2-sweep diameter ESTIMATE (two-regime: driver BFS here, the
       // frontier iteration above the cutover)
+      // maxHops = 24 matches the oracle CTE's r.d < 24 bound EXPLICITLY
+      // — both sides share one declared hop cap, so a hypothetical
+      // >24-hop geodesic diverges loudly on both rather than silently
+      // on one
             graft.operators.GraphOps.apspStats(
-        top90Brand(s, dir))
+        top90Brand(s, dir), maxHops = 24)
     }),
     "q359_rich_club" -> ((s, dir) => {
       // do hub brands preferentially wire to EACH OTHER: rich-club
@@ -5041,21 +5059,26 @@ object SparkEntry {
     "q364_graph_churn" -> ((s, dir) => {
       // did the bought-together graph silently rewire between halves
       // of the shipping history: top-90 edge sets per half, one
-      // full-outer key join — added/removed/kept + Jaccard stability
-      def half(cmp: Column => Column): DataFrame = {
-        val bb = eng(s, dir).table("lineitem").where(cmp(col("l_shipdate")))
-          .join(broadcast(eng(s, dir).table("part")),
-            col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey"), col("p_brand"))
-        graft.operators.Association.pairs(bb, "l_orderkey", "p_brand",
-            minSupport = 1L)
-          .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
-          .limit(90)
-          .select(col("item_a").as("src"), col("item_b").as("dst"))
-      }
+      // full-outer key join — added/removed/kept + Jaccard stability.
+      // BOTH halves derive from ONE pass over lineitem⋈part: the
+      // half tag rides the basket key (pairSupportByTag), so the
+      // heavy join+distinct runs once, not per half — per-half
+      // supports are identical to two filtered runs by construction
       val pivot = to_timestamp(lit("1998-06-01"))
-      graft.operators.GraphOps.edgeChurn(
-        half(c => c < pivot), half(c => c >= pivot))
+      val bb = eng(s, dir).table("lineitem")
+        .join(broadcast(eng(s, dir).table("part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"),
+          (col("l_shipdate") < pivot).as("h"))
+      // ≤ 2 × brands²/2 rows — pin so the two top-90 cuts don't
+      // re-derive the pass
+      val sup = graft.operators.Association.pairSupportByTag(bb,
+        "l_orderkey", "p_brand", "h", minSupport = 1L).localCheckpoint(true)
+      def top(hv: Boolean): DataFrame = sup.where(col("tag") === hv)
+        .orderBy(col("support").desc, col("item_a").asc, col("item_b").asc)
+        .limit(90)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+      graft.operators.GraphOps.edgeChurn(top(true), top(false))
     }),
     "q365_kendall_w" -> ((s, dir) => {
       // do three document-length proxies RANK the corpus the same way:

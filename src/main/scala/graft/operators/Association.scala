@@ -60,6 +60,39 @@ object Association {
   }
 
   /**
+   * Pair SUPPORT per tag group in ONE pass — for churn-style analyses
+   * that compare the co-occurrence graph across corpus slices (q364's
+   * before/after halves). Deriving each slice through [[pairs]]
+   * separately re-scans the (possibly join-shaped) basket table once
+   * per slice; here the slice tag rides the basket key, so the heavy
+   * upstream runs ONCE and the self-join groups by (tag, basket) —
+   * identical per-slice supports by construction (the basket key is
+   * (tag, b), exactly what a per-slice filter would produce).
+   *
+   * Output: (tag, item_a, item_b, support), support ≥ minSupport
+   * within its tag. Confidence/lift stay in [[pairs]] — churn needs
+   * only the support ordering.
+   */
+  def pairSupportByTag(df: DataFrame, basketCol: String, itemCol: String,
+      tagCol: String, minSupport: Long = 2L,
+      maxItemsPerBasket: Int = 1000): DataFrame = {
+    val bi = df.select(col(tagCol).as("tag"), col(basketCol).as("b"),
+        col(itemCol).cast("string").as("i"))
+      .where(col("i").isNotNull && col("tag").isNotNull).distinct().cache()
+    val fat = bi.groupBy(col("tag"), col("b")).agg(count(lit(1)).as("sz"))
+      .where(col("sz") > maxItemsPerBasket).limit(1).collect()
+    require(fat.isEmpty,
+      s"basket ${fat.headOption.map(r => (r.get(0), r.get(1)))} exceeds " +
+        s"maxItemsPerBasket=$maxItemsPerBasket")
+    val l = bi.select(col("tag"), col("b"), col("i").as("item_a"))
+    val r = bi.select(col("tag"), col("b"), col("i").as("item_b"))
+    l.join(r, Seq("tag", "b")).where(col("item_a") < col("item_b"))
+      .groupBy(col("tag"), col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
+  /**
    * Frequent triples — the SECOND Apriori pass, with the classic prune
    * doing the scale work: a triple {a<b<c} can only reach `minSupport` if
    * all three of its pairs do, so candidate enumeration SEMI-JOINS each

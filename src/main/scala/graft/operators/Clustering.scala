@@ -284,8 +284,12 @@ object Clustering {
       min(if (d == 1) col(fn(0)) else least(fn.map(col): _*)),
       max(if (d == 1) col(fn(0)) else greatest(fn.map(col): _*))).head()
     val spanBound = math.sqrt(Long.MaxValue.toDouble / d).toLong - 1
+    // span via BigInt: a raw long max−min wraps negative when the
+    // coordinates straddle > 2^63 (huge negative sentinel + large
+    // positives), which would sneak past the bound and re-open the
+    // exact overflow this guard exists to prevent
     val useLong = !loHi.isNullAt(0) && !loHi.isNullAt(1) &&
-      loHi.getLong(1) - loHi.getLong(0) <= spanBound
+      (BigInt(loHi.getLong(1)) - BigInt(loHi.getLong(0))) <= BigInt(spanBound)
     val cands = array(cents.zipWithIndex.map { case (c, j) =>
       if (useLong) {
         val dist = (0 until d).map { i =>

@@ -1439,6 +1439,15 @@ object Experiment {
     require(cnt == m * n,
       s"kendallW: $cnt ratings != raters×items = ${m * n} — rankings must " +
         "be complete (every rater scores every item, once)")
+    // raw count alone is spoofable by offsetting defects (one rater
+    // scoring an item twice while missing another keeps cnt == m·n, and
+    // the doubled rank then silently distorts W) — assert per-pair
+    // uniqueness too
+    val distinctPairs = r.select(col("rt"), col("it")).distinct().count()
+    require(distinctPairs == cnt,
+      s"kendallW: $cnt ratings over $distinctPairs distinct (rater,item) " +
+        "pairs — duplicate ratings detected; rankings must be complete " +
+        "AND unique")
     val pv = r.groupBy(col("rt"), col("v")).agg(count(lit(1)).as("c"))
       .cache() // m per-rater prefix passes + the tie rollup read it
     val raters = pv.select(col("rt")).distinct()

@@ -30,6 +30,33 @@ object GraphOps {
 
   val Unit9: Long = 1000000000L
 
+  /** Byte budget for the driver-local regime of every two-regime
+    * operator here (and [[graft.pipeline.Dedup.connectedComponents]]).
+    * 512 MB: generous on the 8g test driver, safe on a 4g production
+    * one. */
+  val MaxLocalBytes: Long = 512L * 1024 * 1024
+
+  /** Byte-aware driver-regime gate — the two-regime cutover's SECOND
+    * condition. A row count alone is a heap hazard: 1M short-id edges
+    * collect to ~100–200 MB of JVM objects, but the SAME count with
+    * long URL ids is a driver OOM. The estimate charges actual key
+    * chars (2 bytes/char) plus a conservative 48-byte per-key JVM
+    * overhead (String header + value array header + tuple slot), probed
+    * in ONE agg over the (cached) relation. Regime choice never affects
+    * results — both paths are bit-identical by construction,
+    * spec-pinned — so this gate only trades scheduling overhead against
+    * driver heap safety. */
+  private[graft] def fitsLocal(e: DataFrame, maxLocalEdges: Long,
+      keyCols: Seq[String] = Seq("src", "dst"),
+      maxBytes: Long = MaxLocalBytes): Boolean = {
+    val probe = e.agg(count(lit(1)),
+      keyCols.map(c => coalesce(sum(length(col(c).cast("string"))
+        .cast("long")), lit(0L))).reduce(_ + _)).head()
+    val n = probe.getLong(0)
+    val bytes = probe.getLong(1) * 2L + n * keyCols.size * 48L
+    n <= maxLocalEdges && bytes <= maxBytes
+  }
+
   /**
    * PageRank over directed `edges` (src, dst) with damping 85/100,
    * `iters` fixed-point iterations. Nodes = every id appearing on either
@@ -53,7 +80,7 @@ object GraphOps {
     val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
     val teleportU = Unit9 * 15L / 100L
-    if (e.count() <= maxLocalEdges) {
+    if (fitsLocal(e, maxLocalEdges)) {
       val es = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
@@ -117,7 +144,7 @@ object GraphOps {
     val teleportU = Unit9 * 15L / 100L / seedSet.size
     val e = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull).distinct().cache()
-    if (e.count() <= maxLocalEdges) {
+    if (fitsLocal(e, maxLocalEdges)) {
       val es = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2) ++ seeds).distinct.sorted
@@ -183,7 +210,7 @@ object GraphOps {
       .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
       .cache()
     val teleportU = Unit9 * 15L / 100L
-    if (e.count() <= maxLocalEdges) {
+    if (fitsLocal(e, maxLocalEdges)) {
       val es = e.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
@@ -248,7 +275,7 @@ object GraphOps {
     val ecnt = e.count()
     require(ecnt < 9200000L,
       s"hits: $ecnt edges exceeds the exact-integer bound — shard or rescale")
-    if (ecnt <= maxLocalEdges) {
+    if (ecnt <= maxLocalEdges && fitsLocal(e, maxLocalEdges)) {
       val es = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
@@ -327,7 +354,7 @@ object GraphOps {
     // same two-regime cutover as pageRankFixed: a thresholded analytics
     // graph is usually tiny next to its derivation — BFS over the
     // collected adjacency is the plan you'd pick on a real cluster too
-    if (e.count() <= maxLocalEdges) {
+    if (fitsLocal(e, maxLocalEdges)) {
       val adj = e.collect().map(r => (r.getString(0), r.getString(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       e.unpersist(false)
@@ -585,7 +612,7 @@ object GraphOps {
     val sym = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     val n = sym.count()
-    if (n <= maxLocalEdges) {
+    if (n <= maxLocalEdges && fitsLocal(sym, maxLocalEdges)) {
       val es = sym.collect().map(r => (r.getString(0), r.getString(1)))
       sym.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
@@ -722,7 +749,7 @@ object GraphOps {
       .distinct().cache()
     val spark = edges.sparkSession
     import spark.implicits._
-    if (e0.count() <= maxLocalEdges) {
+    if (fitsLocal(e0, maxLocalEdges)) {
       var es = e0.collect().map(r => (r.getString(0), r.getString(1)))
       e0.unpersist(false)
       var converged = false
@@ -797,7 +824,7 @@ object GraphOps {
     val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     val ecnt = e.count()
-    if (ecnt <= maxLocalEdges) {
+    if (ecnt <= maxLocalEdges && fitsLocal(e, maxLocalEdges)) {
       val es = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
@@ -875,7 +902,7 @@ object GraphOps {
       s"katzCentrality: alpha=${alphaMicro}e-6 × maxDegree=$maxDeg ≥ 1 — the " +
         "series diverges (need alpha < 1/maxDegree); lower alphaMicro")
     val ecnt = e.count()
-    if (ecnt <= maxLocalEdges) {
+    if (ecnt <= maxLocalEdges && fitsLocal(e, maxLocalEdges)) {
       val es = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
@@ -1017,7 +1044,7 @@ object GraphOps {
             / col("n_reachable").cast("double"), 6)).as("mean_dist"),
           round(coalesce(col("__se").cast("double"), lit(0.0))
             / lit((nNodes * (nNodes - 1)).toDouble), 6).as("efficiency"))
-    if (e.count() <= maxLocalEdges) {
+    if (fitsLocal(e, maxLocalEdges)) {
       val es = e.collect().map(r => (r.getString(0), r.getString(1)))
       e.unpersist(false)
       val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted

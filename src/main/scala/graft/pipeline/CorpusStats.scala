@@ -1306,11 +1306,21 @@ object CorpusStats {
     val n = base.count()
     require(n >= 2, "embeddingTopComponent: need at least two vectors")
     // probe the dim BEFORE collecting anything dim-sized — the guard
-    // must fire on one row, not after a d-row pull
-    val dProbe = base.agg(coalesce(max(size(col("__q"))), lit(0))).head().getInt(0)
+    // must fire on one row, not after a d-row pull. min AND max: a
+    // ragged corpus (64-dim rows mixed with 128-dim after a partial
+    // re-embed — exactly the drift this monitor exists to catch) would
+    // otherwise zero-fill the short vectors in the covariance cells
+    // while n counts all rows, silently skewing λ₁/trace/top_share
+    val dims = base.agg(coalesce(max(size(col("__q"))), lit(0)),
+      coalesce(min(size(col("__q"))), lit(0))).head()
+    val (dProbe, dMin) = (dims.getInt(0), dims.getInt(1))
     require(dProbe <= maxDim,
       s"embeddingTopComponent: dim $dProbe > maxDim=$maxDim — the exact " +
         "covariance is n·d² work; raise the bound deliberately")
+    require(dMin == dProbe,
+      s"embeddingTopComponent: ragged dims [$dMin, $dProbe] — mixed " +
+        "dimensionality would silently zero-fill short vectors in the " +
+        "covariance; re-embed or filter to one dim first")
     val sums = base.select(posexplode(col("__q")).as(Seq("i", "xv")))
       .groupBy(col("i")).agg(sum(col("xv")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -147,5 +147,17 @@ class ClusteringSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Clustering.silhouetteSimplified(df, Seq(col("x")), 1, 1)
     }
+    // span above the d-dependent fast-path bound must route to the
+    // decimal path and still score the two tight far-apart masses
+    // exactly 1 (span 1e10 > spanBound≈3.04e9 for d=1, inside
+    // kmeansLloyd's [0, 1e12] coordinate contract). NOTE the raw-long
+    // wrap the BigInt span guards against is unreachable through THIS
+    // entry point today — kmeansLloyd requires non-negative coords
+    // ≤ 1e12, so max−min always fits a long — the BigInt form is
+    // defense-in-depth should that contract ever loosen.
+    val huge = Seq(0L, 0L, 10000000000L, 10000000000L).toDF("x")
+    val h = Clustering.silhouetteSimplified(huge, Seq(col("x")), 2, 3)
+      .collect()
+    assert(h.forall(_.getAs[Double]("mean_sil") == 1.0))
   }
 }

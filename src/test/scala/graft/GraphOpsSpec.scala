@@ -23,6 +23,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(("a", "c")) == ((2L, 0.666667, 1.0, 1.333333)))
   }
 
+  test("pairSupportByTag: one-pass per-tag supports == pairs run per slice") {
+    val bi = Seq(
+      (1, "a", true), (1, "b", true), (1, "c", true), (1, "a", true),
+      (2, "a", true), (2, "b", true),
+      (3, "a", false), (3, "c", false),
+      (4, "b", false), (4, "c", false), (4, "a", false))
+      .toDF("bk", "it", "h")
+    val got = Association.pairSupportByTag(bi, "bk", "it", "h",
+        minSupport = 1L).collect()
+      .map(r => (r.getBoolean(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    // per-slice twin: pairs() on each filtered slice must agree support-for-support
+    for (hv <- Seq(true, false)) {
+      val twin = Association.pairs(bi.where(col("h") === hv), "bk", "it",
+          minSupport = 1L).collect()
+        .map(r => (hv, r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.filter(_._1._1 == hv) == twin)
+    }
+    // a basket id shared ACROSS tags must NOT merge: bk=1 in both halves
+    val cross = Seq((1, "a", true), (1, "b", true), (1, "a", false),
+      (1, "c", false)).toDF("bk", "it", "h")
+    val g2 = Association.pairSupportByTag(cross, "bk", "it", "h",
+        minSupport = 1L).collect()
+      .map(r => (r.getBoolean(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(g2 == Map((true, "a", "b") -> 1L, (false, "a", "c") -> 1L))
+  }
+
   test("Association.triples: hand-checked; apriori prune invisible in the result") {
     // baskets: {a,b,c} ×3, {a,b,c,d} ×1, {a,b} ×1, {d} ×1
     val bi = (Seq.tabulate(3)(k => Seq((k, "a"), (k, "b"), (k, "c"))).flatten ++
@@ -75,6 +103,36 @@ class GraphOpsSpec extends SparkSpec {
     val bd = GraphOps.bfsHops(edges, "n1", maxHops = 4, maxLocalEdges = 0L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bl == bd)
+  }
+
+  test("fitsLocal: byte-aware cutover — count alone cannot approve a heavy collect") {
+    // 4 edges, tiny keys: inside both the row and byte budgets
+    val small = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    assert(GraphOps.fitsLocal(small, maxLocalEdges = 1000000L))
+    // same COUNT, fat keys: the byte estimate (chars×2 + 48/key) must
+    // refuse what the row count would wave through — this is the
+    // long-URL-id driver-OOM case the gate exists for
+    val fat = Seq.tabulate(4)(i => ("u" * 200 + i, "v" * 200 + i))
+      .toDF("src", "dst")
+    assert(!GraphOps.fitsLocal(fat, maxLocalEdges = 1000000L,
+      maxBytes = 1024L))
+    assert(GraphOps.fitsLocal(fat, maxLocalEdges = 1000000L)) // default 512 MB fits
+    // the row-count condition still binds independently
+    assert(!GraphOps.fitsLocal(small, maxLocalEdges = 2L))
+    // non-string keys are charged via their string form, not rejected
+    val ints = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    assert(GraphOps.fitsLocal(ints, maxLocalEdges = 10L))
+    // regime flip on the byte axis is result-invariant (the standing
+    // two-regime contract): force the distributed branch via bytes
+    val edges = (1 to 40).map(i => (s"node_with_a_rather_long_identifier_$i",
+      s"node_with_a_rather_long_identifier_${(i * 7) % 40 + 1}"))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val viaLocal = GraphOps.pageRankFixed(edges, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDist = GraphOps.pageRankFixed(edges, iters = 3, maxLocalEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaDist)
   }
 
   test("pageRankWeighted: strong edge carries the mass; branches match; uniform == unweighted") {

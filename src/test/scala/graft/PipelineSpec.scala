@@ -1757,6 +1757,15 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // dim contract refuses loud
       graft.pipeline.CorpusStats.embeddingTopComponent(axis, "v", maxDim = 1)
     }
+    // ragged dims (a partial re-embed mixing 2- and 3-dim vectors) must
+    // refuse loudly — zero-filling the short rows would silently skew
+    // λ₁/trace exactly when the drift monitor is most needed
+    val ragged = Seq(Array(1f, 0f), Array(0f, 1f, 1f), Array(2f, 1f))
+      .map(Tuple1(_)).toDF("v")
+    val er = intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusStats.embeddingTopComponent(ragged, "v")
+    }
+    assert(er.getMessage.contains("ragged"))
   }
 
   test("burrowsDelta: identical sources at distance 0, the outlier further") {

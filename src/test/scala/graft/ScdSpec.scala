@@ -491,6 +491,15 @@ class ScdSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // incomplete ranking
       Experiment.kendallW(perfect.limit(5), col("rt"), col("it"), col("v"))
     }
+    // offsetting defects: r1 rates A twice and misses B, so the raw
+    // count equals m·n (2×2) — the per-pair uniqueness check must still
+    // refuse rather than run doubled-rank math silently
+    val spoof = Seq(("r1", "A", 3.0), ("r1", "A", 2.0),
+      ("r2", "A", 1.0), ("r2", "B", 2.0)).toDF("rt", "it", "v")
+    val e = intercept[IllegalArgumentException] {
+      Experiment.kendallW(spoof, col("rt"), col("it"), col("v"))
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("qiniTable: hand uplift curve — score finds the moved units") {
