@@ -34,14 +34,28 @@ import org.apache.spark.sql.functions._
  * contracts: real-world embedding corpora are CLUSTERED (the geometry the
  * reference's NGH engine exists to serve,
  * /root/reference/lib/src/core/ngh_graph_engine.dart:14-23). "clustered"
- * regenerates EVERY vector (all copies, k=0 included) as one of 64 tight
- * deterministic clusters: center coords uniform in [-1,1] from
- * xxhash64(7703, cluster, i), per-vector noise uniform in [-0.15, 0.15]
- * from xxhash64(vec_id, i, 5501) — same-cluster points are ~7× closer
- * than cross-cluster, so true nearest neighbors co-locate in IVF cells
- * and the recall floors become a property of the INDEX, not of the
- * fraction scanned. Both fixtures are kept: hash = adversarial twin,
- * clustered = the production-geometry rehearsal.
+ * regenerates EVERY vector (all copies, k=0 included) on a HIERARCHICAL
+ * mixture — 16 macro clusters × 1024 micro clusters × per-vector noise,
+ * each level a deterministic xxhash64-uniform draw:
+ *   coord_i = macro(m,i) + 0.6·micro(u,i) + 0.02·noise(vec_id,i)
+ * (macro/micro/noise each uniform in [-1,1]; u = hash(vec_id) mod 1024,
+ * m = u mod 16). Each scale is calibrated to a real-corpus property,
+ * measured against the index kernels rather than guessed:
+ *  - a SINGLE-level noise ball concentrates all cluster-mates onto one
+ *    thin distance shell (concentration of measure at d=64) — exact
+ *    top-k becomes noise-scale fluctuation no quantized method can
+ *    rank (measured: PQ rerank=1 recall 0.11, graph 0.17);
+ *  - micro offsets must be COMPARABLE to the PQ codeword Voronoi
+ *    radius (k=16/subspace → radius ≈ half the macro subspace
+ *    spacing ≈ 1.1; 0.6 × E‖u₈‖ ≈ 1.0): big enough that each micro
+ *    lands on its own codeword tuple (codes fingerprint micros — the
+ *    behavior PQ shows on real corpora), small enough that micros
+ *    stay inside their macro (full-dim micro radius ≈ 2.8 ≪ macro
+ *    separation ≈ 6.5, so IVF cell assignment is constant per macro);
+ *  - per-vector noise 0.02 makes micro-mates TRUE neighbors
+ *    (≈ 0.18 apart vs ≈ 3.9 to sibling micros) — the near-dup /
+ *    same-topic band of a production corpus. Both fixtures are kept: hash =
+ * adversarial twin, clustered = the production-geometry rehearsal.
  */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -143,13 +157,35 @@ object ScaleGen {
     val scaledEmbs =
       if (geometry == "hash") allIds
       else allIds
-        .withColumn("__c", pmod(xxhash64(col("vec_id"), lit(9901L)), lit(64L)))
+        .withColumn("__u", pmod(xxhash64(col("vec_id"), lit(9901L)), lit(1024L)))
+        .withColumn("__m", pmod(col("__u"), lit(16L)))
+        .withColumn("__ub", pmod(xxhash64(col("vec_id"), lit(7411L)), lit(1024L)))
+        .withColumn("__mb", pmod(col("__ub"), lit(16L)))
+        .withColumn("__t",
+          pmod(xxhash64(col("vec_id"), lit(6007L)), lit(1001L))
+            .cast("double") / lit(1000.0))
+        .withColumn("__bg",
+          pmod(xxhash64(col("vec_id"), lit(31L)), lit(5L)) === 0)
         .select(col("vec_id"),
           expr(s"""transform(sequence(0, ${dim - 1}),
             i -> cast(
-              cast(pmod(xxhash64(7703L, __c, i), 2001) - 1000 as double) / 1000.0
+              (case when __bg then
+                 __t * (cast(pmod(xxhash64(7703L, __m, i), 2001) - 1000
+                          as double) / 1000.0
+                        + cast(pmod(xxhash64(8807L, __u, i), 2001) - 1000
+                          as double) / 1000.0 * 0.6)
+                 + (1.0 - __t) * (cast(pmod(xxhash64(7703L, __mb, i), 2001)
+                          - 1000 as double) / 1000.0
+                        + cast(pmod(xxhash64(8807L, __ub, i), 2001) - 1000
+                          as double) / 1000.0 * 0.6)
+               else
+                 cast(pmod(xxhash64(7703L, __m, i), 2001) - 1000 as double)
+                   / 1000.0
+                 + cast(pmod(xxhash64(8807L, __u, i), 2001) - 1000 as double)
+                   / 1000.0 * 0.6
+               end)
               + cast(pmod(xxhash64(vec_id, i, 5501L), 2001) - 1000 as double)
-                / 1000.0 * 0.15
+                / 1000.0 * 0.02
             as float))""").as("embedding"),
           col("label"))
     scaledEmbs
