@@ -5106,6 +5106,49 @@ object SparkEntry {
       graft.pipeline.CorpusStats.embeddingTopComponent(
         eng(s, dir).table("embeddings"), "embedding")
     }),
+    "q367_hybrid_ann" -> ((s, dir) => {
+      // DiskANN×IVF hybrid — the 100 TB serving layout: graphs built
+      // PER IVF CELL (graphBuild(shardCol = __ivf_cell)) so a query
+      // reads only the probed cells' graph files (probeShards = a
+      // static filter on the shard column). Two contracts in one gate:
+      // (1) the PRUNED path is structurally sound — every candidate a
+      // 2-cell probe returns must belong to a probed cell (join-checked,
+      // no collect); (2) probing ALL cells with efSearch ≥ cell size is
+      // the exact-degeneration regime (ring connectivity per cell), so
+      // routing + per-cell beam + global merge HASH-MATCH the
+      // brute-force oracle. The approximate regime's recall is q97's
+      // contract + BASELINE.md's sf1 clustered rehearsal.
+      val e = eng(s, dir)
+      val embs = e.table("embeddings")
+      val model = VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+      val celled = VectorSearch.ivfIndex(embs, model, "embedding")
+        .localCheckpoint(true) // build + the containment check read it
+      val graph = GraphAnn.graphBuild(celled, "vec_id", "embedding",
+        shards = 8, maxDegree = 8, efConstruction = 24,
+        shardCol = Some("__ivf_cell"))
+        .localCheckpoint(true) // two searches over one build
+      val qs = embs.where(col("vec_id").isin(2L, 5L, 13L))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+        .toSeq.sortBy(_._1)
+      // (1) pruned-path containment: 2-cell probe per query
+      qs.foreach { case (qid, qv) =>
+        val probed = model.nearestCells(qv, 2)
+        val pruned = GraphAnn.graphSearchBatch(graph, Seq(qid -> qv),
+          topK = 10, efSearch = 32, assumeColocated = true,
+          probeShards = Some(probed))
+        val escaped = pruned.join(celled, pruned("pk") === celled("vec_id"))
+          .where(!col("__ivf_cell").isin(probed.map(Integer.valueOf): _*))
+          .count()
+        require(escaped == 0L,
+          s"q367 pruning contract broken: $escaped candidates outside " +
+            s"the probed cells $probed for qid=$qid")
+      }
+      // (2) exact degeneration over all cells → hash-gated vs brute force
+      GraphAnn.graphSearchBatch(graph, qs, topK = 10, efSearch = 1000000,
+        assumeColocated = true, probeShards = Some(0 until 8))
+        .orderBy("qid", "rank")
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12060,6 +12103,21 @@ object SparkEntry {
                 ((1200 + doc_id % 4800) * 1000) // (600 + doc_id % 400) AS duration_ms,
                 CAST(1 + doc_id % 3 AS INTEGER) AS tracks
          FROM documents ORDER BY media_id""",
+    // q367: the hybrid's exact-degeneration output is the same brute
+    // force as q96, on its own query set — routing/merge bugs cannot
+    // hash-match
+    "q367_hybrid_ann" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id IN (2, 5, 13)),
+         scored AS (SELECT q.qid, e.vec_id AS pk,
+                           round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS distance
+                    FROM embeddings e, q),
+         ranked AS (SELECT qid, pk, distance,
+                           round(1.0 / (1.0 + distance), 6) AS score,
+                           CAST(row_number() OVER (PARTITION BY qid ORDER BY distance, pk) AS INT) AS rank
+                    FROM scored)
+         SELECT qid, pk, distance, score, rank FROM ranked
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "q96_graph_ann" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id IN (3, 7, 11)),
