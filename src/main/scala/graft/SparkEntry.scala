@@ -5149,6 +5149,42 @@ object SparkEntry {
         assumeColocated = true, probeShards = Some(0 until 8))
         .orderBy("qid", "rank")
     }),
+    "q368_perm_sweep" -> ((s, dir) => {
+      // does fulfilled-vs-open order value differ WITHIN each priority:
+      // the q340 derandomized permutation test swept over 5 groups in
+      // ONE rows×64 pass (per-group observed rates, shared md5 stream) —
+      // the metric-sweep readout q369's FDR control consumes
+      graft.operators.Experiment.permutationTestBy(
+        eng(s, dir).table("orders"),
+        col("o_orderpriority"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "A").otherwise("B"),
+        round(col("o_totalprice") * 100, 0).cast("long"),
+        bReps = 64, salt = "permby")
+    }),
+    "q369_bh_fdr" -> ((s, dir) => {
+      // the q368 sweep under Benjamini-Hochberg step-up control: ranks,
+      // k*, per-test BH critical values, reverse-running-min q-values,
+      // discovery flags — exact-rational p-values in, deterministic
+      // multiplicity verdicts out
+      graft.operators.Experiment.bhAdjust(
+        graft.operators.Experiment.permutationTestBy(
+          eng(s, dir).table("orders"),
+          col("o_orderpriority"), col("o_orderkey"),
+          when(col("o_orderstatus") === "F", "A").otherwise("B"),
+          round(col("o_totalprice") * 100, 0).cast("long"),
+          bReps = 64, salt = "permby"),
+        col("grp"), col("p_value"), alpha = 0.05)
+    }),
+    "q370_keyness" -> ((s, dir) => {
+      // WHICH tokens drive the even-vs-odd-half drift q347 measures in
+      // aggregate: full 2x2 Dunning G2 per type, top-20 by keyness with
+      // exact-count direction
+      val docs = eng(s, dir).table("documents")
+      graft.pipeline.CorpusStats.keynessG2(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", topN = 20)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -5518,6 +5554,56 @@ object SparkEntry {
               END AS mean_sqdist
        FROM c6t c LEFT JOIN s6 s ON s.idx = c.idx
        ORDER BY cluster"""
+
+  /** q368/q369 oracle core: the q340 derandomized-permutation replay
+    * swept per priority group — per-group observed rates, the shared
+    * id-keyed md5 stream, add-one Monte-Carlo p — ending in `pfinal`
+    * with q368's output columns. q369 appends the BH step-up windows. */
+  private val duckPermBy: String =
+    """WITH base AS (
+         SELECT o_orderpriority AS g, CAST(o_orderkey AS VARCHAR) AS id,
+                CASE WHEN o_orderstatus = 'F' THEN 'A' ELSE 'B' END AS arm,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+         FROM orders
+         WHERE o_orderpriority IS NOT NULL AND o_orderkey IS NOT NULL
+           AND round(o_totalprice * 100, 0) IS NOT NULL
+       ), obs AS (
+         SELECT g,
+                CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN arm <> 'A' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sa,
+                CAST(sum(CASE WHEN arm <> 'A' THEN x ELSE 0 END) AS BIGINT) AS sb
+         FROM base GROUP BY 1
+       ), reps AS (
+         SELECT g, b, CAST(sum(a) AS BIGINT) AS ka, CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(a * x) AS BIGINT) AS sa2, CAST(sum(x) AS BIGINT) AS s
+         FROM (
+           SELECT base.g, base.x, t.b,
+                  CASE WHEN CAST(CAST(('0x' || substr(md5('permby:' || base.id || ':' || CAST(t.b AS VARCHAR)), 1, 13)) AS UBIGINT) AS DOUBLE)
+                            / 4503599627370496.0
+                         < (SELECT CAST(na AS DOUBLE) / (na + nb) FROM obs o WHERE o.g = base.g)
+                       THEN 1 ELSE 0 END AS a
+           FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS b) t)
+         GROUP BY 1, 2
+       ), stat AS (
+         SELECT g, CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS diff_obs
+         FROM obs
+       ), nge AS (
+         SELECT reps.g, CAST(count(*) AS BIGINT) AS n_ge
+         FROM reps JOIN stat ON stat.g = reps.g
+         WHERE k - ka = 0 OR ka = 0
+            OR abs(CAST(sa2 AS DOUBLE) / ka - CAST(s - sa2 AS DOUBLE) / (k - ka))
+               >= abs(diff_obs)
+         GROUP BY 1
+       ), pfinal AS (
+         SELECT obs.g AS grp, obs.na AS n_a, obs.nb AS n_b,
+                round(CAST(obs.sa AS DOUBLE) / obs.na, 6) AS mean_a,
+                round(CAST(obs.sb AS DOUBLE) / obs.nb, 6) AS mean_b,
+                round(stat.diff_obs, 6) AS diff_obs,
+                64 AS b_reps, coalesce(nge.n_ge, 0) AS n_ge,
+                round((1.0::DOUBLE + coalesce(nge.n_ge, 0)) / (64 + 1.0::DOUBLE), 6) AS p_value
+         FROM obs JOIN stat ON stat.g = obs.g LEFT JOIN nge ON nge.g = obs.g
+       )"""
 
   /** q309 oracle: the q301 chain verbatim through c6t, then per-point
     * (d1, d2) by (dist, idx) rank, one IEEE sqrt each, 12dp silhouettes
@@ -12365,6 +12451,68 @@ object SparkEntry {
          FROM m""",
     // q340: the same salted-md5 52-bit fraction stream, 64 relabelings,
     // exact integer replicate sums, add-one Monte-Carlo p
+    // q368: the q340 replay swept per group (shared CTE core)
+    "q368_perm_sweep" ->
+      (duckPermBy + " SELECT * FROM pfinal ORDER BY grp"),
+    // q369: q368's exact-rational p-values under BH step-up — ranks on
+    // the shared (p, test) total order, k* as a scalar, reverse-running-
+    // min q-values, identical association to the operator
+    "q369_bh_fdr" ->
+      (duckPermBy + """, ranked AS (
+           SELECT grp AS test, p_value,
+                  CAST(row_number() OVER (ORDER BY p_value, grp) AS BIGINT) AS rank,
+                  CAST(count(*) OVER () AS BIGINT) AS m
+           FROM pfinal
+         ), kstar AS (
+           SELECT max(CASE WHEN p_value <= CAST(rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE)
+                           THEN rank END) AS ks
+           FROM ranked
+         )
+         SELECT test, p_value, rank, m,
+                round(CAST(rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 6) AS bh_crit,
+                round(least(1.0::DOUBLE,
+                  min(p_value * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+                    OVER (ORDER BY p_value DESC, test DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS q_value,
+                CASE WHEN rank <= coalesce((SELECT ks FROM kstar), 0) THEN 1 ELSE 0 END AS discovery
+         FROM ranked ORDER BY rank"""),
+    // q370: full 2x2 Dunning G2 per type over the parity halves — the
+    // same tokenizer as q347, every cell term one CASE-guarded double
+    // with the operator's association verbatim
+    "q370_keyness" ->
+      """WITH t0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS c0 FROM (
+             SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents WHERE doc_id % 2 = 0) WHERE w <> '' GROUP BY 1
+         ), t1 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+             SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+             FROM documents WHERE doc_id % 2 = 1) WHERE w <> '' GROUP BY 1
+         ), j AS (
+           SELECT coalesce(t0.w, t1.w) AS w,
+                  coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+           FROM t0 FULL OUTER JOIN t1 ON t1.w = t0.w
+         ), tot AS (
+           SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM j
+         ), terms AS (
+           SELECT w, c0, c1,
+                  round(2.0::DOUBLE * (
+                    (CASE WHEN c0 > 0 THEN a * ln(a / (n0 * (a + b) / (n0 + n1))) ELSE 0.0::DOUBLE END)
+                    + (CASE WHEN c1 > 0 THEN b * ln(b / (n1 * (a + b) / (n0 + n1))) ELSE 0.0::DOUBLE END)
+                    + (CASE WHEN n0 - a > 0 THEN (n0 - a) * ln((n0 - a) / (n0 * ((n0 - a) + (n1 - b)) / (n0 + n1))) ELSE 0.0::DOUBLE END)
+                    + (CASE WHEN n1 - b > 0 THEN (n1 - b) * ln((n1 - b) / (n1 * ((n0 - a) + (n1 - b)) / (n0 + n1))) ELSE 0.0::DOUBLE END)
+                  ), 6) AS g2,
+                  CASE WHEN CAST(c0 AS DECIMAL(38,0)) * CAST(tn1 AS DECIMAL(38,0))
+                            > CAST(c1 AS DECIMAL(38,0)) * CAST(tn0 AS DECIMAL(38,0))
+                       THEN 1 ELSE -1 END AS direction
+           FROM (
+             SELECT j.w, j.c0, j.c1, tot.n0 AS tn0, tot.n1 AS tn1,
+                    CAST(j.c0 AS DOUBLE) AS a, CAST(j.c1 AS DOUBLE) AS b,
+                    CAST(tot.n0 AS DOUBLE) AS n0, CAST(tot.n1 AS DOUBLE) AS n1
+             FROM j CROSS JOIN tot)
+         )
+         SELECT w, c0, c1, g2, direction FROM terms
+         ORDER BY g2 DESC, w LIMIT 20""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

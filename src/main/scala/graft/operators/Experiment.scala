@@ -1116,6 +1116,130 @@ object Experiment {
   }
 
   /**
+   * [[permutationTest]] per GROUP in one pass — the metric-sweep shape
+   * (one experiment read out over many segments/metrics at once, the
+   * input [[bhAdjust]] controls). Same derandomized md5 relabeling, same
+   * add-one Monte-Carlo p, but the replicate aggregation keys on
+   * (group, b): ONE pass over rows × B with map-side combine into
+   * groups × B partial sums, then driver arithmetic on that bounded
+   * relation. Each group's p equals a standalone [[permutationTest]] on
+   * that group's rows with the same salt — pinned by spec — because the
+   * md5 stream is id-keyed, not group-keyed, and the observed assignment
+   * rate is computed per group.
+   *
+   * Output: one row per group, ordered: (grp, n_a, n_b, mean_a, mean_b,
+   * diff_obs, b_reps, n_ge, p_value).
+   */
+  def permutationTestBy(df: DataFrame, groupCol: Column, idCol: Column,
+      armCol: Column, valueCol: Column, bReps: Int = 64,
+      salt: String = "perm"): DataFrame = {
+    require(bReps >= 8 && bReps <= 512, "bReps in [8,512]")
+    val base = df.select(groupCol.cast("string").as("g"),
+        idCol.cast("string").as("id"),
+        armCol.cast("string").as("arm"), valueCol.cast("long").as("x"))
+      .where(col("x").isNotNull && col("arm").isNotNull && col("g").isNotNull)
+      .cache()
+    val obs = base.groupBy(col("g")).agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") =!= "A", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "A", col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") =!= "A", col("x")).otherwise(0L)).as("sx_b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    require(obs.size <= 64,
+      s"permutationTestBy: ${obs.size} groups > 64 — the replicate " +
+        "relation is groups × bReps; sweep in batches")
+    obs.foreach { case (g, (na, nb, _, _)) =>
+      require(na > 0 && nb > 0,
+        s"permutationTestBy: group '$g' has an empty arm ($na/$nb)") }
+    // per-group assignment rate rides a broadcast join so the md5-uniform
+    // comparison stays one codegen expression per (row, b)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = broadcast(obs.toSeq.map { case (g, (na, nb, _, _)) =>
+      (g, na.toDouble / (na + nb)) }.toDF("g", "__rate"))
+    val u = conv(substring(md5(concat(lit(salt), lit(":"), col("id"),
+        lit(":"), col("b").cast("string"))), 1, 13), 16, 10)
+      .cast("long") / lit(DistinctSketch.HashDenom)
+    val reps = base
+      .select(col("g"), col("id"), col("x"),
+        explode(expr(s"sequence(0, ${bReps - 1})")).as("b"))
+      .join(rates, "g")
+      .withColumn("__a", (u < col("__rate")).cast("long"))
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("__a")).as("ka"), count(lit(1)).as("k"),
+        sum(col("__a") * col("x")).as("sa"), sum(col("x")).as("s"))
+      .collect() // bounded: groups × bReps rows
+      .groupBy(_.getString(0))
+    base.unpersist(false)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = obs.toSeq.sortBy(_._1).map { case (g, (na, nb, sxa, sxb)) =>
+      val meanA = sxa.toDouble / na
+      val meanB = sxb.toDouble / nb
+      val diffObs = meanA - meanB
+      val nGe = reps.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
+        .count { r =>
+          val (ka, k, sa, s) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+          val kb = k - ka
+          kb == 0L || ka == 0L ||
+            math.abs(sa.toDouble / ka - (s - sa).toDouble / kb) >= math.abs(diffObs)
+        }
+      (g, na, nb, r6(meanA), r6(meanB), r6(diffObs), bReps, nGe.toLong,
+        r6((1.0 + nGe) / (bReps + 1.0)))
+    }
+    rows.toDF("grp", "n_a", "n_b", "mean_a", "mean_b", "diff_obs",
+      "b_reps", "n_ge", "p_value")
+  }
+
+  /**
+   * Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+   * over a table of (test, p) — the multiplicity correction a metric
+   * sweep needs before anyone reads its smallest p. Step-up rule:
+   * discoveries are ranks 1..k* for the LARGEST k with
+   * p(k) ≤ k·α/m; adjusted q-values are the reverse running minimum of
+   * p(i)·m/i (clamped to 1).
+   *
+   * Determinism: p is expected exact-rational-born (e.g.
+   * [[permutationTest]]'s (1+n_ge)/(B+1)); ranks order by (p, test) — a
+   * total order both engines share; every published double is one
+   * arithmetic expression of (p, rank, m, α) with the association
+   * spelled identically in the oracle. The relation is tests-sized —
+   * windows run unpartitioned by design (≤ 64 rows by the sweep
+   * contract upstream).
+   *
+   * Output: per test, ordered by rank: (test, p_value, rank, m,
+   * bh_crit, q_value, discovery).
+   */
+  def bhAdjust(pv: DataFrame, testCol: Column, pCol: Column,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val base = pv.select(testCol.cast("string").as("test"),
+        pCol.cast("double").as("p_value"))
+      .where(col("test").isNotNull && col("p_value").isNotNull)
+    val wAsc = Window.orderBy(col("p_value").asc, col("test").asc)
+    val wAll = wAsc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = Window.orderBy(col("p_value").desc, col("test").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("rank", row_number().over(wAsc).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("bh_crit", round(col("rank").cast("double") * lit(alpha)
+        / col("m").cast("double"), 6))
+      .withColumn("__kstar", max(when(
+        col("p_value") <= col("rank").cast("double") * lit(alpha)
+          / col("m").cast("double"), col("rank"))).over(wAll))
+      .withColumn("q_value", round(least(lit(1.0),
+        min(col("p_value") * col("m").cast("double")
+          / col("rank").cast("double")).over(wDesc)), 6))
+      .withColumn("discovery",
+        when(col("rank") <= coalesce(col("__kstar"), lit(0L)), 1).otherwise(0))
+      .select(col("test"), col("p_value"), col("rank"), col("m"),
+        col("bh_crit"), col("q_value"), col("discovery"))
+      .orderBy(col("rank"))
+  }
+
+  /**
    * Per-group Wilson score interval for a binary rate (Wilson 1927) —
    * the interval that behaves at small n and extreme p̂ where the Wald
    * ±z√(p̂q̂/n) collapses (the standard recommendation since Brown,

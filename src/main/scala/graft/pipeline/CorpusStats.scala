@@ -1202,6 +1202,62 @@ object CorpusStats {
   }
 
   /**
+   * Dunning log-likelihood keyness (Dunning 1993; the Rayson–Garside
+   * 2000 corpus-comparison form) between two corpora — WHICH types drive
+   * the drift [[klUnigram]] measures in aggregate: per type, the full
+   * 2×2 G² = 2·Σ O·ln(O/E) over cells (a, b, N₀−a, N₁−b) against
+   * pooled-rate expectations; high G² = the type's rate differs more
+   * than sampling allows (always ≥ 0 — the proper contingency G², not
+   * the two-cell shortcut that can dip negative). The readout every
+   * "what changed between snapshots / what typifies this domain" audit
+   * asks for.
+   *
+   * Determinism: counts exact longs; each cell's term is ONE double
+   * expression of exact operands (zero cells contribute 0 by the
+   * standard convention, encoded as an explicit CASE — never ln(0));
+   * g2 = round(2·(t_a + t_b + t_c + t_d), 6); direction +1 when
+   * corpus0's rate exceeds corpus1's (cross-multiplied in decimal — no
+   * rate division). Shape: two token aggs, one full-outer type join,
+   * one bounded TakeOrdered — linear in vocab.
+   *
+   * Output: top-`topN` by (g2 desc, w asc): (w, c0, c1, g2, direction).
+   */
+  def keynessG2(v0: DataFrame, v1: DataFrame, idCol: String,
+      textCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1 && topN <= 1000, "topN in [1,1000]")
+    def cnt(df: DataFrame, tag: String) =
+      tokenTable(df, idCol, textCol).where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as(s"c$tag"))
+    val joined = cnt(v0, "0").join(cnt(v1, "1"), Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("c0"), lit(0L)).as("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+      .localCheckpoint(true) // vocab-sized; feeds totals AND the term pass
+    val tot = joined.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val n0 = col("n0").cast("double"); val n1 = col("n1").cast("double")
+    val a = col("c0").cast("double"); val b = col("c1").cast("double")
+    val c = n0 - a; val d = n1 - b
+    val ea = n0 * (a + b) / (n0 + n1)
+    val eb = n1 * (a + b) / (n0 + n1)
+    val ec = n0 * (c + d) / (n0 + n1)
+    val ed = n1 * (c + d) / (n0 + n1)
+    val ta = when(col("c0") > 0, a * log(a / ea)).otherwise(lit(0.0))
+    val tb = when(col("c1") > 0, b * log(b / eb)).otherwise(lit(0.0))
+    val tc = when(c > 0, c * log(c / ec)).otherwise(lit(0.0))
+    val td = when(d > 0, d * log(d / ed)).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(tot))
+      .select(col("w"), col("c0"), col("c1"),
+        round(lit(2.0) * (ta + tb + tc + td), 6).as("g2"),
+        // direction via exact cross-multiplication (decimal — counts ×
+        // corpus totals overflow a long at 100 TB token volumes);
+        // ties land -1 on both engines by the same CASE
+        when(col("c0").cast("decimal(38,0)") * col("n1").cast("decimal(38,0)")
+            > col("c1").cast("decimal(38,0)") * col("n0").cast("decimal(38,0)"), 1)
+          .otherwise(-1).as("direction"))
+      .orderBy(col("g2").desc, col("w").asc)
+      .limit(topN)
+  }
+
+  /**
    * Burrows' Delta (Burrows 2002) between sources — the standard
    * stylometric distance: over the corpus' top-`topM` words, z-score
    * each source's RELATIVE frequency against the across-source

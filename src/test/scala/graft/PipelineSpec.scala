@@ -1768,6 +1768,38 @@ class PipelineSpec extends SparkSpec {
     assert(er.getMessage.contains("ragged"))
   }
 
+  test("keynessG2: hand 2x2 G2, one-sided types, direction, balanced type at 0") {
+    import spark.implicits._
+    // corpus0: "x x y", corpus1: "y y z" → N0=3, N1=3
+    val v0 = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val v1 = Seq((2L, "y y z")).toDF("doc_id", "text")
+    val got = graft.pipeline.CorpusStats.keynessG2(v0, v1, "doc_id", "text",
+        topN = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    def g2(a: Long, b: Long, n0: Long, n1: Long): Double = {
+      val (ad, bd, n0d, n1d) = (a.toDouble, b.toDouble, n0.toDouble, n1.toDouble)
+      val (cd, dd) = (n0d - ad, n1d - bd)
+      def t(o: Double, e: Double) = if (o > 0) o * math.log(o / e) else 0.0
+      val s = t(ad, n0d * (ad + bd) / (n0d + n1d)) +
+        t(bd, n1d * (ad + bd) / (n0d + n1d)) +
+        t(cd, n0d * (cd + dd) / (n0d + n1d)) +
+        t(dd, n1d * (cd + dd) / (n0d + n1d))
+      BigDecimal(2.0 * s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("x") == ((2L, 0L, g2(2, 0, 3, 3), 1)))  // only in corpus0
+    assert(got("z") == ((0L, 1L, g2(0, 1, 3, 3), -1))) // only in corpus1
+    // y: 1 vs 2 on equal totals → rate lower in corpus0 → direction -1
+    assert(got("y") == ((1L, 2L, g2(1, 2, 3, 3), -1)))
+    // a perfectly balanced type scores exactly 0 and ties break by token
+    val b0 = Seq((1L, "q r")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "q s")).toDF("doc_id", "text")
+    val bal = graft.pipeline.CorpusStats.keynessG2(b0, b1, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(bal.find(_._1 == "q").get._2 == 0.0)
+    assert(bal.map(_._1).toSeq == Seq("r", "s", "q")) // g2 desc, then token asc
+  }
+
   test("burrowsDelta: identical sources at distance 0, the outlier further") {
     import spark.implicits._
     val docs = Seq(("s1", "x x y"), ("s2", "x x y"), ("s3", "y y x"))

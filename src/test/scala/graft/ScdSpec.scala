@@ -502,6 +502,57 @@ class ScdSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("permutationTestBy: per-group rows equal standalone tests; guards refuse") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("g1", 1L, "A", 10L), ("g1", 2L, "A", 12L), ("g1", 3L, "B", 5L),
+      ("g1", 4L, "B", 6L),
+      ("g2", 5L, "A", 7L), ("g2", 6L, "B", 7L), ("g2", 7L, "B", 9L),
+      ("g2", 8L, "A", 8L))
+      .toDF("g", "id", "arm", "x")
+    val swept = Experiment.permutationTestBy(df, col("g"), col("id"),
+        col("arm"), col("x"), bReps = 16, salt = "s")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // the sweep must equal a standalone test per group: the md5 stream is
+    // id-keyed and the rate per-group, so nothing couples the groups
+    for (g <- Seq("g1", "g2")) {
+      val solo = Experiment.permutationTest(df.where(col("g") === g),
+        col("id"), col("arm"), col("x"), bReps = 16, salt = "s").head().toSeq
+      assert(swept(g) == solo, s"group $g diverged from the standalone test")
+    }
+    intercept[IllegalArgumentException] { // empty arm refuses loudly
+      Experiment.permutationTestBy(df.where(col("arm") === "A"), col("g"),
+        col("id"), col("arm"), col("x"), bReps = 16, salt = "s")
+    }
+  }
+
+  test("bhAdjust: hand step-up — k*, criticals, reverse-min q-values, discoveries") {
+    import org.apache.spark.sql.functions.col
+    // m=4, alpha=0.2: crits .05/.10/.15/.20; p = .04/.09/.18/.19
+    // step-up: k*=2 (p3=.18>.15, p4=.19<=.20? NO — .19<=.20 so k*=4!)
+    val pv = Seq(("t1", 0.04), ("t2", 0.09), ("t3", 0.18), ("t4", 0.19))
+      .toDF("t", "p")
+    val out = Experiment.bhAdjust(pv, col("t"), col("p"), alpha = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(4),
+        r.getDouble(5), r.getInt(6)))
+    assert(out.map(_._1).toSeq == Seq("t1", "t2", "t3", "t4"))
+    assert(out.map(_._3).toSeq == Seq(0.05, 0.1, 0.15, 0.2)) // rank*alpha/m
+    // q-values: reverse running min of p*m/rank = .16/.18/.19/.19
+    //   rank4: .19*4/4=.19; rank3: min(.19, .18*4/3=.24)=.19;
+    //   rank2: min(.19, .09*4/2=.18)=.18; rank1: min(.18, .04*4)= .16
+    assert(out.map(_._4).toSeq == Seq(0.16, 0.18, 0.19, 0.19))
+    // p4=.19 <= crit .20 → step-up k*=4 → ALL discoveries (the step-up
+    // property a naive per-rank comparison would get wrong at rank 3)
+    assert(out.map(_._5).toSeq == Seq(1, 1, 1, 1))
+    // no rank passes → zero discoveries, q floors at min p * m
+    val none = Experiment.bhAdjust(
+        Seq(("a", 0.30), ("b", 0.80)).toDF("t", "p"),
+        col("t"), col("p"), alpha = 0.05)
+      .collect().map(r => (r.getInt(6), r.getDouble(5)))
+    assert(none.map(_._1).toSeq == Seq(0, 0))
+    assert(none.map(_._2).toSeq == Seq(0.6, 0.8))
+  }
+
   test("qiniTable: hand uplift curve — score finds the moved units") {
     import org.apache.spark.sql.functions.col
     // score 1.0: 2T both convert, 2C none → tile 0 uplift 2
