@@ -5185,6 +5185,13 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2)) === 1),
         "doc_id", "text", topN = 20)
     }),
+    "q371_distinct_ngrams" -> ((s, dir) => {
+      // the distinct-1..4 lexical-diversity curve: exact distinct/total
+      // n-gram ratios — the template-collapse detector that fires long
+      // before exact dedup does
+      graft.pipeline.CorpusStats.distinctNgrams(
+        eng(s, dir).table("documents"), "doc_id", "text", maxN = 4)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12513,6 +12520,29 @@ object SparkEntry {
          )
          SELECT w, c0, c1, g2, direction FROM terms
          ORDER BY g2 DESC, w LIMIT 20""",
+    // q371: the same tokenizer, empty tokens filtered from the ARRAY,
+    // per-n slices via list comprehension, exact distinct counts
+    "q371_distinct_ngrams" ->
+      """WITH t AS (
+           SELECT list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+           FROM documents
+         ), gn AS (
+           SELECT 1 AS n, unnest([array_to_string(toks[i+1:i+1], ' ') for i in range(0, len(toks))]) AS g
+           FROM t WHERE len(toks) >= 1
+           UNION ALL
+           SELECT 2, unnest([array_to_string(toks[i+1:i+2], ' ') for i in range(0, len(toks)-1)])
+           FROM t WHERE len(toks) >= 2
+           UNION ALL
+           SELECT 3, unnest([array_to_string(toks[i+1:i+3], ' ') for i in range(0, len(toks)-2)])
+           FROM t WHERE len(toks) >= 3
+           UNION ALL
+           SELECT 4, unnest([array_to_string(toks[i+1:i+4], ' ') for i in range(0, len(toks)-3)])
+           FROM t WHERE len(toks) >= 4
+         )
+         SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+                CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+                round(CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
+         FROM gn GROUP BY 1 ORDER BY 1""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -1202,6 +1202,45 @@ object CorpusStats {
   }
 
   /**
+   * Distinct-n lexical diversity (Li et al. 2016's distinct-1/2 curve
+   * generalized to n = 1..maxN) — the standard corpus/generation
+   * diversity readout: distinct n-grams / total n-grams per n. A
+   * template-heavy or mode-collapsed corpus shows low ratios at n ≥ 2
+   * long before exact dedup fires; the curve's SHAPE (how fast the
+   * ratio climbs with n) is the diversity fingerprint.
+   *
+   * Determinism: exact counts only (one exact countDistinct per n —
+   * two-level hash agg, no sketch), ratio = one 6dp-rounded division.
+   * Shape at scale: the token array materializes ONCE (localCheckpoint);
+   * per n, one explode + one (total, distinct) aggregation keyed on the
+   * n-gram — token-volume linear, shuffles bounded by the type count.
+   * Empty tokens are filtered from the ARRAY (not per-gram) so joined
+   * grams never contain separator runs and the oracle replays verbatim.
+   *
+   * Output: (n, total_ngrams, distinct_ngrams, distinct_ratio), n asc.
+   */
+  def distinctNgrams(docs: DataFrame, idCol: String, textCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in [1,8]")
+    val arred = docs.select(
+        filter(whitespaceTokens(lower(col(textCol))), x => x =!= "").as("__a"))
+      .localCheckpoint(true) // one tokenization feeds maxN gram passes
+    (1 to maxN).map { n =>
+      val sh = when(size(col("__a")) >= n, transform(
+        sequence(lit(1), size(col("__a")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(col("__a"), i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+      arred.select(explode(sh).as("g"))
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("g")).as("distinct_ngrams"))
+        .select(lit(n).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+          round(col("distinct_ngrams").cast("double")
+            / col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+    }.reduce(_ unionByName _).orderBy(col("n"))
+  }
+
+  /**
    * Dunning log-likelihood keyness (Dunning 1993; the Rayson–Garside
    * 2000 corpus-comparison form) between two corpora — WHICH types drive
    * the drift [[klUnigram]] measures in aggregate: per type, the full

@@ -1800,6 +1800,20 @@ class PipelineSpec extends SparkSpec {
     assert(bal.map(_._1).toSeq == Seq("r", "s", "q")) // g2 desc, then token asc
   }
 
+  test("distinctNgrams: hand counts, short docs skip high n, empty tokens filtered") {
+    import spark.implicits._
+    // docs: "a b a b" (grams: 1:4/2d, 2:3/2d, 3:2/2d, 4:1/1d) + "a"
+    // (adds 1-gram a; too short for n>=2) → totals 5/3/2/1
+    val docs = Seq((1L, "a b a b"), (2L, "a"), (3L, "  ")).toDF("doc_id", "text")
+    val got = graft.pipeline.CorpusStats.distinctNgrams(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) == ((5L, 2L, 0.4)))  // a,b,a,b,a → {a,b}
+    assert(got(2) == ((3L, 2L, 0.666667))) // "a b","b a","a b"
+    assert(got(3) == ((2L, 2L, 1.0)))  // "a b a","b a b"
+    assert(got(4) == ((1L, 1L, 1.0)))
+  }
+
   test("burrowsDelta: identical sources at distance 0, the outlier further") {
     import spark.implicits._
     val docs = Seq(("s1", "x x y"), ("s2", "x x y"), ("s3", "y y x"))
