@@ -97,7 +97,11 @@ object PlanAudit {
       "q356_kripp_alpha", // unit-keyed self-join bounded by values/unit
       "q359_rich_club", // k spine folded into ONE conditional-sum agg
       "q362_qini", // pooled distinct-value tiling; bounded tile window
-      "q363_ratio_metric") // one map-combined moment aggregation
+      "q363_ratio_metric", // one map-combined moment aggregation
+      "q364_graph_churn", // ONE lineitem⋈part pass; halves tagged, not re-derived
+      "q368_perm_sweep", // rows×64 ONE map-combined agg keyed (g,b); groups×64 collect
+      "q370_keyness", // token aggs → full-outer type join; bounded TakeOrdered
+      "q371_distinct_ngrams") // per-n explode + two-level distinct agg; no doc joins
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
