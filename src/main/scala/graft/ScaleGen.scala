@@ -156,38 +156,7 @@ object ScaleGen {
     }.reduce(_ unionByName _)
     val scaledEmbs =
       if (geometry == "hash") allIds
-      else allIds
-        .withColumn("__u", pmod(xxhash64(col("vec_id"), lit(9901L)), lit(1024L)))
-        .withColumn("__m", pmod(col("__u"), lit(16L)))
-        .withColumn("__ub", pmod(xxhash64(col("vec_id"), lit(7411L)), lit(1024L)))
-        .withColumn("__mb", pmod(col("__ub"), lit(16L)))
-        .withColumn("__t",
-          pmod(xxhash64(col("vec_id"), lit(6007L)), lit(1001L))
-            .cast("double") / lit(1000.0))
-        .withColumn("__bg",
-          pmod(xxhash64(col("vec_id"), lit(31L)), lit(5L)) === 0)
-        .select(col("vec_id"),
-          expr(s"""transform(sequence(0, ${dim - 1}),
-            i -> cast(
-              (case when __bg then
-                 __t * (cast(pmod(xxhash64(7703L, __m, i), 2001) - 1000
-                          as double) / 1000.0
-                        + cast(pmod(xxhash64(8807L, __u, i), 2001) - 1000
-                          as double) / 1000.0 * 0.6)
-                 + (1.0 - __t) * (cast(pmod(xxhash64(7703L, __mb, i), 2001)
-                          - 1000 as double) / 1000.0
-                        + cast(pmod(xxhash64(8807L, __ub, i), 2001) - 1000
-                          as double) / 1000.0 * 0.6)
-               else
-                 cast(pmod(xxhash64(7703L, __m, i), 2001) - 1000 as double)
-                   / 1000.0
-                 + cast(pmod(xxhash64(8807L, __u, i), 2001) - 1000 as double)
-                   / 1000.0 * 0.6
-               end)
-              + cast(pmod(xxhash64(vec_id, i, 5501L), 2001) - 1000 as double)
-                / 1000.0 * 0.02
-            as float))""").as("embedding"),
-          col("label"))
+      else clusteredEmbedding(allIds, dim)
     scaledEmbs
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -197,4 +166,47 @@ object ScaleGen {
       spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
     spark.stop()
   }
+
+  /** The "clustered" geometry kernel (see the object Scaladoc): 16 macro
+    * × 1024 micro deterministic clusters + a 20% interpolated-bridge
+    * component, all levels xxhash64-uniform draws keyed ONLY on vec_id
+    * and the dimension index — a pure function, so the fixture
+    * regenerates bit-identically anywhere. Factored out of main so
+    * ScaleSpec can pin the contract the ANN rehearsal rides on:
+    * micro-mates ≪ cross-macro distances, bridges between their two
+    * anchors, exact determinism. */
+  def clusteredEmbedding(ids: org.apache.spark.sql.DataFrame, dim: Int)
+      : org.apache.spark.sql.DataFrame =
+    ids
+      .withColumn("__u", pmod(xxhash64(col("vec_id"), lit(9901L)), lit(1024L)))
+      .withColumn("__m", pmod(col("__u"), lit(16L)))
+      .withColumn("__ub", pmod(xxhash64(col("vec_id"), lit(7411L)), lit(1024L)))
+      .withColumn("__mb", pmod(col("__ub"), lit(16L)))
+      .withColumn("__t",
+        pmod(xxhash64(col("vec_id"), lit(6007L)), lit(1001L))
+          .cast("double") / lit(1000.0))
+      .withColumn("__bg",
+        pmod(xxhash64(col("vec_id"), lit(31L)), lit(5L)) === 0)
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(0, ${dim - 1}),
+          i -> cast(
+            (case when __bg then
+               __t * (cast(pmod(xxhash64(7703L, __m, i), 2001) - 1000
+                        as double) / 1000.0
+                      + cast(pmod(xxhash64(8807L, __u, i), 2001) - 1000
+                        as double) / 1000.0 * 0.6)
+               + (1.0 - __t) * (cast(pmod(xxhash64(7703L, __mb, i), 2001)
+                        - 1000 as double) / 1000.0
+                      + cast(pmod(xxhash64(8807L, __ub, i), 2001) - 1000
+                        as double) / 1000.0 * 0.6)
+             else
+               cast(pmod(xxhash64(7703L, __m, i), 2001) - 1000 as double)
+                 / 1000.0
+               + cast(pmod(xxhash64(8807L, __u, i), 2001) - 1000 as double)
+                 / 1000.0 * 0.6
+             end)
+            + cast(pmod(xxhash64(vec_id, i, 5501L), 2001) - 1000 as double)
+              / 1000.0 * 0.02
+          as float))""").as("embedding"),
+        col("label"))
 }

@@ -144,4 +144,41 @@ class ScaleSpec extends SparkSpec {
       }
     assert(control.forall(_ == 255L)) // 1-D sort: y unbounded in every file
   }
+
+  test("ScaleGen clustered geometry: deterministic, hierarchical, bridged") {
+    import spark.implicits._
+    val ids = (0L until 400L).map(i => (i, 0)).toDF("vec_id", "label")
+    val a = ScaleGen.clusteredEmbedding(ids, 64).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val b = ScaleGen.clusteredEmbedding(ids, 64).orderBy("vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq) // pure function
+    assert(a.forall(_._2.length == 64))
+    // replicate the kernel's own id hashing to label each point
+    def h(v: Long, salt: Long): Long = {
+      // xxhash64 via a one-row Spark eval — the SAME function the kernel uses
+      spark.range(1).select(pmod(xxhash64(lit(v), lit(salt)),
+        lit(if (salt == 31L) 5L else 1024L))).head().getLong(0)
+    }
+    val meta = a.map { case (id, vec) =>
+      val u = h(id, 9901L); val bg = h(id, 31L) == 0L
+      (id, u, u % 16L, bg, vec)
+    }
+    def d2(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) => (p - q).toDouble * (p - q) }.sum
+    val core = meta.filter(!_._4) // non-bridge points
+    // hierarchy: every same-micro distance is below every cross-macro
+    // distance (the separation the ANN recall rehearsal rides on)
+    val byMicro = core.groupBy(_._2).filter(_._2.length >= 2)
+    assert(byMicro.nonEmpty, "fixture too small to form micro pairs")
+    val sameMicro = byMicro.values.flatMap(g =>
+      g.combinations(2).map(p => d2(p(0)._5, p(1)._5))).toSeq
+    val crossMacro = core.combinations(2).filter(p => p(0)._3 != p(1)._3)
+      .take(2000).map(p => d2(p(0)._5, p(1)._5)).toSeq
+    assert(sameMicro.max < crossMacro.min,
+      s"hierarchy broken: same-micro max ${sameMicro.max} >= cross-macro min ${crossMacro.min}")
+    // bridges exist at roughly the designed 20% rate (hash-binomial band)
+    val bgFrac = meta.count(_._4).toDouble / meta.length
+    assert(bgFrac > 0.12 && bgFrac < 0.28, s"bridge fraction $bgFrac")
+  }
 }
