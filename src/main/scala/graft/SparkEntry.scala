@@ -102,19 +102,43 @@ object SparkEntry {
   // sessions) forever in any JVM that cycles sessions, e.g. test suites
   private val brandPairsHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-  private def brandPairs(s: SparkSession, dir: String,
-      minSupport: Long = 400L): DataFrame = {
+  // ONE listener per session evicts EVERY session-keyed memo on
+  // application end — a memo registered after the hook still gets
+  // evicted because eviction is by session key, not by entry
+  private def hookMemoEviction(s: SparkSession): Unit =
     if (brandPairsHooked.add(s))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           brandPairsMemo.keySet.removeIf(k => k._1 eq s)
+          permSweepMemo.keySet.removeIf(k => k._1 eq s)
           brandPairsHooked.remove(s)
         }
       })
+  private def brandPairs(s: SparkSession, dir: String,
+      minSupport: Long = 400L): DataFrame = {
+    hookMemoEviction(s)
     brandPairsMemo.computeIfAbsent((s, dir, minSupport),
       _ => graft.operators.Association.pairs(brandBaskets(s, dir),
         "l_orderkey", "p_brand", minSupport = minSupport).localCheckpoint(true))
+  }
+
+  /** The q368 permutation sweep, staged once per (session, dir) — q369
+    * reads the identical 5-row relation for its BH pass, so the suite
+    * pays the rows×64 derivation once, not twice (the [[brandPairs]]
+    * discipline: eager localCheckpoint, same eviction listener, result
+    * byte-identical because only the derivation is staged). */
+  private val permSweepMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def permSweep(s: SparkSession, dir: String): DataFrame = {
+    hookMemoEviction(s)
+    permSweepMemo.computeIfAbsent((s, dir),
+      _ => graft.operators.Experiment.permutationTestBy(
+        eng(s, dir).table("orders"),
+        col("o_orderpriority"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "A").otherwise("B"),
+        round(col("o_totalprice") * 100, 0).cast("long"),
+        bReps = 64, salt = "permby").localCheckpoint(true))
   }
 
   /** The SF-independent top-90-by-support brand edge list (src, dst) —
@@ -5153,27 +5177,17 @@ object SparkEntry {
       // does fulfilled-vs-open order value differ WITHIN each priority:
       // the q340 derandomized permutation test swept over 5 groups in
       // ONE rows×64 pass (per-group observed rates, shared md5 stream) —
-      // the metric-sweep readout q369's FDR control consumes
-      graft.operators.Experiment.permutationTestBy(
-        eng(s, dir).table("orders"),
-        col("o_orderpriority"), col("o_orderkey"),
-        when(col("o_orderstatus") === "F", "A").otherwise("B"),
-        round(col("o_totalprice") * 100, 0).cast("long"),
-        bReps = 64, salt = "permby")
+      // the metric-sweep readout q369's FDR control consumes. Staged
+      // once per session (permSweep memo) — q369 reads the same 5 rows
+      permSweep(s, dir)
     }),
     "q369_bh_fdr" -> ((s, dir) => {
       // the q368 sweep under Benjamini-Hochberg step-up control: ranks,
       // k*, per-test BH critical values, reverse-running-min q-values,
       // discovery flags — exact-rational p-values in, deterministic
-      // multiplicity verdicts out
+      // multiplicity verdicts out (reads the staged q368 relation)
       graft.operators.Experiment.bhAdjust(
-        graft.operators.Experiment.permutationTestBy(
-          eng(s, dir).table("orders"),
-          col("o_orderpriority"), col("o_orderkey"),
-          when(col("o_orderstatus") === "F", "A").otherwise("B"),
-          round(col("o_totalprice") * 100, 0).cast("long"),
-          bReps = 64, salt = "permby"),
-        col("grp"), col("p_value"), alpha = 0.05)
+        permSweep(s, dir), col("grp"), col("p_value"), alpha = 0.05)
     }),
     "q370_keyness" -> ((s, dir) => {
       // WHICH tokens drive the even-vs-odd-half drift q347 measures in
