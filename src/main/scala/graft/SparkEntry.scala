@@ -5206,6 +5206,22 @@ object SparkEntry {
       graft.pipeline.CorpusStats.distinctNgrams(
         eng(s, dir).table("documents"), "doc_id", "text", maxN = 4)
     }),
+    "q372_cochran_q" -> ((s, dir) => {
+      // do three binary quality detectors fire at the SAME rate over
+      // the same documents: Cochran's Q — the paired-binary companion
+      // of q365's Kendall W (McNemar's k-ary generalization), exact
+      // integer numerator/denominator, one double divide
+      val d = eng(s, dir).table("documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val longDf = d.select(col("doc_id").as("it"), lit("d1_digit").as("tr"),
+          when(col("text").rlike("[0-9]"), 1L).otherwise(0L).as("y"))
+        .unionByName(d.select(col("doc_id").as("it"), lit("d2_long").as("tr"),
+          when(col("n_chars") > 400, 1L).otherwise(0L).as("y")))
+        .unionByName(d.select(col("doc_id").as("it"), lit("d3_the").as("tr"),
+          when(lower(col("text")).contains("the"), 1L).otherwise(0L).as("y")))
+      graft.operators.Experiment.cochranQ(longDf, col("it"), col("tr"),
+        col("y"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12557,6 +12573,31 @@ object SparkEntry {
                 CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
                 round(CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS distinct_ratio
          FROM gn GROUP BY 1 ORDER BY 1""",
+    // q372: the three detectors replayed, Q from exact integer sums —
+    // Q = (k−1)·Σ(k·C_j − T)² / (k·(k·T − ΣR_i²)), unanimous panels NULL
+    "q372_cochran_q" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS d1,
+                  CASE WHEN n_chars > 400 THEN 1 ELSE 0 END AS d2,
+                  CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END AS d3
+           FROM documents
+         ), s AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(d1) AS BIGINT) AS c1,
+                  CAST(sum(d2) AS BIGINT) AS c2,
+                  CAST(sum(d3) AS BIGINT) AS c3,
+                  CAST(sum((d1 + d2 + d3) * (d1 + d2 + d3)) AS BIGINT) AS sr2
+           FROM d
+         ), f AS (SELECT n, c1, c2, c3, c1 + c2 + c3 AS t, sr2 FROM s)
+         SELECT CAST(3 AS BIGINT) AS k, n AS n_items, t AS t_successes,
+                CASE WHEN 3 * (3 * t - sr2) <> 0 THEN
+                  round(CAST(2 * ((3*c1 - t)*(3*c1 - t) + (3*c2 - t)*(3*c2 - t)
+                               + (3*c3 - t)*(3*c3 - t)) AS DOUBLE)
+                        / CAST(3 * (3 * t - sr2) AS DOUBLE), 6)
+                END AS q,
+                CAST(2 AS BIGINT) AS df
+         FROM f""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -1240,6 +1240,69 @@ object Experiment {
   }
 
   /**
+   * Cochran's Q (Cochran 1950) — do k binary raters/detectors/systems
+   * fire at the SAME rate over the same items: the k-treatment
+   * repeated-measures test for paired binary outcomes (McNemar's k-ary
+   * generalization, and the binary companion of [[kendallW]]). The
+   * question every detector-panel audit asks before trusting a
+   * disagreement readout.
+   *
+   * Exact arithmetic: with T = Σy, per-treatment sums C_j and per-item
+   * sums R_i (all exact longs),
+   *   Q = (k−1)·Σ_j(k·C_j − T)² / (k·(k·T − ΣR_i²))
+   * — numerator and denominator are exact integers (decimal-summed),
+   * Q is ONE double division, 6dp. Degenerate panels (every item
+   * unanimous → denominator 0) publish NULL. Completeness is enforced
+   * the [[kendallW]] way: every (item, treatment) exactly once.
+   *
+   * Shape at scale: one (treatment) agg + one (item) agg over the long
+   * relation — two map-combined passes, k-row and 1-row rollups.
+   *
+   * Output: one row (k, n_items, t_successes, q, df).
+   */
+  def cochranQ(df: DataFrame, itemCol: Column, treatmentCol: Column,
+      outcomeCol: Column): DataFrame = {
+    def dd(c: Column): Column = c.cast("decimal(38,0)")
+    val r = df.select(itemCol.cast("string").as("it"),
+        treatmentCol.cast("string").as("tr"),
+        outcomeCol.cast("long").as("y"))
+      .where(col("it").isNotNull && col("tr").isNotNull && col("y").isNotNull)
+      .cache()
+    require(r.where(col("y") =!= 0L && col("y") =!= 1L).isEmpty,
+      "cochranQ: outcomes must be 0/1")
+    val k = r.select(col("tr")).distinct().count()
+    val n = r.select(col("it")).distinct().count()
+    require(k >= 2, "cochranQ: need at least two treatments")
+    require(n >= 1, "cochranQ: need at least one item")
+    val cnt = r.count()
+    val distinctPairs = r.select(col("it"), col("tr")).distinct().count()
+    require(cnt == k * n && distinctPairs == cnt,
+      s"cochranQ: $cnt rows over $distinctPairs distinct (item,treatment) " +
+        s"pairs vs k×n = ${k * n} — outcomes must be complete AND unique")
+    // Σ_j (k·C_j − T)² needs T first: T is one exact long from the same
+    // cached relation; the treatment agg then folds the squared term
+    val t = r.agg(sum(col("y"))).head().getLong(0)
+    val num = r.groupBy(col("tr")).agg(sum(col("y")).as("c"))
+      .agg(sum((dd(col("c")) * lit(k) - lit(t)) *
+        (dd(col("c")) * lit(k) - lit(t))).as("s2"))
+      .head().getDecimal(0)
+    val sumR2 = r.groupBy(col("it")).agg(sum(col("y")).as("ri"))
+      .agg(sum(dd(col("ri")) * dd(col("ri")))).head().getDecimal(0)
+    r.unpersist(false)
+    val denom = BigInt(k) * (BigInt(k) * BigInt(t) - BigInt(sumR2.toBigInteger))
+    val q: java.lang.Double =
+      if (denom == 0) null
+      else {
+        val raw = (BigInt(k - 1) * BigInt(num.toBigInteger)).toDouble / denom.toDouble
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, n, t, Option(q).map(_.toDouble), k - 1))
+      .toDF("k", "n_items", "t_successes", "q", "df")
+  }
+
+  /**
    * Per-group Wilson score interval for a binary rate (Wilson 1927) —
    * the interval that behaves at small n and extreme p̂ where the Wald
    * ±z√(p̂q̂/n) collapses (the standard recommendation since Brown,

@@ -553,6 +553,35 @@ class ScdSpec extends SparkSpec {
     assert(none.map(_._2).toSeq == Seq(0.6, 0.8))
   }
 
+  test("cochranQ: hand value, unanimous NULL, guards refuse") {
+    import org.apache.spark.sql.functions.col
+    // 4 items × 3 treatments: C = (3,2,1), T = 6, R = (3,2,1,0)
+    // num = (9−6)²+(6−6)²+(3−6)² = 18; ΣR² = 14; denom = 3·(18−14) = 12
+    // Q = 2·18/12 = 3.0
+    val df = Seq(
+      ("i1", "a", 1L), ("i1", "b", 1L), ("i1", "c", 1L),
+      ("i2", "a", 1L), ("i2", "b", 1L), ("i2", "c", 0L),
+      ("i3", "a", 1L), ("i3", "b", 0L), ("i3", "c", 0L),
+      ("i4", "a", 0L), ("i4", "b", 0L), ("i4", "c", 0L))
+      .toDF("it", "tr", "y")
+    val r = Experiment.cochranQ(df, col("it"), col("tr"), col("y")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 3.0 && r.getLong(4) == 2L)
+    // unanimous panel: every item all-ones → denominator 0 → NULL Q
+    val unan = Seq(("i1", "a", 1L), ("i1", "b", 1L),
+      ("i2", "a", 1L), ("i2", "b", 1L)).toDF("it", "tr", "y")
+    assert(Experiment.cochranQ(unan, col("it"), col("tr"), col("y"))
+      .head().isNullAt(3))
+    intercept[IllegalArgumentException] { // incomplete panel refuses
+      Experiment.cochranQ(df.limit(11), col("it"), col("tr"), col("y"))
+    }
+    intercept[IllegalArgumentException] { // non-binary outcome refuses
+      Experiment.cochranQ(df.withColumn("y",
+        when(col("it") === "i1", 2L).otherwise(col("y"))),
+        col("it"), col("tr"), col("y"))
+    }
+  }
+
   test("qiniTable: hand uplift curve — score finds the moved units") {
     import org.apache.spark.sql.functions.col
     // score 1.0: 2T both convert, 2C none → tile 0 uplift 2
