@@ -5222,6 +5222,15 @@ object SparkEntry {
       graft.operators.Experiment.cochranQ(longDf, col("it"), col("tr"),
         col("y"))
     }),
+    "q373_betweenness" -> ((s, dir) => {
+      // WHICH brands broker the bought-together graph's shortest paths:
+      // exact Brandes-identity betweenness in 1e-9 integer units over
+      // the q336 top-90 graph — the per-node bridge read BEFORE q360
+      // removes its hubs; maxHops = 6 matches the oracle's 6 unrolled
+      // BFS levels (declared cap shared, the q358 discipline)
+      graft.operators.GraphOps.betweenness(top90Brand(s, dir), maxHops = 6)
+        .orderBy(col("bc_units").desc, col("node").asc)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12598,6 +12607,41 @@ object SparkEntry {
                 END AS q,
                 CAST(2 AS BIGINT) AS df
          FROM f""",
+    // q373: level-synchronous BFS with exact path counts (6 unrolled
+    // levels, σ at level k sums level-(k−1) neighbor σ), then the
+    // Brandes σ-identity per node — every term the operator's
+    // truncating (σσ·1e9)//σ verbatim, HUGEINT sum, one //2
+    "q373_betweenness" -> {
+      val levels = (2 to 6).map { k =>
+        s""", n$k AS MATERIALIZED (
+             SELECT r.src, e.dst AS node, $k AS d,
+                    CAST(sum(r.sigma) AS BIGINT) AS sigma
+             FROM n${k - 1} r JOIN e ON e.src = r.node
+             WHERE e.dst <> r.src
+               AND NOT EXISTS (SELECT 1 FROM r${k - 1} z
+                               WHERE z.src = r.src AND z.node = e.dst)
+             GROUP BY 1, 2
+           ), r$k AS MATERIALIZED (
+             SELECT * FROM r${k - 1} UNION ALL SELECT * FROM n$k)"""
+      }.mkString
+      duckTop90Graph +
+      s""", n1 AS MATERIALIZED (
+           SELECT src, dst AS node, 1 AS d, CAST(1 AS BIGINT) AS sigma FROM e
+         ), r1 AS MATERIALIZED (SELECT * FROM n1)
+         $levels
+         , nodes AS (SELECT DISTINCT src AS node FROM e),
+         terms AS (
+           SELECT a.node AS v,
+                  (a.sigma * b.sigma * 1000000000) // st.sigma AS u
+           FROM r6 a
+           JOIN r6 b ON b.src = a.node AND b.node <> a.src
+           JOIN r6 st ON st.src = a.src AND st.node = b.node
+                     AND st.d = a.d + b.d
+         ), bc AS (SELECT v, sum(u) AS su FROM terms GROUP BY 1)
+         SELECT n.node, CAST(coalesce(bc.su, 0) // 2 AS BIGINT) AS bc_units
+         FROM nodes n LEFT JOIN bc ON bc.v = n.node
+         ORDER BY bc_units DESC, node"""
+    },
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -1266,6 +1266,157 @@ object GraphOps {
    *
    * Output: one row (m, n_communities, within_edges, q).
    */
+  /**
+   * Exact betweenness centrality — WHICH nodes carry the shortest-path
+   * traffic. The brokerage companion of [[eigenvectorCentrality]] (who is
+   * connected to whom) and [[apspStats]] (how far everything is): a node
+   * with modest degree but high betweenness is a bridge whose removal
+   * fragments the graph — the q360 hub-removal read, per node, before the
+   * removal.
+   *
+   * Pair-composition form (exactly Brandes' σ identity, without the
+   * float δ-accumulation): over the symmetrized graph,
+   *
+   *   bc(v) = ½ · Σ_{s≠v, t≠v, s≠t, d(s,v)+d(v,t)=d(s,t)} σ_sv·σ_vt / σ_st
+   *
+   * where σ are shortest-path COUNTS from a level-synchronous BFS —
+   * exact longs (σ at level k sums the σ of level-(k−1) neighbors).
+   * Each term is integer fixed-point in 1e-9 units — (σ_sv·σ_vt·1e9)
+   * div σ_st, truncation part of the definition — summed exactly in
+   * decimal(38,0) and halved by one truncating div, so the result is
+   * bit-identical on any engine, any partitioning (the [[pageRankFixed]]
+   * doctrine). A one-agg guard refuses loudly when max σ²·1e9 would wrap
+   * the long product (σ ≤ 95,000) instead of wrapping silently.
+   *
+   * Two-regime: below the byte-aware cutover AND ≤ `maxLocalNodes`
+   * (the driver composition is O(V·reach²)) the whole computation runs
+   * on the collected edge list with the identical integer arithmetic —
+   * analytics graphs are usually threshold-survivors of a huge fact
+   * derivation (the 100 TB part happens BEFORE this operator). Above it,
+   * BFS is one frontier-join + sum shuffle per level with lineage cuts,
+   * and the composition is two joins keyed on v and (s,t) — the standard
+   * distributed exact-betweenness shape; at real scale you sample
+   * sources (Brandes pivots) before calling, which this formula admits
+   * by filtering `s` — the gate graph is exact-all-sources.
+   *
+   * Output: (node, bc_units) — 1e-9 units, exact; every node kept
+   * (bridgeless nodes 0).
+   */
+  def betweenness(edges: DataFrame, maxHops: Int = 16,
+      maxLocalEdges: Long = 1000000L, maxLocalNodes: Int = 2048): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1,64]: $maxHops")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val spark = edges.sparkSession
+    // σ product bound: term = σ·σ·1e9 must fit a long on BOTH engines
+    val MaxSigma = 95000L
+    if (fitsLocal(e, maxLocalEdges) &&
+        e.select(col("src")).distinct().count() <= maxLocalNodes) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = new java.util.HashMap[String, Int](nodes.length * 2)
+      nodes.zipWithIndex.foreach { case (n, i) => idx.put(n, i) }
+      val n = nodes.length
+      val adj = Array.fill(n)(List.empty[Int])
+      es.foreach { case (s, d) => val i = idx.get(s); adj(i) = idx.get(d) :: adj(i) }
+      // dist/sigma per source — same level-synchronous BFS as the
+      // distributed branch (σ sums over level-(k−1) neighbors)
+      val dist = Array.ofDim[Int](n, n)
+      val sig = Array.ofDim[Long](n, n)
+      val queue = new Array[Int](n)
+      var s0 = 0
+      while (s0 < n) {
+        java.util.Arrays.fill(dist(s0), -1)
+        dist(s0)(s0) = 0; sig(s0)(s0) = 1L
+        queue(0) = s0; var head = 0; var tail = 1
+        while (head < tail) {
+          val u = queue(head); head += 1
+          val du = dist(s0)(u)
+          if (du < maxHops) adj(u).foreach { w =>
+            if (dist(s0)(w) < 0) { dist(s0)(w) = du + 1; queue(tail) = w; tail += 1 }
+            if (dist(s0)(w) == du + 1) {
+              sig(s0)(w) += sig(s0)(u)
+              require(sig(s0)(w) <= MaxSigma,
+                s"path count ${sig(s0)(w)} exceeds the exact-term bound $MaxSigma")
+            }
+          }
+        }
+        s0 += 1
+      }
+      // pair composition, identical truncating fixed-point arithmetic
+      val bc = Array.fill(n)(BigInt(0))
+      var v = 0
+      while (v < n) {
+        var s = 0
+        while (s < n) {
+          if (s != v && dist(s)(v) > 0) {
+            val dsv = dist(s)(v); val ssv = sig(s)(v)
+            var t = 0
+            while (t < n) {
+              if (t != v && t != s && dist(v)(t) > 0 && dist(s)(t) > 0 &&
+                  dsv + dist(v)(t) == dist(s)(t))
+                bc(v) += (ssv * sig(v)(t) * Unit9) / sig(s)(t)
+              t += 1
+            }
+          }
+          s += 1
+        }
+        v += 1
+      }
+      import spark.implicits._
+      nodes.zipWithIndex.map { case (nd, i) => (nd, (bc(i) / 2).toLong) }
+        .toSeq.toDF("node", "bc_units")
+    } else {
+      val nodes = e.select(col("src").as("node")).distinct().cache()
+      // reach(src, node, d, sigma): one row per ordered reachable pair
+      var reach = e.select(col("src"), col("dst").as("node"),
+        lit(1).as("d"), lit(1L).as("sigma")).localCheckpoint(true)
+      var frontier = reach
+      var round = 2
+      var grew = frontier.limit(1).count() > 0
+      while (grew && round <= maxHops) {
+        val next = frontier.select(col("src"), col("node").as("__u"), col("sigma"))
+          .join(e.select(col("src").as("__u"), col("dst").as("node")), "__u")
+          .where(col("node") =!= col("src"))
+          .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
+          .join(reach.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+          .select(col("src"), col("node"), lit(round).as("d"), col("sigma"))
+          .localCheckpoint(true)
+        grew = next.limit(1).count() > 0
+        if (grew) {
+          reach = reach.unionByName(next).localCheckpoint(true)
+          frontier = next
+          round += 1
+        }
+      }
+      val sigMax = reach.agg(coalesce(max(col("sigma")), lit(0L))).head().getLong(0)
+      require(sigMax <= MaxSigma,
+        s"path count $sigMax exceeds the exact-term bound $MaxSigma")
+      val a = reach.select(col("src").as("s"), col("node").as("v"),
+        col("d").as("dsv"), col("sigma").as("ssv"))
+      val b = reach.select(col("src").as("v"), col("node").as("t"),
+        col("d").as("dvt"), col("sigma").as("svt"))
+      val st = reach.select(col("src").as("s"), col("node").as("t"),
+        col("d").as("dst0"), col("sigma").as("sst"))
+      val terms = a.join(b, "v").where(col("t") =!= col("s"))
+        .join(st, Seq("s", "t"))
+        .where(col("dsv") + col("dvt") === col("dst0"))
+        .select(col("v"), expr(s"(ssv * svt * ${Unit9}L) div sst").as("u"))
+      val bc = terms.groupBy(col("v"))
+        .agg(sum(col("u").cast("decimal(38,0)")).as("__su"))
+      val out = nodes
+        .join(bc.withColumnRenamed("v", "node"), Seq("node"), "left")
+        .selectExpr("node",
+          "coalesce(__su, cast(0 as decimal(38,0))) div 2 as bc_units")
+        .localCheckpoint(true)
+      nodes.unpersist(false); e.unpersist(false)
+      out
+    }
+  }
+
   def modularity(edges: DataFrame, labels: DataFrame,
       nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
     val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")

@@ -539,4 +539,33 @@ class GraphOpsSpec extends SparkSpec {
     val blob = split.select(col("node"), lit("1").as("label"))
     assert(GraphOps.modularity(edges, blob).head().getAs[Double]("q") == 0.0)
   }
+
+  test("betweenness: path middle brokers, 4-cycle splits σ, regimes bit-agree") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a—b—c: b carries the single (a,c) geodesic → 2 ordered terms of
+    // 1e9, halved = 1e9; endpoints broker nothing
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val p = asMap(GraphOps.betweenness(path))
+    assert(p == Map("a" -> 0L, "b" -> 1000000000L, "c" -> 0L))
+    // 4-cycle a-b-c-d-a: (a,c) has σ=2 via b and d → each mid-node term
+    // is (1·1·1e9) div 2 = 5e8; per node: 2 ordered pairs → 1e9/2… =
+    // exactly 500000000 after the halving div
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    val c = asMap(GraphOps.betweenness(cyc))
+    assert(c.values.toSet == Set(500000000L) && c.size == 4)
+    // two-regime contract: forcing the distributed branch is bit-identical
+    assert(asMap(GraphOps.betweenness(cyc, maxLocalEdges = 0)) == c)
+    // star: the hub carries every leaf pair — 3 leaves → 6 ordered pairs
+    // → 3e9 after halving; maxHops honored (cap 1 sees no 2-hop pairs)
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("src", "dst")
+    val s = asMap(GraphOps.betweenness(star))
+    assert(s("h") == 3000000000L && s("a") == 0L)
+    assert(asMap(GraphOps.betweenness(star, maxLocalEdges = 0)) == s)
+    val capped = asMap(GraphOps.betweenness(star, maxHops = 1))
+    assert(capped("h") == 0L)
+    assert(asMap(GraphOps.betweenness(star, maxHops = 1, maxLocalEdges = 0))
+      == capped)
+  }
 }
