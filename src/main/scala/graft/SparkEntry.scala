@@ -5231,6 +5231,17 @@ object SparkEntry {
       graft.operators.GraphOps.betweenness(top90Brand(s, dir), maxHops = 6)
         .orderBy(col("bc_units").desc, col("node").asc)
     }),
+    "q374_delong_auc" -> ((s, dir) => {
+      // does char-length rank digit-bearing docs BETTER than
+      // token-length: DeLong's correlated-AUC z — the q253 AUC read,
+      // compared properly (two detectors scored on the SAME corpus
+      // share sampling noise; independent variances would overstate z)
+      val docs = eng(s, dir).table("documents")
+      graft.operators.Experiment.delongAucCompare(docs,
+        col("text").rlike("[0-9]"),
+        col("n_chars").cast("double"),
+        size(whitespaceTokens(lower(col("text")))).cast("double"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12642,6 +12653,89 @@ object SparkEntry {
          FROM nodes n LEFT JOIN bc ON bc.v = n.node
          ORDER BY bc_units DESC, node"""
     },
+    // q374: doubled-integer placements from per-score prefix sums, all
+    // moments HUGEINT-exact, then the operator's variance/covariance
+    // double expression verbatim (same IEEE tree → same doubles)
+    "q374_delong_auc" ->
+      """WITH base AS (
+           SELECT CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS y,
+                  CAST(CAST(n_chars AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS va,
+                  CAST(CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vb
+           FROM documents
+           WHERE text IS NOT NULL AND n_chars IS NOT NULL
+         ), tot AS (
+           SELECT CAST(sum(y) AS BIGINT) AS np,
+                  CAST(count(*) - sum(y) AS BIGINT) AS nn
+           FROM base
+         ), pva AS (
+           SELECT va AS v, CAST(sum(y) AS BIGINT) AS cp,
+                  CAST(count(*) - sum(y) AS BIGINT) AS cn
+           FROM base GROUP BY 1
+         ), ca AS (
+           SELECT v, 2 * coalesce(sum(cn) OVER w, 0) + cn AS pa,
+                  2 * ((SELECT np FROM tot) - coalesce(sum(cp) OVER w, 0) - cp) + cp AS nja
+           FROM pva
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ), pvb AS (
+           SELECT vb AS v, CAST(sum(y) AS BIGINT) AS cp,
+                  CAST(count(*) - sum(y) AS BIGINT) AS cn
+           FROM base GROUP BY 1
+         ), cb AS (
+           SELECT v, 2 * coalesce(sum(cn) OVER w, 0) + cn AS pb,
+                  2 * ((SELECT np FROM tot) - coalesce(sum(cp) OVER w, 0) - cp) + cp AS njb
+           FROM pvb
+           WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ), items AS (
+           SELECT b.y, ca.pa, ca.nja, cb.pb, cb.njb
+           FROM base b JOIN ca ON ca.v = b.va JOIN cb ON cb.v = b.vb
+         ), m AS (
+           SELECT
+             sum(CASE WHEN y = 1 THEN CAST(pa AS HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN y = 1 THEN CAST(pb AS HUGEINT) ELSE 0 END) AS sb,
+             sum(CASE WHEN y = 1 THEN CAST(pa AS HUGEINT) * pa ELSE 0 END) AS saa,
+             sum(CASE WHEN y = 1 THEN CAST(pb AS HUGEINT) * pb ELSE 0 END) AS sbb,
+             sum(CASE WHEN y = 1 THEN CAST(pa AS HUGEINT) * pb ELSE 0 END) AS sab,
+             sum(CASE WHEN y = 0 THEN CAST(nja AS HUGEINT) ELSE 0 END) AS ta,
+             sum(CASE WHEN y = 0 THEN CAST(njb AS HUGEINT) ELSE 0 END) AS tb,
+             sum(CASE WHEN y = 0 THEN CAST(nja AS HUGEINT) * nja ELSE 0 END) AS taa,
+             sum(CASE WHEN y = 0 THEN CAST(njb AS HUGEINT) * njb ELSE 0 END) AS tbb,
+             sum(CASE WHEN y = 0 THEN CAST(nja AS HUGEINT) * njb ELSE 0 END) AS tab
+           FROM items
+         ), f AS (
+           SELECT np, nn, CAST(np AS DOUBLE) AS npd, CAST(nn AS DOUBLE) AS nnd,
+                  CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+                  CAST(saa AS DOUBLE) AS saa, CAST(sbb AS DOUBLE) AS sbb,
+                  CAST(sab AS DOUBLE) AS sab,
+                  CAST(ta AS DOUBLE) AS ta, CAST(tb AS DOUBLE) AS tb,
+                  CAST(taa AS DOUBLE) AS taa, CAST(tbb AS DOUBLE) AS tbb,
+                  CAST(tab AS DOUBLE) AS tab
+           FROM m CROSS JOIN tot
+         ), g AS (
+           SELECT np, nn, npd, nnd,
+                  sa / (2.0 * nnd * npd) AS auca,
+                  sb / (2.0 * nnd * npd) AS aucb,
+                  (saa - sa * sa / npd) / ((npd - 1.0) * (2.0 * nnd) * (2.0 * nnd)) AS s10aa,
+                  (sbb - sb * sb / npd) / ((npd - 1.0) * (2.0 * nnd) * (2.0 * nnd)) AS s10bb,
+                  (sab - sa * sb / npd) / ((npd - 1.0) * (2.0 * nnd) * (2.0 * nnd)) AS s10ab,
+                  (taa - ta * ta / nnd) / ((nnd - 1.0) * (2.0 * npd) * (2.0 * npd)) AS s01aa,
+                  (tbb - tb * tb / nnd) / ((nnd - 1.0) * (2.0 * npd) * (2.0 * npd)) AS s01bb,
+                  (tab - ta * tb / nnd) / ((nnd - 1.0) * (2.0 * npd) * (2.0 * npd)) AS s01ab
+           FROM f
+         ), h AS (
+           SELECT np, nn, npd, nnd, auca, aucb,
+                  (s10aa / npd + s01aa / nnd) + (s10bb / npd + s01bb / nnd)
+                    - 2.0 * (s10ab / npd + s01ab / nnd) AS vd
+           FROM g
+         )
+         SELECT np AS n_pos, nn AS n_neg,
+                CASE WHEN np >= 1 AND nn >= 1 THEN round(auca, 6) END AS auc_a,
+                CASE WHEN np >= 1 AND nn >= 1 THEN round(aucb, 6) END AS auc_b,
+                CASE WHEN np >= 1 AND nn >= 1 THEN round(auca - aucb, 6) END AS auc_diff,
+                CASE WHEN np >= 2 AND nn >= 2 AND vd > 0 THEN round(sqrt(vd), 6) END AS se_diff,
+                CASE WHEN np >= 2 AND nn >= 2 AND vd > 0
+                     THEN round((auca - aucb) / sqrt(vd), 6) END AS z
+         FROM h""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -480,6 +480,95 @@ object Experiment {
   }
 
   /**
+   * DeLong's test for TWO CORRELATED AUCs (DeLong, DeLong &
+   * Clarke-Pearson 1988) — the comparison [[rocAuc]] alone cannot make:
+   * two detectors scored on the SAME items share sampling noise, so the
+   * naive independent-variance z overstates significance exactly when
+   * the comparison matters (correlated scores). Structural components:
+   * per positive i, V10(i) = P̂(score_i > score⁻) with half-credit ties;
+   * per negative j, V01(j) symmetric. AUC = mean(V10); var/cov from the
+   * component sample (co)variances: var = s10/n1 + s01/n0,
+   * z = (AUC_A − AUC_B)/√(var_A + var_B − 2·cov).
+   *
+   * Exactness + shape: components in DOUBLED integer units (a_i =
+   * 2·neg_below + neg_tied ∈ [0, 2n0] — exact longs), derived from ONE
+   * distinct-score prefix-sum relation per score ([[DistDrift
+   * .withPrefixSums]]' distributed below-sums; scores 6dp-micro-unit
+   * quantized, so ≤ 10⁶+1 distinct values regardless of corpus) joined
+   * back broadcast — no pos×neg join anywhere. All moment sums are
+   * exact DECIMAL(38,0); the final statistics are ONE double expression
+   * of those sums, 6dp. Degenerate classes (n⁺ < 2 or n⁻ < 2) publish
+   * NULL se/z.
+   *
+   * Output: one row (n_pos, n_neg, auc_a, auc_b, auc_diff, se_diff, z).
+   */
+  def delongAucCompare(df: DataFrame, labelCol: Column, scoreA: Column,
+      scoreB: Column): DataFrame = {
+    val base = df
+      .where(labelCol.isNotNull && scoreA.isNotNull && scoreB.isNotNull)
+      .select(when(labelCol, 1L).otherwise(0L).as("y"),
+        (scoreA.cast("decimal(18,6)") * 1000000).cast("long").as("va"),
+        (scoreB.cast("decimal(18,6)") * 1000000).cast("long").as("vb"))
+      .cache()
+    val t = base.agg(coalesce(sum(col("y")), lit(0L)), count(lit(1))).head()
+    val (np, n) = (t.getLong(0), t.getLong(1))
+    val nn = n - np
+    // per distinct score value: positives/negatives AT v and strictly
+    // BELOW v → the doubled placement of any item with that value
+    def lk(vcol: String, pa: String, na: String): DataFrame = {
+      val pv = base.groupBy(col(vcol).as("v"))
+        .agg(sum(col("y")).as("cp"), (count(lit(1)) - sum(col("y"))).as("cn"))
+      DistDrift.withPrefixSums(pv, Seq("cp", "cn"))
+        .select(col("v").as(vcol),
+          (lit(2L) * col("cn_below") + col("cn")).as(pa),
+          (lit(2L) * (lit(np) - col("cp_below") - col("cp")) + col("cp")).as(na))
+    }
+    val items = base
+      .join(broadcast(lk("va", "pa", "nja")), "va")
+      .join(broadcast(lk("vb", "pb", "njb")), "vb")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def posSum(c: Column): Column =
+      sum(when(col("y") === 1L, dec(c)).otherwise(lit(0).cast("decimal(38,0)")))
+    def negSum(c: Column): Column =
+      sum(when(col("y") === 0L, dec(c)).otherwise(lit(0).cast("decimal(38,0)")))
+    val m = items.agg(
+      posSum(col("pa")).as("sa"), posSum(col("pb")).as("sb"),
+      posSum(dec(col("pa")) * dec(col("pa"))).as("saa"),
+      posSum(dec(col("pb")) * dec(col("pb"))).as("sbb"),
+      posSum(dec(col("pa")) * dec(col("pb"))).as("sab"),
+      negSum(col("nja")).as("ta"), negSum(col("njb")).as("tb"),
+      negSum(dec(col("nja")) * dec(col("nja"))).as("taa"),
+      negSum(dec(col("njb")) * dec(col("njb"))).as("tbb"),
+      negSum(dec(col("nja")) * dec(col("njb"))).as("tab"))
+    base.unpersist(false)
+    // one double expression over exact sums — mirrored verbatim in the
+    // oracle (identical IEEE structure → identical doubles)
+    val npd = lit(np.toDouble); val nnd = lit(nn.toDouble)
+    def f(c: String): Column = col(c).cast("double")
+    val aucA = f("sa") / (lit(2.0) * nnd * npd)
+    val aucB = f("sb") / (lit(2.0) * nnd * npd)
+    val d10 = (npd - 1.0) * (lit(2.0) * nnd) * (lit(2.0) * nnd)
+    val d01 = (nnd - 1.0) * (lit(2.0) * npd) * (lit(2.0) * npd)
+    val s10aa = (f("saa") - f("sa") * f("sa") / npd) / d10
+    val s10bb = (f("sbb") - f("sb") * f("sb") / npd) / d10
+    val s10ab = (f("sab") - f("sa") * f("sb") / npd) / d10
+    val s01aa = (f("taa") - f("ta") * f("ta") / nnd) / d01
+    val s01bb = (f("tbb") - f("tb") * f("tb") / nnd) / d01
+    val s01ab = (f("tab") - f("ta") * f("tb") / nnd) / d01
+    val vd = (s10aa / npd + s01aa / nnd) + (s10bb / npd + s01bb / nnd) -
+      lit(2.0) * (s10ab / npd + s01ab / nnd)
+    val ok = np >= 1 && nn >= 1
+    val okVar = np >= 2 && nn >= 2
+    m.select(lit(np).as("n_pos"), lit(nn).as("n_neg"),
+      (if (ok) round(aucA, 6) else lit(null).cast("double")).as("auc_a"),
+      (if (ok) round(aucB, 6) else lit(null).cast("double")).as("auc_b"),
+      (if (ok) round(aucA - aucB, 6) else lit(null).cast("double")).as("auc_diff"),
+      (if (okVar) when(vd > 0.0, round(sqrt(vd), 6)) else lit(null).cast("double")).as("se_diff"),
+      (if (okVar) when(vd > 0.0, round((aucA - aucB) / sqrt(vd), 6))
+       else lit(null).cast("double")).as("z"))
+  }
+
+  /**
    * Calibration curve + expected calibration error — the eval
    * [[classifierEval]] is not: accuracy says how often the model is
    * right, calibration says whether its SCORES mean what they claim

@@ -662,4 +662,26 @@ class ScdSpec extends SparkSpec {
     assert(Experiment.eValue(oneSided, col("e"), col("y"))
       .head().isNullAt(5))
   }
+
+  test("delongAucCompare: hand z=1 case, identical scores z NULL, degenerates") {
+    // pos A {3,4} / neg A {1,2} → AUC_A = 1, zero component variance;
+    // pos B {1,4} / neg B {2,3} → AUC_B = ½, s10_BB = ½, all else 0
+    // → var = ¼, se = ½, z = (1 − ½)/½ = 1 exactly
+    val df = Seq(
+      (true, 3.0, 1.0), (true, 4.0, 4.0),
+      (false, 1.0, 2.0), (false, 2.0, 3.0)).toDF("y", "a", "b")
+    val r = Experiment.delongAucCompare(df, col("y"), col("a"), col("b")).head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Double]("auc_a") == 1.0 && r.getAs[Double]("auc_b") == 0.5)
+    assert(r.getAs[Double]("auc_diff") == 0.5)
+    assert(r.getAs[Double]("se_diff") == 0.5 && r.getAs[Double]("z") == 1.0)
+    // a score compared against itself: diff 0, vd = 0 → se/z NULL
+    val self = Experiment.delongAucCompare(df, col("y"), col("a"), col("a")).head()
+    assert(self.getAs[Double]("auc_diff") == 0.0)
+    assert(self.isNullAt(5) && self.isNullAt(6))
+    // single-class input: aucs NULL too
+    val onePos = Seq((true, 1.0, 2.0), (true, 2.0, 1.0)).toDF("y", "a", "b")
+    val d = Experiment.delongAucCompare(onePos, col("y"), col("a"), col("b")).head()
+    assert(d.isNullAt(2) && d.isNullAt(3) && d.isNullAt(5) && d.isNullAt(6))
+  }
 }
