@@ -5242,6 +5242,17 @@ object SparkEntry {
         col("n_chars").cast("double"),
         size(whitespaceTokens(lower(col("text")))).cast("double"))
     }),
+    "q375_breslow_day" -> ((s, dir) => {
+      // is q294's pooled odds ratio even ONE number: Breslow-Day +
+      // Tarone homogeneity over the same ~84 monthly strata — the
+      // effect-modification alarm that fires when pooling averages
+      // away a real interaction
+      graft.operators.Experiment.breslowDay(
+        eng(s, dir).table("orders"),
+        date_format(col("o_orderdate"), "yyyy-MM"),
+        col("o_custkey") % 2 === 0,
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12736,6 +12747,80 @@ object SparkEntry {
                 CASE WHEN np >= 2 AND nn >= 2 AND vd > 0
                      THEN round((auca - aucb) / sqrt(vd), 6) END AS z
          FROM h""",
+    // q375: the q294 cells and 12dp psi_MH terms verbatim, then per
+    // stratum the operator's quadratic-root/variance double expression
+    // (same CASE order, same IEEE tree), 12dp-decimal cross-stratum sums
+    "q375_breslow_day" ->
+      """WITH per AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS g,
+                  CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM orders GROUP BY 1
+         ), psis AS (
+           SELECT CAST(sum(CAST(CASE WHEN a + b + c + d >= 2 THEN
+                    round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 12)
+                  ELSE 0 END AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_ad,
+                  CAST(sum(CAST(CASE WHEN a + b + c + d >= 2 THEN
+                    round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE), 12)
+                  ELSE 0 END AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_bc,
+                  CAST(count(*) AS BIGINT) AS n_strata
+           FROM per
+         ), sc AS (
+           SELECT n_strata,
+                  CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE) AS psi
+           FROM psis
+         ), marg AS (
+           SELECT per.a, sc.psi, sc.n_strata,
+                  CAST(per.a + per.b AS DOUBLE) AS n1,
+                  CAST(per.c + per.d AS DOUBLE) AS n0,
+                  CAST(per.a + per.c AS DOUBLE) AS m1,
+                  CASE WHEN per.a + per.b > 0 AND per.c + per.d > 0
+                        AND per.a + per.c > 0 AND per.b + per.d > 0
+                       THEN 1 ELSE 0 END AS u
+           FROM per CROSS JOIN sc
+         ), quad AS (
+           SELECT a, psi, n_strata, n1, n0, m1, u,
+                  1.0 - psi AS ba,
+                  (n0 - m1) + psi * (n1 + m1) AS bb,
+                  0.0 - psi * n1 * m1 AS bc
+           FROM marg
+         ), roots AS (
+           SELECT a, psi, n_strata, n1, n0, m1, u, ba, bb,
+                  sqrt(CASE WHEN bb * bb - 4.0 * ba * bc > 0
+                            THEN bb * bb - 4.0 * ba * bc ELSE 0.0 END) AS rt
+           FROM quad
+         ), fit AS (
+           SELECT a, psi, n_strata, n1, n0, m1, u,
+                  CASE WHEN abs(ba) < 1e-12 THEN n1 * m1 / (n1 + n0)
+                       WHEN (0.0 - bb + rt) / (2.0 * ba) >= greatest(0.0, m1 - n0) - 1e-7
+                        AND (0.0 - bb + rt) / (2.0 * ba) <= least(n1, m1) + 1e-7
+                       THEN (0.0 - bb + rt) / (2.0 * ba)
+                       ELSE (0.0 - bb - rt) / (2.0 * ba) END AS afit
+           FROM roots
+         ), vterm AS (
+           SELECT a, n_strata, u, afit,
+                  1.0 / (1.0 / afit + 1.0 / (n1 - afit) + 1.0 / (m1 - afit)
+                         + 1.0 / (n0 - m1 + afit)) AS vfit,
+                  CAST(a AS DOUBLE) - afit AS diff
+           FROM fit
+         ), terms AS (
+           SELECT n_strata,
+                  CAST(sum(CASE WHEN u = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+                  CAST(sum(CAST(CASE WHEN u = 1 THEN round(diff * diff / vfit, 12) ELSE 0 END AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_bd,
+                  CAST(sum(CAST(CASE WHEN u = 1 THEN round(diff, 12) ELSE 0 END AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_df,
+                  CAST(sum(CAST(CASE WHEN u = 1 THEN round(vfit, 12) ELSE 0 END AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_v
+           FROM vterm GROUP BY 1
+         )
+         SELECT t.n_strata, t.n_used, round(sc.psi, 6) AS or_mh,
+                CASE WHEN t.n_used >= 2 THEN round(CAST(t.s_bd AS DOUBLE), 6) END AS bd,
+                CASE WHEN t.n_used >= 2 AND t.s_v > 0 THEN
+                  round(CAST(t.s_bd AS DOUBLE)
+                        - CAST(t.s_df AS DOUBLE) * CAST(t.s_df AS DOUBLE)
+                          / CAST(t.s_v AS DOUBLE), 6) END AS bd_tarone,
+                CASE WHEN t.n_used >= 2 THEN t.n_used - 1 END AS df
+         FROM terms t CROSS JOIN sc""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

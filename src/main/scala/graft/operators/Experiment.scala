@@ -1097,6 +1097,117 @@ object Experiment {
   }
 
   /**
+   * Breslow–Day homogeneity test with Tarone's correction — the
+   * question [[mantelHaenszel]] ASSUMES away: MH pools one odds ratio
+   * across strata; Breslow–Day (1980) asks whether a single OR is even
+   * the right model, or the association flips/shifts by stratum
+   * (effect modification — pooling would then average away a real
+   * interaction). Per stratum, the expected exposed-case count ã under
+   * the pooled ψ_MH solves the quadratic (1−ψ)ã² + [(n0−m1) +
+   * ψ(n1+m1)]ã − ψ·n1·m1 = 0 (the root inside [max(0,m1−n0),
+   * min(n1,m1)]; the ψ=1 degenerate is the linear n1·m1/N), with
+   * Var(ã) = 1/(1/ã+1/b̃+1/c̃+1/d̃); BD = Σ(a−ã)²/Var, and Tarone
+   * subtracts (Σ(a−ã))²/ΣVar — the correction that makes the statistic
+   * asymptotically χ²(strata−1) when ψ̂ is MH rather than conditional
+   * MLE.
+   *
+   * Exactness: cells are exact longs from ONE aggregation; ψ_MH is the
+   * [[mantelHaenszel]] 12dp-decimal-summed ratio (one bounded head());
+   * each stratum's ã/Var/terms are one double expression of exact
+   * integers + that scalar, mirrored verbatim in the oracle; the three
+   * cross-stratum sums ride 12dp-decimal terms (order-free). Strata
+   * with a zero margin carry no information about ψ and are skipped
+   * (counted in n_strata − n_used). Shape: one groupBy over the fact
+   * table, a strata-sized rollup, nothing quadratic.
+   *
+   * Output: one row (n_strata, n_used, or_mh, bd, bd_tarone, df) —
+   * NULL statistics when ψ is undefined (s_ad or s_bc zero) or fewer
+   * than 2 usable strata.
+   */
+  def breslowDay(units: DataFrame, strataCol: Column,
+      exposedCol: Column, outcomeCol: Column): DataFrame = {
+    val s = units.select(strataCol.cast("string").as("g"),
+        exposedCol.as("ex"), outcomeCol.as("ou"))
+      .where(col("g").isNotNull && col("ex").isNotNull && col("ou").isNotNull)
+    def cell(e: Boolean, o: Boolean): Column =
+      sum(when(col("ex") === e && col("ou") === o, 1L).otherwise(0L))
+    val per = s.groupBy(col("g")).agg(
+      cell(true, true).as("a"), cell(true, false).as("b"),
+      cell(false, true).as("c"), cell(false, false).as("d"))
+      .localCheckpoint(true) // read twice: psi pass + term pass
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    // pass 1: the pooled psi_MH (the q294 12dp-decimal-summed ratio)
+    val used = (col("a") + col("b") + col("c") + col("d")) >= 2
+    val psiAgg = per.select(
+      when(used, round(col("a").cast("double") * col("d").cast("double") / n, 12))
+        .otherwise(0.0).cast("decimal(38,12)").as("__adn"),
+      when(used, round(col("b").cast("double") * col("c").cast("double") / n, 12))
+        .otherwise(0.0).cast("decimal(38,12)").as("__bcn"))
+      .agg(sum(col("__adn")).as("s_ad"), sum(col("__bcn")).as("s_bc")).head()
+    val sAd = Option(psiAgg.getDecimal(0)).map(_.doubleValue).getOrElse(0.0)
+    val sBc = Option(psiAgg.getDecimal(1)).map(_.doubleValue).getOrElse(0.0)
+    val spark = units.sparkSession
+    import spark.implicits._
+    val nStrata = per.count()
+    if (sAd <= 0.0 || sBc <= 0.0) {
+      per.unpersist(false)
+      Seq((nStrata, 0L)).toDF("n_strata", "n_used")
+        .withColumn("or_mh", lit(null).cast("double"))
+        .withColumn("bd", lit(null).cast("double"))
+        .withColumn("bd_tarone", lit(null).cast("double"))
+        .withColumn("df", lit(null).cast("long"))
+    } else {
+      val psi = sAd / sBc
+      // pass 2: per-stratum fitted cell + variance under psi — one
+      // double expression of exact integers and the psi scalar
+      val n1 = (col("a") + col("b")).cast("double")
+      val n0 = (col("c") + col("d")).cast("double")
+      val m1 = (col("a") + col("c")).cast("double")
+      val m0 = (col("b") + col("d")).cast("double")
+      val usable = (col("a") + col("b")) > 0 && (col("c") + col("d")) > 0 &&
+        (col("a") + col("c")) > 0 && (col("b") + col("d")) > 0
+      val bA = lit(1.0) - lit(psi)
+      val bB = (n0 - m1) + lit(psi) * (n1 + m1)
+      val bC = lit(0.0) - lit(psi) * n1 * m1
+      val disc = bB * bB - lit(4.0) * bA * bC
+      val root = sqrt(when(disc > 0.0, disc).otherwise(lit(0.0)))
+      val r1 = (lit(0.0) - bB + root) / (lit(2.0) * bA)
+      val r2 = (lit(0.0) - bB - root) / (lit(2.0) * bA)
+      val lo = greatest(lit(0.0), m1 - n0)
+      val hi = least(n1, m1)
+      val linear = n1 * m1 / (n1 + n0)
+      val aFit = when(abs(bA) < 1e-12, linear)
+        .when(r1 >= lo - 1e-7 && r1 <= hi + 1e-7, r1)
+        .otherwise(r2)
+      val bFit = n1 - aFit; val cFit = m1 - aFit; val dFit = n0 - m1 + aFit
+      val vFit = lit(1.0) / (lit(1.0) / aFit + lit(1.0) / bFit
+        + lit(1.0) / cFit + lit(1.0) / dFit)
+      val diff = col("a").cast("double") - aFit
+      val terms = per.select(
+        when(usable, 1L).otherwise(0L).as("__u"),
+        when(usable, round(diff * diff / vFit, 12)).otherwise(0.0)
+          .cast("decimal(38,12)").as("__bd"),
+        when(usable, round(diff, 12)).otherwise(0.0)
+          .cast("decimal(38,12)").as("__df"),
+        when(usable, round(vFit, 12)).otherwise(0.0)
+          .cast("decimal(38,12)").as("__v"))
+      val agg = terms.agg(sum(col("__u")).as("n_used"),
+        sum(col("__bd")).as("s_bd"), sum(col("__df")).as("s_df"),
+        sum(col("__v")).as("s_v")).localCheckpoint(true)
+      per.unpersist(false)
+      val bd = col("s_bd").cast("double")
+      val corr = col("s_df").cast("double") * col("s_df").cast("double") /
+        col("s_v").cast("double")
+      agg.select(lit(nStrata).as("n_strata"), col("n_used"),
+        round(lit(psi), 6).as("or_mh"),
+        when(col("n_used") >= 2, round(bd, 6)).as("bd"),
+        when(col("n_used") >= 2 && col("s_v") > 0, round(bd - corr, 6))
+          .as("bd_tarone"),
+        when(col("n_used") >= 2, col("n_used") - 1L).as("df"))
+    }
+  }
+
+  /**
    * Cochran–Armitage trend test: does a binary outcome rate move
    * MONOTONICALLY across ordered dose levels (Cochran 1954, Armitage
    * 1955) — the χ² of independence can't see order, this z can. Levels

@@ -684,4 +684,33 @@ class ScdSpec extends SparkSpec {
     val d = Experiment.delongAucCompare(onePos, col("y"), col("a"), col("b")).head()
     assert(d.isNullAt(2) && d.isNullAt(3) && d.isNullAt(5) && d.isNullAt(6))
   }
+
+  test("breslowDay: homogeneous BD=0, flipped-OR hand 20/3, margins skip, NULLs") {
+    def stratum(g: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((g, true, true)) ++ Seq.fill(b)((g, true, false)) ++
+        Seq.fill(c)((g, false, true)) ++ Seq.fill(d)((g, false, false))
+    def run(rows: Seq[(String, Boolean, Boolean)]) =
+      Experiment.breslowDay(rows.toDF("g", "ex", "ou"),
+        col("g"), col("ex"), col("ou")).head()
+    // two identical strata: psi equals each stratum's OR (= 4), the
+    // quadratic root lands exactly on the observed a → BD = 0
+    val homo = run(stratum("s1", 10, 5, 5, 10) ++ stratum("s2", 10, 5, 5, 10))
+    assert(homo.getAs[Long]("n_used") == 2L && homo.getAs[Double]("or_mh") == 4.0)
+    assert(homo.getAs[Double]("bd") == 0.0 && homo.getAs[Double]("bd_tarone") == 0.0)
+    // mirrored strata (OR 4 vs 1/4): psi = 1 → the LINEAR branch,
+    // afit = 7.5, V = 1.875 → BD = 2·(2.5²/1.875) = 20/3; Σdiff = 0 so
+    // Tarone changes nothing
+    val flip = run(stratum("s1", 10, 5, 5, 10) ++ stratum("s2", 5, 10, 10, 5))
+    assert(flip.getAs[Double]("or_mh") == 1.0)
+    assert(flip.getAs[Double]("bd") == 6.666667
+      && flip.getAs[Double]("bd_tarone") == 6.666667)
+    assert(flip.getAs[Long]("df") == 1L)
+    // a zero-margin stratum carries no psi information: skipped
+    val skip = run(stratum("s1", 10, 5, 5, 10) ++ stratum("s2", 10, 5, 5, 10)
+      ++ stratum("s3", 3, 2, 0, 0))
+    assert(skip.getAs[Long]("n_strata") == 3L && skip.getAs[Long]("n_used") == 2L)
+    // psi undefined (no discordant mass): everything NULL
+    val nul = run(stratum("s1", 5, 0, 5, 0))
+    assert(nul.isNullAt(2) && nul.isNullAt(3) && nul.isNullAt(4) && nul.isNullAt(5))
+  }
 }
