@@ -5253,6 +5253,14 @@ object SparkEntry {
         col("o_custkey") % 2 === 0,
         col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
     }),
+    "q376_textrank" -> ((s, dir) => {
+      // TOPICAL words, not merely frequent ones: TextRank — exact
+      // integer PageRank over the adjacent-token co-occurrence graph
+      // (q346's RAKE scores words by their own phrase stats; this ranks
+      // them by recursive centrality), top-20 by rank
+      graft.pipeline.CorpusStats.textRankKeywords(
+        eng(s, dir).table("documents"), "doc_id", "text", topK = 20)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12821,6 +12829,42 @@ object SparkEntry {
                           / CAST(t.s_v AS DOUBLE), 6) END AS bd_tarone,
                 CASE WHEN t.n_used >= 2 THEN t.n_used - 1 END AS df
          FROM terms t CROSS JOIN sc""",
+    // q376: the q370 tokenizer, adjacent-pair slices, canonical distinct
+    // undirected edges, then the duckPageRank integer fixed-point rounds
+    // verbatim over the word graph
+    "q376_textrank" -> {
+      val iters = (1 to 5).map { i =>
+        val prev = if (i == 1) "r0" else s"it${i - 1}"
+        s""", it$i AS (
+             SELECT n.node, CAST(150000000 + COALESCE(f.infl, 0) AS BIGINT) AS r
+             FROM nodes n LEFT JOIN (
+               SELECT e.dst AS node,
+                      CAST(sum((rp.r * 85) // (100 * deg.deg)) AS BIGINT) AS infl
+               FROM e JOIN $prev rp ON rp.node = e.src
+                      JOIN deg ON deg.src = e.src
+               GROUP BY 1
+             ) f ON f.node = n.node
+           )"""
+      }.mkString
+      s"""WITH t AS (
+           SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+           FROM documents
+         ), g2 AS (
+           SELECT unnest([toks[i+1:i+2] for i in range(0, len(toks) - 1)]) AS pr
+           FROM t WHERE len(toks) >= 2
+         ), prs AS MATERIALIZED (
+           SELECT DISTINCT least(pr[1], pr[2]) AS pa, greatest(pr[1], pr[2]) AS pb
+           FROM g2 WHERE pr[1] <> pr[2] AND pr[1] <> '' AND pr[2] <> ''
+         ), e AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM prs
+           UNION ALL SELECT pb, pa FROM prs
+         ), nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)
+         $iters
+         SELECT node AS w, r AS rank_units FROM it5
+         ORDER BY rank_units DESC, w LIMIT 20"""
+    },
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -1138,6 +1138,48 @@ object CorpusStats {
    * narrow projection. Output: (`idCol`, pos — 0-based, left_ctx,
    * right_ctx), contexts space-joined, maxRows rows.
    */
+  /**
+   * TextRank keywords (Mihalcea & Tarau 2004) — the graph-ranking
+   * companion of [[rakeKeyphrases]]: RAKE scores words by their own
+   * phrase statistics; TextRank scores them by RECURSIVE centrality in
+   * the co-occurrence graph, so a word that co-occurs with other
+   * well-connected words outranks an equally-frequent one on the
+   * corpus periphery — the difference between "frequent" and "topical".
+   *
+   * Construction: lowercased whitespace tokens; ADJACENT-pair
+   * co-occurrence edges (window 2, the paper's default), canonical
+   * undirected, de-duplicated, self-pairs dropped — built with ONE
+   * zip_with over each token array (token-linear, no self-join, no
+   * window function). Ranking is [[graft.operators.GraphOps
+   * .pageRankFixed]]' exact integer fixed-point walk (damping 85/100,
+   * `iters` rounds, 1e-9 units) over both edge directions — bit-
+   * identical on any engine/partitioning, two-regime (vocabulary
+   * graphs of threshold-scale corpora often fit the driver; at corpus
+   * scale the distributed twin takes over). Top-K by (rank desc, word)
+   * is a bounded TakeOrdered.
+   *
+   * Output: (w, rank_units), topK rows.
+   */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20, iters: Int = 5): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val arr = whitespaceTokens(lower(col(textCol)))
+    val adj = docs.select(explode(zip_with(
+        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .where(col("w1") =!= col("w2") && col("w1") =!= "" && col("w2") =!= "")
+    val canon = adj.select(least(col("w1"), col("w2")).as("pa"),
+      greatest(col("w1"), col("w2")).as("pb")).distinct()
+    val edges = canon.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(canon.select(col("pb").as("src"), col("pa").as("dst")))
+    graft.operators.GraphOps.pageRankFixed(edges, iters = iters)
+      .select(col("node").as("w"), col("rank_units"))
+      .orderBy(col("rank_units").desc, col("w").asc)
+      .limit(topK)
+  }
+
   def kwic(docs: DataFrame, idCol: String, textCol: String, term: String,
       window: Int = 3, maxRows: Int = 100): DataFrame = {
     require(term.nonEmpty && window >= 1 && maxRows >= 1,

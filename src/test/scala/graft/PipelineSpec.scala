@@ -1829,4 +1829,26 @@ class PipelineSpec extends SparkSpec {
         Seq(("only", "x")).toDF("source", "text"), "source", "text")
     }
   }
+
+  test("textRankKeywords: star graph construction, self/empty pairs dropped, topK") {
+    import spark.implicits._
+    // "a b a c": adjacent pairs (a,b),(b,a),(a,c) → canonical distinct
+    // star {a-b, a-c}; "x x" contributes only a self-pair (dropped);
+    // hub outranks the tied leaves
+    val docs = Seq((1L, "A b a C"), (2L, "x x"), (3L, "")).toDF("id", "text")
+    val got = graft.pipeline.CorpusStats.textRankKeywords(docs, "id", "text",
+      topK = 10).collect().map(r => (r.getString(0), r.getLong(1)))
+    // the ranking must equal exact PageRank over precisely that star
+    val star = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val want = graft.operators.GraphOps.pageRankFixed(star)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.length == 3 && !got.exists(_._1 == "x"))
+    assert(got.toMap == want)
+    assert(got(0)._1 == "a" && got(1)._2 == got(2)._2) // hub first, leaves tied
+    assert(got(1)._1 == "b" && got(2)._1 == "c") // ties break by word
+    // bounded topK is honored
+    assert(graft.pipeline.CorpusStats.textRankKeywords(docs, "id", "text",
+      topK = 2).count() == 2L)
+  }
 }
