@@ -5261,6 +5261,14 @@ object SparkEntry {
       graft.pipeline.CorpusStats.textRankKeywords(
         eng(s, dir).table("documents"), "doc_id", "text", topK = 20)
     }),
+    "q377_closeness" -> ((s, dir) => {
+      // WHO sits close to everything: exact per-node closeness +
+      // harmonic centrality — the node-level read q358 aggregates away
+      // and q303's landmark pass only approximates; maxHops = 24
+      // matches the q358 oracle cap
+      graft.operators.GraphOps.closenessExact(top90Brand(s, dir),
+        maxHops = 24).orderBy(col("node").asc)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12865,6 +12873,24 @@ object SparkEntry {
          SELECT node AS w, r AS rank_units FROM it5
          ORDER BY rank_units DESC, w LIMIT 20"""
     },
+    // q377: the q358 recursive min-distance relation, grouped per
+    // source instead of pooled — 12dp-decimal 1/d sums, one 6dp divide
+    "q377_closeness" -> (duckTop90Graph.replace("WITH bi", "WITH RECURSIVE bi") +
+      """, r AS (
+           SELECT src, dst AS node, 1 AS d FROM e
+           UNION
+           SELECT r.src, e.dst AS node, r.d + 1
+           FROM r JOIN e ON e.src = r.node
+           WHERE r.d < 24 AND e.dst <> r.src
+         ), md AS (
+           SELECT src, node, CAST(min(d) AS BIGINT) AS d
+           FROM r WHERE node <> src GROUP BY 1, 2
+         )
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reach,
+                CAST(sum(d) AS BIGINT) AS total_dist,
+                round(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_dist,
+                round(CAST(sum(CAST(round(1.0::DOUBLE / d, 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS harmonic
+         FROM md GROUP BY 1 ORDER BY node"""),
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -1267,6 +1267,98 @@ object GraphOps {
    * Output: one row (m, n_communities, within_edges, q).
    */
   /**
+   * Exact per-node closeness + harmonic centrality — the node-level
+   * read [[apspStats]] aggregates away and [[landmarkCloseness]] only
+   * approximates: who sits CLOSE to everything. Per node v over the
+   * symmetrized graph: reachable count, total geodesic distance, mean
+   * distance, and harmonic centrality Σ 1/d(v,t) (Marchiori & Latora
+   * 2000 — the form that stays meaningful on disconnected graphs,
+   * where classic closeness degenerates).
+   *
+   * Exactness: distances are exact ints from the same BFS/min-relax
+   * pair as [[apspStats]] (two regimes, bit-identical — the local
+   * branch emits raw (src, d) pairs and runs the SAME Spark aggregate
+   * expressions); 1/d terms round 12dp and DECIMAL-sum (order-free),
+   * mean is one 6dp divide of exact longs. Shape: one frontier
+   * join + min-agg per hop with lineage cuts; the output is
+   * node-sized.
+   *
+   * Output per node: (node, n_reach, total_dist, mean_dist, harmonic).
+   */
+  def closenessExact(edges: DataFrame, maxHops: Int = 24,
+      maxLocalEdges: Long = 4000000L): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1,64]: $maxHops")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def assemble(pairs: DataFrame): DataFrame =
+      pairs.groupBy(col("src").as("node")).agg(
+        count(lit(1)).as("n_reach"),
+        sum(col("d")).as("total_dist"),
+        sum(round(lit(1.0) / col("d").cast("double"), 12)
+          .cast("decimal(24,12)")).as("__h"))
+        .select(col("node"), col("n_reach"), col("total_dist"),
+          round(col("total_dist").cast("double")
+            / col("n_reach").cast("double"), 6).as("mean_dist"),
+          round(col("__h").cast("double"), 6).as("harmonic"))
+    if (fitsLocal(e, maxLocalEdges)) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      e.unpersist(false)
+      val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = new java.util.HashMap[String, Int](nodes.length * 2)
+      nodes.zipWithIndex.foreach { case (n, i) => idx.put(n, i) }
+      val n = nodes.length
+      val adj = Array.fill(n)(List.empty[Int])
+      es.foreach { case (s, d) => val i = idx.get(s); adj(i) = idx.get(d) :: adj(i) }
+      val out = List.newBuilder[(String, Long)]
+      val dist = new Array[Int](n)
+      val queue = new Array[Int](n)
+      var s0 = 0
+      while (s0 < n) {
+        java.util.Arrays.fill(dist, -1)
+        dist(s0) = 0; queue(0) = s0
+        var head = 0; var tail = 1
+        while (head < tail) {
+          val u = queue(head); head += 1
+          val du = dist(u)
+          if (du < maxHops) adj(u).foreach { w =>
+            if (dist(w) < 0) { dist(w) = du + 1; queue(tail) = w; tail += 1 }
+          }
+        }
+        var i = 0
+        while (i < n) {
+          if (i != s0 && dist(i) > 0) out += ((nodes(s0), dist(i).toLong))
+          i += 1
+        }
+        s0 += 1
+      }
+      assemble(out.result().toDF("src", "d"))
+    } else {
+      var dist = e.select(col("src"), col("dst").as("node"), lit(1L).as("d"))
+        .distinct().localCheckpoint(true)
+      var round0 = 1
+      var grew = true
+      while (grew && round0 < maxHops) {
+        val next = dist.join(e.withColumnRenamed("src", "node"), "node")
+          .select(col("src"), col("dst").as("node"), (col("d") + 1L).as("d"))
+          .where(col("src") =!= col("node"))
+          .unionByName(dist)
+          .groupBy(col("src"), col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+        grew = next.count() > dist.count()
+        dist = next
+        round0 += 1
+      }
+      val out = assemble(dist).localCheckpoint(true)
+      e.unpersist(false)
+      out
+    }
+  }
+
+  /**
    * Exact betweenness centrality — WHICH nodes carry the shortest-path
    * traffic. The brokerage companion of [[eigenvectorCentrality]] (who is
    * connected to whom) and [[apspStats]] (how far everything is): a node

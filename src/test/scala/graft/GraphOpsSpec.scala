@@ -568,4 +568,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(asMap(GraphOps.betweenness(star, maxHops = 1, maxLocalEdges = 0))
       == capped)
   }
+
+  test("closenessExact: path-graph hand values, disconnection, regimes bit-agree") {
+    import spark.implicits._
+    // a—b—c: a reaches {b:1, c:2} → total 3, mean 1.5, harmonic 1.5;
+    // b reaches both at 1 → total 2, mean 1, harmonic 2
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = GraphOps.closenessExact(path).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((2L, 3L, 1.5, 1.5)))
+    assert(got("b") == ((2L, 2L, 1.0, 2.0)))
+    assert(got("c") == got("a"))
+    val dist = GraphOps.closenessExact(path, maxLocalEdges = 0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(dist == got) // two-regime contract
+    // disconnected component: reach counts only the own island
+    val split = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val s = GraphOps.closenessExact(split).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s.values.toSet == Set(1L) && s.size == 4)
+  }
 }
