@@ -5269,6 +5269,16 @@ object SparkEntry {
       graft.operators.GraphOps.closenessExact(top90Brand(s, dir),
         maxHops = 24).orderBy(col("node").asc)
     }),
+    "q378_theil" -> ((s, dir) => {
+      // WHERE does q200's revenue skew live: Theil-T with the exact
+      // within/between decomposition over the same priority groups —
+      // rising inequality with flat within-group Theil means the
+      // PRIORITIES are diverging, not the orders
+      graft.operators.DistDrift.theilDecomposition(
+        eng(s, dir).table("orders"),
+        col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("grp").asc)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12891,6 +12901,47 @@ object SparkEntry {
                 round(CAST(sum(d) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_dist,
                 round(CAST(sum(CAST(round(1.0::DOUBLE / d, 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS harmonic
          FROM md GROUP BY 1 ORDER BY node"""),
+    // q378: exact cents + 12dp x·lnx sums per group, then the operator's
+    // sum-identity Theil expressions verbatim; decomposition terms
+    // 12dp-decimal-summed across the 5 groups
+    "q378_theil" ->
+      """WITH rows_ AS (
+           SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS x
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+             AND o_totalprice > 0
+         ), per AS (
+           SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(round(x * 100.0, 0) AS HUGEINT)) AS HUGEINT) AS s2,
+                  CAST(sum(CAST(round(x * ln(x), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS u
+           FROM rows_ GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS nt,
+                  CAST(sum(s2) AS HUGEINT) AS s2t,
+                  CAST(sum(u) AS DECIMAL(38,12)) AS ut
+           FROM per
+         ), m AS (
+           SELECT grp, n,
+                  CAST(s2 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mug,
+                  (CAST(s2 AS DOUBLE) / 100.0) / (CAST(s2t AS DOUBLE) / 100.0) AS share,
+                  (CAST(u AS DOUBLE)
+                    - ln(CAST(s2 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / 100.0))
+                  / (CAST(n AS DOUBLE)
+                     * (CAST(s2 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE))) AS tg,
+                  CAST(s2t AS DOUBLE) / 100.0 / CAST(nt AS DOUBLE) AS mut
+           FROM per CROSS JOIN tot
+         ), sc AS (
+           SELECT CAST(sum(CAST(round(share * tg, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS tw,
+                  CAST(sum(CAST(round(share * ln(mug / mut), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS tb
+           FROM m
+         )
+         SELECT m.grp, m.n, round(m.mug, 6) AS mean_x, round(m.share, 6) AS share,
+                round(m.tg, 6) AS theil_g,
+                round(CAST(sc.tw AS DOUBLE), 6) AS theil_within,
+                round(CAST(sc.tb AS DOUBLE), 6) AS theil_between,
+                round(CAST(sc.tw AS DOUBLE) + CAST(sc.tb AS DOUBLE), 6) AS theil_total
+         FROM m CROSS JOIN sc ORDER BY grp""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

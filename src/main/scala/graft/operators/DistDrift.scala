@@ -389,6 +389,64 @@ object DistDrift {
   }
 
   /**
+   * Theil-T inequality with exact within/between decomposition — the
+   * question [[gini]] cannot answer: Gini says HOW skewed revenue is,
+   * Theil says WHERE the skew lives, because it is the only standard
+   * inequality index that decomposes additively by group
+   * (T = T_between + Σ_g s_g·T_g, s_g = the group's value share).
+   * A rising corpus-wide Gini with flat within-group Theil means the
+   * GROUPS are diverging, not the members.
+   *
+   * Exactness: values quantize to exact integer cents (DECIMAL sums);
+   * the one transcendental per row (x·ln x) rounds 12dp and
+   * DECIMAL-sums (order-free); every published statistic is one double
+   * expression of those exact sums, mirrored verbatim in the oracle.
+   * T_g uses the sum identity T_g = (Σx·lnx − ln μ_g·Σx)/(N_g·μ_g) —
+   * no second pass over rows. Shape: ONE map-combined groupBy over the
+   * fact table, then a groups-sized rollup. Non-positive values carry
+   * no ln and are excluded by definition.
+   *
+   * Output per group: (grp, n, mean_x, share, theil_g) + the
+   * decomposition (theil_within, theil_between, theil_total)
+   * replicated (the calibration convention).
+   */
+  def theilDecomposition(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val rows = df.select(groupCol.cast("string").as("grp"),
+        valueCol.cast("double").as("x"))
+      .where(col("grp").isNotNull && col("x").isNotNull && col("x") > 0.0)
+    val per = rows.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(round(col("x") * lit(100.0), 0).cast("decimal(38,0)")).as("__s2"),
+      sum(round(col("x") * log(col("x")), 12).cast("decimal(38,12)")).as("__u"))
+    val tot = per.agg(sum(col("n")).as("__nt"), sum(col("__s2")).as("__s2t"),
+      sum(col("__u")).as("__ut"))
+    val j = per.crossJoin(broadcast(tot))
+    val ng = col("n").cast("double")
+    val sg = col("__s2").cast("double") / lit(100.0)
+    val mug = sg / ng
+    val nt = col("__nt").cast("double")
+    val st = col("__s2t").cast("double") / lit(100.0)
+    val mut = st / nt
+    val tg = (col("__u").cast("double") - log(mug) * sg) / (ng * mug)
+    val share = sg / st
+    val perT = j.select(col("grp"), col("n"), mug.as("__mug"),
+        share.as("__share"), tg.as("__tg"),
+        round(share * tg, 12).cast("decimal(38,12)").as("__w"),
+        round(share * log(mug / mut), 12).cast("decimal(38,12)").as("__b"))
+      .localCheckpoint(true) // read twice: scalar rollup + final join
+    val sc = perT.agg(sum(col("__w")).as("__tw"), sum(col("__b")).as("__tb"))
+    perT.crossJoin(broadcast(sc)).select(col("grp"), col("n"),
+      round(col("__mug"), 6).as("mean_x"),
+      round(col("__share"), 6).as("share"),
+      round(col("__tg"), 6).as("theil_g"),
+      round(col("__tw").cast("double"), 6).as("theil_within"),
+      round(col("__tb").cast("double"), 6).as("theil_between"),
+      round(col("__tw").cast("double") + col("__tb").cast("double"), 6)
+        .as("theil_total"))
+  }
+
+  /**
    * Exact two-sample KS: one row — (ks, at_value, n_old, n_new), where
    * `ks` = max |F1−F2| over the pooled distinct values and `at_value` is
    * the smallest value attaining it (deterministic tiebreak). The max

@@ -407,4 +407,28 @@ class DistDriftSpec extends SparkSpec {
       && g2.getAs[Double]("dispersion") == 6.0
       && g2.getAs[Double]("k_hat") == 0.4)
   }
+  test("theilDecomposition: within-equal groups put ALL inequality between") {
+    import spark.implicits._
+    // A = {100, 100}, B = {300, 300}: T_A = T_B = 0 → within 0;
+    // between = .25·ln(½) + .75·ln(1.5) = 0.130812036…; total = between.
+    // The direct Theil over the pooled 4 values is the same number —
+    // the decomposition identity at its cleanest.
+    val df = Seq(("A", 100.0), ("A", 100.0), ("B", 300.0), ("B", 300.0))
+      .toDF("g", "x")
+    val rows = graft.operators.DistDrift.theilDecomposition(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("A"); val b = rows("B")
+    assert(a.getAs[Long]("n") == 2L && a.getAs[Double]("mean_x") == 100.0)
+    assert(a.getAs[Double]("share") == 0.25 && b.getAs[Double]("share") == 0.75)
+    assert(a.getAs[Double]("theil_g") == 0.0 && b.getAs[Double]("theil_g") == 0.0)
+    assert(a.getAs[Double]("theil_within") == 0.0)
+    assert(a.getAs[Double]("theil_between") == 0.130812)
+    assert(a.getAs[Double]("theil_total") == 0.130812)
+    // non-positive values are excluded by definition, not poisoned
+    val guarded = graft.operators.DistDrift.theilDecomposition(
+      df.unionByName(Seq(("A", 0.0), ("B", -5.0)).toDF("g", "x")),
+      col("g"), col("x")).collect().map(r => r.getString(0) -> r).toMap
+    assert(guarded("A").getAs[Long]("n") == 2L
+      && guarded("A").getAs[Double]("theil_between") == 0.130812)
+  }
 }
