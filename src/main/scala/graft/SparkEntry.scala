@@ -5279,6 +5279,16 @@ object SparkEntry {
         col("o_orderpriority"), col("o_totalprice"))
         .orderBy(col("grp").asc)
     }),
+    "q379_cka_int8" -> ((s, dir) => {
+      // did int8 quantization PRESERVE the geometry: linear CKA between
+      // the float embedding space and its dequantized int8 self — the
+      // representation-level companion of q73's per-query recall read
+      // (rotation/scale-invariant agreement of the two Gram structures)
+      val emb = eng(s, dir).table("embeddings")
+      graft.pipeline.CorpusStats.embeddingCka(emb,
+        col("embedding"),
+        VectorSearch.dequantizeInt8(VectorSearch.quantizeInt8(col("embedding"))))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -12942,6 +12952,52 @@ object SparkEntry {
                 round(CAST(sc.tb AS DOUBLE), 6) AS theil_between,
                 round(CAST(sc.tw AS DOUBLE) + CAST(sc.tb AS DOUBLE), 6) AS theil_total
          FROM m CROSS JOIN sc ORDER BY grp""",
+    // q379: the q73 int8 quantize/dequantize replayed per element
+    // (clamped round, REAL scale, REAL product), both blocks micro-unit
+    // quantized into ONE 2d relation, then the q366 exact centered
+    // cells and 12dp Frobenius sums verbatim
+    "q379_cka_int8" ->
+      """WITH dq AS (
+           SELECT vec_id, embedding,
+                  list_max([abs(CAST(v AS DOUBLE)) for v in embedding]) AS amax,
+                  CAST(list_max([abs(CAST(v AS DOUBLE)) for v in embedding]) / 127.0 AS REAL) AS scale
+           FROM embeddings WHERE embedding IS NOT NULL
+         ), zu AS (
+           SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+                  CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS zv
+           FROM dq, unnest(range(1, len(embedding) + 1)) AS t(i)
+           UNION ALL
+           SELECT vec_id, CAST(len(embedding) + t.i - 1 AS INTEGER) AS i,
+                  CAST(round(CAST(CAST(CAST(CAST(least(greatest(round(CAST(embedding[t.i] AS DOUBLE) * 127.0 / amax), -127), 127) AS TINYINT) AS REAL) * scale AS REAL) AS DOUBLE) * 1000000, 0) AS BIGINT) AS zv
+           FROM dq, unnest(range(1, len(embedding) + 1)) AS t(i)
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dq),
+         sums AS (SELECT i, CAST(sum(zv) AS BIGINT) AS s FROM zu GROUP BY 1),
+         cells AS (
+           SELECT a.i, b.i AS j, sum(CAST(a.zv AS HUGEINT) * b.zv) AS cij
+           FROM zu a JOIN zu b ON b.vec_id = a.vec_id GROUP BY 1, 2
+         ), cov AS MATERIALIZED (
+           SELECT c.i, c.j,
+                  round(CAST(nn.n * c.cij - CAST(sa.s AS HUGEINT) * sb.s AS DOUBLE)
+                        / (CAST(nn.n AS DOUBLE) * nn.n * 1000000000000.0), 12) AS cv
+           FROM cells c JOIN sums sa ON sa.i = c.i JOIN sums sb ON sb.i = c.j
+           CROSS JOIN nn
+         ), dd AS (SELECT CAST(count(*) // 2 AS BIGINT) AS d FROM sums),
+         h AS (
+           SELECT
+             CAST(sum(CASE WHEN i < d AND j >= d THEN CAST(round(cv * cv, 12) AS DECIMAL(38,12)) ELSE 0 END) AS DECIMAL(38,12)) AS hxy,
+             CAST(sum(CASE WHEN i < d AND j < d THEN CAST(round(cv * cv, 12) AS DECIMAL(38,12)) ELSE 0 END) AS DECIMAL(38,12)) AS hxx,
+             CAST(sum(CASE WHEN i >= d AND j >= d THEN CAST(round(cv * cv, 12) AS DECIMAL(38,12)) ELSE 0 END) AS DECIMAL(38,12)) AS hyy
+           FROM cov CROSS JOIN dd
+         )
+         SELECT nn.n, dd.d AS dim,
+                round(CAST(hxy AS DOUBLE), 12) AS hsic_xy,
+                round(CAST(hxx AS DOUBLE), 12) AS hsic_xx,
+                round(CAST(hyy AS DOUBLE), 12) AS hsic_yy,
+                CASE WHEN hxx > 0 AND hyy > 0 THEN
+                  round(CAST(hxy AS DOUBLE)
+                        / sqrt(CAST(hxx AS DOUBLE) * CAST(hyy AS DOUBLE)), 6)
+                END AS cka
+         FROM h CROSS JOIN nn CROSS JOIN dd""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

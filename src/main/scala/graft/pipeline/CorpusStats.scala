@@ -1503,6 +1503,98 @@ object CorpusStats {
       .toDF("n", "dim", "lambda1", "trace", "top_share")
   }
 
+  /**
+   * Linear CKA (centered kernel alignment, Kornblith et al. 2019)
+   * between two embedding columns over the SAME rows — the
+   * representation-similarity read the drift shelf lacks:
+   * [[embeddingCentroidDrift]] sees the mean move,
+   * [[embeddingTopComponent]] sees one space collapse, CKA asks whether
+   * two REPRESENTATIONS of the corpus agree as geometries (invariant to
+   * rotation and isotropic scale — exactly what "did int8/PQ/re-embed
+   * preserve the space" means):
+   *
+   *   CKA = ‖Xcᵀ·Yc‖²_F / (‖Xcᵀ·Xc‖_F · ‖Ycᵀ·Yc‖_F)
+   *
+   * Exactness + shape: both vectors quantize to exact 1e-6-unit longs
+   * (the [[embeddingTopComponent]] convention); the two arrays CONCAT
+   * into one 2d-vector so ALL three Gram blocks (XX, XY, YY) come from
+   * ONE n·(2d)² cell aggregation — one pass over rows, cells bounded by
+   * the maxDim contract (4d² ≤ 65,536), collected d²-sized, never
+   * n-sized. Each centered cell is n·Σzz − Σz·Σz exact decimal,
+   * 12dp-normalized; Frobenius sums ride 12dp-rounded decimal terms
+   * (order-free, SQL-replayable verbatim). Ragged or mismatched dims
+   * refuse loudly (the q366 discipline).
+   *
+   * Output: one row (n, dim, hsic_xy, hsic_xx, hsic_yy, cka) — hsic at
+   * 12dp, cka 6dp; NULL cka on a degenerate (constant) side.
+   */
+  def embeddingCka(df: DataFrame, xCol: Column, yCol: Column,
+      maxDim: Int = 128): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def units(c: Column): Column = transform(c,
+      v => round(v.cast("double") * lit(1e6), 0).cast("long"))
+    val base = df.where(xCol.isNotNull && yCol.isNotNull)
+      .select(concat(units(xCol), units(yCol)).as("__z"),
+        size(units(xCol)).as("__dx"), size(units(yCol)).as("__dy"))
+      .cache()
+    val n = base.count()
+    require(n >= 2, "embeddingCka: need at least two vectors")
+    val dims = base.agg(max(col("__dx")), min(col("__dx")),
+      max(col("__dy")), min(col("__dy"))).head()
+    val (dxMax, dxMin, dyMax, dyMin) =
+      (dims.getInt(0), dims.getInt(1), dims.getInt(2), dims.getInt(3))
+    require(dxMax == dxMin && dyMax == dyMin,
+      s"embeddingCka: ragged dims x=[$dxMin,$dxMax] y=[$dyMin,$dyMax] — " +
+        "mixed dimensionality would zero-fill cells; filter to one dim first")
+    require(dxMax == dyMax,
+      s"embeddingCka: dim mismatch x=$dxMax vs y=$dyMax — CKA compares " +
+        "the same rows, not the same axes, but the cell pass needs " +
+        "declared shapes; project or pad deliberately first")
+    val d = dxMax
+    require(d >= 1 && d <= maxDim,
+      s"embeddingCka: dim $d outside [1,$maxDim] — the exact cell pass " +
+        s"is n·(2d)² work; raise the bound deliberately")
+    val sums = base.select(posexplode(col("__z")).as(Seq("i", "zv")))
+      .groupBy(col("i")).agg(sum(col("zv")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cells = base
+      .select(posexplode(col("__z")).as(Seq("i", "zi")), col("__z"))
+      .select(col("i"), col("zi"), posexplode(col("__z")).as(Seq("j", "zj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(dec(col("zi")) * dec(col("zj"))).as("cij"))
+      .collect() // bounded: (2d)² rows under the maxDim contract
+    base.unpersist(false)
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nD = n.toDouble
+    val cov = Array.ofDim[Double](2 * d, 2 * d)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val num = BigDecimal(n) * BigDecimal(r.getDecimal(2)) -
+        BigDecimal(sums(i)) * BigDecimal(sums(j))
+      cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
+    }
+    def decSum(terms: Iterator[Double]): Double =
+      terms.foldLeft(BigDecimal(0))((a, t) =>
+        a + BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .toDouble
+    val range = 0 until d
+    val hxy = decSum(for (i <- range.iterator; j <- range.iterator)
+      yield cov(i)(d + j) * cov(i)(d + j))
+    val hxx = decSum(for (i <- range.iterator; j <- range.iterator)
+      yield cov(i)(j) * cov(i)(j))
+    val hyy = decSum(for (i <- range.iterator; j <- range.iterator)
+      yield cov(d + i)(d + j) * cov(d + i)(d + j))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cka = if (hxx > 0 && hyy > 0)
+      Some(r6(hxy / math.sqrt(hxx * hyy))) else None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, d.toLong, r12(hxy), r12(hxx), r12(hyy), cka))
+      .toDF("n", "dim", "hsic_xy", "hsic_xx", "hsic_yy", "cka")
+  }
+
   def embeddingCentroids(df: DataFrame, group: Column, vecCol: String): DataFrame = {
     val perDim = df.select(group.as("grp"),
         posexplode(col(vecCol)).as(Seq("pos", "val")))

@@ -1851,4 +1851,34 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.CorpusStats.textRankKeywords(docs, "id", "text",
       topK = 2).count() == 2L)
   }
+
+  test("embeddingCka: identity/rotation/scale read 1.0, guards refuse") {
+    import spark.implicits._
+    val x = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(-1.0f, 0.0f),
+      Seq(2.0f, 3.0f))
+    // 90° rotation (an exact signed permutation) and isotropic 2× — the
+    // invariances that DEFINE "same geometry"
+    val rot = x.map(v => Seq(-v(1), v(0)))
+    val twice = x.map(v => v.map(_ * 2.0f))
+    def cka(ys: Seq[Seq[Float]]): Double = {
+      val df = x.zip(ys).toDF("x", "y")
+      graft.pipeline.CorpusStats.embeddingCka(df, col("x"), col("y"))
+        .head().getAs[Double]("cka")
+    }
+    assert(cka(x) == 1.0 && cka(rot) == 1.0 && cka(twice) == 1.0)
+    // an unrelated representation reads below 1
+    val noise = Seq(Seq(3.0f, -1.0f), Seq(-2.0f, 0.5f), Seq(0.0f, 2.0f),
+      Seq(1.0f, 1.0f))
+    assert(cka(noise) < 1.0)
+    // mismatched dims refuse loudly; so does a single row
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusStats.embeddingCka(
+        x.map(v => (v, Seq(1.0f, 2.0f, 3.0f))).toDF("x", "y"),
+        col("x"), col("y"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusStats.embeddingCka(
+        Seq((Seq(1.0f), Seq(1.0f))).toDF("x", "y"), col("x"), col("y"))
+    }
+  }
 }
