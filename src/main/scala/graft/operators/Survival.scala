@@ -307,4 +307,104 @@ object Survival {
     byTC.unpersist(false)
     out
   }
+
+  /**
+   * Cox proportional hazards with ONE binary covariate (Cox 1972,
+   * Breslow ties) — the EFFECT SIZE the survival shelf lacked:
+   * [[logRank]] says the arms differ, Cox says BY HOW MUCH (hazard
+   * ratio e^β), adjusting for the whole censoring structure. With a
+   * binary covariate the partial likelihood collapses onto the
+   * per-event-time relation: at each event time t with d events (d₁ of
+   * them exposed) and risk counts (r₀, r₁),
+   *
+   *   U(β) = Σd₁ − Σ_t d·p(t),   I(β) = Σ_t d·p(t)·(1−p(t)),
+   *   p(t) = r₁e^β / (r₀ + r₁e^β)
+   *
+   * and β̂ is `iters` Newton steps β ← β + U/I from β₀ = 0 — each step
+   * ONE map-combined aggregation over the bounded |distinct times|
+   * relation, nothing subject-sized after the first pass.
+   *
+   * Determinism: (d, d₁, r₀, r₁) are exact longs (risk sets = totals −
+   * distributed strictly-below prefix sums, the [[DistDrift
+   * .withPrefixSums]] machinery); per-time U/I terms round 12dp and
+   * DECIMAL-sum; β re-rounds 12dp per step (the q366 iteration
+   * doctrine), so the whole Newton path replays verbatim in SQL. The
+   * one transcendental (e^β of a 12dp scalar) is the shelf's accepted
+   * ln/exp parity. Degenerate information (no events, or an arm never
+   * at risk → I = 0) publishes NULL estimates instead of diverging.
+   *
+   * Output: one row (n, n_events, d1_exposed, beta, hr, se, z) — 6dp.
+   */
+  def coxBinary(df: DataFrame, durationCol: String, eventCol: Column,
+      exposedCol: Column, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters in [1,20]: $iters")
+    val subj = df.select(col(durationCol).cast("long").as("t"),
+        eventCol.as("ev"), exposedCol.as("x"))
+      .where(col("t").isNotNull && col("ev").isNotNull && col("x").isNotNull)
+    val perT = subj.groupBy(col("t").as("v")).agg(
+      sum(when(col("x"), 1L).otherwise(0L)).as("a1"),
+      sum(when(col("x"), 0L).otherwise(1L)).as("a0"),
+      sum(when(col("ev") && col("x"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"))
+    val tot = perT.agg(coalesce(sum(col("a1")), lit(0L)),
+      coalesce(sum(col("a0")), lit(0L)), coalesce(sum(col("d1")), lit(0L)),
+      coalesce(sum(col("d")), lit(0L))).head()
+    val (n1, n0, sumD1, sumD) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2), tot.getLong(3))
+    val evt = DistDrift.withPrefixSums(perT, Seq("a1", "a0"))
+      .where(col("d") > 0)
+      .select(col("d"), col("d1"),
+        (lit(n1) - col("a1_below")).as("r1"),
+        (lit(n0) - col("a0_below")).as("r0"))
+      .localCheckpoint(true) // |event times| rows, read once per step
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow: DataFrame =
+      Seq((n1 + n0, sumD, sumD1)).toDF("n", "n_events", "d1_exposed")
+        .withColumn("beta", lit(null).cast("double"))
+        .withColumn("hr", lit(null).cast("double"))
+        .withColumn("se", lit(null).cast("double"))
+        .withColumn("z", lit(null).cast("double"))
+    if (sumD == 0) { nullRow }
+    else {
+      def r12(x: Double): Double =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // e^β re-rounds 12dp so a 1-ulp exp() disagreement between
+      // engines cannot propagate into every term's rounding
+      def sums(beta: Double): (Double, Double) = {
+        val eb = r12(math.exp(beta))
+        val p = (col("r1").cast("double") * lit(eb)) /
+          (col("r0").cast("double") + col("r1").cast("double") * lit(eb))
+        val r = evt.agg(
+          sum(round(col("d").cast("double") * p, 12)
+            .cast("decimal(38,12)")).as("su"),
+          sum(round(col("d").cast("double") * p * (lit(1.0) - p), 12)
+            .cast("decimal(38,12)")).as("si")).head()
+        (r.getDecimal(0).doubleValue, r.getDecimal(1).doubleValue)
+      }
+      val d1d = sumD1.toDouble
+      var beta = 0.0
+      var degenerate = false
+      var k = 0
+      while (k < iters && !degenerate) {
+        val (su, si) = sums(beta)
+        if (si <= 0.0) degenerate = true
+        else beta = r12(beta + (d1d - su) / si)
+        k += 1
+      }
+      if (degenerate) { nullRow }
+      else {
+        val (_, si) = sums(beta)
+        if (si <= 0.0) { nullRow }
+        else {
+          val se = 1.0 / math.sqrt(si)
+          val z = beta / se
+          def r6(x: Double) =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Seq((n1 + n0, sumD, sumD1, r6(beta), r6(math.exp(beta)), r6(se),
+            r6(z))).toDF("n", "n_events", "d1_exposed", "beta", "hr", "se", "z")
+        }
+      }
+    }
+  }
 }

@@ -135,4 +135,32 @@ class SurvivalSpec extends SparkSpec {
       Set((1L, 0.5), (2L, 0.5)))
     assert(cr.forall(_.getAs[Double]("s_minus") == 1.0))
   }
+
+  test("coxBinary: symmetric arms beta exactly 0, hand Newton pin, degenerates NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Boolean, Boolean)]) =
+      Survival.coxBinary(rows.toDF("dur", "ev", "x"),
+        "dur", col("ev"), col("x")).head()
+    // identical event-time multisets per arm: r1 = r0 at every event
+    // time → U(0) = 0 → Newton never moves — beta EXACTLY 0, hr 1
+    val sym = run(Seq((1L, true, true), (2L, true, true),
+      (1L, true, false), (2L, true, false)))
+    assert(sym.getAs[Double]("beta") == 0.0 && sym.getAs[Double]("hr") == 1.0
+      && sym.getAs[Double]("z") == 0.0)
+    // interleaved arms (exposed events at 1,3; control at 2,4): the
+    // 4-step 12dp Newton replay, pinned against an independent
+    // re-implementation (direction: earlier exposed events → hr > 1)
+    val hand = run(Seq((1L, true, true), (3L, true, true),
+      (2L, true, false), (4L, true, false)))
+    assert(hand.getAs[Double]("beta") == 0.940614)
+    assert(hand.getAs[Double]("hr") == 2.561553)
+    assert(hand.getAs[Double]("se") == 1.240258)
+    assert(hand.getAs[Double]("z") == 0.758401)
+    // one-arm data carries no contrast (I = 0): NULL estimates
+    val oneArm = run(Seq((1L, true, true), (2L, true, true)))
+    assert(oneArm.isNullAt(3) && oneArm.isNullAt(4) && oneArm.isNullAt(6))
+    // no events at all: NULL estimates, counts still published
+    val noEv = run(Seq((1L, false, true), (2L, false, false)))
+    assert(noEv.getAs[Long]("n_events") == 0L && noEv.isNullAt(3))
+  }
 }
