@@ -5306,6 +5306,16 @@ object SparkEntry {
         (pmod(col("user_id"), lit(2)) === 0).as("x"))
       graft.operators.Survival.coxBinary(subjects, "dur", col("ev"), col("x"))
     }),
+    "q381_moran" -> ((s, dir) => {
+      // does POPULARITY cluster on the bought-together graph: Moran's I
+      // of per-brand basket counts over the q336 top-90 edges — do
+      // popular brands wire to popular brands, or is the graph a
+      // checkerboard; exact decimal rationals, ONE double divide
+      val attr = brandBaskets(s, dir).distinct()
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("x"))
+        .select(col("p_brand").as("node"), col("x"))
+      graft.operators.GraphOps.moranI(top90Brand(s, dir), attr)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13079,6 +13089,31 @@ object SparkEntry {
                 round(pub.beta / pub.se, 6) AS z
          FROM pub CROSS JOIN tots"""
     },
+    // q381: basket counts straight off the bi relation, centering over
+    // the common denominator n — two HUGEINT sums, one double divide
+    "q381_moran" -> (duckTop90Graph +
+      """, at AS (SELECT i AS nd, CAST(count(*) AS BIGINT) AS x FROM bi GROUP BY 1),
+         gnodes AS (SELECT DISTINCT src AS nd FROM e),
+         tt AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(at.x) AS BIGINT) AS s
+           FROM gnodes JOIN at USING (nd)
+         ), z AS MATERIALIZED (
+           SELECT nd, CAST(tt.n AS HUGEINT) * at.x - tt.s AS z
+           FROM gnodes JOIN at USING (nd) CROSS JOIN tt
+         ), dz AS (SELECT sum(z * z) AS dz FROM z),
+         nm AS (
+           SELECT sum(zi.z * zj.z) AS nz, CAST(count(*) AS BIGINT) AS w
+           FROM e JOIN z zi ON zi.nd = e.src JOIN z zj ON zj.nd = e.dst
+         )
+         SELECT tt.n AS n_nodes, nm.w AS w_edges,
+                CASE WHEN dz.dz <> 0 AND nm.w <> 0 THEN
+                  round(CAST(tt.n AS DOUBLE) * CAST(nm.nz AS DOUBLE)
+                        / (CAST(nm.w AS DOUBLE) * CAST(dz.dz AS DOUBLE)), 6)
+                END AS moran_i,
+                CASE WHEN tt.n > 1 THEN
+                  round(-1.0 / (CAST(tt.n AS DOUBLE) - 1.0), 6)
+                END AS expected_i
+         FROM tt CROSS JOIN dz CROSS JOIN nm"""),
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

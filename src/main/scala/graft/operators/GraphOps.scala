@@ -1509,6 +1509,67 @@ object GraphOps {
     }
   }
 
+  /**
+   * Moran's I network autocorrelation (Moran 1950) — does a NODE
+   * ATTRIBUTE cluster on the graph: [[degreeAssortativity]] asks
+   * whether similar DEGREES wire together; this asks it for any
+   * measurement (sales, quality, defect rate). I > E[I] = −1/(n−1)
+   * means neighbors resemble each other — the attribute diffuses along
+   * edges; I < E[I] means checkerboard anti-correlation. Binary
+   * adjacency weights over the symmetrized graph.
+   *
+   * EXACT to the last step: with integer attributes x, center over the
+   * common denominator n (zᵢ ∝ n·xᵢ − S, S = Σx), so
+   *
+   *   I = n · Σ_{(i,j)∈E} (n·xᵢ−S)(n·xⱼ−S) / (W · Σᵢ (n·xᵢ−S)²)
+   *
+   * is ONE double divide of two exact DECIMAL(38,0) sums — no
+   * transcendentals, no term rounding at all. Shape: one broadcast-
+   * joinable attribute lookup onto the edge list, two map-combined
+   * sums. Nodes missing an attribute refuse loudly (a silent zero
+   * would fabricate anti-correlation).
+   *
+   * Output: one row (n_nodes, w_edges, moran_i, expected_i) — 6dp;
+   * NULL I when the attribute is constant (no variance).
+   */
+  def moranI(edges: DataFrame, attrs: DataFrame,
+      nodeCol: String = "node", valueCol: String = "x"): DataFrame = {
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("nd")).distinct()
+    val at = attrs.select(col(nodeCol).cast("string").as("nd"),
+        col(valueCol).cast("long").as("x"))
+      .where(col("nd").isNotNull && col("x").isNotNull)
+    val joined = nodes.join(at, Seq("nd"), "left").cache()
+    val missing = joined.where(col("x").isNull).count()
+    require(missing == 0,
+      s"moranI: $missing graph node(s) lack an attribute value — a " +
+        "silent zero would fabricate anti-correlation; supply or filter")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val t = joined.agg(count(lit(1)).as("n"), sum(col("x")).as("s")).head()
+    val (n, s) = (t.getLong(0), t.getLong(1))
+    val z = joined.select(col("nd"), (d(lit(n)) * d(col("x")) - d(lit(s))).as("z"))
+    val den = z.agg(sum(col("z") * col("z")).as("dz"),
+      count(lit(1)).as("__n")).head()
+    val dz = den.getDecimal(0)
+    val num = e
+      .join(z.select(col("nd").as("src"), col("z").as("zi")), "src")
+      .join(z.select(col("nd").as("dst"), col("z").as("zj")), "dst")
+      .agg(sum(col("zi") * col("zj")).as("nz"), count(lit(1)).as("w")).head()
+    val (nz, w) = (num.getDecimal(0), num.getLong(1))
+    e.unpersist(false); joined.unpersist(false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val i = if (dz == null || dz.signum == 0 || w == 0L) None
+    else Some(r6(n.toDouble * nz.doubleValue / (w.toDouble * dz.doubleValue)))
+    val ei = if (n > 1) Some(r6(-1.0 / (n.toDouble - 1.0))) else None
+    Seq((n, w, i, ei)).toDF("n_nodes", "w_edges", "moran_i", "expected_i")
+  }
+
   def modularity(edges: DataFrame, labels: DataFrame,
       nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
     val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")

@@ -590,4 +590,26 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(s.values.toSet == Set(1L) && s.size == 4)
   }
+
+  test("moranI: perfect clustering +1, checkerboard -1, constant NULL, missing refuses") {
+    import spark.implicits._
+    def attr(xs: (String, Long)*) = xs.toSeq.toDF("node", "x")
+    // two homophilous islands: every edge joins equal values → I = 1
+    val islands = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val hi = GraphOps.moranI(islands, attr("a" -> 1L, "b" -> 1L, "c" -> 0L, "d" -> 0L)).head()
+    assert(hi.getAs[Long]("n_nodes") == 4L && hi.getAs[Long]("w_edges") == 4L)
+    assert(hi.getAs[Double]("moran_i") == 1.0)
+    assert(hi.getAs[Double]("expected_i") == -0.333333)
+    // one edge joining opposite values: checkerboard → I = −1
+    val pair = Seq(("a", "b")).toDF("src", "dst")
+    val lo = GraphOps.moranI(pair, attr("a" -> 1L, "b" -> 0L)).head()
+    assert(lo.getAs[Double]("moran_i") == -1.0)
+    // constant attribute: no variance → NULL I, counts still published
+    val const = GraphOps.moranI(pair, attr("a" -> 5L, "b" -> 5L)).head()
+    assert(const.isNullAt(2) && const.getAs[Long]("w_edges") == 2L)
+    // a graph node without an attribute refuses loudly
+    intercept[IllegalArgumentException] {
+      GraphOps.moranI(islands, attr("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    }
+  }
 }
