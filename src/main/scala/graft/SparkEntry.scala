@@ -5316,6 +5316,14 @@ object SparkEntry {
         .select(col("p_brand").as("node"), col("x"))
       graft.operators.GraphOps.moranI(top90Brand(s, dir), attr)
     }),
+    "q382_hill_tail" -> ((s, dir) => {
+      // does document length have FINITE VARIANCE: Hill tail exponent
+      // from the top-10% order statistics — q208 regresses the whole
+      // Zipf curve, Hill reads only the tail, which is what capacity
+      // planning and packing (q80/q127) actually depend on
+      graft.operators.Outliers.hillTailIndex(
+        eng(s, dir).table("documents"), col("n_chars"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13114,6 +13122,39 @@ object SparkEntry {
                   round(-1.0 / (CAST(tt.n AS DOUBLE) - 1.0), 6)
                 END AS expected_i
          FROM tt CROSS JOIN dz CROSS JOIN nm"""),
+    // q382: per-value counts + strictly-below window sums, exact
+    // in-tail multiplicities, 12dp ln terms times integer counts
+    "q382_hill_tail" ->
+      """WITH pv AS (
+           SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(floor(0.1 * CAST(sum(c) AS DOUBLE)) AS BIGINT) AS k
+           FROM pv
+         ), cum AS (
+           SELECT v, c,
+                  coalesce(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM pv
+         ), agg AS (
+           SELECT
+             CAST(sum(CASE WHEN tot.n - below - c < tot.k THEN
+               CAST(round(CAST(least(c, tot.k - (tot.n - below - c)) AS DOUBLE)
+                          * ln(CAST(v AS DOUBLE)), 12) AS DECIMAL(38,12))
+               ELSE CAST(0 AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS su,
+             max(CASE WHEN tot.n - below >= tot.k + 1 THEN v END) AS xk1
+           FROM cum CROSS JOIN tot
+         ), h AS (
+           SELECT CAST(agg.su AS DOUBLE) / CAST(tot.k AS DOUBLE)
+                  - round(ln(CAST(agg.xk1 AS DOUBLE)), 12) AS h, agg.xk1
+           FROM agg CROSS JOIN tot
+         )
+         SELECT tot.n, tot.k, h.xk1 AS x_tail,
+                CASE WHEN h.h > 0 THEN round(h.h, 6) END AS hill_h,
+                CASE WHEN h.h > 0 THEN round(1.0 / h.h, 6) END AS alpha
+         FROM h CROSS JOIN tot""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -25,6 +25,65 @@ import org.apache.spark.sql.functions._
  */
 object Outliers {
 
+  /**
+   * Hill tail-index estimator (Hill 1975) — HOW heavy is the tail:
+   * [[madOutliers]] flags which points are extreme, the [[graft
+   * .pipeline.CorpusStats]] Zipf fit regresses the whole rank curve;
+   * Hill estimates the tail exponent α from ONLY the top-k order
+   * statistics, α = 1/H, H = (1/k)·Σᵢ≤k ln x₍ᵢ₎ − ln x₍ₖ₊₁₎ — the
+   * standard answer to "does this length/degree/spend distribution
+   * have finite variance" (α ≤ 2 means no; a mean-based capacity plan
+   * is then fiction).
+   *
+   * Exactness + shape: order statistics come from per-VALUE counts +
+   * distributed strictly-below prefix sums (never a global sort): the
+   * k-th boundary value and each value's in-tail multiplicity are
+   * exact integer arithmetic; ln terms round 12dp and DECIMAL-sum
+   * with integer multiplicities. One groupBy + one bounded-relation
+   * aggregation.
+   *
+   * Output: one row (n, k, x_tail, hill_h, alpha) — x_tail = x₍ₖ₊₁₎;
+   * NULL estimates when k < 1 or the tail is flat (H ≤ 0).
+   */
+  def hillTailIndex(df: DataFrame, valueCol: Column,
+      tailFrac: Double = 0.1): DataFrame = {
+    require(tailFrac > 0.0 && tailFrac < 1.0, "tailFrac in (0,1)")
+    val pv = df.select(valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull && col("v") > 0L)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val n = pv.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val k = math.floor(tailFrac * n).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (k < 1 || n < k + 1) {
+      Seq((n, k)).toDF("n", "k")
+        .withColumn("x_tail", lit(null).cast("long"))
+        .withColumn("hill_h", lit(null).cast("double"))
+        .withColumn("alpha", lit(null).cast("double"))
+    } else {
+      val cum = DistDrift.withPrefixSums(pv, Seq("c"))
+      val above = lit(n) - col("c_below") - col("c")
+      val m = least(col("c"), lit(k) - above)
+      val agg = cum.agg(
+        sum(when(above < k,
+          round(m.cast("double") * log(col("v").cast("double")), 12)
+            .cast("decimal(38,12)")).otherwise(lit(0).cast("decimal(38,12)"))).as("su"),
+        max(when(lit(n) - col("c_below") >= k + 1L, col("v"))).as("xk1"))
+        .head()
+      val su = agg.getDecimal(0).doubleValue
+      val xk1 = agg.getLong(1)
+      val h = su / k.toDouble -
+        BigDecimal(math.log(xk1.toDouble))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (hOut, aOut) =
+        if (h > 0.0) (Some(r6(h)), Some(r6(1.0 / h))) else (None, None)
+      Seq((n, k, xk1, hOut, aOut)).toDF("n", "k", "x_tail", "hill_h", "alpha")
+    }
+  }
+
+
   /** Per-row robust z-score: adds `med`, `mad`, `robust_z` (null when the
     * group's MAD is 0 — a constant group has no spread to score against). */
   def robustZ(df: DataFrame, groupCol: String, valCol: String): DataFrame = {

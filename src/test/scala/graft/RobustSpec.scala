@@ -70,4 +70,22 @@ class RobustSpec extends SparkSpec {
       BigDecimal(expected.toDouble / 32.0)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+  test("hillTailIndex: 1..10 hand pin, ties in the tail, flat tail NULL, tiny n") {
+    // n=10, tailFrac .3 → k=3: top {8,9,10}, boundary x₍₄₎=7 —
+    // H = (ln8+ln9+ln10)/3 − ln7 = 0.247174, α = 4.04574
+    val df = (1L to 10L).toDF("x")
+    val r = Outliers.hillTailIndex(df, col("x"), tailFrac = 0.3).head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("x_tail") == 7L)
+    assert(r.getAs[Double]("hill_h") == 0.247174)
+    assert(r.getAs[Double]("alpha") == 4.04574)
+    // tied boundary value: multiplicity split is exact — values
+    // {1,5,5,5,5} with k=2 take two of the 5s, x_tail = 5 → H = 0 → NULL
+    val tied = Seq(1L, 5L, 5L, 5L, 5L).toDF("x")
+    val t = Outliers.hillTailIndex(tied, col("x"), tailFrac = 0.5).head()
+    assert(t.getAs[Long]("k") == 2L && t.getAs[Long]("x_tail") == 5L)
+    assert(t.isNullAt(3) && t.isNullAt(4))
+    // k < 1: counts published, estimates NULL
+    val tiny = Outliers.hillTailIndex(Seq(3L, 4L).toDF("x"), col("x")).head()
+    assert(tiny.getAs[Long]("k") == 0L && tiny.isNullAt(3))
+  }
 }
