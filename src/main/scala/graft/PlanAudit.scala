@@ -101,7 +101,17 @@ object PlanAudit {
       "q364_graph_churn", // ONE lineitem⋈part pass; halves tagged, not re-derived
       "q368_perm_sweep", // rows×64 ONE map-combined agg keyed (g,b); groups×64 collect
       "q370_keyness", // token aggs → full-outer type join; bounded TakeOrdered
-      "q371_distinct_ngrams") // per-n explode + two-level distinct agg; no doc joins
+      "q371_distinct_ngrams", // per-n explode + two-level distinct agg; no doc joins
+      "q373_betweenness", // level-sync BFS frontier joins; composition keyed (v),(s,t)
+      "q374_delong_auc", // distinct-score prefix sums; two broadcast lookups; ONE agg
+      "q375_breslow_day", // one cell agg; strata-sized rollup ×2 passes
+      "q376_textrank", // zip_with pair pass (no self-join); integer PR kernel
+      "q377_closeness", // min-relax frontier joins; node-sized output agg
+      "q378_theil", // ONE map-combined groupBy; groups-sized rollup
+      "q379_cka_int8", // ONE n·(2d)² cell agg; (2d)²-bounded collect
+      "q380_cox", // subjects once; per-step agg over |event times| relation
+      "q381_moran", // broadcast attribute lookup onto edges; two sums
+      "q382_hill_tail") // per-value counts + prefix sums; no global sort
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

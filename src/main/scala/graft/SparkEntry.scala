@@ -5324,6 +5324,18 @@ object SparkEntry {
       graft.operators.Outliers.hillTailIndex(
         eng(s, dir).table("documents"), col("n_chars"))
     }),
+    "q383_binseg" -> ((s, dir) => {
+      // did revenue step MORE THAN ONCE: depth-2 binary segmentation
+      // over the pooled daily series — the multi-shift reading q262's
+      // single best split cannot give (two steps fool one split into
+      // landing between them); up to 4 exact-mean segments
+      val daily = eng(s, dir).table("orders")
+        .groupBy((date_trunc("DAY", col("o_orderdate")).cast("long") / 86400)
+          .cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.TimeSeries.binarySegmentation(daily, "t", "units")
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13155,6 +13167,75 @@ object SparkEntry {
                 CASE WHEN h.h > 0 THEN round(h.h, 6) END AS hill_h,
                 CASE WHEN h.h > 0 THEN round(1.0 / h.h, 6) END AS alpha
          FROM h CROSS JOIN tot""",
+    // q383: the q262 gain expression on driver-scalar sub-ranges —
+    // three LIMIT-1 argmax picks, boundaries assembled by lead()
+    "q383_binseg" ->
+      """WITH d AS (
+           SELECT CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1
+         ), p AS MATERIALIZED (
+           SELECT t, v,
+                  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+                  CAST(sum(v) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM d
+         ), tt AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sn FROM d),
+         c1 AS (
+           SELECT * FROM (
+           SELECT p.i, p.t,
+                  round(CAST(CAST(p.s AS HUGEINT) * p.s * (tt.n - p.i) * tt.n
+                           + CAST(tt.sn - p.s AS HUGEINT) * (tt.sn - p.s) * p.i * tt.n
+                           - CAST(tt.sn AS HUGEINT) * tt.sn * p.i * (tt.n - p.i) AS DOUBLE)
+                        / CAST(CAST(p.i AS HUGEINT) * (tt.n - p.i) * tt.n AS DOUBLE), 6) AS gain
+           FROM p CROSS JOIN tt
+           WHERE p.i >= 2 AND tt.n - p.i >= 2
+           ) WHERE gain > 0 ORDER BY gain DESC, t ASC LIMIT 1
+         ), b1 AS (SELECT c1.i AS hi, p.s AS sseg, c1.gain FROM c1 JOIN p ON p.i = c1.i),
+         c2 AS (
+           SELECT * FROM (
+           SELECT p.i, p.t,
+                  round(CAST(CAST(p.s AS HUGEINT) * p.s * (b1.hi - p.i) * b1.hi
+                           + CAST(b1.sseg - p.s AS HUGEINT) * (b1.sseg - p.s) * p.i * b1.hi
+                           - CAST(b1.sseg AS HUGEINT) * b1.sseg * p.i * (b1.hi - p.i) AS DOUBLE)
+                        / CAST(CAST(p.i AS HUGEINT) * (b1.hi - p.i) * b1.hi AS DOUBLE), 6) AS gain
+           FROM p CROSS JOIN b1
+           WHERE p.i >= 2 AND b1.hi - p.i >= 2
+           ) WHERE gain > 0 ORDER BY gain DESC, t ASC LIMIT 1
+         ), c3 AS (
+           SELECT * FROM (
+           SELECT p.i, p.t,
+                  round(CAST(CAST(p.s - b1.sseg AS HUGEINT) * (p.s - b1.sseg) * (tt.n - p.i) * (tt.n - b1.hi)
+                           + CAST(tt.sn - b1.sseg - (p.s - b1.sseg) AS HUGEINT) * (tt.sn - b1.sseg - (p.s - b1.sseg)) * (p.i - b1.hi) * (tt.n - b1.hi)
+                           - CAST(tt.sn - b1.sseg AS HUGEINT) * (tt.sn - b1.sseg) * (p.i - b1.hi) * (tt.n - p.i) AS DOUBLE)
+                        / CAST(CAST(p.i - b1.hi AS HUGEINT) * (tt.n - p.i) * (tt.n - b1.hi) AS DOUBLE), 6) AS gain
+           FROM p CROSS JOIN b1 CROSS JOIN tt
+           WHERE p.i - b1.hi >= 2 AND tt.n - p.i >= 2
+           ) WHERE gain > 0 ORDER BY gain DESC, t ASC LIMIT 1
+         ), bnd AS (
+           SELECT DISTINCT b FROM (
+             SELECT CAST(0 AS BIGINT) AS b
+             UNION ALL SELECT i FROM c1
+             UNION ALL SELECT i FROM c2
+             UNION ALL SELECT i FROM c3
+             UNION ALL SELECT n FROM tt)
+         ), segs AS (
+           SELECT b AS lo, lead(b) OVER (ORDER BY b) AS hi,
+                  CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS seg
+           FROM bnd QUALIFY hi IS NOT NULL
+         ), gains AS (
+           SELECT i, gain FROM c1
+           UNION ALL SELECT i, gain FROM c2
+           UNION ALL SELECT i, gain FROM c3
+         )
+         SELECT s.seg, min(p.t) AS t_start, max(p.t) AS t_end,
+                CAST(count(*) AS BIGINT) AS n,
+                round(CAST(sum(p.v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_units,
+                g.gain AS split_gain
+         FROM segs s
+         JOIN p ON p.i > s.lo AND p.i <= s.hi
+         LEFT JOIN gains g ON g.i = s.lo
+         GROUP BY s.seg, g.gain ORDER BY s.seg""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -133,6 +133,100 @@ object TimeSeries {
   }
 
   /**
+   * Binary-segmentation changepoints, depth 2 (Scott & Knott style
+   * recursion over the [[changepoint]] statistic) — the MULTI-shift
+   * reading q262's single best split cannot give: a series that
+   * stepped twice fools one split into landing between the steps.
+   * Level 1 finds the best split of the whole series; level 2 splits
+   * each half again (a side shorter than `minSeg`·2 is left whole), so
+   * up to 3 changepoints / 4 segments emerge.
+   *
+   * Determinism + shape: ONE global prefix pass over the bucketed
+   * series (bounded: calendar buckets); each of the ≤3 argmax picks is
+   * the q262 exact-decimal gain expression over a sub-range with
+   * driver-scalar bounds — (gain 6dp desc, t asc) pick, a 1-row
+   * bounded collect each. Segment means are one divide of exact longs.
+   *
+   * Output per final segment: (seg, t_start, t_end, n, mean_units,
+   * split_gain) — split_gain is the gain of the split that created the
+   * segment's LEFT boundary (NULL for the first segment), ordered.
+   */
+  def binarySegmentation(bucketed: DataFrame, tCol: String,
+      unitsCol: String, minSeg: Int = 2): DataFrame = {
+    require(minSeg >= 1, "minSeg >= 1")
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = bucketed
+      .select(col(tCol).cast("long").as("__t"),
+        col(unitsCol).cast("long").as("__v"))
+      .withColumn("__i", row_number().over(Window.orderBy(col("__t"))).cast("long"))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .localCheckpoint(true) // bounded buckets; read ≤ 3 + 4 more times
+    val nTot = rows.count()
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    // exact prefix scalar at row index i (0 → 0)
+    def sAt(i: Long): Long =
+      if (i == 0L) 0L
+      else rows.where(col("__i") === i).select(col("__s")).head().getLong(0)
+    // best split of (lo, hi] (1-based, inclusive): q262's gain verbatim
+    // over the sub-range; None when the side cannot hold minSeg twice
+    def bestSplit(lo: Long, hi: Long): Option[(Long, Long, Double)] = {
+      val nSeg = hi - lo
+      if (nSeg < 2L * minSeg) return None
+      val sLo = sAt(lo)
+      val sSeg = sAt(hi) - sLo
+      val slD = d(col("__s")) - d(lit(sLo))
+      val iD = d(col("__i")) - d(lit(lo))
+      val srD = d(lit(sSeg)) - slD
+      val nrD = d(lit(nSeg)) - iD
+      val nD = d(lit(nSeg))
+      val pick = rows
+        .where(col("__i") > lo && col("__i") - lo >= minSeg &&
+          col("__i") < hi && (lit(hi) - col("__i")) >= minSeg)
+        .withColumn("__gain", round(
+          (slD * slD * nrD * nD + srD * srD * iD * nD
+            - d(lit(sSeg)) * d(lit(sSeg)) * iD * nrD).cast("double")
+          / (iD * nrD * nD).cast("double"), 6))
+        .where(col("__gain") > 0) // a zero-gain split is no shift at all
+        .orderBy(col("__gain").desc, col("__t").asc)
+        .select(col("__i"), col("__t"), col("__gain")).limit(1).collect()
+      pick.headOption.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    // (lo, hi] spans; level 1 then each side — at most 3 picks
+    val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])]()
+    bestSplit(0L, nTot) match {
+      case None => spans += ((0L, nTot, None))
+      case Some((c1, _, g1)) =>
+        bestSplit(0L, c1) match {
+          case None => spans += ((0L, c1, None))
+          case Some((c2, _, g2)) =>
+            spans += ((0L, c2, None)); spans += ((c2, c1, Some(g2)))
+        }
+        val tail = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])]()
+        bestSplit(c1, nTot) match {
+          case None => tail += ((c1, nTot, Some(g1)))
+          case Some((c3, _, g3)) =>
+            tail += ((c1, c3, Some(g1))); tail += ((c3, nTot, Some(g3)))
+        }
+        spans ++= tail
+    }
+    val spark = bucketed.sparkSession
+    import spark.implicits._
+    val segDf = spans.zipWithIndex.map { case ((lo, hi, g), k) =>
+      (k.toLong + 1L, lo, hi, g)
+    }.toSeq.toDF("seg", "__lo", "__hi", "split_gain")
+    rows.join(broadcast(segDf), col("__i") > col("__lo") && col("__i") <= col("__hi"))
+      .groupBy(col("seg"), col("__lo"), col("__hi"), col("split_gain"))
+      .agg(min(col("__t")).as("t_start"), max(col("__t")).as("t_end"),
+        count(lit(1)).as("n"), sum(col("__v")).as("__sv"))
+      .select(col("seg"), col("t_start"), col("t_end"), col("n"),
+        round(col("__sv").cast("double") / col("n").cast("double"), 6)
+          .as("mean_units"),
+        col("split_gain"))
+      .orderBy(col("seg"))
+  }
+
+  /**
    * Holt double-exponential smoothing (level + trend) per key over an
    * already-bucketed integer series, with α = β = 1/2 — the halving
    * weights make every step EXACT integer arithmetic (truncating `div`

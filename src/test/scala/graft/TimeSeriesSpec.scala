@@ -427,4 +427,25 @@ class TimeSeriesSpec extends SparkSpec {
         maxBuckets = 5L).collect()
     }
   }
+  test("binarySegmentation: two-step series yields 3 exact segments, flat stays whole") {
+    import spark.implicits._
+    def seg(xs: Seq[Long]) = graft.operators.TimeSeries.binarySegmentation(
+      xs.zipWithIndex.map { case (v, i) => (i.toLong + 1L, v) }.toDF("t", "units"),
+      "t", "units").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), Option(r.get(5)).map(_.asInstanceOf[Double])))
+    // 0×4, 10×4, 30×4: level 1 lands on the BIGGER step (i=8, gain
+    // 640000/384), level 2 recovers the smaller one (i=4, gain 200)
+    val two = seg(Seq.fill(4)(0L) ++ Seq.fill(4)(10L) ++ Seq.fill(4)(30L))
+    assert(two.toSeq == Seq(
+      (1L, 1L, 4L, 4L, 0.0, None),
+      (2L, 5L, 8L, 4L, 10.0, Some(200.0)),
+      (3L, 9L, 12L, 4L, 30.0, Some(1666.666667))))
+    // one step: split found once, neither flat side re-splits
+    val one = seg(Seq.fill(4)(0L) ++ Seq.fill(4)(10L))
+    assert(one.length == 2 && one(1)._6 == Some(200.0))
+    // constant series: no positive gain anywhere → one whole segment
+    val flat = seg(Seq.fill(8)(7L))
+    assert(flat.toSeq == Seq((1L, 1L, 8L, 8L, 7.0, None)))
+  }
 }
