@@ -5336,6 +5336,14 @@ object SparkEntry {
           .cast("long")).as("units"))
       graft.operators.TimeSeries.binarySegmentation(daily, "t", "units")
     }),
+    "q384_spectral_gap" -> ((s, dir) => {
+      // how fast does the bought-together graph MIX: adjacency λ₁/λ₂ by
+      // deflated exact-replay power iteration — |λ₂|/λ₁ near 1 means
+      // trapped walks (strong communities / near-bipartite), a wide gap
+      // means a few steps reach everything; the label-free spectral
+      // companion of q338's modularity
+      graft.operators.GraphOps.spectralGap(top90Brand(s, dir))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13236,6 +13244,80 @@ object SparkEntry {
          JOIN p ON p.i > s.lo AND p.i <= s.hi
          LEFT JOIN gains g ON g.i = s.lo
          GROUP BY s.seg, g.gain ORDER BY s.seg""",
+    // q384: the operator's 2×8 deflated power-iteration rounds verbatim
+    // — 12dp vectors, exact-decimal matvec/dot sums, scalar-CTE
+    // projection removal, Rayleigh readouts
+    "q384_spectral_gap" -> {
+      def mv(src: String, out: String) =
+        s""", $out AS MATERIALIZED (
+             SELECT e.src AS node, CAST(sum(CAST(v.x AS DECIMAL(24,12))) AS DOUBLE) AS w
+             FROM e JOIN $src v ON v.node = e.dst GROUP BY 1
+           )"""
+      val r1 = (1 to 8).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        mv(prev, s"w$k") +
+        s""", n$k AS (
+             SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(24,12))) AS DOUBLE)) AS nm
+             FROM w$k
+           ), v$k AS MATERIALIZED (
+             SELECT nd.node, round(coalesce(w.w, 0.0) / (SELECT nm FROM n$k), 12) AS x
+             FROM gnodes nd LEFT JOIN w$k w USING (node)
+           )"""
+      }.mkString
+      val r2 = (1 to 8).map { k =>
+        val prev = if (k == 1) "u0" else s"u${k - 1}"
+        s""", t$k AS (
+             SELECT CAST(sum(CAST(round(v.x * u.x, 12) AS DECIMAL(24,12))) AS DOUBLE) AS t
+             FROM v8 v JOIN $prev u USING (node)
+           )""" +
+        mv(prev, s"au$k") +
+        s""", s$k AS (SELECT (SELECT l FROM l1) * (SELECT t FROM t$k) AS s),
+           x$k AS MATERIALIZED (
+             SELECT nd.node,
+                    coalesce(au.w, 0.0) - (SELECT s FROM s$k) * v.x AS w
+             FROM gnodes nd LEFT JOIN au$k au USING (node) JOIN v8 v USING (node)
+           ), m$k AS (
+             SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(24,12))) AS DOUBLE)) AS nm
+             FROM x$k
+           ), u$k AS MATERIALIZED (
+             SELECT node, CASE WHEN (SELECT nm FROM m$k) > 0
+               THEN round(w / (SELECT nm FROM m$k), 12) ELSE 0.0 END AS x
+             FROM x$k
+           )"""
+      }.mkString
+      duckTop90Graph +
+      s""", gnodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gnodes),
+         v0 AS MATERIALIZED (
+           SELECT node, round(1.0 / sqrt((SELECT CAST(n AS DOUBLE) FROM nn)), 12) AS x
+           FROM gnodes)
+         $r1
+         ${mv("v8", "wf")}
+         , l1 AS (
+           SELECT CAST(sum(CAST(round(v.x * w.w, 12) AS DECIMAL(24,12))) AS DOUBLE) AS l
+           FROM v8 v JOIN wf w USING (node)
+         ), u0 AS MATERIALIZED (
+           SELECT node, CASE WHEN node = (SELECT min(node) FROM gnodes)
+             THEN 1.0 ELSE 0.0 END AS x
+           FROM gnodes)
+         $r2
+         ${mv("u8", "auf")}
+         , rq AS (
+           SELECT CAST(sum(CAST(round(u.x * w.w, 12) AS DECIMAL(24,12))) AS DOUBLE) AS r
+           FROM u8 u JOIN auf w USING (node)
+         ), tf AS (
+           SELECT CAST(sum(CAST(round(v.x * u.x, 12) AS DECIMAL(24,12))) AS DOUBLE) AS t
+           FROM v8 v JOIN u8 u USING (node)
+         ), fin AS (
+           SELECT l1.l AS l1v, rq.r - l1.l * tf.t * tf.t AS l2v
+           FROM l1 CROSS JOIN rq CROSS JOIN tf
+         )
+         SELECT nn.n AS n_nodes, round(fin.l1v, 6) AS lambda1,
+                CASE WHEN fin.l1v > 0 THEN round(fin.l2v, 6) END AS lambda2,
+                CASE WHEN fin.l1v > 0 THEN round(fin.l1v - abs(fin.l2v), 6) END AS mixing_gap,
+                CASE WHEN fin.l1v > 0 THEN round(abs(fin.l2v) / fin.l1v, 6) END AS gap_ratio
+         FROM fin CROSS JOIN nn"""
+    },
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

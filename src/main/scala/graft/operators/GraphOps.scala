@@ -1510,6 +1510,106 @@ object GraphOps {
   }
 
   /**
+   * Adjacency spectral gap by DEFLATED power iteration — how fast does
+   * the graph MIX: λ₁ is connectivity strength ([[eigenvectorCentrality]]
+   * reads its eigenvector), the second-largest-magnitude eigenvalue λ₂
+   * is the persistence of structure — |λ₂|/λ₁ → 1 means strong
+   * communities or near-bipartiteness (a random walk stays trapped);
+   * a wide gap means the graph mixes in a few steps. The spectral
+   * companion of [[modularity]] (which needs labels; this needs none).
+   *
+   * Exact replay (the q366 iteration doctrine): `iters` rounds of
+   * v ← A·v / ‖A·v‖ with every matvec sum an EXACT decimal sum of
+   * 12dp-rounded components, 12dp-rerounded vectors, then `iters`
+   * rounds on the deflated B = A − λ₁·v₁v₁ᵀ from a first-node
+   * indicator start (B·u = A·u − λ₁·(v₁ᵀu)·v₁ — two decimal-summed
+   * scalars per round, never a dense matrix). Both λ are Rayleigh
+   * readouts of decimal sums, so the whole 2·iters-round computation
+   * replays verbatim in SQL. State is n-sized DataFrames and
+   * edge-partitioned matvec joins — the 100 TB shape; the driver holds
+   * only per-round scalars.
+   *
+   * Output: one row (n_nodes, lambda1, lambda2, mixing_gap =
+   * λ₁ − |λ₂|, gap_ratio = |λ₂|/λ₁) — 6dp; λ₂ NULL on a single-node
+   * deflation degenerate.
+   */
+  def spectralGap(edges: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"iters in [1,30]: $iters")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count()
+    require(n >= 2, "spectralGap: need at least two nodes")
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec(c: Column): Column = c.cast("decimal(24,12)")
+    // w(i) = Σ_{j ~ i} x(j): 12dp inputs sum exactly in decimal
+    def matvec(x: DataFrame): DataFrame = e
+      .join(x.select(col("node").as("dst"), col("x").as("__xj")), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(sum(dec(col("__xj"))).cast("double").as("w"))
+    // Σ round(a·b, 12) over nodes, as an exact decimal scalar
+    def dot(a: DataFrame, aCol: String, b: DataFrame, bCol: String): Double =
+      a.select(col("node"), col(aCol).as("__a"))
+        .join(b.select(col("node"), col(bCol).as("__b")), "node")
+        .agg(coalesce(sum(dec(round(col("__a") * col("__b"), 12))), lit(0)
+          .cast("decimal(24,12)"))).head().getDecimal(0).doubleValue
+    // ---- λ1: plain power iteration ---------------------------------
+    var v = nodes.select(col("node"),
+      lit(r12(1.0 / math.sqrt(n.toDouble))).as("x")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = matvec(v).localCheckpoint(true)
+      val norm = math.sqrt(w.agg(coalesce(sum(dec(round(col("w") * col("w"), 12))),
+        lit(0).cast("decimal(24,12)"))).head().getDecimal(0).doubleValue)
+      v = nodes.join(w, Seq("node"), "left")
+        .select(col("node"),
+          round(coalesce(col("w"), lit(0.0)) / lit(norm), 12).as("x"))
+        .localCheckpoint(true)
+    }
+    val wf = matvec(v)
+    val lam1 = dot(v, "x", wf.withColumnRenamed("w", "x"), "x")
+    // ---- λ2: iterate on B = A − λ1·v1v1ᵀ from an indicator start ----
+    val first = nodes.agg(min(col("node"))).head().getString(0)
+    var u = nodes.select(col("node"),
+      when(col("node") === first, 1.0).otherwise(0.0).as("x"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val t = dot(v, "x", u, "x")
+      val au = matvec(u)
+      val s = lam1 * t
+      val w2 = nodes.join(au, Seq("node"), "left").join(v.select(col("node"),
+          col("x").as("__v1")), "node")
+        .select(col("node"),
+          (coalesce(col("w"), lit(0.0)) - lit(s) * col("__v1")).as("w"))
+        .localCheckpoint(true)
+      val norm = math.sqrt(w2.agg(coalesce(sum(dec(round(col("w") * col("w"), 12))),
+        lit(0).cast("decimal(24,12)"))).head().getDecimal(0).doubleValue)
+      u =
+        if (norm > 0.0)
+          w2.select(col("node"), round(col("w") / lit(norm), 12).as("x"))
+            .localCheckpoint(true)
+        else w2.select(col("node"), lit(0.0).as("x")).localCheckpoint(true)
+    }
+    val auf = matvec(u)
+    val rQ = dot(u, "x", auf.withColumnRenamed("w", "x"), "x")
+    val t2 = dot(v, "x", u, "x")
+    val lam2 = rQ - lam1 * t2 * t2
+    e.unpersist(false); nodes.unpersist(false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val degenerate = !(lam1 > 0.0)
+    val l2Out = if (degenerate) None else Some(r6(lam2))
+    Seq((n, r6(lam1), l2Out,
+        if (degenerate) None else Some(r6(lam1 - math.abs(lam2))),
+        if (degenerate) None else Some(r6(math.abs(lam2) / lam1))))
+      .toDF("n_nodes", "lambda1", "lambda2", "mixing_gap", "gap_ratio")
+  }
+
+  /**
    * Moran's I network autocorrelation (Moran 1950) — does a NODE
    * ATTRIBUTE cluster on the graph: [[degreeAssortativity]] asks
    * whether similar DEGREES wire together; this asks it for any

@@ -612,4 +612,22 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.moranI(islands, attr("a" -> 1L, "b" -> 1L, "c" -> 0L))
     }
   }
+
+  test("spectralGap: K3/K4 exact spectra, K2 bipartite trap reads ratio 1") {
+    import spark.implicits._
+    def gap(edges: Seq[(String, String)]) = {
+      val r = GraphOps.spectralGap(edges.toDF("src", "dst")).head()
+      (r.getAs[Double]("lambda1"), r.getAs[Double]("lambda2"),
+        r.getAs[Double]("mixing_gap"), r.getAs[Double]("gap_ratio"))
+    }
+    // K3: eigenvalues {2, −1, −1} — uniform start IS the eigenvector,
+    // deflation lands on the −1 plane
+    assert(gap(Seq(("a", "b"), ("b", "c"), ("a", "c")))
+      == ((2.0, -1.0, 1.0, 0.5)))
+    // K4: {3, −1, −1, −1}
+    assert(gap(Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"))) == ((3.0, -1.0, 2.0, 0.333333)))
+    // K2 is bipartite: {1, −1} — |λ₂| = λ₁, the trapped-walk read
+    assert(gap(Seq(("a", "b"))) == ((1.0, -1.0, 0.0, 1.0)))
+  }
 }
