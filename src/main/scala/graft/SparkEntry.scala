@@ -5344,6 +5344,14 @@ object SparkEntry {
       // companion of q338's modularity
       graft.operators.GraphOps.spectralGap(top90Brand(s, dir))
     }),
+    "q385_gmm" -> ((s, dir) => {
+      // is the corpus ONE length population or two: exact-replay EM for
+      // a two-component 1-D Gaussian mixture over document lengths —
+      // the soft answer q301's hard k-means boundary can't give
+      // (weights say how much of each source survived a filter)
+      graft.operators.Clustering.gmm1d(
+        eng(s, dir).table("documents"), col("n_chars"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13317,6 +13325,95 @@ object SparkEntry {
                 CASE WHEN fin.l1v > 0 THEN round(fin.l1v - abs(fin.l2v), 6) END AS mixing_gap,
                 CASE WHEN fin.l1v > 0 THEN round(abs(fin.l2v) / fin.l1v, 6) END AS gap_ratio
          FROM fin CROSS JOIN nn"""
+    },
+    // q385: the operator's 3 EM rounds verbatim — 9dp responsibilities
+    // (ulp-proof grid), decimal moment sums, 9dp-rerounded parameters,
+    // exact p25/p75 init, mean-ordered publish
+    "q385_gmm" -> {
+      def dens(w: String, m: String, g: String) =
+        s"p.$w * exp(0.0 - (CAST(v AS DOUBLE) - p.$m) * (CAST(v AS DOUBLE) - p.$m) / (2.0 * p.$g)) / sqrt(p.$g)"
+      val steps = (1 to 3).map { k =>
+        s""", sc$k AS (
+             SELECT v, c,
+                    CASE WHEN pp1 + pp2 > 0.0 THEN round(pp1 / (pp1 + pp2), 9)
+                         ELSE 0.5 END AS rr
+             FROM (SELECT v, c, ${dens("w1", "m1", "g1")} AS pp1,
+                          ${dens("w2", "m2", "g2")} AS pp2
+                   FROM pv CROSS JOIN p${k - 1} p)
+           ), ag$k AS (
+             SELECT
+               CAST(sum(CAST(round(rr * CAST(c AS DOUBLE), 9) AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS n1,
+               CAST(sum(CAST(round(rr * CAST(c AS DOUBLE) * CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s1,
+               CAST(sum(CAST(round(rr * CAST(c AS DOUBLE) * CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 3) AS DECIMAL(38,3))) AS DECIMAL(38,3)) AS q1,
+               CAST(sum(CAST(round((1.0 - rr) * CAST(c AS DOUBLE), 9) AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS n2,
+               CAST(sum(CAST(round((1.0 - rr) * CAST(c AS DOUBLE) * CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS s2,
+               CAST(sum(CAST(round((1.0 - rr) * CAST(c AS DOUBLE) * CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 3) AS DECIMAL(38,3))) AS DECIMAL(38,3)) AS q2
+             FROM sc$k
+           ), mu$k AS (
+             SELECT p.m1 AS pm1, p.g1 AS pg1, p.w1 AS pw1,
+                    p.m2 AS pm2, p.g2 AS pg2, p.w2 AS pw2,
+                    CAST(a.n1 AS DOUBLE) AS n1d, CAST(a.s1 AS DOUBLE) AS s1d,
+                    CAST(a.q1 AS DOUBLE) AS q1d,
+                    CAST(a.n2 AS DOUBLE) AS n2d, CAST(a.s2 AS DOUBLE) AS s2d,
+                    CAST(a.q2 AS DOUBLE) AS q2d,
+                    CASE WHEN CAST(a.n1 AS DOUBLE) <= 0.0 THEN p.m1
+                         ELSE round(CAST(a.s1 AS DOUBLE) / CAST(a.n1 AS DOUBLE), 9) END AS m1n,
+                    CASE WHEN CAST(a.n2 AS DOUBLE) <= 0.0 THEN p.m2
+                         ELSE round(CAST(a.s2 AS DOUBLE) / CAST(a.n2 AS DOUBLE), 9) END AS m2n
+             FROM ag$k a CROSS JOIN p${k - 1} p
+           ), p$k AS (
+             SELECT m1n AS m1,
+                    CASE WHEN n1d <= 0.0 THEN pg1
+                         ELSE round(greatest(q1d / n1d - m1n * m1n, 1e-6), 9) END AS g1,
+                    CASE WHEN n1d <= 0.0 THEN pw1
+                         ELSE round(n1d / (SELECT CAST(n AS DOUBLE) FROM tot), 9) END AS w1,
+                    m2n AS m2,
+                    CASE WHEN n2d <= 0.0 THEN pg2
+                         ELSE round(greatest(q2d / n2d - m2n * m2n, 1e-6), 9) END AS g2,
+                    CASE WHEN n2d <= 0.0 THEN pw2
+                         ELSE round(n2d / (SELECT CAST(n AS DOUBLE) FROM tot), 9) END AS w2
+             FROM mu$k
+           )"""
+      }.mkString
+      s"""WITH pv AS MATERIALIZED (
+           SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT) AS s1,
+                  CAST(sum(CAST(c AS HUGEINT) * v * v) AS HUGEINT) AS s2
+           FROM pv
+         ), vr AS (
+           SELECT round(greatest(
+             (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 1e-6), 9) AS v0,
+                  greatest(CAST(ceil(0.25 * CAST(n AS DOUBLE)) AS BIGINT), 1) AS k1,
+                  greatest(CAST(ceil(0.75 * CAST(n AS DOUBLE)) AS BIGINT), 1) AS k2
+           FROM tot
+         ), cum AS (
+           SELECT v, c,
+                  coalesce(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM pv
+         ), qs AS (
+           SELECT min(CASE WHEN below + c >= vr.k1 THEN v END) AS q1,
+                  min(CASE WHEN below + c >= vr.k2 THEN v END) AS q2
+           FROM cum CROSS JOIN vr
+         ), p0 AS (
+           SELECT CAST(qs.q1 AS DOUBLE) AS m1, vr.v0 AS g1, 0.5 AS w1,
+                  CAST(qs.q2 AS DOUBLE) AS m2, vr.v0 AS g2, 0.5 AS w2
+           FROM qs CROSS JOIN vr
+         )
+         $steps
+         SELECT tot.n,
+                round(CASE WHEN p.m1 <= p.m2 THEN p.m1 ELSE p.m2 END, 6) AS mu1,
+                round(CASE WHEN p.m1 <= p.m2 THEN p.g1 ELSE p.g2 END, 6) AS sigma2_1,
+                round(CASE WHEN p.m1 <= p.m2 THEN p.w1 ELSE p.w2 END, 6) AS w1,
+                round(CASE WHEN p.m1 <= p.m2 THEN p.m2 ELSE p.m1 END, 6) AS mu2,
+                round(CASE WHEN p.m1 <= p.m2 THEN p.g2 ELSE p.g1 END, 6) AS sigma2_2,
+                round(CASE WHEN p.m1 <= p.m2 THEN p.w2 ELSE p.w1 END, 6) AS w2
+         FROM p3 p CROSS JOIN tot"""
     },
     "q340_permutation_test" ->
       """WITH base AS (

@@ -377,4 +377,94 @@ object Clustering {
       when(ariDen =!= 0,
         round(ariNum.cast("double") / ariDen.cast("double"), 6)).as("ari"))
   }
+
+  /**
+   * Two-component 1-D Gaussian mixture by EXACT-REPLAY EM — the SOFT
+   * companion of [[kmeansLloyd]]: k-means draws a hard boundary; a
+   * mixture says "this corpus is two length/score populations with
+   * these weights", which is the right model when a filter merged two
+   * sources and you need to know how much of each survived.
+   *
+   * Determinism (the q366/q380 iteration doctrine): EM runs over the
+   * per-DISTINCT-VALUE relation (bounded; counts exact longs); each
+   * iteration's responsibilities round 9dp — coarse enough that a
+   * 1-ulp exp() disagreement between engines cannot flip a rounding —
+   * and every moment is a DECIMAL sum of rounded terms; the six
+   * parameters re-round 9dp per step. Deterministic init: μ from the
+   * exact p25/p75 order statistics, σ² from exact global moments,
+   * w = ½. A collapsing component (zero responsibility mass) keeps its
+   * previous parameters instead of dividing by zero; σ² floors at
+   * 1e-6. Components publish ordered by mean. Shape: one groupBy, then
+   * `iters` map-combined aggregations over the bounded relation.
+   *
+   * Output: one row (n, mu1, sigma2_1, w1, mu2, sigma2_2, w2) — 6dp.
+   */
+  def gmm1d(df: DataFrame, valueCol: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters in [1,10]: $iters")
+    val pv = df.select(valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // bounded distinct values; read iters+2 times
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val mom = pv.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+      sum(d38(col("c")) * d38(col("v"))).as("s1"),
+      sum(d38(col("c")) * d38(col("v")) * d38(col("v")))
+        .as("s2")).head()
+    val n = mom.getLong(0)
+    require(n >= 2, "gmm1d: need at least two rows")
+    val (s1, s2) = (mom.getDecimal(1), mom.getDecimal(2))
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nD = n.toDouble
+    val varInit = r9(math.max(
+      (nD * s2.doubleValue - s1.doubleValue * s1.doubleValue) / (nD * nD), 1e-6))
+    // exact p25/p75 order statistics from strictly-below prefix sums
+    val k1 = math.ceil(0.25 * nD).toLong.max(1L)
+    val k2 = math.ceil(0.75 * nD).toLong.max(1L)
+    val cum = DistDrift.withPrefixSums(pv, Seq("c"))
+    val qs = cum.agg(
+      min(when(col("c_below") + col("c") >= k1, col("v"))).as("q1"),
+      min(when(col("c_below") + col("c") >= k2, col("v"))).as("q2")).head()
+    var (m1, m2) = (qs.getLong(0).toDouble, qs.getLong(1).toDouble)
+    var (g1, g2) = (varInit, varInit)
+    var (w1, w2) = (0.5, 0.5)
+    for (_ <- 1 to iters) {
+      val vd = col("v").cast("double"); val cd = col("c").cast("double")
+      def dens(w: Double, m: Double, g: Double): Column =
+        lit(w) * exp(lit(0.0) - (vd - lit(m)) * (vd - lit(m))
+          / (lit(2.0) * lit(g))) / lit(math.sqrt(g))
+      val p1 = dens(w1, m1, g1); val p2 = dens(w2, m2, g2)
+      val scored = pv.withColumn("rr",
+        when(p1 + p2 > 0.0, round(p1 / (p1 + p2), 9)).otherwise(lit(0.5)))
+      def tAgg(r: Column) = Seq(
+        sum(round(r * cd, 9).cast("decimal(38,9)")),
+        sum(round(r * cd * vd, 6).cast("decimal(38,6)")),
+        sum(round(r * cd * vd * vd, 3).cast("decimal(38,3)")))
+      val a = scored.agg(tAgg(col("rr")).head,
+        tAgg(col("rr")).tail ++ tAgg(lit(1.0) - col("rr")): _*).head()
+      def upd(nM: Double, sM: Double, qM: Double, m0: Double, g0: Double,
+          w0: Double): (Double, Double, Double) =
+        if (nM <= 0.0) (m0, g0, w0)
+        else {
+          val m = r9(sM / nM)
+          (m, r9(math.max(qM / nM - m * m, 1e-6)), r9(nM / nD))
+        }
+      val (nm1, nm2) = (a.getDecimal(0).doubleValue, a.getDecimal(3).doubleValue)
+      val u1 = upd(nm1, a.getDecimal(1).doubleValue, a.getDecimal(2).doubleValue,
+        m1, g1, w1)
+      val u2 = upd(nm2, a.getDecimal(4).doubleValue, a.getDecimal(5).doubleValue,
+        m2, g2, w2)
+      m1 = u1._1; g1 = u1._2; w1 = u1._3
+      m2 = u2._1; g2 = u2._2; w2 = u2._3
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ((lm, lg, lw), (hm, hg, hw)) =
+      if (m1 <= m2) ((m1, g1, w1), (m2, g2, w2))
+      else ((m2, g2, w2), (m1, g1, w1))
+    Seq((n, r6(lm), r6(lg), r6(lw), r6(hm), r6(hg), r6(hw)))
+      .toDF("n", "mu1", "sigma2_1", "w1", "mu2", "sigma2_2", "w2")
+  }
 }

@@ -160,4 +160,25 @@ class ClusteringSpec extends SparkSpec {
       .collect()
     assert(h.forall(_.getAs[Double]("mean_sil") == 1.0))
   }
+  test("gmm1d: separated clusters converge to exact-replay params, tiny n refuses") {
+    import spark.implicits._
+    // 10x"10" + 10x"100": p25/p75 init lands on the cluster values;
+    // three 9dp-rounded EM rounds pin to the independently replayed
+    // fixed point (the residual 1e-6/1e-5 dust IS the documented
+    // deterministic readout, not noise)
+    val df = (Seq.fill(10)(10L) ++ Seq.fill(10)(100L)).toDF("x")
+    val r = graft.operators.Clustering.gmm1d(df, col("x")).head()
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Double]("mu1") == 10.000001 && r.getAs[Double]("mu2") == 99.999999)
+    assert(r.getAs[Double]("sigma2_1") == 8.8e-5 && r.getAs[Double]("sigma2_2") == 2.0e-5)
+    assert(r.getAs[Double]("w1") == 0.5 && r.getAs[Double]("w2") == 0.5)
+    // a single constant value: both components land on it, ordered
+    val const = graft.operators.Clustering.gmm1d(
+      Seq.fill(5)(7L).toDF("x"), col("x")).head()
+    assert(const.getAs[Double]("mu1") == 7.0 && const.getAs[Double]("mu2") == 7.0)
+    assert(const.getAs[Double]("sigma2_1") == 0.000001)
+    intercept[IllegalArgumentException] {
+      graft.operators.Clustering.gmm1d(Seq(1L).toDF("x"), col("x"))
+    }
+  }
 }
