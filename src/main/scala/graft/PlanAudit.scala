@@ -111,7 +111,10 @@ object PlanAudit {
       "q379_cka_int8", // ONE n·(2d)² cell agg; (2d)²-bounded collect
       "q380_cox", // subjects once; per-step agg over |event times| relation
       "q381_moran", // broadcast attribute lookup onto edges; two sums
-      "q382_hill_tail") // per-value counts + prefix sums; no global sort
+      "q382_hill_tail", // per-value counts + prefix sums; no global sort
+      "q383_binseg", // one prefix pass; ≤3 bounded argmax collects
+      "q384_spectral_gap", // edge-partitioned matvec; n-sized vector state
+      "q385_gmm") // per-distinct-value relation; iters map-combined aggs
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

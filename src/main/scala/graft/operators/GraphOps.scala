@@ -1533,7 +1533,8 @@ object GraphOps {
    * λ₁ − |λ₂|, gap_ratio = |λ₂|/λ₁) — 6dp; λ₂ NULL on a single-node
    * deflation degenerate.
    */
-  def spectralGap(edges: DataFrame, iters: Int = 8): DataFrame = {
+  def spectralGap(edges: DataFrame, iters: Int = 8,
+      maxLocalEdges: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 30, s"iters in [1,30]: $iters")
     val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -1547,6 +1548,56 @@ object GraphOps {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def dec(c: Column): Column = c.cast("decimal(24,12)")
+    // driver-local regime: the IDENTICAL 12dp/decimal round arithmetic
+    // over the collected adjacency — derived analytics graphs are
+    // usually threshold-survivors, and 2·iters rounds of tiny Spark
+    // jobs cost more scheduling than the whole computation
+    if (fitsLocal(e, maxLocalEdges)) {
+      val es = e.collect().map(r => (r.getString(0), r.getString(1)))
+      nodes.unpersist(false); e.unpersist(false)
+      val names = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = names.zipWithIndex.toMap
+      val nn = names.length
+      val adj = Array.fill(nn)(List.empty[Int])
+      es.foreach { case (s0, d0) =>
+        val i = idx(s0); adj(i) = idx(d0) :: adj(i)
+      }
+      def d12(x: Double): BigDecimal =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      def matvecL(x: Array[Double]): Array[Double] =
+        Array.tabulate(nn)(i =>
+          adj(i).foldLeft(BigDecimal(0))((a, j) => a + d12(x(j))).toDouble)
+      def dotL(a: Array[Double], b: Array[Double]): Double =
+        (0 until nn).foldLeft(BigDecimal(0))((s0, i) =>
+          s0 + d12(a(i) * b(i))).toDouble
+      def normL(w: Array[Double]): Double =
+        math.sqrt(w.foldLeft(BigDecimal(0))((s0, x) => s0 + d12(x * x)).toDouble)
+      var v = Array.fill(nn)(r12(1.0 / math.sqrt(nn.toDouble)))
+      for (_ <- 1 to iters) {
+        val w = matvecL(v)
+        val nm = normL(w)
+        v = w.map(x => r12(x / nm))
+      }
+      val lam1 = dotL(v, matvecL(v))
+      var u = Array.tabulate(nn)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 1 to iters) {
+        val t = dotL(v, u)
+        val au = matvecL(u)
+        val s0 = lam1 * t
+        val w2 = Array.tabulate(nn)(i => au(i) - s0 * v(i))
+        val nm = normL(w2)
+        u = if (nm > 0.0) w2.map(x => r12(x / nm)) else Array.fill(nn)(0.0)
+      }
+      val lam2 = dotL(u, matvecL(u)) - lam1 * dotL(v, u) * dotL(v, u)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val degenerate = !(lam1 > 0.0)
+      return Seq((nn.toLong, r6(lam1),
+          if (degenerate) None else Some(r6(lam2)),
+          if (degenerate) None else Some(r6(lam1 - math.abs(lam2))),
+          if (degenerate) None else Some(r6(math.abs(lam2) / lam1))))
+        .toDF("n_nodes", "lambda1", "lambda2", "mixing_gap", "gap_ratio")
+    }
     // w(i) = Σ_{j ~ i} x(j): 12dp inputs sum exactly in decimal
     def matvec(x: DataFrame): DataFrame = e
       .join(x.select(col("node").as("dst"), col("x").as("__xj")), "dst")

@@ -1557,12 +1557,16 @@ object CorpusStats {
     val sums = base.select(posexplode(col("__z")).as(Seq("i", "zv")))
       .groupBy(col("i")).agg(sum(col("zv")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // z·zᵀ is SYMMETRIC: aggregating only j ≥ i halves the shuffle; the
+    // mirror cells are reconstructed below with byte-identical values
+    // (the sum over rows of zᵢ·zⱼ IS the sum of zⱼ·zᵢ)
     val cells = base
       .select(posexplode(col("__z")).as(Seq("i", "zi")), col("__z"))
       .select(col("i"), col("zi"), posexplode(col("__z")).as(Seq("j", "zj")))
+      .where(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(sum(dec(col("zi")) * dec(col("zj"))).as("cij"))
-      .collect() // bounded: (2d)² rows under the maxDim contract
+      .collect() // bounded: (2d)²/2 rows under the maxDim contract
     base.unpersist(false)
     def r12(x: Double): Double =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1573,6 +1577,7 @@ object CorpusStats {
       val num = BigDecimal(n) * BigDecimal(r.getDecimal(2)) -
         BigDecimal(sums(i)) * BigDecimal(sums(j))
       cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
+      cov(j)(i) = cov(i)(j) // exact mirror of the symmetric Gram
     }
     def decSum(terms: Iterator[Double]): Double =
       terms.foldLeft(BigDecimal(0))((a, t) =>

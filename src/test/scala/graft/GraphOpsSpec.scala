@@ -624,6 +624,12 @@ class GraphOpsSpec extends SparkSpec {
     // deflation lands on the −1 plane
     assert(gap(Seq(("a", "b"), ("b", "c"), ("a", "c")))
       == ((2.0, -1.0, 1.0, 0.5)))
+    // two-regime contract: the distributed branch is bit-identical
+    assert(GraphOps.spectralGap(
+        Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst"),
+        maxLocalEdges = 0).head() ==
+      GraphOps.spectralGap(
+        Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")).head())
     // K4: {3, −1, −1, −1}
     assert(gap(Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
       ("b", "d"), ("c", "d"))) == ((3.0, -1.0, 2.0, 0.333333)))
