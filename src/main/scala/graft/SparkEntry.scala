@@ -5352,6 +5352,16 @@ object SparkEntry {
       graft.operators.Clustering.gmm1d(
         eng(s, dir).table("documents"), col("n_chars"))
     }),
+    "q386_calibration_slope" -> ((s, dir) => {
+      // the NUMBER q252's curve only draws: logistic recalibration
+      // intercept+slope of the same propensity score — (0,1) is
+      // calibrated, b<1 overconfident; (a,b) IS the Platt map to apply
+      val ev = eng(s, dir).table("events")
+      val score = round(least(col("value") / 200.0, lit(1.0)), 6)
+      graft.operators.Experiment.calibrationSlope(
+        ev.where(col("value").isNotNull),
+        score, col("event_type") === "purchase")
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13414,6 +13424,54 @@ object SparkEntry {
                 round(CASE WHEN p.m1 <= p.m2 THEN p.g2 ELSE p.g1 END, 6) AS sigma2_2,
                 round(CASE WHEN p.m1 <= p.m2 THEN p.w2 ELSE p.w1 END, 6) AS w2
          FROM p3 p CROSS JOIN tot"""
+    },
+    // q386: q253's 6dp score quantization, 9dp clamped logit covariate,
+    // then the operator's 4 Newton rounds verbatim (9dp fitted p, 6dp
+    // decimal moments, closed-form 2×2 solve, 9dp-rerounded a/b)
+    "q386_calibration_slope" -> {
+      val steps = (1 to 4).map { k =>
+        s""", g$k AS (
+             SELECT
+               CAST(sum(CAST(round(kd - cd * rp, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS g0,
+               CAST(sum(CAST(round((kd - cd * rp) * li, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS g1,
+               CAST(sum(CAST(round(cd * rp * (1.0 - rp), 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS h00,
+               CAST(sum(CAST(round(cd * rp * (1.0 - rp) * li, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS h01,
+               CAST(sum(CAST(round(cd * rp * (1.0 - rp) * li * li, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS h11
+             FROM (
+               SELECT li,
+                      round(1.0 / (1.0 + exp(0.0 - (p.a + p.b * li))), 9) AS rp,
+                      CAST(c AS DOUBLE) AS cd, CAST(k AS DOUBLE) AS kd
+               FROM pvl CROSS JOIN p${k - 1} p)
+           ), p$k AS (
+             SELECT round(p.a + (CAST(g.h11 AS DOUBLE) * CAST(g.g0 AS DOUBLE)
+                                 - CAST(g.h01 AS DOUBLE) * CAST(g.g1 AS DOUBLE))
+                               / (CAST(g.h00 AS DOUBLE) * CAST(g.h11 AS DOUBLE)
+                                  - CAST(g.h01 AS DOUBLE) * CAST(g.h01 AS DOUBLE)), 9) AS a,
+                    round(p.b + (CAST(g.h00 AS DOUBLE) * CAST(g.g1 AS DOUBLE)
+                                 - CAST(g.h01 AS DOUBLE) * CAST(g.g0 AS DOUBLE))
+                               / (CAST(g.h00 AS DOUBLE) * CAST(g.h11 AS DOUBLE)
+                                  - CAST(g.h01 AS DOUBLE) * CAST(g.h01 AS DOUBLE)), 9) AS b
+             FROM g$k g CROSS JOIN p${k - 1} p
+           )"""
+      }.mkString
+      s"""WITH pv AS (
+           SELECT CAST(CAST(round(least(value / 200.0, 1.0), 6) AS DECIMAL(18,6))
+                       * 1000000 AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM events WHERE value IS NOT NULL GROUP BY 1
+         ), tots AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS np FROM pv
+         ), pvl AS MATERIALIZED (
+           SELECT c, k, round(ln(sd / (1.0 - sd)), 9) AS li
+           FROM (SELECT c, k,
+                        least(greatest(CAST(v AS DOUBLE) / 1000000.0, 1e-6), 0.999999) AS sd
+                 FROM pv)
+         ), p0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b)
+         $steps
+         SELECT tots.n, tots.np AS n_pos,
+                round(p.a, 6) AS intercept, round(p.b, 6) AS slope
+         FROM p4 p CROSS JOIN tots"""
     },
     "q340_permutation_test" ->
       """WITH base AS (

@@ -569,6 +569,85 @@ object Experiment {
   }
 
   /**
+   * Logistic calibration intercept + slope (Cox 1958 recalibration;
+   * the parametric form behind Platt scaling) — the NUMBER [[
+   * calibration]]'s curve only draws: fit logit P(y=1) = a + b·logit(s)
+   * by Newton-Raphson; (a, b) = (0, 1) is perfect calibration, b < 1
+   * means the score is overconfident in both tails, a ≠ 0 means the
+   * base rate drifted from the score's — and (a, b) ARE the recalibration
+   * map to apply downstream, which no binned curve gives you.
+   *
+   * Determinism (the q380/q385 doctrine): the fit runs over the
+   * per-DISTINCT-score relation (6dp micro-unit quantized, so ≤ 10⁶+1
+   * rows regardless of corpus; counts exact longs); the covariate
+   * logit(s) (scores clamped to [1e-6, 1−1e-6]) and each iteration's
+   * fitted p round 9dp — ulp-proof grids for the two transcendentals —
+   * every gradient/Hessian moment is a DECIMAL sum of 6dp-rounded
+   * terms, and (a, b) re-round 9dp per step; the 2×2 Newton solve is
+   * one closed-form expression mirrored in the oracle. Shape: one
+   * groupBy + `iters` map-combined aggregations. A degenerate Hessian
+   * (single class, constant score) publishes NULL estimates.
+   *
+   * Output: one row (n, n_pos, intercept, slope) — 6dp.
+   */
+  def calibrationSlope(df: DataFrame, scoreCol: Column, labelCol: Column,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters in [1,20]: $iters")
+    val pv = df.where(scoreCol.isNotNull && labelCol.isNotNull)
+      .select((scoreCol.cast("decimal(18,6)") * 1000000).cast("long").as("v"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("k"))
+      .localCheckpoint(true) // bounded distinct scores; read iters times
+    val t = pv.agg(coalesce(sum(col("c")), lit(0L)),
+      coalesce(sum(col("k")), lit(0L))).head()
+    val (n, nPos) = (t.getLong(0), t.getLong(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow: DataFrame = Seq((n, nPos)).toDF("n", "n_pos")
+      .withColumn("intercept", lit(null).cast("double"))
+      .withColumn("slope", lit(null).cast("double"))
+    if (n < 2 || nPos == 0 || nPos == n) { nullRow }
+    else {
+      def r9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sd = least(greatest(col("v").cast("double") / lit(1000000.0),
+        lit(1e-6)), lit(0.999999))
+      val li = round(log(sd / (lit(1.0) - sd)), 9)
+      var (a, b) = (0.0, 0.0)
+      var degenerate = false
+      var it = 0
+      while (it < iters && !degenerate) {
+        val eta = lit(a) + lit(b) * li
+        val rp = round(lit(1.0) / (lit(1.0) + exp(lit(0.0) - eta)), 9)
+        val cd = col("c").cast("double"); val kd = col("k").cast("double")
+        val w = cd * rp * (lit(1.0) - rp)
+        val agg = pv.agg(
+          sum(round(kd - cd * rp, 6).cast("decimal(38,6)")),
+          sum(round((kd - cd * rp) * li, 6).cast("decimal(38,6)")),
+          sum(round(w, 6).cast("decimal(38,6)")),
+          sum(round(w * li, 6).cast("decimal(38,6)")),
+          sum(round(w * li * li, 6).cast("decimal(38,6)"))).head()
+        val (g0, g1) = (agg.getDecimal(0).doubleValue, agg.getDecimal(1).doubleValue)
+        val (h00, h01, h11) = (agg.getDecimal(2).doubleValue,
+          agg.getDecimal(3).doubleValue, agg.getDecimal(4).doubleValue)
+        val det = h00 * h11 - h01 * h01
+        if (det <= 0.0) degenerate = true
+        else {
+          a = r9(a + (h11 * g0 - h01 * g1) / det)
+          b = r9(b + (h00 * g1 - h01 * g0) / det)
+        }
+        it += 1
+      }
+      if (degenerate) nullRow
+      else Seq((n, nPos, r6(a), r6(b)))
+        .toDF("n", "n_pos", "intercept", "slope")
+    }
+  }
+
+  /**
    * Calibration curve + expected calibration error — the eval
    * [[classifierEval]] is not: accuracy says how often the model is
    * right, calibration says whether its SCORES mean what they claim

@@ -713,4 +713,25 @@ class ScdSpec extends SparkSpec {
     val nul = run(stratum("s1", 5, 0, 5, 0))
     assert(nul.isNullAt(2) && nul.isNullAt(3) && nul.isNullAt(4) && nul.isNullAt(5))
   }
+
+  test("calibrationSlope: calibrated data reads exactly (0,1); degenerates NULL") {
+    // score .25 with 1/4 positives, score .75 with 3/4: perfectly
+    // calibrated — four 9dp Newton rounds land on intercept 0, slope 1
+    // at 6dp (symmetry keeps every intercept update exactly zero)
+    val df = (Seq.fill(1)((0.25, true)) ++ Seq.fill(3)((0.25, false)) ++
+      Seq.fill(3)((0.75, true)) ++ Seq.fill(1)((0.75, false)))
+      .toDF("s", "y")
+    val r = Experiment.calibrationSlope(df, col("s"), col("y")).head()
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("n_pos") == 4L)
+    assert(r.getAs[Double]("intercept") == 0.0 && r.getAs[Double]("slope") == 1.0)
+    // single-class labels: no likelihood surface → NULL estimates
+    val onecls = Experiment.calibrationSlope(
+      Seq((0.2, true), (0.8, true)).toDF("s", "y"), col("s"), col("y")).head()
+    assert(onecls.isNullAt(2) && onecls.isNullAt(3))
+    // constant score: singular Hessian → NULL estimates
+    val const = Experiment.calibrationSlope(
+      (Seq.fill(3)((0.5, true)) ++ Seq.fill(3)((0.5, false))).toDF("s", "y"),
+      col("s"), col("y")).head()
+    assert(const.isNullAt(2) && const.isNullAt(3))
+  }
 }
