@@ -5362,6 +5362,15 @@ object SparkEntry {
         ev.where(col("value").isNotNull),
         score, col("event_type") === "purchase")
     }),
+    "q387_huber_mean" -> ((s, dir) => {
+      // the center a corrupt batch can't drag: Huber IRLS location of
+      // order value in cents next to the hostage plain mean — q169
+      // flags outliers, q210 clips them, this DOWNWEIGHTS them into an
+      // alertable number with 95% Gaussian efficiency
+      graft.operators.Outliers.huberMean(
+        eng(s, dir).table("orders"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13472,6 +13481,56 @@ object SparkEntry {
          SELECT tots.n, tots.np AS n_pos,
                 round(p.a, 6) AS intercept, round(p.b, 6) AS slope
          FROM p4 p CROSS JOIN tots"""
+    },
+    // q387: exact lower-median/MAD order stats from prefix sums, then
+    // the operator's 3 IRLS rounds verbatim (9dp weights, 6dp decimal
+    // moments, 9dp-rerounded mu)
+    "q387_huber_mean" -> {
+      val steps = (1 to 3).map { k =>
+        s""", s$k AS (
+             SELECT
+               CAST(sum(CAST(round(w * cd, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sw,
+               CAST(sum(CAST(round(w * cd * vd, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS swx
+             FROM (
+               SELECT CAST(c AS DOUBLE) AS cd, CAST(v AS DOUBLE) AS vd,
+                      round(CASE WHEN abs(CAST(v AS DOUBLE) - p.m) <= th.thr THEN 1.0
+                                 ELSE th.thr / abs(CAST(v AS DOUBLE) - p.m) END, 9) AS w
+               FROM pv CROSS JOIN m${k - 1} p CROSS JOIN th)
+           ), m$k AS (
+             SELECT round(CAST(s.swx AS DOUBLE) / CAST(s.sw AS DOUBLE), 9) AS m
+             FROM s$k s
+           )"""
+      }.mkString
+      s"""WITH pv AS MATERIALIZED (
+           SELECT v, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+             FROM orders) WHERE v IS NOT NULL GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT) AS s
+           FROM pv
+         ), med AS (
+           SELECT min(CASE WHEN below + c >= (tot.n + 1) // 2 THEN v END) AS med
+           FROM (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                 FROM pv) CROSS JOIN tot
+         ), dev AS (
+           SELECT abs(pv.v - med.med) AS v, CAST(sum(c) AS BIGINT) AS c
+           FROM pv CROSS JOIN med GROUP BY 1
+         ), mad AS (
+           SELECT min(CASE WHEN below + c >= (tot.n + 1) // 2 THEN v END) AS mad
+           FROM (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+                 FROM dev) CROSS JOIN tot
+         ), th AS (
+           SELECT 1.345 * (1.4826 * CAST(mad.mad AS DOUBLE)) AS thr FROM mad
+         ), m0 AS (SELECT CAST(med.med AS DOUBLE) AS m FROM med)
+         $steps
+         SELECT tot.n, CAST(med.med AS DOUBLE) AS median,
+                CAST(mad.mad AS DOUBLE) AS mad,
+                round(m3.m, 6) AS huber_mean,
+                round(CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS plain_mean
+         FROM m3 CROSS JOIN tot CROSS JOIN med CROSS JOIN mad"""
     },
     "q340_permutation_test" ->
       """WITH base AS (

@@ -88,4 +88,20 @@ class RobustSpec extends SparkSpec {
     val tiny = Outliers.hillTailIndex(Seq(3L, 4L).toDF("x"), col("x")).head()
     assert(tiny.getAs[Long]("k") == 0L && tiny.isNullAt(3))
   }
+  test("huberMean: spike downweighted to the replayed 5.499424, MAD-0 falls to median") {
+    import spark.implicits._
+    // 1..9 plus a 1000 spike: median 5, MAD 2 — three IRLS rounds pin
+    // to the independently replayed 5.499424 while the plain mean sits
+    // hostage at 104.5
+    val df = ((1L to 9L) :+ 1000L).toDF("x")
+    val r = Outliers.huberMean(df, col("x")).head()
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Double]("median") == 5.0
+      && r.getAs[Double]("mad") == 2.0)
+    assert(r.getAs[Double]("huber_mean") == 5.499424)
+    assert(r.getAs[Double]("plain_mean") == 104.5)
+    // majority-constant data: MAD 0 → the estimate IS the median
+    val flat = Outliers.huberMean(Seq(7L, 7L, 7L, 1000L).toDF("x"), col("x")).head()
+    assert(flat.getAs[Double]("mad") == 0.0
+      && flat.getAs[Double]("huber_mean") == 7.0)
+  }
 }
