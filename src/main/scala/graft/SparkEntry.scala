@@ -5371,6 +5371,14 @@ object SparkEntry {
         eng(s, dir).table("orders"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
     }),
+    "q388_ktruss" -> ((s, dir) => {
+      // the community KERNEL of the bought-together graph: 6-truss —
+      // every surviving edge sits in ≥ 4 triangles among survivors,
+      // the cohesion read q245's k-core overstates (degree admits
+      // hub-to-strangers wiring; trusses demand mutual neighborhoods)
+      graft.operators.GraphOps.kTruss(top90Brand(s, dir), k = 6,
+        maxRounds = 6)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13531,6 +13539,40 @@ object SparkEntry {
                 round(m3.m, 6) AS huber_mean,
                 round(CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS plain_mean
          FROM m3 CROSS JOIN tot CROSS JOIN med CROSS JOIN mad"""
+    },
+    // q388: 6 unrolled support-filter rounds over the canonical top-90
+    // edges (wedge-join triangle counts per round), final-state support
+    "q388_ktruss" -> {
+      val rounds = (1 to 6).map { r =>
+        s""", sym$r AS (SELECT a AS src, b AS dst FROM e${r - 1}
+                        UNION ALL SELECT b, a FROM e${r - 1}),
+           sp$r AS (
+             SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS sup
+             FROM e${r - 1} c
+             JOIN sym$r s1 ON s1.src = c.a
+             JOIN sym$r s2 ON s2.src = c.b AND s2.dst = s1.dst
+             GROUP BY 1, 2
+           ), e$r AS MATERIALIZED (
+             SELECT c.a, c.b FROM e${r - 1} c
+             JOIN sp$r p ON p.a = c.a AND p.b = c.b
+             WHERE p.sup >= 4
+           )"""
+      }.mkString
+      duckTop90Graph +
+      s""", e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM top)
+         $rounds
+         , symf AS (SELECT a AS src, b AS dst FROM e6
+                    UNION ALL SELECT b, a FROM e6),
+         spf AS (
+           SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS sup
+           FROM e6 c
+           JOIN symf s1 ON s1.src = c.a
+           JOIN symf s2 ON s2.src = c.b AND s2.dst = s1.dst
+           GROUP BY 1, 2
+         )
+         SELECT c.a, c.b, coalesce(p.sup, 0) AS support
+         FROM e6 c LEFT JOIN spf p ON p.a = c.a AND p.b = c.b
+         ORDER BY c.a, c.b"""
     },
     "q340_permutation_test" ->
       """WITH base AS (

@@ -1510,6 +1510,58 @@ object GraphOps {
   }
 
   /**
+   * k-truss decomposition (Cohen 2008) — the cohesion subgraph
+   * [[kCore]] overstates: a k-core only requires DEGREE, so a hub
+   * wired to k strangers survives; a k-truss requires every edge to
+   * sit in ≥ k−2 TRIANGLES within the surviving subgraph, so edges
+   * survive only inside genuinely dense, mutually-connected
+   * neighborhoods — the community-kernel extractor.
+   *
+   * Exact and iterative: canonical undirected edges; each round counts
+   * per-edge triangle support with ONE wedge join over the current
+   * edge set (the [[triangles]] shape) and drops edges below k−2;
+   * stops at fixpoint or `maxRounds` (the declared cap the oracle
+   * unrolls — extra rounds past the fixpoint are idempotent, so an
+   * early stop and a full unroll agree by construction). All counts
+   * exact longs; per-round lineage cuts.
+   *
+   * Output: surviving (a, b, support) with the final-state support,
+   * ordered — empty when no edge reaches the truss.
+   */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 6): DataFrame = {
+    require(k >= 3, s"k >= 3: $k")
+    require(maxRounds >= 1 && maxRounds <= 30, s"maxRounds in [1,30]: $maxRounds")
+    val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    var cur = dir0.selectExpr("least(src, dst) as a", "greatest(src, dst) as b")
+      .distinct().localCheckpoint(true)
+    def support(canon: DataFrame): DataFrame = {
+      val sym = canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(canon.select(col("b").as("src"), col("a").as("dst")))
+      canon
+        .join(sym.select(col("src").as("a"), col("dst").as("x")), "a")
+        .join(sym.select(col("src").as("b"), col("dst").as("x")), Seq("b", "x"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var n = cur.count()
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds && n > 0) {
+      val next = cur.join(support(cur), Seq("a", "b"), "left")
+        .where(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val m = next.count()
+      changed = m != n
+      cur = next; n = m
+      round += 1
+    }
+    cur.join(support(cur), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /**
    * Adjacency spectral gap by DEFLATED power iteration — how fast does
    * the graph MIX: λ₁ is connectivity strength ([[eigenvectorCentrality]]
    * reads its eigenvector), the second-largest-magnitude eigenvalue λ₂

@@ -636,4 +636,26 @@ class GraphOpsSpec extends SparkSpec {
     // K2 is bipartite: {1, −1} — |λ₂| = λ₁, the trapped-walk read
     assert(gap(Seq(("a", "b"))) == ((1.0, -1.0, 0.0, 1.0)))
   }
+
+  test("kTruss: K4 kernel survives, pendant drops, removal cascades to empty") {
+    import spark.implicits._
+    def truss(edges: Seq[(String, String)], k: Int) =
+      GraphOps.kTruss(edges.toDF("src", "dst"), k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val k4pend = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e"))
+    // 4-truss: every K4 edge sits in 2 surviving triangles; the pendant
+    // d—e sits in none and drops
+    val t4 = truss(k4pend, 4)
+    assert(t4.length == 6 && t4.forall(_._3 == 2L) && !t4.exists(_._2 == "e"))
+    // 5-truss: K4 edges only reach support 2 → everything drops
+    assert(truss(k4pend, 5).isEmpty)
+    // cascade: two triangles sharing edge b—c; at k=4 only b—c survives
+    // round 1, then its own support collapses → empty, not a leftover
+    val twoTri = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d"))
+    assert(truss(twoTri, 4).isEmpty)
+    // 3-truss keeps both triangles with their exact supports
+    val t3 = truss(twoTri, 3).map { case (aa, bb, sp) => (aa, bb) -> sp }.toMap
+    assert(t3(("b", "c")) == 2L && t3(("a", "b")) == 1L && t3.size == 5)
+  }
 }
