@@ -5379,6 +5379,18 @@ object SparkEntry {
       graft.operators.GraphOps.kTruss(top90Brand(s, dir), k = 6,
         maxRounds = 6)
     }),
+    "q389_yuen_t" -> ((s, dir) => {
+      // the robust middle ground on q234's arms: Yuen's trimmed-mean t
+      // (⅛ dyadic trim, winsorized variances) — a location read heavy
+      // tails can't hijack, where Welch compares hostage means and
+      // Mann-Whitney abandons the mean entirely
+      val two = eng(s, dir).table("orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(col("o_orderpriority").as("arm"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.operators.DistDrift.yuenT(two, col("cents"), col("arm"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13573,6 +13585,64 @@ object SparkEntry {
          SELECT c.a, c.b, coalesce(p.sup, 0) AS support
          FROM e6 c LEFT JOIN spf p ON p.a = c.a AND p.b = c.b
          ORDER BY c.a, c.b"""
+    },
+    // q389: per-arm order-stat trim boundaries + exact in-band
+    // multiplicities from window prefix sums; winsorized moments
+    // HUGEINT with the exact n·SSQ − S² cancellation; one double t/df
+    "q389_yuen_t" -> {
+      def sideSql(tag: String, arm: String) =
+        s"""pv$tag AS (
+             SELECT v, CAST(count(*) AS BIGINT) AS c FROM base
+             WHERE g = '$arm' GROUP BY 1
+           ), n$tag AS (
+             SELECT CAST(sum(c) AS BIGINT) AS n,
+                    CAST(floor(0.125 * CAST(sum(c) AS DOUBLE)) AS BIGINT) AS k
+             FROM pv$tag
+           ), cum$tag AS (
+             SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+             FROM pv$tag
+           ), s$tag AS (
+             SELECT
+               CAST(sum(CAST(greatest(least(below + c, x.n - x.k)
+                 - greatest(below, x.k), 0) AS HUGEINT) * v) AS HUGEINT) AS st,
+               CAST(sum(CAST(greatest(least(below + c, x.n - x.k)
+                 - greatest(below, x.k), 0) AS HUGEINT) * v * v) AS HUGEINT) AS ssqt,
+               min(CASE WHEN below + c >= x.k + 1 THEN v END) AS vlo,
+               min(CASE WHEN below + c >= x.n - x.k THEN v END) AS vhi
+             FROM cum$tag CROSS JOIN n$tag x
+           ), f$tag AS (
+             SELECT x.n, x.k, x.n - 2 * x.k AS h,
+                    CAST(s.st AS DOUBLE) / CAST(x.n - 2 * x.k AS DOUBLE) AS tmean,
+                    CAST(x.n * (s.ssqt + x.k * (CAST(s.vlo AS HUGEINT) * s.vlo
+                                                + CAST(s.vhi AS HUGEINT) * s.vhi))
+                         - (s.st + x.k * (CAST(s.vlo AS HUGEINT) + s.vhi))
+                           * (s.st + x.k * (CAST(s.vlo AS HUGEINT) + s.vhi)) AS DOUBLE)
+                      / (CAST(x.n AS DOUBLE) * (CAST(x.n AS DOUBLE) - 1.0)) AS sw2
+             FROM s$tag s CROSS JOIN n$tag x
+           )"""
+      s"""WITH base AS (
+           SELECT o_orderpriority AS g,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         ), ${sideSql("a", "1-URGENT")}, ${sideSql("b", "5-LOW")},
+         dd AS (
+           SELECT fa.n AS na, fb.n AS nb, fa.h AS ha, fb.h AS hb,
+                  fa.tmean AS tma, fb.tmean AS tmb,
+                  (fa.n - 1.0) * fa.sw2 / (CAST(fa.h AS DOUBLE) * (CAST(fa.h AS DOUBLE) - 1.0)) AS da,
+                  (fb.n - 1.0) * fb.sw2 / (CAST(fb.h AS DOUBLE) * (CAST(fb.h AS DOUBLE) - 1.0)) AS db
+           FROM fa CROSS JOIN fb
+         )
+         SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+                na AS n_a, nb AS n_b, ha AS h_a, hb AS h_b,
+                round(tma, 6) AS tmean_a, round(tmb, 6) AS tmean_b,
+                CASE WHEN da + db > 0 THEN
+                  round((tma - tmb) / sqrt(da + db), 6) END AS t_yuen,
+                CASE WHEN da + db > 0 THEN
+                  round((da + db) * (da + db)
+                        / (da * da / (CAST(ha AS DOUBLE) - 1.0)
+                           + db * db / (CAST(hb AS DOUBLE) - 1.0)), 6) END AS df
+         FROM dd"""
     },
     "q340_permutation_test" ->
       """WITH base AS (

@@ -665,6 +665,96 @@ object DistDrift {
    *
    * Output: one row (group_a, group_b, n_a, n_b, mean_a, mean_b, t, df).
    */
+  /**
+   * Yuen's trimmed-mean t-test (Yuen 1974) — the robust middle ground
+   * the two-sample shelf lacked: [[welchT]] compares means a single
+   * spike can drag; [[mannWhitney]] abandons the mean entirely; Yuen
+   * compares TRIMMED means with WINSORIZED variances, keeping a
+   * location-difference reading that heavy tails cannot hijack. Trim
+   * fraction must be dyadic (default ⅛) so k = ⌊trim·n⌋ has no float
+   * dust.
+   *
+   * Exactness: per group, the trim boundaries are exact order
+   * statistics and each value's in-band multiplicity is exact integer
+   * arithmetic over per-value counts + strictly-below prefix sums (one
+   * [[withPrefixSums]] pass per group, never a sort); winsorized
+   * moments are DECIMAL(38,0) sums with the n·Σx² − S² cancellation
+   * done exactly (the [[welchT]] doctrine); t and the Satterthwaite df
+   * are one double expression. The t CDF is deliberately not published.
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, h_a, h_b, tmean_a,
+   * tmean_b, t_yuen, df) — 6dp; NULL t/df when a trimmed side has
+   * h < 2 or both winsorized variances are 0.
+   */
+  def yuenT(df: DataFrame, valCol: Column, groupCol: Column,
+      trim: Double = 0.125): DataFrame = {
+    require(trim > 0.0 && trim < 0.5, s"trim in (0, 0.5): $trim")
+    val base = df.select(groupCol.cast("string").as("g"),
+        valCol.cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val gs = base.select(col("g")).distinct().orderBy(col("g"))
+      .collect().map(_.getString(0))
+    require(gs.length == 2, s"yuenT needs exactly two groups, got ${gs.toSeq}")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    // (n, k, h, tmeanNum, vLo, vHi, winsSum, winsSsq) for one group
+    case class Side(n: Long, k: Long, h: Long, st: java.math.BigDecimal,
+      ssqt: java.math.BigDecimal, vLo: Long, vHi: Long)
+    def side(gName: String): Side = {
+      val pv = base.where(col("g") === gName)
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val n = pv.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      val k = math.floor(trim * n).toLong
+      val cum = withPrefixSums(pv, Seq("c"))
+      val incl = col("c_below") + col("c")
+      val m = greatest(least(incl, lit(n - k)) - greatest(col("c_below"), lit(k)),
+        lit(0L))
+      val r = cum.agg(
+        sum(d38(m) * d38(col("v"))).as("st"),
+        sum(d38(m) * d38(col("v")) * d38(col("v"))).as("ssqt"),
+        min(when(incl >= k + 1L, col("v"))).as("vlo"),
+        min(when(incl >= n - k, col("v"))).as("vhi")).head()
+      Side(n, k, n - 2 * k, r.getDecimal(0), r.getDecimal(1),
+        r.getLong(2), r.getLong(3))
+    }
+    val (a, b) = (side(gs(0)), side(gs(1)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def stats(s: Side): (Double, Double) = {
+      // winsorized sum/ssq exact; variance via exact n·SSQ − S² numerator
+      val sw = BigDecimal(s.st) + BigDecimal(s.k) * (BigDecimal(s.vLo) + BigDecimal(s.vHi))
+      val ssqw = BigDecimal(s.ssqt) + BigDecimal(s.k) *
+        (BigDecimal(s.vLo) * BigDecimal(s.vLo) + BigDecimal(s.vHi) * BigDecimal(s.vHi))
+      val num = BigDecimal(s.n) * ssqw - sw * sw
+      val nd = s.n.toDouble
+      val sw2 = num.toDouble / (nd * (nd - 1.0))
+      val tmean = BigDecimal(s.st).toDouble / s.h.toDouble
+      (tmean, (nd - 1.0) * sw2 / (s.h.toDouble * (s.h.toDouble - 1.0)))
+    }
+    if (a.h < 2 || b.h < 2) {
+      Seq((gs(0), gs(1), a.n, b.n, a.h, b.h)).toDF("group_a", "group_b",
+          "n_a", "n_b", "h_a", "h_b")
+        .withColumn("tmean_a", lit(null).cast("double"))
+        .withColumn("tmean_b", lit(null).cast("double"))
+        .withColumn("t_yuen", lit(null).cast("double"))
+        .withColumn("df", lit(null).cast("double"))
+    } else {
+      val (tma, da) = stats(a)
+      val (tmb, db) = stats(b)
+      val denom = da + db
+      val (t, dfOut) =
+        if (denom > 0.0)
+          (Some(r6((tma - tmb) / math.sqrt(denom))),
+            Some(r6(denom * denom / (da * da / (a.h.toDouble - 1.0)
+              + db * db / (b.h.toDouble - 1.0)))))
+        else (None, None)
+      Seq((gs(0), gs(1), a.n, b.n, a.h, b.h, r6(tma), r6(tmb), t, dfOut))
+        .toDF("group_a", "group_b", "n_a", "n_b", "h_a", "h_b",
+          "tmean_a", "tmean_b", "t_yuen", "df")
+    }
+  }
+
   def welchT(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))

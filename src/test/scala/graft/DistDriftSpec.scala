@@ -431,4 +431,28 @@ class DistDriftSpec extends SparkSpec {
     assert(guarded("A").getAs[Long]("n") == 2L
       && guarded("A").getAs[Double]("theil_between") == 0.130812)
   }
+  test("yuenT: hand shifted arms t=-10/sqrt(2), spike trimmed away, degenerates NULL") {
+    import spark.implicits._
+    def run(a: Seq[Long], b: Seq[Long]) =
+      graft.operators.DistDrift.yuenT(
+        (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v"),
+        col("v"), col("g"))
+    // A = 1..8, B = 11..18 (pure +10 shift): k=1 trims each end,
+    // tmeans 4.5/14.5; winsorized variance gives d = 1.0 exactly per
+    // side → t = −10/√2, df = 4/(2/5) = 10
+    val r = run(1L to 8L, 11L to 18L).head()
+    assert(r.getAs[Long]("h_a") == 6L && r.getAs[Double]("tmean_a") == 4.5)
+    assert(r.getAs[Double]("tmean_b") == 14.5)
+    assert(r.getAs[Double]("t_yuen") == -7.071068 && r.getAs[Double]("df") == 10.0)
+    // a 1000-spike replacing the max is TRIMMED: same tmean, same t
+    val sp = run((1L to 7L) :+ 1000L, 11L to 18L).head()
+    assert(sp.getAs[Double]("tmean_a") == 4.5
+      && sp.getAs[Double]("t_yuen") == -7.071068)
+    // identical constant arms: zero winsorized variance → NULL t/df
+    val const = run(Seq.fill(8)(5L), Seq.fill(8)(5L)).head()
+    assert(const.isNullAt(8) && const.isNullAt(9))
+    // a side with h < 2 refuses into NULL estimates
+    val thin = run(Seq(1L), Seq(1L, 2L, 3L, 4L)).head()
+    assert(thin.isNullAt(6) && thin.isNullAt(8))
+  }
 }
