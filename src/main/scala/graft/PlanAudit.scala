@@ -114,7 +114,11 @@ object PlanAudit {
       "q382_hill_tail", // per-value counts + prefix sums; no global sort
       "q383_binseg", // one prefix pass; ≤3 bounded argmax collects
       "q384_spectral_gap", // edge-partitioned matvec; n-sized vector state
-      "q385_gmm") // per-distinct-value relation; iters map-combined aggs
+      "q385_gmm", // per-distinct-value relation; iters map-combined aggs
+      "q386_calibration_slope", // distinct-score relation; 4 Newton aggs
+      "q387_huber_mean", // order stats via prefix sums; 3 IRLS aggs
+      "q388_ktruss", // wedge join per round; per-round lineage cuts
+      "q389_yuen_t") // two per-arm prefix passes; ONE bounded agg each
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -5391,6 +5391,17 @@ object SparkEntry {
             .as("cents"))
       graft.operators.DistDrift.yuenT(two, col("cents"), col("arm"))
     }),
+    "q390_partial_corr" -> ((s, dir) => {
+      // does price track quantity BEYOND what discount explains:
+      // partial correlation r_xy·z over lineitem (price cents, quantity
+      // units, discount basis points) — q187's r can't tell a direct
+      // association from a shared confound; ten exact moments, ONE agg
+      graft.operators.DistDrift.partialCorr(
+        eng(s, dir).table("lineitem"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("l_quantity").cast("long"),
+        (col("l_discount").cast("decimal(8,4)") * 10000).cast("long"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13644,6 +13655,45 @@ object SparkEntry {
                            + db * db / (CAST(hb AS DOUBLE) - 1.0)), 6) END AS df
          FROM dd"""
     },
+    // q390: ten HUGEINT moments in one pass, the textbook pairwise-r
+    // and partialling identities as one mirrored double expression
+    "q390_partial_corr" ->
+      """WITH base AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+                  CAST(l_quantity AS BIGINT) AS y,
+                  CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT) AS z
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_discount IS NOT NULL
+         ), m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                  CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+                  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                  CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+                  CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+           FROM base
+         ), rr AS (
+           SELECT n,
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+                  CAST(n * sxz - sx * sz AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+                  CAST(n * syz - sy * sz AS DOUBLE)
+                    / sqrt(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+           FROM m
+         )
+         SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+                round(ryz, 6) AS r_yz,
+                CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+                  round((rxy - rxz * ryz)
+                        / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+                END AS r_xy_z
+         FROM rr""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

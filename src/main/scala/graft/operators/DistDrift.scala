@@ -686,6 +686,74 @@ object DistDrift {
    * tmean_b, t_yuen, df) — 6dp; NULL t/df when a trimmed side has
    * h < 2 or both winsorized variances are 0.
    */
+  /**
+   * Partial correlation r_xy·z — the confound check the plain [[
+   * pearson correlation]] (q187) cannot make: x and y may correlate
+   * only because BOTH track z (price and quantity both follow
+   * discount); partialling z out with the textbook identity
+   * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) reads the
+   * residual association directly.
+   *
+   * Exactness: all three inputs are integer-unit columns; the ten
+   * moments (n, Σ of each, squares, cross products) ride ONE
+   * map-combined aggregation in exact DECIMAL(38,0); each pairwise r
+   * and the partial are one mirrored double expression, 6dp. NULL when
+   * any variable is constant or a partialling denominator hits zero.
+   *
+   * Output: one row (n, r_xy, r_xz, r_yz, r_xy_z).
+   */
+  def partialCorr(df: DataFrame, xCol: Column, yCol: Column,
+      zCol: Column): DataFrame = {
+    val base = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"),
+        zCol.cast("long").as("z"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("z").isNotNull)
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(d(col("x"))), sum(d(col("y"))), sum(d(col("z"))),
+      sum(d(col("x")) * d(col("x"))), sum(d(col("y")) * d(col("y"))),
+      sum(d(col("z")) * d(col("z"))),
+      sum(d(col("x")) * d(col("y"))), sum(d(col("x")) * d(col("z"))),
+      sum(d(col("y")) * d(col("z")))).head()
+    val n = m.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (n < 3) {
+      Seq(Tuple1(n)).toDF("n")
+        .withColumn("r_xy", lit(null).cast("double"))
+        .withColumn("r_xz", lit(null).cast("double"))
+        .withColumn("r_yz", lit(null).cast("double"))
+        .withColumn("r_xy_z", lit(null).cast("double"))
+    } else {
+      val bd = (1 to 9).map(i => BigDecimal(m.getDecimal(i)))
+      val Seq(sx, sy, sz, sxx, syy, szz, sxy, sxz, syz) = bd
+      val nB = BigDecimal(n)
+      def den(saa: BigDecimal, sa: BigDecimal) = nB * saa - sa * sa
+      val (dx, dy, dz) = (den(sxx, sx), den(syy, sy), den(szz, sz))
+      if (dx <= 0 || dy <= 0 || dz <= 0) {
+        Seq(Tuple1(n)).toDF("n")
+          .withColumn("r_xy", lit(null).cast("double"))
+          .withColumn("r_xz", lit(null).cast("double"))
+          .withColumn("r_yz", lit(null).cast("double"))
+          .withColumn("r_xy_z", lit(null).cast("double"))
+      } else {
+        def r(sab: BigDecimal, sa: BigDecimal, sb: BigDecimal,
+            da: BigDecimal, db: BigDecimal): Double =
+          (nB * sab - sa * sb).toDouble /
+            math.sqrt(da.toDouble * db.toDouble)
+        val rxy = r(sxy, sx, sy, dx, dy)
+        val rxz = r(sxz, sx, sz, dx, dz)
+        val ryz = r(syz, sy, sz, dy, dz)
+        val part = (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+        val pOut = if (part > 0.0)
+          Some(r6((rxy - rxz * ryz) / math.sqrt(part))) else None
+        Seq((n, r6(rxy), r6(rxz), r6(ryz), pOut))
+          .toDF("n", "r_xy", "r_xz", "r_yz", "r_xy_z")
+      }
+    }
+  }
+
   def yuenT(df: DataFrame, valCol: Column, groupCol: Column,
       trim: Double = 0.125): DataFrame = {
     require(trim > 0.0 && trim < 0.5, s"trim in (0, 0.5): $trim")

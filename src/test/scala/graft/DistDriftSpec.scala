@@ -455,4 +455,21 @@ class DistDriftSpec extends SparkSpec {
     val thin = run(Seq(1L), Seq(1L, 2L, 3L, 4L)).head()
     assert(thin.isNullAt(6) && thin.isNullAt(8))
   }
+  test("partialCorr: a pure confound partials to exactly zero; constants NULL") {
+    import spark.implicits._
+    // x = z+a, y = z+b over all (z,a,b) ∈ {0,1}³: r_xy = ½ comes ONLY
+    // through z (r_xz = r_yz = 1/√2) — partialling z out reads 0
+    val rows = for (z <- 0 to 1; a <- 0 to 1; b <- 0 to 1)
+      yield ((z + a).toLong, (z + b).toLong, z.toLong)
+    val r = graft.operators.DistDrift.partialCorr(rows.toDF("x", "y", "z"),
+      col("x"), col("y"), col("z")).head()
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("r_xy") == 0.5 && r.getAs[Double]("r_xz") == 0.707107)
+    assert(r.getAs[Double]("r_xy_z") == 0.0)
+    // a constant variable has no correlation to read: NULL row
+    val const = graft.operators.DistDrift.partialCorr(
+      Seq((1L, 2L, 5L), (2L, 3L, 5L), (3L, 5L, 5L)).toDF("x", "y", "z"),
+      col("x"), col("y"), col("z")).head()
+    assert(const.isNullAt(1) && const.isNullAt(4))
+  }
 }
