@@ -5402,6 +5402,14 @@ object SparkEntry {
         col("l_quantity").cast("long"),
         (col("l_discount").cast("decimal(8,4)") * 10000).cast("long"))
     }),
+    "q391_entropy_rate" -> ((s, dir) => {
+      // how PREDICTABLE is the session process in the long run: entropy
+      // rate of q300's behavior chain (per-step surprise weighted by
+      // the stationary mass) and e^H as effective branching — the
+      // one-number structure-drift alarm for the event stream
+      graft.operators.EventPaths.entropyRate(eng(s, dir).table("events"),
+        "user_id", "ts", "event_type", "event_id", iters = 16)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13694,6 +13702,66 @@ object SparkEntry {
                         / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
                 END AS r_xy_z
          FROM rr""",
+    // q391: the q300 picounit stationary replay + q313-shaped 12dp
+    // per-state entropy terms, one more 12dp decimal sum for the rate
+    "q391_entropy_rate" -> {
+      val U = "1000000000000"
+      val iters = (1 to 16).map { i =>
+        val prev = if (i == 1) "v0" else s"it${i - 1}"
+        s""", it$i AS MATERIALIZED (
+             SELECT p.j AS state,
+                    CAST(sum(CAST(vp.v AS HUGEINT) * p.p // $U) AS BIGINT) AS v
+             FROM pmat p JOIN $prev vp ON vp.state = p.i
+             GROUP BY 1
+           )"""
+      }.mkString
+      s"""WITH ev AS (
+           SELECT user_id AS u, event_type AS s,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id AS tie
+           FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         ), tr AS (
+           SELECT s AS src, lead(s) OVER (PARTITION BY u ORDER BY t, tie) AS dst
+           FROM ev
+         ), cmat AS (
+           SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+           FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
+         ), states AS (SELECT DISTINCT s AS state FROM ev),
+         rs AS (
+           SELECT st.state AS src, COALESCE(CAST(sum(c.c) AS BIGINT), 0) AS r
+           FROM states st LEFT JOIN cmat c ON c.src = st.state GROUP BY 1
+         ), pmat AS MATERIALIZED (
+           SELECT a.state AS i, b.state AS j,
+                  CASE WHEN rs.r = 0 THEN
+                    CASE WHEN a.state = b.state THEN $U ELSE 0 END
+                  ELSE CAST(CAST(COALESCE(c.c, 0) AS HUGEINT) * $U // rs.r AS BIGINT)
+                  END AS p
+           FROM states a CROSS JOIN states b
+           JOIN rs ON rs.src = a.state
+           LEFT JOIN cmat c ON c.src = a.state AND c.dst = b.state
+         ), v0 AS (
+           SELECT state, $U // (SELECT count(*) FROM states) AS v FROM states
+         )$iters
+         , hh AS (
+           SELECT rs.src AS state,
+                  CASE WHEN rs.r = 0 THEN 0.0 ELSE
+                    CAST(coalesce(sum(CAST(round(
+                      CAST(c.c AS DOUBLE) / CAST(rs.r AS DOUBLE)
+                      * ln(CAST(rs.r AS DOUBLE) / CAST(c.c AS DOUBLE)), 12)
+                      AS DECIMAL(24,12))), 0) AS DOUBLE)
+                  END AS h
+           FROM rs LEFT JOIN cmat c ON c.src = rs.src AND c.c > 0
+           GROUP BY rs.src, rs.r
+         ), rate AS (
+           SELECT round(CAST(sum(CAST(round(
+                    CAST(itf.v AS DOUBLE) / 1e12 * hh.h, 12)
+                    AS DECIMAL(24,12))) AS DOUBLE), 6) AS entropy_rate
+           FROM it16 itf JOIN hh ON hh.state = itf.state
+         ), nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_transitions FROM cmat),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM states)
+         SELECT ns.n_states, nt.n_transitions, rate.entropy_rate,
+                round(exp(rate.entropy_rate), 6) AS branching
+         FROM rate CROSS JOIN nt CROSS JOIN ns"""
+    },
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

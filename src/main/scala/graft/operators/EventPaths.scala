@@ -166,6 +166,88 @@ object EventPaths {
   }
 
   /**
+   * Entropy rate of the behavior Markov chain — HOW PREDICTABLE is the
+   * session process in the long run: [[stationary]] says where the walk
+   * spends its time, the entropy rate H = Σᵢ πᵢ·Σⱼ −pᵢⱼ·ln pᵢⱼ says how
+   * much surprise each step carries once it's there (0 = deterministic
+   * loops, ln k = uniform chaos) — THE one-number drift alarm for "did
+   * the event stream's structure change", and e^H is the effective
+   * branching factor.
+   *
+   * Determinism: transition counts and row sums are exact longs (the
+   * [[stationary]] machinery verbatim — pair counting distributed, the
+   * driver holds only the k×k matrix under the maxStates refusal); π is
+   * the same floor-divided picounit power iteration; per-state entropies
+   * ride the q313 12dp term shape ((c/r)·ln(r/c), DECIMAL-summed) and
+   * the rate is one more 12dp decimal sum of πᵢ·Hᵢ terms. Absorbing
+   * states (no outgoing mass) carry zero entropy by definition.
+   *
+   * Output: one row (n_states, n_transitions, entropy_rate, branching)
+   * — 6dp; branching = e^rate.
+   */
+  def entropyRate(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, iters: Int = 16,
+      maxStates: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1,64]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val U = 1000000000000L
+    val ev = df.select(col(userCol).as("__u"), col(typeCol).cast("string").as("__s"),
+        col(tsCol).cast("long").as("__t"), col(tieCol).as("__tie"))
+      .where(col("__u").isNotNull && col("__s").isNotNull)
+    val states = ev.select(col("__s")).distinct().collect()
+      .map(_.getString(0)).sorted
+    require(states.nonEmpty, "entropyRate needs at least one event")
+    require(states.length <= maxStates,
+      s"entropyRate: ${states.length} states exceeds maxStates=$maxStates")
+    val k = states.length
+    val idx = states.zipWithIndex.toMap
+    val w = Window.partitionBy(col("__u")).orderBy(col("__t"), col("__tie"))
+    val counts = ev.withColumn("__next", lead(col("__s"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col("__s"), col("__next")).agg(count(lit(1)).as("cnt"))
+      .collect() // bounded: ≤ k² rows
+    val c = Array.ofDim[Long](k, k)
+    counts.foreach(r => c(idx(r.getString(0)))(idx(r.getString(1))) = r.getLong(2))
+    val rowSum = c.map(_.sum)
+    val p = Array.tabulate(k, k) { (i, j) =>
+      if (rowSum(i) == 0L) { if (i == j) U else 0L }
+      else (BigInt(c(i)(j)) * U / rowSum(i)).toLong
+    }
+    var v = Array.fill(k)(U / k)
+    for (_ <- 1 to iters) {
+      v = Array.tabulate(k) { j =>
+        var acc = BigInt(0)
+        var i = 0
+        while (i < k) { acc += BigInt(v(i)) * p(i)(j) / U; i += 1 }
+        acc.toLong
+      }
+    }
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-state entropy from exact rationals, the q313 term shape
+    val h = Array.tabulate(k) { i =>
+      if (rowSum(i) == 0L) 0.0
+      else {
+        val rd = rowSum(i).toDouble
+        (0 until k).foldLeft(BigDecimal(0)) { (a, j) =>
+          if (c(i)(j) == 0L) a
+          else a + d12(c(i)(j).toDouble / rd * math.log(rd / c(i)(j).toDouble))
+        }.toDouble
+      }
+    }
+    val rate = (0 until k).foldLeft(BigDecimal(0)) { (a, i) =>
+      a + d12(v(i).toDouble / 1e12 * h(i))
+    }.toDouble
+    // branching composes from the PUBLISHED 6dp rate (the q313
+    // compose-from-published doctrine; the oracle does the same)
+    Seq((k.toLong, rowSum.sum, r6(rate), r6(math.exp(r6(rate)))))
+      .toDF("n_states", "n_transitions", "entropy_rate", "branching")
+  }
+
+  /**
    * Multi-touch conversion attribution — which channel gets credit for
    * each `target` conversion, under the three standard models at once:
    * last-touch (the nearest preceding touch inside the lookback wins),

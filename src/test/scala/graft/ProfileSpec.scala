@@ -586,4 +586,23 @@ class ProfileSpec extends SparkSpec {
       Profile.concentration(Seq.empty[Long].toDF("v"), col("v"))
     }
   }
+  test("entropyRate: deterministic cycle reads 0, uniform 2-chain reads ln 2") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, String, String)]) =
+      graft.operators.EventPaths.entropyRate(
+        rows.toDF("u", "ts", "t", "id"), "u", "ts", "t", "id").head()
+    // a→b→a→b: every transition is forced — zero surprise per step
+    val cyc = run(Seq(("u1", 1L, "a", "e1"), ("u1", 2L, "b", "e2"),
+      ("u1", 3L, "a", "e3"), ("u1", 4L, "b", "e4")))
+    assert(cyc.getAs[Long]("n_states") == 2L
+      && cyc.getAs[Long]("n_transitions") == 3L)
+    assert(cyc.getAs[Double]("entropy_rate") == 0.0
+      && cyc.getAs[Double]("branching") == 1.0)
+    // both states branch 50/50: rate = ln 2, effective branching 2
+    val uni = run(Seq(("u1", 1L, "a", "e1"), ("u1", 2L, "a", "e2"),
+      ("u1", 3L, "b", "e3"), ("u1", 4L, "a", "e4"),
+      ("u2", 1L, "b", "e5"), ("u2", 2L, "b", "e6")))
+    assert(uni.getAs[Double]("entropy_rate") == 0.693147
+      && uni.getAs[Double]("branching") == 2.0)
+  }
 }
