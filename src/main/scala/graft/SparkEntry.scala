@@ -5410,6 +5410,20 @@ object SparkEntry {
       graft.operators.EventPaths.entropyRate(eng(s, dir).table("events"),
         "user_id", "ts", "event_type", "event_id", iters = 16)
     }),
+    "q392_seasonal_mk" -> ((s, dir) => {
+      // is revenue trending ONCE the annual cycle is held out: seasonal
+      // Mann-Kendall over monthly-season weekly series — q282's plain S
+      // dilutes under seasonality; here January compares only to
+      // January, and the per-season statistics combine exactly
+      val weekly = eng(s, dir).table("orders")
+        .groupBy(month(col("o_orderdate")).as("season"),
+          (date_trunc("WEEK", col("o_orderdate")).cast("long") / 86400)
+            .cast("long").as("t"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("units"))
+      graft.operators.Trend.seasonalMannKendall(weekly, col("season"),
+        col("t"), col("units"), maxN = 1000)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13762,6 +13776,39 @@ object SparkEntry {
                 round(exp(rate.entropy_rate), 6) AS branching
          FROM rate CROSS JOIN nt CROSS JOIN ns"""
     },
+    // q392: the q282 exact-integer MK machinery per monthly season,
+    // seasons-sized exact rollup, the same one-sqrt z
+    "q392_seasonal_mk" ->
+      """WITH d AS (
+           SELECT CAST(month(o_orderdate) AS VARCHAR) AS k,
+                  CAST(epoch(date_trunc('week', o_orderdate)) / 86400 AS BIGINT) AS t,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2
+         ), sagg AS (
+           SELECT a.k, CAST(sum(CASE WHEN b.y > a.y THEN 1
+                                     WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+           FROM d a JOIN d b ON b.k = a.k AND b.t > a.t GROUP BY 1
+         ), tg AS (
+           SELECT k, y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+         ), ties AS (
+           SELECT k, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tsum
+           FROM tg GROUP BY 1
+         ), per AS (
+           SELECT ties.k, ties.n, sagg.s,
+                  CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tsum
+                    AS BIGINT) AS var18
+           FROM ties JOIN sagg ON sagg.k = ties.k
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+                CAST(sum(n) AS BIGINT) AS n,
+                CAST(sum(s) AS BIGINT) AS s,
+                CAST(sum(var18) AS BIGINT) AS var18,
+                CASE WHEN sum(var18) > 0 THEN
+                  round((CAST(sum(s) AS DOUBLE) - sign(CAST(sum(s) AS DOUBLE)))
+                        / sqrt(CAST(sum(var18) AS DOUBLE) / 18.0), 6)
+                END AS z_sk
+         FROM per""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

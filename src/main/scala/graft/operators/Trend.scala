@@ -173,6 +173,36 @@ object Trend {
   }
 
   /**
+   * Seasonal Mann–Kendall (Hirsch & Slack 1984) — the trend test
+   * [[mannKendall]] gets WRONG on seasonal data: a flat series with a
+   * strong annual cycle reads as oscillating pairs and dilutes S, and a
+   * trend confined to one season drowns. The seasonal form runs the MK
+   * statistic WITHIN each season (January-to-January comparisons only)
+   * and combines: S = Σₘ Sₘ, Var18 = Σₘ Var18ₘ, one continuity-corrected
+   * z — cross-season pairs never enter.
+   *
+   * Exactness + shape: [[mannKendall]] verbatim with season as the key
+   * (same exact integer S and tie-corrected variance, same bounded-
+   * series O(n²) contract per SEASON — which divides the series length
+   * by the season count), then a seasons-sized exact-integer rollup and
+   * the same one-sqrt z expression.
+   *
+   * Output: one row (n_seasons, n, s, var18, z_sk) — NULL z when the
+   * combined variance is 0.
+   */
+  def seasonalMannKendall(df: DataFrame, seasonCol: Column, tCol: Column,
+      yCol: Column, maxN: Int = 2000): DataFrame = {
+    val per = mannKendall(df.withColumn("__season", seasonCol.cast("string")),
+      "__season", tCol, yCol, maxN)
+    per.agg(count(lit(1)).as("n_seasons"), sum(col("n")).as("n"),
+        sum(col("s")).as("s"), sum(col("var18")).as("var18"))
+      .select(col("n_seasons"), col("n"), col("s"), col("var18"),
+        when(col("var18") > 0, round(
+          (col("s").cast("double") - signum(col("s").cast("double")))
+            / sqrt(col("var18").cast("double") / 18.0), 6)).as("z_sk"))
+  }
+
+  /**
    * Kendall τ-b per key (Kendall 1938) — the third leg of the
    * correlation shelf (Pearson [[fitLinear]]/corr reads linearity,
    * Spearman q260 reads monotone-through-ranks, τ reads CONCORDANCE:

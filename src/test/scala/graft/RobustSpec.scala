@@ -104,4 +104,23 @@ class RobustSpec extends SparkSpec {
     assert(flat.getAs[Double]("mad") == 0.0
       && flat.getAs[Double]("huber_mean") == 7.0)
   }
+  test("seasonalMannKendall: within-season trends combine; cross-season cycle reads 0") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Long)]) =
+      graft.operators.Trend.seasonalMannKendall(
+        rows.toDF("season", "t", "y"), col("season"), col("t"), col("y")).head()
+    // two seasons, each strictly rising over its 3 years: S = 3 + 3,
+    // var18 = 2·(3·2·11) = 132, z = (6−1)/√(132/18)
+    val rising = run(Seq(("w", 1L, 10L), ("w", 2L, 20L), ("w", 3L, 30L),
+      ("s", 1L, 5L), ("s", 2L, 6L), ("s", 3L, 7L)))
+    assert(rising.getAs[Long]("n_seasons") == 2L && rising.getAs[Long]("s") == 6L)
+    assert(rising.getAs[Long]("var18") == 132L)
+    assert(rising.getAs[Double]("z_sk") == 1.846372)
+    // a pure seasonal CYCLE with no within-season movement: every
+    // within-season pair ties → S = 0, var collapses to 0 → NULL z —
+    // exactly the case that fools the plain q282 statistic
+    val cyc = run(Seq(("w", 1L, 100L), ("w", 2L, 100L),
+      ("s", 1L, 1L), ("s", 2L, 1L)))
+    assert(cyc.getAs[Long]("s") == 0L && cyc.isNullAt(4))
+  }
 }
