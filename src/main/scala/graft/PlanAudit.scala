@@ -118,7 +118,10 @@ object PlanAudit {
       "q386_calibration_slope", // distinct-score relation; 4 Newton aggs
       "q387_huber_mean", // order stats via prefix sums; 3 IRLS aggs
       "q388_ktruss", // wedge join per round; per-round lineage cuts
-      "q389_yuen_t") // two per-arm prefix passes; ONE bounded agg each
+      "q389_yuen_t", // two per-arm prefix passes; ONE bounded agg each
+      "q390_partial_corr", // ten moments, ONE map-combined agg
+      "q391_entropy_rate", // distributed pair count; k²-bounded matrix
+      "q392_seasonal_mk") // per-season bounded pair join + exact rollup
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
