@@ -5424,6 +5424,26 @@ object SparkEntry {
       graft.operators.Trend.seasonalMannKendall(weekly, col("season"),
         col("t"), col("units"), maxN = 1000)
     }),
+    "q393_cox_stratified" -> ((s, dir) => {
+      // q380's hazard ratio ADJUSTED for signup cohort (epoch-aligned
+      // day-of-week of first activity): stratified Cox — each cohort
+      // keeps its own baseline hazard, risk sets
+      // never cross strata, one beta; the Simpson-proofing q375 gives
+      // odds ratios, in time-to-event form
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("tc"))
+      val subjects = perUser.select(
+        when(col("tc").isNotNull, col("tc") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("tc").isNotNull.as("ev"),
+        (pmod(col("user_id"), lit(2)) === 0).as("x"),
+        expr("pmod(t0 div 86400, 7)").as("cohort"))
+      graft.operators.Survival.coxStratified(subjects, "dur", col("ev"),
+        col("x"), col("cohort"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13809,6 +13829,75 @@ object SparkEntry {
                         / sqrt(CAST(sum(var18) AS DOUBLE) / 18.0), 6)
                 END AS z_sk
          FROM per""",
+    // q393: the q380 Newton replay with stratum-partitioned risk-set
+    // windows — per-(cohort, time) relation, risk never crosses strata
+    "q393_cox_stratified" -> {
+      val pTerm = "((CAST(r1 AS DOUBLE) * p.eb) / (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * p.eb))"
+      val steps = (1 to 4).map { k =>
+        s""", s$k AS (
+             SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS su,
+                    CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
+             FROM evt CROSS JOIN e${k - 1} p
+           ), b$k AS (
+             SELECT round(p.b + ((SELECT CAST(sd1 AS DOUBLE) FROM tots) - CAST(s.su AS DOUBLE)) / CAST(s.si AS DOUBLE), 12) AS b
+             FROM b${k - 1} p CROSS JOIN s$k s
+           ), e$k AS (SELECT b, round(exp(b), 12) AS eb FROM b$k)"""
+      }.mkString
+      s"""WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tc
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CAST((t0 // 86400) % 7 AS VARCHAR) AS g,
+                  CASE WHEN tc IS NOT NULL THEN tc - t0 ELSE tl - t0 END AS t,
+                  tc IS NOT NULL AS ev,
+                  user_id % 2 = 0 AS x
+           FROM pu
+         ), att AS (
+           SELECT g, t,
+                  CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                  CAST(sum(CASE WHEN x THEN 0 ELSE 1 END) AS BIGINT) AS a0,
+                  CAST(sum(CASE WHEN ev AND x THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM subj GROUP BY 1, 2
+         ), tots AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS sd,
+                  CAST(sum(CASE WHEN ev AND x THEN 1 ELSE 0 END) AS BIGINT) AS sd1,
+                  CAST(count(DISTINCT g) AS BIGINT) AS n_strata
+           FROM subj
+         ), evt AS MATERIALIZED (
+           SELECT d, d1, r1, r0 FROM (
+             SELECT d, d1,
+                    sum(a1) OVER (PARTITION BY g)
+                      - coalesce(sum(a1) OVER w, 0) AS r1,
+                    sum(a0) OVER (PARTITION BY g)
+                      - coalesce(sum(a0) OVER w, 0) AS r0
+             FROM att
+             WINDOW w AS (PARTITION BY g ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           ) WHERE d > 0
+         ), b0 AS (SELECT 0.0::DOUBLE AS b),
+         e0 AS (SELECT b, round(exp(b), 12) AS eb FROM b0)
+         $steps
+         , fin AS (
+           SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
+           FROM evt CROSS JOIN e4 p
+         ), pub AS (
+           SELECT b4.b AS beta, 1.0 / sqrt(CAST(fin.si AS DOUBLE)) AS se
+           FROM b4 CROSS JOIN fin
+         )
+         SELECT tots.n, tots.n_strata, tots.sd AS n_events,
+                tots.sd1 AS d1_exposed,
+                round(pub.beta, 6) AS beta,
+                round(exp(pub.beta), 6) AS hr,
+                round(pub.se, 6) AS se,
+                round(pub.beta / pub.se, 6) AS z
+         FROM pub CROSS JOIN tots"""
+    },
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

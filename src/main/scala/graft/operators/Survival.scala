@@ -335,6 +335,104 @@ object Survival {
    *
    * Output: one row (n, n_events, d1_exposed, beta, hr, se, z) — 6dp.
    */
+  /**
+   * STRATIFIED Cox (binary covariate) — the adjustment [[coxBinary]]
+   * cannot make: pooling risk sets across calendar months / cohorts /
+   * sites assumes they share one baseline hazard, and a confounded
+   * baseline biases the hazard ratio exactly like Simpson's paradox
+   * biases a pooled odds ratio (the q294→q375 story, in time-to-event
+   * form). Stratification keeps ONE β but lets every stratum carry its
+   * own baseline: the partial likelihood is the SUM of per-stratum
+   * event-time terms, so risk sets never cross strata.
+   *
+   * Mechanics are [[coxBinary]] verbatim with (stratum, time) keys:
+   * exact risk sets from a stratum-PARTITIONED strictly-below window
+   * over the bounded per-(stratum, time) relation, 12dp-decimal U/I
+   * terms, 12dp-rerounded β and e^β per Newton step. Output as
+   * [[coxBinary]] plus n_strata.
+   */
+  def coxStratified(df: DataFrame, durationCol: String, eventCol: Column,
+      exposedCol: Column, strataCol: Column, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters in [1,20]: $iters")
+    val subj = df.select(strataCol.cast("string").as("g"),
+        col(durationCol).cast("long").as("t"),
+        eventCol.as("ev"), exposedCol.as("x"))
+      .where(col("g").isNotNull && col("t").isNotNull &&
+        col("ev").isNotNull && col("x").isNotNull)
+    val perT = subj.groupBy(col("g"), col("t")).agg(
+      sum(when(col("x"), 1L).otherwise(0L)).as("a1"),
+      sum(when(col("x"), 0L).otherwise(1L)).as("a0"),
+      sum(when(col("ev") && col("x"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("ev"), 1L).otherwise(0L)).as("d"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = Window.partitionBy(col("g"))
+    val evt = perT
+      .withColumn("r1", sum(col("a1")).over(totals)
+        - coalesce(sum(col("a1")).over(wg), lit(0L)))
+      .withColumn("r0", sum(col("a0")).over(totals)
+        - coalesce(sum(col("a0")).over(wg), lit(0L)))
+      .where(col("d") > 0)
+      .select(col("d"), col("d1"), col("r1"), col("r0"))
+      .localCheckpoint(true)
+    val t = subj.agg(count(lit(1)),
+      coalesce(sum(when(col("ev"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("ev") && col("x"), 1L).otherwise(0L)), lit(0L)),
+      countDistinct(col("g"))).head()
+    val (n, sumD, sumD1, nStrata) =
+      (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3))
+    val spark = df.sparkSession
+    import spark.implicits._
+    def nullRow: DataFrame =
+      Seq((n, nStrata, sumD, sumD1))
+        .toDF("n", "n_strata", "n_events", "d1_exposed")
+        .withColumn("beta", lit(null).cast("double"))
+        .withColumn("hr", lit(null).cast("double"))
+        .withColumn("se", lit(null).cast("double"))
+        .withColumn("z", lit(null).cast("double"))
+    if (sumD == 0) { nullRow }
+    else {
+      def r12(x: Double): Double =
+        BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def sums(beta: Double): (Double, Double) = {
+        val eb = r12(math.exp(beta))
+        val p = (col("r1").cast("double") * lit(eb)) /
+          (col("r0").cast("double") + col("r1").cast("double") * lit(eb))
+        val r = evt.agg(
+          sum(round(col("d").cast("double") * p, 12)
+            .cast("decimal(38,12)")).as("su"),
+          sum(round(col("d").cast("double") * p * (lit(1.0) - p), 12)
+            .cast("decimal(38,12)")).as("si")).head()
+        (r.getDecimal(0).doubleValue, r.getDecimal(1).doubleValue)
+      }
+      val d1d = sumD1.toDouble
+      var beta = 0.0
+      var degenerate = false
+      var k = 0
+      while (k < iters && !degenerate) {
+        val (su, si) = sums(beta)
+        if (si <= 0.0) degenerate = true
+        else beta = r12(beta + (d1d - su) / si)
+        k += 1
+      }
+      if (degenerate) { nullRow }
+      else {
+        val (_, si) = sums(beta)
+        if (si <= 0.0) { nullRow }
+        else {
+          val se = 1.0 / math.sqrt(si)
+          val z = beta / se
+          def r6(x: Double) =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Seq((n, nStrata, sumD, sumD1, r6(beta), r6(math.exp(beta)),
+            r6(se), r6(z)))
+            .toDF("n", "n_strata", "n_events", "d1_exposed", "beta", "hr",
+              "se", "z")
+        }
+      }
+    }
+  }
+
   def coxBinary(df: DataFrame, durationCol: String, eventCol: Column,
       exposedCol: Column, iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters in [1,20]: $iters")

@@ -163,4 +163,35 @@ class SurvivalSpec extends SparkSpec {
     val noEv = run(Seq((1L, false, true), (2L, false, false)))
     assert(noEv.getAs[Long]("n_events") == 0L && noEv.isNullAt(3))
   }
+
+  test("coxStratified: one stratum equals coxBinary; replicas keep beta, shrink se") {
+    import spark.implicits._
+    val hand = Seq((1L, true, true, "s1"), (3L, true, true, "s1"),
+      (2L, true, false, "s1"), (4L, true, false, "s1"))
+    def run(rows: Seq[(Long, Boolean, Boolean, String)]) =
+      Survival.coxStratified(rows.toDF("dur", "ev", "x", "g"),
+        "dur", col("ev"), col("x"), col("g")).head()
+    // a single stratum IS the unstratified model: the q380 hand pin
+    val one = run(hand)
+    assert(one.getAs[Long]("n_strata") == 1L)
+    assert(one.getAs[Double]("beta") == 0.940614
+      && one.getAs[Double]("hr") == 2.561553)
+    // two identical strata: per-step U and I both double, so the
+    // Newton path (and beta) is unchanged while information doubles —
+    // se shrinks by exactly 1/sqrt(2)
+    val two = run(hand ++ hand.map { case (d, e, x, _) => (d, e, x, "s2") })
+    assert(two.getAs[Long]("n_strata") == 2L)
+    assert(two.getAs[Double]("beta") == 0.940614)
+    assert(two.getAs[Double]("se") < one.getAs[Double]("se"))
+    // risk sets must NOT cross strata: the same subjects pooled into
+    // one stratum give a different beta than kept apart when the
+    // strata have different baselines
+    val shifted = hand ++ hand.map { case (d, e, x, _) => (d + 100L, e, x, "s2") }
+    val strat = run(shifted)
+    val pooled = Survival.coxBinary(
+      shifted.map(r => (r._1, r._2, r._3)).toDF("dur", "ev", "x"),
+      "dur", col("ev"), col("x")).head()
+    assert(strat.getAs[Double]("beta") == 0.940614) // within-strata structure intact
+    assert(pooled.getAs[Double]("beta") != strat.getAs[Double]("beta"))
+  }
 }
