@@ -5444,6 +5444,14 @@ object SparkEntry {
       graft.operators.Survival.coxStratified(subjects, "dur", col("ev"),
         col("x"), col("cohort"))
     }),
+    "q394_embedding_top2" -> ((s, dir) => {
+      // did the space collapse onto a PLANE: top-two spectral
+      // components of the exact covariance by deflated power iteration
+      // — λ₁/trace (q366) can look healthy while λ₁ ≈ λ₂ ≫ rest says
+      // two merged sources dominate; PSD deflation reads the true λ₂
+      graft.pipeline.CorpusStats.embeddingTopTwo(
+        eng(s, dir).table("embeddings"), "embedding")
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -13897,6 +13905,101 @@ object SparkEntry {
                 round(pub.se, 6) AS se,
                 round(pub.beta / pub.se, 6) AS z
          FROM pub CROSS JOIN tots"""
+    },
+    // q394: the q366 exact covariance + 8 v-rounds verbatim, then 8
+    // deflated rounds (scalar-CTE projection removal) and Rayleigh
+    // readouts for the true PSD λ₂
+    "q394_embedding_top2" -> {
+      val vRounds = (1 to 8).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s""", w$k AS MATERIALIZED (
+             SELECT c.i, CAST(sum(CAST(round(c.cv * v.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS w
+             FROM cov c JOIN $prev v ON v.i = c.j GROUP BY 1
+           ), n$k AS (
+             SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(24,12))) AS DOUBLE)) AS nm
+             FROM w$k
+           ), v$k AS MATERIALIZED (
+             SELECT i, round(w / (SELECT nm FROM n$k), 12) AS v FROM w$k)"""
+      }.mkString
+      val uRounds = (1 to 8).map { k =>
+        val prev = if (k == 1) "u0" else s"u${k - 1}"
+        s""", t$k AS (
+             SELECT CAST(sum(CAST(round(v.v * u.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS t
+             FROM v8 v JOIN $prev u ON u.i = v.i
+           ), au$k AS MATERIALIZED (
+             SELECT c.i, CAST(sum(CAST(round(c.cv * u.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS w
+             FROM cov c JOIN $prev u ON u.i = c.j GROUP BY 1
+           ), sk$k AS (SELECT (SELECT l FROM l1) * (SELECT t FROM t$k) AS s),
+           x$k AS MATERIALIZED (
+             SELECT au.i, au.w - (SELECT s FROM sk$k) * v.v AS w
+             FROM au$k au JOIN v8 v ON v.i = au.i
+           ), m$k AS (
+             SELECT sqrt(CAST(sum(CAST(round(w * w, 12) AS DECIMAL(24,12))) AS DOUBLE)) AS nm
+             FROM x$k
+           ), u$k AS MATERIALIZED (
+             SELECT i, CASE WHEN (SELECT nm FROM m$k) > 0
+               THEN round(w / (SELECT nm FROM m$k), 12) ELSE 0.0 END AS v
+             FROM x$k
+           )"""
+      }.mkString
+      s"""WITH x AS (
+           SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+                  CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xv
+           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+           WHERE embedding IS NOT NULL
+         ), nn AS (
+           SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+           WHERE embedding IS NOT NULL
+         ), sums AS (
+           SELECT i, CAST(sum(xv) AS BIGINT) AS s FROM x GROUP BY 1
+         ), cells AS (
+           SELECT a.i, b.i AS j, sum(CAST(a.xv AS HUGEINT) * b.xv) AS cij
+           FROM x a JOIN x b ON b.vec_id = a.vec_id GROUP BY 1, 2
+         ), cov AS MATERIALIZED (
+           SELECT c.i, c.j,
+                  round(CAST(nn.n * c.cij - CAST(sa.s AS HUGEINT) * sb.s AS DOUBLE)
+                        / (CAST(nn.n AS DOUBLE) * nn.n * 1000000000000.0), 12) AS cv
+           FROM cells c JOIN sums sa ON sa.i = c.i JOIN sums sb ON sb.i = c.j
+           CROSS JOIN nn
+         ), dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM sums),
+         v0 AS MATERIALIZED (
+           SELECT i, round(1.0::DOUBLE / sqrt((SELECT CAST(d AS DOUBLE) FROM dd)), 12) AS v
+           FROM sums)
+         $vRounds
+         , wf AS MATERIALIZED (
+           SELECT c.i, CAST(sum(CAST(round(c.cv * v.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS w
+           FROM cov c JOIN v8 v ON v.i = c.j GROUP BY 1
+         ), l1 AS (
+           SELECT CAST(sum(CAST(round(v.v * w.w, 12) AS DECIMAL(24,12))) AS DOUBLE) AS l
+           FROM v8 v JOIN wf w ON w.i = v.i
+         ), u0 AS MATERIALIZED (
+           SELECT i, CASE WHEN i = (SELECT i FROM v8 ORDER BY abs(v) DESC, i LIMIT 1 OFFSET 1)
+             THEN 1.0 ELSE 0.0 END AS v FROM sums)
+         $uRounds
+         , auf AS MATERIALIZED (
+           SELECT c.i, CAST(sum(CAST(round(c.cv * u.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS w
+           FROM cov c JOIN u8 u ON u.i = c.j GROUP BY 1
+         ), rq AS (
+           SELECT CAST(sum(CAST(round(u.v * w.w, 12) AS DECIMAL(24,12))) AS DOUBLE) AS r
+           FROM u8 u JOIN auf w ON w.i = u.i
+         ), tf AS (
+           SELECT CAST(sum(CAST(round(v.v * u.v, 12) AS DECIMAL(24,12))) AS DOUBLE) AS t
+           FROM v8 v JOIN u8 u ON u.i = v.i
+         ), tr AS (
+           SELECT CAST(sum(CAST(round(cv, 12) AS DECIMAL(24,12))) AS DOUBLE) AS tr
+           FROM cov WHERE i = j
+         ), fin AS (
+           SELECT l1.l AS l1v, rq.r - l1.l * tf.t * tf.t AS l2v, tr.tr AS trv
+           FROM l1 CROSS JOIN rq CROSS JOIN tf CROSS JOIN tr
+         )
+         SELECT nn.n, dd.d AS dim, round(fin.l1v, 6) AS lambda1,
+                CASE WHEN fin.l1v > 0 THEN round(fin.l2v, 6) END AS lambda2,
+                round(fin.trv, 6) AS trace,
+                CASE WHEN fin.l1v > 0 AND fin.trv > 0 THEN
+                  round((fin.l1v + fin.l2v) / fin.trv, 6) END AS top2_share,
+                CASE WHEN fin.l1v > 0 THEN
+                  round(fin.l2v / fin.l1v, 6) END AS gap_ratio
+         FROM fin CROSS JOIN nn CROSS JOIN dd"""
     },
     "q340_permutation_test" ->
       """WITH base AS (

@@ -1433,15 +1433,18 @@ object CorpusStats {
    * Output: one row (n, dim, lambda1, trace, top_share), unit² scale,
    * 6dp.
    */
-  def embeddingTopComponent(df: DataFrame, vecCol: String,
-      iters: Int = 8, maxDim: Int = 128): DataFrame = {
-    require(iters >= 1 && iters <= 50, "iters in [1,50]")
+  /** The exact micro-unit covariance machinery shared by
+    * [[embeddingTopComponent]] and [[embeddingTopTwo]]: quantize,
+    * probe-then-refuse ragged dims, ONE n·d² cell aggregation, 12dp
+    * centered cells. Returns (n, d, cov). */
+  private def covCells(df: DataFrame, vecCol: String, maxDim: Int,
+      opName: String): (Long, Int, Array[Array[Double]]) = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val qarr = transform(col(vecCol),
       v => round(v.cast("double") * lit(1e6), 0).cast("long"))
     val base = df.where(col(vecCol).isNotNull).select(qarr.as("__q")).cache()
     val n = base.count()
-    require(n >= 2, "embeddingTopComponent: need at least two vectors")
+    require(n >= 2, s"$opName: need at least two vectors")
     // probe the dim BEFORE collecting anything dim-sized — the guard
     // must fire on one row, not after a d-row pull. min AND max: a
     // ragged corpus (64-dim rows mixed with 128-dim after a partial
@@ -1452,10 +1455,10 @@ object CorpusStats {
       coalesce(min(size(col("__q"))), lit(0))).head()
     val (dProbe, dMin) = (dims.getInt(0), dims.getInt(1))
     require(dProbe <= maxDim,
-      s"embeddingTopComponent: dim $dProbe > maxDim=$maxDim — the exact " +
+      s"$opName: dim $dProbe > maxDim=$maxDim — the exact " +
         "covariance is n·d² work; raise the bound deliberately")
     require(dMin == dProbe,
-      s"embeddingTopComponent: ragged dims [$dMin, $dProbe] — mixed " +
+      s"$opName: ragged dims [$dMin, $dProbe] — mixed " +
         "dimensionality would silently zero-fill short vectors in the " +
         "covariance; re-embed or filter to one dim first")
     val sums = base.select(posexplode(col("__q")).as(Seq("i", "xv")))
@@ -1479,11 +1482,22 @@ object CorpusStats {
         BigDecimal(sums(i)) * BigDecimal(sums(j))
       cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
     }
-    // decimal-summed 12dp terms — order-free, the SQL replay's sums
-    def decSum(terms: Iterator[Double]): Double =
-      terms.foldLeft(BigDecimal(0))((a, t) =>
-        a + BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP))
-        .toDouble
+    (n, d, cov)
+  }
+
+  // decimal-summed 12dp terms — order-free, the SQL replay's sums
+  private def decSum12(terms: Iterator[Double]): Double =
+    terms.foldLeft(BigDecimal(0))((a, t) =>
+      a + BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .toDouble
+
+  def embeddingTopComponent(df: DataFrame, vecCol: String,
+      iters: Int = 8, maxDim: Int = 128): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters in [1,50]")
+    val (n, d, cov) = covCells(df, vecCol, maxDim, "embeddingTopComponent")
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def decSum(terms: Iterator[Double]): Double = decSum12(terms)
     var v = Array.fill(d)(r12(1.0 / math.sqrt(d.toDouble)))
     var w = new Array[Double](d)
     for (_ <- 1 to iters) {
@@ -1501,6 +1515,73 @@ object CorpusStats {
     Seq((n, d.toLong, r6(lambda1), r6(trace),
         if (trace > 0) Some(r6(lambda1 / trace)) else None))
       .toDF("n", "dim", "lambda1", "trace", "top_share")
+  }
+
+  /**
+   * Top TWO spectral components of the embedding covariance — the
+   * reading [[embeddingTopComponent]]'s λ₁ alone cannot give: a space
+   * can look healthy on λ₁/trace yet have collapsed onto a PLANE
+   * (λ₁ ≈ λ₂ ≫ rest — two dominant directions, e.g. two merged
+   * sources), and q319's participation ratio pools all directions into
+   * one number. λ₂ comes by deflation (B = C − λ₁·v₁v₁ᵀ — covariance
+   * is PSD, so the deflated iteration converges to the true second
+   * eigenvalue, no sign games), with the same 12dp-decimal exact
+   * replay: [[covCells]] verbatim, `iters` rounds for v₁, `iters`
+   * deflated rounds from a first-axis indicator (the projection
+   * removal is two decimal-summed scalars per round), Rayleigh
+   * readouts.
+   *
+   * Output: one row (n, dim, lambda1, lambda2, trace, top2_share,
+   * gap_ratio = λ₂/λ₁) — 6dp; NULLs on a degenerate λ₁ ≤ 0.
+   */
+  def embeddingTopTwo(df: DataFrame, vecCol: String,
+      iters: Int = 8, maxDim: Int = 128): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters in [1,50]")
+    val (n, d, cov) = covCells(df, vecCol, maxDim, "embeddingTopTwo")
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => decSum12((0 until d).iterator.map(j => cov(i)(j) * x(j))))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      decSum12((0 until d).iterator.map(i => a(i) * b(i)))
+    var v = Array.fill(d)(r12(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val norm = math.sqrt(decSum12(w.iterator.map(x => x * x)))
+      v = w.map(x => r12(x / norm))
+    }
+    val lam1 = dot(v, matvec(v))
+    // deflation start: the axis with the SECOND-largest |v1| component
+    // (tie: smallest i) — the first-largest can coincide with v1 and
+    // annihilate, and a least-aligned axis can sit in the kernel; the
+    // second-largest stays inside the occupied spectrum. A start that
+    // still annihilates means the residual space IS the kernel, and
+    // the λ2 = 0 readout is then the truth.
+    require(d >= 2, "embeddingTopTwo: need dim >= 2")
+    val kStart = (0 until d).sortBy(i => (-math.abs(v(i)), i)).apply(1)
+    var u = Array.tabulate(d)(i => if (i == kStart) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val t = dot(v, u)
+      val au = matvec(u)
+      val s = lam1 * t
+      val w2 = Array.tabulate(d)(i => au(i) - s * v(i))
+      val norm = math.sqrt(decSum12(w2.iterator.map(x => x * x)))
+      u = if (norm > 0.0) w2.map(x => r12(x / norm)) else Array.fill(d)(0.0)
+    }
+    val t2 = dot(v, u)
+    val lam2 = dot(u, matvec(u)) - lam1 * t2 * t2
+    val trace = decSum12((0 until d).iterator.map(i => cov(i)(i)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ok = lam1 > 0.0
+    Seq((n, d.toLong, r6(lam1),
+        if (ok) Some(r6(lam2)) else None, r6(trace),
+        if (ok && trace > 0) Some(r6((lam1 + lam2) / trace)) else None,
+        if (ok) Some(r6(lam2 / lam1)) else None))
+      .toDF("n", "dim", "lambda1", "lambda2", "trace", "top2_share",
+        "gap_ratio")
   }
 
   /**

@@ -1881,4 +1881,24 @@ class PipelineSpec extends SparkSpec {
         Seq((Seq(1.0f), Seq(1.0f))).toDF("x", "y"), col("x"), col("y"))
     }
   }
+  test("embeddingTopTwo: axis-aligned plane read exactly, isotropic near-tie honest") {
+    import spark.implicits._
+    // variance 4.5 on x, 0.5 on y, zero means: λ₁ = 4.5, λ₂ = 0.5,
+    // trace 5 — the deflation start picks the axis least aligned with
+    // v₁, so the exact-converged v₁ = e_x cannot annihilate it
+    val plane = Seq(Seq(3.0f, 0.0f), Seq(-3.0f, 0.0f),
+      Seq(0.0f, 1.0f), Seq(0.0f, -1.0f)).map(Tuple1(_)).toDF("e")
+    val r = graft.pipeline.CorpusStats.embeddingTopTwo(plane, "e").head()
+    assert(r.getAs[Double]("lambda1") == 4.5 && r.getAs[Double]("lambda2") == 0.5)
+    assert(r.getAs[Double]("trace") == 5.0
+      && r.getAs[Double]("top2_share") == 1.0)
+    assert(r.getAs[Double]("gap_ratio") == 0.111111)
+    // an exactly 2-D-collapsed space with EQUAL spread: both components
+    // carry it all, the alarm reading λ₂/λ₁ ≈ 1 with top2_share 1
+    val iso2 = Seq(Seq(1.0f, 1.0f, 0.0f), Seq(-1.0f, -1.0f, 0.0f),
+      Seq(1.0f, -1.0f, 0.0f), Seq(-1.0f, 1.0f, 0.0f)).map(Tuple1(_)).toDF("e")
+    val r2 = graft.pipeline.CorpusStats.embeddingTopTwo(iso2, "e").head()
+    assert(r2.getAs[Double]("top2_share") == 1.0)
+    assert(r2.getAs[Double]("gap_ratio") >= 0.999999)
+  }
 }
