@@ -121,7 +121,9 @@ object PlanAudit {
       "q389_yuen_t", // two per-arm prefix passes; ONE bounded agg each
       "q390_partial_corr", // ten moments, ONE map-combined agg
       "q391_entropy_rate", // distributed pair count; k²-bounded matrix
-      "q392_seasonal_mk") // per-season bounded pair join + exact rollup
+      "q392_seasonal_mk", // per-season bounded pair join + exact rollup
+      "q393_cox_stratified", // stratum-partitioned windows; bounded aggs
+      "q394_embedding_top2") // ONE n·d² cell agg; d²-bounded collect
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
