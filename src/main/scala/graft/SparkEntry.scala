@@ -5452,6 +5452,14 @@ object SparkEntry {
       graft.pipeline.CorpusStats.embeddingTopTwo(
         eng(s, dir).table("embeddings"), "embedding")
     }),
+    "q395_nominal_assoc" -> ((s, dir) => {
+      // EFFECT SIZE where q199 only gives significance: bias-corrected
+      // Cramér's V (plain V inflates at many categories) and
+      // Goodman-Kruskal λ both ways — does knowing priority actually
+      // improve PREDICTING status, or merely correlate with it
+      graft.operators.DistDrift.nominalAssociation(
+        eng(s, dir).table("orders"), "o_orderpriority", "o_orderstatus")
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -14001,6 +14009,63 @@ object SparkEntry {
                   round(fin.l2v / fin.l1v, 6) END AS gap_ratio
          FROM fin CROSS JOIN nn CROSS JOIN dd"""
     },
+    // q395: the q199 12dp chi2 machinery + Bergsma correction composed
+    // from the PUBLISHED chi2, exact-integer Goodman-Kruskal lambdas
+    "q395_nominal_assoc" ->
+      """WITH cells AS (
+           SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+           FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+           GROUP BY 1, 2
+         ), rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         dims AS (SELECT (SELECT count(*) FROM rt) AS r, (SELECT count(*) FROM ct) AS c),
+         fl AS (
+           SELECT rt.rt, ct.ct, COALESCE(cells.o, 0) AS o,
+                  CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS e
+           FROM rt CROSS JOIN ct CROSS JOIN nn
+                LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+         ), c2 AS (
+           SELECT round(CAST(sum(CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 12) AS DECIMAL(24,12))) AS DOUBLE), 6) AS chi2
+           FROM fl
+         ), lam AS (
+           SELECT (SELECT CAST(sum(m) AS BIGINT) FROM
+                     (SELECT a, max(o) AS m FROM cells GROUP BY 1)) AS summax_ba,
+                  (SELECT CAST(max(ct) AS BIGINT) FROM ct) AS maxct,
+                  (SELECT CAST(sum(m) AS BIGINT) FROM
+                     (SELECT b, max(o) AS m FROM cells GROUP BY 1)) AS summax_ab,
+                  (SELECT CAST(max(rt) AS BIGINT) FROM rt) AS maxrt
+         ), vv AS (
+           SELECT c2.chi2,
+                  c2.chi2 / CAST(nn.n AS DOUBLE) AS phi2,
+                  greatest(c2.chi2 / CAST(nn.n AS DOUBLE)
+                    - CAST(dims.r - 1 AS DOUBLE) * CAST(dims.c - 1 AS DOUBLE)
+                      / (CAST(nn.n AS DOUBLE) - 1.0), 0.0) AS phi2p,
+                  CAST(dims.r AS DOUBLE) - CAST(dims.r - 1 AS DOUBLE) * CAST(dims.r - 1 AS DOUBLE)
+                    / (CAST(nn.n AS DOUBLE) - 1.0) AS rp,
+                  CAST(dims.c AS DOUBLE) - CAST(dims.c - 1 AS DOUBLE) * CAST(dims.c - 1 AS DOUBLE)
+                    / (CAST(nn.n AS DOUBLE) - 1.0) AS cp
+           FROM c2 CROSS JOIN nn CROSS JOIN dims
+         )
+         SELECT nn.n, CAST(dims.r AS BIGINT) AS n_rows,
+                CAST(dims.c AS BIGINT) AS n_cols, vv.chi2,
+                CASE WHEN least(dims.r - 1, dims.c - 1) > 0 THEN
+                  round(sqrt(vv.chi2 / (CAST(nn.n AS DOUBLE)
+                    * CAST(least(dims.r - 1, dims.c - 1) AS DOUBLE))), 6)
+                END AS v,
+                CASE WHEN least(dims.r - 1, dims.c - 1) > 0 AND nn.n > 1
+                      AND least(vv.rp - 1.0, vv.cp - 1.0) > 0 THEN
+                  round(sqrt(vv.phi2p / least(vv.rp - 1.0, vv.cp - 1.0)), 6)
+                END AS v_corrected,
+                CASE WHEN nn.n <> lam.maxct THEN
+                  round(CAST(lam.summax_ba - lam.maxct AS DOUBLE)
+                        / CAST(nn.n - lam.maxct AS DOUBLE), 6)
+                END AS lambda_b_given_a,
+                CASE WHEN nn.n <> lam.maxrt THEN
+                  round(CAST(lam.summax_ab - lam.maxrt AS DOUBLE)
+                        / CAST(nn.n - lam.maxrt AS DOUBLE), 6)
+                END AS lambda_a_given_b
+         FROM vv CROSS JOIN nn CROSS JOIN dims CROSS JOIN lam""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

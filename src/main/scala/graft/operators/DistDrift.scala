@@ -168,6 +168,82 @@ object DistDrift {
    * (a, b, o, e, resid); |cells| = |A|·|B|, bounded by the categorical
    * domains exactly like the χ² contingency itself.
    */
+  /**
+   * Nominal association effect sizes — what [[chi2Independence]]'s
+   * p-machinery cannot say: χ² grows with n, so at corpus scale
+   * EVERYTHING is "significant"; these are the size-of-effect numbers.
+   * Bias-corrected Cramér's V (Bergsma 2013 — plain V is inflated
+   * upward for small n and many categories; the corrected form
+   * subtracts the independence expectation of φ²) and Goodman–Kruskal
+   * λ in BOTH directions (proportional reduction in prediction error:
+   * λ_B|A = how much knowing A improves guessing B over always
+   * guessing B's mode — 0 even under dependence if the mode never
+   * changes, which is exactly its point).
+   *
+   * Exactness: cells are exact longs from ONE aggregation (bounded by
+   * the categorical domains, `maxCats` refusal); χ² rides 12dp-decimal
+   * terms over the FULL margin cross (zero cells included — the q199
+   * shape) and publishes 6dp; V/V⁺ compose from the PUBLISHED χ²; both
+   * λ are exact-integer rationals with one divide. Single-category
+   * margins publish NULL for the undefined statistics.
+   *
+   * Output: one row (n, n_rows, n_cols, chi2, v, v_corrected,
+   * lambda_b_given_a, lambda_a_given_b).
+   */
+  def nominalAssociation(df: DataFrame, colA: String, colB: String,
+      maxCats: Int = 64): DataFrame = {
+    val cells = df.select(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val as = cells.keys.map(_._1).toSeq.distinct.sorted
+    val bs = cells.keys.map(_._2).toSeq.distinct.sorted
+    require(as.nonEmpty, "nominalAssociation: empty input")
+    require(as.length <= maxCats && bs.length <= maxCats,
+      s"nominalAssociation: ${as.length}×${bs.length} categories exceed " +
+        s"maxCats=$maxCats — this operator collects the contingency table")
+    val (r, c) = (as.length, bs.length)
+    val rt = as.map(a => a -> bs.map(b => cells.getOrElse((a, b), 0L)).sum).toMap
+    val ct = bs.map(b => b -> as.map(a => cells.getOrElse((a, b), 0L)).sum).toMap
+    val n = rt.values.sum
+    val nd = n.toDouble
+    def d12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = r6(as.iterator.flatMap(a => bs.iterator.map { b =>
+      val e = rt(a).toDouble * ct(b).toDouble / nd
+      val o = cells.getOrElse((a, b), 0L).toDouble
+      d12((o - e) * (o - e) / e)
+    }).foldLeft(BigDecimal(0))(_ + _).toDouble)
+    val minDim = math.min(r, c) - 1
+    val v = if (minDim > 0) Some(r6(math.sqrt(chi2 / (nd * minDim.toDouble))))
+    else None
+    val vc = if (minDim > 0 && n > 1) {
+      val phi2 = chi2 / nd
+      val phi2p = math.max(phi2 -
+        (r - 1).toDouble * (c - 1).toDouble / (nd - 1.0), 0.0)
+      val rp = r.toDouble - (r - 1).toDouble * (r - 1).toDouble / (nd - 1.0)
+      val cp = c.toDouble - (c - 1).toDouble * (c - 1).toDouble / (nd - 1.0)
+      val den = math.min(rp - 1.0, cp - 1.0)
+      if (den > 0) Some(r6(math.sqrt(phi2p / den))) else None
+    } else None
+    def lambda(rowMax: Long, margMax: Long): Option[Double] =
+      if (n == margMax) None
+      else Some(r6((rowMax - margMax).toDouble / (n - margMax).toDouble))
+    val lBA = lambda(as.map(a => bs.map(b => cells.getOrElse((a, b), 0L)).max).sum,
+      ct.values.max)
+    val lAB = lambda(bs.map(b => as.map(a => cells.getOrElse((a, b), 0L)).max).sum,
+      rt.values.max)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, r.toLong, c.toLong, chi2, v, vc, lBA, lAB))
+      .toDF("n", "n_rows", "n_cols", "chi2", "v", "v_corrected",
+        "lambda_b_given_a", "lambda_a_given_b")
+  }
+
   def chi2Residuals(df: DataFrame, colA: String, colB: String): DataFrame = {
     val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("a"), col(colB).as("b"))

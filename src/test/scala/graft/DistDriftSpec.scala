@@ -472,4 +472,30 @@ class DistDriftSpec extends SparkSpec {
       col("x"), col("y"), col("z")).head()
     assert(const.isNullAt(1) && const.isNullAt(4))
   }
+  test("nominalAssociation: perfect 1.0s, independence zeros, mode-blind lambda") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) =
+      graft.operators.DistDrift.nominalAssociation(rows.toDF("a", "b"), "a", "b")
+        .head()
+    // A determines B: every effect size reads exactly 1
+    val perfect = run(Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2")))
+    assert(perfect.getAs[Double]("chi2") == 10.0
+      && perfect.getAs[Double]("v") == 1.0
+      && perfect.getAs[Double]("v_corrected") == 1.0)
+    assert(perfect.getAs[Double]("lambda_b_given_a") == 1.0
+      && perfect.getAs[Double]("lambda_a_given_b") == 1.0)
+    // exact independence: chi2 = 0, both Vs 0, lambdas 0
+    val indep = run((for (a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+      _ <- 1 to 5) yield (a, b)))
+    assert(indep.getAs[Double]("chi2") == 0.0
+      && indep.getAs[Double]("v") == 0.0
+      && indep.getAs[Double]("v_corrected") == 0.0
+      && indep.getAs[Double]("lambda_b_given_a") == 0.0)
+    // dependence that never moves B's MODE: chi2 > 0 yet lambda = 0 —
+    // exactly the distinction lambda exists to make
+    val modeBlind = run(Seq.fill(30)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2"))
+      ++ Seq.fill(20)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2")))
+    assert(modeBlind.getAs[Double]("chi2") > 0.0
+      && modeBlind.getAs[Double]("lambda_b_given_a") == 0.0)
+  }
 }
