@@ -124,7 +124,8 @@ object PlanAudit {
       "q392_seasonal_mk", // per-season bounded pair join + exact rollup
       "q393_cox_stratified", // stratum-partitioned windows; bounded aggs
       "q394_embedding_top2", // ONE n·d² cell agg; d²-bounded collect
-      "q395_nominal_assoc") // ONE r×c cell agg; driver effect sizes
+      "q395_nominal_assoc", // ONE r×c cell agg; driver effect sizes
+      "q396_c_index") // per-time suffix sums; ONE pair-arithmetic agg
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -5460,6 +5460,24 @@ object SparkEntry {
       graft.operators.DistDrift.nominalAssociation(
         eng(s, dir).table("orders"), "o_orderpriority", "o_orderstatus")
     }),
+    "q396_c_index" -> ((s, dir) => {
+      // does the q380 marker actually ORDER conversions: Harrell's C —
+      // the survival ROC-AUC; Cox says how big the hazard ratio is,
+      // C says how often even-vs-odd ranks pairs correctly (exact
+      // integer pair counts from suffix sums, no pair join)
+      val perUser = eng(s, dir).table("events").groupBy(col("user_id")).agg(
+        min(col("ts").cast("long")).as("t0"),
+        max(col("ts").cast("long")).as("tl"),
+        min(when(col("event_type") === "purchase", col("ts").cast("long")))
+          .as("tc"))
+      val subjects = perUser.select(
+        when(col("tc").isNotNull, col("tc") - col("t0"))
+          .otherwise(col("tl") - col("t0")).as("dur"),
+        col("tc").isNotNull.as("ev"),
+        (pmod(col("user_id"), lit(2)) === 0).as("x"))
+      graft.operators.Survival.concordanceBinary(subjects, "dur",
+        col("ev"), col("x"))
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -14066,6 +14084,50 @@ object SparkEntry {
                         / CAST(nn.n - lam.maxrt AS DOUBLE), 6)
                 END AS lambda_a_given_b
          FROM vv CROSS JOIN nn CROSS JOIN dims CROSS JOIN lam""",
+    // q396: per-distinct-time event/later counts from strictly-below
+    // window sums, exact HUGEINT pair arithmetic, one double divide
+    "q396_c_index" ->
+      """WITH pu AS (
+           SELECT user_id,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS tl,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tc
+           FROM events GROUP BY 1
+         ), subj AS (
+           SELECT CASE WHEN tc IS NOT NULL THEN tc - t0 ELSE tl - t0 END AS t,
+                  tc IS NOT NULL AS ev,
+                  user_id % 2 = 0 AS x
+           FROM pu
+         ), att AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                  CAST(sum(CASE WHEN x THEN 0 ELSE 1 END) AS BIGINT) AS a0,
+                  CAST(sum(CASE WHEN ev AND x THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+                  CAST(sum(CASE WHEN ev AND NOT x THEN 1 ELSE 0 END) AS BIGINT) AS e0
+           FROM subj GROUP BY 1
+         ), tots AS (
+           SELECT CAST(sum(a1) AS BIGINT) AS n1, CAST(sum(a0) AS BIGINT) AS n0,
+                  CAST(sum(e1 + e0) AS BIGINT) AS nev
+           FROM att
+         ), cum AS (
+           SELECT e1, e0,
+                  (SELECT n1 FROM tots) - coalesce(sum(a1) OVER w, 0) - a1 AS l1,
+                  (SELECT n0 FROM tots) - coalesce(sum(a0) OVER w, 0) - a0 AS l0
+           FROM att
+           WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         ), agg AS (
+           SELECT CAST(sum(CAST(e1 AS HUGEINT) * l0 * 2 + CAST(e1 AS HUGEINT) * l1
+                            + CAST(e0 AS HUGEINT) * l0) AS HUGEINT) AS num2,
+                  CAST(sum(CAST(e1 + e0 AS HUGEINT) * (l1 + l0)) AS HUGEINT) AS den
+           FROM cum
+         )
+         SELECT tots.n1 + tots.n0 AS n, tots.nev AS n_events,
+                CAST(agg.den AS BIGINT) AS n_comparable,
+                CASE WHEN agg.den > 0 THEN
+                  round(CAST(agg.num2 AS DOUBLE) / (2.0 * CAST(agg.den AS DOUBLE)), 6)
+                END AS c_index
+         FROM agg CROSS JOIN tots""",
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -336,6 +336,61 @@ object Survival {
    * Output: one row (n, n_events, d1_exposed, beta, hr, se, z) — 6dp.
    */
   /**
+   * Harrell's concordance index for a binary risk marker — the
+   * DISCRIMINATION read that completes the Cox family: [[coxBinary]]
+   * says how large the hazard ratio is, C says how often the marker
+   * actually ORDERS pairs correctly (the survival analog of ROC-AUC;
+   * 0.5 = coin flip). A pair is comparable when the earlier subject's
+   * time is an EVENT and the partner's observed time is strictly
+   * later; concordant when the earlier-event subject carries the
+   * higher risk mark, half-credit on marker ties.
+   *
+   * Exactness + shape: everything reduces to the per-distinct-time
+   * relation — event counts at t and strictly-later counts per arm
+   * from [[DistDrift.withPrefixSums]]' below-sums (later = total −
+   * below − at). The doubled numerator and the denominator are exact
+   * integer sums (DECIMAL(38,0) — products of two counts), C is ONE
+   * double divide, 6dp. No pair join anywhere.
+   *
+   * Output: one row (n, n_events, n_comparable, c_index) — NULL C
+   * when no pair is comparable.
+   */
+  def concordanceBinary(df: DataFrame, durationCol: String,
+      eventCol: Column, exposedCol: Column): DataFrame = {
+    val subj = df.select(col(durationCol).cast("long").as("t"),
+        eventCol.as("ev"), exposedCol.as("x"))
+      .where(col("t").isNotNull && col("ev").isNotNull && col("x").isNotNull)
+    val perT = subj.groupBy(col("t").as("v")).agg(
+      sum(when(col("x"), 1L).otherwise(0L)).as("a1"),
+      sum(when(col("x"), 0L).otherwise(1L)).as("a0"),
+      sum(when(col("ev") && col("x"), 1L).otherwise(0L)).as("e1"),
+      sum(when(col("ev") && !col("x"), 1L).otherwise(0L)).as("e0"))
+    val tot = perT.agg(coalesce(sum(col("a1")), lit(0L)),
+      coalesce(sum(col("a0")), lit(0L)),
+      coalesce(sum(col("e1") + col("e0")), lit(0L))).head()
+    val (n1, n0, nEv) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = DistDrift.withPrefixSums(perT, Seq("a1", "a0"))
+    val l1 = lit(n1) - col("a1_below") - col("a1")
+    val l0 = lit(n0) - col("a0_below") - col("a0")
+    val agg = cum.agg(
+      sum(d(col("e1")) * d(l0) * 2 + d(col("e1")) * d(l1)
+        + d(col("e0")) * d(l0)).as("num2"),
+      sum(d(col("e1") + col("e0")) * d(l1 + l0)).as("den")).head()
+    val (num2, den) = (Option(agg.getDecimal(0)).map(BigDecimal(_))
+      .getOrElse(BigDecimal(0)),
+      Option(agg.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c = if (den > 0)
+      Some(r6(num2.toDouble / (2.0 * den.toDouble))) else None
+    Seq((n1 + n0, nEv, den.toLong, c))
+      .toDF("n", "n_events", "n_comparable", "c_index")
+  }
+
+  /**
    * STRATIFIED Cox (binary covariate) — the adjustment [[coxBinary]]
    * cannot make: pooling risk sets across calendar months / cohorts /
    * sites assumes they share one baseline hazard, and a confounded

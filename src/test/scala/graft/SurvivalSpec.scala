@@ -194,4 +194,29 @@ class SurvivalSpec extends SparkSpec {
     assert(strat.getAs[Double]("beta") == 0.940614) // within-strata structure intact
     assert(pooled.getAs[Double]("beta") != strat.getAs[Double]("beta"))
   }
+
+  test("concordanceBinary: hand 5/6 ordering, reversal flips, censoring counts, NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Boolean, Boolean)]) =
+      Survival.concordanceBinary(rows.toDF("dur", "ev", "x"),
+        "dur", col("ev"), col("x")).head()
+    // exposed event at 1,2; unexposed at 3,4: pairs (1,3)(1,4)(2,3)(2,4)
+    // concordant, (1,2)(3,4) marker ties at ½ → C = 5/6
+    val good = run(Seq((1L, true, true), (2L, true, true),
+      (3L, true, false), (4L, true, false)))
+    assert(good.getAs[Long]("n_comparable") == 6L)
+    assert(good.getAs[Double]("c_index") == 0.833333)
+    // swap the marker: the same pairs read 1/6
+    val bad = run(Seq((1L, true, false), (2L, true, false),
+      (3L, true, true), (4L, true, true)))
+    assert(bad.getAs[Double]("c_index") == 0.166667)
+    // a censored later subject IS comparable as the partner: exposed
+    // evented before the censored unexposed's horizon → C = 1
+    val cens = run(Seq((1L, true, true), (2L, false, false)))
+    assert(cens.getAs[Long]("n_comparable") == 1L
+      && cens.getAs[Double]("c_index") == 1.0)
+    // but a censored EARLIER subject generates no comparison
+    val none = run(Seq((1L, false, true), (2L, false, false)))
+    assert(none.getAs[Long]("n_comparable") == 0L && none.isNullAt(3))
+  }
 }
