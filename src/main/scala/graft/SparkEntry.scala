@@ -12893,13 +12893,17 @@ object SparkEntry {
     // moments HUGEINT-exact, then the operator's variance/covariance
     // double expression verbatim (same IEEE tree → same doubles)
     "q374_delong_auc" ->
-      """WITH base AS (
+      """WITH base0 AS (
            SELECT CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END AS y,
-                  CAST(CAST(n_chars AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS va,
-                  CAST(CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                  CAST(TRY_CAST(n_chars AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS va,
+                  CAST(TRY_CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
                        AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vb
            FROM documents
            WHERE text IS NOT NULL AND n_chars IS NOT NULL
+         ), base AS (
+           -- unquantizable (|score| >= 1e12) leaves the population, as the
+           -- operator's post-quantization filter
+           SELECT * FROM base0 WHERE va IS NOT NULL AND vb IS NOT NULL
          ), tot AS (
            SELECT CAST(sum(y) AS BIGINT) AS np,
                   CAST(count(*) - sum(y) AS BIGINT) AS nn
@@ -12993,8 +12997,12 @@ object SparkEntry {
                   CAST(count(*) AS BIGINT) AS n_strata
            FROM per
          ), sc AS (
+           -- degenerate pooled OR (s_ad or s_bc <= 0) -> NULL psi here and a
+           -- guarded NULL row below, mirroring the operator's refusal branch
+           -- (no unguarded divide that would inf/NaN-poison the casts)
            SELECT n_strata,
-                  CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE) AS psi
+                  CASE WHEN CAST(s_ad AS DOUBLE) > 0 AND CAST(s_bc AS DOUBLE) > 0
+                       THEN CAST(s_ad AS DOUBLE) / CAST(s_bc AS DOUBLE) END AS psi
            FROM psis
          ), marg AS (
            SELECT per.a, sc.psi, sc.n_strata,
@@ -13012,18 +13020,25 @@ object SparkEntry {
                   0.0 - psi * n1 * m1 AS bc
            FROM marg
          ), roots AS (
-           SELECT a, psi, n_strata, n1, n0, m1, u, ba, bb,
+           SELECT a, psi, n_strata, n1, n0, m1, u, ba, bb, bc,
                   sqrt(CASE WHEN bb * bb - 4.0 * ba * bc > 0
                             THEN bb * bb - 4.0 * ba * bc ELSE 0.0 END) AS rt
            FROM quad
+         ), qroot AS (
+           -- stable Citardauq half: q = -(bb + sign(bb)*rt)/2 — the
+           -- operator's cancellation-free root pair, IEEE tree mirrored
+           SELECT a, psi, n_strata, n1, n0, m1, u, ba, bc,
+                  0.0 - (bb + CASE WHEN bb >= 0.0 THEN rt
+                              ELSE 0.0 - rt END) / 2.0 AS qq
+           FROM roots
          ), fit AS (
            SELECT a, psi, n_strata, n1, n0, m1, u,
                   CASE WHEN abs(ba) < 1e-12 THEN n1 * m1 / (n1 + n0)
-                       WHEN (0.0 - bb + rt) / (2.0 * ba) >= greatest(0.0, m1 - n0) - 1e-7
-                        AND (0.0 - bb + rt) / (2.0 * ba) <= least(n1, m1) + 1e-7
-                       THEN (0.0 - bb + rt) / (2.0 * ba)
-                       ELSE (0.0 - bb - rt) / (2.0 * ba) END AS afit
-           FROM roots
+                       WHEN qq / ba >= greatest(0.0, m1 - n0) - 1e-7
+                        AND qq / ba <= least(n1, m1) + 1e-7
+                       THEN qq / ba
+                       ELSE bc / qq END AS afit
+           FROM qroot
          ), vterm AS (
            SELECT a, n_strata, u, afit,
                   1.0 / (1.0 / afit + 1.0 / (n1 - afit) + 1.0 / (m1 - afit)
@@ -13038,13 +13053,17 @@ object SparkEntry {
                   CAST(sum(CAST(CASE WHEN u = 1 THEN round(vfit, 12) ELSE 0 END AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s_v
            FROM vterm GROUP BY 1
          )
-         SELECT t.n_strata, t.n_used, round(sc.psi, 6) AS or_mh,
-                CASE WHEN t.n_used >= 2 THEN round(CAST(t.s_bd AS DOUBLE), 6) END AS bd,
-                CASE WHEN t.n_used >= 2 AND t.s_v > 0 THEN
+         SELECT t.n_strata,
+                CASE WHEN sc.psi IS NULL THEN 0 ELSE t.n_used END AS n_used,
+                round(sc.psi, 6) AS or_mh,
+                CASE WHEN sc.psi IS NOT NULL AND t.n_used >= 2
+                  THEN round(CAST(t.s_bd AS DOUBLE), 6) END AS bd,
+                CASE WHEN sc.psi IS NOT NULL AND t.n_used >= 2 AND t.s_v > 0 THEN
                   round(CAST(t.s_bd AS DOUBLE)
                         - CAST(t.s_df AS DOUBLE) * CAST(t.s_df AS DOUBLE)
                           / CAST(t.s_v AS DOUBLE), 6) END AS bd_tarone,
-                CASE WHEN t.n_used >= 2 THEN t.n_used - 1 END AS df
+                CASE WHEN sc.psi IS NOT NULL AND t.n_used >= 2
+                  THEN t.n_used - 1 END AS df
          FROM terms t CROSS JOIN sc""",
     // q376: the q370 tokenizer, adjacent-pair slices, canonical distinct
     // undirected edges, then the duckPageRank integer fixed-point rounds
@@ -13198,7 +13217,11 @@ object SparkEntry {
                     CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
              FROM evt CROSS JOIN e${k - 1} p
            ), b$k AS (
-             SELECT round(p.b + ((SELECT CAST(sd1 AS DOUBLE) FROM tots) - CAST(s.su AS DOUBLE)) / CAST(s.si AS DOUBLE), 12) AS b
+             -- si <= 0 (or NULL from an upstream degenerate/no-events step)
+             -- -> NULL beta, propagating to every later step: the operator's
+             -- short-circuit nullRow, not an unguarded inf/NaN divide
+             SELECT CASE WHEN CAST(s.si AS DOUBLE) > 0 THEN
+               round(p.b + ((SELECT CAST(sd1 AS DOUBLE) FROM tots) - CAST(s.su AS DOUBLE)) / CAST(s.si AS DOUBLE), 12) END AS b
              FROM b${k - 1} p CROSS JOIN s$k s
            ), e$k AS (SELECT b, round(exp(b), 12) AS eb FROM b$k)"""
       }.mkString
@@ -13240,7 +13263,9 @@ object SparkEntry {
            SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
            FROM evt CROSS JOIN e4 p
          ), pub AS (
-           SELECT b4.b AS beta, 1.0 / sqrt(CAST(fin.si AS DOUBLE)) AS se
+           SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b4.b END AS beta,
+                  CASE WHEN CAST(fin.si AS DOUBLE) > 0
+                       THEN 1.0 / sqrt(CAST(fin.si AS DOUBLE)) END AS se
            FROM b4 CROSS JOIN fin
          )
          SELECT tots.n1 + tots.n0 AS n, tots.sd AS n_events,
@@ -13873,7 +13898,11 @@ object SparkEntry {
                     CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
              FROM evt CROSS JOIN e${k - 1} p
            ), b$k AS (
-             SELECT round(p.b + ((SELECT CAST(sd1 AS DOUBLE) FROM tots) - CAST(s.su AS DOUBLE)) / CAST(s.si AS DOUBLE), 12) AS b
+             -- si <= 0 (or NULL from an upstream degenerate/no-events step)
+             -- -> NULL beta, propagating to every later step: the operator's
+             -- short-circuit nullRow, not an unguarded inf/NaN divide
+             SELECT CASE WHEN CAST(s.si AS DOUBLE) > 0 THEN
+               round(p.b + ((SELECT CAST(sd1 AS DOUBLE) FROM tots) - CAST(s.su AS DOUBLE)) / CAST(s.si AS DOUBLE), 12) END AS b
              FROM b${k - 1} p CROSS JOIN s$k s
            ), e$k AS (SELECT b, round(exp(b), 12) AS eb FROM b$k)"""
       }.mkString
@@ -13921,7 +13950,9 @@ object SparkEntry {
            SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
            FROM evt CROSS JOIN e4 p
          ), pub AS (
-           SELECT b4.b AS beta, 1.0 / sqrt(CAST(fin.si AS DOUBLE)) AS se
+           SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b4.b END AS beta,
+                  CASE WHEN CAST(fin.si AS DOUBLE) > 0
+                       THEN 1.0 / sqrt(CAST(fin.si AS DOUBLE)) END AS se
            FROM b4 CROSS JOIN fin
          )
          SELECT tots.n, tots.n_strata, tots.sd AS n_events,

@@ -155,20 +155,6 @@ object DistDrift {
   }
 
   /**
-   * Per-cell adjusted standardized residuals (Agresti §3.3.1) — the
-   * drill-down [[chi2Independence]]'s one-number χ² can't give: WHICH
-   * (a, b) cells drive the dependence and in which direction. For every
-   * cell (including structural zeros) the residual
-   * r = (o − e) / √(e·(1 − rt/n)·(1 − ct/n)) is asymptotically N(0,1)
-   * under independence, so |r| > 2–3 marks the deviating cells. e and r
-   * are each ONE double expression (6dp) from exact counts — no sums of
-   * floats anywhere, so no order dependence by construction. A margin
-   * spanning the whole relation (rt = n or ct = n) makes the denominator
-   * 0 → NULL residual, loudly. Output: one row per cell
-   * (a, b, o, e, resid); |cells| = |A|·|B|, bounded by the categorical
-   * domains exactly like the χ² contingency itself.
-   */
-  /**
    * Nominal association effect sizes — what [[chi2Independence]]'s
    * p-machinery cannot say: χ² grows with n, so at corpus scale
    * EVERYTHING is "significant"; these are the size-of-effect numbers.
@@ -192,18 +178,25 @@ object DistDrift {
    */
   def nominalAssociation(df: DataFrame, colA: String, colB: String,
       maxCats: Int = 64): DataFrame = {
-    val cells = df.select(col(colA).cast("string").as("a"),
+    val src = df.select(col(colA).cast("string").as("a"),
         col(colB).cast("string").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
+    // probe-then-refuse (the covCells discipline): dims checked in ONE
+    // small distributed agg BEFORE any driver materialization, so a
+    // high-cardinality column is refused without ever collecting it
+    val probe = src.agg(countDistinct(col("a")).as("na"),
+      countDistinct(col("b")).as("nb")).head()
+    val (na, nb) = (probe.getLong(0), probe.getLong(1))
+    require(na <= maxCats && nb <= maxCats,
+      s"nominalAssociation: ${na}×${nb} categories exceed " +
+        s"maxCats=$maxCats — this operator collects the contingency table")
+    val cells = src
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
     val as = cells.keys.map(_._1).toSeq.distinct.sorted
     val bs = cells.keys.map(_._2).toSeq.distinct.sorted
     require(as.nonEmpty, "nominalAssociation: empty input")
-    require(as.length <= maxCats && bs.length <= maxCats,
-      s"nominalAssociation: ${as.length}×${bs.length} categories exceed " +
-        s"maxCats=$maxCats — this operator collects the contingency table")
     val (r, c) = (as.length, bs.length)
     val rt = as.map(a => a -> bs.map(b => cells.getOrElse((a, b), 0L)).sum).toMap
     val ct = bs.map(b => b -> as.map(a => cells.getOrElse((a, b), 0L)).sum).toMap
@@ -244,6 +237,20 @@ object DistDrift {
         "lambda_b_given_a", "lambda_a_given_b")
   }
 
+  /**
+   * Per-cell adjusted standardized residuals (Agresti §3.3.1) — the
+   * drill-down [[chi2Independence]]'s one-number χ² can't give: WHICH
+   * (a, b) cells drive the dependence and in which direction. For every
+   * cell (including structural zeros) the residual
+   * r = (o − e) / √(e·(1 − rt/n)·(1 − ct/n)) is asymptotically N(0,1)
+   * under independence, so |r| > 2–3 marks the deviating cells. e and r
+   * are each ONE double expression (6dp) from exact counts — no sums of
+   * floats anywhere, so no order dependence by construction. A margin
+   * spanning the whole relation (rt = n or ct = n) makes the denominator
+   * 0 → NULL residual, loudly. Output: one row per cell
+   * (a, b, o, e, resid); |cells| = |A|·|B|, bounded by the categorical
+   * domains exactly like the χ² contingency itself.
+   */
   def chi2Residuals(df: DataFrame, colA: String, colB: String): DataFrame = {
     val cells = df.where(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("a"), col(colB).as("b"))
@@ -714,55 +721,6 @@ object DistDrift {
   }
 
   /**
-   * Mann–Whitney U rank-sum test (1947) — the nonparametric two-sample
-   * location test that pairs with [[ks]] (KS asks "same distribution?",
-   * U asks "is one systematically larger?") and needs no normality the
-   * way a t-test does. Exactness trick: average ranks are half-integer,
-   * so rank sums live in HALF-UNITS — 2·r̄ = 2·min_rank + ties − 1, an
-   * exact long — and every statistic stays integer until the one final
-   * divide: U₁ (half-units) = ΣR₂ₓ − n₁(n₁+1), z = ((U₂ₓ − n₁n₂)/2) /
-   * σ with the tie-corrected σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))).
-   * Rank sums come from [[rankSums]]' distinct-value identity — the
-   * window runs over the DISTINCT-value relation (value-cardinality
-   * bounded, the KS discipline), never over the subject rows, and
-   * there is no subject×subject anything.
-   *
-   * Output: one row (group_a, group_b, n_a, n_b, u_a, tie_terms, z).
-   */
-  /**
-   * Welch's unequal-variance t-test — the parametric partner of
-   * [[mannWhitney]] (means, not ranks; no equal-variance assumption, so
-   * it is the safe default t). Moments are EXACT: long sums widened to
-   * DECIMAL(38,0) for the n·Σx² − (Σx)² cancellation (the Trend
-   * doctrine — the catastrophic subtraction happens in exact
-   * arithmetic), doubles entering only in the published means, t and
-   * Welch–Satterthwaite df. The p-value is deliberately not published
-   * (the t CDF is not cross-engine reproducible; t and df are).
-   *
-   * Output: one row (group_a, group_b, n_a, n_b, mean_a, mean_b, t, df).
-   */
-  /**
-   * Yuen's trimmed-mean t-test (Yuen 1974) — the robust middle ground
-   * the two-sample shelf lacked: [[welchT]] compares means a single
-   * spike can drag; [[mannWhitney]] abandons the mean entirely; Yuen
-   * compares TRIMMED means with WINSORIZED variances, keeping a
-   * location-difference reading that heavy tails cannot hijack. Trim
-   * fraction must be dyadic (default ⅛) so k = ⌊trim·n⌋ has no float
-   * dust.
-   *
-   * Exactness: per group, the trim boundaries are exact order
-   * statistics and each value's in-band multiplicity is exact integer
-   * arithmetic over per-value counts + strictly-below prefix sums (one
-   * [[withPrefixSums]] pass per group, never a sort); winsorized
-   * moments are DECIMAL(38,0) sums with the n·Σx² − S² cancellation
-   * done exactly (the [[welchT]] doctrine); t and the Satterthwaite df
-   * are one double expression. The t CDF is deliberately not published.
-   *
-   * Output: one row (group_a, group_b, n_a, n_b, h_a, h_b, tmean_a,
-   * tmean_b, t_yuen, df) — 6dp; NULL t/df when a trimmed side has
-   * h < 2 or both winsorized variances are 0.
-   */
-  /**
    * Partial correlation r_xy·z — the confound check the plain [[
    * pearson correlation]] (q187) cannot make: x and y may correlate
    * only because BOTH track z (price and quantity both follow
@@ -830,6 +788,27 @@ object DistDrift {
     }
   }
 
+  /**
+   * Yuen's trimmed-mean t-test (Yuen 1974) — the robust middle ground
+   * the two-sample shelf lacked: [[welchT]] compares means a single
+   * spike can drag; [[mannWhitney]] abandons the mean entirely; Yuen
+   * compares TRIMMED means with WINSORIZED variances, keeping a
+   * location-difference reading that heavy tails cannot hijack. Trim
+   * fraction must be dyadic (default ⅛) so k = ⌊trim·n⌋ has no float
+   * dust.
+   *
+   * Exactness: per group, the trim boundaries are exact order
+   * statistics and each value's in-band multiplicity is exact integer
+   * arithmetic over per-value counts + strictly-below prefix sums (one
+   * [[withPrefixSums]] pass per group, never a sort); winsorized
+   * moments are DECIMAL(38,0) sums with the n·Σx² − S² cancellation
+   * done exactly (the [[welchT]] doctrine); t and the Satterthwaite df
+   * are one double expression. The t CDF is deliberately not published.
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, h_a, h_b, tmean_a,
+   * tmean_b, t_yuen, df) — 6dp; NULL t/df when a trimmed side has
+   * h < 2 or both winsorized variances are 0.
+   */
   def yuenT(df: DataFrame, valCol: Column, groupCol: Column,
       trim: Double = 0.125): DataFrame = {
     require(trim > 0.0 && trim < 0.5, s"trim in (0, 0.5): $trim")
@@ -899,6 +878,18 @@ object DistDrift {
     }
   }
 
+  /**
+   * Welch's unequal-variance t-test — the parametric partner of
+   * [[mannWhitney]] (means, not ranks; no equal-variance assumption, so
+   * it is the safe default t). Moments are EXACT: long sums widened to
+   * DECIMAL(38,0) for the n·Σx² − (Σx)² cancellation (the Trend
+   * doctrine — the catastrophic subtraction happens in exact
+   * arithmetic), doubles entering only in the published means, t and
+   * Welch–Satterthwaite df. The p-value is deliberately not published
+   * (the t CDF is not cross-engine reproducible; t and df are).
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, mean_a, mean_b, t, df).
+   */
   def welchT(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))
@@ -1130,6 +1121,22 @@ object DistDrift {
       .orderBy(col("p"))
   }
 
+  /**
+   * Mann–Whitney U rank-sum test (1947) — the nonparametric two-sample
+   * location test that pairs with [[ks]] (KS asks "same distribution?",
+   * U asks "is one systematically larger?") and needs no normality the
+   * way a t-test does. Exactness trick: average ranks are half-integer,
+   * so rank sums live in HALF-UNITS — 2·r̄ = 2·min_rank + ties − 1, an
+   * exact long — and every statistic stays integer until the one final
+   * divide: U₁ (half-units) = ΣR₂ₓ − n₁(n₁+1), z = ((U₂ₓ − n₁n₂)/2) /
+   * σ with the tie-corrected σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))).
+   * Rank sums come from [[rankSums]]' distinct-value identity — the
+   * window runs over the DISTINCT-value relation (value-cardinality
+   * bounded, the KS discipline), never over the subject rows, and
+   * there is no subject×subject anything.
+   *
+   * Output: one row (group_a, group_b, n_a, n_b, u_a, tie_terms, z).
+   */
   def mannWhitney(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {
     val subj = df.select(groupCol.cast("string").as("g"),
       valCol.cast("long").as("v"))

@@ -509,6 +509,12 @@ object Experiment {
       .select(when(labelCol, 1L).otherwise(0L).as("y"),
         (scoreA.cast("decimal(18,6)") * 1000000).cast("long").as("va"),
         (scoreB.cast("decimal(18,6)") * 1000000).cast("long").as("vb"))
+      // |score| ≥ 1e12 overflows the 6dp quantizer to NULL; such rows
+      // must leave the POPULATION too (not just the lookup joins), or
+      // n_pos/n_neg would count items that contribute no placements and
+      // skew both AUC denominators. Excluded-as-unscorable, same
+      // contract as a NULL score (oracle mirrors via TRY_CAST + filter).
+      .where(col("va").isNotNull && col("vb").isNotNull)
       .cache()
     val t = base.agg(coalesce(sum(col("y")), lit(0L)), count(lit(1))).head()
     val (np, n) = (t.getLong(0), t.getLong(1))
@@ -1250,8 +1256,15 @@ object Experiment {
       val bC = lit(0.0) - lit(psi) * n1 * m1
       val disc = bB * bB - lit(4.0) * bA * bC
       val root = sqrt(when(disc > 0.0, disc).otherwise(lit(0.0)))
-      val r1 = (lit(0.0) - bB + root) / (lit(2.0) * bA)
-      val r2 = (lit(0.0) - bB - root) / (lit(2.0) * bA)
+      // numerically stable root pair (Citardauq form): q absorbs the
+      // large-magnitude half, so neither candidate subtracts two nearly
+      // equal numbers — for psi near 1 (bA ~ 1e-9, routine under
+      // near-homogeneity) the naive (-bB + rt)/(2·bA) loses most of its
+      // precision to cancellation while q/bA and bC/q do not
+      val qq = lit(0.0) - (bB + when(bB >= 0.0, root)
+        .otherwise(lit(0.0) - root)) / lit(2.0)
+      val r1 = qq / bA
+      val r2 = bC / qq
       val lo = greatest(lit(0.0), m1 - n0)
       val hi = least(n1, m1)
       val linear = n1 * m1 / (n1 + n0)

@@ -309,33 +309,6 @@ object Survival {
   }
 
   /**
-   * Cox proportional hazards with ONE binary covariate (Cox 1972,
-   * Breslow ties) — the EFFECT SIZE the survival shelf lacked:
-   * [[logRank]] says the arms differ, Cox says BY HOW MUCH (hazard
-   * ratio e^β), adjusting for the whole censoring structure. With a
-   * binary covariate the partial likelihood collapses onto the
-   * per-event-time relation: at each event time t with d events (d₁ of
-   * them exposed) and risk counts (r₀, r₁),
-   *
-   *   U(β) = Σd₁ − Σ_t d·p(t),   I(β) = Σ_t d·p(t)·(1−p(t)),
-   *   p(t) = r₁e^β / (r₀ + r₁e^β)
-   *
-   * and β̂ is `iters` Newton steps β ← β + U/I from β₀ = 0 — each step
-   * ONE map-combined aggregation over the bounded |distinct times|
-   * relation, nothing subject-sized after the first pass.
-   *
-   * Determinism: (d, d₁, r₀, r₁) are exact longs (risk sets = totals −
-   * distributed strictly-below prefix sums, the [[DistDrift
-   * .withPrefixSums]] machinery); per-time U/I terms round 12dp and
-   * DECIMAL-sum; β re-rounds 12dp per step (the q366 iteration
-   * doctrine), so the whole Newton path replays verbatim in SQL. The
-   * one transcendental (e^β of a 12dp scalar) is the shelf's accepted
-   * ln/exp parity. Degenerate information (no events, or an arm never
-   * at risk → I = 0) publishes NULL estimates instead of diverging.
-   *
-   * Output: one row (n, n_events, d1_exposed, beta, hr, se, z) — 6dp.
-   */
-  /**
    * Harrell's concordance index for a binary risk marker — the
    * DISCRIMINATION read that completes the Cox family: [[coxBinary]]
    * says how large the hazard ratio is, C says how often the marker
@@ -488,6 +461,33 @@ object Survival {
     }
   }
 
+  /**
+   * Cox proportional hazards with ONE binary covariate (Cox 1972,
+   * Breslow ties) — the EFFECT SIZE the survival shelf lacked:
+   * [[logRank]] says the arms differ, Cox says BY HOW MUCH (hazard
+   * ratio e^β), adjusting for the whole censoring structure. With a
+   * binary covariate the partial likelihood collapses onto the
+   * per-event-time relation: at each event time t with d events (d₁ of
+   * them exposed) and risk counts (r₀, r₁),
+   *
+   *   U(β) = Σd₁ − Σ_t d·p(t),   I(β) = Σ_t d·p(t)·(1−p(t)),
+   *   p(t) = r₁e^β / (r₀ + r₁e^β)
+   *
+   * and β̂ is `iters` Newton steps β ← β + U/I from β₀ = 0 — each step
+   * ONE map-combined aggregation over the bounded |distinct times|
+   * relation, nothing subject-sized after the first pass.
+   *
+   * Determinism: (d, d₁, r₀, r₁) are exact longs (risk sets = totals −
+   * distributed strictly-below prefix sums, the [[DistDrift
+   * .withPrefixSums]] machinery); per-time U/I terms round 12dp and
+   * DECIMAL-sum; β re-rounds 12dp per step (the q366 iteration
+   * doctrine), so the whole Newton path replays verbatim in SQL. The
+   * one transcendental (e^β of a 12dp scalar) is the shelf's accepted
+   * ln/exp parity. Degenerate information (no events, or an arm never
+   * at risk → I = 0) publishes NULL estimates instead of diverging.
+   *
+   * Output: one row (n, n_events, d1_exposed, beta, hr, se, z) — 6dp.
+   */
   def coxBinary(df: DataFrame, durationCol: String, eventCol: Column,
       exposedCol: Column, iters: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters in [1,20]: $iters")
