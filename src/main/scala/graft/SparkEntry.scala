@@ -5478,6 +5478,23 @@ object SparkEntry {
       graft.operators.Survival.concordanceBinary(subjects, "dur",
         col("ev"), col("x"))
     }),
+    "q397_betweenness_pivots" -> ((s, dir) => {
+      // the q373 scale knob PROVEN: Brandes pivot sampling — the same
+      // truncating σ-identity restricted to a deterministic third of
+      // the sources (sorted node list, positions 0,3,6,…), published
+      // as the RAW directed pivot sum (estimate = raw·n/(2|S|),
+      // caller-side scalar); composition pair mass |S|·n, not n².
+      // Pivot collect is bounded (≤ 2·90 endpoints by construction)
+      val g = top90Brand(s, dir)
+      val nodes = g.select(col("src").as("n"))
+        .unionByName(g.select(col("dst").as("n")))
+        .distinct().orderBy(col("n")).collect().map(_.getString(0))
+      val pivots = nodes.zipWithIndex
+        .collect { case (nd, i) if i % 3 == 0 => nd }.toSeq
+      graft.operators.GraphOps.betweenness(g, maxHops = 6,
+          sources = Some(pivots))
+        .orderBy(col("bc_units").desc, col("node").asc)
+    }),
     "q26_vector_knn" -> ((s, dir) => {
       val e = eng(s, dir)
       val emb = e.table("embeddings")
@@ -14159,6 +14176,47 @@ object SparkEntry {
                   round(CAST(agg.num2 AS DOUBLE) / (2.0 * CAST(agg.den AS DOUBLE)), 6)
                 END AS c_index
          FROM agg CROSS JOIN tots""",
+    // q397: the q373 BFS replay with the composition restricted to the
+    // SAME deterministic pivot third (row_number over the sorted node
+    // list, positions 1,4,7,… 1-based) and NO halving — the raw
+    // directed pivot sum the operator publishes under `sources`
+    "q397_betweenness_pivots" -> {
+      val levels = (2 to 6).map { k =>
+        s""", n$k AS MATERIALIZED (
+             SELECT r.src, e.dst AS node, $k AS d,
+                    CAST(sum(r.sigma) AS BIGINT) AS sigma
+             FROM n${k - 1} r JOIN e ON e.src = r.node
+             WHERE e.dst <> r.src
+               AND NOT EXISTS (SELECT 1 FROM r${k - 1} z
+                               WHERE z.src = r.src AND z.node = e.dst)
+             GROUP BY 1, 2
+           ), r$k AS MATERIALIZED (
+             SELECT * FROM r${k - 1} UNION ALL SELECT * FROM n$k)"""
+      }.mkString
+      duckTop90Graph +
+      s""", n1 AS MATERIALIZED (
+           SELECT src, dst AS node, 1 AS d, CAST(1 AS BIGINT) AS sigma FROM e
+         ), r1 AS MATERIALIZED (SELECT * FROM n1)
+         $levels
+         , nodes AS (SELECT DISTINCT src AS node FROM e),
+         piv AS (
+           SELECT node FROM (
+             SELECT node, row_number() OVER (ORDER BY node) AS rn FROM nodes)
+           WHERE (rn - 1) % 3 = 0
+         ),
+         terms AS (
+           SELECT a.node AS v,
+                  (a.sigma * b.sigma * 1000000000) // st.sigma AS u
+           FROM r6 a
+           JOIN piv p ON p.node = a.src
+           JOIN r6 b ON b.src = a.node AND b.node <> a.src
+           JOIN r6 st ON st.src = a.src AND st.node = b.node
+                     AND st.d = a.d + b.d
+         ), bc AS (SELECT v, sum(u) AS su FROM terms GROUP BY 1)
+         SELECT n.node, CAST(coalesce(bc.su, 0) AS BIGINT) AS bc_units
+         FROM nodes n LEFT JOIN bc ON bc.v = n.node
+         ORDER BY bc_units DESC, node"""
+    },
     "q340_permutation_test" ->
       """WITH base AS (
            SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -1387,16 +1387,31 @@ object GraphOps {
    * derivation (the 100 TB part happens BEFORE this operator). Above it,
    * BFS is one frontier-join + sum shuffle per level with lineage cuts,
    * and the composition is two joins keyed on v and (s,t) — the standard
-   * distributed exact-betweenness shape; at real scale you sample
-   * sources (Brandes pivots) before calling, which this formula admits
-   * by filtering `s` — the gate graph is exact-all-sources.
+   * distributed exact-betweenness shape.
+   *
+   * `sources` is the scale knob: Brandes PIVOT sampling. With
+   * `Some(pivots)` the composition sum is restricted to s ∈ pivots
+   * (identically in BOTH regimes — same truncating fixed-point terms,
+   * so local and distributed stay bit-identical), cutting the dominant
+   * pair mass from n·n to |pivots|·n while every node still gets a row.
+   * The published value is then the RAW DIRECTED pivot sum
+   * Σ_{s∈pivots} δ_s(v) in 1e-9 units — NOT halved (an unordered pair
+   * {s,t} contributes twice only when both ends are pivots), and not
+   * extrapolated: the standard unbiased estimate of bc(v) is
+   * raw · n / (2·|pivots|), a caller-side scalar. Pivots are
+   * deduplicated; pivots absent from the graph contribute nothing. Do
+   * NOT pre-filter `edges` to sample sources — that changes the GRAPH
+   * (paths through dropped nodes vanish), not the source set.
    *
    * Output: (node, bc_units) — 1e-9 units, exact; every node kept
-   * (bridgeless nodes 0).
+   * (bridgeless nodes 0). All-sources (None): halved, exact bc.
    */
   def betweenness(edges: DataFrame, maxHops: Int = 16,
-      maxLocalEdges: Long = 1000000L, maxLocalNodes: Int = 2048): DataFrame = {
+      maxLocalEdges: Long = 1000000L, maxLocalNodes: Int = 2048,
+      sources: Option[Seq[String]] = None): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1,64]: $maxHops")
+    require(sources.forall(_.nonEmpty), "sources: empty pivot set")
+    val pivots = sources.map(_.distinct.toSet)
     val dir0 = edges.selectExpr("cast(src as string) as src", "cast(dst as string) as dst")
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     val e = dir0.unionByName(dir0.select(col("dst").as("src"), col("src").as("dst")))
@@ -1438,13 +1453,16 @@ object GraphOps {
         }
         s0 += 1
       }
-      // pair composition, identical truncating fixed-point arithmetic
+      // pair composition, identical truncating fixed-point arithmetic;
+      // pivot sampling = the s-loop visits only pivot sources
+      val isPivot: Int => Boolean =
+        pivots.fold((_: Int) => true)(p => (i: Int) => p.contains(nodes(i)))
       val bc = Array.fill(n)(BigInt(0))
       var v = 0
       while (v < n) {
         var s = 0
         while (s < n) {
-          if (s != v && dist(s)(v) > 0) {
+          if (s != v && isPivot(s) && dist(s)(v) > 0) {
             val dsv = dist(s)(v); val ssv = sig(s)(v)
             var t = 0
             while (t < n) {
@@ -1459,7 +1477,11 @@ object GraphOps {
         v += 1
       }
       import spark.implicits._
-      nodes.zipWithIndex.map { case (nd, i) => (nd, (bc(i) / 2).toLong) }
+      // all-sources: each unordered {s,t} counted twice -> halve; pivot
+      // sampling publishes the raw directed sum (see Scaladoc)
+      val halve = pivots.isEmpty
+      nodes.zipWithIndex.map { case (nd, i) =>
+        (nd, (if (halve) bc(i) / 2 else bc(i)).toLong) }
         .toSeq.toDF("node", "bc_units")
     } else {
       val nodes = e.select(col("src").as("node")).distinct().cache()
@@ -1487,22 +1509,33 @@ object GraphOps {
       val sigMax = reach.agg(coalesce(max(col("sigma")), lit(0L))).head().getLong(0)
       require(sigMax <= MaxSigma,
         s"path count $sigMax exceeds the exact-term bound $MaxSigma")
-      val a = reach.select(col("src").as("s"), col("node").as("v"),
-        col("d").as("dsv"), col("sigma").as("ssv"))
+      // pivot sampling: the BFS (needed from EVERY source for the
+      // σ_vt leg) is untouched; the O(pairs) composition legs keyed on
+      // s — where the n² mass lives — are filtered to pivot sources,
+      // so the terms join carries |pivots|·n pairs instead of n·n
+      val pivotFilter: DataFrame => DataFrame =
+        pivots.fold(identity[DataFrame] _)(p =>
+          (df: DataFrame) => df.where(col("s").isInCollection(p)))
+      val a = pivotFilter(reach.select(col("src").as("s"),
+        col("node").as("v"), col("d").as("dsv"), col("sigma").as("ssv")))
       val b = reach.select(col("src").as("v"), col("node").as("t"),
         col("d").as("dvt"), col("sigma").as("svt"))
-      val st = reach.select(col("src").as("s"), col("node").as("t"),
-        col("d").as("dst0"), col("sigma").as("sst"))
+      val st = pivotFilter(reach.select(col("src").as("s"),
+        col("node").as("t"), col("d").as("dst0"), col("sigma").as("sst")))
       val terms = a.join(b, "v").where(col("t") =!= col("s"))
         .join(st, Seq("s", "t"))
         .where(col("dsv") + col("dvt") === col("dst0"))
         .select(col("v"), expr(s"(ssv * svt * ${Unit9}L) div sst").as("u"))
       val bc = terms.groupBy(col("v"))
         .agg(sum(col("u").cast("decimal(38,0)")).as("__su"))
+      val zero = "coalesce(__su, cast(0 as decimal(38,0)))"
       val out = nodes
         .join(bc.withColumnRenamed("v", "node"), Seq("node"), "left")
         .selectExpr("node",
-          "coalesce(__su, cast(0 as decimal(38,0))) div 2 as bc_units")
+          // `div` yields BIGINT; the raw branch casts to match (the σ
+          // bound keeps every sum far inside long range)
+          if (pivots.isEmpty) s"$zero div 2 as bc_units"
+          else s"cast($zero as bigint) as bc_units")
         .localCheckpoint(true)
       nodes.unpersist(false); e.unpersist(false)
       out

@@ -569,6 +569,48 @@ class GraphOpsSpec extends SparkSpec {
       == capped)
   }
 
+  test("betweenness pivots: raw directed sums, all-sources = 2x exact, " +
+      "regimes bit-agree, absent pivots inert") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // path a—b—c—d: exact (halved) bc is b=c=2e9 (b brokers (a,c),(a,d);
+    // c brokers (a,d),(b,d) — 2 unordered pairs each)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val exact = asMap(GraphOps.betweenness(path))
+    assert(exact == Map("a" -> 0L, "b" -> 2000000000L,
+      "c" -> 2000000000L, "d" -> 0L))
+    // pivots = ALL nodes -> raw directed sum = exactly 2x the halved bc
+    val allPiv = asMap(GraphOps.betweenness(path,
+      sources = Some(Seq("a", "b", "c", "d"))))
+    assert(allPiv == exact.map { case (k, v) => k -> v * 2 })
+    // single pivot a: δ_a(b) = terms (a,b,c)+(a,b,d) = 2e9;
+    // δ_a(c) = (a,c,d) = 1e9; d-side sources unsampled
+    val one = asMap(GraphOps.betweenness(path, sources = Some(Seq("a"))))
+    assert(one == Map("a" -> 0L, "b" -> 2000000000L,
+      "c" -> 1000000000L, "d" -> 0L))
+    // distributed regime: bit-identical under the same pivot set
+    assert(asMap(GraphOps.betweenness(path, maxLocalEdges = 0,
+      sources = Some(Seq("a")))) == one)
+    // duplicate + absent pivots change nothing; every node keeps a row
+    assert(asMap(GraphOps.betweenness(path,
+      sources = Some(Seq("a", "a", "zz")))) == one)
+    assert(asMap(GraphOps.betweenness(path, maxLocalEdges = 0,
+      sources = Some(Seq("a", "zz")))) == one)
+    // σ-splitting under pivots: 4-cycle, pivot a — (a,c) runs σ=2 via
+    // b and d: each mid-node gets (1·1·1e9) div 2 = 5e8 from t=c only
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("src", "dst")
+    val cp = asMap(GraphOps.betweenness(cyc, sources = Some(Seq("a"))))
+    assert(cp == Map("a" -> 0L, "b" -> 500000000L, "c" -> 0L,
+      "d" -> 500000000L))
+    assert(asMap(GraphOps.betweenness(cyc, maxLocalEdges = 0,
+      sources = Some(Seq("a")))) == cp)
+    // empty pivot set refuses loudly
+    intercept[IllegalArgumentException] {
+      GraphOps.betweenness(path, sources = Some(Nil))
+    }
+  }
+
   test("closenessExact: path-graph hand values, disconnection, regimes bit-agree") {
     import spark.implicits._
     // a—b—c: a reaches {b:1, c:2} → total 3, mean 1.5, harmonic 1.5;
