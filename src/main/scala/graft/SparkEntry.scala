@@ -46,6 +46,19 @@ object SparkEntry {
   private def outDouble(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
 
+  /** Iteration caps for the exact-replay Newton/IRLS/EM gate families —
+    * ONE named constant per family, referenced by BOTH the query lambda
+    * (explicit `iters =`, never the operator default) and the oracle's
+    * unrolled-CTE builder, so a cap edit cannot desync the two sides of
+    * the gate. IterCapsSpec pins each oracle's terminal unroll index
+    * against these. */
+  private[graft] object IterCaps {
+    val cox = 4          // q380 coxBinary + q393 coxStratified Newton steps
+    val calibration = 4  // q386 calibrationSlope Newton steps
+    val gmm = 3          // q385 gmm1d EM steps
+    val huber = 3        // q387 huberMean IRLS steps
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q13_join_multi3")(spark, "/root/testdata/sf0.001")
@@ -5304,7 +5317,8 @@ object SparkEntry {
           .otherwise(col("tl") - col("t0")).as("dur"),
         col("tc").isNotNull.as("ev"),
         (pmod(col("user_id"), lit(2)) === 0).as("x"))
-      graft.operators.Survival.coxBinary(subjects, "dur", col("ev"), col("x"))
+      graft.operators.Survival.coxBinary(subjects, "dur", col("ev"), col("x"),
+        iters = IterCaps.cox)
     }),
     "q381_moran" -> ((s, dir) => {
       // does POPULARITY cluster on the bought-together graph: Moran's I
@@ -5350,7 +5364,7 @@ object SparkEntry {
       // the soft answer q301's hard k-means boundary can't give
       // (weights say how much of each source survived a filter)
       graft.operators.Clustering.gmm1d(
-        eng(s, dir).table("documents"), col("n_chars"))
+        eng(s, dir).table("documents"), col("n_chars"), iters = IterCaps.gmm)
     }),
     "q386_calibration_slope" -> ((s, dir) => {
       // the NUMBER q252's curve only draws: logistic recalibration
@@ -5360,7 +5374,7 @@ object SparkEntry {
       val score = round(least(col("value") / 200.0, lit(1.0)), 6)
       graft.operators.Experiment.calibrationSlope(
         ev.where(col("value").isNotNull),
-        score, col("event_type") === "purchase")
+        score, col("event_type") === "purchase", iters = IterCaps.calibration)
     }),
     "q387_huber_mean" -> ((s, dir) => {
       // the center a corrupt batch can't drag: Huber IRLS location of
@@ -5369,7 +5383,8 @@ object SparkEntry {
       // alertable number with 95% Gaussian efficiency
       graft.operators.Outliers.huberMean(
         eng(s, dir).table("orders"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+        iters = IterCaps.huber)
     }),
     "q388_ktruss" -> ((s, dir) => {
       // the community KERNEL of the bought-together graph: 6-truss —
@@ -5442,7 +5457,7 @@ object SparkEntry {
         (pmod(col("user_id"), lit(2)) === 0).as("x"),
         expr("pmod(t0 div 86400, 7)").as("cohort"))
       graft.operators.Survival.coxStratified(subjects, "dur", col("ev"),
-        col("x"), col("cohort"))
+        col("x"), col("cohort"), iters = IterCaps.cox)
     }),
     "q394_embedding_top2" -> ((s, dir) => {
       // did the space collapse onto a PLANE: top-two spectral
@@ -13228,7 +13243,7 @@ object SparkEntry {
     // every U/I term the operator's double expression verbatim
     "q380_cox" -> {
       val pTerm = "((CAST(r1 AS DOUBLE) * p.eb) / (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * p.eb))"
-      val steps = (1 to 4).map { k =>
+      val steps = (1 to IterCaps.cox).map { k =>
         s""", s$k AS (
              SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS su,
                     CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
@@ -13278,12 +13293,12 @@ object SparkEntry {
          $steps
          , fin AS (
            SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
-           FROM evt CROSS JOIN e4 p
+           FROM evt CROSS JOIN e${IterCaps.cox} p
          ), pub AS (
            SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b4.b END AS beta,
                   CASE WHEN CAST(fin.si AS DOUBLE) > 0
                        THEN 1.0 / sqrt(CAST(fin.si AS DOUBLE)) END AS se
-           FROM b4 CROSS JOIN fin
+           FROM b${IterCaps.cox} CROSS JOIN fin
          )
          SELECT tots.n1 + tots.n0 AS n, tots.sd AS n_events,
                 tots.sd1 AS d1_exposed,
@@ -13500,7 +13515,7 @@ object SparkEntry {
     "q385_gmm" -> {
       def dens(w: String, m: String, g: String) =
         s"p.$w * exp(0.0 - (CAST(v AS DOUBLE) - p.$m) * (CAST(v AS DOUBLE) - p.$m) / (2.0 * p.$g)) / sqrt(p.$g)"
-      val steps = (1 to 3).map { k =>
+      val steps = (1 to IterCaps.gmm).map { k =>
         s""", sc$k AS (
              SELECT v, c,
                     CASE WHEN pp1 + pp2 > 0.0 THEN round(pp1 / (pp1 + pp2), 9)
@@ -13581,13 +13596,13 @@ object SparkEntry {
                 round(CASE WHEN p.m1 <= p.m2 THEN p.m2 ELSE p.m1 END, 6) AS mu2,
                 round(CASE WHEN p.m1 <= p.m2 THEN p.g2 ELSE p.g1 END, 6) AS sigma2_2,
                 round(CASE WHEN p.m1 <= p.m2 THEN p.w2 ELSE p.w1 END, 6) AS w2
-         FROM p3 p CROSS JOIN tot"""
+         FROM p${IterCaps.gmm} p CROSS JOIN tot"""
     },
     // q386: q253's 6dp score quantization, 9dp clamped logit covariate,
     // then the operator's 4 Newton rounds verbatim (9dp fitted p, 6dp
     // decimal moments, closed-form 2×2 solve, 9dp-rerounded a/b)
     "q386_calibration_slope" -> {
-      val steps = (1 to 4).map { k =>
+      val steps = (1 to IterCaps.calibration).map { k =>
         s""", g$k AS (
              SELECT
                CAST(sum(CAST(round(kd - cd * rp, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS g0,
@@ -13629,13 +13644,13 @@ object SparkEntry {
          $steps
          SELECT tots.n, tots.np AS n_pos,
                 round(p.a, 6) AS intercept, round(p.b, 6) AS slope
-         FROM p4 p CROSS JOIN tots"""
+         FROM p${IterCaps.calibration} p CROSS JOIN tots"""
     },
     // q387: exact lower-median/MAD order stats from prefix sums, then
     // the operator's 3 IRLS rounds verbatim (9dp weights, 6dp decimal
     // moments, 9dp-rerounded mu)
     "q387_huber_mean" -> {
-      val steps = (1 to 3).map { k =>
+      val steps = (1 to IterCaps.huber).map { k =>
         s""", s$k AS (
              SELECT
                CAST(sum(CAST(round(w * cd, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sw,
@@ -13677,9 +13692,9 @@ object SparkEntry {
          $steps
          SELECT tot.n, CAST(med.med AS DOUBLE) AS median,
                 CAST(mad.mad AS DOUBLE) AS mad,
-                round(m3.m, 6) AS huber_mean,
+                round(m${IterCaps.huber}.m, 6) AS huber_mean,
                 round(CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS plain_mean
-         FROM m3 CROSS JOIN tot CROSS JOIN med CROSS JOIN mad"""
+         FROM m${IterCaps.huber} CROSS JOIN tot CROSS JOIN med CROSS JOIN mad"""
     },
     // q388: 6 unrolled support-filter rounds over the canonical top-90
     // edges (wedge-join triangle counts per round), final-state support
@@ -13909,7 +13924,7 @@ object SparkEntry {
     // windows — per-(cohort, time) relation, risk never crosses strata
     "q393_cox_stratified" -> {
       val pTerm = "((CAST(r1 AS DOUBLE) * p.eb) / (CAST(r0 AS DOUBLE) + CAST(r1 AS DOUBLE) * p.eb))"
-      val steps = (1 to 4).map { k =>
+      val steps = (1 to IterCaps.cox).map { k =>
         s""", s$k AS (
              SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm, 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS su,
                     CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
@@ -13965,12 +13980,12 @@ object SparkEntry {
          $steps
          , fin AS (
            SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
-           FROM evt CROSS JOIN e4 p
+           FROM evt CROSS JOIN e${IterCaps.cox} p
          ), pub AS (
            SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b4.b END AS beta,
                   CASE WHEN CAST(fin.si AS DOUBLE) > 0
                        THEN 1.0 / sqrt(CAST(fin.si AS DOUBLE)) END AS se
-           FROM b4 CROSS JOIN fin
+           FROM b${IterCaps.cox} CROSS JOIN fin
          )
          SELECT tots.n, tots.n_strata, tots.sd AS n_events,
                 tots.sd1 AS d1_exposed,
