@@ -35,9 +35,31 @@ object AnnScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet").cache()
     val n = embs.count()
     val scaledShards = math.ceil(n / 500.0).toInt
+
+    // index-BUILD cost, each family timed in isolation at its
+    // contract-scaled params (the recall reports below rebuild
+    // internally; these are the clean build-only numbers a capacity
+    // plan needs): IVF = k-means train + cell assignment over the
+    // corpus; PQ = driver Lloyd per subspace over ≤262k train rows
+    // (the documented hashSample contract caps this at scale); graph =
+    // per-shard Vamana with ~targetShardRows rows per shard, shard
+    // count carrying the corpus growth
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+    val ivfBuildSec = time {
+      val m = graft.vector.VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
+      graft.vector.VectorSearch.ivfIndex(embs, m, "embedding").count()
+    }
+    val pqBuildSec = time {
+      graft.vector.VectorSearch.pqTrain(embs, "embedding", m = 8, k = 64)
+    }
+    val graphBuildSec = time {
+      graft.vector.GraphAnn.graphBuild(embs, "vec_id", "embedding",
+        shards = scaledShards, maxDegree = 8, efConstruction = 24).count()
+    }
 
     def fmt3(rows: Seq[(Any, Double, Double)]): String = rows
       .map { case (p, r, f) => s"""[$p,$r,$f]""" }.mkString("[", ",", "]")
@@ -62,6 +84,7 @@ object AnnScale {
       .map(r => (r.getInt(0): Any, r.getDouble(1), r.getDouble(2))).toSeq
 
     val out = s"""{"dir":"$dir","n":$n,"scaled_shards":$scaledShards,""" +
+      f""""build_sec":{"ivf_nlist8":$ivfBuildSec%.1f,"pq_m8_k64":$pqBuildSec%.1f,"graph_scaled":$graphBuildSec%.1f},""" +
       s""""ivf_nlist8":${fmt3(ivf)},""" +
       s""""pq_frozen_k16":${fmt3(pq(16))},"pq_scaled_k64":${fmt3(pq(64))},""" +
       s""""graph_frozen_sh4":${fmt3(graph(4))},""" +

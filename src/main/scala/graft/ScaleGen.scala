@@ -70,7 +70,14 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (t <- Seq("region", "nation", "supplier", "part"))
+    // arg 5: comma-list of table groups to generate ("all" default) —
+    // an ANN-only rehearsal (embeddings at x100) must not pay for a
+    // full sf10 relational build it never reads
+    val wanted = args.lift(4).getOrElse("all")
+    def tables(t: String): Boolean = wanted == "all" ||
+      wanted.split(",").map(_.trim).contains(t)
+
+    if (tables("dims")) for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
@@ -83,15 +90,17 @@ object ScaleGen {
     // sliding distinct q160): per-user state/grid/pair mass constant,
     // total linear. Naive row copies would densify per-user event counts
     // and grow range-join pair mass quadratically.
-    val evs = spark.read.parquet(s"$base/events.parquet")
-    (0 until copies).map { k =>
-      if (k == 0) evs
-      else evs
-        .withColumn("event_id", col("event_id") + lit(k * idStep))
-        .withColumn("user_id", col("user_id") + lit(k * idStep))
-    }.reduce(_ unionByName _)
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    if (tables("events")) {
+      val evs = spark.read.parquet(s"$base/events.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) evs
+        else evs
+          .withColumn("event_id", col("event_id") + lit(k * idStep))
+          .withColumn("user_id", col("user_id") + lit(k * idStep))
+      }.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
     // customer/orders scale by KEY-SHIFTED copies so the relational gate
     // family (snapshot diff q133, z-order layout q135) rehearses on ×N
@@ -99,71 +108,83 @@ object ScaleGen {
     // (shifted ids land on the same residue classes with the same
     // densities). Foreign keys shift together so join fan-out per key is
     // UNCHANGED — the honest linear regime, never a densified join.
-    val cust = spark.read.parquet(s"$base/customer.parquet")
-    (0 until copies).map { k =>
-      if (k == 0) cust
-      else cust.withColumn("c_custkey", col("c_custkey") + lit(k * idStep))
-    }.reduce(_ unionByName _)
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    if (tables("customer")) {
+      val cust = spark.read.parquet(s"$base/customer.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) cust
+        else cust.withColumn("c_custkey", col("c_custkey") + lit(k * idStep))
+      }.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
 
-    val ords = spark.read.parquet(s"$base/orders.parquet")
-    (0 until copies).map { k =>
-      if (k == 0) ords
-      else ords
-        .withColumn("o_orderkey", col("o_orderkey") + lit(k * idStep))
-        .withColumn("o_custkey", col("o_custkey") + lit(k * idStep))
-    }.reduce(_ unionByName _)
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    if (tables("orders")) {
+      val ords = spark.read.parquet(s"$base/orders.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) ords
+        else ords
+          .withColumn("o_orderkey", col("o_orderkey") + lit(k * idStep))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * idStep))
+      }.reduce(_ unionByName _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
 
     // lineitem shifts l_orderkey with orders (FK-consistent); supplier/
     // part stay unscaled, so per-supplier fan-out grows ×copies — the
     // realistic regime for a fixed dimension under a growing fact table
-    val li = spark.read.parquet(s"$base/lineitem.parquet")
-    (0 until copies).map { k =>
-      if (k == 0) li
-      else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * idStep))
-    }.reduce(_ unionByName _)
-      .repartition(16)
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until copies).map { k =>
-      if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * idStep)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1ck$k").as("text"),
-        col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select(docs.columns.map(col): _*)
-    }.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (tables("lineitem")) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) li
+        else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * idStep))
+      }.reduce(_ unionByName _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until copies).map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(k * idStep)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1ck$k").as("text"),
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select(docs.columns.map(col): _*)
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
     val geometry = args.lift(3).getOrElse("hash")
     require(Seq("hash", "clustered").contains(geometry),
       s"embedding geometry must be hash|clustered: $geometry")
-    val embs = spark.read.parquet(s"$base/embeddings.parquet")
-    val dim = embs.select(size(col("embedding"))).head.getInt(0)
-    val allIds = (0 until copies).map { k =>
-      if (k == 0) embs
-      else embs.select(
-        (col("vec_id") + lit(k * idStep)).as("vec_id"),
-        expr(s"""transform(sequence(0, ${dim - 1}),
-                 i -> cast(cast(pmod(xxhash64(vec_id, i, $k), 2001) - 1000 as double)
-                      / 1000.0 as float))""").as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
-    val scaledEmbs =
-      if (geometry == "hash") allIds
-      else clusteredEmbedding(allIds, dim)
-    scaledEmbs
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (tables("embeddings")) {
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      val dim = embs.select(size(col("embedding"))).head.getInt(0)
+      val allIds = (0 until copies).map { k =>
+        if (k == 0) embs
+        else embs.select(
+          (col("vec_id") + lit(k * idStep)).as("vec_id"),
+          expr(s"""transform(sequence(0, ${dim - 1}),
+                   i -> cast(cast(pmod(xxhash64(vec_id, i, $k), 2001) - 1000 as double)
+                        / 1000.0 as float))""").as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+      val scaledEmbs =
+        if (geometry == "hash") allIds
+        else clusteredEmbedding(allIds, dim)
+      scaledEmbs
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
-    println(s"""{"scaled":"$out","copies":$copies,"geometry":"$geometry","documents":${
-      spark.read.parquet(s"$out/documents.parquet").count()},"embeddings":${
-      spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
+    val docN = if (tables("documents"))
+      spark.read.parquet(s"$out/documents.parquet").count() else -1L
+    val embN = if (tables("embeddings"))
+      spark.read.parquet(s"$out/embeddings.parquet").count() else -1L
+    println(s"""{"scaled":"$out","copies":$copies,"geometry":"$geometry","documents":$docN,"embeddings":$embN}""")
     spark.stop()
   }
 
