@@ -203,7 +203,7 @@ object Bench {
     val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     // partial runs (SPARK_GRAFT_ONLY subsets) must not clobber the
     // tracked full record with a fragment
-    val fullSuite = sys.env.get("SPARK_GRAFT_ONLY").isEmpty
+    val fullSuite = sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty)
     (Seq(recordPath) ++ (if (fullSuite) Seq("BENCH_FULL.json") else Nil))
       .foreach { rp =>
       try {

@@ -70,7 +70,8 @@ object SparkEntry {
     * the old raw-prefix rule silently swept q190–q199 in too, a
     * repeatedly-hit trap). */
   def selectedQueries(): Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq.map(_.trim))
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
     only.fold(queries.toSeq)(ps =>
       queries.toSeq.filter { case (n, _) =>
         ps.exists(p => n == p || n.startsWith(p + "_")) })
