@@ -201,9 +201,12 @@ object Bench {
     // where the complete per-query map never reached the round artifact
     // (the driver's stdout capture keeps only the last 2000 bytes)
     val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    // partial runs (SPARK_GRAFT_ONLY subsets) must not clobber the
-    // tracked full record with a fragment
-    val fullSuite = sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty)
+    // partial runs (SPARK_GRAFT_ONLY subsets) and off-SF rehearsals
+    // (sf1 fixtures) must not clobber the tracked full record — it is
+    // the DRIVER-config artifact, so it requires the canonical's sf
+    val canonSf = canonical.nonEmpty
+    val fullSuite = sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty) &&
+      canonSf
     (Seq(recordPath) ++ (if (fullSuite) Seq("BENCH_FULL.json") else Nil))
       .foreach { rp =>
       try {
