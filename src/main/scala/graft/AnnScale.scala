@@ -53,13 +53,25 @@ object AnnScale {
       val m = graft.vector.VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
       graft.vector.VectorSearch.ivfIndex(embs, m, "embedding").count()
     }
+    // pqTrain hard-refuses above 262,144 rows — apply its documented
+    // hashSample contract here so the harness survives the next fixture
+    // decade instead of dying after the IVF build already ran
+    val pqTrainCap = 262144L
+    val pqTrainIn = if (n <= pqTrainCap) embs
+      else embs.where(pmod(xxhash64(col("vec_id"), lit("pqtrain")),
+        lit((n + pqTrainCap - 1) / pqTrainCap)) === 0)
     val pqBuildSec = time {
-      graft.vector.VectorSearch.pqTrain(embs, "embedding", m = 8, k = 64)
+      graft.vector.VectorSearch.pqTrain(pqTrainIn, "embedding", m = 8, k = 64)
     }
     val graphBuildSec = time {
       graft.vector.GraphAnn.graphBuild(embs, "vec_id", "embedding",
         shards = scaledShards, maxDegree = 8, efConstruction = 24).count()
     }
+
+    // locale-safe decimal rendering for the JSON line (an f"%.1f" would
+    // print a comma under comma-decimal default locales)
+    def j1(v: Double): String =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
     def fmt3(rows: Seq[(Any, Double, Double)]): String = rows
       .map { case (p, r, f) => s"""[$p,$r,$f]""" }.mkString("[", ",", "]")
@@ -84,7 +96,7 @@ object AnnScale {
       .map(r => (r.getInt(0): Any, r.getDouble(1), r.getDouble(2))).toSeq
 
     val out = s"""{"dir":"$dir","n":$n,"scaled_shards":$scaledShards,""" +
-      f""""build_sec":{"ivf_nlist8":$ivfBuildSec%.1f,"pq_m8_k64":$pqBuildSec%.1f,"graph_scaled":$graphBuildSec%.1f},""" +
+      s""""build_sec":{"ivf_nlist8":${j1(ivfBuildSec)},"pq_m8_k64":${j1(pqBuildSec)},"graph_scaled":${j1(graphBuildSec)}},""" +
       s""""ivf_nlist8":${fmt3(ivf)},""" +
       s""""pq_frozen_k16":${fmt3(pq(16))},"pq_scaled_k64":${fmt3(pq(64))},""" +
       s""""graph_frozen_sh4":${fmt3(graph(4))},""" +

@@ -203,10 +203,19 @@ object Bench {
     val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     // partial runs (SPARK_GRAFT_ONLY subsets) and off-SF rehearsals
     // (sf1 fixtures) must not clobber the tracked full record — it is
-    // the DRIVER-config artifact, so it requires the canonical's sf
-    val canonSf = canonical.nonEmpty
+    // the DRIVER-config artifact. Decide off the canonical's declared
+    // sf ALONE (parsed independently of the query map), so a corrupt or
+    // missing canonical does not silently stop the artifact from being
+    // written (it only disables the burst guard, which already warns
+    // via the absent rerun lines)
+    val canonSfMatches: Boolean = try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(canonicalPath))
+      val cs = Option(root.get("sf")).map(_.asText)
+      cs.forall(s => sfDir.split('/').filter(_.nonEmpty).lastOption.contains(s))
+    } catch { case _: Throwable => true } // unreadable -> can't tell; keep writing
     val fullSuite = sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty) &&
-      canonSf
+      canonSfMatches
     (Seq(recordPath) ++ (if (fullSuite) Seq("BENCH_FULL.json") else Nil))
       .foreach { rp =>
       try {

@@ -63,8 +63,11 @@ object PivotScale {
         (System.nanoTime() - t0) / 1e9
       }
       val label = if (k == n) "all(exact)" else k.toString
-      println(f"""{"family":"betweenness_pivots","n":$n,"edges":$edgeCount,""" +
-        f""""max_hops":$maxHops,"pivots":"$label","sec":${secs.min}%.2f}""")
+      // BigDecimal render: locale-safe JSON (f"%.2f" commas under de_DE)
+      val sec = BigDecimal(secs.min)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      println(s"""{"family":"betweenness_pivots","n":$n,"edges":$edgeCount,""" +
+        s""""max_hops":$maxHops,"pivots":"$label","sec":$sec}""")
       System.out.flush()
     }
     spark.stop()

@@ -73,9 +73,14 @@ object ScaleGen {
     // arg 5: comma-list of table groups to generate ("all" default) —
     // an ANN-only rehearsal (embeddings at x100) must not pay for a
     // full sf10 relational build it never reads
+    val knownGroups = Set("dims", "events", "customer", "orders",
+      "lineitem", "documents", "embeddings")
     val wanted = args.lift(4).getOrElse("all")
-    def tables(t: String): Boolean = wanted == "all" ||
-      wanted.split(",").map(_.trim).contains(t)
+    val wantedSet = wanted.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    require(wanted == "all" || (wantedSet.nonEmpty && wantedSet.subsetOf(knownGroups)),
+      s"unknown table group(s) ${wantedSet -- knownGroups} — known: " +
+        knownGroups.toSeq.sorted.mkString(", "))
+    def tables(t: String): Boolean = wanted == "all" || wantedSet.contains(t)
 
     if (tables("dims")) for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$base/$t.parquet")

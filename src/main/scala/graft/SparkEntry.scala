@@ -13296,7 +13296,7 @@ object SparkEntry {
            SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
            FROM evt CROSS JOIN e${IterCaps.cox} p
          ), pub AS (
-           SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b4.b END AS beta,
+           SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b${IterCaps.cox}.b END AS beta,
                   CASE WHEN CAST(fin.si AS DOUBLE) > 0
                        THEN 1.0 / sqrt(CAST(fin.si AS DOUBLE)) END AS se
            FROM b${IterCaps.cox} CROSS JOIN fin
@@ -13983,7 +13983,7 @@ object SparkEntry {
            SELECT CAST(sum(CAST(round(CAST(d AS DOUBLE) * $pTerm * (1.0 - $pTerm), 12) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS si
            FROM evt CROSS JOIN e${IterCaps.cox} p
          ), pub AS (
-           SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b4.b END AS beta,
+           SELECT CASE WHEN CAST(fin.si AS DOUBLE) > 0 THEN b${IterCaps.cox}.b END AS beta,
                   CASE WHEN CAST(fin.si AS DOUBLE) > 0
                        THEN 1.0 / sqrt(CAST(fin.si AS DOUBLE)) END AS se
            FROM b${IterCaps.cox} CROSS JOIN fin

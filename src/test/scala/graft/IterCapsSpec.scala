@@ -18,8 +18,15 @@ class IterCapsSpec extends AnyFunSuite {
       val t = sql(q)
       assert(t.contains(s"FROM evt CROSS JOIN e$k p"), s"$q terminal e$k")
       assert(t.contains(s"FROM b$k CROSS JOIN fin"), s"$q terminal b$k")
+      assert(t.contains(s"THEN b$k.b END AS beta"), s"$q publishes b$k.b")
       assert(!t.contains(s"b${k + 1}") && !t.contains(s"e${k + 1}"),
         s"$q unrolls past the cap")
+      // no stray step reference other than the terminal: every bN/eN
+      // mention below the cap only appears inside the step builder's
+      // own chain, so a hardcoded earlier index in the publish tail
+      // (the b4-at-cap-5 trap) cannot hide
+      for (j <- 1 until k)
+        assert(!t.contains(s"THEN b$j.b END"), s"$q publishes stale b$j")
     }
   }
 

@@ -17,7 +17,9 @@ class VerifySerialSpec extends AnyFunSuite {
     // scan only the queries map — the trailing oracleSql SQL strings
     // would otherwise be swallowed into the last entry's chunk
     val text = full.substring(0, full.indexOf("def oracleSql"))
-    val entry = """"(q\d+[a-z0-9_]*)" -> \(\(s, dir\) => \{""".r
+    // no trailing `{`: a single-expression gate (`-> ((s, dir) => expr)`)
+    // must start its own chunk, not be swallowed into the previous one
+    val entry = """"(q\d+[a-z0-9_]*)" -> \(\(s, dir\) =>""".r
     // split the queries map into (name, body) chunks on entry boundaries
     val starts = entry.findAllMatchIn(text).toVector
     val markers = Seq("writeStream", "readStream", ".asStream", "streamQuery",

@@ -19,6 +19,13 @@ def main():
     can = json.load(open("BASELINE_CANONICAL.json"))
     rec_sf = rec["sf"].rstrip("/").split("/")[-1]
     assert rec_sf == can["sf"], f"sf mismatch: record {rec_sf} vs canonical {can['sf']}"
+    # the record must be the FULL bench line (full names, "cpus" field) —
+    # the compact driver parse-target carries short "qNN" keys and only
+    # the slowest 60, which would pollute the canonical as bogus adds
+    assert "cpus" in rec, "not a full bench record (missing 'cpus' — compact line?)"
+    import re
+    bad = [k for k in rec["queries"] if not re.match(r"^q\d+_", k)]
+    assert not bad, f"short/garbled query keys (compact record?): {bad[:5]}"
     q_old = can["queries"]
     q_new = rec["queries"]
     added = improved = unchanged = 0
