@@ -54,9 +54,18 @@ object Verify {
     }
     val all = SparkEntry.selectedQueries()
     val (serial, parallel) = all.partition(q => serialFirst(q._1))
-    serial.foreach { case (n, f) => run(n, f) }
-    if (par <= 1) parallel.foreach { case (n, f) => run(n, f) }
-    else {
+    if (par <= 1) {
+      serial.foreach { case (n, f) => run(n, f) }
+      parallel.foreach { case (n, f) => run(n, f) }
+    } else {
+      // the serial streaming chain is the gate's critical path (~80 s,
+      // within ~5 s of the parallel pool's span) — run it on its own
+      // dedicated thread CONCURRENTLY with the pool: gates stay
+      // mutually isolated (per-gate sinks/checkpoints/scratch), and the
+      // chain itself stays single-writer in declared order
+      val serialThread = new Thread(() => serial.foreach { case (n, f) =>
+        run(n, f) }, "verify-serial-chain")
+      serialThread.start()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -66,6 +75,7 @@ object Verify {
         scala.concurrent.Future.sequence(fs),
         scala.concurrent.duration.Duration.Inf)
       pool.shutdown()
+      serialThread.join()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
