@@ -53,15 +53,9 @@ object AnnScale {
       val m = graft.vector.VectorSearch.ivfTrain(embs, "embedding", nlist = 8)
       graft.vector.VectorSearch.ivfIndex(embs, m, "embedding").count()
     }
-    // pqTrain hard-refuses above 262,144 rows — apply its documented
-    // hashSample contract here so the harness survives the next fixture
-    // decade instead of dying after the IVF build already ran
-    val pqTrainCap = 262144L
-    val pqTrainIn = if (n <= pqTrainCap) embs
-      else embs.where(pmod(xxhash64(col("vec_id"), lit("pqtrain")),
-        lit((n + pqTrainCap - 1) / pqTrainCap)) === 0)
     val pqBuildSec = time {
-      graft.vector.VectorSearch.pqTrain(pqTrainIn, "embedding", m = 8, k = 64)
+      graft.vector.VectorSearch.pqTrainCapped(embs, "vec_id", "embedding",
+        m = 8, k = 64)
     }
     val graphBuildSec = time {
       graft.vector.GraphAnn.graphBuild(embs, "vec_id", "embedding",

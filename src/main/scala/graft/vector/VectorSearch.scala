@@ -839,6 +839,25 @@ object VectorSearch {
    *
    * Output: (rerank_factor, recall_at_k, candidate_frac, compression_x).
    */
+  /** [[pqTrain]] with its documented at-scale contract APPLIED instead of
+    * refused: corpora past the driver-Lloyd cap are deterministically
+    * hash-sampled (pk-keyed, fixed salt) to ~90% of `maxTrainRows`
+    * before training; at or below the cap the input passes through
+    * untouched, so existing sub-cap callers stay bit-identical. The 90%
+    * target keeps the realized sample safely under pqTrain's hard
+    * `require` even at binomial-noise extremes. */
+  def pqTrainCapped(table: DataFrame, pkCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, seed: Long = 42L, iters: Int = 10,
+      maxTrainRows: Int = 262144): PqModel = {
+    val n = table.count()
+    val in = if (n <= maxTrainRows) table
+      else {
+        val mod = (n * 10 + maxTrainRows.toLong * 9 - 1) / (maxTrainRows.toLong * 9)
+        table.where(pmod(xxhash64(col(pkCol), lit("pqtrain")), lit(mod)) === 0)
+      }
+    pqTrain(in, vecCol, m, k, seed, iters, maxTrainRows)
+  }
+
   def pqRecallReport(
       embs: DataFrame,
       pkCol: String,
@@ -850,7 +869,11 @@ object VectorSearch {
       k: Int = 16,
       seed: Long = 42L): DataFrame = {
     val spark = embs.sparkSession
-    val model = pqTrain(embs, vecCol, m, k, seed)
+    // capped-train contract: the report must survive any corpus size
+    // (training on a bounded deterministic sample IS the at-scale
+    // recipe); sub-cap fixtures — every gate — train on the full set,
+    // bit-identical to before
+    val model = pqTrainCapped(embs, pkCol, vecCol, m, k, seed)
     val coded = embs.select(col(pkCol), col(vecCol),
       pqEncode(model, col(vecCol)).as("__pq"))
     val total = math.max(1L, coded.where(col("__pq").isNotNull).count())

@@ -243,6 +243,27 @@ class VectorSearchSpec extends SparkSpec {
     assert(model.codebooks.flatten.flatten.toSeq == model2.codebooks.flatten.flatten.toSeq)
   }
 
+  test("pqTrainCapped: sub-cap passthrough bit-identical; above-cap samples and trains") {
+    // sub-cap: must be the SAME model as pqTrain (no sampling applied)
+    val direct = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
+    val capped = VectorSearch.pqTrainCapped(embs, "vec_id", "embedding", m = 8, k = 16)
+    assert(direct.codebooks.flatten.flatten.toSeq ==
+      capped.codebooks.flatten.flatten.toSeq)
+    // above-cap: a tiny cap forces the deterministic hash sample; train
+    // succeeds where pqTrain would refuse, and the sample is stable
+    val n = embs.count()
+    val small = VectorSearch.pqTrainCapped(embs, "vec_id", "embedding",
+      m = 8, k = 4, maxTrainRows = (n / 4).toInt)
+    val small2 = VectorSearch.pqTrainCapped(embs, "vec_id", "embedding",
+      m = 8, k = 4, maxTrainRows = (n / 4).toInt)
+    assert(small.codebooks.flatten.flatten.toSeq ==
+      small2.codebooks.flatten.flatten.toSeq)
+    intercept[IllegalArgumentException] {
+      VectorSearch.pqTrain(embs.limit((n / 4).toInt + 1), "embedding",
+        m = 8, k = 4, maxTrainRows = (n / 4).toInt)
+    }
+  }
+
   test("IVF-PQ composition: cell pruning + ADC + re-rank, distances stay exact") {
     val ivf = VectorSearch.ivfTrain(embs, "embedding", nlist = 4, metric = "l2")
     val pq = VectorSearch.pqTrain(embs, "embedding", m = 8, k = 16)
