@@ -26,12 +26,18 @@ object BenchFormat {
     * present so a reader can tell an adjudicated-noise number from a
     * first-reading one. */
   def formatFull(results: Seq[(String, Double)], sfDir: String, reps: Int,
-      cpus: String, reruns: Seq[String] = Nil): String = {
+      cpus: String, reruns: Seq[String] = Nil,
+      failed: Seq[String] = Nil): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val rr = if (reruns.isEmpty) ""
       else reruns.sorted.map("\"" + _ + "\"").mkString(""","reruns":[""", ",", "]")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"$rr}"""
+    // a query with NO successful run carries a meaningless elapsed — the
+    // record must say so loudly (the r15 lesson: one OOM killed the
+    // SparkContext and 199 "0.01 s" corpses made a dead run look FAST)
+    val fl = if (failed.isEmpty) ""
+      else failed.sorted.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"$rr$fl}"""
   }
 
   /** Compact record: LAST stdout line, the driver's parse target. The
@@ -43,7 +49,8 @@ object BenchFormat {
     * map makes the line size O(keep), immune to query growth
     * (BenchFormatSpec pins the budget at 3x today's count). */
   def formatCompact(results: Seq[(String, Double)], sfDir: String,
-      keep: Int = 60, reps: Int = 1, reruns: Int = 0): String = {
+      keep: Int = 60, reps: Int = 1, reruns: Int = 0,
+      failed: Int = 0): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     require(keys.distinct.size == keys.size, "short query keys collide")
     val slowest = keys.zip(results.map(_._2))
@@ -53,7 +60,8 @@ object BenchFormat {
       .mkString("{", ",", "}")
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val rr = if (reruns == 0) "" else s""","rr":$reruns"""
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","n":${results.size},"reps":$reps$rr,"queries":$qs,"sf":"$sf"}"""
+    val fl = if (failed == 0) "" else s""","failed":$failed"""
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","n":${results.size},"reps":$reps$rr$fl,"queries":$qs,"sf":"$sf"}"""
   }
 }
 
@@ -137,6 +145,15 @@ object Bench {
     val measured = queries.map { case (name, _) =>
       name -> minGood(passes.map(_.find(_._1 == name).get._2))
     }
+    // queries with ZERO successful runs across all passes: their elapsed
+    // is a corpse (often a dead SparkContext returning in milliseconds)
+    // — named in the record so a partial run can never read as a fast one
+    val neverSucceeded = queries.map(_._1).filter { name =>
+      passes.forall(p => !p.find(_._1 == name).get._2._2) }
+    if (neverSucceeded.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${neverSucceeded.size} queries " +
+        s"had NO successful run — record carries \"failed\": " +
+        neverSucceeded.take(5).mkString(", ") + "...")
     // Burst guard: any query reading > 3x its calm-window canonical
     // (BASELINE_CANONICAL.json, refreshed at each session close) gets ONE
     // re-measurement at the end — by then the burst that inflated it has
@@ -190,7 +207,8 @@ object Bench {
     // verified re-measurement) — a flagged query whose rerun failed stays
     // at its unverified first reading and must NOT carry the label
     val adjudicated = flagged.filter(rerunTimes.contains)
-    val fullLine = BenchFormat.formatFull(results, sfDir, reps, cpus, adjudicated)
+    val fullLine = BenchFormat.formatFull(results, sfDir, reps, cpus,
+      adjudicated, neverSucceeded)
     println(fullLine)
     System.out.flush()
     // Self-recording: ALSO persist the full record to target/bench.json
@@ -230,7 +248,7 @@ object Bench {
     // well inside the 2000-byte tail even after sbt appends its
     // "[success] Total time ..." trailer. BenchSpec pins the size budget.
     println(BenchFormat.formatCompact(results, sfDir, reps = reps,
-      reruns = adjudicated.size))
+      reruns = adjudicated.size, failed = neverSucceeded.size))
     System.out.flush()
     spark.stop()
   }

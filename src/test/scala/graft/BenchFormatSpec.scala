@@ -78,6 +78,21 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("sf").asText == "/root/testdata/sf0.1")
   }
 
+  test("failed queries are named in the full record and counted compactly") {
+    val results = Seq("q01_filter_range" -> 1.0, "q02_filter_in_like" -> 0.01)
+    val full = BenchFormat.formatFull(results, "sf0.1", 2, "32",
+      failed = Seq("q02_filter_in_like"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(full)
+    assert(node.get("failed").get(0).asText == "q02_filter_in_like")
+    val compact = BenchFormat.formatCompact(results, "sf0.1", failed = 1)
+    val cn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(compact)
+    assert(cn.get("failed").asInt == 1)
+    // absent when clean — the healthy record shape is unchanged
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(BenchFormat.formatFull(results, "sf0.1", 2, "32"))
+      .get("failed") == null)
+  }
+
   test("gate invariant: every declared query has an oracle and vice versa " +
       "(a missing entry would silently become a no_oracle driver row)") {
     val q = SparkEntry.queries.keySet
