@@ -16,9 +16,15 @@ MIN_BASE = 0.5  # below this the sf0.1 time is job-setup, not data
 
 def record(path):
     for line in open(path):
-        m = re.search(r'\{"metric":"total".*"cpus":"\d+"\}', line)
+        # full records may carry trailing "reruns"/"failed" fields after
+        # "cpus" — match to end-of-line, then json-parse (and refuse a
+        # record whose failed list makes its numbers meaningless)
+        m = re.search(r'\{"metric":"total".*"cpus":"\d+".*\}', line)
         if m:
-            return json.loads(m.group(0))
+            rec = json.loads(m.group(0))
+            assert not rec.get("failed"), \
+                f"{path}: record carries failed={rec['failed'][:3]}... — invalid run"
+            return rec
     raise SystemExit(f"no bench record in {path}")
 
 
