@@ -3430,6 +3430,14 @@ object SparkEntry {
       val (v0, v1) = snapPair(s, dir)
       graft.operators.DistDrift.ks(v0, v1, "o_totalprice")
     }),
+    "q398_cvm_test" -> ((s, dir) => {
+      // the L2 companion to q183 on the SAME snapshot pair: KS reads the
+      // one worst CDF gap, Cramér–von Mises integrates EVERY gap against
+      // the pooled empirical measure — a broad small drift and one
+      // localized spike separate; exact integer mass, two divides
+      val (v0, v1) = snapPair(s, dir)
+      graft.operators.DistDrift.cramerVonMises(v0, v1, "o_totalprice")
+    }),
     "q180_countmin" -> ((s, dir) => {
       // count-min frequency table: the token stream is sketched in ONE
       // narrow aggregation (never key-shuffled); per-token estimates are
@@ -5493,6 +5501,26 @@ object SparkEntry {
         (pmod(col("user_id"), lit(2)) === 0).as("x"))
       graft.operators.Survival.concordanceBinary(subjects, "dur",
         col("ev"), col("x"))
+    }),
+    "q400_naive_bayes" -> ((s, dir) => {
+      // a TRAINED in-engine classifier (the CCNet/fastText gating role):
+      // multinomial NB token counts from the 80% hash split of the
+      // corpus, the 20% scored by exact-decimal log-posterior sums,
+      // published as the test confusion matrix — train, model and
+      // inference are all relations in ONE plan
+      graft.pipeline.Classify.naiveBayes(
+        eng(s, dir).table("documents"), "doc_id", "text", "lang")
+    }),
+    "q399_fisher_exact" -> ((s, dir) => {
+      // the exact 2×2 the χ² family approximates: one nation's customers,
+      // wealth × segment — margins small enough that the hypergeometric
+      // tail is the honest readout; mode-anchored quantized ratio
+      // recurrence (no exp/ln), support-bounded with a loud refusal
+      graft.operators.Experiment.fisherExact(
+        eng(s, dir).table("customer")
+          .where(col("c_nationkey") === 3
+            && col("c_acctbal").isNotNull && col("c_mktsegment").isNotNull),
+        col("c_acctbal") > 4500, col("c_mktsegment") === "BUILDING")
     }),
     "q397_betweenness_pivots" -> ((s, dir) => {
       // the q373 scale knob PROVEN: Brandes pivot sampling — the same
@@ -10359,6 +10387,36 @@ object SparkEntry {
          SELECT round(CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS ks,
                 v AS at_value, n1 AS n_old, n2 AS n_new
          FROM m ORDER BY num DESC, v LIMIT 1""",
+    // q398: the q183 CDF ladder re-read as an L2 integral — exact
+    // HUGEINT Σ w·(a1·n2−a2·n1)², doubles only in the two final divides
+    "q398_cvm_test" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s1, 0 AS s2 FROM v0
+               UNION ALL
+               SELECT CAST(o_totalprice AS DOUBLE), 0, 1 FROM v1),
+         pv AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM t WHERE v IS NOT NULL GROUP BY 1),
+         n AS (SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2 FROM t),
+         c AS (SELECT v, c1, c2,
+                      sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+                      sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+               FROM pv),
+         agg AS (SELECT CAST(sum(CAST(c.c1 + c.c2 AS HUGEINT)
+                                 * (CAST(a1 * n.n2 - a2 * n.n1 AS HUGEINT)
+                                    * CAST(a1 * n.n2 - a2 * n.n1 AS HUGEINT))) AS HUGEINT) AS t_units,
+                        max(n.n1) AS n1, max(n.n2) AS n2
+                 FROM c CROSS JOIN n)
+         SELECT CASE WHEN n1 > 0 AND n2 > 0 THEN
+                  round(CAST(t_units AS DOUBLE)
+                        / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * CAST(n1 * n2 AS DOUBLE)), 6)
+                END AS cvm_t,
+                CASE WHEN n1 > 0 AND n2 > 0 THEN
+                  round(CAST(t_units AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 * n2 AS DOUBLE) * CAST(n1 * n2 AS DOUBLE)), 6)
+                END AS omega2,
+                n1 AS n_old, n2 AS n_new
+         FROM agg""",
     // q180: collision-free regime — the oracle's exact token counts ARE
     // the expected estimates
     "q180_countmin" ->
@@ -14192,6 +14250,126 @@ object SparkEntry {
                   round(CAST(agg.num2 AS DOUBLE) / (2.0 * CAST(agg.den AS DOUBLE)), 6)
                 END AS c_index
          FROM agg CROSS JOIN tots""",
+    // q400: full NB replay — identical split constant, tokenization,
+    // Laplace counts, 12dp-rounded ln terms DECIMAL-summed, argmax by
+    // (score DESC, class ASC)
+    "q400_naive_bayes" -> {
+      import graft.pipeline.Sampling.cutHex
+      s"""WITH base AS (
+           SELECT doc_id AS id, CAST(lang AS VARCHAR) AS y,
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws,
+                  substring(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' AS is_train
+           FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+         ), toks AS (
+           SELECT id, y, is_train, unnest(ws) AS w FROM base
+         ), classes AS (
+           SELECT y, CAST(count(*) AS BIGINT) AS n_docs
+           FROM base WHERE is_train GROUP BY 1
+         ), ntr AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_train FROM classes),
+         cnt AS (
+           SELECT w, y, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE is_train GROUP BY 1, 2
+         ), ctot AS (SELECT y, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cnt),
+         terms AS (
+           SELECT t.id, t.y, cl.y AS cls,
+                  CAST(round(ln(CAST(coalesce(cn.c, 0) + 1 AS DOUBLE)
+                                / CAST(ct.tot + voc.v AS DOUBLE)), 12) AS DECIMAL(38,12)) AS trm,
+                  CAST(round(ln(CAST(cl.n_docs AS DOUBLE)
+                                / CAST(ntr.n_train AS DOUBLE)), 12) AS DECIMAL(38,12)) AS prior
+           FROM toks t
+           CROSS JOIN classes cl
+           JOIN ctot ct ON ct.y = cl.y
+           CROSS JOIN voc CROSS JOIN ntr
+           LEFT JOIN cnt cn ON cn.w = t.w AND cn.y = cl.y
+           WHERE NOT t.is_train
+         ), percls AS (
+           SELECT id, y, cls, sum(trm) + max(prior) AS score
+           FROM terms GROUP BY 1, 2, 3
+         ), pred AS (
+           SELECT y AS label, cls AS predicted
+           FROM (SELECT y, cls,
+                        row_number() OVER (PARTITION BY id ORDER BY score DESC, cls ASC) AS rn
+                 FROM percls)
+           WHERE rn = 1
+         )
+         SELECT label, predicted, CAST(count(*) AS BIGINT) AS n_docs
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+    // q399: full replay of the mode-anchored quantized recurrence — the
+    // 2×2 cells, the clamped hypergeometric mode, both recursive weight
+    // chains (one IEEE double multiply + round 12 per step), the
+    // (1+1e-7) minimum-likelihood inclusion, DECIMAL sums, three divides
+    "q399_fisher_exact" ->
+      """WITH RECURSIVE s AS (
+           SELECT c_acctbal > 4500 AS ex, c_mktsegment = 'BUILDING' AS ou
+           FROM customer
+           WHERE c_nationkey = 3 AND c_acctbal IS NOT NULL
+             AND c_mktsegment IS NOT NULL
+         ), cells AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(coalesce(sum(CASE WHEN ex AND ou THEN 1 ELSE 0 END), 0) AS BIGINT) AS a,
+                  CAST(coalesce(sum(CASE WHEN ex AND NOT ou THEN 1 ELSE 0 END), 0) AS BIGINT) AS b,
+                  CAST(coalesce(sum(CASE WHEN NOT ex AND ou THEN 1 ELSE 0 END), 0) AS BIGINT) AS c,
+                  CAST(coalesce(sum(CASE WHEN NOT ex AND NOT ou THEN 1 ELSE 0 END), 0) AS BIGINT) AS d
+           FROM s
+         ), marg AS (
+           SELECT n, a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+                  greatest(0, (a + c) - (c + d)) AS kmin,
+                  least(a + b, a + c) AS kmax,
+                  least(greatest(((a + b) + 1) * ((a + c) + 1) // (n + 2),
+                                 greatest(0, (a + c) - (c + d))),
+                        least(a + b, a + c)) AS kmode
+           FROM cells
+         ), up(k, w) AS (
+           SELECT kmode, CAST(1.000000000000 AS DECIMAL(13,12)) FROM marg
+           UNION ALL
+           SELECT u.k + 1,
+                  CAST(round(CAST(u.w AS DOUBLE) *
+                       (CAST((m.r1 - (u.k + 1) + 1) * (m.c1 - (u.k + 1) + 1) AS DOUBLE)
+                        / CAST((u.k + 1) * (m.r2 - m.c1 + (u.k + 1)) AS DOUBLE)), 12)
+                    AS DECIMAL(13,12))
+           FROM up u, marg m WHERE u.k < m.kmax
+         ), dn(k, w) AS (
+           SELECT kmode, CAST(1.000000000000 AS DECIMAL(13,12)) FROM marg
+           UNION ALL
+           SELECT u.k - 1,
+                  CAST(round(CAST(u.w AS DOUBLE) *
+                       (CAST(((u.k - 1) + 1) * (m.r2 - m.c1 + (u.k - 1) + 1) AS DOUBLE)
+                        / CAST((m.r1 - (u.k - 1)) * (m.c1 - (u.k - 1)) AS DOUBLE)), 12)
+                    AS DECIMAL(13,12))
+           FROM dn u, marg m WHERE u.k > m.kmin
+         ), w AS (
+           SELECT k, w FROM up
+           UNION ALL
+           SELECT k, w FROM dn WHERE k < (SELECT kmode FROM marg)
+         ), ob AS (
+           SELECT max(CASE WHEN w.k = m.a THEN w.w END) AS wobs FROM w, marg m
+         ), th AS (
+           SELECT round(CAST(wobs AS DOUBLE) * CAST(1.0000001 AS DOUBLE), 12) AS thr
+           FROM ob
+         ), sums AS (
+           SELECT sum(CAST(w.w AS DECIMAL(38,12))) AS s_all,
+                  sum(CASE WHEN CAST(w.w AS DOUBLE) <= th.thr
+                           THEN CAST(w.w AS DECIMAL(38,12))
+                           ELSE CAST(0 AS DECIMAL(38,12)) END) AS s_le,
+                  sum(CASE WHEN w.k <= m.a
+                           THEN CAST(w.w AS DECIMAL(38,12))
+                           ELSE CAST(0 AS DECIMAL(38,12)) END) AS s_left,
+                  sum(CASE WHEN w.k >= m.a
+                           THEN CAST(w.w AS DECIMAL(38,12))
+                           ELSE CAST(0 AS DECIMAL(38,12)) END) AS s_right
+           FROM w, th, marg m
+         )
+         SELECT m.n, m.a, m.b, m.c, m.d,
+                CAST(m.kmax - m.kmin + 1 AS BIGINT) AS support,
+                CASE WHEN m.b * m.c > 0 THEN
+                  round(CAST(m.a * m.d AS DOUBLE) / CAST(m.b * m.c AS DOUBLE), 6)
+                END AS odds_ratio,
+                round(CAST(s_le AS DOUBLE) / CAST(s_all AS DOUBLE), 6) AS p_two,
+                round(CAST(s_left AS DOUBLE) / CAST(s_all AS DOUBLE), 6) AS p_left,
+                round(CAST(s_right AS DOUBLE) / CAST(s_all AS DOUBLE), 6) AS p_right
+         FROM sums, marg m""",
     // q397: the q373 BFS replay with the composition restricted to the
     // SAME deterministic pivot third (row_number over the sorted node
     // list, positions 1,4,7,… 1-based) and NO halving — the raw

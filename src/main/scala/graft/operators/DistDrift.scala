@@ -667,6 +667,62 @@ object DistDrift {
   }
 
   /**
+   * Exact two-sample Cramér–von Mises drift — the L2 companion to
+   * [[ks]]'s sup-norm: KS reads the single WORST CDF gap, ω² integrates
+   * EVERY gap, so a broad small shift (which KS under-reads) and one
+   * localized spike (which KS over-reads) separate. With per-distinct-
+   * value pooled counts w = c1+c2, cumulative counts a1/a2 and totals
+   * n1/n2:
+   *
+   *   T_units = Σ_v w·(a1·n2 − a2·n1)²            (exact integer)
+   *   omega2  = T_units / ((n1+n2)·(n1·n2)²)      = ∫(F1−F2)² dH_pooled
+   *   cvm_t   = T_units / ((n1+n2)²·n1·n2)        (Anderson 1962's T)
+   *
+   * The integral is against the POOLED empirical measure — the
+   * tie-natural definition (each pooled observation contributes its
+   * squared CDF gap once), equal to the classical rank form when ties
+   * are absent. Exactness: (a1·n2 − a2·n1) is an exact long (to
+   * n1·n2 < 2⁶³); its square is DECIMAL(19,0)² and the w-weighted Σ a
+   * DECIMAL(38,0) — bound N·(n1·n2)² < 10³⁸ holds to ~10⁹ rows a side;
+   * beyond that bin first (the [[ksBinned]] declared-bounds discipline
+   * applies verbatim: each bin is one big tie, and this definition
+   * already treats ties exactly). Doubles appear only in the two
+   * published one-divide ratios. Plan: one union scan → distinct-value
+   * groupBy → bucketed prefix sums ([[withPrefixSums]], never a
+   * single-task window) → one 1-row agg; totals broadcast.
+   * Output: one row (cvm_t, omega2, n_old, n_new), 6dp.
+   */
+  def cramerVonMises(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
+      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
+      .where(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    val num = (col("a1") * col("n2") - col("a2") * col("n1")).cast("decimal(19,0)")
+    val terms = withPrefixSums(perValue, Seq("c1", "c2"))
+      .select(col("c1"), col("c2"),
+        (col("c1_below") + col("c1")).as("a1"),
+        (col("c2_below") + col("c2")).as("a2"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        ((col("c1") + col("c2")).cast("decimal(19,0)") * (num * num))
+          .cast(dec).as("__t"))
+    val nn = (col("n1") * col("n2")).cast("double")
+    val nsum2 = ((col("n1") + col("n2")) * (col("n1") + col("n2"))).cast("double")
+    terms.groupBy(col("n1"), col("n2"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast(dec)).as("t_units"))
+      .select(
+        when(col("n1") > 0 && col("n2") > 0,
+          round(col("t_units").cast("double") / (nsum2 * nn), 6)).as("cvm_t"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round(col("t_units").cast("double")
+            / ((col("n1") + col("n2")).cast("double") * nn * nn), 6)).as("omega2"),
+        col("n1").as("n_old"), col("n2").as("n_new"))
+  }
+
+  /**
    * Binned two-sample KS — the declared-bounds sibling of [[ks]] for
    * 100 TB inputs whose raw value cardinality is unbounded (floats,
    * timestamps): values clamp into `nBins` equi-width bins over the

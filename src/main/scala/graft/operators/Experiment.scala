@@ -2038,4 +2038,116 @@ object Experiment {
       when(ok, round(rrStar + sqrt(rrStar * (rrStar - lit(1.0))), 6))
         .as("e_value"))
   }
+
+  /**
+   * Fisher's exact test on a 2×2 (conditional on both margins) — the
+   * small-table companion to the χ² family ([[mcnemar]],
+   * [[mantelHaenszel]], breslowDay): when an expected cell is small the
+   * χ² approximation lies, and the exact hypergeometric tail is the
+   * honest readout. Two-sided p by the minimum-likelihood rule (R's
+   * fisher.test): sum every support point whose conditional likelihood
+   * is ≤ the observed one × (1+1e-7).
+   *
+   * Exactness contract (engine-portable — NO exp/ln/erf anywhere):
+   * weights are RELATIVE hypergeometric likelihoods from the
+   * mode-anchored ratio recurrence, w(mode) = 1 and, stepping AWAY from
+   * the mode (target k),
+   *   up:   w(k) = round(w(k−1) · ((r1−k+1)(c1−k+1)) / (k(r2−c1+k)), 12)
+   *   down: w(k) = round(w(k+1) · ((k+1)(r2−c1+k+1)) / ((r1−k)(c1−k)), 12)
+   * — each step is ONE IEEE double multiply of the exact-integer-ratio
+   * quotient, 12dp HALF_UP quantized. Anchoring at the mode makes every
+   * weight ≤ 1 (no overflow at ANY margins — the naive from-kmin
+   * product reaches 10^9000 territory); terms that quantize to 0 sum to
+   * < support·10⁻¹², invisible at the published 6dp. The quantized
+   * recurrence IS the contract — an oracle replays it bit-for-bit; the
+   * three p's are ratios of DECIMAL sums of the quantized weights, one
+   * double divide each.
+   *
+   * Scale: the 2×2 is ONE distributed reduction (any row count); the
+   * tail then runs on a support relation of min(r1,c1)−max(0,c1−r2)+1
+   * points, refused loudly above `maxSupport` — Fisher's test is a
+   * small-margin instrument, and past a few thousand support points the
+   * χ² family is numerically indistinguishable (use [[mantelHaenszel]]
+   * / [[eValue]] there). The bounded fold runs as ONE codegen
+   * `aggregate` over the support sequence — no driver loop, no
+   * per-step job. Output: one row (n, a, b, c, d, support, odds_ratio,
+   * p_two, p_left, p_right), 6dp; odds_ratio NULL when b·c = 0.
+   */
+  def fisherExact(units: DataFrame, exposedCol: Column, outcomeCol: Column,
+      maxSupport: Int = 4096): DataFrame = {
+    val s = units.select(exposedCol.as("ex"), outcomeCol.as("ou"))
+      .where(col("ex").isNotNull && col("ou").isNotNull)
+    def cell(e: Boolean, o: Boolean): Column =
+      coalesce(sum(when(col("ex") === e && col("ou") === o, 1L).otherwise(0L)),
+        lit(0L))
+    // the distributed reduction + bounded 1-row probe (the
+    // probe-then-refuse discipline: refusal fires before any tail work)
+    val probe = s.agg(count(lit(1)).as("n"), cell(true, true).as("a"),
+        cell(true, false).as("b"), cell(false, true).as("c"),
+        cell(false, false).as("d")).head()
+    val n = probe.getLong(0)
+    val a = probe.getLong(1); val b = probe.getLong(2)
+    val c = probe.getLong(3); val d = probe.getLong(4)
+    val r1 = a + b; val r2 = c + d; val c1 = a + c
+    val kmin = math.max(0L, c1 - r2); val kmax = math.min(r1, c1)
+    val support = kmax - kmin + 1
+    require(support <= maxSupport,
+      s"fisherExact: hypergeometric support $support exceeds " +
+        s"maxSupport=$maxSupport — Fisher's exact test is a small-margin " +
+        "instrument; use mantelHaenszel/eValue (χ² regime) at this scale")
+    // mode of the hypergeometric — floor((r1+1)(c1+1)/(n+2)), clamped
+    // (the clamp is a no-op mathematically; it pins the degenerate
+    // n=0 row to the single-point support)
+    val kmode = math.min(math.max((r1 + 1L) * (c1 + 1L) / (n + 2L), kmin), kmax)
+    val decW = "decimal(13,12)"
+    val one = BigDecimal(1).setScale(12)
+    val emptyKw = array().cast("array<struct<k:bigint,w:decimal(13,12)>>")
+    def chain(ks: Column, ratio: Column => Column): Column =
+      aggregate(ks,
+        struct(lit(one).cast(decW).as("w"), emptyKw.as("out")),
+        (acc, k) => {
+          val nw = round(acc.getField("w").cast("double") * ratio(k), 12)
+            .cast(decW)
+          struct(nw.as("w"),
+            concat(acc.getField("out"),
+              array(struct(k.as("k"), nw.as("w")))).as("out"))
+        },
+        acc => acc.getField("out"))
+    def ratioUp(k: Column): Column =
+      ((lit(r1) - k + 1L) * (lit(c1) - k + 1L)).cast("double") /
+        (k * (lit(r2) - lit(c1) + k)).cast("double")
+    def ratioDown(k: Column): Column =
+      ((k + 1L) * (lit(r2) - lit(c1) + k + 1L)).cast("double") /
+        ((lit(r1) - k) * (lit(c1) - k)).cast("double")
+    val upKs = if (kmax > kmode) sequence(lit(kmode + 1), lit(kmax))
+      else array().cast("array<bigint>")
+    val downKs = if (kmin < kmode) sequence(lit(kmode - 1), lit(kmin), lit(-1L))
+      else array().cast("array<bigint>")
+    val weights = s.sparkSession.range(1).select(explode(concat(
+        array(struct(lit(kmode).as("k"), lit(one).cast(decW).as("w"))),
+        chain(upKs, ratioUp), chain(downKs, ratioDown))).as("kw"))
+      .select(col("kw.k").as("k"), col("kw.w").as("w"))
+    val decS = "decimal(38,12)"
+    val wobs = weights.agg(max(when(col("k") === lit(a), col("w"))).as("wobs"))
+    val thr = round(col("wobs").cast("double") * lit(1.0000001), 12)
+    val sums = weights.crossJoin(broadcast(wobs)).agg(
+      sum(col("w").cast(decS)).as("s_all"),
+      sum(when(col("w").cast("double") <= thr, col("w").cast(decS))
+        .otherwise(lit(0).cast(decS))).as("s_le"),
+      sum(when(col("k") <= lit(a), col("w").cast(decS))
+        .otherwise(lit(0).cast(decS))).as("s_left"),
+      sum(when(col("k") >= lit(a), col("w").cast(decS))
+        .otherwise(lit(0).cast(decS))).as("s_right"))
+    sums.select(lit(n).as("n"), lit(a).as("a"), lit(b).as("b"),
+      lit(c).as("c"), lit(d).as("d"), lit(support).as("support"),
+      (if (b * c > 0)
+        round(lit(a * d).cast("double") / lit(b * c).cast("double"), 6)
+      else lit(null).cast("double")).as("odds_ratio"),
+      round(col("s_le").cast("double") / col("s_all").cast("double"), 6)
+        .as("p_two"),
+      round(col("s_left").cast("double") / col("s_all").cast("double"), 6)
+        .as("p_left"),
+      round(col("s_right").cast("double") / col("s_all").cast("double"), 6)
+        .as("p_right"))
+  }
 }

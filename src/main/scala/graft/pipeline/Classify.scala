@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/**
+ * In-engine supervised document classification — the CCNet/fastText role
+ * (gating a corpus by a TRAINED classifier rather than hand rules) as
+ * pure relational algebra: train on one deterministic hash split of the
+ * corpus, score the other, entirely inside the plan. No model file, no
+ * driver-side training loop, no UDF — the "model" is three count
+ * relations, and scoring is a join.
+ */
+object Classify {
+
+  /**
+   * Multinomial Naive Bayes over whitespace tokens, trained and
+   * evaluated in ONE plan. Split is [[Sampling.sampledFlag]] (pure
+   * function of (salt, id) — reproducible, leakage-safe); training is
+   * token counting: per-class token counts c(w,c), class token totals,
+   * train-vocab size V, and doc-count priors, all exact integers.
+   * Scoring a test doc for class c is the textbook smoothed log
+   * posterior
+   *
+   *   score(d,c) = ln(n_c/n_train) + Σ_{w∈d} ln((c(w,c)+1)/(tot_c+V))
+   *
+   * with EVERY ln term 12dp-rounded and DECIMAL(38,12)-summed (the Σ
+   * doctrine — partial-sum order cannot leak into the published
+   * prediction), Laplace α=1, and unseen-in-train tokens taking the
+   * α/(tot_c+V) floor. Prediction is the exact-decimal argmax,
+   * ties broken by smallest class label.
+   *
+   * Shape at scale: tokens explode once (no shuffle), the count tables
+   * shuffle keyed on the TOKEN (map-side combined, linear in token
+   * volume — never keyed on a doc pair); per-token class counts ride as
+   * a |C|-bounded map per vocab row; test tokens join that table on the
+   * token key and fan out by the broadcast class table — the only row
+   * multiplier is |C|, probed and REFUSED above `maxClasses` before any
+   * scoring work. Output: the test-split confusion matrix
+   * (label, predicted, n_docs) ordered — rows sum to the test doc
+   * count; labels absent from train appear as rows but never as
+   * predictions.
+   */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, trainFrac: Double = 0.8, salt: String = "nb",
+      maxClasses: Int = 64): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      s"trainFrac must be in (0,1): $trainFrac")
+    val base = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("string").as("y"),
+        whitespaceTokens(lower(col(textCol))).as("ws"))
+      .where(col("id").isNotNull && col("y").isNotNull)
+      .withColumn("is_train", Sampling.sampledFlag(col("id"), trainFrac, salt))
+    val classes = base.where(col("is_train")).groupBy(col("y"))
+      .agg(count(lit(1)).as("n_docs"))
+    // probe-then-refuse: |C| is the scoring row multiplier below
+    val nClasses = classes.limit(maxClasses + 1).count()
+    require(nClasses >= 1, "naiveBayes: train split has no labeled docs")
+    require(nClasses <= maxClasses,
+      s"naiveBayes: > $maxClasses train classes — the class table is a " +
+        "broadcast row multiplier; bucket the label first")
+    val toks = base.select(col("id"), col("y"), col("is_train"),
+      explode(col("ws")).as("w"))
+    val cnt = toks.where(col("is_train")).groupBy(col("w"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val classTok = cnt.groupBy(col("y")).agg(sum(col("c")).as("tot"))
+    val vocabN = cnt.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val tokMap = cnt.groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("y"), col("c")))).as("m"))
+    val classesFull = classes.join(classTok, Seq("y"))
+      .crossJoin(vocabN)
+      .crossJoin(classes.agg(sum(col("n_docs")).as("n_train")))
+      .select(col("y").as("cls"), col("n_docs"), col("tot"), col("v"),
+        col("n_train"))
+    val decS = "decimal(38,12)"
+    val terms = toks.where(!col("is_train"))
+      .join(tokMap, Seq("w"), "left")
+      .crossJoin(broadcast(classesFull))
+      .select(col("id"), col("y"), col("cls"),
+        round(log((coalesce(element_at(col("m"), col("cls")), lit(0L))
+            + lit(1L)).cast("double")
+          / (col("tot") + col("v")).cast("double")), 12).cast(decS).as("t"),
+        round(log(col("n_docs").cast("double")
+          / col("n_train").cast("double")), 12).cast(decS).as("prior"))
+    val perClass = terms.groupBy(col("id"), col("y"), col("cls"))
+      .agg((sum(col("t")) + max(col("prior"))).as("score"))
+    val pred = perClass.groupBy(col("id"), col("y"))
+      .agg(min(struct((col("score") * lit(-1)).as("ns"),
+        col("cls").as("cls"))).as("best"))
+      .select(col("y").as("label"), col("best.cls").as("predicted"))
+    pred.groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("label"), col("predicted"))
+  }
+}

@@ -72,6 +72,31 @@ class DistDriftSpec extends SparkSpec {
     assert(half.getDouble(0) == 0.5 && half.getDouble(1) == 25.0)
   }
 
+  test("cramerVonMises: identical 0, disjoint hand sum, ties hand, <= ks^2") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val same = DistDrift.cramerVonMises(a, a, "v").head()
+    assert(same.getAs[Double]("cvm_t") == 0.0 && same.getAs[Double]("omega2") == 0.0)
+    // disjoint halves: T = 2500·(Σ₁⁵⁰k² + Σ₀⁴⁹k²) = 208,375,000;
+    // cvm_t = T/(100²·2500) = 8.335, omega2 = T/(100·2500²) = 0.3334
+    val b = (51 to 100).map(_.toDouble).toDF("v")
+    val disj = DistDrift.cramerVonMises(a, b, "v").head()
+    assert(disj.getAs[Double]("cvm_t") == 8.335)
+    assert(disj.getAs[Double]("omega2") == 0.3334)
+    assert(disj.getAs[Long]("n_old") == 50L && disj.getAs[Long]("n_new") == 50L)
+    // ties: A={1,1,2}, B={1,3} → per-value w·num² = 3·1² + 1·3² + 1·0²
+    // = 12; cvm_t = 12/(25·6) = 0.08, omega2 = 12/(5·36) = 0.066667
+    val ta = Seq(1.0, 1.0, 2.0).toDF("v")
+    val tb = Seq(1.0, 3.0).toDF("v")
+    val tied = DistDrift.cramerVonMises(ta, tb, "v").head()
+    assert(tied.getAs[Double]("cvm_t") == 0.08)
+    assert(tied.getAs[Double]("omega2") == 0.066667)
+    // sup bounds every gap pointwise, so ∫(F1−F2)²dH ≤ KS²
+    val c = (26 to 75).map(_.toDouble).toDF("v")
+    val ks = DistDrift.ks(a, c, "v").head().getAs[Double]("ks")
+    val om = DistDrift.cramerVonMises(a, c, "v").head().getAs[Double]("omega2")
+    assert(om <= ks * ks + 1e-9)
+  }
+
   test("welchT: hand moments; equal groups give t 0; constant groups NULL t") {
     // A=[1,2,3]: mean 2, s2 1; B=[5,7]: mean 6, s2 2
     val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 5L), ("B", 7L))

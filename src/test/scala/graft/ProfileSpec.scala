@@ -295,6 +295,42 @@ class ProfileSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("chi2")))
   }
 
+  test("fisherExact: tea-tasting hands, symmetry, degenerate margin, refusal") {
+    import org.apache.spark.sql.functions.col
+    // Fisher's tea table (3,1,1,3): p_two 34/70 = 0.485714 (R's
+    // fisher.test), one-sided right 17/70 = 0.242857, left 69/70
+    def table(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("ex", "ou")
+    val r = graft.operators.Experiment
+      .fisherExact(table(3, 1, 1, 3), col("ex"), col("ou")).head()
+    assert(r.getAs[Long]("n") == 8 && r.getAs[Long]("a") == 3
+      && r.getAs[Long]("support") == 5)
+    assert(r.getAs[Double]("p_two") == 0.485714)
+    assert(r.getAs[Double]("p_right") == 0.242857)
+    assert(r.getAs[Double]("p_left") == 0.985714)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+    // transposed-association table gives the same two-sided p
+    val rt = graft.operators.Experiment
+      .fisherExact(table(1, 3, 3, 1), col("ex"), col("ou")).head()
+    assert(rt.getAs[Double]("p_two") == 0.485714)
+    assert(rt.getAs[Double]("p_left") == 0.242857)
+    // degenerate margin (no outcome=true anywhere): single-point
+    // support, p = 1, odds ratio NULL
+    val rd = graft.operators.Experiment
+      .fisherExact(table(0, 2, 0, 2), col("ex"), col("ou")).head()
+    assert(rd.getAs[Long]("support") == 1L
+      && rd.getAs[Double]("p_two") == 1.0)
+    assert(rd.isNullAt(rd.fieldIndex("odds_ratio")))
+    // support above maxSupport refuses loudly (small-margin instrument)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Experiment
+        .fisherExact(table(3, 1, 1, 3), col("ex"), col("ou"), maxSupport = 4)
+    }
+    assert(ex.getMessage.contains("maxSupport"))
+  }
+
   test("mantelHaenszel: hand strata, n<2 excluded, zero-denominator NULL") {
     import org.apache.spark.sql.functions.col
     // s1: a=4 b=1 c=2 d=3; s2: a=2 b=2 c=1 d=5 (both n=10)
