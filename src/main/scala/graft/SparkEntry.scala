@@ -3438,6 +3438,14 @@ object SparkEntry {
       val (v0, v1) = snapPair(s, dir)
       graft.operators.DistDrift.cramerVonMises(v0, v1, "o_totalprice")
     }),
+    "q401_anderson_darling" -> ((s, dir) => {
+      // the drift trio completed on the SAME snapshot pair: A² re-weights
+      // every CDF gap by 1/(H(1−H)) — tail divergence, invisible to both
+      // q183's sup and q398's pooled average, dominates; tie-adjusted
+      // midrank form cleared to exact-integer terms via doubled counts
+      val (v0, v1) = snapPair(s, dir)
+      graft.operators.DistDrift.andersonDarling(v0, v1, "o_totalprice")
+    }),
     "q180_countmin" -> ((s, dir) => {
       // count-min frequency table: the token stream is sketched in ONE
       // narrow aggregation (never key-shuffled); per-token estimates are
@@ -5511,6 +5519,16 @@ object SparkEntry {
       graft.pipeline.Classify.naiveBayes(
         eng(s, dir).table("documents"), "doc_id", "text", "lang")
     }),
+    "q402_classifier_metrics" -> ((s, dir) => {
+      // the q400 confusion matrix read as NUMBERS a gate can act on:
+      // accuracy, chance-corrected Cohen's κ (the readout that exposes
+      // a majority-class classifier accuracy flatters), and macro
+      // P/R/F1 — exact margin counts, κ one integer rational
+      graft.pipeline.Classify.confusionMetrics(
+        graft.pipeline.Classify.naiveBayes(
+          eng(s, dir).table("documents"), "doc_id", "text", "lang"),
+        "label", "predicted", "n_docs")
+    }),
     "q399_fisher_exact" -> ((s, dir) => {
       // the exact 2×2 the χ² family approximates: one nation's customers,
       // wealth × segment — margins small enough that the hypergeometric
@@ -5736,6 +5754,53 @@ object SparkEntry {
   /** Shared CTE chain: the SF-independent top-90-by-support brand
     * co-occurrence graph (q279's construction) — `top` (a<b canonical
     * edges) and `e` (symmetrized), for the q279/q336/q337/q338 family. */
+  /** Shared DuckDB CTE: the q400 Naive-Bayes replay through per-doc
+    * prediction — identical split constant, tokenization, Laplace
+    * counts, 12dp-rounded ln terms and (score DESC, class ASC) argmax.
+    * Ends in `pred(label, predicted)`; q400 counts it into the
+    * confusion matrix, q402 layers the metrics on top. */
+  private val duckNbPred: String = {
+    import graft.pipeline.Sampling.cutHex
+    s"""WITH base AS (
+           SELECT doc_id AS id, CAST(lang AS VARCHAR) AS y,
+                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws,
+                  substring(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' AS is_train
+           FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+         ), toks AS (
+           SELECT id, y, is_train, unnest(ws) AS w FROM base
+         ), classes AS (
+           SELECT y, CAST(count(*) AS BIGINT) AS n_docs
+           FROM base WHERE is_train GROUP BY 1
+         ), ntr AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_train FROM classes),
+         cnt AS (
+           SELECT w, y, CAST(count(*) AS BIGINT) AS c
+           FROM toks WHERE is_train GROUP BY 1, 2
+         ), ctot AS (SELECT y, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cnt),
+         terms AS (
+           SELECT t.id, t.y, cl.y AS cls,
+                  CAST(round(ln(CAST(coalesce(cn.c, 0) + 1 AS DOUBLE)
+                                / CAST(ct.tot + voc.v AS DOUBLE)), 12) AS DECIMAL(38,12)) AS trm,
+                  CAST(round(ln(CAST(cl.n_docs AS DOUBLE)
+                                / CAST(ntr.n_train AS DOUBLE)), 12) AS DECIMAL(38,12)) AS prior
+           FROM toks t
+           CROSS JOIN classes cl
+           JOIN ctot ct ON ct.y = cl.y
+           CROSS JOIN voc CROSS JOIN ntr
+           LEFT JOIN cnt cn ON cn.w = t.w AND cn.y = cl.y
+           WHERE NOT t.is_train
+         ), percls AS (
+           SELECT id, y, cls, sum(trm) + max(prior) AS score
+           FROM terms GROUP BY 1, 2, 3
+         ), pred AS (
+           SELECT y AS label, cls AS predicted
+           FROM (SELECT y, cls,
+                        row_number() OVER (PARTITION BY id ORDER BY score DESC, cls ASC) AS rn
+                 FROM percls)
+           WHERE rn = 1
+         )"""
+  }
+
   private val duckTop90Graph =
     """WITH bi AS (
          SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
@@ -10417,6 +10482,44 @@ object SparkEntry {
                 END AS omega2,
                 n1 AS n_old, n2 AS n_new
          FROM agg""",
+    // q401: the q398 ladder with the A² weighting — per-value exact
+    // HUGEINT rational, one 12dp-rounded divide per distinct value,
+    // DECIMAL-summed, non-positive denominators skipped by definition
+    "q401_anderson_darling" ->
+      """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+         v1 AS (SELECT o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+                FROM orders WHERE o_orderkey % 5 <> 2),
+         t AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, 1 AS s1, 0 AS s2 FROM v0
+               UNION ALL
+               SELECT CAST(o_totalprice AS DOUBLE), 0, 1 FROM v1),
+         pv AS (SELECT v, sum(s1) AS c1, sum(s2) AS c2 FROM t WHERE v IS NOT NULL GROUP BY 1),
+         n AS (SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2 FROM t),
+         c AS (SELECT v, c1, c2,
+                      sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1,
+                      sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a2
+               FROM pv),
+         terms AS (
+           SELECT n.n1, n.n2,
+                  CASE WHEN (2*(a1+a2) - (c1+c2)) * (2*(n.n1+n.n2) - (2*(a1+a2) - (c1+c2)))
+                         - (n.n1+n.n2) * (c1+c2) > 0 THEN
+                    round(CAST(CAST(c1+c2 AS HUGEINT)
+                               * (CAST((n.n1+n.n2) * (2*a1 - c1) - n.n1 * (2*(a1+a2) - (c1+c2)) AS HUGEINT)
+                                  * CAST((n.n1+n.n2) * (2*a1 - c1) - n.n1 * (2*(a1+a2) - (c1+c2)) AS HUGEINT)) AS DOUBLE)
+                          / CAST((2*(a1+a2) - (c1+c2)) * (2*(n.n1+n.n2) - (2*(a1+a2) - (c1+c2)))
+                                 - (n.n1+n.n2) * (c1+c2) AS DOUBLE), 12)
+                  ELSE 0.0 END AS trm
+           FROM c CROSS JOIN n
+         ), agg AS (
+           SELECT max(n1) AS n1, max(n2) AS n2,
+                  sum(CAST(trm AS DECIMAL(38,12))) AS s
+           FROM terms
+         )
+         SELECT CASE WHEN n1 > 0 AND n2 > 0 THEN
+                  round(CAST(s AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)
+                        / (CAST(n1 * n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)), 6)
+                END AS ad_a2,
+                n1 AS n_old, n2 AS n_new
+         FROM agg""",
     // q180: collision-free regime — the oracle's exact token counts ARE
     // the expected estimates
     "q180_countmin" ->
@@ -14253,49 +14356,54 @@ object SparkEntry {
     // q400: full NB replay — identical split constant, tokenization,
     // Laplace counts, 12dp-rounded ln terms DECIMAL-summed, argmax by
     // (score DESC, class ASC)
-    "q400_naive_bayes" -> {
-      import graft.pipeline.Sampling.cutHex
-      s"""WITH base AS (
-           SELECT doc_id AS id, CAST(lang AS VARCHAR) AS y,
-                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws,
-                  substring(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' AS is_train
-           FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
-         ), toks AS (
-           SELECT id, y, is_train, unnest(ws) AS w FROM base
-         ), classes AS (
-           SELECT y, CAST(count(*) AS BIGINT) AS n_docs
-           FROM base WHERE is_train GROUP BY 1
-         ), ntr AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_train FROM classes),
-         cnt AS (
-           SELECT w, y, CAST(count(*) AS BIGINT) AS c
-           FROM toks WHERE is_train GROUP BY 1, 2
-         ), ctot AS (SELECT y, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
-         voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM cnt),
-         terms AS (
-           SELECT t.id, t.y, cl.y AS cls,
-                  CAST(round(ln(CAST(coalesce(cn.c, 0) + 1 AS DOUBLE)
-                                / CAST(ct.tot + voc.v AS DOUBLE)), 12) AS DECIMAL(38,12)) AS trm,
-                  CAST(round(ln(CAST(cl.n_docs AS DOUBLE)
-                                / CAST(ntr.n_train AS DOUBLE)), 12) AS DECIMAL(38,12)) AS prior
-           FROM toks t
-           CROSS JOIN classes cl
-           JOIN ctot ct ON ct.y = cl.y
-           CROSS JOIN voc CROSS JOIN ntr
-           LEFT JOIN cnt cn ON cn.w = t.w AND cn.y = cl.y
-           WHERE NOT t.is_train
-         ), percls AS (
-           SELECT id, y, cls, sum(trm) + max(prior) AS score
-           FROM terms GROUP BY 1, 2, 3
-         ), pred AS (
-           SELECT y AS label, cls AS predicted
-           FROM (SELECT y, cls,
-                        row_number() OVER (PARTITION BY id ORDER BY score DESC, cls ASC) AS rn
-                 FROM percls)
-           WHERE rn = 1
-         )
+    "q400_naive_bayes" ->
+      (duckNbPred +
+        """
          SELECT label, predicted, CAST(count(*) AS BIGINT) AS n_docs
-         FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""
-    },
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2"""),
+    // q402: q400's confusion relation fed through the metrics layer —
+    // exact margin counts, κ as one HUGEINT rational, 12dp-rounded
+    // per-class P/R/F1 DECIMAL-summed over the label classes
+    "q402_classifier_metrics" ->
+      (duckNbPred +
+        """, conf AS (
+           SELECT label, predicted, CAST(count(*) AS BIGINT) AS m
+           FROM pred GROUP BY 1, 2
+         ), rows_ AS (
+           SELECT label AS y, CAST(sum(m) AS BIGINT) AS row_n,
+                  CAST(sum(CASE WHEN predicted = label THEN m ELSE 0 END) AS BIGINT) AS tp
+           FROM conf GROUP BY 1
+         ), cols_ AS (
+           SELECT predicted AS p, CAST(sum(m) AS BIGINT) AS col_n
+           FROM conf GROUP BY 1
+         ), per AS (
+           SELECT r.row_n, r.tp, coalesce(c2.col_n, 0) AS col_n
+           FROM rows_ r LEFT JOIN cols_ c2 ON c2.p = r.y
+         ), agg0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(row_n) AS BIGINT) AS nn,
+                  CAST(sum(tp) AS BIGINT) AS diag,
+                  CAST(sum(CAST(row_n AS HUGEINT) * col_n) AS HUGEINT) AS pe_s,
+                  sum(CAST(CASE WHEN col_n > 0
+                           THEN round(CAST(tp AS DOUBLE) / CAST(col_n AS DOUBLE), 12)
+                           ELSE 0.0 END AS DECIMAL(38,12))) AS p_s,
+                  sum(CAST(round(CAST(tp AS DOUBLE) / CAST(row_n AS DOUBLE), 12) AS DECIMAL(38,12))) AS r_s,
+                  sum(CAST(CASE WHEN 2*tp + (col_n - tp) + (row_n - tp) > 0
+                           THEN round(CAST(2*tp AS DOUBLE)
+                                      / CAST(2*tp + (col_n - tp) + (row_n - tp) AS DOUBLE), 12)
+                           ELSE 0.0 END AS DECIMAL(38,12))) AS f_s
+           FROM per
+         )
+         SELECT nn AS n, k AS n_classes,
+                round(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS accuracy,
+                CASE WHEN CAST(nn AS HUGEINT) * nn <> pe_s THEN
+                  round(CAST(CAST(nn AS HUGEINT) * diag - pe_s AS DOUBLE)
+                        / CAST(CAST(nn AS HUGEINT) * nn - pe_s AS DOUBLE), 6)
+                END AS kappa,
+                round(CAST(p_s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS macro_precision,
+                round(CAST(r_s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS macro_recall,
+                round(CAST(f_s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS macro_f1
+         FROM agg0"""),
     // q399: full replay of the mode-anchored quantized recurrence — the
     // 2×2 cells, the clamped hypergeometric mode, both recursive weight
     // chains (one IEEE double multiply + round 12 per step), the

@@ -723,6 +723,66 @@ object DistDrift {
   }
 
   /**
+   * Tie-adjusted two-sample Anderson–Darling (Scholz–Stephens 1987's
+   * A²akN at k=2) — the TAIL-weighted member of the drift trio: [[ks]]
+   * reads the single worst gap, [[cramerVonMises]] the average squared
+   * gap, and A² re-weights each gap by 1/(H(1−H)) so divergence in the
+   * DISTRIBUTION TAILS — where CvM's pooled measure has almost no mass
+   * and KS's sup rarely lands — dominates the read. The midrank tie
+   * adjustment clears denominators with DOUBLED counts, leaving every
+   * term an exact-integer rational: with per-distinct-value pooled
+   * counts l = c1+c2, doubled mid-CDF P = 2(a1+a2)−l and doubled
+   * mid-count Q = 2·a1−c1,
+   *
+   *   A² = (N−1)/(n1·n2·N) · Σ_v l·(N·Q − n1·P)² / (P(2N−P) − N·l)
+   *
+   * (the k=2 symmetry N·M₂−n2·B = −(N·M₁−n1·B) folds both samples'
+   * inner sums into one). Terms with a non-positive denominator (only
+   * the pooled maximum, where both CDFs are 1) vanish by definition and
+   * are skipped identically on both engines. Each term is one double
+   * divide of exact integers (numerator DECIMAL(38,0) — fine to ~10⁸
+   * rows a side, bin first beyond that: each bin is one big tie and
+   * this definition is already tie-exact), 12dp-rounded and
+   * DECIMAL-summed; identical samples read exactly 0. Same plan as
+   * [[ks]]: union scan → distinct-value groupBy → bucketed prefix sums
+   * → one 1-row agg. Output: (ad_a2, n_old, n_new), 6dp.
+   */
+  def andersonDarling(oldDf: DataFrame, newDf: DataFrame,
+      valCol: String): DataFrame = {
+    val decS = "decimal(38,12)"
+    val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
+      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
+      .where(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    val nTot = col("n1") + col("n2")
+    val l = col("c1") + col("c2")
+    val p = lit(2L) * (col("a1") + col("a2")) - l
+    val q = lit(2L) * col("a1") - col("c1")
+    val num = (nTot * q - col("n1") * p).cast("decimal(19,0)")
+    val den = p * (lit(2L) * nTot - p) - nTot * l
+    val terms = withPrefixSums(perValue, Seq("c1", "c2"))
+      .select(col("c1"), col("c2"),
+        (col("c1_below") + col("c1")).as("a1"),
+        (col("c2_below") + col("c2")).as("a2"))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"),
+        when(den > 0,
+          round((l.cast("decimal(19,0)") * (num * num)).cast("decimal(38,0)")
+            .cast("double") / den.cast("double"), 12))
+          .otherwise(lit(0.0)).cast(decS).as("__t"))
+    terms.groupBy(col("n1"), col("n2"))
+      .agg(coalesce(sum(col("__t")), lit(0).cast(decS)).as("s"))
+      .select(
+        when(col("n1") > 0 && col("n2") > 0,
+          round(col("s").cast("double") * (nTot - 1L).cast("double")
+            / ((col("n1") * col("n2")).cast("double") * nTot.cast("double")),
+            6)).as("ad_a2"),
+        col("n1").as("n_old"), col("n2").as("n_new"))
+  }
+
+  /**
    * Binned two-sample KS — the declared-bounds sibling of [[ks]] for
    * 100 TB inputs whose raw value cardinality is unbounded (floats,
    * timestamps): values clamp into `nBins` equi-width bins over the

@@ -94,4 +94,76 @@ object Classify {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("label"), col("predicted"))
   }
+
+  /**
+   * Classifier quality readout from a confusion RELATION
+   * (label, predicted, count) — [[naiveBayes]]'s output shape, or any
+   * counted predictions: accuracy, Cohen's κ and the macro-averaged
+   * precision/recall/F1 in one row. Every input is an exact long count;
+   * κ is the exact integer rational (n·diag − Σ row·col)/(n² − Σ row·col)
+   * — chance-corrected agreement, the number that exposes an
+   * accuracy-flattering majority-class classifier — published as one
+   * double divide, NULL (loudly) when both margins are a single class
+   * (pe = 1, κ undefined). Per-class precision = tp/col, recall =
+   * tp/row, F1 = 2tp/(2tp+fp+fn) (the single-divide harmonic form, not
+   * a composition of rounded P and R); a class never predicted takes
+   * precision/F1 = 0 (the sklearn zero_division=0 convention, stated
+   * rather than silently NaN). Macro means are 12dp-rounded per-class
+   * terms DECIMAL-summed over the LABEL classes, one divide by k.
+   * Plan: the confusion relation is |labels|·|preds|-bounded BY
+   * CONSTRUCTION, so it is probe-refused above `maxCells` and pinned
+   * locally — the (possibly expensive) plan PRODUCING it runs exactly
+   * once, not once per margin aggregation; nothing here touches
+   * unit-level data. Output: (n, n_classes, accuracy, kappa,
+   * macro_precision, macro_recall, macro_f1), 6dp.
+   */
+  def confusionMetrics(confusion: DataFrame, labelCol: String,
+      predCol: String, nCol: String, maxCells: Int = 65536): DataFrame = {
+    val decS = "decimal(38,12)"
+    val c0 = confusion.select(col(labelCol).cast("string").as("y"),
+        col(predCol).cast("string").as("p"), col(nCol).cast("long").as("m"))
+      .where(col("y").isNotNull && col("p").isNotNull && col("m") > 0)
+    val pinned = c0.limit(maxCells + 1).collect()
+    require(pinned.length <= maxCells,
+      s"confusionMetrics: > $maxCells confusion cells — not a class-pair" +
+        "-bounded relation; aggregate (label, predicted) first")
+    val c = confusion.sparkSession.createDataFrame(
+      java.util.Arrays.asList(pinned: _*), c0.schema)
+    val rows = c.groupBy(col("y")).agg(sum(col("m")).as("row_n"),
+      sum(when(col("p") === col("y"), col("m")).otherwise(0L)).as("tp"))
+    val cols = c.groupBy(col("p")).agg(sum(col("m")).as("col_n"))
+    val per = rows.join(cols, col("y") === col("p"), "left")
+      .select(col("row_n"), col("tp"),
+        coalesce(col("col_n"), lit(0L)).as("col_n"))
+    val fp = col("col_n") - col("tp")
+    val fn = col("row_n") - col("tp")
+    val prec = when(col("col_n") > 0,
+      round(col("tp").cast("double") / col("col_n").cast("double"), 12))
+      .otherwise(lit(0.0))
+    val rec = round(col("tp").cast("double") / col("row_n").cast("double"), 12)
+    val f1 = when(lit(2L) * col("tp") + fp + fn > 0,
+      round((lit(2L) * col("tp")).cast("double")
+        / (lit(2L) * col("tp") + fp + fn).cast("double"), 12))
+      .otherwise(lit(0.0))
+    val agg0 = per.agg(count(lit(1)).as("k"),
+      sum(col("row_n")).as("nn"), sum(col("tp")).as("diag"),
+      sum((col("row_n") * col("col_n")).cast("decimal(38,0)")).as("pe_s"),
+      sum(prec.cast(decS)).as("p_s"), sum(rec.cast(decS)).as("r_s"),
+      sum(f1.cast(decS)).as("f_s"))
+    val n2 = (col("nn").cast("decimal(19,0)") * col("nn").cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
+    agg0.select(col("nn").as("n"), col("k").as("n_classes"),
+      round(col("diag").cast("double") / col("nn").cast("double"), 6)
+        .as("accuracy"),
+      when(n2 =!= col("pe_s"),
+        round((col("nn").cast("decimal(19,0)") * col("diag").cast("decimal(19,0)")
+            - col("pe_s")).cast("decimal(38,0)").cast("double")
+          / (n2 - col("pe_s")).cast("double"), 6)).as("kappa"),
+      round(col("p_s").cast("double") / col("k").cast("double"), 6)
+        .as("macro_precision"),
+      round(col("r_s").cast("double") / col("k").cast("double"), 6)
+        .as("macro_recall"),
+      round(col("f_s").cast("double") / col("k").cast("double"), 6)
+        .as("macro_f1"))
+  }
 }

@@ -97,6 +97,28 @@ class DistDriftSpec extends SparkSpec {
     assert(om <= ks * ks + 1e-9)
   }
 
+  test("andersonDarling: identical 0, hand tie case, tail-weighting order") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    assert(DistDrift.andersonDarling(a, a, "v").head()
+      .getAs[Double]("ad_a2") == 0.0)
+    // hand: A={1,1,2,4}, B={1,3,3} → Σ l·(NQ−n1P)²/(P(2N−P)−Nl) over
+    // the four distinct values = 4/12·3 + 49/42 + 4/26·2 + 9/6, scaled
+    // by (N−1)/(n1·n2·N) = 6/84 → 0.283883 (midrank A²akN, k=2)
+    val ta = Seq(1.0, 1.0, 2.0, 4.0).toDF("v")
+    val tb = Seq(1.0, 3.0, 3.0).toDF("v")
+    val r = DistDrift.andersonDarling(ta, tb, "v").head()
+    assert(r.getAs[Double]("ad_a2") == 0.283883)
+    assert(r.getAs[Long]("n_old") == 4L && r.getAs[Long]("n_new") == 3L)
+    // replica-pinned larger reads: fully separated halves and a
+    // half-overlap shift (same fixtures as the ks/cvm hands)
+    val b = (51 to 100).map(_.toDouble).toDF("v")
+    assert(DistDrift.andersonDarling(a, b, "v").head()
+      .getAs[Double]("ad_a2") == 38.749806)
+    val c = (26 to 75).map(_.toDouble).toDF("v")
+    assert(DistDrift.andersonDarling(a, c, "v").head()
+      .getAs[Double]("ad_a2") == 21.536029)
+  }
+
   test("welchT: hand moments; equal groups give t 0; constant groups NULL t") {
     // A=[1,2,3]: mean 2, s2 1; B=[5,7]: mean 6, s2 2
     val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 5L), ("B", 7L))

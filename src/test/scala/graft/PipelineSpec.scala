@@ -1947,4 +1947,30 @@ class PipelineSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("class"))
   }
+
+  test("confusionMetrics: hand 3-class matrix, zero-division, kappa NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // rows A:60 (tp 50), B:35 (tp 30), C:5 (tp 0, never predicted);
+    // cols A:60, B:40; n=100, diag=80 → accuracy .8;
+    // κ = (100·80 − (60·60+35·40+0))/(100² − 5000) = 3000/5000 = .6;
+    // macro P = (50/60 + 30/40 + 0)/3, R = (50/60 + 30/35 + 0)/3,
+    // F1 = (100/120 + 60/75 + 0)/3
+    val conf = Seq(("A", "A", 50L), ("A", "B", 10L), ("B", "B", 30L),
+      ("B", "A", 5L), ("C", "A", 5L)).toDF("label", "predicted", "n_docs")
+    val r = graft.pipeline.Classify
+      .confusionMetrics(conf, "label", "predicted", "n_docs").head()
+    assert(r.getAs[Long]("n") == 100L && r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Double]("accuracy") == 0.8)
+    assert(r.getAs[Double]("kappa") == 0.6)
+    assert(r.getAs[Double]("macro_precision") == 0.527778)
+    assert(r.getAs[Double]("macro_recall") == 0.563492)
+    assert(r.getAs[Double]("macro_f1") == 0.544444)
+    // single class on both margins: pe = 1, κ undefined → loud NULL
+    val one = Seq(("A", "A", 10L)).toDF("label", "predicted", "n_docs")
+    val r1 = graft.pipeline.Classify
+      .confusionMetrics(one, "label", "predicted", "n_docs").head()
+    assert(r1.getAs[Double]("accuracy") == 1.0)
+    assert(r1.isNullAt(r1.fieldIndex("kappa")))
+  }
 }
