@@ -5529,6 +5529,31 @@ object SparkEntry {
           eng(s, dir).table("documents"), "doc_id", "text", "lang"),
         "label", "predicted", "n_docs")
     }),
+    "q404_mst" -> ((s, dir) => {
+      // the brand taxonomy BACKBONE: maximum-co-occurrence spanning
+      // forest (MSF on negated support) — single-linkage clustering IS
+      // this tree; the gate is algorithm-vs-algorithm: distributed
+      // Borůvka here, sequential Kruskal in the oracle, forced equal by
+      // the lexicographic-weight uniqueness of the MSF
+      graft.operators.GraphOps.mst(
+        brandPairs(s, dir, minSupport = 1L)
+          .select(col("item_a"), col("item_b"),
+            (lit(0L) - col("support")).as("neg_support")),
+        "item_a", "item_b", "neg_support")
+    }),
+    "q403_dtw" -> ((s, dir) => {
+      // elastic series similarity: exact integer DTW between the two
+      // priorities' monthly revenue curves — same-shape-shifted-axis
+      // reads near 0 where any aligned-index distance reads huge; the
+      // whole DP is integer (no rounding contract), calendar-bounded
+      val o = eng(s, dir).table("orders")
+      def monthly(p: String) = o.where(col("o_orderpriority") === p)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      graft.operators.TimeSeries.dtw(
+        monthly("1-URGENT"), monthly("2-HIGH"), "mo", "cents")
+    }),
     "q399_fisher_exact" -> ((s, dir) => {
       // the exact 2×2 the χ² family approximates: one nation's customers,
       // wealth × segment — margins small enough that the hypergeometric
@@ -14404,6 +14429,93 @@ object SparkEntry {
                 round(CAST(r_s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS macro_recall,
                 round(CAST(f_s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS macro_f1
          FROM agg0"""),
+    // q404: sequential KRUSKAL over the same canonical weighted pairs —
+    // an independent ALGORITHM, not a replay: lexicographic-weight MSF
+    // uniqueness forces bit-equality with the operator's Borůvka
+    "q404_mst" ->
+      """WITH RECURSIVE bi AS (
+           SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_brand IS NOT NULL
+         ), e AS (
+           SELECT a.i AS u, b2.i AS v, CAST(-count(*) AS BIGINT) AS w
+           FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+           GROUP BY 1, 2
+         ), nodes AS (
+           SELECT u AS n FROM e UNION SELECT v FROM e
+         ), lab0 AS (
+           SELECT list(struct_pack(n := n, c := n) ORDER BY n) AS labs
+           FROM nodes
+         ), es AS (
+           SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS i FROM e
+         ), ne AS (SELECT CAST(count(*) AS BIGINT) AS m FROM es),
+         kr(i, labs, kept) AS (
+           SELECT CAST(0 AS BIGINT), labs,
+                  CAST([] AS STRUCT(u VARCHAR, v VARCHAR, w BIGINT)[])
+           FROM lab0
+           UNION ALL
+           SELECT t.i,
+                  CASE WHEN t.lu <> t.lv THEN
+                    list_transform(t.labs, x ->
+                      CASE WHEN x.c = greatest(t.lu, t.lv)
+                           THEN struct_pack(n := x.n, c := least(t.lu, t.lv))
+                           ELSE x END)
+                  ELSE t.labs END,
+                  CASE WHEN t.lu <> t.lv THEN
+                    list_append(t.kept, struct_pack(u := t.eu, v := t.ev, w := t.ew))
+                  ELSE t.kept END
+           FROM (
+             SELECT kr.i + 1 AS i, kr.labs AS labs, kr.kept AS kept,
+                    es.u AS eu, es.v AS ev, es.w AS ew,
+                    list_filter(kr.labs, x -> x.n = es.u)[1].c AS lu,
+                    list_filter(kr.labs, x -> x.n = es.v)[1].c AS lv
+             FROM kr JOIN es ON es.i = kr.i + 1
+           ) t
+         )
+         SELECT x.u AS src, x.v AS dst, x.w AS weight
+         FROM (SELECT kept FROM kr, ne WHERE kr.i = ne.m) f,
+              unnest(f.kept) AS t2(x)
+         ORDER BY weight, src, dst""",
+    // q403: the DP replayed cell-by-cell over a row-major linearized
+    // index (i fastest) — exact integers end to end, so ANY
+    // dependency-respecting replay order lands the identical number
+    "q403_dtw" ->
+      """WITH RECURSIVE sa AS (
+           SELECT date_trunc('month', o_orderdate) AS mo,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+         ), sb AS (
+           SELECT date_trunc('month', o_orderdate) AS mo,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1
+         ), la AS (SELECT list(cents ORDER BY mo) AS a, CAST(count(*) AS BIGINT) AS m FROM sa),
+         lb AS (SELECT list(cents ORDER BY mo) AS b, CAST(count(*) AS BIGINT) AS n FROM sb),
+         dims AS (SELECT a, b, m, n FROM la CROSS JOIN lb),
+         dp(k, dps) AS (
+           SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM dims
+           UNION ALL
+           SELECT dp.k + 1,
+                  list_append(dps,
+                    abs(d.a[CAST((dp.k % d.m) + 1 AS INT)]
+                        - d.b[CAST((dp.k // d.m) + 1 AS INT)]) +
+                    CASE
+                      WHEN dp.k // d.m = 0 AND dp.k % d.m = 0 THEN CAST(0 AS BIGINT)
+                      WHEN dp.k // d.m = 0 THEN dps[CAST(dp.k AS INT)]
+                      WHEN dp.k % d.m = 0 THEN dps[CAST(dp.k + 1 - d.m AS INT)]
+                      ELSE least(dps[CAST(dp.k + 1 - d.m AS INT)],
+                                 dps[CAST(dp.k AS INT)],
+                                 dps[CAST(dp.k - d.m AS INT)])
+                    END)
+           FROM dp, dims d WHERE dp.k < d.m * d.n
+         )
+         SELECT d.m AS n_a, d.n AS n_b,
+                CASE WHEN d.m > 0 AND d.n > 0
+                     THEN dps[CAST(d.m * d.n AS INT)] END AS dtw_units,
+                CASE WHEN d.m + d.n > 0 THEN
+                  round(CAST(dps[CAST(d.m * d.n AS INT)] AS DOUBLE)
+                        / CAST(d.m + d.n AS DOUBLE), 6)
+                END AS dtw_per_step
+         FROM dp, dims d WHERE dp.k = d.m * d.n""",
     // q399: full replay of the mode-anchored quantized recurrence — the
     // 2×2 cells, the clamped hypergeometric mode, both recursive weight
     // chains (one IEEE double multiply + round 12 per step), the

@@ -1595,6 +1595,85 @@ object GraphOps {
   }
 
   /**
+   * Minimum spanning forest (Borůvka 1926) over an undirected weighted
+   * edge list — the graph's cheapest connecting backbone: run on
+   * NEGATED similarity weights it is the maximum-similarity taxonomy
+   * skeleton (single-linkage clustering IS this tree cut at a
+   * threshold). Edges are canonicalized (least, greatest) with the min
+   * weight per pair, and every comparison uses the LEXICOGRAPHIC
+   * composite (w, src, dst) — composite weights are all distinct, so
+   * the MSF is mathematically UNIQUE and any correct algorithm must
+   * land the identical edge set. That is the correctness contract: the
+   * operator runs DISTRIBUTED Borůvka (per component, pick the minimum
+   * leaving edge — one relabel join + one struct-min agg per round;
+   * components at least halve, so ≤ log₂V rounds, each merge resolved
+   * by [[graft.pipeline.Dedup.connectedComponents]]'s pointer-jumping
+   * hash-min), while the oracle replays sequential KRUSKAL — two
+   * independent ALGORITHMS, not a replay, agreeing bit-for-bit because
+   * uniqueness leaves them no freedom. Weights are exact longs; no
+   * doubles anywhere. Isolated nodes have no edges and thus no MSF
+   * rows (the forest of the edge-induced graph). `maxRounds` is the
+   * loud non-convergence guard (20 covers 2²⁰ components).
+   * Output: the forest's (src, dst, weight), ordered by (weight, src,
+   * dst).
+   */
+  def mst(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("u"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string")).as("v"),
+        col(wCol).cast("long").as("w"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull
+        && col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    val empty = e0.limit(0)
+      .select(col("u").as("src"), col("v").as("dst"), col("w").as("weight"))
+    var comp = e0.select(col("u").as("id")).union(e0.select(col("v").as("id")))
+      .distinct().select(col("id"), col("id").as("c")).localCheckpoint(true)
+    var kept: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val ec = e0
+        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .where(col("cu") =!= col("cv"))
+        .localCheckpoint(true)
+      if (ec.isEmpty) done = true
+      else {
+        // composite-ordered pick: (w, u, v) leads so cu/cv (carried for
+        // the merge) can never influence the min
+        val pick = struct(col("w"), col("u"), col("v"),
+          col("cu"), col("cv"))
+        val sel = ec.select(col("cu").as("cc"), pick.as("p"))
+          .union(ec.select(col("cv").as("cc"), pick.as("p")))
+          .groupBy(col("cc")).agg(min(col("p")).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"),
+            col("p.cu").as("cu"), col("p.cv").as("cv"))
+          .distinct()
+          .localCheckpoint(true)
+        val selEdges = sel.select(col("u"), col("v"), col("w"))
+        kept = if (kept == null) selEdges
+          else kept.union(selEdges).localCheckpoint(true)
+        val merged = graft.pipeline.Dedup.connectedComponents(
+          sel.select(col("cu").as("a"), col("cv").as("b")), "a", "b")
+        comp = comp
+          .join(merged.select(col("id").as("c"), col("component").as("__nc")),
+            Seq("c"), "left")
+          .select(col("id"), coalesce(col("__nc"), col("c")).as("c"))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    require(done, s"mst did not converge within $maxRounds rounds")
+    if (kept == null) empty
+    else kept.select(col("u").as("src"), col("v").as("dst"),
+        col("w").as("weight"))
+      .orderBy(col("weight"), col("src"), col("dst"))
+  }
+
+  /**
    * Adjacency spectral gap by DEFLATED power iteration — how fast does
    * the graph MIX: λ₁ is connectivity strength ([[eigenvectorCentrality]]
    * reads its eigenvector), the second-largest-magnitude eigenvalue λ₂

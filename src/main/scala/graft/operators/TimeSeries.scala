@@ -1067,4 +1067,68 @@ object TimeSeries {
         min(when(col("__alarm") === 1L, col("__t"))).as("first_alarm_t"))
       .orderBy("key")
   }
+
+  /**
+   * Exact dynamic-time-warping distance between two bucketed integer
+   * series — the ELASTIC similarity the shelf's point-wise reads (holt
+   * error, correlation, drift tests) cannot give: two series with the
+   * same shape but a shifted/stretched time axis read near-zero DTW
+   * while any aligned-index distance reads huge. Classic L1 DTW with
+   * unit steps (Sakoe & Chiba 1978):
+   *
+   *   D(i,j) = |a_i − b_j| + min(D(i−1,j), D(i,j−1), D(i−1,j−1))
+   *
+   * on integer units (cents), so the WHOLE DP is exact integer
+   * arithmetic — no rounding contract at all: any engine replaying the
+   * recurrence in any dependency-respecting order lands the identical
+   * number. The sequential DP runs as ONE nested codegen `aggregate`
+   * fold (rows over b, cells over a) on the two collect_list'd series —
+   * never a driver loop — and both series are CONTRACT-bounded: counts
+   * are probed and refused above `maxN` before anything is collected
+   * (the theilSen discipline; DTW is O(m·n) BY DEFINITION — at scale
+   * you bucket coarser first, which this API forces the caller to own).
+   * Empty series publish NULLs loudly. Output: one row
+   * (n_a, n_b, dtw_units, dtw_per_step = dtw/(n_a+n_b) 6dp).
+   */
+  def dtw(aSeries: DataFrame, bSeries: DataFrame, tCol: String,
+      unitsCol: String, maxN: Int = 256): DataFrame = {
+    def arr(df: DataFrame, name: String) = {
+      val s = df.select(col(tCol).cast("long").as("t"),
+          col(unitsCol).cast("long").as("x"))
+        .where(col("t").isNotNull && col("x").isNotNull)
+      val n = s.count()
+      require(n <= maxN,
+        s"dtw: series $name has $n buckets > maxN=$maxN — the DP is " +
+          "O(m·n) by definition; bucket coarser first")
+      s.agg(expr("transform(sort_array(collect_list(struct(t, x))), " +
+        "e -> e.x)").as(name))
+    }
+    val one = arr(aSeries, "a").crossJoin(arr(bSeries, "b"))
+    one.select(size(col("a")).cast("long").as("n_a"),
+        size(col("b")).cast("long").as("n_b"),
+        expr(
+          """CASE WHEN size(a) = 0 OR size(b) = 0 THEN CAST(NULL AS BIGINT)
+             ELSE element_at(
+               aggregate(
+                 sequence(1, size(b)),
+                 CAST(array() AS ARRAY<BIGINT>),
+                 (prev, j) -> aggregate(
+                   sequence(1, size(a)),
+                   CAST(array() AS ARRAY<BIGINT>),
+                   (row, i) -> array_append(row,
+                     abs(element_at(a, i) - element_at(b, j)) +
+                     CASE
+                       WHEN j = 1 AND i = 1 THEN CAST(0 AS BIGINT)
+                       WHEN j = 1 THEN element_at(row, i - 1)
+                       WHEN i = 1 THEN element_at(prev, 1)
+                       ELSE least(element_at(prev, i),
+                                  element_at(row, i - 1),
+                                  element_at(prev, i - 1))
+                     END))),
+               size(a)) END""").as("dtw_units"))
+      .select(col("n_a"), col("n_b"), col("dtw_units"),
+        when(col("n_a") + col("n_b") > 0,
+          round(col("dtw_units").cast("double")
+            / (col("n_a") + col("n_b")).cast("double"), 6)).as("dtw_per_step"))
+  }
 }

@@ -700,4 +700,30 @@ class GraphOpsSpec extends SparkSpec {
     val t3 = truss(twoTri, 3).map { case (aa, bb, sp) => (aa, bb) -> sp }.toMap
     assert(t3(("b", "c")) == 2L && t3(("a", "b")) == 1L && t3.size == 5)
   }
+
+  test("mst: hand tree, composite tie-break, forest, duplicate-pair min, empty") {
+    import graft.operators.GraphOps
+    def run(es: Seq[(String, String, Long)]) =
+      GraphOps.mst(es.toDF("s", "d", "w"), "s", "d", "w").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // square + heavy diagonal: MST is {ab1, cd1, bc2}; ad3/ac5 cut
+    val sq = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "d", 1L),
+      ("a", "d", 3L), ("a", "c", 5L))
+    assert(run(sq) == Seq(("a", "b", 1L), ("c", "d", 1L), ("b", "c", 2L)))
+    // equal-weight 4-cycle: the lexicographic composite keeps
+    // (a,b),(a,d),(b,c) — exactly what sequential Kruskal keeps
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("a", "d", 1L))
+    assert(run(cyc) == Seq(("a", "b", 1L), ("a", "d", 1L), ("b", "c", 1L)))
+    // disconnected input → spanning FOREST, one tree per component
+    val forest = Seq(("a", "b", 2L), ("x", "y", 7L))
+    assert(run(forest) == Seq(("a", "b", 2L), ("x", "y", 7L)))
+    // duplicate/reversed pairs collapse to the canonical min weight
+    val dup = Seq(("b", "a", 5L), ("a", "b", 2L), ("b", "c", 9L))
+    assert(run(dup) == Seq(("a", "b", 2L), ("b", "c", 9L)))
+    // no edges → empty forest with the output schema
+    val e = GraphOps.mst(Seq.empty[(String, String, Long)].toDF("s", "d", "w"),
+      "s", "d", "w")
+    assert(e.columns.toSeq == Seq("src", "dst", "weight") && e.isEmpty)
+  }
 }

@@ -448,4 +448,35 @@ class TimeSeriesSpec extends SparkSpec {
     val flat = seg(Seq.fill(8)(7L))
     assert(flat.toSeq == Seq((1L, 1L, 8L, 8L, 7.0, None)))
   }
+
+  test("dtw: identical 0, hand DP, plateau-stretch 0 where L1 reads 5, refusal") {
+    import graft.operators.TimeSeries
+    def s(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("t", "x")
+    // identical series warp along the diagonal at zero cost
+    val a = s(Seq(3L, 7L, 1L, 9L))
+    val r0 = TimeSeries.dtw(a, a, "t", "x").head()
+    assert(r0.getAs[Long]("dtw_units") == 0L
+      && r0.getAs[Double]("dtw_per_step") == 0.0)
+    // hand DP: a=[0,1,2], b=[0,2] → D(:,1)=[0,1,3];
+    // D(:,2) = [2, 1+min(1,2,0), 0+min(3,1,1)] → DTW = 1
+    val r1 = TimeSeries.dtw(s(Seq(0L, 1L, 2L)), s(Seq(0L, 2L)), "t", "x")
+      .head()
+    assert(r1.getAs[Long]("n_a") == 3L && r1.getAs[Long]("n_b") == 2L)
+    assert(r1.getAs[Long]("dtw_units") == 1L)
+    assert(r1.getAs[Double]("dtw_per_step") == 0.2)
+    // THE dtw property: a stretched plateau is the same shape —
+    // [0,0,5,0] vs [0,5,5,0] warps to 0 while aligned L1 reads 5
+    val r2 = TimeSeries.dtw(s(Seq(0L, 0L, 5L, 0L)), s(Seq(0L, 5L, 5L, 0L)),
+      "t", "x").head()
+    assert(r2.getAs[Long]("dtw_units") == 0L)
+    // empty side publishes NULL loudly, not a fake 0
+    val re = TimeSeries.dtw(s(Seq.empty), a, "t", "x").head()
+    assert(re.isNullAt(re.fieldIndex("dtw_units")))
+    // O(m·n) contract: series over maxN refuse before collecting
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.dtw(s(Seq(1L, 2L, 3L)), a, "t", "x", maxN = 2)
+    }
+    assert(ex.getMessage.contains("maxN"))
+  }
 }
