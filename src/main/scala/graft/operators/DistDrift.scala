@@ -683,8 +683,9 @@ object DistDrift {
    * squared CDF gap once), equal to the classical rank form when ties
    * are absent. Exactness: (a1·n2 − a2·n1) is an exact long (to
    * n1·n2 < 2⁶³); its square is DECIMAL(19,0)² and the w-weighted Σ a
-   * DECIMAL(38,0) — bound N·(n1·n2)² < 10³⁸ holds to ~10⁹ rows a side;
-   * beyond that bin first (the [[ksBinned]] declared-bounds discipline
+   * DECIMAL(38,0) — the worst-case bound N·(n1·n2)² ≤ N⁵/16 stays under
+   * 10³⁸ to N ≈ 4·10⁷ pooled rows; beyond that bin first (the
+   * [[ksBinned]] declared-bounds discipline
    * applies verbatim: each bin is one big tie, and this definition
    * already treats ties exactly). Doubles appear only in the two
    * published one-divide ratios. Plan: one union scan → distinct-value
@@ -740,8 +741,9 @@ object DistDrift {
    * inner sums into one). Terms with a non-positive denominator (only
    * the pooled maximum, where both CDFs are 1) vanish by definition and
    * are skipped identically on both engines. Each term is one double
-   * divide of exact integers (numerator DECIMAL(38,0) — fine to ~10⁸
-   * rows a side, bin first beyond that: each bin is one big tie and
+   * divide of exact integers (numerator DECIMAL(38,0) — the worst-case
+   * l·(2N²)² ≤ 4N⁵ stays under 10³⁸ to N ≈ 2·10⁷ pooled rows; bin
+   * first beyond that: each bin is one big tie and
    * this definition is already tie-exact), 12dp-rounded and
    * DECIMAL-summed; identical samples read exactly 0. Same plan as
    * [[ks]]: union scan → distinct-value groupBy → bucketed prefix sums
