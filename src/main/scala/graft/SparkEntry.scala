@@ -5529,6 +5529,19 @@ object SparkEntry {
           eng(s, dir).table("documents"), "doc_id", "text", "lang"),
         "label", "predicted", "n_docs")
     }),
+    "q405_dtw_banded" -> ((s, dir) => {
+      // q403's scale-and-sanity knob made real: Sakoe–Chiba band 12 on
+      // the SAME monthly pair — n·(2r+1) admissible cells instead of
+      // m·n, pathological warps excluded by construction; still exact
+      // integers end to end
+      val o = eng(s, dir).table("orders")
+      def monthly(p: String) = o.where(col("o_orderpriority") === p)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      graft.operators.TimeSeries.dtwBanded(
+        monthly("1-URGENT"), monthly("2-HIGH"), "mo", "cents", band = 12)
+    }),
     "q404_mst" -> ((s, dir) => {
       // the brand taxonomy BACKBONE: maximum-co-occurrence spanning
       // forest (MSF on negated support) — single-linkage clustering IS
@@ -14429,6 +14442,58 @@ object SparkEntry {
                 round(CAST(r_s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS macro_recall,
                 round(CAST(f_s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS macro_f1
          FROM agg0"""),
+    // q405: the padded banded grid replayed cell-by-cell (width 2r+1
+    // rows, sentinel padding); j≥2 guards stand in for the operator's
+    // all-sentinel seed row — exact integers make the orders equivalent
+    "q405_dtw_banded" ->
+      """WITH RECURSIVE sa AS (
+           SELECT date_trunc('month', o_orderdate) AS mo,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+         ), sb AS (
+           SELECT date_trunc('month', o_orderdate) AS mo,
+                  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1
+         ), la AS (SELECT list(cents ORDER BY mo) AS a, CAST(count(*) AS BIGINT) AS m FROM sa),
+         lb AS (SELECT list(cents ORDER BY mo) AS b, CAST(count(*) AS BIGINT) AS n FROM sb),
+         dims AS (SELECT a, b, m, n, CAST(12 AS BIGINT) AS r,
+                         CAST(25 AS BIGINT) AS l FROM la CROSS JOIN lb),
+         dp(k, dps) AS (
+           SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM dims
+           UNION ALL
+           SELECT dp.k + 1,
+                  list_append(dps, (
+                    WITH c AS (
+                      SELECT (dp.k // d.l) + 1 AS j,
+                             (dp.k % d.l) + 1 AS li,
+                             ((dp.k // d.l) + 1) - d.r + ((dp.k % d.l) + 1) - 1 AS i
+                    )
+                    SELECT CASE
+                      WHEN c.i < 1 OR c.i > d.m
+                        THEN CAST(2305843009213693951 AS BIGINT)
+                      WHEN c.j = 1 AND c.i = 1
+                        THEN abs(d.a[CAST(c.i AS INT)] - d.b[CAST(c.j AS INT)])
+                      ELSE abs(d.a[CAST(c.i AS INT)] - d.b[CAST(c.j AS INT)])
+                           + least(
+                               CASE WHEN c.li >= 2 THEN dps[CAST(dp.k AS INT)]
+                                    ELSE CAST(2305843009213693951 AS BIGINT) END,
+                               CASE WHEN c.li < d.l AND c.j >= 2
+                                    THEN dps[CAST(dp.k + 2 - d.l AS INT)]
+                                    ELSE CAST(2305843009213693951 AS BIGINT) END,
+                               CASE WHEN c.j >= 2 THEN dps[CAST(dp.k + 1 - d.l AS INT)]
+                                    ELSE CAST(2305843009213693951 AS BIGINT) END)
+                      END FROM c))
+           FROM dp, dims d WHERE dp.k < d.n * d.l
+         )
+         SELECT d.m AS n_a, d.n AS n_b, d.r AS band,
+                CASE WHEN d.m > 0 AND d.n > 0 THEN
+                  dps[CAST((d.n - 1) * d.l + d.m - d.n + d.r + 1 AS INT)]
+                END AS dtw_units,
+                CASE WHEN d.m + d.n > 0 THEN
+                  round(CAST(dps[CAST((d.n - 1) * d.l + d.m - d.n + d.r + 1 AS INT)] AS DOUBLE)
+                        / CAST(d.m + d.n AS DOUBLE), 6)
+                END AS dtw_per_step
+         FROM dp, dims d WHERE dp.k = d.n * d.l""",
     // q404: sequential KRUSKAL over the same canonical weighted pairs —
     // an independent ALGORITHM, not a replay: lexicographic-weight MSF
     // uniqueness forces bit-equality with the operator's Borůvka

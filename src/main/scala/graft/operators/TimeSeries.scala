@@ -1131,4 +1131,81 @@ object TimeSeries {
           round(col("dtw_units").cast("double")
             / (col("n_a") + col("n_b")).cast("double"), 6)).as("dtw_per_step"))
   }
+
+  /**
+   * Sakoe–Chiba banded [[dtw]] — the ORIGINAL paper's scale-and-sanity
+   * knob: only alignments with |i−j| ≤ `band` are admissible, so the DP
+   * walks n·(2·band+1) cells instead of m·n AND pathological warps (one
+   * point absorbing a whole season) are excluded by construction.
+   * band = 0 degenerates to the aligned L1 distance; band ≥ max(m,n)
+   * equals the unconstrained [[dtw]] exactly (spec-pinned both ways).
+   * `band ≥ |m−n|` is required loudly — narrower leaves the (m,n)
+   * corner itself out of band.
+   *
+   * Mechanics: rows are PADDED to constant width 2·band+1 (local cell
+   * li ↔ grid i = j−band+li−1); out-of-grid cells carry the SENTINEL
+   * (2⁶¹-ish, far above any true path cost yet far below Long overflow
+   * even after one add) and every admissible non-origin cell provably
+   * has one finite neighbor, so the sentinel never reaches a published
+   * value. Exact integer end to end like [[dtw]] — no rounding
+   * contract; the oracle replays the same padded grid cell-by-cell in
+   * linearized order. Output: (n_a, n_b, band, dtw_units,
+   * dtw_per_step).
+   */
+  def dtwBanded(aSeries: DataFrame, bSeries: DataFrame, tCol: String,
+      unitsCol: String, band: Int, maxN: Int = 4096): DataFrame = {
+    require(band >= 0, s"band must be >= 0: $band")
+    def arr(df: DataFrame, name: String) = {
+      val s = df.select(col(tCol).cast("long").as("t"),
+          col(unitsCol).cast("long").as("x"))
+        .where(col("t").isNotNull && col("x").isNotNull)
+      val n = s.count()
+      require(n <= maxN,
+        s"dtwBanded: series $name has $n buckets > maxN=$maxN — bucket " +
+          "coarser first")
+      (n, s.agg(expr("transform(sort_array(collect_list(struct(t, x))), " +
+        "e -> e.x)").as(name)))
+    }
+    val (na, da) = arr(aSeries, "a")
+    val (nb, db) = arr(bSeries, "b")
+    require(band >= math.abs(na - nb),
+      s"dtwBanded: band=$band < |m−n|=${math.abs(na - nb)} — the (m,n) " +
+        "corner is out of band; widen the band or equalize the grids")
+    val l = 2 * band + 1
+    val one = da.crossJoin(db)
+    one.select(size(col("a")).cast("long").as("n_a"),
+        size(col("b")).cast("long").as("n_b"),
+        lit(band.toLong).as("band"),
+        expr(
+          s"""CASE WHEN size(a) = 0 OR size(b) = 0 THEN CAST(NULL AS BIGINT)
+             ELSE element_at(
+               aggregate(
+                 sequence(1, size(b)),
+                 transform(sequence(1, $l),
+                   li -> CAST(2305843009213693951 AS BIGINT)),
+                 (prev, j) -> aggregate(
+                   sequence(1, $l),
+                   CAST(array() AS ARRAY<BIGINT>),
+                   (row, li) -> array_append(row,
+                     CASE WHEN j - $band + li - 1 < 1
+                            OR j - $band + li - 1 > size(a)
+                       THEN CAST(2305843009213693951 AS BIGINT)
+                     WHEN j = 1 AND j - $band + li - 1 = 1
+                       THEN abs(element_at(a, j - $band + li - 1)
+                                - element_at(b, j))
+                     ELSE abs(element_at(a, j - $band + li - 1)
+                              - element_at(b, j))
+                          + least(
+                              CASE WHEN li >= 2 THEN element_at(row, li - 1)
+                                   ELSE CAST(2305843009213693951 AS BIGINT) END,
+                              CASE WHEN li < $l THEN element_at(prev, li + 1)
+                                   ELSE CAST(2305843009213693951 AS BIGINT) END,
+                              element_at(prev, li))
+                     END))),
+               size(a) - size(b) + $band + 1) END""").as("dtw_units"))
+      .select(col("n_a"), col("n_b"), col("band"), col("dtw_units"),
+        when(col("n_a") + col("n_b") > 0,
+          round(col("dtw_units").cast("double")
+            / (col("n_a") + col("n_b")).cast("double"), 6)).as("dtw_per_step"))
+  }
 }

@@ -479,4 +479,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("maxN"))
   }
+
+  test("dtwBanded: band 0 = aligned L1, band 1 recovers exact, guards") {
+    import graft.operators.TimeSeries
+    def s(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("t", "x")
+    def run(a: Seq[Long], b: Seq[Long], band: Int) =
+      TimeSeries.dtwBanded(s(a), s(b), "t", "x", band).head()
+    val a4 = Seq(0L, 0L, 5L, 0L); val b4 = Seq(0L, 5L, 5L, 0L)
+    // band 0 admits only the diagonal — the aligned L1 distance (5);
+    // band 1 already re-admits the plateau warp and reads the exact 0
+    assert(run(a4, b4, 0).getAs[Long]("dtw_units") == 5L)
+    assert(run(a4, b4, 1).getAs[Long]("dtw_units") == 0L)
+    // band ≥ max(m,n) is the unconstrained dtw exactly (hand 3×2 = 1)
+    val r = run(Seq(0L, 1L, 2L), Seq(0L, 2L), 3)
+    assert(r.getAs[Long]("dtw_units") == 1L
+      && r.getAs[Long]("band") == 3L
+      && r.getAs[Double]("dtw_per_step") == 0.2)
+    // narrower than the length mismatch leaves the corner out of band
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.dtwBanded(s(Seq(1L, 2L, 3L, 4L)), s(Seq(1L)), "t", "x", 1)
+    }
+    assert(ex.getMessage.contains("band"))
+  }
 }
