@@ -5803,7 +5803,8 @@ object SparkEntry {
            SELECT doc_id AS id, CAST(lang AS VARCHAR) AS y,
                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws,
                   substring(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' AS is_train
-           FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+           FROM documents
+           WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL
          ), toks AS (
            SELECT id, y, is_train, unnest(ws) AS w FROM base
          ), classes AS (
@@ -14602,7 +14603,8 @@ object SparkEntry {
            SELECT n, a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
                   greatest(0, (a + c) - (c + d)) AS kmin,
                   least(a + b, a + c) AS kmax,
-                  least(greatest(((a + b) + 1) * ((a + c) + 1) // (n + 2),
+                  least(greatest(CAST((CAST(a + b AS HUGEINT) + 1) * ((a + c) + 1)
+                                      // (n + 2) AS BIGINT),
                                  greatest(0, (a + c) - (c + d))),
                         least(a + b, a + c)) AS kmode
            FROM cells

@@ -648,17 +648,29 @@ object DistDrift {
             * lit(width), 6)).as("w1"))
   }
 
-  def ks(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
+  /** Shared two-sample pooled-CDF ladder ([[ks]] / [[cramerVonMises]] /
+    * [[andersonDarling]]): per-distinct-value source counts c1/c2,
+    * cumulative a1/a2 and broadcast totals n1/n2 — one union scan, one
+    * value-keyed groupBy, bucketed prefix sums ([[withPrefixSums]],
+    * never a single-task window). The single place the ladder's
+    * null-filter and cast discipline lives. */
+  private def pooledCdf(oldDf: DataFrame, newDf: DataFrame,
+      valCol: String): DataFrame = {
     val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
       .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
       .where(col("v").isNotNull)
     val perValue = tagged.groupBy(col("v"))
       .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
     val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
-    val cum = withPrefixSums(perValue, Seq("c1", "c2"))
-      .select(col("v"), (col("c1_below") + col("c1")).as("a1"),
+    withPrefixSums(perValue, Seq("c1", "c2"))
+      .select(col("v"), col("c1"), col("c2"),
+        (col("c1_below") + col("c1")).as("a1"),
         (col("c2_below") + col("c2")).as("a2"))
       .crossJoin(broadcast(totals))
+  }
+
+  def ks(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
+    val cum = pooledCdf(oldDf, newDf, valCol)
       .withColumn("num", abs(col("a1") * col("n2") - col("a2") * col("n1")))
     cum.orderBy(col("num").desc, col("v").asc).limit(1)
       .select(
@@ -695,18 +707,8 @@ object DistDrift {
    */
   def cramerVonMises(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
-      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
-      .where(col("v").isNotNull)
-    val perValue = tagged.groupBy(col("v"))
-      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-    val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
     val num = (col("a1") * col("n2") - col("a2") * col("n1")).cast("decimal(19,0)")
-    val terms = withPrefixSums(perValue, Seq("c1", "c2"))
-      .select(col("c1"), col("c2"),
-        (col("c1_below") + col("c1")).as("a1"),
-        (col("c2_below") + col("c2")).as("a2"))
-      .crossJoin(broadcast(totals))
+    val terms = pooledCdf(oldDf, newDf, valCol)
       .select(col("n1"), col("n2"),
         ((col("c1") + col("c2")).cast("decimal(19,0)") * (num * num))
           .cast(dec).as("__t"))
@@ -752,23 +754,13 @@ object DistDrift {
   def andersonDarling(oldDf: DataFrame, newDf: DataFrame,
       valCol: String): DataFrame = {
     val decS = "decimal(38,12)"
-    val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
-      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
-      .where(col("v").isNotNull)
-    val perValue = tagged.groupBy(col("v"))
-      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-    val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
     val nTot = col("n1") + col("n2")
     val l = col("c1") + col("c2")
     val p = lit(2L) * (col("a1") + col("a2")) - l
     val q = lit(2L) * col("a1") - col("c1")
     val num = (nTot * q - col("n1") * p).cast("decimal(19,0)")
     val den = p * (lit(2L) * nTot - p) - nTot * l
-    val terms = withPrefixSums(perValue, Seq("c1", "c2"))
-      .select(col("c1"), col("c2"),
-        (col("c1_below") + col("c1")).as("a1"),
-        (col("c2_below") + col("c2")).as("a2"))
-      .crossJoin(broadcast(totals))
+    val terms = pooledCdf(oldDf, newDf, valCol)
       .select(col("n1"), col("n2"),
         when(den > 0,
           round((l.cast("decimal(19,0)") * (num * num)).cast("decimal(38,0)")

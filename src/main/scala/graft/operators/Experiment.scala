@@ -2097,8 +2097,13 @@ object Experiment {
         "instrument; use mantelHaenszel/eValue (χ² regime) at this scale")
     // mode of the hypergeometric — floor((r1+1)(c1+1)/(n+2)), clamped
     // (the clamp is a no-op mathematically; it pins the degenerate
-    // n=0 row to the single-point support)
-    val kmode = math.min(math.max((r1 + 1L) * (c1 + 1L) / (n + 2L), kmin), kmax)
+    // n=0 row to the single-point support). BigInt: the product wraps
+    // Long at huge balanced margins that still pass the support gate
+    // (r1 ≈ c1 ≈ n with tiny r2), which would anchor the recurrence in
+    // a far tail where the >1 ratios overflow decimal(13,12) to NULL
+    val kmode = math.min(math.max(
+      ((BigInt(r1) + 1) * (BigInt(c1) + 1) / (BigInt(n) + 2)).toLong,
+      kmin), kmax)
     val decW = "decimal(13,12)"
     val one = BigDecimal(1).setScale(12)
     val emptyKw = array().cast("array<struct<k:bigint,w:decimal(13,12)>>")

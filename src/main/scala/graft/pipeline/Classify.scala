@@ -51,7 +51,10 @@ object Classify {
     val base = docs.select(col(idCol).as("id"),
         col(labelCol).cast("string").as("y"),
         whitespaceTokens(lower(col(textCol))).as("ws"))
-      .where(col("id").isNotNull && col("y").isNotNull)
+      // NULL-text docs are excluded UP FRONT (not silently dropped at the
+      // explode): they would otherwise count into the class priors but
+      // never score, breaking "confusion mass == test doc count"
+      .where(col("id").isNotNull && col("y").isNotNull && col("ws").isNotNull)
       .withColumn("is_train", Sampling.sampledFlag(col("id"), trainFrac, salt))
     val classes = base.where(col("is_train")).groupBy(col("y"))
       .agg(count(lit(1)).as("n_docs"))
@@ -84,10 +87,18 @@ object Classify {
           / (col("tot") + col("v")).cast("double")), 12).cast(decS).as("t"),
         round(log(col("n_docs").cast("double")
           / col("n_train").cast("double")), 12).cast(decS).as("prior"))
+    // the argmax key must keep the FULL 12dp scale: a naive
+    // `sum + max` lands in Spark's precision-loss lane (decimal(38,11))
+    // and `* -1` would cut further to 6dp, while the DuckDB twin never
+    // reduces scale — so both operands cast to decimal(25,12) first
+    // (score magnitude < 10¹³ for any corpus that fits in storage:
+    // ≥ −30 per token), making the add exact at (26,12), and the
+    // negation is type-preserving unary minus
     val perClass = terms.groupBy(col("id"), col("y"), col("cls"))
-      .agg((sum(col("t")) + max(col("prior"))).as("score"))
+      .agg((sum(col("t")).cast("decimal(25,12)")
+        + max(col("prior")).cast("decimal(25,12)")).as("score"))
     val pred = perClass.groupBy(col("id"), col("y"))
-      .agg(min(struct((col("score") * lit(-1)).as("ns"),
+      .agg(min(struct((-col("score")).as("ns"),
         col("cls").as("cls"))).as("best"))
       .select(col("y").as("label"), col("best.cls").as("predicted"))
     pred.groupBy(col("label"), col("predicted"))
@@ -147,7 +158,10 @@ object Classify {
       .otherwise(lit(0.0))
     val agg0 = per.agg(count(lit(1)).as("k"),
       sum(col("row_n")).as("nn"), sum(col("tp")).as("diag"),
-      sum((col("row_n") * col("col_n")).cast("decimal(38,0)")).as("pe_s"),
+      // decimal BEFORE the multiply — a Long product wraps silently past
+      // ~3e9-row margins while the HUGEINT oracle stays exact
+      sum(col("row_n").cast("decimal(19,0)") * col("col_n").cast("decimal(19,0)"))
+        .as("pe_s"),
       sum(prec.cast(decS)).as("p_s"), sum(rec.cast(decS)).as("r_s"),
       sum(f1.cast(decS)).as("f_s"))
     val n2 = (col("nn").cast("decimal(19,0)") * col("nn").cast("decimal(19,0)"))
