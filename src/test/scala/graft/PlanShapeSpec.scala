@@ -141,4 +141,34 @@ class PlanShapeSpec extends SparkSpec {
       daily, "g", "t", "units"), allowScalarBnl = false)
     assert(b3.isEmpty, b3.mkString("; "))
   }
+
+  test("cvm / andersonDarling / naiveBayes / dtw / mst plans: no cartesian, " +
+      "no unpartitioned window (scalar/broadcast BNLs allowed)") {
+    // the pooledCdf ladder exists precisely to avoid the single-task
+    // window; the 1-row totals / |C|-row class tables ride as broadcast
+    // nested loops by design
+    val a = (1 to 40).map(i => (i % 7).toDouble).toDF("v")
+    val b = (1 to 40).map(i => (i % 5).toDouble).toDF("v")
+    val b1 = offenders(graft.operators.DistDrift.cramerVonMises(a, b, "v"),
+      allowScalarBnl = true)
+    assert(b1.isEmpty, b1.mkString("; "))
+    val b2 = offenders(graft.operators.DistDrift.andersonDarling(a, b, "v"),
+      allowScalarBnl = true)
+    assert(b2.isEmpty, b2.mkString("; "))
+    val docs = ((0 until 10).map(i => (i.toLong, "apple pear", "f"))
+      ++ (10 until 20).map(i => (i.toLong, "dog cat", "a")))
+      .toDF("doc_id", "text", "lab")
+    val b4 = offenders(graft.pipeline.Classify.naiveBayes(
+      docs, "doc_id", "text", "lab", trainFrac = 0.5), allowScalarBnl = true)
+    assert(b4.isEmpty, b4.mkString("; "))
+    val s1 = (0 until 8).map(i => (i.toLong, (i % 3).toLong)).toDF("t", "x")
+    val b5 = offenders(graft.operators.TimeSeries.dtw(s1, s1, "t", "x"),
+      allowScalarBnl = true)
+    assert(b5.isEmpty, b5.mkString("; "))
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "d", 1L))
+      .toDF("s", "d", "w")
+    val b6 = offenders(graft.operators.GraphOps.mst(edges, "s", "d", "w"),
+      allowScalarBnl = true)
+    assert(b6.isEmpty, b6.mkString("; "))
+  }
 }
