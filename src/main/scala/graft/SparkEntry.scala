@@ -5801,10 +5801,11 @@ object SparkEntry {
     import graft.pipeline.Sampling.cutHex
     s"""WITH base AS (
            SELECT doc_id AS id, CAST(lang AS VARCHAR) AS y,
-                  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws,
+                  list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS ws,
                   substring(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 8) < '${cutHex(0.8)}' AS is_train
            FROM documents
            WHERE doc_id IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL
+             AND len(ws) > 0
          ), toks AS (
            SELECT id, y, is_train, unnest(ws) AS w FROM base
          ), classes AS (

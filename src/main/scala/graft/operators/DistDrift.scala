@@ -648,6 +648,35 @@ object DistDrift {
             * lit(width), 6)).as("w1"))
   }
 
+  /** DECIMAL(38,0) exactness ceilings for the pooled-CDF ladder's
+    * integer sums, derived in the [[cramerVonMises]] / [[andersonDarling]]
+    * Scaladoc: CvM's worst-case term mass N·(n1·n2)² ≤ N⁵/16 stays under
+    * 10³⁸ to N ≈ 4.3·10⁷ pooled rows; A²'s l·(2N²)² ≤ 4N⁵ to N ≈ 3·10⁷.
+    * Past the ceiling a per-value decimal term silently NULLs in Spark's
+    * default non-ANSI mode and `sum` drops it — a confidently WRONG
+    * non-NULL statistic — so both operators probe the pooled row count
+    * and REFUSE above these bounds (the probe-then-refuse discipline:
+    * maxN / maxClasses / maxSupport / maxCells everywhere else on the
+    * shelf), directing callers to [[ksBinned]]-style binning, which this
+    * ladder's tie-exact definitions make lossless per bin. */
+  val CvmMaxPooled: Long = 40000000L
+  val AdMaxPooled: Long = 20000000L
+
+  /** One cheap union-count probe with the ladder's exact null/cast
+    * discipline (cast-to-double THEN null-filter, so unparseable
+    * strings don't count) — runs before any heavy ladder work. */
+  private def requirePooledUnder(oldDf: DataFrame, newDf: DataFrame,
+      valCol: String, ceiling: Long, what: String): Unit = {
+    val n = oldDf.select(col(valCol).cast("double").as("v"))
+      .unionByName(newDf.select(col(valCol).cast("double").as("v")))
+      .where(col("v").isNotNull).count()
+    require(n <= ceiling,
+      s"$what: $n pooled rows exceed the exact-integer ceiling $ceiling " +
+        "(DECIMAL(38,0) term mass would overflow and silently NULL-drop) " +
+        "— bin first (ksBinned's declared-bounds discipline; each bin is " +
+        "one big tie and this statistic is already tie-exact)")
+  }
+
   /** Shared two-sample pooled-CDF ladder ([[ks]] / [[cramerVonMises]] /
     * [[andersonDarling]]): per-distinct-value source counts c1/c2,
     * cumulative a1/a2 and broadcast totals n1/n2 — one union scan, one
@@ -696,8 +725,9 @@ object DistDrift {
    * are absent. Exactness: (a1·n2 − a2·n1) is an exact long (to
    * n1·n2 < 2⁶³); its square is DECIMAL(19,0)² and the w-weighted Σ a
    * DECIMAL(38,0) — the worst-case bound N·(n1·n2)² ≤ N⁵/16 stays under
-   * 10³⁸ to N ≈ 4·10⁷ pooled rows; beyond that bin first (the
-   * [[ksBinned]] declared-bounds discipline
+   * 10³⁸ to N ≈ 4·10⁷ pooled rows; the ceiling is ENFORCED (pooled rows
+   * probed and refused above `maxPooled`, default [[CvmMaxPooled]]) —
+   * beyond it bin first (the [[ksBinned]] declared-bounds discipline
    * applies verbatim: each bin is one big tie, and this definition
    * already treats ties exactly). Doubles appear only in the two
    * published one-divide ratios. Plan: one union scan → distinct-value
@@ -705,7 +735,9 @@ object DistDrift {
    * single-task window) → one 1-row agg; totals broadcast.
    * Output: one row (cvm_t, omega2, n_old, n_new), 6dp.
    */
-  def cramerVonMises(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
+  def cramerVonMises(oldDf: DataFrame, newDf: DataFrame, valCol: String,
+      maxPooled: Long = CvmMaxPooled): DataFrame = {
+    requirePooledUnder(oldDf, newDf, valCol, maxPooled, "cramerVonMises")
     val dec = "decimal(38,0)"
     val num = (col("a1") * col("n2") - col("a2") * col("n1")).cast("decimal(19,0)")
     val terms = pooledCdf(oldDf, newDf, valCol)
@@ -744,15 +776,18 @@ object DistDrift {
    * the pooled maximum, where both CDFs are 1) vanish by definition and
    * are skipped identically on both engines. Each term is one double
    * divide of exact integers (numerator DECIMAL(38,0) — the worst-case
-   * l·(2N²)² ≤ 4N⁵ stays under 10³⁸ to N ≈ 2·10⁷ pooled rows; bin
-   * first beyond that: each bin is one big tie and
+   * l·(2N²)² ≤ 4N⁵ stays under 10³⁸ to N ≈ 2·10⁷ pooled rows; the
+   * ceiling is ENFORCED (pooled rows probed and refused above
+   * `maxPooled`, default [[AdMaxPooled]]) — bin first beyond that:
+   * each bin is one big tie and
    * this definition is already tie-exact), 12dp-rounded and
    * DECIMAL-summed; identical samples read exactly 0. Same plan as
    * [[ks]]: union scan → distinct-value groupBy → bucketed prefix sums
    * → one 1-row agg. Output: (ad_a2, n_old, n_new), 6dp.
    */
   def andersonDarling(oldDf: DataFrame, newDf: DataFrame,
-      valCol: String): DataFrame = {
+      valCol: String, maxPooled: Long = AdMaxPooled): DataFrame = {
+    requirePooledUnder(oldDf, newDf, valCol, maxPooled, "andersonDarling")
     val decS = "decimal(38,12)"
     val nTot = col("n1") + col("n2")
     val l = col("c1") + col("c2")

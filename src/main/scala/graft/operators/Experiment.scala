@@ -2118,12 +2118,18 @@ object Experiment {
               array(struct(k.as("k"), nw.as("w")))).as("out"))
         },
         acc => acc.getField("out"))
+    // each factor casts to double BEFORE the multiply: a Long×Long
+    // product wraps at extreme margins that still pass the support gate
+    // (the same overflow family the kmode anchor was moved to BigInt
+    // for), while each factor alone is ≤ n ≪ 2⁵³ so the double product
+    // rounds once — identical to the exact product in the non-wrapping
+    // regime, finite instead of garbage past it
     def ratioUp(k: Column): Column =
-      ((lit(r1) - k + 1L) * (lit(c1) - k + 1L)).cast("double") /
-        (k * (lit(r2) - lit(c1) + k)).cast("double")
+      ((lit(r1) - k + 1L).cast("double") * (lit(c1) - k + 1L).cast("double")) /
+        (k.cast("double") * (lit(r2) - lit(c1) + k).cast("double"))
     def ratioDown(k: Column): Column =
-      ((k + 1L) * (lit(r2) - lit(c1) + k + 1L)).cast("double") /
-        ((lit(r1) - k) * (lit(c1) - k)).cast("double")
+      ((k + 1L).cast("double") * (lit(r2) - lit(c1) + k + 1L).cast("double")) /
+        ((lit(r1) - k).cast("double") * (lit(c1) - k).cast("double"))
     val upKs = if (kmax > kmode) sequence(lit(kmode + 1), lit(kmax))
       else array().cast("array<bigint>")
     val downKs = if (kmin < kmode) sequence(lit(kmode - 1), lit(kmin), lit(-1L))
@@ -2145,8 +2151,10 @@ object Experiment {
         .otherwise(lit(0).cast(decS))).as("s_right"))
     sums.select(lit(n).as("n"), lit(a).as("a"), lit(b).as("b"),
       lit(c).as("c"), lit(d).as("d"), lit(support).as("support"),
-      (if (b * c > 0)
-        round(lit(a * d).cast("double") / lit(b * c).cast("double"), 6)
+      // same factor-wise double discipline as ratioUp/ratioDown: a·d and
+      // b·c are Long products of unbounded cell counts
+      (if (b > 0 && c > 0)
+        round(lit(a.toDouble * d.toDouble) / lit(b.toDouble * c.toDouble), 6)
       else lit(null).cast("double")).as("odds_ratio"),
       round(col("s_le").cast("double") / col("s_all").cast("double"), 6)
         .as("p_two"),

@@ -1096,10 +1096,20 @@ object TimeSeries {
       val s = df.select(col(tCol).cast("long").as("t"),
           col(unitsCol).cast("long").as("x"))
         .where(col("t").isNotNull && col("x").isNotNull)
-      val n = s.count()
+      // one probe row carries BOTH contract gates: the O(m·n) size cap
+      // and bucket uniqueness — duplicate t values would survive the
+      // sort_array(collect_list) as extra series points, silently
+      // changing n and the distance (and the (t,x) secondary sort makes
+      // the order value-dependent), so they refuse loudly instead
+      val probe = s.agg(count(lit(1)), countDistinct(col("t"))).head()
+      val n = probe.getLong(0)
       require(n <= maxN,
         s"dtw: series $name has $n buckets > maxN=$maxN — the DP is " +
           "O(m·n) by definition; bucket coarser first")
+      require(n == probe.getLong(1),
+        s"dtw: series $name has duplicate $tCol buckets ($n rows, " +
+          s"${probe.getLong(1)} distinct) — DTW is defined on a SERIES; " +
+          "aggregate to one value per bucket first (resample)")
       s.agg(expr("transform(sort_array(collect_list(struct(t, x))), " +
         "e -> e.x)").as(name))
     }
@@ -1159,10 +1169,16 @@ object TimeSeries {
       val s = df.select(col(tCol).cast("long").as("t"),
           col(unitsCol).cast("long").as("x"))
         .where(col("t").isNotNull && col("x").isNotNull)
-      val n = s.count()
+      // same two contract gates as [[dtw]]'s arr, one probe row
+      val probe = s.agg(count(lit(1)), countDistinct(col("t"))).head()
+      val n = probe.getLong(0)
       require(n <= maxN,
         s"dtwBanded: series $name has $n buckets > maxN=$maxN — bucket " +
           "coarser first")
+      require(n == probe.getLong(1),
+        s"dtwBanded: series $name has duplicate $tCol buckets ($n rows, " +
+          s"${probe.getLong(1)} distinct) — aggregate to one value per " +
+          "bucket first (resample)")
       (n, s.agg(expr("transform(sort_array(collect_list(struct(t, x))), " +
         "e -> e.x)").as(name)))
     }

@@ -41,7 +41,10 @@ object Classify {
    * scoring work. Output: the test-split confusion matrix
    * (label, predicted, n_docs) ordered — rows sum to the test doc
    * count; labels absent from train appear as rows but never as
-   * predictions.
+   * predictions. Docs with NULL text or no tokens after whitespace
+   * splitting (empty / whitespace-only) are excluded from BOTH splits
+   * up front — they carry no evidence and would otherwise pollute the
+   * class priors (train) or score as a phantom empty token (test).
    */
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, trainFrac: Double = 0.8, salt: String = "nb",
@@ -50,11 +53,16 @@ object Classify {
       s"trainFrac must be in (0,1): $trainFrac")
     val base = docs.select(col(idCol).as("id"),
         col(labelCol).cast("string").as("y"),
-        whitespaceTokens(lower(col(textCol))).as("ws"))
-      // NULL-text docs are excluded UP FRONT (not silently dropped at the
-      // explode): they would otherwise count into the class priors but
-      // never score, breaking "confusion mass == test doc count"
-      .where(col("id").isNotNull && col("y").isNotNull && col("ws").isNotNull)
+        // split("", "\\s+") yields [""] — a PHANTOM token that would
+        // count into V and every posterior, so zero-length tokens are
+        // removed at tokenization (mirrored in the DuckDB oracle)
+        array_remove(whitespaceTokens(lower(col(textCol))), "").as("ws"))
+      // NULL-text AND tokenless (empty / whitespace-only) docs are
+      // excluded UP FRONT (not silently dropped at the explode): they
+      // would otherwise count into the class priors but never score,
+      // breaking "confusion mass == test doc count"
+      .where(col("id").isNotNull && col("y").isNotNull &&
+        col("ws").isNotNull && size(col("ws")) > 0)
       .withColumn("is_train", Sampling.sampledFlag(col("id"), trainFrac, salt))
     val classes = base.where(col("is_train")).groupBy(col("y"))
       .agg(count(lit(1)).as("n_docs"))
@@ -118,8 +126,13 @@ object Classify {
    * (pe = 1, κ undefined). Per-class precision = tp/col, recall =
    * tp/row, F1 = 2tp/(2tp+fp+fn) (the single-divide harmonic form, not
    * a composition of rounded P and R); a class never predicted takes
-   * precision/F1 = 0 (the sklearn zero_division=0 convention, stated
-   * rather than silently NaN). Macro means are 12dp-rounded per-class
+   * precision/F1 = 0 (stated, rather than silently NaN — the spirit of
+   * sklearn's zero_division=0, NOT sklearn-equivalent: sklearn's macro
+   * average runs over the UNION of true and predicted labels, while
+   * here macro means run over the LABEL (row) classes only — a
+   * predicted-only class affects κ's chance term pe but is excluded
+   * from n_classes and the macro sums, by declared contract). Macro
+   * means are 12dp-rounded per-class
    * terms DECIMAL-summed over the LABEL classes, one divide by k.
    * Plan: the confusion relation is |labels|·|preds|-bounded BY
    * CONSTRUCTION, so it is probe-refused above `maxCells` and pinned

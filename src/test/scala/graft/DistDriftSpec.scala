@@ -119,6 +119,32 @@ class DistDriftSpec extends SparkSpec {
       .getAs[Double]("ad_a2") == 21.536029)
   }
 
+  test("cvm / andersonDarling: pooled-row exactness ceiling refuses loudly") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    val b = (51 to 100).map(_.toDouble).toDF("v")
+    // past the DECIMAL(38,0) ceiling the term sum would silently
+    // NULL-drop — the probe refuses BEFORE any ladder work instead
+    val e1 = intercept[IllegalArgumentException] {
+      DistDrift.cramerVonMises(a, b, "v", maxPooled = 99L)
+    }
+    assert(e1.getMessage.contains("cramerVonMises")
+      && e1.getMessage.contains("bin first"))
+    val e2 = intercept[IllegalArgumentException] {
+      DistDrift.andersonDarling(a, b, "v", maxPooled = 99L)
+    }
+    assert(e2.getMessage.contains("andersonDarling")
+      && e2.getMessage.contains("bin first"))
+    // the probe counts with the ladder's own null/cast discipline:
+    // NULL values don't count toward the ceiling, so exactly-at passes
+    // and the statistic is unchanged by the null padding
+    val bNulls = ((51 to 100).map(v => Some(v.toDouble)) :+ None).toDF("v")
+    val r = DistDrift.cramerVonMises(a, bNulls, "v", maxPooled = 100L).head()
+    assert(r.getAs[Double]("cvm_t") == 8.335
+      && r.getAs[Long]("n_new") == 50L)
+    assert(DistDrift.andersonDarling(a, bNulls, "v", maxPooled = 100L)
+      .head().getAs[Double]("ad_a2") == 38.749806)
+  }
+
   test("welchT: hand moments; equal groups give t 0; constant groups NULL t") {
     // A=[1,2,3]: mean 2, s2 1; B=[5,7]: mean 6, s2 2
     val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 5L), ("B", 7L))

@@ -1946,6 +1946,15 @@ class PipelineSpec extends SparkSpec {
         maxClasses = 4)
     }
     assert(ex.getMessage.contains("class"))
+    // empty- and whitespace-only-text docs are EXCLUDED like NULL text:
+    // no phantom "" token into V, no prior pollution, no unscoreable
+    // test doc — the confusion matrix is byte-identical with them added
+    val padded = docs.unionByName(Seq((100L, "", "fruit"),
+      (101L, "   \t ", "animal")).toDF("doc_id", "text", "lab"))
+    val cmP = graft.pipeline.Classify
+      .naiveBayes(padded, "doc_id", "text", "lab", trainFrac = 0.5).collect()
+    assert(cmP.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == cm.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
   }
 
   test("confusionMetrics: hand 3-class matrix, zero-division, kappa NULL") {

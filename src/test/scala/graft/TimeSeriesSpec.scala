@@ -478,6 +478,14 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.dtw(s(Seq(1L, 2L, 3L)), a, "t", "x", maxN = 2)
     }
     assert(ex.getMessage.contains("maxN"))
+    // duplicate bucket timestamps are NOT a series — they would survive
+    // the sort as extra points (value-dependent order) and silently
+    // change n and the distance, so they refuse loudly
+    val dup = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("t", "x")
+    val ed = intercept[IllegalArgumentException] {
+      TimeSeries.dtw(dup, a, "t", "x")
+    }
+    assert(ed.getMessage.contains("duplicate"))
   }
 
   test("dtwBanded: band 0 = aligned L1, band 1 recovers exact, guards") {
@@ -501,5 +509,11 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.dtwBanded(s(Seq(1L, 2L, 3L, 4L)), s(Seq(1L)), "t", "x", 1)
     }
     assert(ex.getMessage.contains("band"))
+    // same unique-bucket contract as dtw
+    val dup = Seq((0L, 1L), (0L, 2L)).toDF("t", "x")
+    val ed = intercept[IllegalArgumentException] {
+      TimeSeries.dtwBanded(dup, s(Seq(1L, 2L)), "t", "x", 2)
+    }
+    assert(ed.getMessage.contains("duplicate"))
   }
 }
