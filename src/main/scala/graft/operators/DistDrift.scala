@@ -662,19 +662,27 @@ object DistDrift {
   val CvmMaxPooled: Long = 40000000L
   val AdMaxPooled: Long = 20000000L
 
-  /** One cheap union-count probe with the ladder's exact null/cast
-    * discipline (cast-to-double THEN null-filter, so unparseable
-    * strings don't count) — runs before any heavy ladder work. */
-  private def requirePooledUnder(oldDf: DataFrame, newDf: DataFrame,
-      valCol: String, ceiling: Long, what: String): Unit = {
-    val n = oldDf.select(col(valCol).cast("double").as("v"))
-      .unionByName(newDf.select(col(valCol).cast("double").as("v")))
-      .where(col("v").isNotNull).count()
-    require(n <= ceiling,
-      s"$what: $n pooled rows exceed the exact-integer ceiling $ceiling " +
-        "(DECIMAL(38,0) term mass would overflow and silently NULL-drop) " +
-        "— bin first (ksBinned's declared-bounds discipline; each bin is " +
-        "one big tie and this statistic is already tie-exact)")
+  /** One 1-row probe with the ladder's exact null/cast discipline
+    * (cast-to-double THEN null-filter, so unparseable strings don't
+    * count), refusing above `ceiling` BEFORE any heavy ladder work —
+    * and returning (n1, n2) so the caller can inject them as literals,
+    * REPLACING the ladder's broadcast-totals subtree: the probe's scan
+    * pays for the scan the totals agg no longer runs, so enforcement
+    * costs zero net work. */
+  private def probePooledTotals(oldDf: DataFrame, newDf: DataFrame,
+      valCol: String, ceiling: Long, what: String): (Long, Long) = {
+    val r = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
+      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
+      .where(col("v").isNotNull)
+      .agg(sum(col("s1")), sum(col("s2"))).head()
+    val n1 = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val n2 = if (r.isNullAt(1)) 0L else r.getLong(1)
+    require(n1 + n2 <= ceiling,
+      s"$what: ${n1 + n2} pooled rows exceed the exact-integer ceiling " +
+        s"$ceiling (DECIMAL(38,0) term mass would overflow and silently " +
+        "NULL-drop) — bin first (ksBinned's declared-bounds discipline; " +
+        "each bin is one big tie and this statistic is already tie-exact)")
+    (n1, n2)
   }
 
   /** Shared two-sample pooled-CDF ladder ([[ks]] / [[cramerVonMises]] /
@@ -688,14 +696,26 @@ object DistDrift {
     val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
       .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
       .where(col("v").isNotNull)
+    val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
+    pooledCounts(oldDf, newDf, valCol).crossJoin(broadcast(totals))
+  }
+
+  /** The ladder's per-value core — counts c1/c2 and cumulatives a1/a2,
+    * WITHOUT the totals: [[ks]] joins the lazy broadcast-totals agg
+    * ([[pooledCdf]]); the ceiling-enforced members ([[cramerVonMises]] /
+    * [[andersonDarling]]) inject their probe's (n1, n2) as literals
+    * instead, so enforcement replaces — not duplicates — that subtree. */
+  private def pooledCounts(oldDf: DataFrame, newDf: DataFrame,
+      valCol: String): DataFrame = {
+    val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
+      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
+      .where(col("v").isNotNull)
     val perValue = tagged.groupBy(col("v"))
       .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
-    val totals = tagged.agg(sum(col("s1")).as("n1"), sum(col("s2")).as("n2"))
     withPrefixSums(perValue, Seq("c1", "c2"))
       .select(col("v"), col("c1"), col("c2"),
         (col("c1_below") + col("c1")).as("a1"),
         (col("c2_below") + col("c2")).as("a2"))
-      .crossJoin(broadcast(totals))
   }
 
   def ks(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
@@ -732,15 +752,18 @@ object DistDrift {
    * already treats ties exactly). Doubles appear only in the two
    * published one-divide ratios. Plan: one union scan → distinct-value
    * groupBy → bucketed prefix sums ([[withPrefixSums]], never a
-   * single-task window) → one 1-row agg; totals broadcast.
-   * Output: one row (cvm_t, omega2, n_old, n_new), 6dp.
+   * single-task window) → one 1-row agg; n1/n2 arrive as LITERALS from
+   * the ceiling probe, which thereby replaces (not duplicates) the
+   * totals subtree. Output: one row (cvm_t, omega2, n_old, n_new), 6dp.
    */
   def cramerVonMises(oldDf: DataFrame, newDf: DataFrame, valCol: String,
       maxPooled: Long = CvmMaxPooled): DataFrame = {
-    requirePooledUnder(oldDf, newDf, valCol, maxPooled, "cramerVonMises")
+    val (pn1, pn2) =
+      probePooledTotals(oldDf, newDf, valCol, maxPooled, "cramerVonMises")
     val dec = "decimal(38,0)"
     val num = (col("a1") * col("n2") - col("a2") * col("n1")).cast("decimal(19,0)")
-    val terms = pooledCdf(oldDf, newDf, valCol)
+    val terms = pooledCounts(oldDf, newDf, valCol)
+      .withColumn("n1", lit(pn1)).withColumn("n2", lit(pn2))
       .select(col("n1"), col("n2"),
         ((col("c1") + col("c2")).cast("decimal(19,0)") * (num * num))
           .cast(dec).as("__t"))
@@ -783,11 +806,13 @@ object DistDrift {
    * this definition is already tie-exact), 12dp-rounded and
    * DECIMAL-summed; identical samples read exactly 0. Same plan as
    * [[ks]]: union scan → distinct-value groupBy → bucketed prefix sums
-   * → one 1-row agg. Output: (ad_a2, n_old, n_new), 6dp.
+   * → one 1-row agg — with n1/n2 as probe-injected literals, as in
+   * [[cramerVonMises]]. Output: (ad_a2, n_old, n_new), 6dp.
    */
   def andersonDarling(oldDf: DataFrame, newDf: DataFrame,
       valCol: String, maxPooled: Long = AdMaxPooled): DataFrame = {
-    requirePooledUnder(oldDf, newDf, valCol, maxPooled, "andersonDarling")
+    val (pn1, pn2) =
+      probePooledTotals(oldDf, newDf, valCol, maxPooled, "andersonDarling")
     val decS = "decimal(38,12)"
     val nTot = col("n1") + col("n2")
     val l = col("c1") + col("c2")
@@ -795,7 +820,8 @@ object DistDrift {
     val q = lit(2L) * col("a1") - col("c1")
     val num = (nTot * q - col("n1") * p).cast("decimal(19,0)")
     val den = p * (lit(2L) * nTot - p) - nTot * l
-    val terms = pooledCdf(oldDf, newDf, valCol)
+    val terms = pooledCounts(oldDf, newDf, valCol)
+      .withColumn("n1", lit(pn1)).withColumn("n2", lit(pn2))
       .select(col("n1"), col("n2"),
         when(den > 0,
           round((l.cast("decimal(19,0)") * (num * num)).cast("decimal(38,0)")

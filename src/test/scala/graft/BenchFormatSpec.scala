@@ -21,30 +21,59 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line fits the driver tail window with worst-case values") {
-    // 99.99 is a per-query worst case with margin: the heaviest query on
-    // record (q111) runs ~15 s; a 100 s single query would itself be a
-    // regression caught elsewhere. 3x today's query count: the slowest-60
-    // cut must keep the line bounded regardless of growth.
+    // 3x today's query count at a 99.99 s worst case: the dense qv shape
+    // cannot fit, so the line must FALL BACK to the bounded slowest-60
+    // map and stay under budget regardless of growth
     val results = (names ++ (500 until 500 + 2 * names.size)
       .map(i => s"q${i}_synthetic")).map(_ -> 99.99)
     val line = BenchFormat.formatCompact(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
     assert(
-      line.length <= 1900,
+      line.length <= BenchFormat.CompactBudget,
       s"compact bench line is ${line.length} bytes at ${results.size} queries — " +
         "over the 1900-byte budget (2000-byte driver tail minus sbt trailer).")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("qv") == null && node.get("queries").size == 60)
   }
 
-  test("compact line keeps the slowest queries and totals ALL of them") {
-    val results = (1 to 100).map(i => (f"q$i%03d_x", if (i <= 70) 0.1 else 5.0))
+  test("compact line is SELF-CONTAINED at the real query count: dense qv " +
+      "in query-number order, within budget") {
+    // every registered query at a plausible heavy reading (2.5 s — the
+    // real suite averages ~1.1 s/q even in hot windows) must still take
+    // the dense shape: the per-round driver artifact carries ALL entries
+    val results = names.map(_ -> 2.5)
+    val line = BenchFormat.formatCompact(results, "/root/testdata/sf0.1",
+      ctlFactors = Seq(1.38, 1.29), flag2x = Some(0))
+    assert(line.length <= BenchFormat.CompactBudget,
+      s"dense compact line is ${line.length} bytes at ${names.size} queries")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("qv").size == names.size)
+    assert(node.get("qv_order").asText == "qnum_asc")
+    assert(node.get("qv").get(0).asInt == 250) // centiseconds
+    assert(node.get("ctl").get(0).asDouble == 1.38)
+    assert(node.get("f2x").asInt == 0)
+    // order contract: qv(i) is the i-th query by ascending number — spot
+    // check with distinct values keyed off the number itself
+    val varied = names.map(n =>
+      n -> (BenchFormat.shortKey(n).drop(1).toInt / 100.0))
+    val vNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(BenchFormat.formatCompact(varied, "sf"))
+    val sortedNums = names.map(n => BenchFormat.shortKey(n).drop(1).toInt).sorted
+    assert(vNode.get("qv").get(0).asInt == sortedNums.head)
+    assert(vNode.get("qv").get(names.size - 1).asInt == sortedNums.last)
+  }
+
+  test("compact fallback keeps the slowest queries and totals ALL of them") {
+    // force the fallback with a huge synthetic suite
+    val results = (1 to 1000).map(i => (f"q$i%04d_x", if (i <= 970) 0.1 else 5.0))
     val line = BenchFormat.formatCompact(results, "sf", keep = 30)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-    assert(node.get("n").asInt == 100)
+    assert(node.get("n").asInt == 1000)
     assert(node.get("queries").size == 30)
     // every kept entry is one of the 5.0 s slow queries
     val it = node.get("queries").fields()
     while (it.hasNext) assert(it.next().getValue.asDouble == 5.0)
-    assert(math.abs(node.get("value").asDouble - (70 * 0.1 + 30 * 5.0)) < 1e-6)
+    assert(math.abs(node.get("value").asDouble - (970 * 0.1 + 30 * 5.0)) < 1e-4)
   }
 
   test("compact line is valid JSON with the contract fields") {
@@ -59,14 +88,13 @@ class BenchFormatSpec extends AnyFunSuite {
     val r2 = BenchFormat.formatCompact(results, "sf", reps = 2)
     val r2node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r2)
     assert(r2node.get("reps").asInt == 2)
-    val qs = node.get("queries")
-    assert(qs.size == 2)
-    assert(math.abs(qs.get("q01").asDouble - 1.2) < 1e-9)
-    assert(math.abs(qs.get("q100").asDouble - 0.5) < 1e-9)
-    // adaptive precision: >= ~10 s renders whole seconds
-    val slow = BenchFormat.formatCompact(Seq("q01_filter_range" -> 12.34), "sf")
-    val slowNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(slow)
-    assert(math.abs(slowNode.get("queries").get("q01").asDouble - 12.0) < 1e-9)
+    // small suites take the dense shape: qv in query-number order
+    val qv = node.get("qv")
+    assert(qv.size == 2)
+    assert(qv.get(0).asInt == 123) // q01 -> 1.234 s -> 123 centisec
+    assert(qv.get(1).asInt == 50)  // q100 -> 0.5 s
+    // ctl/f2x absent when normalization never ran (no canonical)
+    assert(node.get("ctl") == null && node.get("f2x") == null)
   }
 
   test("full line keeps full names and 3-decimal grain") {
@@ -76,6 +104,32 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(math.abs(node.get("queries").get("q01_filter_range").asDouble - 1.235) < 1e-9)
     assert(node.get("reps").asInt == 2)
     assert(node.get("sf").asText == "/root/testdata/sf0.1")
+  }
+
+  test("full line carries the mechanized adjudication fields: control " +
+      "factors, normalized ratios, and flag2x (empty != absent)") {
+    val results = Seq("q01_filter_range" -> 1.0, "q02_filter_in_like" -> 3.0)
+    val line = BenchFormat.formatFull(results, "sf0.1", 2, "32",
+      ctlQueries = Seq("q19_count", "q183_ks_test"),
+      ctlFactors = Seq(1.382, 1.291),
+      normalized = Seq("q02_filter_in_like" -> 2.52, "q01_filter_range" -> 0.98),
+      flag2x = Seq("q02_filter_in_like"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("controls").get("queries").get(0).asText == "q19_count")
+    assert(node.get("controls").get("factors").get(1).asDouble == 1.291)
+    assert(node.get("normalized").get("q01_filter_range").asDouble == 0.98)
+    assert(node.get("normalized").get("q02_filter_in_like").asDouble == 2.52)
+    assert(node.get("flag2x").get(0).asText == "q02_filter_in_like")
+    // normalization ran but flagged nothing -> flag2x is PRESENT and []
+    val clean = BenchFormat.formatFull(results, "sf0.1", 2, "32",
+      normalized = Seq("q01_filter_range" -> 0.98), flag2x = Nil)
+    val cn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(clean)
+    assert(cn.get("flag2x") != null && cn.get("flag2x").size == 0)
+    // no canonical -> no adjudication fields at all
+    val bare = BenchFormat.formatFull(results, "sf0.1", 2, "32")
+    val bn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bare)
+    assert(bn.get("controls") == null && bn.get("normalized") == null
+      && bn.get("flag2x") == null)
   }
 
   test("failed queries are named in the full record and counted compactly") {
