@@ -84,7 +84,7 @@ object BenchFormat {
   def formatCompact(results: Seq[(String, Double)], sfDir: String,
       keep: Int = 60, reps: Int = 1, reruns: Int = 0,
       failed: Int = 0, ctlFactors: Seq[Double] = Nil,
-      flag2x: Option[Int] = None): String = {
+      flag2x: Option[Seq[String]] = None): String = {
     val keys = results.map { case (k, _) => shortKey(k) }
     require(keys.distinct.size == keys.size, "short query keys collide")
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -92,7 +92,14 @@ object BenchFormat {
     val fl = if (failed == 0) "" else s""","failed":$failed"""
     val ctl = if (ctlFactors.isEmpty) ""
       else ctlFactors.map(fmt(_, 2)).mkString(""","ctl":[""", ",", "]")
-    val f2 = flag2x.fold("")(n => s""","f2x":$n""")
+    // ">2x normalized" flags are NAMED in the driver artifact (empty !=
+    // absent); short keys, first 8 — a longer list means the window, not
+    // the code, and the full names live in the full record
+    val f2 = flag2x.fold("") { names =>
+      s""","f2x":${names.size}""" + (if (names.isEmpty) ""
+        else names.sorted.take(8).map("\"" + shortKey(_) + "\"")
+          .mkString(""","f2xq":[""", ",", "]"))
+    }
     val head = s""""metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","n":${results.size},"reps":$reps$rr$fl$ctl$f2"""
     val dense = {
       val byNum = results.sortBy { case (k, _) => shortKey(k).drop(1).toInt }
@@ -344,7 +351,7 @@ object Bench {
     println(BenchFormat.formatCompact(results, sfDir, reps = reps,
       reruns = adjudicated.size, failed = neverSucceeded.size,
       ctlFactors = ctlFactors,
-      flag2x = if (normalized.isEmpty) None else Some(flag2x.size)))
+      flag2x = if (normalized.isEmpty) None else Some(flag2x)))
     System.out.flush()
     spark.stop()
   }

@@ -27,6 +27,30 @@ import org.apache.spark.sql.functions._
  *    dedup/ANN-centric; relational scaling is Catalyst's well-measured
  *    territory).
  *
+ * FIXTURE PROFILE (arg 6, "rehearsal" | "suite"): the default
+ * "rehearsal" profile is the ADVERSARIAL twin — 1e7 key steps push
+ * events user ids past q178's declared bitmap domain [0, 65536) (the
+ * refusal fires, BY CONTRACT), customer copies densify q273's fixed
+ * 50-square plane toward its n² pair mass, and hash-geometry
+ * embeddings degenerate every ANN partition scheme's recall
+ * (q33/q55/q91). Those five NAMED failures are the documentation of
+ * WHY this profile exists (BASELINE.md round-15 sf1 sweep). "suite"
+ * is the PRODUCTION-SHAPED rehearsal the full 405-query sweep can read
+ * green on:
+ *  - events copies shift user_id DENSELY (step = max user id + 1, so
+ *    x10 of TESTDATA's 1,500 users tops out at 15,000 — inside the
+ *    declared bitmap domain; a production audience bitmap is
+ *    domain-sized by definition); event_id keeps the sparse step
+ *    (uniqueness is its only contract);
+ *  - customer is treated as a DIMENSION (copied through unchanged) and
+ *    orders shift only o_orderkey, so o_custkey keeps pointing at real
+ *    customers — per-customer fan-out grows ×copies, the same declared
+ *    "fixed dimension under a growing fact table" regime supplier/part
+ *    already use. q273's 50-square plane keeps its calibrated
+ *    occupancy (the plane is sized to the customer table the gate
+ *    declares, exactly as the bitmap is sized to its id domain);
+ *  - pair with geometry=clustered for the ANN recall contracts.
+ *
  * Embedding GEOMETRY (arg 4, "hash" | "clustered"): hash-random vectors
  * are near-ISOTROPIC — the adversarial regime where ANY partition scheme's
  * recall degenerates to the fraction scanned (BASELINE.md standing
@@ -82,6 +106,10 @@ object ScaleGen {
         knownGroups.toSeq.sorted.mkString(", "))
     def tables(t: String): Boolean = wanted == "all" || wantedSet.contains(t)
 
+    val profile = args.lift(5).getOrElse("rehearsal")
+    require(Seq("rehearsal", "suite").contains(profile),
+      s"fixture profile must be rehearsal|suite: $profile")
+
     if (tables("dims")) for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -97,11 +125,16 @@ object ScaleGen {
     // and grow range-join pair mass quadratically.
     if (tables("events")) {
       val evs = spark.read.parquet(s"$base/events.parquet")
+      // suite profile: DENSE user steps keep the scaled id domain
+      // bitmap-sized (see the profile Scaladoc); event_id only needs
+      // uniqueness so it keeps the sparse step in both profiles
+      val userStep = if (profile == "suite")
+        evs.agg(max(col("user_id"))).head().getLong(0) + 1L else idStep
       (0 until copies).map { k =>
         if (k == 0) evs
         else evs
           .withColumn("event_id", col("event_id") + lit(k * idStep))
-          .withColumn("user_id", col("user_id") + lit(k * idStep))
+          .withColumn("user_id", col("user_id") + lit(k * userStep))
       }.reduce(_ unionByName _)
         .repartition(8)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
@@ -113,9 +146,13 @@ object ScaleGen {
     // (shifted ids land on the same residue classes with the same
     // densities). Foreign keys shift together so join fan-out per key is
     // UNCHANGED — the honest linear regime, never a densified join.
+    // suite profile: customer is a DIMENSION (unscaled, like supplier/
+    // part) and orders keep o_custkey pointing at it — per-customer
+    // fan-out grows ×copies instead of the customer-keyed fixture
+    // planes densifying (see the profile Scaladoc)
     if (tables("customer")) {
       val cust = spark.read.parquet(s"$base/customer.parquet")
-      (0 until copies).map { k =>
+      (0 until (if (profile == "suite") 1 else copies)).map { k =>
         if (k == 0) cust
         else cust.withColumn("c_custkey", col("c_custkey") + lit(k * idStep))
       }.reduce(_ unionByName _)
@@ -127,9 +164,12 @@ object ScaleGen {
       val ords = spark.read.parquet(s"$base/orders.parquet")
       (0 until copies).map { k =>
         if (k == 0) ords
-        else ords
-          .withColumn("o_orderkey", col("o_orderkey") + lit(k * idStep))
-          .withColumn("o_custkey", col("o_custkey") + lit(k * idStep))
+        else {
+          val shifted = ords
+            .withColumn("o_orderkey", col("o_orderkey") + lit(k * idStep))
+          if (profile == "suite") shifted
+          else shifted.withColumn("o_custkey", col("o_custkey") + lit(k * idStep))
+        }
       }.reduce(_ unionByName _)
         .repartition(8)
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
@@ -189,7 +229,7 @@ object ScaleGen {
       spark.read.parquet(s"$out/documents.parquet").count() else -1L
     val embN = if (tables("embeddings"))
       spark.read.parquet(s"$out/embeddings.parquet").count() else -1L
-    println(s"""{"scaled":"$out","copies":$copies,"geometry":"$geometry","documents":$docN,"embeddings":$embN}""")
+    println(s"""{"scaled":"$out","copies":$copies,"geometry":"$geometry","profile":"$profile","documents":$docN,"embeddings":$embN}""")
     spark.stop()
   }
 

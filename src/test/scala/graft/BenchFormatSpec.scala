@@ -43,7 +43,7 @@ class BenchFormatSpec extends AnyFunSuite {
     // the dense shape: the per-round driver artifact carries ALL entries
     val results = names.map(_ -> 2.5)
     val line = BenchFormat.formatCompact(results, "/root/testdata/sf0.1",
-      ctlFactors = Seq(1.38, 1.29), flag2x = Some(0))
+      ctlFactors = Seq(1.38, 1.29), flag2x = Some(Nil))
     assert(line.length <= BenchFormat.CompactBudget,
       s"dense compact line is ${line.length} bytes at ${names.size} queries")
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
@@ -51,7 +51,14 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("qv_order").asText == "qnum_asc")
     assert(node.get("qv").get(0).asInt == 250) // centiseconds
     assert(node.get("ctl").get(0).asDouble == 1.38)
-    assert(node.get("f2x").asInt == 0)
+    assert(node.get("f2x").asInt == 0 && node.get("f2xq") == null)
+    // nonempty flags are NAMED with short keys, bounded at 8
+    val flagged = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      BenchFormat.formatCompact(results, "sf",
+        flag2x = Some(Seq("q101_shared_spans", "q39_count_distinct"))))
+    assert(flagged.get("f2x").asInt == 2)
+    assert(flagged.get("f2xq").get(0).asText == "q101")
+    assert(flagged.get("f2xq").get(1).asText == "q39")
     // order contract: qv(i) is the i-th query by ascending number — spot
     // check with distinct values keyed off the number itself
     val varied = names.map(n =>

@@ -28,10 +28,17 @@ def main():
     assert not bad, f"short/garbled query keys (compact record?): {bad[:5]}"
     q_old = can["queries"]
     q_new = rec["queries"]
+    # "pinned" queries carry a deliberately NON-min canonical (e.g.
+    # q301's suite-context floor, re-based r16: its selective-calm min
+    # is a different measurable quantity) — the min-merge must not
+    # silently undo a documented re-base; re-pinning is a hand edit.
+    pinned = set(can.get("pinned", []))
     added = improved = unchanged = 0
     out = dict(q_old)
     for k, v in q_new.items():
-        if k not in out:
+        if k in pinned:
+            unchanged += 1
+        elif k not in out:
             out[k] = v; added += 1
         elif v < out[k]:
             out[k] = v; improved += 1
