@@ -119,6 +119,73 @@ object BenchFormat {
   }
 }
 
+/** The mechanized co-tenant adjudication math, factored out of Bench.main
+  * as PURE functions so BenchFormatSpec can pin the contract (the
+  * IterCaps discipline: a mechanism the verdict reads every round must
+  * not live as untestable inline script logic).
+  *
+  * Model: each bench pass is one weather window. A pass's control
+  * factor is the MEDIAN ratio-to-canonical of the in-run control
+  * queries — four stable, 5+-round-untouched queries spanning plan
+  * families (hash agg / two-sample CDF ladder / overhead-bound scan /
+  * heavy shuffle). A query's normalized ratio divides each pass's raw
+  * ratio by that pass's factor FLOORED AT 1 (weather may only be
+  * EXCUSED, never blamed onto a raw-in-band query — so every
+  * normalized flag is also a raw flag) and takes the min across
+  * passes; burst-guard reruns join at factor 1 (no in-window control
+  * exists for the rerun tail, so a rerun only counts when raw-in-band). */
+object BenchAdjudicate {
+  val controlQueries: Seq[String] =
+    Seq("q07_agg_groupby", "q183_ks_test", "q19_count", "q65_jaccard_pairs")
+
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty")
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** One pass's weather factor: median over controls that RAN and
+    * SUCCEEDED in the pass and carry a positive canonical. None below
+    * two usable controls — a one-control median is just that control's
+    * own noise, worse than no normalization. */
+  def controlFactor(pass: Seq[(String, (Double, Boolean))],
+      canonical: Map[String, Double],
+      controls: Seq[String] = controlQueries): Option[Double] = {
+    val rs = controls.flatMap { c =>
+      pass.find(_._1 == c).map(_._2).collect {
+        case (t, true) if canonical.get(c).exists(_ > 0) => t / canonical(c) }
+    }
+    if (rs.size >= 2) Some(median(rs)) else None
+  }
+
+  /** Per-query best weather-adjusted ratio-to-canonical (see object
+    * doc); queries without a positive canonical publish no entry. */
+  def normalizedRatios(passes: Seq[Seq[(String, (Double, Boolean))]],
+      factors: Seq[Option[Double]], canonical: Map[String, Double],
+      rerunTimes: Map[String, Double]): Seq[(String, Double)] = {
+    val names = passes.headOption.map(_.map(_._1)).getOrElse(Nil)
+    names.flatMap { name =>
+      canonical.get(name).filter(_ > 0).flatMap { can =>
+        val passReads = passes.zip(factors).flatMap { case (pass, fOpt) =>
+          pass.find(_._1 == name).map(_._2).collect { case (t, true) =>
+            t / (can * math.max(1.0, fOpt.getOrElse(1.0))) } }
+        val all = passReads ++ rerunTimes.get(name).map(_ / can)
+        if (all.isEmpty) None else Some(name -> all.min)
+      }
+    }
+  }
+
+  /** The mechanical flag list: still > 2x canonical AFTER weather
+    * adjustment, at >= 1 s published absolute (sub-second readings
+    * cannot distort the total and flap on scheduler jitter). */
+  def flag2x(normalized: Seq[(String, Double)],
+      results: Map[String, Double]): Seq[String] =
+    normalized.collect {
+      case (name, r) if r > 2.0 && results.getOrElse(name, 0.0) >= 1.0 => name
+    }.sorted
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -255,45 +322,15 @@ object Bench {
       name -> rerunTimes.get(name).fold(t)(math.min(t, _)) }
     // In-run control protocol, MECHANIZED (three rounds of verdicts
     // hand-adjudicated co-tenant windows in prose; the controls were
-    // measured every window but never recorded). Controls: four stable,
-    // 5+-round-untouched queries spanning plan families — overhead-bound
-    // scan, hash agg, the two-sample CDF ladder, heavy shuffle. Per
-    // pass, factor = MEDIAN(control time / canonical): the window's
-    // measured co-tenant load. A query's normalized ratio divides its
-    // per-pass raw ratio by that pass's factor FLOORED AT 1 —
-    // normalization may only excuse a slow window, never flag a query
-    // whose raw reading is in-band — and takes the min across passes
-    // (reruns join at factor 1: an adjudication re-measurement has no
-    // in-window control, so it only counts when raw-in-band).
-    val controlQueries =
-      Seq("q07_agg_groupby", "q183_ks_test", "q19_count", "q65_jaccard_pairs")
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    val ctlFactorOpts: Seq[Option[Double]] = passes.map { pass =>
-      val rs = controlQueries.flatMap { c =>
-        pass.find(_._1 == c).map(_._2).collect {
-          case (t, true) if canonical.get(c).exists(_ > 0) =>
-            t / canonical(c) }
-      }
-      if (rs.size >= 2) Some(median(rs)) else None
-    }
+    // measured every window but never recorded). The math lives in
+    // [[BenchAdjudicate]] — pure, spec-pinned.
+    val ctlFactorOpts: Seq[Option[Double]] =
+      passes.map(BenchAdjudicate.controlFactor(_, canonical))
     ctlFactorOpts.zipWithIndex.foreach { case (f, i) =>
       f.foreach(v => System.err.println(f"[bench] pass ${i + 1} control factor $v%.2f")) }
-    val normalized: Seq[(String, Double)] = measured.flatMap { case (name, _) =>
-      canonical.get(name).filter(_ > 0).flatMap { can =>
-        val passReads = passes.zip(ctlFactorOpts).flatMap { case (pass, fOpt) =>
-          pass.find(_._1 == name).map(_._2).collect { case (t, true) =>
-            t / (can * math.max(1.0, fOpt.getOrElse(1.0))) } }
-        val all = passReads ++ rerunTimes.get(name).map(_ / can)
-        if (all.isEmpty) None else Some(name -> all.min)
-      }
-    }
-    val resultMap = results.toMap
-    val flag2x: Seq[String] = normalized.collect {
-      case (name, r) if r > 2.0 && resultMap(name) >= 1.0 => name }.sorted
+    val normalized = BenchAdjudicate.normalizedRatios(
+      passes, ctlFactorOpts, canonical, rerunTimes)
+    val flag2x = BenchAdjudicate.flag2x(normalized, results.toMap)
     if (normalized.nonEmpty)
       System.err.println(s"[bench] >2x-normalized at >=1s: " +
         (if (flag2x.isEmpty) "none" else flag2x.mkString(", ")))
@@ -308,7 +345,8 @@ object Bench {
     val ctlFactors = ctlFactorOpts.flatten
     val fullLine = BenchFormat.formatFull(results, sfDir, reps, cpus,
       adjudicated, neverSucceeded,
-      ctlQueries = if (ctlFactors.isEmpty) Nil else controlQueries,
+      ctlQueries = if (ctlFactors.isEmpty) Nil
+        else BenchAdjudicate.controlQueries,
       ctlFactors = ctlFactors, normalized = normalized, flag2x = flag2x)
     println(fullLine)
     System.out.flush()

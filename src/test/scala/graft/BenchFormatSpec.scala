@@ -154,6 +154,56 @@ class BenchFormatSpec extends AnyFunSuite {
       .get("failed") == null)
   }
 
+  test("adjudication math: control factor is the median of usable controls, " +
+      "None below two") {
+    import BenchAdjudicate._
+    val can = Map("q07_agg_groupby" -> 0.5, "q183_ks_test" -> 1.0,
+      "q19_count" -> 0.1, "q65_jaccard_pairs" -> 4.0)
+    // ratios 2.0, 1.5, 3.0, 1.25 -> median (1.5+2.0)/2 = 1.75
+    val pass = Seq("q07_agg_groupby" -> (1.0, true), "q183_ks_test" -> (1.5, true),
+      "q19_count" -> (0.3, true), "q65_jaccard_pairs" -> (5.0, true),
+      "q999_other" -> (9.9, true))
+    assert(controlFactor(pass, can) == Some(1.75))
+    // a FAILED control and a control with no canonical are excluded
+    val partial = Seq("q07_agg_groupby" -> (1.0, false),
+      "q183_ks_test" -> (2.0, true), "q19_count" -> (0.2, true))
+    assert(controlFactor(partial, can) == Some(2.0)) // median(2.0, 2.0)
+    // below two usable controls: None (a one-control median is just
+    // that control's own noise)
+    assert(controlFactor(Seq("q183_ks_test" -> (2.0, true)), can).isEmpty)
+    assert(controlFactor(pass, Map.empty).isEmpty)
+  }
+
+  test("adjudication math: normalization floors the factor at 1, takes the " +
+      "min across passes, reruns join at factor 1, flags need >=1s") {
+    import BenchAdjudicate._
+    val can = Map("q10_x" -> 1.0, "q11_y" -> 2.0)
+    // pass 1 hot (factor 2.0), pass 2 COLD (factor 0.5 -> floored to 1)
+    val passes = Seq(
+      Seq("q10_x" -> (3.0, true), "q11_y" -> (9.0, true)),
+      Seq("q10_x" -> (2.6, true), "q11_y" -> (8.0, true)))
+    val factors = Seq(Some(2.0), Some(0.5))
+    val norm = normalizedRatios(passes, factors, can, Map.empty).toMap
+    // q10: min(3.0/(1*2.0), 2.6/(1*1.0)) = 1.5 — the floor keeps the
+    // cold pass from INFLATING the ratio (2.6/0.5 would read 5.2)
+    assert(norm("q10_x") == 1.5)
+    // q11: min(9/(2*2), 8/(2*1)) = 2.25 — still flagged after weather
+    assert(norm("q11_y") == 2.25)
+    val flags = flag2x(norm.toSeq, Map("q10_x" -> 2.6, "q11_y" -> 8.0))
+    assert(flags == Seq("q11_y"))
+    // a rerun at factor 1 can clear the flag: raw-in-band wins
+    val norm2 = normalizedRatios(passes, factors, can, Map("q11_y" -> 3.9)).toMap
+    assert(norm2("q11_y") == 1.95)
+    assert(flag2x(norm2.toSeq, Map("q11_y" -> 3.9)).isEmpty)
+    // the >=1s absolute floor: a sub-second result never flags
+    assert(flag2x(Seq("q10_x" -> 9.9), Map("q10_x" -> 0.9)).isEmpty)
+    // failed runs contribute no reading; no canonical -> no entry
+    val withFail = normalizedRatios(
+      Seq(Seq("q10_x" -> (0.1, false), "q12_z" -> (5.0, true))),
+      Seq(Some(1.0)), can, Map.empty)
+    assert(withFail.isEmpty)
+  }
+
   test("gate invariant: every declared query has an oracle and vice versa " +
       "(a missing entry would silently become a no_oracle driver row)") {
     val q = SparkEntry.queries.keySet
