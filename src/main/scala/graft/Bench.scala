@@ -40,7 +40,8 @@ object BenchFormat {
       failed: Seq[String] = Nil,
       ctlQueries: Seq[String] = Nil, ctlFactors: Seq[Double] = Nil,
       normalized: Seq[(String, Double)] = Nil,
-      flag2x: Seq[String] = Nil): String = {
+      flag2x: Seq[String] = Nil,
+      passTimes: Seq[Seq[(String, Double)]] = Nil): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val rr = if (reruns.isEmpty) ""
@@ -62,7 +63,18 @@ object BenchFormat {
     // "nothing flagged" must be distinguishable at a glance
     val f2 = if (normalized.isEmpty) ""
       else flag2x.sorted.map("\"" + _ + "\"").mkString(""","flag2x":[""", ",", "]")
-    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"$rr$fl$ctl$nm$f2}"""
+    // per-pass centisecond arrays (qv convention: ascending query
+    // number; -1 = failed run) so warm-vs-cold effects are READABLE
+    // from the record — min-of-N publishes the warm number when passes
+    // share staged inputs (the sf1 graph family: 9.4 s cold build,
+    // 0.10 s memo-warm reuse), and without the pass data that
+    // artifact is invisible
+    val pv = if (passTimes.isEmpty) ""
+      else passTimes.map(_.sortBy { case (k, _) =>
+          shortKey(k).drop(1).toInt }
+        .map { case (_, v) => if (v < 0) "-1" else math.round(v * 100).toString }
+        .mkString("[", ",", "]")).mkString(""","pv_order":"qnum_asc","pv_unit":"centisec","pv":[""", ",", "]")
+    s"""{"metric":"total","value":${fmt(results.map(_._2).sum, 3)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"cpus":"$cpus"$rr$fl$ctl$nm$f2$pv}"""
   }
 
   /** The driver keeps the last 2000 stdout bytes; sbt appends a ~80-byte
@@ -347,7 +359,9 @@ object Bench {
       adjudicated, neverSucceeded,
       ctlQueries = if (ctlFactors.isEmpty) Nil
         else BenchAdjudicate.controlQueries,
-      ctlFactors = ctlFactors, normalized = normalized, flag2x = flag2x)
+      ctlFactors = ctlFactors, normalized = normalized, flag2x = flag2x,
+      passTimes = passes.map(_.map { case (n, (t, ok)) =>
+        n -> (if (ok) t else -1.0) }))
     println(fullLine)
     System.out.flush()
     // Self-recording: ALSO persist the full record to target/bench.json

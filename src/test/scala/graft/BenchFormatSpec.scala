@@ -136,7 +136,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val bare = BenchFormat.formatFull(results, "sf0.1", 2, "32")
     val bn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bare)
     assert(bn.get("controls") == null && bn.get("normalized") == null
-      && bn.get("flag2x") == null)
+      && bn.get("flag2x") == null && bn.get("pv") == null)
+    // per-pass times: qnum-ascending centiseconds, -1 for a failed run —
+    // warm-vs-cold (staging-memo) effects stay READABLE from the record
+    val withPasses = BenchFormat.formatFull(results, "sf0.1", 2, "32",
+      passTimes = Seq(
+        Seq("q02_filter_in_like" -> 9.4, "q01_filter_range" -> 1.0),
+        Seq("q02_filter_in_like" -> 0.1, "q01_filter_range" -> -1.0)))
+    val pn = new com.fasterxml.jackson.databind.ObjectMapper().readTree(withPasses)
+    assert(pn.get("pv_order").asText == "qnum_asc")
+    assert(pn.get("pv").get(0).get(0).asInt == 100)  // q01 pass 1
+    assert(pn.get("pv").get(0).get(1).asInt == 940)  // q02 pass 1 (cold)
+    assert(pn.get("pv").get(1).get(0).asInt == -1)   // q01 pass 2 failed
+    assert(pn.get("pv").get(1).get(1).asInt == 10)   // q02 pass 2 (warm)
   }
 
   test("failed queries are named in the full record and counted compactly") {
