@@ -125,7 +125,16 @@ object PlanAudit {
       "q393_cox_stratified", // stratum-partitioned windows; bounded aggs
       "q394_embedding_top2", // ONE n·d² cell agg; d²-bounded collect
       "q395_nominal_assoc", // ONE r×c cell agg; driver effect sizes
-      "q396_c_index") // per-time suffix sums; ONE pair-arithmetic agg
+      "q396_c_index", // per-time suffix sums; ONE pair-arithmetic agg
+      "q397_betweenness_pivots", // pivot-filtered s-keyed legs; ≤180-node collect
+      "q398_cvm_test", // pooled-CDF ladder → ONE 1-row agg; totals are probe LITERALS (no crossJoin)
+      "q399_fisher_exact", // ONE 2×2 probe agg; weight chain on a 1-row relation
+      "q400_naive_bayes", // token-keyed count shuffles; |C|-bounded maps; broadcast class table
+      "q401_anderson_darling", // q398's ladder, tail-weighted terms, same literal totals
+      "q402_classifier_metrics", // |C|²-bounded pinned confusion; margin aggs on local rows
+      "q403_dtw", // two maxN-probed collect_lists; whole DP = ONE nested codegen fold
+      "q404_mst", // Borůvka rounds: min-edge aggs + CC merges, per-round lineage cuts
+      "q405_dtw_banded") // padded constant-width band rows; same fold shape as q403
     show.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
