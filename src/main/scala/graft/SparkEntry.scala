@@ -1540,7 +1540,11 @@ object SparkEntry {
         .coalesce(1).write.mode("append").parquet(base + "/feed")
       parts.filterNot(f => phase1Names.contains(f.getName))
         .foreach(f => { f.setLastModified(t0 + 600000L): Unit })
-      val stream = s.readStream.schema(p1.schema)
+      // stream runs in a state-sized session (StreamTuning Scaladoc: the
+      // 32-partition default pays ~32 fsyncs of state delta per batch for
+      // tiny state — measured 6-17x of the whole batch)
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(p1.schema)
         .option("maxFilesPerTrigger", "1").parquet(base + "/feed")
       val q = Dedup.dedupStreamHashes(stream, "ph_hi", "ph_lo", "ts",
           watermark = "6 hours", maxHamming = 2, blocks = 4)
@@ -1549,7 +1553,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q111_image_stream_dedup: stream did not finish in 120 s")
-      s.table("q111_hashdedup_mem").orderBy("media_id")
+      ss.table("q111_hashdedup_mem").orderBy("media_id")
     }),
     "q117_bm25_search" -> ((s, dir) => {
       // lexical retrieval: Okapi BM25 (Lucene idf variant) over the
@@ -1691,7 +1695,8 @@ object SparkEntry {
       val base = tmpDir("q211")
       val li = eng(s, dir).table("lineitem").select(col("l_orderkey"))
       li.write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(li.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(li.schema).parquet(base + "/feed")
       val regs = DistinctSketch.hllRegistersMd5(
         stream.withColumn("g", lit("ALL")), Seq("g"),
         DistinctSketch.md5Hash(col("l_orderkey")))
@@ -1700,7 +1705,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q211_hll_stream: streaming query did not finish within 120 s")
-      DistinctSketch.hllEstimate(s.table("q211_hll_mem"), Seq("g"))
+      DistinctSketch.hllEstimate(ss.table("q211_hll_mem"), Seq("g"))
         .withColumnRenamed("g", "grp").orderBy("grp")
     }),
     "q212_readability" -> ((s, dir) => {
@@ -2073,7 +2078,8 @@ object SparkEntry {
         .distinct()
         .where(pmod(col("i"), lit(11)) =!= 3)
       daily.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(daily.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(daily.schema).parquet(base + "/feed")
         .as[(String, Long)]
       val q = graft.streaming.Stateful.gapAlarms(stream).toDF()
         .writeStream.format("memory").queryName("q328_gaps_mem")
@@ -2081,7 +2087,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val fin = q.awaitTermination(120000); q.stop()
       require(fin, "q328_stream_gaps: streaming query did not finish within 120 s")
-      s.table("q328_gaps_mem").orderBy("key", "gap_start")
+      ss.table("q328_gaps_mem").orderBy("key", "gap_start")
     }),
     "q321_coverage" -> ((s, dir) => {
       // did any event type silently lose days: per-type calendar
@@ -2272,7 +2278,8 @@ object SparkEntry {
         .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
           .as("x"))
       daily.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(daily.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(daily.schema).parquet(base + "/feed")
         .select(col("key"), timestamp_seconds(col("t")).as("ts"), col("x"))
         .as[(String, java.sql.Timestamp, Long)]
       val q = graft.streaming.Stateful.ewmaAlarms(stream, k = 3).toDF()
@@ -2281,7 +2288,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val fin = q.awaitTermination(120000); q.stop()
       require(fin, "q287_stream_ewma: streaming query did not finish within 120 s")
-      s.table("q287_ewma_mem")
+      ss.table("q287_ewma_mem")
         .select(col("key"), col("ts").cast("long").as("t"), col("x"),
           col("pred"), col("dev"), col("alarm"))
         .orderBy("key", "t")
@@ -2412,7 +2419,8 @@ object SparkEntry {
       val ev = eng(s, dir).table("events").where(col("value").isNotNull)
         .select(col("ts"), col("value"))
       ev.write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(ev.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(ev.schema).parquet(base + "/feed")
       val binOf = (d: org.apache.spark.sql.DataFrame) => d
         .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
         .withColumn("bin", least(lit(63L), expr("cents div 1000")))
@@ -2423,7 +2431,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val fin = q.awaitTermination(120000); q.stop()
       require(fin, "q277_stream_drift: streaming query did not finish within 120 s")
-      val perKey = s.table("q277_drift_mem")
+      val perKey = ss.table("q277_drift_mem")
         .select(col("w.start").cast("long").as("k"), col("bin"),
           col("count").as("c"))
       val ref = binOf(ev.toDF()).groupBy(col("bin")).agg(count(lit(1)).as("c"))
@@ -3071,7 +3079,8 @@ object SparkEntry {
         .select(col("event_type"),
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
       ev.write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(ev.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(ev.schema).parquet(base + "/feed")
       val agg = stream.groupBy(col("event_type"))
         .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n"))
       val q = agg.writeStream.format("memory").queryName("q231_lb_mem")
@@ -3079,7 +3088,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q231_stream_leaderboard: did not finish within 120 s")
-      s.table("q231_lb_mem")
+      ss.table("q231_lb_mem")
         .orderBy(col("revenue_cents").desc, col("event_type")).limit(5)
     }),
     "q230_id3_scrub" -> ((s, dir) => {
@@ -3603,7 +3612,8 @@ object SparkEntry {
       b1.coalesce(1).write.mode("overwrite").parquet(feed)
       MaterializedViews.cdcFeed(v1, v2, "o_orderkey", cols)
         .coalesce(1).write.mode("append").parquet(feed)
-      val stream = s.readStream.schema(b1.schema)
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
       val q = MaterializedViews.maintainStream(stream, mvPath,
           Seq("o_orderpriority"), Seq("price"))
@@ -3823,9 +3833,10 @@ object SparkEntry {
       ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("t").as("purchase_t"))
         .write.mode("overwrite").parquet(base + "/purchases")
-      val clicks = s.readStream
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val clicks = ss.readStream
         .schema("user_id LONG, click_t TIMESTAMP").parquet(base + "/clicks")
-      val purchases = s.readStream
+      val purchases = ss.readStream
         .schema("user_id LONG, purchase_t TIMESTAMP").parquet(base + "/purchases")
       val q = graft.streaming.IntervalJoin.stream(
           clicks, purchases, "user_id", "click_t", "purchase_t",
@@ -3837,7 +3848,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q154_stream_join: streaming query did not finish within 120 s")
-      s.table("q154_join_mem").orderBy("user_id", "click_s", "purchase_s")
+      ss.table("q154_join_mem").orderBy("user_id", "click_s", "purchase_s")
     }),
     "q240_acf" -> ((s, dir) => {
       // exact autocorrelation (lags 1..7) of the daily revenue series per
@@ -4675,7 +4686,8 @@ object SparkEntry {
       val base = tmpDir("q84")
       val docs = eng(s, dir).table("documents").select(col("doc_id"), col("text"))
       docs.write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(docs.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(docs.schema).parquet(base + "/feed")
       val filtered = TextAnalysis.repetitionSignals(stream, "doc_id", "text")
         .where(col("dup_word_frac") <= 0.5 && col("top_bigram_frac") <= 0.04)
         .select(col("doc_id"), col("n_tokens"))
@@ -4683,7 +4695,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q84_stream_quality: streaming query did not finish within 120 s")
-      s.table("q84_quality_mem").orderBy("doc_id")
+      ss.table("q84_quality_mem").orderBy("doc_id")
     }),
     "q66_dedup_stream" -> ((s, dir) => {
       // streaming firehose dedup end-to-end: the corpus plays TWICE
@@ -4702,7 +4714,8 @@ object SparkEntry {
         .unionByName(docs.select(col("text"),
           (at(col("doc_id")) + expr("INTERVAL 2000 SECONDS")).as("ts")))
       feed.write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(feed.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(feed.schema).parquet(base + "/feed")
       val q = Dedup.dedupStream(stream, "text", "ts", watermark = "6 hours")
         .select(graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"))
         .writeStream.format("memory").queryName("q66_dedup_mem")
@@ -4711,7 +4724,7 @@ object SparkEntry {
       // memory sink against the oracle — fail loud instead of flaky-red
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q66_dedup_stream: streaming query did not finish within 120 s")
-      s.table("q66_dedup_mem").orderBy("fp")
+      ss.table("q66_dedup_mem").orderBy("fp")
     }),
     "q88_dedup_stream_near" -> ((s, dir) => {
       // streaming NEAR-dup end-to-end: the corpus replays twice through a
@@ -4748,7 +4761,8 @@ object SparkEntry {
         .coalesce(1).write.mode("append").parquet(base + "/feed")
       parts.filterNot(f => phase1Names.contains(f.getName))
         .foreach(f => { f.setLastModified(t0 + 600000L): Unit })
-      val stream = s.readStream.schema(p1.schema)
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(p1.schema)
         .option("maxFilesPerTrigger", "1").parquet(base + "/feed")
       val q = Dedup.dedupStreamNear(stream, "text", "ts", watermark = "6 hours",
           shingleN = 3, k = 12, bands = 4, oracleHash = true)
@@ -4757,7 +4771,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val finished = q.awaitTermination(120000); q.stop()
       require(finished, "q88_dedup_stream_near: streaming query did not finish within 120 s")
-      s.table("q88_neardup_mem").orderBy("doc_id")
+      ss.table("q88_neardup_mem").orderBy("doc_id")
     }),
     "q46_delete_preview" -> ((s, dir) => {
       // delete-by-condition as the pure anti-filter preview
@@ -4955,7 +4969,8 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd").as("t"))
         .agg(count(lit(1)).as("x"))
       daily.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
-      val stream = s.readStream.schema(daily.schema).parquet(base + "/feed")
+      val ss = streaming.StreamTuning.sizedSession(s)
+      val stream = ss.readStream.schema(daily.schema).parquet(base + "/feed")
         .as[(String, String, Long)]
       val q = graft.streaming.Stateful.phAlarms(stream,
           lambdaMicro = 30000000L).toDF()
@@ -4964,7 +4979,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       val fin = q.awaitTermination(120000); q.stop()
       require(fin, "q350_ph_stream: streaming query did not finish within 120 s")
-      s.table("q350_ph_mem").orderBy("key", "t")
+      ss.table("q350_ph_mem").orderBy("key", "t")
     }),
     "q351_kwic" -> ((s, dir) => {
       // keyword-in-context concordance for 'merge': ±3-token windows,

@@ -19,7 +19,20 @@ import org.apache.spark.sql.functions._
  * state size is maximal ≈ bands·docs keys); a production corpus with
  * real duplicate mass carries strictly less state.
  *
+ * The per-batch record also carries Spark's own duration BREAKDOWN
+ * (queryPlanning / addBatch / walCommit / commitOffsets / latestOffset)
+ * and the state operators' commit times, so the "orchestration floor"
+ * is a decomposition, not a single opaque number — WHICH fixed cost
+ * dominates (incremental re-planning, state-store commits, offset-log
+ * fsyncs, or the work itself) is readable off the line. arg 4 sets
+ * `spark.sql.shuffle.partitions` (= state-store partition count, fixed
+ * at checkpoint creation): comparing partitions=32 vs 4 at the same
+ * batch size measures how much of the floor is per-partition state
+ * machinery — the sizing lever DEPLOY.md's streaming recipe exposes
+ * for real clusters (state partitions sized to state, not defaulted).
+ *
  * Usage: runMain graft.StreamScale [batchRows] [batches] [tokensPerDoc]
+ *   [shufflePartitions]
  * Prints ONE JSON line: per-batch durations (ms) in batch order.
  */
 object StreamScale {
@@ -27,9 +40,10 @@ object StreamScale {
     val batchRows = args.lift(0).map(_.toInt).getOrElse(2500)
     val batches = args.lift(1).map(_.toInt).getOrElse(16)
     val tokens = args.lift(2).map(_.toInt).getOrElse(40)
+    val shufflePartitions = args.lift(3).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -64,17 +78,27 @@ object StreamScale {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     val finished = q.awaitTermination(600000)
     require(finished, "streamscale: query did not finish within 600 s")
+    // durationMs keys vary by phase; missing → 0 so rows stay rectangular
+    val phases = Seq("triggerExecution", "queryPlanning", "addBatch",
+      "walCommit", "commitOffsets", "latestOffset")
     val prog = q.recentProgress.toSeq
       .filter(_.numInputRows > 0)
-      .map(p => (p.batchId, p.durationMs.get("triggerExecution").toLong,
-        p.numInputRows))
+      .map { p =>
+        val d = phases.map(k => Option(p.durationMs.get(k))
+          .map(_.longValue).getOrElse(0L))
+        val stateCommit = p.stateOperators.toSeq.map(_.commitTimeMs).sum
+        (p.batchId, d, stateCommit, p.numInputRows)
+      }
     q.stop()
     val survivors = spark.table("streamscale_mem").count()
     val durs = prog.sortBy(_._1)
-      .map { case (b, d, r) => s"""[$b,$d,$r]""" }.mkString("[", ",", "]")
+      .map { case (b, d, sc, r) =>
+        s"""[$b,${d.mkString(",")},$sc,$r]""" }.mkString("[", ",", "]")
     println(s"""{"family":"stream_neardup_batches","batch_rows":$batchRows,""" +
-      s""""batches":$batches,"survivors":$survivors,""" +
-      s""""per_batch_[id,ms,rows]":$durs}""")
+      s""""batches":$batches,"shuffle_partitions":$shufflePartitions,""" +
+      s""""survivors":$survivors,""" +
+      s""""per_batch_cols":"[id,${phases.mkString(",")},stateCommitMs,rows]",""" +
+      s""""per_batch":$durs}""")
     spark.stop()
   }
 }
