@@ -558,4 +558,35 @@ class StreamingSpec extends SparkSpec {
       assert(after.length == 5 && after.last == (("t05", 55000000L)))
     } finally q.stop()
   }
+
+  test("StreamTuning.sizedSession: isolated shuffle width, inherited builder confs, shared context") {
+    val batchWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = StreamTuning.sizedSession(spark, statePartitions = 3)
+    assert(ss.conf.get("spark.sql.shuffle.partitions") == "3")
+    // the BATCH session keeps its width — the whole point of isolation
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == batchWidth
+      && batchWidth != "3")
+    // builder-level confs the gates depend on must survive newSession
+    assert(ss.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(ss.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(ss.sparkContext eq spark.sparkContext)
+    // a stateful agg STARTED from the sized session lays out 3 state
+    // partitions and still computes the exact result
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    import ss.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("k", "x").groupBy("k").agg(sum("x").as("s"))
+      .writeStream.format("memory").queryName("tuned_mem")
+      .outputMode("complete").start()
+    try {
+      mem.addData(("a", 1L), ("b", 2L), ("a", 3L))
+      q.processAllAvailable()
+      val got = ss.table("tuned_mem").orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("a", 4L), ("b", 2L)))
+      assert(q.lastProgress.stateOperators.head.numShufflePartitions == 3L)
+    } finally q.stop()
+    intercept[IllegalArgumentException](StreamTuning.sizedSession(spark, 0))
+  }
 }
