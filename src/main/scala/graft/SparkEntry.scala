@@ -809,7 +809,8 @@ object SparkEntry {
           lit(null).cast("string").as("before"),
           to_json(struct(col("user_id"))).as("after"), col("ts"))
         .write.mode("overwrite").parquet(base + "/feed")
-      val feed = new graft.streaming.ChangeFeed(s, base + "/feed")
+      val feed = new graft.streaming.ChangeFeed(
+        streaming.StreamTuning.sizedSession(s), base + "/feed")
       @volatile var captured: Seq[org.apache.spark.sql.Row] = Nil
       val q = feed.watchAggregate("events",
         get_json_object(col("after"), "$.user_id"),

@@ -122,6 +122,12 @@ final class WatchHub {
  * File-backed change feed: append-only parquet event log usable both as a
  * batch DataFrame and as a Structured Streaming source. At scale this is
  * the Kafka-topic shape with a directory standing in for the broker.
+ *
+ * The session passed here owns every stream's state layout — for the
+ * stateful consumers ([[watchAggregate]]'s windowed state), construct
+ * with [[StreamTuning.sizedSession]] so state partitions are sized to
+ * state, not inherited from the batch shuffle width (the measured
+ * per-batch fsync floor in StreamTuning's Scaladoc).
  */
 final class ChangeFeed(spark: SparkSession, dir: String) {
 
