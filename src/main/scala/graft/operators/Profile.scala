@@ -254,18 +254,37 @@ object Profile {
    * published divides (gini, top10, top1), 6dp. Operand bound: per-value
    * units v·c and the grand total must fit a long (cents at warehouse
    * scale clear this; refuse negatives loudly — Gini is undefined
-   * below 0). Output: one row (n, total_units, gini, top10_share,
+   * below 0) — and the bound is ENFORCED: v·c and Σ(v·c) are probed in
+   * DECIMAL on the distinct-value relation and refused past 2⁶³−1, so a
+   * wrapped long can never publish a confidently wrong Gini (the
+   * probe-then-refuse discipline; with the long total verified, the
+   * internal Σ v·(c·below + c(c+1)/2) ≤ Σx·n stays under 10³⁸ for any
+   * feasible n). Output: one row (n, total_units, gini, top10_share,
    * top1_share).
    */
   def concentration(df: DataFrame, unitsCol: Column): DataFrame = {
     val s = df.select(unitsCol.cast("long").as("v")).where(col("v").isNotNull)
-    val mn = s.agg(min(col("v"))).head()
-    require(!mn.isNullAt(0), "concentration: empty input")
-    require(mn.getLong(0) >= 0L,
-      "concentration: negative units — Gini needs a non-negative measure")
     def d(c: Column): Column = c.cast("decimal(38,0)")
-    val perValue = s.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .withColumn("uv", col("v") * col("cnt")) // long by contract
+    // distinct-value relation, materialized once: the min/overflow probe
+    // and the prefix-sum scan below both read it (replaces the old
+    // separate min-probe pass over the raw rows)
+    val perValue0 = s.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__uvd", d(col("v")) * d(col("cnt")))
+      .localCheckpoint(true)
+    val probe = perValue0.agg(min(col("v")), max(col("__uvd")),
+      sum(col("__uvd"))).head()
+    require(!probe.isNullAt(0), "concentration: empty input")
+    require(probe.getLong(0) >= 0L,
+      "concentration: negative units — Gini needs a non-negative measure")
+    val longMax = BigDecimal(Long.MaxValue)
+    require(probe.getDecimal(1).compareTo(longMax.bigDecimal) <= 0 &&
+      probe.getDecimal(2).compareTo(longMax.bigDecimal) <= 0,
+      s"concentration: per-value units x count (max ${probe.getDecimal(1)}) " +
+        s"or total units (${probe.getDecimal(2)}) exceed 2^63-1 — rescale " +
+        "the units (e.g. dollars not cents) so the exact-integer contract holds")
+    val perValue = perValue0
+      .withColumn("uv", col("__uvd").cast("long")) // exact: probed above
+      .drop("__uvd")
     val pre = DistDrift.withPrefixSums(perValue, Seq("cnt", "uv"))
       .localCheckpoint(true) // feeds the moment agg + two boundary picks
     val tot = pre.agg(sum(col("cnt")).as("__n"), sum(col("uv")).as("__t"),

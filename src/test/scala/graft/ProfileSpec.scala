@@ -621,6 +621,21 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.concentration(Seq.empty[Long].toDF("v"), col("v"))
     }
+    // documented long bound ENFORCED, not just stated: v·c wraps 2⁶³−1
+    // (4.7e18 × 2) — must refuse loudly, not publish a wrapped Gini
+    val wrap = intercept[IllegalArgumentException] {
+      Profile.concentration(
+        Seq(4700000000000000000L, 4700000000000000000L).toDF("v"), col("v"))
+    }
+    assert(wrap.getMessage.contains("exceed 2^63-1"))
+    // total wraps while every per-value product fits: three distinct
+    // values near the cap sum past 2⁶³−1
+    val wrapTot = intercept[IllegalArgumentException] {
+      Profile.concentration(
+        Seq(4600000000000000000L, 4600000000000000001L,
+          4600000000000000002L).toDF("v"), col("v"))
+    }
+    assert(wrapTot.getMessage.contains("exceed 2^63-1"))
   }
   test("entropyRate: deterministic cycle reads 0, uniform 2-chain reads ln 2") {
     import spark.implicits._
