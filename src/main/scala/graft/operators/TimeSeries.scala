@@ -233,6 +233,15 @@ object TimeSeries {
    * is part of the published definition), so the fit is bit-reproducible
    * on any engine: no float accumulation order to diverge on.
    *
+   * PRECONDITION (the [[dtw]] unique-bucket contract, stated here
+   * because a per-key probe would cost a second full groupBy pass):
+   * `bucketed` means ONE row per (key, t) — [[resample]]'s output
+   * shape. A duplicate t survives the sorted collect as an extra
+   * series point, silently changing n and every downstream state (and
+   * the (t, x) secondary sort makes the replay order value-dependent).
+   * [[ewmaChart]] enforces this on its existing probe; here it is the
+   * caller's contract, as with the oracle's identical CTE replay.
+   *
    *   l_t = (x_t + l_{t-1} + b_{t-1}) div 2        (α = 1/2)
    *   b_t = (l_t − l_{t-1} + b_{t-1}) div 2        (β = 1/2)
    *   init l_1 = x_1, b_1 = 0;  SAE = Σ|x_t − (l_{t-1}+b_{t-1})|
@@ -313,7 +322,9 @@ object TimeSeries {
    *
    * Shape: identical to [[holt]] — one groupBy collects each key's
    * calendar-bounded bucketed series, ONE `aggregate` fold carries the
-   * (l, tr, s[m]) state, no windows, |keys| parallelism.
+   * (l, tr, s[m]) state, no windows, |keys| parallelism. [[holt]]'s
+   * unique-bucket PRECONDITION applies verbatim (one row per (key, t);
+   * resample first).
    *
    * Output: (key, n_buckets, level_units, trend_units, sae_units,
    * f_1_units, f_m_units) — f_m exercises the full seasonal cycle.
@@ -396,10 +407,23 @@ object TimeSeries {
       .groupBy(col("key"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("s"),
         count(lit(1)).as("__n"))
-    val worst = series.agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+    // the existing size probe also enforces the unique-bucket contract
+    // (the dtw discipline): a duplicate t would replay as an extra
+    // series point with value-dependent order — refuse loudly. Dup
+    // detection is a per-key O(|series|) array pass, no extra shuffle.
+    val probe = series
+      .withColumn("__dup",
+        col("__n") - size(array_distinct(transform(col("s"), e => e("t")))))
+      .agg(coalesce(max(col("__n")), lit(0L)),
+        coalesce(max(col("__dup")), lit(0L))).head()
+    val (worst, dups) = (probe.getLong(0), probe.getLong(1))
     require(worst <= maxBuckets,
       s"ewmaChart: a key holds $worst buckets > maxBuckets=$maxBuckets — " +
         "input must be a calendar-bounded bucketed series (resample first)")
+    require(dups == 0L,
+      s"ewmaChart: a key holds $dups duplicate $tCol buckets — the chart " +
+        "is defined on a SERIES; aggregate to one value per bucket first " +
+        "(resample)")
     val fold = series.withColumn("st", expr(
       s"""aggregate(s,
            named_struct('m', CAST(0 AS BIGINT), 'd', CAST(0 AS BIGINT),

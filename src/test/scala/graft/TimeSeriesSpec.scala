@@ -245,6 +245,14 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeries.ewmaChart(df, "g", "t", "x", maxBuckets = 2L).collect()
     }
+    // unique-bucket contract (the dtw discipline): a duplicate t must
+    // refuse loudly, not replay as an extra value-order-dependent point
+    val dup = Seq(("k", 1L, 10L), ("k", 2L, 14L), ("k", 2L, 9L))
+      .toDF("g", "t", "x")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaChart(dup, "g", "t", "x")
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("kendallTau: perfect concordance/discordance, ties shrink the " +
