@@ -148,6 +148,19 @@ object Clustering {
    * non-negative and ≤ 1e12 (required loudly: floor vs truncation
    * divides diverge on negatives across engines; the bound keeps d·diff²
    * inside DECIMAL(38,0)). Empty clusters keep their previous centroid.
+   *
+   * Distance arithmetic picks the [[silhouetteSimplified]] fast path
+   * per call: when d·span² < 2⁶³ (span = max−min coordinate, probed —
+   * the d-DEPENDENT bound, BigInt-subtracted so straddling inputs can't
+   * wrap past the guard), the per-row squared distances are exact LONGs
+   * in whole-stage codegen (~5× the Decimal class, and this loop runs
+   * `iters` scans — the biggest exactness-preserving win in the
+   * operator); above the bound, the DECIMAL(38,0) class. Identical
+   * integers either way, argmin ties identical ((d, i) struct order) —
+   * the two paths cannot publish different clusterings. Weighted
+   * accumulations (Σ diff²·w, Σ fᵢ·w) stay DECIMAL in BOTH paths, cast
+   * BEFORE the multiply — a long product fᵢ·w wraps at coordinate 10¹²
+   * times a 10⁷ duplicate weight, the ratioUp overflow family.
    * Output: k rows (cluster, n, c0..c{d-1}, mean_sqdist) where n and the
    * within-cluster mean squared distance (floor(Σw·dist² / n) — the
    * exact integer mean, cast to double so both engines publish the same
@@ -177,6 +190,11 @@ object Clustering {
         "floor/truncation division diverges across engines; shift first")
       require(bounds.getLong(1) <= 1000000000000L,
         "kmeansLloyd: coordinates above 1e12 overflow the exact distance class")
+      // fast-path election (see Scaladoc): same span bound as
+      // silhouetteSimplified, probed once, constant across iterations
+      val spanBound = math.sqrt(Long.MaxValue.toDouble / d).toLong - 1
+      val useLong = (BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0))) <=
+        BigInt(spanBound)
       val init = pts.select(fn.map(col): _*)
         .withColumn("__h", md5(concat_ws("|", fn.map(col): _*)))
         .orderBy(col("__h") +: fn.map(col(_).asc): _*)
@@ -188,16 +206,27 @@ object Clustering {
       val lastSd = Array.fill(k)(BigInt(0))
       for (_ <- 1 to iters) {
         val cands = array(cents.zipWithIndex.map { case (c, j) =>
-          val dist = (0 until d).map { i =>
-            val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
-            diff * diff
-          }.reduce(_ + _)
-          struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
+          if (useLong) {
+            val dist = (0 until d).map { i =>
+              val diff = col(fn(i)) - lit(c(i)); diff * diff
+            }.reduce(_ + _)
+            struct(dist.as("d"), lit(j).as("i")) // long: codegen argmin
+          } else {
+            val dist = (0 until d).map { i =>
+              val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
+              diff * diff
+            }.reduce(_ + _)
+            struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
+          }
         }: _*)
+        // accumulations are DECIMAL in both paths, cast BEFORE the
+        // multiply (Scaladoc: the f·w long-wrap family)
         val aggCols: Seq[Column] = sum(col("__w")).as("n") +:
-          sum((col("__best.d") * col("__w")).cast("decimal(38,0)")).as("sd") +:
+          sum((col("__best.d").cast("decimal(38,0)") * col("__w"))
+            .cast("decimal(38,0)")).as("sd") +:
           (0 until d).map(i =>
-            sum((col(fn(i)) * col("__w")).cast("decimal(38,0)")).as(s"s$i"))
+            sum((col(fn(i)).cast("decimal(38,0)") * col("__w"))
+              .cast("decimal(38,0)")).as(s"s$i"))
         val sums = pts.withColumn("__best", array_min(cands))
           .groupBy(col("__best.i").as("__c"))
           .agg(aggCols.head, aggCols.tail: _*)

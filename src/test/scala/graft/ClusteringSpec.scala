@@ -115,6 +115,16 @@ class ClusteringSpec extends SparkSpec {
     assert(fixed.map(_.getAs[Long]("c0")).toSeq == expectOrder)
     assert(fixed.forall(r => r.getAs[Long]("n") == 1L &&
       r.getAs[Double]("mean_sqdist") == 0.0))
+    // span above the d-dependent fast-path bound routes the ITERATION
+    // loop to the decimal distance class and converges identically in
+    // structure: blobs at 0 and 1e10 (span > spanBound≈3.04e9 for d=1,
+    // inside the [0, 1e12] contract) — same geometry as the long-path
+    // two-blob case, scaled
+    val hugeKm = Clustering.kmeansLloyd(
+      Seq(0L, 1L, 10000000000L, 10000000001L).toDF("x"),
+      Seq(col("x")), k = 2, iters = 6).orderBy("c0").collect()
+    assert(hugeKm.map(_.getAs[Long]("c0")).toSeq == Seq(0L, 10000000000L))
+    assert(hugeKm.forall(_.getAs[Long]("n") == 2L))
     // refusals: negative coords, k above the distinct-tuple count
     intercept[IllegalArgumentException] {
       Clustering.kmeansLloyd(Seq(-1L, 2L).toDF("x"), Seq(col("x")), 1, 1)
