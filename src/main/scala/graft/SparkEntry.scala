@@ -2792,8 +2792,8 @@ object SparkEntry {
         sum(when(col("ts") >= lit("2024-01-16").cast("timestamp"), cents))
           .as("y"))
       val arm = when(
-        conv(substring(md5(concat(lit("cup:"), col("user_id").cast("string"))),
-          1, 13), 16, 10).cast("long") / lit(4503599627370496.0) < 0.5,
+        graft.functions.GraftFunctions.md5Frac52(concat(lit("cup:"),
+          col("user_id").cast("string"))) / lit(4503599627370496.0) < 0.5,
         "A").otherwise("B")
       graft.operators.Experiment.cuped(units, arm, col("x"), col("y"))
     }),

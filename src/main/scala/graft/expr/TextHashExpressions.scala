@@ -42,6 +42,28 @@ object TextHashKernel {
 
   private[expr] def md5HexPublic(bytes: Array[Byte]): String = md5Hex(bytes)
 
+  private[expr] def md5DigestPublic(bytes: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(bytes)
+  }
+
+  /** md5 hex over a byte RANGE — no per-gram array copy. */
+  private[expr] def md5HexRange(bytes: Array[Byte], off: Int, len: Int): String = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** 64-bit simhash over distinct tokens → 64-char '0'/'1' string.
     * Bit b of token t = (hexdigit(md5hex(t), b/4) >> (b%4)) & 1;
     * per-bit majority over tokens (ties → '1').
@@ -154,6 +176,116 @@ object TextHashKernel {
     }
     d
   }
+}
+
+/** 52-bit md5 fraction kernel: the top 13 hex digits of md5(input) as an
+  * unsigned long — byte-identical to the Column chain
+  * `conv(substring(md5(x), 1, 13), 16, 10).cast("long")` (the salted-
+  * fraction idiom of the sampling/bootstrap/experiment families), with
+  * ONE digest (ThreadLocal, no per-call MessageDigest.getInstance) and
+  * no 32-char hex string materialization. */
+object Md5FracKernel {
+  def frac52(input: UTF8String): Long = {
+    val d = TextHashKernel.md5DigestPublic(input.getBytes)
+    ((d(0) & 0xFFL) << 44) | ((d(1) & 0xFFL) << 36) | ((d(2) & 0xFFL) << 28) |
+      ((d(3) & 0xFFL) << 20) | ((d(4) & 0xFFL) << 12) | ((d(5) & 0xFFL) << 4) |
+      ((d(6) & 0xFFL) >>> 4)
+  }
+}
+
+/** md5Frac52(x) → LONG in [0, 2⁵²), codegen'd. */
+case class Md5Frac52Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    Md5FracKernel.frac52(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.expr.Md5FracKernel.frac52($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Winnowing fingerprint kernel (Schleimer/Wilkerson/Aiken 2003) — the
+ * whole MOSS chain (k-gram hash → sliding-window string-min → distinct)
+ * in ONE pass per document. Byte-identical to the HOF formulation in
+ * `Dedup.winnowFingerprintsHof` (kept as the spec cross-check): same
+ * md5 hex strings / xxhash64 decimal strings, same window minima
+ * (binary string compare), same first-occurrence distinct order, same
+ * "L < k+w−1 → empty" contract. The HOF chain is CodegenFallback and
+ * allocates a slice per window (O(L·w) interpreted comparisons); this
+ * runs O(L) amortized via a monotonic deque.
+ */
+object WinnowKernel {
+  private val Empty = new GenericArrayData(new Array[Any](0))
+
+  def fingerprints(text: UTF8String, k: Int, w: Int, oracle: Boolean): ArrayData = {
+    val l = text.numChars()
+    if (l < k + w - 1) return Empty
+    // one pass over the bytes: char-boundary offsets (substring(i, k) in
+    // the HOF is CHARACTER-based; hashing reads the byte range directly)
+    val bytes = text.getBytes
+    val offs = new Array[Int](l + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      offs(ci) = bi
+      val b = bytes(bi) & 0xFF
+      bi += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      ci += 1
+    }
+    offs(l) = bytes.length
+    val m = l - k + 1
+    val hs = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      val off = offs(i)
+      val len = offs(i + k) - off
+      hs(i) =
+        if (oracle) TextHashKernel.md5HexRange(bytes, off, len)
+        else java.lang.Long.toString(
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+              len, 42L))
+      i += 1
+    }
+    // sliding-window minimum, monotonic deque (ties keep any instance —
+    // equal strings are indistinguishable in the output); distinct with
+    // first-occurrence order = array_distinct
+    val out = new java.util.LinkedHashSet[String]()
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // [head, tail) holds candidate indices, values ascending
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)).compareTo(hs(i)) >= 0) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(hs(dq(head)))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** winnowFps(loweredText, k, w, oracle) → ARRAY<STRING>, codegen'd. */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int, oracle: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(a: Any): Any =
+    WinnowKernel.fingerprints(a.asInstanceOf[UTF8String], k, w, oracle)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.expr.WinnowKernel.fingerprints($a, $k, $w, $oracle)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object TextStatsKernel {

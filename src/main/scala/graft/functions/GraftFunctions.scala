@@ -44,6 +44,12 @@ object GraftFunctions {
   private[graft] def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
+  /** 52-bit md5 fraction numerator: byte-identical to
+    * `conv(substring(md5(x), 1, 13), 16, 10).cast("long")` — one digest,
+    * no hex-string round-trip. See [[graft.expr.Md5Frac52Expr]]. */
+  def md5Frac52(x: Column): Column =
+    kcol(graft.expr.Md5Frac52Expr(kexp(x)))
+
   /** dot(a, b) */
   def dotProduct(a: Column, b: Column): Column =
     kcol(graft.expr.VecDot(kexp(a), kexp(b)))

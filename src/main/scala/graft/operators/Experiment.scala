@@ -20,8 +20,8 @@ object Experiment {
 
   /** 13-hex (52-bit) md5 fraction in [0,1) for unit assignment. */
   private def frac(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 13), 16, 10)
-      .cast("long") / lit(DistinctSketch.HashDenom)
+    graft.functions.GraftFunctions.md5Frac52(
+      concat(lit(salt), lit(":"), id.cast("string"))) / lit(DistinctSketch.HashDenom)
 
   /**
    * One-row readout: (n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift, z).
@@ -82,8 +82,8 @@ object Experiment {
     require(w <= 1024L, s"srmCheck: total weight $w > 1024 — the exact " +
       "hash*W cut would overflow 2^63")
     val two52 = 4503599627370496L // 2^52, the 13-hex md5 fraction denominator
-    val h = conv(substring(md5(concat(lit(salt), lit(":"),
-      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val h = graft.functions.GraftFunctions.md5Frac52(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
     val cums = weights.scanLeft(0L)(_ + _._2).tail
     val arm = weights.zip(cums).foldRight(lit(weights.last._1)) {
       case (((name, _), cum), rest) =>
@@ -918,9 +918,9 @@ object Experiment {
     val base = df.select(idCol.cast("string").as("id"),
         unitsCol.cast("long").as("x"))
       .where(col("x").isNotNull)
-    val u = conv(substring(md5(concat(lit(salt), lit(":"), col("id"),
-        lit(":"), col("b").cast("string"))), 1, 13), 16, 10)
-      .cast("long") / lit(DistinctSketch.HashDenom)
+    val u = graft.functions.GraftFunctions.md5Frac52(concat(lit(salt),
+        lit(":"), col("id"), lit(":"), col("b").cast("string"))) /
+      lit(DistinctSketch.HashDenom)
     val w = PoissonCdf12.zipWithIndex.foldRight(lit(7L)) {
       case ((c, i), rest) => when(col("__u") < c, lit(i.toLong)).otherwise(rest)
     }
@@ -1380,9 +1380,9 @@ object Experiment {
     val meanB = obs.getLong(3).toDouble / nb
     val diffObs = meanA - meanB
     val rate = na.toDouble / (na + nb)
-    val u = conv(substring(md5(concat(lit(salt), lit(":"), col("id"),
-        lit(":"), col("b").cast("string"))), 1, 13), 16, 10)
-      .cast("long") / lit(DistinctSketch.HashDenom)
+    val u = graft.functions.GraftFunctions.md5Frac52(concat(lit(salt),
+        lit(":"), col("id"), lit(":"), col("b").cast("string"))) /
+      lit(DistinctSketch.HashDenom)
     val reps = base
       .select(col("id"), col("x"), explode(expr(s"sequence(0, ${bReps - 1})")).as("b"))
       .withColumn("__a", (u < lit(rate)).cast("long"))
@@ -1450,9 +1450,9 @@ object Experiment {
     import spark.implicits._
     val rates = broadcast(obs.toSeq.map { case (g, (na, nb, _, _)) =>
       (g, na.toDouble / (na + nb)) }.toDF("g", "__rate"))
-    val u = conv(substring(md5(concat(lit(salt), lit(":"), col("id"),
-        lit(":"), col("b").cast("string"))), 1, 13), 16, 10)
-      .cast("long") / lit(DistinctSketch.HashDenom)
+    val u = graft.functions.GraftFunctions.md5Frac52(concat(lit(salt),
+        lit(":"), col("id"), lit(":"), col("b").cast("string"))) /
+      lit(DistinctSketch.HashDenom)
     val reps = base
       .select(col("g"), col("id"), col("x"),
         explode(expr(s"sequence(0, ${bReps - 1})")).as("b"))

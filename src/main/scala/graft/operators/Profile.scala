@@ -164,8 +164,8 @@ object Profile {
     require(groupCols.nonEmpty && epsilon > 0, "need groups and epsilon > 0")
     val b = 1.0 / epsilon
     val keyStr = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
-    val u = conv(substring(md5(concat(lit(salt), lit(":"), keyStr)), 1, 13), 16, 10)
-      .cast("long") / lit(DistinctSketch.HashDenom)
+    val u = graft.functions.GraftFunctions.md5Frac52(
+      concat(lit(salt), lit(":"), keyStr)) / lit(DistinctSketch.HashDenom)
     val centered = u - lit(0.5)
     val inner = greatest(lit(1.0) - lit(2.0) * abs(centered),
       lit(1.0 / DistinctSketch.HashDenom))
@@ -200,8 +200,8 @@ object Profile {
       salt: String = "fp"): DataFrame = {
     require(cols.nonEmpty, "at least one column")
     val key = concat_ws("|", cols.map(_.cast("string")): _*)
-    val h = conv(substring(md5(concat(lit(salt), lit(":"), key)), 1, 13), 16, 10)
-      .cast("long")
+    val h = graft.functions.GraftFunctions.md5Frac52(
+      concat(lit(salt), lit(":"), key))
     df.agg(count(lit(1)).as("n_rows"),
       sum(h.cast("decimal(38,0)")).cast("string").as("fingerprint"))
   }

@@ -840,8 +840,8 @@ object CorpusStats {
       gram: Int = 3, nBuckets: Int = 64): DataFrame = {
     require(nBuckets >= 8 && nBuckets <= 256, "nBuckets in [8,256]")
     require(gram >= 1 && gram <= 5, "gram in [1,5]")
-    val b = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast("long"), lit(nBuckets.toLong)).as("__b")
+    val b = pmod(graft.functions.GraftFunctions.md5Frac52(
+      col(idCol).cast("string")), lit(nBuckets.toLong)).as("__b")
     val tok = shingleTable(docs, textCol, gram, b)
     val tb = tok.groupBy(col("__b")).agg(count(lit(1)).as("tk"))
     val vb = tok.groupBy(col("w")).agg(min(col("__b")).as("__b"))
@@ -1443,17 +1443,21 @@ object CorpusStats {
     val qarr = transform(col(vecCol),
       v => round(v.cast("double") * lit(1e6), 0).cast("long"))
     val base = df.where(col(vecCol).isNotNull).select(qarr.as("__q")).cache()
-    val n = base.count()
+    // ONE probe job: n + dim bounds + max |q| (the long-fast-path gate).
+    // The dim probe fires on aggregates BEFORE collecting anything
+    // dim-sized. min AND max: a ragged corpus (64-dim rows mixed with
+    // 128-dim after a partial re-embed — exactly the drift this monitor
+    // exists to catch) would otherwise zero-fill the short vectors in
+    // the covariance cells while n counts all rows, silently skewing
+    // λ₁/trace/top_share
+    val pr = base.agg(count(lit(1)),
+      coalesce(max(size(col("__q"))), lit(0)),
+      coalesce(min(size(col("__q"))), lit(0)),
+      coalesce(max(greatest(array_max(col("__q")),
+        -array_min(col("__q")))), lit(0L))).head()
+    val n = pr.getLong(0)
     require(n >= 2, s"$opName: need at least two vectors")
-    // probe the dim BEFORE collecting anything dim-sized — the guard
-    // must fire on one row, not after a d-row pull. min AND max: a
-    // ragged corpus (64-dim rows mixed with 128-dim after a partial
-    // re-embed — exactly the drift this monitor exists to catch) would
-    // otherwise zero-fill the short vectors in the covariance cells
-    // while n counts all rows, silently skewing λ₁/trace/top_share
-    val dims = base.agg(coalesce(max(size(col("__q"))), lit(0)),
-      coalesce(min(size(col("__q"))), lit(0))).head()
-    val (dProbe, dMin) = (dims.getInt(0), dims.getInt(1))
+    val (dProbe, dMin, qAbs) = (pr.getInt(1), pr.getInt(2), pr.getLong(3))
     require(dProbe <= maxDim,
       s"$opName: dim $dProbe > maxDim=$maxDim — the exact " +
         "covariance is n·d² work; raise the bound deliberately")
@@ -1461,26 +1465,52 @@ object CorpusStats {
       s"$opName: ragged dims [$dMin, $dProbe] — mixed " +
         "dimensionality would silently zero-fill short vectors in the " +
         "covariance; re-embed or filter to one dim first")
-    val sums = base.select(posexplode(col("__q")).as(Seq("i", "xv")))
-      .groupBy(col("i")).agg(sum(col("xv")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val d = sums.keys.max + 1
-    val cells = base
-      .select(posexplode(col("__q")).as(Seq("i", "xi")), col("__q"))
-      .select(col("i"), col("xi"), posexplode(col("__q")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(dec(col("xi")) * dec(col("xj"))).as("cij"))
-      .collect() // bounded: d² rows under the maxDim contract
-    base.unpersist(false)
+    require(dProbe >= 1, s"$opName: vectors are empty (dim 0)")
+    val d = dProbe
     def r12(x: Double): Double =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
     val nD = n.toDouble
     val cov = Array.ofDim[Double](d, d)
-    cells.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val num = BigDecimal(n) * BigDecimal(r.getDecimal(2)) -
-        BigDecimal(sums(i)) * BigDecimal(sums(j))
+    def fill(i: Int, j: Int, cij: BigDecimal, si: BigDecimal, sj: BigDecimal): Unit = {
+      val num = BigDecimal(n) * cij - si * sj
       cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
+      cov(j)(i) = cov(i)(j) // exact mirror of the symmetric Gram
+    }
+    if (graft.expr.VecOuterAgg.longSafe(n, qAbs)) {
+      // LONG FAST PATH (probe-gated, the kmeansLloyd doctrine): sums and
+      // all upper-triangle cells in ONE tight-loop aggregate pass —
+      // under the probe bound long sums ARE the decimal(38,0) sums
+      // (integer arithmetic, order-free), so cov is byte-identical to
+      // the explode formulation below. The explode path generates n·d²
+      // rows through two posexplodes + a hash aggregate for n·d(d+1)/2
+      // multiply-adds of real work; this does the multiply-adds and
+      // nothing else.
+      val flat = base.select(kcol(graft.expr.VecOuterAgg(
+          kexp(col("__q")), d).toAggregateExpression()).as("m"))
+        .head().getSeq[Long](0)
+      base.unpersist(false)
+      for (i <- 0 until d; j <- i until d)
+        fill(i, j, BigDecimal(flat(graft.expr.VecOuterAgg.triOff(d, i, j))),
+          BigDecimal(flat(1 + i)), BigDecimal(flat(1 + j)))
+    } else {
+      // decimal explode fallback — exact at ANY scale; j ≥ i only (the
+      // Gram matrix is symmetric, the mirror is reconstructed exactly:
+      // the sum over rows of xᵢ·xⱼ IS the sum of xⱼ·xᵢ)
+      val sums = base.select(posexplode(col("__q")).as(Seq("i", "xv")))
+        .groupBy(col("i")).agg(sum(dec(col("xv"))).as("s"))
+        .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
+      val cells = base
+        .select(posexplode(col("__q")).as(Seq("i", "xi")), col("__q"))
+        .select(col("i"), col("xi"), posexplode(col("__q")).as(Seq("j", "xj")))
+        .where(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(dec(col("xi")) * dec(col("xj"))).as("cij"))
+        .collect() // bounded: d(d+1)/2 rows under the maxDim contract
+      base.unpersist(false)
+      cells.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        fill(i, j, BigDecimal(r.getDecimal(2)), sums(i), sums(j))
+      }
     }
     (n, d, cov)
   }
@@ -1618,12 +1648,17 @@ object CorpusStats {
       .select(concat(units(xCol), units(yCol)).as("__z"),
         size(units(xCol)).as("__dx"), size(units(yCol)).as("__dy"))
       .cache()
-    val n = base.count()
+    // ONE probe job: n + dim bounds + max |z| (the long-fast-path gate)
+    val pr = base.agg(count(lit(1)),
+      max(col("__dx")), min(col("__dx")),
+      max(col("__dy")), min(col("__dy")),
+      coalesce(max(greatest(array_max(col("__z")),
+        -array_min(col("__z")))), lit(0L))).head()
+    val n = pr.getLong(0)
     require(n >= 2, "embeddingCka: need at least two vectors")
-    val dims = base.agg(max(col("__dx")), min(col("__dx")),
-      max(col("__dy")), min(col("__dy"))).head()
     val (dxMax, dxMin, dyMax, dyMin) =
-      (dims.getInt(0), dims.getInt(1), dims.getInt(2), dims.getInt(3))
+      (pr.getInt(1), pr.getInt(2), pr.getInt(3), pr.getInt(4))
+    val zAbs = pr.getLong(5)
     require(dxMax == dxMin && dyMax == dyMin,
       s"embeddingCka: ragged dims x=[$dxMin,$dxMax] y=[$dyMin,$dyMax] — " +
         "mixed dimensionality would zero-fill cells; filter to one dim first")
@@ -1635,30 +1670,47 @@ object CorpusStats {
     require(d >= 1 && d <= maxDim,
       s"embeddingCka: dim $d outside [1,$maxDim] — the exact cell pass " +
         s"is n·(2d)² work; raise the bound deliberately")
-    val sums = base.select(posexplode(col("__z")).as(Seq("i", "zv")))
-      .groupBy(col("i")).agg(sum(col("zv")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // z·zᵀ is SYMMETRIC: aggregating only j ≥ i halves the shuffle; the
-    // mirror cells are reconstructed below with byte-identical values
-    // (the sum over rows of zᵢ·zⱼ IS the sum of zⱼ·zᵢ)
-    val cells = base
-      .select(posexplode(col("__z")).as(Seq("i", "zi")), col("__z"))
-      .select(col("i"), col("zi"), posexplode(col("__z")).as(Seq("j", "zj")))
-      .where(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(dec(col("zi")) * dec(col("zj"))).as("cij"))
-      .collect() // bounded: (2d)²/2 rows under the maxDim contract
-    base.unpersist(false)
     def r12(x: Double): Double =
       BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
     val nD = n.toDouble
     val cov = Array.ofDim[Double](2 * d, 2 * d)
-    cells.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val num = BigDecimal(n) * BigDecimal(r.getDecimal(2)) -
-        BigDecimal(sums(i)) * BigDecimal(sums(j))
+    def fill(i: Int, j: Int, cij: BigDecimal, si: BigDecimal, sj: BigDecimal): Unit = {
+      val num = BigDecimal(n) * cij - si * sj
       cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
       cov(j)(i) = cov(i)(j) // exact mirror of the symmetric Gram
+    }
+    if (graft.expr.VecOuterAgg.longSafe(n, zAbs)) {
+      // LONG FAST PATH (probe-gated — the covCells doctrine): all three
+      // Gram blocks' sums and cells in ONE tight-loop aggregate pass over
+      // the concatenated 2d vector; long sums == decimal sums under the
+      // probe bound, so cov is byte-identical to the explode fallback
+      val d2 = 2 * d
+      val flat = base.select(kcol(graft.expr.VecOuterAgg(
+          kexp(col("__z")), d2).toAggregateExpression()).as("m"))
+        .head().getSeq[Long](0)
+      base.unpersist(false)
+      for (i <- 0 until d2; j <- i until d2)
+        fill(i, j, BigDecimal(flat(graft.expr.VecOuterAgg.triOff(d2, i, j))),
+          BigDecimal(flat(1 + i)), BigDecimal(flat(1 + j)))
+    } else {
+      val sums = base.select(posexplode(col("__z")).as(Seq("i", "zv")))
+        .groupBy(col("i")).agg(sum(dec(col("zv"))).as("s"))
+        .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
+      // z·zᵀ is SYMMETRIC: aggregating only j ≥ i halves the shuffle; the
+      // mirror cells are reconstructed below with byte-identical values
+      // (the sum over rows of zᵢ·zⱼ IS the sum of zⱼ·zᵢ)
+      val cells = base
+        .select(posexplode(col("__z")).as(Seq("i", "zi")), col("__z"))
+        .select(col("i"), col("zi"), posexplode(col("__z")).as(Seq("j", "zj")))
+        .where(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(dec(col("zi")) * dec(col("zj"))).as("cij"))
+        .collect() // bounded: (2d)²/2 rows under the maxDim contract
+      base.unpersist(false)
+      cells.foreach { r =>
+        fill(r.getInt(0), r.getInt(1), BigDecimal(r.getDecimal(2)),
+          sums(r.getInt(0)), sums(r.getInt(1)))
+      }
     }
     def decSum(terms: Iterator[Double]): Double =
       terms.foldLeft(BigDecimal(0))((a, t) =>

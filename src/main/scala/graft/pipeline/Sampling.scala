@@ -191,8 +191,8 @@ object Sampling {
       k: Int, salt: String = "prio"): DataFrame = {
     require(k >= 1, "k >= 1")
     val two52 = 4503599627370496.0 // 2^52
-    val h = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val h = graft.functions.GraftFunctions.md5Frac52(
+      concat(lit(salt + ":"), col(idCol).cast("string")))
     val base = df.select(col(idCol), weightCol.cast("long").as("w"))
       .where(col("w").isNotNull && col("w") > 0 && col(idCol).isNotNull)
       .withColumn("__p", col("w").cast("double")
@@ -256,8 +256,8 @@ object Sampling {
       k: Int, salt: String = "es"): DataFrame = {
     require(k >= 1, "k >= 1")
     val two52 = 4503599627370496.0 // 2^52
-    val h = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val h = graft.functions.GraftFunctions.md5Frac52(
+      concat(lit(salt + ":"), col(idCol).cast("string")))
     df.select(col(idCol), weightCol.cast("long").as("w"))
       .where(col("w").isNotNull && col("w") > 0 && col(idCol).isNotNull)
       // u = (h+1)/2^52 ∈ (0,1] — never 0, so ln is always finite

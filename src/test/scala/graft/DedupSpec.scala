@@ -171,6 +171,94 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("winnow kernel == HOF formulation byte-for-byte (both hash families)") {
+    // the whole MOSS chain (gram hash → window string-min → distinct) as
+    // one codegen kernel vs the interpreted HOF twin — real docs + edge
+    // strings (short text, empty, whitespace, unicode, exact-boundary)
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "abcdefghij", "abcdefghijk",
+      "ünïcodé tèxt with ünïcodé grams repeated ünïcodé tèxt",
+      "aaaaaaaaaaaaaaaaaaaaaa", "Mixed CASE Text Mixed CASE")
+      .map(Tuple1(_)).toDF("text").withColumn("doc_id", lit(1L))
+    val real = engine.table("documents").limit(200)
+    for {
+      d <- Seq(edge, real)
+      (k, w) <- Seq((8, 4), (20, 8), (2, 1))
+      oracle <- Seq(true, false)
+    } {
+      val kern = Dedup.winnowFingerprints(d, "doc_id", "text", k, w, oracle)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("fp"))).as("fps"))
+      val hof = Dedup.winnowFingerprintsHof(d, "doc_id", "text", k, w, oracle)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("fp"))).as("fps"))
+      assert(kern.join(hof.withColumnRenamed("fps", "hfps"), "doc_id")
+        .where(col("fps") =!= col("hfps")).count() == 0, s"k=$k w=$w oracle=$oracle")
+    }
+    // distinct ORDER (first occurrence) is part of the byte contract too:
+    // compare the raw arrays positionally (kernel column vs the inline
+    // HOF chain, same row, no shuffle in between)
+    import graft.functions.GraftFunctions.{bind, kcol, kexp}
+    def fpsHof(k: Int, w: Int): org.apache.spark.sql.Column =
+      bind(lower(col("text"))) { t =>
+        when(length(t) >= k + w - 1,
+          bind(transform(sequence(lit(1), length(t) - (k - 1)),
+              i => md5(substring(t, i, lit(k))))) { hs =>
+            array_distinct(transform(sequence(lit(0), size(hs) - w),
+              i => array_min(slice(hs, i + 1, lit(w)))))
+          })
+          .otherwise(array().cast("array<string>"))
+      }
+    val pos = engine.table("documents").limit(100).select(
+      kcol(graft.expr.WinnowFpsExpr(kexp(lower(col("text"))), 8, 4, true)).as("kern"),
+      fpsHof(8, 4).as("hof"))
+    assert(pos.where(col("kern") =!= col("hof")).count() == 0)
+  }
+
+  test("sortedPairs kernel == HOF; charGrams kernel == HOF; intersectSizeSorted == array_intersect") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{kcol, kexp}
+    // sortedPairs over long ids (the bucket families' shape)
+    val idBuckets = Seq(Seq(5L, 1L, 3L), Seq(2L, 2L, 9L, 4L), Seq(7L), Seq())
+      .map(Tuple1(_)).toDF("ids")
+    val sp = idBuckets.select(
+      kcol(graft.expr.SortedPairsExpr(kexp(col("ids")))).as("kern"),
+      Dedup.pairsOfHof(col("ids")).as("hof"))
+    assert(sp.where(col("kern") =!= col("hof")).count() == 0)
+    // and over struct elements (jaccardPairs' prefix-bucket shape)
+    val stBuckets = engine.table("documents").limit(120)
+      .select(col("doc_id"), length(col("text")).as("sz"))
+      .withColumn("b", pmod(col("doc_id"), lit(7)))
+      .groupBy("b").agg(collect_list(struct(col("doc_id").as("id"),
+        col("sz"))).as("xs"))
+    val sps = stBuckets.select(
+      kcol(graft.expr.SortedPairsExpr(kexp(col("xs")))).as("kern"),
+      Dedup.pairsOfStructHof(col("xs")).as("hof"))
+    assert(sps.where(col("kern") =!= col("hof")).count() == 0)
+    // charGrams == the substring HOF chain (incl. docs shorter than n)
+    val texts = engine.table("documents").limit(150).select(col("text"))
+      .unionByName(Seq("", "short", "ünïcodé bytes × span",
+        "x" * 49, "y" * 50).map(Tuple1(_)).toDF("text"))
+    def gramsHof(t: org.apache.spark.sql.Column, n: Int) =
+      when(length(t) >= n, transform(sequence(lit(1), length(t) - (n - 1)),
+        i => substring(t, i, lit(n)))).otherwise(array().cast("array<string>"))
+    Seq(3, 50).foreach { n =>
+      val cg = texts.select(
+        kcol(graft.expr.CharGramsExpr(kexp(col("text")), n)).as("kern"),
+        gramsHof(col("text"), n).as("hof"))
+      assert(cg.where(col("kern") =!= col("hof")).count() == 0, s"n=$n")
+    }
+    // intersectSizeSorted == size(array_intersect) on sorted-distinct
+    // shingle arrays (the verify-pass contract)
+    val sh = engine.table("documents").limit(80)
+      .select(col("doc_id"), array_sort(
+        graft.functions.GraftFunctions.shingles(col("text"), 3)).as("sh"))
+    val pairs = sh.select(col("sh").as("a"))
+      .crossJoin(sh.limit(15).select(col("sh").as("b")))
+    val is = pairs.select(
+      kcol(graft.expr.IntersectSizeSortedExpr(kexp(col("a")), kexp(col("b")))).as("kern"),
+      size(array_intersect(col("a"), col("b"))).as("hof"))
+    assert(is.where(col("kern") =!= col("hof")).count() == 0)
+  }
+
   test("hammingDistance counts differing bits") {
     val df = spark.createDataFrame(Seq(("1100", "1010"))).toDF("a", "b")
     assert(df.select(Dedup.hammingDistance(col("a"), col("b"))).collect()(0).getInt(0) == 2)

@@ -1852,6 +1852,52 @@ class PipelineSpec extends SparkSpec {
       topK = 2).count() == 2L)
   }
 
+  test("VecOuterAgg long fast path == decimal explode moments; fallback regime exact") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{kcol, kexp}
+    // the covCells/embeddingCka fast path's core claim: under the probe
+    // bound, the one-pass long aggregate reproduces the explode
+    // formulation's n / per-axis sums / product cells EXACTLY
+    val d = 16
+    val base = engine.table("embeddings").limit(300)
+      .select(transform(col("embedding"),
+        v => round(v.cast("double") * lit(1e6), 0).cast("long")).as("__q"))
+      .select(slice(col("__q"), 1, d).as("__q")).cache()
+    val flat = base.select(kcol(graft.expr.VecOuterAgg(kexp(col("__q")), d)
+      .toAggregateExpression()).as("m")).head().getSeq[Long](0)
+    val n = base.count()
+    assert(flat(0) == n)
+    val sums = base.select(posexplode(col("__q")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until d).foreach(i => assert(flat(1 + i) == sums(i), s"sum $i"))
+    val cells = base
+      .select(posexplode(col("__q")).as(Seq("i", "xi")), col("__q"))
+      .select(col("i"), col("xi"), posexplode(col("__q")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(col("xi").cast("decimal(38,0)") * col("xj").cast("decimal(38,0)")).as("c"))
+      .collect()
+    base.unpersist(false)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      assert(BigDecimal(flat(graft.expr.VecOuterAgg.triOff(d, i, j))) ==
+        BigDecimal(r.getDecimal(2)), s"cell ($i,$j)")
+    }
+    // the probe gate itself
+    assert(graft.expr.VecOuterAgg.longSafe(1000000L, 2000000L)) // 4e24 < 2^62? no —
+    // 1e6 rows at |q|=2e6: n·q² = 4e18 < 4.6e18 → safe (tight)
+    assert(!graft.expr.VecOuterAgg.longSafe(2000000L, 2000000L)) // 8e18 → unsafe
+    // fallback regime end-to-end: values big enough that n·q² overflows
+    // long (|q| = 2.912e9 units) must still read EXACT spectra through
+    // the decimal explode path — λ₁ = (2912·10⁶)²/10¹² = 2912² exactly
+    val big = Seq(Array(2912f, 0f), Array(-2912f, 0f))
+      .map(Tuple1(_)).toDF("v")
+    val r = graft.pipeline.CorpusStats.embeddingTopComponent(big, "v").head()
+    assert(r.getAs[Double]("lambda1") == 2912.0 * 2912.0)
+    assert(r.getAs[Double]("top_share") == 1.0)
+  }
+
   test("embeddingCka: identity/rotation/scale read 1.0, guards refuse") {
     import spark.implicits._
     val x = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(-1.0f, 0.0f),

@@ -10,6 +10,20 @@ class SamplingSpec extends SparkSpec {
 
   private lazy val ids = spark.range(0, 20000).toDF("id")
 
+  test("md5Frac52 kernel == conv(substring(md5)) Column chain byte-for-byte") {
+    import spark.implicits._
+    // the salted-fraction idiom shared by sampling/bootstrap/experiment
+    // operators — the kernel must reproduce the chain EXACTLY (any drift
+    // re-draws every sample/replica)
+    val inputs = ids.select(concat(lit("salt:"), col("id").cast("string")).as("x"))
+      .unionByName(Seq("", "ünïcodé:id", " sp ace ", "boot:42:7")
+        .map(Tuple1(_)).toDF("x"))
+    val cmp = inputs.select(
+      graft.functions.GraftFunctions.md5Frac52(col("x")).as("kern"),
+      conv(substring(md5(col("x")), 1, 13), 16, 10).cast("long").as("hof"))
+    assert(cmp.where(col("kern") =!= col("hof")).count() == 0)
+  }
+
   test("hashSample: deterministic, partition-invariant, ~fraction rate") {
     val a = Sampling.hashSample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
     val b = Sampling.hashSample(ids.repartition(17), "id", 0.1)
