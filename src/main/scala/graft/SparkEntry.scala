@@ -1249,7 +1249,8 @@ object SparkEntry {
       // recomputes the stats arithmetically, so a header-offset,
       // byte-order or normalization bug in WavCodec cannot hash-match.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.WavCodec.synthesizeSquare(id))))
         .toDF("media_id", "content")
@@ -1311,7 +1312,8 @@ object SparkEntry {
       // track count arithmetically, so a big-endian or box-offset bug in
       // Mp4Probe cannot hash-match.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.Mp4Probe.synthesize(id))))
         .toDF("media_id", "content")
@@ -1324,7 +1326,8 @@ object SparkEntry {
       // float32 durations — probed back through the full varint walk;
       // the oracle recomputes duration/tracks arithmetically.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.EbmlProbe.synthesize(id))))
         .toDF("media_id", "content")
@@ -1337,7 +1340,8 @@ object SparkEntry {
       // dominant bin and spectral centroid have closed forms the oracle
       // recomputes; a DFT indexing or windowing bug cannot hash-match.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.WavCodec.synthesizeSine(id))))
         .toDF("media_id", "content")
@@ -1364,7 +1368,8 @@ object SparkEntry {
       // decoding a single frame; the oracle recomputes the closed forms —
       // a bit-offset bug in the 20/3/36-bit slicing cannot hash-match.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.FlacProbe.synthesize(id))))
         .toDF("media_id", "content")
@@ -1378,7 +1383,8 @@ object SparkEntry {
       // the oracle recomputes every bit arithmetically, so a row-order,
       // luma or box-boundary bug in PHash cannot hash-match.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.BmpCodec.synthesize(id))))
         .toDF("media_id", "content")
@@ -1391,7 +1397,8 @@ object SparkEntry {
       // equal mod 256 differ only at their two flip bits (hamming 2) by
       // the synthesizer's construction.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.BmpCodec.synthesize(id))))
         .toDF("media_id", "content")
@@ -1406,7 +1413,8 @@ object SparkEntry {
       // (the q67 discipline), so a wrong component, a lost transitive
       // chain, or a mis-ranked keeper goes red end-to-end.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.BmpCodec.synthesize(id))))
         .toDF("media_id", "content")
@@ -1429,7 +1437,8 @@ object SparkEntry {
       // format/width/height back from the header bytes alone — a
       // wrong-endian, wrong-offset or SOF-walk bug cannot hash-match.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map { id =>
         val w = 16 + (id % 17).toInt; val h = 16 + ((id / 17) % 13).toInt
         val bytes = (id % 4) match {
@@ -1449,7 +1458,8 @@ object SparkEntry {
       // stay out of the banding birthday regime past n~10⁵ (BASELINE.md
       // phash rehearsal). Oracle = brute-force pair set at ≤ 3.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.BmpCodec.synthesize(id))))
         .toDF("media_id", "content")
@@ -1473,7 +1483,8 @@ object SparkEntry {
       // choice. Oracle recomputes every hash arithmetically and
       // brute-ranks with the same id tie-break.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.BmpCodec.synthesize(id))))
         .toDF("media_id", "content")
@@ -1505,8 +1516,9 @@ object SparkEntry {
       // 3992↔4249 at sf0.1) that breaks cliqueness; the slice keeps the
       // gate deterministic at every sf while the require below stays the
       // loud guard
-      val ids = eng(s, dir).table("documents")
-        .where(col("doc_id") < 3000).select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(eng(s, dir)
+        .table("documents")
+        .where(col("doc_id") < 3000).select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.BmpCodec.synthesize(id))))
         .toDF("media_id", "content")
@@ -3098,7 +3110,8 @@ object SparkEntry {
       // around a real Mp3Probe-accepted stream; the scrubbed audio must
       // probe tag-free AND still parse as MPEG
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       ids.map { id =>
         val bytes = Multimodal.Id3Codec.synthesizeMp3Id3(id)
         val t = Multimodal.Id3Codec.probe(bytes).get
@@ -3117,7 +3130,8 @@ object SparkEntry {
       // key/value and the 23+digits strip delta are arithmetic in the
       // id, and the scrubbed copy must probe empty
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       ids.map { id =>
         val bytes = Multimodal.PngTextCodec.synthesizePngText(id)
         val kv = Multimodal.PngTextCodec.probe(bytes).get
@@ -3137,7 +3151,8 @@ object SparkEntry {
       // delta), and the scrubbed copy must probe clean — the
       // privacy-governance stage for image ingest
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       ids.map { id =>
         val bytes = Multimodal.ExifCodec.synthesizeJpegExif(id)
         val e = Multimodal.ExifCodec.probe(bytes)
@@ -4207,7 +4222,8 @@ object SparkEntry {
       // from the modular construction — a decode or parse slip cannot
       // hash-match
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map { id =>
         val rgb = (id % 3) match {
           case 0 => 0xFF0000
@@ -4477,7 +4493,8 @@ object SparkEntry {
       // re-encode → decoded-stats chain. A chunk-walk, sampling-stride
       // or decode bug cannot hash-match the arithmetic oracle.
       import s.implicits._
-      val ids = eng(s, dir).table("documents").select(col("doc_id")).as[Long]
+      val ids = graft.functions.GraftFunctions.fanOut(
+        eng(s, dir).table("documents").select(col("doc_id"))).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.AviMjpegCodec.synthesize(id))))
         .toDF("media_id", "content")

@@ -44,6 +44,24 @@ object GraftFunctions {
   private[graft] def kexp(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
 
+  /** Fan per-row kernel work out to the session's parallelism when the
+    * upstream would otherwise run on fewer tasks. TESTDATA tables are
+    * single-row-group parquet files, so their scans split to ONE task no
+    * matter the split config — and every downstream per-row kernel
+    * (minhash md5s, winnowing, codec synthesis, the exact-cosine pair
+    * loop) serializes on one core of the whole machine (the optimization
+    * guide's "input skew: one unsplittable file → repartition right
+    * after the read"). At scale the scan already carries ≥ parallelism
+    * partitions and this is a NO-OP — no shuffle is added; locally it is
+    * one tiny round-robin exchange of the raw rows. Callers must be
+    * order-free downstream (pair/bucket/aggregate shapes are). */
+  private[graft] def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   /** 52-bit md5 fraction numerator: byte-identical to
     * `conv(substring(md5(x), 1, 13), 16, 10).cast("long")` — one digest,
     * no hex-string round-trip. See [[graft.expr.Md5Frac52Expr]]. */

@@ -95,11 +95,15 @@ object Multimodal {
     def featuresOf(img: java.awt.image.BufferedImage): Array[Float] = {
       val h = new Array[Float](8)
       val (w, ht) = (img.getWidth, img.getHeight)
+      // bulk row reads: getRGB(x, y) pays a per-CALL color-model convert;
+      // the row variant returns the SAME default-sRGB ints (API contract)
+      val row = new Array[Int](w)
       var y = 0
       while (y < ht) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = row(x)
           val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
             (rgb & 0xFF) * 114) / 1000
           h(lum / 32) += 1f
@@ -198,11 +202,14 @@ object Multimodal {
           val x0 = c * w / BmpCodec.GridW; val x1 = (c + 1) * w / BmpCodec.GridW
           val y0 = r * h / BmpCodec.GridH; val y1 = (r + 1) * h / BmpCodec.GridH
           var sum = 0L; var n = 0L
+          val bw = x1 - x0
+          val row = if (bw > 0) new Array[Int](bw) else null
           var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
+          while (y < y1 && bw > 0) {
+            img.getRGB(x0, y, bw, 1, row, 0, bw) // bulk row: same ints as getRGB(x, y)
+            var x = 0
+            while (x < bw) {
+              val rgb = row(x)
               sum += ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
                 (rgb & 0xFF) * 114L
               n += 1; x += 1
@@ -1278,11 +1285,14 @@ object Multimodal {
         ImageIoCodec.decode(bytes) match {
           case Some(img) =>
             var sr = 0L; var sg = 0L; var sb = 0L
+            val w0 = img.getWidth
+            val row = new Array[Int](w0)
             var y = 0
             while (y < img.getHeight) {
+              img.getRGB(0, y, w0, 1, row, 0, w0) // bulk row: same ints
               var x = 0
-              while (x < img.getWidth) {
-                val p = img.getRGB(x, y)
+              while (x < w0) {
+                val p = row(x)
                 sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
                 x += 1
               }
@@ -1502,10 +1512,12 @@ object Multimodal {
           case Some(img) =>
             val (w, h) = (img.getWidth, img.getHeight)
             var sum = 0L
+            val row = new Array[Int](w)
             var y = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w) // bulk row: same ints
               var x = 0
-              while (x < w) { sum += (img.getRGB(x, y) >> 8) & 0xFF; x += 1 }
+              while (x < w) { sum += (row(x) >> 8) & 0xFF; x += 1 }
               y += 1
             }
             org.apache.spark.sql.Row(r.getLong(idIdx), r.getInt(ixIdx),
