@@ -62,6 +62,29 @@ object GraftFunctions {
     else df
   }
 
+  /** Spread a NARROW relation whose rows each expand into heavy
+    * downstream work — bucket rows exploding into O(|bucket|²) pairs,
+    * candidate-pair rows each paying a merge-walk verify — across the
+    * session's parallelism. AQE coalesces post-shuffle partitions by
+    * BYTE size, blind to per-row expansion cost, so the heavy stage
+    * lands on 1-6 tasks of a 32-core session (measured with
+    * graft.JobProfile: q44's bucket-pair explode ran 3.1 s on ONE task;
+    * q256's verify spent 15.8 s of task time on 6). A user-specified
+    * round-robin repartition is exempt from AQE coalescing. Unlike
+    * [[fanOut]] this is unconditional: the rows carried are the
+    * lightweight PROXIES of the optimization guide's §8 (ids, bucket
+    * lists), whose downstream per-row cost is orders of magnitude above
+    * their byte size — the tiny exchange is the right trade at any
+    * scale, and at scale it also breaks up residual bucket skew. Width
+    * follows the session's shuffle-partition setting (never below the
+    * core count), so a production config keeps its tuned width. */
+  private[graft] def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val p = math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    df.repartition(p)
+  }
+
   /** 52-bit md5 fraction numerator: byte-identical to
     * `conv(substring(md5(x), 1, 13), 16, 10).cast("long")` — one digest,
     * no hex-string round-trip. See [[graft.expr.Md5Frac52Expr]]. */
