@@ -168,14 +168,60 @@ object Clustering {
    * that round's pre-update centroids) and the centroids are
    * post-update — the standard Lloyd readout.
    */
-  def kmeansLloyd(df: DataFrame, features: Seq[Column], k: Int, iters: Int,
-      maxK: Int = 64): DataFrame = {
+  /** A finished Lloyd fit with its distinct-feature relation still
+    * CACHED — [[silhouetteSimplified]] scores against the same relation
+    * and fast-path election, so sharing the fit saves a second cache
+    * build + bounds probe (measured: two 0.73 s cache builds per q309
+    * run). Callers MUST unpersist `pts`. */
+  private case class LloydFit(pts: DataFrame, fn: Seq[String], d: Int,
+    useLong: Boolean, cents: Array[Array[Long]], lastN: Array[Long],
+    lastSd: Array[BigInt])
+
+  /** Packed exact squared distance for the long fast path:
+    * dist·k + j encodes the (dist, idx) argmin pair in ONE long —
+    * numeric order on packed values IS lexicographic (dist asc, idx
+    * asc) order because all k values carry distinct idx low-parts, so
+    * `least(...)` replaces the per-row array-of-structs + array_min
+    * (struct allocation + interpreted struct comparisons; measured
+    * 6.6-14.6 s of task time per q309 iteration, ~5x the packed chain).
+    * The election bound guarantees d·span²·k + (k−1) < 2⁶³. */
+  private def packedDist(fn: Seq[String], c: Array[Long], j: Int,
+      k: Int): Column =
+    fn.indices.map { i =>
+      val diff = col(fn(i)) - lit(c(i)); diff * diff
+    }.reduce(_ + _) * lit(k.toLong) + lit(j.toLong)
+
+  /** Shared silhouette scoring tail: per-row s = (b−a)/max(a,b) rounded
+    * 12dp, weight-multiplied into a DECIMAL term (the Σ doctrine). The
+    * input carries __a, __b, __cl, __w. */
+  private def pts2Scored(withAb: DataFrame): DataFrame =
+    withAb
+      .withColumn("__sil", when(greatest(col("__a"), col("__b")) > 0,
+        round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 12))
+        .otherwise(lit(0.0)))
+      .select(col("__cl").as("cluster"), col("__w"),
+        (col("__sil").cast("decimal(38,12)") * col("__w"))
+          .cast("decimal(38,12)").as("__term"))
+
+  private def decimalDistStruct(fn: Seq[String], c: Array[Long],
+      j: Int): Column = {
+    val dist = fn.indices.map { i =>
+      val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
+      diff * diff
+    }.reduce(_ + _)
+    struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
+  }
+
+  private def lloydCore(df: DataFrame, features: Seq[Column], k: Int,
+      iters: Int, maxK: Int, forceDecimal: Boolean = false): LloydFit = {
     require(k >= 1 && k <= maxK, s"k in [1,$maxK]")
     require(iters >= 1 && iters <= 64, "iters in [1,64]")
     val d = features.length
     require(d >= 1 && d <= 16, "1..16 features")
-    val spark = df.sparkSession
     val fn = (0 until d).map(i => s"__f$i")
+    // (fanOut before the distinct collapse was measured NEUTRAL here:
+    // the cache build is scan-bound — row-group-limited parquet read —
+    // not partial-agg bound, so the extra exchange bought nothing)
     val pts = df.select(features.zipWithIndex.map { case (c, i) =>
         c.cast("long").as(fn(i)) }: _*)
       .where(fn.map(col(_).isNotNull).reduce(_ && _))
@@ -190,11 +236,16 @@ object Clustering {
         "floor/truncation division diverges across engines; shift first")
       require(bounds.getLong(1) <= 1000000000000L,
         "kmeansLloyd: coordinates above 1e12 overflow the exact distance class")
-      // fast-path election (see Scaladoc): same span bound as
-      // silhouetteSimplified, probed once, constant across iterations
-      val spanBound = math.sqrt(Long.MaxValue.toDouble / d).toLong - 1
-      val useLong = (BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0))) <=
-        BigInt(spanBound)
+      // fast-path election (see Scaladoc): probed once, constant across
+      // iterations. The k factor keeps the PACKED encoding dist·k + j
+      // inside a long (d·span²·k + k−1 < 2⁶³); identical integers to the
+      // decimal path either way, so the paths cannot publish different
+      // clusterings (ClusteringSpec pins the equivalence).
+      val spanBound =
+        math.sqrt(Long.MaxValue.toDouble / d / math.max(k, 1)).toLong - 1
+      val useLong = !forceDecimal &&
+        (BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0))) <=
+          BigInt(spanBound)
       val init = pts.select(fn.map(col): _*)
         .withColumn("__h", md5(concat_ws("|", fn.map(col): _*)))
         .orderBy(col("__h") +: fn.map(col(_).asc): _*)
@@ -205,32 +256,33 @@ object Clustering {
       val lastN = Array.fill(k)(0L)
       val lastSd = Array.fill(k)(BigInt(0))
       for (_ <- 1 to iters) {
-        val cands = array(cents.zipWithIndex.map { case (c, j) =>
-          if (useLong) {
-            val dist = (0 until d).map { i =>
-              val diff = col(fn(i)) - lit(c(i)); diff * diff
-            }.reduce(_ + _)
-            struct(dist.as("d"), lit(j).as("i")) // long: codegen argmin
-          } else {
-            val dist = (0 until d).map { i =>
-              val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
-              diff * diff
-            }.reduce(_ + _)
-            struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
-          }
-        }: _*)
         // accumulations are DECIMAL in both paths, cast BEFORE the
         // multiply (Scaladoc: the f·w long-wrap family)
-        val aggCols: Seq[Column] = sum(col("__w")).as("n") +:
-          sum((col("__best.d").cast("decimal(38,0)") * col("__w"))
+        def aggCols(distCol: Column): Seq[Column] =
+          sum(col("__w")).as("n") +:
+          sum((distCol.cast("decimal(38,0)") * col("__w"))
             .cast("decimal(38,0)")).as("sd") +:
           (0 until d).map(i =>
             sum((col(fn(i)).cast("decimal(38,0)") * col("__w"))
               .cast("decimal(38,0)")).as(s"s$i"))
-        val sums = pts.withColumn("__best", array_min(cands))
-          .groupBy(col("__best.i").as("__c"))
-          .agg(aggCols.head, aggCols.tail: _*)
-          .collect() // ≤ k rows
+        val assigned =
+          if (useLong) {
+            val pcols = cents.zipWithIndex.map { case (c, j) =>
+              packedDist(fn, c, j, k) }
+            val packed = if (pcols.length == 1) pcols.head else least(pcols: _*)
+            pts.withColumn("__p", packed)
+              .groupBy(pmod(col("__p"), lit(k.toLong)).cast("int").as("__c"))
+              .agg(aggCols(expr(s"__p DIV ${k}L")).head,
+                aggCols(expr(s"__p DIV ${k}L")).tail: _*)
+          } else {
+            val cands = array(cents.zipWithIndex.map { case (c, j) =>
+              decimalDistStruct(fn, c, j) }: _*)
+            pts.withColumn("__best", array_min(cands))
+              .groupBy(col("__best.i").as("__c"))
+              .agg(aggCols(col("__best.d")).head,
+                aggCols(col("__best.d")).tail: _*)
+          }
+        val sums = assigned.collect() // ≤ k rows
         java.util.Arrays.fill(lastN, 0L)
         (0 until k).foreach(j => lastSd(j) = BigInt(0))
         val next = cents.map(_.clone())
@@ -245,6 +297,19 @@ object Clustering {
         }
         cents = next
       }
+      LloydFit(pts, fn, d, useLong, cents, lastN, lastSd)
+    } catch { case t: Throwable => pts.unpersist(); throw t }
+  }
+
+  def kmeansLloyd(df: DataFrame, features: Seq[Column], k: Int, iters: Int,
+      maxK: Int = 64, forceDecimalPath: Boolean = false): DataFrame = {
+    // forceDecimalPath: spec hook ONLY — pins the packed-long argmin
+    // byte-equal to the decimal struct path on the same data
+    val spark = df.sparkSession
+    val fit = lloydCore(df, features, k, iters, maxK, forceDecimalPath)
+    try {
+      val d = fit.d; val cents = fit.cents
+      val lastN = fit.lastN; val lastSd = fit.lastSd
       // mean_sqdist = floor(sd / n): the exact integer mean cast to
       // double — both engines round the SAME integer to the same IEEE
       // value (a 6dp round of a ~1e11 quotient is ULP-divergent; this
@@ -264,7 +329,7 @@ object Clustering {
             (if (lastN(j) > 0) (lastSd(j) / lastN(j)).toDouble else null))
       }
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    } finally pts.unpersist()
+    } finally fit.pts.unpersist()
   }
 
   /**
@@ -287,68 +352,49 @@ object Clustering {
    * (cluster, n, mean_sil), mean 6dp; an empty cluster publishes NULL.
    */
   def silhouetteSimplified(df: DataFrame, features: Seq[Column], k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, forceDecimalPath: Boolean = false): DataFrame = {
     require(k >= 2, "silhouetteSimplified: k >= 2 — one cluster has no b")
-    val d = features.length
-    val cents = kmeansLloyd(df, features, k, iters).collect() // k rows
-      .sortBy(_.getInt(0))
-      .map(r => Array.tabulate(d)(i => r.getLong(2 + i)))
-    val fn = (0 until d).map(i => s"__f$i")
-    val pts = df.select(features.zipWithIndex.map { case (c, i) =>
-        c.cast("long").as(fn(i)) }: _*)
-      .where(fn.map(col(_).isNotNull).reduce(_ && _))
-      .groupBy(fn.map(col): _*).agg(count(lit(1)).as("__w"))
-      .cache() // ONE scoring pass over the distinct relation
+    // one shared Lloyd fit: the scoring pass reads the SAME cached
+    // distinct relation and fast-path election as the iteration loop
+    // (previously a second cache build + bounds probe per call)
+    val fit = lloydCore(df, features, k, iters, maxK = 64,
+      forceDecimal = forceDecimalPath)
+    val d = fit.d; val fn = fit.fn; val cents = fit.cents
     // fast path: squared distances are exact LONGs (codegen arithmetic,
-    // ~5× the decimal path) when d·span² < 2^63, span = max−min
-    // coordinate range (centroids are coordinate means, so every
-    // |coord − centroid| ≤ span; the −1 margin absorbs centroid
-    // rounding). The bound is d-DEPENDENT — a fixed cut like the
-    // original 7e8 holds only for d ≤ 18; with more features the long
-    // sum would (non-ANSI) wrap silently. Above the bound, the
-    // kmeansLloyd DECIMAL(38,0) class. Identical integers either way →
+    // ~5× the decimal path) under the lloydCore span bound (now
+    // d·span²·k < 2⁶³ for the packed argmin encoding; centroids are
+    // coordinate means, so every |coord − centroid| ≤ span). Above the
+    // bound, the DECIMAL(38,0) class. Identical integers either way →
     // identical sqrt doubles → the published silhouettes cannot differ
-    // between the two paths.
-    val loHi = pts.agg(
-      min(if (d == 1) col(fn(0)) else least(fn.map(col): _*)),
-      max(if (d == 1) col(fn(0)) else greatest(fn.map(col): _*))).head()
-    val spanBound = math.sqrt(Long.MaxValue.toDouble / d).toLong - 1
-    // span via BigInt: a raw long max−min wraps negative when the
-    // coordinates straddle > 2^63 (huge negative sentinel + large
-    // positives), which would sneak past the bound and re-open the
-    // exact overflow this guard exists to prevent
-    val useLong = !loHi.isNullAt(0) && !loHi.isNullAt(1) &&
-      (BigInt(loHi.getLong(1)) - BigInt(loHi.getLong(0))) <= BigInt(spanBound)
-    val cands = array(cents.zipWithIndex.map { case (c, j) =>
-      if (useLong) {
-        val dist = (0 until d).map { i =>
-          val diff = col(fn(i)) - lit(c(i)); diff * diff
-        }.reduce(_ + _)
-        struct(dist.as("d"), lit(j).as("i")) // long field: codegen sort
-      } else {
-        val dist = (0 until d).map { i =>
-          val diff = col(fn(i)).cast("decimal(38,0)") - lit(c(i))
-          (diff * diff).cast("decimal(38,0)")
-        }.reduce(_ + _)
-        struct(dist.cast("decimal(38,0)").as("d"), lit(j).as("i"))
-      }
-    }: _*)
+    // between the two paths. a/b come from the smallest and
+    // second-smallest packed values: all k packed values are DISTINCT
+    // (distinct idx low-parts), so the second-least `when` chain is
+    // well-defined and reproduces array_sort's (dist, idx) order.
     val per = try {
-      val scored = pts.withColumn("__s", array_sort(cands))
-        .withColumn("__a", sqrt(element_at(col("__s"), 1)("d").cast("double")))
-        .withColumn("__b", sqrt(element_at(col("__s"), 2)("d").cast("double")))
-        .withColumn("__sil", when(greatest(col("__a"), col("__b")) > 0,
-          round((col("__b") - col("__a")) / greatest(col("__a"), col("__b")), 12))
-          .otherwise(lit(0.0)))
-        .select(element_at(col("__s"), 1)("i").as("cluster"), col("__w"),
-          (col("__sil").cast("decimal(38,12)") * col("__w"))
-            .cast("decimal(38,12)").as("__term"))
+      val scored = (if (fit.useLong) {
+        val ps = cents.zipWithIndex.map { case (c, j) =>
+          packedDist(fn, c, j, k) }
+        pts2Scored(fit.pts
+          .withColumn("__pmin", least(ps: _*))
+          .withColumn("__p2", least(ps.map(p =>
+            when(p === col("__pmin"), lit(Long.MaxValue)).otherwise(p)): _*))
+          .withColumn("__a", sqrt(expr(s"__pmin DIV ${k}L").cast("double")))
+          .withColumn("__b", sqrt(expr(s"__p2 DIV ${k}L").cast("double")))
+          .withColumn("__cl", pmod(col("__pmin"), lit(k.toLong)).cast("int")))
+      } else {
+        val cands = array(cents.zipWithIndex.map { case (c, j) =>
+          decimalDistStruct(fn, c, j) }: _*)
+        pts2Scored(fit.pts.withColumn("__s", array_sort(cands))
+          .withColumn("__a", sqrt(element_at(col("__s"), 1)("d").cast("double")))
+          .withColumn("__b", sqrt(element_at(col("__s"), 2)("d").cast("double")))
+          .withColumn("__cl", element_at(col("__s"), 1)("i")))
+      })
       // ≤ k rows, materialized EAGERLY: the ALL rollup and the spine
       // join below must not each replay the scoring scan
       scored.groupBy(col("cluster"))
         .agg(sum(col("__w")).as("n"), sum(col("__term")).as("__ts"))
         .localCheckpoint(true)
-    } finally pts.unpersist()
+    } finally fit.pts.unpersist()
     val spark = df.sparkSession
     import spark.implicits._
     val spine = (0 until k).toDF("cluster")

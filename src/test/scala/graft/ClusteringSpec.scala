@@ -170,6 +170,42 @@ class ClusteringSpec extends SparkSpec {
       .collect()
     assert(h.forall(_.getAs[Double]("mean_sil") == 1.0))
   }
+  test("kmeans/silhouette: packed-long argmin path == decimal struct path " +
+      "byte-for-byte, ties included") {
+    // The long fast path now packs (dist, idx) into dist·k + j and takes
+    // least(...) / a when-chain second-least; the decimal path keeps the
+    // (d, i) struct array_min / array_sort. Both must publish IDENTICAL
+    // rows on the same data — including argmin ties: with centroids
+    // converging to 0 and 10, the value 5 is equidistant (25 each) and
+    // must break to the smaller cluster index on BOTH paths.
+    val df = (Seq.fill(8)(0L) ++ Seq.fill(8)(10L) ++
+      Seq(5L, 3L, 7L, 2L, 8L, 1L, 9L)).toDF("x")
+    val kmFast = Clustering.kmeansLloyd(df, Seq(col("x")), k = 2, iters = 4)
+      .orderBy("cluster").collect()
+    val kmDec = Clustering.kmeansLloyd(df, Seq(col("x")), k = 2, iters = 4,
+      forceDecimalPath = true).orderBy("cluster").collect()
+    assert(kmFast.toSeq == kmDec.toSeq)
+    val silFast = Clustering.silhouetteSimplified(df, Seq(col("x")), k = 2,
+      iters = 4).collect()
+    val silDec = Clustering.silhouetteSimplified(df, Seq(col("x")), k = 2,
+      iters = 4, forceDecimalPath = true).collect()
+    assert(silFast.toSeq == silDec.toSeq)
+    // 2-D: exercises the summed packed distance and the d-dependent bound
+    val df2 = Seq((0L, 0L), (1L, 1L), (50L, 49L), (51L, 50L), (25L, 25L),
+      (0L, 1L), (50L, 50L), (26L, 24L)).toDF("x", "y")
+    val feats = Seq(col("x"), col("y"))
+    val km2F = Clustering.kmeansLloyd(df2, feats, k = 3, iters = 5)
+      .orderBy("cluster").collect()
+    val km2D = Clustering.kmeansLloyd(df2, feats, k = 3, iters = 5,
+      forceDecimalPath = true).orderBy("cluster").collect()
+    assert(km2F.toSeq == km2D.toSeq)
+    val sil2F = Clustering.silhouetteSimplified(df2, feats, k = 3, iters = 5)
+      .collect()
+    val sil2D = Clustering.silhouetteSimplified(df2, feats, k = 3, iters = 5,
+      forceDecimalPath = true).collect()
+    assert(sil2F.toSeq == sil2D.toSeq)
+  }
+
   test("gmm1d: separated clusters converge to exact-replay params, tiny n refuses") {
     import spark.implicits._
     // 10x"10" + 10x"100": p25/p75 init lands on the cluster values;
