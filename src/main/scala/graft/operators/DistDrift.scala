@@ -40,49 +40,95 @@ object DistDrift {
    */
   private val PrefixBuckets = 256
 
+  /** [[withPrefixSums]] result with the driver-side facts the bucket
+    * pass learns for free: `nDistinct` = number of perValue rows and
+    * `totals` = the grand total of every count column (= the final
+    * prefix accumulator). Surfacing them lets callers drop their own
+    * count/total probe jobs (rankSums' tie rollup, yuenT's per-group
+    * n, spearman's long-path election) — the round-17 job-count cut. */
+  private[operators] case class PrefixSums(df: DataFrame, nDistinct: Long,
+    totals: Map[String, Long])
+
   private[operators] def withPrefixSums(perValue: DataFrame, cnts: Seq[String],
-      keepBucket: Boolean = false): DataFrame = {
+      keepBucket: Boolean = false,
+      knownBounds: Option[(Double, Double)] = None): DataFrame =
+    withPrefixSumsInfo(perValue, cnts, keepBucket, knownBounds).df
+
+  /** Full variant: also returns the distinct-value count and per-column
+    * grand totals (see [[PrefixSums]]). `knownBounds` skips the min/max
+    * stats job when the caller already knows a COVERING value range
+    * (bounds only shape the internal buckets — any covering range is
+    * correct; the oracle never sees them). `groupCols` (string-typed)
+    * generalizes the scan to per-group prefix sums in the SAME pass:
+    * buckets partition by (group, bucket), offsets cumulate per group
+    * on the driver (≤ groups × buckets rows collected), and `<c>_below`
+    * becomes Σ of `c` over smaller `v` WITHIN the row's group — one
+    * bucket job for all of kendallW's raters where the old shape ran
+    * one full pass per rater. */
+  private[operators] def withPrefixSumsInfo(perValue: DataFrame,
+      cnts: Seq[String], keepBucket: Boolean = false,
+      knownBounds: Option[(Double, Double)] = None,
+      groupCols: Seq[String] = Nil): PrefixSums = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     val spark = perValue.sparkSession
-    val stats = perValue.where(col("v").isNotNull)
-      .agg(min(col("v").cast("double")).as("mn"),
-        max(col("v").cast("double")).as("mx")).head()
+    val (mn, mx) = knownBounds.getOrElse {
+      val stats = perValue.where(col("v").isNotNull)
+        .agg(min(col("v").cast("double")).as("mn"),
+          max(col("v").cast("double")).as("mx")).head()
+      if (stats.isNullAt(0)) (0.0, 0.0)
+      else (stats.getDouble(0), stats.getDouble(1))
+    }
     // always a function of v (never a foldable literal — Catalyst would
     // fold a constant partition key away and recreate the single-task
     // window); degenerate single-value/empty inputs get width 1 so the
     // formula itself lands everything in bucket 0
-    val mn = if (stats.isNullAt(0)) 0.0 else stats.getDouble(0)
-    val mx = if (stats.isNullAt(0)) 0.0 else stats.getDouble(1)
     val width = if (mx > mn) (mx - mn) / PrefixBuckets else 1.0
     val bucketOf =
       least(greatest(floor((col("v").cast("double") - lit(mn)) / lit(width)),
         lit(0.0)), lit((PrefixBuckets - 1).toDouble)).cast("int")
     val bucketed = perValue.withColumn("__b",
       when(col("v").isNull, lit(-1)).otherwise(bucketOf))
-    val bucketTotals = bucketed.groupBy(col("__b"))
-      .agg(sum(col(cnts.head)).as(cnts.head),
-        cnts.tail.map(c => sum(col(c)).as(c)): _*)
-      .orderBy(col("__b")).collect()
-    val acc = scala.collection.mutable.LinkedHashMap(cnts.map(_ -> 0L): _*)
+    val keyCols = groupCols :+ "__b"
+    val bucketTotals = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__nv"),
+        cnts.map(c => sum(col(c)).as(c)): _*)
+      .orderBy(keyCols.map(col): _*).collect()
+    // offsets cumulate PER GROUP (rows arrive group-major, bucket-minor)
+    val accs = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], scala.collection.mutable.LinkedHashMap[String, Long]]
+    val grand = scala.collection.mutable.LinkedHashMap(cnts.map(_ -> 0L): _*)
+    var nv = 0L
+    val g = groupCols.length
     val offRows = bucketTotals.map { r =>
-      val offs = cnts.map { c => val o = acc(c); acc(c) += r.getAs[Long](c); o }
-      Row.fromSeq(r.getInt(0) +: offs)
+      val key = (0 until g).map(r.get)
+      val acc = accs.getOrElseUpdate(key,
+        scala.collection.mutable.LinkedHashMap(cnts.map(_ -> 0L): _*))
+      nv += r.getAs[Long]("__nv")
+      val offs = cnts.map { c =>
+        val o = acc(c); val t = r.getAs[Long](c)
+        acc(c) += t; grand(c) += t; o
+      }
+      Row.fromSeq(key ++ (r.getInt(g) +: offs))
     }
-    val offSchema = StructType(StructField("__b", IntegerType, nullable = false) +:
-      cnts.map(c => StructField(s"__off_$c", LongType, nullable = false)))
+    val offSchema = StructType(
+      groupCols.map(StructField(_, StringType, nullable = true)) ++
+      (StructField("__b", IntegerType, nullable = false) +:
+        cnts.map(c => StructField(s"__off_$c", LongType, nullable = false))))
     val offDf = spark.createDataFrame(
       java.util.Arrays.asList(offRows: _*), offSchema)
-    val wIn = Window.partitionBy(col("__b")).orderBy(col("v"))
+    val wIn = Window.partitionBy(keyCols.map(col): _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = cnts.foldLeft(bucketed) { (d, c) =>
       d.withColumn(s"__wb_$c", coalesce(sum(col(c)).over(wIn), lit(0L)))
     }
-    val joined = cnts.foldLeft(withLocal.join(broadcast(offDf), "__b")) { (d, c) =>
+    val joined = cnts.foldLeft(
+        withLocal.join(broadcast(offDf), keyCols)) { (d, c) =>
       d.withColumn(s"${c}_below", col(s"__wb_$c") + col(s"__off_$c"))
     }
-    joined.drop((if (keepBucket) Nil else Seq("__b")) ++
-      cnts.flatMap(c => Seq(s"__wb_$c", s"__off_$c")): _*)
+    PrefixSums(joined.drop((if (keepBucket) Nil else Seq("__b")) ++
+      cnts.flatMap(c => Seq(s"__wb_$c", s"__off_$c")): _*),
+      nv, grand.toMap)
   }
 
   private def bin(v: Column, lo: Double, hi: Double, nBins: Int): Column =
@@ -423,28 +469,62 @@ object DistDrift {
    * only in the final ratio with the two sqrts taken separately (the
    * q244 overflow doctrine). Output: one row (n, rho), 6dp.
    */
-  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    val subj = df.select(xCol.cast("double").as("x"), yCol.cast("double").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull)
-    def rankOf(c: String): DataFrame = {
-      val perValue = subj.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
-      withPrefixSums(perValue, Seq("t"))
-        .select(col("v").as(c),
-          (lit(2L) * col("t_below") + col("t") + 1L)
-            .cast("decimal(38,0)").as(s"__a_$c"))
-    }
-    val ranked = subj.join(rankOf("x"), "x").join(rankOf("y"), "y")
-    val agg = ranked.agg(count(lit(1)).as("n"),
-      sum(col("__a_x") * col("__a_y")).as("sxy"),
-      sum(col("__a_x") * col("__a_x")).as("sx2"),
-      sum(col("__a_y") * col("__a_y")).as("sy2"))
-    val nD = col("n").cast("decimal(38,0)")
-    val m = nD * (nD + lit(1)) * (nD + lit(1))
-    val num = (col("sxy") - m).cast("double")
-    val dx = (col("sx2") - m).cast("double")
-    val dy = (col("sy2") - m).cast("double")
-    agg.select(col("n"),
-      when(dx > 0 && dy > 0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+  def spearman(df: DataFrame, xCol: Column, yCol: Column,
+      forceDecimalPath: Boolean = false): DataFrame = {
+    // forceDecimalPath: spec hook ONLY — pins the long moment path
+    // byte-equal to the decimal path on the same data
+    // fanOut BEFORE the cache: the raw scan is row-group bound (3 tasks
+    // at sf0.1) and the cache inherits its partitioning, so every
+    // downstream collapse/join ran 3-wide on a 32-core session
+    val subj = graft.functions.GraftFunctions.fanOut(
+        df.select(xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+          .where(col("x").isNotNull && col("y").isNotNull))
+      .cache() // two per-axis collapses + the rank join all read it
+    try {
+      // ONE fused probe: n for the long-path election + both axes'
+      // bucket bounds (previously two separate stats jobs inside the
+      // two prefix passes, and no n at all)
+      val stats = subj.agg(count(lit(1)), min(col("x")), max(col("x")),
+        min(col("y")), max(col("y"))).head()
+      val n = stats.getLong(0)
+      def bounds(i: Int): Option[(Double, Double)] =
+        if (stats.isNullAt(i)) Some((0.0, 0.0))
+        else Some((stats.getDouble(i), stats.getDouble(i + 1)))
+      // doubled ranks satisfy A ≤ 2n, so every product ≤ 4n² and the
+      // moment sums ≤ 4n³ — exact LONGs (codegen sum, no BigDecimal per
+      // row) whenever 4n³ < 2⁶² (n ≈ 1.04M; BigInt guard, no wrap on
+      // the probe itself). Identical integers to the DECIMAL(38,0)
+      // sums under the bound → identical published doubles; above it
+      // the decimal path keeps unbounded exactness (the VecOuterAgg /
+      // kmeansLloyd probe-then-choose doctrine).
+      val useLong = !forceDecimalPath &&
+        BigInt(4) * BigInt(n).pow(3) < BigInt(2).pow(62)
+      def rankOf(c: String, b: Option[(Double, Double)]): DataFrame = {
+        val perValue = subj.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+        val info = withPrefixSumsInfo(perValue, Seq("t"), knownBounds = b)
+        val a2 = lit(2L) * col("t_below") + col("t") + 1L
+        val rel = info.df.select(col("v").as(c),
+          (if (useLong) a2 else a2.cast("decimal(38,0)")).as(s"__a_$c"))
+        // value-cardinality known from the bucket pass: broadcast the
+        // rank relation when it is small (l_quantity: 50 rows), keep
+        // the value-keyed shuffle join above the limit
+        if (info.nDistinct <= BroadcastValueLimit) broadcast(rel) else rel
+      }
+      val ranked = subj.join(rankOf("x", bounds(1)), "x")
+        .join(rankOf("y", bounds(3)), "y")
+      val agg = ranked.agg(count(lit(1)).as("n"),
+        sum(col("__a_x") * col("__a_y")).as("sxy"),
+        sum(col("__a_x") * col("__a_x")).as("sx2"),
+        sum(col("__a_y") * col("__a_y")).as("sy2"))
+      val nD = if (useLong) col("n") else col("n").cast("decimal(38,0)")
+      val m = nD * (nD + lit(1)) * (nD + lit(1))
+      val num = (col("sxy") - m).cast("double")
+      val dx = (col("sx2") - m).cast("double")
+      val dy = (col("sy2") - m).cast("double")
+      agg.select(col("n"),
+        when(dx > 0 && dy > 0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
+        .localCheckpoint(true) // sever from the cached subj before unpersist
+    } finally subj.unpersist()
   }
 
   /**
@@ -669,21 +749,7 @@ object DistDrift {
     * REPLACING the ladder's broadcast-totals subtree: the probe's scan
     * pays for the scan the totals agg no longer runs, so enforcement
     * costs zero net work. */
-  private def probePooledTotals(oldDf: DataFrame, newDf: DataFrame,
-      valCol: String, ceiling: Long, what: String): (Long, Long) = {
-    val r = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
-      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
-      .where(col("v").isNotNull)
-      .agg(sum(col("s1")), sum(col("s2"))).head()
-    val n1 = if (r.isNullAt(0)) 0L else r.getLong(0)
-    val n2 = if (r.isNullAt(1)) 0L else r.getLong(1)
-    require(n1 + n2 <= ceiling,
-      s"$what: ${n1 + n2} pooled rows exceed the exact-integer ceiling " +
-        s"$ceiling (DECIMAL(38,0) term mass would overflow and silently " +
-        "NULL-drop) — bin first (ksBinned's declared-bounds discipline; " +
-        "each bin is one big tie and this statistic is already tie-exact)")
-    (n1, n2)
-  }
+
 
   /** Shared two-sample pooled-CDF ladder ([[ks]] / [[cramerVonMises]] /
     * [[andersonDarling]]): per-distinct-value source counts c1/c2,
@@ -716,6 +782,37 @@ object DistDrift {
       .select(col("v"), col("c1"), col("c2"),
         (col("c1_below") + col("c1")).as("a1"),
         (col("c2_below") + col("c2")).as("a2"))
+  }
+
+  /** [[pooledCounts]] with the ceiling probe FUSED into one union-scan
+    * aggregate that also learns the value bounds for the prefix pass
+    * (the old shape ran probe + stats as two separate scans). Returns
+    * (per-value cumulative relation, n1, n2); the ceiling refusal fires
+    * before any bucket work, exactly as the standalone probe did. */
+  private def pooledCountsProbed(oldDf: DataFrame, newDf: DataFrame,
+      valCol: String, ceiling: Long, what: String): (DataFrame, Long, Long) = {
+    val tagged = oldDf.select(col(valCol).cast("double").as("v"), lit(1L).as("s1"), lit(0L).as("s2"))
+      .unionByName(newDf.select(col(valCol).cast("double").as("v"), lit(0L).as("s1"), lit(1L).as("s2")))
+      .where(col("v").isNotNull)
+    val pr = tagged.agg(sum(col("s1")), sum(col("s2")),
+      min(col("v")), max(col("v"))).head()
+    val n1 = if (pr.isNullAt(0)) 0L else pr.getLong(0)
+    val n2 = if (pr.isNullAt(1)) 0L else pr.getLong(1)
+    require(n1 + n2 <= ceiling,
+      s"$what: ${n1 + n2} pooled rows exceed the exact-integer ceiling " +
+        s"$ceiling (DECIMAL(38,0) term mass would overflow and silently " +
+        "NULL-drop) — bin first (ksBinned's declared-bounds discipline; " +
+        "each bin is one big tie and this statistic is already tie-exact)")
+    val bounds = if (pr.isNullAt(2)) (0.0, 0.0)
+      else (pr.getDouble(2), pr.getDouble(3))
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("s1")).as("c1"), sum(col("s2")).as("c2"))
+    val cum = withPrefixSums(perValue, Seq("c1", "c2"),
+        knownBounds = Some(bounds))
+      .select(col("v"), col("c1"), col("c2"),
+        (col("c1_below") + col("c1")).as("a1"),
+        (col("c2_below") + col("c2")).as("a2"))
+    (cum, n1, n2)
   }
 
   def ks(oldDf: DataFrame, newDf: DataFrame, valCol: String): DataFrame = {
@@ -758,11 +855,11 @@ object DistDrift {
    */
   def cramerVonMises(oldDf: DataFrame, newDf: DataFrame, valCol: String,
       maxPooled: Long = CvmMaxPooled): DataFrame = {
-    val (pn1, pn2) =
-      probePooledTotals(oldDf, newDf, valCol, maxPooled, "cramerVonMises")
+    val (cum, pn1, pn2) =
+      pooledCountsProbed(oldDf, newDf, valCol, maxPooled, "cramerVonMises")
     val dec = "decimal(38,0)"
     val num = (col("a1") * col("n2") - col("a2") * col("n1")).cast("decimal(19,0)")
-    val terms = pooledCounts(oldDf, newDf, valCol)
+    val terms = cum
       .withColumn("n1", lit(pn1)).withColumn("n2", lit(pn2))
       .select(col("n1"), col("n2"),
         ((col("c1") + col("c2")).cast("decimal(19,0)") * (num * num))
@@ -811,8 +908,8 @@ object DistDrift {
    */
   def andersonDarling(oldDf: DataFrame, newDf: DataFrame,
       valCol: String, maxPooled: Long = AdMaxPooled): DataFrame = {
-    val (pn1, pn2) =
-      probePooledTotals(oldDf, newDf, valCol, maxPooled, "andersonDarling")
+    val (cum, pn1, pn2) =
+      pooledCountsProbed(oldDf, newDf, valCol, maxPooled, "andersonDarling")
     val decS = "decimal(38,12)"
     val nTot = col("n1") + col("n2")
     val l = col("c1") + col("c2")
@@ -820,7 +917,7 @@ object DistDrift {
     val q = lit(2L) * col("a1") - col("c1")
     val num = (nTot * q - col("n1") * p).cast("decimal(19,0)")
     val den = p * (lit(2L) * nTot - p) - nTot * l
-    val terms = pooledCounts(oldDf, newDf, valCol)
+    val terms = cum
       .withColumn("n1", lit(pn1)).withColumn("n2", lit(pn2))
       .select(col("n1"), col("n2"),
         when(den > 0,
@@ -993,24 +1090,43 @@ object DistDrift {
     // (n, k, h, tmeanNum, vLo, vHi, winsSum, winsSsq) for one group
     case class Side(n: Long, k: Long, h: Long, st: java.math.BigDecimal,
       ssqt: java.math.BigDecimal, vLo: Long, vHi: Long)
-    def side(gName: String): Side = {
-      val pv = base.where(col("g") === gName)
-        .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      val n = pv.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    // ONE pass for BOTH groups (the old shape ran a per-group pipeline —
+    // per-group count probe, per-group prefix stats/totals, per-group
+    // final agg: ~14 sequential jobs re-scanning the subject each time):
+    // the distinct-value relation carries one count column per group,
+    // the prefix pass cumulates both in the same bucket walk, and both
+    // sides' trimmed moments ride ONE final aggregate. Per-group n
+    // arrives free from the bucket totals. A value absent from a group
+    // (cg = 0) contributes m = 0 to the sums and is excluded from the
+    // vlo/vhi order-statistic scans by the cg > 0 guard — byte-identical
+    // to the old per-group relations, which simply lacked those rows.
+    val pv = base.groupBy(col("v")).agg(
+      sum(when(col("g") === gs(0), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === gs(1), 1L).otherwise(0L)).as("cb"))
+    val info = withPrefixSumsInfo(pv, Seq("ca", "cb"))
+    val cum = info.df
+    def sideAgg(cc: String): Seq[Column] = {
+      val n = info.totals(cc)
       val k = math.floor(trim * n).toLong
-      val cum = withPrefixSums(pv, Seq("c"))
-      val incl = col("c_below") + col("c")
-      val m = greatest(least(incl, lit(n - k)) - greatest(col("c_below"), lit(k)),
+      val incl = col(s"${cc}_below") + col(cc)
+      val m = greatest(least(incl, lit(n - k)) - greatest(col(s"${cc}_below"), lit(k)),
         lit(0L))
-      val r = cum.agg(
-        sum(d38(m) * d38(col("v"))).as("st"),
-        sum(d38(m) * d38(col("v")) * d38(col("v"))).as("ssqt"),
-        min(when(incl >= k + 1L, col("v"))).as("vlo"),
-        min(when(incl >= n - k, col("v"))).as("vhi")).head()
-      Side(n, k, n - 2 * k, r.getDecimal(0), r.getDecimal(1),
-        r.getLong(2), r.getLong(3))
+      Seq(
+        sum(d38(m) * d38(col("v"))).as(s"st_$cc"),
+        sum(d38(m) * d38(col("v")) * d38(col("v"))).as(s"ssqt_$cc"),
+        min(when(col(cc) > 0 && incl >= k + 1L, col("v"))).as(s"vlo_$cc"),
+        min(when(col(cc) > 0 && incl >= n - k, col("v"))).as(s"vhi_$cc"))
     }
-    val (a, b) = (side(gs(0)), side(gs(1)))
+    val aggCols = sideAgg("ca") ++ sideAgg("cb")
+    val r = cum.agg(aggCols.head, aggCols.tail: _*).head()
+    def sideOf(cc: String, off: Int): Side = {
+      val n = info.totals(cc)
+      val k = math.floor(trim * n).toLong
+      Side(n, k, n - 2 * k, r.getDecimal(off), r.getDecimal(off + 1),
+        if (r.isNullAt(off + 2)) 0L else r.getLong(off + 2),
+        if (r.isNullAt(off + 3)) 0L else r.getLong(off + 3))
+    }
+    val (a, b) = (sideOf("ca", 0), sideOf("cb", 4))
     val spark = df.sparkSession
     import spark.implicits._
     def r6(x: Double): Double =
@@ -1129,23 +1245,38 @@ object DistDrift {
    *
    * Returns ((group, n, 2·rank-sum) sorted by group, Σ(t³−t) tie term).
    */
+  /** Distinct-value relations small enough to broadcast back onto the
+    * (group, value) cells — sized from the prefix pass's own driver-side
+    * count, so the choice is data-driven, not a config. 4M rows of
+    * (long v, long r2x) ≈ 64 MB framed — inside the broadcast comfort
+    * zone; above it the value-keyed shuffle join is the scale shape. */
+  private val BroadcastValueLimit = 4000000L
+
   private[operators] def rankSums(subj: DataFrame): (Array[(String, Long, Long)], Long) = {
+    // cells cached (not perValue): every downstream job — bucket stats,
+    // bucket totals, the rank join — re-derives from cells, so caching
+    // here stops each of them re-scanning the SUBJECT relation. The tie
+    // rollup Σ(t³−t) rides the bucket-totals collect as a second count
+    // column (totals come back on the driver for free), dropping the
+    // separate tieSum job of the old shape.
     val cells = subj.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val perValue = cells.groupBy(col("v")).agg(sum(col("c")).as("t")).cache()
-    val valStats = withPrefixSums(perValue, Seq("t"))
+      .cache()
+    val perValue = cells.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .withColumn("t3", col("t") * col("t") * col("t") - col("t"))
+    val info = withPrefixSumsInfo(perValue, Seq("t", "t3"))
+    val valStats = info.df
       .withColumn("__r2x", lit(2L) * col("t_below") + col("t") + 1L)
-    val sums = cells.join(valStats.select(col("v"), col("__r2x")), "v")
+      .select(col("v"), col("__r2x"))
+    val ranked = if (info.nDistinct <= BroadcastValueLimit)
+      cells.join(broadcast(valStats), "v")
+    else cells.join(valStats, "v")
+    val sums = ranked
       .groupBy(col("g"))
       .agg(sum(col("c")).as("n"), sum(col("c") * col("__r2x")).as("r2x"))
       .orderBy(col("g")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // coalesce: sum over ZERO rows is NULL — an all-filtered (empty)
-    // subject must yield (no groups, 0 ties), not an NPE at getLong
-    val tieSum = perValue
-      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")), lit(0L)).as("ts"))
-      .head().getLong(0)
-    perValue.unpersist()
-    (sums, tieSum)
+    cells.unpersist()
+    (sums, info.totals("t3"))
   }
 
   def kruskalWallis(df: DataFrame, valCol: Column, groupCol: Column): DataFrame = {

@@ -1910,11 +1910,19 @@ object Experiment {
         itemCol.cast("string").as("it"), scoreCol.cast("double").as("v"))
       .where(col("rt").isNotNull && col("it").isNotNull && col("v").isNotNull)
       .cache()
-    val m = r.select(col("rt")).distinct().count()
-    val n = r.select(col("it")).distinct().count()
+    // ONE fused probe: all four validation counts plus the score bounds
+    // for the prefix pass (the old shape ran four separate count jobs +
+    // a per-rater bounds job inside every prefix pass)
+    val probe = r.agg(count(lit(1)),
+      countDistinct(col("rt")), countDistinct(col("it")),
+      countDistinct(col("rt"), col("it")),
+      min(col("v")), max(col("v"))).head()
+    val cnt = probe.getLong(0)
+    val m = probe.getLong(1)
+    val n = probe.getLong(2)
+    val distinctPairs = probe.getLong(3)
     require(m >= 2, "kendallW: need at least two raters")
     require(n >= 2, "kendallW: need at least two items")
-    val cnt = r.count()
     require(cnt == m * n,
       s"kendallW: $cnt ratings != raters×items = ${m * n} — rankings must " +
         "be complete (every rater scores every item, once)")
@@ -1922,35 +1930,36 @@ object Experiment {
     // scoring an item twice while missing another keeps cnt == m·n, and
     // the doubled rank then silently distorts W) — assert per-pair
     // uniqueness too
-    val distinctPairs = r.select(col("rt"), col("it")).distinct().count()
     require(distinctPairs == cnt,
       s"kendallW: $cnt ratings over $distinctPairs distinct (rater,item) " +
         "pairs — duplicate ratings detected; rankings must be complete " +
         "AND unique")
+    require(m <= 64,
+      s"kendallW: $m raters > 64 — grouped prefix pass is rater-bounded")
+    // rank desc by score == prefix count over ascending −score; ALL
+    // raters ride ONE grouped prefix pass (buckets partition by
+    // (rater, bucket) — see withPrefixSumsInfo) instead of one full
+    // pass per rater
     val pv = r.groupBy(col("rt"), col("v")).agg(count(lit(1)).as("c"))
-      .cache() // m per-rater prefix passes + the tie rollup read it
-    val raters = pv.select(col("rt")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(raters.length <= 64,
-      s"kendallW: ${raters.length} raters > 64 — one prefix pass per rater")
-    val ranked = raters.toSeq.map { rater =>
-      // rank desc by score == prefix count over ascending −score
-      val one = pv.where(col("rt") === rater)
-        .select((-col("v")).as("v"), col("v").as("__v0"), col("c"))
-      DistDrift.withPrefixSums(one, Seq("c"))
-        .select(lit(rater).as("rt"), col("__v0").as("v"),
-          (lit(2L) * col("c_below") + col("c") + lit(1L)).as("__r2"))
-    }.reduce(_ unionByName _)
-    val perItem = r.join(ranked, Seq("rt", "v"))
+      .select(col("rt"), (-col("v")).as("v"), col("v").as("__v0"), col("c"))
+    val info = DistDrift.withPrefixSumsInfo(pv, Seq("c"),
+      knownBounds = Some((-probe.getDouble(5), -probe.getDouble(4))),
+      groupCols = Seq("rt"))
+    val ranked = info.df
+      .select(col("rt"), col("__v0").as("v"),
+        (lit(2L) * col("c_below") + col("c") + lit(1L)).as("__r2"))
+    val rankedSide = if (info.nDistinct <= 4000000L) broadcast(ranked)
+      else ranked
+    val perItem = r.join(rankedSide, Seq("rt", "v"))
       .groupBy(col("it")).agg(sum(col("__r2")).as("r2"))
     val s4 = perItem.agg(sum(
         (d(col("r2")) - lit(m * (n + 1))) * (d(col("r2")) - lit(m * (n + 1))))
         .as("s4"))
       .head().getDecimal(0)
-    val tt = pv
+    val tt = r.groupBy(col("rt"), col("v")).agg(count(lit(1)).as("c"))
       .agg(sum(d(col("c")) * d(col("c")) * d(col("c")) - d(col("c"))))
       .head().getDecimal(0)
-    pv.unpersist(false); r.unpersist(false)
+    r.unpersist(false)
     val s4D = s4.doubleValue(); val ttD = tt.doubleValue()
     val mD = m.toDouble; val nD = n.toDouble
     val den = mD * mD * (nD * nD * nD - nD) - mD * ttD

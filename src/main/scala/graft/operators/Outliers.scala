@@ -111,25 +111,34 @@ object Outliers {
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     def d38(c: Column): Column = c.cast("decimal(38,0)")
+    // ONE fused probe: n, Σc·v AND the value bounds — the bounds feed
+    // both medians' bucket layouts (the dev relation's covering range
+    // is derivable from them on the driver), dropping the per-median
+    // min/max stats job of the old shape
     val t = pv.agg(coalesce(sum(col("c")), lit(0L)),
-      sum(d38(col("c")) * d38(col("v")))).head()
+      sum(d38(col("c")) * d38(col("v"))),
+      min(col("v")), max(col("v"))).head()
     val n = t.getLong(0)
     require(n >= 1, "huberMean: empty input")
     val sAll = t.getDecimal(1)
+    val (vMin, vMax) = (t.getLong(2), t.getLong(3))
     def r9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    // exact lower-median order statistic over a per-value relation
-    def medianOf(rel: DataFrame): Long = {
+    // exact lower-median order statistic over a per-value relation;
+    // bounds passed in (any covering range is correct — see
+    // withPrefixSumsInfo)
+    def medianOf(rel: DataFrame, bounds: (Double, Double)): Long = {
       val k = (n + 1L) / 2L
-      DistDrift.withPrefixSums(rel, Seq("c"))
+      DistDrift.withPrefixSums(rel, Seq("c"), knownBounds = Some(bounds))
         .agg(min(when(col("c_below") + col("c") >= k, col("v")))).head().getLong(0)
     }
-    val med = medianOf(pv)
+    val med = medianOf(pv, (vMin.toDouble, vMax.toDouble))
     val dev = pv.select(abs(col("v") - lit(med)).as("v"), col("c"))
       .groupBy(col("v")).agg(sum(col("c")).as("c"))
-    val mad = medianOf(dev)
+    val mad = medianOf(dev,
+      (0.0, math.max(math.abs(vMin - med), math.abs(vMax - med)).toDouble))
     val spark = df.sparkSession
     import spark.implicits._
     val plainMean = sAll.doubleValue / n.toDouble

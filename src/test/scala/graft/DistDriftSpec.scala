@@ -330,6 +330,16 @@ class DistDriftSpec extends SparkSpec {
     assert(t.getLong(0) == 4)
     // zero-variance side: undefined, publishes NULL not NaN
     assert(rho(Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0))).isNullAt(1))
+    // long moment path == decimal path byte-for-byte on the same data
+    // (the probe elects longs whenever 4n³ < 2⁶²; the spec hook forces
+    // the decimal path so both run on identical input, ties included)
+    val mixed = Seq((1.0, 2.0), (1.0, 7.0), (3.0, 7.0), (4.0, 1.0),
+      (4.0, 4.0), (9.0, 9.0), (2.0, 2.0))
+    val fast = DistDrift.spearman(mixed.toDF("x", "y"), col("x"), col("y"))
+      .head()
+    val dec = DistDrift.spearman(mixed.toDF("x", "y"), col("x"), col("y"),
+      forceDecimalPath = true).head()
+    assert(fast == dec)
   }
 
   test("jensenShannon: 0 for identical, ln2 for disjoint, hand-checked mix") {
