@@ -26,7 +26,9 @@ object JobProfile {
       .write.format("noop").mode("overwrite").save()
 
     case class JobRec(id: Int, start: Long, var end: Long,
-      var tasks: Int, var taskTimeMs: Long, desc: String)
+      var tasks: Int, var taskTimeMs: Long, desc: String,
+      stages: scala.collection.mutable.ListBuffer[String] =
+        scala.collection.mutable.ListBuffer.empty)
     val jobs = new ConcurrentHashMap[Int, JobRec]()
     val stageTasks = new ConcurrentHashMap[Int, Int]() // stageId -> jobId
     val listener = new SparkListener {
@@ -46,6 +48,8 @@ object JobProfile {
           .flatMap(j => Option(jobs.get(j))).foreach { r =>
             r.tasks += si.numTasks
             r.taskTimeMs += si.taskMetrics.executorRunTime
+            r.stages += s"${si.name.take(45)}(${si.numTasks}t," +
+              f"${si.taskMetrics.executorRunTime / 1000.0}%.1fs)"
           }
       }
     }
@@ -72,7 +76,8 @@ object JobProfile {
         f"jobSpanSum=${jobSpanMs / 1000.0}%.3fs driverGap=${(wallMs - jobSpanMs) / 1000.0}%.3fs")
       recs.foreach { r =>
         println(f"[prof]   job ${r.id}%3d span=${(r.end - r.start) / 1000.0}%6.3fs " +
-          f"tasks=${r.tasks}%4d taskTime=${r.taskTimeMs / 1000.0}%7.3fs ${r.desc.take(60)}")
+          f"tasks=${r.tasks}%4d taskTime=${r.taskTimeMs / 1000.0}%7.3fs ${r.desc.take(40)} " +
+          r.stages.mkString(" | "))
       }
     }
     spark.stop()

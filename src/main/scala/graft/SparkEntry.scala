@@ -4782,8 +4782,14 @@ object SparkEntry {
       val keepers = docs.join(nonKeepers, Seq("doc_id"), "left_anti")
       def at(off: org.apache.spark.sql.Column) =
         timestamp_seconds(lit(1767225600L) + (off % 1000))
+      // repartition(1), not coalesce(1): coalesce collapses the whole
+      // post-shuffle stage (anti-join + projection + parquet encode) onto
+      // the single write task (measured 1.0 s); repartition keeps the
+      // upstream parallel and only the one-file write is serial. Row
+      // order within the file is immaterial (phase-1 keepers are
+      // pairwise collision-free — survivor set is order-independent).
       val p1 = keepers.select(col("doc_id"), col("text"), at(col("doc_id")).as("ts"))
-      p1.coalesce(1).write.mode("overwrite").parquet(base + "/feed")
+      p1.repartition(1).write.mode("overwrite").parquet(base + "/feed")
       val feedDir = new java.io.File(base + "/feed")
       def parts = feedDir.listFiles().filter(_.getName.endsWith(".parquet"))
       val phase1Names = parts.map(_.getName).toSet
@@ -4797,7 +4803,14 @@ object SparkEntry {
       val ss = streaming.StreamTuning.sizedSession(s)
       val stream = ss.readStream.schema(p1.schema)
         .option("maxFilesPerTrigger", "1").parquet(base + "/feed")
-      val q = Dedup.dedupStreamNear(stream, "text", "ts", watermark = "6 hours",
+      // spread the per-batch signature derivation: each trigger reads ONE
+      // file (phase ordering), so the shingle+minhash pass for the whole
+      // batch otherwise runs on one task (measured: a 1.3 s straggler in
+      // each 1.5 s batch). One narrow per-batch exchange ahead of four
+      // state shuffles that already move the same rows.
+      val q = Dedup.dedupStreamNear(
+          graft.functions.GraftFunctions.spread(stream),
+          "text", "ts", watermark = "6 hours",
           shingleN = 3, k = 12, bands = 4, oracleHash = true)
         .select("doc_id")
         .writeStream.format("memory").queryName("q88_neardup_mem")
