@@ -472,59 +472,52 @@ object DistDrift {
   def spearman(df: DataFrame, xCol: Column, yCol: Column,
       forceDecimalPath: Boolean = false): DataFrame = {
     // forceDecimalPath: spec hook ONLY — pins the long moment path
-    // byte-equal to the decimal path on the same data
-    // fanOut BEFORE the cache: the raw scan is row-group bound (3 tasks
-    // at sf0.1) and the cache inherits its partitioning, so every
-    // downstream collapse/join ran 3-wide on a 32-core session
-    val subj = graft.functions.GraftFunctions.fanOut(
-        df.select(xCol.cast("double").as("x"), yCol.cast("double").as("y"))
-          .where(col("x").isNotNull && col("y").isNotNull))
-      .cache() // two per-axis collapses + the rank join all read it
-    try {
-      // ONE fused probe: n for the long-path election + both axes'
-      // bucket bounds (previously two separate stats jobs inside the
-      // two prefix passes, and no n at all)
-      val stats = subj.agg(count(lit(1)), min(col("x")), max(col("x")),
-        min(col("y")), max(col("y"))).head()
-      val n = stats.getLong(0)
-      def bounds(i: Int): Option[(Double, Double)] =
-        if (stats.isNullAt(i)) Some((0.0, 0.0))
-        else Some((stats.getDouble(i), stats.getDouble(i + 1)))
-      // doubled ranks satisfy A ≤ 2n, so every product ≤ 4n² and the
-      // moment sums ≤ 4n³ — exact LONGs (codegen sum, no BigDecimal per
-      // row) whenever 4n³ < 2⁶² (n ≈ 1.04M; BigInt guard, no wrap on
-      // the probe itself). Identical integers to the DECIMAL(38,0)
-      // sums under the bound → identical published doubles; above it
-      // the decimal path keeps unbounded exactness (the VecOuterAgg /
-      // kmeansLloyd probe-then-choose doctrine).
-      val useLong = !forceDecimalPath &&
-        BigInt(4) * BigInt(n).pow(3) < BigInt(2).pow(62)
-      def rankOf(c: String, b: Option[(Double, Double)]): DataFrame = {
-        val perValue = subj.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
-        val info = withPrefixSumsInfo(perValue, Seq("t"), knownBounds = b)
-        val a2 = lit(2L) * col("t_below") + col("t") + 1L
-        val rel = info.df.select(col("v").as(c),
+    // byte-equal to the decimal path on the same data.
+    // (A cache + broadcast-rank + fanOut variant was measured SLOWER
+    // here — two serial broadcast builds plus the cache/checkpoint
+    // materialization cost more than the shuffle joins they replaced;
+    // reverted. The keepers are the fused stats probe and the
+    // probe-gated long moment path.)
+    val subj = df.select(xCol.cast("double").as("x"), yCol.cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    // ONE fused probe: n for the long-path election + both axes' bucket
+    // bounds (previously two separate stats jobs inside the two prefix
+    // passes, and no n at all)
+    val stats = subj.agg(count(lit(1)), min(col("x")), max(col("x")),
+      min(col("y")), max(col("y"))).head()
+    val n = stats.getLong(0)
+    def bounds(i: Int): Option[(Double, Double)] =
+      if (stats.isNullAt(i)) Some((0.0, 0.0))
+      else Some((stats.getDouble(i), stats.getDouble(i + 1)))
+    // doubled ranks satisfy A ≤ 2n, so every product ≤ 4n² and the
+    // moment sums ≤ 4n³ — exact LONGs (codegen sum, no BigDecimal per
+    // row) whenever 4n³ < 2⁶² (n ≈ 1.04M; BigInt guard, no wrap on
+    // the probe itself). Identical integers to the DECIMAL(38,0)
+    // sums under the bound → identical published doubles; above it
+    // the decimal path keeps unbounded exactness (the VecOuterAgg /
+    // kmeansLloyd probe-then-choose doctrine).
+    val useLong = !forceDecimalPath &&
+      BigInt(4) * BigInt(n).pow(3) < BigInt(2).pow(62)
+    def rankOf(c: String, b: Option[(Double, Double)]): DataFrame = {
+      val perValue = subj.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+      val a2 = lit(2L) * col("t_below") + col("t") + 1L
+      withPrefixSums(perValue, Seq("t"), knownBounds = b)
+        .select(col("v").as(c),
           (if (useLong) a2 else a2.cast("decimal(38,0)")).as(s"__a_$c"))
-        // value-cardinality known from the bucket pass: broadcast the
-        // rank relation when it is small (l_quantity: 50 rows), keep
-        // the value-keyed shuffle join above the limit
-        if (info.nDistinct <= BroadcastValueLimit) broadcast(rel) else rel
-      }
-      val ranked = subj.join(rankOf("x", bounds(1)), "x")
-        .join(rankOf("y", bounds(3)), "y")
-      val agg = ranked.agg(count(lit(1)).as("n"),
-        sum(col("__a_x") * col("__a_y")).as("sxy"),
-        sum(col("__a_x") * col("__a_x")).as("sx2"),
-        sum(col("__a_y") * col("__a_y")).as("sy2"))
-      val nD = if (useLong) col("n") else col("n").cast("decimal(38,0)")
-      val m = nD * (nD + lit(1)) * (nD + lit(1))
-      val num = (col("sxy") - m).cast("double")
-      val dx = (col("sx2") - m).cast("double")
-      val dy = (col("sy2") - m).cast("double")
-      agg.select(col("n"),
-        when(dx > 0 && dy > 0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
-        .localCheckpoint(true) // sever from the cached subj before unpersist
-    } finally subj.unpersist()
+    }
+    val ranked = subj.join(rankOf("x", bounds(1)), "x")
+      .join(rankOf("y", bounds(3)), "y")
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("__a_x") * col("__a_y")).as("sxy"),
+      sum(col("__a_x") * col("__a_x")).as("sx2"),
+      sum(col("__a_y") * col("__a_y")).as("sy2"))
+    val nD = if (useLong) col("n") else col("n").cast("decimal(38,0)")
+    val m = nD * (nD + lit(1)) * (nD + lit(1))
+    val num = (col("sxy") - m).cast("double")
+    val dx = (col("sx2") - m).cast("double")
+    val dy = (col("sy2") - m).cast("double")
+    agg.select(col("n"),
+      when(dx > 0 && dy > 0, round(num / (sqrt(dx) * sqrt(dy)), 6)).as("rho"))
   }
 
   /**
