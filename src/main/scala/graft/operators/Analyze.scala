@@ -41,7 +41,13 @@ object Analyze {
       }
     }
     val aggs = count(lit(1)).as("__n") +: cols.flatMap(aggsFor)
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    // fanOut ahead of the Expand: the multi-DISTINCT rewrite replicates
+    // every row |cols|+1 times BEFORE the partial aggregation, and a
+    // row-group-bound scan (1 task on the gate fixture) serializes that
+    // whole expansion on one core — measured 1.6 s of a 2.6 s query.
+    // No-op at scale (the guard) where the scan is already wide.
+    val row = graft.functions.GraftFunctions.fanOut(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
       val isNum = types(c).isInstanceOf[NumericType]
       struct(

@@ -47,7 +47,8 @@ object DistDrift {
     * count/total probe jobs (rankSums' tie rollup, yuenT's per-group
     * n, spearman's long-path election) — the round-17 job-count cut. */
   private[operators] case class PrefixSums(df: DataFrame, nDistinct: Long,
-    totals: Map[String, Long])
+    totals: Map[String, Long],
+    perGroupTotals: Map[Seq[Any], Map[String, Long]] = Map.empty)
 
   private[operators] def withPrefixSums(perValue: DataFrame, cnts: Seq[String],
       keepBucket: Boolean = false,
@@ -128,7 +129,8 @@ object DistDrift {
     }
     PrefixSums(joined.drop((if (keepBucket) Nil else Seq("__b")) ++
       cnts.flatMap(c => Seq(s"__wb_$c", s"__off_$c")): _*),
-      nv, grand.toMap)
+      nv, grand.toMap,
+      accs.map { case (k, m) => k -> m.toMap }.toMap)
   }
 
   private def bin(v: Column, lo: Double, hi: Double, nBins: Int): Column =

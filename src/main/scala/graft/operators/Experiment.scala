@@ -867,11 +867,13 @@ object Experiment {
       .where(col("v").isNotNull)
     val calS = scores(cal)
     val perValue = calS.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val nCal = calS.count()
+    // n_cal rides the prefix pass's bucket totals — no separate count job
+    val info = DistDrift.withPrefixSumsInfo(perValue, Seq("cnt"))
+    val nCal = info.totals("cnt")
     require(nCal >= 1, "calibration set must be non-empty")
     // k = ceil((n+1)(den-num)/den), exact integers
     val k = ((nCal + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen
-    val qRow = DistDrift.withPrefixSums(perValue, Seq("cnt"))
+    val qRow = info.df
       .where(col("cnt_below") + col("cnt") >= k)
       .agg(min(col("v"))).head()
     // k > n_cal (tiny calibration sets) => infinite interval: publish NULL

@@ -299,11 +299,63 @@ object FeatureEng {
       s"featureRank: 1..64 candidate features, got ${features.size}")
     require(features.map(_._1).distinct.size == features.size,
       "featureRank: duplicate feature names")
-    features.map { case (name, c) =>
-      decisionStump(df, c, labelCol)
-        .select(lit(name).as("feature"), col("n"), col("n_pos"),
-          col("threshold"), col("gini_parent"), col("gini_split"), col("gain"))
-    }.reduce(_.unionByName(_))
+    // ALL candidate features ride ONE pipeline (the round-17 job-count
+    // cut: the per-feature decisionStump loop ran a full prefix-sum
+    // machinery per feature — measured 47 sequential jobs for 3
+    // features): one explode turns each row into |features| (f, v, y)
+    // rows in the same scan, one GROUPED prefix pass cumulates every
+    // feature (per-feature totals ride the bucket collect), and the
+    // per-feature argmin is a min_by aggregate ordered by the identical
+    // (cost asc, v asc) key — v is unique per (f, v) row, so the
+    // min_by tie case is unreachable and the selection matches the
+    // stump's orderBy+limit(1) exactly.
+    val spark = df.sparkSession
+    val fs = array(features.map { case (n, c) =>
+      struct(lit(n).as("f"), c.cast("double").as("v")) }: _*)
+    val rows = df.select(explode(fs).as("fv"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .select(col("fv.f").as("f"), col("fv.v").as("v"), col("y"))
+      .where(col("v").isNotNull)
+    val pr = rows.agg(min(col("v")), max(col("v"))).head()
+    val bounds = if (pr.isNullAt(0)) (0.0, 0.0)
+      else (pr.getDouble(0), pr.getDouble(1))
+    val perValue = rows.groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).as("ct"), sum(col("y")).as("cp"))
+    val info = DistDrift.withPrefixSumsInfo(perValue, Seq("ct", "cp"),
+      knownBounds = Some(bounds), groupCols = Seq("f"))
+    val tots = features.map { case (name, _) =>
+      val t = info.perGroupTotals.getOrElse(Seq(name),
+        Map("ct" -> 0L, "cp" -> 0L))
+      (name, t("ct"), t("cp"))
+    }
+    import spark.implicits._
+    val totDf = tots.toDF("f", "__n", "__p")
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val nl = col("ct_below") + col("ct")
+    val pl = col("cp_below") + col("cp")
+    val nr = col("__n") - nl
+    val pr2 = col("__p") - pl
+    val cost = round(
+      (lit(2L) * (d(pl) * (d(nl) - d(pl)) * d(nr)
+        + d(pr2) * (d(nr) - d(pr2)) * d(nl))).cast("double")
+      / (d(col("__n")) * d(nl) * d(nr)).cast("double"), 6)
+    val parent = round((lit(2L) * d(col("__p")) * (d(col("__n")) - d(col("__p"))))
+        .cast("double")
+      / (d(col("__n")) * d(col("__n"))).cast("double"), 6)
+    val best = info.df.join(broadcast(totDf), "f")
+      .where(nl < col("__n"))
+      .withColumn("__cost", cost)
+      .groupBy(col("f").as("feature"))
+      .agg(min_by(
+        struct(col("__n").as("n"), col("__p").as("n_pos"),
+          col("v").as("threshold"), parent.as("gini_parent"),
+          col("__cost").as("gini_split")),
+        struct(col("__cost"), col("v"))).as("b"))
+    best.select(col("feature"), col("b.n").as("n"), col("b.n_pos").as("n_pos"),
+        col("b.threshold").as("threshold"),
+        col("b.gini_parent").as("gini_parent"),
+        col("b.gini_split").as("gini_split"))
+      .withColumn("gain", round(col("gini_parent") - col("gini_split"), 6))
       .orderBy(col("gain").desc, col("feature").asc)
   }
 

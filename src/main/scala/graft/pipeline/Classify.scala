@@ -51,12 +51,19 @@ object Classify {
       maxClasses: Int = 64): DataFrame = {
     require(trainFrac > 0.0 && trainFrac < 1.0,
       s"trainFrac must be in (0,1): $trainFrac")
-    val base = docs.select(col(idCol).as("id"),
-        col(labelCol).cast("string").as("y"),
+    // fanOut ahead of tokenization: the documents scan is row-group
+    // bound (1 task on the gate fixture) and the whole tokenize +
+    // explode pipeline serialized on it (measured 0.8 s single-task
+    // stages in q400/q402); no-op at scale
+    val base = graft.functions.GraftFunctions.fanOut(
+        docs.select(col(idCol).as("id"),
+          col(labelCol).cast("string").as("__y0"),
+          col(textCol).as("__t0")))
+      .select(col("id"), col("__y0").cast("string").as("y"),
         // split("", "\\s+") yields [""] — a PHANTOM token that would
         // count into V and every posterior, so zero-length tokens are
         // removed at tokenization (mirrored in the DuckDB oracle)
-        array_remove(whitespaceTokens(lower(col(textCol))), "").as("ws"))
+        array_remove(whitespaceTokens(lower(col("__t0"))), "").as("ws"))
       // NULL-text AND tokenless (empty / whitespace-only) docs are
       // excluded UP FRONT (not silently dropped at the explode): they
       // would otherwise count into the class priors but never score,
