@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
@@ -91,8 +91,12 @@ object PairKernel {
     var bi = 0
     while (bi < bytes.length) {
       offs(ci) = bi
-      val b = bytes(bi) & 0xFF
-      bi += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      // step with UTF8String's OWN first-byte width so the walk matches
+      // numChars byte-for-byte on ANY input: the hand-rolled ladder
+      // counted stray continuation bytes (0x80-0xBF) as 2-byte chars
+      // where numChars counts 1, leaving tail offsets at 0 on malformed
+      // UTF-8 (zero/negative gram ranges — the r16 advisor's finding)
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
       ci += 1
     }
     offs(l) = bytes.length
@@ -109,7 +113,11 @@ object PairKernel {
 }
 
 /** sortedPairs(ids) → ARRAY<STRUCT<a, b>>, codegen'd. */
-case class SortedPairsExpr(child: Expression) extends UnaryExpression {
+case class SortedPairsExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  // analysis-time contract (r16 advice): array input required — the
+  // dataType cast below would otherwise throw an unreadable CCE
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(ArrayType)
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
 
@@ -134,7 +142,9 @@ case class SortedPairsExpr(child: Expression) extends UnaryExpression {
 
 /** intersectSizeSorted(a, b) → INT over sorted-distinct string arrays. */
 case class IntersectSizeSortedExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -148,8 +158,10 @@ case class IntersectSizeSortedExpr(left: Expression, right: Expression)
 }
 
 /** charGrams(text, n) → ARRAY<STRING> of every n-char gram, codegen'd. */
-case class CharGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+case class CharGramsExpr(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
   require(n >= 1, s"charGrams: n must be >= 1, got $n")
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(a: Any): Any =

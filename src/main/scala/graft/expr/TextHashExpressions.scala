@@ -1,6 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -194,7 +194,13 @@ object Md5FracKernel {
 }
 
 /** md5Frac52(x) → LONG in [0, 2⁵²), codegen'd. */
-case class Md5Frac52Expr(child: Expression) extends UnaryExpression {
+case class Md5Frac52Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  // analysis-time contract: the old conv(substring(md5(x)...)) chain
+  // implicitly cast any input; the kernel reads UTF8String directly, so
+  // misuse must fail at analysis with a readable message, not as an
+  // executor ClassCastException (r16 advice)
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(a: Any): Any =
@@ -231,8 +237,12 @@ object WinnowKernel {
     var bi = 0
     while (bi < bytes.length) {
       offs(ci) = bi
-      val b = bytes(bi) & 0xFF
-      bi += (if (b < 0x80) 1 else if (b < 0xE0) 2 else if (b < 0xF0) 3 else 4)
+      // step with UTF8String's OWN first-byte width so the walk matches
+      // numChars byte-for-byte on ANY input: the hand-rolled ladder
+      // counted stray continuation bytes (0x80-0xBF) as 2-byte chars
+      // where numChars counts 1, leaving tail offsets at 0 on malformed
+      // UTF-8 (zero/negative gram ranges — the r16 advisor's finding)
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
       ci += 1
     }
     offs(l) = bytes.length
@@ -275,7 +285,8 @@ object WinnowKernel {
 
 /** winnowFps(loweredText, k, w, oracle) → ARRAY<STRING>, codegen'd. */
 case class WinnowFpsExpr(child: Expression, k: Int, w: Int, oracle: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType)
 
   override def nullSafeEval(a: Any): Any =

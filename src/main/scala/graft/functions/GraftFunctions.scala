@@ -57,9 +57,22 @@ object GraftFunctions {
     * order-free downstream (pair/bucket/aggregate shapes are). */
   private[graft] def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < target)
-      df.repartition(target)
-    else df
+    // Probe the PRE-AQE physical plan: `toRdd` resolves the adaptive
+    // executedPlan, and executing an AdaptiveSparkPlanExec eagerly
+    // submits and awaits every upstream shuffle stage at construction
+    // time — work that is then discarded and recomputed by the real
+    // query (the r16 advisor's double-execution finding; harmless for
+    // the bare-scan call sites here, a silent 2x for any caller that
+    // feeds a shuffled/joined frame). sparkPlan.execute() only BUILDS
+    // the RDD lineage (no job is submitted), so its partition count is
+    // free; for post-shuffle plans it reports the configured shuffle
+    // width, which is exactly the "would it be under-parallel" question
+    // this helper asks. Unprobeable plans (e.g. streaming) pass through
+    // unchanged — use [[spread]] for those.
+    val parts =
+      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      catch { case _: Throwable => target }
+    if (parts < target) df.repartition(target) else df
   }
 
   /** Spread a NARROW relation whose rows each expand into heavy

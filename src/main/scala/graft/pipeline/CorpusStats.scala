@@ -1476,7 +1476,10 @@ object CorpusStats {
       cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
       cov(j)(i) = cov(i)(j) // exact mirror of the symmetric Gram
     }
-    if (graft.expr.VecOuterAgg.longSafe(n, qAbs)) {
+    if (graft.expr.VecOuterAgg.longSafe(n, qAbs) && d <= 1024) {
+      // the d-gate mirrors VecOuterAgg's own require: an oversized dim
+      // must fall through to the decimal explode path (which handles any
+      // d), not throw from the aggregate's constructor (r16 advice)
       // LONG FAST PATH (probe-gated, the kmeansLloyd doctrine): sums and
       // all upper-triangle cells in ONE tight-loop aggregate pass —
       // under the probe bound long sums ARE the decimal(38,0) sums
@@ -1679,7 +1682,8 @@ object CorpusStats {
       cov(i)(j) = r12(num.toDouble / (nD * nD * 1e12))
       cov(j)(i) = cov(i)(j) // exact mirror of the symmetric Gram
     }
-    if (graft.expr.VecOuterAgg.longSafe(n, zAbs)) {
+    if (graft.expr.VecOuterAgg.longSafe(n, zAbs) && 2 * d <= 1024) {
+      // d2-gate: see covCells — oversized dims take the decimal path
       // LONG FAST PATH (probe-gated — the covCells doctrine): all three
       // Gram blocks' sums and cells in ONE tight-loop aggregate pass over
       // the concatenated 2d vector; long sums == decimal sums under the

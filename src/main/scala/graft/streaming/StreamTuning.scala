@@ -51,4 +51,22 @@ object StreamTuning {
     s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     s2
   }
+
+  /** The sizing DOCTRINE as code (r16 verdict item 3: the 4-partition
+    * gate default is fixture-sized; a production caller copying the
+    * pattern would freeze it into a checkpoint). Derives the partition
+    * count from the caller's own state estimate:
+    * ceil(expectedStateBytes / targetBytesPerPartition), floored at 1 —
+    * pick `expectedStateBytes` for PEAK state (the count is frozen into
+    * the checkpoint) and `targetBytesPerPartition` from per-core state
+    * memory over a safety factor (default 256 MB ≈ 1 GB/core / 4). */
+  def sizedSessionForState(s: SparkSession, expectedStateBytes: Long,
+      targetBytesPerPartition: Long = 256L << 20): SparkSession = {
+    require(expectedStateBytes >= 0, "expectedStateBytes must be >= 0")
+    require(targetBytesPerPartition > 0, "targetBytesPerPartition must be > 0")
+    val n = math.max(1L, (expectedStateBytes + targetBytesPerPartition - 1)
+      / targetBytesPerPartition)
+    require(n <= Int.MaxValue, "state partition count overflow")
+    sizedSession(s, n.toInt)
+  }
 }

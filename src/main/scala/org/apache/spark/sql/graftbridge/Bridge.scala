@@ -11,4 +11,8 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is private[sql]; expressions outside the spark
+    * package need the alias to declare ExpectsInputTypes.inputTypes. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }
