@@ -1273,11 +1273,18 @@ object Experiment {
       val aFit = when(abs(bA) < 1e-12, linear)
         .when(r1 >= lo - 1e-7 && r1 <= hi + 1e-7, r1)
         .otherwise(r2)
-      val bFit = n1 - aFit; val cFit = m1 - aFit; val dFit = n0 - m1 + aFit
-      val vFit = lit(1.0) / (lit(1.0) / aFit + lit(1.0) / bFit
-        + lit(1.0) / cFit + lit(1.0) / dFit)
-      val diff = col("a").cast("double") - aFit
-      val terms = per.select(
+      // projection boundary: aFit is a LARGE tree (Citardauq root pair)
+      // referenced by vFit four times and diff once — inlined, the
+      // expression tree grows ~6x and CATALYST PLANNING dominated the
+      // query (JobProfile: 2.1 s driver gap of a 2.9 s wall, jobs under
+      // 0.8 s total). A non-cheap multi-use alias is kept as its own
+      // Project, so every consumer reads the column.
+      val withFit = per.withColumn("__afit", aFit)
+      val af = col("__afit")
+      val vFit = lit(1.0) / (lit(1.0) / af + lit(1.0) / (n1 - af)
+        + lit(1.0) / (m1 - af) + lit(1.0) / (n0 - m1 + af))
+      val diff = col("a").cast("double") - af
+      val terms = withFit.select(
         when(usable, 1L).otherwise(0L).as("__u"),
         when(usable, round(diff * diff / vFit, 12)).otherwise(0.0)
           .cast("decimal(38,12)").as("__bd"),
