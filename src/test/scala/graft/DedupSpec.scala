@@ -582,4 +582,19 @@ class DedupSpec extends SparkSpec {
       .map(r => Set(r.getLong(0), r.getLong(1)))
     assert(!jac.contains(Set(1L, 2L)))
   }
+
+  test("fanOut is a NO-OP on inputs already at or above the session's " +
+      "parallelism (the 100 TB posture: never adds an exchange at scale)") {
+    val wide = spark.range(1000).toDF("id")
+      .repartition(spark.sparkContext.defaultParallelism + 8)
+    val out = graft.functions.GraftFunctions.fanOut(wide)
+    // same Dataset object back — no repartition node was added
+    assert(out eq wide)
+    // and the probe itself must not have executed the plan (sparkPlan
+    // lineage only — covered implicitly: a narrow input DOES repartition)
+    val narrow = spark.range(10).toDF("id").coalesce(1)
+    val out2 = graft.functions.GraftFunctions.fanOut(narrow)
+    assert(!(out2 eq narrow))
+    assert(out2.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+  }
 }
