@@ -38,11 +38,17 @@ object Association {
     // upstream (possibly join-shaped) basket table each time
     val bi = df.select(col(basketCol).as("b"), col(itemCol).cast("string").as("i"))
       .where(col("i").isNotNull).distinct().cache()
-    val fat = bi.groupBy(col("b")).agg(count(lit(1)).as("sz"))
-      .where(col("sz") > maxItemsPerBasket).limit(1).collect()
-    require(fat.isEmpty,
-      s"basket ${fat.headOption.map(_.get(0))} exceeds maxItemsPerBasket=$maxItemsPerBasket")
-    val nBaskets = bi.select(col("b")).distinct().count()
+    // ONE probe for the occupancy contract AND the basket count: the old
+    // limit(1) fat-probe only part-materialized the cache (limit
+    // short-circuits partitions), so the separate nBaskets count and the
+    // first pair join each re-ran the upstream join+distinct (measured:
+    // three ~10-task-second stages per q207 run)
+    val __bstats = bi.groupBy(col("b")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)), max(col("sz"))).head()
+    val nBaskets = __bstats.getLong(0)
+    val __maxSz = if (__bstats.isNullAt(1)) 0L else __bstats.getLong(1)
+    require(__maxSz <= maxItemsPerBasket,
+      s"densest basket holds ${__maxSz} items > maxItemsPerBasket=$maxItemsPerBasket")
     val singles = bi.groupBy(col("i")).agg(count(lit(1)).as("supp"))
     val l = bi.select(col("b"), col("i").as("item_a"))
     val r = bi.select(col("b"), col("i").as("item_b"))
@@ -79,10 +85,14 @@ object Association {
     val bi = df.select(col(tagCol).as("tag"), col(basketCol).as("b"),
         col(itemCol).cast("string").as("i"))
       .where(col("i").isNotNull && col("tag").isNotNull).distinct().cache()
-    val fat = bi.groupBy(col("tag"), col("b")).agg(count(lit(1)).as("sz"))
-      .where(col("sz") > maxItemsPerBasket).limit(1).collect()
-    require(fat.isEmpty,
-      s"basket ${fat.headOption.map(r => (r.get(0), r.get(1)))} exceeds " +
+    // full-materializing occupancy probe (see pairs/triples: a limit(1)
+    // probe leaves cache partitions cold and the pair join re-runs the
+    // upstream distinct)
+    val __mx = bi.groupBy(col("tag"), col("b")).agg(count(lit(1)).as("sz"))
+      .agg(max(col("sz"))).head()
+    val __maxSz = if (__mx.isNullAt(0)) 0L else __mx.getLong(0)
+    require(__maxSz <= maxItemsPerBasket,
+      s"densest (tag, basket) holds ${__maxSz} items > " +
         s"maxItemsPerBasket=$maxItemsPerBasket")
     val l = bi.select(col("tag"), col("b"), col("i").as("item_a"))
     val r = bi.select(col("tag"), col("b"), col("i").as("item_b"))
@@ -109,11 +119,17 @@ object Association {
       minSupport: Long = 2L, maxItemsPerBasket: Int = 1000): DataFrame = {
     val bi = df.select(col(basketCol).as("b"), col(itemCol).cast("string").as("i"))
       .where(col("i").isNotNull).distinct().cache()
-    val fat = bi.groupBy(col("b")).agg(count(lit(1)).as("sz"))
-      .where(col("sz") > maxItemsPerBasket).limit(1).collect()
-    require(fat.isEmpty,
-      s"basket ${fat.headOption.map(_.get(0))} exceeds maxItemsPerBasket=$maxItemsPerBasket")
-    val nBaskets = bi.select(col("b")).distinct().count()
+    // ONE probe for the occupancy contract AND the basket count: the old
+    // limit(1) fat-probe only part-materialized the cache (limit
+    // short-circuits partitions), so the separate nBaskets count and the
+    // first pair join each re-ran the upstream join+distinct (measured:
+    // three ~10-task-second stages per q207 run)
+    val __bstats = bi.groupBy(col("b")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)), max(col("sz"))).head()
+    val nBaskets = __bstats.getLong(0)
+    val __maxSz = if (__bstats.isNullAt(1)) 0L else __bstats.getLong(1)
+    require(__maxSz <= maxItemsPerBasket,
+      s"densest basket holds ${__maxSz} items > maxItemsPerBasket=$maxItemsPerBasket")
     val singles = bi.groupBy(col("i")).agg(count(lit(1)).as("supp"))
     // the per-basket pair relation feeds BOTH the support floor and the
     // third-item extension — materialize it once (guarded-quadratic size,
