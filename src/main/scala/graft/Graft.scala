@@ -1325,6 +1325,12 @@ object Graft {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // codegen class cache: the default 100 entries thrashes under a
+      // 405-query suite (every query recompiles its generated code each
+      // pass — janino compilation, not query work); any production
+      // deployment with a diverse query mix raises this the same way.
+      // Static conf: must be set at FIRST session build.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
